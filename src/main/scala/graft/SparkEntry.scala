@@ -1,13 +1,445 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver contract — one named query per implemented operator (SURVEY §2),
+  * each routed through the engine (TableMapping → Compiler/Merge/Pipeline),
+  * with equivalent ANSI SQL for the DuckDB oracle in [[oracleSql]].
+  *
+  * Oracle-parity rules used throughout (SURVEY §7.3):
+  *   - every computed column aliased identically in Spark and SQL;
+  *   - no float accumulation across rows unless the addends are integral
+  *     doubles (exact in IEEE) — otherwise MIN/MAX/COUNT or decimal casts;
+  *   - computed integer widths pinned to BIGINT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def read(s: SparkSession, dir: String, table: String): DataFrame =
+    s.read.parquet(s"$dir/$table.parquet")
+
+  /** Run a non-merge mapping against a parquet sf dir. */
+  private def mapped(s: SparkSession, dir: String, tm: TableMapping,
+      src: DataFrame = null): DataFrame = {
+    val srcDf = Option(src).getOrElse(read(s, dir, tm.source))
+    Compiler.transformedSource(srcDf, tm, read(s, dir, _))
+  }
+
+  /** Flagship query on sf=0.001: the reference's marquee shape — merge
+    * upsert of a transformed, filtered source into an existing destination
+    * (driver smoke-checks rows>0).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_merge_upsert")(spark, "/root/testdata/sf0.001")
+
+  // --- shared mapping fixtures -------------------------------------------
+
+  /** dest for merge queries: keyed subset of orders (FIXTURES.md role map). */
+  private def mergeDest(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  private def mergeTm(
+      insertOnly: Boolean = false,
+      updateOnly: Boolean = false,
+      mergePk: Option[String] = None) = TableMapping(
+    destination = "orders_dest",
+    source = "orders",
+    columns = Seq(
+      "o_orderkey"    -> MergeOn("o_orderkey"),
+      "o_orderstatus" -> SqlFunction("lower", Seq(ColArg("o_orderstatus"))),
+      "o_totalprice"  -> DirectCopy("o_totalprice"),
+    ),
+    useMerge = true,
+    insertOnly = insertOnly,
+    updateOnly = updateOnly,
+    mergePk = mergePk,
+  )
+
+  private val mergeOracleCte =
+    """WITH d AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+      |           FROM orders WHERE o_orderkey % 3 = 0),
+      |     s AS (SELECT o_orderkey, lower(o_orderstatus) AS o_orderstatus,
+      |                  o_totalprice FROM orders)""".stripMargin
+
+  // --- the inventory ------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.1 #1 DirectCopy — rename projection
+    "q_direct_copy" -> ((s, dir) => mapped(s, dir, TableMapping(
+      "t", "customer", Seq(
+        "cust_id"   -> DirectCopy("c_custkey"),
+        "cust_name" -> DirectCopy("c_name"),
+        "segment"   -> DirectCopy("c_mktsegment"))))),
+
+    // §2.1 #2 CastAs
+    "q_cast_as" -> ((s, dir) => mapped(s, dir, TableMapping(
+      "t", "orders", Seq(
+        "key_str"  -> CastAs("o_orderkey", StringType),
+        "cust_dbl" -> CastAs("o_custkey", DoubleType),
+        "price_i"  -> CastAs("o_totalprice", LongType))))),
+
+    // §2.1 #3 AggregateColumn + §2.5 useGrouping inference
+    "q_agg_grouping" -> ((s, dir) => mapped(s, dir, TableMapping(
+      "t", "lineitem", Seq(
+        "returnflag" -> DirectCopy("l_returnflag"),
+        "linestatus" -> DirectCopy("l_linestatus"),
+        "sum_qty"    -> AggregateColumn("l_quantity", "SUM"),
+        "max_price"  -> AggregateColumn("l_extendedprice", "MAX"),
+        "n_rows"     -> AggregateColumn("l_orderkey", "COUNT")),
+      useGrouping = true))),
+
+    // §2.1 #4 CaseMap — decode with default
+    "q_case_map" -> ((s, dir) => mapped(s, dir, TableMapping(
+      "t", "orders", Seq(
+        "o_orderkey" -> DirectCopy("o_orderkey"),
+        "status_nm"  -> CaseMap("o_orderstatus",
+          Seq("F" -> "finished", "O" -> "open", "P" -> "pending"),
+          "unknown"))))),
+
+    // §2.1 #5 MergeOn + §2.4 MERGE upsert (flagship)
+    "q_merge_upsert" -> ((s, dir) =>
+      Merge(mergeDest(s, dir), mapped(s, dir, mergeTm()), mergeTm())),
+
+    // §2.4 insertOnly — matched rows keep dest values
+    "q_merge_insert_only" -> ((s, dir) =>
+      Merge(mergeDest(s, dir), mapped(s, dir, mergeTm(insertOnly = true)),
+        mergeTm(insertOnly = true))),
+
+    // §2.4 updateOnly — unmatched source rows dropped
+    "q_merge_update_only" -> ((s, dir) =>
+      Merge(mergeDest(s, dir), mapped(s, dir, mergeTm(updateOnly = true)),
+        mergeTm(updateOnly = true))),
+
+    // §2.4 mergePk — pk column not updated on match
+    "q_merge_pk" -> { (s, dir) =>
+      val tm = TableMapping(
+        "orders_dest", "orders",
+        columns = Seq(
+          "o_orderkey"    -> MergeOn("o_orderkey"),
+          "o_orderstatus" -> RawValue("X"),
+          "o_totalprice"  -> Sql("o_totalprice + CAST(1.0 AS DOUBLE)",
+            Seq("o_totalprice"))),
+        useMerge = true, mergePk = Some("o_totalprice"))
+      Merge(mergeDest(s, dir), mapped(s, dir, tm), tm)
+    },
+
+    // §2.5 merge + useGrouping: USING (SELECT keys, aggs … GROUP BY keys)
+    "q_merge_grouped" -> { (s, dir) =>
+      val dest = read(s, dir, "orders")
+        .filter(col("o_custkey") % 2 === 0)
+        .select(col("o_custkey")).distinct()
+        .withColumn("cnt", lit(-1L))
+        .withColumn("max_price", lit(0.0))
+      val tm = TableMapping(
+        "cust_summary", "orders",
+        columns = Seq(
+          "o_custkey" -> MergeOn("o_custkey"),
+          "cnt"       -> AggregateColumn("o_orderkey", "COUNT"),
+          "max_price" -> AggregateColumn("o_totalprice", "MAX")),
+        useMerge = true, useGrouping = true)
+      Merge(dest, mapped(s, dir, tm), tm)
+    },
+
+    // §2.1 #6 InvertBit (NULL→1 semantics; bit derived from acctbal sign)
+    "q_invert_bit" -> { (s, dir) =>
+      val src = read(s, dir, "customer").withColumn("is_pos",
+        when(col("c_acctbal") > 0, 1).otherwise(0))
+      mapped(s, dir, TableMapping("t", "customer", Seq(
+        "cust_id"  -> DirectCopy("c_custkey"),
+        "inactive" -> InvertBit("is_pos"))), src)
+    },
+
+    // §2.1 #7 TruncateString — RTRIM(LEFT(c,n)), empty→NULL
+    "q_truncate_string" -> ((s, dir) => mapped(s, dir, TableMapping(
+      "t", "customer", Seq(
+        "cust_id"    -> DirectCopy("c_custkey"),
+        "name_short" -> TruncateString("c_name", 12))))),
+
+    // §2.1 #8 ConcatColumns — NULL-safe spacer concat, outer trim
+    "q_concat_columns" -> ((s, dir) => mapped(s, dir, TableMapping(
+      "t", "customer", Seq(
+        "cust_id" -> DirectCopy("c_custkey"),
+        "label"   -> ConcatColumns(Seq("c_mktsegment", "c_name"), " "))))),
+
+    // §2.1 #9 StaticHash — generation-time literal (sha512/base64)
+    "q_static_hash" -> ((s, dir) => mapped(s, dir, TableMapping(
+      "t", "customer", Seq(
+        "cust_id" -> DirectCopy("c_custkey"),
+        "secret"  -> StaticHash("graft"))))),
+
+    // §2.1 #10/#11 CopyOrDefault / CopyOrClear (empty + all-space + null)
+    "q_copy_or_default" -> { (s, dir) =>
+      val src = read(s, dir, "customer").withColumn("seg_dirty",
+        when(col("c_custkey") % 7 === 0, lit(""))
+          .when(col("c_custkey") % 7 === 1, lit("   "))
+          .when(col("c_custkey") % 7 === 2, lit(null))
+          .otherwise(col("c_mktsegment")))
+      mapped(s, dir, TableMapping("t", "customer", Seq(
+        "cust_id"  -> DirectCopy("c_custkey"),
+        "seg"      -> CopyOrDefault("seg_dirty", "NONE"),
+        "seg_clr"  -> CopyOrClear("seg_dirty"))), src)
+    },
+
+    // §2.1 #12 ForeignKey — broadcast dim lookup (customer→nation)
+    "q_fk_lookup" -> ((s, dir) => mapped(s, dir, TableMapping(
+      "t", "customer", Seq(
+        "cust_id"   -> DirectCopy("c_custkey"),
+        "nation_nm" -> ForeignKey("c_nationkey",
+          FkSpec("nation", "n_name", "n_nationkey")),
+        "region_id" -> ForeignKey("c_nationkey",
+          FkSpec("nation", "n_regionkey", "n_nationkey")))))),
+
+    // §2.1 #12 filtered FK — filterColumn/filterValue pushdown
+    "q_fk_lookup_filtered" -> ((s, dir) => mapped(s, dir, TableMapping(
+      "t", "customer", Seq(
+        "cust_id" -> DirectCopy("c_custkey"),
+        "nation_in_r1" -> ForeignKey("c_nationkey",
+          FkSpec("nation", "n_name", "n_nationkey",
+            Some("n_regionkey"), Some(1))))))),
+
+    // §2.1 #13 SqlFunction — scalar call with column + literal args
+    "q_sql_function" -> ((s, dir) => mapped(s, dir, TableMapping(
+      "t", "customer", Seq(
+        "cust_id"  -> DirectCopy("c_custkey"),
+        "name_up"  -> SqlFunction("upper", Seq(ColArg("c_name"))),
+        "name_len" -> CastAs(SqlFunction("length", Seq(ColArg("c_name"))),
+          LongType))))),
+
+    // §2.1 #14 Sql — raw expression passthrough
+    "q_sql_raw" -> ((s, dir) => mapped(s, dir, TableMapping(
+      "t", "orders", Seq(
+        "o_orderkey" -> DirectCopy("o_orderkey"),
+        "discounted" -> Sql("o_totalprice * CAST(0.9 AS DOUBLE)",
+          Seq("o_totalprice")))))),
+
+    // §2.1 #15 RawValue — literal / NULL columns
+    "q_raw_value" -> ((s, dir) => mapped(s, dir, TableMapping(
+      "t", "customer", Seq(
+        "cust_id" -> DirectCopy("c_custkey"),
+        "role_nm" -> RawValue("Users"),
+        "cleared" -> CastAs(RawValue.Null, StringType))))),
+
+    // §2.3 sourceFilter — WHERE before grouping/merge
+    "q_source_filter" -> ((s, dir) => mapped(s, dir, TableMapping(
+      "t", "lineitem", Seq(
+        "okey" -> DirectCopy("l_orderkey"),
+        "qty"  -> DirectCopy("l_quantity"),
+        "disc" -> DirectCopy("l_discount")),
+      sourceFilter = Some("l_discount > 0.05 AND l_quantity < 25")))),
+
+    // §2.5 forceDistinct — SELECT DISTINCT source
+    "q_force_distinct" -> { (s, dir) =>
+      val src = read(s, dir, "orders")
+        .select(col("o_orderstatus"), col("o_orderpriority"))
+      mapped(s, dir, TableMapping("t", "orders", Seq(
+        "status"   -> DirectCopy("o_orderstatus"),
+        "priority" -> DirectCopy("o_orderpriority")),
+        forceDistinct = true), src)
+    },
+
+    // §2.2 cleanup + insert append via the pipeline runner (killWhere)
+    "q_kill_where_insert" -> { (s, dir) =>
+      val destInit = mergeDest(s, dir)
+      val srcCat = new ParquetCatalog(s, dir)
+      val destCat = new InMemoryCatalog(Map("orders_dest" -> destInit))
+      val tm = TableMapping(
+        "orders_dest", "orders",
+        columns = Seq(
+          "o_orderkey"    -> DirectCopy("o_orderkey"),
+          "o_orderstatus" -> DirectCopy("o_orderstatus"),
+          "o_totalprice"  -> DirectCopy("o_totalprice")),
+        killWhere = Some("o_orderstatus = 'F'"),
+        sourceFilter = Some("o_orderkey % 5 = 0"))
+      new PipelineRunner(srcCat, destCat).run(Pipeline(Seq(tm)))
+      destCat.read("orders_dest")
+    },
+
+    // §2.10 passes — pass-2 must be the all-UPDATE fixpoint
+    "q_multi_pass" -> { (s, dir) =>
+      val srcCat = new ParquetCatalog(s, dir)
+      val destCat = new InMemoryCatalog(Map("orders_dest" -> mergeDest(s, dir)))
+      new PipelineRunner(srcCat, destCat).run(Pipeline(Seq(mergeTm()), passes = 2))
+      destCat.read("orders_dest")
+    },
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_direct_copy" ->
+      """SELECT c_custkey AS cust_id, c_name AS cust_name,
+        |       c_mktsegment AS segment FROM customer""".stripMargin,
+
+    "q_cast_as" ->
+      """SELECT CAST(o_orderkey AS VARCHAR) AS key_str,
+        |       CAST(o_custkey AS DOUBLE) AS cust_dbl,
+        |       CAST(trunc(o_totalprice) AS BIGINT) AS price_i FROM orders""".stripMargin,
+
+    "q_agg_grouping" ->
+      """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+        |       SUM(l_quantity) AS sum_qty, MAX(l_extendedprice) AS max_price,
+        |       COUNT(l_orderkey) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_case_map" ->
+      """SELECT o_orderkey,
+        |       CASE WHEN o_orderstatus = 'F' THEN 'finished'
+        |            WHEN o_orderstatus = 'O' THEN 'open'
+        |            WHEN o_orderstatus = 'P' THEN 'pending'
+        |            ELSE 'unknown' END AS status_nm FROM orders""".stripMargin,
+
+    "q_merge_upsert" -> (mergeOracleCte +
+      """
+        |SELECT COALESCE(s.o_orderkey, d.o_orderkey) AS o_orderkey,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+        |            ELSE d.o_orderstatus END AS o_orderstatus,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+        |            ELSE d.o_totalprice END AS o_totalprice,
+        |       CASE WHEN d.o_orderkey IS NULL THEN 'INSERT'
+        |            WHEN s.o_orderkey IS NULL THEN NULL
+        |            ELSE 'UPDATE' END AS _action
+        |FROM d FULL OUTER JOIN s ON d.o_orderkey = s.o_orderkey""".stripMargin),
+
+    "q_merge_insert_only" -> (mergeOracleCte +
+      """
+        |SELECT COALESCE(s.o_orderkey, d.o_orderkey) AS o_orderkey,
+        |       CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderstatus
+        |            ELSE s.o_orderstatus END AS o_orderstatus,
+        |       CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_totalprice
+        |            ELSE s.o_totalprice END AS o_totalprice,
+        |       CASE WHEN d.o_orderkey IS NULL THEN 'INSERT'
+        |            ELSE NULL END AS _action
+        |FROM d FULL OUTER JOIN s ON d.o_orderkey = s.o_orderkey""".stripMargin),
+
+    "q_merge_update_only" -> (mergeOracleCte +
+      """
+        |SELECT d.o_orderkey AS o_orderkey,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+        |            ELSE d.o_orderstatus END AS o_orderstatus,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+        |            ELSE d.o_totalprice END AS o_totalprice,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN 'UPDATE'
+        |            ELSE NULL END AS _action
+        |FROM d LEFT JOIN s ON d.o_orderkey = s.o_orderkey""".stripMargin),
+
+    "q_merge_pk" ->
+      """WITH d AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |           FROM orders WHERE o_orderkey % 3 = 0),
+        |     s AS (SELECT o_orderkey, 'X' AS o_orderstatus,
+        |                  o_totalprice + CAST(1.0 AS DOUBLE) AS o_totalprice
+        |           FROM orders)
+        |SELECT COALESCE(s.o_orderkey, d.o_orderkey) AS o_orderkey,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+        |            ELSE d.o_orderstatus END AS o_orderstatus,
+        |       CASE WHEN s.o_orderkey IS NOT NULL AND d.o_orderkey IS NULL
+        |            THEN s.o_totalprice ELSE d.o_totalprice END AS o_totalprice,
+        |       CASE WHEN d.o_orderkey IS NULL THEN 'INSERT'
+        |            WHEN s.o_orderkey IS NULL THEN NULL
+        |            ELSE 'UPDATE' END AS _action
+        |FROM d FULL OUTER JOIN s ON d.o_orderkey = s.o_orderkey""".stripMargin,
+
+    "q_merge_grouped" ->
+      """WITH d AS (SELECT DISTINCT o_custkey, CAST(-1 AS BIGINT) AS cnt,
+        |                  CAST(0.0 AS DOUBLE) AS max_price
+        |           FROM orders WHERE o_custkey % 2 = 0),
+        |     s AS (SELECT o_custkey, COUNT(o_orderkey) AS cnt,
+        |                  MAX(o_totalprice) AS max_price
+        |           FROM orders GROUP BY o_custkey)
+        |SELECT COALESCE(s.o_custkey, d.o_custkey) AS o_custkey,
+        |       CASE WHEN s.o_custkey IS NOT NULL THEN s.cnt
+        |            ELSE d.cnt END AS cnt,
+        |       CASE WHEN s.o_custkey IS NOT NULL THEN s.max_price
+        |            ELSE d.max_price END AS max_price,
+        |       CASE WHEN d.o_custkey IS NULL THEN 'INSERT'
+        |            WHEN s.o_custkey IS NULL THEN NULL
+        |            ELSE 'UPDATE' END AS _action
+        |FROM d FULL OUTER JOIN s ON d.o_custkey = s.o_custkey""".stripMargin,
+
+    "q_invert_bit" ->
+      """SELECT c_custkey AS cust_id,
+        |       CASE WHEN (CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END) = 1
+        |            THEN 0 ELSE 1 END AS inactive FROM customer""".stripMargin,
+
+    "q_truncate_string" ->
+      """SELECT c_custkey AS cust_id,
+        |       nullif(rtrim(substring(c_name, 1, 12)), '') AS name_short
+        |FROM customer""".stripMargin,
+
+    "q_concat_columns" ->
+      """SELECT c_custkey AS cust_id,
+        |       trim(concat(coalesce(c_mktsegment, ''), ' ',
+        |                   coalesce(c_name, ''))) AS label
+        |FROM customer""".stripMargin,
+
+    "q_static_hash" ->
+      s"""SELECT c_custkey AS cust_id, '${StaticHash.hash("graft")}' AS secret
+         |FROM customer""".stripMargin,
+
+    "q_copy_or_default" ->
+      """WITH src AS (SELECT c_custkey,
+        |       CASE WHEN c_custkey % 7 = 0 THEN ''
+        |            WHEN c_custkey % 7 = 1 THEN '   '
+        |            WHEN c_custkey % 7 = 2 THEN NULL
+        |            ELSE c_mktsegment END AS seg_dirty FROM customer)
+        |SELECT c_custkey AS cust_id,
+        |       CASE WHEN seg_dirty IS NULL OR length(rtrim(seg_dirty)) = 0
+        |            THEN 'NONE' ELSE seg_dirty END AS seg,
+        |       CASE WHEN seg_dirty IS NULL OR length(rtrim(seg_dirty)) = 0
+        |            THEN '' ELSE seg_dirty END AS seg_clr
+        |FROM src""".stripMargin,
+
+    "q_fk_lookup" ->
+      """SELECT c.c_custkey AS cust_id, n1.v AS nation_nm, n2.v AS region_id
+        |FROM customer c
+        |LEFT JOIN (SELECT n_nationkey, min(n_name) AS v FROM nation
+        |           GROUP BY n_nationkey) n1 ON c.c_nationkey = n1.n_nationkey
+        |LEFT JOIN (SELECT n_nationkey, min(n_regionkey) AS v FROM nation
+        |           GROUP BY n_nationkey) n2 ON c.c_nationkey = n2.n_nationkey""".stripMargin,
+
+    "q_fk_lookup_filtered" ->
+      """SELECT c.c_custkey AS cust_id, n1.v AS nation_in_r1
+        |FROM customer c
+        |LEFT JOIN (SELECT n_nationkey, min(n_name) AS v FROM nation
+        |           WHERE n_regionkey = 1
+        |           GROUP BY n_nationkey) n1 ON c.c_nationkey = n1.n_nationkey""".stripMargin,
+
+    "q_sql_function" ->
+      """SELECT c_custkey AS cust_id, upper(c_name) AS name_up,
+        |       CAST(length(c_name) AS BIGINT) AS name_len FROM customer""".stripMargin,
+
+    "q_sql_raw" ->
+      """SELECT o_orderkey, o_totalprice * CAST(0.9 AS DOUBLE) AS discounted
+        |FROM orders""".stripMargin,
+
+    "q_raw_value" ->
+      """SELECT c_custkey AS cust_id, 'Users' AS role_nm,
+        |       CAST(NULL AS VARCHAR) AS cleared FROM customer""".stripMargin,
+
+    "q_source_filter" ->
+      """SELECT l_orderkey AS okey, l_quantity AS qty, l_discount AS disc
+        |FROM lineitem WHERE l_discount > 0.05 AND l_quantity < 25""".stripMargin,
+
+    "q_force_distinct" ->
+      """SELECT DISTINCT o_orderstatus AS status, o_orderpriority AS priority
+        |FROM orders""".stripMargin,
+
+    "q_kill_where_insert" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 3 = 0 AND NOT (o_orderstatus = 'F')
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 5 = 0)""".stripMargin,
+
+    "q_multi_pass" -> (mergeOracleCte +
+      """
+        |SELECT COALESCE(s.o_orderkey, d.o_orderkey) AS o_orderkey,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+        |            ELSE d.o_orderstatus END AS o_orderstatus,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+        |            ELSE d.o_totalprice END AS o_totalprice
+        |FROM d FULL OUTER JOIN s ON d.o_orderkey = s.o_orderkey""".stripMargin),
+  )
 }

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** TableMapping → DataFrame compiler (the Spark analogue of the reference's
+  * `processConfig`, `/root/reference/tsql2008.js:177-250`).
+  *
+  * Dataflow per table (matches the verified shape of the generated SQL):
+  *
+  * {{{
+  *   src → filter(sourceFilter)               // WHERE inside USING subquery
+  *       → [ distinct | groupBy(keys).agg ]   // SELECT DISTINCT * | GROUP BY
+  *       → fk broadcast joins                 // replaces per-row lookup UDFs
+  *       → select(transformed columns)        // outer scalar transforms
+  * }}}
+  *
+  * Everything stays declarative — Catalyst handles pushdown, pruning and
+  * join strategy; at 100 TB the same plan holds because the only shuffles
+  * are the (necessary) groupBy/distinct, and all FK dims broadcast.
+  */
+object Compiler {
+
+  /** GROUP BY keys inferred from provenance: every source column referenced
+    * by a non-aggregated mapper, deduped in first-appearance order
+    * (`tsql2008.js:216-231`).
+    */
+  def inferredGroupKeys(tm: TableMapping): Seq[String] = {
+    val keys = tm.columns.flatMap { case (_, m) =>
+      if (m.aggregate.isEmpty) m.sourceColumns else Seq.empty
+    }
+    keys.distinct
+  }
+
+  /** Aggregate exprs: `agg(col) AS col` for every AggregateColumn
+    * (`tsql2008.js:235-238`) — the alias-back-to-source-name trick lets the
+    * outer transform read the aggregated value under its original name.
+    */
+  def inferredAggs(tm: TableMapping): Seq[Column] =
+    tm.columns.collect {
+      case (_, m) if m.aggregate.isDefined =>
+        val src = m.sourceColumns.head
+        expr(s"${m.aggregate.get}(`$src`)").alias(src)
+    }
+
+  /** All distinct FK lookup specs in mapping order — the reference's
+    * registration-time dedup (`mappr.js:291-294`) as a pure collection.
+    */
+  def fkSpecs(tm: TableMapping): Seq[FkSpec] =
+    tm.columns.flatMap(_._2.fkSpecs).distinct
+
+  /** Build the deduplicated lookup dimension for one FK spec: parent
+    * projected to (importColumn, parentColumn), optional constant filter
+    * pushed down, and `min(parentColumn)` per key for deterministic
+    * first-match (the reference keeps an arbitrary duplicate; SURVEY §7.3
+    * fixes this by spec). Result is key-unique and tiny → broadcast.
+    */
+  def fkDim(parent: DataFrame, spec: FkSpec, alias: String): DataFrame = {
+    val filtered = (spec.filterColumn, spec.filterValue) match {
+      case (Some(fc), fv) => parent.filter(col(fc) === lit(fv.orNull))
+      case _              => parent
+    }
+    filtered
+      .groupBy(col(spec.importColumn).alias(s"${alias}_key"))
+      .agg(min(col(spec.parentColumn)).alias(alias))
+  }
+
+  /** Compile the full transformed source projection for a mapping.
+    *
+    * @param src      the source relation (already read)
+    * @param readDest reader for FK parent tables — parents live in the
+    *                 *destination* catalog (`mappr.js:370-380` lookups query
+    *                 dest-side tables)
+    */
+  def transformedSource(
+      src: DataFrame,
+      tm: TableMapping,
+      readDest: String => DataFrame): DataFrame = {
+
+    // WHERE before grouping/merge (tsql2008.js:279-281, 336-338)
+    val filtered = tm.sourceFilter.fold(src)(f => src.filter(expr(f)))
+
+    // SELECT DISTINCT * (tsql2008.js:265-267) | GROUP BY inference (§2.5)
+    val shaped =
+      if (tm.useGrouping) {
+        val keys = inferredGroupKeys(tm)
+        val aggs = inferredAggs(tm)
+        if (aggs.nonEmpty)
+          filtered.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        else // keys only — GROUP BY with no aggregates ≡ DISTINCT keys
+          filtered.select(keys.map(col): _*).distinct()
+      } else if (tm.forceDistinct) filtered.distinct()
+      else filtered
+
+    // FK lookups → broadcast left-outer joins, one per distinct spec
+    val specs = fkSpecs(tm)
+    val aliases = specs.zipWithIndex.map { case (s, i) => s -> s"__fk_$i" }.toMap
+    val joined = specs.foldLeft(shaped) { (df, spec) =>
+      val a = aliases(spec)
+      val dim = fkDim(readDest(spec.parentTable), spec, a)
+      df.join(broadcast(dim), df(spec.importKeySource(tm)) === dim(s"${a}_key"), "left")
+        .drop(s"${a}_key")
+    }
+
+    val ctx = CompileCtx(aliases)
+    joined.select(tm.columns.map { case (d, m) => m.toColumn(ctx).alias(d) }: _*)
+  }
+
+  private implicit class FkSpecOps(private val spec: FkSpec) extends AnyVal {
+    /** The source-side column the lookup keys on: the mapper's sourceColumn. */
+    def importKeySource(tm: TableMapping): String =
+      tm.columns.collectFirst {
+        case (_, fk: ForeignKey) if fk.spec == spec => fk.sourceColumn
+      }.getOrElse(throw new IllegalStateException(s"orphan FkSpec $spec"))
+  }
+}

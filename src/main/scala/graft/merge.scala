@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MERGE upsert — the reference's flagship operator (`migrateWithMerge`,
+  * `/root/reference/tsql2008.js:252-317`), re-expressed as a full-outer-join
+  * recompute of the destination state:
+  *
+  *   - matched (source ⋈ dest on merge keys) → dest row takes the
+  *     transformed source values, except `mergePk` which keeps the dest
+  *     value (`tsql2008.js:296-299` excludes mergePk from UPDATE SET);
+  *   - not matched by dest → INSERT the transformed source row;
+  *   - not matched by source → dest row untouched;
+  *   - `insertOnly` suppresses the UPDATE arm (`tsql2008.js:304-308`),
+  *     `updateOnly` suppresses the INSERT arm (`310-314`);
+  *   - `_action` column = the reference's `OUTPUT $action, Inserted.*`
+  *     changelog (`tsql2008.js:316`): INSERT | UPDATE | NULL (untouched).
+  *
+  * T-SQL MERGE raises if one dest row matches >1 source rows, so the source
+  * must be key-unique; we document the same precondition (callers can use
+  * `forceDistinct`/`useGrouping` to establish it, as the reference does).
+  *
+  * Scale: a shuffle on the merge keys for both sides — the minimal possible
+  * plan for a general upsert. At 100 TB this is a Delta/Iceberg `MERGE INTO`
+  * with dest partitioned/z-ordered by the merge key so AQE prunes untouched
+  * files; the join recompute here is the parquet-testable equivalent
+  * (SURVEY §7.3). When the source is small relative to dest, Spark's planner
+  * broadcasts it automatically (full-outer cannot broadcast, but the
+  * insertOnly/updateOnly arms compile to anti/semi joins which can).
+  */
+object Merge {
+
+  final val ActionCol = "_action"
+
+  private final val SP = "__s_present"
+  private final val DP = "__d_present"
+
+  /** Join condition over dest vs the *transformed* source (whose merge-key
+    * columns already hold the values that would be inserted): equi on column
+    * keys, constant-compare / IS NULL on constant keys — exactly the
+    * reference's `ON D.[d] = S.[s] / = 'x' / IS NULL` conjunction
+    * (`tsql2008.js:196-209, 292`).
+    */
+  private def joinCond(dest: DataFrame, src: DataFrame, tm: TableMapping): Column =
+    tm.mergeKeys.map {
+      case (d, MergeOnColumn(_))            => dest(d) === src(d)
+      case (d, MergeOnConstant(Some(v)))    => dest(d) === lit(v)
+      case (d, MergeOnConstant(None))       => dest(d).isNull
+    }.reduce(_ && _)
+
+  /** Apply the upsert; returns the new destination state with an `_action`
+    * audit column appended (drop it with `.drop(Merge.ActionCol)` when
+    * persisting dest).
+    */
+  def apply(dest: DataFrame, transformedSrc: DataFrame, tm: TableMapping): DataFrame = {
+    require(tm.mergeKeys.nonEmpty, s"${tm.destination}: useMerge requires MergeOn keys")
+
+    val d = dest.withColumn(DP, lit(1))
+    val s = transformedSrc.withColumn(SP, lit(1))
+
+    val joined = d.join(s, joinCond(d, s, tm), "full_outer")
+
+    val matched  = d(DP).isNotNull && s(SP).isNotNull
+    val inserted = d(DP).isNull
+
+    val outCols = tm.destColumns.map { c =>
+      val keepDestWhenMatched =
+        tm.insertOnly || tm.mergePk.contains(c)
+      val updatedValue = if (keepDestWhenMatched) d(c) else s(c)
+      when(matched, updatedValue)
+        .when(inserted, s(c))
+        .otherwise(d(c))
+        .alias(c)
+    }
+
+    val action =
+      when(matched && !lit(tm.insertOnly), lit("UPDATE"))
+        .when(inserted && !lit(tm.updateOnly), lit("INSERT"))
+        .otherwise(lit(null))
+        .alias(ActionCol)
+
+    val result = joined.select(
+      outCols ++ Seq(action, d(DP).alias(DP)): _*)
+    // updateOnly: unmatched source rows are not inserted (tsql2008.js:310-314)
+    val kept =
+      if (tm.updateOnly) result.filter(col(DP).isNotNull) else result
+    kept.drop(DP)
+  }
+}

@@ -1,0 +1,303 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataType
+
+/** Column-expression operator ADT — the Spark re-expression of the
+  * reference's 15 `Mappr` operators (`/root/reference/mappr.js:118-394`).
+  *
+  * Each reference operator is a thunk producing a T-SQL scalar-expression
+  * string plus provenance options (`isColumn`/`isColumns`/`aggregate`) that
+  * feed GROUP BY inference (`/root/reference/tsql2008.js:216-238`). Here the
+  * same contract is a pure ADT: `toColumn` produces a Catalyst `Column`
+  * (whole-stage-codegen friendly — builtins only, no UDFs), and
+  * `sourceColumns` / `aggregate` carry the provenance.
+  */
+sealed trait ColumnMapper {
+
+  /** Source columns this mapper reads. Under `useGrouping` every
+    * non-aggregated source column becomes a GROUP BY key
+    * (`/root/reference/tsql2008.js:218-231`).
+    */
+  def sourceColumns: Seq[String] = Seq.empty
+
+  /** Aggregate function name (SUM/MAX/...) when this column is aggregated
+    * under `useGrouping` (`/root/reference/mappr.js:134-142`).
+    */
+  def aggregate: Option[String] = None
+
+  /** FK lookups required by this mapper (empty for scalar ops). */
+  def fkSpecs: Seq[FkSpec] = Seq.empty
+
+  /** Compile to a Spark Column over the (possibly pre-aggregated,
+    * fk-joined) source relation.
+    */
+  def toColumn(ctx: CompileCtx): Column
+}
+
+/** Compile-time context: resolved alias for each FK lookup spec. */
+final case class CompileCtx(fkAlias: Map[FkSpec, String] = Map.empty)
+
+object CompileCtx { val empty: CompileCtx = CompileCtx() }
+
+// ---------------------------------------------------------------------------
+// Scalar operators (SURVEY §2.1)
+// ---------------------------------------------------------------------------
+
+/** #1 `DirectCopy` (`mappr.js:247-261`): column reference/rename. */
+final case class DirectCopy(source: String) extends ColumnMapper {
+  override def sourceColumns: Seq[String] = Seq(source)
+  def toColumn(ctx: CompileCtx): Column = col(source)
+}
+
+/** #2 `CastAs` (`mappr.js:120-133`): CAST(inner AS type). Wraps any mapper;
+  * the reference only ever wraps a column reference.
+  */
+final case class CastAs(inner: ColumnMapper, to: DataType) extends ColumnMapper {
+  override def sourceColumns: Seq[String] = inner.sourceColumns
+  override def fkSpecs: Seq[FkSpec] = inner.fkSpecs
+  def toColumn(ctx: CompileCtx): Column = inner.toColumn(ctx).cast(to)
+}
+object CastAs {
+  def apply(source: String, to: DataType): CastAs = CastAs(DirectCopy(source), to)
+}
+
+/** #3 `AggregateColumn` (`mappr.js:134-142`): marks a source column for
+  * aggregation under `useGrouping`. The aggregation itself is applied by the
+  * table compiler (inner grouped relation aliases `agg(col) AS col`,
+  * `tsql2008.js:235-238`); this mapper then reads the alias — exactly the
+  * reference's inner-SELECT/outer-ref split.
+  */
+final case class AggregateColumn(source: String, agg: String) extends ColumnMapper {
+  override def sourceColumns: Seq[String] = Seq(source)
+  override def aggregate: Option[String] = Some(agg)
+  def toColumn(ctx: CompileCtx): Column = col(source)
+}
+
+/** #4 `CaseMap` (`mappr.js:143-166`): literal value→value decode with a
+  * default — the reference emits a right-nested CASE chain, observationally
+  * identical to chained `when(...).otherwise(default)`.
+  */
+final case class CaseMap(source: String, cases: Seq[(Any, Any)], default: Any)
+    extends ColumnMapper {
+  override def sourceColumns: Seq[String] = Seq(source)
+  def toColumn(ctx: CompileCtx): Column = {
+    val c = col(source)
+    cases
+      .foldLeft(Option.empty[Column]) { case (acc, (k, v)) =>
+        val branch = (c === lit(k), lit(v))
+        Some(acc.fold(when(branch._1, branch._2))(_.when(branch._1, branch._2)))
+      }
+      .fold(lit(default))(_.otherwise(lit(default)))
+  }
+}
+
+/** #6 `InvertBit` (`mappr.js:191-202`): CASE WHEN c=1 THEN 0 ELSE 1 END.
+  * NB: NULL maps to 1 (not NULL) — this is not a boolean NOT.
+  */
+final case class InvertBit(source: String) extends ColumnMapper {
+  override def sourceColumns: Seq[String] = Seq(source)
+  def toColumn(ctx: CompileCtx): Column =
+    when(col(source) === lit(1), lit(0)).otherwise(lit(1))
+}
+
+/** #7 `TruncateString` (`mappr.js:203-215`): RTRIM(LEFT(c, n)), empty → NULL.
+  * T-SQL `LEN` ignores trailing spaces, so an all-space input also becomes
+  * NULL — the inner RTRIM already normalizes that here, making
+  * `nullif(rtrim(substr), '')` an exact re-expression.
+  */
+final case class TruncateString(source: String, length: Int) extends ColumnMapper {
+  override def sourceColumns: Seq[String] = Seq(source)
+  def toColumn(ctx: CompileCtx): Column =
+    nullif(rtrim(substring(col(source), 1, length)), lit(""))
+}
+
+/** #8 `ConcatColumns` (`mappr.js:216-235`): NULL-safe concat with spacer and
+  * outer both-side trim. NB: deliberately NOT `concat_ws` — an interior NULL
+  * still contributes its spacer (double spacer); only leading/trailing
+  * spacer-adjacent whitespace is trimmed (reference RTRIM(LTRIM(...))).
+  */
+final case class ConcatColumns(columns: Seq[String], spacer: String = " ")
+    extends ColumnMapper {
+  override def sourceColumns: Seq[String] = columns
+  def toColumn(ctx: CompileCtx): Column = {
+    val parts = columns.map(c => coalesce(col(c), lit("")))
+    val joined = parts.tail.foldLeft(parts.head)((acc, p) =>
+      concat(acc, lit(spacer), p))
+    trim(joined)
+  }
+}
+
+/** #9 `StaticHash` (`mappr.js:236-246`): generation-time hash of a static
+  * value emitted as a literal (default sha512/base64). Computed driver-side
+  * in Scala, exactly as the reference computes it in Node at codegen time.
+  */
+final case class StaticHash(value: String, algorithm: String = "SHA-512")
+    extends ColumnMapper {
+  def hashed: String = StaticHash.hash(value, algorithm)
+  def toColumn(ctx: CompileCtx): Column = lit(hashed)
+}
+object StaticHash {
+  def hash(value: String, algorithm: String = "SHA-512"): String = {
+    val d = java.security.MessageDigest
+      .getInstance(algorithm)
+      .digest(value.getBytes("UTF-8"))
+    java.util.Base64.getEncoder.encodeToString(d)
+  }
+}
+
+/** #10 `CopyOrDefault` (`mappr.js:271-282`): empty-or-null → default literal.
+  * T-SQL `LEN` ignores trailing spaces, so all-space input also defaults;
+  * re-expressed as `length(rtrim(c)) = 0 OR c IS NULL`.
+  */
+final case class CopyOrDefault(source: String, default: Any) extends ColumnMapper {
+  override def sourceColumns: Seq[String] = Seq(source)
+  def toColumn(ctx: CompileCtx): Column = {
+    val c = col(source)
+    when(c.isNull || length(rtrim(c)) === lit(0), lit(default)).otherwise(c)
+  }
+}
+
+/** #11 `CopyOrClear` (`mappr.js:262-270`): pure alias for CopyOrDefault with
+  * an empty-string default (the reference delegates, `mappr.js:268`).
+  */
+object CopyOrClear {
+  def apply(source: String): CopyOrDefault = CopyOrDefault(source, "")
+}
+
+/** FK lookup spec — identity of one generated lookup function in the
+  * reference (`mappr.js:96-105` name = parent/parentColumn/importColumn
+  * [+filter]); dedup key for the broadcast-dim cache.
+  */
+final case class FkSpec(
+    parentTable: String,
+    parentColumn: String,
+    importColumn: String,
+    filterColumn: Option[String] = None,
+    filterValue: Option[Any] = None,
+)
+
+/** #12 `ForeignKey` (`mappr.js:283-307`, codegen `363-384`): surrogate-key
+  * remap via lookup into a destination parent table. The reference compiles
+  * this to a per-row scalar UDF (RBAR — its known perf trap); here it becomes
+  * a broadcast left-outer equi-join against the parent projected to
+  * `(importColumn, parentColumn)`, deduplicated to key-uniqueness with
+  * `min(parentColumn)` (the reference keeps an arbitrary match; we fix
+  * determinism by spec — SURVEY §7.3). No match → NULL, as the reference.
+  */
+final case class ForeignKey(sourceColumn: String, spec: FkSpec) extends ColumnMapper {
+  override def sourceColumns: Seq[String] = Seq(sourceColumn)
+  override def fkSpecs: Seq[FkSpec] = Seq(spec)
+  def toColumn(ctx: CompileCtx): Column = col(ctx.fkAlias(spec))
+}
+
+/** Argument of #13 `SqlFunction`: column reference or raw literal
+  * (`mappr.js:34-42`: quoted-literal args vs column args).
+  */
+sealed trait FnArg
+final case class ColArg(source: String) extends FnArg
+final case class RawArg(value: Any) extends FnArg
+
+/** #13 `SqlFunction` (`mappr.js:308-329`): scalar function call with mixed
+  * column/literal args. Compiles to `call_function` — resolves builtins and
+  * session-registered UDFs alike.
+  */
+final case class SqlFunction(name: String, args: Seq[FnArg]) extends ColumnMapper {
+  override def sourceColumns: Seq[String] =
+    args.collect { case ColArg(s) => s }
+  def toColumn(ctx: CompileCtx): Column =
+    call_function(
+      name,
+      args.map {
+        case ColArg(s)   => col(s)
+        case RawArg(v)   => lit(v)
+      }: _*)
+}
+
+/** #14 `Sql` (`mappr.js:330-351`): raw SQL expression passthrough (escape
+  * hatch) in Spark SQL dialect, optionally carrying column provenance so
+  * GROUP BY inference still works.
+  */
+final case class Sql(sql: String, columns: Seq[String] = Seq.empty)
+    extends ColumnMapper {
+  override def sourceColumns: Seq[String] = columns
+  def toColumn(ctx: CompileCtx): Column = expr(sql)
+}
+
+/** #15 `RawValue` (`mappr.js:352-362`): literal, or NULL for None/null. */
+final case class RawValue(value: Option[Any]) extends ColumnMapper {
+  def toColumn(ctx: CompileCtx): Column =
+    value.fold(lit(null))(v => lit(v))
+}
+object RawValue {
+  def apply(value: Any): RawValue =
+    RawValue(Option(value))
+  val Null: RawValue = RawValue(None)
+}
+
+/** #5 `MergeOn` (`mappr.js:167-190`): declares a merge join key; the mapped
+  * value is also inserted. Three reference forms: source column
+  * (`ON D.[d]=S.[s]`), constant (`ON D.[d]='X'`), explicit NULL
+  * (`ON D.[d] IS NULL`).
+  */
+sealed trait MergeOn extends ColumnMapper
+
+/** `MergeOn('col')` — equi-key on a source column. */
+final case class MergeOnColumn(source: String) extends MergeOn {
+  override def sourceColumns: Seq[String] = Seq(source)
+  def toColumn(ctx: CompileCtx): Column = col(source)
+}
+
+/** `MergeOn({value: x})` — constant key; `None` is the reference's
+  * `{value: null}` form (`ON D.[d] IS NULL`, inserts NULL).
+  */
+final case class MergeOnConstant(value: Option[Any]) extends MergeOn {
+  def toColumn(ctx: CompileCtx): Column = value.fold(lit(null))(v => lit(v))
+}
+
+object MergeOn {
+  def apply(source: String): MergeOnColumn = MergeOnColumn(source)
+  def constant(value: Any): MergeOnConstant = MergeOnConstant(Option(value))
+  val Null: MergeOnConstant = MergeOnConstant(None)
+}
+
+// ---------------------------------------------------------------------------
+// Table-level mapping (SURVEY §1.1, §2.2-2.5, §2.10)
+// ---------------------------------------------------------------------------
+
+/** One table job — the Spark analogue of the reference's table-mapping object
+  * (schema doc `/root/reference/mappr.js:10-47`, consumed
+  * `tsql2008.js:162-343`). `columns` is ordered: dest column order is the
+  * reference's JS-object insertion order made explicit (SURVEY §7.3).
+  */
+final case class TableMapping(
+    destination: String,
+    source: String,
+    columns: Seq[(String, ColumnMapper)],
+    useMerge: Boolean = false,
+    truncate: Boolean = false,
+    killWhere: Option[String] = None,
+    sourceFilter: Option[String] = None,
+    useGrouping: Boolean = false,
+    forceDistinct: Boolean = false,
+    insertOnly: Boolean = false,
+    updateOnly: Boolean = false,
+    mergePk: Option[String] = None,
+    message: Option[String] = None,
+) {
+  def destColumns: Seq[String] = columns.map(_._1)
+
+  /** Merge keys: every column mapped with a `MergeOn` form. */
+  def mergeKeys: Seq[(String, MergeOn)] =
+    columns.collect { case (d, m: MergeOn) => (d, m) }
+}
+
+/** Pipeline = ordered table mappings + run modes — the reference Config
+  * (`mappr.js:63-78`; passes `tsql2008.js:347-356`; dry-run `64-71`).
+  */
+final case class Pipeline(
+    mappings: Seq[TableMapping],
+    passes: Int = 1,
+    dryRun: Boolean = false,
+)

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Source/destination catalogs — the reference's source and destination
+  * databases (`/root/reference/mappr.js:66-69`). The destination is stateful:
+  * merge tables accumulate across tables, passes, and FK lookups read
+  * earlier tables' results (`mappr.js:370-380` lookups target dest).
+  */
+trait Catalog {
+  def read(name: String): DataFrame
+  def write(name: String, df: DataFrame): Unit
+  def exists(name: String): Boolean
+}
+
+/** In-memory destination state — used by tests and dry-runs; the production
+  * analogue is a Delta/Iceberg catalog.
+  */
+final class InMemoryCatalog(
+    initial: Map[String, DataFrame] = Map.empty) extends Catalog {
+  private val tables = mutable.LinkedHashMap[String, DataFrame](initial.toSeq: _*)
+  def read(name: String): DataFrame =
+    tables.getOrElse(name, throw new NoSuchElementException(s"table $name"))
+  def write(name: String, df: DataFrame): Unit = tables(name) = df
+  def exists(name: String): Boolean = tables.contains(name)
+  def snapshot: Map[String, DataFrame] = tables.toMap
+}
+
+/** Parquet-directory catalog: `<dir>/<table>.parquet` — the driver testdata
+  * contract (TESTDATA.md).
+  */
+final class ParquetCatalog(spark: SparkSession, dir: String) extends Catalog {
+  def read(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+  def write(name: String, df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+  def exists(name: String): Boolean =
+    new java.io.File(s"$dir/$name.parquet").exists()
+}
+
+/** Ordered pipeline execution — the reference's `GenerateSql` lifecycle
+  * (`/root/reference/tsql2008.js:29-160, 347-356`) with SQL Server replaced
+  * by Spark actions:
+  *
+  *   1. cleanup in REVERSE table order ("delete things in reverse order",
+  *      `tsql2008.js:79-80`): TRUNCATE (`85-93`) or DELETE killWhere
+  *      (`95-103`) — both skipped for merge tables, which keep their state
+  *      (the reference comments those statements out, `sqlComment(cmd,
+  *      !tbl.useMerge)`, `tsql2008.js:24-27, 88-89`);
+  *   2. per pass × per table in registration order: compile source →
+  *      merge-upsert or insert-append into dest;
+  *   3. `passes` re-runs the whole list (`tsql2008.js:347-356`) — pass 2 is
+  *      the reference's idempotence check (all-UPDATE fixpoint,
+  *      `etl.js:28-29`);
+  *   4. dry-run (`sqlTest`, `tsql2008.js:64-71, 147-154`): execute
+  *      everything, persist nothing — here: run against a copy-on-write
+  *      overlay catalog and return results without touching `dest`.
+  */
+final class PipelineRunner(source: Catalog, dest: Catalog) {
+
+  /** Audit log: per (pass, table), the merged frame incl. `_action`. */
+  private val audits = mutable.ArrayBuffer.empty[(Int, String, DataFrame)]
+  def auditLog: Seq[(Int, String, DataFrame)] = audits.toSeq
+
+  def run(p: Pipeline): Unit = {
+    val target: Catalog =
+      if (p.dryRun) new OverlayCatalog(dest) else dest
+
+    cleanup(p, target)
+    for (pass <- 1 to p.passes; tm <- p.mappings) runTable(tm, target, pass)
+  }
+
+  private def cleanup(p: Pipeline, target: Catalog): Unit =
+    // reverse order for FK safety; merge tables keep their state
+    p.mappings.reverse.filterNot(_.useMerge).foreach { tm =>
+      if (tm.truncate && tm.killWhere.isEmpty && target.exists(tm.destination))
+        target.write(tm.destination, target.read(tm.destination).limit(0))
+      else if (tm.killWhere.isDefined && !tm.truncate && target.exists(tm.destination))
+        target.write(
+          tm.destination,
+          target.read(tm.destination)
+            .filter(!coalesce(expr(tm.killWhere.get), lit(false))))
+    }
+
+  private def runTable(tm: TableMapping, target: Catalog, pass: Int): Unit = {
+    val src = Compiler.transformedSource(source.read(tm.source), tm, target.read)
+    if (tm.useMerge) {
+      val destDf = target.read(tm.destination)
+      val merged = Merge(destDf, src, tm)
+      audits += ((pass, tm.destination, merged))
+      target.write(tm.destination, merged.drop(Merge.ActionCol))
+    } else {
+      // INSERT…SELECT append (tsql2008.js:319-343) — evident-intent form:
+      // the reference's insert+distinct/grouping paths emit invalid SQL
+      // (SURVEY §2.5 verified bugs); we implement the intended dataflow.
+      val appended =
+        if (target.exists(tm.destination))
+          target.read(tm.destination).unionByName(src)
+        else src
+      target.write(tm.destination, appended)
+    }
+  }
+}
+
+/** Copy-on-write overlay for dry-runs: reads fall through, writes stay local. */
+private final class OverlayCatalog(base: Catalog) extends Catalog {
+  private val local = mutable.Map.empty[String, DataFrame]
+  def read(name: String): DataFrame =
+    local.getOrElse(name, base.read(name))
+  def write(name: String, df: DataFrame): Unit = local(name) = df
+  def exists(name: String): Boolean = local.contains(name) || base.exists(name)
+}

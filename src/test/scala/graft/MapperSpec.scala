@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-operator semantics, incl. the null/empty edge cases called out in
+  * SURVEY §2.1 notes (reference quirks verified against
+  * /root/reference/mappr.js).
+  */
+class MapperSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(tm: TableMapping, src: org.apache.spark.sql.DataFrame) =
+    Compiler.transformedSource(src, tm, _ => fail("no dest read expected"))
+
+  test("DirectCopy renames") {
+    val src = Seq((1, "a")).toDF("x", "y")
+    val out = one(TableMapping("t", "s", Seq("a" -> DirectCopy("x"))), src)
+    assert(out.columns.toSeq == Seq("a"))
+    assert(out.collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
+  test("CastAs casts (string→int, double→long truncates)") {
+    val src = Seq(("42", 9.9)).toDF("s", "d")
+    val out = one(TableMapping("t", "s", Seq(
+      "i" -> CastAs("s", IntegerType),
+      "l" -> CastAs("d", LongType))), src)
+    val r = out.collect().head
+    assert(r.getInt(0) == 42 && r.getLong(1) == 9L)
+  }
+
+  test("CaseMap decodes with default (right-nested CASE ≡ chained when)") {
+    val src = Seq("A", "B", "Z", null).toDF("c")
+    val out = one(TableMapping("t", "s", Seq(
+      "v" -> CaseMap("c", Seq("A" -> "1", "B" -> "2"), "0"))), src)
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("1", "2", "0", "0"))
+  }
+
+  test("InvertBit: 1→0, 0→1, NULL→1 (mappr.js:191-202 — not boolean NOT)") {
+    val src = Seq[Option[Int]](Some(1), Some(0), None).toDF("b")
+    val out = one(TableMapping("t", "s", Seq("v" -> InvertBit("b"))), src)
+    assert(out.collect().map(_.getInt(0)).toSeq == Seq(0, 1, 1))
+  }
+
+  test("TruncateString: rtrim(left(c,n)), empty→NULL, all-space→NULL") {
+    val src = Seq("abcdefgh", "ab      x", "   ", "", null).toDF("c")
+    val out = one(TableMapping("t", "s", Seq("v" -> TruncateString("c", 4))), src)
+    assert(out.collect().map(_.getString(0)).toSeq ==
+      Seq("abcd", "ab", null, null, null))
+  }
+
+  test("ConcatColumns: interior NULL keeps its spacer; outer trim only") {
+    val src = Seq(
+      ("First", Some("Mid"), "Last"),
+      ("First", None, "Last"),     // interior null → double spacer
+      (null, Some("Mid"), null),   // leading/trailing trimmed
+    ).toDF("f", "m", "l")
+    val out = one(TableMapping("t", "s", Seq(
+      "v" -> ConcatColumns(Seq("f", "m", "l"), " "))), src)
+    assert(out.collect().map(_.getString(0)).toSeq ==
+      Seq("First Mid Last", "First  Last", "Mid"))
+  }
+
+  test("StaticHash: generation-time sha512/base64 literal") {
+    // independently computed: echo -n graft | openssl dgst -sha512 -binary | base64
+    val expected = java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("SHA-512")
+        .digest("graft".getBytes("UTF-8")))
+    val src = Seq(1).toDF("x")
+    val out = one(TableMapping("t", "s", Seq("v" -> StaticHash("graft"))), src)
+    assert(out.collect().head.getString(0) == expected)
+    assert(StaticHash("graft").hashed == expected)
+  }
+
+  test("CopyOrDefault: null/empty/all-space → default (T-SQL LEN parity)") {
+    val src = Seq("keep", "", "   ", null).toDF("c")
+    val out = one(TableMapping("t", "s", Seq(
+      "v" -> CopyOrDefault("c", "D"))), src)
+    assert(out.collect().map(_.getString(0)).toSeq ==
+      Seq("keep", "D", "D", "D"))
+  }
+
+  test("CopyOrClear delegates with empty-string default (mappr.js:268)") {
+    val src = Seq("keep", null).toDF("c")
+    val out = one(TableMapping("t", "s", Seq("v" -> CopyOrClear("c"))), src)
+    assert(out.collect().map(_.getString(0)).toSeq == Seq("keep", ""))
+  }
+
+  test("RawValue: literal and NULL") {
+    val src = Seq(1).toDF("x")
+    val out = one(TableMapping("t", "s", Seq(
+      "a" -> RawValue("Users"),
+      "b" -> CastAs(RawValue.Null, StringType))), src)
+    val r = out.collect().head
+    assert(r.getString(0) == "Users" && r.isNullAt(1))
+  }
+
+  test("SqlFunction: column + raw literal args") {
+    val src = Seq(("ab", 2)).toDF("s", "n")
+    val out = one(TableMapping("t", "s", Seq(
+      "v" -> SqlFunction("repeat", Seq(ColArg("s"), RawArg(3))))), src)
+    assert(out.collect().head.getString(0) == "ababab")
+  }
+
+  test("Sql: raw expression with provenance") {
+    val src = Seq((2, 3)).toDF("a", "b")
+    val m = Sql("a * b + 1", Seq("a", "b"))
+    assert(m.sourceColumns == Seq("a", "b"))
+    val out = one(TableMapping("t", "s", Seq("v" -> m)), src)
+    assert(out.collect().head.getInt(0) == 7)
+  }
+
+  test("useGrouping: keys inferred from provenance, aggs aliased back") {
+    val src = Seq(("a", "x", 1.0), ("a", "x", 2.0), ("b", "y", 5.0))
+      .toDF("k1", "k2", "v")
+    val tm = TableMapping("t", "s", Seq(
+      "key1" -> DirectCopy("k1"),
+      "key2" -> DirectCopy("k2"),
+      "tot"  -> AggregateColumn("v", "SUM")), useGrouping = true)
+    assert(Compiler.inferredGroupKeys(tm) == Seq("k1", "k2"))
+    val out = one(tm, src).orderBy("key1").collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq(("a", "x", 3.0), ("b", "y", 5.0)))
+  }
+
+  test("useGrouping with no aggregates ≡ DISTINCT keys") {
+    val src = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+    val tm = TableMapping("t", "s", Seq("key" -> DirectCopy("k")),
+      useGrouping = true)
+    assert(one(tm, src).collect().map(_.getString(0)).sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("forceDistinct: SELECT DISTINCT * before transforms (tsql2008.js:265)") {
+    val src = Seq(("a", 1), ("a", 1), ("a", 2)).toDF("k", "v")
+    val tm = TableMapping("t", "s", Seq(
+      "key" -> DirectCopy("k"), "val" -> DirectCopy("v")), forceDistinct = true)
+    assert(one(tm, src).count() == 2)
+  }
+
+  test("sourceFilter applied before grouping") {
+    val src = Seq(("a", 1.0), ("a", 10.0), ("b", 2.0)).toDF("k", "v")
+    val tm = TableMapping("t", "s", Seq(
+      "key" -> DirectCopy("k"),
+      "tot" -> AggregateColumn("v", "SUM")),
+      useGrouping = true, sourceFilter = Some("v < 5"))
+    val out = one(tm, src).orderBy("key").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("a", 1.0), ("b", 2.0)))
+  }
+}

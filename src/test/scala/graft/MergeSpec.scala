@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MERGE upsert semantics + laws (SURVEY §2.4, §5). */
+class MergeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val tm = TableMapping(
+    "dest", "src", Seq(
+      "id" -> MergeOn("sid"),
+      "v"  -> DirectCopy("sv")),
+    useMerge = true)
+
+  private def destDf = Seq((1, "old1"), (2, "old2")).toDF("id", "v")
+  private def srcDf  = Seq((2, "new2"), (3, "new3")).toDF("sid", "sv")
+
+  private def src(tmx: TableMapping) =
+    Compiler.transformedSource(srcDf, tmx, _ => fail("no dest read"))
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getInt(0), r.getString(1),
+      Option(r.getString(2)).orNull)).sortBy(_._1).toSeq
+
+  test("upsert: matched UPDATE, unmatched INSERT, dest-only untouched") {
+    assert(rows(Merge(destDf, src(tm), tm)) == Seq(
+      (1, "old1", null),       // untouched, no action
+      (2, "new2", "UPDATE"),
+      (3, "new3", "INSERT")))
+  }
+
+  test("insertOnly: matched keeps dest values (tsql2008.js:304-308)") {
+    val t = tm.copy(insertOnly = true)
+    assert(rows(Merge(destDf, src(t), t)) == Seq(
+      (1, "old1", null),
+      (2, "old2", null),       // matched but not updated
+      (3, "new3", "INSERT")))
+  }
+
+  test("updateOnly: unmatched source dropped (tsql2008.js:310-314)") {
+    val t = tm.copy(updateOnly = true)
+    assert(rows(Merge(destDf, src(t), t)) == Seq(
+      (1, "old1", null),
+      (2, "new2", "UPDATE")))  // 3 not inserted
+  }
+
+  test("mergePk column not updated on match (tsql2008.js:296-299)") {
+    val t = tm.copy(mergePk = Some("v"))
+    assert(rows(Merge(destDf, src(t), t)) == Seq(
+      (1, "old1", null),
+      (2, "old2", "UPDATE"),   // action fires but pk col keeps dest value
+      (3, "new3", "INSERT")))
+  }
+
+  test("constant and NULL merge keys (mappr.js:167-190 three forms)") {
+    val d = Seq((1, "x", "a"), (2, null, "b"), (3, "other", "c"))
+      .toDF("id", "k", "v")
+    // ON D.id = S.sid AND D.k = 'x' — only dest row 1 is matchable
+    val t = TableMapping("dest", "src", Seq(
+      "id" -> MergeOn("sid"),
+      "k"  -> MergeOn.constant("x"),
+      "v"  -> DirectCopy("sv")), useMerge = true)
+    val s = Seq((1, "s1"), (9, "s9")).toDF("sid", "sv")
+    val out = Merge(d, Compiler.transformedSource(s, t, _ => fail()), t)
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getString(2),
+      r.getString(3))).toSeq == Seq(
+      (1, "x", "s1", "UPDATE"),
+      (2, null, "b", null),
+      (3, "other", "c", null),
+      (9, "x", "s9", "INSERT")))  // constant key value inserted
+
+    // NULL key form: ON D.k IS NULL
+    val tn = TableMapping("dest", "src", Seq(
+      "id" -> MergeOn("sid"),
+      "k"  -> MergeOn.Null,
+      "v"  -> DirectCopy("sv")), useMerge = true)
+    val outN = Merge(d, Compiler.transformedSource(s, tn, _ => fail()), tn)
+    val r2 = outN.filter(col("id") === 2).collect().head
+    assert(r2.getString(3) == null)    // id mismatch (2 vs 1,9) → untouched
+    val r1 = outN.filter(col("id") === 1 && col("_action").isNull).count()
+    assert(r1 == 1)                    // dest id=1 has k='x', not NULL → untouched
+    assert(outN.filter(col("_action") === "INSERT").count() == 2)
+  }
+
+  test("idempotence: merge(merge(d,s),s) ≡ merge(d,s), pass 2 all-UPDATE") {
+    val once = Merge(destDf, src(tm), tm).drop(Merge.ActionCol)
+    val twice = Merge(once, src(tm), tm)
+    assert(twice.filter(col(Merge.ActionCol) === "INSERT").count() == 0)
+    assert(rows(twice).map(r => (r._1, r._2)) ==
+      once.collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq)
+  }
+
+  test("totality law: |result| = |dest ∖ matched| + |src| (key-unique src)") {
+    val out = Merge(destDf, src(tm), tm)
+    assert(out.count() == 1 + 2) // dest-only {1} + src rows {2,3}
+  }
+
+  test("randomized merge law vs executable spec") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val dkeys = (1 to 20).filter(_ => rnd.nextBoolean())
+      val skeys = (1 to 20).filter(_ => rnd.nextBoolean())
+      val d = dkeys.map(k => (k, s"d$k")).toDF("id", "v")
+      val s = skeys.map(k => (k, s"s$k")).toDF("sid", "sv")
+      val out = Merge(d, Compiler.transformedSource(s, tm, _ => fail()), tm)
+        .drop(Merge.ActionCol)
+      val expect = (dkeys.toSet ++ skeys.toSet).toSeq.sorted.map { k =>
+        (k, if (skeys.contains(k)) s"s$k" else s"d$k")
+      }
+      assert(out.collect().map(r => (r.getInt(0), r.getString(1)))
+        .sortBy(_._1).toSeq == expect)
+    }
+  }
+}

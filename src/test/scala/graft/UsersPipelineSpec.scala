@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** End-to-end golden: the reference's own example pipeline (users +
+  * user_roles from etl_Users — /root/reference/mappings/users.js,
+  * mappings/user_roles.js) on the FIXTURES.md §B edge rows.
+  */
+class UsersPipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val ts = Timestamp.valueOf("2020-01-02 03:04:05")
+
+  // (UserID, Admin, Username, Password, FirstName, LastName, IsActive,
+  //  EMailAddress, AgentID, RegistrationDate, PinCode)
+  private def etlUsers = Seq(
+    (1, 1, "alice", "pw1", "Alice", "Smith", 1, "a@x.com", Some(10), ts, "1111"),
+    (2, 0, "bob",   "pw2", null,    "Jones", 0, "b@x.com", Some(11), ts, ""),
+    (3, 0, "carol", "pw3", "Carol", null,    1, "c@x.com", Some(99), ts, "  "), // FK no match
+    (4, 0, "dave",  "pw4", null,    null,    1, "d@x.com", Some(12), ts, null), // dup FK match
+    (5, 1, "erin",  "pw5", "Erin",  "Fox",   1, "e@x.com", None,     ts, "5555"),
+  ).toDF("UserID", "Admin", "Username", "Password", "FirstName", "LastName",
+    "IsActive", "EMailAddress", "AgentID", "RegistrationDate", "PinCode")
+    .withColumn("IsActive", when(col("UserID") === 4, lit(null)).otherwise(col("IsActive")))
+
+  // FK parent: AgentID 12 has two rows → deterministic min() match
+  private def individual = Seq(
+    ("guid-10", 10), ("guid-11", 11), ("guid-12b", 12), ("guid-12a", 12),
+  ).toDF("individual_id", "orig_agent_id")
+
+  /** mappings/users.js:8-44 re-expressed. */
+  private def usersTm(clearPasswords: Boolean) = TableMapping(
+    destination = "users",
+    source = "etl_Users",
+    useMerge = true,
+    killWhere = Some("orig_id IS NOT NULL"),
+    message = Some("migrating NON-DUPLICATE users"),
+    columns = Seq(
+      "orig_id"       -> MergeOn("UserID"),
+      "orig_admin"    -> DirectCopy("Admin"),
+      "user_id"       -> DirectCopy("Username"),
+      "password"      -> (if (clearPasswords) RawValue.Null: ColumnMapper
+                          else DirectCopy("Password")),
+      "user_nm"       -> ConcatColumns(Seq("FirstName", "LastName"), " "),
+      "attr_bits"     -> InvertBit("IsActive"),
+      "email_address" -> DirectCopy("EMailAddress"),
+      "user_guid"     -> ForeignKey("AgentID",
+        FkSpec("individual", "individual_id", "orig_agent_id")),
+      "first_name"    -> DirectCopy("FirstName"),
+      "last_name"     -> DirectCopy("LastName"),
+      "date_created"  -> DirectCopy("RegistrationDate"),
+      "pin_code"      -> DirectCopy("PinCode"),
+    ))
+
+  /** mappings/user_roles.js:7-28 re-expressed. */
+  private val rolesTm = TableMapping(
+    destination = "user_roles",
+    source = "etl_Users",
+    useMerge = true,
+    killWhere = Some("orig_user_id IS NOT NULL"),
+    columns = Seq(
+      "orig_user_id" -> MergeOn("UserID"),
+      "user_id"      -> DirectCopy("Username"),
+      "role_nm"      -> RawValue("Users"),
+    ))
+
+  private def emptyUsers = etlUsers.limit(0).sparkSession.createDataFrame(
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("orig_id", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("orig_admin", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("password", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("user_nm", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("attr_bits", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("email_address", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("user_guid", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("first_name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("last_name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("date_created", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("pin_code", org.apache.spark.sql.types.StringType),
+    )))
+
+  test("users pipeline end-to-end: transforms, FK, merge, 2-pass idempotence") {
+    val srcCat = new InMemoryCatalog(Map("etl_Users" -> etlUsers))
+    val destCat = new InMemoryCatalog(Map(
+      "users" -> emptyUsers,
+      "individual" -> individual,
+      "user_roles" -> Seq((99, "legacy", "Admins")).toDF(
+        "orig_user_id", "user_id", "role_nm"),
+    ))
+    val runner = new PipelineRunner(srcCat, destCat)
+    runner.run(Pipeline(Seq(usersTm(clearPasswords = true), rolesTm), passes = 2))
+
+    val users = destCat.read("users").orderBy("orig_id").collect()
+    assert(users.length == 5)
+    val byId = users.map(r => r.getInt(0) -> r).toMap
+
+    // ConcatColumns edge semantics
+    assert(byId(1).getAs[String]("user_nm") == "Alice Smith")
+    assert(byId(2).getAs[String]("user_nm") == "Jones")   // leading spacer trimmed
+    assert(byId(3).getAs[String]("user_nm") == "Carol")   // trailing trimmed
+    assert(byId(4).getAs[String]("user_nm") == "")        // both null → trimmed spacer
+
+    // InvertBit: active 1→0, inactive 0→1, NULL→1
+    assert(byId(1).getAs[Int]("attr_bits") == 0)
+    assert(byId(2).getAs[Int]("attr_bits") == 1)
+    assert(byId(4).getAs[Int]("attr_bits") == 1)          // IsActive NULL
+
+    // clearPasswords option → RawValue(null)
+    assert(users.forall(_.getAs[String]("password") == null))
+
+    // FK: match, no-match → NULL, duplicate → deterministic min
+    assert(byId(1).getAs[String]("user_guid") == "guid-10")
+    assert(byId(3).getAs[String]("user_guid") == null)     // AgentID 99 absent
+    assert(byId(4).getAs[String]("user_guid") == "guid-12a") // min of a/b
+
+    // user_roles merged; pre-existing unmatched dest row untouched (merge
+    // tables skip killWhere cleanup — tsql2008.js:88-89 comments it out)
+    val roles = destCat.read("user_roles").orderBy("orig_user_id").collect()
+    assert(roles.length == 6)
+    assert(roles.last.getAs[String]("role_nm") == "Admins")
+    assert(roles.take(5).forall(_.getAs[String]("role_nm") == "Users"))
+
+    // pass-2 fixpoint: audit of the second users pass is all-UPDATE
+    val secondPassAudit = runner.auditLog
+      .filter { case (pass, tbl, _) => pass == 2 && tbl == "users" }
+      .head._3
+    assert(secondPassAudit.filter(col(Merge.ActionCol) === "INSERT").count() == 0)
+    assert(secondPassAudit.filter(col(Merge.ActionCol) === "UPDATE").count() == 5)
+  }
+
+  test("clearPasswords=false keeps source passwords (mapArguments toggle)") {
+    val srcCat = new InMemoryCatalog(Map("etl_Users" -> etlUsers))
+    val destCat = new InMemoryCatalog(Map(
+      "users" -> emptyUsers, "individual" -> individual))
+    new PipelineRunner(srcCat, destCat)
+      .run(Pipeline(Seq(usersTm(clearPasswords = false))))
+    val pw = destCat.read("users").orderBy("orig_id")
+      .collect().map(_.getAs[String]("password")).toSeq
+    assert(pw == Seq("pw1", "pw2", "pw3", "pw4", "pw5"))
+  }
+
+  test("dry-run executes but persists nothing (sqlTest semantics)") {
+    val srcCat = new InMemoryCatalog(Map("etl_Users" -> etlUsers))
+    val destCat = new InMemoryCatalog(Map(
+      "users" -> emptyUsers, "individual" -> individual))
+    new PipelineRunner(srcCat, destCat)
+      .run(Pipeline(Seq(usersTm(true)), dryRun = true))
+    assert(destCat.read("users").count() == 0)
+  }
+
+  test("truncate + killWhere cleanup for non-merge tables, reverse order") {
+    val d1 = Seq((1, "F"), (2, "O")).toDF("k", "st")
+    val d2 = Seq((9, "x")).toDF("k", "v")
+    val srcCat = new InMemoryCatalog(Map("s" -> Seq((7, "O")).toDF("k", "st")))
+    val destCat = new InMemoryCatalog(Map("t1" -> d1, "t2" -> d2))
+    val tm1 = TableMapping("t1", "s", Seq(
+      "k" -> DirectCopy("k"), "st" -> DirectCopy("st")),
+      killWhere = Some("st = 'F'"))
+    val tm2 = TableMapping("t2", "s", Seq(
+      "k" -> DirectCopy("k"), "v" -> DirectCopy("st")), truncate = true)
+    new PipelineRunner(srcCat, destCat).run(Pipeline(Seq(tm1, tm2)))
+    // t1: killWhere removed (1,F); append added (7,O)
+    assert(destCat.read("t1").collect().map(r => (r.getInt(0), r.getString(1)))
+      .sortBy(_._1).toSeq == Seq((2, "O"), (7, "O")))
+    // t2: truncated then appended
+    assert(destCat.read("t2").collect().map(r => (r.getInt(0), r.getString(1)))
+      .toSeq == Seq((7, "O")))
+  }
+}

@@ -66,7 +66,10 @@ object SparkEntry {
 
   // --- the inventory ------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    refQueries ++ extQueries
+
+  private def refQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // §2.1 #1 DirectCopy — rename projection
     "q_direct_copy" -> ((s, dir) => mapped(s, dir, TableMapping(
@@ -267,6 +270,127 @@ object SparkEntry {
     },
   )
 
+  /** Events table reader: the driver testdata writes `ts` as parquet
+    * TIMESTAMP(NANOS), which vanilla Spark rejects — read nanos as long
+    * (micros derived with integer div; no double round-trip).
+    */
+  private def readEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+  }
+
+  // --- extension operators (SURVEY §2.11) --------------------------------
+
+  private def extQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // text analysis: token counting (whitespace + BPE-ish regex)
+    "q_text_tokens" -> ((s, dir) => read(s, dir, "documents").select(
+      col("doc_id"),
+      ext.TextOps.tokenCount(col("text")).alias("n_tokens"),
+      ext.TextOps.distinctTokenCount(col("text")).alias("n_distinct"),
+      ext.TextOps.bpeTokenCount("text").alias("n_bpe"))),
+
+    // text analysis: quality scoring (length/stopword/alpha ratios)
+    "q_text_quality" -> { (s, dir) =>
+      val d = read(s, dir, "documents")
+        .withColumn("t", ext.TextOps.tokens(col("text")))
+      d.select(col("doc_id") +:
+        ext.TextOps.qualityColumns(col("text"), "t")
+          .map { case (n, c) => c.alias(n) }: _*)
+    },
+
+    // text analysis: n-gram/stopword language ID heuristic
+    "q_text_langid" -> { (s, dir) =>
+      read(s, dir, "documents")
+        .withColumn("t", ext.TextOps.tokens(col("text")))
+        .select(col("doc_id"), ext.TextOps.langId("t").alias("lang_pred"))
+    },
+
+    // text analysis: content fingerprint (sorted distinct token sha256)
+    "q_text_fingerprint" -> ((s, dir) => read(s, dir, "documents").select(
+      col("doc_id"), ext.TextOps.fingerprint(col("text")).alias("fp"))),
+
+    // text analysis: native codegen rolling-hash expression (no oracle —
+    // hash definition is engine-internal; covered by unit test)
+    "q_rolling_hash" -> ((s, dir) => read(s, dir, "documents").select(
+      col("doc_id"), ext.TextOps.rollingHash(col("text")).alias("rhash"))),
+
+    // dedup: exact (hash-groupBy, min-id winner + dup count)
+    "q_dedup_exact" -> ((s, dir) =>
+      ext.Dedup.exact(read(s, dir, "documents"), "doc_id", Seq("text"))),
+
+    // dedup: exact keeping whole rows (window row_number)
+    "q_dedup_exact_rows" -> ((s, dir) =>
+      ext.Dedup.exactRows(read(s, dir, "documents"), "doc_id",
+        Seq("lang", "source"))),
+
+    // dedup: exact n-gram Jaccard near-dup pairs (shingle self-join)
+    "q_ngram_jaccard" -> ((s, dir) =>
+      ext.Dedup.ngramJaccardPairs(read(s, dir, "documents"),
+        "doc_id", "text", k = 3, threshold = 0.8)),
+
+    // dedup: MinHash+LSH near-dup (no oracle — xxhash64 is engine-
+    // internal; validated against q_ngram_jaccard in DedupSpec)
+    "q_minhash_neardup" -> ((s, dir) =>
+      ext.Dedup.minHashNearDupPairs(read(s, dir, "documents"),
+        "doc_id", "text", k = 3, numHashes = 64, bands = 16,
+        threshold = 0.7)),
+
+    // dedup: SimHash fingerprints (no oracle — engine-internal hash)
+    "q_simhash" -> ((s, dir) =>
+      ext.Dedup.simHash64(read(s, dir, "documents"), "doc_id", "text")),
+
+    // dedup: embedding-cosine near-dup pairs
+    "q_embed_neardup" -> ((s, dir) =>
+      ext.Dedup.embeddingNearDupPairs(read(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4)
+        .select(col("a_id"), col("b_id"),
+          round(col("cosine"), 4).alias("cosine"))),
+
+    // similarity: brute-force cosine top-k (exact baseline)
+    "q_knn_bruteforce" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      ext.Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    },
+
+    // similarity: sign-LSH approximate top-k (no oracle — recall vs brute
+    // force asserted in SimilaritySpec)
+    "q_knn_lsh" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      ext.Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, dim = 64, tables = 8, bitsPerTable = 6)
+    },
+
+    // events: tumbling-window aggregation (hour buckets, decimal-exact sum)
+    "q_events_tumbling" -> ((s, dir) => readEvents(s, dir)
+      .withColumn("hour_us", expr("ts_us - (ts_us % 3600000000)"))
+      .groupBy(col("hour_us"), col("event_type"))
+      .agg(count(lit(1)).alias("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        max(col("value")).alias("max_value"))),
+
+    // events: JSON property extraction (semi-structured props column)
+    "q_events_json" -> ((s, dir) => readEvents(s, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").alias("k_val"))),
+
+    // events: sessionization (30-min gap islands per user)
+    "q_events_sessionize" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      readEvents(s, dir)
+        .withColumn("prev", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull ||
+            col("ts_us") - col("prev") > lit(1800000000L), 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_s")).alias("n_sessions"),
+          count(lit(1)).alias("n_events"))
+    },
+  )
+
   def oracleSql: Map[String, String] = Map(
     "q_direct_copy" ->
       """SELECT c_custkey AS cust_id, c_name AS cust_name,
@@ -441,5 +565,134 @@ object SparkEntry {
         |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
         |            ELSE d.o_totalprice END AS o_totalprice
         |FROM d FULL OUTER JOIN s ON d.o_orderkey = s.o_orderkey""".stripMargin),
+
+    // --- extension oracles (SURVEY §2.11) --------------------------------
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe
+        |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+         |c AS (SELECT doc_id, text, t,
+         |        CAST(len(t) AS BIGINT) AS n_words,
+         |        CAST(len(list_filter(t, x -> x IN (${TextStopSql.en}))) AS BIGINT) AS hits
+         |      FROM d)
+         |SELECT doc_id, n_words,
+         |       CAST(length(text) AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_wlen,
+         |       CAST(hits AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
+         |       CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+         |         / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+         |       CAST(0.3 AS DOUBLE) * least(CAST(n_words AS DOUBLE) / CAST(50.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+         |         + CAST(0.4 AS DOUBLE) * (CAST(hits AS DOUBLE) / CAST(n_words AS DOUBLE))
+         |         + CAST(0.3 AS DOUBLE) * (CAST(length(regexp_replace(text, '[^a-z ]', '', 'g')) AS DOUBLE)
+         |             / CAST(length(text) AS DOUBLE)) AS score
+         |FROM c""".stripMargin,
+
+    "q_text_langid" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |h AS (SELECT doc_id,
+         |        len(list_filter(t, x -> x IN (${TextStopSql.en}))) AS h_en,
+         |        len(list_filter(t, x -> x IN (${TextStopSql.es}))) AS h_es,
+         |        len(list_filter(t, x -> x IN (${TextStopSql.fr}))) AS h_fr,
+         |        len(list_filter(t, x -> x IN (${TextStopSql.de}))) AS h_de
+         |      FROM d)
+         |SELECT doc_id,
+         |       CASE WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_de AND h_en > 0 THEN 'en'
+         |            WHEN h_es >= h_fr AND h_es >= h_de AND h_es > 0 THEN 'es'
+         |            WHEN h_fr >= h_de AND h_fr > 0 THEN 'fr'
+         |            WHEN h_de > 0 THEN 'de'
+         |            ELSE 'und' END AS lang_pred
+         |FROM h""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |       sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, text, COUNT(*) AS n_dups
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "q_dedup_exact_rows" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i.i:i.i+2], ' ') AS s
+        |       FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) i
+        |       WHERE i.i <= len(t) - 2),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ic
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |       CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN cnt ca ON ca.doc_id = a_id
+        |JOIN cnt cb ON cb.doc_id = b_id
+        |WHERE CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) >= 0.8""".stripMargin,
+
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+
+    "q_knn_bruteforce" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT * FROM n WHERE vec_id < 10),
+        |scored AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |                  round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS sim
+        |           FROM q JOIN n c ON c.vec_id <> q.vec_id),
+        |ranked AS (SELECT q_id, n_id, sim,
+        |                  CAST(row_number() OVER (PARTITION BY q_id
+        |                    ORDER BY sim DESC, n_id) AS INTEGER) AS rnk
+        |           FROM scored)
+        |SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    "q_events_tumbling" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, value
+        |           FROM events)
+        |SELECT ts_us - (ts_us % 3600000000) AS hour_us, event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       MAX(value) AS max_value
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    "q_events_json" ->
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events""".stripMargin,
+
+    "q_events_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |x AS (SELECT user_id, ts_us,
+        |             lag(ts_us) OVER (PARTITION BY user_id
+        |               ORDER BY ts_us, event_id) AS prev
+        |      FROM e)
+        |SELECT user_id,
+        |       CAST(SUM(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |       COUNT(*) AS n_events
+        |FROM x GROUP BY user_id""".stripMargin,
   )
+}
+
+/** Stopword IN-lists rendered for the DuckDB oracle SQL. */
+private object TextStopSql {
+  private def render(l: Seq[String]) = l.map(w => s"'$w'").mkString(", ")
+  val en = render(ext.TextOps.stopwords("en"))
+  val es = render(ext.TextOps.stopwords("es"))
+  val fr = render(ext.TextOps.stopwords("fr"))
+  val de = render(ext.TextOps.stopwords("de"))
 }

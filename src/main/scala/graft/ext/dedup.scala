@@ -1,0 +1,202 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines (SURVEY §2.11):
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *   - exact dedup is one hash-partitioned groupBy on the dedup key — the
+  *     minimum possible shuffle; keys are hashed first so the shuffle rows
+  *     are (hash, id), not full documents;
+  *   - near-dup never compares all pairs: LSH banding buckets candidates
+  *     so the self-join is per-(band, bucket), and hot shingles can be
+  *     dropped by document frequency (stop-shingle removal) to kill skew;
+  *   - signatures/fingerprints are fixed-width (64 longs / 1 long), so
+  *     candidate generation shuffles O(docs × bands) small rows.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------ exact
+
+  /** Exact dedup: keep the min-`idCol` row per distinct `keyCols` group.
+    * Returns (first id, keyCols..., n_dups). Hash-groupBy — one shuffle.
+    */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).alias(idCol), count(lit(1)).alias("n_dups"))
+      .select(col(idCol) +: keyCols.map(col) :+ col("n_dups"): _*)
+
+  /** Exact dedup keeping whole rows: `row_number() = 1` per key, ordered by
+    * `idCol` for determinism (window form — use when all columns must
+    * survive; the groupBy form shuffles less data).
+    */
+  def exactRows(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(col(idCol))))
+      .filter(col("__rn") === 1).drop("__rn")
+
+  // -------------------------------------------------------------- shingling
+
+  /** Distinct word-`k`-gram shingles, exploded to (id, shingle) rows. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol),
+        explode(shingleArray(textCol, k)).alias("shingle"))
+
+  /** Array of distinct word-k-gram shingles of a text column (by name). */
+  def shingleArray(textCol: String, k: Int): Column = {
+    val t = s"split(`$textCol`, ' ')"
+    when(expr(s"size($t)") >= k,
+      array_distinct(expr(
+        s"transform(sequence(0, size($t) - $k), " +
+          s"i -> concat_ws(' ', slice($t, i + 1, $k)))")))
+      .otherwise(expr("array()").cast("array<string>"))
+  }
+
+  // --------------------------------------------------------- n-gram Jaccard
+
+  /** Exact n-gram Jaccard near-dup pairs: explode distinct shingles,
+    * self-join on shingle, count intersections, Jaccard =
+    * |A∩B| / (|A|+|B|-|A∩B|). Emits (a_id, b_id, jaccard) for a_id < b_id,
+    * jaccard >= threshold.
+    *
+    * `maxShingleDf` drops shingles appearing in more than that many docs
+    * (stop-shingle removal) — the skew guard at scale; None = exact.
+    * At 100 TB this runs *after* LSH candidate generation (see
+    * [[minHashNearDupPairs]]), never standalone.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh0 = shingles(df, idCol, textCol, k)
+    val sh = maxShingleDf.fold(sh0) { cap =>
+      val hot = sh0.groupBy("shingle").agg(count(lit(1)).alias("df"))
+        .filter(col("df") > cap).select("shingle")
+      sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+    val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).alias("n"))
+    val a = sh.select(col(idCol).alias("a_id"), col("shingle"))
+    val b = sh.select(col(idCol).alias("b_id"), col("shingle"))
+    val inter = a.join(b, a("shingle") === b("shingle") && a("a_id") < b("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).alias("ic"))
+    inter
+      .join(cnt.select(col(idCol).alias("a_id"), col("n").alias("na")), "a_id")
+      .join(cnt.select(col(idCol).alias("b_id"), col("n").alias("nb")), "b_id")
+      .withColumn("jaccard",
+        col("ic").cast("double") / (col("na") + col("nb") - col("ic")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  // ------------------------------------------------------------ MinHash+LSH
+
+  /** MinHash signature: per doc, `numHashes` minima of seeded xxhash64 over
+    * its shingle set — one wide codegen'd aggregation (shingle → doc
+    * shuffle), signature as an array<long> column named `signature`.
+    */
+  def minHashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k)
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).alias(s"__h$i"))
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"__h$i")): _*).alias("signature"))
+  }
+
+  /** LSH banding: hash each of `bands` contiguous signature slices; docs
+    * sharing any (band, bucket) are candidates. rows = docs × bands.
+    */
+  def lshBuckets(sigs: DataFrame, idCol: String, bands: Int): DataFrame =
+    sigs.select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, $bands - 1), " +
+            s"b -> xxhash64(b, slice(signature, b * (size(signature) div $bands) + 1, " +
+            s"size(signature) div $bands)))")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+
+  /** MinHash near-dup pairs: LSH candidates → signature-estimated Jaccard
+    * (fraction of equal components) >= threshold. Never all-pairs: the
+    * self-join happens only inside (band, bucket) groups.
+    */
+  def minHashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    val sigs = minHashSignatures(df, idCol, textCol, k, numHashes).cache()
+    val bk = lshBuckets(sigs, idCol, bands)
+    val cand = bk.alias("x").join(bk.alias("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").alias("a_id"), col(s"y.$idCol").alias("b_id"))
+      .distinct()
+    cand
+      .join(sigs.select(col(idCol).alias("a_id"), col("signature").alias("sa")), "a_id")
+      .join(sigs.select(col(idCol).alias("b_id"), col("signature").alias("sb")), "b_id")
+      .withColumn("est_jaccard",
+        expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))").cast("double")
+          / size(col("sa")).cast("double"))
+      .filter(col("est_jaccard") >= threshold)
+      .select("a_id", "b_id", "est_jaccard")
+  }
+
+  // ----------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash: per token hash, ±1 vote per bit position, sign of the
+    * per-position sum sets the output bit. One wide aggregation.
+    */
+  def simHash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(TextOps.tokens(col(textCol))).alias("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { i =>
+      sum(when(expr(s"shiftright(h, $i) & 1") === 1, 1).otherwise(-1)).alias(s"__v$i")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val bits = (0 until 64).map(i =>
+      when(col(s"__v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+    agg.select(col(idCol),
+      bits.reduce((a, b) => a.bitwiseOR(b)).alias("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band blocking, then exact Hamming
+    * distance (`bit_count(a XOR b)`) <= maxHamming within blocks.
+    */
+  def simHashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simHash64(df, idCol, textCol).cache()
+    val banded = sh.select(col(idCol), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    banded.alias("x").join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").alias("a_id"), col(s"y.$idCol").alias("b_id"),
+        col("x.simhash").alias("ha"), col("y.simhash").alias("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  // ------------------------------------------------- embedding-cosine dedup
+
+  /** Embedding near-dup pairs: cosine >= threshold. Delegates candidate
+    * generation to [[Similarity]] — brute force below `bruteForceLimit`
+    * docs, sign-LSH buckets above.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame =
+    Similarity.allPairsCosine(df, idCol, vecCol)
+      .filter(col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+}

@@ -1,0 +1,147 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (SURVEY §2.11):
+  * brute-force cosine top-k as the exact baseline, sign-LSH (random
+  * hyperplane) bucketing as the approximate scale path.
+  *
+  * Numeric contract: floats are cast to double *before* any arithmetic and
+  * dot products fold left-to-right (`aggregate`), so results are bitwise
+  * deterministic and reproducible by an oracle engine using the same
+  * element order.
+  *
+  * Scale design (100 TB): brute force is O(queries × corpus) — fine for a
+  * broadcastable query set, never for all-pairs. The LSH path buckets
+  * vectors by hyperplane sign bits so the join is per-bucket; recall is
+  * tuned with `planes` (fewer bits → bigger buckets) and multi-probe
+  * (flip one bit). An IVF refinement would replace random planes with
+  * k-means centroids — same join shape.
+  */
+object Similarity {
+
+  /** Left-fold dot product over double-cast elements — deterministic. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** All-pairs exact cosine (a_id < b_id). Quadratic — the correctness
+    * baseline; use [[lshCandidatePairs]]-based paths at scale.
+    */
+  def allPairsCosine(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = df.select(col(idCol), col(vecCol).alias("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = e.select(col(idCol).alias("a_id"), col("v").alias("va"), col("nrm").alias("na"))
+    val b = e.select(col(idCol).alias("b_id"), col("v").alias("vb"), col("nrm").alias("nb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .select("a_id", "b_id", "cosine")
+  }
+
+  /** Exact brute-force cosine top-k: each query row (broadcast) against the
+    * full corpus. Emits (q_id, n_id, sim, rank) with `sim` rounded to 4
+    * decimals and rank ties broken by n_id — fully deterministic.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).alias("n_id"), col(vecCol).alias("vn"))
+      .withColumn("nn", norm(col("vn")))
+    val q = queries.select(col(idCol).alias("q_id"), col(vecCol).alias("vq"))
+      .withColumn("nq", norm(col("vq")))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("sim",
+        round(dot(col("vq"), col("vn")) / (col("nq") * col("nn")), 4))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("rnk") <= k)
+      .select("q_id", "n_id", "sim", "rnk")
+  }
+
+  /** Deterministic random hyperplanes: `planes` × `dim`, seeded. */
+  def hyperplanes(dim: Int, planes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket id: one bit per hyperplane (dot >= 0). */
+  def signBucket(vecCol: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vecCol, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Candidate pairs sharing a sign-LSH bucket (a_id < b_id). */
+  def lshCandidatePairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, planes: Int = 12, seed: Long = 42L): DataFrame = {
+    val hp = hyperplanes(dim, planes, seed)
+    val bk = df.select(col(idCol), col(vecCol).alias("v"))
+      .withColumn("bucket", signBucket(col("v"), hp))
+    bk.alias("x").join(bk.alias("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").alias("a_id"), col(s"y.$idCol").alias("b_id"))
+  }
+
+  /** Approximate top-k via multi-table sign-LSH: `tables` independent
+    * hash tables of `bitsPerTable` hyperplane bits each, plus 1-bit
+    * multi-probe on the query side. A neighbor is a candidate if it shares
+    * any table's (possibly 1-bit-flipped) bucket with the query — recall
+    * ≈ 1-(1-p_table)^L instead of a single table's p^b. Candidates are
+    * deduped before exact scoring; output shape matches [[bruteForceTopK]].
+    *
+    * Scale: corpus rows × `tables` small bucket rows; per-bucket joins
+    * only. Raise `bitsPerTable` as the corpus grows (bucket occupancy
+    * ~ n / 2^bits); `tables`/probes trade compute for recall.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      dim: Int, tables: Int = 8, bitsPerTable: Int = 6,
+      seed: Long = 42L): DataFrame = {
+    val hp = (0 until tables).map(t =>
+      hyperplanes(dim, bitsPerTable, seed + t * 7919))
+    val c = corpus.select(col(idCol).alias("n_id"), col(vecCol).alias("vn"))
+      .withColumn("nn", norm(col("vn")))
+      .withColumn("tb", explode(array((0 until tables).map(t =>
+        struct(lit(t).alias("tbl"),
+          signBucket(col("vn"), hp(t)).alias("bkt"))): _*)))
+      .select(col("n_id"), col("vn"), col("nn"),
+        col("tb.tbl").alias("tbl"), col("tb.bkt").alias("bkt"))
+    // query side: per table, the bucket itself + every 1-bit flip
+    val probes = (0 until tables).flatMap { t =>
+      val qb = signBucket(col("vq"), hp(t))
+      (-1 until bitsPerTable).map { i =>
+        val b = if (i < 0) qb else qb.bitwiseXOR(lit(1L << i))
+        struct(lit(t).alias("tbl"), b.alias("bkt"))
+      }
+    }
+    val q = queries.select(col(idCol).alias("q_id"), col(vecCol).alias("vq"))
+      .withColumn("nq", norm(col("vq")))
+      .withColumn("tb", explode(array(probes: _*)))
+      .select(col("q_id"), col("vq"), col("nq"),
+        col("tb.tbl").alias("qtbl"), col("tb.bkt").alias("qbkt"))
+    val cand = c.join(broadcast(q),
+        col("tbl") === col("qtbl") && col("bkt") === col("qbkt") &&
+          col("q_id") =!= col("n_id"))
+      .dropDuplicates("q_id", "n_id")
+    val scored = cand.withColumn("sim",
+      round(dot(col("vq"), col("vn")) / (col("nq") * col("nn")), 4))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("rnk") <= k)
+      .select("q_id", "n_id", "sim", "rnk")
+  }
+}

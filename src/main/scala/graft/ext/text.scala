@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data pipelines (SURVEY §2.11) over the
+  * `documents` table contract (doc_id, text, ...). All pure builtin-Column
+  * compositions — whole-stage-codegen'd, no UDFs, embarrassingly parallel
+  * (no shuffle except where a groupBy is the semantics).
+  */
+object TextOps {
+
+  /** Whitespace tokens. Single-space split to match the documents contract
+    * (space-separated word soup) and keep oracle parity trivial.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column =
+    size(tokens(text)).cast("long")
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** BPE-ish pre-tokenizer count: alpha runs, digit runs, single
+    * punctuation — the classic byte-pair pre-split regex shape.
+    */
+  def bpeTokenCount(textCol: String): Column =
+    size(expr(s"regexp_extract_all(`$textCol`, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+      .cast("long")
+
+  /** Tiny per-language stopword lists for the n-gram language-ID heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+    "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich"),
+  )
+
+  private def inList(vals: Seq[String]): String =
+    vals.map(v => s"'$v'").mkString(", ")
+
+  /** Count of tokens (with duplicates) hitting a language's stopword list. */
+  def stopwordHits(tokensCol: String, lang: String): Column =
+    expr(s"size(filter($tokensCol, x -> x IN (${inList(stopwords(lang))})))")
+
+  /** Language-ID by stopword-hit argmax with fixed tie-break order
+    * en > es > fr > de; no hits → 'und'.
+    */
+  def langId(tokensCol: String): Column = {
+    val h = stopwords.keys.map(l => l -> stopwordHits(tokensCol, l)).toMap
+    when(h("en") >= h("es") && h("en") >= h("fr") && h("en") >= h("de") && h("en") > 0, "en")
+      .when(h("es") >= h("fr") && h("es") >= h("de") && h("es") > 0, "es")
+      .when(h("fr") >= h("de") && h("fr") > 0, "fr")
+      .when(h("de") > 0, "de")
+      .otherwise("und")
+  }
+
+  /** Quality-score components + composite (deterministic double math,
+    * identical expression tree to the oracle SQL).
+    */
+  def qualityColumns(text: Column, tokensCol: String): Seq[(String, Column)] = {
+    val nWords = size(col(tokensCol)).cast("long")
+    val meanWlen = length(text).cast("double") / nWords.cast("double")
+    val stopRatio = stopwordHits(tokensCol, "en").cast("double") / nWords.cast("double")
+    val alphaRatio =
+      length(regexp_replace(text, "[^a-z ]", "")).cast("double") /
+        length(text).cast("double")
+    val score =
+      lit(0.3) * least(nWords.cast("double") / lit(50.0), lit(1.0)) +
+        lit(0.4) * stopRatio + lit(0.3) * alphaRatio
+    Seq(
+      "n_words" -> nWords,
+      "mean_wlen" -> meanWlen,
+      "stop_ratio" -> stopRatio,
+      "alpha_ratio" -> alphaRatio,
+      "score" -> score)
+  }
+
+  /** Content fingerprint: sha256 over the sorted distinct token set — the
+    * canonical "fingerprint" normalization (order/multiplicity-insensitive).
+    */
+  def fingerprint(text: Column): Column =
+    sha2(concat_ws(" ", array_sort(array_distinct(tokens(text)))), 256)
+
+  /** 64-bit polynomial rolling hash of the raw text via the native Catalyst
+    * expression [[graft.functions.RollingHash]] (codegen'd; no UDF).
+    */
+  def rollingHash(text: Column): Column =
+    graft.functions.RollingHash.column(text)
+}

@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit polynomial rolling hash of a string's UTF-8 bytes:
+  * `h = h * 31 + byte` with wrapping arithmetic (document fingerprinting —
+  * SURVEY §2.11 text-analysis extension).
+  *
+  * A native Catalyst expression with `doGenCode` so it stays inside
+  * whole-stage codegen — the preferred extension point over a Scala UDF
+  * (which would box every row and break the codegen span).
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"rolling_hash requires STRING, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    RollingHash.hash(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.RollingHash.hash($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+
+  override def prettyName: String = "rolling_hash"
+}
+
+object RollingHash {
+  /** Referenced from generated code — must stay public + static-friendly. */
+  def hash(bytes: Array[Byte]): Long = {
+    var h = 1125899906842597L // large prime seed
+    var i = 0
+    while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+    h
+  }
+
+  def column(text: Column): Column =
+    Bridge.column(RollingHash(Bridge.expression(text)))
+}

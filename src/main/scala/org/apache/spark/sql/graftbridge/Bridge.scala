@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge. Spark 4 made the converters `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils`); a nested package under
+  * `org.apache.spark.sql` is the conventional way for a library to expose
+  * its own native Catalyst expressions as `Column`s.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,125 @@
+package graft
+
+import graft.ext.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Extension-operator semantics (SURVEY §2.11). */
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "completely different words entirely here now"),
+    (4L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: min-id winner, dup counts") {
+    val out = Dedup.exact(docs, "doc_id", Seq("text"))
+      .orderBy("doc_id").collect()
+    assert(out.length == 3)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(2) == 2L) // 1+4 collapsed
+  }
+
+  test("exactRows keeps whole first row per key") {
+    val out = Dedup.exactRows(docs, "doc_id", Seq("text"))
+    assert(out.count() == 3)
+    assert(out.filter($"doc_id" === 4).count() == 0)
+  }
+
+  test("ngram Jaccard: exact dup = 1.0; near-dup high; disjoint absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3,
+      threshold = 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    assert(pairs.contains(1L -> 2L) && pairs((1L, 2L)) > 0.5 && pairs((1L, 2L)) < 1.0)
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash LSH finds the same near-dup pairs as exact Jaccard") {
+    val mh = Dedup.minHashNearDupPairs(docs, "doc_id", "text",
+      threshold = 0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.contains((1L, 4L)))   // identical docs always collide
+    assert(mh.contains((1L, 2L)) || mh.contains((2L, 4L))) // near-dup caught
+    assert(!mh.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("minhash signature of identical text is identical; est_jaccard=1") {
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(4L))
+    assert(sigs(1L) != sigs(3L))
+  }
+
+  test("simhash: identical → equal; near-dup → small hamming; disjoint → large") {
+    val sh = Dedup.simHash64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1L) == sh(4L))
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(3L)))
+  }
+
+  test("rolling hash: deterministic native expression, codegen = interpreted") {
+    val out = docs.select($"doc_id", TextOps.rollingHash($"text").alias("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(4L))
+    assert(out(1L) == graft.functions.RollingHash.hash(
+      "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")))
+  }
+
+  test("fingerprint is token-order and multiplicity insensitive") {
+    val d = Seq((1L, "b a a c"), (2L, "c b a"), (3L, "a b d")).toDF("doc_id", "text")
+    val fp = d.select($"doc_id", TextOps.fingerprint($"text").alias("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("langId picks dominant stopword language with tie-break") {
+    val d = Seq(
+      (1L, "the cat of the house is that big"),
+      (2L, "el perro de la casa que es un gato"),
+      (3L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+      .withColumn("t", TextOps.tokens($"text"))
+    val out = d.select($"doc_id", TextOps.langId("t").alias("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "und"))
+  }
+
+  test("embedding cosine + near-dup pairs") {
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),   // near 1
+      (3L, Seq(0.0f, 0.0f, 1.0f)),   // orthogonal
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("brute-force top-k: exact, deterministic ranking") {
+    val e = (1L to 20L).map { i =>
+      (i, Seq.tabulate(8)(j => math.sin(i * 31 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(e, e.filter($"vec_id" <= 2),
+      "vec_id", "embedding", k = 3)
+    assert(out.count() == 6)
+    val ranks = out.filter($"q_id" === 1).orderBy("rnk")
+      .collect().map(_.getInt(3)).toSeq
+    assert(ranks == Seq(1, 2, 3))
+  }
+
+  test("LSH top-k recall vs brute force >= 60% on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = asSet(Similarity.bruteForceTopK(e, q, "vec_id", "embedding", 5))
+    val approx = asSet(Similarity.lshTopK(e, q, "vec_id", "embedding", 5,
+      dim = 64, tables = 8, bitsPerTable = 6))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+}

@@ -375,6 +375,25 @@ object SparkEntry {
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("int").alias("k_val"))),
 
+    // multimodal: binary payload → feature extraction (stubbed codec,
+    // real mapPartitions plumbing; no oracle — engine-internal features)
+    "q_multimodal_features" -> { (s, dir) =>
+      val feats = ext.Multimodal.extractFeatures(
+        ext.Multimodal.fromDocuments(s, dir), dim = 64)
+      ext.Multimodal.resizeFeatures(feats.toDF(), "features", 8)
+        .select(col("id"), col("modality"), col("dim"),
+          size(col("features_resized")).alias("resized_dim"))
+    },
+
+    // multimodal: video frame sampling (binary slicing, no oracle)
+    "q_multimodal_frames" -> { (s, dir) =>
+      val mm = ext.Multimodal.fromDocuments(s, dir).toDF()
+      ext.Multimodal.sampleFrames(mm.filter(col("modality") === "video"),
+          "payload", n = 4, frameBytes = 32)
+        .select(col("id"), size(col("frames")).alias("n_frames"),
+          length(element_at(col("frames"), 1)).alias("frame0_bytes"))
+    },
+
     // events: sessionization (30-min gap islands per user)
     "q_events_sessionize" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window

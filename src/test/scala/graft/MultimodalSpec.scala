@@ -1,0 +1,54 @@
+package graft
+
+import graft.ext.Multimodal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Multimodal plumbing: schema, determinism, batch shapes (decode itself
+  * is a documented stub — SURVEY §2.11).
+  */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def mm = Multimodal.fromDocuments(spark, "/root/testdata/sf0.001")
+
+  test("feature extraction: fixed dim, deterministic across runs") {
+    val f1 = Multimodal.extractFeatures(mm, dim = 16).collect()
+      .map(f => f.id -> f.features.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(mm, dim = 16).collect()
+      .map(f => f.id -> f.features.toSeq).toMap
+    assert(f1 == f2)
+    assert(f1.values.forall(_.length == 16))
+    // different payloads → different features (not a constant stub)
+    assert(f1.values.toSeq.distinct.length > 1)
+  }
+
+  test("resize pools to requested dim") {
+    val feats = Multimodal.extractFeatures(mm, dim = 64).toDF()
+    val out = Multimodal.resizeFeatures(feats, "features", 8)
+    assert(out.select(size(col("features_resized"))).distinct()
+      .collect().map(_.getInt(0)).toSeq == Seq(8))
+    // pooling of a constant vector is the constant
+    val const = Seq((1L, Array.fill(64)(0.5f))).toDF("id", "features")
+    val pooled = Multimodal.resizeFeatures(const, "features", 8)
+      .select(col("features_resized")).collect().head.getSeq[Float](0)
+    assert(pooled.forall(v => math.abs(v - 0.5f) < 1e-6))
+  }
+
+  test("frame sampling: n fixed-width binary frames per video") {
+    val out = Multimodal.sampleFrames(
+      mm.toDF().filter(col("modality") === "video"), "payload", 4, 32)
+    val rows = out.select(size(col("frames")),
+      length(element_at(col("frames"), 1))).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getInt(0) == 4))
+    assert(rows.forall(r => r.getInt(1) == 32))
+  }
+
+  test("modality routing covers image/audio/video") {
+    val mods = mm.toDF().select("modality").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(mods == Set("image", "audio", "video"))
+  }
+}

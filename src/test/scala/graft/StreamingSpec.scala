@@ -1,0 +1,109 @@
+package graft
+
+import graft.ext.EventStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming behavior over the driver's events testdata:
+  * windowed aggs must converge to the batch-equivalent result, the upsert
+  * sink must reproduce MERGE semantics per micro-batch.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Streaming file sources need a directory — stage the single events
+    * parquet file into one.
+    */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-events").toFile
+    d.deleteOnExit()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(d.getAbsolutePath, "events.parquet"))
+    d.getAbsolutePath
+  }
+
+  private def batchEvents = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.schema(EventStream.rawSchema).parquet(s"$dir/events.parquet")
+      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+  }
+
+  test("streaming tumbling counts == batch groupBy (complete drain)") {
+    val stream = EventStream.readStream(spark, streamDir)
+    val q = EventStream.tumblingCounts(stream, "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tumbling_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("tumbling_out")
+      .select(col("window.start").alias("w"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    val expect = batchEvents
+      .groupBy(window(col("ts_utc"), "1 hour").alias("win"), col("event_type"))
+      .agg(count(lit(1)).alias("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
+      .select(col("win.start").alias("w"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    // append mode withholds windows not yet past the watermark — the final
+    // (open) windows may be missing; everything emitted must match batch.
+    val g = got.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val e = expect.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(g.subsetOf(e), s"streaming emitted windows not in batch: ${g.diff(e).take(3)}")
+    assert(g.nonEmpty)
+  }
+
+  test("session windows emit per-user gap sessions") {
+    val stream = EventStream.readStream(spark, streamDir)
+    val q = EventStream.sessionCounts(stream, "30 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("session_out").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("session_out")
+    assert(out.count() > 0)
+    assert(out.columns.toSet ==
+      Set("session_window", "user_id", "n_events"))
+  }
+
+  test("streaming dedup drops replayed event_ids") {
+    val stream = EventStream.readStream(spark, streamDir)
+    val q = EventStream.dedupped(stream)
+      .select("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val n = spark.table("dedup_out").count()
+    val distinctIds = batchEvents.select("event_id").distinct().count()
+    assert(n == distinctIds)
+  }
+
+  test("streaming upsert sink reproduces MERGE semantics incl. _action") {
+    val tm = TableMapping(
+      "user_state", "events", Seq(
+        "user_id"   -> MergeOn("user_id"),
+        "last_type" -> DirectCopy("event_type")),
+      useMerge = true)
+    // stream of per-user latest event type, merged into evolving dest state
+    var dest = Seq((-1L, "seed")).toDF("user_id", "last_type")
+    var actions = Seq.empty[(String, Long)]
+    val stream = EventStream.readStream(spark, streamDir)
+      .select(col("user_id"), col("event_type").alias("last_type"))
+    val writer = EventStream.upsertSink(
+      stream, tm,
+      readDest = () => dest,
+      write = merged => dest = merged.cache(),
+      onBatch = (_, merged) =>
+        actions = actions ++ merged.groupBy(Merge.ActionCol).count()
+          .collect().map(r => (Option(r.getString(0)).getOrElse("NONE"), r.getLong(1))))
+    val q = writer.start()
+    q.processAllAvailable(); q.stop()
+
+    val users = batchEvents.select("user_id").distinct().count()
+    assert(dest.count() == users + 1)            // all users + untouched seed
+    assert(dest.filter($"user_id" === -1L).count() == 1)
+    assert(actions.exists { case (a, n) => a == "INSERT" && n > 0 })
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection utility: `runMain graft.Explain <query> [sfDir]` prints
+  * the formatted physical plan of a SparkEntry query (all queries when none
+  * named). Used to check pushdown (`PushedFilters`), pruning (`ReadSchema`),
+  * join strategy (broadcast vs SMJ), and whole-stage codegen spans.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.drop(1).headOption
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names =
+      if (args.nonEmpty) Seq(args(0)) else SparkEntry.queries.keys.toSeq.sorted
+    names.foreach { name =>
+      println(s"\n========== $name ==========")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -46,15 +46,13 @@ object Dedup {
     df.select(col(idCol),
         explode(shingleArray(textCol, k)).alias("shingle"))
 
-  /** Array of distinct word-k-gram shingles of a text column (by name). */
-  def shingleArray(textCol: String, k: Int): Column = {
-    val t = s"split(`$textCol`, ' ')"
-    when(expr(s"size($t)") >= k,
-      array_distinct(expr(
-        s"transform(sequence(0, size($t) - $k), " +
-          s"i -> concat_ws(' ', slice($t, i + 1, $k)))")))
-      .otherwise(expr("array()").cast("array<string>"))
-  }
+  /** Array of distinct word-k-gram shingles of a text column (by name) —
+    * native codegen expression ([[graft.functions.WordShingles]]); same
+    * semantics as `array_distinct(transform(sequence, slice+concat_ws))`
+    * at a fraction of the allocation cost.
+    */
+  def shingleArray(textCol: String, k: Int): Column =
+    graft.functions.WordShingles.column(col(textCol), k)
 
   // --------------------------------------------------------- n-gram Jaccard
 
@@ -78,14 +76,20 @@ object Dedup {
         .filter(col("df") > cap).select("shingle")
       sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
     }
-    val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).alias("n"))
-    val a = sh.select(col(idCol).alias("a_id"), col("shingle"))
-    val b = sh.select(col(idCol).alias("b_id"), col("shingle"))
-    val inter = a.join(b, a("shingle") === b("shingle") && a("a_id") < b("b_id"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).alias("ic"))
-    inter
-      .join(cnt.select(col(idCol).alias("a_id"), col("n").alias("na")), "a_id")
-      .join(cnt.select(col(idCol).alias("b_id"), col("n").alias("nb")), "b_id")
+    // per-doc shingle count as a window column — carried through the join
+    // so no separate count relation / extra joins are needed
+    val withN = sh.withColumn("n",
+      count(lit(1)).over(Window.partitionBy(col(idCol))))
+    val a = withN.select(col(idCol).alias("a_id"), col("shingle"),
+      col("n").alias("na"))
+    val b = withN.select(col(idCol).alias("b_id"), col("shingle"),
+      col("n").alias("nb"))
+    // hint: a 260k+-row build side must not be broadcast-collected to the
+    // driver; hash-partitioned join keeps both sides distributed
+    a.hint("shuffle_hash")
+      .join(b, a("shingle") === b("shingle") && a("a_id") < b("b_id"))
+      // na/nb are constant per (a_id, b_id) — grouping on them is free
+      .groupBy("a_id", "b_id", "na", "nb").agg(count(lit(1)).alias("ic"))
       .withColumn("jaccard",
         col("ic").cast("double") / (col("na") + col("nb") - col("ic")).cast("double"))
       .filter(col("jaccard") >= threshold)

@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Native dot product over two numeric arrays, accumulated left-to-right
+  * in double — bitwise-identical to the `aggregate(zip_with(...))`
+  * higher-order-function formulation it replaces, but ~20× faster: a tight
+  * primitive loop inside whole-stage codegen instead of per-element lambda
+  * evaluation with boxing.
+  *
+  * Element types may be float or double on either side (mixed is fine —
+  * embeddings are float, hyperplane literals double). Array elements must
+  * be non-null (embedding contract); lengths are zipped to the shorter.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes() = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left) && ok(right))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product requires array<float|double>, got " +
+          s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val aIsF = elemType(left) == FloatType
+    val bIsF = elemType(right) == FloatType
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aIsF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bIsF) b.getFloat(i).toDouble else b.getDouble(i)
+      sum += x * y
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val bGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += (double) $a.$aGet($i) * (double) $b.$bGet($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "dot_product"
+}
+
+object DotProduct {
+  def column(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+}

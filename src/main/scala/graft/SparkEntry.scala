@@ -375,6 +375,30 @@ object SparkEntry {
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("int").alias("k_val"))),
 
+    // §3 ordered two-table pipeline: table 1 builds a dest dim (nation +
+    // region name via FK), table 2 FK-looks-up INTO that just-written dest
+    // table — the reference's users→individual dest-side lookup shape.
+    "q_pipeline_chain" -> { (s, dir) =>
+      val srcCat = new ParquetCatalog(s, dir)
+      val destCat = new InMemoryCatalog()
+      val dimTm = TableMapping(
+        "nation_dim", "nation", Seq(
+          "nk"        -> DirectCopy("n_nationkey"),
+          "nation_nm" -> DirectCopy("n_name"),
+          "region_nm" -> ForeignKey("n_regionkey",
+            FkSpec("region", "r_name", "r_regionkey"))))
+      val custTm = TableMapping(
+        "cust_flat", "customer", Seq(
+          "cust_id"   -> DirectCopy("c_custkey"),
+          "region_nm" -> ForeignKey("c_nationkey",
+            FkSpec("nation_dim", "region_nm", "nk"))))
+      // region lives source-side for table 1 — stage it into dest like the
+      // reference's pre-populated parent tables
+      destCat.write("region", srcCat.read("region"))
+      new PipelineRunner(srcCat, destCat).run(Pipeline(Seq(dimTm, custTm)))
+      destCat.read("cust_flat")
+    },
+
     // multimodal: binary payload → feature extraction (stubbed codec,
     // real mapPartitions plumbing; no oracle — engine-internal features)
     "q_multimodal_features" -> { (s, dir) =>
@@ -584,6 +608,17 @@ object SparkEntry {
         |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
         |            ELSE d.o_totalprice END AS o_totalprice
         |FROM d FULL OUTER JOIN s ON d.o_orderkey = s.o_orderkey""".stripMargin),
+
+    "q_pipeline_chain" ->
+      """WITH nation_dim AS (
+        |  SELECT n.n_nationkey AS nk, n.n_name AS nation_nm, r.v AS region_nm
+        |  FROM nation n
+        |  LEFT JOIN (SELECT r_regionkey, min(r_name) AS v FROM region
+        |             GROUP BY r_regionkey) r ON n.n_regionkey = r.r_regionkey)
+        |SELECT c.c_custkey AS cust_id, d.v AS region_nm
+        |FROM customer c
+        |LEFT JOIN (SELECT nk, min(region_nm) AS v FROM nation_dim
+        |           GROUP BY nk) d ON c.c_nationkey = d.nk""".stripMargin,
 
     // --- extension oracles (SURVEY §2.11) --------------------------------
 

@@ -285,6 +285,8 @@ final case class TableMapping(
     updateOnly: Boolean = false,
     mergePk: Option[String] = None,
     message: Option[String] = None,
+    setup: Seq[String] = Seq.empty,    // per-table setup SQL (tsql2008.js:52-58)
+    teardown: Seq[String] = Seq.empty, // per-table teardown SQL (tsql2008.js:135-141)
 ) {
   def destColumns: Seq[String] = columns.map(_._1)
 

@@ -40,6 +40,27 @@ final class ParquetCatalog(spark: SparkSession, dir: String) extends Catalog {
     new java.io.File(s"$dir/$name.parquet").exists()
 }
 
+/** Generic file-format catalog (csv/json/orc/...): `<dir>/<table>.<ext>`.
+  * The reference only knows named SQL Server relations; file formats are a
+  * free extension on Spark's DataSource API (SURVEY §2.2). csv reads with
+  * headers + schema inference — pass `schema` for production stability.
+  */
+final class FormatCatalog(
+    spark: SparkSession, dir: String, format: String,
+    options: Map[String, String] = Map.empty) extends Catalog {
+  private def path(name: String) = s"$dir/$name.$format"
+  private val defaults = format match {
+    case "csv" => Map("header" -> "true", "inferSchema" -> "true")
+    case _     => Map.empty[String, String]
+  }
+  def read(name: String): DataFrame =
+    spark.read.format(format).options(defaults ++ options).load(path(name))
+  def write(name: String, df: DataFrame): Unit =
+    df.write.format(format).options(defaults ++ options)
+      .mode("overwrite").save(path(name))
+  def exists(name: String): Boolean = new java.io.File(path(name)).exists()
+}
+
 /** Ordered pipeline execution — the reference's `GenerateSql` lifecycle
   * (`/root/reference/tsql2008.js:29-160, 347-356`) with SQL Server replaced
   * by Spark actions:
@@ -58,7 +79,10 @@ final class ParquetCatalog(spark: SparkSession, dir: String) extends Catalog {
   *      everything, persist nothing — here: run against a copy-on-write
   *      overlay catalog and return results without touching `dest`.
   */
-final class PipelineRunner(source: Catalog, dest: Catalog) {
+final class PipelineRunner(
+    source: Catalog, dest: Catalog,
+    spark: Option[SparkSession] = None,
+    log: String => Unit = _ => ()) {
 
   /** Audit log: per (pass, table), the merged frame incl. `_action`. */
   private val audits = mutable.ArrayBuffer.empty[(Int, String, DataFrame)]
@@ -68,8 +92,44 @@ final class PipelineRunner(source: Catalog, dest: Catalog) {
     val target: Catalog =
       if (p.dryRun) new OverlayCatalog(dest) else dest
 
+    // deduped setup hooks, once, in order (tsql2008.js:52-58)
+    runHooks(p.mappings.flatMap(_.setup).distinct)
     cleanup(p, target)
     for (pass <- 1 to p.passes; tm <- p.mappings) runTable(tm, target, pass)
+    // deduped teardown hooks (tsql2008.js:135-141)
+    runHooks(p.mappings.flatMap(_.teardown).distinct)
+  }
+
+  private def runHooks(sqls: Seq[String]): Unit =
+    spark.foreach(s => sqls.foreach(s.sql(_).collect()))
+
+  /** Script mode: the compiler's own sink (the reference emits its T-SQL
+    * script to stdout, `README.md:18`) — here, a per-table description of
+    * the compiled dataflow, without executing anything.
+    */
+  def describe(p: Pipeline): String = {
+    val sb = new StringBuilder
+    if (p.dryRun) sb.append("== DRY RUN (executes, persists nothing) ==\n")
+    p.mappings.reverse.filterNot(_.useMerge).foreach { tm =>
+      if (tm.truncate && tm.killWhere.isEmpty)
+        sb.append(s"-- cleanup: TRUNCATE ${tm.destination}\n")
+      tm.killWhere.filter(_ => !tm.truncate).foreach(kw =>
+        sb.append(s"-- cleanup: DELETE FROM ${tm.destination} WHERE $kw\n"))
+    }
+    for (pass <- 1 to p.passes; tm <- p.mappings) {
+      sb.append(s"== pass $pass: ${if (tm.useMerge) "MERGE" else "INSERT"} " +
+        s"${tm.source} -> ${tm.destination}")
+      tm.message.foreach(m => sb.append(s"  ($m)"))
+      sb.append("\n")
+      tm.sourceFilter.foreach(f => sb.append(s"   filter: $f\n"))
+      if (tm.useGrouping)
+        sb.append(s"   groupBy: ${Compiler.inferredGroupKeys(tm).mkString(", ")}\n")
+      if (tm.forceDistinct) sb.append("   distinct\n")
+      Compiler.fkSpecs(tm).foreach(fk =>
+        sb.append(s"   fk: broadcast ${fk.parentTable}(${fk.importColumn} -> ${fk.parentColumn})\n"))
+      sb.append(s"   columns: ${tm.destColumns.mkString(", ")}\n")
+    }
+    sb.toString
   }
 
   private def cleanup(p: Pipeline, target: Catalog): Unit =
@@ -85,6 +145,9 @@ final class PipelineRunner(source: Catalog, dest: Catalog) {
     }
 
   private def runTable(tm: TableMapping, target: Catalog, pass: Int): Unit = {
+    // progress narration — the reference's PRINT messages (tsql2008.js:20-22)
+    log(s"[pass $pass] ${if (tm.useMerge) "merging" else "inserting"} " +
+      s"${tm.source} -> ${tm.destination}" + tm.message.fold("")(m => s": $m"))
     val src = Compiler.transformedSource(source.read(tm.source), tm, target.read)
     if (tm.useMerge) {
       val destDf = target.read(tm.destination)

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** File-format catalogs (SURVEY §2.2 extension): csv/json round-trips
+  * feeding the same pipeline machinery as parquet.
+  */
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp() = {
+    val d = java.nio.file.Files.createTempDirectory("graft-cat").toFile
+    d.deleteOnExit(); d.getAbsolutePath
+  }
+
+  test("csv catalog round-trip + pipeline run") {
+    val dir = tmp()
+    val cat = new FormatCatalog(spark, dir, "csv")
+    cat.write("src", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    assert(cat.exists("src") && !cat.exists("missing"))
+    val tm = TableMapping("out", "src", Seq(
+      "id"  -> CastAs("k", org.apache.spark.sql.types.IntegerType),
+      "val" -> SqlFunction("upper", Seq(ColArg("v")))))
+    val destCat = new InMemoryCatalog()
+    new PipelineRunner(cat, destCat).run(Pipeline(Seq(tm)))
+    assert(destCat.read("out").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq ==
+      Seq((1, "A"), (2, "B")))
+  }
+
+  test("json catalog round-trip") {
+    val dir = tmp()
+    val cat = new FormatCatalog(spark, dir, "json")
+    cat.write("t", Seq((1L, "x")).toDF("id", "s"))
+    val back = cat.read("t")
+    assert(back.collect().map(r =>
+      (back.columns.toSeq, r.getLong(back.columns.indexOf("id")))).head ==
+      (Seq("id", "s"), 1L))
+  }
+}

@@ -153,6 +153,31 @@ class UsersPipelineSpec extends AnyFunSuite {
     assert(destCat.read("users").count() == 0)
   }
 
+  test("setup/teardown hooks run deduped around the pipeline") {
+    val srcCat = new InMemoryCatalog(Map("etl_Users" -> etlUsers))
+    val destCat = new InMemoryCatalog(Map(
+      "users" -> emptyUsers, "individual" -> individual))
+    val tm = usersTm(true).copy(
+      setup = Seq("CREATE OR REPLACE TEMPORARY VIEW hook_marker AS SELECT 1 AS x"),
+      teardown = Seq("DROP VIEW hook_marker"))
+    // two mappings sharing the same hook — must run once (dedup)
+    new PipelineRunner(srcCat, destCat, spark = Some(spark))
+      .run(Pipeline(Seq(tm, tm.copy(destination = "users"))))
+    assert(!spark.catalog.tableExists("hook_marker")) // torn down
+  }
+
+  test("describe renders the compiled pipeline script (script mode)") {
+    val runner = new PipelineRunner(
+      new InMemoryCatalog(), new InMemoryCatalog())
+    val txt = runner.describe(Pipeline(
+      Seq(usersTm(true), rolesTm), passes = 2, dryRun = true))
+    assert(txt.contains("DRY RUN"))
+    assert(txt.contains("MERGE etl_Users -> users"))
+    assert(txt.contains("fk: broadcast individual(orig_agent_id -> individual_id)"))
+    assert(txt.contains("pass 2"))
+    assert(txt.contains("migrating NON-DUPLICATE users"))
+  }
+
   test("truncate + killWhere cleanup for non-merge tables, reverse order") {
     val d1 = Seq((1, "F"), (2, "O")).toDF("k", "st")
     val d2 = Seq((9, "x")).toDF("k", "v")

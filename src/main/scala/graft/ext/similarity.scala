@@ -112,12 +112,14 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val hp = (0 until tables).map(t =>
       hyperplanes(dim, bitsPerTable, seed + t * 7919))
-    val c = corpus.select(col(idCol).alias("n_id"), col(vecCol).alias("vn"))
-      .withColumn("nn", norm(col("vn")))
+    // bucket tables carry ONLY ids — candidate generation and dedup never
+    // shuffle the vectors themselves
+    val cBuckets = corpus
+      .select(col(idCol).alias("n_id"), col(vecCol).alias("vn"))
       .withColumn("tb", explode(array((0 until tables).map(t =>
         struct(lit(t).alias("tbl"),
           signBucket(col("vn"), hp(t)).alias("bkt"))): _*)))
-      .select(col("n_id"), col("vn"), col("nn"),
+      .select(col("n_id"),
         col("tb.tbl").alias("tbl"), col("tb.bkt").alias("bkt"))
     // query side: per table, the bucket itself + every 1-bit flip
     val probes = (0 until tables).flatMap { t =>
@@ -127,17 +129,25 @@ object Similarity {
         struct(lit(t).alias("tbl"), b.alias("bkt"))
       }
     }
-    val q = queries.select(col(idCol).alias("q_id"), col(vecCol).alias("vq"))
-      .withColumn("nq", norm(col("vq")))
+    val qBuckets = queries
+      .select(col(idCol).alias("q_id"), col(vecCol).alias("vq"))
       .withColumn("tb", explode(array(probes: _*)))
-      .select(col("q_id"), col("vq"), col("nq"),
+      .select(col("q_id"),
         col("tb.tbl").alias("qtbl"), col("tb.bkt").alias("qbkt"))
-    val cand = c.join(broadcast(q),
+    val cand = cBuckets.join(broadcast(qBuckets),
         col("tbl") === col("qtbl") && col("bkt") === col("qbkt") &&
           col("q_id") =!= col("n_id"))
-      .dropDuplicates("q_id", "n_id")
-    val scored = cand.withColumn("sim",
-      round(dot(col("vq"), col("vn")) / (col("nq") * col("nn")), 4))
+      .select("q_id", "n_id").distinct()
+    // vectors re-attached once per surviving candidate
+    val qv = queries.select(col(idCol).alias("q_id"), col(vecCol).alias("vq"))
+      .withColumn("nq", norm(col("vq")))
+    val cv = corpus.select(col(idCol).alias("n_id"), col(vecCol).alias("vn"))
+      .withColumn("nn", norm(col("vn")))
+    val scored = cand
+      .join(broadcast(qv), "q_id")
+      .join(cv, "n_id")
+      .withColumn("sim",
+        round(dot(col("vq"), col("vn")) / (col("nq") * col("nn")), 4))
     scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("q_id"))

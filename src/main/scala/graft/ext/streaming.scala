@@ -1,9 +1,9 @@
 package graft.ext
 
 import graft.{Merge, TableMapping}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY §2.8): the reference's only
@@ -72,6 +72,40 @@ object EventStream {
     events
       .withWatermark("ts_utc", watermark)
       .dropDuplicates("event_id")
+
+  /** Per-user running state for [[withRunningState]]. */
+  final case class UserState(nEvents: Long, totalValue: Double)
+
+  /** Output row of [[withRunningState]]. */
+  final case class UserStateUpdate(
+      userId: Long, nEvents: Long, totalValue: Double, isHeavy: Boolean)
+
+  /** Custom keyed state via `flatMapGroupsWithState`: running per-user
+    * event count + value total, emitting an update (with a "heavy user"
+    * flag once the count crosses `heavyAt`) on every batch that touches
+    * the key. State lives in the state store — bounded by key cardinality,
+    * checkpointed, recoverable; the pattern for any custom accumulator the
+    * built-in windowed aggs can't express.
+    */
+  def withRunningState(
+      events: DataFrame, heavyAt: Long = 50): Dataset[UserStateUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .selectExpr("user_id", "value")
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, UserStateUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (userId, rows, state) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.nEvents
+          var tot = prev.totalValue
+          rows.foreach { case (_, v) => n += 1; tot += v }
+          val next = UserState(n, tot)
+          state.update(next)
+          Iterator(UserStateUpdate(userId, n, tot, n >= heavyAt))
+      }
+  }
 
   /** Streaming upsert sink: each micro-batch MERGEs into the destination
     * via the engine's upsert (the reference's `OUTPUT $action` changelog

@@ -80,6 +80,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(n == distinctIds)
   }
 
+  test("flatMapGroupsWithState keeps running per-user totals") {
+    val stream = EventStream.readStream(spark, streamDir)
+    val q = EventStream.withRunningState(stream, heavyAt = 5)
+      .toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("state_out").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("state_out")
+    // single batch: one update per user, counts == batch groupBy
+    val got = out.groupBy("userId").agg(max("nEvents").alias("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = batchEvents.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    assert(out.filter(col("isHeavy") && col("nEvents") < 5).count() == 0)
+  }
+
   test("streaming upsert sink reproduces MERGE semantics incl. _action") {
     val tm = TableMapping(
       "user_state", "events", Seq(

@@ -135,7 +135,8 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val sigs = minHashSignatures(df, idCol, textCol, k, numHashes).cache()
     val bk = lshBuckets(sigs, idCol, bands)
-    val cand = bk.alias("x").join(bk.alias("y"),
+    // band tables scale with the corpus — never broadcast-collect a side
+    val cand = bk.alias("x").hint("shuffle_hash").join(bk.alias("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").alias("a_id"), col(s"y.$idCol").alias("b_id"))
@@ -180,7 +181,7 @@ object Dedup {
       posexplode(expr(
         "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    banded.alias("x").join(banded.alias("y"),
+    banded.alias("x").hint("shuffle_hash").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").alias("a_id"), col(s"y.$idCol").alias("b_id"),

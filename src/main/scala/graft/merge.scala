@@ -74,6 +74,12 @@ object Merge {
         .alias(c)
     }
 
+    // dest columns not in the mapping survive untouched (T-SQL MERGE only
+    // SETs listed columns; INSERT leaves the rest NULL/default —
+    // tsql2008.js:296-308): dest value everywhere, NULL on inserted rows.
+    val unmappedCols = dest.columns.toSeq.diff(tm.destColumns)
+      .map(c => when(inserted, lit(null)).otherwise(d(c)).alias(c))
+
     val action =
       when(matched && !lit(tm.insertOnly), lit("UPDATE"))
         .when(inserted && !lit(tm.updateOnly), lit("INSERT"))
@@ -81,7 +87,7 @@ object Merge {
         .alias(ActionCol)
 
     val result = joined.select(
-      outCols ++ Seq(action, d(DP).alias(DP)): _*)
+      outCols ++ unmappedCols ++ Seq(action, d(DP).alias(DP)): _*)
     // updateOnly: unmatched source rows are not inserted (tsql2008.js:310-314)
     val kept =
       if (tm.updateOnly) result.filter(col(DP).isNotNull) else result

@@ -158,9 +158,13 @@ final class PipelineRunner(
       // INSERT…SELECT append (tsql2008.js:319-343) — evident-intent form:
       // the reference's insert+distinct/grouping paths emit invalid SQL
       // (SURVEY §2.5 verified bugs); we implement the intended dataflow.
+      // allowMissingColumns: dest columns outside the mapping get NULL on
+      // appended rows — T-SQL `INSERT INTO dest (cols)` leaves unlisted
+      // columns NULL/default (tsql2008.js:319-343)
       val appended =
         if (target.exists(tm.destination))
-          target.read(tm.destination).unionByName(src)
+          target.read(tm.destination)
+            .unionByName(src, allowMissingColumns = true)
         else src
       target.write(tm.destination, appended)
     }

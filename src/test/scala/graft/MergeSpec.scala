@@ -86,6 +86,32 @@ class MergeSpec extends AnyFunSuite {
     assert(outN.filter(col("_action") === "INSERT").count() == 2)
   }
 
+  test("unmapped dest columns survive merge; NULL on inserted rows") {
+    // dest has an extra column the mapping never mentions (T-SQL MERGE
+    // only SETs listed columns — tsql2008.js:296-308)
+    val d = Seq((1, "old1", "keep1"), (2, "old2", "keep2"))
+      .toDF("id", "v", "extra")
+    val out = Merge(d, src(tm), tm).orderBy("id").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq(
+        (1, "old1", "keep1"),   // untouched
+        (2, "new2", "keep2"),   // updated: mapped col changes, extra kept
+        (3, "new3", null)))     // inserted: extra defaults to NULL
+  }
+
+  test("insert append into dest with extra columns → NULL-filled") {
+    val d = Seq((1, "a", 9)).toDF("id", "v", "extra")
+    val srcCat = new InMemoryCatalog(Map("s" -> Seq((2, "b")).toDF("k", "sv")))
+    val destCat = new InMemoryCatalog(Map("t" -> d))
+    val tmi = TableMapping("t", "s", Seq(
+      "id" -> DirectCopy("k"), "v" -> DirectCopy("sv")))
+    new PipelineRunner(srcCat, destCat).run(Pipeline(Seq(tmi)))
+    val rows = destCat.read("t").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getInt(2).asInstanceOf[Any]))
+    assert(rows.toSeq == Seq((1, "a", 9), (2, "b", null)))
+  }
+
   test("idempotence: merge(merge(d,s),s) ≡ merge(d,s), pass 2 all-UPDATE") {
     val once = Merge(destDf, src(tm), tm).drop(Merge.ActionCol)
     val twice = Merge(once, src(tm), tm)

@@ -133,17 +133,29 @@ final case class ConcatColumns(columns: Seq[String], spacer: String = " ")
   * value emitted as a literal (default sha512/base64). Computed driver-side
   * in Scala, exactly as the reference computes it in Node at codegen time.
   */
-final case class StaticHash(value: String, algorithm: String = "SHA-512")
-    extends ColumnMapper {
-  def hashed: String = StaticHash.hash(value, algorithm)
+final case class StaticHash(
+    value: String,
+    algorithm: String = "SHA-512",
+    encoding: String = "base64") extends ColumnMapper {
+  def hashed: String = StaticHash.hash(value, algorithm, encoding)
   def toColumn(ctx: CompileCtx): Column = lit(hashed)
 }
 object StaticHash {
-  def hash(value: String, algorithm: String = "SHA-512"): String = {
+  /** Default algo sha512 / encoding base64, hex supported — the
+    * reference's `options.algorithm`/`options.encoding`
+    * (`mappr.js:237-239`).
+    */
+  def hash(value: String, algorithm: String = "SHA-512",
+      encoding: String = "base64"): String = {
     val d = java.security.MessageDigest
       .getInstance(algorithm)
       .digest(value.getBytes("UTF-8"))
-    java.util.Base64.getEncoder.encodeToString(d)
+    encoding match {
+      case "base64" => java.util.Base64.getEncoder.encodeToString(d)
+      case "hex"    => d.map(b => f"$b%02x").mkString
+      case other    => throw new IllegalArgumentException(
+        s"unsupported StaticHash encoding: $other")
+    }
   }
 }
 

@@ -72,6 +72,10 @@ class MapperSpec extends AnyFunSuite {
     val out = one(TableMapping("t", "s", Seq("v" -> StaticHash("graft"))), src)
     assert(out.collect().head.getString(0) == expected)
     assert(StaticHash("graft").hashed == expected)
+    // hex encoding + alternate algorithm (reference options.encoding/algorithm)
+    assert(StaticHash("graft", "SHA-256", "hex").hashed ==
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest("graft".getBytes("UTF-8")).map(b => f"$b%02x").mkString)
   }
 
   test("CopyOrDefault: null/empty/all-space → default (T-SQL LEN parity)") {

@@ -143,6 +143,32 @@ class MapperSpec extends AnyFunSuite {
     assert(one(tm, src).count() == 2)
   }
 
+  test("grouping with transformed keys: CastAs/CaseMap group on SOURCE col, transform outer") {
+    // reference: isColumn provenance makes the raw source column the GROUP
+    // BY key; the scalar transform wraps the aliased key in the outer
+    // select (tsql2008.js:216-238 + mappr.js CastAs/CaseMap isColumn=true)
+    val src = Seq(("1", "A", 2.0), ("1", "A", 3.0), ("2", "B", 4.0))
+      .toDF("k", "c", "v")
+    val tm = TableMapping("t", "s", Seq(
+      "key_int"  -> CastAs("k", org.apache.spark.sql.types.IntegerType),
+      "decoded"  -> CaseMap("c", Seq("A" -> "alpha"), "other"),
+      "tot"      -> AggregateColumn("v", "SUM")), useGrouping = true)
+    assert(Compiler.inferredGroupKeys(tm) == Seq("k", "c"))
+    val out = one(tm, src).orderBy("key_int").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1, "alpha", 5.0), (2, "other", 4.0)))
+  }
+
+  test("SqlFunction zero-arg form and Sql single-column provenance") {
+    val src = Seq(("x", 1)).toDF("s", "n")
+    // zero-arg function call (reference `options + '()'` form, e.g. GETDATE())
+    val out = one(TableMapping("t", "s", Seq(
+      "pi_val" -> SqlFunction("pi", Seq()),
+      "via_sql" -> Sql("n + 1", Seq("n")))), src).collect().head
+    assert(math.abs(out.getDouble(0) - math.Pi) < 1e-12)
+    assert(out.getInt(1) == 2)
+  }
+
   test("sourceFilter applied before grouping") {
     val src = Seq(("a", 1.0), ("a", 10.0), ("b", 2.0)).toDF("k", "v")
     val tm = TableMapping("t", "s", Seq(

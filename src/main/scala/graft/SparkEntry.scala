@@ -329,6 +329,21 @@ object SparkEntry {
       ext.Dedup.ngramJaccardPairs(read(s, dir, "documents"),
         "doc_id", "text", k = 3, threshold = 0.8)),
 
+    // text analysis: corpus top-k terms
+    "q_text_topterms" -> ((s, dir) =>
+      ext.TextOps.topTerms(read(s, dir, "documents"), "text", k = 20)),
+
+    // dedup: near-dup clustering + canonical-only corpus (the "drop
+    // near-dups from the training set" step; clusters from exact n-gram
+    // Jaccard pairs so the result is deterministic)
+    "q_dedup_canonical" -> { (s, dir) =>
+      val docs = read(s, dir, "documents")
+      val pairs = ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.8)
+      ext.Dedup.canonicalize(docs, "doc_id", pairs)
+        .select("doc_id", "lang", "source")
+    },
+
     // dedup: MinHash+LSH near-dup (no oracle — xxhash64 is engine-
     // internal; validated against q_ngram_jaccard in DedupSpec)
     "q_minhash_neardup" -> ((s, dir) =>
@@ -691,6 +706,39 @@ object SparkEntry {
         |JOIN cnt ca ON ca.doc_id = a_id
         |JOIN cnt cb ON cb.doc_id = b_id
         |WHERE CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) >= 0.8""".stripMargin,
+
+    "q_text_topterms" ->
+      """SELECT term, cnt, rnk FROM (
+        |  SELECT term, COUNT(*) AS cnt,
+        |         CAST(row_number() OVER (ORDER BY COUNT(*) DESC, term) AS INTEGER) AS rnk
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term) WHERE rnk <= 20""".stripMargin,
+
+    "q_dedup_canonical" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i.i:i.i+2], ' ') AS s
+        |       FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) i
+        |       WHERE i.i <= len(t) - 2),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ic
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM inter
+        |          JOIN cnt ca ON ca.doc_id = a_id
+        |          JOIN cnt cb ON cb.doc_id = b_id
+        |          WHERE CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) >= 0.8),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (SELECT src AS a, dst AS b FROM edges
+        |          UNION
+        |          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |clusters AS (SELECT d.doc_id,
+        |                    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
+        |             FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |             GROUP BY d.doc_id)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |JOIN clusters c ON d.doc_id = c.doc_id WHERE d.doc_id = c.cluster""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

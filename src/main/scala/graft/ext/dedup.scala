@@ -192,6 +192,62 @@ object Dedup {
       .select("a_id", "b_id", "hamming")
   }
 
+  // ------------------------------------------- clustering / canonicalization
+
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: every doc starts labeled with its own id; each round a
+    * doc takes the min label among itself and its neighbors; converges in
+    * O(log(diameter)) rounds (near-dup clusters are small, so few).
+    * Returns (id, cluster) where cluster = min id in the component.
+    *
+    * Scale: each round is one join + one groupBy on the pair list (pairs
+    * ≪ docs after LSH); the label frame is (id, long). The driver-side
+    * convergence check counts changed labels — an O(1)-row action, not a
+    * collect of data.
+    */
+  def nearDupClusters(
+      ids: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    // undirected edges, both directions
+    val edges = pairs.select(col("a_id").alias("src"), col("b_id").alias("dst"))
+      .union(pairs.select(col("b_id").alias("src"), col("a_id").alias("dst")))
+    var labels = ids.select(col(idCol).alias("id"), col(idCol).alias("cluster"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("cluster")).alias("nmin"))
+      val next = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
+            .alias("cluster"))
+        .cache()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-dup canonicalization: drop every doc that is not the min-id
+    * representative of its near-dup cluster — the actual "dedup the
+    * training set" step. `pairs` comes from any near-dup detector
+    * (MinHash/SimHash/ngram/embedding).
+    */
+  def canonicalize(
+      df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = nearDupClusters(df.select(col(idCol)), idCol, pairs)
+    df.join(clusters, df(idCol) === clusters("id"))
+      .filter(col(idCol) === col("cluster"))
+      .drop("id", "cluster")
+  }
+
   // ------------------------------------------------- embedding-cosine dedup
 
   /** Embedding near-dup pairs: cosine >= threshold. Delegates candidate

@@ -76,6 +76,19 @@ object TextOps {
       "score" -> score)
   }
 
+  /** Corpus-wide top-k most frequent tokens (tie-break: term ascending).
+    * One explode + one hash-groupBy + a rank over the (tiny) term counts.
+    */
+  def topTerms(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(explode(tokens(col(textCol))).alias("term"))
+      .groupBy("term").agg(count(lit(1)).alias("cnt"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term"))))
+      .filter(col("rnk") <= k)
+      .select("term", "cnt", "rnk")
+  }
+
   /** Content fingerprint: sha256 over the sorted distinct token set — the
     * canonical "fingerprint" normalization (order/multiplicity-insensitive).
     */

@@ -88,6 +88,32 @@ class ExtSpec extends AnyFunSuite {
     assert(out == Map(1L -> "en", 2L -> "es", 3L -> "und"))
   }
 
+  test("near-dup clustering: min-label propagation over pair graph") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // components: {1,2,3} (chain), {4,5}, {6} isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    val out = Dedup.nearDupClusters(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("canonicalize keeps only min-id representative per cluster") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("a_id", "b_id")
+    val out = Dedup.canonicalize(docs, "doc_id", pairs)
+    // docs 1,2,4 are one near-dup cluster → keep 1; doc 3 isolated
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
+  }
+
+  test("topTerms: count-ranked with deterministic tie-break") {
+    val d = Seq((1L, "a b b c"), (2L, "b c c a")).toDF("doc_id", "text")
+    val out = ext.TextOps.topTerms(d, "text", 2).orderBy("rnk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // b:3, c:3 tie → term asc; a:2 cut off
+    assert(out.toSeq == Seq(("b", 3L, 1), ("c", 3L, 2)))
+  }
+
   test("embedding cosine + near-dup pairs") {
     val e = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f)),

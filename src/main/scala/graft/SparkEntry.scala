@@ -377,6 +377,22 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, dim = 64, tables = 8, bitsPerTable = 6)
     },
 
+    // sketches: exact distinct (oracle) — HLL approx variant is rows-only,
+    // accuracy asserted in ExtSpec
+    "q_distinct_count" -> ((s, dir) => ext.Sketches.exactDistinct(
+      read(s, dir, "lineitem"), Seq("l_returnflag"), "l_partkey")),
+
+    // skew: salted equi-join must equal the plain join (rows-only; equality
+    // asserted in ExtSpec, this exercises it at sf scale)
+    "q_salted_join" -> { (s, dir) =>
+      val li = read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      val part = read(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      ext.Salting.saltedEquiJoin(li, part, "l_partkey", "p_partkey", 8)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).alias("n"), sum(col("l_quantity")).alias("qty"))
+    },
+
     // events: tumbling-window aggregation (hour buckets, decimal-exact sum)
     "q_events_tumbling" -> ((s, dir) => readEvents(s, dir)
       .withColumn("hour_us", expr("ts_us - (ts_us % 3600000000)"))
@@ -760,6 +776,15 @@ object SparkEntry {
         |                    ORDER BY sim DESC, n_id) AS INTEGER) AS rnk
         |           FROM scored)
         |SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    "q_distinct_count" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_salted_join" ->
+      """SELECT p.p_brand, COUNT(*) AS n, SUM(l.l_quantity) AS qty
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY p.p_brand""".stripMargin,
 
     "q_events_tumbling" ->
       """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, value

@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities (SURVEY §7.3 scale design).
+  *
+  * AQE's skew-join handles most cases at runtime; explicit salting remains
+  * the tool for pathological single-key skew (one key ≫ a partition) or
+  * when AQE is unavailable (e.g., inside some streaming joins).
+  */
+object Salting {
+
+  /** Salted inner equi-join: the skewed (large, hot-keyed) left side gets a
+    * random-ish but *deterministic* salt in [0, saltFactor) derived from a
+    * row hash; the right side is exploded `saltFactor`× so every salted key
+    * finds its match. Result rows are identical to the unsalted join — only
+    * the shuffle distribution changes (hot key split across saltFactor
+    * partitions).
+    *
+    * Cost: right side replicated saltFactor× — use on joins where right is
+    * much smaller than the hot key's row count (the classic fact⋈dim skew).
+    */
+  def saltedEquiJoin(
+      skewed: DataFrame, other: DataFrame,
+      skewedKey: String, otherKey: String,
+      saltFactor: Int = 8): DataFrame = {
+    require(saltFactor >= 1)
+    val salted = skewed.withColumn("__salt",
+      pmod(xxhash64(skewed.columns.map(col): _*), lit(saltFactor)).cast("int"))
+    val exploded = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(exploded,
+        salted(skewedKey) === exploded(otherKey) &&
+          salted("__salt") === exploded("__salt"))
+      .drop("__salt")
+  }
+}
+
+/** Cardinality sketches: exact distinct as the oracle-checkable baseline,
+  * HyperLogLog++ (`approx_count_distinct`) as the 100 TB path — the sketch
+  * is mergeable across partitions, so the shuffle carries one sketch per
+  * group instead of the distinct values themselves.
+  */
+object Sketches {
+
+  def exactDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(countDistinct(col(valueCol)).alias("n_distinct"))
+
+  def approxDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      rsd: Double = 0.05): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(approx_count_distinct(col(valueCol), rsd).alias("n_distinct_approx"))
+}

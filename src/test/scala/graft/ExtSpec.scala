@@ -137,6 +137,29 @@ class ExtSpec extends AnyFunSuite {
     assert(ranks == Seq(1, 2, 3))
   }
 
+  test("salted join ≡ plain join (rows identical, only shuffle differs)") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .select($"p_partkey", $"p_brand")
+    val plain = li.join(part, li("l_partkey") === part("p_partkey"))
+    val salted = ext.Salting.saltedEquiJoin(li, part, "l_partkey", "p_partkey", 4)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("HLL approx distinct within rsd of exact") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val exact = ext.Sketches.exactDistinct(li, Seq("l_returnflag"), "l_partkey")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = ext.Sketches.approxDistinct(li, Seq("l_returnflag"), "l_partkey", 0.05)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.15, s"$k: $n vs ${approx(k)}")
+    }
+  }
+
   test("LSH top-k recall vs brute force >= 60% on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 10)

@@ -208,9 +208,12 @@ object Dedup {
   def nearDupClusters(
       ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 20): DataFrame = {
-    // undirected edges, both directions
+    // undirected edges, both directions — cached: the loop re-reads this
+    // every round, and its lineage (a near-dup detector) is expensive;
+    // the edge list itself is tiny (pairs ≪ docs)
     val edges = pairs.select(col("a_id").alias("src"), col("b_id").alias("dst"))
       .union(pairs.select(col("b_id").alias("src"), col("a_id").alias("dst")))
+      .cache()
     var labels = ids.select(col(idCol).alias("id"), col(idCol).alias("cluster"))
     var converged = false
     var i = 0

@@ -377,6 +377,11 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, dim = 64, tables = 8, bitsPerTable = 6)
     },
 
+    // flagship composite: training-corpus curation (quality gate →
+    // near-dup canonicalization → per-source stats)
+    "q_curate_corpus" -> ((s, dir) => ext.Curate.corpusStats(
+      ext.Curate.curateCorpus(read(s, dir, "documents")))),
+
     // sketches: exact distinct (oracle) — HLL approx variant is rows-only,
     // accuracy asserted in ExtSpec
     "q_distinct_count" -> ((s, dir) => ext.Sketches.exactDistinct(
@@ -776,6 +781,40 @@ object SparkEntry {
         |                    ORDER BY sim DESC, n_id) AS INTEGER) AS rnk
         |           FROM scored)
         |SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    "q_curate_corpus" ->
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, text, source, string_split(text, ' ') AS t FROM documents),
+         |f AS (SELECT doc_id, text, source, t, CAST(len(t) AS BIGINT) AS n_words
+         |      FROM d
+         |      WHERE len(list_filter(t, x -> x IN (${TextStopSql.en}))) > 0
+         |        AND len(t) >= 20),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i.i:i.i+2], ' ') AS s
+         |       FROM f, (SELECT unnest(generate_series(1, 4000)) AS i) i
+         |       WHERE i.i <= len(t) - 2),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ic
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT a_id, b_id FROM inter
+         |          JOIN cnt ca ON ca.doc_id = a_id
+         |          JOIN cnt cb ON cb.doc_id = b_id
+         |          WHERE CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) >= 0.8),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (SELECT src AS a, dst AS b FROM edges
+         |          UNION
+         |          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |clusters AS (SELECT f.doc_id,
+         |                    least(f.doc_id, coalesce(min(r.b), f.doc_id)) AS cluster
+         |             FROM f LEFT JOIN reach r ON r.a = f.doc_id
+         |             GROUP BY f.doc_id)
+         |SELECT f.source, COUNT(*) AS n_docs,
+         |       CAST(SUM(f.n_words) AS BIGINT) AS total_words,
+         |       MIN(f.doc_id) AS first_doc
+         |FROM f JOIN clusters c ON f.doc_id = c.doc_id
+         |WHERE f.doc_id = c.cluster
+         |GROUP BY f.source""".stripMargin,
 
     "q_distinct_count" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct

@@ -1,0 +1,48 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation — the composite the rest of the
+  * extension surface exists for: language/quality gating → near-dup
+  * canonicalization → corpus stats. Every stage is a deterministic
+  * DataFrame transform, so the whole pipeline is oracle-checkable.
+  *
+  * Scale path: the gate is embarrassingly parallel; near-dup pairs come
+  * from the shingle join (LSH at real scale — swap `ngramJaccardPairs`
+  * for `minHashNearDupPairs`); clustering shuffles only the (tiny) pair
+  * graph; stats are one hash-groupBy.
+  */
+object Curate {
+
+  /** Gate + canonicalize: keep docs with at least one English stopword and
+    * `minWords`+ tokens, then drop near-duplicates (keep min-id
+    * representative per Jaccard cluster). Returns the curated docs with
+    * `n_words` attached.
+    */
+  def curateCorpus(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minWords: Int = 20,
+      shingleK: Int = 3,
+      jaccardThreshold: Double = 0.8): DataFrame = {
+    val gated = docs
+      .withColumn("__t", TextOps.tokens(col(textCol)))
+      .withColumn("n_words", size(col("__t")).cast("long"))
+      .filter(TextOps.stopwordHits("__t", "en") > 0 &&
+        col("n_words") >= minWords)
+      .drop("__t")
+    val pairs = Dedup.ngramJaccardPairs(gated, idCol, textCol,
+      shingleK, jaccardThreshold).select("a_id", "b_id")
+    Dedup.canonicalize(gated, idCol, pairs)
+  }
+
+  /** Per-source corpus stats over the curated set. */
+  def corpusStats(curated: DataFrame, idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame =
+    curated.groupBy(col(sourceCol))
+      .agg(count(lit(1)).alias("n_docs"),
+        sum(col("n_words")).alias("total_words"),
+        min(col(idCol)).alias("first_doc"))
+}

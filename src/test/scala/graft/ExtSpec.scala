@@ -137,6 +137,22 @@ class ExtSpec extends AnyFunSuite {
     assert(ranks == Seq(1, 2, 3))
   }
 
+  test("curateCorpus: gate drops short/stopword-free docs, canonicalize dedups") {
+    val d = Seq(
+      (1L, ("the quick brown fox jumps over the lazy dog " * 3).trim, "s1"),
+      (2L, ("the quick brown fox jumps over the lazy dog " * 3).trim, "s1"), // near-dup of 1
+      (3L, "short the text", "s1"),                          // < minWords
+      (4L, ("xyzzy plugh qwerty corge grault " * 5).trim, "s2"), // no stopwords
+      (5L, ("it was the best of times it was the worst of times " * 2).trim, "s2"),
+    ).toDF("doc_id", "text", "source")
+    val out = ext.Curate.curateCorpus(d, minWords = 10)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 5L))
+    val stats = ext.Curate.corpusStats(out).orderBy("source").collect()
+    assert(stats.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("s1", 1L), ("s2", 1L)))
+  }
+
   test("salted join ≡ plain join (rows identical, only shuffle differs)") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select($"l_orderkey", $"l_partkey", $"l_quantity")

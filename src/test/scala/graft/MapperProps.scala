@@ -1,0 +1,97 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** ScalaCheck properties: column operators vs executable Scala specs over
+  * generated batches (SURVEY §5 property-test plan). Each sample is one
+  * Spark job over a generated batch of rows, so sample counts stay small.
+  */
+object MapperProps extends Properties("mappers") {
+
+  private lazy val spark = TestSpark.spark
+
+  // alphanumeric + spaces only: Spark trim/rtrim strip ' ' specifically,
+  // so the executable spec below stays exactly equivalent
+  private val cellGen: Gen[Option[String]] = Gen.option(
+    Gen.listOf(Gen.frequency(4 -> Gen.alphaNumChar, 1 -> Gen.const(' ')))
+      .map(_.mkString))
+
+  private def df1(rows: List[Option[String]]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(o => Row(o.orNull)), 2),
+      StructType(Seq(StructField("c", StringType))))
+
+  private def run(tm: TableMapping, rows: List[Option[String]]): List[String] =
+    Compiler.transformedSource(df1(rows), tm, _ => sys.error("no dest"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0)).toList
+
+  private def rtrim(s: String) = s.reverse.dropWhile(_ == ' ').reverse
+  private def ltrim(s: String) = s.dropWhile(_ == ' ')
+
+  propertyWithSeed("TruncateString == rtrim(take(n)) with empty→null", None) =
+    forAll(Gen.listOfN(20, cellGen), Gen.choose(1, 8)) { (rows, n) =>
+      val got = run(TableMapping("t", "s",
+        Seq("v" -> TruncateString("c", n))), rows)
+      val want = rows.map {
+        case None => null
+        case Some(s) =>
+          val t = rtrim(s.take(n))
+          if (t.isEmpty) null else t
+      }
+      got == want
+    }
+
+  propertyWithSeed("CopyOrDefault: null/effectively-empty → default", None) =
+    forAll(Gen.listOfN(20, cellGen)) { rows =>
+      val got = run(TableMapping("t", "s",
+        Seq("v" -> CopyOrDefault("c", "D"))), rows)
+      val want = rows.map {
+        case None => "D"
+        case Some(s) => if (rtrim(s).isEmpty) "D" else s
+      }
+      got == want
+    }
+
+  propertyWithSeed("ConcatColumns == trim(joined coalesced parts)", None) =
+    forAll(Gen.listOfN(12, Gen.zip(cellGen, cellGen, cellGen))) { rows =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (a, b, c) => Row(a.orNull, b.orNull, c.orNull) }, 2),
+        StructType(Seq("a", "b", "c").map(StructField(_, StringType))))
+      val got = Compiler.transformedSource(
+          df, TableMapping("t", "s",
+            Seq("v" -> ConcatColumns(Seq("a", "b", "c"), " "))),
+          _ => sys.error("no dest"))
+        .collect().map(_.getString(0)).toList
+      val want = rows.map { case (a, b, c) =>
+        ltrim(rtrim(List(a, b, c).map(_.getOrElse("")).mkString(" ")))
+      }
+      got == want
+    }
+
+  propertyWithSeed("merge totality + idempotence over random key sets", None) = {
+    import spark.implicits._
+    val tm = TableMapping("dest", "src",
+      Seq("id" -> MergeOn("sid"), "v" -> DirectCopy("sv")), useMerge = true)
+    forAll(Gen.listOf(Gen.choose(1, 30)).map(_.distinct),
+           Gen.listOf(Gen.choose(1, 30)).map(_.distinct)) { (dk, sk) =>
+      val d = dk.map(k => (k, s"d$k")).toDF("id", "v")
+      val s = sk.map(k => (k, s"s$k")).toDF("sid", "sv")
+      val src = Compiler.transformedSource(s, tm, _ => sys.error("no dest"))
+      // localCheckpoint breaks lineage so the pass-2 merge isn't a
+      // self-join of the same logical plan (analyzer ambiguity)
+      val once = Merge(d, src, tm).drop(Merge.ActionCol).localCheckpoint()
+      val rows = once.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      val expect = (dk.toSet ++ sk.toSet).map { k =>
+        k -> (if (sk.contains(k)) s"s$k" else s"d$k")
+      }.toMap
+      val twice = Merge(once, src, tm)
+      rows == expect &&
+        twice.filter(org.apache.spark.sql.functions
+          .col(Merge.ActionCol) === "INSERT").count() == 0
+    }
+  }
+}

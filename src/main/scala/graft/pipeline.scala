@@ -31,11 +31,22 @@ final class InMemoryCatalog(
 /** Parquet-directory catalog: `<dir>/<table>.parquet` — the driver testdata
   * contract (TESTDATA.md).
   */
-final class ParquetCatalog(spark: SparkSession, dir: String) extends Catalog {
+final class ParquetCatalog(
+    spark: SparkSession, dir: String,
+    partitioning: Map[String, Seq[String]] = Map.empty) extends Catalog {
   def read(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
-  def write(name: String, df: DataFrame): Unit =
-    df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+  /** Tables listed in `partitioning` write hive-partitioned by those
+    * columns — the 100 TB layout for merge destinations: partition by a
+    * prefix of the merge key so upsert reads prune to touched partitions
+    * (the parquet stand-in for Delta/Iceberg partitioning + file skipping).
+    */
+  def write(name: String, df: DataFrame): Unit = {
+    val w = df.write.mode("overwrite")
+    partitioning.get(name).filter(_.nonEmpty)
+      .fold(w)(cols => w.partitionBy(cols: _*))
+      .parquet(s"$dir/$name.parquet")
+  }
   def exists(name: String): Boolean =
     new java.io.File(s"$dir/$name.parquet").exists()
 }

@@ -29,6 +29,24 @@ class CatalogSpec extends AnyFunSuite {
       Seq((1, "A"), (2, "B")))
   }
 
+  test("partitioned parquet dest: hive layout + partition pruning on read") {
+    val dir = tmp()
+    val cat = new ParquetCatalog(spark, dir,
+      partitioning = Map("t" -> Seq("st")))
+    cat.write("t", Seq((1, "A"), (2, "B"), (3, "A")).toDF("k", "st"))
+    // hive-partitioned directories exist
+    val parts = new java.io.File(s"$dir/t.parquet").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted
+    assert(parts.toSeq == Seq("st=A", "st=B"))
+    // read back complete, and a partition filter prunes the scan
+    val back = cat.read("t")
+    assert(back.count() == 3)
+    val pruned = back.filter(org.apache.spark.sql.functions.col("st") === "A")
+    assert(pruned.count() == 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || pruned.inputFiles.length <= 2)
+  }
+
   test("json catalog round-trip") {
     val dir = tmp()
     val cat = new FormatCatalog(spark, dir, "json")

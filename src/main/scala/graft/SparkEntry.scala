@@ -454,6 +454,18 @@ object SparkEntry {
           length(element_at(col("frames"), 1)).alias("frame0_bytes"))
     },
 
+    // as-of join: per event, the latest signup value at-or-before its
+    // timestamp (Spark-composed union+window vs DuckDB's native ASOF JOIN)
+    "q_asof_join" -> { (s, dir) =>
+      val e = readEvents(s, dir)
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts_us"), col("value"))
+      ext.AsOf.joinBackward(
+          e.select(col("event_id"), col("user_id"), col("ts_us")),
+          signups, "user_id", "ts_us", "ts_us", Seq("value"))
+        .select(col("event_id"), col("value").alias("signup_value"))
+    },
+
     // events: sessionization (30-min gap islands per user)
     "q_events_sessionize" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
@@ -838,6 +850,15 @@ object SparkEntry {
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
         |FROM events""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |                  event_type, value FROM events),
+        |sg AS (SELECT user_id, ts_us, value FROM e WHERE event_type = 'signup')
+        |SELECT e.event_id, sg.value AS signup_value
+        |FROM e ASOF LEFT JOIN sg
+        |  ON e.user_id = sg.user_id AND e.ts_us >= sg.ts_us""".stripMargin,
 
     "q_events_sessionize" ->
       """WITH e AS (SELECT event_id, user_id,

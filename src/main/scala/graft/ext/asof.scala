@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (backward) join — for each left row, the latest right row of the
+  * same key with `rightTime <= leftTime` (time-series enrichment: "state
+  * as of this event"). Spark has no native ASOF JOIN; the idiomatic
+  * composition is a tagged union + one running-`last` window:
+  *
+  *   1. union both sides on (key, time, side) with right rows sorted
+  *      before left rows at equal timestamps (so equality matches);
+  *   2. `last(rightPayload, ignoreNulls) over (partition key order time,
+  *      side rows unbounded preceding..current)` carries the most recent
+  *      right payload forward;
+  *   3. keep left rows, unpack the carried payload.
+  *
+  * ONE shuffle on the key (the union sorts within partitions) — versus the
+  * quadratic range-join a naive `l.key = r.key AND r.t <= l.t` + windowed
+  * max would produce. Precondition for determinism: (key, rightTime)
+  * unique on the right (dedup first otherwise).
+  */
+object AsOf {
+
+  def joinBackward(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      rightValueCols: Seq[String]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val lp = left.select(
+      col(key).alias("__k"),
+      col(leftTime).cast("long").alias("__t"),
+      lit(1).alias("__side"),
+      lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          rightValueCols.map(c =>
+            org.apache.spark.sql.types.StructField(c,
+              right.schema(c).dataType)))).alias("__rv"),
+      struct(leftCols.map(col): _*).alias("__lrow"))
+    val rp = right.select(
+      col(key).alias("__k"),
+      col(rightTime).cast("long").alias("__t"),
+      lit(0).alias("__side"),
+      struct(rightValueCols.map(col): _*).alias("__rv"),
+      lit(null).cast(lp.schema("__lrow").dataType).alias("__lrow"))
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    lp.unionByName(rp)
+      .withColumn("__carried", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(c => col(s"__lrow.$c").alias(c)) ++
+        rightValueCols.map(c => col(s"__carried.$c").alias(c)): _*)
+  }
+}

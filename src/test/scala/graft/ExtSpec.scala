@@ -137,6 +137,21 @@ class ExtSpec extends AnyFunSuite {
     assert(ranks == Seq(1, 2, 3))
   }
 
+  test("as-of backward join: latest at-or-before match, NULL when none") {
+    val l = Seq((1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"), (2L, 50L, "x"))
+      .toDF("k", "t", "name")
+    val r = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (3L, 1L, 999.0))
+      .toDF("k", "rt", "v")
+    val out = ext.AsOf.joinBackward(l, r, "k", "t", "rt", Seq("v"))
+      .collect().map(x => (x.getString(2),
+        if (x.isNullAt(3)) null else x.getDouble(3).asInstanceOf[Any])).toMap
+    assert(out == Map(
+      "e0" -> null,     // before any right row
+      "e1" -> 100.0,    // equal timestamp matches
+      "e2" -> 150.0,    // latest preceding
+      "x"  -> null))    // key with no right rows
+  }
+
   test("curateCorpus: gate drops short/stopword-free docs, canonicalize dedups") {
     val d = Seq(
       (1L, ("the quick brown fox jumps over the lazy dog " * 3).trim, "s1"),

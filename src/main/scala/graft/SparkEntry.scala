@@ -466,6 +466,21 @@ object SparkEntry {
         .select(col("event_id"), col("value").alias("signup_value"))
     },
 
+    // interval/range join: signups within the hour before each error,
+    // bucketized to an equi-join (vs DuckDB's plain inequality join)
+    "q_interval_join" -> { (s, dir) =>
+      val e = readEvents(s, dir)
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id").alias("a_id"), col("user_id"),
+          col("ts_us").alias("a_ts"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("event_id").alias("b_id"), col("user_id"),
+          col("ts_us").alias("b_ts"))
+      ext.RangeJoin.intervalJoin(errors, signups,
+          "user_id", "a_ts", "b_ts", -3600000000L, 0L)
+        .select(col("a_id"), col("b_id"))
+    },
+
     // events: sessionization (30-min gap islands per user)
     "q_events_sessionize" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
@@ -850,6 +865,16 @@ object SparkEntry {
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
         |FROM events""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |                  event_type FROM events)
+        |SELECT a.event_id AS a_id, b.event_id AS b_id
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id
+        | AND b.ts_us >= a.ts_us - 3600000000 AND b.ts_us < a.ts_us
+        | AND a.event_type = 'error' AND b.event_type = 'signup'""".stripMargin,
 
     "q_asof_join" ->
       """WITH e AS (SELECT event_id, user_id,

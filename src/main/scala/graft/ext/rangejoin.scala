@@ -1,0 +1,41 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join: pairs (l, r) with the same key and
+  * `r.time ∈ [l.time + lower, l.time + upper)`.
+  *
+  * A naive `l.key = r.key AND r.t BETWEEN ...` join degrades to
+  * per-key-cartesian when keys are hot. This implementation bucketizes
+  * time by the window width: each right row lands in one bucket, each
+  * left row probes the (at most ⌈span/width⌉ + 1) buckets its window
+  * overlaps — the join becomes equi on (key, bucket) with an exact
+  * residual filter, so Spark hash-partitions it like any equi-join and
+  * per-partition work is bounded by bucket occupancy, not key frequency.
+  */
+object RangeJoin {
+
+  /** Column names (other than `key`) must be disjoint between the two
+    * sides — rename before calling (as with any Spark self-join).
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      lowerOffset: Long, upperOffset: Long): DataFrame = {
+    require(upperOffset > lowerOffset, "empty interval")
+    val width = upperOffset - lowerOffset
+
+    val l = left.withColumn("__bkt", explode(expr(
+      s"sequence(floor(($leftTime + $lowerOffset) / ${width}L), " +
+        s"floor(($leftTime + $upperOffset - 1) / ${width}L))")))
+    val r = right
+      .withColumnRenamed(key, "__rk")
+      .withColumn("__bkt2", expr(s"floor($rightTime / ${width}L)"))
+
+    l.join(r, l(key) === r("__rk") && l("__bkt") === r("__bkt2"))
+      .filter(col(rightTime) >= col(leftTime) + lit(lowerOffset) &&
+        col(rightTime) < col(leftTime) + lit(upperOffset))
+      .drop("__bkt", "__bkt2", "__rk")
+  }
+}

@@ -152,6 +152,22 @@ class ExtSpec extends AnyFunSuite {
       "x"  -> null))    // key with no right rows
   }
 
+  test("interval join: bucketized equi ≡ naive inequality join") {
+    val rnd = new scala.util.Random(7)
+    val l = (1 to 100).map(i => (i.toLong, (i % 5).toLong, rnd.nextInt(1000).toLong))
+      .toDF("a_id", "k", "a_t")
+    val r = (1 to 100).map(i => (i.toLong + 1000, (i % 5).toLong, rnd.nextInt(1000).toLong))
+      .toDF("b_id", "k", "b_t")
+    val fast = ext.RangeJoin.intervalJoin(l, r, "k", "a_t", "b_t", -50L, 25L)
+      .select("a_id", "b_id")
+    val naive = l.join(r, l("k") === r("k") &&
+        r("b_t") >= l("a_t") - 50 && r("b_t") < l("a_t") + 25)
+      .select("a_id", "b_id")
+    assert(fast.count() == naive.count())
+    assert(fast.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(fast).count() == 0)
+  }
+
   test("curateCorpus: gate drops short/stopword-free docs, canonicalize dedups") {
     val d = Seq(
       (1L, ("the quick brown fox jumps over the lazy dog " * 3).trim, "s1"),

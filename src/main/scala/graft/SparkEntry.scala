@@ -382,6 +382,13 @@ object SparkEntry {
     "q_curate_corpus" -> ((s, dir) => ext.Curate.corpusStats(
       ext.Curate.curateCorpus(read(s, dir, "documents")))),
 
+    // sampling: deterministic hash-Bernoulli per stratum (rows-only —
+    // xxhash64 is engine-internal; determinism + rates in ExtSpec)
+    "q_stratified_sample" -> ((s, dir) => ext.Sampling.stratified(
+      read(s, dir, "documents"), "doc_id", "source",
+      Map("src0" -> 0.5, "src1" -> 0.1))
+      .groupBy(col("source")).agg(count(lit(1)).alias("n_kept"))),
+
     // sketches: exact distinct (oracle) — HLL approx variant is rows-only,
     // accuracy asserted in ExtSpec
     "q_distinct_count" -> ((s, dir) => ext.Sketches.exactDistinct(

@@ -37,6 +37,35 @@ object Salting {
   }
 }
 
+/** Deterministic sampling for training-data pipelines: hash-based Bernoulli
+  * keyed on a stable id, so samples are reproducible across runs/clusters
+  * (unlike `df.sample`, whose result depends on partitioning) and
+  * stratum rates can rebalance over-represented sources.
+  */
+object Sampling {
+
+  private def keep(idCol: String, fraction: Double): Column =
+    pmod(xxhash64(col(idCol)), lit(1000000L)) < (fraction * 1000000L).toLong
+
+  /** Uniform deterministic sample: keep rows whose id-hash falls under the
+    * fraction threshold. Same ids are kept in every run.
+    */
+  def deterministic(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.filter(keep(idCol, fraction))
+
+  /** Per-stratum deterministic sampling: `fractions` maps stratum value →
+    * keep rate (absent strata keep everything). One narrow filter — no
+    * shuffle, no sort, reproducible.
+    */
+  def stratified(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    val cond = fractions.foldLeft(lit(true)) { case (acc, (stratum, frac)) =>
+      when(col(stratumCol) === lit(stratum), keep(idCol, frac)).otherwise(acc)
+    }
+    df.filter(cond)
+  }
+}
+
 /** Cardinality sketches: exact distinct as the oracle-checkable baseline,
   * HyperLogLog++ (`approx_count_distinct`) as the 100 TB path — the sketch
   * is mergeable across partitions, so the shuffle carries one sketch per

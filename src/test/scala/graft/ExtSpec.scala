@@ -196,6 +196,24 @@ class ExtSpec extends AnyFunSuite {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("deterministic stratified sampling: reproducible, rate-respecting") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fr = Map("src0" -> 0.5, "src1" -> 0.0)
+    val s1 = ext.Sampling.stratified(d, "doc_id", "source", fr)
+    val s2 = ext.Sampling.stratified(d.repartition(7), "doc_id", "source", fr)
+    // identical ids regardless of partitioning
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      s2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+    // rate 0 stratum fully dropped; untouched strata fully kept
+    assert(s1.filter($"source" === "src1").count() == 0)
+    val untouched = d.filter(!$"source".isin("src0", "src1")).count()
+    assert(s1.filter(!$"source".isin("src0", "src1")).count() == untouched)
+    // 0.5 stratum roughly halved
+    val total0 = d.filter($"source" === "src0").count().toDouble
+    val kept0 = s1.filter($"source" === "src0").count().toDouble
+    assert(kept0 / total0 > 0.25 && kept0 / total0 < 0.75)
+  }
+
   test("HLL approx distinct within rsd of exact") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val exact = ext.Sketches.exactDistinct(li, Seq("l_returnflag"), "l_partkey")

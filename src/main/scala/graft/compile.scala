@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
   * {{{
   *   src → filter(sourceFilter)               // WHERE inside USING subquery
   *       → [ distinct | groupBy(keys).agg ]   // SELECT DISTINCT * | GROUP BY
-  *       → fk broadcast joins                 // replaces per-row lookup UDFs
+  *       → fk left joins (AQE-broadcast)      // replaces per-row lookup UDFs
   *       → select(transformed columns)        // outer scalar transforms
   * }}}
   *
   * Everything stays declarative — Catalyst handles pushdown, pruning and
   * join strategy; at 100 TB the same plan holds because the only shuffles
-  * are the (necessary) groupBy/distinct, and all FK dims broadcast.
+  * are the (necessary) groupBy/distinct, and FK dims broadcast when AQE
+  * measures them under the threshold (never force-collected to the driver).
   */
 object Compiler {
 
@@ -49,11 +50,20 @@ object Compiler {
   def fkSpecs(tm: TableMapping): Seq[FkSpec] =
     tm.columns.flatMap(_._2.fkSpecs).distinct
 
+  /** All distinct FK lookup *call sites* — (spec, sourceColumn) pairs — in
+    * mapping order. The join-dedup unit: the reference dedups the lookup
+    * function by spec but each call keys on its own source column
+    * (`mappr.js:363-384`), so two mappers sharing a spec with different
+    * source columns need two independent joins.
+    */
+  def fkLookups(tm: TableMapping): Seq[FkLookup] =
+    tm.columns.flatMap(_._2.fkLookups).distinct
+
   /** Build the deduplicated lookup dimension for one FK spec: parent
     * projected to (importColumn, parentColumn), optional constant filter
     * pushed down, and `min(parentColumn)` per key for deterministic
     * first-match (the reference keeps an arbitrary duplicate; SURVEY §7.3
-    * fixes this by spec). Result is key-unique and tiny → broadcast.
+    * fixes this by spec). Result is key-unique; AQE broadcasts it when small.
     */
   def fkDim(parent: DataFrame, spec: FkSpec, alias: String): DataFrame = {
     val filtered = (spec.filterColumn, spec.filterValue) match {
@@ -92,25 +102,21 @@ object Compiler {
       } else if (tm.forceDistinct) filtered.distinct()
       else filtered
 
-    // FK lookups → broadcast left-outer joins, one per distinct spec
-    val specs = fkSpecs(tm)
-    val aliases = specs.zipWithIndex.map { case (s, i) => s -> s"__fk_$i" }.toMap
-    val joined = specs.foldLeft(shaped) { (df, spec) =>
-      val a = aliases(spec)
-      val dim = fkDim(readDest(spec.parentTable), spec, a)
-      df.join(broadcast(dim), df(spec.importKeySource(tm)) === dim(s"${a}_key"), "left")
+    // FK lookups → left-outer equi-joins, one per distinct (spec, sourceColumn)
+    // call site. The key-unique dim is usually small (deduped parent keys) and
+    // AQE picks broadcast at runtime when it fits; no unconditional broadcast()
+    // hint — FK parents are destination tables of arbitrary size, and forcing a
+    // driver collect on a full-size dest parent would OOM at scale.
+    val lookups = fkLookups(tm)
+    val aliases = lookups.zipWithIndex.map { case (l, i) => l -> s"__fk_$i" }.toMap
+    val joined = lookups.foldLeft(shaped) { (df, lookup) =>
+      val a = aliases(lookup)
+      val dim = fkDim(readDest(lookup.spec.parentTable), lookup.spec, a)
+      df.join(dim, df(lookup.sourceColumn) === dim(s"${a}_key"), "left")
         .drop(s"${a}_key")
     }
 
     val ctx = CompileCtx(aliases)
     joined.select(tm.columns.map { case (d, m) => m.toColumn(ctx).alias(d) }: _*)
-  }
-
-  private implicit class FkSpecOps(private val spec: FkSpec) extends AnyVal {
-    /** The source-side column the lookup keys on: the mapper's sourceColumn. */
-    def importKeySource(tm: TableMapping): String =
-      tm.columns.collectFirst {
-        case (_, fk: ForeignKey) if fk.spec == spec => fk.sourceColumn
-      }.getOrElse(throw new IllegalStateException(s"orphan FkSpec $spec"))
   }
 }

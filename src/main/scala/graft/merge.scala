@@ -18,8 +18,13 @@ import org.apache.spark.sql.functions._
   *     changelog (`tsql2008.js:316`): INSERT | UPDATE | NULL (untouched).
   *
   * T-SQL MERGE raises if one dest row matches >1 source rows, so the source
-  * must be key-unique; we document the same precondition (callers can use
-  * `forceDistinct`/`useGrouping` to establish it, as the reference does).
+  * must be key-unique. We enforce it (default `tm.strictMerge = true`): a
+  * window count over the merge keys on the source side raises a loud
+  * `raise_error` on the first duplicate key instead of silently duplicating
+  * dest rows. The window partitions by the same keys the join shuffles on,
+  * so Catalyst reuses the Exchange — the guard costs no extra shuffle.
+  * Opt out with `strictMerge = false` (callers can establish uniqueness via
+  * `forceDistinct`/`useGrouping`, as the reference does).
   *
   * Scale: a shuffle on the merge keys for both sides — the minimal possible
   * plan for a general upsert. At 100 TB this is a Delta/Iceberg `MERGE INTO`
@@ -56,8 +61,9 @@ object Merge {
   def apply(dest: DataFrame, transformedSrc: DataFrame, tm: TableMapping): DataFrame = {
     require(tm.mergeKeys.nonEmpty, s"${tm.destination}: useMerge requires MergeOn keys")
 
+    val src = if (tm.strictMerge) guardKeyUnique(transformedSrc, tm) else transformedSrc
     val d = dest.withColumn(DP, lit(1))
-    val s = transformedSrc.withColumn(SP, lit(1))
+    val s = src.withColumn(SP, lit(1))
 
     val joined = d.join(s, joinCond(d, s, tm), "full_outer")
 
@@ -92,5 +98,28 @@ object Merge {
     val kept =
       if (tm.updateOnly) result.filter(col(DP).isNotNull) else result
     kept.drop(DP)
+  }
+
+  /** Source key-uniqueness guard (T-SQL MERGE's "attempted to UPDATE the
+    * same row more than once" error, raised eagerly): a `count(*) OVER
+    * (PARTITION BY mergeKeys)` on the transformed source, folded into the
+    * first key column as `when(cnt > 1, raise_error(...))` so Catalyst can't
+    * prune it. The window's hash partitioning on the merge keys satisfies
+    * the downstream join's distribution requirement — Exchange is reused,
+    * no extra shuffle at any scale.
+    */
+  private def guardKeyUnique(src: DataFrame, tm: TableMapping): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keys = tm.mergeKeys.map(_._1)
+    val cnt = count(lit(1)).over(Window.partitionBy(keys.map(col): _*))
+    val msg = concat(
+      lit(s"MERGE into ${tm.destination}: source is not key-unique on " +
+        s"(${keys.mkString(", ")}) — T-SQL MERGE raises here; deduplicate " +
+        "the source (forceDistinct/useGrouping) or set strictMerge=false. " +
+        "Duplicate key: "),
+      concat_ws(",", keys.map(k => col(k).cast("string")): _*))
+    val guarded = keys.head
+    src.withColumn(guarded,
+      when(cnt > 1, raise_error(msg)).otherwise(col(guarded)))
   }
 }

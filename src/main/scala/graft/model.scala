@@ -27,8 +27,16 @@ sealed trait ColumnMapper {
     */
   def aggregate: Option[String] = None
 
-  /** FK lookups required by this mapper (empty for scalar ops). */
-  def fkSpecs: Seq[FkSpec] = Seq.empty
+  /** FK lookups required by this mapper (empty for scalar ops). Each lookup
+    * is a (spec, sourceColumn) pair: the reference dedups only the lookup
+    * *function* by spec and passes each mapper's own source column at call
+    * time (`mappr.js:291-294`, `363-384`), so two ForeignKey columns may
+    * share one spec while keying on different source columns.
+    */
+  def fkLookups: Seq[FkLookup] = Seq.empty
+
+  /** Distinct FK specs (lookup functions) this mapper needs. */
+  final def fkSpecs: Seq[FkSpec] = fkLookups.map(_.spec).distinct
 
   /** Compile to a Spark Column over the (possibly pre-aggregated,
     * fk-joined) source relation.
@@ -37,7 +45,7 @@ sealed trait ColumnMapper {
 }
 
 /** Compile-time context: resolved alias for each FK lookup spec. */
-final case class CompileCtx(fkAlias: Map[FkSpec, String] = Map.empty)
+final case class CompileCtx(fkAlias: Map[FkLookup, String] = Map.empty)
 
 object CompileCtx { val empty: CompileCtx = CompileCtx() }
 
@@ -56,7 +64,7 @@ final case class DirectCopy(source: String) extends ColumnMapper {
   */
 final case class CastAs(inner: ColumnMapper, to: DataType) extends ColumnMapper {
   override def sourceColumns: Seq[String] = inner.sourceColumns
-  override def fkSpecs: Seq[FkSpec] = inner.fkSpecs
+  override def fkLookups: Seq[FkLookup] = inner.fkLookups
   def toColumn(ctx: CompileCtx): Column = inner.toColumn(ctx).cast(to)
 }
 object CastAs {
@@ -190,6 +198,15 @@ final case class FkSpec(
     filterValue: Option[Any] = None,
 )
 
+/** One FK lookup *call site*: a spec plus the source column it keys on.
+  * The join-dedup unit — the reference shares a lookup function across
+  * mappers but each call passes its own source column
+  * (`mappr.js:363-384` `SqlFunction(..., columns: [options.sourceColumn])`),
+  * so e.g. `ship_to` and `bill_to` can both look up the same parent and
+  * must resolve independently.
+  */
+final case class FkLookup(spec: FkSpec, sourceColumn: String)
+
 /** #12 `ForeignKey` (`mappr.js:283-307`, codegen `363-384`): surrogate-key
   * remap via lookup into a destination parent table. The reference compiles
   * this to a per-row scalar UDF (RBAR — its known perf trap); here it becomes
@@ -200,8 +217,8 @@ final case class FkSpec(
   */
 final case class ForeignKey(sourceColumn: String, spec: FkSpec) extends ColumnMapper {
   override def sourceColumns: Seq[String] = Seq(sourceColumn)
-  override def fkSpecs: Seq[FkSpec] = Seq(spec)
-  def toColumn(ctx: CompileCtx): Column = col(ctx.fkAlias(spec))
+  override def fkLookups: Seq[FkLookup] = Seq(FkLookup(spec, sourceColumn))
+  def toColumn(ctx: CompileCtx): Column = col(ctx.fkAlias(FkLookup(spec, sourceColumn)))
 }
 
 /** Argument of #13 `SqlFunction`: column reference or raw literal
@@ -296,6 +313,7 @@ final case class TableMapping(
     insertOnly: Boolean = false,
     updateOnly: Boolean = false,
     mergePk: Option[String] = None,
+    strictMerge: Boolean = true, // raise on non-key-unique merge source (T-SQL parity)
     message: Option[String] = None,
     setup: Seq[String] = Seq.empty,    // per-table setup SQL (tsql2008.js:52-58)
     teardown: Seq[String] = Seq.empty, // per-table teardown SQL (tsql2008.js:135-141)

@@ -15,6 +15,27 @@ trait Catalog {
   def exists(name: String): Boolean
 }
 
+object Catalog {
+  /** Read-safe overwrite for file-backed catalogs: run `writeTo` against a
+    * temp sibling path, then atomically swap it over `finalPath` via the
+    * Hadoop FileSystem API (local FS, HDFS, and rename-capable stores).
+    * Readers of the old directory are never racing the writer, and a failed
+    * job leaves the old table intact (write-temp-then-rename commit).
+    */
+  def swapWrite(spark: SparkSession, finalPath: String)(
+      writeTo: String => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val target = new Path(finalPath)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(finalPath + ".__swap_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    writeTo(tmp.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"swapWrite: rename $tmp -> $target failed")
+  }
+}
+
 /** In-memory destination state — used by tests and dry-runs; the production
   * analogue is a Delta/Iceberg catalog.
   */
@@ -40,12 +61,19 @@ final class ParquetCatalog(
     * columns — the 100 TB layout for merge destinations: partition by a
     * prefix of the merge key so upsert reads prune to touched partitions
     * (the parquet stand-in for Delta/Iceberg partitioning + file skipping).
+    *
+    * Merge/append/cleanup write back to the table the lazy plan is still
+    * reading, so a direct `mode("overwrite")` would either be rejected
+    * ("Cannot overwrite a path that is also being read from") or delete the
+    * input mid-read. Instead: materialize into a temp sibling directory,
+    * then swap it over the old one (the file-catalog stand-in for a
+    * Delta/Iceberg atomic commit).
     */
   def write(name: String, df: DataFrame): Unit = {
     val w = df.write.mode("overwrite")
-    partitioning.get(name).filter(_.nonEmpty)
+    val write0 = partitioning.get(name).filter(_.nonEmpty)
       .fold(w)(cols => w.partitionBy(cols: _*))
-      .parquet(s"$dir/$name.parquet")
+    Catalog.swapWrite(spark, s"$dir/$name.parquet")(write0.parquet)
   }
   def exists(name: String): Boolean =
     new java.io.File(s"$dir/$name.parquet").exists()
@@ -67,8 +95,10 @@ final class FormatCatalog(
   def read(name: String): DataFrame =
     spark.read.format(format).options(defaults ++ options).load(path(name))
   def write(name: String, df: DataFrame): Unit =
-    df.write.format(format).options(defaults ++ options)
-      .mode("overwrite").save(path(name))
+    Catalog.swapWrite(spark, path(name)) { tmp =>
+      df.write.format(format).options(defaults ++ options)
+        .mode("overwrite").save(tmp)
+    }
   def exists(name: String): Boolean = new java.io.File(path(name)).exists()
 }
 
@@ -136,8 +166,9 @@ final class PipelineRunner(
       if (tm.useGrouping)
         sb.append(s"   groupBy: ${Compiler.inferredGroupKeys(tm).mkString(", ")}\n")
       if (tm.forceDistinct) sb.append("   distinct\n")
-      Compiler.fkSpecs(tm).foreach(fk =>
-        sb.append(s"   fk: broadcast ${fk.parentTable}(${fk.importColumn} -> ${fk.parentColumn})\n"))
+      Compiler.fkLookups(tm).foreach(l =>
+        sb.append(s"   fk: ${l.sourceColumn} -> ${l.spec.parentTable}(" +
+          s"${l.spec.importColumn} -> ${l.spec.parentColumn})\n"))
       sb.append(s"   columns: ${tm.destColumns.mkString(", ")}\n")
     }
     sb.toString

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression coverage for the round-1 review findings (ADVICE.md r1):
+  * shared-spec FK lookups, merge source key-uniqueness, and read-safe
+  * ParquetCatalog overwrite.
+  */
+class AdviceFixesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- FK join dedup: one FkSpec, two source columns (ship_to / bill_to) ---
+
+  test("two ForeignKey columns sharing one FkSpec resolve by their own source columns") {
+    val orders = Seq((1, 10, 20), (2, 30, 10)).toDF("oid", "ShipTo", "BillTo")
+    val addr = Seq((10, "A10"), (20, "A20"), (30, "A30")).toDF("addr_id", "addr_guid")
+    val spec = FkSpec("address", "addr_guid", "addr_id")
+    val tm = TableMapping(
+      destination = "o", source = "orders",
+      columns = Seq(
+        "oid"       -> DirectCopy("oid"),
+        "ship_guid" -> ForeignKey("ShipTo", spec),
+        "bill_guid" -> ForeignKey("BillTo", spec),
+      ))
+    // two call sites, one spec: the lookup function dedups, the joins don't
+    assert(Compiler.fkSpecs(tm) === Seq(spec))
+    assert(Compiler.fkLookups(tm) ===
+      Seq(FkLookup(spec, "ShipTo"), FkLookup(spec, "BillTo")))
+
+    val out = Compiler.transformedSource(orders, tm, Map("address" -> addr))
+      .orderBy("oid").collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(out === Array((1, "A10", "A20"), (2, "A30", "A10")))
+  }
+
+  test("shared-spec lookup also resolves through CastAs wrappers") {
+    val src = Seq((1, 5, 6)).toDF("id", "a", "b")
+    val dim = Seq((5, 50L), (6, 60L)).toDF("k", "v")
+    val spec = FkSpec("dim", "v", "k")
+    val tm = TableMapping(
+      destination = "d", source = "s",
+      columns = Seq(
+        "x" -> CastAs(ForeignKey("a", spec), org.apache.spark.sql.types.StringType),
+        "y" -> ForeignKey("b", spec),
+      ))
+    assert(Compiler.fkLookups(tm).size === 2)
+    val r = Compiler.transformedSource(src, tm, Map("dim" -> dim)).collect().head
+    assert((r.getString(0), r.getLong(1)) === ("50", 60L))
+  }
+
+  // --- strictMerge: non-key-unique source raises loudly (T-SQL parity) ---
+
+  private def mergeTm(strict: Boolean) = TableMapping(
+    destination = "dest", source = "src", useMerge = true,
+    strictMerge = strict,
+    columns = Seq("k" -> MergeOn("k"), "v" -> DirectCopy("v")))
+
+  test("strictMerge raises on duplicate merge keys in the source") {
+    val dest = Seq((1, "old")).toDF("k", "v")
+    val src  = Seq((1, "s1"), (1, "s2"), (2, "s3")).toDF("k", "v")
+    val ex = intercept[Exception] {
+      Merge(dest, src, mergeTm(strict = true)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("not key-unique")))
+  }
+
+  test("strictMerge passes a key-unique source and can be opted out") {
+    val dest = Seq((1, "old")).toDF("k", "v")
+    val ok = Seq((1, "new"), (2, "ins")).toDF("k", "v")
+    val merged = Merge(dest, ok, mergeTm(strict = true))
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(merged === Array((1, "new"), (2, "ins")))
+
+    // opt-out keeps the (documented) duplicate-row behavior for callers who
+    // establish uniqueness themselves
+    val dup = Seq((1, "s1"), (1, "s2")).toDF("k", "v")
+    val rows = Merge(dest, dup, mergeTm(strict = false)).collect()
+    assert(rows.length === 2)
+  }
+
+  // --- ParquetCatalog: overwrite a path the lazy plan still reads ---
+
+  test("ParquetCatalog merge destination survives read-modify-overwrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat").toString
+    val cat = new ParquetCatalog(spark, dir)
+    cat.write("t", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+
+    // the PipelineRunner shape: read dest, derive lazily, write back to the
+    // same path — without swapWrite Spark rejects or corrupts this
+    val derived = cat.read("t").withColumn("v", upper(col("v")))
+    cat.write("t", derived)
+    val out = cat.read("t").orderBy("k").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out === Array((1, "A"), (2, "B")))
+
+    // and again with a union (append shape)
+    val appended = cat.read("t").unionByName(Seq((3, "C")).toDF("k", "v"))
+    cat.write("t", appended)
+    assert(cat.read("t").count() === 3)
+  }
+}

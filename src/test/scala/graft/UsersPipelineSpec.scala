@@ -173,7 +173,7 @@ class UsersPipelineSpec extends AnyFunSuite {
       Seq(usersTm(true), rolesTm), passes = 2, dryRun = true))
     assert(txt.contains("DRY RUN"))
     assert(txt.contains("MERGE etl_Users -> users"))
-    assert(txt.contains("fk: broadcast individual(orig_agent_id -> individual_id)"))
+    assert(txt.contains("fk: AgentID -> individual(orig_agent_id -> individual_id)"))
     assert(txt.contains("pass 2"))
     assert(txt.contains("migrating NON-DUPLICATE users"))
   }

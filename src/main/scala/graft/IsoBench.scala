@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time named SparkEntry queries in isolation (3 reps each,
+  * cache cleared between reps) to separate per-query steady-state cost
+  * from whole-suite session effects. `runMain graft.IsoBench q_x q_y`.
+  */
+object IsoBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = args.toSeq
+    for (n <- names; rep <- 1 to 3) {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, sfDir).count()
+      println(f"[iso] $n rep$rep ${(System.nanoTime()-t0)/1e9}%.2f s")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -115,35 +115,47 @@ object Dedup {
 
   /** LSH banding: hash each of `bands` contiguous signature slices; docs
     * sharing any (band, bucket) are candidates. rows = docs × bands.
+    * `carry` columns ride along (e.g. the signature itself, so downstream
+    * scoring needs no join back to the signature table).
     */
-  def lshBuckets(sigs: DataFrame, idCol: String, bands: Int): DataFrame =
-    sigs.select(col(idCol),
+  def lshBuckets(sigs: DataFrame, idCol: String, bands: Int,
+      carry: Seq[String] = Seq.empty): DataFrame =
+    sigs.select(col(idCol) +: carry.map(col) :+
         posexplode(expr(
           s"transform(sequence(0, $bands - 1), " +
             s"b -> xxhash64(b, slice(signature, b * (size(signature) div $bands) + 1, " +
-            s"size(signature) div $bands)))")))
+            s"size(signature) div $bands)))")): _*)
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bucket")
 
   /** MinHash near-dup pairs: LSH candidates → signature-estimated Jaccard
     * (fraction of equal components) >= threshold. Never all-pairs: the
     * self-join happens only inside (band, bucket) groups.
+    *
+    * The fixed-width signature rides through the band table, so scoring
+    * needs no join back to a signature relation — and nothing is cached:
+    * a `.cache()` here would pin O(corpus) cluster memory and leak across
+    * queries in a shared session, while the carried column only adds
+    * `numHashes × 8` bytes to the O(docs × bands) candidate shuffle.
+    * The signature aggregation feeds both self-join sides via Spark's
+    * ReusedExchange, so it computes once.
     */
   def minHashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
-    val sigs = minHashSignatures(df, idCol, textCol, k, numHashes).cache()
-    val bk = lshBuckets(sigs, idCol, bands)
+    val sigs = minHashSignatures(df, idCol, textCol, k, numHashes)
+    val bk = lshBuckets(sigs, idCol, bands, carry = Seq("signature"))
+    val x = bk.select(col(idCol).alias("a_id"), col("signature").alias("sa"),
+      col("band"), col("bucket"))
+    val y = bk.select(col(idCol).alias("b_id"), col("signature").alias("sb"),
+      col("band"), col("bucket"))
     // band tables scale with the corpus — never broadcast-collect a side
-    val cand = bk.alias("x").hint("shuffle_hash").join(bk.alias("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").alias("a_id"), col(s"y.$idCol").alias("b_id"))
-      .distinct()
+    val cand = x.hint("shuffle_hash").join(y, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      // dedup multi-band hits; sa/sb are functionally dependent on the ids
+      .groupBy("a_id", "b_id").agg(first("sa").alias("sa"), first("sb").alias("sb"))
     cand
-      .join(sigs.select(col(idCol).alias("a_id"), col("signature").alias("sa")), "a_id")
-      .join(sigs.select(col(idCol).alias("b_id"), col("signature").alias("sb")), "b_id")
       .withColumn("est_jaccard",
         expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))").cast("double")
           / size(col("sa")).cast("double"))
@@ -176,7 +188,10 @@ object Dedup {
   def simHashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sh = simHash64(df, idCol, textCol).cache()
+    // no cache: both self-join sides are the same subplan, so the simhash
+    // aggregation's Exchange is computed once and reused (ReusedExchange) —
+    // caching would pin O(corpus) memory and leak across queries
+    val sh = simHash64(df, idCol, textCol)
     val banded = sh.select(col(idCol), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")))
@@ -207,35 +222,110 @@ object Dedup {
     */
   def nearDupClusters(
       ids: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20, driverEdgeLimit: Long = 10_000_000L): DataFrame = {
+    // Near-dup edge lists are orders of magnitude smaller than the corpus
+    // (that is what LSH candidate generation is for), so up to
+    // `driverEdgeLimit` edges the components are computed exactly with
+    // driver-side union-find: one collect of (a_id, b_id) pairs, zero
+    // iterative jobs. Past the limit — or for exotic id types — fall back
+    // to the distributed min-label loop below.
+    val idType = ids.schema(ids.schema.fieldIndex(idCol)).dataType
+    val ordering: Option[Ordering[Any]] = idType match {
+      case _: org.apache.spark.sql.types.LongType    => Some(Ordering.Long.on[Any](_.asInstanceOf[Long]))
+      case _: org.apache.spark.sql.types.IntegerType => Some(Ordering.Int.on[Any](_.asInstanceOf[Int]))
+      case _: org.apache.spark.sql.types.StringType  => Some(Ordering.String.on[Any](_.asInstanceOf[String]))
+      case _ => None
+    }
+    if (ordering.isDefined) {
+      val cap = math.min(driverEdgeLimit, Int.MaxValue - 1L).toInt
+      val edgeRows = pairs.select("a_id", "b_id").limit(cap + 1).collect()
+      if (edgeRows.length <= driverEdgeLimit) {
+        val reps = unionFindMinReps(edgeRows.map(r => (r.get(0), r.get(1))))(ordering.get)
+        val spark = ids.sparkSession
+        val mapping = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            reps.toSeq.map { case (n, c) => org.apache.spark.sql.Row(n, c) },
+            math.max(1, math.min(32, reps.size / 10000 + 1))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", idType),
+            org.apache.spark.sql.types.StructField("cluster", idType))))
+        return ids.alias("i")
+          .join(broadcast(mapping.alias("l")), col("i." + idCol) === col("l.id"), "left")
+          .select(col("i." + idCol).alias("id"),
+            coalesce(col("l.cluster"), col("i." + idCol)).alias("cluster"))
+      }
+    }
     // undirected edges, both directions — cached: the loop re-reads this
     // every round, and its lineage (a near-dup detector) is expensive;
     // the edge list itself is tiny (pairs ≪ docs)
     val edges = pairs.select(col("a_id").alias("src"), col("b_id").alias("dst"))
       .union(pairs.select(col("b_id").alias("src"), col("a_id").alias("dst")))
       .cache()
-    var labels = ids.select(col(idCol).alias("id"), col(idCol).alias("cluster"))
+    // propagate ONLY over nodes that appear in the pair graph — the loop's
+    // frames are O(near-dup docs), not O(corpus). Isolated docs (the vast
+    // majority at any scale) trivially form their own cluster and join
+    // back in once at the end.
+    var labels = edges.select(col("src").alias("id")).distinct()
+      .withColumn("cluster", col("id"))
+    // unpersist must target the exact cached frame (a projection over it
+    // would not match the cache entry), so track it separately from `labels`
+    var cachedRound: Option[DataFrame] = None
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("cluster")).alias("nmin"))
+      // prev label carried in-frame: the convergence check is a filter over
+      // the frame we were computing anyway, not a join against the old one
       val next = labels
         .join(neighborMin, labels("id") === neighborMin("src"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster")))
-            .alias("cluster"))
+            .alias("cluster"),
+          col("cluster").alias("prev"))
         .cache()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.cluster") =!= col("o.cluster")).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("cluster") =!= col("prev")).count()
+      cachedRound.foreach(_.unpersist())
+      cachedRound = Some(next)
+      labels = next.drop("prev")
       converged = changed == 0
       i += 1
     }
-    labels
+    val out = ids.alias("i")
+      .join(labels.alias("l"), col("i." + idCol) === col("l.id"), "left")
+      .select(col("i." + idCol).alias("id"),
+        coalesce(col("l.cluster"), col("i." + idCol)).alias("cluster"))
+    // the loop is done with the edge list; the returned frame still reads
+    // the final (materialized) labels cache for its graph part
+    edges.unpersist(false)
+    out
+  }
+
+  /** Union-find with min-valued roots and path compression: returns
+    * node → component-min for every node on an edge. Only ever called on a
+    * driver-side edge array bounded by `driverEdgeLimit`.
+    */
+  private def unionFindMinReps(edges: Array[(Any, Any)])(
+      implicit ord: Ordering[Any]): collection.Map[Any, Any] = {
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        // smaller root wins → the final root of a component is its min id
+        if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val out = scala.collection.mutable.HashMap.empty[Any, Any]
+    edges.foreach { case (a, b) => out(a) = find(a); out(b) = find(b) }
+    out
   }
 
   /** Near-dup canonicalization: drop every doc that is not the min-id

@@ -75,11 +75,24 @@ object Similarity {
     Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-LSH bucket id: one bit per hyperplane (dot >= 0). */
+  /** Sign-LSH bucket id: one bit per hyperplane (dot >= 0). A single native
+    * [[graft.functions.SignBuckets]] loop — the per-plane
+    * `when(dot >= 0, ...)` chain this replaces inlined one dot-product loop
+    * per plane into the generated Java and blew janino's 64 KB method limit
+    * at realistic plane counts, silently dropping the stage to interpreted
+    * eval (measured 20×+ slower on the LSH queries).
+    */
   def signBucket(vecCol: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dot(vecCol, typedLit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.SignBuckets.column(vecCol, planes, planes.length).getItem(0)
+
+  /** All `tables` sign-LSH bucket ids at once: array<long> of length
+    * `tables`, element `t` = the bucket of `planesPerTable(t)`.
+    */
+  def signBucketsAll(vecCol: Column, planesPerTable: Seq[Seq[Seq[Double]]]): Column = {
+    val bits = planesPerTable.head.length
+    require(planesPerTable.forall(_.length == bits), "equal bits per table")
+    graft.functions.SignBuckets.column(vecCol, planesPerTable.flatten, bits)
+  }
 
   /** Candidate pairs sharing a sign-LSH bucket (a_id < b_id). */
   def lshCandidatePairs(
@@ -112,28 +125,24 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val hp = (0 until tables).map(t =>
       hyperplanes(dim, bitsPerTable, seed + t * 7919))
+    // one native SignBuckets call computes all tables' buckets (array<long>);
     // bucket tables carry ONLY ids — candidate generation and dedup never
     // shuffle the vectors themselves
     val cBuckets = corpus
-      .select(col(idCol).alias("n_id"), col(vecCol).alias("vn"))
-      .withColumn("tb", explode(array((0 until tables).map(t =>
-        struct(lit(t).alias("tbl"),
-          signBucket(col("vn"), hp(t)).alias("bkt"))): _*)))
-      .select(col("n_id"),
-        col("tb.tbl").alias("tbl"), col("tb.bkt").alias("bkt"))
-    // query side: per table, the bucket itself + every 1-bit flip
-    val probes = (0 until tables).flatMap { t =>
-      val qb = signBucket(col("vq"), hp(t))
-      (-1 until bitsPerTable).map { i =>
-        val b = if (i < 0) qb else qb.bitwiseXOR(lit(1L << i))
-        struct(lit(t).alias("tbl"), b.alias("bkt"))
-      }
-    }
+      .select(col(idCol).alias("n_id"),
+        signBucketsAll(col(vecCol), hp).alias("bkts"))
+      .select(col("n_id"), posexplode(col("bkts")))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bkt")
+    // query side: per table bucket (posexplode), then the bucket itself +
+    // every 1-bit flip — plain long XORs, trivially codegen-compact
     val qBuckets = queries
-      .select(col(idCol).alias("q_id"), col(vecCol).alias("vq"))
-      .withColumn("tb", explode(array(probes: _*)))
-      .select(col("q_id"),
-        col("tb.tbl").alias("qtbl"), col("tb.bkt").alias("qbkt"))
+      .select(col(idCol).alias("q_id"),
+        signBucketsAll(col(vecCol), hp).alias("bkts"))
+      .select(col("q_id"), posexplode(col("bkts")))
+      .withColumnRenamed("pos", "qtbl").withColumnRenamed("col", "qb")
+      .select(col("q_id"), col("qtbl"),
+        explode(array(col("qb") +: (0 until bitsPerTable).map(i =>
+          col("qb").bitwiseXOR(lit(1L << i))): _*)).alias("qbkt"))
     val cand = cBuckets.join(broadcast(qBuckets),
         col("tbl") === col("qtbl") && col("bkt") === col("qbkt") &&
           col("q_id") =!= col("n_id"))

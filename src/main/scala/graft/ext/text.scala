@@ -77,15 +77,20 @@ object TextOps {
   }
 
   /** Corpus-wide top-k most frequent tokens (tie-break: term ascending).
-    * One explode + one hash-groupBy + a rank over the (tiny) term counts.
+    * One explode + one hash-groupBy, then `orderBy().limit(k)` — Spark plans
+    * that as TakeOrderedAndProject (per-partition top-k + merge of k-row
+    * heaps), so no global sort and no single-partition window even when the
+    * vocabulary has millions of distinct terms. Ranks are then assigned on
+    * the ≤ k surviving rows (partitionBy(lit) keeps the tiny window off the
+    * all-to-one warning path).
     */
   def topTerms(df: DataFrame, textCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     df.select(explode(tokens(col(textCol))).alias("term"))
       .groupBy("term").agg(count(lit(1)).alias("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(k)
       .withColumn("rnk", row_number().over(
-        Window.orderBy(col("cnt").desc, col("term"))))
-      .filter(col("rnk") <= k)
+        Window.partitionBy(lit(1)).orderBy(col("cnt").desc, col("term"))))
       .select("term", "cnt", "rnk")
   }
 

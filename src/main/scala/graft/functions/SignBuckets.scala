@@ -1,0 +1,100 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** All sign-LSH bucket ids of an embedding in one native expression.
+  *
+  * `planes` is a matrix of `groups × groupBits` hyperplanes (each of length
+  * `dim`); the result is `array<long>` of length `groups`, where group `g`
+  * bit `i` is set iff `dot(vec, planes(g * groupBits + i)) >= 0` — exactly
+  * the semantics of per-plane `when(dot(v, lit(plane)) >= 0, 1L << i)`
+  * chains, but as ONE loop over a reference-object matrix instead of
+  * `groups × groupBits` inlined dot-product loops. The inlined form grows
+  * the generated Java past janino's 64 KB method limit at realistic sizes
+  * (8 tables × 6 bits × 64 dims), silently dropping the whole stage to
+  * interpreted eval; this expression keeps the stage in whole-stage codegen
+  * with a single compact call.
+  *
+  * Accepts `array<float>` or `array<double>` input; elements are cast to
+  * double before multiply and accumulated left-to-right (same numeric
+  * contract as [[DotProduct]]).
+  */
+case class SignBuckets(child: Expression, planes: Seq[Seq[Double]], groupBits: Int)
+    extends UnaryExpression {
+
+  require(groupBits >= 1 && groupBits <= 64, "groupBits must be in [1, 64]")
+  require(planes.nonEmpty && planes.length % groupBits == 0,
+    s"planes (${planes.length}) must be a non-empty multiple of groupBits ($groupBits)")
+
+  private def dim: Int = planes.head.length
+
+  @transient private lazy val flat: Array[Double] = {
+    require(planes.forall(_.length == dim), "all planes must share one dim")
+    planes.flatten.toArray
+  }
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sign_buckets requires ARRAY<FLOAT|DOUBLE>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SignBuckets.compute(input.asInstanceOf[ArrayData], flat, dim, groupBits, elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SignBuckets.compute(" +
+        s"$c, $planesRef, $dim, $groupBits, $elemIsFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignBuckets =
+    copy(child = newChild)
+
+  override def prettyName: String = "sign_buckets"
+}
+
+object SignBuckets {
+
+  /** Referenced from generated code (static forwarder — the name must not
+    * collide with any inherited Expression member).
+    */
+  def compute(v: ArrayData, flat: Array[Double], dim: Int,
+      groupBits: Int, isFloat: Boolean): ArrayData = {
+    val nPlanes = flat.length / dim
+    val out = new Array[Long](nPlanes / groupBits)
+    val n = math.min(dim, v.numElements())
+    var p = 0
+    while (p < nPlanes) {
+      val base = p * dim
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        s += x * flat(base + i)
+        i += 1
+      }
+      if (s >= 0.0) out(p / groupBits) |= 1L << (p % groupBits)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def column(vec: Column, planes: Seq[Seq[Double]], groupBits: Int): Column =
+    Bridge.column(SignBuckets(Bridge.expression(vec), planes, groupBits))
+}

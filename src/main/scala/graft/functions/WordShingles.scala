@@ -32,10 +32,15 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
         s"word_shingles requires STRING, got ${child.dataType.catalogString}")
 
   override def nullSafeEval(input: Any): Any =
-    WordShingles.eval(input.asInstanceOf[UTF8String], k)
+    WordShingles.shingles(input.asInstanceOf[UTF8String], k)
 
+  // NB: the helper must NOT be named `eval` — the class inherits
+  // eval(InternalRow), and Scala omits the static forwarder for a
+  // companion-object method whose name exists on the class, so generated
+  // Java would fail to link and every query would fall back to the
+  // interpreted path.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.eval($c, $k)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.shingles($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
@@ -47,8 +52,10 @@ object WordShingles {
 
   private val SPACE = UTF8String.fromString(" ")
 
-  /** Referenced from generated code. */
-  def eval(text: UTF8String, k: Int): ArrayData = {
+  /** Referenced from generated code (static forwarder must exist — see
+    * doGenCode note).
+    */
+  def shingles(text: UTF8String, k: Int): ArrayData = {
     val words = text.split(SPACE, -1)
     val n = words.length
     if (n < k) return new GenericArrayData(Array.empty[Any])

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Whole-stage-codegen health: with `spark.sql.codegen.fallback=false` a
+  * broken `doGenCode` (e.g. a missing static forwarder, or generated Java
+  * past janino's 64 KB method limit) fails the query instead of silently
+  * dropping the stage to interpreted eval — which is how a 2 s LSH query
+  * became a 50 s one in round 1.
+  */
+class CodegenSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withStrictCodegen[A](body: => A): A = {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
+  test("native expressions compile under strict whole-stage codegen") {
+    withStrictCodegen {
+      val df = Seq(
+        (1L, "a b c d e", Array(1.0f, 2.0f, 3.0f), Array(0.5f, 0.25f, 0.125f)),
+        (2L, "x y", Array(-1.0f, 0.0f, 1.0f), Array(1.0f, 1.0f, 1.0f)),
+      ).toDF("id", "text", "e1", "e2")
+      val rows = df.select(
+        functions.WordShingles.column(col("text"), 3).alias("sh"),
+        functions.RollingHash.column(col("text")).alias("rh"),
+        functions.DotProduct.column(col("e1"), col("e2")).alias("dp"),
+        functions.SignBuckets.column(col("e1"),
+          Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, -1.0, 0.0)), 2).alias("bk"),
+      ).collect()
+      assert(rows(0).getSeq[String](0) === Seq("a b c", "b c d", "c d e"))
+      assert(rows(0).getDouble(2) === 1.0 * 0.5 + 2.0 * 0.25 + 3.0 * 0.125)
+      // e1 row1 = (1,2,3): dot(plane0)=1>=0 → bit0; dot(plane1)=-2<0 → no bit1
+      assert(rows(0).getSeq[Long](3) === Seq(1L))
+      // e1 row2 = (-1,0,1): dot(plane0)=-1<0; dot(plane1)=0>=0 → bit1
+      assert(rows(1).getSeq[Long](3) === Seq(2L))
+    }
+  }
+
+  test("LSH similarity paths stay inside codegen at realistic sizes") {
+    withStrictCodegen {
+      val rnd = new scala.util.Random(7)
+      val docs = (0L until 60L).map(i =>
+        (i, Array.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+      val topk = ext.Similarity.lshTopK(docs, docs.filter(col("vec_id") < 3),
+        "vec_id", "embedding", k = 5, dim = 64, tables = 8, bitsPerTable = 6)
+      assert(topk.count() > 0)
+      val pairs = ext.Similarity.lshCandidatePairs(docs, "vec_id", "embedding",
+        dim = 64, planes = 12)
+      pairs.collect() // must not throw under strict codegen
+    }
+  }
+
+  test("SignBuckets matches the per-plane dot>=0 definition") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 20).map(_ => Array.fill(16)(rnd.nextGaussian().toFloat))
+    val planes = ext.Similarity.hyperplanes(16, 6, seed = 5L)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val got = df.select(col("id"),
+        ext.Similarity.signBucket(col("v"), planes).alias("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: plain Scala dot products
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      var expect = 0L
+      planes.zipWithIndex.foreach { case (p, bit) =>
+        val d = v.zip(p).map { case (x, y) => x.toDouble * y }.sum
+        // left-fold == zip-sum here is fine for sign with these magnitudes
+        if (d >= 0) expect |= 1L << bit
+      }
+      assert(got(i.toLong) === expect, s"vec $i")
+    }
+  }
+}

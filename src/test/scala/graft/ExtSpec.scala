@@ -97,6 +97,19 @@ class ExtSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("near-dup clustering: distributed loop path matches union-find path") {
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    // chain 1-2-3-4 (worst case for propagation rounds), pair {5,6}, isolated 7
+    val pairs = Seq((3L, 4L), (1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L)
+    val loop = Dedup.nearDupClusters(ids, "doc_id", pairs, driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val uf = Dedup.nearDupClusters(ids, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loop == expect)
+    assert(uf == expect)
+  }
+
   test("canonicalize keeps only min-id representative per cluster") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("a_id", "b_id")

@@ -369,12 +369,23 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     },
 
-    // similarity: sign-LSH approximate top-k (no oracle — recall vs brute
-    // force asserted in SimilaritySpec)
+    // similarity: sign-LSH approximate top-k — oracle is generated SQL with
+    // the seeded hyperplanes embedded as literals (see knnLshOracle); recall
+    // vs brute force additionally asserted in ExtSpec
     "q_knn_lsh" -> { (s, dir) =>
       val e = read(s, dir, "embeddings")
       ext.Similarity.lshTopK(e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, dim = 64, tables = 8, bitsPerTable = 6)
+    },
+
+    // similarity: IVF approximate top-k. Centroids are the 32 md5-first
+    // corpus vectors (engine-reproducible), so the WHOLE index build +
+    // probe + scoring has a plain-SQL oracle — no literals smuggled in.
+    "q_knn_ivf" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      val cents = ext.Similarity.ivfCentroids(e, "vec_id", "embedding", k = 32)
+      ext.Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, cents, nProbe = 4)
     },
 
     // flagship composite: training-corpus curation (quality gate →
@@ -382,8 +393,9 @@ object SparkEntry {
     "q_curate_corpus" -> ((s, dir) => ext.Curate.corpusStats(
       ext.Curate.curateCorpus(read(s, dir, "documents")))),
 
-    // sampling: deterministic hash-Bernoulli per stratum (rows-only —
-    // xxhash64 is engine-internal; determinism + rates in ExtSpec)
+    // sampling: deterministic hash-Bernoulli per stratum — md5-prefix
+    // decision hash, so the exact kept set is reproducible from plain SQL
+    // in any engine (oracle below; determinism + rates also in ExtSpec)
     "q_stratified_sample" -> ((s, dir) => ext.Sampling.stratified(
       read(s, dir, "documents"), "doc_id", "source",
       Map("src0" -> 0.5, "src1" -> 0.1))
@@ -504,7 +516,52 @@ object SparkEntry {
     },
   )
 
+  /** Generated DuckDB oracle for q_knn_lsh: the hyperplanes are seeded
+    * constants (hyperplanes(64, 6, 42 + t*7919) for t in 0..7), so the SQL
+    * embeds them as double literals — `Double.toString` is shortest-round-
+    * trip, which any SQL parser reads back to the bit-identical double, and
+    * `list_dot_product` matches the native left-fold accumulation bitwise,
+    * so bucket signs (dot >= 0) agree exactly.
+    */
+  private lazy val knnLshOracle: String = {
+    val tables = 8; val bits = 6
+    def planeLit(p: Seq[Double]) = p.mkString("[", ", ", "]")
+    def bucketExpr(t: Int): String = {
+      val hp = ext.Similarity.hyperplanes(64, bits, 42L + t * 7919)
+      hp.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+    }
+    val corpusBuckets = (0 until tables).map(t =>
+      s"SELECT vec_id AS n_id, $t AS tbl, ${bucketExpr(t)} AS bkt FROM e")
+      .mkString("\nUNION ALL\n")
+    val queryBuckets = (0 until tables).map(t =>
+      s"SELECT vec_id AS q_id, $t AS tbl, ${bucketExpr(t)} AS bkt FROM e WHERE vec_id < 10")
+      .mkString("\nUNION ALL\n")
+    val probes = ("SELECT q_id, tbl, bkt FROM qb" +:
+      (0 until bits).map(i => s"SELECT q_id, tbl, xor(bkt, ${1L << i}) FROM qb"))
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |cb AS ($corpusBuckets),
+       |qb AS ($queryBuckets),
+       |qp AS ($probes),
+       |cand AS (SELECT DISTINCT qp.q_id, cb.n_id
+       |         FROM qp JOIN cb ON qp.tbl = cb.tbl AND qp.bkt = cb.bkt
+       |           AND qp.q_id <> cb.n_id),
+       |scored AS (SELECT cand.q_id, cand.n_id,
+       |                  round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS sim
+       |           FROM cand JOIN n q ON q.vec_id = cand.q_id
+       |           JOIN n c ON c.vec_id = cand.n_id),
+       |ranked AS (SELECT q_id, n_id, sim,
+       |                  CAST(row_number() OVER (PARTITION BY q_id
+       |                    ORDER BY sim DESC, n_id) AS INTEGER) AS rnk
+       |           FROM scored)
+       |SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= 5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_knn_lsh" -> knnLshOracle,
     "q_direct_copy" ->
       """SELECT c_custkey AS cust_id, c_name AS cust_name,
         |       c_mktsegment AS segment FROM customer""".stripMargin,
@@ -803,6 +860,39 @@ object SparkEntry {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
 
+    // IVF: centroid sample (md5-first 32, unit-normalized), corpus assigned
+    // to nearest centroid, queries probe 4 lists, exact rescoring — the SQL
+    // mirrors ivfCentroids/IvfAssign/ivfTopK step for step
+    "q_knn_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM e
+        |          ORDER BY h LIMIT 32),
+        |cent AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cidx,
+        |                list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS c
+        |         FROM cent0),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |cassign AS (SELECT n_id, list FROM (
+        |    SELECT e2.vec_id AS n_id, c.cidx AS list,
+        |           row_number() OVER (PARTITION BY e2.vec_id
+        |             ORDER BY list_dot_product(e2.v, c.c) DESC, c.cidx) AS rn
+        |    FROM e e2 CROSS JOIN cent c) WHERE rn = 1),
+        |qassign AS (SELECT q_id, list FROM (
+        |    SELECT e2.vec_id AS q_id, c.cidx AS list,
+        |           row_number() OVER (PARTITION BY e2.vec_id
+        |             ORDER BY list_dot_product(e2.v, c.c) DESC, c.cidx) AS rn
+        |    FROM e e2 CROSS JOIN cent c WHERE e2.vec_id < 10) WHERE rn <= 4),
+        |scored AS (SELECT qa.q_id, ca.n_id,
+        |                  round(list_dot_product(q.v, c2.v) / (q.nrm * c2.nrm), 4) AS sim
+        |           FROM qassign qa JOIN cassign ca
+        |             ON qa.list = ca.list AND qa.q_id <> ca.n_id
+        |           JOIN n q  ON q.vec_id  = qa.q_id
+        |           JOIN n c2 ON c2.vec_id = ca.n_id),
+        |ranked AS (SELECT q_id, n_id, sim,
+        |                  CAST(row_number() OVER (PARTITION BY q_id
+        |                    ORDER BY sim DESC, n_id) AS INTEGER) AS rnk
+        |           FROM scored)
+        |SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+
     "q_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -853,6 +943,15 @@ object SparkEntry {
     "q_distinct_count" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // md5-prefix Bernoulli is engine-portable: identical kept set in DuckDB
+    "q_stratified_sample" ->
+      s"""SELECT source, COUNT(*) AS n_kept FROM documents
+         |WHERE CASE
+         |  WHEN source = 'src0' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${ext.Sampling.thresholdHex(0.5)}'
+         |  WHEN source = 'src1' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '${ext.Sampling.thresholdHex(0.1)}'
+         |  ELSE TRUE END
+         |GROUP BY source""".stripMargin,
 
     "q_salted_join" ->
       """SELECT p.p_brand, COUNT(*) AS n, SUM(l.l_quantity) AS qty

@@ -164,4 +164,60 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("q_id", "n_id", "sim", "rnk")
   }
+
+  /** Deterministic training-free IVF centroids: the `k` corpus vectors
+    * whose `md5(id)` sorts first (an engine-reproducible uniform sample —
+    * the same quality class as k-means random init, with zero training
+    * jobs and no float-summation order dependence), unit-normalized so
+    * argmax dot == argmax cosine. `k` vectors collect to the driver —
+    * k ≪ corpus by construction (√n is the usual choice).
+    */
+  def ivfCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int): Seq[Seq[Double]] =
+    corpus
+      .select(md5(col(idCol).cast("string")).alias("h"), col(vecCol).alias("v"))
+      .orderBy("h").limit(k) // TakeOrdered — no global sort
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Any](1).map {
+          case f: Float  => f.toDouble
+          case d: Double => d
+        }
+        val nrm = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+        if (nrm == 0.0) v else v.map(_ / nrm)
+      }.toSeq
+
+  /** Approximate top-k via IVF: corpus vectors are bucketed to their
+    * nearest centroid (one list each), queries probe their `nProbe`
+    * nearest lists; candidates score exactly, output shape matches
+    * [[bruteForceTopK]].
+    *
+    * Scale: the index is one int column on the corpus — no per-table
+    * replication (vs LSH's docs × tables rows); recall is tuned with
+    * `nProbe`/`k` (lists ≈ √corpus keeps lists ~√n long). Vectors ride
+    * the candidate join once each; a (q, n) pair can only meet in one
+    * list, so no dedup pass is needed.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Seq[Seq[Double]], nProbe: Int = 4): DataFrame = {
+    import graft.functions.IvfAssign
+    val c = corpus.select(col(idCol).alias("n_id"), col(vecCol).alias("vn"))
+      .withColumn("list", IvfAssign.column(col("vn"), centroids, 1).getItem(0))
+      .withColumn("nn", norm(col("vn")))
+    val q = queries.select(col(idCol).alias("q_id"), col(vecCol).alias("vq"))
+      .withColumn("list", explode(IvfAssign.column(col("vq"), centroids, nProbe)))
+      .withColumn("nq", norm(col("vq")))
+    val scored = c.join(broadcast(q), Seq("list"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim",
+        round(dot(col("vq"), col("vn")) / (col("nq") * col("nn")), 4))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("rnk") <= k)
+      .select("q_id", "n_id", "sim", "rnk")
+  }
 }

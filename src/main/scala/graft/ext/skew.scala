@@ -41,11 +41,26 @@ object Salting {
   * keyed on a stable id, so samples are reproducible across runs/clusters
   * (unlike `df.sample`, whose result depends on partitioning) and
   * stratum rates can rebalance over-represented sources.
+  *
+  * The decision hash is the first 8 hex chars of `md5(cast(id as string))`
+  * compared lexicographically against a threshold — MD5 is identical in
+  * every engine (unlike engine-internal hashes such as xxhash64's Spark
+  * seeding), so the exact sampled set is reproducible from SQL anywhere:
+  * `substr(md5(cast(id as varchar)), 1, 8) < '<thresholdHex(f)>'`.
   */
 object Sampling {
 
+  /** Threshold for a keep-fraction: `floor(f * 2^32)` as 8 lowercase hex
+    * digits (lexicographic compare of fixed-width lowercase hex ==
+    * numeric compare).
+    */
+  def thresholdHex(fraction: Double): String =
+    f"${(fraction * 4294967296L).toLong}%08x"
+
   private def keep(idCol: String, fraction: Double): Column =
-    pmod(xxhash64(col(idCol)), lit(1000000L)) < (fraction * 1000000L).toLong
+    if (fraction >= 1.0) lit(true)
+    else if (fraction <= 0.0) lit(false)
+    else substring(md5(col(idCol).cast("string")), 1, 8) < lit(thresholdHex(fraction))
 
   /** Uniform deterministic sample: keep rows whose id-hash falls under the
     * fraction threshold. Same ids are kept in every run.

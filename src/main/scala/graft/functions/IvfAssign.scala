@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** IVF coarse-quantizer assignment: the `nProbe` nearest centroids of an
+  * embedding, as `array<int>` of centroid indices ordered by descending
+  * dot product (ties → lower index). Centroids are expected unit-length,
+  * so argmax dot == argmax cosine for any fixed input vector.
+  *
+  * One native loop over a reference-object centroid matrix — the same
+  * codegen-compactness argument as [[SignBuckets]]: `k` inlined per-centroid
+  * dot products would blow janino's 64 KB method limit and silently drop
+  * the stage to interpreted eval.
+  *
+  * Accepts `array<float>` or `array<double>`; elements cast to double
+  * before multiply, accumulated left-to-right (the [[DotProduct]] numeric
+  * contract), so assignments are deterministic and engine-reproducible.
+  */
+case class IvfAssign(child: Expression, centroids: Seq[Seq[Double]], nProbe: Int)
+    extends UnaryExpression {
+
+  require(centroids.nonEmpty, "need at least one centroid")
+  require(nProbe >= 1 && nProbe <= centroids.length,
+    s"nProbe ($nProbe) must be in [1, ${centroids.length}]")
+
+  private def dim: Int = centroids.head.length
+
+  @transient private lazy val flat: Array[Double] = {
+    require(centroids.forall(_.length == dim), "all centroids must share one dim")
+    centroids.flatten.toArray
+  }
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ivf_assign requires ARRAY<FLOAT|DOUBLE>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    IvfAssign.nearest(input.asInstanceOf[ArrayData], flat, dim, nProbe, elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centRef = ctx.addReferenceObj("centroids", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.IvfAssign.nearest(" +
+        s"$c, $centRef, $dim, $nProbe, $elemIsFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfAssign =
+    copy(child = newChild)
+
+  override def prettyName: String = "ivf_assign"
+}
+
+object IvfAssign {
+
+  /** Referenced from generated code (static forwarder — name must not
+    * collide with inherited Expression members).
+    */
+  def nearest(v: ArrayData, flat: Array[Double], dim: Int,
+      nProbe: Int, isFloat: Boolean): ArrayData = {
+    val k = flat.length / dim
+    val n = math.min(dim, v.numElements())
+    // top-nProbe by (dot desc, index asc) via insertion into fixed arrays
+    val topIdx = new Array[Int](nProbe)
+    val topDot = new Array[Double](nProbe)
+    var filled = 0
+    var c = 0
+    while (c < k) {
+      val base = c * dim
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        s += x * flat(base + i)
+        i += 1
+      }
+      // strict > keeps the earlier (lower-index) centroid on exact ties
+      var pos = filled
+      while (pos > 0 && s > topDot(pos - 1)) pos -= 1
+      if (pos < nProbe) {
+        val last = math.min(filled, nProbe - 1)
+        var j = last
+        while (j > pos) { topIdx(j) = topIdx(j - 1); topDot(j) = topDot(j - 1); j -= 1 }
+        topIdx(pos) = c
+        topDot(pos) = s
+        if (filled < nProbe) filled += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(topIdx.take(filled))
+  }
+
+  def column(vec: Column, centroids: Seq[Seq[Double]], nProbe: Int): Column =
+    Bridge.column(IvfAssign(Bridge.expression(vec), centroids, nProbe))
+}

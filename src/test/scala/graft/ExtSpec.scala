@@ -97,6 +97,39 @@ class ExtSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("IVF top-k: deterministic, well-shaped, high recall on clustered data") {
+    val rnd = new scala.util.Random(19)
+    // 4 well-separated clusters in R^32
+    val means = Seq.fill(4)(Array.fill(32)(rnd.nextGaussian() * 10))
+    val vecs = (0L until 120L).map { i =>
+      val m = means((i % 4).toInt)
+      (i, m.map(x => (x + rnd.nextGaussian() * 0.5).toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 4)
+    val cents = ext.Similarity.ivfCentroids(df, "vec_id", "embedding", k = 12)
+    assert(cents.size === 12 && cents.forall(_.size === 32))
+    // unit-normalized
+    cents.foreach(c => assert(math.abs(c.map(x => x * x).sum - 1.0) < 1e-9))
+
+    val ivf = ext.Similarity.ivfTopK(df, queries, "vec_id", "embedding",
+      k = 5, cents, nProbe = 3)
+    val bf = ext.Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", k = 5)
+    val ivfRows = ivf.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(ivfRows.map(_._1).distinct.sorted === Array(0L, 1L, 2L, 3L))
+    ivfRows.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted === (1 to rs.length).toArray)
+    }
+    val bfSet = bf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfSet = ivfRows.map(t => (t._1, t._2)).toSet
+    val recall = ivfSet.intersect(bfSet).size.toDouble / bfSet.size
+    assert(recall >= 0.8, s"IVF recall $recall too low")
+    // determinism across partitioning
+    val ivf2 = ext.Similarity.ivfTopK(df.repartition(7), queries, "vec_id",
+      "embedding", k = 5, cents, nProbe = 3)
+    assert(ivf2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === ivfSet)
+  }
+
   test("near-dup clustering: distributed loop path matches union-find path") {
     val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
     // chain 1-2-3-4 (worst case for propagation rounds), pair {5,6}, isolated 7

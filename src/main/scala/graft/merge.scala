@@ -61,9 +61,12 @@ object Merge {
   def apply(dest: DataFrame, transformedSrc: DataFrame, tm: TableMapping): DataFrame = {
     require(tm.mergeKeys.nonEmpty, s"${tm.destination}: useMerge requires MergeOn keys")
 
-    val src = if (tm.strictMerge) guardKeyUnique(transformedSrc, tm) else transformedSrc
     val d = dest.withColumn(DP, lit(1))
-    val s = src.withColumn(SP, lit(1))
+    // the guard lives in the presence marker, NOT in a key column: rewriting
+    // a key would mint a new attribute and defeat the Exchange reuse between
+    // the guard window and the join (both hash-partition on the same keys)
+    val s = transformedSrc.withColumn(SP,
+      if (tm.strictMerge) keyUniqueGuard(tm) else lit(1))
 
     val joined = d.join(s, joinCond(d, s, tm), "full_outer")
 
@@ -101,14 +104,16 @@ object Merge {
   }
 
   /** Source key-uniqueness guard (T-SQL MERGE's "attempted to UPDATE the
-    * same row more than once" error, raised eagerly): a `count(*) OVER
-    * (PARTITION BY mergeKeys)` on the transformed source, folded into the
-    * first key column as `when(cnt > 1, raise_error(...))` so Catalyst can't
-    * prune it. The window's hash partitioning on the merge keys satisfies
-    * the downstream join's distribution requirement — Exchange is reused,
-    * no extra shuffle at any scale.
+    * same row more than once" error, raised eagerly): the source-presence
+    * marker becomes `when(count(*) OVER (PARTITION BY mergeKeys) > 1,
+    * raise_error(...)).otherwise(1)`. The marker survives into the join
+    * output (it drives the matched/inserted arms), so Catalyst cannot prune
+    * the check; and because no key column is rewritten, the window's hash
+    * partitioning on the merge keys still satisfies the join's distribution
+    * requirement — the Exchange is reused, no extra shuffle at any scale
+    * (asserted in PlanSpec).
     */
-  private def guardKeyUnique(src: DataFrame, tm: TableMapping): DataFrame = {
+  private def keyUniqueGuard(tm: TableMapping): Column = {
     import org.apache.spark.sql.expressions.Window
     val keys = tm.mergeKeys.map(_._1)
     val cnt = count(lit(1)).over(Window.partitionBy(keys.map(col): _*))
@@ -118,8 +123,6 @@ object Merge {
         "the source (forceDistinct/useGrouping) or set strictMerge=false. " +
         "Duplicate key: "),
       concat_ws(",", keys.map(k => col(k).cast("string")): _*))
-    val guarded = keys.head
-    src.withColumn(guarded,
-      when(cnt > 1, raise_error(msg)).otherwise(col(guarded)))
+    when(cnt > 1, raise_error(msg)).otherwise(lit(1))
   }
 }

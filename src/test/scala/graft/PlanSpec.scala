@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions backing the scale design claims: filters and
+  * column pruning reach the parquet scan, FK dims broadcast under AQE, and
+  * the strict-merge guard's window reuses the join's shuffle instead of
+  * adding one.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val dir = java.nio.file.Files.createTempDirectory("graft-plan").toString
+
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE settles on the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("compiled mapping pushes the source filter and prunes columns at the scan") {
+    (1 to 100).map(i => (i, s"name$i", i * 2.0, s"junk$i"))
+      .toDF("a", "b", "c", "d")
+      .write.mode("overwrite").parquet(s"$dir/t1.parquet")
+    val tm = TableMapping(
+      destination = "out", source = "t1",
+      sourceFilter = Some("a > 5"),
+      columns = Seq(
+        "x" -> DirectCopy("a"),
+        "y" -> TruncateString("b", 3)))
+    val df = Compiler.transformedSource(
+      spark.read.parquet(s"$dir/t1.parquet"), tm,
+      _ => fail("no FK parents in this mapping"))
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(a), GreaterThan(a,5)]"), scan)
+    // c and d are never read
+    assert(scan.contains("ReadSchema: struct<a:int,b:string>"), scan)
+  }
+
+  test("FK dim joins resolve to broadcast under AQE, without a broadcast() hint") {
+    (1 to 1000).map(i => (i, i % 10)).toDF("id", "k")
+      .write.mode("overwrite").parquet(s"$dir/fact.parquet")
+    (0 until 10).map(i => (i, s"v$i")).toDF("pk", "pv")
+      .write.mode("overwrite").parquet(s"$dir/dim.parquet")
+    val tm = TableMapping(
+      destination = "out", source = "fact",
+      columns = Seq(
+        "id" -> DirectCopy("id"),
+        "v"  -> ForeignKey("k", FkSpec("dim", "pv", "pk"))))
+    val df = Compiler.transformedSource(
+      spark.read.parquet(s"$dir/fact.parquet"), tm,
+      { case "dim" => spark.read.parquet(s"$dir/dim.parquet") })
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("strict-merge key guard reuses the join shuffle (no extra Exchange)") {
+    def exchanges(strict: Boolean): Int = {
+      val dest = (1 to 500).map(i => (i, s"old$i")).toDF("k", "v")
+      val src = (400 to 900).map(i => (i, s"new$i")).toDF("k", "v")
+      val tm = TableMapping(
+        destination = "d", source = "s", useMerge = true, strictMerge = strict,
+        columns = Seq("k" -> MergeOn("k"), "v" -> DirectCopy("v")))
+      val plan = finalPlan(Merge(dest, src, tm))
+      "Exchange hashpartitioning".r.findAllIn(plan).length
+    }
+    val strictCount = exchanges(strict = true)
+    val lenientCount = exchanges(strict = false)
+    assert(strictCount === lenientCount,
+      s"guard added shuffles: strict=$strictCount lenient=$lenientCount")
+  }
+}

@@ -85,6 +85,23 @@ object SparkEntry {
         "cust_dbl" -> CastAs("o_custkey", DoubleType),
         "price_i"  -> CastAs("o_totalprice", LongType))))),
 
+    // §2.5/§2.6 beyond-reference aggregation surface: ROLLUP subtotal
+    // hierarchy (Spark-native; the reference has no grouping sets at all)
+    "q_agg_rollup" -> ((s, dir) => read(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).alias("sum_qty"),
+        count(lit(1)).alias("n_rows"))),
+
+    // §2.7 beyond-reference scalar surface: exact percentiles of document
+    // length per source — the distribution stats a curation pipeline gates on
+    "q_quality_quantiles" -> ((s, dir) => read(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        expr("percentile(n_chars, 0.5)").alias("p50"),
+        expr("percentile(n_chars, 0.9)").alias("p90"),
+        expr("percentile(n_chars, 0.99)").alias("p99"),
+        max(col("n_chars")).cast("long").alias("max_chars"))),
+
     // §2.1 #3 AggregateColumn + §2.5 useGrouping inference
     "q_agg_grouping" -> ((s, dir) => mapped(s, dir, TableMapping(
       "t", "lineitem", Seq(
@@ -570,6 +587,18 @@ object SparkEntry {
       """SELECT CAST(o_orderkey AS VARCHAR) AS key_str,
         |       CAST(o_custkey AS DOUBLE) AS cust_dbl,
         |       CAST(trunc(o_totalprice) AS BIGINT) AS price_i FROM orders""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_quality_quantiles" ->
+      """SELECT source, quantile_cont(n_chars, 0.5) AS p50,
+        |       quantile_cont(n_chars, 0.9) AS p90,
+        |       quantile_cont(n_chars, 0.99) AS p99,
+        |       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY source""".stripMargin,
 
     "q_agg_grouping" ->
       """SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,

@@ -79,6 +79,55 @@ final class ParquetCatalog(
     new java.io.File(s"$dir/$name.parquet").exists()
 }
 
+/** Bucketed warehouse catalog — the merge-at-scale layout: destination
+  * tables are written `bucketBy(buckets, key)` + `sortBy(key)` via
+  * `saveAsTable`, so the merge join reads the destination pre-partitioned
+  * AND pre-sorted on the merge key. Only the (new, small) source side
+  * shuffles — at 100 TB that removes the re-shuffle + re-sort of the
+  * accumulated destination on every pass (PlanSpec asserts the single-
+  * Exchange plan). The overwrite is a write-tmp + drop + rename swap, so
+  * reading and rewriting the same table in one lazy plan is safe.
+  *
+  * Tables without a `bucketKeys` entry write unbucketed. Names are
+  * warehouse-managed Spark tables, not paths.
+  */
+final class BucketedCatalog(
+    spark: SparkSession, buckets: Int,
+    bucketKeys: Map[String, Seq[String]],
+    prefix: String = "graft") extends Catalog {
+  private def qual(name: String) = s"${prefix}_$name"
+  def read(name: String): DataFrame = spark.table(qual(name))
+  /** Remove an orphan warehouse directory for a table that is NOT
+    * registered (in this session's catalog): with the default in-memory
+    * catalog, a previous process's tables leave their directories behind
+    * with no metadata over them, and both `saveAsTable` and `RENAME`
+    * refuse a new table whose default location already exists. A
+    * persistent metastore deployment never hits this; the guard makes the
+    * file-only case safe. Only called right after `DROP TABLE IF EXISTS`.
+    */
+  private def clearOrphanLocation(table: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val loc = new Path(s"${spark.conf.get("spark.sql.warehouse.dir")}/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  def write(name: String, df: DataFrame): Unit = {
+    val tmp = qual(name) + "__swap_tmp"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    clearOrphanLocation(tmp)
+    val w = df.write.mode("overwrite")
+    bucketKeys.get(name).filter(_.nonEmpty).fold(w) { keys =>
+      w.bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+    }.saveAsTable(tmp)
+    spark.sql(s"DROP TABLE IF EXISTS ${qual(name)}")
+    clearOrphanLocation(qual(name))
+    spark.sql(s"ALTER TABLE $tmp RENAME TO ${qual(name)}")
+  }
+  def exists(name: String): Boolean = spark.catalog.tableExists(qual(name))
+}
+
 /** Generic file-format catalog (csv/json/orc/...): `<dir>/<table>.<ext>`.
   * The reference only knows named SQL Server relations; file formats are a
   * free extension on Spark's DataSource API (SURVEY §2.2). csv reads with

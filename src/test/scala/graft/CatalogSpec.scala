@@ -47,6 +47,21 @@ class CatalogSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") || pruned.inputFiles.length <= 2)
   }
 
+  test("bucketed catalog: merge destination round-trip with table swap") {
+    val cat = new BucketedCatalog(spark, buckets = 4,
+      bucketKeys = Map("dest" -> Seq("k")), prefix = "catspec")
+    cat.write("dest", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    assert(cat.exists("dest") && !cat.exists("nope"))
+    // read-modify-overwrite of the same table (the PipelineRunner shape)
+    val tm = TableMapping("dest", "s", Seq(
+      "k" -> MergeOn("k"), "v" -> DirectCopy("v")), useMerge = true)
+    val merged = Merge(cat.read("dest"), Seq((2, "B2"), (3, "c")).toDF("k", "v"), tm)
+    cat.write("dest", merged.drop(Merge.ActionCol))
+    val out = cat.read("dest").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(out == Seq((1, "a"), (2, "B2"), (3, "c")))
+  }
+
   test("json catalog round-trip") {
     val dir = tmp()
     val cat = new FormatCatalog(spark, dir, "json")

@@ -16,7 +16,9 @@ class PlanSpec extends AnyFunSuite {
 
   private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
     df.collect() // materialize so AQE settles on the final plan
-    df.queryExecution.executedPlan.toString
+    // AdaptiveSparkPlan.toString prints Final AND Initial plans — keep only
+    // the final section so node counts aren't doubled
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
   }
 
   test("compiled mapping pushes the source filter and prunes columns at the scan") {
@@ -53,6 +55,23 @@ class PlanSpec extends AnyFunSuite {
       { case "dim" => spark.read.parquet(s"$dir/dim.parquet") })
     val plan = finalPlan(df)
     assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("merge into a bucketed destination shuffles only the source side") {
+    // buckets == shuffle partitions so the guard window's exchange also
+    // serves the join (the same alignment a cluster deployment would use)
+    val cat = new BucketedCatalog(spark, buckets = 4,
+      bucketKeys = Map("d" -> Seq("k")), prefix = "planspec")
+    cat.write("d", (1 to 500).map(i => (i, s"old$i")).toDF("k", "v"))
+    val src = (400 to 900).map(i => (i, s"new$i")).toDF("k", "v")
+    val tm = TableMapping(
+      destination = "d", source = "s", useMerge = true,
+      columns = Seq("k" -> MergeOn("k"), "v" -> DirectCopy("v")))
+    val merged = Merge(cat.read("d"), src, tm)
+    val plan = finalPlan(merged)
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchanges === 1, s"expected only the source-side shuffle:\n$plan")
+    assert(merged.count() === 900)
   }
 
   test("strict-merge key guard reuses the join shuffle (no extra Exchange)") {

@@ -55,6 +55,24 @@ object Multimodal {
     out
   }
 
+  /** Size partitions for payload-heavy rows: media payloads dominate row
+    * size, so partition count must follow total payload bytes, not row
+    * count (`spark.sql.files.maxPartitionBytes` governs the scan, but a
+    * post-shuffle stage inherits `spark.sql.shuffle.partitions`, sized for
+    * tabular rows). One cheap agg computes total bytes; rows are then
+    * range-partitioned by id into `ceil(total / targetBytes)` partitions —
+    * contiguous id ranges keep any downstream id-keyed merge join cheap.
+    */
+  def sizePartitionsByPayload(
+      ds: Dataset[MMRecord],
+      targetBytesPerPartition: Long = 128L << 20): Dataset[MMRecord] = {
+    import ds.sparkSession.implicits._
+    val total = ds.select(sum(length(col("payload")).cast("long")))
+      .as[Option[Long]].head().getOrElse(0L)
+    val parts = math.max(1, math.ceil(total.toDouble / targetBytesPerPartition).toInt)
+    ds.repartitionByRange(parts, col("id"))
+  }
+
   /** Feature extraction: one codec context per partition, iterator-to-
     * iterator (no materialization) — the Scala analogue of a vectorized
     * `mapInPandas` batch UDF.

@@ -24,6 +24,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1.values.toSeq.distinct.length > 1)
   }
 
+  test("payload-sized partitioning: count follows bytes, ranges keep id order") {
+    val sized = Multimodal.sizePartitionsByPayload(mm,
+      targetBytesPerPartition = 4096)
+    val totalBytes = mm.toDF().select(sum(length(col("payload")))).head().getLong(0)
+    val expected = math.max(1, math.ceil(totalBytes / 4096.0).toInt)
+    assert(sized.rdd.getNumPartitions === expected)
+    // contiguous id ranges per partition (range partitioning contract)
+    val perPart = sized.rdd.mapPartitionsWithIndex { (i, it) =>
+      val ids = it.map(_.id).toSeq
+      if (ids.isEmpty) Iterator.empty
+      else Iterator((i, ids.min, ids.max))
+    }.collect().sortBy(_._1)
+    perPart.sliding(2).foreach {
+      case Array((_, _, max1), (_, min2, _)) => assert(max1 < min2)
+      case _ => ()
+    }
+    assert(sized.count() === mm.count())
+  }
+
   test("resize pools to requested dim") {
     val feats = Multimodal.extractFeatures(mm, dim = 64).toDF()
     val out = Multimodal.resizeFeatures(feats, "features", 8)

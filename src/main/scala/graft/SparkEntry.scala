@@ -395,6 +395,15 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, dim = 64, tables = 8, bitsPerTable = 6)
     },
 
+    // similarity storage path: int8 symmetric quantization — per-vector
+    // scale + summary stats of the quantized array (row-hashable shape)
+    "q_embed_quantize" -> ((s, dir) => ext.Quantize
+      .quantized(read(s, dir, "embeddings"), "vec_id", "embedding")
+      .select(col("vec_id"), col("q_scale"),
+        expr("aggregate(q, 0L, (a, x) -> a + x)").alias("sum_q"),
+        array_min(col("q")).alias("min_q"),
+        array_max(col("q")).alias("max_q"))),
+
     // similarity: IVF approximate top-k. Centroids are the 32 md5-first
     // corpus vectors (engine-reproducible), so the WHOLE index build +
     // probe + scoring has a plain-SQL oracle — no literals smuggled in.
@@ -888,6 +897,20 @@ object SparkEntry {
         |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+        |             ELSE 127.0 / list_max(list_transform(v, x -> abs(x))) END AS q_scale
+        |      FROM e),
+        |q AS (SELECT vec_id, q_scale,
+        |        list_transform(v, x -> CAST(round(x * q_scale) AS INTEGER)) AS q
+        |      FROM s)
+        |SELECT vec_id, q_scale, CAST(list_sum(q) AS BIGINT) AS sum_q,
+        |       CAST(list_min(q) AS INTEGER) AS min_q,
+        |       CAST(list_max(q) AS INTEGER) AS max_q
+        |FROM q""".stripMargin,
 
     // IVF: centroid sample (md5-first 32, unit-normalized), corpus assigned
     // to nearest centroid, queries probe 4 lists, exact rescoring — the SQL

@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scalar int8 embedding quantization (SURVEY §2.11 similarity storage
+  * path): per-vector symmetric scale `127 / max(|x|)`, elements rounded to
+  * [-127, 127]. Quarters the storage and shuffle width of an embedding
+  * corpus (float32 → int8 + one float scale), which is what makes
+  * billion-vector ANN indexes shippable; candidate scoring dequantizes
+  * with `q * scale⁻¹` and rescores exact on the surviving top-k only.
+  *
+  * Declarative higher-order functions, not UDFs — fine here because
+  * quantization is a one-pass storage transform, not a per-candidate hot
+  * path. Every step (abs-max, scale, round) is plain IEEE arithmetic, so
+  * the result is engine-reproducible from SQL.
+  */
+object Quantize {
+
+  /** abs-max of the vector (double). 0-vectors get scale 1 (all-zero q). */
+  def absMax(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double"))))
+
+  def scaleFor(vec: Column): Column =
+    when(absMax(vec) === 0.0, lit(1.0)).otherwise(lit(127.0) / absMax(vec))
+
+  /** Quantized vector as array<int> in [-127, 127] (int keeps SQL parity
+    * simple; a storage sink would cast to byte).
+    */
+  def int8(vec: Column, scale: Column): Column =
+    transform(vec, x => round(x.cast("double") * scale).cast("int"))
+
+  /** (idCol, q_scale, q — quantized array, plus summary stats columns that
+    * make the result hashable row-by-row).
+    */
+  def quantized(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val sc = scaleFor(col(vecCol))
+    df.select(col(idCol), sc.alias("q_scale"),
+      int8(col(vecCol), sc).alias("q"))
+  }
+
+  /** Mean absolute dequantization error per vector — the quality metric a
+    * pipeline gates on before swapping the float index out.
+    */
+  def dequantError(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val sc = scaleFor(col(vecCol))
+    val q = int8(col(vecCol), sc)
+    val err = aggregate(
+      zip_with(col(vecCol), q, (x, qi) =>
+        abs(x.cast("double") - qi.cast("double") / sc)),
+      lit(0.0), (acc, e) => acc + e) / size(col(vecCol)).cast("double")
+    df.select(col(idCol), err.alias("mean_abs_err"))
+  }
+}

@@ -97,6 +97,22 @@ class ExtSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("int8 quantization: bounded values, small dequantization error") {
+    val rnd = new scala.util.Random(23)
+    val df = (0L until 50L).map(i =>
+      (i, Array.fill(32)((rnd.nextGaussian() * 3).toFloat))).toDF("vec_id", "embedding")
+    val q = ext.Quantize.quantized(df, "vec_id", "embedding").collect()
+    q.foreach { r =>
+      val arr = r.getSeq[Int](2)
+      assert(arr.forall(v => v >= -127 && v <= 127))
+      assert(arr.exists(_.abs === 127)) // abs-max element saturates by construction
+    }
+    val errs = ext.Quantize.dequantError(df, "vec_id", "embedding")
+      .collect().map(_.getDouble(1))
+    // max representable error per element is scale⁻¹/2 = absMax/254
+    assert(errs.forall(_ < 3.0 * 4 / 254), errs.max)
+  }
+
   test("IVF top-k: deterministic, well-shaped, high recall on clustered data") {
     val rnd = new scala.util.Random(19)
     // 4 well-separated clusters in R^32

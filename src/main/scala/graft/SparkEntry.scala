@@ -451,6 +451,19 @@ object SparkEntry {
         sum(col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         max(col("value")).alias("max_value"))),
 
+    // events: sliding-window aggregation (1 h window, 30 min slide — each
+    // event lands in width/slide = 2 windows; explicit window-start explode
+    // keeps it pure integer arithmetic, batch-equals-streaming semantics)
+    "q_events_sliding" -> ((s, dir) => readEvents(s, dir)
+      // width = 2 × slide ⇒ every event belongs to exactly the slide bucket
+      // containing it and the one before — no coverage filter needed
+      .withColumn("w_start", explode(array(
+        expr("ts_us - (ts_us % 1800000000)"),
+        expr("ts_us - (ts_us % 1800000000) - 1800000000"))))
+      .groupBy(col("w_start"), col("event_type"))
+      .agg(count(lit(1)).alias("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))),
+
     // events: JSON property extraction (semi-structured props column)
     "q_events_json" -> ((s, dir) => readEvents(s, dir).select(
       col("event_id"),
@@ -1023,6 +1036,17 @@ object SparkEntry {
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
         |FROM events""".stripMargin,
+
+    "q_events_sliding" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, value
+        |           FROM events),
+        |w AS (SELECT ts_us - (ts_us % 1800000000) AS w_start, event_type, value FROM e
+        |      UNION ALL
+        |      SELECT ts_us - (ts_us % 1800000000) - 1800000000 AS w_start, event_type, value
+        |      FROM e)
+        |SELECT w_start, event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     "q_interval_join" ->
       """WITH e AS (SELECT event_id, user_id,

@@ -372,6 +372,10 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) =>
       ext.Dedup.simHash64(read(s, dir, "documents"), "doc_id", "text")),
 
+    // dedup: portable 32-bit SimHash (md5 hex-digit bits) — full oracle
+    "q_simhash_portable" -> ((s, dir) =>
+      ext.Dedup.simHash32Portable(read(s, dir, "documents"), "doc_id", "text")),
+
     // dedup: embedding-cosine near-dup pairs
     "q_embed_neardup" -> ((s, dir) =>
       ext.Dedup.embeddingNearDupPairs(read(s, dir, "embeddings"),
@@ -599,8 +603,28 @@ object SparkEntry {
        |SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= 5""".stripMargin
   }
 
+  /** Generated DuckDB oracle for q_simhash_portable — same md5-hex-digit
+    * bit reads and ±1 votes as `Dedup.simHash32Portable`, emitted as 32
+    * aggregate expressions.
+    */
+  private lazy val simhashPortableOracle: String = {
+    val votes = (0 until 32).map { i =>
+      s"SUM(CASE WHEN (((strpos('0123456789abcdef', substr(mh, ${1 + i / 4}, 1)) - 1)" +
+        s" >> ${i % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(",\n       ")
+    val bits = (0 until 32)
+      .map(i => s"(CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (SELECT doc_id, md5(tok) AS mh FROM tok),
+       |v AS (SELECT doc_id,
+       |       $votes
+       |      FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash32 FROM v""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_knn_lsh" -> knnLshOracle,
+    "q_simhash_portable" -> simhashPortableOracle,
     "q_direct_copy" ->
       """SELECT c_custkey AS cust_id, c_name AS cust_name,
         |       c_mktsegment AS segment FROM customer""".stripMargin,

@@ -182,6 +182,31 @@ object Dedup {
       bits.reduce((a, b) => a.bitwiseOR(b)).alias("simhash"))
   }
 
+  /** Engine-portable 32-bit SimHash: token hash = the 8 leading hex digits
+    * of `md5(token)`, bit `i` read from hex digit `i/4` bit `i%4` — pure
+    * string/arithmetic ops that evaluate identically in any SQL engine, so
+    * the whole signature is oracle-checkable (unlike xxhash64, whose
+    * seeding is Spark-internal). Same ±1-vote-per-bit scheme as
+    * [[simHash64]]; use that one at scale (xxhash64 is ~10× cheaper than
+    * md5), this one when cross-engine reproducibility matters.
+    */
+  def simHash32Portable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+        explode(TextOps.tokens(col(textCol))).alias("tok"))
+      .withColumn("mh", md5(col("tok")))
+    val votes = (0 until 32).map { i =>
+      val bit = expr(
+        s"((instr('0123456789abcdef', substring(mh, ${1 + i / 4}, 1)) - 1)" +
+          s" >> ${i % 4}) & 1")
+      sum(when(bit === 1, 1).otherwise(-1)).alias(s"__v$i")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val bits = (0 until 32).map(i =>
+      when(col(s"__v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+    agg.select(col(idCol),
+      bits.reduce((a, b) => a.bitwiseOR(b)).alias("simhash32"))
+  }
+
   /** SimHash near-dup pairs: 4×16-bit band blocking, then exact Hamming
     * distance (`bit_count(a XOR b)`) <= maxHamming within blocks.
     */

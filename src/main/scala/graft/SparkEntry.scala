@@ -376,6 +376,14 @@ object SparkEntry {
     "q_simhash_portable" -> ((s, dir) =>
       ext.Dedup.simHash32Portable(read(s, dir, "documents"), "doc_id", "text")),
 
+    // dedup: portable MinHash signatures (md5-derived 48-bit hashes, long
+    // format) on a doc subset — full oracle; xxhash64 wide-agg form stays
+    // the scale path
+    "q_minhash_portable" -> ((s, dir) =>
+      ext.Dedup.minHashSignaturesPortable(
+        read(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text")),
+
     // dedup: embedding-cosine near-dup pairs
     "q_embed_neardup" -> ((s, dir) =>
       ext.Dedup.embeddingNearDupPairs(read(s, dir, "embeddings"),
@@ -625,6 +633,22 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_knn_lsh" -> knnLshOracle,
     "q_simhash_portable" -> simhashPortableOracle,
+
+    // word-3-gram shingles rebuilt in SQL; DISTINCT matches the shingle-set
+    // semantics (MIN over a set ignores multiplicity/order)
+    "q_minhash_portable" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents WHERE doc_id < 100),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |       FROM (SELECT doc_id, w,
+        |               unnest(range(greatest(len(w) - 2, 0))) AS i FROM d)),
+        |g AS (SELECT doc_id, i,
+        |        CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 12)
+        |             AS BIGINT) AS hv
+        |      FROM sh CROSS JOIN range(64) r(i))
+        |SELECT doc_id, CAST(i AS INTEGER) AS i, MIN(hv) AS min_hash
+        |FROM g GROUP BY doc_id, i""".stripMargin,
     "q_direct_copy" ->
       """SELECT c_custkey AS cust_id, c_name AS cust_name,
         |       c_mktsegment AS segment FROM customer""".stripMargin,

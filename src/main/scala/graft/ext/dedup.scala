@@ -113,6 +113,25 @@ object Dedup {
         array((0 until numHashes).map(i => col(s"__h$i")): _*).alias("signature"))
   }
 
+  /** Engine-portable MinHash signatures in long format (id, i, min_hash):
+    * hash function `i` of a shingle is the leading 12 hex digits (48 bits,
+    * safely inside BIGINT everywhere) of `md5(i || ':' || shingle)` — so
+    * the whole signature reproduces from plain SQL in any engine, unlike
+    * the Spark-seeded xxhash64 of [[minHashSignatures]] (which stays the
+    * scale path: one wide aggregation, ~10× cheaper hash). Row count is
+    * shingles × numHashes; partial aggregation collapses it map-side.
+    */
+  def minHashSignaturesPortable(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64): DataFrame =
+    shingles(df, idCol, textCol, k)
+      .withColumn("i", explode(sequence(lit(0), lit(numHashes - 1))))
+      .withColumn("hv",
+        conv(substring(md5(concat(col("i").cast("string"), lit(":"),
+          col("shingle"))), 1, 12), 16, 10).cast("long"))
+      .groupBy(col(idCol), col("i"))
+      .agg(min(col("hv")).alias("min_hash"))
+
   /** LSH banding: hash each of `bands` contiguous signature slices; docs
     * sharing any (band, bucket) are candidates. rows = docs × bands.
     * `carry` columns ride along (e.g. the signature itself, so downstream

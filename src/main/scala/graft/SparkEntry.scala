@@ -327,8 +327,9 @@ object SparkEntry {
     "q_text_fingerprint" -> ((s, dir) => read(s, dir, "documents").select(
       col("doc_id"), ext.TextOps.fingerprint(col("text")).alias("fp"))),
 
-    // text analysis: native codegen rolling-hash expression (no oracle —
-    // hash definition is engine-internal; covered by unit test)
+    // text analysis: native codegen rolling-hash expression. Oracle rebuilds
+    // the 31·h+b fold with HUGEINT mod-2^64 arithmetic (valid while the
+    // corpus is ASCII — byte == codepoint; the driver testdata is)
     "q_rolling_hash" -> ((s, dir) => read(s, dir, "documents").select(
       col("doc_id"), ext.TextOps.rollingHash(col("text")).alias("rhash"))),
 
@@ -633,6 +634,22 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_knn_lsh" -> knnLshOracle,
     "q_simhash_portable" -> simhashPortableOracle,
+
+    // JVM long wraparound emulated with HUGEINT mod 2^64 + two's-complement
+    // reinterpretation; seed and 31·h+b fold mirror functions.RollingHash
+    "q_rolling_hash" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
+        |            ELSE h END AS BIGINT) AS rhash
+        |FROM (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |        list_transform(range(1, length(text) + 1),
+        |          i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS HUGEINT))),
+        |      (a, b) -> (a * 31 + b) % 18446744073709551616
+        |    ) AS h
+        |  FROM documents)""".stripMargin,
 
     // word-3-gram shingles rebuilt in SQL; DISTINCT matches the shingle-set
     // semantics (MIN over a set ignores multiplicity/order)

@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL-dialect registration for the native expressions, so they resolve by
+  * name in `spark.sql(...)`, `expr(...)` and — importantly — the mapping
+  * DSL's `SqlFunction` operator (`call_function("rolling_hash", ...)`),
+  * giving reference-style mappings access to the codegen'd natives.
+  *
+  * Two entry points:
+  *   - [[GraftFunctions.register]]: imperative, onto an existing session;
+  *   - [[GraftExtensions]]: the `SparkSessionExtensions` injector for
+  *     `SparkSession.builder().withExtensions(new GraftExtensions)` /
+  *     `spark.sql.extensions=graft.functions.GraftExtensions` deployments.
+  *
+  * Matrix-parameterized expressions (SignBuckets, IvfAssign) stay
+  * Scala-only — their plane/centroid payloads have no SQL literal form.
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  /** (name, builder) for every SQL-registrable native expression. */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "word_shingles" -> { args =>
+      require(args.length == 2, "word_shingles(text, k)")
+      WordShingles(args.head, intLit(args(1), "word_shingles", "k"))
+    },
+    "rolling_hash" -> { args =>
+      require(args.length == 1, "rolling_hash(text)")
+      RollingHash(args.head)
+    },
+    "dot_product" -> { args =>
+      require(args.length == 2, "dot_product(a, b)")
+      DotProduct(args.head, args(1))
+    },
+  )
+
+  /** Register onto a live session (temp functions, session-scoped). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}
+
+/** `spark.sql.extensions` injector — see [[GraftFunctions]]. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
+    }
+}

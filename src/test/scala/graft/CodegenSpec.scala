@@ -54,6 +54,29 @@ class CodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("native expressions resolve by name in SQL and via the SqlFunction mapper") {
+    functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT word_shingles('a b c d', 2) AS sh, rolling_hash('abc') AS rh, " +
+        "dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp").head()
+    assert(r.getSeq[String](0) === Seq("a b", "b c", "c d"))
+    assert(r.getLong(1) ===
+      functions.RollingHash.hash("abc".getBytes("UTF-8")))
+    assert(r.getDouble(2) === 11.0)
+
+    // the mapping DSL's SqlFunction operator reaches the natives too
+    val tm = TableMapping("out", "src", Seq(
+      "id"    -> DirectCopy("id"),
+      "rhash" -> SqlFunction("rolling_hash", Seq(ColArg("text")))))
+    val src = Seq((1L, "hello world")).toDF("id", "text")
+    val out = Compiler.transformedSource(src, tm, _ => fail("no FK")).head()
+    assert(out.getLong(1) ===
+      functions.RollingHash.hash("hello world".getBytes("UTF-8")))
+
+    // the extensions injector wires the same builders (smoke: applies cleanly)
+    new functions.GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("SignBuckets matches the per-plane dot>=0 definition") {
     val rnd = new scala.util.Random(11)
     val vecs = (0 until 20).map(_ => Array.fill(16)(rnd.nextGaussian().toFloat))

@@ -31,24 +31,32 @@ object Bench {
     // (e.g. iterative clustering), and letting those blocks accumulate
     // across the 50-query session turns into GC noise that lands on
     // whichever query runs next
+    // returns seconds, or -1 on failure — a failing query must NOT show up
+    // as a suspiciously fast passing time in the benchmark JSON
     def run(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
       System.gc() // lets ContextCleaner drop finished shuffles/broadcasts now
-      dt
+      if (ok) dt else -1.0
     }
 
     // warmup pass (untimed)
     names.foreach(run)
     // timed: min of 2 passes per query — steady-state, the same
-    // methodology as BASELINE.md's min-of-3 warm DuckDB numbers
-    val results = names.map(name => name -> math.min(run(name), run(name)))
+    // methodology as BASELINE.md's min-of-3 warm DuckDB numbers. Either
+    // pass failing marks the query failed (-1).
+    val results = names.map { name =>
+      val (a, b) = (run(name), run(name))
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

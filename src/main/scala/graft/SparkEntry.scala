@@ -998,7 +998,9 @@ object SparkEntry {
         |cent0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM e
         |          ORDER BY h LIMIT 32),
         |cent AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cidx,
-        |                list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS c
+        |                CASE WHEN list_dot_product(v, v) = 0 THEN v
+        |                     ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+        |                END AS c
         |         FROM cent0),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
         |cassign AS (SELECT n_id, list FROM (

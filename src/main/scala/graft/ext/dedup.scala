@@ -280,10 +280,12 @@ object Dedup {
       case _: org.apache.spark.sql.types.StringType  => Some(Ordering.String.on[Any](_.asInstanceOf[String]))
       case _ => None
     }
-    if (ordering.isDefined) {
-      val cap = math.min(driverEdgeLimit, Int.MaxValue - 1L).toInt
+    // limits past Int.MaxValue can't be checked with a driver collect —
+    // take the distributed path rather than clustering a truncated sample
+    if (ordering.isDefined && driverEdgeLimit < Int.MaxValue) {
+      val cap = driverEdgeLimit.toInt
       val edgeRows = pairs.select("a_id", "b_id").limit(cap + 1).collect()
-      if (edgeRows.length <= driverEdgeLimit) {
+      if (edgeRows.length <= cap) {
         val reps = unionFindMinReps(edgeRows.map(r => (r.get(0), r.get(1))))(ordering.get)
         val spark = ids.sparkSession
         val mapping = spark.createDataFrame(
@@ -341,7 +343,11 @@ object Dedup {
       .select(col("i." + idCol).alias("id"),
         coalesce(col("l.cluster"), col("i." + idCol)).alias("cluster"))
     // the loop is done with the edge list; the returned frame still reads
-    // the final (materialized) labels cache for its graph part
+    // the final (materialized) labels cache for its graph part. That one
+    // (id, cluster) cache entry intentionally stays pinned — unpersisting
+    // it would force the caller's first action to replay the whole loop,
+    // since every intermediate round's cache is already gone. Callers that
+    // are done with the result can `spark.catalog.clearCache()`.
     edges.unpersist(false)
     out
   }

@@ -105,24 +105,35 @@ object Merge {
 
   /** Source key-uniqueness guard (T-SQL MERGE's "attempted to UPDATE the
     * same row more than once" error, raised eagerly): the source-presence
-    * marker becomes `when(count(*) OVER (PARTITION BY mergeKeys) > 1,
-    * raise_error(...)).otherwise(1)`. The marker survives into the join
-    * output (it drives the matched/inserted arms), so Catalyst cannot prune
-    * the check; and because no key column is rewritten, the window's hash
-    * partitioning on the merge keys still satisfies the join's distribution
-    * requirement — the Exchange is reused, no extra shuffle at any scale
-    * (asserted in PlanSpec).
+    * marker becomes `when(cnt > 1, raise_error(...)).otherwise(1)` where
+    * `cnt` is a window count over the COLUMN merge keys. The marker
+    * survives into the join output (it drives the matched/inserted arms),
+    * so Catalyst cannot prune the check; and because no key column is
+    * rewritten and the window partitions by exactly the join's equi-keys
+    * (constant keys compare against literals, so they are not join
+    * distribution keys), the window's hash partitioning satisfies the
+    * join's requirement — the Exchange is reused, no extra shuffle at any
+    * scale (asserted in PlanSpec).
+    *
+    * NULL-keyed source rows are exempt: a NULL key never equi-matches a
+    * dest row (both here and in T-SQL), so duplicates among them legally
+    * both INSERT. Mappings whose keys are ALL constants get no static
+    * guard — whether T-SQL would raise there depends on the dest contents.
     */
   private def keyUniqueGuard(tm: TableMapping): Column = {
     import org.apache.spark.sql.expressions.Window
-    val keys = tm.mergeKeys.map(_._1)
-    val cnt = count(lit(1)).over(Window.partitionBy(keys.map(col): _*))
-    val msg = concat(
-      lit(s"MERGE into ${tm.destination}: source is not key-unique on " +
-        s"(${keys.mkString(", ")}) — T-SQL MERGE raises here; deduplicate " +
-        "the source (forceDistinct/useGrouping) or set strictMerge=false. " +
-        "Duplicate key: "),
-      concat_ws(",", keys.map(k => col(k).cast("string")): _*))
-    when(cnt > 1, raise_error(msg)).otherwise(lit(1))
+    val keys = tm.mergeKeys.collect { case (d, MergeOnColumn(_)) => d }
+    if (keys.isEmpty) lit(1)
+    else {
+      val cnt = count(lit(1)).over(Window.partitionBy(keys.map(col): _*))
+      val allKeysPresent = keys.map(col(_).isNotNull).reduce(_ && _)
+      val msg = concat(
+        lit(s"MERGE into ${tm.destination}: source is not key-unique on " +
+          s"(${keys.mkString(", ")}) — T-SQL MERGE raises here; deduplicate " +
+          "the source (forceDistinct/useGrouping) or set strictMerge=false. " +
+          "Duplicate key: "),
+        concat_ws(",", keys.map(k => col(k).cast("string")): _*))
+      when(allKeysPresent && cnt > 1, raise_error(msg)).otherwise(lit(1))
+    }
   }
 }

@@ -17,10 +17,12 @@ trait Catalog {
 
 object Catalog {
   /** Read-safe overwrite for file-backed catalogs: run `writeTo` against a
-    * temp sibling path, then atomically swap it over `finalPath` via the
-    * Hadoop FileSystem API (local FS, HDFS, and rename-capable stores).
-    * Readers of the old directory are never racing the writer, and a failed
-    * job leaves the old table intact (write-temp-then-rename commit).
+    * temp sibling path, then swap it over `finalPath` with two renames via
+    * the Hadoop FileSystem API (local FS, HDFS, and rename-capable stores).
+    * Readers of the old directory never race the writer, and data is never
+    * deleted before the new copy is fully in place: a crash mid-swap leaves
+    * the old table either at its path or under `.__swap_old` (recoverable),
+    * never gone.
     */
   def swapWrite(spark: SparkSession, finalPath: String)(
       writeTo: String => Unit): Unit = {
@@ -28,11 +30,19 @@ object Catalog {
     val target = new Path(finalPath)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(finalPath + ".__swap_tmp")
+    val old = new Path(finalPath + ".__swap_old")
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(old)) fs.delete(old, true)
     writeTo(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
-    if (!fs.rename(tmp, target))
+    val hadTarget = fs.exists(target)
+    if (hadTarget && !fs.rename(target, old))
+      throw new java.io.IOException(s"swapWrite: rename $target -> $old failed")
+    if (!fs.rename(tmp, target)) {
+      // restore the previous table before failing
+      if (hadTarget) fs.rename(old, target)
       throw new java.io.IOException(s"swapWrite: rename $tmp -> $target failed")
+    }
+    if (hadTarget) fs.delete(old, true)
   }
 }
 
@@ -107,23 +117,44 @@ final class BucketedCatalog(
     */
   private def clearOrphanLocation(table: String): Unit = {
     import org.apache.hadoop.fs.Path
-    val loc = new Path(s"${spark.conf.get("spark.sql.warehouse.dir")}/$table")
+    // the metastore lowercases identifiers, so the default location does too
+    val dirName = table.toLowerCase(java.util.Locale.ROOT)
+    val loc = new Path(s"${spark.conf.get("spark.sql.warehouse.dir")}/$dirName")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
   }
 
+  /** Two-rename swap: the previous table moves to a backup name before the
+    * new one takes its place, so data is never dropped before the new copy
+    * is committed — a crash mid-swap leaves the old table at its name or
+    * under `__swap_old` (recoverable), never gone. (v1 tables have no truly
+    * atomic swap; this is the minimal-window equivalent of the file
+    * catalog's [[Catalog.swapWrite]].)
+    */
   def write(name: String, df: DataFrame): Unit = {
     val tmp = qual(name) + "__swap_tmp"
+    val old = qual(name) + "__swap_old"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     clearOrphanLocation(tmp)
+    spark.sql(s"DROP TABLE IF EXISTS $old")
+    clearOrphanLocation(old)
     val w = df.write.mode("overwrite")
     bucketKeys.get(name).filter(_.nonEmpty).fold(w) { keys =>
       w.bucketBy(buckets, keys.head, keys.tail: _*)
         .sortBy(keys.head, keys.tail: _*)
     }.saveAsTable(tmp)
-    spark.sql(s"DROP TABLE IF EXISTS ${qual(name)}")
-    clearOrphanLocation(qual(name))
-    spark.sql(s"ALTER TABLE $tmp RENAME TO ${qual(name)}")
+    val hadTable = exists(name)
+    if (hadTable) spark.sql(s"ALTER TABLE ${qual(name)} RENAME TO $old")
+    // no table registered over the target name → any directory there is an
+    // orphan from a previous process and would fail the rename below
+    else clearOrphanLocation(qual(name))
+    try spark.sql(s"ALTER TABLE $tmp RENAME TO ${qual(name)}")
+    catch {
+      case e: Throwable =>
+        if (hadTable) spark.sql(s"ALTER TABLE $old RENAME TO ${qual(name)}")
+        throw e
+    }
+    if (hadTable) spark.sql(s"DROP TABLE IF EXISTS $old")
   }
   def exists(name: String): Boolean = spark.catalog.tableExists(qual(name))
 }

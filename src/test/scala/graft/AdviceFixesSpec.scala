@@ -67,6 +67,17 @@ class AdviceFixesSpec extends AnyFunSuite {
     assert(msgs(ex).exists(m => m != null && m.contains("not key-unique")))
   }
 
+  test("strictMerge exempts duplicate NULL merge keys — they all INSERT, as in T-SQL") {
+    val dest = Seq((1, "old")).toDF("k", "v")
+    val src = Seq((Option.empty[Int], "a"), (Option.empty[Int], "b"), (Some(2), "c"))
+      .toDF("k", "v")
+    // NULL keys never equi-match a dest row, so T-SQL MERGE inserts both;
+    // the uniqueness guard must not fire on them
+    val out = Merge(dest, src, mergeTm(strict = true)).collect()
+    assert(out.length === 4) // 1 untouched dest + 3 inserts
+    assert(out.count(_.isNullAt(0)) === 2)
+  }
+
   test("strictMerge passes a key-unique source and can be opted out") {
     val dest = Seq((1, "old")).toDF("k", "v")
     val ok = Seq((1, "new"), (2, "ins")).toDF("k", "v")

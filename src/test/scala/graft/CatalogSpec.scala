@@ -62,6 +62,14 @@ class CatalogSpec extends AnyFunSuite {
     assert(out == Seq((1, "a"), (2, "B2"), (3, "c")))
   }
 
+  test("orc catalog round-trip") {
+    val dir = tmp()
+    val cat = new FormatCatalog(spark, dir, "orc")
+    cat.write("t", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    assert(cat.read("t").orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a"), (2, "b")))
+  }
+
   test("json catalog round-trip") {
     val dir = tmp()
     val cat = new FormatCatalog(spark, dir, "json")

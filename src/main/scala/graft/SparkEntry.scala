@@ -92,6 +92,24 @@ object SparkEntry {
       .agg(sum(col("l_quantity")).alias("sum_qty"),
         count(lit(1)).alias("n_rows"))),
 
+    // §2.5/§2.6: CUBE — all grouping-set combinations (subtotals + grand
+    // total), completing the grouping-sets family next to ROLLUP
+    "q_agg_cube" -> ((s, dir) => read(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).alias("sum_qty"),
+        count(lit(1)).alias("n_rows"))),
+
+    // sketch path for distribution stats: t-digest-style approx percentiles
+    // (mergeable across partitions — the 100 TB form of q_quality_quantiles;
+    // rows-only: sketch internals are engine-specific, accuracy vs the
+    // exact form asserted in ExtSpec)
+    "q_quality_quantiles_approx" -> ((s, dir) => read(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(expr("approx_percentile(n_chars, array(0.5, 0.9), 1000)").alias("p"),
+        count(lit(1)).alias("n_docs"))
+      .select(col("source"), col("p").getItem(0).alias("p50"),
+        col("p").getItem(1).alias("p90"), col("n_docs"))),
+
     // §2.7 beyond-reference scalar surface: exact percentiles of document
     // length per source — the distribution stats a curation pipeline gates on
     "q_quality_quantiles" -> ((s, dir) => read(s, dir, "documents")
@@ -679,6 +697,11 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
         |       COUNT(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
     "q_quality_quantiles" ->
       """SELECT source, quantile_cont(n_chars, 0.5) AS p50,

@@ -97,6 +97,22 @@ class ExtSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("approx percentiles track exact percentiles within sketch tolerance") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = d.groupBy($"source")
+      .agg(expr("percentile(n_chars, 0.5)").alias("p50"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val approx = d.groupBy($"source")
+      .agg(expr("approx_percentile(n_chars, 0.5, 1000)").alias("p50"))
+      .collect().map(r => r.getLong(1).toDouble -> r.getString(0))
+      .map(_.swap).toMap
+    exact.foreach { case (src, e) =>
+      val a = approx(src)
+      // t-digest at accuracy 1000 on small strata: within 10% relative
+      assert(math.abs(a - e) <= math.max(1.0, e * 0.10), s"$src: approx $a vs exact $e")
+    }
+  }
+
   test("int8 quantization: bounded values, small dequantization error") {
     val rnd = new scala.util.Random(23)
     val df = (0L until 50L).map(i =>

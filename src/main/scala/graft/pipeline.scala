@@ -209,6 +209,53 @@ final class PipelineRunner(
   private val audits = mutable.ArrayBuffer.empty[(Int, String, DataFrame)]
   def auditLog: Seq[(Int, String, DataFrame)] = audits.toSeq
 
+  /** Config-time validation: every problem a mapping can have *before*
+    * touching data — missing source tables/columns, missing FK parents,
+    * merge without keys, unknown aggregate functions. The reference only
+    * surfaces these as SQL Server runtime errors in the generated script;
+    * here they come back as one readable list so a bad config fails in
+    * seconds, not mid-load. Pure metadata checks (schemas only, no jobs).
+    */
+  def validate(p: Pipeline): Seq[String] = {
+    val errors = Seq.newBuilder[String]
+    // FK parents may be created by an EARLIER mapping in the same pipeline
+    val producedEarlier = scala.collection.mutable.Set.empty[String]
+    for (tm <- p.mappings) {
+      val at = s"${tm.source} -> ${tm.destination}"
+      val srcCols: Option[Set[String]] =
+        try Some(source.read(tm.source).columns.toSet)
+        catch { case _: Exception =>
+          errors += s"$at: source table '${tm.source}' is not readable"
+          None
+        }
+      srcCols.foreach { cols =>
+        for ((d, m) <- tm.columns; c <- m.sourceColumns if !cols.contains(c))
+          errors += s"$at: column '$d' reads missing source column '$c'"
+        tm.sourceFilter.foreach { f =>
+          try { source.read(tm.source).filter(expr(f)).queryExecution.analyzed; () }
+          catch { case e: Exception =>
+            errors += s"$at: sourceFilter '$f' does not analyze: ${e.getMessage.linesIterator.next()}"
+          }
+        }
+      }
+      for (l <- Compiler.fkLookups(tm)) {
+        val parent = l.spec.parentTable
+        if (!producedEarlier.contains(parent) && !dest.exists(parent))
+          errors += s"$at: FK parent table '$parent' missing from destination " +
+            "(and not produced by an earlier mapping)"
+      }
+      if (tm.useMerge && tm.mergeKeys.isEmpty)
+        errors += s"$at: useMerge requires at least one MergeOn column"
+      // aggregate-name check only when a session is available (forall:
+      // no session → cannot check → no error)
+      for ((d, m) <- tm.columns; agg <- m.aggregate)
+        if (!spark.forall(_.catalog.functionExists(agg.toLowerCase)))
+          errors += s"$at: column '$d' uses unknown aggregate '$agg'"
+      producedEarlier += tm.destination
+    }
+    errors.result()
+  }
+
   def run(p: Pipeline): Unit = {
     val target: Catalog =
       if (p.dryRun) new OverlayCatalog(dest) else dest

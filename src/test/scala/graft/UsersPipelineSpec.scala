@@ -166,6 +166,37 @@ class UsersPipelineSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("hook_marker")) // torn down
   }
 
+  test("validate reports config errors before touching data") {
+    val srcCat = new InMemoryCatalog(Map("etl_Users" -> etlUsers))
+    val destCat = new InMemoryCatalog(Map("individual" -> individual))
+    val runner = new PipelineRunner(srcCat, destCat, Some(spark))
+    // healthy pipeline: no errors
+    assert(runner.validate(Pipeline(Seq(usersTm(true), rolesTm))).isEmpty)
+
+    val broken = TableMapping(
+      destination = "out", source = "nope",
+      columns = Seq("a" -> DirectCopy("missing_col"),
+        "b" -> ForeignKey("AgentID", FkSpec("ghost", "x", "y")),
+        "c" -> AggregateColumn("AgentID", "NOT_A_FUNc")),
+      useGrouping = true)
+    val errs = runner.validate(Pipeline(Seq(broken)))
+    assert(errs.exists(_.contains("'nope' is not readable")), errs)
+    assert(errs.exists(_.contains("FK parent table 'ghost'")), errs)
+    assert(errs.exists(_.contains("unknown aggregate 'NOT_A_FUNc'")), errs)
+
+    val badMerge = TableMapping("d", "etl_Users",
+      columns = Seq("x" -> DirectCopy("UserID")), useMerge = true)
+    assert(runner.validate(Pipeline(Seq(badMerge)))
+      .exists(_.contains("requires at least one MergeOn")))
+
+    // FK parent produced by an earlier mapping in the same pipeline is OK
+    val first = TableMapping("parent_t", "etl_Users",
+      columns = Seq("k" -> DirectCopy("UserID"), "v" -> DirectCopy("Username")))
+    val second = TableMapping("child_t", "etl_Users",
+      columns = Seq("g" -> ForeignKey("UserID", FkSpec("parent_t", "v", "k"))))
+    assert(runner.validate(Pipeline(Seq(first, second))).isEmpty)
+  }
+
   test("describe renders the compiled pipeline script (script mode)") {
     val runner = new PipelineRunner(
       new InMemoryCatalog(), new InMemoryCatalog())

@@ -218,39 +218,75 @@ final class PipelineRunner(
     */
   def validate(p: Pipeline): Seq[String] = {
     val errors = Seq.newBuilder[String]
-    // FK parents may be created by an EARLIER mapping in the same pipeline
+
+    def firstLine(e: Throwable): String =
+      Option(e.getMessage).flatMap(_.linesIterator.find(_.nonEmpty))
+        .getOrElse(e.toString)
+    // column resolution is case-insensitive by Spark default — match it
+    def lower(cols: Array[String]): Set[String] =
+      cols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    def has(cols: Set[String], c: String): Boolean =
+      cols.contains(c.toLowerCase(java.util.Locale.ROOT))
+
+    // parse-only check for user-authored SQL/expression strings
+    def checkExpr(at: String, what: String, df: DataFrame, e: String): Unit =
+      try { df.filter(expr(e)).queryExecution.analyzed; () }
+      catch { case ex: Exception =>
+        errors += s"$at: $what '$e' does not analyze: ${firstLine(ex)}"
+      }
+
+    // a name passes iff it analyzes AS AN AGGREGATE over a null column —
+    // catches both unknown functions and scalars like ABS used as aggregates
+    def isAggregate(agg: String): Boolean = spark.forall { sp =>
+      try {
+        sp.range(1).select(lit(null).alias("x"))
+          .groupBy().agg(expr(s"$agg(x)")).queryExecution.analyzed
+        true
+      } catch { case _: Exception => false }
+    }
+
+    // dest tables may be created by an EARLIER mapping in the same pipeline
     val producedEarlier = scala.collection.mutable.Set.empty[String]
     for (tm <- p.mappings) {
       val at = s"${tm.source} -> ${tm.destination}"
-      val srcCols: Option[Set[String]] =
-        try Some(source.read(tm.source).columns.toSet)
+      val src: Option[DataFrame] =
+        try { val df = source.read(tm.source); df.columns; Some(df) }
         catch { case _: Exception =>
           errors += s"$at: source table '${tm.source}' is not readable"
           None
         }
-      srcCols.foreach { cols =>
-        for ((d, m) <- tm.columns; c <- m.sourceColumns if !cols.contains(c))
+      src.foreach { df =>
+        val cols = lower(df.columns)
+        for ((d, m) <- tm.columns; c <- m.sourceColumns if !has(cols, c))
           errors += s"$at: column '$d' reads missing source column '$c'"
-        tm.sourceFilter.foreach { f =>
-          try { source.read(tm.source).filter(expr(f)).queryExecution.analyzed; () }
-          catch { case e: Exception =>
-            errors += s"$at: sourceFilter '$f' does not analyze: ${e.getMessage.linesIterator.next()}"
-          }
-        }
+        tm.sourceFilter.foreach(f => checkExpr(at, "sourceFilter", df, f))
       }
       for (l <- Compiler.fkLookups(tm)) {
         val parent = l.spec.parentTable
         if (!producedEarlier.contains(parent) && !dest.exists(parent))
           errors += s"$at: FK parent table '$parent' missing from destination " +
             "(and not produced by an earlier mapping)"
+        else if (dest.exists(parent)) {
+          val pcols = lower(dest.read(parent).columns)
+          for (c <- Seq(l.spec.parentColumn, l.spec.importColumn) ++
+              l.spec.filterColumn if !has(pcols, c))
+            errors += s"$at: FK parent '$parent' has no column '$c'"
+        }
       }
-      if (tm.useMerge && tm.mergeKeys.isEmpty)
-        errors += s"$at: useMerge requires at least one MergeOn column"
-      // aggregate-name check only when a session is available (forall:
-      // no session → cannot check → no error)
-      for ((d, m) <- tm.columns; agg <- m.aggregate)
-        if (!spark.forall(_.catalog.functionExists(agg.toLowerCase)))
-          errors += s"$at: column '$d' uses unknown aggregate '$agg'"
+      if (tm.useMerge) {
+        if (tm.mergeKeys.isEmpty)
+          errors += s"$at: useMerge requires at least one MergeOn column"
+        // run() reads the merge destination unconditionally
+        if (!producedEarlier.contains(tm.destination) && !dest.exists(tm.destination))
+          errors += s"$at: merge destination '${tm.destination}' does not exist " +
+            "(and is not produced by an earlier mapping)"
+      }
+      // killWhere runs against an existing destination during cleanup
+      tm.killWhere.filter(_ => !tm.useMerge && dest.exists(tm.destination))
+        .foreach(kw => checkExpr(at, "killWhere", dest.read(tm.destination), kw))
+      for ((d, m) <- tm.columns; agg <- m.aggregate if !isAggregate(agg))
+        errors += s"$at: column '$d' uses '$agg', which is not a known " +
+          "aggregate function"
       producedEarlier += tm.destination
     }
     errors.result()

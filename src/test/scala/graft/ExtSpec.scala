@@ -104,8 +104,7 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     val approx = d.groupBy($"source")
       .agg(expr("approx_percentile(n_chars, 0.5, 1000)").alias("p50"))
-      .collect().map(r => r.getLong(1).toDouble -> r.getString(0))
-      .map(_.swap).toMap
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
     exact.foreach { case (src, e) =>
       val a = approx(src)
       // t-digest at accuracy 1000 on small strata: within 10% relative

@@ -168,10 +168,18 @@ class UsersPipelineSpec extends AnyFunSuite {
 
   test("validate reports config errors before touching data") {
     val srcCat = new InMemoryCatalog(Map("etl_Users" -> etlUsers))
-    val destCat = new InMemoryCatalog(Map("individual" -> individual))
+    val destCat = new InMemoryCatalog(Map(
+      "users" -> emptyUsers,
+      "individual" -> individual,
+      "user_roles" -> Seq((99, "legacy", "Admins")).toDF(
+        "orig_user_id", "user_id", "role_nm")))
     val runner = new PipelineRunner(srcCat, destCat, Some(spark))
-    // healthy pipeline: no errors
+    // the runnable e2e pipeline validates clean
     assert(runner.validate(Pipeline(Seq(usersTm(true), rolesTm))).isEmpty)
+    // column references resolve case-insensitively, like execution does
+    val caseTm = TableMapping("users", "etl_Users", useMerge = true,
+      columns = Seq("orig_id" -> MergeOn("userid")))
+    assert(runner.validate(Pipeline(Seq(caseTm))).isEmpty)
 
     val broken = TableMapping(
       destination = "out", source = "nope",
@@ -182,14 +190,40 @@ class UsersPipelineSpec extends AnyFunSuite {
     val errs = runner.validate(Pipeline(Seq(broken)))
     assert(errs.exists(_.contains("'nope' is not readable")), errs)
     assert(errs.exists(_.contains("FK parent table 'ghost'")), errs)
-    assert(errs.exists(_.contains("unknown aggregate 'NOT_A_FUNc'")), errs)
+    assert(errs.exists(_.contains("'NOT_A_FUNc', which is not a known aggregate")), errs)
 
-    val badMerge = TableMapping("d", "etl_Users",
+    // a SCALAR used as an aggregate is rejected, not just unknown names
+    val scalarAgg = TableMapping("users", "etl_Users", useGrouping = true,
+      columns = Seq("orig_id" -> AggregateColumn("UserID", "abs")))
+    assert(runner.validate(Pipeline(Seq(scalarAgg)))
+      .exists(_.contains("'abs', which is not a known aggregate")))
+
+    val badMerge = TableMapping("users", "etl_Users",
       columns = Seq("x" -> DirectCopy("UserID")), useMerge = true)
     assert(runner.validate(Pipeline(Seq(badMerge)))
       .exists(_.contains("requires at least one MergeOn")))
 
-    // FK parent produced by an earlier mapping in the same pipeline is OK
+    // merge destination must exist (run() reads it unconditionally)
+    val ghostDest = TableMapping("nowhere", "etl_Users", useMerge = true,
+      columns = Seq("k" -> MergeOn("UserID")))
+    assert(runner.validate(Pipeline(Seq(ghostDest)))
+      .exists(_.contains("merge destination 'nowhere' does not exist")))
+
+    // FK spec column typos inside an existing parent are caught
+    val fkTypo = TableMapping("users", "etl_Users", useMerge = true,
+      columns = Seq("orig_id" -> MergeOn("UserID"),
+        "g" -> ForeignKey("AgentID", FkSpec("individual", "individual_idd", "orig_agent_id"))))
+    assert(runner.validate(Pipeline(Seq(fkTypo)))
+      .exists(_.contains("has no column 'individual_idd'")), runner.validate(Pipeline(Seq(fkTypo))))
+
+    // killWhere that fails analysis is caught against the live destination
+    val badKill = TableMapping("users", "etl_Users",
+      killWhere = Some("no_such_col = 1"),
+      columns = Seq("orig_id" -> DirectCopy("UserID")))
+    assert(runner.validate(Pipeline(Seq(badKill)))
+      .exists(_.contains("killWhere")), runner.validate(Pipeline(Seq(badKill))))
+
+    // dest tables produced by an earlier mapping satisfy later FK/merge needs
     val first = TableMapping("parent_t", "etl_Users",
       columns = Seq("k" -> DirectCopy("UserID"), "v" -> DirectCopy("Username")))
     val second = TableMapping("child_t", "etl_Users",

@@ -387,6 +387,14 @@ object SparkEntry {
         "doc_id", "text", k = 3, numHashes = 64, bands = 16,
         threshold = 0.7)),
 
+    // dedup: n-gram Jaccard with stop-shingle removal (the skew guard:
+    // shingles appearing in more than maxShingleDf docs are dropped before
+    // the self-join) — oracle rebuilds shingling + the DF cap in SQL
+    "q_ngram_jaccard_capped" -> ((s, dir) =>
+      ext.Dedup.ngramJaccardPairs(
+        read(s, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", k = 3, threshold = 0.5, maxShingleDf = Some(5))),
+
     // dedup: SimHash fingerprints (no oracle — engine-internal hash)
     "q_simhash" -> ((s, dir) =>
       ext.Dedup.simHash64(read(s, dir, "documents"), "doc_id", "text")),
@@ -668,6 +676,28 @@ object SparkEntry {
         |      (a, b) -> (a * 31 + b) % 18446744073709551616
         |    ) AS h
         |  FROM documents)""".stripMargin,
+
+    // shingling + document-frequency cap + per-bucket self-join rebuilt in
+    // SQL — validates the stop-shingle skew guard end to end
+    "q_ngram_jaccard_capped" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents WHERE doc_id < 200),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |       FROM (SELECT doc_id, w,
+        |               unnest(range(greatest(len(w) - 2, 0))) AS i FROM d)),
+        |kept AS (SELECT doc_id, shingle FROM sh
+        |         WHERE shingle IN (SELECT shingle FROM sh
+        |                           GROUP BY shingle HAVING COUNT(*) <= 5)),
+        |n AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ic
+        |      FROM kept a JOIN kept b
+        |        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |       CAST(ic AS DOUBLE) / CAST(na.n + nb.n - ic AS DOUBLE) AS jaccard
+        |FROM p JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+        |WHERE CAST(ic AS DOUBLE) / CAST(na.n + nb.n - ic AS DOUBLE) >= 0.5""".stripMargin,
 
     // word-3-gram shingles rebuilt in SQL; DISTINCT matches the shingle-set
     // semantics (MIN over a set ignores multiplicity/order)

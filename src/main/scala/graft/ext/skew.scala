@@ -27,7 +27,7 @@ object Salting {
       saltFactor: Int = 8): DataFrame = {
     require(saltFactor >= 1)
     val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(skewed.columns.map(col): _*), lit(saltFactor)).cast("int"))
+      pmod(xxhash64(skewed.columns.toIndexedSeq.map(col): _*), lit(saltFactor)).cast("int"))
     val exploded = other.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(exploded,

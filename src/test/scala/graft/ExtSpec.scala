@@ -97,6 +97,25 @@ class ExtSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("portable MinHash estimate tracks exact Jaccard on near-dup docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (0L, base),
+      (1L, base),                                   // exact dup → J = 1
+      (2L, base.replace("lazy", "sleepy")),         // near dup
+      (3L, "completely different words in this one entirely unrelated text"),
+    ).toDF("doc_id", "text")
+    val sigs = ext.Dedup.minHashSignaturesPortable(docs, "doc_id", "text",
+        k = 3, numHashes = 64)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    def est(a: Long, b: Long): Double =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 64.0
+    assert(est(0L, 1L) === 1.0)          // identical shingle sets
+    assert(est(0L, 2L) > 0.4)            // near dup: most shingles shared
+    assert(est(0L, 3L) < 0.2)            // unrelated: few/no collisions
+  }
+
   test("approx percentiles track exact percentiles within sketch tolerance") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val exact = d.groupBy($"source")

@@ -1,0 +1,112 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+/** ScalaCheck properties for the native expressions' eval helpers and the
+  * near-dup clustering paths: pure-JVM reference implementations checked
+  * against the production code over generated inputs (no Spark jobs except
+  * the cluster property, which compares both execution paths end to end).
+  */
+object NativeProps extends Properties("natives") {
+
+  private lazy val spark = TestSpark.spark
+
+  private val vecGen: Gen[Array[Double]] =
+    Gen.choose(1, 24).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-10.0, 10.0)).map(_.toArray))
+
+  private def planesGen(dim: Int, groups: Int, bits: Int): Gen[Seq[Seq[Double]]] =
+    Gen.listOfN(groups * bits,
+      Gen.listOfN(dim, Gen.choose(-1.0, 1.0)).map(_.toSeq)).map(_.toSeq)
+
+  propertyWithSeed("SignBuckets == per-plane sign reference", None) =
+    forAll(vecGen, Gen.choose(1, 3), Gen.choose(1, 6)) { (v, groups, bits) =>
+      forAll(planesGen(v.length, groups, bits)) { planes =>
+        val got = functions.SignBuckets
+          .compute(new GenericArrayData(v), planes.flatten.toArray,
+            v.length, bits, isFloat = false)
+          .toLongArray.toSeq
+        val want = (0 until groups).map { g =>
+          (0 until bits).foldLeft(0L) { (acc, i) =>
+            val p = planes(g * bits + i)
+            val dot = v.zip(p).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+            if (dot >= 0) acc | (1L << i) else acc
+          }
+        }
+        got == want
+      }
+    }
+
+  propertyWithSeed("IvfAssign == argsort(dot desc, idx) reference", None) =
+    forAll(vecGen, Gen.choose(1, 8)) { (v, k) =>
+      forAll(planesGen(v.length, k, 1), Gen.choose(1, k)) { (cents, nProbe) =>
+        val got = functions.IvfAssign
+          .nearest(new GenericArrayData(v), cents.flatten.toArray,
+            v.length, nProbe, isFloat = false)
+          .toIntArray.toSeq
+        val dots = cents.map(c =>
+          v.zip(c).foldLeft(0.0) { case (s, (x, y)) => s + x * y })
+        val want = dots.zipWithIndex
+          .sortBy { case (d, i) => (-d, i) }.take(nProbe).map(_._2)
+        got == want
+      }
+    }
+
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      3 -> Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString),
+      1 -> Gen.const("dup"))).map(_.mkString(" "))
+
+  propertyWithSeed("WordShingles == sliding-window distinct reference", None) =
+    forAll(textGen, Gen.choose(1, 4)) { (text, k) =>
+      val got = functions.WordShingles
+        .shingles(org.apache.spark.unsafe.types.UTF8String.fromString(text), k)
+        .toArray[AnyRef](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      val words = text.split(" ", -1)
+      val want =
+        if (words.length < k) Seq.empty
+        else words.sliding(k).map(_.mkString(" ")).toSeq.distinct
+      got == want
+    }
+
+  private val edgesGen: Gen[List[(Long, Long)]] =
+    Gen.listOf(for {
+      a <- Gen.choose(0L, 14L); b <- Gen.choose(0L, 14L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+
+  /** Reference components: repeated relaxation over a driver-side map. */
+  private def refClusters(n: Long, edges: List[(Long, Long)]): Map[Long, Long] = {
+    val label = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
+    var changed = true
+    while (changed) {
+      changed = false
+      edges.foreach { case (a, b) =>
+        val m = math.min(label(a), label(b))
+        if (label(a) != m) { label(a) = m; changed = true }
+        if (label(b) != m) { label(b) = m; changed = true }
+      }
+    }
+    label.toMap
+  }
+
+  propertyWithSeed("nearDupClusters: union-find and loop paths == reference", None) =
+    forAll(edgesGen) { edges =>
+      import spark.implicits._
+      val n = 15L
+      val ids = (0L until n).toDF("doc_id")
+      val pairs = edges.toDF("a_id", "b_id")
+      val want = refClusters(n, edges)
+      val uf = ext.Dedup.nearDupClusters(ids, "doc_id", pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val loop = ext.Dedup.nearDupClusters(ids, "doc_id", pairs,
+          driverEdgeLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      uf == want && loop == want
+    }
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters) =
+    p.withMinSuccessfulTests(10) // each cluster sample runs Spark jobs
+}

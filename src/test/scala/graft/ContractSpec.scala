@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants: every oracle key names a real query (a typo
+  * here silently downgrades a query to rows-only in the correctness gate),
+  * and every query builds + analyzes against the smallest fixture without
+  * throwing — schema drift fails here in seconds instead of mid-drive.
+  */
+class ContractSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("every oracleSql key has a matching queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("every query builds and analyzes at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, build) =>
+        try { build(spark, sf).queryExecution.analyzed; None }
+        catch { case e: Exception =>
+          Some(s"$name: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}")
+        }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("entry() returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

@@ -411,10 +411,27 @@ object SparkEntry {
         read(s, dir, "documents").filter(col("doc_id") < 100),
         "doc_id", "text")),
 
-    // dedup: embedding-cosine near-dup pairs
+    // dedup: embedding-cosine near-dup pairs — size-gated: at this corpus
+    // size the exact all-pairs branch runs (the only way to guarantee
+    // every qualifying pair at a low threshold); the >bruteForceLimit
+    // branch is exercised and oracle-checked by q_embed_neardup_lsh
     "q_embed_neardup" -> ((s, dir) =>
       ext.Dedup.embeddingNearDupPairs(read(s, dir, "embeddings"),
         "vec_id", "embedding", threshold = 0.4)
+        .select(col("a_id"), col("b_id"),
+          round(col("cosine"), 4).alias("cosine"))),
+
+    // dedup: embedding near-dup via the sign-LSH scale path (bucketed
+    // candidates + 1-bit probe + exact rescore — the above-the-gate branch
+    // of embeddingNearDupPairs, forced so the bucketed plan itself is
+    // oracle-checked at every round). The oracle SQL regenerates the same
+    // seeded hyperplane buckets and probes, so LSH recall does not affect
+    // parity; recall vs the exact pair set is asserted in ExtSpec, and
+    // PlanSpec asserts the plan has no cartesian/nested-loop node.
+    "q_embed_neardup_lsh" -> ((s, dir) =>
+      ext.Dedup.embeddingNearDupPairsLsh(read(s, dir, "embeddings"),
+        "vec_id", "embedding", threshold = 0.4, dim = 64,
+        tables = 8, bitsPerTable = 6)
         .select(col("a_id"), col("b_id"),
           round(col("cosine"), 4).alias("cosine"))),
 
@@ -657,8 +674,46 @@ object SparkEntry {
        |SELECT doc_id, CAST($bits AS BIGINT) AS simhash32 FROM v""".stripMargin
   }
 
+  /** Generated DuckDB oracle for q_embed_neardup_lsh — regenerates the
+    * multi-table sign-LSH candidate set (same seeded hyperplanes as the
+    * Spark side, embedded as shortest-round-trip double literals, same
+    * 1-bit multi-probe) and rescores candidates with the exact cosine, so
+    * the comparison checks the WHOLE bucketed path, not just the scoring.
+    * Hamming≤1-in-some-table is symmetric, so probing the b side only
+    * (as the Spark plan does) yields the same pair set.
+    */
+  private lazy val embedNearDupLshOracle: String = {
+    val tables = 8; val bits = 6
+    def planeLit(p: Seq[Double]) = p.mkString("[", ", ", "]")
+    def bucketExpr(t: Int): String = {
+      val hp = ext.Similarity.hyperplanes(64, bits, 42L + t * 7919)
+      hp.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+    }
+    val buckets = (0 until tables).map(t =>
+      s"SELECT vec_id AS id, $t AS tbl, ${bucketExpr(t)} AS bkt FROM e")
+      .mkString("\nUNION ALL\n")
+    val probes = ("SELECT id, tbl, bkt FROM bk" +:
+      (0 until bits).map(i => s"SELECT id, tbl, xor(bkt, ${1L << i}) FROM bk"))
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |bk AS ($buckets),
+       |bp AS ($probes),
+       |cand AS (SELECT DISTINCT x.id AS a_id, y.id AS b_id
+       |         FROM bk x JOIN bp y ON x.tbl = y.tbl AND x.bkt = y.bkt
+       |           AND x.id < y.id),
+       |scored AS (SELECT cand.a_id, cand.b_id,
+       |                  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS c
+       |           FROM cand JOIN n a ON a.vec_id = cand.a_id
+       |           JOIN n b ON b.vec_id = cand.b_id)
+       |SELECT a_id, b_id, round(c, 4) AS cosine FROM scored WHERE c >= 0.4""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_knn_lsh" -> knnLshOracle,
+    "q_embed_neardup_lsh" -> embedNearDupLshOracle,
     "q_simhash_portable" -> simhashPortableOracle,
 
     // JVM long wraparound emulated with HUGEINT mod 2^64 + two's-complement

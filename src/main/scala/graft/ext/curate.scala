@@ -27,12 +27,18 @@ object Curate {
       minWords: Int = 20,
       shingleK: Int = 3,
       jaccardThreshold: Double = 0.8): DataFrame = {
-    val gated = docs
+    val gated0 = docs
       .withColumn("__t", TextOps.tokens(col(textCol)))
       .withColumn("n_words", size(col("__t")).cast("long"))
       .filter(TextOps.stopwordHits("__t", "en") > 0 &&
         col("n_words") >= minWords)
       .drop("__t")
+    // the gated corpus feeds BOTH the pair generator and the final
+    // canonicalize join — materialize it once (localCheckpoint truncates
+    // lineage without leaving a named cache entry behind; blocks are freed
+    // by the ContextCleaner when the result frame is collected/GC'd), so
+    // the tokenize+filter scan doesn't re-run per consumer
+    val gated = gated0.localCheckpoint()
     val pairs = Dedup.ngramJaccardPairs(gated, idCol, textCol,
       shingleK, jaccardThreshold).select("a_id", "b_id")
     Dedup.canonicalize(gated, idCol, pairs)

@@ -98,20 +98,23 @@ object Dedup {
 
   // ------------------------------------------------------------ MinHash+LSH
 
-  /** MinHash signature: per doc, `numHashes` minima of seeded xxhash64 over
-    * its shingle set — one wide codegen'd aggregation (shingle → doc
-    * shuffle), signature as an array<long> column named `signature`.
+  /** MinHash signature: per doc, `numHashes` minima over its shingle set —
+    * ONE narrow codegen'd pass ([[graft.functions.MinHashSig]]): each
+    * shingle's bytes hash once, hash function `i` is a constant-time re-mix
+    * of that base hash. No explode, no shuffle — a document's shingle set
+    * is row-local, so the signature build is embarrassingly parallel at any
+    * scale (the previous form exploded shingles and ran a 64-column
+    * aggregation that rehashed every shingle's bytes 64×).
+    * Docs with no shingles (fewer than `k` words) produce no row, matching
+    * the aggregation form's semantics.
     */
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, numHashes: Int = 64): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k)
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).alias(s"__h$i"))
-    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol),
-        array((0 until numHashes).map(i => col(s"__h$i")): _*).alias("signature"))
-  }
+      k: Int = 3, numHashes: Int = 64): DataFrame =
+    df.select(col(idCol),
+        graft.functions.MinHashSig.column(shingleArray(textCol, k), numHashes)
+          .alias("signature"))
+      .filter(size(col("signature")) > 0)
 
   /** Engine-portable MinHash signatures in long format (id, i, min_hash):
     * hash function `i` of a shingle is the leading 12 hex digits (48 bits,
@@ -295,8 +298,11 @@ object Dedup {
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("id", idType),
             org.apache.spark.sql.types.StructField("cluster", idType))))
+        // no broadcast hint: the mapping is key-unique but can approach
+        // 2 × driverEdgeLimit rows — AQE broadcasts it when (and only
+        // when) it actually fits; forcing it could OOM at the cap
         return ids.alias("i")
-          .join(broadcast(mapping.alias("l")), col("i." + idCol) === col("l.id"), "left")
+          .join(mapping.alias("l"), col("i." + idCol) === col("l.id"), "left")
           .select(col("i." + idCol).alias("id"),
             coalesce(col("l.cluster"), col("i." + idCol)).alias("cluster"))
       }
@@ -338,18 +344,19 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
-    val out = ids.alias("i")
-      .join(labels.alias("l"), col("i." + idCol) === col("l.id"), "left")
+    // truncate lineage so no cache entry outlives this call: the final
+    // labels materialize once into executor storage (localCheckpoint — the
+    // loop already computed them, so this reads the cache, not the lineage),
+    // after which every cache entry this call created is released. The
+    // checkpoint blocks are freed by the ContextCleaner when the returned
+    // frame is garbage-collected — no cross-query cache-table leak.
+    val finalLabels = labels.localCheckpoint()
+    cachedRound.foreach(_.unpersist())
+    edges.unpersist(false)
+    ids.alias("i")
+      .join(finalLabels.alias("l"), col("i." + idCol) === col("l.id"), "left")
       .select(col("i." + idCol).alias("id"),
         coalesce(col("l.cluster"), col("i." + idCol)).alias("cluster"))
-    // the loop is done with the edge list; the returned frame still reads
-    // the final (materialized) labels cache for its graph part. That one
-    // (id, cluster) cache entry intentionally stays pinned — unpersisting
-    // it would force the caller's first action to replay the whole loop,
-    // since every intermediate round's cache is already gone. Callers that
-    // are done with the result can `spark.catalog.clearCache()`.
-    edges.unpersist(false)
-    out
   }
 
   /** Union-find with min-valued roots and path compression: returns
@@ -393,14 +400,64 @@ object Dedup {
 
   // ------------------------------------------------- embedding-cosine dedup
 
-  /** Embedding near-dup pairs: cosine >= threshold. Delegates candidate
-    * generation to [[Similarity]] — brute force below `bruteForceLimit`
-    * docs, sign-LSH buckets above.
+  /** Embedding near-dup pairs: cosine >= threshold, (a_id, b_id, cosine)
+    * with a_id < b_id.
+    *
+    * Gated on corpus size (one cheap count job): at or below
+    * `bruteForceLimit` rows the exact all-pairs join runs — it is the only
+    * way to guarantee every qualifying pair, and quadratic cost is fine at
+    * that size. Above the limit, candidates come from multi-table sign-LSH
+    * buckets ([[embeddingNearDupPairsLsh]]) and are rescored with the exact
+    * cosine — bucketed per-(table, bucket) joins, never an all-pairs
+    * cartesian, at the price of approximate recall (see the LSH variant's
+    * doc for the recall math and how to size `tables`/`bitsPerTable`).
     */
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame =
-    Similarity.allPairsCosine(df, idCol, vecCol)
+      threshold: Double, bruteForceLimit: Long = 100000L,
+      tables: Int = 16, bitsPerTable: Int = 8,
+      seed: Long = 42L): DataFrame =
+    if (df.count() <= bruteForceLimit)
+      Similarity.allPairsCosine(df, idCol, vecCol)
+        .filter(col("cosine") >= threshold)
+        .select("a_id", "b_id", "cosine")
+    else {
+      val dim = df.select(size(col(vecCol))).head().getInt(0)
+      embeddingNearDupPairsLsh(df, idCol, vecCol, threshold, dim,
+        tables, bitsPerTable, seed)
+    }
+
+  /** The scale path of [[embeddingNearDupPairs]]: candidate pairs from
+    * multi-table sign-LSH buckets with 1-bit multi-probe
+    * ([[Similarity.lshPairCandidates]]), exact cosine rescoring after —
+    * the plan is bucketed hash joins only, no cartesian/nested-loop node.
+    *
+    * Recall is approximate and threshold-dependent: a pair at angle θ
+    * agrees on one sign bit with probability q = 1 − θ/π, is caught by one
+    * `b`-bit table (with 1-bit probe) with P₁ = q^b + b(1−q)q^(b−1), and
+    * missed by all `L` tables with (1−P₁)^L. Size `bitsPerTable` to the
+    * corpus (bucket occupancy ≈ n/2^b) and `tables` to the recall target;
+    * near-dup thresholds (cosine ≥ 0.9, q ≥ 0.86) reach >99.9% recall with
+    * the defaults. Low thresholds (≤ 0.5) have no cheap LSH regime — for
+    * those, raise `bruteForceLimit` or accept the documented recall.
+    */
+  def embeddingNearDupPairsLsh(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int,
+      tables: Int = 16, bitsPerTable: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val cand = Similarity.lshPairCandidates(df, idCol, vecCol, dim,
+      tables, bitsPerTable, seed)
+    val e = df.select(col(idCol).alias("id"), col(vecCol).alias("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    cand
+      .join(e.select(col("id").alias("a_id"), col("v").alias("va"),
+        col("nrm").alias("na")), "a_id")
+      .join(e.select(col("id").alias("b_id"), col("v").alias("vb"),
+        col("nrm").alias("nb")), "b_id")
+      .withColumn("cosine",
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")
+  }
 }

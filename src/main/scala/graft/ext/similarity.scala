@@ -107,6 +107,35 @@ object Similarity {
       .select(col(s"x.$idCol").alias("a_id"), col(s"y.$idCol").alias("b_id"))
   }
 
+  /** Candidate near-dup pairs (a_id < b_id, distinct) from multi-table
+    * sign-LSH with 1-bit multi-probe: a pair is a candidate if its two
+    * signatures agree on all `bitsPerTable` bits of any table, or differ in
+    * exactly one bit (the probe side explodes each bucket to itself plus
+    * its `bitsPerTable` 1-bit flips — plain long XORs). Joins are
+    * per-(table, bucket) hash joins over id-only rows; vectors never ride
+    * the candidate shuffle, and there is no all-pairs/cartesian node.
+    */
+  def lshPairCandidates(
+      df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, tables: Int = 16, bitsPerTable: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val hp = (0 until tables).map(t =>
+      hyperplanes(dim, bitsPerTable, seed + t * 7919))
+    val bk = df
+      .select(col(idCol), signBucketsAll(col(vecCol), hp).alias("bkts"))
+      .select(col(idCol), posexplode(col("bkts")))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bkt")
+    val x = bk.select(col(idCol).alias("a_id"), col("tbl"), col("bkt"))
+    val y = bk.select(col(idCol).alias("b_id"), col("tbl"),
+      explode(array(col("bkt") +: (0 until bitsPerTable).map(i =>
+        col("bkt").bitwiseXOR(lit(1L << i))): _*)).alias("bkt"))
+    // bucket tables scale with the corpus — hash-partitioned join, never a
+    // broadcast collect of a corpus-sized side
+    x.hint("shuffle_hash").join(y, Seq("tbl", "bkt"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
   /** Approximate top-k via multi-table sign-LSH: `tables` independent
     * hash tables of `bitsPerTable` hyperplane bits each, plus 1-bit
     * multi-probe on the query side. A neighbor is a candidate if it shares

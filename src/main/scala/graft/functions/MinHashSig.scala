@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Whole MinHash signature of a shingle array in ONE pass — array<long> of
+  * `numHashes` minima.
+  *
+  * Replaces the exploded `numHashes × min(xxhash64(i, shingle))` wide
+  * aggregation, which (a) rehashed every shingle's full bytes `numHashes`
+  * times and (b) needed an explode + hash-shuffle + 64-column aggregate.
+  * Here each shingle's bytes are hashed ONCE (`xxh64(bytes, seed=42)` —
+  * identical to Spark's `xxhash64(shingle)`), and hash function `i` is the
+  * constant-time re-mix `xxh64_long(base, seed=i)`; the signature is a
+  * narrow per-row computation with NO shuffle at all, which is also the
+  * 100 TB shape: documents are bounded, so their shingle sets never need
+  * distributing.
+  *
+  * Empty input array → empty signature (callers filter those out — the old
+  * aggregation simply produced no row for shingle-less docs).
+  */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+
+  require(numHashes >= 1, "numHashes must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.sig(input.asInstanceOf[ArrayData], numHashes)
+
+  // helper deliberately not named `eval` — see the WordShingles static-
+  // forwarder note (a class-shadowed companion method breaks codegen link)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.sig($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_sig"
+}
+
+object MinHashSig {
+
+  /** Referenced from generated code (static forwarder must exist). */
+  def sig(shingles: ArrayData, numHashes: Int): ArrayData = {
+    val n = shingles.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      // one full-byte hash per shingle (== Spark's xxhash64(shingle)) ...
+      val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+        s.numBytes, 42L)
+      var j = 0
+      while (j < numHashes) {
+        // ... then a constant-time re-mix per hash function
+        val h = XXH64.hashLong(base, j.toLong)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def column(shingles: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(shingles), numHashes))
+}

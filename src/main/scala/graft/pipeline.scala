@@ -32,7 +32,18 @@ object Catalog {
     val tmp = new Path(finalPath + ".__swap_tmp")
     val old = new Path(finalPath + ".__swap_old")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(old)) {
+      if (!fs.exists(target)) {
+        // a previous run crashed between the target→old and tmp→target
+        // renames: `old` holds the only surviving copy of the table.
+        // Restore it FIRST — deleting it here (and only then attempting the
+        // new write) would leave a window where a failed writeTo loses the
+        // table entirely.
+        if (!fs.rename(old, target))
+          throw new java.io.IOException(
+            s"swapWrite: crash-recovery rename $old -> $target failed")
+      } else fs.delete(old, true)
+    }
     writeTo(tmp.toString)
     val hadTarget = fs.exists(target)
     if (hadTarget && !fs.rename(target, old))
@@ -136,6 +147,10 @@ final class BucketedCatalog(
     val old = qual(name) + "__swap_old"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     clearOrphanLocation(tmp)
+    // crash recovery: if a previous write died between the two renames, the
+    // backup table is the only copy — restore it before dropping anything
+    if (spark.catalog.tableExists(old) && !exists(name))
+      spark.sql(s"ALTER TABLE $old RENAME TO ${qual(name)}")
     spark.sql(s"DROP TABLE IF EXISTS $old")
     clearOrphanLocation(old)
     val w = df.write.mode("overwrite")
@@ -288,6 +303,16 @@ final class PipelineRunner(
         errors += s"$at: column '$d' uses '$agg', which is not a known " +
           "aggregate function"
       producedEarlier += tm.destination
+    }
+    // without a SparkSession the aggregate-name check above is a no-op
+    // (isAggregate vacuously passes) — surface that instead of silently
+    // reporting a clean validation that run() may still fail
+    if (spark.isEmpty) {
+      val aggs = p.mappings.flatMap(_.columns.flatMap(_._2.aggregate)).distinct
+      if (aggs.nonEmpty)
+        errors += s"warning: aggregate function names (${aggs.mkString(", ")}) " +
+          "were not validated — construct PipelineRunner with a SparkSession " +
+          "to check them"
     }
     errors.result()
   }

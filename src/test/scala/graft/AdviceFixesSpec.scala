@@ -5,7 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Regression coverage for the round-1 review findings (ADVICE.md r1):
   * shared-spec FK lookups, merge source key-uniqueness, and read-safe
-  * ParquetCatalog overwrite.
+  * ParquetCatalog overwrite — and the round-2 findings: swapWrite crash
+  * recovery, no forced broadcast of the union-find mapping, no cache entry
+  * outliving nearDupClusters' distributed path, and validate() surfacing
+  * unchecked aggregate names.
   */
 class AdviceFixesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
@@ -110,5 +113,94 @@ class AdviceFixesSpec extends AnyFunSuite {
     val appended = cat.read("t").unionByName(Seq((3, "C")).toDF("k", "v"))
     cat.write("t", appended)
     assert(cat.read("t").count() === 3)
+  }
+
+  // --- ADVICE r2: swapWrite crash recovery ---
+
+  test("swapWrite restores a table stranded under __swap_old before writing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-swapcrash").toString
+    val cat = new ParquetCatalog(spark, dir)
+    cat.write("t", Seq((1, "a")).toDF("k", "v"))
+    // simulate a crash between the target→old and tmp→target renames: the
+    // backup directory holds the ONLY copy of the table
+    val target = new java.io.File(s"$dir/t.parquet")
+    val old = new java.io.File(s"$dir/t.parquet.__swap_old")
+    assert(target.renameTo(old))
+    // a retry whose write FAILS must not lose the backup — the old copy is
+    // restored to the target before anything is deleted
+    intercept[RuntimeException] {
+      Catalog.swapWrite(spark, s"$dir/t.parquet")(_ =>
+        throw new RuntimeException("boom"))
+    }
+    assert(cat.read("t").collect().map(r => (r.getInt(0), r.getString(1)))
+      === Array((1, "a")))
+    // and a successful retry swaps in the new data and clears the backup
+    cat.write("t", Seq((2, "b")).toDF("k", "v"))
+    assert(cat.read("t").collect().map(r => (r.getInt(0), r.getString(1)))
+      === Array((2, "b")))
+    assert(!old.exists())
+  }
+
+  test("BucketedCatalog restores a table stranded under __swap_old") {
+    val cat = new BucketedCatalog(spark, buckets = 2,
+      bucketKeys = Map.empty, prefix = "advswap")
+    cat.write("t", Seq((1, "a")).toDF("k", "v"))
+    // simulate the crash window: target renamed to backup, new table never
+    // committed
+    spark.sql("ALTER TABLE advswap_t RENAME TO advswap_t__swap_old")
+    assert(!cat.exists("t"))
+    // the next write must recover the backup rather than dropping it;
+    // afterwards the new data is in place and the backup is gone
+    cat.write("t", Seq((2, "b")).toDF("k", "v"))
+    assert(cat.read("t").collect().map(r => (r.getInt(0), r.getString(1)))
+      === Array((2, "b")))
+    assert(!spark.catalog.tableExists("advswap_t__swap_old"))
+  }
+
+  // --- ADVICE r2: union-find mapping join must not force a broadcast ---
+
+  test("nearDupClusters driver path carries no broadcast hint on the mapping join") {
+    val ids = (1L to 100L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val out = ext.Dedup.nearDupClusters(ids, "id", pairs)
+    assert(!out.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      out.queryExecution.analyzed.toString)
+    // semantics unchanged: 1-2-3 collapse to min-label 1
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == 1L && m(2L) == 1L && m(3L) == 1L && m(4L) == 4L)
+  }
+
+  // --- ADVICE r2: distributed path leaves no cache entry behind ---
+
+  test("nearDupClusters distributed path leaves the cache manager empty") {
+    val cm = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager
+    spark.catalog.clearCache()
+    val ids = (1L to 20L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    // driverEdgeLimit = 0 forces the distributed min-label loop
+    val out = ext.Dedup.nearDupClusters(ids, "id", pairs, driverEdgeLimit = 0L)
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(3L) == 1L && m(6L) == 5L && m(7L) == 7L)
+    assert(cm.isEmpty, "a cache entry outlived nearDupClusters")
+  }
+
+  // --- ADVICE r2: validate() must not silently skip aggregate checks ---
+
+  test("validate without a SparkSession warns that aggregate names are unchecked") {
+    val src = new InMemoryCatalog(Map("s" -> Seq((1, 2)).toDF("k", "x")))
+    val tm = TableMapping(
+      destination = "d", source = "s", useGrouping = true,
+      columns = Seq("k" -> DirectCopy("k"),
+        "t" -> AggregateColumn("x", "TOTALLY_NOT_AN_AGG")))
+    // no SparkSession: the name cannot be checked — a warning must say so
+    val noSpark = new PipelineRunner(src, new InMemoryCatalog())
+    val warns = noSpark.validate(Pipeline(Seq(tm)))
+    assert(warns.exists(e => e.startsWith("warning:") &&
+      e.contains("TOTALLY_NOT_AN_AGG")), warns)
+    // with a SparkSession the same config is a hard error, not a warning
+    val withSpark = new PipelineRunner(src, new InMemoryCatalog(), Some(spark))
+    assert(withSpark.validate(Pipeline(Seq(tm)))
+      .exists(e => !e.startsWith("warning:") && e.contains("TOTALLY_NOT_AN_AGG")))
   }
 }

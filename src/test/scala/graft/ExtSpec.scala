@@ -221,6 +221,27 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("embedding near-dup LSH path: subset of exact pairs, bitwise scores, recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = pairMap(Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.4))
+    val lsh = pairMap(Dedup.embeddingNearDupPairsLsh(e, "vec_id", "embedding",
+      threshold = 0.4, dim = 64, tables = 8, bitsPerTable = 6))
+    // candidates are a subset; rescoring is the same exact cosine, so every
+    // found pair's score must be bitwise identical to the all-pairs one
+    assert(lsh.keySet.subsetOf(exact.keySet),
+      s"LSH emitted non-pairs: ${lsh.keySet -- exact.keySet}")
+    lsh.foreach { case (k, c) => assert(c == exact(k), s"score mismatch at $k") }
+    assert(lsh.size >= math.ceil(exact.size * 0.75).toInt,
+      s"recall ${lsh.size}/${exact.size} below 75%")
+    // the gated entry point takes the brute-force branch at this size —
+    // identical to all-pairs by construction
+    val gated = pairMap(Dedup.embeddingNearDupPairs(e, "vec_id", "embedding", 0.4,
+      bruteForceLimit = 1000000L))
+    assert(gated == exact)
+  }
+
   test("brute-force top-k: exact, deterministic ranking") {
     val e = (1L to 20L).map { i =>
       (i, Seq.tabulate(8)(j => math.sin(i * 31 + j).toFloat))

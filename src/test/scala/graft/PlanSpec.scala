@@ -74,6 +74,22 @@ class PlanSpec extends AnyFunSuite {
     assert(merged.count() === 900)
   }
 
+  test("embedding near-dup LSH path plans bucketed joins — no cartesian/BNL node") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val lsh = ext.Dedup.embeddingNearDupPairsLsh(e, "vec_id", "embedding",
+      threshold = 0.4, dim = 64, tables = 4, bitsPerTable = 4)
+    val lshPlan = finalPlan(lsh)
+    assert(!lshPlan.contains("CartesianProduct") &&
+      !lshPlan.contains("BroadcastNestedLoop"), lshPlan)
+    // the gated entry point must route to the same bucketed plan above the
+    // brute-force limit
+    val gated = ext.Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
+      threshold = 0.4, bruteForceLimit = 0)
+    val gatedPlan = finalPlan(gated)
+    assert(!gatedPlan.contains("CartesianProduct") &&
+      !gatedPlan.contains("BroadcastNestedLoop"), gatedPlan)
+  }
+
   test("strict-merge key guard reuses the join shuffle (no extra Exchange)") {
     def exchanges(strict: Boolean): Int = {
       val dest = (1 to 500).map(i => (i, s"old$i")).toDF("k", "v")

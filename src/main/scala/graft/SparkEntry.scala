@@ -100,15 +100,32 @@ object SparkEntry {
         count(lit(1)).alias("n_rows"))),
 
     // sketch path for distribution stats: t-digest-style approx percentiles
-    // (mergeable across partitions — the 100 TB form of q_quality_quantiles;
-    // rows-only: sketch internals are engine-specific, accuracy vs the
-    // exact form asserted in ExtSpec)
-    "q_quality_quantiles_approx" -> ((s, dir) => read(s, dir, "documents")
-      .groupBy(col("source"))
-      .agg(expr("approx_percentile(n_chars, array(0.5, 0.9), 1000)").alias("p"),
-        count(lit(1)).alias("n_docs"))
-      .select(col("source"), col("p").getItem(0).alias("p50"),
-        col("p").getItem(1).alias("p90"), col("n_docs"))),
+    // (mergeable across partitions — the 100 TB form of q_quality_quantiles).
+    // Sketch internals are engine-specific, so the hashable output is the
+    // accuracy CONTRACT, checked Spark-side as a RANK condition (the
+    // sketch's actual guarantee): the count of values at-or-below /
+    // at-or-above the approx percentile must cover the target rank within
+    // a 1 + n/100 slack. The oracle emits the all-TRUE expectation —
+    // deterministic rows that fail loudly if the sketch drifts.
+    "q_quality_quantiles_approx" -> { (s, dir) =>
+      val d = read(s, dir, "documents")
+      val ap = d.groupBy(col("source"))
+        .agg(expr("approx_percentile(n_chars, array(0.5, 0.9), 1000)").alias("p"))
+        .select(col("source"),
+          col("p").getItem(0).alias("a50"), col("p").getItem(1).alias("a90"))
+      def okAt(a: org.apache.spark.sql.Column, p: Double): org.apache.spark.sql.Column = {
+        val n = count(lit(1))
+        val le = sum(when(col("n_chars") <= a, 1L).otherwise(0L))
+        val ge = sum(when(col("n_chars") >= a, 1L).otherwise(0L))
+        val slack = lit(1.0) + n / lit(100.0)
+        le >= n * p - slack && ge >= n * (1.0 - p) - slack
+      }
+      d.join(ap, "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).alias("n_docs"),
+          okAt(col("a50"), 0.5).alias("ok50"),
+          okAt(col("a90"), 0.9).alias("ok90"))
+    },
 
     // §2.7 beyond-reference scalar surface: exact percentiles of document
     // length per source — the distribution stats a curation pipeline gates on
@@ -253,6 +270,21 @@ object SparkEntry {
         "o_orderkey" -> DirectCopy("o_orderkey"),
         "discounted" -> Sql("o_totalprice * CAST(0.9 AS DOUBLE)",
           Seq("o_totalprice")))))),
+
+    // §2.7 T-SQL scalar shim: the reference's escape hatches carry T-SQL
+    // (GETDATE/ISNULL/LEN/`+`-concat/[brackets]); Tsql.rewrite maps that
+    // surface to Spark SQL so reference mappings port verbatim. The
+    // deterministic subset is oracled here (LEN over a trailing-space
+    // concat exercises the T-SQL LEN quirk); GETDATE is covered in
+    // UsersPipelineSpec (nondeterministic — not oracle-able).
+    "q_tsql_shim" -> ((s, dir) => mapped(s, dir, TableMapping(
+      "t", "customer", Seq(
+        "cust_id"  -> DirectCopy("c_custkey"),
+        "cmt"      -> Sql("ISNULL(c_mktsegment, 'none')", Seq("c_mktsegment")),
+        "name_len" -> CastAs(Sql("LEN(c_name + '  ')", Seq("c_name")),
+          LongType),
+        "tagged"   -> Sql("[c_name] + '#' + c_mktsegment",
+          Seq("c_name", "c_mktsegment")))))),
 
     // §2.1 #15 RawValue — literal / NULL columns
     "q_raw_value" -> ((s, dir) => mapped(s, dir, TableMapping(
@@ -549,23 +581,32 @@ object SparkEntry {
       destCat.read("cust_flat")
     },
 
-    // multimodal: binary payload → feature extraction (stubbed codec,
-    // real mapPartitions plumbing; no oracle — engine-internal features)
+    // multimodal: binary payload → feature extraction (stubbed codec, real
+    // mapPartitions plumbing). The stub decode is pure integer arithmetic
+    // (31·h+byte fold, then a 64-bit LCG per feature), so the whole decode
+    // + average-pool path IS oracle-checkable: f0 = first raw feature,
+    // r0 = first pooled bucket, both exact dyadic floats widened to double
     "q_multimodal_features" -> { (s, dir) =>
       val feats = ext.Multimodal.extractFeatures(
         ext.Multimodal.fromDocuments(s, dir), dim = 64)
       ext.Multimodal.resizeFeatures(feats.toDF(), "features", 8)
         .select(col("id"), col("modality"), col("dim"),
-          size(col("features_resized")).alias("resized_dim"))
+          size(col("features_resized")).alias("resized_dim"),
+          element_at(col("features"), 1).cast("double").alias("f0"),
+          element_at(col("features_resized"), 1).cast("double").alias("r0"))
     },
 
-    // multimodal: video frame sampling (binary slicing, no oracle)
+    // multimodal: video frame sampling (binary slicing; frame bytes
+    // hex-encoded so the oracle can compare content, not just lengths —
+    // the corpus is ASCII, proven by the q_rolling_hash byte-fold oracle,
+    // so character slices in SQL equal the UTF-8 byte slices here)
     "q_multimodal_frames" -> { (s, dir) =>
       val mm = ext.Multimodal.fromDocuments(s, dir).toDF()
       ext.Multimodal.sampleFrames(mm.filter(col("modality") === "video"),
           "payload", n = 4, frameBytes = 32)
         .select(col("id"), size(col("frames")).alias("n_frames"),
-          length(element_at(col("frames"), 1)).alias("frame0_bytes"))
+          length(element_at(col("frames"), 1)).alias("frame0_bytes"),
+          hex(element_at(col("frames"), 2)).alias("frame1_hex"))
     },
 
     // as-of join: per event, the latest signup value at-or-before its
@@ -731,6 +772,60 @@ object SparkEntry {
         |      (a, b) -> (a * 31 + b) % 18446744073709551616
         |    ) AS h
         |  FROM documents)""".stripMargin,
+
+    // the stub codec is pure integer arithmetic, so it rebuilds in SQL the
+    // same way q_rolling_hash does: 31·h+byte fold as HUGEINT mod 2^64,
+    // then the 64-bit LCG per feature via a recursive CTE; float conversion
+    // ((h>>40)/2^24 − 0.5) is exact dyadic, so REAL↔DOUBLE casts round-trip
+    // bit-identically in both engines
+    "q_multimodal_features" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id AS id,
+        |        CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |             WHEN doc_id % 3 = 1 THEN 'audio'
+        |             ELSE 'video' END AS modality,
+        |        text FROM documents),
+        |h0 AS (SELECT id,
+        |        list_reduce(
+        |          list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |            list_transform(range(1, length(text) + 1),
+        |              i -> CAST(ord(substr(text, CAST(i AS INTEGER), 1)) AS HUGEINT))),
+        |          (a, b) -> (a * 31 + b) % 18446744073709551616) AS h
+        |       FROM d),
+        |lcg AS (SELECT id, 0 AS j, h FROM h0
+        |        UNION ALL
+        |        SELECT id, j + 1,
+        |          (h * 6364136223846793005 + 1442695040888963407) % 18446744073709551616
+        |        FROM lcg WHERE j < 8),
+        |f AS (SELECT id, j,
+        |        CAST(CAST(CAST(h // 1099511627776 AS DOUBLE) / 16777216 - 0.5 AS REAL)
+        |             AS DOUBLE) AS fv
+        |      FROM lcg WHERE j >= 1)
+        |SELECT d.id, d.modality, CAST(64 AS INTEGER) AS dim,
+        |       CAST(8 AS INTEGER) AS resized_dim,
+        |       MIN(CASE WHEN f.j = 1 THEN f.fv END) AS f0,
+        |       CAST(CAST(SUM(f.fv) / 8 AS REAL) AS DOUBLE) AS r0
+        |FROM f JOIN d ON d.id = f.id
+        |GROUP BY d.id, d.modality""".stripMargin,
+
+    // frame slicing over the payload bytes — the corpus is ASCII (the
+    // q_rolling_hash oracle's ord-per-char fold proves char==byte), so
+    // character substr + encode reproduces the binary slices exactly
+    "q_multimodal_frames" ->
+      """WITH v AS (SELECT doc_id AS id, text, length(text) AS len
+        |           FROM documents WHERE doc_id % 3 = 2)
+        |SELECT id, CAST(4 AS INTEGER) AS n_frames,
+        |       CAST(length(substr(text, 1, 32)) AS INTEGER) AS frame0_bytes,
+        |       hex(encode(substr(text,
+        |         CAST(1 + greatest((len - 32) // 3, 0) AS BIGINT), 32))) AS frame1_hex
+        |FROM v""".stripMargin,
+
+    // the sketch's internals are engine-specific; the CONTRACT — approx
+    // percentile lands within the exact ±0.01-quantile band — is computed
+    // Spark-side as booleans, and the oracle pins the all-TRUE expectation
+    "q_quality_quantiles_approx" ->
+      """SELECT source, COUNT(*) AS n_docs, TRUE AS ok50, TRUE AS ok90
+        |FROM documents GROUP BY source""".stripMargin,
 
     // shingling + document-frequency cap + per-bucket self-join rebuilt in
     // SQL — validates the stop-shingle skew guard end to end
@@ -934,6 +1029,16 @@ object SparkEntry {
     "q_raw_value" ->
       """SELECT c_custkey AS cust_id, 'Users' AS role_nm,
         |       CAST(NULL AS VARCHAR) AS cleared FROM customer""".stripMargin,
+
+    // the T-SQL forms rewritten to their ANSI equivalents: ISNULL →
+    // coalesce, LEN → length(rtrim(·)) (trailing spaces ignored),
+    // string + → concat
+    "q_tsql_shim" ->
+      """SELECT c_custkey AS cust_id,
+        |       coalesce(c_mktsegment, 'none') AS cmt,
+        |       CAST(length(rtrim(c_name || '  ')) AS BIGINT) AS name_len,
+        |       c_name || '#' || c_mktsegment AS tagged
+        |FROM customer""".stripMargin,
 
     "q_source_filter" ->
       """SELECT l_orderkey AS okey, l_quantity AS qty, l_discount AS disc

@@ -230,14 +230,16 @@ final case class RawArg(value: Any) extends FnArg
 
 /** #13 `SqlFunction` (`mappr.js:308-329`): scalar function call with mixed
   * column/literal args. Compiles to `call_function` — resolves builtins and
-  * session-registered UDFs alike.
+  * session-registered UDFs alike. T-SQL function names from reference
+  * mappings (`GETDATE`, …) are mapped to their Spark builtins by
+  * [[Tsql.functionName]], so a ported mapping runs unmodified.
   */
 final case class SqlFunction(name: String, args: Seq[FnArg]) extends ColumnMapper {
   override def sourceColumns: Seq[String] =
     args.collect { case ColArg(s) => s }
   def toColumn(ctx: CompileCtx): Column =
     call_function(
-      name,
+      Tsql.functionName(name),
       args.map {
         case ColArg(s)   => col(s)
         case RawArg(v)   => lit(v)
@@ -245,13 +247,16 @@ final case class SqlFunction(name: String, args: Seq[FnArg]) extends ColumnMappe
 }
 
 /** #14 `Sql` (`mappr.js:330-351`): raw SQL expression passthrough (escape
-  * hatch) in Spark SQL dialect, optionally carrying column provenance so
-  * GROUP BY inference still works.
+  * hatch), optionally carrying column provenance so GROUP BY inference
+  * still works. The reference passes this text into a T-SQL script, so
+  * ported mappings carry T-SQL scalar idioms — [[Tsql.rewrite]] maps that
+  * surface (GETDATE/ISNULL/LEN/`+`-concat/`[brackets]`) to Spark SQL and
+  * is a no-op on ANSI/Spark input.
   */
 final case class Sql(sql: String, columns: Seq[String] = Seq.empty)
     extends ColumnMapper {
   override def sourceColumns: Seq[String] = columns
-  def toColumn(ctx: CompileCtx): Column = expr(sql)
+  def toColumn(ctx: CompileCtx): Column = expr(Tsql.rewrite(sql))
 }
 
 /** #15 `RawValue` (`mappr.js:352-362`): literal, or NULL for None/null. */

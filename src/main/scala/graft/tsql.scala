@@ -1,0 +1,188 @@
+package graft
+
+/** T-SQL scalar shim for the raw-SQL escape hatches (SURVEY §2.7).
+  *
+  * The reference's `Sql`/`SqlFunction` mappers pass text straight into the
+  * generated T-SQL script (`/root/reference/mappr.js:308-351`), so real
+  * mapping files carry T-SQL scalar idioms — `GETDATE()`, `ISNULL(a,b)`,
+  * `LEN(x)`, `'a' + b` string concatenation, `[bracketed]` identifiers —
+  * that Spark's parser rejects or (worse) silently mis-types. This shim
+  * rewrites exactly that scalar surface to Spark SQL so a reference
+  * mapping ports unmodified; everything else passes through untouched.
+  *
+  * Rewrites (token-aware, never inside string literals):
+  *   - `[ident]`            → `` `ident` ``
+  *   - `GETDATE()` / `GETUTCDATE()` → `current_timestamp()` (session TZ is
+  *     pinned to UTC in this engine, so both map to the same instant)
+  *   - `ISNULL(a, b)`       → `coalesce(a, b)`   (2-arg form only —
+  *     Spark's own 1-arg `isnull(x)` predicate is left alone)
+  *   - `LEN(x)`             → `length(rtrim(x))` (T-SQL LEN ignores
+  *     trailing spaces; Spark length counts them)
+  *   - `a + 'lit' + b`      → `concat(a, 'lit', b)` — only for `+` chains
+  *     that contain at least one string literal at the same paren depth
+  *     (T-SQL string `+`; numeric `+` chains are untouched). NULL
+  *     propagation matches T-SQL's default CONCAT_NULL_YIELDS_NULL ON.
+  *
+  * The rewrite is idempotent on ANSI/Spark SQL input: none of the rewritten
+  * forms exist in Spark's dialect (no 2-arg isnull, no GETDATE/LEN
+  * builtins, `+` on strings never valid), so applying it unconditionally
+  * in [[Sql]]/[[SqlFunction]] is safe.
+  */
+object Tsql {
+
+  private sealed trait Tok
+  private final case class Str(raw: String) extends Tok      // 'x''y' incl quotes
+  private final case class Word(w: String) extends Tok       // ident / number
+  private final case class Bracket(ident: String) extends Tok // [x]
+  private final case class Sym(s: String) extends Tok        // operators, commas
+  private final case class Group(toks: Vector[Tok]) extends Tok // ( ... )
+
+  // ------------------------------------------------------------- tokenizer
+
+  private def tokenize(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'') {
+        val start = i; i += 1
+        var done = false
+        while (i < n && !done) {
+          if (s(i) == '\'') {
+            if (i + 1 < n && s(i + 1) == '\'') i += 2 // '' escape
+            else { i += 1; done = true }
+          } else i += 1
+        }
+        out += Str(s.substring(start, i))
+      } else if (c == '[') {
+        val close = s.indexOf(']', i)
+        require(close > i, s"unclosed [identifier in: $s")
+        out += Bracket(s.substring(i + 1, close)); i = close + 1
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (s(i).isLetterOrDigit || s(i) == '_' || s(i) == '.')) i += 1
+        out += Word(s.substring(start, i))
+      } else if (c.isDigit) {
+        val start = i
+        while (i < n && (s(i).isDigit || s(i) == '.')) i += 1
+        out += Word(s.substring(start, i))
+      } else if (c == '(' || c == ')') { out += Sym(c.toString); i += 1 }
+      else {
+        // multi-char operators that matter for token integrity
+        val two = if (i + 1 < n) s.substring(i, i + 2) else ""
+        if (Set("<>", "<=", ">=", "!=", "||").contains(two)) {
+          out += Sym(two); i += 2
+        } else { out += Sym(c.toString); i += 1 }
+      }
+    }
+    out.result()
+  }
+
+  /** Fold a flat token stream into nested Groups at parens. */
+  private def group(toks: Vector[Tok]): Vector[Tok] = {
+    def go(i0: Int): (Vector[Tok], Int) = {
+      val acc = Vector.newBuilder[Tok]
+      var i = i0
+      while (i < toks.length) {
+        toks(i) match {
+          case Sym("(") =>
+            val (inner, next) = go(i + 1)
+            acc += Group(inner); i = next
+          case Sym(")") => return (acc.result(), i + 1)
+          case t        => acc += t; i += 1
+        }
+      }
+      (acc.result(), i)
+    }
+    go(0)._1
+  }
+
+  // -------------------------------------------------------------- rewrites
+
+  /** Split a token run at top-level occurrences of a symbol. */
+  private def splitTop(toks: Vector[Tok], sym: String): Vector[Vector[Tok]] = {
+    val parts = Vector.newBuilder[Vector[Tok]]
+    var cur = Vector.newBuilder[Tok]
+    toks.foreach {
+      case Sym(`sym`) => parts += cur.result(); cur = Vector.newBuilder[Tok]
+      case t          => cur += t
+    }
+    parts += cur.result()
+    parts.result()
+  }
+
+  private def rewriteToks(toks: Vector[Tok]): Vector[Tok] = {
+    // 1. recurse into groups and resolve function-name rewrites
+    val funcs = Vector.newBuilder[Tok]
+    var i = 0
+    while (i < toks.length) {
+      (toks(i), if (i + 1 < toks.length) Some(toks(i + 1)) else None) match {
+        case (Word(w), Some(g: Group)) =>
+          val inner = rewriteToks(g.toks)
+          val args = if (inner.isEmpty) Vector.empty else splitTop(inner, ",")
+          w.toUpperCase(java.util.Locale.ROOT) match {
+            case "GETDATE" | "GETUTCDATE" if args.isEmpty =>
+              funcs += Word("current_timestamp") += Group(Vector.empty)
+            case "ISNULL" if args.length == 2 =>
+              funcs += Word("coalesce") += Group(inner)
+            case "LEN" if args.length == 1 =>
+              funcs += Word("length") +=
+                Group(Vector(Word("rtrim"), Group(inner)))
+            case _ => funcs += Word(w) += Group(inner)
+          }
+          i += 2
+        case (g: Group, _) => funcs += Group(rewriteToks(g.toks)); i += 1
+        case (t, _)        => funcs += t; i += 1
+      }
+    }
+    // 2. string-literal `+` chains → concat(...), per top-level comma slice
+    val slices = splitTop(funcs.result(), ",").map { slice =>
+      val operands = splitTop(slice, "+")
+      val isStringChain = operands.length > 1 &&
+        operands.forall(_.nonEmpty) &&
+        operands.exists(_.exists(_.isInstanceOf[Str]))
+      if (isStringChain)
+        Vector(Word("concat"), Group(
+          operands.map(o => o: Vector[Tok])
+            .reduce((a, b) => a ++ Vector(Sym(",")) ++ b)))
+      else slice
+    }
+    if (slices.isEmpty) Vector.empty
+    else slices.reduce((a, b) => a ++ Vector(Sym(",")) ++ b)
+  }
+
+  // -------------------------------------------------------------- renderer
+
+  private def render(toks: Vector[Tok]): String = {
+    val sb = new StringBuilder
+    def emit(t: Tok): Unit = t match {
+      case Str(raw)    => pad(); sb.append(raw)
+      case Word(w)     => pad(); sb.append(w)
+      case Bracket(id) => pad(); sb.append('`').append(id).append('`')
+      case Sym(s)      => sb.append(s)
+      case Group(ts)   =>
+        sb.append('(')
+        ts.foreach(emit)
+        sb.append(')')
+    }
+    def pad(): Unit =
+      if (sb.nonEmpty && sb.last != '(' && sb.last != ' ') sb.append(' ')
+    toks.foreach(emit)
+    sb.toString
+  }
+
+  /** Rewrite a T-SQL scalar expression to Spark SQL (see object doc). */
+  def rewrite(sql: String): String = render(rewriteToks(group(tokenize(sql))))
+
+  /** Function-name mapping for the [[SqlFunction]] path (no argument text
+    * to rewrite — just the name): GETDATE/GETUTCDATE → current_timestamp.
+    * ISNULL/LEN change arity/shape, so they go through [[rewrite]] instead.
+    */
+  def functionName(name: String): String =
+    name.toUpperCase(java.util.Locale.ROOT) match {
+      case "GETDATE" | "GETUTCDATE" => "current_timestamp"
+      case _                        => name
+    }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** T-SQL scalar shim (SURVEY §2.7): reference mappings' raw-SQL text runs
+  * unmodified through the Sql/SqlFunction escape hatches.
+  */
+class TsqlSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- pure rewrite rules ---
+
+  test("GETDATE/GETUTCDATE rewrite to current_timestamp") {
+    assert(Tsql.rewrite("GETDATE()") == "current_timestamp()")
+    assert(Tsql.rewrite("getutcdate()") == "current_timestamp()")
+  }
+
+  test("2-arg ISNULL rewrites to coalesce; Spark's 1-arg isnull survives") {
+    assert(Tsql.rewrite("ISNULL(a, 'x')") == "coalesce(a, 'x')")
+    assert(Tsql.rewrite("isnull(a)") == "isnull(a)")
+  }
+
+  test("LEN rewrites to rtrim'd length (T-SQL trailing-space quirk)") {
+    assert(Tsql.rewrite("LEN(name)") == "length(rtrim(name))")
+  }
+
+  test("string + chains become concat; numeric + is untouched") {
+    assert(Tsql.rewrite("a + ' ' + b") == "concat(a, ' ', b)")
+    assert(Tsql.rewrite("a * b + 1").replace(" ", "") == "a*b+1")
+    assert(Tsql.rewrite("price + tax").replace(" ", "") == "price+tax")
+  }
+
+  test("bracketed identifiers become backticked; nesting recurses") {
+    assert(Tsql.rewrite("[First Name]") == "`First Name`")
+    assert(Tsql.rewrite("UPPER(ISNULL([a], 'x' + [b]))")
+      == "UPPER(coalesce(`a`, concat('x', `b`)))")
+  }
+
+  test("rewrite never touches string-literal contents and is ANSI-idempotent") {
+    assert(Tsql.rewrite("'LEN(a) + GETDATE()'") == "'LEN(a) + GETDATE()'")
+    val ansi = "CASE WHEN x >= 1 THEN coalesce(y, 'n/a') ELSE upper(z) END"
+    assert(Tsql.rewrite(Tsql.rewrite(ansi)) == Tsql.rewrite(ansi))
+  }
+
+  // --- end-to-end through the mappers ---
+
+  test("Sql mapper evaluates T-SQL scalars against real rows") {
+    val src = Seq(("Al", "Smith", Some(2)), (null, "Poe", None))
+      .toDF("fn", "ln", "n")
+    val tm = TableMapping("d", "s", Seq(
+      "full"  -> Sql("ISNULL(fn, '?') + ' ' + ln", Seq("fn", "ln")),
+      "len"   -> CastAs(Sql("LEN(ln + '  ')", Seq("ln")),
+        org.apache.spark.sql.types.LongType),
+      "stamp" -> Sql("GETDATE()")))
+    val out = Compiler.transformedSource(src, tm, _ => fail("no FK"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.get(2)))
+    assert(out.map(t => (t._1, t._2)).toSet ==
+      Set(("Al Smith", 5L), ("? Poe", 3L)))
+    out.foreach(t => assert(t._3.isInstanceOf[java.sql.Timestamp]))
+  }
+
+  test("SqlFunction with a T-SQL name resolves to the Spark builtin") {
+    val src = Seq(Tuple1(1)).toDF("x")
+    val tm = TableMapping("d", "s", Seq(
+      "stamp" -> SqlFunction("GETDATE", Seq.empty),
+      "x"     -> DirectCopy("x")))
+    val r = Compiler.transformedSource(src, tm, _ => fail("no FK")).collect().head
+    assert(r.get(0).isInstanceOf[java.sql.Timestamp])
+  }
+}

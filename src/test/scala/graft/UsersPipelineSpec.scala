@@ -133,6 +133,20 @@ class UsersPipelineSpec extends AnyFunSuite {
     assert(secondPassAudit.filter(col(Merge.ActionCol) === "UPDATE").count() == 5)
   }
 
+  test("users mapping extended with T-SQL Sql('GETDATE()') runs unmodified") {
+    val srcCat = new InMemoryCatalog(Map("etl_Users" -> etlUsers))
+    val destCat = new InMemoryCatalog(Map(
+      "users" -> emptyUsers.withColumn("migrated_at", lit(null).cast("timestamp")),
+      "individual" -> individual))
+    val tm0 = usersTm(clearPasswords = true)
+    // the T-SQL text a reference mapping would carry, verbatim
+    val tm = tm0.copy(columns = tm0.columns :+ ("migrated_at" -> Sql("GETDATE()")))
+    new PipelineRunner(srcCat, destCat).run(Pipeline(Seq(tm)))
+    val out = destCat.read("users").collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getAs[java.sql.Timestamp]("migrated_at") != null))
+  }
+
   test("clearPasswords=false keeps source passwords (mapArguments toggle)") {
     val srcCat = new InMemoryCatalog(Map("etl_Users" -> etlUsers))
     val destCat = new InMemoryCatalog(Map(

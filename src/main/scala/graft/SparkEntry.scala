@@ -412,6 +412,19 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
     },
 
+    // dedup: connected components via the DISTRIBUTED min-label loop
+    // (driverEdgeLimit = 0 forces the 10M+-edge fallback path that a
+    // 100 TB corpus would take), over exact Jaccard pairs on a doc subset;
+    // oracle = recursive reachability closure. Also the loop's bench entry
+    // — before this, the distributed path only ran in unit tests.
+    "q_cluster_distributed" -> { (s, dir) =>
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 300)
+      val pairs = ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.8).select("a_id", "b_id")
+      ext.Dedup.nearDupClusters(docs.select(col("doc_id")), "doc_id", pairs,
+        driverEdgeLimit = 0L)
+    },
+
     // dedup: MinHash+LSH near-dup (no oracle — xxhash64 is engine-
     // internal; validated against q_ngram_jaccard in DedupSpec)
     "q_minhash_neardup" -> ((s, dir) =>
@@ -1180,6 +1193,32 @@ object SparkEntry {
         |             GROUP BY d.doc_id)
         |SELECT d.doc_id, d.lang, d.source FROM documents d
         |JOIN clusters c ON d.doc_id = c.doc_id WHERE d.doc_id = c.cluster""".stripMargin,
+
+    "q_cluster_distributed" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |         WHERE doc_id < 300),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i.i:i.i+2], ' ') AS s
+        |       FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) i
+        |       WHERE i.i <= len(t) - 2),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ic
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM inter
+        |          JOIN cnt ca ON ca.doc_id = a_id
+        |          JOIN cnt cb ON cb.doc_id = b_id
+        |          WHERE CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) >= 0.8),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (SELECT src AS a, dst AS b FROM edges
+        |          UNION
+        |          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+        |SELECT d.doc_id AS id,
+        |       least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
+        |FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+        |LEFT JOIN reach r ON r.a = d.doc_id
+        |GROUP BY d.doc_id""".stripMargin,
 
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -216,6 +216,47 @@ object Similarity {
         if (nrm == 0.0) v else v.map(_ / nrm)
       }.toSeq
 
+  /** Lloyd (k-means) refinement over an [[ivfCentroids]]-style init: each
+    * iteration assigns every corpus vector to its nearest centroid (native
+    * [[graft.functions.IvfAssign]], narrow), recomputes each centroid as
+    * the unit-normalized mean of its list, and keeps the old centroid for
+    * empty lists. Cost per iteration: one posexplode aggregate shuffling
+    * corpus × dim (value, list, pos) rows — the standard distributed
+    * k-means cost — and a k × dim-double collect.
+    *
+    * Refined centroids raise recall at the same nProbe but lose the
+    * training-free init's plain-SQL reproducibility (distributed float
+    * sums are order-dependent in the last bits), so oracle-checked paths
+    * keep [[ivfCentroids]] and refinement is the recall upgrade.
+    */
+  def refineCentroids(
+      corpus: DataFrame, vecCol: String,
+      centroids: Seq[Seq[Double]], iters: Int = 1): Seq[Seq[Double]] = {
+    import graft.functions.IvfAssign
+    require(centroids.nonEmpty, "need initial centroids")
+    val dim = centroids.head.length
+    var cents = centroids
+    for (_ <- 1 to iters) {
+      val rows = corpus
+        .select(IvfAssign.column(col(vecCol), cents, 1).getItem(0).alias("list"),
+          posexplode(col(vecCol)))
+        .groupBy(col("list"), col("pos"))
+        .agg(sum(col("col").cast("double")).alias("s"),
+          count(lit(1)).alias("n"))
+        .collect()
+      val byList = rows.groupBy(_.getInt(0))
+      cents = cents.zipWithIndex.map { case (old, li) =>
+        byList.get(li).fold(old) { rs =>
+          val mean = new Array[Double](dim)
+          rs.foreach(r => mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+          val nrm = math.sqrt(mean.foldLeft(0.0)((a, x) => a + x * x))
+          if (nrm == 0.0) old else mean.map(_ / nrm).toSeq
+        }
+      }
+    }
+    cents
+  }
+
   /** Approximate top-k via IVF: corpus vectors are bucketed to their
     * nearest centroid (one list each), queries probe their `nProbe`
     * nearest lists; candidates score exactly, output shape matches

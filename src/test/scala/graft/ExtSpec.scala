@@ -178,6 +178,19 @@ class ExtSpec extends AnyFunSuite {
     val ivf2 = ext.Similarity.ivfTopK(df.repartition(7), queries, "vec_id",
       "embedding", k = 5, cents, nProbe = 3)
     assert(ivf2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === ivfSet)
+
+    // one Lloyd iteration over the same init: centroids move to the true
+    // cluster means, so recall at the same nProbe must not drop and must
+    // clear a higher bar than the training-free floor
+    val refined = ext.Similarity.refineCentroids(df, "embedding", cents, iters = 1)
+    assert(refined.size === cents.size)
+    refined.foreach(c => assert(math.abs(c.map(x => x * x).sum - 1.0) < 1e-9))
+    val ivfR = ext.Similarity.ivfTopK(df, queries, "vec_id", "embedding",
+      k = 5, refined, nProbe = 3)
+    val refinedSet = ivfR.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refinedRecall = refinedSet.intersect(bfSet).size.toDouble / bfSet.size
+    assert(refinedRecall >= math.max(0.9, recall - 1e-9),
+      s"refined recall $refinedRecall vs unrefined $recall")
   }
 
   test("near-dup clustering: distributed loop path matches union-find path") {

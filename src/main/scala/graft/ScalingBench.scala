@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-exponent bench: runs every query at two scale factors and
+  * reports the wall-time ratio per query. A query whose ratio exceeds the
+  * data-growth ratio by a wide margin is doing superlinear work — the
+  * mechanical check that would have flagged an all-pairs join without
+  * anyone reading the plan (tables grow ~10× sf0.01 → sf0.1; embeddings
+  * grow 4×; Spark's fixed per-query overhead pulls small-query ratios
+  * DOWN, so a ratio > [[FlagRatio]] is a loud signal, not noise).
+  *
+  * Output: one JSON line
+  * `{"metric":"scaling","sf_small":…,"sf_large":…,"queries":{name:
+  * {"small":s,"large":s,"ratio":r}},"flagged":[names]}` — written per
+  * round to `BENCH_SCALING.json` (see COVERAGE.md).
+  */
+object ScalingBench {
+
+  /** Data grows ≤10× between the two scale factors; anything past this is
+    * superlinear even after overhead effects.
+    */
+  val FlagRatio = 12.0
+
+  def main(args: Array[String]): Unit = {
+    val small = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
+    val large = sys.env.getOrElse("SPARK_GRAFT_SF_LARGE", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+
+    // same clean-slate methodology as Bench: -1 marks a failed query
+    def run(name: String, sfDir: String): Double = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[scaling] $name @ $sfDir FAILED: ${e.getMessage}")
+          false
+        }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      System.gc()
+      if (ok) dt else -1.0
+    }
+
+    def timed(sfDir: String): Map[String, Double] = {
+      names.foreach(run(_, sfDir)) // warmup pass, untimed
+      names.map { n =>
+        val (a, b) = (run(n, sfDir), run(n, sfDir))
+        n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      }.toMap
+    }
+
+    val ts = timed(small)
+    val tl = timed(large)
+    val entries = names.map { n =>
+      val (s, l) = (ts(n), tl(n))
+      val ratio = if (s > 0 && l > 0) l / s else -1.0
+      (n, s, l, ratio)
+    }
+    val flagged = entries.collect { case (n, _, _, r) if r > FlagRatio => n }
+    val qs = entries.map { case (n, s, l, r) =>
+      f"""\"$n\":{\"small\":$s%.4f,\"large\":$l%.4f,\"ratio\":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    val fl = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"scaling","sf_small":"$small","sf_large":"$large",""" +
+      s""""queries":$qs,"flagged":$fl}""")
+    spark.stop()
+  }
+}

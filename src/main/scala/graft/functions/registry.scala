@@ -41,6 +41,10 @@ object GraftFunctions {
       require(args.length == 2, "dot_product(a, b)")
       DotProduct(args.head, args(1))
     },
+    "minhash_sig" -> { args =>
+      require(args.length == 2, "minhash_sig(shingles, numHashes)")
+      MinHashSig(args.head, intLit(args(1), "minhash_sig", "numHashes"))
+    },
   )
 
   /** Register onto a live session (temp functions, session-scoped). */

@@ -30,6 +30,8 @@ class CodegenSpec extends AnyFunSuite {
         functions.DotProduct.column(col("e1"), col("e2")).alias("dp"),
         functions.SignBuckets.column(col("e1"),
           Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, -1.0, 0.0)), 2).alias("bk"),
+        functions.MinHashSig.column(
+          functions.WordShingles.column(col("text"), 2), 8).alias("mh"),
       ).collect()
       assert(rows(0).getSeq[String](0) === Seq("a b c", "b c d", "c d e"))
       assert(rows(0).getDouble(2) === 1.0 * 0.5 + 2.0 * 0.25 + 3.0 * 0.125)
@@ -37,6 +39,12 @@ class CodegenSpec extends AnyFunSuite {
       assert(rows(0).getSeq[Long](3) === Seq(1L))
       // e1 row2 = (-1,0,1): dot(plane0)=-1<0; dot(plane1)=0>=0 → bit1
       assert(rows(1).getSeq[Long](3) === Seq(2L))
+      // minhash: 8 mins over 4 2-gram shingles, pure function of the text
+      assert(rows(0).getSeq[Long](4).length === 8)
+      assert(rows(0).getSeq[Long](4) === functions.MinHashSig.sig(
+        functions.WordShingles.shingles(
+          org.apache.spark.unsafe.types.UTF8String.fromString("a b c d e"), 2), 8)
+        .toLongArray().toSeq)
     }
   }
 
@@ -58,11 +66,13 @@ class CodegenSpec extends AnyFunSuite {
     functions.GraftFunctions.register(spark)
     val r = spark.sql(
       "SELECT word_shingles('a b c d', 2) AS sh, rolling_hash('abc') AS rh, " +
-        "dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp").head()
+        "dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp, " +
+        "minhash_sig(word_shingles('a b c d', 2), 4) AS mh").head()
     assert(r.getSeq[String](0) === Seq("a b", "b c", "c d"))
     assert(r.getLong(1) ===
       functions.RollingHash.hash("abc".getBytes("UTF-8")))
     assert(r.getDouble(2) === 11.0)
+    assert(r.getSeq[Long](3).length === 4)
 
     // the mapping DSL's SqlFunction operator reaches the natives too
     val tm = TableMapping("out", "src", Seq(

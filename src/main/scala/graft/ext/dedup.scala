@@ -80,14 +80,18 @@ object Dedup {
     // so no separate count relation / extra joins are needed
     val withN = sh.withColumn("n",
       count(lit(1)).over(Window.partitionBy(col(idCol))))
-    val a = withN.select(col(idCol).alias("a_id"), col("shingle"),
+    // distinct column names per side — self-join with same-name columns
+    // relies on Spark's ambiguity resolution (and logs a trivially-true-
+    // predicate warning per query); explicit names make the condition
+    // unambiguous
+    val a = withN.select(col(idCol).alias("a_id"), col("shingle").alias("sh_a"),
       col("n").alias("na"))
-    val b = withN.select(col(idCol).alias("b_id"), col("shingle"),
+    val b = withN.select(col(idCol).alias("b_id"), col("shingle").alias("sh_b"),
       col("n").alias("nb"))
     // hint: a 260k+-row build side must not be broadcast-collected to the
     // driver; hash-partitioned join keeps both sides distributed
     a.hint("shuffle_hash")
-      .join(b, a("shingle") === b("shingle") && a("a_id") < b("b_id"))
+      .join(b, col("sh_a") === col("sh_b") && col("a_id") < col("b_id"))
       // na/nb are constant per (a_id, b_id) — grouping on them is free
       .groupBy("a_id", "b_id", "na", "nb").agg(count(lit(1)).alias("ic"))
       .withColumn("jaccard",
@@ -446,8 +450,12 @@ object Dedup {
       threshold: Double, dim: Int,
       tables: Int = 16, bitsPerTable: Int = 8,
       seed: Long = 42L): DataFrame = {
+    // candidate MULTISET (no pre-distinct): deduping ~candidate-count rows
+    // costs a full exchange, while the threshold filter collapses the set
+    // to the few real near-dups — dedup THOSE instead; duplicate hits just
+    // rescore the same cheap dot product
     val cand = Similarity.lshPairCandidates(df, idCol, vecCol, dim,
-      tables, bitsPerTable, seed)
+      tables, bitsPerTable, seed, dedup = false)
     val e = df.select(col(idCol).alias("id"), col(vecCol).alias("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
     cand
@@ -459,5 +467,6 @@ object Dedup {
         Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")
+      .distinct()
   }
 }

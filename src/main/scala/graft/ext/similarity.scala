@@ -114,11 +114,17 @@ object Similarity {
     * its `bitsPerTable` 1-bit flips — plain long XORs). Joins are
     * per-(table, bucket) hash joins over id-only rows; vectors never ride
     * the candidate shuffle, and there is no all-pairs/cartesian node.
+    *
+    * `dedup = false` skips the pre-emptive `distinct()` and returns the
+    * candidate MULTISET (a pair appears once per table/probe hit) — the
+    * right choice when a cheap downstream filter collapses the set anyway:
+    * deduping ~1M candidate rows costs a full exchange, while rescoring
+    * the few duplicate hits costs a handful of extra dot products.
     */
   def lshPairCandidates(
       df: DataFrame, idCol: String, vecCol: String,
       dim: Int, tables: Int = 16, bitsPerTable: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, dedup: Boolean = true): DataFrame = {
     val hp = (0 until tables).map(t =>
       hyperplanes(dim, bitsPerTable, seed + t * 7919))
     val bk = df
@@ -131,9 +137,10 @@ object Similarity {
         col("bkt").bitwiseXOR(lit(1L << i))): _*)).alias("bkt"))
     // bucket tables scale with the corpus — hash-partitioned join, never a
     // broadcast collect of a corpus-sized side
-    x.hint("shuffle_hash").join(y, Seq("tbl", "bkt"))
+    val pairs = x.hint("shuffle_hash").join(y, Seq("tbl", "bkt"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .select("a_id", "b_id")
+    if (dedup) pairs.distinct() else pairs
   }
 
   /** Approximate top-k via multi-table sign-LSH: `tables` independent

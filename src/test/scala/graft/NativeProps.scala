@@ -72,6 +72,32 @@ object NativeProps extends Properties("natives") {
       got == want
     }
 
+  propertyWithSeed("MinHashSig == per-shingle base-hash + re-mix min reference", None) =
+    forAll(Gen.listOf(Gen.alphaNumStr.map(_.take(12))), Gen.choose(1, 16)) {
+      (shingles, numHashes) =>
+        import org.apache.spark.unsafe.types.UTF8String
+        import org.apache.spark.sql.catalyst.expressions.XXH64
+        def arr(ss: Seq[String]) =
+          new GenericArrayData(ss.map(UTF8String.fromString).toArray[Any])
+        val got = functions.MinHashSig.sig(arr(shingles), numHashes)
+          .toLongArray().toSeq
+        val want =
+          if (shingles.isEmpty) Seq.empty[Long]
+          else (0 until numHashes).map { i =>
+            shingles.map { s =>
+              val u = UTF8String.fromString(s)
+              val base = XXH64.hashUnsafeBytes(
+                u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+              XXH64.hashLong(base, i.toLong)
+            }.min
+          }
+        // exact reference match + min-accumulation is permutation-invariant
+        val shuffled = new scala.util.Random(7).shuffle(shingles)
+        got == want &&
+          functions.MinHashSig.sig(arr(shuffled), numHashes)
+            .toLongArray().toSeq == want
+    }
+
   private val edgesGen: Gen[List[(Long, Long)]] =
     Gen.listOf(for {
       a <- Gen.choose(0L, 14L); b <- Gen.choose(0L, 14L) if a != b

@@ -176,17 +176,19 @@ object Dedup {
       col("band"), col("bucket"))
     val y = bk.select(col(idCol).alias("b_id"), col("signature").alias("sb"),
       col("band"), col("bucket"))
-    // band tables scale with the corpus — never broadcast-collect a side
-    val cand = x.hint("shuffle_hash").join(y, Seq("band", "bucket"))
+    // band tables scale with the corpus — never broadcast-collect a side.
+    // Multi-band duplicate hits are NOT deduped before scoring: that dedup
+    // (a groupBy carrying both 64-long signatures through a shuffle) costs
+    // more than re-evaluating the estimator on the few extra hits, and the
+    // threshold filter collapses the set before the final distinct.
+    x.hint("shuffle_hash").join(y, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
-      // dedup multi-band hits; sa/sb are functionally dependent on the ids
-      .groupBy("a_id", "b_id").agg(first("sa").alias("sa"), first("sb").alias("sb"))
-    cand
       .withColumn("est_jaccard",
         expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))").cast("double")
           / size(col("sa")).cast("double"))
       .filter(col("est_jaccard") >= threshold)
       .select("a_id", "b_id", "est_jaccard")
+      .distinct()
   }
 
   // ----------------------------------------------------------------- SimHash

@@ -97,6 +97,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(col("isHeavy") && col("nEvents") < 5).count() == 0)
   }
 
+  test("stream-stream interval join == batch inequality join") {
+    def side(tpe: String) = EventStream.readStream(spark, streamDir)
+      .filter(col("event_type") === tpe)
+      .select(col("event_id"), col("user_id"), col("ts_utc"))
+    val joined = EventStream.intervalJoinStream(
+        side("error"), side("signup"), "user_id", lookback = "1 hour")
+      .select(col("l.event_id").alias("err_id"),
+        col("r.event_id").alias("sign_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ssjoin_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val be = batchEvents
+    val err = be.filter($"event_type" === "error")
+      .select($"event_id".alias("err_id"), $"user_id", $"ts_utc")
+    val sgn = be.filter($"event_type" === "signup")
+      .select($"event_id".alias("sign_id"), $"user_id".alias("su"),
+        $"ts_utc".alias("sts"))
+    val expect = err.join(sgn,
+        $"user_id" === $"su" &&
+          $"sts" >= $"ts_utc" - expr("INTERVAL '1 hour'") &&
+          $"sts" <= $"ts_utc")
+      .select("err_id", "sign_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // inner stream-stream join emits every match once fully drained
+    assert(got == expect, s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    assert(got.nonEmpty)
+  }
+
   test("streaming upsert sink reproduces MERGE semantics incl. _action") {
     val tm = TableMapping(
       "user_state", "events", Seq(

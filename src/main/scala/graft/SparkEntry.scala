@@ -520,6 +520,43 @@ object SparkEntry {
     "q_curate_corpus" -> ((s, dir) => ext.Curate.corpusStats(
       ext.Curate.curateCorpus(read(s, dir, "documents")))),
 
+    // packing: token-budget training shards (contiguous fill per source) —
+    // the curated-corpus → training-job step; pure integer window
+    // arithmetic, fill ratio is one IEEE division (bit-exact cross-engine)
+    "q_pack_shards" -> { (s, dir) =>
+      val packed = ext.Packing.packByBudget(read(s, dir, "documents"),
+        "doc_id", "n_chars", budget = 20000L, groupCol = "source")
+      ext.Packing.shardStats(packed, "n_chars", budget = 20000L,
+        groupCol = "source")
+    },
+
+    // §2.4/§2.5 beyond-reference: the classic 3-table analytic join
+    // (TPC-H Q3 shape) — filtered dim broadcast under AQE, fact-fact
+    // shuffle join on the order key, decimal-exact revenue, top-10
+    "q_tpch_q3" -> { (s, dir) =>
+      val cust = read(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = read(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") < lit("1998-06-01").cast("date"))
+        .select("o_orderkey", "o_custkey")
+      val li = read(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") > lit("1998-06-01").cast("date"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        // per-row product is bit-identical cross-engine (IEEE multiply);
+        // cast to decimal(18,4) pins the exact 4-decimal rational so the
+        // SUM is order-independent (see oracle-parity rules)
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).alias("rev_dec"),
+          count(lit(1)).alias("n_items"))
+        .select(col("o_orderkey"), col("rev_dec").cast("double").alias("revenue"),
+          col("n_items"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
     // sampling: deterministic hash-Bernoulli per stratum — md5-prefix
     // decision hash, so the exact kept set is reproducible from plain SQL
     // in any engine (oracle below; determinism + rates also in ExtSpec)
@@ -1327,6 +1364,40 @@ object SparkEntry {
     "q_distinct_count" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    // contiguous-fill shard packing rebuilt with a window running sum;
+    // shard = floor(cum-before / budget), fill = one IEEE double division
+    "q_pack_shards" ->
+      """WITH p AS (
+        |  SELECT source, doc_id, n_chars,
+        |         COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - n_chars, 0) AS cumb
+        |  FROM documents),
+        |s AS (SELECT source, CAST(FLOOR(cumb / 20000.0) AS BIGINT) AS shard,
+        |             n_chars
+        |      FROM p)
+        |SELECT source, shard, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS shard_tokens,
+        |       CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / 20000.0 AS fill
+        |FROM s GROUP BY source, shard""".stripMargin,
+
+    "q_tpch_q3" ->
+      """WITH c AS (SELECT c_custkey FROM customer
+        |           WHERE c_mktsegment = 'BUILDING'),
+        |o AS (SELECT o_orderkey, o_custkey FROM orders
+        |      WHERE CAST(o_orderdate AS DATE) < DATE '1998-06-01'),
+        |l AS (SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem
+        |      WHERE CAST(l_shipdate AS DATE) > DATE '1998-06-01')
+        |SELECT o_orderkey,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |JOIN l ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
 
     // md5-prefix Bernoulli is engine-portable: identical kept set in DuckDB
     "q_stratified_sample" ->

@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-shard packing: assign documents to fixed-token-budget shards —
+  * the step between a curated corpus and a tokenizer/training job, which
+  * wants ~equal-sized input shards rather than a directory of ragged
+  * documents.
+  *
+  * Contiguous-fill packing: within each `groupCol` partition, documents in
+  * ascending `idCol` order fill shard 0 until its token budget is reached,
+  * then shard 1, and so on (a document larger than the whole budget gets a
+  * shard of its own). Deterministic integer arithmetic over a running sum —
+  * fully oracle-able in any SQL engine.
+  *
+  * Scale: the running sum is a window partitioned by `groupCol` — work
+  * parallelizes across groups (sources, date buckets, …), never a global
+  * single-partition window. Groups are the unit a real pipeline shards by
+  * anyway (per-source shard sets); shard ids are made globally unique by
+  * pairing (group, shard_in_group).
+  */
+object Packing {
+
+  /** Adds `n_tokens`-driven shard assignment: (groupCol, shard, shard_pos).
+    *
+    * `shard` = index of the first shard whose remaining budget the doc
+    * overflows into: `floor(cum_before / budget)` where `cum_before` is the
+    * running token sum EXCLUDING the current doc — i.e. a doc starts in the
+    * shard its first token lands in; shards therefore hold up to `budget`
+    * tokens plus at most one overflowing document tail, the standard
+    * greedy contiguous packing.
+    */
+  def packByBudget(
+      df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, groupCol: String): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+    val cumBefore: Column =
+      coalesce(sum(col(tokenCol)).over(w) - col(tokenCol), lit(0L))
+    df.withColumn("shard", floor(cumBefore / lit(budget)).cast("long"))
+      .withColumn("shard_pos",
+        (row_number().over(Window.partitionBy(col(groupCol), col("shard"))
+          .orderBy(col(idCol))) - 1).cast("long"))
+  }
+
+  /** Per-shard summary (doc count, token total, fill ratio) — the shape a
+    * shard-writer consumes and the natural thing to assert budgets on.
+    */
+  def shardStats(packed: DataFrame, tokenCol: String, budget: Long,
+      groupCol: String): DataFrame =
+    packed.groupBy(col(groupCol), col("shard"))
+      .agg(count(lit(1)).alias("n_docs"),
+        sum(col(tokenCol)).alias("shard_tokens"))
+      .withColumn("fill",
+        col("shard_tokens").cast("double") / lit(budget.toDouble))
+}

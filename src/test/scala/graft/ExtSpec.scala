@@ -255,6 +255,37 @@ class ExtSpec extends AnyFunSuite {
     assert(gated == exact)
   }
 
+  test("shard packing: first-token rule, per-group windows, stable positions") {
+    val d = Seq(
+      (1L, "s", 100L), (2L, "s", 150L), (3L, "s", 200L),
+      (4L, "s", 50L), (5L, "s", 400L), (6L, "s", 10L),
+      (7L, "t", 700L), (8L, "t", 5L),
+    ).toDF("doc_id", "source", "n")
+    val packed = ext.Packing.packByBudget(d, "doc_id", "n",
+        budget = 300L, groupCol = "source")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(3), r.getLong(4))).toMap
+    // cum-before per source s: 0,100,250,450,500,900 → shards 0,0,0,1,1,3
+    // (doc 5 spans budgets 1-2, so shard 2 is legitimately empty); doc 3
+    // starts inside shard 0's budget and overflows it — first-token rule
+    assert(packed(1L) == ("s", 0L, 0L))
+    assert(packed(2L) == ("s", 0L, 1L))
+    assert(packed(3L) == ("s", 0L, 2L))
+    assert(packed(4L) == ("s", 1L, 0L))
+    assert(packed(5L) == ("s", 1L, 1L))
+    assert(packed(6L) == ("s", 3L, 0L))
+    // group t packs independently
+    assert(packed(7L) == ("t", 0L, 0L))
+    assert(packed(8L) == ("t", 2L, 0L))
+    val stats = ext.Packing.shardStats(
+        ext.Packing.packByBudget(d, "doc_id", "n", 300L, "source"),
+        "n", 300L, "source")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(stats(("s", 0L)) == (3L, 450L))
+    assert(stats(("s", 1L)) == (2L, 450L))
+  }
+
   test("brute-force top-k: exact, deterministic ranking") {
     val e = (1L to 20L).map { i =>
       (i, Seq.tabulate(8)(j => math.sin(i * 31 + j).toFloat))

@@ -68,13 +68,18 @@ object ScalingBench {
       val ratio = if (s > 0 && l > 0) l / s else -1.0
       (n, s, l, ratio)
     }
-    val flagged = entries.collect { case (n, _, _, r) if r > FlagRatio => n }
+    // a query that FAILS at either scale is the loudest superlinear signal
+    // of all (OOM/timeout from a blowup) — it must land in `flagged`, not
+    // silently drop out with ratio -1
+    val failed = entries.collect { case (n, s, l, _) if s < 0 || l < 0 => n }
+    val flagged = entries.collect { case (n, _, _, r) if r > FlagRatio => n } ++ failed
     val qs = entries.map { case (n, s, l, r) =>
       f"""\"$n\":{\"small\":$s%.4f,\"large\":$l%.4f,\"ratio\":$r%.2f}"""
     }.mkString("{", ",", "}")
-    val fl = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"scaling","sf_small":"$small","sf_large":"$large",""" +
-      s""""queries":$qs,"flagged":$fl}""")
+      s""""queries":$qs,"flagged":${arr(flagged)},"failed":${arr(failed)}}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -37,8 +37,13 @@ object Curate {
     // canonicalize join — materialize it once (localCheckpoint truncates
     // lineage without leaving a named cache entry behind; blocks are freed
     // by the ContextCleaner when the result frame is collected/GC'd), so
-    // the tokenize+filter scan doesn't re-run per consumer
-    val gated = gated0.localCheckpoint()
+    // the tokenize+filter scan doesn't re-run per consumer. Lazy (eager =
+    // false): materialization happens on the first action, keeping this
+    // function side-effect-free at construction. Caveat for shared
+    // clusters: localCheckpoint blocks are executor-local and
+    // unreplicated — under aggressive dynamic allocation, use a reliable
+    // checkpoint dir (or accept recompute) instead.
+    val gated = gated0.localCheckpoint(false)
     val pairs = Dedup.ngramJaccardPairs(gated, idCol, textCol,
       shingleK, jaccardThreshold).select("a_id", "b_id")
     Dedup.canonicalize(gated, idCol, pairs)

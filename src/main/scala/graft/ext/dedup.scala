@@ -110,7 +110,10 @@ object Dedup {
     * scale (the previous form exploded shingles and ran a 64-column
     * aggregation that rehashed every shingle's bytes 64×).
     * Docs with no shingles (fewer than `k` words) produce no row, matching
-    * the aggregation form's semantics.
+    * the aggregation form's semantics. One output row per INPUT row: `idCol`
+    * is a document id and assumed unique (the old exploded groupBy collapsed
+    * duplicate ids; a near-dup pipeline must dedup exact ids upstream — see
+    * [[exact]]).
     */
   def minHashSignatures(
       df: DataFrame, idCol: String, textCol: String,
@@ -356,6 +359,9 @@ object Dedup {
     // after which every cache entry this call created is released. The
     // checkpoint blocks are freed by the ContextCleaner when the returned
     // frame is garbage-collected — no cross-query cache-table leak.
+    // Caveat: localCheckpoint blocks are executor-local/unreplicated; on a
+    // cluster with aggressive dynamic allocation, set a reliable checkpoint
+    // dir and swap this to .checkpoint(), or consume the result promptly.
     val finalLabels = labels.localCheckpoint()
     cachedRound.foreach(_.unpersist())
     edges.unpersist(false)
@@ -422,8 +428,14 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bruteForceLimit: Long = 100000L,
       tables: Int = 16, bitsPerTable: Int = 8,
-      seed: Long = 42L): DataFrame =
-    if (df.count() <= bruteForceLimit)
+      seed: Long = 42L): DataFrame = {
+    // size probe via limit(cap+1): Spark can stop scanning once cap+1 rows
+    // exist, instead of executing the full (possibly expensive) upstream
+    // plan just to pick a branch
+    val small =
+      if (bruteForceLimit >= Int.MaxValue - 1) true
+      else df.limit(bruteForceLimit.toInt + 1).count() <= bruteForceLimit
+    if (small)
       Similarity.allPairsCosine(df, idCol, vecCol)
         .filter(col("cosine") >= threshold)
         .select("a_id", "b_id", "cosine")
@@ -432,6 +444,7 @@ object Dedup {
       embeddingNearDupPairsLsh(df, idCol, vecCol, threshold, dim,
         tables, bitsPerTable, seed)
     }
+  }
 
   /** The scale path of [[embeddingNearDupPairs]]: candidate pairs from
     * multi-table sign-LSH buckets with 1-bit multi-probe

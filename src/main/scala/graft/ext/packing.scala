@@ -36,7 +36,12 @@ object Packing {
       df: DataFrame, idCol: String, tokenCol: String,
       budget: Long, groupCol: String): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // explicit ROWS frame: the default RANGE frame would sum all peers of
+    // a tied idCol into cum_before. idCol is a document id and must be
+    // unique within its group — with ties, assignment order (and thus
+    // shard_pos) is not deterministic.
     val w = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cumBefore: Column =
       coalesce(sum(col(tokenCol)).over(w) - col(tokenCol), lit(0L))
     df.withColumn("shard", floor(cumBefore / lit(budget)).cast("long"))

@@ -230,6 +230,11 @@ final class PipelineRunner(
     * surfaces these as SQL Server runtime errors in the generated script;
     * here they come back as one readable list so a bad config fails in
     * seconds, not mid-load. Pure metadata checks (schemas only, no jobs).
+    *
+    * Entries prefixed `"warning:"` are ADVISORY — a check that could not
+    * run (e.g. aggregate names with no SparkSession supplied), not a
+    * config error; an empty result means "fully validated clean". Callers
+    * gating on hard errors only should filter the prefix.
     */
   def validate(p: Pipeline): Seq[String] = {
     val errors = Seq.newBuilder[String]

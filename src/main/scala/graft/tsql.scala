@@ -10,8 +10,11 @@ package graft
   * rewrites exactly that scalar surface to Spark SQL so a reference
   * mapping ports unmodified; everything else passes through untouched.
   *
-  * Rewrites (token-aware, never inside string literals):
-  *   - `[ident]`            → `` `ident` ``
+  * Rewrites (token-aware; never inside `'…'`/`"…"` literals, backticked
+  * identifiers, or `a[i]` subscripts; `--`/`/*…*/` comments are stripped):
+  *   - `[ident]`            → `` `ident` `` — only where an identifier can
+  *     start (a `[` directly after an identifier/`)`/`]` is a Spark
+  *     array/map subscript and passes through verbatim)
   *   - `GETDATE()` / `GETUTCDATE()` → `current_timestamp()` (session TZ is
   *     pinned to UTC in this engine, so both map to the same instant)
   *   - `ISNULL(a, b)`       → `coalesce(a, b)`   (2-arg form only —
@@ -19,48 +22,76 @@ package graft
   *   - `LEN(x)`             → `length(rtrim(x))` (T-SQL LEN ignores
   *     trailing spaces; Spark length counts them)
   *   - `a + 'lit' + b`      → `concat(a, 'lit', b)` — only for `+` chains
-  *     that contain at least one string literal at the same paren depth
-  *     (T-SQL string `+`; numeric `+` chains are untouched). NULL
+  *     that contain a string literal, bounded by anything that binds
+  *     looser than `+` (commas, comparison operators, CASE/boolean
+  *     keywords), so `status = 'x' + col` becomes
+  *     `status = concat('x', col)`, not a mangled comparison. NULL
   *     propagation matches T-SQL's default CONCAT_NULL_YIELDS_NULL ON.
   *
-  * The rewrite is idempotent on ANSI/Spark SQL input: none of the rewritten
+  * The rewrite is a no-op on ANSI/Spark SQL input: none of the rewritten
   * forms exist in Spark's dialect (no 2-arg isnull, no GETDATE/LEN
-  * builtins, `+` on strings never valid), so applying it unconditionally
-  * in [[Sql]]/[[SqlFunction]] is safe.
+  * builtins, `+` on strings never valid, `[` after an identifier is a
+  * subscript), so applying it unconditionally in [[Sql]]/[[SqlFunction]]
+  * is safe.
   */
 object Tsql {
 
   private sealed trait Tok
-  private final case class Str(raw: String) extends Tok      // 'x''y' incl quotes
+  private final case class Str(raw: String) extends Tok      // 'x''y' / "x" incl quotes
   private final case class Word(w: String) extends Tok       // ident / number
-  private final case class Bracket(ident: String) extends Tok // [x]
+  private final case class Bracket(ident: String) extends Tok // [x] or `x`
   private final case class Sym(s: String) extends Tok        // operators, commas
   private final case class Group(toks: Vector[Tok]) extends Tok // ( ... )
+  private final case class Sub(toks: Vector[Tok]) extends Tok   // [ ... ] subscript
 
   // ------------------------------------------------------------- tokenizer
 
   private def tokenize(s: String): Vector[Tok] = {
-    val out = Vector.newBuilder[Tok]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Tok]
     var i = 0
     val n = s.length
     while (i < n) {
       val c = s(i)
       if (c.isWhitespace) i += 1
-      else if (c == '\'') {
+      else if (c == '-' && i + 1 < n && s(i + 1) == '-') {
+        // line comment — dead text, strip (collapsing it into the next
+        // line would otherwise swallow live tokens)
+        while (i < n && s(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && s(i + 1) == '*') {
+        val close = s.indexOf("*/", i + 2)
+        i = if (close < 0) n else close + 2
+      } else if (c == '\'' || c == '"') {
+        val q = c
         val start = i; i += 1
         var done = false
         while (i < n && !done) {
-          if (s(i) == '\'') {
-            if (i + 1 < n && s(i + 1) == '\'') i += 2 // '' escape
+          if (s(i) == q) {
+            if (i + 1 < n && s(i + 1) == q) i += 2 // '' / "" escape
             else { i += 1; done = true }
           } else i += 1
         }
         out += Str(s.substring(start, i))
-      } else if (c == '[') {
-        val close = s.indexOf(']', i)
-        require(close > i, s"unclosed [identifier in: $s")
+      } else if (c == '`') {
+        val close = s.indexOf('`', i + 1)
+        require(close > i, s"unclosed backtick identifier in: $s")
         out += Bracket(s.substring(i + 1, close)); i = close + 1
-      } else if (c.isLetter || c == '_') {
+      } else if (c == '[') {
+        // `[` directly after an identifier / `)` / `]` is a Spark
+        // array/map subscript, not a T-SQL quoted identifier
+        val subscript = out.lastOption.exists {
+          case Word(w)              => !w.endsWith(".")
+          case Sym(")") | Sym("]")  => true
+          case _: Sub | _: Bracket  => true
+          case _                    => false
+        }
+        if (subscript) { out += Sym("["); i += 1 }
+        else {
+          val close = s.indexOf(']', i)
+          require(close > i, s"unclosed [identifier in: $s")
+          out += Bracket(s.substring(i + 1, close)); i = close + 1
+        }
+      } else if (c == ']') { out += Sym("]"); i += 1 }
+      else if (c.isLetter || c == '_') {
         val start = i
         while (i < n && (s(i).isLetterOrDigit || s(i) == '_' || s(i) == '.')) i += 1
         out += Word(s.substring(start, i))
@@ -72,31 +103,36 @@ object Tsql {
       else {
         // multi-char operators that matter for token integrity
         val two = if (i + 1 < n) s.substring(i, i + 2) else ""
-        if (Set("<>", "<=", ">=", "!=", "||").contains(two)) {
+        if (Set("<>", "<=", ">=", "!=", "||", "==").contains(two)) {
           out += Sym(two); i += 2
         } else { out += Sym(c.toString); i += 1 }
       }
     }
-    out.result()
+    out.toVector
   }
 
-  /** Fold a flat token stream into nested Groups at parens. */
+  /** Fold a flat token stream into nested Groups (parens) and Subs
+    * (subscripts — opaque: their interior is never rewritten).
+    */
   private def group(toks: Vector[Tok]): Vector[Tok] = {
-    def go(i0: Int): (Vector[Tok], Int) = {
+    def go(i0: Int, closer: String): (Vector[Tok], Int) = {
       val acc = Vector.newBuilder[Tok]
       var i = i0
       while (i < toks.length) {
         toks(i) match {
           case Sym("(") =>
-            val (inner, next) = go(i + 1)
+            val (inner, next) = go(i + 1, ")")
             acc += Group(inner); i = next
-          case Sym(")") => return (acc.result(), i + 1)
-          case t        => acc += t; i += 1
+          case Sym("[") =>
+            val (inner, next) = go(i + 1, "]")
+            acc += Sub(inner); i = next
+          case Sym(s) if s == closer => return (acc.result(), i + 1)
+          case t => acc += t; i += 1
         }
       }
       (acc.result(), i)
     }
-    go(0)._1
+    go(0, "")._1
   }
 
   // -------------------------------------------------------------- rewrites
@@ -113,8 +149,44 @@ object Tsql {
     parts.result()
   }
 
+  /** Everything that binds looser than `+`: a string-concat chain never
+    * crosses these, so they bound the concat rewrite.
+    */
+  private val symBarriers = Set(",", "=", "==", "<", ">", "<=", ">=", "<>", "!=", "||")
+  private val kwBarriers = Set("CASE", "WHEN", "THEN", "ELSE", "END", "AND",
+    "OR", "NOT", "IN", "IS", "LIKE", "BETWEEN", "ESCAPE", "DISTINCT", "AS")
+
+  /** Rewrite `+` chains containing a string literal to concat(...), within
+    * segments bounded by loose-binding symbols/keywords.
+    */
+  private def rewritePlusChains(toks: Vector[Tok]): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var seg = Vector.newBuilder[Tok]
+    def flush(): Unit = { out ++= plusToConcat(seg.result()); seg = Vector.newBuilder[Tok] }
+    toks.foreach {
+      case t @ Sym(s) if symBarriers(s) => flush(); out += t
+      case t @ Word(w) if kwBarriers(w.toUpperCase(java.util.Locale.ROOT)) =>
+        flush(); out += t
+      case t => seg += t
+    }
+    flush()
+    out.result()
+  }
+
+  private def plusToConcat(slice: Vector[Tok]): Vector[Tok] = {
+    val operands = splitTop(slice, "+")
+    val isStringChain = operands.length > 1 &&
+      operands.forall(_.nonEmpty) &&
+      operands.exists(_.exists(_.isInstanceOf[Str]))
+    if (isStringChain)
+      Vector(Word("concat"), Group(
+        operands.reduce((a, b) => a ++ Vector(Sym(",")) ++ b)))
+    else slice
+  }
+
   private def rewriteToks(toks: Vector[Tok]): Vector[Tok] = {
-    // 1. recurse into groups and resolve function-name rewrites
+    // 1. recurse into groups and resolve function-name rewrites (subscript
+    //    interiors stay verbatim)
     val funcs = Vector.newBuilder[Tok]
     var i = 0
     while (i < toks.length) {
@@ -137,38 +209,26 @@ object Tsql {
         case (t, _)        => funcs += t; i += 1
       }
     }
-    // 2. string-literal `+` chains → concat(...), per top-level comma slice
-    val slices = splitTop(funcs.result(), ",").map { slice =>
-      val operands = splitTop(slice, "+")
-      val isStringChain = operands.length > 1 &&
-        operands.forall(_.nonEmpty) &&
-        operands.exists(_.exists(_.isInstanceOf[Str]))
-      if (isStringChain)
-        Vector(Word("concat"), Group(
-          operands.map(o => o: Vector[Tok])
-            .reduce((a, b) => a ++ Vector(Sym(",")) ++ b)))
-      else slice
-    }
-    if (slices.isEmpty) Vector.empty
-    else slices.reduce((a, b) => a ++ Vector(Sym(",")) ++ b)
+    // 2. string-literal `+` chains → concat(...), barrier-bounded
+    rewritePlusChains(funcs.result())
   }
 
   // -------------------------------------------------------------- renderer
 
   private def render(toks: Vector[Tok]): String = {
     val sb = new StringBuilder
+    def pad(): Unit =
+      if (sb.nonEmpty && sb.last != '(' && sb.last != '[' && sb.last != ' ' &&
+          sb.last != '.')
+        sb.append(' ')
     def emit(t: Tok): Unit = t match {
       case Str(raw)    => pad(); sb.append(raw)
       case Word(w)     => pad(); sb.append(w)
       case Bracket(id) => pad(); sb.append('`').append(id).append('`')
       case Sym(s)      => sb.append(s)
-      case Group(ts)   =>
-        sb.append('(')
-        ts.foreach(emit)
-        sb.append(')')
+      case Group(ts)   => sb.append('('); ts.foreach(emit); sb.append(')')
+      case Sub(ts)     => sb.append('['); ts.foreach(emit); sb.append(']')
     }
-    def pad(): Unit =
-      if (sb.nonEmpty && sb.last != '(' && sb.last != ' ') sb.append(' ')
     toks.foreach(emit)
     sb.toString
   }

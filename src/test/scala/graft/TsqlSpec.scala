@@ -42,6 +42,36 @@ class TsqlSpec extends AnyFunSuite {
     assert(Tsql.rewrite("'LEN(a) + GETDATE()'") == "'LEN(a) + GETDATE()'")
     val ansi = "CASE WHEN x >= 1 THEN coalesce(y, 'n/a') ELSE upper(z) END"
     assert(Tsql.rewrite(Tsql.rewrite(ansi)) == Tsql.rewrite(ansi))
+    // bracket rewrite output is itself stable
+    assert(Tsql.rewrite(Tsql.rewrite("[First Name]")) == "`First Name`")
+  }
+
+  private def squash(s: String) = s.replace(" ", "")
+
+  test("concat rewrite respects precedence barriers (comparisons, CASE arms)") {
+    assert(squash(Tsql.rewrite("status = 'x' + col1"))
+      == "status=concat('x',col1)")
+    assert(squash(Tsql.rewrite("CASE WHEN s = 'a' + 'b' THEN 1 ELSE 0 END"))
+      == "CASEWHENs=concat('a','b')THEN1ELSE0END")
+    assert(squash(Tsql.rewrite("a + 'x' > b + 1"))
+      == "concat(a,'x')>b+1")
+  }
+
+  test("Spark-dialect input passes through: subscripts, quotes, comments") {
+    // [ after an identifier is a Spark subscript, not a T-SQL identifier
+    assert(squash(Tsql.rewrite("features[0]")) == "features[0]")
+    assert(squash(Tsql.rewrite("m['k']")) == "m['k']")
+    assert(squash(Tsql.rewrite("f(x)[1]")) == "f(x)[1]")
+    // subscript interiors are opaque — no concat rewrite inside
+    assert(squash(Tsql.rewrite("m['a' + k]")) == "m['a'+k]")
+    // double-quoted literals and backticked identifiers survive verbatim
+    assert(Tsql.rewrite("\"a b\"") == "\"a b\"")
+    assert(Tsql.rewrite("`my col`") == "`my col`")
+    // comments are dead text — stripped, never merged into live tokens
+    assert(squash(Tsql.rewrite("x -- note\n+ y")) == "x+y")
+    assert(squash(Tsql.rewrite("x /* c */ + y")) == "x+y")
+    // qualified bracket identifiers keep the dot tight
+    assert(Tsql.rewrite("a.[col]") == "a.`col`")
   }
 
   // --- end-to-end through the mappers ---

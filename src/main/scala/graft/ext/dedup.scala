@@ -410,6 +410,43 @@ object Dedup {
       .drop("id", "cluster")
   }
 
+  // --------------------------------------------- benchmark decontamination
+
+  /** Benchmark-contamination scores: per corpus doc, the fraction of its
+    * distinct word-`k`-gram shingles that appear ANYWHERE in the benchmark
+    * set — the standard "is this training doc quoting my eval set" test
+    * (docs above a threshold get dropped before training). Returns every
+    * corpus doc: (idCol, n_shingles, n_hits, contamination), 0.0 for docs
+    * with no shingles.
+    *
+    * Scale: one semi-join of corpus shingles against the distinct
+    * benchmark shingle set. Benchmarks are tiny next to a training corpus,
+    * so AQE broadcasts the benchmark side and the corpus side never
+    * shuffles; with a huge benchmark it degrades to one hash shuffle per
+    * side — still never all-pairs.
+    */
+  def contaminationScores(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, k: Int = 3): DataFrame = {
+    val cs = shingles(corpus, idCol, textCol, k)
+    val bs = bench
+      .select(explode(shingleArray(benchTextCol, k)).alias("shingle"))
+      .distinct()
+    val tot = cs.groupBy(col(idCol)).agg(count(lit(1)).alias("n_shingles"))
+    val hit = cs.join(bs, Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).alias("n_hits"))
+    corpus.select(col(idCol))
+      .join(tot, Seq(idCol), "left")
+      .join(hit, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).alias("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).alias("n_hits"))
+      .withColumn("contamination",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(col("n_hits").cast("double") /
+            col("n_shingles").cast("double")))
+  }
+
   // ------------------------------------------------- embedding-cosine dedup
 
   /** Embedding near-dup pairs: cosine >= threshold, (a_id, b_id, cosine)

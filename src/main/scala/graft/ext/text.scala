@@ -100,6 +100,42 @@ object TextOps {
   def fingerprint(text: Column): Column =
     sha2(concat_ws(" ", array_sort(array_distinct(tokens(text)))), 256)
 
+  /** Within-document repetition ratio: 1 − distinct/total word-`k`-gram
+    * shingles — the "is this doc mostly the same phrase repeated" quality
+    * gate (high ratio = boilerplate/template spam). 0 for docs with fewer
+    * than `k` words (nothing to repeat). Narrow per-row math.
+    */
+  def repetitionRatio(textCol: String, k: Int = 3): Column = {
+    val words = tokens(col(textCol))
+    val total = greatest(size(words) - lit(k - 1), lit(0))
+    val distinctSh = size(Dedup.shingleArray(textCol, k))
+    when(total <= 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        distinctSh.cast("double") / total.cast("double"))
+  }
+
+  /** Character chunking with overlap — the document → context-window step
+    * of an LLM preprocessing pipeline. Emits one row per chunk:
+    * (all input columns, chunk_id, chunk_text), chunks starting every
+    * `chunkChars − overlap` characters, each up to `chunkChars` long, and
+    * always at least one chunk (empty text → one empty chunk). Pure
+    * builtin explode over substring offsets — narrow, no shuffle; chunk
+    * counts are bounded by document length, never corpus size.
+    */
+  def chunk(df: DataFrame, textCol: String,
+      chunkChars: Int, overlap: Int): DataFrame = {
+    require(chunkChars > 0 && overlap >= 0 && overlap < chunkChars,
+      "need 0 <= overlap < chunkChars")
+    val step = chunkChars - overlap
+    val nChunks = greatest(lit(1),
+      ceil((length(col(textCol)) - lit(overlap)).cast("double") / lit(step))
+        .cast("int"))
+    df.withColumn("chunk_id", explode(sequence(lit(0), nChunks - 1)))
+      .withColumn("chunk_text",
+        col(textCol).substr(lit(1) + col("chunk_id") * lit(step), lit(chunkChars)))
+      .withColumn("chunk_id", col("chunk_id").cast("long"))
+  }
+
   /** 64-bit polynomial rolling hash of the raw text via the native Catalyst
     * expression [[graft.functions.RollingHash]] (codegen'd; no UDF).
     */

@@ -37,13 +37,16 @@ object Curate {
     // canonicalize join — materialize it once (localCheckpoint truncates
     // lineage without leaving a named cache entry behind; blocks are freed
     // by the ContextCleaner when the result frame is collected/GC'd), so
-    // the tokenize+filter scan doesn't re-run per consumer. Lazy (eager =
-    // false): materialization happens on the first action, keeping this
-    // function side-effect-free at construction. Caveat for shared
-    // clusters: localCheckpoint blocks are executor-local and
-    // unreplicated — under aggressive dynamic allocation, use a reliable
-    // checkpoint dir (or accept recompute) instead.
-    val gated = gated0.localCheckpoint(false)
+    // the tokenize+filter scan doesn't re-run per consumer. Eager: the
+    // downstream near-dup clustering runs multiple actions (edge-collect
+    // probe, convergence counts) — with a lazy checkpoint the first of
+    // those races the materialization and parts of the gate lineage
+    // recompute anyway (measured: eager 1.3 s vs lazy 1.6-2.4 s at sf0.1).
+    // Caveat for shared clusters: localCheckpoint blocks are
+    // executor-local and unreplicated — under aggressive dynamic
+    // allocation, use a reliable checkpoint dir (or accept recompute)
+    // instead.
+    val gated = gated0.localCheckpoint()
     val pairs = Dedup.ngramJaccardPairs(gated, idCol, textCol,
       shingleK, jaccardThreshold).select("a_id", "b_id")
     Dedup.canonicalize(gated, idCol, pairs)

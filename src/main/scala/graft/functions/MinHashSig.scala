@@ -21,8 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * 100 TB shape: documents are bounded, so their shingle sets never need
   * distributing.
   *
-  * Empty input array → empty signature (callers filter those out — the old
-  * aggregation simply produced no row for shingle-less docs).
+  * Empty input array (or one whose elements are all null) → empty
+  * signature (callers filter those out — the old aggregation simply
+  * produced no row for shingle-less docs). Null elements are skipped.
   */
 case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
 
@@ -57,24 +58,31 @@ object MinHashSig {
   /** Referenced from generated code (static forwarder must exist). */
   def sig(shingles: ArrayData, numHashes: Int): ArrayData = {
     val n = shingles.numElements()
-    if (n == 0) return new GenericArrayData(Array.empty[Long])
     val mins = new Array[Long](numHashes)
     java.util.Arrays.fill(mins, Long.MaxValue)
+    var seen = 0
     var i = 0
     while (i < n) {
-      val s = shingles.getUTF8String(i)
-      // one full-byte hash per shingle (== Spark's xxhash64(shingle)) ...
-      val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
-        s.numBytes, 42L)
-      var j = 0
-      while (j < numHashes) {
-        // ... then a constant-time re-mix per hash function
-        val h = XXH64.hashLong(base, j.toLong)
-        if (h < mins(j)) mins(j) = h
-        j += 1
+      // the type check admits ArrayType(_, containsNull = true) — the SQL-
+      // registered form can receive arrays with null elements; a null
+      // shingle contributes nothing to the set (vs an opaque NPE)
+      if (!shingles.isNullAt(i)) {
+        seen += 1
+        val s = shingles.getUTF8String(i)
+        // one full-byte hash per shingle (== Spark's xxhash64(shingle)) ...
+        val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 42L)
+        var j = 0
+        while (j < numHashes) {
+          // ... then a constant-time re-mix per hash function
+          val h = XXH64.hashLong(base, j.toLong)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
       }
       i += 1
     }
+    if (seen == 0) return new GenericArrayData(Array.empty[Long])
     new GenericArrayData(mins)
   }
 

@@ -30,11 +30,17 @@ package graft
   *
   * The rewrite is a no-op on ANSI/Spark SQL input: none of the rewritten
   * forms exist in Spark's dialect (no 2-arg isnull, no GETDATE/LEN
-  * builtins, `+` on strings never valid, `[` after an identifier is a
-  * subscript), so applying it unconditionally in [[Sql]]/[[SqlFunction]]
-  * is safe.
+  * builtins, `[` after an identifier is a subscript). The one dialect
+  * edge is `+` with a string literal: Spark accepts `n + '1'` as
+  * arithmetic via implicit cast, so the concat rewrite skips chains whose
+  * only literals are numeric-looking ('1', '2.5e3') and fires only when a
+  * non-numeric literal proves concatenation intent. With that guard,
+  * applying it unconditionally in [[Sql]]/[[SqlFunction]] is safe.
   */
 object Tsql {
+
+  private def isHexDigit(c: Char): Boolean =
+    c.isDigit || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
 
   private sealed trait Tok
   private final case class Str(raw: String) extends Tok      // 'x''y' / "x" incl quotes
@@ -97,7 +103,23 @@ object Tsql {
         out += Word(s.substring(start, i))
       } else if (c.isDigit) {
         val start = i
-        while (i < n && (s(i).isDigit || s(i) == '.')) i += 1
+        if (c == '0' && i + 1 < n && (s(i + 1) == 'x' || s(i + 1) == 'X') &&
+            i + 2 < n && isHexDigit(s(i + 2))) {
+          i += 2
+          while (i < n && isHexDigit(s(i))) i += 1
+        } else {
+          while (i < n && (s(i).isDigit || s(i) == '.')) i += 1
+          // scientific-notation suffix: 1.5e3 / 2E-7 is ONE literal — leaving
+          // the exponent as a separate token would render '1.5 e3', which
+          // Spark parses as 1.5 aliased e3 (silently wrong value)
+          if (i < n && (s(i) == 'e' || s(i) == 'E')) {
+            val m = if (i + 1 < n && (s(i + 1) == '+' || s(i + 1) == '-')) i + 2 else i + 1
+            if (m < n && s(m).isDigit) {
+              i = m
+              while (i < n && s(i).isDigit) i += 1
+            }
+          }
+        }
         out += Word(s.substring(start, i))
       } else if (c == '(' || c == ')') { out += Sym(c.toString); i += 1 }
       else {
@@ -173,11 +195,27 @@ object Tsql {
     out.result()
   }
 
+  /** A string literal whose content parses as a number ('1', '2.5e3'):
+    * `n + '1'` is valid Spark arithmetic via implicit cast, so a chain
+    * whose only literals look numeric is NOT treated as concatenation —
+    * rewriting it would silently turn addition into string concat.
+    * (Dialect divergence vs T-SQL, where `+` with a char operand is
+    * always concat; ported mappings adding numeric *strings* must cast
+    * explicitly. Chains with any non-numeric literal still rewrite.)
+    */
+  private def isNumericLiteral(raw: String): Boolean = {
+    val body = raw.substring(1, math.max(1, raw.length - 1))
+    body.matches("""[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?""")
+  }
+
   private def plusToConcat(slice: Vector[Tok]): Vector[Tok] = {
     val operands = splitTop(slice, "+")
     val isStringChain = operands.length > 1 &&
       operands.forall(_.nonEmpty) &&
-      operands.exists(_.exists(_.isInstanceOf[Str]))
+      operands.exists(_.exists {
+        case Str(raw) => !isNumericLiteral(raw)
+        case _        => false
+      })
     if (isStringChain)
       Vector(Word("concat"), Group(
         operands.reduce((a, b) => a ++ Vector(Sym(",")) ++ b)))
@@ -225,7 +263,15 @@ object Tsql {
       case Str(raw)    => pad(); sb.append(raw)
       case Word(w)     => pad(); sb.append(w)
       case Bracket(id) => pad(); sb.append('`').append(id).append('`')
-      case Sym(s)      => sb.append(s)
+      case Sym(s)      =>
+        // adjacent operators must not fuse into comment starters: 'a - -b'
+        // as 'a--b' is 'a' plus a line comment, '/' then '*' opens a block
+        // comment — both silently drop the rest of the expression
+        if (sb.nonEmpty &&
+            ((s.startsWith("-") && sb.last == '-') ||
+             (s.startsWith("*") && sb.last == '/')))
+          sb.append(' ')
+        sb.append(s)
       case Group(ts)   => sb.append('('); ts.foreach(emit); sb.append(')')
       case Sub(ts)     => sb.append('['); ts.foreach(emit); sb.append(']')
     }

@@ -203,4 +203,17 @@ class AdviceFixesSpec extends AnyFunSuite {
     assert(withSpark.validate(Pipeline(Seq(tm)))
       .exists(e => !e.startsWith("warning:") && e.contains("TOTALLY_NOT_AN_AGG")))
   }
+
+  // --- r3 ADVICE: minhash_sig must not NPE on null shingle elements ---
+
+  test("minhash_sig skips null shingle elements; all-null gives the empty signature") {
+    functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT minhash_sig(array('a', CAST(NULL AS STRING)), 4) AS mh, " +
+        "minhash_sig(array(CAST(NULL AS STRING)), 4) AS mh0").head()
+    val clean = spark.sql("SELECT minhash_sig(array('a'), 4) AS mh")
+      .head().getSeq[Long](0)
+    assert(r.getSeq[Long](0) == clean)
+    assert(r.getSeq[Long](1).isEmpty)
+  }
 }

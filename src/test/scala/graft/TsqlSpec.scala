@@ -74,6 +74,38 @@ class TsqlSpec extends AnyFunSuite {
     assert(Tsql.rewrite("a.[col]") == "a.`col`")
   }
 
+  // --- r3 ADVICE regressions: literal shapes and operator adjacency ---
+
+  test("scientific-notation and hex literals stay single tokens") {
+    assert(squash(Tsql.rewrite("x * 1.5e3")) == "x*1.5e3")
+    assert(squash(Tsql.rewrite("x + 2E-7")) == "x+2E-7")
+    assert(squash(Tsql.rewrite("1.5e+10 - y")) == "1.5e+10-y")
+    assert(Tsql.rewrite("0x1F") == "0x1F")
+    // and the rewritten text evaluates to the right VALUE in Spark
+    val v = spark.range(1)
+      .selectExpr(Tsql.rewrite("1.5e3 * 2") + " AS v").head().getDouble(0)
+    assert(v == 3000.0)
+  }
+
+  test("adjacent minus signs never fuse into a line comment") {
+    val r = Tsql.rewrite("a - -b")
+    assert(!r.contains("--"))
+    val v = spark.sql(s"SELECT ${Tsql.rewrite("5 - -3").replace("a", "")} AS v")
+      .head().get(0)
+    assert(v == 8)
+  }
+
+  test("+ chains whose only literals are numeric stay arithmetic") {
+    // Spark-valid numeric coercion: n + '1' is addition via implicit cast
+    assert(squash(Tsql.rewrite("n + '1'")) == "n+'1'")
+    assert(squash(Tsql.rewrite("n + '2.5e3'")) == "n+'2.5e3'")
+    // one non-numeric literal proves concat intent for the whole chain
+    assert(Tsql.rewrite("n + '1' + 'x'") == "concat(n, '1', 'x')")
+    val v = spark.range(1).selectExpr(Tsql.rewrite("7 + '1'") + " AS v")
+      .head().get(0)
+    assert(v == 8.0)
+  }
+
   // --- end-to-end through the mappers ---
 
   test("Sql mapper evaluates T-SQL scalars against real rows") {

@@ -520,6 +520,72 @@ object SparkEntry {
     "q_curate_corpus" -> ((s, dir) => ext.Curate.corpusStats(
       ext.Curate.curateCorpus(read(s, dir, "documents")))),
 
+    // decontamination: per-doc fraction of shingles appearing anywhere in
+    // the benchmark set (docs with doc_id % 10 = 7 act as the eval set) —
+    // one semi-join against the distinct benchmark shingles, never
+    // all-pairs; oracle rebuilds shingling + the semi-join in SQL
+    "q_contamination" -> { (s, dir) =>
+      val docs = read(s, dir, "documents")
+      ext.Dedup.contaminationScores(
+        docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 7).select(col("text")),
+        "text", k = 3)
+    },
+
+    // text analysis: within-doc repetition ratio (1 − distinct/total
+    // 3-gram shingles) — the boilerplate/template-spam gate; narrow
+    // per-row math, deterministic IEEE division
+    "q_repetition" -> ((s, dir) => read(s, dir, "documents").select(
+      col("doc_id"),
+      ext.TextOps.repetitionRatio("text", k = 3).alias("rep_ratio"))),
+
+    // chunking: doc → overlapping context windows (120 chars, 20 overlap);
+    // pure substring explode, chunk counts bounded by doc length
+    "q_chunk" -> ((s, dir) =>
+      ext.TextOps.chunk(read(s, dir, "documents"), "text",
+          chunkChars = 120, overlap = 20)
+        .select("doc_id", "chunk_id", "chunk_text")),
+
+    // chunk → pack composite: the doc → context-window → training-shard
+    // path; chunk chars re-measured per chunk, contiguous fill per source
+    "q_chunk_pack" -> { (s, dir) =>
+      val ch = ext.TextOps.chunk(read(s, dir, "documents"), "text",
+          chunkChars = 500, overlap = 50)
+        // globally unique, order-preserving chunk id: ≤ ~67 chunks/doc at
+        // step 450 (docs are ≤ 30k chars), far under the 1000 stride
+        .withColumn("cid", col("doc_id") * 1000 + col("chunk_id"))
+        .withColumn("chunk_chars", length(col("chunk_text")).cast("long"))
+      val packed = ext.Packing.packByBudget(ch, "cid", "chunk_chars",
+        budget = 10000L, groupCol = "source")
+      ext.Packing.shardStats(packed, "chunk_chars", budget = 10000L,
+        groupCol = "source")
+    },
+
+    // curation with decontamination: gate → drop docs quoting the eval
+    // set → near-dup canonicalize → stats (the production order)
+    "q_curate_decontam" -> { (s, dir) =>
+      val docs = read(s, dir, "documents")
+      ext.Curate.corpusStats(ext.Curate.curateCorpusDecontam(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7)))
+    },
+
+    // stream-stream interval join, batch shape: the SAME operator
+    // (EventStream.intervalJoinStream — watermarks are no-ops on batch
+    // frames via EliminateEventTimeWatermark) over the events table;
+    // streaming≡batch equivalence is asserted in StreamingSpec
+    "q_stream_interval_join" -> { (s, dir) =>
+      val e = readEvents(s, dir)
+        .withColumn("ts_utc", timestamp_micros(col("ts_us")))
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("event_id").alias("a_id"), col("user_id"), col("ts_utc"))
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("event_id").alias("b_id"), col("user_id"), col("ts_utc"))
+      ext.EventStream.intervalJoinStream(errors, signups, "user_id",
+          lookback = "1 hour")
+        .select(col("l.a_id").alias("a_id"), col("r.b_id").alias("b_id"))
+    },
+
     // packing: token-budget training shards (contiguous fill per source) —
     // the curated-corpus → training-job step; pure integer window
     // arithmetic, fill ratio is one IEEE division (bit-exact cross-engine)
@@ -1360,6 +1426,157 @@ object SparkEntry {
          |FROM f JOIN clusters c ON f.doc_id = c.doc_id
          |WHERE f.doc_id = c.cluster
          |GROUP BY f.source""".stripMargin,
+
+    // the q_curate_corpus pipeline with the decontamination stage between
+    // gate and canonicalize: contamination = distinct-shingle hit fraction
+    // vs the raw (ungated) benchmark docs, drop > 0.5, then the same
+    // recursive-closure clustering over the survivors
+    "q_curate_decontam" ->
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, text, source, string_split(text, ' ') AS t
+         |      FROM documents WHERE doc_id % 10 <> 7),
+         |f AS (SELECT doc_id, text, source, t, CAST(len(t) AS BIGINT) AS n_words
+         |      FROM d
+         |      WHERE len(list_filter(t, x -> x IN (${TextStopSql.en}))) > 0
+         |        AND len(t) >= 20),
+         |bd AS (SELECT string_split(text, ' ') AS t FROM documents
+         |       WHERE doc_id % 10 = 7),
+         |bsh AS (SELECT DISTINCT array_to_string(t[i.i:i.i+2], ' ') AS s
+         |        FROM bd, (SELECT unnest(generate_series(1, 4000)) AS i) i
+         |        WHERE i.i <= len(t) - 2),
+         |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i.i:i.i+2], ' ') AS s
+         |        FROM f, (SELECT unnest(generate_series(1, 4000)) AS i) i
+         |        WHERE i.i <= len(t) - 2),
+         |cont AS (SELECT f.doc_id, COUNT(sh0.s) AS n_sh,
+         |                COUNT(CASE WHEN sh0.s IN (SELECT s FROM bsh)
+         |                           THEN 1 END) AS n_hit
+         |         FROM f LEFT JOIN sh0 ON sh0.doc_id = f.doc_id
+         |         GROUP BY f.doc_id),
+         |clean AS (SELECT doc_id FROM cont
+         |          WHERE CASE WHEN n_sh = 0 THEN CAST(0 AS DOUBLE)
+         |                     ELSE CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE)
+         |                END <= 0.5),
+         |f2 AS (SELECT f.* FROM f JOIN clean USING (doc_id)),
+         |sh AS (SELECT sh0.* FROM sh0 JOIN clean USING (doc_id)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ic
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT a_id, b_id FROM inter
+         |          JOIN cnt ca ON ca.doc_id = a_id
+         |          JOIN cnt cb ON cb.doc_id = b_id
+         |          WHERE CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) >= 0.8),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (SELECT src AS a, dst AS b FROM edges
+         |          UNION
+         |          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |clusters AS (SELECT f2.doc_id,
+         |                    least(f2.doc_id, coalesce(min(r.b), f2.doc_id)) AS cluster
+         |             FROM f2 LEFT JOIN reach r ON r.a = f2.doc_id
+         |             GROUP BY f2.doc_id)
+         |SELECT f2.source, COUNT(*) AS n_docs,
+         |       CAST(SUM(f2.n_words) AS BIGINT) AS total_words,
+         |       MIN(f2.doc_id) AS first_doc
+         |FROM f2 JOIN clusters c ON f2.doc_id = c.doc_id
+         |WHERE f2.doc_id = c.cluster
+         |GROUP BY f2.source""".stripMargin,
+
+    // decontamination scores: corpus shingles semi-joined against the
+    // distinct benchmark shingle set, rebuilt in SQL like the
+    // q_ngram_jaccard_capped oracle
+    "q_contamination" ->
+      """WITH c AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents WHERE doc_id % 10 <> 7),
+        |b AS (SELECT string_split(text, ' ') AS w
+        |      FROM documents WHERE doc_id % 10 = 7),
+        |cs AS (SELECT DISTINCT doc_id,
+        |         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |       FROM (SELECT doc_id, w,
+        |               unnest(range(greatest(len(w) - 2, 0))) AS i FROM c)),
+        |bs AS (SELECT DISTINCT
+        |         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |       FROM (SELECT w,
+        |               unnest(range(greatest(len(w) - 2, 0))) AS i FROM b)),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM cs GROUP BY doc_id),
+        |hit AS (SELECT doc_id, COUNT(*) AS n_hits FROM cs
+        |        WHERE shingle IN (SELECT shingle FROM bs) GROUP BY doc_id)
+        |SELECT c.doc_id, COALESCE(t.n_shingles, 0) AS n_shingles,
+        |       COALESCE(h.n_hits, 0) AS n_hits,
+        |       CASE WHEN COALESCE(t.n_shingles, 0) = 0 THEN CAST(0 AS DOUBLE)
+        |            ELSE CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+        |                 / CAST(t.n_shingles AS DOUBLE)
+        |       END AS contamination
+        |FROM c LEFT JOIN tot t ON t.doc_id = c.doc_id
+        |LEFT JOIN hit h ON h.doc_id = c.doc_id""".stripMargin,
+
+    // repetition ratio: 1 − distinct/total 3-gram shingles, 0 when there
+    // is nothing to repeat — pure IEEE arithmetic on both engines
+    "q_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t AS (SELECT doc_id, greatest(len(w) - 2, 0) AS total FROM d),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |       FROM (SELECT doc_id, w,
+        |               unnest(range(greatest(len(w) - 2, 0))) AS i FROM d)),
+        |ds AS (SELECT doc_id, COUNT(*) AS nd FROM sh GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |       CASE WHEN t.total <= 0 THEN CAST(0 AS DOUBLE)
+        |            ELSE CAST(1 AS DOUBLE)
+        |                 - CAST(COALESCE(ds.nd, 0) AS DOUBLE)
+        |                   / CAST(t.total AS DOUBLE)
+        |       END AS rep_ratio
+        |FROM t LEFT JOIN ds ON ds.doc_id = t.doc_id""".stripMargin,
+
+    // chunking: substring windows every (chunkChars − overlap) chars,
+    // always at least one chunk — char == byte on the ASCII corpus
+    "q_chunk" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |n AS (SELECT doc_id, text,
+        |        greatest(1, CAST(ceil((len - 20) / 100.0) AS INTEGER)) AS nc
+        |      FROM d)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |       substr(text, CAST(1 + i * 100 AS BIGINT), 120) AS chunk_text
+        |FROM (SELECT doc_id, text, unnest(range(nc)) AS i FROM n)""".stripMargin,
+
+    // chunk → pack composite: chunk windows re-measured, then the
+    // contiguous-fill running-sum packing of q_pack_shards over them
+    "q_chunk_pack" ->
+      """WITH d AS (SELECT doc_id, source, text, length(text) AS len
+        |           FROM documents),
+        |n AS (SELECT doc_id, source, text,
+        |        greatest(1, CAST(ceil((len - 50) / 450.0) AS INTEGER)) AS nc
+        |      FROM d),
+        |ch AS (SELECT source, doc_id * 1000 + i AS cid,
+        |         length(substr(text, CAST(1 + i * 450 AS BIGINT), 500))
+        |           AS chunk_chars
+        |       FROM (SELECT doc_id, source, text,
+        |               unnest(range(nc)) AS i FROM n)),
+        |p AS (SELECT source, chunk_chars,
+        |        COALESCE(SUM(chunk_chars) OVER (PARTITION BY source
+        |            ORDER BY cid
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          - chunk_chars, 0) AS cumb
+        |      FROM ch),
+        |s AS (SELECT source, CAST(FLOOR(cumb / 10000.0) AS BIGINT) AS shard,
+        |             chunk_chars
+        |      FROM p)
+        |SELECT source, shard, COUNT(*) AS n_docs,
+        |       CAST(SUM(chunk_chars) AS BIGINT) AS shard_tokens,
+        |       CAST(CAST(SUM(chunk_chars) AS BIGINT) AS DOUBLE) / 10000.0 AS fill
+        |FROM s GROUP BY source, shard""".stripMargin,
+
+    // stream-stream interval join, batch shape: same inequality join as
+    // q_interval_join but with the streaming operator's inclusive bounds
+    "q_stream_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |                  event_type FROM events)
+        |SELECT a.event_id AS a_id, b.event_id AS b_id
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id
+        | AND b.ts_us >= a.ts_us - 3600000000 AND b.ts_us <= a.ts_us
+        | AND a.event_type = 'error' AND b.event_type = 'signup'""".stripMargin,
 
     "q_distinct_count" ->
       """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct

@@ -15,10 +15,34 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
-  /** Gate + canonicalize: keep docs with at least one English stopword and
-    * `minWords`+ tokens, then drop near-duplicates (keep min-id
-    * representative per Jaccard cluster). Returns the curated docs with
-    * `n_words` attached.
+  /** The quality gate shared by both curation entry points: keep docs with
+    * at least one English stopword and `minWords`+ tokens, `n_words`
+    * attached — then materialize once. The gated corpus feeds multiple
+    * consumers (pair generator, contamination scorer, canonicalize join);
+    * localCheckpoint truncates lineage without leaving a named cache entry
+    * behind (blocks are freed by the ContextCleaner when the result frame
+    * is collected/GC'd), so the tokenize+filter scan doesn't re-run per
+    * consumer. Eager: the downstream near-dup clustering runs multiple
+    * actions (edge-collect probe, convergence counts) — with a lazy
+    * checkpoint the first of those races the materialization and parts of
+    * the gate lineage recompute anyway (measured: eager 1.3 s vs lazy
+    * 1.6-2.4 s at sf0.1). Caveat for shared clusters: localCheckpoint
+    * blocks are executor-local and unreplicated — under aggressive dynamic
+    * allocation, use a reliable checkpoint dir (or accept recompute)
+    * instead.
+    */
+  private def gate(docs: DataFrame, textCol: String, minWords: Int): DataFrame =
+    docs
+      .withColumn("__t", TextOps.tokens(col(textCol)))
+      .withColumn("n_words", size(col("__t")).cast("long"))
+      .filter(TextOps.stopwordHits("__t", "en") > 0 &&
+        col("n_words") >= minWords)
+      .drop("__t")
+      .localCheckpoint()
+
+  /** Gate + canonicalize: quality-gate ([[gate]]), then drop
+    * near-duplicates (keep min-id representative per Jaccard cluster).
+    * Returns the curated docs with `n_words` attached.
     */
   def curateCorpus(
       docs: DataFrame,
@@ -27,29 +51,46 @@ object Curate {
       minWords: Int = 20,
       shingleK: Int = 3,
       jaccardThreshold: Double = 0.8): DataFrame = {
-    val gated0 = docs
-      .withColumn("__t", TextOps.tokens(col(textCol)))
-      .withColumn("n_words", size(col("__t")).cast("long"))
-      .filter(TextOps.stopwordHits("__t", "en") > 0 &&
-        col("n_words") >= minWords)
-      .drop("__t")
-    // the gated corpus feeds BOTH the pair generator and the final
-    // canonicalize join — materialize it once (localCheckpoint truncates
-    // lineage without leaving a named cache entry behind; blocks are freed
-    // by the ContextCleaner when the result frame is collected/GC'd), so
-    // the tokenize+filter scan doesn't re-run per consumer. Eager: the
-    // downstream near-dup clustering runs multiple actions (edge-collect
-    // probe, convergence counts) — with a lazy checkpoint the first of
-    // those races the materialization and parts of the gate lineage
-    // recompute anyway (measured: eager 1.3 s vs lazy 1.6-2.4 s at sf0.1).
-    // Caveat for shared clusters: localCheckpoint blocks are
-    // executor-local and unreplicated — under aggressive dynamic
-    // allocation, use a reliable checkpoint dir (or accept recompute)
-    // instead.
-    val gated = gated0.localCheckpoint()
+    val gated = gate(docs, textCol, minWords)
     val pairs = Dedup.ngramJaccardPairs(gated, idCol, textCol,
       shingleK, jaccardThreshold).select("a_id", "b_id")
     Dedup.canonicalize(gated, idCol, pairs)
+  }
+
+  /** [[curateCorpus]] with a benchmark-decontamination stage between the
+    * gate and canonicalization — the production curation order: cheap
+    * per-doc gates first, the corpus-vs-benchmark shingle semi-join next
+    * (docs quoting more than `maxContamination` of their shingles from the
+    * eval set are dropped), and the expensive near-dup pass only over what
+    * survives. `bench` is used as given — eval sets are curated upstream
+    * and must never be quality-gated away.
+    *
+    * Scale: contamination is one semi-join against the (tiny, broadcast)
+    * distinct benchmark shingle set — see
+    * [[Dedup.contaminationScores]]; the decontaminated corpus is
+    * re-materialized so the near-dup pair generator and the canonicalize
+    * join don't each re-run the scorer.
+    */
+  def curateCorpusDecontam(
+      docs: DataFrame,
+      bench: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      benchTextCol: String = "text",
+      minWords: Int = 20,
+      shingleK: Int = 3,
+      jaccardThreshold: Double = 0.8,
+      maxContamination: Double = 0.5): DataFrame = {
+    val gated = gate(docs, textCol, minWords)
+    val scores = Dedup.contaminationScores(gated, idCol, textCol,
+      bench, benchTextCol, shingleK)
+    val clean = gated
+      .join(scores.filter(col("contamination") <= maxContamination)
+        .select(col(idCol)), Seq(idCol))
+      .localCheckpoint()
+    val pairs = Dedup.ngramJaccardPairs(clean, idCol, textCol,
+      shingleK, jaccardThreshold).select("a_id", "b_id")
+    Dedup.canonicalize(clean, idCol, pairs)
   }
 
   /** Per-source corpus stats over the curated set. */

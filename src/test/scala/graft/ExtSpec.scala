@@ -386,6 +386,74 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("repetitionRatio: exact k-gram arithmetic, 0 when nothing to repeat") {
+    val d = Seq(
+      (1L, "a b c a b c a b c"),   // 9 words, 7 total 3-grams, 3 distinct
+      (2L, "x y"),                 // fewer than k words → 0.0
+      (3L, "p q r s"),             // 2 total, 2 distinct → 0.0
+    ).toDF("doc_id", "text")
+    val out = d.select($"doc_id", TextOps.repetitionRatio("text", 3).alias("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 1.0 - 3.0 / 7.0)
+    assert(out(2L) == 0.0)
+    assert(out(3L) == 0.0)
+  }
+
+  test("chunk: full coverage, exact overlap, always at least one chunk") {
+    val text = (1 to 95).map(i => ('a' + i % 26).toChar).mkString
+    val d = Seq((1L, text), (2L, ""), (3L, "short")).toDF("doc_id", "text")
+    val out = TextOps.chunk(d, "text", chunkChars = 30, overlap = 10)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toVector)
+    // empty and sub-chunk docs still emit exactly one chunk
+    assert(byDoc(2L) == Vector(""))
+    assert(byDoc(3L) == Vector("short"))
+    val chunks = byDoc(1L)
+    // ceil((95 - 10) / 20) = 5 chunks at step 20, width 30
+    assert(chunks.length == 5)
+    // reconstruction law: dropping the overlap prefix of every chunk after
+    // the first reproduces the document exactly (chunks cover, in order)
+    assert(chunks.head + chunks.tail.map(_.drop(10)).mkString == text)
+    // overlap law: each chunk's last `overlap` chars = next chunk's first
+    chunks.sliding(2).foreach {
+      case Vector(a, b) => assert(a.takeRight(10) == b.take(10))
+      case _ =>
+    }
+  }
+
+  test("contaminationScores: hit fraction vs benchmark shingles; 0 for clean docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // 7 shingles, all in bench
+      (2L, "completely different words entirely here now"), // clean
+      (3L, "a b"),                                          // no shingles
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      Tuple1("the quick brown fox jumps over the lazy dog tail")).toDF("text")
+    val out = Dedup.contaminationScores(corpus, "doc_id", "text", bench, "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out(1L) == ((7L, 7L, 1.0)))
+    assert(out(2L)._2 == 0L && out(2L)._3 == 0.0)
+    assert(out(3L) == ((0L, 0L, 0.0)))
+  }
+
+  test("curateCorpusDecontam drops eval-quoting docs before canonicalization") {
+    val words = (1 to 30).map(i => s"w$i the of and").mkString(" ") // gate-passing
+    val corpus = Seq(
+      (1L, words + " unique tail one"),
+      (2L, "the of and " + (1 to 25).map(i => s"x$i").mkString(" ")), // clean, gated in
+      (3L, words + " unique tail one"),                              // dup of 1
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1(words)).toDF("text")
+    val out = ext.Curate.curateCorpusDecontam(corpus, bench,
+        minWords = 20, maxContamination = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1 and 3 quote ~all their shingles from the benchmark → dropped;
+    // 2 survives (clean) — and canonicalization runs on survivors only
+    assert(out == Set(2L))
+  }
+
   test("LSH top-k recall vs brute force >= 60% on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 10)

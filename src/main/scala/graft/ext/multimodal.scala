@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * resize / frame-sample operators.
   *
   * The Spark-side plumbing — schema, partition sizing, per-partition batch
-  * iteration, output shapes — is real and tested. The codec step itself is
-  * a STUB (this container ships no image/audio libraries): `fakeDecode`
-  * derives deterministic pseudo-features from the payload bytes. Swapping
-  * in a real codec is a one-function change (replace `fakeDecode`'s body
-  * with e.g. javax.imageio / ffmpeg bindings), nothing else moves.
+  * iteration, output shapes — is real and tested, and so is the IMAGE
+  * codec: [[imageDecode]] decodes PNG/BMP/JPEG payloads with the JDK's
+  * `javax.imageio` (no external dependency) into a luminance-histogram
+  * feature vector. [[fakeDecode]] remains the default codec — it is the
+  * deterministic byte-level contract the DuckDB oracle reproduces in SQL,
+  * and the stand-in for the audio/video codecs this container has no
+  * libraries for. Codecs are pluggable per [[extractFeatures]] call;
+  * swapping in ffmpeg bindings is a one-function change, nothing else
+  * moves.
   *
   * Scale: payloads dominate row size, so ops repartition by id range
   * before any wide transform, and feature extraction is `mapPartitions`
@@ -55,6 +59,37 @@ object Multimodal {
     out
   }
 
+  /** REAL image codec on the JDK's `javax.imageio` (PNG/BMP/JPEG/GIF —
+    * whatever the platform readers support): decodes the payload and
+    * returns a `dim`-bucket luminance histogram normalized to fractions
+    * (sums to ~1) — deterministic, size-independent, pure. Throws
+    * `IllegalArgumentException` on undecodable bytes: media pipelines
+    * must route corrupt payloads explicitly (filter or quarantine),
+    * not silently embed garbage.
+    */
+  def imageDecode(payload: Array[Byte], dim: Int): Array[Float] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val hist = new Array[Long](dim)
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        val b = math.min(dim - 1, (lum * dim / 256.0).toInt)
+        hist(b) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w.toLong * h).toFloat
+    hist.map(c => c / n)
+  }
+
   /** Size partitions for payload-heavy rows: media payloads dominate row
     * size, so partition count must follow total payload bytes, not row
     * count (`spark.sql.files.maxPartitionBytes` governs the scan, but a
@@ -75,13 +110,16 @@ object Multimodal {
 
   /** Feature extraction: one codec context per partition, iterator-to-
     * iterator (no materialization) — the Scala analogue of a vectorized
-    * `mapInPandas` batch UDF.
+    * `mapInPandas` batch UDF. `decode` picks the codec: [[fakeDecode]]
+    * (default, oracle contract) or [[imageDecode]] (real JDK ImageIO) —
+    * the plumbing is identical either way.
     */
-  def extractFeatures(ds: Dataset[MMRecord], dim: Int = 64): Dataset[MMFeatures] = {
+  def extractFeatures(ds: Dataset[MMRecord], dim: Int = 64,
+      decode: (Array[Byte], Int) => Array[Float] = fakeDecode): Dataset[MMFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // real impl: initialize the codec/model once per partition here
-      it.map(r => MMFeatures(r.id, r.modality, dim, fakeDecode(r.payload, dim)))
+      // a codec/model needing per-partition init would construct here
+      it.map(r => MMFeatures(r.id, r.modality, dim, decode(r.payload, dim)))
     }
   }
 

@@ -65,6 +65,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getInt(1) == 32))
   }
 
+  test("real ImageIO codec: PNG payloads decode through the MMRecord plumbing") {
+    import java.awt.image.BufferedImage
+    // deterministic tiny PNGs: gradient fills keyed by the record id
+    def png(seed: Int): Array[Byte] = {
+      val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val v = (seed * 37 + y * 8 + x) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v) // gray ramp
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val recs = (1 to 4).map(i =>
+      Multimodal.MMRecord(i.toLong, "image", png(i), 8, 8, 0L))
+    val ds = spark.createDataset(recs)
+    val out = Multimodal.extractFeatures(ds, dim = 16,
+        decode = Multimodal.imageDecode)
+      .collect().map(f => f.id -> f.features).toMap
+    assert(out.size == 4)
+    // histogram contract: 16 buckets, fractions sum to 1, deterministic
+    out.values.foreach { h =>
+      assert(h.length == 16)
+      assert(math.abs(h.map(_.toDouble).sum - 1.0) < 1e-6)
+    }
+    // gray-ramp pixels land where luminance says they land: recompute
+    // one histogram by hand and require exact equality
+    val expected = new Array[Float](16)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = (1 * 37 + y * 8 + x) % 256
+      val lum = 0.299 * v + 0.587 * v + 0.114 * v
+      expected(math.min(15, (lum * 16 / 256.0).toInt)) += 1f / 64f
+    }
+    assert(out(1L).toSeq == expected.toSeq)
+    // different seeds → different histograms (a real decode, not a const)
+    assert(out.values.map(_.toSeq).toSet.size > 1)
+    // corrupt payloads fail loudly, not silently
+    val bad = spark.createDataset(Seq(
+      Multimodal.MMRecord(9L, "image", Array[Byte](1, 2, 3), 0, 0, 0L)))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(bad, dim = 16,
+        decode = Multimodal.imageDecode).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("modality routing covers image/audio/video") {
     val mods = mm.toDF().select("modality").distinct()
       .collect().map(_.getString(0)).toSet

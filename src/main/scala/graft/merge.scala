@@ -103,6 +103,44 @@ object Merge {
     kept.drop(DP)
   }
 
+  /** `MERGE INTO`-shaped single entry point over a [[Catalog]] — the
+    * production-mapping story from this file's header made runnable: one
+    * call compiles the raw source through the mapping (FK lookups resolve
+    * against the destination catalog, as the reference's lookup functions
+    * do), applies the upsert against the current destination state (an
+    * absent destination bootstraps empty — every source row INSERTs), and
+    * persists the result through the catalog's crash-safe swap.
+    *
+    * Returns the changelog frame (destination state + `_action`),
+    * materialized via localCheckpoint BEFORE the swap: the merge join
+    * computes once, feeds the write, and stays readable afterwards — a
+    * lazily returned frame would re-read the already-swapped table and
+    * audit the wrong state. On a real cluster with a Delta/Iceberg
+    * catalog, swap this call for the engine's native `MERGE INTO` (same
+    * TableMapping compile, no checkpoint needed — the transaction log
+    * provides the changelog).
+    */
+  def into(dest: Catalog, tm: TableMapping, source: DataFrame): DataFrame = {
+    val src = Compiler.transformedSource(source, tm, dest.read)
+    val destDf =
+      if (dest.exists(tm.destination)) dest.read(tm.destination)
+      else {
+        // bootstrap: fresh empty frame, NOT src.limit(0) — sharing the
+        // source's attribute lineage would make the merge join an
+        // ambiguous self-join
+        val s = source.sparkSession
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], src.schema)
+      }
+    val merged = apply(destDf, src, tm).localCheckpoint()
+    dest.write(tm.destination, merged.drop(ActionCol))
+    merged
+  }
+
+  /** [[into]] reading the raw source from a source catalog (`tm.source`). */
+  def into(dest: Catalog, tm: TableMapping, source: Catalog): DataFrame =
+    into(dest, tm, source.read(tm.source))
+
   /** Source key-uniqueness guard (T-SQL MERGE's "attempted to UPDATE the
     * same row more than once" error, raised eagerly): the source-presence
     * marker becomes `when(cnt > 1, raise_error(...)).otherwise(1)` where

@@ -125,6 +125,36 @@ class MergeSpec extends AnyFunSuite {
     assert(out.count() == 1 + 2) // dest-only {1} + src rows {2,3}
   }
 
+  test("Merge.into: one call bootstraps, upserts, persists, and audits") {
+    val cat = new InMemoryCatalog()
+    // first load: no destination — every row INSERTs, table is created
+    val log1 = Merge.into(cat, tm, Seq((1, "a"), (2, "b")).toDF("sid", "sv"))
+    assert(log1.filter(col(Merge.ActionCol) === "INSERT").count() == 2)
+    assert(cat.exists("dest"))
+    // second call: upsert against the state the first call persisted
+    val log2 = Merge.into(cat, tm, Seq((2, "B"), (3, "c")).toDF("sid", "sv"))
+    val actions = log2.collect()
+      .map(r => r.getInt(0) -> r.getString(2)).toMap
+    assert(actions == Map(1 -> null, 2 -> "UPDATE", 3 -> "INSERT"))
+    assert(cat.read("dest").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq ==
+      Seq((1, "a"), (2, "B"), (3, "c")))
+    // the returned changelog stays readable AFTER the swap (checkpointed —
+    // not a lazy plan over the replaced table)
+    assert(log1.count() == 2)
+  }
+
+  test("Merge.into over a bucketed dest: swap-safe, changelog intact") {
+    val cat = new BucketedCatalog(spark, buckets = 4,
+      bucketKeys = Map("dest" -> Seq("id")), prefix = "mergeinto")
+    Merge.into(cat, tm, Seq((1, "a"), (2, "b")).toDF("sid", "sv"))
+    val log = Merge.into(cat, tm, Seq((2, "B"), (3, "c")).toDF("sid", "sv"))
+    assert(log.filter(col(Merge.ActionCol).isNotNull).count() == 2)
+    assert(cat.read("dest").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1).toSeq ==
+      Seq((1, "a"), (2, "B"), (3, "c")))
+  }
+
   test("randomized merge law vs executable spec") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 5) {

@@ -631,6 +631,31 @@ object SparkEntry {
       Map("src0" -> 0.5, "src1" -> 0.1))
       .groupBy(col("source")).agg(count(lit(1)).alias("n_kept"))),
 
+    // data mixing: downsample sources toward target proportions (src0 gets
+    // 6/8 of a 60-row budget, src1/src2 1/8 each; other sources dropped) —
+    // rates derive from per-source counts at runtime, and the oracle
+    // recomputes count → rate → md5 threshold entirely in SQL
+    "q_mixture" -> ((s, dir) => ext.Sampling.mixture(
+      read(s, dir, "documents"), "doc_id", "source",
+      Map("src0" -> 6.0, "src1" -> 1.0, "src2" -> 1.0), targetRows = 60L)
+      .groupBy(col("source")).agg(count(lit(1)).alias("n_kept"))),
+
+    // text analysis: corpus top-k 3-grams by document frequency (per-doc
+    // distinct shingles — a doc repeating a phrase votes once)
+    "q_top_ngrams" -> ((s, dir) =>
+      ext.TextOps.topNgrams(read(s, dir, "documents"), "text", k = 20, n = 3)),
+
+    // PII redaction: deterministic synthetic PII appended per doc, then
+    // scrubbed — email/IPv4/phone patterns chosen to evaluate identically
+    // under Java regex (Spark) and RE2 (DuckDB)
+    "q_pii_redact" -> ((s, dir) => read(s, dir, "documents").select(
+      col("doc_id"),
+      ext.TextOps.redactPii(concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.org or 10.0."),
+        (col("doc_id") % 200).cast("string"),
+        lit(".7 tel 555-867-5309 end"))).alias("clean"))),
+
     // sketches: exact distinct (oracle) — HLL approx variant is rows-only,
     // accuracy asserted in ExtSpec
     "q_distinct_count" -> ((s, dir) => ext.Sketches.exactDistinct(
@@ -1615,6 +1640,53 @@ object SparkEntry {
         |GROUP BY o_orderkey
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+
+    // count → rate → threshold recomputed in SQL: rate shape
+    // (share * target / n, left-associative IEEE) and threshold shape
+    // (lower hex of floor(rate * 2^32), zero-padded to 8) replicate
+    // Sampling.mixture/thresholdHex exactly
+    "q_mixture" ->
+      """WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents
+        |             WHERE source IN ('src0', 'src1', 'src2')
+        |             GROUP BY source),
+        |r AS (SELECT source, n,
+        |        least(CAST(1 AS DOUBLE),
+        |              (CASE source WHEN 'src0' THEN CAST(0.75 AS DOUBLE)
+        |                           ELSE CAST(0.125 AS DOUBLE) END)
+        |                * 60 / n) AS rate
+        |      FROM cnt),
+        |kept AS (SELECT d.source FROM documents d JOIN r ON d.source = r.source
+        |         WHERE r.rate >= 1
+        |            OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |               < lower(lpad(hex(CAST(floor(r.rate * 4294967296)
+        |                                     AS BIGINT)), 8, '0')))
+        |SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source""".stripMargin,
+
+    // per-doc DISTINCT shingles → document frequency → top-k
+    "q_top_ngrams" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS gram
+        |       FROM (SELECT doc_id, w,
+        |               unnest(range(greatest(len(w) - 2, 0))) AS i FROM d))
+        |SELECT gram, df, rnk FROM (
+        |  SELECT gram, COUNT(*) AS df,
+        |         CAST(row_number() OVER (ORDER BY COUNT(*) DESC, gram)
+        |              AS INTEGER) AS rnk
+        |  FROM sh GROUP BY gram) WHERE rnk <= 20""".stripMargin,
+
+    // same three regexp_replace passes under RE2 ('g' = replace all, as
+    // Spark's regexp_replace does by default)
+    "q_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |         || '@mail.example.org or 10.0.'
+        |         || CAST(doc_id % 200 AS VARCHAR) || '.7 tel 555-867-5309 end',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g') AS clean
+        |FROM documents""".stripMargin,
 
     // md5-prefix Bernoulli is engine-portable: identical kept set in DuckDB
     "q_stratified_sample" ->

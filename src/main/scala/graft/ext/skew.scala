@@ -79,6 +79,39 @@ object Sampling {
     }
     df.filter(cond)
   }
+
+  /** Target-mixture downsampling — the "data mixing" step of a training
+    * run: `weights` defines the desired source proportions, `targetRows`
+    * the (approximate) corpus size, and each listed source keeps
+    * `min(1, weightShare × targetRows / sourceCount)` of its rows via the
+    * same deterministic md5-Bernoulli as [[stratified]]. Sources not in
+    * the mixture are dropped. Over-represented sources downsample toward
+    * their share; under-represented ones keep everything (this operator
+    * never duplicates rows — upsampling epochs are the trainer's job).
+    *
+    * Scale: one hash-groupBy for the per-source counts (rows = number of
+    * sources, a driver-safe collect), then one narrow filter. The kept
+    * set is reproducible from plain SQL in any engine: the rate math is
+    * IEEE double division and the threshold is
+    * `lower(lpad(hex(floor(rate * 2^32)), 8, '0'))`.
+    */
+  def mixture(df: DataFrame, idCol: String, sourceCol: String,
+      weights: Map[String, Double], targetRows: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixture weights must be positive")
+    val sumW = weights.values.sum
+    val counts = df.filter(col(sourceCol).isInCollection(weights.keys.toSeq))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).alias("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = weights.map { case (s, w) =>
+      val n = counts.getOrElse(s, 0L)
+      // rate shape (w / sumW * target / n, left-associative) is part of
+      // the cross-engine contract — the oracle repeats it verbatim
+      s -> (if (n == 0L) 1.0 else math.min(1.0, w / sumW * targetRows / n))
+    }
+    stratified(df.filter(col(sourceCol).isInCollection(weights.keys.toSeq)),
+      idCol, sourceCol, rates)
+  }
 }
 
 /** Cardinality sketches: exact distinct as the oracle-checkable baseline,

@@ -100,6 +100,41 @@ object TextOps {
   def fingerprint(text: Column): Column =
     sha2(concat_ws(" ", array_sort(array_distinct(tokens(text)))), 256)
 
+  /** Corpus-wide top-k word n-grams (tie-break: gram ascending) — the
+    * n-gram generalization of [[topTerms]], same TakeOrdered plan: explode
+    * per-doc DISTINCT shingles (so a doc repeating a phrase votes once —
+    * document frequency, the dedup-relevant count), one hash-groupBy,
+    * per-partition top-k heaps, ranks assigned on the ≤ k survivors.
+    */
+  def topNgrams(df: DataFrame, textCol: String, k: Int, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(explode(Dedup.shingleArray(textCol, n)).alias("gram"))
+      .groupBy("gram").agg(count(lit(1)).alias("df"))
+      .orderBy(col("df").desc, col("gram")).limit(k)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("df").desc, col("gram"))))
+      .select("gram", "df", "rnk")
+  }
+
+  /** PII redaction: emails, IPv4 addresses, and phone-shaped digit runs
+    * replaced by typed placeholder tokens — the standard scrub before
+    * training on scraped text. Conservative patterns chosen to evaluate
+    * identically under Java regex (Spark) and RE2 (DuckDB/most engines):
+    * no backreferences, no lookaround. Order matters: emails first (their
+    * domains can contain IP-shaped substrings), then IPs, then phones.
+    * Narrow per-row math — three codegen'd regexp_replace passes.
+    */
+  def redactPii(text: Column): Column = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    val phone = "\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, email, "<EMAIL>"),
+        ipv4, "<IP>"),
+      phone, "<PHONE>")
+  }
+
   /** Within-document repetition ratio: 1 − distinct/total word-`k`-gram
     * shingles — the "is this doc mostly the same phrase repeated" quality
     * gate (high ratio = boilerplate/template spam). 0 for docs with fewer

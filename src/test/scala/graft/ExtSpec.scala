@@ -454,6 +454,59 @@ class ExtSpec extends AnyFunSuite {
     assert(out == Set(2L))
   }
 
+  test("redactPii scrubs emails, IPs, phones; leaves clean text alone") {
+    val d = Seq(
+      (1L, "mail bob.smith+x@corp.example.COM here"),
+      (2L, "server at 192.168.001.42 port"),
+      (3L, "call 555-867-5309 now"),
+      (4L, "version 1.2 costs 3.50 at example.com"), // none of these are PII
+    ).toDF("doc_id", "text")
+    val out = d.select($"doc_id", TextOps.redactPii($"text").alias("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "mail <EMAIL> here")
+    assert(out(2L) == "server at <IP> port")
+    assert(out(3L) == "call <PHONE> now")
+    assert(out(4L) == "version 1.2 costs 3.50 at example.com")
+  }
+
+  test("mixture: over-represented sources downsample, small ones keep all, others drop") {
+    val rows = (1 to 400).map(i => (i.toLong, s"src${i % 4}")) // 100 per source
+    val d = rows.toDF("doc_id", "source")
+    // src0 wants 3/4 of 80 rows = 60 < 100 → rate 0.6; src1 wants 20 < 100
+    // → rate 0.2; src2/src3 unlisted → dropped
+    val out = ext.Sampling.mixture(d, "doc_id", "source",
+      Map("src0" -> 3.0, "src1" -> 1.0), targetRows = 80L)
+    val kept = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.keySet == Set("src0", "src1"))
+    // md5-Bernoulli at n=100: expect ~rate*n within a loose band
+    assert(kept("src0") > 40 && kept("src0") < 80)
+    assert(kept("src1") > 8 && kept("src1") < 35)
+    // deterministic: same kept ids every run
+    val ids1 = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = ext.Sampling.mixture(d, "doc_id", "source",
+      Map("src0" -> 3.0, "src1" -> 1.0), targetRows = 80L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // under-budget source keeps everything (rate clamps at 1)
+    val all = ext.Sampling.mixture(d, "doc_id", "source",
+      Map("src0" -> 1.0), targetRows = 1000L)
+    assert(all.count() == 100)
+  }
+
+  test("topNgrams counts document frequency, not occurrences") {
+    val d = Seq(
+      (1L, "a b c a b c a b c"), // repeats "a b c" — still one vote
+      (2L, "a b c x y z"),
+      (3L, "x y z p q r"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.topNgrams(d, "text", k = 3, n = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(out.head == (("a b c", 2L, 1)))       // df 2, not 5
+    assert(out(1) == (("x y z", 2L, 2)))         // tie broken by gram asc
+    assert(out.length == 3 && out(2)._2 == 1L)
+  }
+
   test("LSH top-k recall vs brute force >= 60% on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 10)

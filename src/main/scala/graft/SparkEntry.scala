@@ -640,6 +640,12 @@ object SparkEntry {
       Map("src0" -> 6.0, "src1" -> 1.0, "src2" -> 1.0), targetRows = 60L)
       .groupBy(col("source")).agg(count(lit(1)).alias("n_kept"))),
 
+    // budgeted selection: k highest-scored docs per source (per-group
+    // window, deterministic id tie-break — parallel across groups)
+    "q_topk_per_source" -> ((s, dir) => ext.Sampling.topKPerGroup(
+      read(s, dir, "documents").select("doc_id", "source", "n_chars"),
+      "source", "n_chars", "doc_id", k = 3)),
+
     // text analysis: corpus top-k 3-grams by document frequency (per-doc
     // distinct shingles — a doc repeating a phrase votes once)
     "q_top_ngrams" -> ((s, dir) =>
@@ -1661,6 +1667,13 @@ object SparkEntry {
         |               < lower(lpad(hex(CAST(floor(r.rate * 4294967296)
         |                                     AS BIGINT)), 8, '0')))
         |SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source""".stripMargin,
+
+    "q_topk_per_source" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents) WHERE rk <= 3""".stripMargin,
 
     // per-doc DISTINCT shingles → document frequency → top-k
     "q_top_ngrams" ->

@@ -112,6 +112,23 @@ object Sampling {
     stratified(df.filter(col(sourceCol).isInCollection(weights.keys.toSeq)),
       idCol, sourceCol, rates)
   }
+
+  /** Deterministic best-k rows per group by (`scoreCol` desc, `idCol` asc
+    * tie-break) — budgeted selection ("keep the k highest-quality docs per
+    * source"). One window partitioned by the group: work parallelizes
+    * across groups, never a global sort; per-partition top-k heaps would
+    * only beat it for k ≪ group size with heavy skew, at which point
+    * pre-filtering by a score threshold is the right tool anyway.
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    df.withColumn("__rk", row_number().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col(scoreCol).desc, col(idCol))))
+      .filter(col("__rk") <= k).drop("__rk")
+  }
 }
 
 /** Cardinality sketches: exact distinct as the oracle-checkable baseline,

@@ -494,6 +494,17 @@ class ExtSpec extends AnyFunSuite {
     assert(all.count() == 100)
   }
 
+  test("topKPerGroup: exact k per group, score-desc, id tie-break") {
+    val d = Seq(
+      (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 5L),
+      (5L, "b", 1L),
+    ).toDF("id", "g", "score")
+    val out = ext.Sampling.topKPerGroup(d, "g", "score", "id", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // group a: ties at 30 broken by id asc → {2, 3}; group b: all 1 row
+    assert(out == Set((2L, "a"), (3L, "a"), (5L, "b")))
+  }
+
   test("topNgrams counts document frequency, not occurrences") {
     val d = Seq(
       (1L, "a b c a b c a b c"), // repeats "a b c" — still one vote

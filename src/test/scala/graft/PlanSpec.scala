@@ -90,6 +90,25 @@ class PlanSpec extends AnyFunSuite {
       !gatedPlan.contains("BroadcastNestedLoop"), gatedPlan)
   }
 
+  test("minhash band shuffle carries ids only — signatures never ride the band exchange") {
+    // the round-3 regression shape carried 512-byte signatures through both
+    // sides of the (band, bucket) exchange; this pins the fixed plan
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = ext.Dedup.minHashNearDupPairs(docs, "doc_id", "text",
+      k = 3, numHashes = 64, bands = 16, threshold = 0.7)
+    pairs.collect()
+    val fmt = pairs.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val exchangeBlocks = fmt.split("\n\n").filter(b =>
+      b.linesIterator.hasNext && b.linesIterator.next().matches("""\(\d+\) Exchange.*"""))
+    val bandExchanges = exchangeBlocks.filter(_.contains("band#"))
+    assert(bandExchanges.nonEmpty, s"no band exchange found:\n$fmt")
+    bandExchanges.foreach(b =>
+      assert(!b.contains("signature#"), s"signature rides the band exchange:\n$b"))
+    // and candidate generation stays bucketed — no all-pairs node
+    assert(!fmt.contains("CartesianProduct") && !fmt.contains("BroadcastNestedLoop"))
+  }
+
   test("strict-merge key guard reuses the join shuffle (no extra Exchange)") {
     def exchanges(strict: Boolean): Int = {
       val dest = (1 to 500).map(i => (i, s"old$i")).toDF("k", "v")

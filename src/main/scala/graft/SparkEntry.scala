@@ -425,6 +425,27 @@ object SparkEntry {
         driverEdgeLimit = 0L)
     },
 
+    // dedup: incremental — new batch (doc_id % 5 = 4) near-dup'd AGAINST
+    // the accumulated corpus (the continuous-ingestion shape); exact
+    // shingle-join Jaccard across the two frames
+    "q_neardup_incremental" -> { (s, dir) =>
+      val docs = read(s, dir, "documents")
+      ext.Dedup.ngramJaccardAgainst(
+        docs.filter(col("doc_id") % 5 === 4),
+        docs.filter(col("doc_id") % 5 =!= 4),
+        "doc_id", "text", k = 3, threshold = 0.5)
+    },
+
+    // dedup: normalized-key exact dedup — deterministic case/punct noise
+    // injected, then normalizeText collapses the variants back together
+    "q_dedup_normalized" -> ((s, dir) => ext.Dedup.exact(
+      read(s, dir, "documents").withColumn("norm",
+        ext.TextOps.normalizeText(concat(
+          when(col("doc_id") % 2 === 0, upper(col("text")))
+            .otherwise(col("text")),
+          when(col("doc_id") % 3 === 0, lit(" !!")).otherwise(lit(""))))),
+      "doc_id", Seq("norm"))),
+
     // dedup: MinHash+LSH near-dup (no oracle — xxhash64 is engine-
     // internal; validated against q_ngram_jaccard in DedupSpec)
     "q_minhash_neardup" -> ((s, dir) =>
@@ -995,6 +1016,48 @@ object SparkEntry {
         |       CAST(ic AS DOUBLE) / CAST(na.n + nb.n - ic AS DOUBLE) AS jaccard
         |FROM p JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
         |WHERE CAST(ic AS DOUBLE) / CAST(na.n + nb.n - ic AS DOUBLE) >= 0.5""".stripMargin,
+
+    // cross-frame shingle join: batch shingles vs corpus shingles, totals
+    // per side, same Jaccard arithmetic as q_ngram_jaccard's oracle
+    "q_neardup_incremental" ->
+      """WITH nd AS (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents WHERE doc_id % 5 = 4),
+        |cd AS (SELECT doc_id, string_split(text, ' ') AS w
+        |       FROM documents WHERE doc_id % 5 <> 4),
+        |ash AS (SELECT DISTINCT doc_id,
+        |          w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |        FROM (SELECT doc_id, w,
+        |                unnest(range(greatest(len(w) - 2, 0))) AS i FROM nd)),
+        |bsh AS (SELECT DISTINCT doc_id,
+        |          w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |        FROM (SELECT doc_id, w,
+        |                unnest(range(greatest(len(w) - 2, 0))) AS i FROM cd)),
+        |na AS (SELECT doc_id, COUNT(*) AS n FROM ash GROUP BY doc_id),
+        |nb AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+        |             COUNT(*) AS ic
+        |      FROM ash a JOIN bsh b ON a.shingle = b.shingle
+        |      GROUP BY 1, 2)
+        |SELECT new_id, corpus_id,
+        |       CAST(ic AS DOUBLE) / CAST(x.n + y.n - ic AS DOUBLE) AS jaccard
+        |FROM p JOIN na x ON x.doc_id = new_id
+        |       JOIN nb y ON y.doc_id = corpus_id
+        |WHERE CAST(ic AS DOUBLE) / CAST(x.n + y.n - ic AS DOUBLE) >= 0.5""".stripMargin,
+
+    // upper/concat noise, then lower + punct→space + collapse + trim —
+    // identical string ops in both engines on the ASCII corpus
+    "q_dedup_normalized" ->
+      """WITH d AS (SELECT doc_id,
+        |             (CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END)
+        |               || (CASE WHEN doc_id % 3 = 0 THEN ' !!' ELSE '' END)
+        |               AS noisy
+        |           FROM documents),
+        |n AS (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(noisy),
+        |          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+        |      FROM d)
+        |SELECT MIN(doc_id) AS doc_id, norm, COUNT(*) AS n_dups
+        |FROM n GROUP BY norm""".stripMargin,
 
     // word-3-gram shingles rebuilt in SQL; DISTINCT matches the shingle-set
     // semantics (MIN over a set ignores multiplicity/order)

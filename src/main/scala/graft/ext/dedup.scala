@@ -100,6 +100,50 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** Incremental near-dup: new batch vs EXISTING corpus — the production
+    * shape for continuous ingestion (dedup today's crawl against the
+    * accumulated training set, not against itself). Same shingle-join
+    * Jaccard as [[ngramJaccardPairs]] but across two frames: emits
+    * (new_id, corpus_id, jaccard) for jaccard >= threshold.
+    *
+    * `maxShingleDf` caps shingle document frequency measured over the
+    * CORPUS side (the side that grows without bound) — the skew guard for
+    * boilerplate shingles shared by millions of accumulated docs. At
+    * 100 TB the corpus side is pre-shingled/pre-bucketed once and reused
+    * across batches; the batch side is small, so AQE broadcasts it and
+    * the accumulated corpus never reshuffles per batch.
+    */
+  def ngramJaccardAgainst(
+      newDf: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val ns = shingles(newDf, idCol, textCol, k)
+    val cs0 = shingles(corpus, idCol, textCol, k)
+    val cs = maxShingleDf.fold(cs0) { cap =>
+      val hot = cs0.groupBy("shingle").agg(count(lit(1)).alias("df"))
+        .filter(col("df") > cap).select("shingle")
+      cs0.join(broadcast(hot), Seq("shingle"), "left_anti")
+    }
+    // per-doc totals as window counts (carried through the join, no extra
+    // relation); the new side counts BEFORE any cap — a capped corpus
+    // shingle still belongs to the new doc's set
+    val a = ns.withColumn("na",
+        count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .select(col(idCol).alias("new_id"), col("shingle").alias("sh_a"),
+        col("na"))
+    val b = cs.withColumn("nb",
+        count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .select(col(idCol).alias("corpus_id"), col("shingle").alias("sh_b"),
+        col("nb"))
+    a.join(b, col("sh_a") === col("sh_b"))
+      .groupBy("new_id", "corpus_id", "na", "nb")
+      .agg(count(lit(1)).alias("ic"))
+      .withColumn("jaccard",
+        col("ic").cast("double") / (col("na") + col("nb") - col("ic")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "jaccard")
+  }
+
   // ------------------------------------------------------------ MinHash+LSH
 
   /** MinHash signature: per doc, `numHashes` minima over its shingle set —

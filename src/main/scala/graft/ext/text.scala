@@ -176,4 +176,14 @@ object TextOps {
     */
   def rollingHash(text: Column): Column =
     graft.functions.RollingHash.column(text)
+
+  /** Canonical text normalization for normalized-key dedup: lowercase,
+    * non-alphanumerics → space, whitespace collapsed, trimmed — so
+    * "Hello,  World!" and "hello world" dedup together. Pure codegen'd
+    * string ops, engine-portable (same lower/regexp_replace/trim in any
+    * SQL dialect).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 }

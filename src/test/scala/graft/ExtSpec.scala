@@ -386,6 +386,35 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramJaccardAgainst: batch-vs-corpus pairs, corpus-side DF cap") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words entirely here now"),
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // dup of corpus 1
+      (11L, "nothing shared with anything at all today"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.ngramJaccardAgainst(batch, corpus, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out == Map((10L, 1L) -> 1.0))
+    // cap 0 drops every corpus shingle → no pairs survive
+    assert(Dedup.ngramJaccardAgainst(batch, corpus, "doc_id", "text",
+      k = 3, threshold = 0.1, maxShingleDf = Some(0)).count() == 0)
+  }
+
+  test("normalizeText collapses case/punct/whitespace variants") {
+    val d = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"),
+      (3L, "  HELLO ... world  "),
+    ).toDF("doc_id", "text")
+    val out = d.select(TextOps.normalizeText($"text").alias("n"))
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("hello world"))
+  }
+
   test("repetitionRatio: exact k-gram arithmetic, 0 when nothing to repeat") {
     val d = Seq(
       (1L, "a b c a b c a b c"),   // 9 words, 7 total 3-grams, 3 distinct

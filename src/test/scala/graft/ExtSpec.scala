@@ -451,6 +451,29 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk laws hold over randomized texts and edge-case params") {
+    val rnd = new scala.util.Random(7)
+    // (chunkChars, overlap): typical, no-overlap, max-overlap, wide
+    for ((cc, ov) <- Seq((30, 10), (7, 0), (12, 11), (50, 25))) {
+      val step = cc - ov
+      val texts = (1 to 100).map(i =>
+        (i.toLong, rnd.alphanumeric.take(rnd.nextInt(200)).mkString))
+      val byDoc = TextOps.chunk(texts.toDF("doc_id", "text"), "text", cc, ov)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+        .groupBy(_._1)
+      texts.foreach { case (id, t) =>
+        val cs = byDoc(id).sortBy(_._2).map(_._3).toVector
+        // count law, width law, and full-coverage reconstruction law
+        assert(cs.length ==
+          math.max(1, math.ceil((t.length - ov).toDouble / step).toInt),
+          s"cc=$cc ov=$ov len=${t.length}")
+        assert(cs.forall(_.length <= cc))
+        assert(cs.head + cs.tail.map(_.drop(ov)).mkString == t,
+          s"cc=$cc ov=$ov len=${t.length}")
+      }
+    }
+  }
+
   test("contaminationScores: hit fraction vs benchmark shingles; 0 for clean docs") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"), // 7 shingles, all in bench

@@ -70,16 +70,28 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    val sh0 = shingles(df, idCol, textCol, k)
-    val sh = maxShingleDf.fold(sh0) { cap =>
-      val hot = sh0.groupBy("shingle").agg(count(lit(1)).alias("df"))
-        .filter(col("df") > cap).select("shingle")
-      sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // per-doc totals: with no DF cap the count is just the size of the
+    // (distinct) shingle array — computed NARROWLY before the explode, so
+    // the only shuffle of the exploded table is the join's, by shingle.
+    // The capped path must count after hot-shingle removal, so it keeps
+    // the window form (one extra shuffle by id — the price of the skew
+    // guard). Locally the two are within noise (0.80 vs 0.88 s at sf0.1,
+    // 32 threads, RAM-speed shuffle); at cluster scale the narrow form
+    // moves ~half the shuffle bytes, which is what actually costs.
+    val withN = maxShingleDf match {
+      case None =>
+        df.select(col(idCol), shingleArray(textCol, k).alias("__sh"))
+          .withColumn("n", size(col("__sh")).cast("long"))
+          .select(col(idCol), col("n"),
+            explode(col("__sh")).alias("shingle"))
+      case Some(cap) =>
+        val sh0 = shingles(df, idCol, textCol, k)
+        val hot = sh0.groupBy("shingle").agg(count(lit(1)).alias("df"))
+          .filter(col("df") > cap).select("shingle")
+        sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy(col(idCol))))
     }
-    // per-doc shingle count as a window column — carried through the join
-    // so no separate count relation / extra joins are needed
-    val withN = sh.withColumn("n",
-      count(lit(1)).over(Window.partitionBy(col(idCol))))
     // distinct column names per side — self-join with same-name columns
     // relies on Spark's ambiguity resolution (and logs a trivially-true-
     // predicate warning per query); explicit names make the condition
@@ -117,24 +129,31 @@ object Dedup {
       newDf: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    val ns = shingles(newDf, idCol, textCol, k)
-    val cs0 = shingles(corpus, idCol, textCol, k)
-    val cs = maxShingleDf.fold(cs0) { cap =>
-      val hot = cs0.groupBy("shingle").agg(count(lit(1)).alias("df"))
-        .filter(col("df") > cap).select("shingle")
-      cs0.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // the new side never caps — its per-doc total is the narrow array
+    // size, no window shuffle (see ngramJaccardPairs on why that matters
+    // at scale); same for the corpus side unless the DF cap forces a
+    // post-removal recount
+    val a = newDf
+      .select(col(idCol), shingleArray(textCol, k).alias("__sh"))
+      .withColumn("na", size(col("__sh")).cast("long"))
+      .select(col(idCol).alias("new_id"), col("na"),
+        explode(col("__sh")).alias("sh_a"))
+    val b = maxShingleDf match {
+      case None =>
+        corpus.select(col(idCol), shingleArray(textCol, k).alias("__sh"))
+          .withColumn("nb", size(col("__sh")).cast("long"))
+          .select(col(idCol).alias("corpus_id"), col("nb"),
+            explode(col("__sh")).alias("sh_b"))
+      case Some(cap) =>
+        val cs0 = shingles(corpus, idCol, textCol, k)
+        val hot = cs0.groupBy("shingle").agg(count(lit(1)).alias("df"))
+          .filter(col("df") > cap).select("shingle")
+        cs0.join(broadcast(hot), Seq("shingle"), "left_anti")
+          .withColumn("nb",
+            count(lit(1)).over(Window.partitionBy(col(idCol))))
+          .select(col(idCol).alias("corpus_id"), col("shingle").alias("sh_b"),
+            col("nb"))
     }
-    // per-doc totals as window counts (carried through the join, no extra
-    // relation); the new side counts BEFORE any cap — a capped corpus
-    // shingle still belongs to the new doc's set
-    val a = ns.withColumn("na",
-        count(lit(1)).over(Window.partitionBy(col(idCol))))
-      .select(col(idCol).alias("new_id"), col("shingle").alias("sh_a"),
-        col("na"))
-    val b = cs.withColumn("nb",
-        count(lit(1)).over(Window.partitionBy(col(idCol))))
-      .select(col(idCol).alias("corpus_id"), col("shingle").alias("sh_b"),
-        col("nb"))
     a.join(b, col("sh_a") === col("sh_b"))
       .groupBy("new_id", "corpus_id", "na", "nb")
       .agg(count(lit(1)).alias("ic"))

@@ -672,6 +672,11 @@ object SparkEntry {
     "q_top_ngrams" -> ((s, dir) =>
       ext.TextOps.topNgrams(read(s, dir, "documents"), "text", k = 20, n = 3)),
 
+    // text analysis: vocabulary with contiguous frequency-ranked ids
+    // (id = row_number over the deterministic (df desc, token) order − 1)
+    "q_vocabulary" -> ((s, dir) =>
+      ext.TextOps.vocabulary(read(s, dir, "documents"), "text", minDf = 5L)),
+
     // PII redaction: deterministic synthetic PII appended per doc, then
     // scrubbed — email/IPv4/phone patterns chosen to evaluate identically
     // under Java regex (Spark) and RE2 (DuckDB)
@@ -1737,6 +1742,16 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY source
         |                            ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents) WHERE rk <= 3""".stripMargin,
+
+    // zipWithIndex over the (df desc, token) total order == row_number − 1
+    "q_vocabulary" ->
+      """WITH v AS (SELECT token, COUNT(*) AS df FROM (
+        |             SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents)
+        |           GROUP BY token HAVING COUNT(*) >= 5)
+        |SELECT token, df,
+        |       CAST(row_number() OVER (ORDER BY df DESC, token) - 1 AS BIGINT) AS id
+        |FROM v""".stripMargin,
 
     // per-doc DISTINCT shingles → document frequency → top-k
     "q_top_ngrams" ->

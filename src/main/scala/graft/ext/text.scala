@@ -177,6 +177,37 @@ object TextOps {
   def rollingHash(text: Column): Column =
     graft.functions.RollingHash.column(text)
 
+  /** Vocabulary builder — the tokenizer-prep step: distinct tokens with
+    * document frequency >= `minDf`, assigned contiguous ids in
+    * (df desc, token asc) order (id 0 = most frequent). Returns
+    * (token, df, id).
+    *
+    * The id assignment is a global total order — legitimate here because
+    * a vocabulary is bounded by the token universe (≪ corpus; cut further
+    * by `minDf`), not by corpus size. `orderBy` range-partitions the
+    * sorted vocab and `zipWithIndex` then numbers rows in partition order
+    * without collecting anything to the driver — the standard Spark idiom
+    * for "global consecutive ids over a sorted, bounded relation" (a
+    * single-partition window would serialize the same work through one
+    * task; monotonically_increasing_id leaves gaps).
+    */
+  def vocabulary(df: DataFrame, textCol: String, minDf: Long = 1L): DataFrame = {
+    val spark = df.sparkSession
+    val counted = df
+      .select(explode(array_distinct(tokens(col(textCol)))).alias("token"))
+      .groupBy("token").agg(count(lit(1)).alias("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("token"))
+    val schema = org.apache.spark.sql.types.StructType(
+      counted.schema.fields :+
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    spark.createDataFrame(
+      counted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema)
+  }
+
   /** Canonical text normalization for normalized-key dedup: lowercase,
     * non-alphanumerics → space, whitespace collapsed, trimmed — so
     * "Hello,  World!" and "hello world" dedup together. Pure codegen'd

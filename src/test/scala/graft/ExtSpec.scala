@@ -557,6 +557,16 @@ class ExtSpec extends AnyFunSuite {
     assert(out == Set((2L, "a"), (3L, "a"), (5L, "b")))
   }
 
+  test("vocabulary: contiguous ids in (df desc, token) order, minDf cut") {
+    val d = Seq(
+      (1L, "b a a c"), (2L, "a b"), (3L, "a z"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.vocabulary(d, "text", minDf = 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    // df: a=3 (per-doc distinct — doc 1 counts once), b=2, c=1, z=1
+    assert(out == List(("a", 3L, 0L), ("b", 2L, 1L)))
+  }
+
   test("topNgrams counts document frequency, not occurrences") {
     val d = Seq(
       (1L, "a b c a b c a b c"), // repeats "a b c" — still one vote

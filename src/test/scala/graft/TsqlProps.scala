@@ -1,0 +1,67 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck property behind the Tsql shim's core safety claim: on
+  * ANSI/Spark-dialect input containing NONE of the rewritten T-SQL forms
+  * (no GETDATE/ISNULL/LEN calls, no `[bracket]` identifiers, no string
+  * literal inside a `+` chain), `Tsql.rewrite` is the identity modulo
+  * whitespace. The generator builds expressions from the grammar the shim
+  * must pass through untouched: identifiers, numeric literals (integer,
+  * decimal, scientific, hex), non-numeric string literals OUTSIDE `+`
+  * chains (as comparison operands), arithmetic/comparison operators,
+  * nested parens and function calls.
+  */
+object TsqlProps extends Properties("tsql") {
+
+  private val ident: Gen[String] = for {
+    h <- Gen.alphaLowerChar
+    t <- Gen.listOfN(4, Gen.alphaNumChar)
+  } yield (h :: t).mkString
+
+  private val number: Gen[String] = Gen.oneOf(
+    Gen.choose(0, 99999).map(_.toString),
+    Gen.choose(0, 999).map(n => s"$n.${n % 97}"),
+    Gen.choose(1, 99).flatMap(m => Gen.choose(-9, 9).map(e => s"${m}.5e$e")),
+    Gen.choose(0, 0xffff).map(n => f"0x$n%x"))
+
+  // strings only appear as comparison operands (never in a + chain), and
+  // never numeric-looking, so the concat rewrite must not fire
+  private val strLit: Gen[String] =
+    Gen.listOfN(4, Gen.alphaLowerChar).map(cs => s"'x${cs.mkString}'")
+
+  private def expr(depth: Int): Gen[String] =
+    if (depth <= 0) Gen.oneOf(ident, number)
+    else Gen.frequency(
+      3 -> Gen.oneOf(ident, number),
+      2 -> (for {
+        a <- expr(depth - 1); b <- expr(depth - 1)
+        op <- Gen.oneOf("+", "-", "*", "/", "%")
+      } yield s"$a $op $b"),
+      1 -> (for {
+        a <- expr(depth - 1); s <- strLit
+        op <- Gen.oneOf("=", "<>", "<", ">=")
+      } yield s"$a $op $s"),
+      1 -> expr(depth - 1).map(e => s"($e)"),
+      1 -> (for {
+        f <- Gen.oneOf("abs", "upper", "coalesce", "length")
+        a <- expr(depth - 1)
+      } yield s"$f($a)"),
+      1 -> (for {
+        c <- expr(depth - 1); a <- expr(depth - 1); b <- expr(depth - 1)
+      } yield s"CASE WHEN $c > 0 THEN $a ELSE $b END"))
+
+  private def squash(s: String) = s.replaceAll("\\s+", "")
+
+  property("rewrite is whitespace-identity on ANSI-only expressions") =
+    forAll(Gen.choose(0, 3).flatMap(expr)) { e =>
+      squash(Tsql.rewrite(e)) == squash(e)
+    }
+
+  property("rewrite is idempotent on its own output") =
+    forAll(Gen.choose(0, 3).flatMap(expr)) { e =>
+      val once = Tsql.rewrite(e)
+      Tsql.rewrite(once) == once
+    }
+}

@@ -677,6 +677,14 @@ object SparkEntry {
     "q_vocabulary" -> ((s, dir) =>
       ext.TextOps.vocabulary(read(s, dir, "documents"), "text", minDf = 5L)),
 
+    // tokenizer-prep composite: encode every doc against that vocabulary
+    // (order-preserving id sequence, OOV → −1, broadcast vocab join)
+    "q_encode_docs" -> { (s, dir) =>
+      val docs = read(s, dir, "documents")
+      ext.TextOps.encode(docs, "doc_id", "text",
+        ext.TextOps.vocabulary(docs, "text", minDf = 5L))
+    },
+
     // PII redaction: deterministic synthetic PII appended per doc, then
     // scrubbed — email/IPv4/phone patterns chosen to evaluate identically
     // under Java regex (Spark) and RE2 (DuckDB)
@@ -1752,6 +1760,26 @@ object SparkEntry {
         |SELECT token, df,
         |       CAST(row_number() OVER (ORDER BY df DESC, token) - 1 AS BIGINT) AS id
         |FROM v""".stripMargin,
+
+    // vocab CTE + zipped unnest (token, position) + ordered string_agg;
+    // OOV coalesces to −1 exactly as the broadcast left join does
+    "q_encode_docs" ->
+      """WITH v AS (SELECT token,
+        |             CAST(row_number() OVER (ORDER BY df DESC, token) - 1
+        |                  AS BIGINT) AS id
+        |           FROM (SELECT token, COUNT(*) AS df FROM (
+        |                   SELECT DISTINCT doc_id,
+        |                          unnest(string_split(text, ' ')) AS token
+        |                   FROM documents)
+        |                 GROUP BY token HAVING COUNT(*) >= 5)),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+        |             unnest(range(len(string_split(text, ' ')))) AS pos
+        |      FROM documents)
+        |SELECT doc_id,
+        |       string_agg(CAST(COALESCE(v.id, -1) AS VARCHAR),
+        |                  ' ' ORDER BY pos) AS ids
+        |FROM t LEFT JOIN v USING (token)
+        |GROUP BY doc_id""".stripMargin,
 
     // per-doc DISTINCT shingles → document frequency → top-k
     "q_top_ngrams" ->

@@ -8,15 +8,16 @@ import org.apache.spark.sql.functions._
   * resize / frame-sample operators.
   *
   * The Spark-side plumbing — schema, partition sizing, per-partition batch
-  * iteration, output shapes — is real and tested, and so is the IMAGE
-  * codec: [[imageDecode]] decodes PNG/BMP/JPEG payloads with the JDK's
-  * `javax.imageio` (no external dependency) into a luminance-histogram
-  * feature vector. [[fakeDecode]] remains the default codec — it is the
-  * deterministic byte-level contract the DuckDB oracle reproduces in SQL,
-  * and the stand-in for the audio/video codecs this container has no
-  * libraries for. Codecs are pluggable per [[extractFeatures]] call;
-  * swapping in ffmpeg bindings is a one-function change, nothing else
-  * moves.
+  * iteration, output shapes — is real and tested, and so are the IMAGE
+  * and AUDIO codecs: [[imageDecode]] decodes PNG/BMP/JPEG payloads with
+  * the JDK's `javax.imageio` into a luminance-histogram feature vector,
+  * and [[audioDecode]] decodes WAV/AIFF PCM with `javax.sound.sampled`
+  * into per-slice RMS loudness (no external dependencies). [[fakeDecode]]
+  * remains the default codec — it is the deterministic byte-level
+  * contract the DuckDB oracle reproduces in SQL, and the stand-in for
+  * video, which has no JDK codec. Codecs are pluggable per
+  * [[extractFeatures]] call; swapping in ffmpeg bindings is a
+  * one-function change, nothing else moves.
   *
   * Scale: payloads dominate row size, so ops repartition by id range
   * before any wide transform, and feature extraction is `mapPartitions`
@@ -88,6 +89,62 @@ object Multimodal {
     }
     val n = (w.toLong * h).toFloat
     hist.map(c => c / n)
+  }
+
+  /** REAL audio codec on the JDK's `javax.sound.sampled` (WAV/AIFF PCM):
+    * decodes the payload, averages channels, and returns `dim` per-slice
+    * RMS energies of the normalized signal — the classic loudness-profile
+    * feature. Supports signed 16-bit and 8-bit PCM (the formats the JDK
+    * writes); anything else — or undecodable bytes — throws, so corrupt
+    * media is routed explicitly rather than embedded as garbage.
+    */
+  def audioDecode(payload: Array[Byte], dim: Int): Array[Float] = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        (fmt.getSampleSizeInBits == 16 || fmt.getSampleSizeInBits == 8),
+        s"unsupported audio format: $fmt")
+      val bytes = in.readAllBytes()
+      val ch = fmt.getChannels
+      val bps = fmt.getSampleSizeInBits / 8
+      val frameBytes = ch * bps
+      val n = bytes.length / frameBytes
+      val samples = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        var acc = 0.0
+        var c = 0
+        while (c < ch) {
+          val off = i * frameBytes + c * bps
+          val v =
+            if (bps == 2) {
+              val lo = bytes(off + (if (fmt.isBigEndian) 1 else 0)) & 0xff
+              val hi = bytes(off + (if (fmt.isBigEndian) 0 else 1)).toInt
+              ((hi << 8) | lo).toShort / 32768.0
+            } else bytes(off) / 128.0
+          acc += v
+          c += 1
+        }
+        samples(i) = acc / ch
+        i += 1
+      }
+      val out = new Array[Float](dim)
+      if (n == 0) return out
+      var b = 0
+      while (b < dim) {
+        val from = (b.toLong * n / dim).toInt
+        val to = math.max(from + 1, ((b + 1).toLong * n / dim).toInt)
+        var sq = 0.0
+        var j = from
+        while (j < math.min(to, n)) { sq += samples(j) * samples(j); j += 1 }
+        out(b) = math.sqrt(sq / math.max(1, math.min(to, n) - from)).toFloat
+        b += 1
+      }
+      out
+    } finally in.close()
   }
 
   /** Size partitions for payload-heavy rows: media payloads dominate row

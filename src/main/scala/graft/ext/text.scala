@@ -208,6 +208,27 @@ object TextOps {
       }, schema)
   }
 
+  /** Document encoding against a [[vocabulary]]: every token becomes its
+    * vocab id (out-of-vocabulary → −1), emitted as the space-joined id
+    * string — the doc → token-id-sequence step before a training job.
+    *
+    * Order is preserved explicitly: `collect_list` has no ordering
+    * guarantee after a shuffle, so ids ride in (position, id) structs and
+    * are sorted per doc before joining. The vocab side is a broadcast
+    * join (vocabularies are token-universe-bounded); the doc side stays
+    * embarrassingly parallel.
+    */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame =
+    df.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("pos", "token")))
+      .join(broadcast(vocab.select(col("token"), col("id"))), Seq("token"), "left")
+      .withColumn("tid", coalesce(col("id"), lit(-1L)))
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ",
+        expr("transform(sort_array(collect_list(struct(pos, tid))), " +
+          "x -> cast(x.tid as string))")).alias("ids"))
+
   /** Canonical text normalization for normalized-key dedup: lowercase,
     * non-alphanumerics → space, whitespace collapsed, trimmed — so
     * "Hello,  World!" and "hello world" dedup together. Pure codegen'd

@@ -567,6 +567,15 @@ class ExtSpec extends AnyFunSuite {
     assert(out == List(("a", 3L, 0L), ("b", 2L, 1L)))
   }
 
+  test("encode maps tokens to vocab ids in order, OOV to -1") {
+    val d = Seq((1L, "a b q a"), (2L, "q")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 5L, 0L), ("b", 3L, 1L)).toDF("token", "df", "id")
+    val out = TextOps.encode(d, "doc_id", "text", vocab)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "0 1 -1 0")
+    assert(out(2L) == "-1")
+  }
+
   test("topNgrams counts document frequency, not occurrences") {
     val d = Seq(
       (1L, "a b c a b c a b c"), // repeats "a b c" — still one vote

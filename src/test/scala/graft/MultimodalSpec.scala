@@ -111,6 +111,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ex.getMessage != null)
   }
 
+  test("real audio codec: WAV payloads decode to per-slice RMS loudness") {
+    import javax.sound.sampled._
+    // constant-amplitude 16-bit mono PCM: 16384/32768 = 0.5 exactly, so
+    // every RMS slice must be exactly 0.5
+    def wav(amplitude: Short, frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val data = new Array[Byte](frames * 2)
+      for (i <- 0 until frames) {
+        data(i * 2) = (amplitude & 0xff).toByte
+        data(i * 2 + 1) = ((amplitude >> 8) & 0xff).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val recs = Seq(
+      Multimodal.MMRecord(1L, "audio", wav(16384, 800), 0, 0, 100L),
+      Multimodal.MMRecord(2L, "audio", wav(8192, 800), 0, 0, 100L))
+    val out = Multimodal.extractFeatures(spark.createDataset(recs), dim = 8,
+        decode = Multimodal.audioDecode)
+      .collect().map(f => f.id -> f.features).toMap
+    assert(out(1L).length == 8 && out(1L).forall(_ == 0.5f))
+    assert(out(2L).forall(_ == 0.25f))
+    // corrupt payloads fail loudly through the same plumbing
+    val bad = spark.createDataset(Seq(
+      Multimodal.MMRecord(9L, "audio", Array[Byte](0, 1, 2), 0, 0, 0L)))
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(bad, dim = 8,
+        decode = Multimodal.audioDecode).collect()
+    }
+  }
+
   test("modality routing covers image/audio/video") {
     val mods = mm.toDF().select("modality").distinct()
       .collect().map(_.getString(0)).toSet

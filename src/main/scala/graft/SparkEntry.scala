@@ -412,6 +412,16 @@ object SparkEntry {
         .select("doc_id", "lang", "source")
     },
 
+    // dedup: quality-aware canonicalization — keep the LONGEST doc per
+    // near-dup cluster (n_chars desc, id tie-break), not the min-id one
+    "q_dedup_best" -> { (s, dir) =>
+      val docs = read(s, dir, "documents")
+      val pairs = ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.8)
+      ext.Dedup.canonicalizeBy(docs, "doc_id", pairs, "n_chars")
+        .select("doc_id", "n_chars", "source")
+    },
+
     // dedup: connected components via the DISTRIBUTED min-label loop
     // (driverEdgeLimit = 0 forces the 10M+-edge fallback path that a
     // 100 TB corpus would take), over exact Jaccard pairs on a doc subset;
@@ -1403,6 +1413,37 @@ object SparkEntry {
         |             GROUP BY d.doc_id)
         |SELECT d.doc_id, d.lang, d.source FROM documents d
         |JOIN clusters c ON d.doc_id = c.doc_id WHERE d.doc_id = c.cluster""".stripMargin,
+
+    // same closure as q_dedup_canonical, winner = argmax(n_chars) per
+    // cluster with id-ascending tie-break (row_number, not min)
+    "q_dedup_best" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i.i:i.i+2], ' ') AS s
+        |       FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) i
+        |       WHERE i.i <= len(t) - 2),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ic
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM inter
+        |          JOIN cnt ca ON ca.doc_id = a_id
+        |          JOIN cnt cb ON cb.doc_id = b_id
+        |          WHERE CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) >= 0.8),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (SELECT src AS a, dst AS b FROM edges
+        |          UNION
+        |          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |clusters AS (SELECT d.doc_id,
+        |                    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
+        |             FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+        |             GROUP BY d.doc_id),
+        |ranked AS (SELECT d.doc_id, d.n_chars, d.source,
+        |                  row_number() OVER (PARTITION BY c.cluster
+        |                    ORDER BY d.n_chars DESC, d.doc_id) AS rk
+        |           FROM documents d JOIN clusters c ON d.doc_id = c.doc_id)
+        |SELECT doc_id, n_chars, source FROM ranked WHERE rk = 1""".stripMargin,
 
     "q_cluster_distributed" ->
       """WITH RECURSIVE

@@ -478,6 +478,28 @@ object Dedup {
       .drop("id", "cluster")
   }
 
+  /** Quality-aware canonicalization: keep the HIGHEST-`scoreCol` doc per
+    * near-dup cluster (id ascending as the deterministic tie-break) —
+    * what production curation actually wants: when a doc has near-dups,
+    * keep the best copy, not the one that happened to arrive first.
+    *
+    * Scale: cluster labels come from the same pair-graph-sized machinery
+    * as [[canonicalize]]; picking the winner is one window over docs
+    * partitioned by cluster — clusters are small (that is what near-dup
+    * means), so no partition skew.
+    */
+  def canonicalizeBy(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String): DataFrame = {
+    val clusters = nearDupClusters(df.select(col(idCol)), idCol, pairs)
+    df.join(clusters, df(idCol) === clusters("id"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("cluster"))
+          .orderBy(col(scoreCol).desc, col(idCol))))
+      .filter(col("__rk") === 1)
+      .drop("id", "cluster", "__rk")
+  }
+
   // --------------------------------------------- benchmark decontamination
 
   /** Benchmark-contamination scores: per corpus doc, the fraction of its

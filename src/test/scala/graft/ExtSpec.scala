@@ -386,6 +386,21 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalizeBy keeps the best-scored doc per cluster, not the min id") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", 5L),
+      (4L, "the quick brown fox jumps over the lazy dog", 9L), // best copy
+      (7L, "isolated text with no duplicates anywhere here", 1L),
+    ).toDF("doc_id", "text", "quality")
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.8)
+    val kept = Dedup.canonicalizeBy(d, "doc_id", pairs, "quality")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(4L, 7L)) // min-id canonicalize would keep 1L
+    val minId = Dedup.canonicalize(d, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(minId == Set(1L, 7L))
+  }
+
   test("ngramJaccardAgainst: batch-vs-corpus pairs, corpus-side DF cap") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

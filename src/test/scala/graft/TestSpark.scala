@@ -11,6 +11,12 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // one JVM runs every suite (10k+ stages): without periodic GC the
+      // ContextCleaner never reclaims finished shuffles/broadcasts (default
+      // 30 min), and the accumulated state eventually starves Tungsten
+      // execution memory (UNABLE_TO_ACQUIRE_MEMORY deep into the run) —
+      // same guard Bench.scala carries for its 160-execution session
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -101,9 +101,18 @@ object Dedup {
     val b = withN.select(col(idCol).alias("b_id"), col("shingle").alias("sh_b"),
       col("n").alias("nb"))
     // hint: a 260k+-row build side must not be broadcast-collected to the
-    // driver; hash-partitioned join keeps both sides distributed
+    // driver; hash-partitioned join keeps both sides distributed.
+    // Length filter (PPJoin family): J(A,B) >= t implies
+    // t·|A| <= |B| <= |A|/t, so size-incompatible pairs drop at the join
+    // instead of surviving into the intersection count — result-identical,
+    // strictly less aggregation input. The 1-unit slack keeps the prune
+    // conservative under IEEE rounding: thresholds like 0.8 are not exact
+    // dyadics, and n·t_double can land a hair ABOVE the true t·n, which
+    // would wrongly drop an exactly-boundary pair (n=5,m=4,J=0.8).
     a.hint("shuffle_hash")
-      .join(b, col("sh_a") === col("sh_b") && col("a_id") < col("b_id"))
+      .join(b, col("sh_a") === col("sh_b") && col("a_id") < col("b_id") &&
+        col("nb") > col("na") * lit(threshold) - lit(1.0) &&
+        col("na") > col("nb") * lit(threshold) - lit(1.0))
       // na/nb are constant per (a_id, b_id) — grouping on them is free
       .groupBy("a_id", "b_id", "na", "nb").agg(count(lit(1)).alias("ic"))
       .withColumn("jaccard",
@@ -154,7 +163,10 @@ object Dedup {
           .select(col(idCol).alias("corpus_id"), col("shingle").alias("sh_b"),
             col("nb"))
     }
-    a.join(b, col("sh_a") === col("sh_b"))
+    // same PPJoin length filter (with rounding slack) as ngramJaccardPairs
+    a.join(b, col("sh_a") === col("sh_b") &&
+        col("nb") > col("na") * lit(threshold) - lit(1.0) &&
+        col("na") > col("nb") * lit(threshold) - lit(1.0))
       .groupBy("new_id", "corpus_id", "na", "nb")
       .agg(count(lit(1)).alias("ic"))
       .withColumn("jaccard",

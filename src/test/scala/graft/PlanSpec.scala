@@ -109,6 +109,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!fmt.contains("CartesianProduct") && !fmt.contains("BroadcastNestedLoop"))
   }
 
+  test("document encoding broadcasts the vocabulary side") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val enc = ext.TextOps.encode(docs, "doc_id", "text",
+      ext.TextOps.vocabulary(docs, "text", minDf = 5L))
+    assert(finalPlan(enc).contains("BroadcastHashJoin"))
+  }
+
   test("strict-merge key guard reuses the join shuffle (no extra Exchange)") {
     def exchanges(strict: Boolean): Int = {
       val dest = (1 to 500).map(i => (i, s"old$i")).toDF("k", "v")

@@ -671,6 +671,13 @@ object SparkEntry {
       Map("src0" -> 6.0, "src1" -> 1.0, "src2" -> 1.0), targetRows = 60L)
       .groupBy(col("source")).agg(count(lit(1)).alias("n_kept"))),
 
+    // deterministic train/val/test assignment: cumulative md5-hash bands,
+    // rows never migrate between splits as the corpus grows
+    "q_split_assign" -> ((s, dir) => ext.Sampling.assignSplits(
+      read(s, dir, "documents"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split")),
+
     // budgeted selection: k highest-scored docs per source (per-group
     // window, deterministic id tie-break — parallel across groups)
     "q_topk_per_source" -> ((s, dir) => ext.Sampling.topKPerGroup(
@@ -1784,6 +1791,17 @@ object SparkEntry {
         |               < lower(lpad(hex(CAST(floor(r.rate * 4294967296)
         |                                     AS BIGINT)), 8, '0')))
         |SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source""".stripMargin,
+
+    // thresholds interpolated from the SAME cumulative-sum arithmetic the
+    // operator runs (0.8, then 0.8 + 0.1 — bitwise-identical doubles)
+    "q_split_assign" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |            < '${ext.Sampling.thresholdHex(0.8)}' THEN 'train'
+         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |            < '${ext.Sampling.thresholdHex(0.8 + 0.1)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
 
     "q_topk_per_source" ->
       """SELECT doc_id, source, n_chars FROM (

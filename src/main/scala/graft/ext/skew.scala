@@ -113,6 +113,32 @@ object Sampling {
       idCol, sourceCol, rates)
   }
 
+  /** Deterministic train/val/test split assignment: each row gets the
+    * split whose cumulative md5-hash band its id falls in — reproducible
+    * across runs/engines (same md5-prefix contract as [[stratified]]), and
+    * a doc NEVER migrates between splits when the corpus grows (band
+    * membership depends only on the id). `splits` are (name, fraction)
+    * with fractions summing to 1; the last split is the catch-all band so
+    * rounding never drops a row. One narrow projection — no shuffle.
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0.0) &&
+      math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must be non-negative and sum to 1")
+    val h = substring(md5(col(idCol).cast("string")), 1, 8)
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val bands = splits.init.map(_._1).zip(cum.init)
+    val splitCol = bands match {
+      case Seq() => lit(splits.last._1)
+      case (n0, c0) +: rest =>
+        rest.foldLeft(when(h < lit(thresholdHex(c0)), n0)) {
+          case (acc, (n, c)) => acc.when(h < lit(thresholdHex(c)), n)
+        }.otherwise(splits.last._1)
+    }
+    df.withColumn("split", splitCol)
+  }
+
   /** Deterministic best-k rows per group by (`scoreCol` desc, `idCol` asc
     * tie-break) — budgeted selection ("keep the k highest-quality docs per
     * source"). One window partitioned by the group: work parallelizes

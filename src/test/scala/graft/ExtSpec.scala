@@ -561,6 +561,24 @@ class ExtSpec extends AnyFunSuite {
     assert(all.count() == 100)
   }
 
+  test("assignSplits: exhaustive, deterministic, stable as the corpus grows") {
+    val small = (1L to 400L).toDF("id")
+    val big = (1L to 4000L).toDF("id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s1 = ext.Sampling.assignSplits(small, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every row gets exactly one split; proportions in a loose band
+    assert(s1.size == 400)
+    val counts = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 280 && counts("train") < 360)
+    assert(counts.getOrElse("val", 0) + counts.getOrElse("test", 0) ==
+      400 - counts("train"))
+    // growth stability: the same id keeps its split in the bigger corpus
+    val s2 = ext.Sampling.assignSplits(big, "id", splits)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1.forall { case (id, sp) => s2(id) == sp })
+  }
+
   test("topKPerGroup: exact k per group, score-desc, id tie-break") {
     val d = Seq(
       (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 5L),

@@ -671,6 +671,23 @@ object SparkEntry {
       Map("src0" -> 6.0, "src1" -> 1.0, "src2" -> 1.0), targetRows = 60L)
       .groupBy(col("source")).agg(count(lit(1)).alias("n_kept"))),
 
+    // migration validation: diff a deterministically perturbed copy of
+    // orders against the original (drops, updates, and inserts all
+    // surfaced; NULL transitions counted via null-safe compare)
+    "q_table_diff" -> { (s, dir) =>
+      val base = read(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val cand = base
+        .filter(col("o_orderkey") % 97 =!= 0) // dropped rows → only_a
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 89 === 0, lit("X")) // changed rows
+            .otherwise(col("o_orderstatus")))
+        .unionByName(base.filter(col("o_orderkey") % 97 === 0) // re-keyed
+          .withColumn("o_orderkey", -col("o_orderkey")))       // → only_b
+      ext.Diff.tables(base, cand, Seq("o_orderkey"))
+        .filter(col("status") =!= "same")
+    },
+
     // deterministic train/val/test assignment: cumulative md5-hash bands,
     // rows never migrate between splits as the corpus grows
     "q_split_assign" -> ((s, dir) => ext.Sampling.assignSplits(
@@ -1791,6 +1808,31 @@ object SparkEntry {
         |               < lower(lpad(hex(CAST(floor(r.rate * 4294967296)
         |                                     AS BIGINT)), 8, '0')))
         |SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source""".stripMargin,
+
+    // full-outer on the key + null-safe IS DISTINCT FROM value compare
+    "q_table_diff" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |              FROM orders),
+        |cand AS (SELECT o_orderkey,
+        |                CASE WHEN o_orderkey % 89 = 0 THEN 'X'
+        |                     ELSE o_orderstatus END AS o_orderstatus,
+        |                o_totalprice
+        |         FROM base WHERE o_orderkey % 97 <> 0
+        |         UNION ALL
+        |         SELECT -o_orderkey, o_orderstatus, o_totalprice
+        |         FROM base WHERE o_orderkey % 97 = 0)
+        |SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |       CASE WHEN b.o_orderkey IS NULL THEN 'only_a'
+        |            WHEN a.o_orderkey IS NULL THEN 'only_b'
+        |            WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |              OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |            THEN 'changed' ELSE 'same' END AS status
+        |FROM base a FULL OUTER JOIN cand b ON a.o_orderkey = b.o_orderkey
+        |WHERE CASE WHEN b.o_orderkey IS NULL THEN 'only_a'
+        |           WHEN a.o_orderkey IS NULL THEN 'only_b'
+        |           WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+        |             OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+        |           THEN 'changed' ELSE 'same' END <> 'same'""".stripMargin,
 
     // thresholds interpolated from the SAME cumulative-sum arithmetic the
     // operator runs (0.8, then 0.8 + 0.1 — bitwise-identical doubles)

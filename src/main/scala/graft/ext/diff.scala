@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Table diff — the validation step after any migration/backfill the
+  * reference's mappings produce (`/root/reference/etl.js` migrates tables;
+  * nothing in its world verifies the result): key-wise comparison of two
+  * relations with the same schema, labeling every key `only_a`, `only_b`,
+  * `changed`, or `same`.
+  *
+  * Scale: one full-outer shuffle join on the keys — the minimal plan for a
+  * whole-relation comparison; value comparison is a codegen'd
+  * IS-DISTINCT-FROM chain (null-safe, so NULL→value and value→NULL count
+  * as changes and NULL==NULL does not).
+  */
+object Diff {
+
+  /** Diff `a` (baseline) vs `b` (candidate) on `keys`. Returns one row per
+    * key present in either side: (keys..., status). Both frames must have
+    * identical column sets; keys must be unique per side (enforce upstream
+    * with [[Dedup.exactRows]] where in doubt — a duplicated key would
+    * fan out the join and double-count).
+    */
+  def tables(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diff needs at least one key column")
+    require(a.columns.toSet == b.columns.toSet,
+      s"schemas differ: ${a.columns.toSet.diff(b.columns.toSet)} vs " +
+        s"${b.columns.toSet.diff(a.columns.toSet)}")
+    val nonKeys = a.columns.filterNot(keys.contains).toSeq
+    val al = a.alias("a").withColumn("__ap", lit(1))
+    val bl = b.alias("b").withColumn("__bp", lit(1))
+    val cond = keys.map(k => al(k) === bl(k)).reduce(_ && _)
+    val valueChanged: Column = nonKeys
+      .map(c => !(col(s"a.$c") <=> col(s"b.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    al.join(bl, cond, "full_outer")
+      .select(
+        keys.map(k => coalesce(col(s"a.$k"), col(s"b.$k")).alias(k)) :+
+          when(col("__bp").isNull, "only_a")
+            .when(col("__ap").isNull, "only_b")
+            .when(valueChanged, "changed")
+            .otherwise("same").alias("status"): _*)
+  }
+
+  /** Per-status counts — the one-line regression signal. */
+  def summary(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    tables(a, b, keys).groupBy(col("status"))
+      .agg(count(lit(1)).alias("n"))
+}

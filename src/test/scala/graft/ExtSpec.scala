@@ -561,6 +561,25 @@ class ExtSpec extends AnyFunSuite {
     assert(all.count() == 100)
   }
 
+  test("Diff.tables labels only_a/only_b/changed/same with null-safe compare") {
+    val a = Seq((1, Some("x"), 10), (2, None: Option[String], 20),
+      (3, Some("z"), 30), (4, Some("w"), 40)).toDF("k", "v", "n")
+    val b = Seq((1, Some("x"), 10), (2, Some("now"), 20),
+      (3, None: Option[String], 30), (5, Some("new"), 50)).toDF("k", "v", "n")
+    val out = ext.Diff.tables(a, b, Seq("k"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1 -> "same",
+      2 -> "changed",  // NULL -> value counts as a change
+      3 -> "changed",  // value -> NULL counts as a change
+      4 -> "only_a",
+      5 -> "only_b"))
+    val sum = ext.Diff.summary(a, b, Seq("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sum == Map("same" -> 1L, "changed" -> 2L,
+      "only_a" -> 1L, "only_b" -> 1L))
+  }
+
   test("assignSplits: exhaustive, deterministic, stable as the corpus grows") {
     val small = (1L to 400L).toDF("id")
     val big = (1L to 4000L).toDF("id")

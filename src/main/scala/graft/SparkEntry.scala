@@ -601,6 +601,26 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 7)))
     },
 
+    // capstone: the ENTIRE training-data path in one plan — gate →
+    // decontaminate → keep the longest doc per near-dup cluster → assign
+    // train/val/test splits → pack the train split into token-budget
+    // shards. Every stage is an already-oracled operator; this verifies
+    // their composition end to end.
+    "q_pipeline_full" -> { (s, dir) =>
+      val docs = read(s, dir, "documents")
+      val curated = ext.Curate.curateCorpusDecontam(
+        docs.filter(col("doc_id") % 10 =!= 7),
+        docs.filter(col("doc_id") % 10 === 7),
+        bestBy = Some("n_chars"))
+      val train = ext.Sampling.assignSplits(curated, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .filter(col("split") === "train")
+      val packed = ext.Packing.packByBudget(train, "doc_id", "n_chars",
+        budget = 20000L, groupCol = "source")
+      ext.Packing.shardStats(packed, "n_chars", budget = 20000L,
+        groupCol = "source")
+    },
+
     // stream-stream interval join, batch shape: the SAME operator
     // (EventStream.intervalJoinStream — watermarks are no-ops on batch
     // frames via EliminateEventTimeWatermark) over the events table;
@@ -1808,6 +1828,75 @@ object SparkEntry {
         |               < lower(lpad(hex(CAST(floor(r.rate * 4294967296)
         |                                     AS BIGINT)), 8, '0')))
         |SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source""".stripMargin,
+
+    // the q_curate_decontam closure with an argmax(n_chars) survivor pick,
+    // then the q_split_assign hash bands and the q_pack_shards window —
+    // one SQL statement replaying the whole composed pipeline
+    "q_pipeline_full" ->
+      s"""WITH RECURSIVE
+         |d AS (SELECT doc_id, text, source, n_chars,
+         |             string_split(text, ' ') AS t
+         |      FROM documents WHERE doc_id % 10 <> 7),
+         |f AS (SELECT doc_id, text, source, n_chars, t
+         |      FROM d
+         |      WHERE len(list_filter(t, x -> x IN (${TextStopSql.en}))) > 0
+         |        AND len(t) >= 20),
+         |bd AS (SELECT string_split(text, ' ') AS t FROM documents
+         |       WHERE doc_id % 10 = 7),
+         |bsh AS (SELECT DISTINCT array_to_string(t[i.i:i.i+2], ' ') AS s
+         |        FROM bd, (SELECT unnest(generate_series(1, 4000)) AS i) i
+         |        WHERE i.i <= len(t) - 2),
+         |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[i.i:i.i+2], ' ') AS s
+         |        FROM f, (SELECT unnest(generate_series(1, 4000)) AS i) i
+         |        WHERE i.i <= len(t) - 2),
+         |cont AS (SELECT f.doc_id, COUNT(sh0.s) AS n_sh,
+         |                COUNT(CASE WHEN sh0.s IN (SELECT s FROM bsh)
+         |                           THEN 1 END) AS n_hit
+         |         FROM f LEFT JOIN sh0 ON sh0.doc_id = f.doc_id
+         |         GROUP BY f.doc_id),
+         |clean AS (SELECT doc_id FROM cont
+         |          WHERE CASE WHEN n_sh = 0 THEN CAST(0 AS DOUBLE)
+         |                     ELSE CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE)
+         |                END <= 0.5),
+         |f2 AS (SELECT f.* FROM f JOIN clean USING (doc_id)),
+         |sh AS (SELECT sh0.* FROM sh0 JOIN clean USING (doc_id)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ic
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT a_id, b_id FROM inter
+         |          JOIN cnt ca ON ca.doc_id = a_id
+         |          JOIN cnt cb ON cb.doc_id = b_id
+         |          WHERE CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) >= 0.8),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (SELECT src AS a, dst AS b FROM edges
+         |          UNION
+         |          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |clusters AS (SELECT f2.doc_id,
+         |                    least(f2.doc_id, coalesce(min(r.b), f2.doc_id)) AS cluster
+         |             FROM f2 LEFT JOIN reach r ON r.a = f2.doc_id
+         |             GROUP BY f2.doc_id),
+         |ranked AS (SELECT f2.doc_id, f2.source, f2.n_chars,
+         |                  row_number() OVER (PARTITION BY c.cluster
+         |                    ORDER BY f2.n_chars DESC, f2.doc_id) AS rk
+         |           FROM f2 JOIN clusters c ON f2.doc_id = c.doc_id),
+         |train AS (SELECT doc_id, source, n_chars FROM ranked
+         |          WHERE rk = 1
+         |            AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+         |                < '${ext.Sampling.thresholdHex(0.8)}'),
+         |p AS (SELECT source, n_chars,
+         |        COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          - n_chars, 0) AS cumb
+         |      FROM train),
+         |s AS (SELECT source, CAST(FLOOR(cumb / 20000.0) AS BIGINT) AS shard,
+         |             n_chars
+         |      FROM p)
+         |SELECT source, shard, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_chars) AS BIGINT) AS shard_tokens,
+         |       CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / 20000.0 AS fill
+         |FROM s GROUP BY source, shard""".stripMargin,
 
     // full-outer on the key + null-safe IS DISTINCT FROM value compare
     "q_table_diff" ->

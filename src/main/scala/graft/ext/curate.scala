@@ -80,7 +80,8 @@ object Curate {
       minWords: Int = 20,
       shingleK: Int = 3,
       jaccardThreshold: Double = 0.8,
-      maxContamination: Double = 0.5): DataFrame = {
+      maxContamination: Double = 0.5,
+      bestBy: Option[String] = None): DataFrame = {
     val gated = gate(docs, textCol, minWords)
     val scores = Dedup.contaminationScores(gated, idCol, textCol,
       bench, benchTextCol, shingleK)
@@ -90,7 +91,12 @@ object Curate {
       .localCheckpoint()
     val pairs = Dedup.ngramJaccardPairs(clean, idCol, textCol,
       shingleK, jaccardThreshold).select("a_id", "b_id")
-    Dedup.canonicalize(clean, idCol, pairs)
+    // survivor policy: min id (the oracle-simplest default) or the
+    // highest-`bestBy` doc per cluster (what production curation wants)
+    bestBy match {
+      case Some(score) => Dedup.canonicalizeBy(clean, idCol, pairs, score)
+      case None        => Dedup.canonicalize(clean, idCol, pairs)
+    }
   }
 
   /** Per-source corpus stats over the curated set. */

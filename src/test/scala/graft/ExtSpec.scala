@@ -598,6 +598,17 @@ class ExtSpec extends AnyFunSuite {
     assert(s1.forall { case (id, sp) => s2(id) == sp })
   }
 
+  test("assignSplits edge: single split takes everything; encode handles empty text") {
+    val d = (1L to 50L).toDF("id")
+    val one = ext.Sampling.assignSplits(d, "id", Seq("all" -> 1.0))
+    assert(one.filter($"split" === "all").count() == 50)
+    // empty text tokenizes to [""] → one OOV token → "-1"
+    val docs = Seq((1L, "")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 1L, 0L)).toDF("token", "df", "id")
+    assert(TextOps.encode(docs, "doc_id", "text", vocab)
+      .head().getString(1) == "-1")
+  }
+
   test("topKPerGroup: exact k per group, score-desc, id tie-break") {
     val d = Seq(
       (1L, "a", 10L), (2L, "a", 30L), (3L, "a", 30L), (4L, "a", 5L),

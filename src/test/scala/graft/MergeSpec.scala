@@ -155,6 +155,19 @@ class MergeSpec extends AnyFunSuite {
       Seq((1, "a"), (2, "B"), (3, "c")))
   }
 
+  test("Merge.into bootstrap edge cases: updateOnly drops all, insertOnly inserts all") {
+    val catU = new InMemoryCatalog()
+    val tU = tm.copy(updateOnly = true)
+    // empty (bootstrapped) dest + updateOnly: nothing matches, nothing lands
+    val logU = Merge.into(catU, tU, Seq((1, "a")).toDF("sid", "sv"))
+    assert(logU.count() == 0 && catU.read("dest").count() == 0)
+    val catI = new InMemoryCatalog()
+    val tI = tm.copy(insertOnly = true)
+    val logI = Merge.into(catI, tI, Seq((1, "a"), (2, "b")).toDF("sid", "sv"))
+    assert(logI.filter(col(Merge.ActionCol) === "INSERT").count() == 2)
+    assert(catI.read("dest").count() == 2)
+  }
+
   test("randomized merge law vs executable spec") {
     val rnd = new scala.util.Random(42)
     for (_ <- 1 to 5) {

@@ -276,22 +276,19 @@ object Dedup {
 
   // ----------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash: per token hash, ±1 vote per bit position, sign of the
-    * per-position sum sets the output bit. One wide aggregation.
+  /** 64-bit SimHash: per token-occurrence hash, ±1 vote per bit position,
+    * sign of the per-position sum sets the output bit — computed in ONE
+    * narrow pass by the native codegen expression
+    * ([[graft.functions.SimHash64]]). The token multiset is row-local, so
+    * no explode, no 64-column aggregation, no shuffle: the signature
+    * build is embarrassingly parallel at any scale (the previous form
+    * shuffled every token row into a per-doc group; equivalence to that
+    * aggregation is asserted in ExtSpec).
     */
-  def simHash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol),
-      explode(TextOps.tokens(col(textCol))).alias("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { i =>
-      sum(when(expr(s"shiftright(h, $i) & 1") === 1, 1).otherwise(-1)).alias(s"__v$i")
-    }
-    val agg = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-    val bits = (0 until 64).map(i =>
-      when(col(s"__v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-    agg.select(col(idCol),
-      bits.reduce((a, b) => a.bitwiseOR(b)).alias("simhash"))
-  }
+  def simHash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.SimHash64.column(TextOps.tokens(col(textCol)))
+        .alias("simhash"))
 
   /** Engine-portable 32-bit SimHash: token hash = the 8 leading hex digits
     * of `md5(token)`, bit `i` read from hex digit `i/4` bit `i%4` — pure
@@ -324,9 +321,10 @@ object Dedup {
   def simHashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // no cache: both self-join sides are the same subplan, so the simhash
-    // aggregation's Exchange is computed once and reused (ReusedExchange) —
-    // caching would pin O(corpus) memory and leak across queries
+    // no cache: the signature build is a narrow projection (native
+    // SimHash64 expression), so recomputing it per self-join side costs a
+    // map pass, and the banded join's own Exchanges are reused — caching
+    // would pin O(corpus) memory and leak across queries
     val sh = simHash64(df, idCol, textCol)
     val banded = sh.select(col(idCol), col("simhash"),
       posexplode(expr(

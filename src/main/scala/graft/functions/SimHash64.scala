@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** 64-bit SimHash of a token array in ONE narrow pass — the same insight
+  * as [[MinHashSig]]: a document's token multiset is row-local, so the
+  * signature never needs an explode, a 64-column aggregation, or a
+  * shuffle (the previous form shuffled every token row to a per-doc
+  * group). Bit-identical to that aggregation: per token occurrence
+  * (duplicates vote — this is a multiset), hash = `xxhash64(token)`
+  * (seed 42, Spark's builtin), each bit votes ±1, sign of the vote sum
+  * sets the output bit (ties → 0, matching `sum > 0`).
+  *
+  * Null token elements are skipped (contribute nothing); a null array
+  * yields null via the standard null-safe eval.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(StringType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash64 requires ARRAY<STRING>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.hash(input.asInstanceOf[ArrayData])
+
+  // helper deliberately not named `eval` — see the WordShingles static-
+  // forwarder note (a class-shadowed companion method breaks codegen link)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64 {
+
+  /** Referenced from generated code (static forwarder must exist). */
+  def hash(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val s = tokens.getUTF8String(i)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  def column(tokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens)))
+}

@@ -45,6 +45,10 @@ object GraftFunctions {
       require(args.length == 2, "minhash_sig(shingles, numHashes)")
       MinHashSig(args.head, intLit(args(1), "minhash_sig", "numHashes"))
     },
+    "simhash64" -> { args =>
+      require(args.length == 1, "simhash64(tokens)")
+      SimHash64(args.head)
+    },
   )
 
   /** Register onto a live session (temp functions, session-scoped). */

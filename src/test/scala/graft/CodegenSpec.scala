@@ -32,6 +32,7 @@ class CodegenSpec extends AnyFunSuite {
           Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, -1.0, 0.0)), 2).alias("bk"),
         functions.MinHashSig.column(
           functions.WordShingles.column(col("text"), 2), 8).alias("mh"),
+        functions.SimHash64.column(split(col("text"), " ")).alias("sim"),
       ).collect()
       assert(rows(0).getSeq[String](0) === Seq("a b c", "b c d", "c d e"))
       assert(rows(0).getDouble(2) === 1.0 * 0.5 + 2.0 * 0.25 + 3.0 * 0.125)
@@ -45,6 +46,9 @@ class CodegenSpec extends AnyFunSuite {
         functions.WordShingles.shingles(
           org.apache.spark.unsafe.types.UTF8String.fromString("a b c d e"), 2), 8)
         .toLongArray().toSeq)
+      // simhash: nonzero, distinct across distinct token sets, and computed
+      // under CODEGEN_ONLY (the collect above would throw on fallback)
+      assert(rows(0).getLong(5) !== rows(1).getLong(5))
     }
   }
 
@@ -67,12 +71,14 @@ class CodegenSpec extends AnyFunSuite {
     val r = spark.sql(
       "SELECT word_shingles('a b c d', 2) AS sh, rolling_hash('abc') AS rh, " +
         "dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp, " +
-        "minhash_sig(word_shingles('a b c d', 2), 4) AS mh").head()
+        "minhash_sig(word_shingles('a b c d', 2), 4) AS mh, " +
+        "simhash64(array('a', 'b', 'a')) AS sim").head()
     assert(r.getSeq[String](0) === Seq("a b", "b c", "c d"))
     assert(r.getLong(1) ===
       functions.RollingHash.hash("abc".getBytes("UTF-8")))
     assert(r.getDouble(2) === 11.0)
     assert(r.getSeq[Long](3).length === 4)
+    assert(r.getLong(4) !== 0L)
 
     // the mapping DSL's SqlFunction operator reaches the natives too
     val tm = TableMapping("out", "src", Seq(

@@ -386,6 +386,28 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("native SimHash64 == the exploded 64-column vote aggregation") {
+    // cross-checks XXH64.hashUnsafeBytes+votes against Spark's builtin
+    // xxhash64 + shiftright arithmetic over real corpus text
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+    val fast = Dedup.simHash64(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tok = d.select($"doc_id", explode(TextOps.tokens($"text")).alias("tok"))
+      .withColumn("h", xxhash64($"tok"))
+    val votes = (0 until 64).map(i =>
+      sum(when(expr(s"shiftright(h, $i) & 1") === 1, 1).otherwise(-1))
+        .alias(s"__v$i"))
+    val agg = tok.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+    val bits = (0 until 64).map(i =>
+      when(col(s"__v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+    val slow = agg.select($"doc_id",
+        bits.reduce((a, b) => a.bitwiseOR(b)).alias("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow)
+    assert(fast.size == 100)
+  }
+
   test("canonicalizeBy keeps the best-scored doc per cluster, not the min id") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog", 5L),

@@ -128,8 +128,10 @@ object Dedup {
     * (new_id, corpus_id, jaccard) for jaccard >= threshold.
     *
     * `maxShingleDf` caps shingle document frequency measured over the
-    * CORPUS side (the side that grows without bound) — the skew guard for
-    * boilerplate shingles shared by millions of accumulated docs. At
+    * CORPUS side (the side that grows without bound) and removes the hot
+    * shingles from BOTH sides (totals recounted post-removal), so capped
+    * scores stay comparable to [[ngramJaccardPairs]]' symmetric cap — the
+    * skew guard for boilerplate shingles shared by millions of docs. At
     * 100 TB the corpus side is pre-shingled/pre-bucketed once and reused
     * across batches; the batch side is small, so AQE broadcasts it and
     * the accumulated corpus never reshuffles per batch.
@@ -138,30 +140,41 @@ object Dedup {
       newDf: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    // the new side never caps — its per-doc total is the narrow array
-    // size, no window shuffle (see ngramJaccardPairs on why that matters
-    // at scale); same for the corpus side unless the DF cap forces a
-    // post-removal recount
-    val a = newDf
-      .select(col(idCol), shingleArray(textCol, k).alias("__sh"))
-      .withColumn("na", size(col("__sh")).cast("long"))
-      .select(col(idCol).alias("new_id"), col("na"),
-        explode(col("__sh")).alias("sh_a"))
-    val b = maxShingleDf match {
+    // uncapped: per-doc totals are the narrow array size, no window
+    // shuffle (see ngramJaccardPairs on why that matters at scale).
+    // Capped: the hot-shingle list (measured over the CORPUS side, the
+    // side that grows without bound) is removed from BOTH sides and both
+    // totals are recounted post-removal — a one-sided cap would leave the
+    // batch side's hot shingles in `na` with no chance to match, so every
+    // capped Jaccard would be systematically deflated vs the symmetric
+    // batch-path scores and boundary near-dups could be missed.
+    val (a, b) = maxShingleDf match {
       case None =>
-        corpus.select(col(idCol), shingleArray(textCol, k).alias("__sh"))
-          .withColumn("nb", size(col("__sh")).cast("long"))
-          .select(col(idCol).alias("corpus_id"), col("nb"),
-            explode(col("__sh")).alias("sh_b"))
+        (newDf
+           .select(col(idCol), shingleArray(textCol, k).alias("__sh"))
+           .withColumn("na", size(col("__sh")).cast("long"))
+           .select(col(idCol).alias("new_id"), col("na"),
+             explode(col("__sh")).alias("sh_a")),
+         corpus.select(col(idCol), shingleArray(textCol, k).alias("__sh"))
+           .withColumn("nb", size(col("__sh")).cast("long"))
+           .select(col(idCol).alias("corpus_id"), col("nb"),
+             explode(col("__sh")).alias("sh_b")))
       case Some(cap) =>
         val cs0 = shingles(corpus, idCol, textCol, k)
         val hot = cs0.groupBy("shingle").agg(count(lit(1)).alias("df"))
           .filter(col("df") > cap).select("shingle")
-        cs0.join(broadcast(hot), Seq("shingle"), "left_anti")
+        val bc = cs0.join(broadcast(hot), Seq("shingle"), "left_anti")
           .withColumn("nb",
             count(lit(1)).over(Window.partitionBy(col(idCol))))
           .select(col(idCol).alias("corpus_id"), col("shingle").alias("sh_b"),
             col("nb"))
+        val ac = shingles(newDf, idCol, textCol, k)
+          .join(broadcast(hot), Seq("shingle"), "left_anti")
+          .withColumn("na",
+            count(lit(1)).over(Window.partitionBy(col(idCol))))
+          .select(col(idCol).alias("new_id"), col("shingle").alias("sh_a"),
+            col("na"))
+        (ac, bc)
     }
     // same PPJoin length filter (with rounding slack) as ngramJaccardPairs
     a.join(b, col("sh_a") === col("sh_b") &&

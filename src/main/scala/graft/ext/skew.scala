@@ -74,8 +74,12 @@ object Sampling {
     */
   def stratified(df: DataFrame, idCol: String, stratumCol: String,
       fractions: Map[String, Double]): DataFrame = {
+    // stratum keys are strings; cast the column so non-string strata (int
+    // source codes, …) match by their string form rather than relying on
+    // implicit coercion of the literal
     val cond = fractions.foldLeft(lit(true)) { case (acc, (stratum, frac)) =>
-      when(col(stratumCol) === lit(stratum), keep(idCol, frac)).otherwise(acc)
+      when(col(stratumCol).cast("string") === lit(stratum), keep(idCol, frac))
+        .otherwise(acc)
     }
     df.filter(cond)
   }
@@ -100,8 +104,11 @@ object Sampling {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       "mixture weights must be positive")
     val sumW = weights.values.sum
-    val counts = df.filter(col(sourceCol).isInCollection(weights.keys.toSeq))
-      .groupBy(col(sourceCol)).agg(count(lit(1)).alias("__n"))
+    // group on the key cast to string so non-string source columns (int
+    // source codes, …) work: weights/rates are string-keyed throughout
+    val counts = df.filter(col(sourceCol).cast("string").isInCollection(weights.keys.toSeq))
+      .groupBy(col(sourceCol).cast("string").alias("__src"))
+      .agg(count(lit(1)).alias("__n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val rates = weights.map { case (s, w) =>
       val n = counts.getOrElse(s, 0L)
@@ -109,7 +116,8 @@ object Sampling {
       // the cross-engine contract — the oracle repeats it verbatim
       s -> (if (n == 0L) 1.0 else math.min(1.0, w / sumW * targetRows / n))
     }
-    stratified(df.filter(col(sourceCol).isInCollection(weights.keys.toSeq)),
+    stratified(
+      df.filter(col(sourceCol).cast("string").isInCollection(weights.keys.toSeq)),
       idCol, sourceCol, rates)
   }
 
@@ -120,13 +128,20 @@ object Sampling {
     * membership depends only on the id). `splits` are (name, fraction)
     * with fractions summing to 1; the last split is the catch-all band so
     * rounding never drops a row. One narrow projection — no shuffle.
+    *
+    * A null id fails fast (`raise_error`) rather than hashing to null:
+    * null hashes make every band comparison null, which would silently
+    * drop unkeyed docs into the catch-all split (usually 'test'), skewing
+    * its fraction and leaking them into eval sets.
     */
   def assignSplits(df: DataFrame, idCol: String,
       splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 >= 0.0) &&
       math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split fractions must be non-negative and sum to 1")
-    val h = substring(md5(col(idCol).cast("string")), 1, 8)
+    val h = when(col(idCol).isNull, raise_error(
+        lit(s"assignSplits: null $idCol — split assignment needs a stable id")))
+      .otherwise(substring(md5(col(idCol).cast("string")), 1, 8))
     val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
     val bands = splits.init.map(_._1).zip(cum.init)
     val splitCol = bands match {

@@ -196,12 +196,14 @@ object Tsql {
   }
 
   /** A string literal whose content parses as a number ('1', '2.5e3'):
-    * `n + '1'` is valid Spark arithmetic via implicit cast, so a chain
-    * whose only literals look numeric is NOT treated as concatenation —
-    * rewriting it would silently turn addition into string concat.
-    * (Dialect divergence vs T-SQL, where `+` with a char operand is
-    * always concat; ported mappings adding numeric *strings* must cast
-    * explicitly. Chains with any non-numeric literal still rewrite.)
+    * `n + '1'` is valid Spark arithmetic via implicit cast, so a MIXED
+    * chain (columns + numeric-looking literals only) is NOT treated as
+    * concatenation — rewriting it would silently turn addition into
+    * string concat. (Dialect divergence vs T-SQL, where `+` with a char
+    * operand is always concat; ported mappings adding numeric *strings*
+    * to columns must cast explicitly. Chains with any non-numeric
+    * literal, or made of NOTHING BUT string literals — where concat is
+    * the only valid T-SQL reading — still rewrite.)
     */
   private def isNumericLiteral(raw: String): Boolean = {
     val body = raw.substring(1, math.max(1, raw.length - 1))
@@ -210,12 +212,18 @@ object Tsql {
 
   private def plusToConcat(slice: Vector[Tok]): Vector[Tok] = {
     val operands = splitTop(slice, "+")
-    val isStringChain = operands.length > 1 &&
+    // a chain whose operands are ALL bare string literals (no columns, no
+    // expressions) is unambiguous concat in T-SQL even when every literal
+    // looks numeric ('1' + '2' is '12', never 3) — arithmetic intent would
+    // have written numbers, not quoted strings
+    val allStringLits = operands.length > 1 &&
+      operands.forall(op => op.length == 1 && op.head.isInstanceOf[Str])
+    val isStringChain = allStringLits || (operands.length > 1 &&
       operands.forall(_.nonEmpty) &&
       operands.exists(_.exists {
         case Str(raw) => !isNumericLiteral(raw)
         case _        => false
-      })
+      }))
     if (isStringChain)
       Vector(Word("concat"), Group(
         operands.reduce((a, b) => a ++ Vector(Sym(",")) ++ b)))

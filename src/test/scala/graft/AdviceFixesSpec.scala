@@ -206,6 +206,70 @@ class AdviceFixesSpec extends AnyFunSuite {
 
   // --- r3 ADVICE: minhash_sig must not NPE on null shingle elements ---
 
+  // --- r4 ADVICE: ngramJaccardAgainst caps BOTH sides symmetrically ---
+
+  test("ngramJaccardAgainst DF cap removes hot shingles from the batch side too") {
+    import ext.Dedup
+    // every corpus doc ends with the same boilerplate shingle
+    // "copyright acme corp" (df 3 > cap 2); unique lead words keep the
+    // bridging shingles distinct per doc
+    val corpus = Seq(
+      (1L, "alpha beta gamma copyright acme corp"),
+      (2L, "delta epsilon zeta copyright acme corp"),
+      (3L, "eta theta iota copyright acme corp"),
+    ).toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha beta gamma copyright acme corp"))
+      .toDF("doc_id", "text") // exact dup of corpus doc 1
+    // asymmetric capping would count the boilerplate in na but never match
+    // it: J = 3/(4+3-3) = 0.75 and the exact dup is MISSED at 0.9;
+    // symmetric capping gives J = 3/3 = 1.0
+    val out = Dedup.ngramJaccardAgainst(batch, corpus, "doc_id", "text",
+        k = 3, threshold = 0.9, maxShingleDf = Some(2))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(out == Map((10L, 1L) -> 1.0))
+  }
+
+  // --- r4 ADVICE: all-string-literal `+` chains are unambiguous concat ---
+
+  test("tsql rewrites pure string-literal + chains even when numeric-looking") {
+    assert(Tsql.rewrite("'1' + '2'") == "concat('1', '2')")
+    assert(Tsql.rewrite("'1' + '2' + '3'") == "concat('1', '2', '3')")
+    // mixed column + numeric-string chains stay arithmetic (documented
+    // dialect divergence — rewriting could corrupt valid addition)
+    assert(Tsql.rewrite("n + '1'").replace(" ", "") == "n+'1'")
+    // and the SQL result is concat, not addition
+    assert(spark.sql(s"SELECT ${Tsql.rewrite("'1' + '2'")} AS c").head.getString(0)
+      == "12")
+  }
+
+  // --- r4 ADVICE: mixture works with non-string source columns ---
+
+  test("mixture accepts an int source column (keys matched by string form)") {
+    val d = (0 until 100).map(i => (i.toLong, i % 2)).toDF("doc_id", "src")
+    val out = ext.Sampling.mixture(d, "doc_id", "src",
+      Map("0" -> 1.0), targetRows = 1000)
+    // source 1 dropped (not in mixture); source 0 under-represented → all kept
+    val srcs = out.select("src").distinct().collect().map(_.getInt(0)).toSet
+    assert(srcs == Set(0))
+    assert(out.count() == 50)
+  }
+
+  // --- r4 ADVICE: assignSplits fails fast on null ids ---
+
+  test("assignSplits raises on a null id instead of leaking it into the last split") {
+    val d = Seq(Some("a"), Some("b"), None).toDF("id")
+    val splits = Seq("train" -> 0.8, "test" -> 0.2)
+    val ex = intercept[Exception] {
+      ext.Sampling.assignSplits(d, "id", splits).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("assignSplits")), ex)
+    // non-null ids still assign deterministically
+    val ok = ext.Sampling.assignSplits(d.na.drop(), "id", splits)
+    assert(ok.count() == 2)
+  }
+
   test("minhash_sig skips null shingle elements; all-null gives the empty signature") {
     functions.GraftFunctions.register(spark)
     val r = spark.sql(

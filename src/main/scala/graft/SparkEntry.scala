@@ -577,6 +577,33 @@ object SparkEntry {
           chunkChars = 120, overlap = 20)
         .select("doc_id", "chunk_id", "chunk_text")),
 
+    // line-level dedup (CCNet-style boilerplate removal): texts get
+    // deterministic 5-word lines (the corpus has no newlines), then lines
+    // shared by more than 2 docs are dropped and docs reassembled in line
+    // order — identical regex/split/agg chain in the oracle
+    "q_line_dedup" -> { (s, dir) =>
+      val lined = read(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), "((\\S+ ){4}\\S+) ", "$1\n").alias("t"))
+      ext.TextOps.dedupLines(lined, "doc_id", "t", maxDf = 2)
+    },
+
+    // quality: Gopher-style rule gate — per-rule measures, fixed-order
+    // fail-reason string, composite keep verdict; narrow per-row math
+    "q_gopher_quality" -> ((s, dir) => ext.TextOps.gopherGate(
+      read(s, dir, "documents"), "doc_id", "text")),
+
+    // keyword extraction: TF-IDF top-3 terms per doc (log-free score
+    // tf × N/df — two exactly-rounded IEEE ops, bit-identical cross-engine)
+    "q_tfidf" -> ((s, dir) => ext.TextOps.tfidfTopTerms(
+      read(s, dir, "documents"), "doc_id", "text", k = 3)),
+
+    // layout: Z-order clustering — native Morton-interleave expression,
+    // range-partition + sort by zvalue (the Delta OPTIMIZE ZORDER BY
+    // shape); the oracle rebuilds the bit interleave arithmetically
+    "q_zorder" -> ((s, dir) => ext.Layout.zorder(
+      read(s, dir, "lineitem"), "l_partkey", "l_suppkey", numPartitions = 8)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "zvalue")),
+
     // chunk → pack composite: the doc → context-window → training-shard
     // path; chunk chars re-measured per chunk, contiguous fill per source
     "q_chunk_pack" -> { (s, dir) =>
@@ -1719,6 +1746,91 @@ object SparkEntry {
         |                   / CAST(t.total AS DOUBLE)
         |       END AS rep_ratio
         |FROM t LEFT JOIN ds ON ds.doc_id = t.doc_id""".stripMargin,
+
+    // line dedup: same deterministic 5-word lining (RE2 '\1' backref ==
+    // Java '$1'), line document frequency, drop df > 2, reassemble with
+    // an ordered string_agg — all-boilerplate docs keep ''
+    "q_line_dedup" ->
+      ("""WITH d AS (SELECT doc_id,
+        |             regexp_replace(text, '((\S+ ){4}\S+) ', e'\\1\n', 'g') AS t
+        |           FROM documents),
+        |l AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
+        |x AS (SELECT doc_id, ls[i + 1] AS line, i AS pos
+        |      FROM (SELECT doc_id, ls, unnest(range(len(ls))) AS i FROM l)),
+        |hot AS (SELECT line
+        |        FROM (SELECT line, COUNT(DISTINCT doc_id) AS df FROM x GROUP BY 1)
+        |        WHERE df > 2),
+        |k AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
+        |      FROM x WHERE line NOT IN (SELECT line FROM hot) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(k.clean, '') AS text_clean
+        |FROM d LEFT JOIN k USING (doc_id)""").stripMargin,
+
+    // Gopher gate: every measure is integer counts + exactly-rounded IEEE
+    // division; fail_reasons is fixed-order string concatenation (no array
+    // collection), so the verdict is bit-identical cross-engine
+    "q_gopher_quality" ->
+      """WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |m AS (SELECT doc_id, text, len(w) AS n_words,
+        |        CAST(length(text) - len(w) + 1 AS DOUBLE)
+        |          / CAST(len(w) AS DOUBLE) AS mean_wlen,
+        |        len(list_filter(w, x -> x IN ('the','of','and','to','in','is',
+        |          'that','it','was','for'))) AS stop_hits,
+        |        CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |          / CAST(length(text) AS DOUBLE) AS symbol_ratio,
+        |        greatest(len(w) - 2, 0) AS total
+        |      FROM d),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |       FROM (SELECT doc_id, w,
+        |               unnest(range(greatest(len(w) - 2, 0))) AS i FROM d)),
+        |ds AS (SELECT doc_id, COUNT(*) AS nd FROM sh GROUP BY doc_id),
+        |r AS (SELECT m.*,
+        |        CASE WHEN m.total <= 0 THEN CAST(0 AS DOUBLE)
+        |             ELSE CAST(1 AS DOUBLE)
+        |                  - CAST(COALESCE(ds.nd, 0) AS DOUBLE)
+        |                    / CAST(m.total AS DOUBLE) END AS repetition
+        |      FROM m LEFT JOIN ds USING (doc_id)),
+        |f AS (SELECT doc_id, n_words, mean_wlen, stop_hits, symbol_ratio,
+        |        repetition,
+        |        (CASE WHEN n_words < 20 OR n_words > 80 THEN 'word_count;' ELSE '' END
+        |         || CASE WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 'mean_wlen;' ELSE '' END
+        |         || CASE WHEN stop_hits < 2 THEN 'stopwords;' ELSE '' END
+        |         || CASE WHEN symbol_ratio > 0.1 THEN 'symbols;' ELSE '' END
+        |         || CASE WHEN repetition > 0.2 THEN 'repetition;' ELSE '' END)
+        |          AS fail_reasons
+        |      FROM r)
+        |SELECT doc_id, n_words, mean_wlen, stop_hits, symbol_ratio, repetition,
+        |       fail_reasons, fail_reasons = '' AS keep
+        |FROM f""".stripMargin,
+
+    // TF-IDF: tf and df from one doc×term relation, score = tf × (N/df)
+    // (division then multiplication, both exactly rounded), rank by
+    // (score desc, term) per doc
+    "q_tfidf" ->
+      """WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf
+        |            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |                  FROM documents)
+        |            GROUP BY 1, 2),
+        |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id, term, tf, df,
+        |         CAST(tf AS DOUBLE)
+        |           * (CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+        |              / CAST(df AS DOUBLE)) AS score
+        |       FROM tf JOIN dfq USING (term)),
+        |rr AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                   ORDER BY score DESC, term) AS rnk FROM sc)
+        |SELECT doc_id, term, tf, df, score, rnk FROM rr WHERE rnk <= 3""".stripMargin,
+
+    // Z-order: Morton interleave rebuilt arithmetically — bit i of
+    // l_partkey lands at 2i, bit i of l_suppkey at 2i+1 (bits never
+    // overlap, so SUM == OR); layout-only ops (range partition + sort)
+    // don't change the multiset
+    "q_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  CAST((SELECT SUM((((CAST(l_partkey AS BIGINT) >> i) & 1) << (2 * i))
+        |               + (((CAST(l_suppkey AS BIGINT) >> i) & 1) << (2 * i + 1)))
+        |        FROM (SELECT unnest(range(32)) AS i)) AS BIGINT) AS zvalue
+        |FROM lineitem""".stripMargin,
 
     // chunking: substring windows every (chunkChars − overlap) chars,
     // always at least one chunk — char == byte on the ASCII corpus

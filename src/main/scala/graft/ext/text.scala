@@ -177,6 +177,114 @@ object TextOps {
   def rollingHash(text: Column): Column =
     graft.functions.RollingHash.column(text)
 
+  /** Line-level exact dedup (CCNet-style boilerplate removal): drop every
+    * line whose corpus-wide document frequency exceeds `maxDf` (navigation
+    * chrome, cookie banners, license footers — the lines shared by many
+    * pages), keep the rest in their original order. Emits
+    * (idCol, text_clean); a doc whose every line is boilerplate keeps an
+    * empty string (so downstream length gates can drop it explicitly).
+    *
+    * Scale: two shuffles, both inherent to the semantics — one hash-groupBy
+    * keyed on the line to count document frequency, one by doc id to
+    * reassemble. The hot-line list is only lines with df > maxDf (chrome is
+    * a tiny fraction of distinct lines), so it broadcasts; line order rides
+    * in (pos, line) structs because `collect_list` has no ordering
+    * guarantee after a shuffle.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Int, sep: String = "\n"): DataFrame = {
+    require(maxDf >= 1, "maxDf must be >= 1")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), sep)).as(Seq("__pos", "__line")))
+    val hot = lines.groupBy("__line")
+      .agg(countDistinct(col(idCol)).alias("__df"))
+      .filter(col("__df") > maxDf).select("__line")
+    val kept = lines.join(broadcast(hot), Seq("__line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        expr("transform(sort_array(collect_list(struct(__pos, __line))), " +
+          "x -> x.__line)"), sep).alias("__clean"))
+    df.select(col(idCol)).join(kept, Seq(idCol), "left")
+      .withColumn("text_clean", coalesce(col("__clean"), lit("")))
+      .select(col(idCol), col("text_clean"))
+  }
+
+  /** Gopher-style quality gate (Rae et al. 2021, §A1.1 heuristics adapted
+    * to the single-space documents contract): per-doc rule measures, the
+    * concatenated fixed-order list of failed rules, and the composite
+    * `keep` verdict. Rules:
+    *   - `word_count`:  minWords <= n_words <= maxWords
+    *   - `mean_wlen`:   3 <= mean word length <= 10
+    *   - `stopwords`:   >= minStopHits English stopword occurrences
+    *   - `symbols`:     non-[a-z0-9 ] character ratio <= maxSymbolRatio
+    *   - `repetition`:  duplicate word-3-gram ratio <= maxRepetition
+    * All narrow per-row builtin math (one pass, codegen'd, no shuffle);
+    * `fail_reasons` uses fixed-order concatenation rather than array
+    * collection so the output is bit-identical in any engine.
+    */
+  def gopherGate(df: DataFrame, idCol: String, textCol: String,
+      minWords: Long = 20L, maxWords: Long = 80L,
+      minStopHits: Long = 2L, maxSymbolRatio: Double = 0.1,
+      maxRepetition: Double = 0.2): DataFrame = {
+    val text = col(textCol)
+    val nWords = size(tokens(text)).cast("long")
+    // single-space contract: total word chars = len − (n_words − 1)
+    val meanWlen = (length(text) - nWords + lit(1)).cast("double") /
+      nWords.cast("double")
+    val stopHits = stopwordHits(s"split(`$textCol`, ' ')", "en").cast("long")
+    val symRatio = length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double") /
+      length(text).cast("double")
+    val rep = repetitionRatio(textCol, 3)
+    val reasons = concat(
+      when(nWords < minWords || nWords > maxWords, "word_count;").otherwise(""),
+      when(meanWlen < 3.0 || meanWlen > 10.0, "mean_wlen;").otherwise(""),
+      when(stopHits < minStopHits, "stopwords;").otherwise(""),
+      when(symRatio > maxSymbolRatio, "symbols;").otherwise(""),
+      when(rep > maxRepetition, "repetition;").otherwise(""))
+    df.select(col(idCol),
+      nWords.alias("n_words"),
+      meanWlen.alias("mean_wlen"),
+      stopHits.alias("stop_hits"),
+      symRatio.alias("symbol_ratio"),
+      rep.alias("repetition"),
+      reasons.alias("fail_reasons"),
+      (reasons === lit("")).alias("keep"))
+  }
+
+  /** TF-IDF top-`k` terms per document — keyword extraction over the
+    * corpus. `score = tf × (N / df)` with N the corpus document count:
+    * deliberately log-free, so the score is two exactly-rounded IEEE ops
+    * and reproducible bit-for-bit in any engine (log implementations may
+    * differ in the last ulp; the ranking is the same either way since
+    * log is monotone). Emits (idCol, term, tf, df, score, rnk).
+    *
+    * Scale: tf is one explode + hash-groupBy on (doc, term); df reuses
+    * the tf relation (already one row per doc×term) with a groupBy on
+    * term; the df side is vocabulary-bounded, so AQE broadcasts the join
+    * back. The ranking window partitions by doc — parallel across docs,
+    * never a global sort. The single `count()` action for N is one
+    * scalar, the same driver-safe shape as [[graft.ext.Sampling.mixture]]'s
+    * per-source counts.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    val n = df.count()
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).alias("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).alias("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).alias("df"))
+    tf.join(dfreq, "term")
+      .withColumn("score",
+        col("tf").cast("double") * (lit(n.toDouble) / col("df").cast("double")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("score").desc, col("term"))))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rnk"))
+  }
+
   /** Vocabulary builder — the tokenizer-prep step: distinct tokens with
     * document frequency >= `minDf`, assigned contiguous ids in
     * (df desc, token asc) order (id 0 = most frequent). Returns

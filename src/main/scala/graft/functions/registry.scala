@@ -49,6 +49,10 @@ object GraftFunctions {
       require(args.length == 1, "simhash64(tokens)")
       SimHash64(args.head)
     },
+    "z_interleave" -> { args =>
+      require(args.length == 2, "z_interleave(x, y)")
+      ZInterleave(args.head, args(1))
+    },
   )
 
   /** Register onto a live session (temp functions, session-scoped). */

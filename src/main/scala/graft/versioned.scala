@@ -1,0 +1,148 @@
+package graft
+
+import java.io.File
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned parquet catalog with an append-only transaction log — the
+  * runnable Delta-style production-mapping story the swap catalogs stand
+  * in for (`ParquetCatalog`/`BucketedCatalog` give crash-safe LATEST-only
+  * tables; this adds history, time travel, and snapshot-isolated readers).
+  *
+  * Layout per table under `root/<table>/`:
+  *   - `data/<uuid>/…parquet`  — immutable data directories, never rewritten
+  *   - `_log/<version 20-digit>.json` — one commit per file:
+  *     `{"version":N,"action":"overwrite"|"append","path":"data/<uuid>"}`
+  *
+  * Commit protocol (single-filesystem putIfAbsent, the same shape Delta
+  * uses on HDFS/local and emulates with a commit service on S3):
+  *   1. write the new data directory (invisible — nothing references it);
+  *   2. reserve the next version with an atomic `createNewFile` — losing a
+  *      race just means retrying with version+1, never clobbering;
+  *   3. move the JSON content over the reserved file.
+  * Readers only trust parseable log entries, so the empty reserved file
+  * during step 3 (or after a crash between 2 and 3) is invisible; a
+  * crashed commit's data directory is orphaned garbage, removed by
+  * [[vacuum]], never corruption. Snapshot isolation falls out of
+  * immutability: a reader that resolved version N keeps reading N's files
+  * no matter how many commits land afterwards.
+  *
+  * An `append` entry chains on the versions before it; `read` resolves a
+  * version to the data directories from its most recent `overwrite`
+  * forward. `Catalog.write` maps to `overwrite` (full-snapshot commit), so
+  * [[PipelineRunner]] and [[Merge.into]] run over this catalog unchanged —
+  * every merge pass becomes a time-travelable version.
+  */
+final class VersionedCatalog(spark: SparkSession, root: String) extends Catalog {
+
+  private case class Entry(version: Long, action: String, path: String)
+
+  private def tableDir(name: String) = new File(root, name)
+  private def logDir(name: String) = new File(tableDir(name), "_log")
+
+  private def parse(f: File): Option[Entry] = {
+    def field(s: String, k: String): Option[String] = {
+      val m = ("\"" + k + "\":\"?([^\",}]*)\"?").r
+      m.findFirstMatchIn(s).map(_.group(1))
+    }
+    try {
+      val s = new String(Files.readAllBytes(f.toPath), UTF_8).trim
+      if (!(s.startsWith("{") && s.endsWith("}"))) None
+      else for {
+        v <- field(s, "version"); a <- field(s, "action"); p <- field(s, "path")
+      } yield Entry(v.toLong, a, p)
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Committed (parseable) log entries, version-ascending. */
+  private def entries(name: String): Seq[Entry] = {
+    val ld = logDir(name)
+    if (!ld.isDirectory) Seq.empty
+    else ld.listFiles((_, n) => n.endsWith(".json")).toSeq
+      .flatMap(parse).sortBy(_.version)
+  }
+
+  /** Committed versions, ascending. */
+  def versions(name: String): Seq[Long] = entries(name).map(_.version)
+
+  def exists(name: String): Boolean = entries(name).nonEmpty
+
+  /** Data directories backing `version`: its most recent `overwrite` plus
+    * every later `append` up to and including `version`.
+    */
+  private def chain(name: String, version: Long): Seq[File] = {
+    val upTo = entries(name).filter(_.version <= version)
+    require(upTo.exists(_.version == version),
+      s"table $name has no committed version $version " +
+        s"(have: ${versions(name).mkString(", ")})")
+    val lastOverwrite = upTo.lastIndexWhere(_.action == "overwrite")
+    require(lastOverwrite >= 0, s"table $name: version $version has no base overwrite")
+    upTo.drop(lastOverwrite).map(e => new File(tableDir(name), e.path))
+  }
+
+  /** Latest committed snapshot. */
+  def read(name: String): DataFrame = {
+    val vs = versions(name)
+    require(vs.nonEmpty, s"table $name does not exist")
+    readVersion(name, vs.last)
+  }
+
+  /** Time travel: the table exactly as committed at `version`. */
+  def readVersion(name: String, version: Long): DataFrame =
+    spark.read.parquet(chain(name, version).map(_.toString): _*)
+
+  private def commit(name: String, df: DataFrame, action: String): Long = {
+    val rel = s"data/${java.util.UUID.randomUUID().toString.take(12)}"
+    val dataDir = new File(tableDir(name), rel)
+    df.write.mode("errorifexists").parquet(dataDir.toString)
+    val ld = logDir(name)
+    ld.mkdirs()
+    var v = versions(name).lastOption.getOrElse(-1L) + 1
+    var reserved = new File(ld, f"$v%020d.json")
+    while (!reserved.createNewFile()) { v += 1; reserved = new File(ld, f"$v%020d.json") }
+    val tmp = new File(ld, s".tmp-${reserved.getName}")
+    Files.write(tmp.toPath,
+      s"""{"version":$v,"action":"$action","path":"$rel"}""".getBytes(UTF_8))
+    Files.move(tmp.toPath, reserved.toPath, StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** Full-snapshot commit (the [[Catalog]] contract). */
+  def write(name: String, df: DataFrame): Unit = commit(name, df, "overwrite")
+
+  /** Incremental commit: new rows chain onto the current snapshot without
+    * rewriting it — the 100 TB ingestion shape (a day's crawl is one new
+    * data directory, not a copy of the accumulated corpus).
+    */
+  def append(name: String, df: DataFrame): Unit = commit(name, df, "append")
+
+  /** Drop history: keep the last `keepLast` versions (and the older log
+    * entries their chains still reference), delete every unreferenced
+    * data directory — including orphans from crashed commits — and every
+    * log entry older than the oldest surviving chain.
+    */
+  def vacuum(name: String, keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val es = entries(name)
+    if (es.isEmpty) return
+    val retainedVersions = es.map(_.version).takeRight(keepLast)
+    val needed = retainedVersions.flatMap(chain(name, _)).toSet
+    val chainStart = retainedVersions
+      .map(v => chain(name, v).length match {
+        case n => es.filter(_.version <= v).takeRight(n).head.version
+      }).min
+    def deleteRec(f: File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete()
+    }
+    val dataRoot = new File(tableDir(name), "data")
+    Option(dataRoot.listFiles()).getOrElse(Array.empty)
+      .filter(d => !needed.contains(d)).foreach(deleteRec)
+    Option(logDir(name).listFiles((_, n) => n.endsWith(".json")))
+      .getOrElse(Array.empty)
+      .filter(f => parse(f).forall(_.version < chainStart))
+      .foreach(deleteRec)
+  }
+}

@@ -33,6 +33,7 @@ class CodegenSpec extends AnyFunSuite {
         functions.MinHashSig.column(
           functions.WordShingles.column(col("text"), 2), 8).alias("mh"),
         functions.SimHash64.column(split(col("text"), " ")).alias("sim"),
+        functions.ZInterleave.column(col("id"), col("id") * 2).alias("z"),
       ).collect()
       assert(rows(0).getSeq[String](0) === Seq("a b c", "b c d", "c d e"))
       assert(rows(0).getDouble(2) === 1.0 * 0.5 + 2.0 * 0.25 + 3.0 * 0.125)
@@ -49,6 +50,9 @@ class CodegenSpec extends AnyFunSuite {
       // simhash: nonzero, distinct across distinct token sets, and computed
       // under CODEGEN_ONLY (the collect above would throw on fallback)
       assert(rows(0).getLong(5) !== rows(1).getLong(5))
+      // z_interleave(1, 2): bit0 of x → pos 0, bit1 of y → pos 3 = 9
+      assert(rows(0).getLong(6) === 9L)
+      assert(rows(1).getLong(6) === functions.ZInterleave.morton(2L, 4L))
     }
   }
 

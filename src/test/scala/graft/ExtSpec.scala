@@ -674,6 +674,92 @@ class ExtSpec extends AnyFunSuite {
     assert(out.length == 3 && out(2)._2 == 1L)
   }
 
+  test("dedupLines drops corpus-hot lines, keeps order, empties all-boilerplate docs") {
+    val d = Seq(
+      (1L, "cookie banner\nunique alpha\ncookie banner\nfooter text"),
+      (2L, "unique beta\ncookie banner\nfooter text"),
+      (3L, "footer text\ncookie banner"),
+      (4L, "cookie banner"), // nothing but boilerplate
+    ).toDF("doc_id", "text")
+    // df('cookie banner') = 4 docs, df('footer text') = 3 — both > 2;
+    // maxDf = 2 removes them everywhere, uniques survive in order
+    val out = TextOps.dedupLines(d, "doc_id", "text", maxDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(
+      1L -> "unique alpha", 2L -> "unique beta", 3L -> "", 4L -> ""))
+    // maxDf = 4: nothing is hot, texts round-trip (incl. in-doc repeats)
+    val same = TextOps.dedupLines(d, "doc_id", "text", maxDf = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(same(1L) == "cookie banner\nunique alpha\ncookie banner\nfooter text")
+  }
+
+  test("dedupLines preserves order across many lines (collect_list is sorted)") {
+    val text = (0 until 50).map(i => s"line$i").mkString("\n")
+    val d = Seq((1L, text)).toDF("doc_id", "text")
+    val out = TextOps.dedupLines(d.repartition(8), "doc_id", "text", maxDf = 1)
+      .head().getString(1)
+    assert(out == text)
+  }
+
+  test("gopherGate: rule measures, fixed-order fail reasons, keep verdict") {
+    val good = "the cat sat on the mat and it was very happy " +
+      "with all of the warm sun that came in through the window today"
+    val d = Seq(
+      (1L, good),                     // passes everything
+      (2L, "tiny doc"),               // word_count + stopwords
+      (3L, ("spam phrase " * 30).trim), // repetition (+ passes words)
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherGate(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(6), r.getBoolean(7)))).toMap
+    assert(out(1L) == (("", true)))
+    assert(out(2L)._1.contains("word_count;") && out(2L)._1.contains("stopwords;"))
+    assert(!out(2L)._2)
+    assert(out(3L)._1 == "stopwords;repetition;" && !out(3L)._2)
+  }
+
+  test("tfidfTopTerms: rare terms outrank common ones, k bound, exact scores") {
+    val d = Seq(
+      (1L, "common common rare"),
+      (2L, "common other"),
+      (3L, "common other"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(d, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getInt(5)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._6)
+    // doc 1: rare tf=1 df=1 → 3.0; common tf=2 df=3 → 2.0
+    assert(doc1.map(t => (t._2, t._5)).toSeq == Seq(("rare", 3.0), ("common", 2.0)))
+    assert(out.count(_._1 == 2L) == 2 && out.length == 6)
+  }
+
+  test("zorder: zvalue is the Morton interleave; partitions are sorted ranges") {
+    val d = (0 until 256).map(i => (i.toLong, (i * 7) % 16, (i * 13) % 16))
+      .toDF("id", "x", "y")
+    val out = ext.Layout.zorder(d, "x", "y", numPartitions = 4)
+    // exact interleave per row
+    out.collect().foreach { r =>
+      val (x, y, z) = (r.getInt(1), r.getInt(2), r.getLong(3))
+      assert(z == functions.ZInterleave.morton(x.toLong, y.toLong))
+      // and the arithmetic definition, bit by bit
+      val expected = (0 until 32).map(i =>
+        (((x.toLong >> i) & 1L) << (2 * i)) | (((y.toLong >> i) & 1L) << (2 * i + 1)))
+        .reduce(_ | _)
+      assert(z == expected)
+    }
+    // range partitioning: per-partition zvalue spans don't interleave, and
+    // each partition is internally sorted (tight min/max footer stats)
+    val parts = out.select("zvalue").rdd
+      .mapPartitions(it => Iterator.single(it.map(_.getLong(0)).toSeq))
+      .collect().filter(_.nonEmpty)
+    parts.foreach(p => assert(p == p.sorted))
+    val spans = parts.map(p => (p.min, p.max)).sortBy(_._1)
+    spans.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo)
+      case _ =>
+    }
+  }
+
   test("LSH top-k recall vs brute force >= 60% on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 10)

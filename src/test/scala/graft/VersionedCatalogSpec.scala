@@ -1,0 +1,115 @@
+package graft
+
+import java.io.File
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** VersionedCatalog: transaction log, time travel, append chains, the
+  * crash-window commit protocol, vacuum, and the Merge.into integration
+  * (every merge pass becomes a time-travelable version).
+  */
+class VersionedCatalogSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def freshCat() = {
+    val dir = Files.createTempDirectory("graft-vcat").toString
+    (new VersionedCatalog(spark, dir), dir)
+  }
+
+  test("write → read round-trips; overwrites keep full history") {
+    val (cat, _) = freshCat()
+    assert(!cat.exists("t"))
+    cat.write("t", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    cat.write("t", Seq((1, "A")).toDF("k", "v"))
+    assert(cat.exists("t"))
+    assert(cat.versions("t") === Seq(0L, 1L))
+    assert(cat.read("t").collect().map(r => (r.getInt(0), r.getString(1)))
+      === Array((1, "A")))
+    // time travel: version 0 is still exactly the first snapshot
+    assert(cat.readVersion("t", 0L).orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1))) === Array((1, "a"), (2, "b")))
+  }
+
+  test("append chains onto the latest snapshot without rewriting it") {
+    val (cat, dir) = freshCat()
+    cat.write("t", Seq((1, "a")).toDF("k", "v"))
+    cat.append("t", Seq((2, "b")).toDF("k", "v"))
+    cat.append("t", Seq((3, "c")).toDF("k", "v"))
+    assert(cat.read("t").orderBy("k").collect().map(_.getInt(0)) === Array(1, 2, 3))
+    // each version reads as-of: v1 has rows 1..2
+    assert(cat.readVersion("t", 1L).count() === 2)
+    // a later overwrite starts a fresh chain — appends before it invisible
+    cat.write("t", Seq((9, "z")).toDF("k", "v"))
+    assert(cat.read("t").collect().map(_.getInt(0)) === Array(9))
+    assert(cat.readVersion("t", 2L).count() === 3)
+    // data dirs are immutable: 4 commits → 4 data directories
+    assert(new File(dir, "t/data").listFiles().length === 4)
+  }
+
+  test("snapshot isolation: a resolved reader is unaffected by later commits") {
+    val (cat, _) = freshCat()
+    cat.write("t", Seq((1, "a")).toDF("k", "v"))
+    val pinned = cat.read("t") // resolves version 0's file list lazily
+    cat.write("t", Seq((2, "b")).toDF("k", "v"))
+    assert(pinned.collect().map(_.getInt(0)) === Array(1))
+    assert(cat.read("t").collect().map(_.getInt(0)) === Array(2))
+  }
+
+  test("crash window: an empty reserved log file is invisible and self-heals") {
+    val (cat, dir) = freshCat()
+    cat.write("t", Seq((1, "a")).toDF("k", "v"))
+    // simulate a writer that crashed between reservation and content move
+    val stale = new File(dir, f"t/_log/${1L}%020d.json")
+    assert(stale.createNewFile())
+    assert(cat.versions("t") === Seq(0L)) // unparseable entry ignored
+    assert(cat.read("t").count() === 1)
+    // the next commit skips the stale reservation rather than clobbering it
+    cat.write("t", Seq((2, "b")).toDF("k", "v"))
+    assert(cat.versions("t") === Seq(0L, 2L))
+    assert(cat.read("t").collect().map(_.getInt(0)) === Array(2))
+  }
+
+  test("corrupt log content is ignored, committed versions still readable") {
+    val (cat, dir) = freshCat()
+    cat.write("t", Seq((1, "a")).toDF("k", "v"))
+    Files.write(new File(dir, f"t/_log/${7L}%020d.json").toPath,
+      "not json at all".getBytes(UTF_8))
+    assert(cat.versions("t") === Seq(0L))
+    assert(cat.read("t").count() === 1)
+  }
+
+  test("vacuum drops unreferenced data dirs and history before the kept chain") {
+    val (cat, dir) = freshCat()
+    cat.write("t", (1 to 3).map(i => (i, s"v$i")).toDF("k", "v")) // v0
+    cat.write("t", Seq((4, "x")).toDF("k", "v"))                  // v1
+    cat.append("t", Seq((5, "y")).toDF("k", "v"))                 // v2
+    // keep the last 2 versions: v2's chain starts at v1's overwrite, so
+    // v0's data dir and log entry go, v1's survive (v2 references them)
+    cat.vacuum("t", keepLast = 2)
+    assert(cat.versions("t") === Seq(1L, 2L))
+    assert(new File(dir, "t/data").listFiles().length === 2)
+    assert(cat.read("t").orderBy("k").collect().map(_.getInt(0)) === Array(4, 5))
+    assert(cat.readVersion("t", 1L).count() === 1)
+    intercept[IllegalArgumentException] { cat.readVersion("t", 0L) }
+  }
+
+  test("Merge.into over a VersionedCatalog: every pass is a time-travelable version") {
+    val (cat, _) = freshCat()
+    val tm = TableMapping(
+      destination = "users", source = "src", useMerge = true,
+      columns = Seq("k" -> MergeOn("sid"), "v" -> DirectCopy("sv")))
+    Merge.into(cat, tm, Seq((1, "a"), (2, "b")).toDF("sid", "sv"))
+    Merge.into(cat, tm, Seq((2, "B"), (3, "c")).toDF("sid", "sv"))
+    assert(cat.versions("users") === Seq(0L, 1L))
+    assert(cat.read("users").orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1)))
+      === Array((1, "a"), (2, "B"), (3, "c")))
+    // the pre-merge state is one readVersion away — the audit story the
+    // swap catalogs can't give
+    assert(cat.readVersion("users", 0L).orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1))) === Array((1, "a"), (2, "b")))
+  }
+}

@@ -748,6 +748,14 @@ object SparkEntry {
       read(s, dir, "documents").select("doc_id", "source", "n_chars"),
       "source", "n_chars", "doc_id", k = 3)),
 
+    // same selection through the custom whole-operator plan: bounded-heap
+    // TopKPerGroupNode → GraftStrategy → partial/final TopKPerGroupExec —
+    // the exchange carries ≤ partitions × groups × k rows instead of the
+    // corpus, and no group is ever fully sorted
+    "q_topk_native" -> ((s, dir) => plans.TopKPerGroup(
+      read(s, dir, "documents").select("doc_id", "source", "n_chars"),
+      "source", "n_chars", "doc_id", k = 3)),
+
     // text analysis: corpus top-k 3-grams by document frequency (per-doc
     // distinct shingles — a doc repeating a phrase votes once)
     "q_top_ngrams" -> ((s, dir) =>
@@ -2047,6 +2055,15 @@ object SparkEntry {
          |FROM documents""".stripMargin,
 
     "q_topk_per_source" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents) WHERE rk <= 3""".stripMargin,
+
+    // the custom-operator path must emit exactly the window-form rows —
+    // the (score desc, id asc) total order makes top-k unique
+    "q_topk_native" ->
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars,
         |         row_number() OVER (PARTITION BY source

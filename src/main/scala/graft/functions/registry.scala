@@ -63,11 +63,16 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions` injector — see [[GraftFunctions]]. */
+/** `spark.sql.extensions` injector — see [[GraftFunctions]]. Also injects
+  * the planner strategy for the whole-operator custom plans
+  * ([[graft.plans.GraftStrategy]]: bounded-heap top-k per group).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
     }
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+  }
 }

@@ -1,0 +1,146 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.collection.mutable
+
+/** Whole-operator Catalyst extension (SURVEY §7 custom-operator tier (c)):
+  * top-k rows per group via bounded heaps, as a custom `LogicalPlan` +
+  * `SparkStrategy` + `SparkPlan` — the native replacement for the
+  * `row_number().over(Window.partitionBy(g).orderBy(o)) <= k` idiom.
+  *
+  * Why a custom operator: the window form must SORT every group in full
+  * (shuffle all rows by group, then sort each partition) even though only
+  * k rows per group survive. This operator keeps a k-bounded heap per
+  * group instead, and runs in two phases like a hash aggregate:
+  *
+  *   partial TopKPerGroupExec   (per input partition, no distribution
+  *        |                      requirement — at most k rows per group
+  *        | shuffle by group     per partition survive, the map-side
+  *        v                      combine that shrinks the exchange)
+  *   final TopKPerGroupExec     (ClusteredDistribution(group) — merges
+  *                               the partition winners, emits exactly
+  *                               the global top k per group)
+  *
+  * At 100 TB the shuffle carries O(partitions × groups × k) rows instead
+  * of the corpus, and nothing is ever fully sorted — heap maintenance is
+  * O(log k) per row. Requires a TOTAL order (tie-break on a unique
+  * column) for deterministic output, same as the window form.
+  */
+case class TopKPerGroupNode(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, "k must be >= 1")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupNode =
+    copy(child = newChild)
+}
+
+/** Physical bounded-heap top-k per group; `partial` marks the map-side
+  * phase (any distribution, emits per-partition winners), the final phase
+  * requires clustering on the group keys (EnsureRequirements inserts the
+  * one hash exchange).
+  */
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(groupExprs))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val groupE = groupExprs
+    val orderE = order
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(groupE, childOutput)
+      val ordering = GenerateOrdering.generate(orderE, childOutput)
+      // max-heap under the sort order: the top element is the WORST row
+      // currently kept, so admission is one compare and eviction is O(log k)
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      it.foreach { row =>
+        val key = keyProj(row)
+        heaps.get(key) match {
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](ordering)
+            h += row.copy()
+            heaps.put(key.copy(), h)
+          case Some(h) =>
+            if (h.size < limit) h += row.copy()
+            else if (ordering.compare(row, h.head) < 0) {
+              h.dequeue()
+              h += row.copy()
+            }
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+/** Plans [[TopKPerGroupNode]] as the partial → (exchange) → final pair. */
+object GraftStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupNode(g, o, k, child) =>
+      TopKPerGroupExec(g, o, k, partial = false,
+        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+
+  /** Idempotent session injection (the `experimental.extraStrategies`
+    * path; `GraftExtensions` also injects via `SparkSessionExtensions`
+    * for `spark.sql.extensions` deployments).
+    */
+  def setup(session: SparkSession): Unit = {
+    val exp = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental
+    if (!exp.extraStrategies.contains(GraftStrategy))
+      exp.extraStrategies = GraftStrategy +: exp.extraStrategies
+  }
+}
+
+object TopKPerGroup {
+
+  /** Top-`k` rows per `groupCol` by (`scoreCol` desc, `idCol` asc
+    * tie-break) — drop-in for [[graft.ext.Sampling.topKPerGroup]]'s window
+    * form, planned through the custom operator. Self-registers the
+    * strategy on the frame's session.
+    */
+  def apply(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, k: Int): DataFrame = {
+    GraftStrategy.setup(df.sparkSession)
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String): Attribute = analyzed.output
+      .find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $n not in ${analyzed.output.map(_.name).mkString(", ")}"))
+    val node = TopKPerGroupNode(
+      Seq(attr(groupCol)),
+      Seq(SortOrder(attr(scoreCol), Descending), SortOrder(attr(idCol), Ascending)),
+      k, analyzed)
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(df.sparkSession, node)
+  }
+}

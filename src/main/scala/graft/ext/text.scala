@@ -194,8 +194,11 @@ object TextOps {
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
       maxDf: Int, sep: String = "\n"): DataFrame = {
     require(maxDf >= 1, "maxDf must be >= 1")
+    // split() takes a regex — quote so any separator is literal (a "."
+    // separator must not split on every character)
     val lines = df.select(col(idCol),
-      posexplode(split(col(textCol), sep)).as(Seq("__pos", "__line")))
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__line")))
     val hot = lines.groupBy("__line")
       .agg(countDistinct(col(idCol)).alias("__df"))
       .filter(col("__df") > maxDf).select("__line")

@@ -116,6 +116,37 @@ class PlanSpec extends AnyFunSuite {
     assert(finalPlan(enc).contains("BroadcastHashJoin"))
   }
 
+  test("zorder plans one range exchange and sorts within partitions") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val plan = finalPlan(ext.Layout.zorder(li, "l_partkey", "l_suppkey", 8))
+    assert(plan.contains("Exchange rangepartitioning(zvalue"), plan)
+    assert("Exchange".r.findAllIn(plan).length === 1, plan)
+    assert(plan.contains("Sort [zvalue"), plan)
+    // and the interleave is computed by the native expression, not a HOF
+    assert(plan.contains("z_interleave"), plan)
+  }
+
+  test("line dedup: hot-line removal is a broadcast anti-join, no cartesian") {
+    // hot lines must exist, else AQE (correctly) eliminates the anti-join
+    // against the empty build side — use a frame with real boilerplate
+    val docs = (0 until 400)
+      .map(i => (i.toLong, s"unique line $i\nshared footer\nalso unique $i"))
+      .toDF("doc_id", "text")
+    val plan = finalPlan(ext.TextOps.dedupLines(docs, "doc_id", "text", maxDf = 2))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
+  test("tfidf joins the vocabulary-bounded df side without a global sort") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = finalPlan(ext.TextOps.tfidfTopTerms(docs, "doc_id", "text", 3))
+    // ranking window partitions by doc — no single-partition exchange
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("strict-merge key guard reuses the join shuffle (no extra Exchange)") {
     def exchanges(strict: Boolean): Int = {
       val dest = (1 to 500).map(i => (i, s"old$i")).toDF("k", "v")

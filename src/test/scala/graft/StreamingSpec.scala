@@ -154,4 +154,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(dest.filter($"user_id" === -1L).count() == 1)
     assert(actions.exists { case (a, n) => a == "INSERT" && n > 0 })
   }
+
+  test("streaming upsert into a VersionedCatalog: one time-travelable version per batch") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vstream").toString
+    val cat = new VersionedCatalog(spark, root)
+    cat.write("user_state", Seq((-1L, "seed")).toDF("user_id", "last_type"))
+    val tm = TableMapping(
+      "user_state", "events", Seq(
+        "user_id"   -> MergeOn("user_id"),
+        "last_type" -> DirectCopy("event_type")),
+      useMerge = true)
+    val stream = EventStream.readStream(spark, streamDir)
+      .select(col("user_id"), col("event_type").alias("last_type"))
+    val q = EventStream.upsertSink(
+      stream, tm,
+      readDest = () => cat.read("user_state"),
+      // localCheckpoint: the merged plan lazily reads the version it was
+      // derived from; materialize before committing the next one
+      write = merged => cat.write("user_state", merged.localCheckpoint())
+    ).start()
+    q.processAllAvailable(); q.stop()
+
+    val vs = cat.versions("user_state")
+    assert(vs.size >= 2, s"expected seed + >=1 merge commit, got $vs")
+    // latest = fully merged state; version 0 still the untouched seed
+    val users = batchEvents.select("user_id").distinct().count()
+    assert(cat.read("user_state").count() == users + 1)
+    assert(cat.readVersion("user_state", 0L).collect()
+      .map(r => (r.getLong(0), r.getString(1))) === Array((-1L, "seed")))
+  }
 }

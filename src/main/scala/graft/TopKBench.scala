@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: A/B the custom bounded-heap top-k operator
+  * ([[graft.plans.TopKPerGroup]]) against the window `row_number() <= k`
+  * form on a synthetic frame big enough for the shuffle difference to
+  * dominate. `runMain graft.TopKBench [rows] [groups] [k]`.
+  */
+object TopKBench {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(20000000L)
+    val groups = args.lift(1).map(_.toInt).getOrElse(10000)
+    val k = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val d = spark.range(rows).select(
+      col("id"),
+      pmod(xxhash64(col("id")), lit(groups)).alias("grp"),
+      pmod(xxhash64(col("id") + 1), lit(1000000)).alias("score"))
+
+    def time(label: String)(body: => Long): Unit =
+      for (rep <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val n = body
+        println(f"[topk] $label rep$rep ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+
+    time("window")(ext.Sampling.topKPerGroup(d, "grp", "score", "id", k).count())
+    time("native")(plans.TopKPerGroup(d, "grp", "score", "id", k).count())
+    spark.stop()
+  }
+}

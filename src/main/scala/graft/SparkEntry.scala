@@ -756,6 +756,13 @@ object SparkEntry {
       read(s, dir, "documents").select("doc_id", "source", "n_chars"),
       "source", "n_chars", "doc_id", k = 3)),
 
+    // record linkage: edit-distance self-join via SOUND length-band
+    // blocking + exact levenshtein rescore — completeness of the blocked
+    // path means the oracle is the naive all-pairs definition itself
+    "q_fuzzy_join" -> ((s, dir) => ext.Fuzzy.selfJoin(
+      read(s, dir, "supplier").select("s_suppkey", "s_name"),
+      "s_suppkey", "s_name", maxDist = 1)),
+
     // text analysis: corpus top-k 3-grams by document frequency (per-doc
     // distinct shingles — a doc repeating a phrase votes once)
     "q_top_ngrams" -> ((s, dir) =>
@@ -2069,6 +2076,15 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY source
         |                            ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents) WHERE rk <= 3""".stripMargin,
+
+    // the blocked fuzzy join is COMPLETE (length banding is sound for
+    // levenshtein), so the naive all-pairs definition IS the oracle —
+    // this check proves no candidate pair was lost to blocking
+    "q_fuzzy_join" ->
+      """SELECT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
+        |       levenshtein(a.s_name, b.s_name) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
 
     // zipWithIndex over the (df desc, token) total order == row_number − 1
     "q_vocabulary" ->

@@ -760,6 +760,38 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzzy selfJoin == brute force (blocking is complete), incl. length deltas") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcdefg"
+    def word() = (0 until 4 + rnd.nextInt(6))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    // words of length 4..9 with a small alphabet → plenty of pairs at
+    // dist 1/2 spanning DIFFERENT lengths (insertions/deletions cross
+    // bucket boundaries — the adjacent-bucket probe must catch them)
+    val d = (0 until 300).map(i => (i.toLong, word())).toDF("id", "s")
+    for (maxDist <- Seq(1, 2)) {
+      val blocked = ext.Fuzzy.selfJoin(d, "id", "s", maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val brute = d.as("a").crossJoin(d.as("b"))
+        .filter($"a.id" < $"b.id" &&
+          levenshtein($"a.s", $"b.s") <= maxDist)
+        .select($"a.id", $"b.id", levenshtein($"a.s", $"b.s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(blocked === brute, s"maxDist=$maxDist")
+      assert(brute.nonEmpty, "fixture produced no pairs — weak test")
+    }
+  }
+
+  test("fuzzy two-table join links a typo'd batch against the master list") {
+    val master = Seq((1L, "john smith"), (2L, "jane doe"), (3L, "alan turing"))
+      .toDF("mid", "name")
+    val batch = Seq((10L, "jon smith"), (11L, "jane d0e"), (12L, "zzz"))
+      .toDF("bid", "name")
+    val out = ext.Fuzzy.join(batch, master, "bid", "name", "mid", "name", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out === Set((10L, 1L, 1), (11L, 2L, 1)))
+  }
+
   test("LSH top-k recall vs brute force >= 60% on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 10)

@@ -487,6 +487,23 @@ object SparkEntry {
         read(s, dir, "documents").filter(col("doc_id") < 100),
         "doc_id", "text")),
 
+    // dedup: ENTITY-level minhash — per-doc portable signatures rolled up
+    // per source through the native array_min_agg TypedImperativeAggregate
+    // (mergeable-sketch shuffle: one fixed-width state per entity per
+    // partition); exploded back to (source, i, min_hash) for the oracle
+    "q_entity_minhash" -> { (s, dir) =>
+      val perDoc = ext.Dedup.minHashSignaturesPortable(
+        read(s, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", k = 3, numHashes = 16)
+      val sigs = perDoc.groupBy("doc_id")
+        .agg(expr("transform(sort_array(collect_list(struct(i, min_hash)))," +
+          " x -> x.min_hash)").alias("sig"))
+        .join(read(s, dir, "documents").select("doc_id", "source"), "doc_id")
+      sigs.groupBy(col("source"))
+        .agg(graft.functions.ArrayMinAgg.column(col("sig")).alias("esig"))
+        .select(col("source"), posexplode(col("esig")).as(Seq("i", "min_hash")))
+    },
+
     // dedup: embedding-cosine near-dup pairs — size-gated: at this corpus
     // size the exact all-pairs branch runs (the only way to guarantee
     // every qualifying pair at a low threshold); the >bruteForceLimit
@@ -1183,6 +1200,23 @@ object SparkEntry {
         |      FROM sh CROSS JOIN range(64) r(i))
         |SELECT doc_id, CAST(i AS INTEGER) AS i, MIN(hv) AS min_hash
         |FROM g GROUP BY doc_id, i""".stripMargin,
+
+    // entity rollup: min over ALL of a source's shingles per hash index ==
+    // elementwise min of its docs' signatures (the mergeability law the
+    // native aggregate exploits)
+    "q_entity_minhash" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |           FROM documents WHERE doc_id < 200),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |       FROM (SELECT doc_id, source, w,
+        |               unnest(range(greatest(len(w) - 2, 0))) AS i FROM d)),
+        |g AS (SELECT source, i,
+        |        CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 12)
+        |             AS BIGINT) AS hv
+        |      FROM sh CROSS JOIN range(16) r(i))
+        |SELECT source, CAST(i AS INTEGER) AS i, MIN(hv) AS min_hash
+        |FROM g GROUP BY source, i""".stripMargin,
     "q_direct_copy" ->
       """SELECT c_custkey AS cust_id, c_name AS cust_name,
         |       c_mktsegment AS segment FROM customer""".stripMargin,

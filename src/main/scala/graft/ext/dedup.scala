@@ -230,6 +230,25 @@ object Dedup {
       .groupBy(col(idCol), col("i"))
       .agg(min(col("hv")).alias("min_hash"))
 
+  /** Entity-level MinHash: merge per-document signatures into one
+    * signature per entity (domain, source, author) — near-dup detection
+    * at entity granularity without re-shingling concatenated texts.
+    * Min-hashing is mergeable (`sig(A ∪ B) = elementwise_min(sig(A),
+    * sig(B))`, asserted in ExtSpec), so the rollup is the native
+    * [[graft.functions.ArrayMinAgg]] aggregate: one narrow signature
+    * pass, then one hash shuffle whose rows are fixed-width partial
+    * states (numHashes longs per entity per partition) — the mergeable-
+    * sketch shape, vs exploding 64 rows/doc and re-assembling.
+    */
+  def entityMinHash(df: DataFrame, entityCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64): DataFrame =
+    df.select(col(entityCol),
+        graft.functions.MinHashSig.column(shingleArray(textCol, k), numHashes)
+          .alias("sig"))
+      .filter(size(col("sig")) > 0)
+      .groupBy(col(entityCol))
+      .agg(graft.functions.ArrayMinAgg.column(col("sig")).alias("signature"))
+
   /** LSH banding: hash each of `bands` contiguous signature slices; docs
     * sharing any (band, bucket) are candidates. rows = docs × bands.
     * `carry` columns ride along (e.g. the signature itself, so downstream

@@ -1,0 +1,110 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Element-wise minimum of `array<bigint>` values per group — a native
+  * `TypedImperativeAggregate` (the custom-AGGREGATE extension tier, next
+  * to the scalar codegen expressions).
+  *
+  * The motivating use is MinHash signature UNION: min-hashing is
+  * mergeable (`sig(A ∪ B) = elementwise_min(sig(A), sig(B))`), so
+  * entity-level signatures (domain, source, author) aggregate from
+  * per-document signatures in ONE hash shuffle whose rows are fixed-width
+  * partial states (numHashes longs per group per partition) — the same
+  * mergeable-sketch shape as HyperLogLog's `approx_count_distinct`. The
+  * builtin alternative (explode 64 rows/doc, groupBy (entity, i), min,
+  * re-assemble) shuffles 64× the rows and needs a second aggregation to
+  * rebuild the array.
+  *
+  * Null input arrays are skipped; an empty group yields NULL. Arrays in a
+  * group must share one length (signatures from one configuration do) —
+  * a mismatch raises rather than truncating silently.
+  */
+case class ArrayMinAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"array_min_agg requires ARRAY<BIGINT>, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = null
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val arr = v.asInstanceOf[ArrayData].toLongArray()
+    if (buffer == null) return arr
+    if (buffer.length != arr.length)
+      throw new IllegalArgumentException(
+        s"array_min_agg: mixed array lengths ${buffer.length} vs ${arr.length}")
+    var i = 0
+    while (i < buffer.length) {
+      if (arr(i) < buffer(i)) buffer(i) = arr(i)
+      i += 1
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    if (b1 == null) return b2
+    if (b2 == null) return b1
+    if (b1.length != b2.length)
+      throw new IllegalArgumentException(
+        s"array_min_agg: mixed array lengths ${b1.length} vs ${b2.length}")
+    var i = 0
+    while (i < b1.length) {
+      if (b2(i) < b1(i)) b1(i) = b2(i)
+      i += 1
+    }
+    b1
+  }
+
+  override def eval(buffer: Array[Long]): Any =
+    if (buffer == null) null else new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    if (buffer == null) return Array.emptyByteArray
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    if (bytes.isEmpty) return null
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ArrayMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ArrayMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ArrayMinAgg =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "array_min_agg"
+}
+
+object ArrayMinAgg {
+  def column(values: Column): Column =
+    Bridge.column(ArrayMinAgg(Bridge.expression(values)).toAggregateExpression())
+}

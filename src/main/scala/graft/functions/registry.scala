@@ -53,6 +53,12 @@ object GraftFunctions {
       require(args.length == 2, "z_interleave(x, y)")
       ZInterleave(args.head, args(1))
     },
+    // an AggregateFunction builder — the analyzer wraps it in
+    // AggregateExpression(Complete) like any builtin aggregate
+    "array_min_agg" -> { args =>
+      require(args.length == 1, "array_min_agg(arr)")
+      ArrayMinAgg(args.head)
+    },
   )
 
   /** Register onto a live session (temp functions, session-scoped). */

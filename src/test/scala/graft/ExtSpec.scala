@@ -760,6 +760,43 @@ class ExtSpec extends AnyFunSuite {
     }
   }
 
+  test("entityMinHash == signature of the union of shingle sets (mergeability)") {
+    val d = Seq(
+      (1L, "s1", "the quick brown fox jumps over the lazy dog"),
+      (2L, "s1", "a completely different second document here now"),
+      (3L, "s2", "another source entirely with its own words"),
+      (4L, "s3", "xx"), // < k words → no shingles, no signature
+    ).toDF("doc_id", "source", "text")
+    val ent = Dedup.entityMinHash(d, "source", "text", k = 3, numHashes = 32)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val union = d
+      .select(col("source"), explode(Dedup.shingleArray("text", 3)).alias("sh"))
+      .groupBy("source").agg(collect_set(col("sh")).alias("shs"))
+      .select(col("source"),
+        graft.functions.MinHashSig.column(col("shs"), 32).alias("sig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(ent == union)
+    assert(!ent.contains("s3")) // signature-less docs yield no entity row
+  }
+
+  test("array_min_agg: elementwise min, null skip, all-null group, length guard") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT array_min_agg(a) FROM VALUES (array(5L, 1L)), (array(2L, 9L)), " +
+        "(CAST(NULL AS ARRAY<BIGINT>)) AS t(a)").head.getSeq[Long](0)
+    assert(r == Seq(2L, 1L))
+    assert(spark.sql(
+      "SELECT array_min_agg(a) FROM VALUES (CAST(NULL AS ARRAY<BIGINT>)) AS t(a)")
+      .head.isNullAt(0))
+    val ex = intercept[Exception] {
+      spark.sql("SELECT array_min_agg(a) FROM VALUES (array(1L)), " +
+        "(array(1L, 2L)) AS t(a)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("mixed array lengths")))
+  }
+
   test("fuzzy selfJoin == brute force (blocking is complete), incl. length deltas") {
     val rnd = new scala.util.Random(11)
     val alphabet = "abcdefg"

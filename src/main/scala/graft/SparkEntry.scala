@@ -614,6 +614,17 @@ object SparkEntry {
     "q_tfidf" -> ((s, dir) => ext.TextOps.tfidfTopTerms(
       read(s, dir, "documents"), "doc_id", "text", k = 3)),
 
+    // score normalization: per-source percentile of n_chars (curation
+    // thresholds compare percentiles, not raw cross-source scores)
+    "q_pctl_by_source" -> ((s, dir) => ext.TextOps.percentileBySource(
+      read(s, dir, "documents"), "doc_id", "source", "n_chars")),
+
+    // corpus diagnostics: pairwise vocabulary Jaccard between sources —
+    // token sets are vocabulary-bounded, so the pair join stays small at
+    // any corpus size
+    "q_source_overlap" -> ((s, dir) => ext.TextOps.sourceOverlap(
+      read(s, dir, "documents"), "source", "text")),
+
     // layout: Z-order clustering — native Morton-interleave expression,
     // range-partition + sort by zvalue (the Delta OPTIMIZE ZORDER BY
     // shape); the oracle rebuilds the bit interleave arithmetically
@@ -1869,6 +1880,28 @@ object SparkEntry {
         |rr AS (SELECT *, row_number() OVER (PARTITION BY doc_id
         |                   ORDER BY score DESC, term) AS rnk FROM sc)
         |SELECT doc_id, term, tf, df, score, rnk FROM rr WHERE rnk <= 3""".stripMargin,
+
+    // percent_rank is (rank−1)/(n−1) in both engines, 0 for single-row
+    // partitions; the (score, id) order is total so ranks are unique
+    "q_pctl_by_source" ->
+      """SELECT doc_id, source, n_chars,
+        |       percent_rank() OVER (PARTITION BY source
+        |                            ORDER BY n_chars, doc_id) AS pctl
+        |FROM documents""".stripMargin,
+
+    // distinct (source, token) relation joined to itself on token —
+    // same Jaccard arithmetic as the dedup oracles
+    "q_source_overlap" ->
+      """WITH t AS (SELECT DISTINCT source AS src,
+        |             unnest(string_split(text, ' ')) AS tok FROM documents),
+        |s AS (SELECT src, COUNT(*) AS n FROM t GROUP BY 1),
+        |c AS (SELECT a.src AS a_src, b.src AS b_src, COUNT(*) AS n_common
+        |      FROM t a JOIN t b ON a.tok = b.tok AND a.src < b.src
+        |      GROUP BY 1, 2)
+        |SELECT a_src, b_src, n_common, x.n AS n_a, y.n AS n_b,
+        |       CAST(n_common AS DOUBLE)
+        |         / CAST(x.n + y.n - n_common AS DOUBLE) AS jaccard
+        |FROM c JOIN s x ON x.src = a_src JOIN s y ON y.src = b_src""".stripMargin,
 
     // Z-order: Morton interleave rebuilt arithmetically — bit i of
     // l_partkey lands at 2i, bit i of l_suppkey at 2i+1 (bits never

@@ -235,8 +235,11 @@ object TextOps {
     val meanWlen = (length(text) - nWords + lit(1)).cast("double") /
       nWords.cast("double")
     val stopHits = stopwordHits(s"split(`$textCol`, ' ')", "en").cast("long")
-    val symRatio = length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double") /
-      length(text).cast("double")
+    // empty text: define the ratio as 0 rather than divide by zero (Spark
+    // nulls it, other engines may NaN — neither is a useful gate signal)
+    val symRatio = when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double") /
+        length(text).cast("double"))
     val rep = repetitionRatio(textCol, 3)
     val reasons = concat(
       when(nWords < minWords || nWords > maxWords, "word_count;").otherwise(""),
@@ -252,6 +255,48 @@ object TextOps {
       rep.alias("repetition"),
       reasons.alias("fail_reasons"),
       (reasons === lit("")).alias("keep"))
+  }
+
+  /** Percentile normalization of a score within each source: quality
+    * scores from different sources aren't comparable (a web-crawl 0.7 ≠ a
+    * books-corpus 0.7), so curation thresholds are set on the per-source
+    * percentile instead. `percent_rank` = (rank−1)/(n−1): exact integer
+    * rank arithmetic and one exactly-rounded division — bit-identical in
+    * any engine. One window per source — parallel across sources, never a
+    * global sort; emits (idCol, sourceCol, scoreCol, pctl).
+    */
+  def percentileBySource(df: DataFrame, idCol: String, sourceCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(col(idCol), col(sourceCol), col(scoreCol),
+      percent_rank().over(Window.partitionBy(col(sourceCol))
+        .orderBy(col(scoreCol), col(idCol))).alias("pctl"))
+  }
+
+  /** Pairwise vocabulary overlap between sources: distinct-token Jaccard
+    * for every source pair — the corpus-diagnostics step before mixing
+    * (two sources with 0.9 vocabulary Jaccard are near-duplicate feeds;
+    * near-zero overlap flags a language/domain outlier). Token sets are
+    * vocabulary-bounded, so the source×source token join is small no
+    * matter the corpus size; emits (a_src, b_src, n_common, n_a, n_b,
+    * jaccard) for a_src < b_src.
+    */
+  def sourceOverlap(df: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val toks = df.select(col(sourceCol).alias("src"),
+        explode(array_distinct(tokens(col(textCol)))).alias("tok"))
+      .distinct()
+    val sizes = toks.groupBy("src").agg(count(lit(1)).alias("n"))
+    val common = toks.select(col("src").alias("a_src"), col("tok"))
+      .join(toks.select(col("src").alias("b_src"), col("tok")), Seq("tok"))
+      .filter(col("a_src") < col("b_src"))
+      .groupBy("a_src", "b_src").agg(count(lit(1)).alias("n_common"))
+    common
+      .join(sizes.select(col("src").alias("a_src"), col("n").alias("n_a")), "a_src")
+      .join(sizes.select(col("src").alias("b_src"), col("n").alias("n_b")), "b_src")
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .select("a_src", "b_src", "n_common", "n_a", "n_b", "jaccard")
   }
 
   /** TF-IDF top-`k` terms per document — keyword extraction over the

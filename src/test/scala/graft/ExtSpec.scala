@@ -797,6 +797,32 @@ class ExtSpec extends AnyFunSuite {
     assert(msgs(ex).exists(m => m != null && m.contains("mixed array lengths")))
   }
 
+  test("percentileBySource: 0..1 within each source, deterministic under ties") {
+    val d = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L), (4L, "a", 30L),
+      (5L, "b", 99L), // single-row source → pctl 0
+    ).toDF("doc_id", "source", "score")
+    val out = ext.TextOps.percentileBySource(d, "doc_id", "source", "score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // ranks in source a: 10→1, 20(id2)→2, 20(id3)→3, 30→4; /(n−1)=3
+    assert(out == Map(1L -> 0.0, 2L -> (1.0 / 3), 3L -> (2.0 / 3),
+      4L -> 1.0, 5L -> 0.0))
+  }
+
+  test("sourceOverlap: pairwise vocabulary Jaccard with exact set sizes") {
+    val d = Seq(
+      (1L, "sa", "a b c"), (2L, "sa", "c d"),
+      (3L, "sb", "c d e"),
+      (4L, "sc", "x y"),
+    ).toDF("doc_id", "source", "text")
+    val out = ext.TextOps.sourceOverlap(d, "source", "text")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // sa = {a,b,c,d} (4), sb = {c,d,e} (3), common {c,d} = 2 → 2/5
+    assert(out == Map(("sa", "sb") -> ((2L, 4L, 3L, 0.4))))
+    // sc shares nothing → no row (inner join semantics, documented)
+  }
+
   test("fuzzy selfJoin == brute force (blocking is complete), incl. length deltas") {
     val rnd = new scala.util.Random(11)
     val alphabet = "abcdefg"

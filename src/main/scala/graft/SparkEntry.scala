@@ -791,6 +791,21 @@ object SparkEntry {
       read(s, dir, "supplier").select("s_suppkey", "s_name"),
       "s_suppkey", "s_name", maxDist = 1)),
 
+    // deterministic n-per-group sampling: highest-md5(id) rows per source
+    // through the native bounded-heap operator — reproducible from SQL
+    "q_sample_per_group" -> ((s, dir) => ext.Sampling.samplePerGroup(
+      read(s, dir, "documents").select("doc_id", "source"),
+      "doc_id", "source", n = 4)),
+
+    // profiling: exact fixed-width integer histogram (bin math is pure
+    // integer arithmetic — identical bins in any engine)
+    "q_histogram" -> ((s, dir) => ext.Profile.histogram(
+      read(s, dir, "documents"), "n_chars", bins = 10)),
+
+    // profiling: per-column count / nulls / exact distinct
+    "q_profile_summary" -> ((s, dir) => ext.Profile.summary(
+      read(s, dir, "documents"), Seq("text", "lang", "source", "n_chars"))),
+
     // text analysis: corpus top-k 3-grams by document frequency (per-doc
     // distinct shingles — a doc repeating a phrase votes once)
     "q_top_ngrams" -> ((s, dir) =>
@@ -2152,6 +2167,42 @@ object SparkEntry {
         |       levenshtein(a.s_name, b.s_name) AS dist
         |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
         |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
+
+    // highest-md5 n-per-group == row_number over (md5 desc, id) — the
+    // same engine-portable md5 contract as the stratified sampler
+    "q_sample_per_group" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)) DESC, doc_id) AS rk
+        |  FROM documents) WHERE rk <= 4""".stripMargin,
+
+    // bin = (v−min)·bins div (max−min+1); inclusive integer bounds via
+    // ceil/floor in integer math — '//' floors like Spark's 'div' on
+    // the non-negative operands here
+    "q_histogram" ->
+      """WITH m AS (SELECT CAST(min(n_chars) AS BIGINT) AS mn,
+        |                  CAST(max(n_chars) AS BIGINT) AS mx FROM documents),
+        |g AS (SELECT ((n_chars - mn) * 10) // (mx - mn + 1) AS bin,
+        |             mn, mx, COUNT(*) AS n
+        |      FROM documents, m GROUP BY 1, 2, 3)
+        |SELECT bin, mn + (bin * (mx - mn + 1) + 9) // 10 AS lo,
+        |       mn + ((bin + 1) * (mx - mn + 1) - 1) // 10 AS hi, n
+        |FROM g""".stripMargin,
+
+    "q_profile_summary" ->
+      """SELECT 'text' AS col_name, COUNT(*) AS n,
+        |       COUNT(*) - COUNT(text) AS n_null,
+        |       COUNT(DISTINCT text) AS n_distinct FROM documents
+        |UNION ALL
+        |SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+        |       COUNT(DISTINCT lang) FROM documents
+        |UNION ALL
+        |SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+        |       COUNT(DISTINCT source) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+        |       COUNT(DISTINCT n_chars) FROM documents""".stripMargin,
 
     // zipWithIndex over the (df desc, token) total order == row_number − 1
     "q_vocabulary" ->

@@ -1,0 +1,59 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data profiling — the look-before-you-migrate step (and the
+  * look-before-you-train step for corpus columns): exact distribution
+  * shapes computed distributively, with integer-only math so any engine
+  * reproduces the same histogram bit-for-bit.
+  */
+object Profile {
+
+  /** Fixed-width histogram of an integral column: `bins` equal integer
+    * ranges between the global min and max. Bin assignment is pure
+    * integer arithmetic — `(v − min) × bins div (max − min + 1)` — so
+    * bins are exact in any engine (no float widths, no boundary
+    * ambiguity). Two jobs: one min/max aggregate (a 2-value action, the
+    * same driver-safe shape as [[Sampling.mixture]]'s counts), one
+    * hash-groupBy on the bin. Empty bins emit no row (document counts,
+    * not axes). Emits (bin, lo, hi, n) with [lo, hi] the inclusive
+    * integer range of the bin.
+    */
+  def histogram(df: DataFrame, colName: String, bins: Int): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val mm = df.agg(
+      min(col(colName)).cast("long").alias("mn"),
+      max(col(colName)).cast("long").alias("mx")).head()
+    require(!mm.isNullAt(0), s"histogram: $colName has no non-null values")
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val range = mx - mn + 1
+    df.filter(col(colName).isNotNull)
+      .select(expr(s"((cast(`$colName` as bigint) - $mn) * $bins) div $range")
+        .alias("bin"))
+      .groupBy("bin").agg(count(lit(1)).alias("n"))
+      // inclusive integer bounds of each bin: ceil/floor of the exact
+      // rational edges, in integer math
+      .withColumn("lo", expr(s"$mn + (bin * $range + $bins - 1) div $bins"))
+      .withColumn("hi", expr(s"$mn + ((bin + 1) * $range - 1) div $bins"))
+      .select("bin", "lo", "hi", "n")
+  }
+
+  /** Per-column summary: row count, null count, exact distinct count —
+    * one row per profiled column. Each column is one aggregate pass
+    * (exact distinct shuffles that column's values once); for a cheap
+    * 100 TB profile swap `countDistinct` for `approx_count_distinct`
+    * ([[Sketches.approxDistinct]] is the mergeable path).
+    */
+  def summary(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "summary needs at least one column")
+    cols.map { c =>
+      df.agg(
+        count(lit(1)).alias("n"),
+        (count(lit(1)) - count(col(c))).alias("n_null"),
+        countDistinct(col(c)).alias("n_distinct"))
+        .select(lit(c).alias("col_name"), col("n"), col("n_null"),
+          col("n_distinct"))
+    }.reduce(_ unionByName _)
+  }
+}

@@ -170,6 +170,21 @@ object Sampling {
           .orderBy(col(scoreCol).desc, col(idCol))))
       .filter(col("__rk") <= k).drop("__rk")
   }
+
+  /** Deterministic fixed-`n`-per-group sample: the n rows with the
+    * HIGHEST `md5(id)` per group — uniform (md5 is uniform on distinct
+    * ids), reproducible across runs/engines (same md5 contract as
+    * [[stratified]]), and stable under partitioning. Executed through
+    * the native bounded-heap top-k operator
+    * ([[graft.plans.TopKPerGroup]]): one fixed-width exchange, no
+    * per-group sort — the scale shape for "give me 1000 docs from each
+    * of 50k sources" over a 100 TB corpus.
+    */
+  def samplePerGroup(df: DataFrame, idCol: String, groupCol: String,
+      n: Int): DataFrame =
+    graft.plans.TopKPerGroup(
+      df.withColumn("__h", md5(col(idCol).cast("string"))),
+      groupCol, "__h", idCol, n).drop("__h")
 }
 
 /** Cardinality sketches: exact distinct as the oracle-checkable baseline,

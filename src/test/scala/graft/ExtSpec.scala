@@ -797,6 +797,48 @@ class ExtSpec extends AnyFunSuite {
     assert(msgs(ex).exists(m => m != null && m.contains("mixed array lengths")))
   }
 
+  test("samplePerGroup: exact n per group, deterministic, partition-invariant") {
+    val d = (0L until 400L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
+    val s1 = ext.Sampling.samplePerGroup(d, "id", "grp", n = 10)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(s1.groupBy(_._1).forall(_._2.size == 10))
+    val s2 = ext.Sampling.samplePerGroup(d.repartition(17), "id", "grp", n = 10)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(s1 === s2) // same ids regardless of physical layout
+    // groups smaller than n keep everything
+    val tiny = ext.Sampling.samplePerGroup(
+      Seq((1L, "a"), (2L, "a")).toDF("id", "grp"), "id", "grp", n = 5)
+    assert(tiny.count() === 2)
+  }
+
+  test("histogram: exact integer bins, inclusive bounds, total preserved") {
+    val d = (0L until 1000L).map(i => Tuple1(i % 97)).toDF("v")
+    val h = ext.Profile.histogram(d, "v", bins = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(h.map(_._4).sum === 1000L)
+    assert(h.head._2 === 0L && h.last._3 === 96L)
+    // bounds tile the domain with no gaps or overlaps
+    h.sliding(2).foreach {
+      case Array((_, _, hi, _), (_, lo, _, _)) => assert(lo === hi + 1)
+      case _ =>
+    }
+    // every bin's count matches a direct filter on its bounds
+    h.foreach { case (_, lo, hi, n) =>
+      assert(d.filter(col("v") >= lo && col("v") <= hi).count() === n)
+    }
+  }
+
+  test("profile summary: counts, nulls, exact distinct per column") {
+    val d = Seq((1, Some("a")), (2, Some("a")), (3, None))
+      .toDF("k", "v")
+    val out = ext.Profile.summary(d, Seq("k", "v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("k") == ((3L, 0L, 3L)))
+    assert(out("v") == ((3L, 1L, 1L)))
+  }
+
   test("percentileBySource: 0..1 within each source, deterministic under ties") {
     val d = Seq(
       (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 20L), (4L, "a", 30L),

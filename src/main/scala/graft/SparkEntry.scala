@@ -806,6 +806,13 @@ object SparkEntry {
     "q_profile_summary" -> ((s, dir) => ext.Profile.summary(
       read(s, dir, "documents"), Seq("text", "lang", "source", "n_chars"))),
 
+    // event analytics: view → click → purchase conversion funnel, each
+    // step within 24 h of the previous (greedy earliest-match); per-step
+    // shrinking (user, t) frame, AQE-broadcast joins, no timeline windows
+    "q_funnel" -> ((s, dir) => ext.Funnel.conversion(
+      readEvents(s, dir), "user_id", "ts_us", "event_type",
+      Seq("view", "click", "purchase"), maxGap = 86400000000L)),
+
     // text analysis: corpus top-k 3-grams by document frequency (per-doc
     // distinct shingles — a doc repeating a phrase votes once)
     "q_top_ngrams" -> ((s, dir) =>
@@ -2189,6 +2196,28 @@ object SparkEntry {
         |SELECT bin, mn + (bin * (mx - mn + 1) + 9) // 10 AS lo,
         |       mn + ((bin + 1) * (mx - mn + 1) - 1) // 10 AS hi, n
         |FROM g""".stripMargin,
+
+    // funnel: chained min-timestamp CTEs, each step gated on the
+    // previous step's time + gap — integer microsecond arithmetic
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |s0 AS (SELECT user_id, min(ts_us) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(ts_us) AS t
+        |       FROM e JOIN s0 USING (user_id)
+        |       WHERE event_type = 'click'
+        |         AND ts_us >= s0.t AND ts_us <= s0.t + 86400000000
+        |       GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(ts_us) AS t
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'purchase'
+        |         AND ts_us >= s1.t AND ts_us <= s1.t + 86400000000
+        |       GROUP BY 1)
+        |SELECT 0 AS step_idx, 'view' AS step,
+        |       (SELECT COUNT(*) FROM s0) AS n_users
+        |UNION ALL SELECT 1, 'click', (SELECT COUNT(*) FROM s1)
+        |UNION ALL SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2)""".stripMargin,
 
     "q_profile_summary" ->
       """SELECT 'text' AS col_name, COUNT(*) AS n,

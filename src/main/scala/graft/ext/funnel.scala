@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-step conversion funnels over event streams ("view → click →
+  * purchase within an hour of each step").
+  *
+  * Semantics: a user reaches step i when an event of type `steps(i)`
+  * occurs at `t_{i-1} <= ts <= t_{i-1} + maxGap`, where `t_{i-1}` is the
+  * user's timestamp AT step i−1; each step's timestamp is the EARLIEST
+  * qualifying event (greedy earliest-match — the standard funnel
+  * definition, and deterministic).
+  *
+  * Scale: each step is one filter + one hash aggregate on the user key +
+  * one equi-join against the previous step's (user, t) frame — that
+  * frame only ever SHRINKS (funnels are monotone), so AQE broadcasts it
+  * after the first step and the per-step cost is one pass over that
+  * step's events. No per-user event collection, no windows over whole
+  * timelines.
+  */
+object Funnel {
+
+  /** Per-step reach counts: (step_idx, step, n_users). Timestamps are
+    * any integral/comparable column (the events contract uses epoch
+    * micros); `maxGap` is in the same unit.
+    */
+  def conversion(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], maxGap: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxGap > 0, "maxGap must be positive")
+    var reached = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).alias("__t"))
+    var acc = reached.agg(count(lit(1)).alias("n_users"))
+      .select(lit(0).alias("step_idx"), lit(steps.head).alias("step"),
+        col("n_users"))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      reached = events.filter(col(typeCol) === st)
+        .join(reached, Seq(userCol))
+        .filter(col(tsCol) >= col("__t") &&
+          col(tsCol) <= col("__t") + lit(maxGap))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).alias("__t"))
+      acc = acc.unionByName(reached.agg(count(lit(1)).alias("n_users"))
+        .select(lit(i).alias("step_idx"), lit(st).alias("step"),
+          col("n_users")))
+    }
+    acc
+  }
+
+  /** The users at the FINAL step with their per-step timestamps omitted:
+    * (userCol, t_final) — the cohort feed for downstream retention joins.
+    */
+  def completers(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], maxGap: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var reached = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).alias("__t"))
+    steps.drop(1).foreach { st =>
+      reached = events.filter(col(typeCol) === st)
+        .join(reached, Seq(userCol))
+        .filter(col(tsCol) >= col("__t") &&
+          col(tsCol) <= col("__t") + lit(maxGap))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).alias("__t"))
+    }
+    reached.withColumnRenamed("__t", "t_final")
+  }
+}

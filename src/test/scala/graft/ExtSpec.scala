@@ -797,6 +797,27 @@ class ExtSpec extends AnyFunSuite {
     assert(msgs(ex).exists(m => m != null && m.contains("mixed array lengths")))
   }
 
+  test("funnel: greedy earliest-match, gap enforcement, monotone reach") {
+    // user 1: full path; user 2: view only; user 3: purchase outside the
+    // gap; user 4: purchase BEFORE view (order matters); user 5: never views
+    val ev = Seq(
+      (1L, "view", 100L), (1L, "click", 150L), (1L, "purchase", 190L),
+      (2L, "view", 100L),
+      (3L, "view", 100L), (3L, "click", 120L), (3L, "purchase", 300L),
+      (4L, "purchase", 50L), (4L, "view", 100L), (4L, "click", 110L),
+      (5L, "click", 10L), (5L, "purchase", 20L),
+    ).toDF("user_id", "event_type", "ts")
+    val out = ext.Funnel.conversion(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), maxGap = 100L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).sorted
+    assert(out === Array((0, "view", 4L), (1, "click", 3L), (2, "purchase", 1L)))
+    // completers: only user 1, at the purchase timestamp
+    val done = ext.Funnel.completers(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), maxGap = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(done === Array((1L, 190L)))
+  }
+
   test("samplePerGroup: exact n per group, deterministic, partition-invariant") {
     val d = (0L until 400L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
     val s1 = ext.Sampling.samplePerGroup(d, "id", "grp", n = 10)

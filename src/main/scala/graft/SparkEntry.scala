@@ -813,6 +813,18 @@ object SparkEntry {
       readEvents(s, dir), "user_id", "ts_us", "event_type",
       Seq("view", "click", "purchase"), maxGap = 86400000000L)),
 
+    // event analytics: weekly cohort retention — integer period math, so
+    // cohort boundaries are engine-identical; two hash aggregates + one
+    // broadcastable cohort join
+    "q_retention" -> ((s, dir) => ext.Funnel.retention(
+      readEvents(s, dir), "user_id", "ts_us",
+      periodLength = 604800000000L)),
+
+    // profiling: heaviest join keys with corpus share (the pre-shuffle
+    // skew check; TakeOrdered top-N, no global sort)
+    "q_key_skew" -> ((s, dir) => ext.Profile.keySkew(
+      read(s, dir, "lineitem"), "l_orderkey", topN = 20)),
+
     // text analysis: corpus top-k 3-grams by document frequency (per-doc
     // distinct shingles — a doc repeating a phrase votes once)
     "q_top_ngrams" -> ((s, dir) =>
@@ -2218,6 +2230,30 @@ object SparkEntry {
         |       (SELECT COUNT(*) FROM s0) AS n_users
         |UNION ALL SELECT 1, 'click', (SELECT COUNT(*) FROM s1)
         |UNION ALL SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2)""".stripMargin,
+
+    // retention: first-event period per user, distinct active periods,
+    // difference counted per cohort — all integer division
+    "q_retention" ->
+      """WITH e AS (SELECT user_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |f AS (SELECT user_id, min(ts_us) // 604800000000 AS cohort
+        |      FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, ts_us // 604800000000 AS p FROM e)
+        |SELECT cohort, p - cohort AS periods_since,
+        |       COUNT(DISTINCT user_id) AS n_active
+        |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    // key-skew profile: top-N by count with deterministic key tie-break;
+    // share = n / total (one exactly-rounded division)
+    "q_key_skew" ->
+      """WITH c AS (SELECT l_orderkey AS key, COUNT(*) AS n
+        |           FROM lineitem GROUP BY 1),
+        |r AS (SELECT key, n,
+        |        row_number() OVER (ORDER BY n DESC, key) AS rnk FROM c)
+        |SELECT rnk, key, n,
+        |       CAST(n AS DOUBLE)
+        |         / CAST((SELECT COUNT(*) FROM lineitem) AS DOUBLE) AS share
+        |FROM r WHERE rnk <= 20""".stripMargin,
 
     "q_profile_summary" ->
       """SELECT 'text' AS col_name, COUNT(*) AS n,

@@ -64,4 +64,27 @@ object Funnel {
     }
     reached.withColumnRenamed("__t", "t_final")
   }
+
+  /** Cohort retention: users are cohorted by the integer period of their
+    * FIRST event (`period = ts div periodLength` — integer math, so
+    * period boundaries are identical in any engine), and each later
+    * active period counts once. Emits
+    * (cohort, periods_since, n_active) with `periods_since = 0` the
+    * cohort size row. Two hash aggregates (first-event per user,
+    * distinct user-period activity) + one AQE-broadcastable join of the
+    * per-user cohort frame — no windows over timelines, shuffles keyed
+    * on the user id.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String,
+      periodLength: Long): DataFrame = {
+    require(periodLength > 0, "periodLength must be positive")
+    val firsts = events.groupBy(col(userCol))
+      .agg(expr(s"min(`$tsCol`) div $periodLength").alias("cohort"))
+    val active = events
+      .select(col(userCol), expr(s"`$tsCol` div $periodLength").alias("__p"))
+      .distinct()
+    active.join(firsts, Seq(userCol))
+      .groupBy(col("cohort"), (col("__p") - col("cohort")).alias("periods_since"))
+      .agg(countDistinct(col(userCol)).alias("n_active"))
+  }
 }

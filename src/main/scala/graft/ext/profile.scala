@@ -39,6 +39,25 @@ object Profile {
       .select("bin", "lo", "hi", "n")
   }
 
+  /** Join-key skew profile: the `topN` heaviest keys with row counts and
+    * corpus share — the operational check before keying a 100 TB shuffle
+    * (a key holding 30% of rows wants salting or AQE skew handling; see
+    * [[Salting.saltedEquiJoin]]). One hash-groupBy then TakeOrdered
+    * (per-partition top-N heaps — no global sort); the share division is
+    * one exactly-rounded IEEE op against the one-scalar total.
+    */
+  def keySkew(df: DataFrame, colName: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 1, "topN must be >= 1")
+    val total = df.count()
+    df.groupBy(col(colName).alias("key")).agg(count(lit(1)).alias("n"))
+      .orderBy(col("n").desc, col("key")).limit(topN)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(col("n").desc, col("key"))))
+      .withColumn("share", col("n").cast("double") / lit(total.toDouble))
+      .select("rnk", "key", "n", "share")
+  }
+
   /** Per-column summary: row count, null count, exact distinct count —
     * one row per profiled column. Each column is one aggregate pass
     * (exact distinct shuffles that column's values once); for a cheap

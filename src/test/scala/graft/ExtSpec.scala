@@ -818,6 +818,28 @@ class ExtSpec extends AnyFunSuite {
     assert(done === Array((1L, 190L)))
   }
 
+  test("retention: integer cohorts, distinct active periods, cohort size at 0") {
+    val ev = Seq(
+      (1L, 5L), (1L, 15L), (1L, 25L),   // cohort 0, active periods 0,1,2
+      (2L, 12L), (2L, 14L), (2L, 31L),  // cohort 1, active 1,3 → since 0,2
+      (3L, 7L),                          // cohort 0, active 0
+    ).toDF("user_id", "ts")
+    val out = ext.Funnel.retention(ev, "user_id", "ts", periodLength = 10L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 2L) -> 1L))
+  }
+
+  test("keySkew: top-N heaviest keys, deterministic ties, exact share") {
+    val d = (Seq.fill(6)("hot") ++ Seq.fill(2)("warm") ++ Seq.fill(2)("cool"))
+      .toDF("k")
+    val out = ext.Profile.keySkew(d, "k", topN = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.sortBy(_._1).toSeq == Seq(
+      (1, "hot", 6L, 0.6), (2, "cool", 2L, 0.2))) // tie warm/cool → key asc
+  }
+
   test("samplePerGroup: exact n per group, deterministic, partition-invariant") {
     val d = (0L until 400L).map(i => (i, s"g${i % 4}")).toDF("id", "grp")
     val s1 = ext.Sampling.samplePerGroup(d, "id", "grp", n = 10)

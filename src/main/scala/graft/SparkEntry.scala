@@ -825,6 +825,39 @@ object SparkEntry {
     "q_key_skew" -> ((s, dir) => ext.Profile.keySkew(
       read(s, dir, "lineitem"), "l_orderkey", topN = 20)),
 
+    // SCD Type 2: versioned-history upsert — changed keys close their
+    // current version and append a new one, new keys insert, no-change
+    // updates are ignored; history rows never rejoin
+    "q_scd2" -> { (s, dir) =>
+      val cust = read(s, dir, "customer")
+      val dim = cust.select(col("c_custkey"), col("c_mktsegment"),
+        lit(0L).alias("valid_from"), lit(null).cast("long").alias("valid_to"),
+        lit(true).alias("is_current"))
+      val updates = cust.filter(col("c_custkey") % 3 === 0).select(
+          col("c_custkey"),
+          when(col("c_custkey") % 2 === 0, lit("NEWSEG"))
+            .otherwise(col("c_mktsegment")).alias("c_mktsegment"),
+          lit(100L).alias("ts"))
+        .unionByName(cust.filter(col("c_custkey") % 7 === 1).select(
+          (col("c_custkey") + 1000000).alias("c_custkey"),
+          lit("FRESH").alias("c_mktsegment"), lit(100L).alias("ts")))
+      ext.Scd2(dim, updates, Seq("c_custkey"), Seq("c_mktsegment"), "ts")
+    },
+
+    // incremental view maintenance: per-flag (count, total) state built
+    // by merging three delta batches — must equal the direct aggregate
+    // (decimal totals are exact, so incremental order can't drift)
+    "q_incremental_agg" -> { (s, dir) =>
+      val li = read(s, dir, "lineitem")
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+      val keys = Seq("l_returnflag")
+      val st = (0 to 2).map(i => li.filter(pmod(col("l_orderkey"), lit(3)) === i))
+        .foldLeft(ext.Incremental.emptyState(li, keys))(
+          (st, b) => ext.Incremental.refreshCounts(st, b, keys, "l_quantity"))
+      st.select(col("l_returnflag"), col("n_rows"),
+        col("total").cast("double").alias("total"))
+    },
+
     // text analysis: corpus top-k 3-grams by document frequency (per-doc
     // distinct shingles — a doc repeating a phrase votes once)
     "q_top_ngrams" -> ((s, dir) =>
@@ -2242,6 +2275,52 @@ object SparkEntry {
         |SELECT cohort, p - cohort AS periods_since,
         |       COUNT(DISTINCT user_id) AS n_active
         |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin,
+
+    // SCD2 rebuilt as set algebra: kept = all minus changed-current,
+    // closed = current of changed keys, inserted = changed ∪ new keys
+    "q_scd2" ->
+      """WITH dim AS (SELECT c_custkey, c_mktsegment,
+        |               CAST(0 AS BIGINT) AS valid_from,
+        |               CAST(NULL AS BIGINT) AS valid_to,
+        |               TRUE AS is_current FROM customer),
+        |u AS (SELECT c_custkey,
+        |        CASE WHEN c_custkey % 2 = 0 THEN 'NEWSEG'
+        |             ELSE c_mktsegment END AS c_mktsegment,
+        |        CAST(100 AS BIGINT) AS ts
+        |      FROM customer WHERE c_custkey % 3 = 0
+        |      UNION ALL
+        |      SELECT c_custkey + 1000000, 'FRESH', 100
+        |      FROM customer WHERE c_custkey % 7 = 1),
+        |changed AS (SELECT u.c_custkey, u.c_mktsegment, u.ts
+        |            FROM u JOIN dim ON dim.c_custkey = u.c_custkey
+        |              AND dim.is_current
+        |            WHERE dim.c_mktsegment IS DISTINCT FROM u.c_mktsegment),
+        |newk AS (SELECT u.* FROM u
+        |         LEFT JOIN (SELECT DISTINCT c_custkey FROM dim) d
+        |           ON d.c_custkey = u.c_custkey
+        |         WHERE d.c_custkey IS NULL),
+        |kept AS (SELECT dim.* FROM dim
+        |         LEFT JOIN changed c ON c.c_custkey = dim.c_custkey
+        |           AND dim.is_current
+        |         WHERE c.c_custkey IS NULL),
+        |closed AS (SELECT dim.c_custkey, dim.c_mktsegment, dim.valid_from,
+        |                  c.ts AS valid_to, FALSE AS is_current
+        |           FROM dim JOIN changed c ON c.c_custkey = dim.c_custkey
+        |           WHERE dim.is_current),
+        |ins AS (SELECT c_custkey, c_mktsegment, ts AS valid_from,
+        |               CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+        |        FROM changed
+        |        UNION ALL
+        |        SELECT c_custkey, c_mktsegment, ts, NULL, TRUE FROM newk)
+        |SELECT * FROM kept UNION ALL SELECT * FROM closed
+        |UNION ALL SELECT * FROM ins""".stripMargin,
+
+    // the incremental state must equal the direct aggregate — decimal
+    // sums are exact/associative, one final cast to double
+    "q_incremental_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) AS total
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     // key-skew profile: top-N by count with deterministic key tie-break;
     // share = n / total (one exactly-rounded division)

@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental view maintenance for distributive aggregates: keep a
+  * per-key (n_rows, total) state table current by merging each delta
+  * batch instead of recomputing from the accumulated corpus — the
+  * aggregate analogue of the reference's MERGE pattern, and the 100 TB
+  * shape for "daily totals over years of history" (one pass over the
+  * DELTA, one full-outer join against state keyed the same way; the
+  * history is never rescanned).
+  *
+  * The maintained total uses DECIMAL so addition is exact and
+  * associative — `refresh(refresh(empty, b1), b2)` is bit-identical to
+  * aggregating `b1 ∪ b2` directly (the law ExtSpec asserts and the
+  * oracle query checks cross-engine). A double total would drift: FP
+  * addition is order-dependent, and incremental order ≠ scan order.
+  */
+object Incremental {
+
+  /** Merge one delta batch into (keyCols..., n_rows, total) state.
+    * `valueCol` is cast to `decimal(28,6)` before summing.
+    */
+  def refreshCounts(state: DataFrame, delta: DataFrame,
+      keyCols: Seq[String], valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty)
+    val d = delta.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).alias("__dn"),
+        sum(col(valueCol).cast("decimal(28,6)")).alias("__dt"))
+    state.join(d, keyCols, "full_outer")
+      .select(keyCols.map(col) ++ Seq(
+        (coalesce(col("n_rows"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .alias("n_rows"),
+        (coalesce(col("total"), lit(0).cast("decimal(28,6)")) +
+          coalesce(col("__dt"), lit(0).cast("decimal(28,6)")))
+          .cast("decimal(28,6)").alias("total")): _*)
+  }
+
+  /** The empty state frame for [[refreshCounts]], keyed like `template`'s
+    * `keyCols`.
+    */
+  def emptyState(template: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val spark = template.sparkSession
+    val proto = template.select(keyCols.map(col): _*)
+      .withColumn("n_rows", lit(0L))
+      .withColumn("total", lit(0).cast("decimal(28,6)"))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], proto.schema)
+  }
+}

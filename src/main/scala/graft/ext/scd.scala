@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension Type 2 — the versioned-history upsert the
+  * reference's plain MERGE (`useMerge`) is usually grown into in a
+  * warehouse: instead of overwriting a dimension row, the current
+  * version is CLOSED (`valid_to` = change timestamp, `is_current` =
+  * false) and a new version appended. Queries then join facts against
+  * the version valid at the fact's timestamp.
+  *
+  * Dimension contract: `keyCols ++ trackedCols ++ (valid_from: bigint,
+  * valid_to: bigint nullable, is_current: boolean)`. Update batch:
+  * `keyCols ++ trackedCols ++ tsCol`, key-unique (same precondition as
+  * strict MERGE).
+  *
+  * Scale: one equi-join of the update batch against the CURRENT slice
+  * (AQE broadcasts the batch — it's the small side, as in
+  * [[graft.Merge]]); history rows are never touched, so the shuffle is
+  * proportional to the batch, not the accumulated history.
+  */
+object Scd2 {
+
+  def apply(dim: DataFrame, updates: DataFrame, keyCols: Seq[String],
+      trackedCols: Seq[String], tsCol: String): DataFrame = {
+    require(keyCols.nonEmpty && trackedCols.nonEmpty)
+    val u = updates.select(
+      (keyCols ++ trackedCols).map(col) :+ col(tsCol).alias("__ts"): _*)
+    val cur = dim.filter(col("is_current"))
+
+    // updates whose tracked values differ (null-safely) from the current row
+    val curK = cur.select(
+      keyCols.map(c => col(c).alias(s"__k_$c")) ++
+        trackedCols.map(c => col(c).alias(s"__v_$c")): _*)
+    val joined = u.join(curK,
+      keyCols.map(c => col(c) === col(s"__k_$c")).reduce(_ && _), "left")
+    val isNew = col(s"__k_${keyCols.head}").isNull
+    val differs = trackedCols.map(c => !(col(c) <=> col(s"__v_$c"))).reduce(_ || _)
+    val changed = joined.filter(!isNew && differs)
+      .select((keyCols ++ trackedCols).map(col) :+ col("__ts"): _*)
+    val fresh = joined.filter(isNew)
+      .select((keyCols ++ trackedCols).map(col) :+ col("__ts"): _*)
+
+    val changedKeys = changed.select(
+      keyCols.map(c => col(c).alias(s"__c_$c")) :+ col("__ts").alias("__close_ts"): _*)
+
+    // history rows are untouched; current rows of changed keys close
+    val history = dim.filter(!col("is_current"))
+    val curJoined = cur.join(changedKeys,
+      keyCols.map(c => col(c) === col(s"__c_$c")).reduce(_ && _), "left")
+    val untouchedCur = curJoined.filter(col(s"__c_${keyCols.head}").isNull)
+      .select(dim.columns.map(col): _*)
+    val closed = curJoined.filter(col(s"__c_${keyCols.head}").isNotNull)
+      .withColumn("valid_to", col("__close_ts"))
+      .withColumn("is_current", lit(false))
+      .select(dim.columns.map(col): _*)
+
+    val inserted = changed.unionByName(fresh)
+      .withColumn("valid_from", col("__ts"))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+      .select(dim.columns.map(col): _*)
+
+    history.unionByName(untouchedCur).unionByName(closed).unionByName(inserted)
+  }
+
+  /** Point-in-time lookup: the dimension version valid AT `ts` —
+    * `valid_from <= ts < coalesce(valid_to, ∞)`. The fact⋈dim join
+    * predicate for SCD2 dimensions.
+    */
+  def asOf(dim: DataFrame, ts: Long): DataFrame =
+    dim.filter(col("valid_from") <= ts &&
+      (col("valid_to").isNull || col("valid_to") > ts))
+}

@@ -818,6 +818,50 @@ class ExtSpec extends AnyFunSuite {
     assert(done === Array((1L, 190L)))
   }
 
+  test("SCD2: change closes + inserts, no-op ignored, new key inserts, history kept") {
+    val dim = Seq(
+      (1, "gold", 0L, Some(50L), false),  // history version of key 1
+      (1, "plat", 50L, None, true),
+      (2, "gold", 0L, None, true),
+      (3, "base", 0L, None, true),
+    ).toDF("k", "tier", "valid_from", "valid_to", "is_current")
+    val updates = Seq(
+      (1, "diamond", 100L), // change → close plat@100, insert diamond
+      (2, "gold", 100L),    // no change → ignored
+      (9, "fresh", 100L),   // new key → insert
+    ).toDF("k", "tier", "ts")
+    val out = ext.Scd2(dim, updates, Seq("k"), Seq("tier"), "ts")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4))).toSet
+    assert(out === Set(
+      (1, "gold", 0L, 50L, false),      // old history untouched
+      (1, "plat", 50L, 100L, false),    // closed at the update ts
+      (1, "diamond", 100L, -1L, true),  // new current version
+      (2, "gold", 0L, -1L, true),       // no-op update left alone
+      (3, "base", 0L, -1L, true),       // untouched key
+      (9, "fresh", 100L, -1L, true),    // brand-new key
+    ))
+    // point-in-time: at ts 75 key 1 was plat; at 100 it is diamond
+    val at75 = ext.Scd2.asOf(ext.Scd2(dim, updates, Seq("k"), Seq("tier"), "ts"), 75L)
+      .filter($"k" === 1).head.getString(1)
+    assert(at75 == "plat")
+  }
+
+  test("incremental refresh law: merged deltas == direct aggregate, exactly") {
+    val rows = (1 to 300).map(i => (i, s"g${i % 3}", (i % 7) + 0.5))
+    val all = rows.toDF("id", "grp", "v")
+    val keys = Seq("grp")
+    val incremental = (0 to 2).map(b => all.filter($"id" % 3 === b))
+      .foldLeft(ext.Incremental.emptyState(all, keys))(
+        (st, d) => ext.Incremental.refreshCounts(st, d, keys, "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    val direct = all.groupBy("grp")
+      .agg(count(lit(1)).alias("n_rows"),
+        sum($"v".cast("decimal(28,6)")).cast("decimal(28,6)").alias("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    assert(incremental === direct)
+  }
+
   test("retention: integer cohorts, distinct active periods, cohort size at 0") {
     val ev = Seq(
       (1L, 5L), (1L, 15L), (1L, 25L),   // cohort 0, active periods 0,1,2

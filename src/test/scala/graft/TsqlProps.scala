@@ -31,36 +31,48 @@ object TsqlProps extends Properties("tsql") {
   private val strLit: Gen[String] =
     Gen.listOfN(4, Gen.alphaLowerChar).map(cs => s"'x${cs.mkString}'")
 
-  private def expr(depth: Int): Gen[String] =
+  /** `inArith`: this expression will be spliced into a `+`-reachable
+    * position. An UNPARENTHESIZED string comparison there would put its
+    * literal inside the enclosing `+` chain — where T-SQL precedence
+    * (`+` binds tighter than `<>`) makes concat the CORRECT reading, so
+    * the shim rewrites and identity legitimately fails. That is the
+    * generator violating its own premise, not a shim bug (found by a
+    * falsified run: `a <> 'xsify' + n / b`); parenthesized comparisons
+    * stay fine (a Group is not a top-level literal in the chain).
+    */
+  private def expr(depth: Int, inArith: Boolean = false): Gen[String] =
     if (depth <= 0) Gen.oneOf(ident, number)
     else Gen.frequency(
       3 -> Gen.oneOf(ident, number),
       2 -> (for {
-        a <- expr(depth - 1); b <- expr(depth - 1)
+        a <- expr(depth - 1, inArith = true)
+        b <- expr(depth - 1, inArith = true)
         op <- Gen.oneOf("+", "-", "*", "/", "%")
       } yield s"$a $op $b"),
       1 -> (for {
-        a <- expr(depth - 1); s <- strLit
+        a <- expr(depth - 1, inArith = true); s <- strLit
         op <- Gen.oneOf("=", "<>", "<", ">=")
-      } yield s"$a $op $s"),
+        cmp = s"$a $op $s"
+      } yield if (inArith) s"($cmp)" else cmp),
       1 -> expr(depth - 1).map(e => s"($e)"),
       1 -> (for {
         f <- Gen.oneOf("abs", "upper", "coalesce", "length")
         a <- expr(depth - 1)
       } yield s"$f($a)"),
       1 -> (for {
-        c <- expr(depth - 1); a <- expr(depth - 1); b <- expr(depth - 1)
+        c <- expr(depth - 1, inArith = true)
+        a <- expr(depth - 1); b <- expr(depth - 1)
       } yield s"CASE WHEN $c > 0 THEN $a ELSE $b END"))
 
   private def squash(s: String) = s.replaceAll("\\s+", "")
 
   property("rewrite is whitespace-identity on ANSI-only expressions") =
-    forAll(Gen.choose(0, 3).flatMap(expr)) { e =>
+    forAll(Gen.choose(0, 3).flatMap(d => expr(d))) { e =>
       squash(Tsql.rewrite(e)) == squash(e)
     }
 
   property("rewrite is idempotent on its own output") =
-    forAll(Gen.choose(0, 3).flatMap(expr)) { e =>
+    forAll(Gen.choose(0, 3).flatMap(d => expr(d))) { e =>
       val once = Tsql.rewrite(e)
       Tsql.rewrite(once) == once
     }

@@ -563,6 +563,17 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, cents, nProbe = 4)
     },
 
+    // dedup: SemDeDup — cluster the embedding space (32 md5-first
+    // centroids, engine-reproducible), pairwise cosine ONLY within a
+    // cluster, drop every vector with a lower-id in-cluster neighbor at
+    // cosine ≥ 0.3; the oracle rebuilds centroid sample + assignment +
+    // in-cluster pairs + the anti-join in plain SQL
+    "q_semdedup" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      val cents = ext.Similarity.ivfCentroids(e, "vec_id", "embedding", k = 32)
+      ext.Dedup.semanticDedup(e, "vec_id", "embedding", cents, threshold = 0.3)
+    },
+
     // flagship composite: training-corpus curation (quality gate →
     // near-dup canonicalization → per-source stats)
     "q_curate_corpus" -> ((s, dir) => ext.Curate.corpusStats(
@@ -783,6 +794,21 @@ object SparkEntry {
     "q_topk_native" -> ((s, dir) => plans.TopKPerGroup(
       read(s, dir, "documents").select("doc_id", "source", "n_chars"),
       "source", "n_chars", "doc_id", k = 3)),
+
+    // the DECLARATIVE route to the same physical plan: the user writes the
+    // standard window idiom, and the WindowTopKRewrite optimizer rule
+    // plants the bounded-heap operator under the window — the window then
+    // sorts at most k rows per group
+    "q_topk_rewrite" -> ((s, dir) => {
+      plans.WindowTopKRewrite.setup(s)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      read(s, dir, "documents").select("doc_id", "source", "n_chars")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .drop("rk")
+    }),
 
     // record linkage: edit-distance self-join via SOUND length-band
     // blocking + exact levenshtein rescore — completeness of the blocked
@@ -1726,6 +1752,31 @@ object SparkEntry {
         |           FROM scored)
         |SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
 
+    // SemDeDup: same centroid sample + nearest-centroid assignment as
+    // q_knn_ivf, in-cluster pairwise cosine, drop-if-lower-id-neighbor
+    "q_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM e
+        |          ORDER BY h LIMIT 32),
+        |cent AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cidx,
+        |                CASE WHEN list_dot_product(v, v) = 0 THEN v
+        |                     ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+        |                END AS c
+        |         FROM cent0),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |assign AS (SELECT vec_id, v, nrm, list FROM (
+        |    SELECT n.vec_id, n.v, n.nrm, c.cidx AS list,
+        |           row_number() OVER (PARTITION BY n.vec_id
+        |             ORDER BY list_dot_product(n.v, c.c) DESC, c.cidx) AS rn
+        |    FROM n CROSS JOIN cent c) WHERE rn = 1),
+        |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |          FROM assign a JOIN assign b
+        |            ON a.list = b.list AND a.vec_id < b.vec_id
+        |          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3)
+        |SELECT a.vec_id, CAST(a.list AS INTEGER) AS cluster
+        |FROM assign a
+        |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.b_id = a.vec_id)""".stripMargin,
+
     "q_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -2205,6 +2256,15 @@ object SparkEntry {
     // the custom-operator path must emit exactly the window-form rows —
     // the (score desc, id asc) total order makes top-k unique
     "q_topk_native" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents) WHERE rk <= 3""".stripMargin,
+
+    // optimizer-rule route: identical window-form semantics, so the same
+    // oracle — the hash match proves the rewrite is result-invariant
+    "q_topk_rewrite" ->
       """SELECT doc_id, source, n_chars FROM (
         |  SELECT doc_id, source, n_chars,
         |         row_number() OVER (PARTITION BY source

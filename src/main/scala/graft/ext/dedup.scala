@@ -653,4 +653,58 @@ object Dedup {
       .select("a_id", "b_id", "cosine")
       .distinct()
   }
+
+  /** SemDeDup-style cluster-scoped duplicate pairs: vectors are assigned
+    * to their nearest centroid (native [[graft.functions.IvfAssign]],
+    * narrow) and pairs are generated ONLY within a cluster — the published
+    * SemDeDup recipe (Abbas et al. 2023: k-means the embedding space, then
+    * pairwise cosine inside each cluster). With k ≈ √n centroids the
+    * per-cluster all-pairs work is Σ|c|² ≈ n·√n instead of n² — and each
+    * cluster's pairs are an independent hash-join partition, so the job
+    * parallelizes across clusters with no global candidate structure.
+    *
+    * Skew guard at 100 TB: a pathological mega-cluster re-introduces the
+    * quadratic blowup; production splits oversized clusters by re-running
+    * assignment against sub-centroids (same operator, cluster-scoped
+    * input) — the same recursion IVF uses for unbalanced lists.
+    *
+    * Emits (cluster, a_id < b_id, cosine ≥ threshold).
+    */
+  def semanticDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    import graft.functions.IvfAssign
+    val e = df.select(col(idCol).alias("id"), col(vecCol).alias("v"))
+      .withColumn("cluster", IvfAssign.column(col("v"), centroids, 1).getItem(0))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val a = e.select(col("cluster"), col("id").alias("a_id"),
+      col("v").alias("va"), col("nrm").alias("na"))
+    val b = e.select(col("cluster"), col("id").alias("b_id"),
+      col("v").alias("vb"), col("nrm").alias("nb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine",
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("cluster", "a_id", "b_id", "cosine")
+  }
+
+  /** SemDeDup survivors: a vector is dropped iff some LOWER-id vector in
+    * its cluster is within `threshold` cosine — the triangular-matrix
+    * greedy of the reference SemDeDup implementation (each duplicate
+    * group keeps its first member in id order; chains do NOT rescue later
+    * members). One anti-join of the corpus against the pair list's b-side.
+    *
+    * Emits (idCol, cluster) for every kept vector.
+    */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], threshold: Double): DataFrame = {
+    import graft.functions.IvfAssign
+    val dropped = semanticDupPairs(df, idCol, vecCol, centroids, threshold)
+      .select(col("b_id").alias(idCol)).distinct()
+    df.select(col(idCol),
+        IvfAssign.column(col(vecCol), centroids, 1).getItem(0).alias("cluster"))
+      .join(dropped, Seq(idCol), "left_anti")
+  }
 }

@@ -80,5 +80,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
     }
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }
 }

@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, EqualTo, Expression, ExprId, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, PredicateHelper, RowNumber, WindowExpression, WindowSpecDefinition}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Catalyst optimizer extension (`Rule[LogicalPlan]` tier): rewrites the
+  * ubiquitous window top-k idiom
+  *
+  * {{{
+  *   row_number() OVER (PARTITION BY g ORDER BY o) AS rn ... WHERE rn <= k
+  * }}}
+  *
+  * so the [[TopKPerGroupNode]] bounded-heap operator runs BELOW the window:
+  *
+  *   Filter(rn <= k)                    Filter(rn <= k)
+  *     Window(row_number as rn)    =>     Window(row_number as rn)
+  *       child                              TopKPerGroupNode(g, o, k)
+  *                                            child
+  *
+  * The Filter and Window stay, so output (including `rn` when the caller
+  * keeps it) is unchanged — but the window now sorts at most k rows per
+  * group, and the shuffle feeding it carries only per-partition heap
+  * winners (≤ partitions × groups × k rows) instead of the corpus. This is
+  * the declarative route to the same physical win [[TopKPerGroup.apply]]
+  * offers imperatively: users keep writing the standard window idiom and
+  * the optimizer swaps the plan. Spark's own `InferWindowGroupLimit`
+  * attacks this pattern too, but its `WindowGroupLimitExec` still fully
+  * sorts each partition; the heap operator replaces the sort entirely
+  * (3.5–5× at 20–50 M rows — `graft.TopKBench`).
+  *
+  * Scope guards (all must hold, else the plan is left untouched):
+  *   - exactly one window expression, and it is `row_number()` — rank-like
+  *     functions with ties (`rank`, `dense_rank`) can retain MORE than k
+  *     rows, which a k-bounded heap cannot honor;
+  *   - non-empty, deterministic partition AND order specs (an empty
+  *     partition spec is a global top-k — Spark already plans that as
+  *     TakeOrdered; nondeterministic exprs must not be re-evaluated on a
+  *     different row subset);
+  *   - a constant integer upper bound on `rn` extractable from the filter
+  *     conjuncts (`rn <= k`, `rn < k`, `rn = k`, reversed forms; the
+  *     tightest bound wins, other conjuncts are preserved by the retained
+  *     Filter).
+  *
+  * Tie caveat (same as Spark's InferWindowGroupLimit): if the window order
+  * is not a total order, WHICH boundary-tied rows survive is
+  * engine-nondeterministic in both the rewritten and unrewritten plans;
+  * the rewrite never changes a deterministic (total-order) result.
+  *
+  * Registration: [[GraftExtensions]] injects it via
+  * `injectOptimizerRule` (`spark.sql.extensions` deployments);
+  * [[WindowTopKRewrite.setup]] adds it to a live session's
+  * `experimental.extraOptimizations`. Both batches run to fixed point, so
+  * the rule refuses to fire twice (child already [[TopKPerGroupNode]]).
+  */
+object WindowTopKRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Constant upper bound on `rn` implied by one conjunct, if any. */
+  private def bound(e: Expression, id: ExprId): Option[Long] = e match {
+    case LessThanOrEqual(a: Attribute, IntegerLiteral(v)) if a.exprId == id => Some(v.toLong)
+    case LessThan(a: Attribute, IntegerLiteral(v)) if a.exprId == id => Some(v.toLong - 1)
+    case EqualTo(a: Attribute, IntegerLiteral(v)) if a.exprId == id => Some(v.toLong)
+    case GreaterThanOrEqual(IntegerLiteral(v), a: Attribute) if a.exprId == id => Some(v.toLong)
+    case GreaterThan(IntegerLiteral(v), a: Attribute) if a.exprId == id => Some(v.toLong - 1)
+    case EqualTo(IntegerLiteral(v), a: Attribute) if a.exprId == id => Some(v.toLong)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, w @ Window(
+          Seq(alias @ Alias(WindowExpression(RowNumber(), _: WindowSpecDefinition), _)),
+          part, order, child, _))
+        if part.nonEmpty && order.nonEmpty &&
+          part.forall(_.deterministic) &&
+          order.forall(_.deterministic) =>
+      // strip Spark's sort-based group limit if InferWindowGroupLimit got
+      // here first — the heap operator subsumes it
+      val base = child match {
+        case WindowGroupLimit(_, _, _, _, inner) => inner
+        case other => other
+      }
+      val k = splitConjunctivePredicates(cond)
+        .flatMap(bound(_, alias.exprId))
+        .reduceOption(_ min _)
+      k match {
+        case Some(n) if n >= 1 && n <= Int.MaxValue &&
+            !base.isInstanceOf[TopKPerGroupNode] =>
+          f.copy(child = w.copy(child = TopKPerGroupNode(part, order, n.toInt, base)))
+        case _ => f
+      }
+  }
+
+  /** Idempotent live-session injection (rule + the planner strategy that
+    * executes the node it introduces).
+    */
+  def setup(session: SparkSession): Unit = {
+    GraftStrategy.setup(session)
+    val exp = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental
+    if (!exp.extraOptimizations.contains(WindowTopKRewrite))
+      exp.extraOptimizations = WindowTopKRewrite +: exp.extraOptimizations
+  }
+}

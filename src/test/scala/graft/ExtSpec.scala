@@ -255,6 +255,49 @@ class ExtSpec extends AnyFunSuite {
     assert(gated == exact)
   }
 
+  test("semantic dedup (SemDeDup): cluster-scoped pairs, greedy-by-id survivors") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = ext.Similarity.ivfCentroids(e, "vec_id", "embedding", k = 8)
+    val thr = 0.3
+    val pairs = Dedup.semanticDupPairs(e, "vec_id", "embedding", cents, thr)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    val kept = Dedup.semanticDedup(e, "vec_id", "embedding", cents, thr)
+      .collect().map(_.getLong(0)).toSet
+    val all = e.collect().map(_.getLong(0)).toSet
+    // survivors = exactly the vectors with NO lower-id in-cluster neighbor
+    val droppedByPairs = pairs.map(_._2)
+    assert(kept === all -- droppedByPairs)
+    assert(kept.nonEmpty && droppedByPairs.nonEmpty,
+      s"fixture thresholds degenerate: kept=${kept.size} dropped=${droppedByPairs.size}")
+    // every pair is genuinely in one cluster and above threshold: recompute
+    // assignment + cosine in Scala for a sample of pairs
+    import graft.functions.IvfAssign
+    val assign = e.select(col("vec_id"),
+        IvfAssign.column(col("embedding"), cents, 1).getItem(0).alias("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).foldLeft(0.0)((s, p) => s + p._1 * p._2)
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    pairs.take(20).foreach { case (a, b) =>
+      assert(assign(a) === assign(b), s"pair ($a,$b) crosses clusters")
+      assert(cos(vecs(a), vecs(b)) >= thr - 1e-9, s"pair ($a,$b) under threshold")
+    }
+    // completeness within clusters: no same-cluster pair above threshold
+    // is missing from the pair list
+    val byCluster = all.groupBy(assign)
+    byCluster.values.foreach { ids =>
+      val sorted = ids.toSeq.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.length) {
+        val (a, b) = (sorted(i), sorted(j))
+        if (cos(vecs(a), vecs(b)) >= thr + 1e-9)
+          assert(pairs.contains((a, b)), s"missing in-cluster pair ($a,$b)")
+      }
+    }
+  }
+
   test("shard packing: first-token rule, per-group windows, stable positions") {
     val d = Seq(
       (1L, "s", 100L), (2L, "s", 150L), (3L, "s", 200L),

@@ -1,6 +1,7 @@
 package graft
 
-import graft.plans.{GraftStrategy, TopKPerGroup, TopKPerGroupExec}
+import graft.plans.{GraftStrategy, TopKPerGroup, TopKPerGroupExec, TopKPerGroupNode, WindowTopKRewrite}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -72,6 +73,84 @@ class PlansSpec extends AnyFunSuite {
       assert(shuffled < 5000, "partial phase must shrink the exchange input")
       assert(out.count() === 10)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  // --- WindowTopKRewrite: the declarative route to the heap operator ----
+
+  /** Fresh session with the rule injected, so the shared TestSpark session
+    * stays rule-free (the un-rewritten comparison baseline).
+    */
+  private def ruleSession() = {
+    val s = spark.newSession()
+    WindowTopKRewrite.setup(s)
+    s
+  }
+
+  private def randomDocsIn(s: org.apache.spark.sql.SparkSession,
+      n: Int, groups: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    s.createDataFrame((0 until n).map(i =>
+      (i.toLong, s"g${rnd.nextInt(groups)}", rnd.nextInt(40).toLong)))
+      .toDF("id", "grp", "score")
+  }
+
+  test("rewrite fires on the window idiom and preserves results including rn") {
+    val s = ruleSession()
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
+    def query(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+
+    val rewritten = query(randomDocsIn(s, 5000, 23, seed = 42).repartition(13))
+    assert(rewritten.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[TopKPerGroupNode]), rewritten.queryExecution.optimizedPlan)
+
+    val plain = query(randomDocs(5000, 23, seed = 42).repartition(13))
+    assert(!plain.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[TopKPerGroupNode]))
+
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    // (score desc, id) is total, so rn values — not just membership — match
+    assert(key(rewritten) === key(plain))
+  }
+
+  test("rewrite scope guards: rank-like, unbounded, and global cases stay untouched") {
+    val s = ruleSession()
+    val d = randomDocsIn(s, 500, 5, seed = 1)
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
+    def fired(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.exists(_.isInstanceOf[TopKPerGroupNode])
+
+    // rank() can retain > k rows on boundary ties — must not rewrite
+    assert(!fired(d.withColumn("rn", rank().over(w)).filter(col("rn") <= 3)))
+    // lower bound only — no k to cap the heap with
+    assert(!fired(d.withColumn("rn", row_number().over(w)).filter(col("rn") >= 2)))
+    // global top-k (empty partition spec) — TakeOrdered territory
+    val g = Window.orderBy(col("score").desc, col("id"))
+    assert(!fired(d.withColumn("rn", row_number().over(g)).filter(col("rn") <= 3)))
+    // conjunct extraction: rn <= 4 AND rn >= 2 AND score > 0 rewrites with
+    // k = 4 and keeps the residual conjuncts in the Filter
+    val mixed = d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 4 && col("rn") >= 2 && col("score") >= 0)
+    assert(fired(mixed))
+    val expect = d.withColumn("rn", row_number().over(w)).collect()
+      .map(r => (r.getLong(0), r.getInt(3)))
+      .filter { case (_, rn) => rn <= 4 && rn >= 2 }.map(_._1).toSet
+    assert(mixed.collect().map(_.getLong(0)).toSet === expect)
+  }
+
+  test("rewritten plan executes through the heap operator's two phases") {
+    val s = ruleSession()
+    val d = randomDocsIn(s, 2000, 7, seed = 7).repartition(11)
+    val w = Window.partitionBy("grp").orderBy(col("score").desc, col("id"))
+    val out = d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TopKPerGroupPartial"), plan)
+    assert(plan.contains("TopKPerGroupFinal"), plan)
+    assert(out.count() === 21)
   }
 
   test("operator composes with filters/projections and self-registers the strategy") {

@@ -598,6 +598,18 @@ object SparkEntry {
       col("doc_id"),
       ext.TextOps.repetitionRatio("text", k = 3).alias("rep_ratio"))),
 
+    // CCNet-style LM quality score: char-bigram conditional-probability
+    // model trained on the trusted subset (doc_id % 10 != 7), every doc
+    // scored by integer-ppb average bigram probability — low score = high
+    // perplexity = out-of-distribution text; all-BIGINT math, broadcast
+    // model (≤ |charset|² rows at ANY corpus scale)
+    "q_lm_score" -> { (s, dir) =>
+      val docs = read(s, dir, "documents")
+      val model = ext.TextOps.lmBigramModel(
+        docs.filter(col("doc_id") % 10 =!= 7), "text")
+      ext.TextOps.lmScore(docs, "doc_id", "text", model)
+    },
+
     // chunking: doc → overlapping context windows (120 chars, 20 overlap);
     // pure substring explode, chunk counts bounded by doc length
     "q_chunk" -> ((s, dir) =>
@@ -845,6 +857,24 @@ object SparkEntry {
     "q_retention" -> ((s, dir) => ext.Funnel.retention(
       readEvents(s, dir), "user_id", "ts_us",
       periodLength = 604800000000L)),
+
+    // link analysis: 3-iteration PageRank over the nation trade graph
+    // (customer nation → supplier nation per order line, self-loops
+    // dropped) — integer-ppb ranks, so the oracle replays every iteration
+    // bit-for-bit; per iteration: one shuffle on src, one on dst
+    "q_pagerank" -> { (s, dir) =>
+      val edges = read(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(read(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(read(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(read(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").alias("src"), col("s_nationkey").alias("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      ext.Graph.pageRank(edges, "src", "dst", iters = 3)
+    },
 
     // profiling: heaviest join keys with corpus share (the pre-shuffle
     // skew check; TakeOrdered top-N, no global sort)
@@ -1094,6 +1124,36 @@ object SparkEntry {
        |SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= 5""".stripMargin
   }
 
+  /** Generated DuckDB oracle for q_pagerank — the same nation-trade edge
+    * derivation, then each PageRank iteration unrolled as its own CTE
+    * (r1..r3), replaying the integer-ppb recurrence exactly (DuckDB `//`
+    * == Spark `div` on positives).
+    */
+  private lazy val pageRankOracle: String = {
+    def iter(i: Int): String =
+      s"""r$i AS (SELECT nodes.node,
+         |  150000000 // (SELECT cnt FROM nn)
+         |    + 850000000 * COALESCE(c.s, 0) // 1000000000 AS r
+         |  FROM nodes LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(r${i - 1}.r // od.deg) AS s
+         |    FROM edges e JOIN r${i - 1} ON r${i - 1}.node = e.src
+         |    JOIN od ON od.src = e.src
+         |    GROUP BY e.dst) c ON c.node = nodes.node)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE c.c_nationkey <> s.s_nationkey),
+       |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+       |nn AS (SELECT COUNT(*) AS cnt FROM nodes),
+       |od AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT node, 1000000000 // (SELECT cnt FROM nn) AS r FROM nodes),
+       |${(1 to 3).map(iter).mkString(",\n")}
+       |SELECT node, CAST(r AS BIGINT) AS rank_ppb FROM r3""".stripMargin
+  }
+
   /** Generated DuckDB oracle for q_simhash_portable — same md5-hex-digit
     * bit reads and ±1 votes as `Dedup.simHash32Portable`, emitted as 32
     * aggregate expressions.
@@ -1154,6 +1214,7 @@ object SparkEntry {
     "q_knn_lsh" -> knnLshOracle,
     "q_embed_neardup_lsh" -> embedNearDupLshOracle,
     "q_simhash_portable" -> simhashPortableOracle,
+    "q_pagerank" -> pageRankOracle,
 
     // JVM long wraparound emulated with HUGEINT mod 2^64 + two's-complement
     // reinterpretation; seed and 31·h+b fold mirror functions.RollingHash
@@ -1924,6 +1985,26 @@ object SparkEntry {
         |                   / CAST(t.total AS DOUBLE)
         |       END AS rep_ratio
         |FROM t LEFT JOIN ds ON ds.doc_id = t.doc_id""".stripMargin,
+
+    // LM score: identical bigram extraction (substr windows), model on the
+    // trusted subset, HUGEINT // for the ppb division (Spark div == // for
+    // positives), occurrence-weighted average per doc
+    "q_lm_score" ->
+      """WITH bgall AS (
+        |  SELECT d.doc_id, substr(d.text, i.i, 2) AS bg
+        |  FROM documents d, (SELECT unnest(generate_series(1, 4000)) AS i) i
+        |  WHERE i.i <= len(d.text) - 1),
+        |mn AS (SELECT bg, COUNT(*) AS n FROM bgall
+        |       WHERE doc_id % 10 <> 7 GROUP BY bg),
+        |pre AS (SELECT substr(bg, 1, 1) AS c1, SUM(n) AS n1 FROM mn GROUP BY 1),
+        |model AS (SELECT bg,
+        |            CAST(CAST(n AS HUGEINT) * 1000000000 // n1 AS BIGINT) AS p_ppb
+        |          FROM mn JOIN pre ON substr(mn.bg, 1, 1) = pre.c1),
+        |docbg AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM bgall GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(cnt * coalesce(p_ppb, 0)) // SUM(cnt) AS BIGINT) AS avg_p_ppb
+        |FROM docbg LEFT JOIN model USING (bg)
+        |GROUP BY doc_id""".stripMargin,
 
     // line dedup: same deterministic 5-word lining (RE2 '\1' backref ==
     // Java '$1'), line document frequency, drop df > 2, reassemble with

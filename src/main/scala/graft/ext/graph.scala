@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link analysis over edge lists (extension surface): fixed-iteration
+  * PageRank with integer parts-per-billion arithmetic, so ranks are
+  * bit-identical in any engine (no float summation order, no cross-engine
+  * `pow/log` drift) and a plain-SQL oracle can replay every iteration.
+  *
+  * The iteration is the standard Pregel-shaped join-aggregate:
+  * ranks ⋈ edges on src (one hash shuffle), contributions summed per dst
+  * (second hash shuffle) — per iteration the shuffled bytes are O(edges),
+  * the rank frame is O(nodes). That is the same cost model GraphX/Pregel
+  * pays; at 100 TB the edge relation dominates and both shuffles hash-
+  * partition it, never collecting anything driver-side beyond the single
+  * node count.
+  */
+object Graph {
+
+  /** PageRank over `edges` (a multigraph: parallel edges weight the link;
+    * `.distinct()` the input for simple-graph semantics). Returns
+    * (node, rank_ppb).
+    *
+    * Semantics (all BIGINT, positive, so Spark `div` == floor division):
+    *   - r0 = 1e9 div n for every node (src ∪ dst);
+    *   - r_{i+1}(v) = (1e9 − damp) div n
+    *                  + damp · Σ_{(u,v)∈E} (r_i(u) div outdeg(u)) div 1e9;
+    *   - dangling-node mass leaks (the classic simplified variant) —
+    *     ranks still order identically for gate/top-k use.
+    *
+    * `iters` is fixed and small (PageRank converges geometrically; 3–10
+    * covers curation use). The loop builds ONE lazy plan — for deep
+    * iteration counts in production, localCheckpoint the rank frame every
+    * few rounds to cut lineage, exactly as [[Dedup.nearDupClusters]] does.
+    */
+  def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, dampPpb: Long = 850000000L): DataFrame = {
+    require(iters >= 1 && iters <= 50, "iters in [1, 50]")
+    require(dampPpb >= 0L && dampPpb <= 1000000000L, "dampPpb in [0, 1e9]")
+    val edges = edges0
+      .select(col(srcCol).alias("src"), col(dstCol).alias("dst"))
+    val nodes = edges.select(col("src").alias("node"))
+      .union(edges.select(col("dst").alias("node")))
+      .distinct()
+    val n = nodes.count() // one scalar action; bounds every div below
+    require(n > 0, "empty graph")
+    val od = edges.groupBy("src").agg(count(lit(1)).alias("deg"))
+    var r = nodes.withColumn("r", lit(1000000000L / n))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .join(od, "src")
+        .groupBy(col("dst").alias("node"))
+        .agg(sum(expr("r div deg")).alias("s"))
+      r = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1000000000L - dampPpb) / n) +
+            expr(s"${dampPpb}L * coalesce(s, 0L) div 1000000000L")).alias("r"))
+    }
+    r.select(col("node"), col("r").alias("rank_ppb"))
+  }
+}

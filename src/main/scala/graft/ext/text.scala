@@ -394,4 +394,69 @@ object TextOps {
   def normalizeText(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** All character bigrams of `textCol` (with duplicates, in order);
+    * texts shorter than 2 chars yield an empty array. Pure builtin
+    * transform/sequence — codegen'd, narrow.
+    */
+  def charBigrams(textCol: String): Column =
+    expr(s"""filter(
+      transform(sequence(1, greatest(length($textCol) - 1, 1)),
+        i -> substring($textCol, i, 2)),
+      x -> length(x) = 2)""")
+
+  /** Char-bigram language model trained on a corpus: conditional
+    * probability p(c2|c1) per observed bigram, as an INTEGER parts-per-
+    * billion (`p_ppb = count(c1c2) * 1e9 div count(c1·)`, DECIMAL(38)
+    * intermediate) — the engine-portable stand-in for log-probabilities,
+    * which rank identically per prefix and avoid cross-engine float logs.
+    *
+    * This is the deterministic core of a CCNet-style perplexity filter:
+    * train the model on a trusted corpus, score candidate documents, gate
+    * on the score. Model size is bounded by |charset|² regardless of
+    * corpus size — always broadcastable — and training is ONE hash
+    * aggregate over the corpus bigram stream (map-side combine does the
+    * heavy lifting; no shuffle carries more than the model's own rows).
+    */
+  def lmBigramModel(df: DataFrame, textCol: String): DataFrame = {
+    val bg = df.select(explode(charBigrams(textCol)).alias("bg"))
+      .groupBy("bg").agg(count(lit(1)).alias("n"))
+    val pre = bg.groupBy(substring(col("bg"), 1, 1).alias("c1"))
+      .agg(sum(col("n")).alias("n1"))
+    bg.withColumn("c1", substring(col("bg"), 1, 1))
+      .join(pre, "c1")
+      .select(col("bg"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000000 div n1 AS BIGINT)")
+          .alias("p_ppb"))
+  }
+
+  /** Score documents under a [[lmBigramModel]]: per-doc average
+    * conditional bigram probability in ppb (sum of occurrence-weighted
+    * p_ppb div bigram count — all BIGINT, bit-identical in any engine;
+    * per-doc sums are bounded by doc length × 1e9, far inside BIGINT at
+    * any corpus scale). Bigrams unseen in the model score 0 — the harshest
+    * out-of-distribution penalty, exactly what a quality gate wants.
+    * Documents shorter than 2 chars have no bigrams and emit no row.
+    *
+    * Low `avg_p_ppb` ≈ high perplexity: text whose character transitions
+    * the trusted corpus rarely makes (mojibake, foreign scripts, binary
+    * spill) gates out first.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+      model: DataFrame): DataFrame = {
+    val docBg = df
+      .select(col(idCol), explode(charBigrams(textCol)).alias("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).alias("cnt"))
+    docBg.join(broadcast(model), Seq("bg"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).alias("n_bigrams"),
+        expr("CAST(sum(cnt * coalesce(p_ppb, 0L)) div sum(cnt) AS BIGINT)")
+          .alias("avg_p_ppb"))
+  }
+
+  /** Self-scored corpus: model trained on `df` itself (the bootstrap
+    * shape when no external trusted corpus exists).
+    */
+  def lmScoreSelf(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    lmScore(df, idCol, textCol, lmBigramModel(df, textCol))
 }

@@ -255,6 +255,56 @@ class ExtSpec extends AnyFunSuite {
     assert(gated == exact)
   }
 
+  test("PageRank: hand-computed ranks on a tiny graph, dangling and sink cases") {
+    // 1→2, 1→3, 2→3, 3→1 : n=3, r0 = 333333333 each
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    def ranks(iters: Int) = ext.Graph.pageRank(edges, "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one iteration by hand (damp=0.85e9, base=150000000/3=50000000):
+    //   contrib: 1←r0(3)/1=333333333 ; 2←r0(1)/2=166666666 ;
+    //            3←r0(1)/2 + r0(2)/1 = 166666666+333333333=499999999
+    //   r1(v) = 50000000 + 850000000*s div 1e9
+    val r1 = ranks(1)
+    assert(r1(1L) === 50000000L + 850000000L * 333333333L / 1000000000L)
+    assert(r1(2L) === 50000000L + 850000000L * 166666666L / 1000000000L)
+    assert(r1(3L) === 50000000L + 850000000L * 499999999L / 1000000000L)
+    // more iterations stay mass-bounded and keep 3 as the top node
+    val r3 = ranks(3)
+    assert(r3.values.sum <= 1000000000L)
+    assert(r3.maxBy(_._2)._1 === 3L)
+    // dangling sink: 1→2 only; node 2 has no out-edges — its mass leaks,
+    // node 1 gets only the teleport base
+    val sink = ext.Graph.pageRank(
+      Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sink(1L) === 75000000L) // (1e9-850000000) div 2
+    assert(sink(2L) > sink(1L))
+  }
+
+  test("LM bigram score: hand-computed model, OOV penalty, short-text edge") {
+    val corpus = Seq((1L, "abab"), (2L, "abba")).toDF("doc_id", "text")
+    // corpus bigrams: doc1 ab,ba,ab; doc2 ab,bb,ba → ab:3 ba:2 bb:1
+    // prefix a: 3, prefix b: 3 → p(ab)=1e9, p(ba)=666666666, p(bb)=333333333
+    val model = ext.TextOps.lmBigramModel(corpus, "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(model === Map(
+      "ab" -> 1000000000L, "ba" -> 666666666L, "bb" -> 333333333L))
+
+    val cand = Seq((10L, "abab"), (11L, "zzzz"), (12L, "x"), (13L, "abzz"))
+      .toDF("doc_id", "text")
+    val scores = ext.TextOps.lmScore(cand, "doc_id", "text",
+        ext.TextOps.lmBigramModel(corpus, "text"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // in-distribution: (1e9 + 666666666 + 1e9) div 3
+    assert(scores(10L) === ((3L, (1000000000L + 666666666L + 1000000000L) / 3)))
+    // fully OOV → 0; the CCNet gate drops these first
+    assert(scores(11L) === ((3L, 0L)))
+    // one known of three bigrams: (1e9 + 0 + 0) div 3
+    assert(scores(13L) === ((3L, 1000000000L / 3)))
+    // single char: no bigrams, no row
+    assert(!scores.contains(12L))
+  }
+
   test("semantic dedup (SemDeDup): cluster-scoped pairs, greedy-by-id survivors") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cents = ext.Similarity.ivfCentroids(e, "vec_id", "embedding", k = 8)

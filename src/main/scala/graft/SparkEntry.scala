@@ -598,6 +598,51 @@ object SparkEntry {
       col("doc_id"),
       ext.TextOps.repetitionRatio("text", k = 3).alias("rep_ratio"))),
 
+    // bloom-pruned join: dim keys sketched (BloomFilterAggregate), fact
+    // side pre-filtered BEFORE its shuffle — result exactly equals the
+    // plain join (false positives die in the join), so the oracle IS the
+    // plain join
+    "q_bloom_join" -> { (s, dir) =>
+      val dim = read(s, dir, "supplier")
+        .filter(col("s_nationkey") === 3).select("s_suppkey", "s_name")
+      val fact = read(s, dir, "lineitem").select("l_suppkey", "l_quantity")
+      ext.RuntimeFilter.bloomPrunedJoin(fact, dim, "l_suppkey", "s_suppkey",
+          expectedItems = 10000)
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(sum(col("l_quantity")).cast("long").alias("sum_qty"),
+          count(lit(1)).alias("n_lines"))
+    },
+
+    // data-quality expectations: row-local rules in ONE aggregate pass
+    // (not-null / range / regex / set), plus key-uniqueness and
+    // referential-integrity relational rules — (rule, n_violations)
+    "q_expectations" -> { (s, dir) =>
+      val orders = read(s, dir, "orders")
+      ext.Expect.fullReport(orders,
+        Seq(ext.Expect.notNull("o_custkey"),
+          ext.Expect.inRange("o_totalprice", 1000, 300000),
+          ext.Expect.matches("o_orderpriority", "^[1-5]-"),
+          ext.Expect.inSet("o_orderstatus", Seq("F", "O"))),
+        uniqueKeys = Seq(Seq("o_orderkey")),
+        refs = Seq(("o_custkey", read(s, dir, "customer"), "c_custkey")))
+    },
+
+    // the quarantine side of the same gate: failing rows tagged with
+    // fixed-order fail reasons (codegen'd concat, no array collection)
+    "q_quarantine" -> ((s, dir) => ext.Expect.quarantine(
+      read(s, dir, "orders"),
+      Seq(ext.Expect.inRange("o_totalprice", 1000, 300000),
+        ext.Expect.inSet("o_orderstatus", Seq("F", "O"))))
+      .select("o_orderkey", "fail_reasons")),
+
+    // exact-substring dedup, grid form: 48-char spans every 16 chars,
+    // per-doc distinct, cross-doc repeats (≥ 2 docs) — the verbatim
+    // boilerplate a span-level cleaner excises; one explode + one exact
+    // hash aggregate
+    "q_repeated_spans" -> ((s, dir) => ext.Dedup.repeatedSpans(
+      read(s, dir, "documents"), "doc_id", "text",
+      window = 48, stride = 16, minDocs = 2)),
+
     // CCNet-style LM quality score: char-bigram conditional-probability
     // model trained on the trusted subset (doc_id % 10 != 7), every doc
     // scored by integer-ppb average bigram probability — low score = high
@@ -1985,6 +2030,71 @@ object SparkEntry {
         |                   / CAST(t.total AS DOUBLE)
         |       END AS rep_ratio
         |FROM t LEFT JOIN ds ON ds.doc_id = t.doc_id""".stripMargin,
+
+    // bloom-pruned join: the oracle is the PLAIN join — the hash match
+    // proves the bloom pre-filter lost no rows
+    "q_bloom_join" ->
+      """SELECT s.s_suppkey, s.s_name,
+        |       CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE s.s_nationkey = 3
+        |GROUP BY s.s_suppkey, s.s_name""".stripMargin,
+
+    // expectations: each rule's count as its own UNION ALL arm — the same
+    // NULL-explicit predicates as the compiled aggregate
+    "q_expectations" ->
+      """SELECT 'not_null_o_custkey' AS rule,
+        |       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |FROM orders
+        |UNION ALL
+        |SELECT 'range_o_totalprice',
+        |       CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 1000
+        |                       OR o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'regex_o_orderpriority',
+        |       CAST(SUM(CASE WHEN o_orderpriority IS NULL
+        |                       OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'set_o_orderstatus',
+        |       CAST(SUM(CASE WHEN o_orderstatus IS NULL
+        |                       OR o_orderstatus NOT IN ('F', 'O')
+        |                     THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'unique_o_orderkey', CAST(COUNT(*) AS BIGINT) FROM (
+        |  SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+        |UNION ALL
+        |SELECT 'ref_o_custkey', CAST(COUNT(*) AS BIGINT) FROM orders o
+        |WHERE o_custkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""".stripMargin,
+
+    // quarantine: concat_ws skips the NULL arms in both engines, so the
+    // fixed-order reason string is bit-identical
+    "q_quarantine" ->
+      """SELECT o_orderkey,
+        |       concat_ws(',',
+        |         CASE WHEN o_totalprice IS NULL OR o_totalprice < 1000
+        |                OR o_totalprice > 300000 THEN 'range_o_totalprice' END,
+        |         CASE WHEN o_orderstatus IS NULL
+        |                OR o_orderstatus NOT IN ('F', 'O') THEN 'set_o_orderstatus' END
+        |       ) AS fail_reasons
+        |FROM orders
+        |WHERE (o_totalprice IS NULL OR o_totalprice < 1000 OR o_totalprice > 300000)
+        |   OR (o_orderstatus IS NULL OR o_orderstatus NOT IN ('F', 'O'))""".stripMargin,
+
+    // repeated spans: same stride grid via generate_series; the WHERE
+    // keeps only positions where a full window fits (== the length filter)
+    "q_repeated_spans" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT doc_id, substr(text, 1 + (i.i - 1) * 16, 48) AS span
+        |  FROM documents, (SELECT unnest(generate_series(1, 1000)) AS i) i
+        |  WHERE 1 + (i.i - 1) * 16 + 48 - 1 <= len(text))
+        |SELECT span, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_doc_id
+        |FROM sp GROUP BY span HAVING COUNT(*) >= 2""".stripMargin,
 
     // LM score: identical bigram extraction (substr windows), model on the
     // trusted subset, HUGEINT // for the ppb division (Spark div == // for

@@ -654,6 +654,40 @@ object Dedup {
       .distinct()
   }
 
+  /** Cross-document repeated spans — the grid form of exact-substring
+    * dedup (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"): fixed-`window` character spans sampled every
+    * `stride` chars, deduped within each doc, then grouped across the
+    * corpus; spans appearing in ≥ `minDocs` documents are the verbatim
+    * boilerplate a span-level cleaner would excise. A true suffix-array
+    * pass finds arbitrary-length repeats; the stride grid finds every
+    * repeat of length ≥ window + stride − 1 at a fraction of the cost
+    * (the standard production trade).
+    *
+    * Scale: span rows = chars/stride — one explode, one hash aggregate
+    * (map-side combine collapses in-partition repeats). The shuffle
+    * carries the span text itself so the aggregate is exact and
+    * engine-portable; at 100 TB you would pre-bucket by span hash and
+    * verify within buckets to shrink shuffle bytes (same shape as the
+    * MinHash band join).
+    *
+    * Emits (span, n_docs, min_doc_id), n_docs ≥ minDocs.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 48, stride: Int = 16, minDocs: Int = 2): DataFrame = {
+    require(window >= 1 && stride >= 1 && minDocs >= 1)
+    val spans = df.select(col(idCol).alias("doc_id"),
+        explode(expr(s"""transform(
+          sequence(1, greatest((length($textCol) - $window) div $stride + 1, 1)),
+          i -> substring($textCol, 1 + (i - 1) * $stride, $window))"""))
+          .alias("span"))
+      .filter(length(col("span")) === window)
+      .distinct()
+    spans.groupBy("span")
+      .agg(count(lit(1)).alias("n_docs"), min(col("doc_id")).alias("min_doc_id"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** SemDeDup-style cluster-scoped duplicate pairs: vectors are assigned
     * to their nearest centroid (native [[graft.functions.IvfAssign]],
     * narrow) and pairs are generated ONLY within a cluster — the published

@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality expectations: declarative validation rules over a frame,
+  * reported as per-rule violation counts plus a quarantine frame of the
+  * failing rows — the dbt-test / Deequ-check shape, re-expressed as plain
+  * aggregates so the whole report is ONE pass over the data.
+  *
+  * Two rule classes, two cost classes:
+  *   - row-local rules (not-null, range, regex, set membership): compiled
+  *     into `sum(case when fail then 1 end)` columns of a single
+  *     aggregate — the scan is shared, no shuffle beyond the one-row agg;
+  *   - relational rules (key uniqueness, referential integrity): each is
+  *     its own hash aggregate / anti-join — the minimum any engine pays.
+  *
+  * Violation counts are BIGINT and the regexes stay in the RE2 ∩ Java
+  * subset (the [[TextOps.redactPii]] discipline), so reports are
+  * engine-portable and oracle-checkable bit-for-bit.
+  */
+object Expect {
+
+  /** A row-local rule: `failWhen` is TRUE exactly when the row violates
+    * it. NULL handling is explicit in each constructor — a NULL never
+    * silently passes a range/regex rule.
+    */
+  final case class RowRule(name: String, failWhen: Column)
+
+  def notNull(c: String): RowRule = RowRule(s"not_null_$c", col(c).isNull)
+
+  def inRange(c: String, lo: Double, hi: Double): RowRule =
+    RowRule(s"range_$c", col(c).isNull || col(c) < lo || col(c) > hi)
+
+  def matches(c: String, re: String): RowRule =
+    RowRule(s"regex_$c", col(c).isNull || !col(c).rlike(re))
+
+  def inSet(c: String, values: Seq[String]): RowRule =
+    RowRule(s"set_$c", col(c).isNull || !col(c).isInCollection(values))
+
+  /** Per-rule violation counts in ONE aggregate pass: (rule, n_violations)
+    * in the rules' declaration order semantics (output order is
+    * unordered, as any relation).
+    */
+  def report(df: DataFrame, rules: Seq[RowRule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val aggs = rules.map(r =>
+      sum(when(r.failWhen, 1L).otherwise(0L)).alias(r.name))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stack = rules.map(r => s"'${r.name}', `${r.name}`").mkString(", ")
+    wide.select(expr(
+      s"stack(${rules.length}, $stack) AS (rule, n_violations)"))
+  }
+
+  /** The failing rows, each tagged with its comma-joined fail reasons in
+    * fixed rule order (the [[TextOps.gopherGate]] discipline — no array
+    * collection, bit-identical string).
+    */
+  def quarantine(df: DataFrame, rules: Seq[RowRule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val reasons = concat_ws(",",
+      rules.map(r => when(r.failWhen, lit(r.name))): _*)
+    df.withColumn("fail_reasons", reasons)
+      .filter(col("fail_reasons") =!= "")
+  }
+
+  /** Key groups with more than one row (a uniqueness violation per
+    * duplicated key value). One hash aggregate.
+    */
+  def uniqueViolations(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).alias("n_rows"))
+      .filter(col("n_rows") > 1)
+
+  /** Rows whose non-NULL `fkCol` has no match in `dim.dimCol` (referential
+    * integrity). Anti-join against the deduped dim key set — AQE
+    * broadcasts genuinely small dims, the general case stays a hash join.
+    */
+  def refViolations(df: DataFrame, fkCol: String,
+      dim: DataFrame, dimCol: String): DataFrame =
+    df.filter(col(fkCol).isNotNull)
+      .join(dim.select(col(dimCol).alias(fkCol)).distinct(),
+        Seq(fkCol), "left_anti")
+
+  /** Composite report: row-local rules + uniqueness + referential rules,
+    * one (rule, n_violations) row each.
+    */
+  def fullReport(df: DataFrame, rules: Seq[RowRule],
+      uniqueKeys: Seq[Seq[String]] = Nil,
+      refs: Seq[(String, DataFrame, String)] = Nil): DataFrame = {
+    val rowPart = report(df, rules)
+    val uniqPart = uniqueKeys.map { keys =>
+      uniqueViolations(df, keys)
+        .agg(count(lit(1)).alias("n_violations"))
+        .select(lit(s"unique_${keys.mkString("_")}").alias("rule"),
+          col("n_violations"))
+    }
+    val refPart = refs.map { case (fkCol, dim, dimCol) =>
+      refViolations(df, fkCol, dim, dimCol)
+        .agg(count(lit(1)).alias("n_violations"))
+        .select(lit(s"ref_$fkCol").alias("rule"), col("n_violations"))
+    }
+    (Seq(rowPart) ++ uniqPart ++ refPart).reduce(_ unionByName _)
+  }
+}

@@ -130,6 +130,62 @@ object EventStream {
         col("r.ts_utc") <= col("l.ts_utc"))
   }
 
+  /** Per-(band, bucket) occupancy verdict for streaming near-dup dedup. */
+  final case class BandVerdict(doc_id: Long, band: Int, is_first: Boolean)
+
+  /** Streaming MinHash-LSH near-duplicate detection: each arriving
+    * document's signature is banded ([[Dedup.lshBuckets]], the batch
+    * operator's exact banding — narrow native MinHash, no shuffle until
+    * the keyed state), and per (band, bucket) a `flatMapGroupsWithState`
+    * group records occupancy. A document is ORIGINAL iff it is the first
+    * occupant of every one of its band buckets; any previously-occupied
+    * bucket means a near-duplicate was already admitted.
+    *
+    * Determinism: earlier micro-batches win; within a batch the lowest id
+    * wins (ids sorted inside the group) — so with ascending-id arrival the
+    * stream reproduces the batch greedy dedup bit-for-bit (asserted in
+    * StreamingSpec).
+    *
+    * State: one boolean per occupied (band, bucket) — the same corpus-
+    * lifetime footprint the batch dedup's bucket table has; a production
+    * deployment caps it with a state TTL (accepting re-admission past the
+    * horizon) or periodic snapshot-compaction into the batch path.
+    */
+  def nearDupBandVerdicts(docs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): Dataset[BandVerdict] = {
+    import docs.sparkSession.implicits._
+    val buckets = Dedup.lshBuckets(
+      Dedup.minHashSignatures(docs, idCol, textCol, shingleK, numHashes),
+      idCol, bands)
+    buckets
+      .select(col(idCol).cast("long"), col("band").cast("int"),
+        col("bucket").cast("long"))
+      .as[(Long, Int, Long)]
+      .groupByKey { case (_, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState[Boolean, BandVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((band, _), rows, state) =>
+          val occupied = state.getOption.getOrElse(false)
+          val ids = rows.map(_._1).toArray.sorted
+          state.update(true)
+          if (occupied) ids.iterator.map(BandVerdict(_, band, is_first = false))
+          else ids.iterator.zipWithIndex.map { case (id, i) =>
+            BandVerdict(id, band, is_first = i == 0)
+          }
+      }
+  }
+
+  /** Collapse [[nearDupBandVerdicts]] to the admitted doc ids (first
+    * occupant of ALL bands). Runs on the drained verdict table or inside
+    * a `foreachBatch` gate.
+    */
+  def admittedDocIds(verdicts: DataFrame): DataFrame =
+    verdicts.groupBy("doc_id")
+      .agg(min(when(col("is_first"), 1L).otherwise(0L)).alias("all_first"))
+      .filter(col("all_first") === 1L)
+      .select("doc_id")
+
   /** Streaming upsert sink: each micro-batch MERGEs into the destination
     * via the engine's upsert (the reference's `OUTPUT $action` changelog
     * becomes the per-batch `_action` audit, passed to `onBatch`).

@@ -255,6 +255,81 @@ class ExtSpec extends AnyFunSuite {
     assert(gated == exact)
   }
 
+  test("bloom-pruned join: result == plain join, pre-filter actually prunes") {
+    import ext.RuntimeFilter
+    val fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_suppkey", "l_quantity")
+    val dim = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+      .filter(col("s_nationkey") === 3).select("s_suppkey", "s_name")
+    assert(dim.count() > 0, "fixture nation has no suppliers")
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("s_suppkey").agg(sum("l_quantity").alias("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pruned = agg(RuntimeFilter.bloomPrunedJoin(
+      fact, dim, "l_suppkey", "s_suppkey", expectedItems = 1000))
+    val plain = agg(fact.join(dim, col("l_suppkey") === col("s_suppkey")))
+    assert(pruned === plain)
+    // the pre-filter must actually shrink the fact side (selective dim)
+    val bloom = RuntimeFilter.buildBloom(dim, "s_suppkey", 1000)
+    val kept = fact.filter(RuntimeFilter.mightContain(bloom, col("l_suppkey"))).count()
+    val total = fact.count()
+    assert(kept < total / 2,
+      s"bloom kept $kept of $total — no pruning on a selective dim")
+    // no false negatives: every true join row survives the pre-filter
+    val trueKeys = dim.select(col("s_suppkey").alias("l_suppkey")).distinct()
+    val lost = fact.join(trueKeys, Seq("l_suppkey"), "left_semi")
+      .filter(!RuntimeFilter.mightContain(bloom, col("l_suppkey"))).count()
+    assert(lost === 0L)
+  }
+
+  test("expectations: rule matrix, quarantine reasons, unique and ref rules") {
+    import ext.Expect
+    val rows = Seq(
+      (1L, Option(10L), 50.0, "ok"),
+      (2L, None, 50.0, "ok"),        // null fk
+      (3L, Option(99L), 50.0, "ok"), // fk misses dim
+      (3L, Option(10L), 500.0, "bad"), // dup key + range + set
+    ).toDF("id", "fk", "price", "status")
+    val dim = Seq(10L, 11L).toDF("dim_id")
+    val rules = Seq(
+      Expect.notNull("fk"),
+      Expect.inRange("price", 0, 100),
+      Expect.inSet("status", Seq("ok")))
+    val rep = Expect.fullReport(rows, rules,
+        uniqueKeys = Seq(Seq("id")),
+        refs = Seq(("fk", dim, "dim_id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep === Map(
+      "not_null_fk" -> 1L, "range_price" -> 1L, "set_status" -> 1L,
+      "unique_id" -> 1L, "ref_fk" -> 1L))
+    val quar = Expect.quarantine(rows, rules)
+      .collect().map(r => (r.getLong(0), r.getString(4))).toSet
+    // reasons appear in rule declaration order, comma-joined
+    assert(quar === Set(
+      (2L, "not_null_fk"), (3L, "range_price,set_status")))
+    val uniq = Expect.uniqueViolations(rows, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uniq === Set((3L, 2L)))
+    val ref = Expect.refViolations(rows, "fk", dim, "dim_id")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ref === Set(3L)) // null fk rows are excluded, only the miss
+  }
+
+  test("repeated spans: cross-doc repeats only, per-doc distinct, grid edges") {
+    // window=4, stride=2 → grid positions 1,3,5,...
+    val docs = Seq(
+      (1L, "abcdefgh"),   // spans: abcd, cdef, efgh
+      (2L, "xxcdefxx"),   // spans: xxcd, cdef, efxx — shares cdef with doc 1
+      (3L, "abcdabcd"),   // spans: abcd, cdab, abcd → internal repeat, one vote
+      (4L, "abc"),        // shorter than window → no spans
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, "doc_id", "text",
+        window = 4, stride = 2, minDocs = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // cdef in docs 1+2; abcd in docs 1+3 (doc 3's double counts once)
+    assert(out === Map("cdef" -> ((2L, 1L)), "abcd" -> ((2L, 1L))))
+  }
+
   test("PageRank: hand-computed ranks on a tiny graph, dangling and sink cases") {
     // 1→2, 1→3, 2→3, 3→1 : n=3, r0 = 333333333 each
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L)).toDF("src", "dst")

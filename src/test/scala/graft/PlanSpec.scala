@@ -147,6 +147,22 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("bloom-pruned join: might_contain filter sits below the join, above the fact scan") {
+    val fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_suppkey", "l_quantity")
+    val dim = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+      .filter(col("s_nationkey") === 3).select("s_suppkey", "s_name")
+    val plan = finalPlan(ext.RuntimeFilter.bloomPrunedJoin(
+      fact, dim, "l_suppkey", "s_suppkey", expectedItems = 1000))
+    assert(plan.contains("might_contain"), plan)
+    // the probe is a plain Filter over the fact scan — join-doomed rows
+    // never reach the join's exchange/broadcast
+    val filterIdx = plan.indexOf("might_contain")
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"filter not below the join (filter@$filterIdx join@$joinIdx)\n$plan")
+  }
+
   test("strict-merge key guard reuses the join shuffle (no extra Exchange)") {
     def exchanges(strict: Boolean): Int = {
       val dest = (1 to 500).map(i => (i, s"old$i")).toDF("k", "v")

@@ -128,6 +128,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("streaming LSH near-dup dedup == batch greedy (ascending-id batches)") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    // three ascending-id slices staged as separate files with increasing
+    // mtimes → the file source replays them as ordered micro-batches
+    val sdir = java.nio.file.Files.createTempDirectory("graft-docstream").toFile
+    sdir.deleteOnExit()
+    Seq((0L, 170L), (170L, 340L), (340L, Long.MaxValue)).zipWithIndex
+      .foreach { case ((lo, hi), i) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft-slice$i").toFile
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val target = new java.io.File(sdir, s"slice$i.parquet")
+        java.nio.file.Files.copy(part.toPath, target.toPath)
+        target.setLastModified(1000000000000L + i * 60000L)
+      }
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(sdir.getAbsolutePath)
+    val q = EventStream.nearDupBandVerdicts(stream, "doc_id", "text")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_verdicts").start()
+    q.processAllAvailable(); q.stop()
+    val got = EventStream.admittedDocIds(spark.table("neardup_verdicts"))
+      .collect().map(_.getLong(0)).toSet
+
+    // batch twin: admitted iff the doc is the min-id occupant of ALL its
+    // band buckets — identical to earlier-batch-wins when ids ascend
+    val buckets = ext.Dedup.lshBuckets(
+      ext.Dedup.minHashSignatures(docs, "doc_id", "text"), "doc_id", bands = 16)
+    val firsts = buckets.groupBy("band", "bucket")
+      .agg(min("doc_id").alias("first_id"))
+    val admitted = buckets.join(firsts, Seq("band", "bucket"))
+      .groupBy("doc_id")
+      .agg(min(when(col("doc_id") === col("first_id"), 1L).otherwise(0L))
+        .alias("af"))
+      .filter(col("af") === 1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === admitted)
+    val total = docs.count()
+    assert(got.nonEmpty && got.size < total,
+      s"degenerate dedup: ${got.size}/$total admitted")
+  }
+
   test("streaming upsert sink reproduces MERGE semantics incl. _action") {
     val tm = TableMapping(
       "user_state", "events", Seq(

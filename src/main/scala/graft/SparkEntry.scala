@@ -598,6 +598,25 @@ object SparkEntry {
       col("doc_id"),
       ext.TextOps.repetitionRatio("text", k = 3).alias("rep_ratio"))),
 
+    // feature hashing: tokens → 1024 md5 buckets, sparse (doc, bucket, n)
+    // count vectors — no vocabulary pass, no driver state
+    "q_hash_vectorize" -> ((s, dir) => ext.TextOps.hashingVectorize(
+      read(s, dir, "documents"), "doc_id", "text", dim = 1024)),
+
+    // sparse cosine near-dup over the hashed vectors via inverted index —
+    // pairs meet only through shared buckets; stop-word buckets (df > 32)
+    // dropped on both sides (prefix filtering); integer dots → exact
+    "q_sparse_neardup" -> ((s, dir) => ext.Similarity.sparseCosinePairs(
+      ext.TextOps.hashingVectorize(read(s, dir, "documents"),
+        "doc_id", "text", dim = 1024),
+      "doc_id", threshold = 0.5, maxBucketDf = 32L)),
+
+    // robust outliers: |value − median| > 5·MAD over event values —
+    // exact-percentile scalars, narrow verdict, no float accumulation
+    "q_mad_outliers" -> ((s, dir) => ext.Profile.madOutliers(
+      readEvents(s, dir).select("event_id", "value"),
+      "event_id", "value", k = 5.0)),
+
     // bloom-pruned join: dim keys sketched (BloomFilterAggregate), fact
     // side pre-filtered BEFORE its shuffle — result exactly equals the
     // plain join (false positives die in the join), so the oracle IS the
@@ -2030,6 +2049,51 @@ object SparkEntry {
         |                   / CAST(t.total AS DOUBLE)
         |       END AS rep_ratio
         |FROM t LEFT JOIN ds ON ds.doc_id = t.doc_id""".stripMargin,
+
+    // feature hashing: same md5-48-bit bucket math (UBIGINT parse)
+    "q_hash_vectorize" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |            FROM documents)
+        |SELECT doc_id,
+        |       CAST(CAST('0x' || substr(md5(tok), 1, 12) AS UBIGINT) % 1024
+        |            AS INTEGER) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM tok WHERE tok <> ''
+        |GROUP BY 1, 2""".stripMargin,
+
+    // sparse cosine: inverted-index dot products over the same hashed
+    // vectors, df-capped buckets, identical float expression shape
+    "q_sparse_neardup" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |            FROM documents),
+        |sv0 AS (SELECT doc_id,
+        |          CAST(CAST('0x' || substr(md5(tok), 1, 12) AS UBIGINT) % 1024
+        |               AS INTEGER) AS bucket,
+        |          COUNT(*) AS n
+        |        FROM tok WHERE tok <> '' GROUP BY 1, 2),
+        |bdf AS (SELECT bucket FROM sv0 GROUP BY bucket HAVING COUNT(*) <= 32),
+        |sv AS (SELECT sv0.* FROM sv0 JOIN bdf USING (bucket)),
+        |nrm AS (SELECT doc_id, sqrt(CAST(SUM(n * n) AS DOUBLE)) AS nrm
+        |        FROM sv GROUP BY doc_id),
+        |dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |                CAST(SUM(a.n * b.n) AS BIGINT) AS dot
+        |         FROM sv a JOIN sv b
+        |           ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT a_id, b_id, dot / (na.nrm * nb.nrm) AS cosine
+        |FROM dots
+        |JOIN nrm na ON na.doc_id = a_id
+        |JOIN nrm nb ON nb.doc_id = b_id
+        |WHERE dot / (na.nrm * nb.nrm) >= 0.5""".stripMargin,
+
+    // MAD outliers: quantile_cont == Spark percentile bit-for-bit
+    "q_mad_outliers" ->
+      """WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events),
+        |dev AS (SELECT event_id, value, abs(value - m) AS deviation
+        |        FROM events, med),
+        |mad AS (SELECT quantile_cont(deviation, 0.5) AS md FROM dev)
+        |SELECT event_id, value, deviation FROM dev, mad
+        |WHERE deviation > 5.0 * md""".stripMargin,
 
     // bloom-pruned join: the oracle is the PLAIN join — the hash match
     // proves the bloom pre-filter lost no rows

@@ -75,4 +75,30 @@ object Profile {
           col("n_distinct"))
     }.reduce(_ unionByName _)
   }
+
+  /** Robust outlier detection via median absolute deviation: a row is an
+    * outlier when `|value − median| > k · MAD`. Median and MAD come from
+    * exact `percentile` (== DuckDB `quantile_cont` bit-for-bit, the
+    * `q_quality_quantiles` contract), and the per-row test is a single
+    * subtraction/multiplication — no mean/stddev float accumulation, so
+    * the verdict is engine-deterministic AND robust (median/MAD have a
+    * 50% breakdown point; one corrupt feed can't move the gate the way it
+    * moves a z-score).
+    *
+    * Two scalar aggregates over the column, then a narrow filter — the
+    * scalars ride a 1-row cross join, nothing collects to the driver.
+    * Emits (idCol, valueCol, deviation).
+    */
+  def madOutliers(df: DataFrame, idCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    val med = df.agg(
+      expr(s"percentile($valueCol, 0.5)").alias("med"))
+    val dev = df.select(col(idCol), col(valueCol))
+      .crossJoin(med)
+      .withColumn("deviation", abs(col(valueCol) - col("med")))
+    val mad = dev.agg(expr("percentile(deviation, 0.5)").alias("mad"))
+    dev.crossJoin(mad)
+      .filter(col("deviation") > lit(k) * col("mad"))
+      .select(col(idCol), col(valueCol), col("deviation"))
+  }
 }

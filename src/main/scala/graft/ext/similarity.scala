@@ -201,6 +201,43 @@ object Similarity {
       .select("q_id", "n_id", "sim", "rnk")
   }
 
+  /** Sparse cosine similarity join over (id, bucket, n) count vectors
+    * (the [[TextOps.hashingVectorize]] shape) via an inverted index: pairs
+    * meet ONLY through shared buckets, dot products are integer sums
+    * (exact in every engine), and norms are one sqrt over an integer sum —
+    * so scores are bit-reproducible and the join is never all-pairs.
+    *
+    * `maxBucketDf` is the prefix-filtering skew guard: buckets hit by more
+    * than that many documents (stop-word buckets) are dropped from BOTH
+    * the pair generation and the norms, exactly like `maxShingleDf` in
+    * the n-gram Jaccard join — a hot bucket of df d contributes d² pair
+    * rows, so the cap bounds the join quadratics while rare-token buckets
+    * (the ones that make near-dups similar) all survive.
+    */
+  def sparseCosinePairs(sv0: DataFrame, idCol: String,
+      threshold: Double, maxBucketDf: Long = Long.MaxValue): DataFrame = {
+    val sv = if (maxBucketDf == Long.MaxValue) sv0 else {
+      val bdf = sv0.groupBy("bucket").agg(count(lit(1)).alias("df"))
+        .filter(col("df") <= maxBucketDf)
+      sv0.join(bdf.select("bucket"), Seq("bucket"))
+    }
+    val norms = sv.groupBy(col(idCol))
+      .agg(sqrt(sum(col("n") * col("n")).cast("double")).alias("nrm"))
+    val a = sv.select(col(idCol).alias("a_id"), col("bucket"),
+      col("n").alias("na"))
+    val b = sv.select(col(idCol).alias("b_id"), col("bucket"),
+      col("n").alias("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(sum(col("na") * col("nb")).cast("long").alias("dot"))
+      .join(norms.select(col(idCol).alias("a_id"), col("nrm").alias("norm_a")), "a_id")
+      .join(norms.select(col(idCol).alias("b_id"), col("nrm").alias("norm_b")), "b_id")
+      .withColumn("cosine", col("dot") / (col("norm_a") * col("norm_b")))
+      .filter(col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+  }
+
   /** Deterministic training-free IVF centroids: the `k` corpus vectors
     * whose `md5(id)` sorts first (an engine-reproducible uniform sample —
     * the same quality class as k-means random init, with zero training

@@ -395,6 +395,27 @@ object TextOps {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Feature-hashing vectorizer (the "hashing trick"): tokens are counted
+    * into `dim` buckets keyed by the leading 48 bits of `md5(token)` — a
+    * fixed-width sparse count vector per document with NO vocabulary pass
+    * and NO driver state, reproducible from plain SQL in any engine (the
+    * [[graft.ext.Dedup.minHashSignaturesPortable]] hex discipline).
+    * Emits the sparse form (id, bucket, n) — the shape every downstream
+    * sparse operator ([[Similarity.sparseCosinePairs]], inverted-index
+    * joins) consumes directly; densify only at a model boundary.
+    */
+  def hashingVectorize(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 1024): DataFrame = {
+    require(dim >= 2, "dim >= 2")
+    df.select(col(idCol), explode(tokens(col(textCol))).alias("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("bucket",
+        (conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long") % dim)
+          .cast("int"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).alias("n"))
+  }
+
   /** All character bigrams of `textCol` (with duplicates, in order);
     * texts shorter than 2 chars yield an empty array. Pure builtin
     * transform/sequence — codegen'd, narrow.

@@ -255,6 +255,47 @@ class ExtSpec extends AnyFunSuite {
     assert(gated == exact)
   }
 
+  test("feature hashing + sparse cosine: counts, identical-doc cosine, df cap") {
+    val docs = Seq(
+      (1L, "alpha beta alpha"),
+      (2L, "alpha beta alpha"),   // identical → cosine 1.0
+      (3L, "gamma delta"),        // disjoint from 1/2
+    ).toDF("doc_id", "text")
+    val sv = ext.TextOps.hashingVectorize(docs, "doc_id", "text", dim = 64)
+    val v1 = sv.filter(col("doc_id") === 1).collect()
+      .map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(v1.values.toSeq.sorted === Seq(1L, 2L)) // alpha ×2, beta ×1
+    assert(v1.keys.forall(b => b >= 0 && b < 64))
+    val pairs = ext.Similarity.sparseCosinePairs(sv, "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet === Set((1L, 2L)))
+    // dot/(sqrt(s)·sqrt(s)) rounds twice — equal vectors land within 1 ulp²
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-12)
+    // df cap: a bucket shared by all docs is dropped from pair generation
+    val withStop = Seq(
+      (1L, "the alpha"), (2L, "the alpha"), (3L, "the zeta"), (4L, "the eta"))
+      .toDF("doc_id", "text")
+    val svStop = ext.TextOps.hashingVectorize(withStop, "doc_id", "text", dim = 64)
+    val capped = ext.Similarity.sparseCosinePairs(svStop, "doc_id",
+      threshold = 0.01, maxBucketDf = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 'the' (df 4) is capped away; only the alpha-sharing pair remains
+    assert(capped === Set((1L, 2L)))
+  }
+
+  test("MAD outliers: hand-computed median/MAD verdicts") {
+    // values: 1..9 plus 100 → median 5.5, deviations .5..4.5 & 94.5
+    val d = ((1 to 9).map(i => (i.toLong, i.toDouble)) :+ (10L, 100.0))
+      .toDF("id", "v")
+    // sorted deviations: .5 .5 1.5 1.5 2.5 2.5 3.5 3.5 4.5 94.5 → MAD 2.5
+    val out = ext.Profile.madOutliers(d, "id", "v", k = 3.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // outlier iff deviation > 7.5 → only the 100.0 row
+    assert(out === Map(10L -> 94.5))
+    // k large enough → empty, never an error
+    assert(ext.Profile.madOutliers(d, "id", "v", k = 50.0).count() === 0)
+  }
+
   test("bloom-pruned join: result == plain join, pre-filter actually prunes") {
     import ext.RuntimeFilter
     val fact = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

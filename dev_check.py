@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Dev-side oracle check: compare Verify output parquet vs DuckDB oracle.
+
+Usage: python3 dev_check.py <outDir> <sfDir> [q_name ...]
+Mirrors the driver's compare: sort columns by name, hash values.
+"""
+import sys, json, glob, duckdb, pandas as pd
+
+outdir, sfdir = sys.argv[1], sys.argv[2]
+names = sys.argv[3:]
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sfdir}/{t}.parquet')")
+
+def canon(df):
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+for name in (names or sorted(oracle)):
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"{name}: NO SPARK OUTPUT"); continue
+    sp = canon(pd.concat([pd.read_parquet(f) for f in files]))
+    if name not in oracle:
+        print(f"{name}: no oracle ({len(sp)} rows)"); continue
+    try:
+        oc = canon(con.execute(oracle[name]).fetchdf())
+    except Exception as e:
+        print(f"{name}: ORACLE SQL ERROR: {e}"); continue
+    rows = len(sp) == len(oc)
+    schema = list(sp.columns) == list(oc.columns)
+    h = False
+    if rows and schema:
+        h = pd.util.hash_pandas_object(sp.astype(str), index=False).sum() == \
+            pd.util.hash_pandas_object(oc.astype(str), index=False).sum()
+    status = "OK" if (rows and schema and h) else "MISMATCH"
+    print(f"{name}: {status} rows={len(sp)}/{len(oc)} "
+          f"schema={schema} hash={h}")
+    if status == "MISMATCH" and rows and schema:
+        merged = sp.astype(str).merge(oc.astype(str), how="outer",
+                                      indicator=True)
+        diff = merged[merged["_merge"] != "both"]
+        print(diff.head(10))
+    elif not schema:
+        print(f"  spark cols: {list(sp.columns)}\n  oracle cols: {list(oc.columns)}")

@@ -346,6 +346,20 @@ object SparkEntry {
     read(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
   }
 
+  /** Orders reinterpreted as a CDC changelog for the `q_cdc_*` queries:
+    * key = o_custkey, seq = o_orderkey (globally unique → total order
+    * per key), op from o_orderstatus (F→U, O→I, else D), payload =
+    * o_totalprice as the new balance.
+    */
+  private def cdcChangelog(orders: DataFrame): DataFrame =
+    orders.select(
+      col("o_custkey").alias("cust_id"),
+      col("o_orderkey").alias("seq"),
+      when(col("o_orderstatus") === "F", "U")
+        .when(col("o_orderstatus") === "O", "I")
+        .otherwise("D").alias("op"),
+      col("o_totalprice").cast("double").alias("balance"))
+
   // --- extension operators (SURVEY §2.11) --------------------------------
 
   private def extQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -616,6 +630,40 @@ object SparkEntry {
     "q_mad_outliers" -> ((s, dir) => ext.Profile.madOutliers(
       readEvents(s, dir).select("event_id", "value"),
       "event_id", "value", k = 5.0)),
+
+    // winsorization: clip event values to the exact [p05, p95] band —
+    // outliers capped, not dropped; percentile == quantile_cont
+    "q_winsorize" -> ((s, dir) => ext.Profile.winsorize(
+      readEvents(s, dir).select("event_id", "value"),
+      "event_id", "value", pLo = 0.05, pHi = 0.95)),
+
+    // time-series regularization: per-user daily grid with LOCF values —
+    // grid generated from each key's own span (sequence + explode, no
+    // calendar cross join), fill via the single-shuffle as-of union
+    "q_resample_locf" -> ((s, dir) => ext.TimeSeries.resampleLocf(
+      readEvents(s, dir).select(col("user_id"), col("ts_us"), col("value")),
+      "user_id", "ts_us", Seq("value"), step = 86400000000L)),
+
+    // CDC latest-wins compaction: orders replayed as a changelog on
+    // o_custkey ordered by o_orderkey (unique per key) with op derived
+    // from o_orderstatus; final-D keys vanish — ONE hash aggregate
+    // (max-struct), never a per-key window sort
+    "q_cdc_snapshot" -> { (s, dir) =>
+      ext.Cdc.snapshot(cdcChangelog(read(s, dir, "orders")),
+        keyCols = Seq("cust_id"), seqCol = "seq", opCol = "op")
+    },
+
+    // CDC replay onto a base table: compacted changelog full-outer-merged
+    // with customer balances — deletes drop the key, updates take the
+    // changelog payload, untouched keys pass through
+    "q_cdc_apply" -> { (s, dir) =>
+      val base = read(s, dir, "customer")
+        .select(col("c_custkey").alias("cust_id"),
+          col("c_acctbal").cast("double").alias("balance"))
+      ext.Cdc.applyTo(base, cdcChangelog(read(s, dir, "orders")),
+        keyCols = Seq("cust_id"), seqCol = "seq", opCol = "op",
+        payloadCols = Seq("balance"))
+    },
 
     // bloom-pruned join: dim keys sketched (BloomFilterAggregate), fact
     // side pre-filtered BEFORE its shuffle — result exactly equals the
@@ -2094,6 +2142,68 @@ object SparkEntry {
         |mad AS (SELECT quantile_cont(deviation, 0.5) AS md FROM dev)
         |SELECT event_id, value, deviation FROM dev, mad
         |WHERE deviation > 5.0 * md""".stripMargin,
+
+    // LOCF resample: same floored grid via generate_series, fill via
+    // DuckDB's native ASOF LEFT JOIN (left keeps pre-first-obs NULLs,
+    // matching the window-carry semantics)
+    "q_resample_locf" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+        |                  value FROM events),
+        |obs AS (SELECT user_id, t, max(value) AS value FROM e GROUP BY 1, 2),
+        |span AS (SELECT user_id,
+        |           (min(t) // 86400000000) * 86400000000 AS lo,
+        |           max(t) AS hi
+        |         FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(lo, hi, 86400000000)) AS grid_ts
+        |         FROM span)
+        |SELECT g.user_id, g.grid_ts, o.value
+        |FROM grid g ASOF LEFT JOIN obs o
+        |  ON g.user_id = o.user_id AND o.t <= g.grid_ts""".stripMargin,
+
+    // winsorize: same exact-percentile contract, clamp via least/greatest
+    "q_winsorize" ->
+      """WITH b AS (SELECT quantile_cont(value, 0.05) AS lo,
+        |                  quantile_cont(value, 0.95) AS hi FROM events)
+        |SELECT event_id, value,
+        |       least(greatest(value, lo), hi) AS clipped
+        |FROM events, b""".stripMargin,
+
+    // CDC compaction: the window form is the oracle for the max-struct
+    // aggregate — seq (o_orderkey) is unique per key, so rn=1 IS the max
+    "q_cdc_snapshot" ->
+      """WITH log AS (SELECT o_custkey AS cust_id, o_orderkey AS seq,
+        |               CASE WHEN o_orderstatus = 'F' THEN 'U'
+        |                    WHEN o_orderstatus = 'O' THEN 'I'
+        |                    ELSE 'D' END AS op,
+        |               CAST(o_totalprice AS DOUBLE) AS balance
+        |             FROM orders),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY cust_id
+        |                                   ORDER BY seq DESC) AS rn
+        |      FROM log)
+        |SELECT cust_id, balance FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
+
+    // CDC replay: latest event per key (tombstones included) merged onto
+    // the base balances — D drops, U/I take the payload, rest pass through
+    "q_cdc_apply" ->
+      """WITH log AS (SELECT o_custkey AS cust_id, o_orderkey AS seq,
+        |               CASE WHEN o_orderstatus = 'F' THEN 'U'
+        |                    WHEN o_orderstatus = 'O' THEN 'I'
+        |                    ELSE 'D' END AS op,
+        |               CAST(o_totalprice AS DOUBLE) AS balance
+        |             FROM orders),
+        |last AS (SELECT cust_id, op, balance FROM (
+        |           SELECT *, row_number() OVER (PARTITION BY cust_id
+        |                                        ORDER BY seq DESC) AS rn
+        |           FROM log) WHERE rn = 1),
+        |base AS (SELECT c_custkey AS cust_id,
+        |                CAST(c_acctbal AS DOUBLE) AS balance
+        |         FROM customer)
+        |SELECT COALESCE(b.cust_id, c.cust_id) AS cust_id,
+        |       CASE WHEN c.op IS NOT NULL THEN c.balance
+        |            ELSE b.balance END AS balance
+        |FROM base b FULL OUTER JOIN last c ON b.cust_id = c.cust_id
+        |WHERE c.op IS NULL OR c.op <> 'D'""".stripMargin,
 
     // bloom-pruned join: the oracle is the PLAIN join — the hash match
     // proves the bloom pre-filter lost no rows

@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture application — turning an ordered changelog of
+  * insert/update/delete events into the table it describes. This is the
+  * ingestion half of the lakehouse loop (Debezium/stream capture → table):
+  * the reference's MERGE covers one-batch upserts; CDC apply covers the
+  * general replay where one key may appear many times in a batch and the
+  * LAST event wins, including tombstones.
+  *
+  * Scale shape: latest-wins compaction is ONE hash aggregate on the key
+  * (`max(struct(seq, …))` with map-side partial aggregation) — never a
+  * per-key window sort, so a 100 TB changelog compacts with a single
+  * shuffle whose reduce rows are one-per-key. Applying to a base table
+  * adds one key-partitioned full-outer join; with a bucketed destination
+  * (see `BucketedCatalog`) only the compacted changelog side shuffles.
+  */
+object Cdc {
+
+  /** Compact a changelog to its latest-wins snapshot. `changes` must
+    * carry `keyCols`, a totally-ordered `seqCol` (unique per key — a
+    * log offset / LSN; ties are broken by the remaining columns'
+    * struct order, still deterministic), and `opCol` ∈ {I, U, D}.
+    * Rows whose final event is a delete are dropped; otherwise the
+    * latest payload survives. Emits keys + payload columns (op and seq
+    * dropped — the snapshot is a table, not a log).
+    */
+  def snapshot(changes: DataFrame, keyCols: Seq[String], seqCol: String,
+      opCol: String): DataFrame =
+    latest(changes, keyCols, seqCol, opCol)
+      .filter(col(opCol) =!= "D")
+      .drop(seqCol, opCol)
+
+  /** Latest event per key, tombstones INCLUDED — the merge input for
+    * [[applyTo]]. Same single-aggregate shape as [[snapshot]].
+    */
+  def latest(changes: DataFrame, keyCols: Seq[String], seqCol: String,
+      opCol: String): DataFrame = {
+    val payload = changes.columns.filterNot(keyCols.contains)
+    // struct comparison is lexicographic, so ordering by seq first makes
+    // max() pick the highest-seq event per key in one partial-aggregable
+    // pass — the engine-deterministic replacement for a window sort
+    val packed = struct((seqCol +: payload.filterNot(_ == seqCol))
+      .map(col): _*)
+    changes.groupBy(keyCols.map(col): _*)
+      .agg(max(packed).alias("_latest"))
+      .select(keyCols.map(col) ++
+        (seqCol +: payload.filterNot(_ == seqCol))
+          .map(c => col(s"_latest.`$c`").alias(c)): _*)
+  }
+
+  /** Replay a changelog onto a base table: keys whose last event is a
+    * delete disappear, updated/inserted keys take the changelog payload,
+    * untouched base rows pass through. Base and changelog payload
+    * columns must align by name (`payloadCols`). One compaction
+    * aggregate + one full-outer join on the key — both partitioned by
+    * the same key, so AQE plans them into a single exchange pair.
+    */
+  def applyTo(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+      seqCol: String, opCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val last = latest(changes, keyCols, seqCol, opCol)
+      .select((keyCols ++ Seq(opCol) ++ payloadCols).map(col): _*)
+    val b = base.select((keyCols ++ payloadCols).map(col): _*)
+    val joined = b.as("b").join(last.as("c"),
+      keyCols.map(k => col(s"b.`$k`") <=> col(s"c.`$k`")).reduce(_ && _),
+      "full_outer")
+    joined
+      .filter(col(s"c.`$opCol`").isNull || col(s"c.`$opCol`") =!= "D")
+      .select(
+        keyCols.map(k => coalesce(col(s"b.`$k`"), col(s"c.`$k`")).alias(k)) ++
+        payloadCols.map(p =>
+          when(col(s"c.`$opCol`").isNotNull, col(s"c.`$p`"))
+            .otherwise(col(s"b.`$p`")).alias(p)): _*)
+  }
+}

@@ -101,4 +101,25 @@ object Profile {
       .filter(col("deviation") > lit(k) * col("mad"))
       .select(col(idCol), col(valueCol), col("deviation"))
   }
+
+  /** Percentile winsorization: clip a column to its exact [pLo, pHi]
+    * percentiles — the feature-cleaning companion to [[madOutliers]]
+    * (outliers are *capped*, not dropped, so row counts and joins are
+    * undisturbed). Exact `percentile` (== DuckDB `quantile_cont`
+    * bit-for-bit), then a narrow `least/greatest` clamp — one scalar
+    * aggregate riding a 1-row cross join, nothing collects to the
+    * driver. Emits (idCol, valueCol, clipped).
+    */
+  def winsorize(df: DataFrame, idCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val bounds = df.agg(
+      expr(s"percentile($valueCol, $pLo)").alias("lo"),
+      expr(s"percentile($valueCol, $pHi)").alias("hi"))
+    df.select(col(idCol), col(valueCol))
+      .crossJoin(bounds)
+      .withColumn("clipped",
+        least(greatest(col(valueCol), col("lo")), col("hi")))
+      .select(col(idCol), col(valueCol), col("clipped"))
+  }
 }

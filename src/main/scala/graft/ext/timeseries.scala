@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization — turning an irregular event stream into a
+  * fixed-interval series per key (the feature-store / monitoring shape:
+  * "one row per user per hour, with the last known state carried
+  * forward"). Irregular telemetry can't feed a training matrix or a
+  * dashboard directly; the resample grid + LOCF fill is the standard
+  * bridge.
+  *
+  * Scale shape: the grid is generated distributively (`sequence` +
+  * `explode` from each key's own [min, max] span — no driver-side range,
+  * no cross join against a global calendar), and the fill reuses
+  * [[AsOf.joinBackward]]'s single-shuffle tagged-union window rather than
+  * a quadratic `grid.t >= obs.t` range join. Total cost: one aggregate on
+  * the key (spans) + one shuffle on the key (the as-of union).
+  */
+object TimeSeries {
+
+  /** Resample `df` to one row per `key` per `step` ticks with
+    * last-observation-carried-forward values. Grid points run from each
+    * key's first observation (floored to a `step` multiple, so grids of
+    * different keys align on the same global phase) to its last. Every
+    * grid row carries the latest observation at-or-before it; a key's
+    * first grid point precedes its first observation whenever that
+    * observation is off-phase, and then carries NULL (callers wanting a
+    * dense frame filter `value IS NOT NULL` or fill a default). Emits
+    * (key, grid_ts, valueCols…).
+    *
+    * `timeCol` must be integral ticks (epoch micros/millis — cast
+    * timestamps first); integer floor keeps the grid engine-exact.
+    */
+  def resampleLocf(df: DataFrame, key: String, timeCol: String,
+      valueCols: Seq[String], step: Long): DataFrame = {
+    require(step > 0, "step must be positive")
+    // dedup (key, t) deterministically first — LOCF needs one state per
+    // tick, and max-struct keeps the lexicographically-latest payload
+    // (same single-aggregate shape as Cdc.latest)
+    val obs = df.groupBy(col(key), col(timeCol).cast("long").alias("__t"))
+      .agg(max(struct(valueCols.map(col): _*)).alias("__v"))
+      .select(col(key) +: col("__t") +:
+        valueCols.map(c => col(s"__v.`$c`").alias(c)): _*)
+
+    val grid = obs.groupBy(col(key))
+      .agg(min(col("__t")).alias("__lo"), max(col("__t")).alias("__hi"))
+      .select(col(key),
+        explode(sequence(
+          expr(s"(__lo div $step) * $step"),
+          col("__hi"),
+          lit(step))).alias("grid_ts"))
+
+    AsOf.joinBackward(grid, obs, key, "grid_ts", "__t", valueCols)
+  }
+}

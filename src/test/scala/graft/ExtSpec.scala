@@ -1193,6 +1193,66 @@ class ExtSpec extends AnyFunSuite {
     assert(out === Set((10L, 1L, 1), (11L, 2L, 1)))
   }
 
+  test("CDC snapshot: latest wins, tombstones drop the key") {
+    val log = Seq(
+      (1L, 10L, "I", 100.0), (1L, 20L, "U", 150.0),          // update wins
+      (2L, 11L, "I", 200.0), (2L, 30L, "D", 0.0),            // deleted
+      (3L, 5L, "U", 300.0),                                  // lone update
+      (4L, 7L, "D", 0.0), (4L, 9L, "I", 400.0)               // re-inserted
+    ).toDF("k", "seq", "op", "v")
+    val out = ext.Cdc.snapshot(log, Seq("k"), "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(out === Set((1L, 150.0), (3L, 300.0), (4L, 400.0)))
+  }
+
+  test("CDC applyTo: delete removes, update replaces, insert adds, rest pass") {
+    val base = Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)).toDF("k", "v")
+    val log = Seq(
+      (1L, 10L, "U", 11.0),         // update existing
+      (2L, 11L, "D", 0.0),          // delete existing
+      (9L, 12L, "I", 99.0)          // insert brand-new key
+    ).toDF("k", "seq", "op", "v")
+    val out = ext.Cdc.applyTo(base, log, Seq("k"), "seq", "op", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(out === Set((1L, 11.0), (3L, 3.0), (9L, 99.0)))
+  }
+
+  test("winsorize clamps to exact percentile bounds, row count preserved") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = ext.Profile.winsorize(df, "id", "v", 0.05, 0.95)
+    assert(out.count() == 100)
+    val clipped = out.select("clipped").as[Double].collect()
+    // exact percentile of 1..100 at 0.05 is 5.95, at 0.95 is 95.05
+    assert(clipped.min === 5.95 && clipped.max === 95.05)
+    assert(out.filter($"v" === 50.0 && $"clipped" === 50.0).count() == 1)
+  }
+
+  test("resampleLocf: aligned grid, gaps carried forward, off-phase start null") {
+    val obs = Seq(
+      (1L, 25L, 10.0),   // key 1 starts off-phase (floor 20)
+      (1L, 30L, 11.0),
+      (1L, 52L, 12.0),   // gap: ticks 40 carries 11.0
+      (2L, 40L, 20.0)    // key 2: single on-phase observation
+    ).toDF("k", "t", "v")
+    val out = ext.TimeSeries.resampleLocf(obs, "k", "t", Seq("v"), step = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(out === Set(
+      (1L, 20L, None),          // before first obs — explicit null
+      (1L, 30L, Some(11.0)),    // obs at 25 then 30: tick sees latest
+      (1L, 40L, Some(11.0)),    // gap filled by carry-forward
+      (1L, 50L, Some(11.0)),    // 52 lands after tick 50
+      (2L, 40L, Some(20.0))))
+  }
+
+  test("resampleLocf dedups same-tick observations to one state") {
+    val obs = Seq((1L, 10L, 1.0), (1L, 10L, 9.0), (1L, 20L, 2.0))
+      .toDF("k", "t", "v")
+    val out = ext.TimeSeries.resampleLocf(obs, "k", "t", Seq("v"), 10L)
+    assert(out.count() == 2)
+    assert(out.filter($"grid_ts" === 10L).head().getDouble(2) === 9.0)
+  }
+
   test("LSH top-k recall vs brute force >= 60% on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 10)

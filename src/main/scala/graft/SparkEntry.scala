@@ -1055,6 +1055,40 @@ object SparkEntry {
         (col("doc_id") % 200).cast("string"),
         lit(".7 tel 555-867-5309 end"))).alias("clean"))),
 
+    // web cleaning: HTML wrapped around every doc (script/style subtrees,
+    // comments, entities) must strip back to the text — regex ladder
+    // evaluates identically under Java regex and RE2
+    "q_strip_html" -> ((s, dir) => read(s, dir, "documents").select(
+      col("doc_id"),
+      ext.TextOps.stripHtml(concat(
+        lit("<html><head><style>body{color:red}</style>" +
+          "<script type=\"text/js\">var x=1;</script></head><body><!-- c"),
+        col("doc_id").cast("string"),
+        lit(" --><h1>Title &amp;&nbsp;more</h1><p class=\"x\">"),
+        col("text"),
+        lit(" &lt;tag&gt; &quot;q&quot; &#39;a&#39;</p></body></html>")))
+        .alias("clean"))),
+
+    // retrieval: BM25 top-20 docs for a 3-term query — log-free idf ratio
+    // (monotone surrogate), one narrow tf projection + one scalar-stats
+    // aggregate + TakeOrdered; float sum order pinned by the fixed fold
+    "q_bm25" -> ((s, dir) => ext.Search.bm25TopK(
+      read(s, dir, "documents"), "doc_id", "text",
+      terms = Seq("vector", "merge", "scan"), k = 20)),
+
+    // web cleaning: latin-1 round-trip mojibake injected around every doc
+    // is repaired by the fixed replacement ladder; clean text untouched
+    "q_fix_mojibake" -> ((s, dir) => read(s, dir, "documents").select(
+      col("doc_id"),
+      ext.TextOps.fixMojibake(concat(
+        lit("It\u00e2\u0080\u0099s \u00e2\u0080\u009cquoted\u00e2\u0080\u009d" +
+          " \u00e2\u0080\u0094 at the caf\u00c3\u00a9\u00c2\u00a0"),
+        col("text"),
+        // d\u00c3\u00a9j\u00c3\u00a0: the second pair (\u00c3\u00a0 = a-grave
+        // mojibake) is OUTSIDE the repair table and must pass through
+        lit(" d\u00c3\u00a9j\u00c3\u00a0 vu\u00e2\u0080\u00a6 fin")))
+        .alias("clean"))),
+
     // sketches: exact distinct (oracle) — HLL approx variant is rows-only,
     // accuracy asserted in ExtSpec
     "q_distinct_count" -> ((s, dir) => ext.Sketches.exactDistinct(
@@ -1241,6 +1275,22 @@ object SparkEntry {
     * (r1..r3), replaying the integer-ppb recurrence exactly (DuckDB `//`
     * == Spark `div` on positives).
     */
+  /** The mojibake oracle is generated from [[ext.TextOps.mojibakeTable]]
+    * itself (nested literal `replace`s, innermost = first pair) so the
+    * SQL can never drift from the operator's table.
+    */
+  private lazy val mojibakeOracle: String = {
+    val pre = "Itâs âquotedâ" +
+      " â at the cafÃ©Â "
+    val suf = " dÃ©jÃ  vuâ¦ fin"
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val injected = s"${q(pre)} || text || ${q(suf)}"
+    val repaired = ext.TextOps.mojibakeTable.foldLeft(injected) {
+      case (e, (bad, good)) => s"replace($e, ${q(bad)}, ${q(good)})"
+    }
+    s"SELECT doc_id, $repaired AS clean FROM documents"
+  }
+
   private lazy val pageRankOracle: String = {
     def iter(i: Int): String =
       s"""r$i AS (SELECT nodes.node,
@@ -2828,6 +2878,60 @@ object SparkEntry {
         |    '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g') AS clean
         |FROM documents""".stripMargin,
+
+    // same regex ladder under RE2: subtree drop, comment drop, tag drop,
+    // entity replaces innermost-first in table order, whitespace collapse
+    "q_strip_html" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(
+        |        '<html><head><style>body{color:red}</style><script type="text/js">var x=1;</script></head><body><!-- c'
+        |          || CAST(doc_id AS VARCHAR)
+        |          || ' --><h1>Title &amp;&nbsp;more</h1><p class="x">'
+        |          || text
+        |          || ' &lt;tag&gt; &quot;q&quot; &#39;a&#39;</p></body></html>',
+        |        '(?is)<(script|style)\b[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]+>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |FROM documents""".stripMargin,
+
+    "q_fix_mojibake" -> mojibakeOracle,
+
+    // BM25: identical IEEE expression tree — length norm (1-b)+b*dl/avgdl,
+    // idf ratio (N-df+0.5)/(df+0.5), saturation tf*2.2/(tf+1.2*norm),
+    // summed left-to-right in term order
+    "q_bm25" ->
+      """WITH d AS (SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'vector')) AS tf0,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'merge'))  AS tf1,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'scan'))   AS tf2
+        |  FROM documents),
+        |s AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl,
+        |    SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM d),
+        |sc AS (SELECT doc_id,
+        |    (CAST(n - df0 AS DOUBLE) + 0.5) / (CAST(df0 AS DOUBLE) + 0.5)
+        |      * (CAST(tf0 AS DOUBLE) * 2.2)
+        |      / (CAST(tf0 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+        |           / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+        |  + (CAST(n - df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5)
+        |      * (CAST(tf1 AS DOUBLE) * 2.2)
+        |      / (CAST(tf1 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+        |           / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))
+        |  + (CAST(n - df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5)
+        |      * (CAST(tf2 AS DOUBLE) * 2.2)
+        |      / (CAST(tf2 AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+        |           / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE)))) AS score
+        |  FROM d, s)
+        |SELECT doc_id, score FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     // md5-prefix Bernoulli is engine-portable: identical kept set in DuckDB
     "q_stratified_sample" ->

@@ -38,7 +38,7 @@ object Cdc {
     */
   def latest(changes: DataFrame, keyCols: Seq[String], seqCol: String,
       opCol: String): DataFrame = {
-    val payload = changes.columns.filterNot(keyCols.contains)
+    val payload = changes.columns.toSeq.filterNot(keyCols.contains)
     // struct comparison is lexicographic, so ordering by seq first makes
     // max() pick the highest-seq event per key in one partial-aggregable
     // pass — the engine-deterministic replacement for a window sort

@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over a document corpus — the ranked search primitive
+  * behind corpus exploration and RAG-style retrieval evaluation. The
+  * scorer is BM25 with a log-free inverse-document-frequency ratio
+  * `(N − df + 0.5) / (df + 0.5)` (the same monotone surrogate discipline
+  * as [[TextOps.tfidfTopTerms]]'s log-free TF-IDF): every arithmetic step
+  * is a single exactly-rounded IEEE `+ − × ÷`, so scores are bit-identical
+  * in any engine and the ranking equals classic BM25's for any fixed df —
+  * log is monotone in the ratio.
+  *
+  * Scale shape: per-doc term frequencies are ONE narrow codegen'd
+  * projection (`size(filter(tokens))` per query term — no explode, no
+  * shuffle); corpus statistics (N, Σdl, per-term df) are ONE scalar
+  * aggregate riding a 1-row cross join; top-k is `orderBy().limit(k)` =
+  * TakeOrdered (per-partition heaps, never a global sort). The per-term
+  * score sum is a FIXED left-to-right fold over the query-term list, so
+  * float addition order — the usual cross-engine trap — is pinned.
+  */
+object Search {
+
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(terms.forall(_.matches("[A-Za-z0-9_]+")), "plain-word terms only")
+    require(k >= 1, "k must be >= 1")
+
+    val toks = df.select(col(idCol),
+      TextOps.tokens(col(textCol)).alias("__toks"))
+    val perDoc = toks.select(
+      col(idCol) +:
+        size(expr("filter(__toks, x -> x <> '')")).cast("long").alias("__dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(expr(s"filter(__toks, x -> x = '$t')")).cast("long")
+            .alias(s"__tf$i")
+        }: _*)
+
+    val statCols =
+      count(lit(1)).alias("__n") +:
+        sum(col("__dl")).alias("__sumdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).alias(s"__df$i"))
+    val stats = perDoc.agg(statCols.head, statCols.tail: _*)
+
+    val scored = perDoc.crossJoin(stats)
+    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
+    // (1 − b) + b·dl/avgdl — the document-length normalizer
+    val lenNorm = lit(1.0) - lit(b) +
+      lit(b) * col("__dl").cast("double") / avgdl
+    val score = terms.indices.map { i =>
+      val tf = col(s"__tf$i").cast("double")
+      val w = ((col("__n") - col(s"__df$i")).cast("double") + lit(0.5)) /
+        (col(s"__df$i").cast("double") + lit(0.5))
+      w * (tf * lit(k1 + 1)) / (tf + lit(k1) * lenNorm)
+    }.reduceLeft[Column](_ + _)
+
+    scored.withColumn("score", score)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+}

@@ -395,6 +395,60 @@ object TextOps {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Strip HTML to text — the first pass over any web-crawled corpus:
+    * drop non-content subtrees wholesale (`script`/`style`, where the
+    * text IS code), remove comments and tags, unescape the named
+    * entities that dominate real markup plus decimal `&#NNN;` for
+    * ASCII, and collapse the whitespace the removals leave behind.
+    * Entirely codegen'd `regexp_replace` passes (RE2-safe patterns, no
+    * backtracking blowups), so the whole cleaner rides one narrow
+    * projection — no parser library, no UDF. A DOM parser is the
+    * fidelity upgrade; for corpus curation the regex ladder is the
+    * accepted production shape (it is what CCNet/C4 shipped).
+    */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text,
+      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTag = regexp_replace(noComment, "<[^>]+>", " ")
+    val entity = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTag) { case (c, (e, r)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(e), r) }
+    trim(regexp_replace(entity, "\\s+", " "))
+  }
+
+  /** Repair the most common UTF-8-read-as-Latin-1 mojibake sequences
+    * (â€™ for ', â€œ/â€ for "/", â€" for —, Ã© for é, …) — the
+    * ftfy top-of-the-distribution cases as a fixed literal-replacement
+    * ladder. Deterministic, codegen'd, engine-portable `replace` calls;
+    * sequences outside the table pass through untouched (repair must
+    * never corrupt clean text).
+    */
+  val mojibakeTable: Seq[(String, String)] = Seq(
+    // U+2018..U+2026 punctuation: UTF-8 bytes re-read as ISO-8859-1
+    // (each byte -> U+00XX), written as escapes so the source stays
+    // pure ASCII
+    "\u00e2\u0080\u0099" -> "'",          // \u2019 right single quote
+    "\u00e2\u0080\u0098" -> "'",          // \u2018 left single quote
+    "\u00e2\u0080\u009c" -> "\"",        // \u201c left double quote
+    "\u00e2\u0080\u009d" -> "\"",        // \u201d right double quote
+    "\u00e2\u0080\u0094" -> "\u2014",    // em dash
+    "\u00e2\u0080\u0093" -> "\u2013",    // en dash
+    "\u00e2\u0080\u00a6" -> "\u2026",    // ellipsis
+    // Latin-1 accents double-encoded the same way
+    "\u00c3\u00a9" -> "\u00e9",           // e-acute
+    "\u00c3\u00a8" -> "\u00e8",           // e-grave
+    "\u00c3\u00a7" -> "\u00e7",           // c-cedilla
+    "\u00c3\u00bc" -> "\u00fc",           // u-umlaut
+    "\u00c3\u00b6" -> "\u00f6",           // o-umlaut
+    "\u00c3\u00a4" -> "\u00e4",           // a-umlaut
+    "\u00c2\u00a0" -> " ")                 // NBSP
+
+  def fixMojibake(text: Column): Column =
+    mojibakeTable.foldLeft(text) { case (c, (bad, good)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(bad), good) }
+
   /** Feature-hashing vectorizer (the "hashing trick"): tokens are counted
     * into `dim` buckets keyed by the leading 48 bits of `md5(token)` — a
     * fixed-width sparse count vector per document with NO vocabulary pass

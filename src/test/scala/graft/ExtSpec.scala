@@ -1253,6 +1253,48 @@ class ExtSpec extends AnyFunSuite {
     assert(out.filter($"grid_ts" === 10L).head().getDouble(2) === 9.0)
   }
 
+  test("stripHtml drops script/style/comments/tags, unescapes, collapses ws") {
+    val html = "<html><head><style>p{x:1}</style><script>if(a<b)f()</script>" +
+      "</head><body><!-- note --><h1>A &amp; B</h1>\n<p id=\"p\">x &lt;y&gt;" +
+      " &quot;z&quot; &#39;w&#39;&nbsp;!</p></body></html>"
+    val out = Seq(html).toDF("t")
+      .select(ext.TextOps.stripHtml($"t")).head().getString(0)
+    assert(out === "A & B x <y> \"z\" 'w' !")
+  }
+
+  test("stripHtml: double-escaped entity does not double-unescape") {
+    val out = Seq("&amp;lt;still-escaped&amp;gt;").toDF("t")
+      .select(ext.TextOps.stripHtml($"t")).head().getString(0)
+    assert(out === "&lt;still-escaped&gt;")
+  }
+
+  test("fixMojibake repairs table sequences, leaves clean + unknown alone") {
+    val bad = "cafÃ© âokâ" +
+      " dÃ©jÃ "
+    val out = Seq(bad).toDF("t")
+      .select(ext.TextOps.fixMojibake($"t")).head().getString(0)
+    // Ã  (a-grave mojibake) is outside the table: passes through
+    assert(out === "café \"ok\" déjÃ ")
+    val clean = "plain text, nothing fancy"
+    assert(Seq(clean).toDF("t").select(ext.TextOps.fixMojibake($"t"))
+      .head().getString(0) === clean)
+  }
+
+  test("bm25: rare terms outrank common, higher tf outranks lower") {
+    val corpus = Seq(
+      (1L, "rare word here"),
+      (2L, "common common common word"),
+      (3L, "common word filler filler"),
+      (4L, "filler filler filler filler")
+    ).toDF("id", "t")
+    val out = ext.Search.bm25TopK(corpus, "id", "t",
+      Seq("rare", "common"), k = 4).collect()
+    // doc 1 holds the only 'rare' (df=1 vs df=2) -> top; doc 2 has more
+    // 'common' than doc 3; doc 4 matches nothing and is absent
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(out.map(_.getDouble(1)).sliding(2).forall(p => p(0) > p(1)))
+  }
+
   test("LSH top-k recall vs brute force >= 60% on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 10)

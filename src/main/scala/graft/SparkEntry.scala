@@ -722,6 +722,15 @@ object SparkEntry {
       ext.TextOps.lmScore(docs, "doc_id", "text", model)
     },
 
+    // data selection: DSIR-style importance scores vs the src0 target
+    // slice — integer-exact add-1 frequency ratios (no cross-engine log
+    // drift), vocabulary-bounded ratio join, one final hash aggregate
+    "q_importance" -> { (s, dir) =>
+      val docs = read(s, dir, "documents")
+      ext.Importance.importanceScores(docs, "doc_id", "text",
+        docs.filter(col("source") === "src0").select(col("text")), "text")
+    },
+
     // chunking: doc → overlapping context windows (120 chars, 20 overlap);
     // pure substring explode, chunk counts bounded by doc length
     "q_chunk" -> ((s, dir) =>
@@ -974,19 +983,14 @@ object SparkEntry {
     // (customer nation → supplier nation per order line, self-loops
     // dropped) — integer-ppb ranks, so the oracle replays every iteration
     // bit-for-bit; per iteration: one shuffle on src, one on dst
-    "q_pagerank" -> { (s, dir) =>
-      val edges = read(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-        .join(read(s, dir, "orders").select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(read(s, dir, "customer").select("c_custkey", "c_nationkey"),
-          col("o_custkey") === col("c_custkey"))
-        .join(read(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
-          col("l_suppkey") === col("s_suppkey"))
-        .select(col("c_nationkey").alias("src"), col("s_nationkey").alias("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-      ext.Graph.pageRank(edges, "src", "dst", iters = 3)
-    },
+    "q_pagerank" -> ((s, dir) =>
+      ext.Graph.pageRank(nationTradeEdges(s, dir), "src", "dst", iters = 3)),
+
+    // graph: per-vertex triangle counts over the same trade graph —
+    // degree-oriented wedge join (out-degree bounded by arboricity, so
+    // hub vertices never spawn d² wedges), pure integer counting
+    "q_triangles" -> ((s, dir) =>
+      ext.Graph.triangleCounts(nationTradeEdges(s, dir), "src", "dst")),
 
     // profiling: heaviest join keys with corpus share (the pre-shuffle
     // skew check; TakeOrdered top-N, no global sort)
@@ -1275,6 +1279,21 @@ object SparkEntry {
     * (r1..r3), replaying the integer-ppb recurrence exactly (DuckDB `//`
     * == Spark `div` on positives).
     */
+  /** Nation trade graph for the graph queries: customer nation → supplier
+    * nation per order line, self-loops dropped, deduped.
+    */
+  private def nationTradeEdges(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      .join(read(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(read(s, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(read(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").alias("src"), col("s_nationkey").alias("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
   /** The mojibake oracle is generated from [[ext.TextOps.mojibakeTable]]
     * itself (nested literal `replace`s, innermost = first pair) so the
     * SQL can never drift from the operator's table.
@@ -1377,6 +1396,50 @@ object SparkEntry {
     "q_embed_neardup_lsh" -> embedNearDupLshOracle,
     "q_simhash_portable" -> simhashPortableOracle,
     "q_pagerank" -> pageRankOracle,
+
+    // triangles via the definitional a<b<c three-way join — the hash
+    // match proves the oriented wedge enumeration finds each exactly once
+    "q_triangles" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  WHERE c.c_nationkey <> s.s_nationkey),
+        |e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |       FROM edges WHERE src <> dst),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |        FROM e0 e1
+        |        JOIN e0 e2 ON e2.a = e1.b
+        |        JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |verts AS (SELECT x AS node FROM tri
+        |          UNION ALL SELECT y FROM tri
+        |          UNION ALL SELECT z FROM tri)
+        |SELECT node, COUNT(*) AS n_tri FROM verts GROUP BY node""".stripMargin,
+
+    // importance: the same integer ratio/score algebra in SQL
+    "q_importance" ->
+      """WITH rtok AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |rc AS (SELECT tok, COUNT(*) AS ct_raw FROM rtok
+        |       WHERE tok <> '' GROUP BY 1),
+        |ttok AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |         FROM documents WHERE source = 'src0'),
+        |tc AS (SELECT tok, COUNT(*) AS ct_target FROM ttok
+        |       WHERE tok <> '' GROUP BY 1),
+        |ratio AS (SELECT rc.tok,
+        |            (1000000 * (COALESCE(tc.ct_target, 0) + 1))
+        |              // (rc.ct_raw + 1) AS w
+        |          FROM rc LEFT JOIN tc ON rc.tok = tc.tok),
+        |dt AS (SELECT doc_id, tok, COUNT(*) AS n_t
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents)
+        |       WHERE tok <> '' GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(n_t) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(n_t * COALESCE(w, 1000000)) AS BIGINT) AS score
+        |FROM dt LEFT JOIN ratio ON dt.tok = ratio.tok
+        |GROUP BY doc_id""".stripMargin,
 
     // JVM long wraparound emulated with HUGEINT mod 2^64 + two's-complement
     // reinterpretation; seed and 31·h+b fold mirror functions.RollingHash

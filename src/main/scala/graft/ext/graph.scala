@@ -60,4 +60,52 @@ object Graph {
     }
     r.select(col("node"), col("r").alias("rank_ppb"))
   }
+
+  /** Per-vertex triangle counts — the clustering/cohesion metric behind
+    * community detection and link-spam gates. Pure integer counting, so
+    * any engine agrees exactly.
+    *
+    * The input is treated as an undirected simple graph: edges are
+    * canonicalized to (min id, max id), self-loops dropped, duplicates
+    * collapsed. The classic scale trap is enumerating wedges from hub
+    * vertices (a degree-d vertex spawns d² wedge candidates); the standard
+    * fix — orient every edge from its lower-(degree, id) endpoint to the
+    * higher — makes each triangle's three edges a little DAG counted
+    * exactly once from its source vertex, and bounds every vertex's
+    * out-degree by O(√edges) (arboricity), so the wedge self-join fans
+    * out quadratically only in that bounded out-degree, never in raw hub
+    * degree. Three hash joins + one aggregate; nothing driver-side.
+    */
+  def triangleCounts(edges0: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges0.select(
+      least(col(srcCol), col(dstCol)).alias("a"),
+      greatest(col(srcCol), col(dstCol)).alias("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(col("a").alias("v"))
+      .union(e.select(col("b").alias("v")))
+      .groupBy("v").agg(count(lit(1)).alias("d"))
+    // orient a→b when (deg a, a) < (deg b, b); else b→a
+    val oriented = e
+      .join(deg.select(col("v").alias("a"), col("d").alias("da")), "a")
+      .join(deg.select(col("v").alias("b"), col("d").alias("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").alias("u"), col("b").alias("w")))
+          .otherwise(struct(col("b").alias("u"), col("a").alias("w")))
+          .alias("e"))
+      .select(col("e.u").alias("u"), col("e.w").alias("w"))
+    // wedges at the oriented source; the closing edge, if present, is the
+    // canonical (min id, max id) pair because both probes are id-ordered
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") && col("x.w") < col("y.w"))
+      .select(col("x.u").alias("u"),
+        col("x.w").alias("p"), col("y.w").alias("q"))
+    val tris = wedges.join(e,
+      col("p") === col("a") && col("q") === col("b"))
+    tris.select(explode(array(col("u"), col("p"), col("q"))).alias("node"))
+      .groupBy("node").agg(count(lit(1)).alias("n_tri"))
+  }
 }

@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance weighting (Xie et al., "Data Selection for
+  * Language Models via Importance Resampling", 2023): score every raw
+  * document by how much its token distribution resembles a small trusted
+  * target corpus, then keep/sample the high scorers. The published method
+  * uses hashed-n-gram log-likelihood ratios; `log` is not exactly rounded
+  * and drifts across engines, so this variant keeps the SAME ranking
+  * signal in pure integer arithmetic (the integer-exact discipline of
+  * [[Graph.pageRank]]): per-token weight
+  *
+  *   w(t) = (S · (ct_target(t) + 1)) div (ct_raw(t) + 1)
+  *
+  * (add-1 smoothed frequency ratio, scaled by `scale` = S, floor-divided
+  * — BIGINT end to end) and per-doc score `Σ_t n_t(doc) · w(t)`, a
+  * monotone surrogate for the likelihood ratio under the same ranking
+  * uses (threshold gates, top-k selection, sampling weights).
+  *
+  * Scale shape: token counting is two explode+groupBy passes whose reduce
+  * side is vocabulary-bounded, the ratio table joins the per-doc token
+  * counts on the token (vocabulary-bounded build side — AQE broadcasts
+  * it), and the final score is one hash aggregate on doc id. Nothing
+  * driver-side, no floats anywhere.
+  */
+object Importance {
+
+  /** Score `df` docs against a `target` corpus sample. Tokens absent from
+    * BOTH corpora can't occur; tokens absent from the raw side of the
+    * ratio table (possible only when scoring docs outside the corpus the
+    * table was built from) default to weight `scale` (ratio 1). Emits
+    * (idCol, n_tokens, score).
+    */
+  def importanceScores(df: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    val rawCounts = tokenCounts(df, textCol)
+      .withColumnRenamed("n", "ct_raw")
+    val targetCounts = tokenCounts(target, targetTextCol)
+      .withColumnRenamed("n", "ct_target")
+    val ratio = rawCounts.join(targetCounts, Seq("tok"), "left")
+      .select(col("tok"),
+        expr(s"($scale * (coalesce(ct_target, 0L) + 1L))" +
+          s" div (ct_raw + 1L)").alias("w"))
+    val docToks = df
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).alias("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).alias("n_t"))
+    docToks.join(ratio, Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("n_t")).alias("n_tokens"),
+        sum(col("n_t") * coalesce(col("w"), lit(scale))).alias("score"))
+  }
+
+  private def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextOps.tokens(col(textCol))).alias("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).alias("n"))
+}

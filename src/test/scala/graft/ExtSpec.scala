@@ -1295,6 +1295,35 @@ class ExtSpec extends AnyFunSuite {
     assert(out.map(_.getDouble(1)).sliding(2).forall(p => p(0) > p(1)))
   }
 
+  test("triangleCounts: K4 gives 3 per vertex; path gives none") {
+    // K4 on {1,2,3,4} (4 triangles, each vertex in 3) + pendant path 4-5-6
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L),
+      (2L, 1L), (3L, 3L) // reversed dup + self-loop must not change counts
+    ).toDF("src", "dst")
+    val out = ext.Graph.triangleCounts(edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("importanceScores: target-aligned docs outscore off-target ones") {
+    val docs = Seq(
+      (1L, "ml ml ml data"),       // target-ish tokens
+      (2L, "spam spam spam spam"), // off-target
+      (3L, "ml data data spam")
+    ).toDF("id", "t")
+    val target = Seq("ml data ml").toDF("t")
+    val out = ext.Importance.importanceScores(docs, "id", "t", target, "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = out.map(x => x._1 -> x._3).toMap
+    // hand-computed: ct_raw ml=4,data=3,spam=5; ct_target ml=2,data=1
+    // w(ml)=3000000//5=600000, w(data)=2000000//4=500000, w(spam)=1000000//6=166666
+    assert(byId(1L) === 3 * 600000L + 1 * 500000L)
+    assert(byId(2L) === 4 * 166666L)
+    assert(byId(3L) === 1 * 600000L + 2 * 500000L + 1 * 166666L)
+    assert(out.find(_._1 == 1L).get._2 === 4L) // n_tokens
+  }
+
   test("LSH top-k recall vs brute force >= 60% on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 10)

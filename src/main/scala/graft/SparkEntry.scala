@@ -722,6 +722,21 @@ object SparkEntry {
       ext.TextOps.lmScore(docs, "doc_id", "text", model)
     },
 
+    // content-defined chunking: cut where the trailing-16-char rolling
+    // hash has 6 low zero bits (mod 64) — boundaries anchor to content,
+    // so edits stay local (the rsync/LBFS trick); native codegen hash
+    // inside the filter lambda, per-doc windows only
+    "q_content_chunks" -> ((s, dir) => ext.TextOps.contentChunks(
+      read(s, dir, "documents"), "doc_id", "text",
+      window = 16, modulus = 64)),
+
+    // tokenizer training: top-3 BPE merges learned from the corpus
+    // vocabulary — corpus collapses to word frequencies once, each round
+    // is a vocabulary-bounded aggregate + TakeOrdered(1) argmax; the
+    // oracle unrolls the identical replace/argmax algebra per round
+    "q_bpe_merges" -> ((s, dir) => ext.Bpe.learnMergesDf(s,
+      read(s, dir, "documents"), "text", nMerges = 3)),
+
     // data selection: DSIR-style importance scores vs the src0 target
     // slice — integer-exact add-1 frequency ratios (no cross-engine log
     // drift), vocabulary-bounded ratio join, one final hash aggregate
@@ -1294,6 +1309,39 @@ object SparkEntry {
       .filter(col("src") =!= col("dst"))
       .distinct()
 
+  /** Generated DuckDB oracle for q_bpe_merges: each round's pair count,
+    * argmax, and padded-replace rewrite unrolled as chained CTEs — the
+    * same algebra `ext.Bpe.learnMerges` runs, so the hash match proves
+    * the distributed loop equals the definitional sequential one.
+    */
+  private lazy val bpeOracle: String = {
+    val nMerges = 3
+    def syms = "string_split(trim(sym), ' ')"
+    def round(i: Int): String =
+      s"""p$i AS (SELECT pair, SUM(cnt) AS c FROM (
+         |  SELECT unnest(list_transform(range(1, len($syms)),
+         |           i -> $syms[i] || ' ' || $syms[i + 1])) AS pair, cnt
+         |  FROM v${i - 1} WHERE len($syms) >= 2)
+         |  GROUP BY pair),
+         |m$i AS (SELECT pair FROM p$i ORDER BY c DESC, pair LIMIT 1),
+         |v$i AS (SELECT replace(sym, ' ' || (SELECT pair FROM m$i) || ' ',
+         |          ' ' || replace((SELECT pair FROM m$i), ' ', '') || ' ')
+         |          AS sym, cnt
+         |        FROM v${i - 1})""".stripMargin
+    val finals = (1 to nMerges).map(i =>
+      s"""SELECT $i AS rank, (SELECT pair FROM m$i) AS pair,
+         |  replace((SELECT pair FROM m$i), ' ', '') AS merged""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH v0 AS (
+       |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym, cnt
+       |  FROM (SELECT w, COUNT(*) AS cnt
+       |        FROM (SELECT unnest(string_split(text, ' ')) AS w
+       |              FROM documents)
+       |        WHERE w <> '' GROUP BY w)),
+       |${(1 to nMerges).map(round).mkString(",\n")}
+       |$finals""".stripMargin
+  }
+
   /** The mojibake oracle is generated from [[ext.TextOps.mojibakeTable]]
     * itself (nested literal `replace`s, innermost = first pair) so the
     * SQL can never drift from the operator's table.
@@ -1417,6 +1465,36 @@ object SparkEntry {
         |          UNION ALL SELECT y FROM tri
         |          UNION ALL SELECT z FROM tri)
         |SELECT node, COUNT(*) AS n_tri FROM verts GROUP BY node""".stripMargin,
+
+    "q_bpe_merges" -> bpeOracle,
+
+    // content chunking: per-position HUGEINT rolling-hash fold (the
+    // q_rolling_hash emulation) over each trailing window; mod-64 reads
+    // only low bits so signed/unsigned agree; boundary->span via lag
+    "q_content_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |pos AS (SELECT doc_id, text, p
+        |        FROM (SELECT doc_id, text, len,
+        |                unnest(range(16, len + 1)) AS p
+        |              FROM d WHERE len >= 16)),
+        |hb AS (SELECT doc_id, p FROM pos
+        |       WHERE list_reduce(
+        |               list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |                 list_transform(range(1, 17),
+        |                   i -> CAST(ord(substr(text,
+        |                          CAST(p - 16 + i AS INTEGER), 1)) AS HUGEINT))),
+        |               (a, b) -> (a * 31 + b) % 18446744073709551616
+        |             ) % 64 = 0),
+        |b AS (SELECT doc_id, p FROM hb UNION SELECT doc_id, len FROM d),
+        |c AS (SELECT doc_id, p,
+        |        lag(p, 1, 0) OVER (PARTITION BY doc_id ORDER BY p) AS prev,
+        |        row_number() OVER (PARTITION BY doc_id ORDER BY p) AS chunk_id
+        |      FROM b)
+        |SELECT c.doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       prev + 1 AS start,
+        |       substr(d.text, CAST(prev + 1 AS INTEGER),
+        |              CAST(p - prev AS INTEGER)) AS chunk_text
+        |FROM c JOIN d ON c.doc_id = d.doc_id""".stripMargin,
 
     // importance: the same integer ratio/score algebra in SQL
     "q_importance" ->

@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge learning (Sennrich et al. 2016) — the
+  * tokenizer-training step of an LLM data pipeline, distributed: the
+  * corpus collapses to its word-frequency vocabulary once (the only
+  * corpus-sized pass), then every merge round is an aggregate over that
+  * vocabulary-bounded frame.
+  *
+  * Portable semantics: a word's symbol state is the space-joined,
+  * space-padded string `" w o r d "`; a merge rewrites the padded pair
+  * `" a b "` to `" ab "` via plain left-to-right non-overlapping
+  * `replace` — the same builtin with the same scan semantics in every
+  * engine, so the whole training run is bit-reproducible from SQL. Two
+  * documented divergences from the reference pip implementation: no
+  * end-of-word marker, and inside a run of ≥4 IDENTICAL symbols the
+  * non-overlapping scan skips the occurrence sharing a boundary space
+  * (e.g. `a a a a` → `aa a a` in one pass, where marker-aware BPE gives
+  * `aa aa`). Tie-breaks are total: highest pair count, then pair
+  * ascending.
+  *
+  * Scale shape: one explode+groupBy builds the vocabulary (reduce side
+  * bounded by distinct words); each round's pair count is one explode +
+  * hash aggregate over the vocabulary; argmax is TakeOrdered(1); the
+  * chosen pair comes back as a 1-row collect (`nMerges` bounded driver
+  * actions — the [[Similarity.ivfCentroids]] discipline). The rewrite
+  * chain stays lazy: round k's plan is k narrow `replace`s over the
+  * original vocabulary, and only the ≤ `nMerges` chosen pairs ever leave
+  * the executors.
+  */
+object Bpe {
+
+  /** One learned merge: 1-based rank, the space-separated symbol pair,
+    * and the merged symbol.
+    */
+  final case class Merge(rank: Int, pair: String, merged: String)
+
+  /** Character-level symbol state for a word: `" w o r d "`. */
+  private[ext] def symState(wordCol: String) =
+    concat(lit(" "), regexp_replace(col(wordCol), "(.)", "$1 "))
+
+  /** Word-frequency vocabulary of the corpus in symbol-state form:
+    * (sym, cnt).
+    */
+  def vocabulary(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextOps.tokens(col(textCol))).alias("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).alias("cnt"))
+      .select(symState("w").alias("sym"), col("cnt"))
+
+  /** Learn the top `nMerges` merges. Returns them in rank order. */
+  def learnMerges(df: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
+    require(nMerges >= 1 && nMerges <= 1000, "nMerges in [1, 1000]")
+    var vocab = vocabulary(df, textCol)
+    val merges = Seq.newBuilder[Merge]
+    var exhausted = false
+    for (rank <- 1 to nMerges if !exhausted) {
+      val top = pairCounts(vocab)
+        .orderBy(col("c").desc, col("pair")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val pair = top(0).getString(0)
+        val merged = pair.replace(" ", "")
+        merges += Merge(rank, pair, merged)
+        vocab = applyMerge(vocab, pair, merged)
+      }
+    }
+    merges.result()
+  }
+
+  /** [[learnMerges]] as a DataFrame (rank, pair, merged) — the
+    * driver-contract query shape.
+    */
+  def learnMergesDf(spark: SparkSession, df: DataFrame, textCol: String,
+      nMerges: Int): DataFrame = {
+    import spark.implicits._
+    learnMerges(df, textCol, nMerges).toDF("rank", "pair", "merged")
+  }
+
+  /** Tokenize `df`'s text with an already-learned merge list: each word's
+    * symbol state is rewritten by every merge in rank order, then the
+    * doc's token sequence is reassembled in word order. Emits
+    * (idCol, tokens: array<string>). Narrow per-row string work — the
+    * merge chain is `merges.size` codegen'd `replace`s, no joins.
+    */
+  def tokenize(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val applied = merges.foldLeft(symState("w")) { (c, m) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(s" ${m.pair} "),
+        s" ${m.merged} ")
+    }
+    df.select(col(idCol),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .select(col(idCol), col("pos"), split(trim(applied), " ").alias("toks"))
+      .groupBy(col(idCol))
+      // position-struct sort before flatten — collect_list has no order
+      // guarantee (the [[TextOps.encode]] discipline)
+      .agg(expr("flatten(transform(sort_array(collect_list(struct(pos, toks))),"
+        + " x -> x.toks))").alias("tokens"))
+  }
+
+  /** Pair multiset counts over the vocabulary: every adjacent symbol pair
+    * of every word, weighted by word frequency.
+    */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .withColumn("syms", split(trim(col("sym")), " "))
+      .filter(size(col("syms")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(syms) - 1)," +
+          " i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"))
+        .alias("pair"), col("cnt"))
+      .groupBy("pair").agg(sum(col("cnt")).alias("c"))
+
+  private def applyMerge(vocab: DataFrame, pair: String,
+      merged: String): DataFrame = {
+    def sq(s: String) = s.replace("'", "\\'")
+    vocab.withColumn("sym",
+      expr(s"replace(sym, ' ${sq(pair)} ', ' ${sq(merged)} ')"))
+  }
+}

@@ -177,6 +177,52 @@ object TextOps {
   def rollingHash(text: Column): Column =
     graft.functions.RollingHash.column(text)
 
+  /** Content-defined chunking: cut after every position whose trailing
+    * `window`-char [[rollingHash]] is ≡ 0 (mod `modulus`), plus the end
+    * of text — so chunk boundaries are anchored to CONTENT, not offsets,
+    * and an insertion near the head of a document only reshapes the
+    * chunks it touches (fixed-offset chunking shifts every downstream
+    * chunk, defeating chunk-level dedup/caching — the rsync/LBFS
+    * insight). Expected chunk length ≈ `modulus` chars. `modulus` must
+    * be a power of two: the boundary test then reads only the hash's low
+    * bits, which signed (JVM) and unsigned (SQL `HUGEINT`) arithmetic
+    * agree on, keeping the oracle exact. Emits (idCol, chunk_id, start,
+    * chunk_text); empty/short docs yield one whole-text chunk.
+    *
+    * Scale shape: candidate positions explode per doc (bounded by doc
+    * length, never corpus size), the hash is the native codegen
+    * expression inside a `filter` lambda, and the boundary→span step is
+    * a per-doc window (partitioned by id — no global sort). The grid
+    * variant of the same idea is [[graft.ext.Dedup.repeatedSpans]].
+    */
+  def contentChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 16, modulus: Int = 64): DataFrame = {
+    require(window >= 1, "window >= 1")
+    require(modulus >= 2 && (modulus & (modulus - 1)) == 0,
+      "modulus must be a power of two >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val isBoundary = (p: Column) =>
+      pmod(rollingHash(col("__text").substr(p - lit(window - 1), lit(window))),
+        lit(modulus.toLong)) === 0L
+    val bounds = df
+      .select(col(idCol), col(textCol).alias("__text"),
+        length(col(textCol)).alias("__len"))
+      .select(col(idCol), col("__text"),
+        explode(array_distinct(concat(
+          array(col("__len")),
+          when(col("__len") >= window,
+            filter(sequence(lit(window), col("__len")), isBoundary))
+            .otherwise(array().cast("array<int>"))))).alias("p"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("p"))
+    bounds
+      .withColumn("prev", lag(col("p"), 1, 0).over(w))
+      .withColumn("chunk_id", row_number().over(w).cast("long"))
+      .select(col(idCol), col("chunk_id"),
+        (col("prev") + 1).cast("long").alias("start"),
+        col("__text").substr(col("prev") + 1, col("p") - col("prev"))
+          .alias("chunk_text"))
+  }
+
   /** Line-level exact dedup (CCNet-style boilerplate removal): drop every
     * line whose corpus-wide document frequency exceeds `maxDf` (navigation
     * chrome, cookie banners, license footers — the lines shared by many

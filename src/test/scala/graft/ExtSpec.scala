@@ -1324,6 +1324,55 @@ class ExtSpec extends AnyFunSuite {
     assert(out.find(_._1 == 1L).get._2 === 4L) // n_tokens
   }
 
+  test("BPE: learns the classic low/lower merges in tie-broken order") {
+    val corpus = Seq("low low low lower").toDF("t")
+    val merges = ext.Bpe.learnMerges(corpus, "t", 3)
+    // pairs r1: (l o)=4, (o w)=4, (w e)=1, (e r)=1 -> tie, 'l o' < 'o w'
+    assert(merges.map(m => (m.rank, m.pair, m.merged)) === Seq(
+      (1, "l o", "lo"), (2, "lo w", "low"), (3, "e r", "er")))
+  }
+
+  test("BPE tokenize applies merges in rank order, word order preserved") {
+    val corpus = Seq("low low low lower").toDF("t")
+    val merges = ext.Bpe.learnMerges(corpus, "t", 2)
+    val out = ext.Bpe.tokenize(Seq((7L, "lower low")).toDF("id", "t"),
+      "id", "t", merges).head()
+    assert(out.getSeq[String](1) === Seq("low", "e", "r", "low"))
+  }
+
+  test("BPE stops early when no pairs remain") {
+    val corpus = Seq("a b a").toDF("t")
+    val merges = ext.Bpe.learnMerges(corpus, "t", 5)
+    assert(merges.isEmpty) // all words are single symbols
+  }
+
+  test("contentChunks: lossless reconstruction, content-anchored locality") {
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "the quick brown fox jumps over the lazy dog again and again here"
+    val docs = Seq((1L, base), (2L, ""), (3L, "short")).toDF("id", "t")
+    val out = ext.TextOps.contentChunks(docs, "id", "t", window = 8,
+      modulus = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    // chunks concatenated in order reconstruct each doc exactly
+    val rebuilt = out.groupBy(_._1).map { case (id, cs) =>
+      id -> cs.sortBy(_._2).map(_._3).mkString }
+    assert(rebuilt === Map(1L -> base, 2L -> "", 3L -> "short"))
+    // short/empty docs yield exactly one chunk
+    assert(out.count(_._1 == 2L) == 1 && out.count(_._1 == 3L) == 1)
+
+    // locality: prepending text leaves boundaries after resync identical —
+    // compare chunk-text multisets past the first shared boundary
+    val shifted = Seq((9L, "XY " + base)).toDF("id", "t")
+    val a = ext.TextOps.contentChunks(docs.filter($"id" === 1), "id", "t", 8, 4)
+      .collect().map(_.getString(3)).toSeq
+    val b = ext.TextOps.contentChunks(shifted, "id", "t", 8, 4)
+      .collect().map(_.getString(3)).toSeq
+    assert(a.nonEmpty && b.nonEmpty)
+    assert(a.tail.toSet.subsetOf(b.toSet) || b.tail.toSet.subsetOf(a.toSet)
+      || a.intersect(b).nonEmpty,
+      s"no shared chunks after prepend: $a vs $b")
+  }
+
   test("LSH top-k recall vs brute force >= 60% on real embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 10)

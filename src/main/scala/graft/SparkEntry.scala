@@ -341,6 +341,33 @@ object SparkEntry {
     * TIMESTAMP(NANOS), which vanilla Spark rejects — read nanos as long
     * (micros derived with integer div; no double round-trip).
     */
+  /** Decomposed-unicode probe prefix shared by the q_normalize_text query
+    * and its oracle (combining marks written as escapes so neither side
+    * depends on editor/source normalization).
+    */
+  private val normalizeProbe: String =
+    "Café élève Ça über niño ß Å "
+
+  /** SCD2 dimension fixture shared by q_scd2 / q_scd2_lookup: customers
+    * as the v0 dimension, a synthetic ts=100 update batch (every 3rd key
+    * resegmented, every 7th key shifted to a brand-new key).
+    */
+  private def scd2Fixture(s: SparkSession, dir: String): DataFrame = {
+    val cust = read(s, dir, "customer")
+    val dim = cust.select(col("c_custkey"), col("c_mktsegment"),
+      lit(0L).alias("valid_from"), lit(null).cast("long").alias("valid_to"),
+      lit(true).alias("is_current"))
+    val updates = cust.filter(col("c_custkey") % 3 === 0).select(
+        col("c_custkey"),
+        when(col("c_custkey") % 2 === 0, lit("NEWSEG"))
+          .otherwise(col("c_mktsegment")).alias("c_mktsegment"),
+        lit(100L).alias("ts"))
+      .unionByName(cust.filter(col("c_custkey") % 7 === 1).select(
+        (col("c_custkey") + 1000000).alias("c_custkey"),
+        lit("FRESH").alias("c_mktsegment"), lit(100L).alias("ts")))
+    ext.Scd2(dim, updates, Seq("c_custkey"), Seq("c_mktsegment"), "ts")
+  }
+
   private def readEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
@@ -1015,20 +1042,19 @@ object SparkEntry {
     // SCD Type 2: versioned-history upsert — changed keys close their
     // current version and append a new one, new keys insert, no-change
     // updates are ignored; history rows never rejoin
-    "q_scd2" -> { (s, dir) =>
-      val cust = read(s, dir, "customer")
-      val dim = cust.select(col("c_custkey"), col("c_mktsegment"),
-        lit(0L).alias("valid_from"), lit(null).cast("long").alias("valid_to"),
-        lit(true).alias("is_current"))
-      val updates = cust.filter(col("c_custkey") % 3 === 0).select(
-          col("c_custkey"),
-          when(col("c_custkey") % 2 === 0, lit("NEWSEG"))
-            .otherwise(col("c_mktsegment")).alias("c_mktsegment"),
-          lit(100L).alias("ts"))
-        .unionByName(cust.filter(col("c_custkey") % 7 === 1).select(
-          (col("c_custkey") + 1000000).alias("c_custkey"),
-          lit("FRESH").alias("c_mktsegment"), lit(100L).alias("ts")))
-      ext.Scd2(dim, updates, Seq("c_custkey"), Seq("c_mktsegment"), "ts")
+    "q_scd2" -> ((s, dir) => scd2Fixture(s, dir)),
+
+    // SCD2 temporal lookup: each order joins the dimension version valid
+    // at its own (synthetic) timestamp — the fact⋈history read path that
+    // makes Type-2 history useful; equi-join on the key, validity range
+    // as a post-join filter (never a range-join blowup)
+    "q_scd2_lookup" -> { (s, dir) =>
+      val dim = scd2Fixture(s, dir)
+      val facts = read(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey").alias("c_custkey"),
+        (col("o_orderkey") % 200).alias("fts"))
+      ext.Scd2.lookupJoin(facts, dim, Seq("c_custkey"), "fts",
+        Seq("c_mktsegment"))
     },
 
     // incremental view maintenance: per-flag (count, total) state built
@@ -1243,6 +1269,90 @@ object SparkEntry {
         .agg(sum(col("new_s")).alias("n_sessions"),
           count(lit(1)).alias("n_events"))
     },
+
+    // events: Spark-native SESSION windows (dynamic-gap windowing — the
+    // same operator runs under Structured Streaming with a watermark);
+    // window = [first event, last event + gap), new session at diff >= gap
+    "q_session_window" -> { (s, dir) =>
+      readEvents(s, dir)
+        .groupBy(col("user_id"),
+          session_window(timestamp_micros(col("ts_us")), "30 minutes").alias("w"))
+        .agg(count(lit(1)).alias("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).alias("s_us"),
+          unix_micros(col("w.end")).alias("e_us"),
+          col("n_events"))
+    },
+
+    // PIVOT: long → crosstab with an EXPLICIT category list (one
+    // partial-aggregated shuffle — the implicit-values form runs a
+    // distinct-collect job first and is banned at scale); decimal-pinned
+    // sums so cell totals are order-independent
+    "q_pivot" -> ((s, dir) => ext.Reshape.pivot(
+      read(s, dir, "orders"), Seq("o_orderstatus"), "o_orderpriority",
+      Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))),
+
+    // UNPIVOT: wide → long melt (narrow per-row expansion, zero shuffle)
+    "q_unpivot" -> ((s, dir) => ext.Reshape.unpivot(
+      read(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_discount"), col("l_tax")),
+      Seq("l_orderkey", "l_linenumber"),
+      Seq("l_quantity", "l_discount", "l_tax"), "measure", "val")),
+
+    // pairwise Pearson correlation from decimal-pinned sufficient stats —
+    // one aggregate pass for the whole matrix, engine-deterministic
+    // (builtin corr streams raw doubles and drifts in the last ulps)
+    "q_corr_matrix" -> ((s, dir) => ext.Stats.corrPairs(
+      read(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount"))),
+
+    // per-group least squares (slope/intercept/r² of price on quantity) —
+    // regr_slope-family semantics from the same exact sufficient stats
+    "q_regr_by_group" -> ((s, dir) => ext.Stats.regrByGroup(
+      read(s, dir, "lineitem"), "l_returnflag", "l_quantity",
+      "l_extendedprice")),
+
+    // fitted z-score scaler: per-source (mean, population std) from exact
+    // decimal sums, transform as one AQE-broadcast join back
+    "q_standardize" -> ((s, dir) => ext.Stats.standardize(
+      read(s, dir, "documents"), "doc_id", "n_chars", "source")),
+
+    // EWMA per user over event values — the sequential recurrence via
+    // secondary sort (repartition by key, sort within partitions, one
+    // O(1)-state streaming pass); bit-replayed by the oracle's recursive
+    // CTE. Emitted UNrounded: the recurrence is the same two IEEE ops in
+    // the same order on both engines, so the doubles are bit-identical —
+    // while rounding would DESYNC them (α=0.5 makes dyadic values that
+    // land exactly on .5 ties, where decimal vs float rounding disagrees)
+    "q_ewma" -> { (s, dir) =>
+      ext.TimeSeries.ewma(
+          readEvents(s, dir).select(col("user_id"), col("ts_us"),
+            col("event_id"), col("value")),
+          "user_id", "ts_us", "event_id", "value", alpha = 0.5)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("ewma"))
+    },
+
+    // equi-depth deciles of doc length within each source — partitioned
+    // NTILE (each group sorts independently; never a global sort)
+    "q_ntile" -> ((s, dir) => ext.Profile.ntiles(
+      read(s, dir, "documents").select(col("doc_id"), col("source"),
+        col("n_chars")),
+      "source", "n_chars", "doc_id", 10)),
+
+    // unicode canonicalization: NFC compose + accent strip as native
+    // codegen expressions (JDK Normalizer — no dependency); the injected
+    // decomposed prefix proves real composition work on the ASCII corpus
+    "q_normalize_text" -> { (s, dir) =>
+      // the probe is decomposed (e+U+0301, C+U+0327, u+U+0308,
+      // n+U+0303, A+U+030A): NFC must compose it, strip_accents
+      // must fold it to bare letters (no-decomposition ß survives)
+      val injected = concat(lit(normalizeProbe), col("text"))
+      read(s, dir, "documents").select(col("doc_id"),
+        functions.UnicodeNorm.nfcColumn(injected).alias("nfc"),
+        functions.UnicodeNorm.stripAccentsColumn(
+          functions.UnicodeNorm.nfcColumn(injected)).alias("ascii_fold"))
+    },
   )
 
   /** Generated DuckDB oracle for q_knn_lsh: the hyperplanes are seeded
@@ -1437,6 +1547,71 @@ object SparkEntry {
        |           FROM cand JOIN n a ON a.vec_id = cand.a_id
        |           JOIN n b ON b.vec_id = cand.b_id)
        |SELECT a_id, b_id, round(c, 4) AS cosine FROM scored WHERE c >= 0.4""".stripMargin
+  }
+
+  /** Shared CTE chain rebuilding the SCD2 fixture in SQL (used by both
+    * q_scd2, which dumps the whole table, and q_scd2_lookup, which joins
+    * facts against it).
+    */
+  private lazy val scd2OracleCtes: String =
+    """WITH dim AS (SELECT c_custkey, c_mktsegment,
+      |               CAST(0 AS BIGINT) AS valid_from,
+      |               CAST(NULL AS BIGINT) AS valid_to,
+      |               TRUE AS is_current FROM customer),
+      |u AS (SELECT c_custkey,
+      |        CASE WHEN c_custkey % 2 = 0 THEN 'NEWSEG'
+      |             ELSE c_mktsegment END AS c_mktsegment,
+      |        CAST(100 AS BIGINT) AS ts
+      |      FROM customer WHERE c_custkey % 3 = 0
+      |      UNION ALL
+      |      SELECT c_custkey + 1000000, 'FRESH', 100
+      |      FROM customer WHERE c_custkey % 7 = 1),
+      |changed AS (SELECT u.c_custkey, u.c_mktsegment, u.ts
+      |            FROM u JOIN dim ON dim.c_custkey = u.c_custkey
+      |              AND dim.is_current
+      |            WHERE dim.c_mktsegment IS DISTINCT FROM u.c_mktsegment),
+      |newk AS (SELECT u.* FROM u
+      |         LEFT JOIN (SELECT DISTINCT c_custkey FROM dim) d
+      |           ON d.c_custkey = u.c_custkey
+      |         WHERE d.c_custkey IS NULL),
+      |kept AS (SELECT dim.* FROM dim
+      |         LEFT JOIN changed c ON c.c_custkey = dim.c_custkey
+      |           AND dim.is_current
+      |         WHERE c.c_custkey IS NULL),
+      |closed AS (SELECT dim.c_custkey, dim.c_mktsegment, dim.valid_from,
+      |                  c.ts AS valid_to, FALSE AS is_current
+      |           FROM dim JOIN changed c ON c.c_custkey = dim.c_custkey
+      |           WHERE dim.is_current),
+      |ins AS (SELECT c_custkey, c_mktsegment, ts AS valid_from,
+      |               CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+      |        FROM changed
+      |        UNION ALL
+      |        SELECT c_custkey, c_mktsegment, ts, NULL, TRUE FROM newk)""".stripMargin
+
+  /** Generated DuckDB oracle for q_corr_matrix — the same decimal-pinned
+    * sufficient statistics and the same double-formula tree as
+    * [[ext.Stats.corrPairs]], generated from one column list so the two
+    * sides can't drift.
+    */
+  private lazy val corrMatrixOracle: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    val aggs = ("COUNT(*) AS n" +:
+      (cols.flatMap(c => Seq(
+        s"SUM(CAST($c AS DECIMAL(38,12))) AS s_$c",
+        s"SUM(CAST($c * $c AS DECIMAL(38,12))) AS s2_$c")) ++
+       pairs.map { case (x, y) =>
+         s"SUM(CAST($x * $y AS DECIMAL(38,12))) AS p_${x}__$y" })).mkString(",\n  ")
+    def d(c: String) = s"CAST($c AS DOUBLE)"
+    val sels = pairs.map { case (x, y) =>
+      val num = s"${d("n")} * ${d(s"p_${x}__$y")} - ${d(s"s_$x")} * ${d(s"s_$y")}"
+      val den = s"sqrt(${d("n")} * ${d(s"s2_$x")} - ${d(s"s_$x")} * ${d(s"s_$x")})" +
+        s" * sqrt(${d("n")} * ${d(s"s2_$y")} - ${d(s"s_$y")} * ${d(s"s_$y")})"
+      s"SELECT '$x' AS x_col, '$y' AS y_col,\n" +
+        s"       round(($num) / ($den), 6) AS corr FROM s"
+    }.mkString("\nUNION ALL\n")
+    s"WITH s AS (SELECT\n  $aggs\nFROM lineitem)\n$sels"
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2895,41 +3070,22 @@ object SparkEntry {
     // SCD2 rebuilt as set algebra: kept = all minus changed-current,
     // closed = current of changed keys, inserted = changed ∪ new keys
     "q_scd2" ->
-      """WITH dim AS (SELECT c_custkey, c_mktsegment,
-        |               CAST(0 AS BIGINT) AS valid_from,
-        |               CAST(NULL AS BIGINT) AS valid_to,
-        |               TRUE AS is_current FROM customer),
-        |u AS (SELECT c_custkey,
-        |        CASE WHEN c_custkey % 2 = 0 THEN 'NEWSEG'
-        |             ELSE c_mktsegment END AS c_mktsegment,
-        |        CAST(100 AS BIGINT) AS ts
-        |      FROM customer WHERE c_custkey % 3 = 0
-        |      UNION ALL
-        |      SELECT c_custkey + 1000000, 'FRESH', 100
-        |      FROM customer WHERE c_custkey % 7 = 1),
-        |changed AS (SELECT u.c_custkey, u.c_mktsegment, u.ts
-        |            FROM u JOIN dim ON dim.c_custkey = u.c_custkey
-        |              AND dim.is_current
-        |            WHERE dim.c_mktsegment IS DISTINCT FROM u.c_mktsegment),
-        |newk AS (SELECT u.* FROM u
-        |         LEFT JOIN (SELECT DISTINCT c_custkey FROM dim) d
-        |           ON d.c_custkey = u.c_custkey
-        |         WHERE d.c_custkey IS NULL),
-        |kept AS (SELECT dim.* FROM dim
-        |         LEFT JOIN changed c ON c.c_custkey = dim.c_custkey
-        |           AND dim.is_current
-        |         WHERE c.c_custkey IS NULL),
-        |closed AS (SELECT dim.c_custkey, dim.c_mktsegment, dim.valid_from,
-        |                  c.ts AS valid_to, FALSE AS is_current
-        |           FROM dim JOIN changed c ON c.c_custkey = dim.c_custkey
-        |           WHERE dim.is_current),
-        |ins AS (SELECT c_custkey, c_mktsegment, ts AS valid_from,
-        |               CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
-        |        FROM changed
-        |        UNION ALL
-        |        SELECT c_custkey, c_mktsegment, ts, NULL, TRUE FROM newk)
+      s"""$scd2OracleCtes
         |SELECT * FROM kept UNION ALL SELECT * FROM closed
         |UNION ALL SELECT * FROM ins""".stripMargin,
+
+    // temporal lookup against the same rebuilt SCD2 table: key equality
+    // + validity-range predicate picks exactly one version per fact
+    "q_scd2_lookup" ->
+      s"""$scd2OracleCtes,
+        |scd AS (SELECT * FROM kept UNION ALL SELECT * FROM closed
+        |        UNION ALL SELECT * FROM ins),
+        |f AS (SELECT o_orderkey, o_custkey AS c_custkey,
+        |             o_orderkey % 200 AS fts FROM orders)
+        |SELECT f.o_orderkey, f.c_custkey, f.fts, scd.c_mktsegment
+        |FROM f LEFT JOIN scd ON scd.c_custkey = f.c_custkey
+        |  AND scd.valid_from <= f.fts
+        |  AND (scd.valid_to IS NULL OR scd.valid_to > f.fts)""".stripMargin,
 
     // the incremental state must equal the direct aggregate — decimal
     // sums are exact/associative, one final cast to double
@@ -3144,6 +3300,125 @@ object SparkEntry {
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |       COUNT(*) AS n_events
         |FROM x GROUP BY user_id""".stripMargin,
+
+    // session_window semantics as gap islands: a NEW session starts at
+    // diff >= gap (the window is [first, last+gap) — an event landing
+    // exactly on the closing edge is outside it)
+    "q_session_window" ->
+      """WITH e AS (SELECT user_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |x AS (SELECT user_id, ts_us,
+        |             CASE WHEN lag(ts_us) OVER w IS NULL
+        |                    OR ts_us - lag(ts_us) OVER w >= 1800000000
+        |                  THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |g AS (SELECT user_id, ts_us,
+        |             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        |               ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x)
+        |SELECT user_id, MIN(ts_us) AS s_us,
+        |       MAX(ts_us) + 1800000000 AS e_us, COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    // PIVOT as conditional decimal aggregates (the engine-portable form)
+    "q_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "1-URGENT",
+        |  CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "2-HIGH",
+        |  CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "3-MEDIUM",
+        |  CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "4-NOT SPECIFIED",
+        |  CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS "5-LOW"
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // UNPIVOT as the defining UNION ALL
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+        |       l_quantity AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin,
+
+    "q_corr_matrix" -> corrMatrixOracle,
+
+    // per-group OLS from the same decimal sufficient stats; the double
+    // formula trees mirror ext.Stats.regrByGroup term for term
+    "q_regr_by_group" ->
+      """WITH s AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  SUM(CAST(l_quantity AS DECIMAL(38,12))) AS sx,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(38,12))) AS sy,
+        |  SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,12))) AS sxx,
+        |  SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,12))) AS syy,
+        |  SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,12))) AS sxy
+        |FROM lineitem GROUP BY l_returnflag),
+        |t AS (SELECT l_returnflag, n,
+        |        CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        |        CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+        |        CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+        |      FROM s)
+        |SELECT l_returnflag, n,
+        |  round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6) AS slope,
+        |  round((syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd)
+        |        / nd, 6) AS intercept,
+        |  round(((nd * sxyd - sxd * syd)
+        |           / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd)))
+        |        * ((nd * sxyd - sxd * syd)
+        |           / (sqrt(nd * sxxd - sxd * sxd) * sqrt(nd * syyd - syd * syd))),
+        |        6) AS r2
+        |FROM t""".stripMargin,
+
+    // fitted z-score: group stats from exact decimal sums, identical
+    // double-formula tree to ext.Stats.standardize
+    "q_standardize" ->
+      """WITH st AS (SELECT source, COUNT(*) AS n,
+        |              SUM(CAST(n_chars AS DECIMAL(38,12))) AS sx,
+        |              SUM(CAST(n_chars * n_chars AS DECIMAL(38,12))) AS sxx
+        |            FROM documents GROUP BY source)
+        |SELECT doc_id, d.source, n_chars,
+        |  round((CAST(n_chars AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |               - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+        |                 * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS z
+        |FROM documents d JOIN st ON st.source = d.source""".stripMargin,
+
+    // EWMA bit-replayed as a recursive CTE: the same two IEEE ops per
+    // row in the same (ts, event_id) order the secondary sort enforces
+    "q_ewma" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |         event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+        |  FROM events),
+        |e AS (SELECT user_id, ts_us, event_id, rn, value AS ewma
+        |      FROM ev WHERE rn = 1
+        |      UNION ALL
+        |      SELECT ev.user_id, ev.ts_us, ev.event_id, ev.rn,
+        |             0.5 * ev.value + 0.5 * e.ewma
+        |      FROM e JOIN ev ON ev.user_id = e.user_id AND ev.rn = e.rn + 1)
+        |SELECT user_id, ts_us, event_id, ewma FROM e""".stripMargin,
+
+    // equi-depth deciles: NTILE's floor distribution is standard SQL,
+    // identical in both engines; (n_chars, doc_id) order is total
+    "q_ntile" ->
+      """SELECT doc_id, source, n_chars,
+        |       ntile(10) OVER (PARTITION BY source
+        |         ORDER BY n_chars, doc_id) AS bucket
+        |FROM documents""".stripMargin,
+
+    // unicode canonicalization vs DuckDB's utf8proc-backed functions —
+    // the probe constant is shared with the Spark side
+    "q_normalize_text" ->
+      s"""SELECT doc_id,
+        |  nfc_normalize('$normalizeProbe' || text) AS nfc,
+        |  strip_accents(nfc_normalize('$normalizeProbe' || text)) AS ascii_fold
+        |FROM documents""".stripMargin,
   )
 }
 

@@ -122,4 +122,26 @@ object Profile {
         least(greatest(col(valueCol), col("lo")), col("hi")))
       .select(col(idCol), col(valueCol), col("clipped"))
   }
+
+  /** Equi-depth bucketing: NTILE(n) of `orderCol` within each
+    * `partitionCol` group, ties broken by `tieCol` so the assignment is
+    * total and engine-deterministic (standard SQL NTILE floor
+    * distribution — the first `count mod n` buckets get the extra row,
+    * identically in every engine). The equi-DEPTH histogram / decile-
+    * feature companion to the equi-width [[histogram]].
+    *
+    * Scale shape: the window is PARTITIONED — each group sorts
+    * independently after one hash shuffle, nothing global. (An
+    * unpartitioned NTILE would be a single-partition sort; for a global
+    * equi-depth cut at 100 TB use approx-percentile boundaries + a
+    * narrow bucket lookup instead.) Emits input columns + `bucket`.
+    */
+  def ntiles(df: DataFrame, partitionCol: String, orderCol: String,
+      tieCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, "n must be >= 1")
+    df.withColumn("bucket", ntile(n).over(
+      Window.partitionBy(col(partitionCol))
+        .orderBy(col(orderCol), col(tieCol))))
+  }
 }

@@ -1,0 +1,44 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Wide↔long reshaping — the reporting/feature-matrix companion to the
+  * reference's column mappings: PIVOT turns a (key, category, value)
+  * stream into one column per category (the BI crosstab / one-row-per-
+  * entity feature shape), UNPIVOT melts a wide table back into the long
+  * form every groupBy/join in this engine wants.
+  *
+  * Scale shape: pivot with an EXPLICIT category list is one partial-
+  * aggregated hash shuffle on the group keys — identical cost to a plain
+  * groupBy, because each category becomes a conditional aggregate, not a
+  * join. (Spark's `pivot(col)` without values runs a distinct-collect job
+  * first and caps it at `spark.sql.pivotMaxValues` — never do that on a
+  * 100 TB stream; callers here must pass the list.) Unpivot is a narrow
+  * per-row expansion (`×|cols|` rows out, zero shuffle).
+  */
+object Reshape {
+
+  /** Crosstab: one row per `groupCols`, one `agg(valueCol)` column per
+    * entry of `categories` (columns named by category value). Categories
+    * are explicit — the 100 TB contract above. Rows whose category is in
+    * no bucket simply contribute nowhere; absent (group, category) cells
+    * are NULL, as in SQL PIVOT.
+    */
+  def pivot(df: DataFrame, groupCols: Seq[String], pivotCol: String,
+      categories: Seq[String], valueAgg: Column): DataFrame = {
+    require(categories.nonEmpty, "pivot needs an explicit category list")
+    df.groupBy(groupCols.map(col): _*)
+      .pivot(pivotCol, categories)
+      .agg(valueAgg)
+  }
+
+  /** Melt: keep `idCols`, turn each of `valueCols` into a (variable,
+    * value) row. All `valueCols` must share (or be castable to) one type —
+    * callers cast first, as SQL UNPIVOT requires.
+    */
+  def unpivot(df: DataFrame, idCols: Seq[String], valueCols: Seq[String],
+      varName: String = "variable", valName: String = "value"): DataFrame =
+    df.unpivot(idCols.map(col).toArray, valueCols.map(col).toArray,
+      varName, valName)
+}

@@ -72,4 +72,30 @@ object Scd2 {
   def asOf(dim: DataFrame, ts: Long): DataFrame =
     dim.filter(col("valid_from") <= ts &&
       (col("valid_to").isNull || col("valid_to") > ts))
+
+  /** Fact⋈dimension at each fact's OWN timestamp — the temporal lookup
+    * that makes SCD2 history useful: every fact row picks up the tracked
+    * attributes of the dimension version valid when the fact happened
+    * (`valid_from <= ts < coalesce(valid_to, ∞)`). Left join, so facts
+    * predating the key's first version (or with unknown keys) survive
+    * with NULL attributes.
+    *
+    * Scale shape: an EQUI-join on the dimension key (the validity range
+    * is a post-join filter on a handful of matched versions per key, not
+    * a range-join blowup — version counts per key are small by
+    * construction), so Spark plans a plain hash join; AQE broadcasts the
+    * dimension when it fits. Never a cartesian.
+    */
+  def lookupJoin(facts: DataFrame, dim: DataFrame, keyCols: Seq[String],
+      factTs: String, trackedCols: Seq[String]): DataFrame = {
+    val dimR = dim.select(
+      keyCols.map(c => col(c).alias(s"__d_$c")) ++
+        trackedCols.map(col) :+ col("valid_from") :+ col("valid_to"): _*)
+    facts.join(dimR,
+        keyCols.map(c => col(c) === col(s"__d_$c")).reduce(_ && _) &&
+          col("valid_from") <= col(factTs) &&
+          (col("valid_to").isNull || col("valid_to") > col(factTs)),
+        "left")
+      .select(facts.columns.map(col) ++ trackedCols.map(col): _*)
+  }
 }

@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Second-moment statistics — correlation, least-squares trend, and
+  * fitted standardization — computed from DECIMAL-pinned sufficient
+  * statistics so the results are engine-deterministic and
+  * order-independent (the oracle-parity rule: never accumulate raw
+  * doubles across rows; built-in `corr`/`regr_slope` stream doubles and
+  * drift in the last ulps between engines and between partitionings).
+  *
+  * Scale shape: every function here is ONE partial-aggregated pass over
+  * the input — the sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) are
+  * tiny, mergeable, and exact in decimal, so a 1000-executor run combines
+  * map-side partials without any precision or ordering hazard. The final
+  * formulas are a handful of IEEE ops on the exact sums (bit-identical in
+  * any engine). Per-row products are single IEEE multiplies (also
+  * bit-identical) pinned to decimal BEFORE summation.
+  */
+object Stats {
+
+  private def dec(c: Column): Column = c.cast("decimal(38,12)")
+  private def d(c: Column): Column = c.cast("double")
+
+  private def sums(x: Column, y: Column): Seq[Column] = Seq(
+    count(lit(1)).alias("n"),
+    sum(dec(x)).alias("sx"), sum(dec(y)).alias("sy"),
+    sum(dec(x * x)).alias("sxx"), sum(dec(y * y)).alias("syy"),
+    sum(dec(x * y)).alias("sxy"))
+
+  /** num/den of Pearson r from the exact sums, in double. */
+  private def corrCol: Column = {
+    val n = d(col("n"))
+    val num = n * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val den = sqrt(n * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+      sqrt(n * d(col("syy")) - d(col("sy")) * d(col("sy")))
+    num / den
+  }
+
+  /** Pairwise Pearson correlation of `cols` — the feature-redundancy /
+    * profiling matrix, emitted long-form as (x_col, y_col, corr) for each
+    * unordered pair. One aggregate pass computes every column's and every
+    * pair's sufficient statistics together; the 1-row result is melted to
+    * pair rows in-plan (no driver math, no second scan).
+    */
+  def corrPairs(df: DataFrame, cols: Seq[String], scale: Int = 6): DataFrame = {
+    require(cols.size >= 2, "corrPairs needs at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = count(lit(1)).alias("n") +:
+      (cols.flatMap(c => Seq(
+        sum(dec(col(c))).alias(s"s_$c"),
+        sum(dec(col(c) * col(c))).alias(s"s2_$c"))) ++
+       pairs.map { case (x, y) =>
+         sum(dec(col(x) * col(y))).alias(s"p_${x}__$y") })
+    val s = df.agg(aggs.head, aggs.tail: _*)
+    val n = d(col("n"))
+    val wide = s.select(pairs.map { case (x, y) =>
+      val num = n * d(col(s"p_${x}__$y")) - d(col(s"s_$x")) * d(col(s"s_$y"))
+      val den = sqrt(n * d(col(s"s2_$x")) - d(col(s"s_$x")) * d(col(s"s_$x"))) *
+        sqrt(n * d(col(s"s2_$y")) - d(col(s"s_$y")) * d(col(s"s_$y")))
+      round(num / den, scale).alias(s"${x}__$y")
+    }: _*)
+    wide.unpivot(Array.empty, pairs.map { case (x, y) => col(s"${x}__$y") }.toArray,
+        "pair", "corr")
+      .select(
+        substring_index(col("pair"), "__", 1).alias("x_col"),
+        substring_index(col("pair"), "__", -1).alias("y_col"),
+        col("corr"))
+  }
+
+  /** Per-group simple least squares: slope, intercept, and r² of y on x —
+    * the trend-per-segment profiling op (`regr_slope`-family semantics,
+    * but decimal-exact). One hash-aggregate on the group key.
+    */
+  def regrByGroup(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, scale: Int = 6): DataFrame = {
+    val s = df.groupBy(col(groupCol)).agg(
+      sums(col(xCol), col(yCol)).head, sums(col(xCol), col(yCol)).tail: _*)
+    val n = d(col("n"))
+    val num = n * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val denX = n * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val slope = num / denX
+    val intercept = (d(col("sy")) - slope * d(col("sx"))) / n
+    s.select(col(groupCol),
+      col("n"),
+      round(slope, scale).alias("slope"),
+      round(intercept, scale).alias("intercept"),
+      round(corrCol * corrCol, scale).alias("r2"))
+  }
+
+  /** Fitted z-score standardization: per `byCol` group, fit (mean,
+    * population std) from exact decimal sums, then transform each row —
+    * the fit/transform scaler of a feature pipeline, as one aggregate +
+    * one AQE-broadcast join back (group stats are tiny). Emits
+    * (idCol, byCol, valueCol, z).
+    */
+  def standardize(df: DataFrame, idCol: String, valueCol: String,
+      byCol: String, scale: Int = 6): DataFrame = {
+    val x = col(valueCol)
+    val stats = df.groupBy(col(byCol).alias("__by")).agg(
+      count(lit(1)).alias("n"),
+      sum(dec(x)).alias("sx"), sum(dec(x * x)).alias("sxx"))
+    val n = d(col("n"))
+    val mean = d(col("sx")) / n
+    val std = sqrt(d(col("sxx")) / n - mean * mean)
+    df.select(col(idCol), col(byCol), x)
+      .join(stats, col(byCol) === col("__by"))
+      .select(col(idCol), col(byCol), x,
+        round((d(x) - mean) / std, scale).alias("z"))
+  }
+}

@@ -1,7 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructType}
 
 /** Time-series regularization — turning an irregular event stream into a
   * fixed-interval series per key (the feature-store / monitoring shape:
@@ -52,5 +53,46 @@ object TimeSeries {
           lit(step))).alias("grid_ts"))
 
     AsOf.joinBackward(grid, obs, key, "grid_ts", "__t", valueCols)
+  }
+
+  /** Exponentially-weighted moving average per key:
+    * `ewma₀ = x₀; ewmaₜ = α·xₜ + (1−α)·ewmaₜ₋₁` in (timeCol, tieCol)
+    * order — the smoothing/monitoring primitive. A true sequential
+    * recurrence (each value depends on ALL its predecessors), so no
+    * window frame expresses it; the scale-correct distributed shape is
+    * the secondary sort: repartition on the key, sort within partitions
+    * by (key, time, tie), then one streaming pass per partition carrying
+    * O(1) state across the contiguous key runs. One shuffle total, no
+    * per-group materialization, arbitrarily long histories never
+    * collect.
+    *
+    * The float recurrence is two IEEE ops per row in a fixed order, so
+    * any engine replaying the same order reproduces it bit-for-bit
+    * (the DuckDB oracle unrolls it as a recursive CTE). Emits
+    * (key, timeCol, tieCol, ewma).
+    */
+  def ewma(df: DataFrame, key: String, timeCol: String, tieCol: String,
+      valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val sorted = df
+      .select(col(key), col(timeCol), col(tieCol),
+        col(valueCol).cast("double").alias("__x"))
+      .repartition(col(key))
+      .sortWithinPartitions(col(key), col(timeCol), col(tieCol))
+    val schema = new StructType(sorted.schema.fields.dropRight(1))
+      .add("ewma", DoubleType, nullable = false)
+    val beta = 1.0 - alpha
+    sorted.mapPartitions { it =>
+      var curKey: Any = null
+      var started = false
+      var ew = 0.0
+      it.map { r =>
+        val k = r.get(0)
+        val x = r.getDouble(3)
+        if (!started || k != curKey) { curKey = k; started = true; ew = x }
+        else ew = alpha * x + beta * ew
+        Row(k, r.get(1), r.get(2), ew)
+      }
+    }(Encoders.row(schema))
   }
 }

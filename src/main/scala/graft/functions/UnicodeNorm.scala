@@ -1,0 +1,107 @@
+package graft.functions
+
+import java.text.Normalizer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode canonical normalization (NFC) — the first step of any
+  * web-corpus cleaning pass: the same visible text arrives from crawls in
+  * both precomposed (`é` U+00E9) and decomposed (`e` + U+0301) forms, and
+  * every downstream exact/near-dup hash treats them as different documents
+  * until they're canonicalized.
+  *
+  * Native codegen expression (JDK `java.text.Normalizer`, no dependency)
+  * so the hot path stays inside whole-stage codegen. The fast path is
+  * free: `Normalizer.isNormalized` is O(n) with no allocation, and real
+  * corpora are overwhelmingly already-NFC.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires STRING, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeNorm.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UnicodeNorm.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+
+  override def prettyName: String = "nfc_normalize"
+}
+
+/** Accent stripping: canonical decomposition, drop combining marks
+  * (category Mn), recompose. `é`→`e`, `Å`→`A`, while non-mark letters
+  * (`ß`, `ø`) pass through — the same contract as DuckDB/utf8proc
+  * `strip_accents`, which the oracle query relies on. Used for
+  * accent-insensitive dedup keys and language-id robustness.
+  */
+case class StripAccents(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"strip_accents requires STRING, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeNorm.stripAccents(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UnicodeNorm.stripAccents($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): StripAccents =
+    copy(child = newChild)
+
+  override def prettyName: String = "strip_accents"
+}
+
+object UnicodeNorm {
+
+  /** Referenced from generated code — must stay public + static-friendly. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
+    else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+
+  /** Referenced from generated code. ASCII fast path: no decomposition can
+    * introduce marks into pure-ASCII text, so the input passes through
+    * without allocating.
+    */
+  def stripAccents(s: UTF8String): UTF8String = {
+    val str = s.toString
+    var ascii = true
+    var i = 0
+    while (ascii && i < str.length) { if (str.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) return s
+    val nfd = Normalizer.normalize(str, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    i = 0
+    while (i < nfd.length) {
+      val cp = nfd.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(
+      Normalizer.normalize(sb.toString, Normalizer.Form.NFC))
+  }
+
+  def nfcColumn(text: Column): Column =
+    Bridge.column(NfcNormalize(Bridge.expression(text)))
+
+  def stripAccentsColumn(text: Column): Column =
+    Bridge.column(StripAccents(Bridge.expression(text)))
+}

@@ -59,6 +59,14 @@ object GraftFunctions {
       require(args.length == 1, "array_min_agg(arr)")
       ArrayMinAgg(args.head)
     },
+    "nfc_normalize" -> { args =>
+      require(args.length == 1, "nfc_normalize(text)")
+      NfcNormalize(args.head)
+    },
+    "strip_accents" -> { args =>
+      require(args.length == 1, "strip_accents(text)")
+      StripAccents(args.head)
+    },
   )
 
   /** Register onto a live session (temp functions, session-scoped). */

@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit laws for the round-5 additions: reshape (pivot/unpivot),
+  * decimal-exact second-moment stats, SCD2 temporal lookup, EWMA,
+  * equi-depth ntiles, and unicode normalization.
+  */
+class StatsReshapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- Reshape ------------------------------------------------------------
+
+  test("pivot: cells land in the right (group, category) slot; absent cell NULL") {
+    val df = Seq(
+      ("a", "x", 1.0), ("a", "x", 2.0), ("a", "y", 10.0),
+      ("b", "y", 5.0),
+    ).toDF("g", "cat", "v")
+    val p = ext.Reshape.pivot(df, Seq("g"), "cat", Seq("x", "y", "z"),
+      sum(col("v").cast("decimal(18,2)")).cast("double"))
+    val rows = p.orderBy("g").collect()
+    assert(p.columns === Array("g", "x", "y", "z"))
+    assert(rows(0) === Row("a", 3.0, 10.0, null))
+    assert(rows(1) === Row("b", null, 5.0, null))
+  }
+
+  test("pivot ignores categories outside the explicit list") {
+    val df = Seq(("a", "x", 1.0), ("a", "other", 99.0)).toDF("g", "cat", "v")
+    val p = ext.Reshape.pivot(df, Seq("g"), "cat", Seq("x"),
+      sum(col("v").cast("decimal(18,2)")).cast("double"))
+    assert(p.collect() === Array(Row("a", 1.0)))
+  }
+
+  test("unpivot: melt emits one row per (id, value column); round-trips pivot") {
+    val df = Seq((1L, 2.0, 3.0), (2L, 4.0, 5.0)).toDF("id", "p", "q")
+    val long = ext.Reshape.unpivot(df, Seq("id"), Seq("p", "q"), "m", "v")
+    assert(long.columns === Array("id", "m", "v"))
+    assert(long.count() === 4)
+    assert(long.filter(col("id") === 1L && col("m") === "q").head().getDouble(2) === 3.0)
+    // melt of a crosstab rebuilds the long form
+    val back = ext.Reshape.pivot(long, Seq("id"), "m", Seq("p", "q"),
+      sum(col("v").cast("decimal(18,2)")).cast("double"))
+    assert(back.orderBy("id").collect() ===
+      Array(Row(1L, 2.0, 3.0), Row(2L, 4.0, 5.0)))
+  }
+
+  // --- Stats --------------------------------------------------------------
+
+  test("corrPairs: exact ±1 on linear columns, 0 on orthogonal pattern") {
+    val df = Seq(
+      (1.0, 2.0, -1.0, 1.0), (2.0, 4.0, -2.0, -1.0),
+      (3.0, 6.0, -3.0, 1.0), (4.0, 8.0, -4.0, -1.0),
+    ).toDF("x", "y2x", "neg", "alt")
+    val c = ext.Stats.corrPairs(df, Seq("x", "y2x", "neg", "alt"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(c(("x", "y2x")) === 1.0)
+    assert(c(("x", "neg")) === -1.0)
+    // hand: num = 4·(−2) − 10·0 = −8; den = √20·4 → −0.4472135955 → round 6
+    assert(c(("x", "alt")) === -0.447214)
+    assert(c.size === 6)
+  }
+
+  test("regrByGroup: exact line y=2x+1 per group; r2=1") {
+    val df = Seq(
+      ("g1", 1.0, 3.0), ("g1", 2.0, 5.0), ("g1", 3.0, 7.0),
+      ("g2", 1.0, 1.0), ("g2", 2.0, 0.0), ("g2", 3.0, 2.0),
+    ).toDF("g", "x", "y")
+    val r = ext.Stats.regrByGroup(df, "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(r("g1").getDouble(2) === 2.0)      // slope
+    assert(r("g1").getDouble(3) === 1.0)      // intercept
+    assert(r("g1").getDouble(4) === 1.0)      // r2
+    assert(r("g2").getDouble(2) === 0.5)      // hand: Sxy=7, n=3 → slope 0.5
+    assert(r("g2").getDouble(4) < 1.0)
+  }
+
+  test("standardize: hand-computed z-scores per group, population std") {
+    // group m: values 1,2,3 → mean 2, pop std sqrt(2/3)
+    val df = Seq((1L, "m", 1L), (2L, "m", 2L), (3L, "m", 3L),
+      (4L, "s", 5L), (5L, "s", 7L)).toDF("id", "g", "v")
+    val z = ext.Stats.standardize(df, "id", "v", "g")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val std = math.sqrt(2.0 / 3.0)
+    assert(z(1L) === math.round(-1.0 / std * 1e6) / 1e6)
+    assert(z(2L) === 0.0)
+    assert(z(3L) === math.round(1.0 / std * 1e6) / 1e6)
+    // group s: mean 6, pop std 1
+    assert(z(4L) === -1.0 && z(5L) === 1.0)
+  }
+
+  // --- SCD2 lookup ----------------------------------------------------------
+
+  test("scd2 lookupJoin: picks the version valid at each fact ts, boundaries exact") {
+    val dim = Seq(
+      (1L, "OLD", 0L, Option(100L), false),
+      (1L, "NEW", 100L, None: Option[Long], true),
+      (2L, "ONLY", 50L, None: Option[Long], true),
+    ).toDF("k", "seg", "valid_from", "valid_to", "is_current")
+    val facts = Seq((10L, 1L, 99L), (11L, 1L, 100L), (12L, 1L, 150L),
+      (13L, 2L, 10L), (14L, 3L, 60L)).toDF("fid", "k", "fts")
+    val out = ext.Scd2.lookupJoin(facts, dim, Seq("k"), "fts", Seq("seg"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(10L) === "OLD")   // ts 99 < 100 → old version
+    assert(out(11L) === "NEW")   // valid_to exclusive, valid_from inclusive
+    assert(out(12L) === "NEW")
+    assert(out(13L) === null)    // fact predates key 2's first version
+    assert(out(14L) === null)    // unknown key survives with NULL
+    assert(out.size === 5)       // left join: exactly one row per fact
+  }
+
+  // --- EWMA -----------------------------------------------------------------
+
+  test("ewma: hand recurrence, key isolation, tie-break order") {
+    val df = Seq(
+      ("u1", 1L, 1L, 10.0), ("u1", 2L, 2L, 20.0), ("u1", 3L, 3L, 40.0),
+      ("u2", 1L, 4L, 100.0), ("u2", 2L, 5L, 100.0),
+      // same ts, tie col decides order: 7 after 6
+      ("u3", 5L, 6L, 8.0), ("u3", 5L, 7L, 0.0),
+    ).toDF("k", "t", "tie", "v")
+    val e = ext.TimeSeries.ewma(df, "k", "t", "tie", "v", alpha = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(e(("u1", 1L)) === 10.0)
+    assert(e(("u1", 2L)) === 15.0)           // 0.5*20 + 0.5*10
+    assert(e(("u1", 3L)) === 27.5)           // 0.5*40 + 0.5*15
+    assert(e(("u2", 4L)) === 100.0 && e(("u2", 5L)) === 100.0) // no cross-key leak
+    assert(e(("u3", 6L)) === 8.0 && e(("u3", 7L)) === 4.0)     // tie order
+  }
+
+  // --- ntiles ---------------------------------------------------------------
+
+  test("ntiles: floor distribution — first (count mod n) buckets get the extra row") {
+    val df = (1 to 10).map(i => ("g", i.toLong)).toDF("g", "v")
+    val b = ext.Profile.ntiles(df, "g", "v", "v", 3)
+      .collect().map(r => r.getLong(1) -> r.getInt(2)).toMap
+    // 10 rows, 3 buckets → sizes 4,3,3 in order
+    assert((1 to 4).forall(i => b(i.toLong) === 1))
+    assert((5 to 7).forall(i => b(i.toLong) === 2))
+    assert((8 to 10).forall(i => b(i.toLong) === 3))
+  }
+
+  // --- unicode normalization --------------------------------------------------
+
+  test("nfc composes decomposed input; strip_accents folds marks, keeps sharp-s/o-slash") {
+    // explicit \\u escapes: the test must not depend on source normalization
+    val acute = "\u0301"; val ring = "\u030A"
+    val eAcute = "\u00E9"; val aRing = "\u00C5"
+    val sharpS = "\u00DF"; val oSlash = "\u00F8"
+    val df = Seq(
+      ("Cafe" + acute,    "Caf" + eAcute),  // e + combining acute composes
+      ("A" + ring,        aRing),           // A + combining ring composes
+      ("stra" + sharpS + "e", "stra" + sharpS + "e"), // already NFC: unchanged
+    ).toDF("raw", "nfc_expected")
+    val out = df.select(
+      functions.UnicodeNorm.nfcColumn(col("raw")).alias("nfc"),
+      functions.UnicodeNorm.stripAccentsColumn(col("raw")).alias("folded"),
+      col("nfc_expected")).collect()
+    out.foreach(r => assert(r.getString(0) === r.getString(2)))
+    assert(out(0).getString(1) === "Cafe")
+    assert(out(1).getString(1) === "A")
+    assert(out(2).getString(1) === "stra" + sharpS + "e") // no decomposition
+    // o-slash is not a mark composition either — must survive folding
+    val oe = Seq(Tuple1("bl" + oSlash + "d")).toDF("s").select(
+      functions.UnicodeNorm.stripAccentsColumn(col("s"))).head().getString(0)
+    assert(oe === "bl" + oSlash + "d")
+    // null passes through
+    val n = Seq(Tuple1(null: String)).toDF("s").select(
+      functions.UnicodeNorm.nfcColumn(col("s")),
+      functions.UnicodeNorm.stripAccentsColumn(col("s"))).head()
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
+  test("unicode natives resolve in SQL and run under strict codegen") {
+    functions.GraftFunctions.register(spark)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val r = spark.sql(
+        "SELECT nfc_normalize('Cafe\u0301') AS a, " +
+          "strip_accents('e\u0301le\u0300ve') AS b").head()
+      assert(r.getString(0) === "Caf\u00E9" && r.getString(1) === "eleve")
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+}

@@ -1346,6 +1346,16 @@ class ExtSpec extends AnyFunSuite {
     assert(merges.isEmpty) // all words are single symbols
   }
 
+  test("BPE: in-memory gate path ≡ distributed loop (same merges, any gate)") {
+    val corpus = Seq("low low low lower", "newest newest wider low")
+      .toDF("t")
+    val viaDriver = ext.Bpe.learnMerges(corpus, "t", 6) // default gate: in-memory
+    val viaCluster = ext.Bpe.learnMerges(corpus, "t", 6,
+      driverVocabLimit = 0) // gate off: distributed aggregate loop
+    assert(viaDriver === viaCluster)
+    assert(viaDriver.nonEmpty)
+  }
+
   test("contentChunks: lossless reconstruction, content-anchored locality") {
     val base = "the quick brown fox jumps over the lazy dog and then " +
       "the quick brown fox jumps over the lazy dog again and again here"

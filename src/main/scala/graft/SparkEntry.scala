@@ -1340,6 +1340,32 @@ object SparkEntry {
         col("n_chars")),
       "source", "n_chars", "doc_id", 10)),
 
+    // EXACT heavy hitters via the Misra-Gries sketch superset + candidate
+    // recount — the skewed key is derived deterministically (60% of rows
+    // across 3 hot keys, the rest unique cold keys) so eviction is
+    // actually exercised; the result is exact and sketch-independent
+    "q_heavy_hitters" -> { (s, dir) =>
+      val keyed = readEvents(s, dir).select(
+        when(col("event_id") % 10 < 6,
+          concat(lit("hot_"), (col("event_id") % 3).cast("string")))
+          .otherwise(concat(lit("cold_"), col("event_id").cast("string")))
+          .alias("k"))
+      ext.Profile.heavyHitters(keyed, "k", support = 0.01, capacity = 128)
+    },
+
+    // Johnson-Lindenstrauss random projection 64→8: per-coordinate native
+    // dot products against seeded Gaussian planes, exploded to
+    // (vec_id, j, coord) rows; rounded to 6 — DuckDB's list_dot_product
+    // accumulates in a different order than the strict left fold, so raw
+    // doubles differ in the last ulps (same convention as q_knn_lsh's
+    // rounded cosine)
+    "q_rp_reduce" -> { (s, dir) =>
+      ext.Similarity.randomProject(read(s, dir, "embeddings"),
+          "vec_id", "embedding", dim = 64, outDim = 8, seed = 42L)
+        .select(col("vec_id"), posexplode(col("projected")).as(Seq("j", "coord")))
+        .select(col("vec_id"), col("j"), round(col("coord"), 6).alias("coord"))
+    },
+
     // unicode canonicalization: NFC compose + accent strip as native
     // codegen expressions (JDK Normalizer — no dependency); the injected
     // decomposed prefix proves real composition work on the ASCII corpus
@@ -1614,7 +1640,38 @@ object SparkEntry {
     s"WITH s AS (SELECT\n  $aggs\nFROM lineitem)\n$sels"
   }
 
+  /** Generated DuckDB oracle for q_rp_reduce — the same seeded Gaussian
+    * planes as the Spark side, embedded as shortest-round-trip double
+    * literals. Coordinates are rounded to 6 on both sides:
+    * `list_dot_product` accumulates in a different order than the native
+    * strict left fold, so raw doubles differ in the final ulps (ties at
+    * the rounding digit would need an exact dyadic multiple of 5e-7 —
+    * impossible for these Gaussian dots).
+    */
+  private lazy val rpReduceOracle: String = {
+    val planes = ext.Similarity.hyperplanes(64, 8, 42L)
+    val sels = planes.zipWithIndex.map { case (p, j) =>
+      s"SELECT vec_id, $j AS j, round(list_dot_product(v, " +
+        s"${p.mkString("[", ", ", "]")}), 6) AS coord FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+       |$sels""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_rp_reduce" -> rpReduceOracle,
+
+    // exact heavy hitters: the sketch is candidacy-only, so the oracle is
+    // the direct definitional aggregate with the same derived skewed key
+    // and the same ceil(support*N) threshold arithmetic
+    "q_heavy_hitters" ->
+      """WITH k AS (SELECT CASE WHEN event_id % 10 < 6
+        |                    THEN 'hot_' || CAST(event_id % 3 AS VARCHAR)
+        |                    ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS k
+        |           FROM events)
+        |SELECT k, COUNT(*) AS n FROM k GROUP BY k
+        |HAVING COUNT(*) >= CEIL(0.01 * (SELECT COUNT(*) FROM events))""".stripMargin,
+
     "q_knn_lsh" -> knnLshOracle,
     "q_embed_neardup_lsh" -> embedNearDupLshOracle,
     "q_simhash_portable" -> simhashPortableOracle,

@@ -144,4 +144,34 @@ object Profile {
       Window.partitionBy(col(partitionCol))
         .orderBy(col(orderCol), col(tieCol))))
   }
+
+  /** EXACT heavy hitters at `support` (fraction of rows) without ever
+    * shuffling the key's full cardinality: a
+    * [[graft.functions.MisraGriesAgg]] sketch pass yields a guaranteed
+    * SUPERSET of the heavy keys (any key with count > N/(capacity+1) is
+    * in the summary — hence the `support·(capacity+1) > 1` precondition),
+    * then one candidate-only recount (an IN-list filter that pushes to
+    * the scan, ≤ capacity keys) trims it to the exact answer. Two passes,
+    * but the aggregate state is ≤ capacity entries per partition — the
+    * mergeable-sketch shape — where a plain groupBy-then-filter shuffles
+    * every distinct key of a 100 TB column. The result is EXACT and
+    * sketch-independent, which is what makes it oracle-checkable. Emits
+    * (keyCol, n).
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, support: Double,
+      capacity: Int): DataFrame = {
+    require(support > 0 && support <= 1, "support in (0, 1]")
+    require(support * (capacity + 1) > 1.0,
+      s"capacity $capacity too small to guarantee support $support " +
+        "(need support*(capacity+1) > 1)")
+    val probe = df.agg(
+      graft.functions.MisraGriesAgg.column(col(keyCol).cast("string"),
+        capacity).alias("cand"),
+      count(lit(1)).alias("n")).head()
+    val cands = probe.getSeq[String](0)
+    val threshold = math.ceil(support * probe.getLong(1)).toLong
+    df.filter(col(keyCol).cast("string").isInCollection(cands))
+      .groupBy(col(keyCol)).agg(count(lit(1)).alias("n"))
+      .filter(col("n") >= threshold)
+  }
 }

@@ -75,6 +75,30 @@ object Similarity {
     Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Johnson–Lindenstrauss random projection: `dim`-dimensional vectors →
+    * `outDim` coordinates, each one native [[graft.functions.DotProduct]]
+    * against a seeded Gaussian plane — pairwise distances/angles are
+    * preserved within (1±ε) for outDim = O(log n / ε²), which makes this
+    * the standard cheap pre-step before ANN indexing or clustering when
+    * embeddings are wide (a 1024→64 reduce cuts every downstream shuffle
+    * and dot product 16×). Narrow per-row map: NO shuffle, the projection
+    * matrix rides the plan as literals (same discipline as
+    * [[signBucket]]'s planes). Coordinates are unscaled dot products —
+    * cosine/rank structure is unchanged by the missing 1/√outDim factor,
+    * and raw dots stay bit-reproducible from SQL (`list_dot_product`
+    * matches the left-fold accumulation bitwise, the q_knn_lsh oracle
+    * contract). Emits (idCol, projected: array<double>).
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      outDim: Int, seed: Long = 42L): DataFrame = {
+    require(outDim >= 1 && outDim <= 4096, "outDim in [1, 4096]")
+    val planes = hyperplanes(dim, outDim, seed)
+    df.select(col(idCol),
+      array(planes.map(p =>
+        graft.functions.DotProduct.column(col(vecCol), typedlit(p))): _*)
+        .alias("projected"))
+  }
+
   /** Sign-LSH bucket id: one bit per hyperplane (dot >= 0). A single native
     * [[graft.functions.SignBuckets]] loop — the per-plane
     * `when(dot >= 0, ...)` chain this replaces inlined one dot-product loop

@@ -1,0 +1,148 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Misra–Gries frequent-items summary over string keys — the second
+  * custom `TypedImperativeAggregate` (next to [[ArrayMinAgg]]), and the
+  * sketch side of the heavy-hitters operator
+  * ([[graft.ext.Profile.heavyHitters]]).
+  *
+  * Guarantee (the reason this is sound at 100 TB): with `capacity` k
+  * counters, every item whose true count exceeds N/(k+1) is present in
+  * the summary — so a caller filtering at support s with k+1 ≥ 1/s gets
+  * a guaranteed SUPERSET of the true heavy hitters, which one exact
+  * candidate-only recount then trims to the exact answer. The summary is
+  * MERGEABLE (Agarwal et al., "Mergeable Summaries", PODS 2012):
+  * pointwise-sum two summaries, subtract the (k+1)-th largest counter,
+  * drop non-positives — the bound composes across partitions, so the
+  * shuffle carries fixed-width partial states (≤ k entries per partition),
+  * the HLL/`approx_count_distinct` shape, never the keys' full cardinality.
+  *
+  * Evaluates to `array<string>` of candidate keys (counts are sketch
+  * UNDERestimates — deliberately not exposed; the contract is candidacy,
+  * exactness comes from the recount). NULL keys are skipped; an empty
+  * group yields an empty array.
+  */
+case class MisraGriesAgg(
+    child: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  require(capacity >= 1 && capacity <= 1000000,
+    "misra_gries capacity in [1, 1e6]")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"misra_gries requires STRING, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): mutable.HashMap[String, Long] =
+    mutable.HashMap.empty
+
+  override def update(buf: mutable.HashMap[String, Long],
+      input: InternalRow): mutable.HashMap[String, Long] = {
+    val v = child.eval(input)
+    if (v == null) return buf
+    val key = v.asInstanceOf[UTF8String].toString
+    buf.get(key) match {
+      case Some(c) => buf.update(key, c + 1)
+      case None =>
+        if (buf.size < capacity) buf.update(key, 1L)
+        else {
+          // classic MG decrement-all: the unseen item and every counter
+          // lose one; zeros vacate their slot
+          val dead = List.newBuilder[String]
+          buf.foreach { case (k, c) =>
+            if (c == 1L) dead += k else buf.update(k, c - 1)
+          }
+          dead.result().foreach(buf.remove)
+        }
+    }
+    buf
+  }
+
+  override def merge(b1: mutable.HashMap[String, Long],
+      b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
+    // pointwise sum, then shrink back to capacity by subtracting the
+    // (capacity+1)-th largest count (Agarwal et al. merge)
+    b2.foreach { case (k, c) => b1.update(k, b1.getOrElse(k, 0L) + c) }
+    if (b1.size > capacity) {
+      val counts = b1.values.toArray
+      java.util.Arrays.sort(counts)
+      val cut = counts(counts.length - capacity - 1) // (k+1)-th largest
+      val dead = List.newBuilder[String]
+      b1.foreach { case (k, c) =>
+        if (c - cut <= 0L) dead += k else b1.update(k, c - cut)
+      }
+      dead.result().foreach(b1.remove)
+    }
+    b1
+  }
+
+  override def eval(buf: mutable.HashMap[String, Long]): Any =
+    new GenericArrayData(
+      buf.keysIterator.toArray.sorted[String]
+        .map(UTF8String.fromString(_).asInstanceOf[Any]))
+
+  override def serialize(buf: mutable.HashMap[String, Long]): Array[Byte] = {
+    val entries = buf.toArray
+    val keyBytes = entries.map(e => e._1.getBytes(StandardCharsets.UTF_8))
+    val size = 4 + keyBytes.map(_.length + 4 + 8).sum
+    val bb = ByteBuffer.allocate(size)
+    bb.putInt(entries.length)
+    entries.indices.foreach { i =>
+      bb.putInt(keyBytes(i).length)
+      bb.put(keyBytes(i))
+      bb.putLong(entries(i)._2)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[String, Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = mutable.HashMap.empty[String, Long]
+    (0 until n).foreach { _ =>
+      val kb = new Array[Byte](bb.getInt)
+      bb.get(kb)
+      buf.update(new String(kb, StandardCharsets.UTF_8), bb.getLong)
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MisraGriesAgg =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "misra_gries"
+}
+
+object MisraGriesAgg {
+  def column(key: Column, capacity: Int): Column =
+    Bridge.column(
+      MisraGriesAgg(Bridge.expression(key), capacity).toAggregateExpression())
+}

@@ -59,6 +59,10 @@ object GraftFunctions {
       require(args.length == 1, "array_min_agg(arr)")
       ArrayMinAgg(args.head)
     },
+    "misra_gries" -> { args =>
+      require(args.length == 2, "misra_gries(key, capacity)")
+      MisraGriesAgg(args.head, intLit(args(1), "misra_gries", "capacity"))
+    },
     "nfc_normalize" -> { args =>
       require(args.length == 1, "nfc_normalize(text)")
       NfcNormalize(args.head)

@@ -141,6 +141,63 @@ class StatsReshapeSpec extends AnyFunSuite {
     assert((8 to 10).forall(i => b(i.toLong) === 3))
   }
 
+  // --- heavy hitters ----------------------------------------------------------
+
+  test("heavyHitters: exact result under heavy skew, eviction exercised") {
+    // 3 hot keys with 200 rows each + 400 unique cold keys; capacity 16
+    // forces constant eviction (419 distinct >> 16)
+    val rows = (0 until 600).map(i => s"hot_${i % 3}") ++
+      (0 until 400).map(i => s"cold_$i")
+    val df = rows.toDF("k").repartition(7) // sketch must merge across partitions
+    val out = ext.Profile.heavyHitters(df, "k", support = 0.1, capacity = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("hot_0" -> 200L, "hot_1" -> 200L, "hot_2" -> 200L))
+  }
+
+  test("heavyHitters == direct groupBy/HAVING on mixed-frequency data") {
+    // counts 1..40 per key — threshold cuts mid-distribution
+    val rows = (1 to 40).flatMap(c => Seq.fill(c)(s"k$c"))
+    val df = rows.toDF("k").repartition(5)
+    val support = 0.03 // N=820 → threshold ceil(24.6)=25
+    val got = ext.Profile.heavyHitters(df, "k", support, capacity = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= math.ceil(support * rows.size)).toMap
+    assert(got === want)
+    assert(got.nonEmpty && got.size < 40)
+  }
+
+  test("heavyHitters rejects a capacity too small for the support") {
+    val df = Seq("a", "b").toDF("k")
+    intercept[IllegalArgumentException] {
+      ext.Profile.heavyHitters(df, "k", support = 0.01, capacity = 50)
+    }
+  }
+
+  test("misra_gries resolves in SQL as an aggregate") {
+    functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT misra_gries(k, 4) AS cand FROM VALUES ('a'),('a'),('a'),('b') t(k)")
+      .head().getSeq[String](0)
+    assert(r.contains("a"))
+  }
+
+  // --- random projection --------------------------------------------------------
+
+  test("randomProject: coordinates are the exact plane dot products") {
+    val vec = Array.tabulate(64)(i => (i + 1).toFloat / 64f)
+    val df = Seq((1L, vec)).toDF("vec_id", "embedding")
+    val out = ext.Similarity.randomProject(df, "vec_id", "embedding",
+      dim = 64, outDim = 8, seed = 42L).head().getSeq[Double](1)
+    val planes = ext.Similarity.hyperplanes(64, 8, 42L)
+    val want = planes.map(p =>
+      p.zipWithIndex.foldLeft(0.0) { case (s, (w, i)) =>
+        s + vec(i).toDouble * w })
+    // same fold order, but tolerate the (x*y) vs (y*x) term grouping
+    out.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
+    assert(out.length === 8)
+  }
+
   // --- unicode normalization --------------------------------------------------
 
   test("nfc composes decomposed input; strip_accents folds marks, keeps sharp-s/o-slash") {

@@ -56,16 +56,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(g.nonEmpty)
   }
 
-  test("session windows emit per-user gap sessions") {
+  test("session windows emit per-user gap sessions == batch session_window") {
     val stream = EventStream.readStream(spark, streamDir)
     val q = EventStream.sessionCounts(stream, "30 minutes")
       .writeStream.outputMode("append")
       .format("memory").queryName("session_out").start()
     q.processAllAvailable(); q.stop()
     val out = spark.table("session_out")
-    assert(out.count() > 0)
     assert(out.columns.toSet ==
       Set("session_window", "user_id", "n_events"))
+    // every emitted session must match the batch session_window result
+    // (append mode may withhold sessions still open at the watermark)
+    val got = out.select(col("user_id"), col("session_window.start"),
+        col("session_window.end"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3))).toSet
+    val expect = batchEvents
+      .groupBy(col("user_id"),
+        session_window(col("ts_utc"), "30 minutes").alias("w"))
+      .agg(count(lit(1)).alias("n_events"))
+      .select(col("user_id"), col("w.start"), col("w.end"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3))).toSet
+    assert(got.nonEmpty)
+    assert(got.subsetOf(expect),
+      s"streaming sessions not in batch: ${got.diff(expect).take(3)}")
   }
 
   test("streaming dedup drops replayed event_ids") {

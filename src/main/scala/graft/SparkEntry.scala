@@ -1284,14 +1284,16 @@ object SparkEntry {
           col("n_events"))
     },
 
-    // PIVOT: long → crosstab with an EXPLICIT category list (one
-    // partial-aggregated shuffle — the implicit-values form runs a
-    // distinct-collect job first and is banned at scale); decimal-pinned
-    // sums so cell totals are order-independent
+    // PIVOT: long → crosstab as conditional aggregates over an EXPLICIT
+    // category list — exactly ONE partial-aggregated shuffle (Dataset
+    // .pivot plans two, and its implicit-values form adds a distinct-
+    // collect job); decimal-pinned sums so cell totals are
+    // order-independent
     "q_pivot" -> ((s, dir) => ext.Reshape.pivot(
       read(s, dir, "orders"), Seq("o_orderstatus"), "o_orderpriority",
       Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
-      sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))),
+      col("o_totalprice"),
+      v => sum(v.cast("decimal(18,2)")).cast("double"))),
 
     // UNPIVOT: wide → long melt (narrow per-row expansion, zero shuffle)
     "q_unpivot" -> ((s, dir) => ext.Reshape.unpivot(
@@ -1339,6 +1341,36 @@ object SparkEntry {
       read(s, dir, "documents").select(col("doc_id"), col("source"),
         col("n_chars")),
       "source", "n_chars", "doc_id", 10)),
+
+    // trailing 5-row moving average of event values per user — bounded
+    // frame as a partitioned window, decimal-pinned mean
+    "q_moving_avg" -> { (s, dir) =>
+      ext.TimeSeries.movingAvg(
+        readEvents(s, dir).select(col("user_id"), col("ts_us"),
+          col("event_id"), col("value")),
+        "user_id", "ts_us", "event_id", "value", window = 5)
+    },
+
+    // merge overlapping [lo, hi] intervals per key (gaps-and-islands):
+    // deterministic synthetic intervals derived from orders — ~60% chain
+    // into multi-interval islands
+    "q_interval_merge" -> { (s, dir) =>
+      val iv = read(s, dir, "orders").select(
+        (col("o_custkey") % 50).alias("k"),
+        (col("o_orderkey") % 1000).alias("lo"),
+        (col("o_orderkey") % 1000 + col("o_orderkey") % 7 * 40 + 1).alias("hi"))
+      ext.TimeSeries.mergeIntervals(iv, "k", "lo", "hi")
+    },
+
+    // exact per-label centroids via fixed-point ArraySumAgg (one shuffle
+    // of 64-long states; long sums are associative → partitioning-exact),
+    // exploded to (label, n, j, c) rows
+    "q_centroids" -> { (s, dir) =>
+      ext.Similarity.groupCentroids(read(s, dir, "embeddings"),
+          "label", "embedding")
+        .select(col("label"), col("n"),
+          posexplode(col("centroid")).as(Seq("j", "c")))
+    },
 
     // EXACT heavy hitters via the Misra-Gries sketch superset + candidate
     // recount — the skewed key is derived deterministically (60% of rows
@@ -1660,6 +1692,55 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_rp_reduce" -> rpReduceOracle,
+
+    // trailing moving average: same frame, decimal-pinned sum / count
+    "q_moving_avg" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |                  event_id, value FROM events)
+        |SELECT user_id, ts_us, event_id, value,
+        |       CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER w AS DOUBLE)
+        |         / CAST(COUNT(*) OVER w AS DOUBLE) AS mov_avg
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // island stitching: new island when start exceeds the running max end
+    // of all PRIOR intervals (frame excludes current row)
+    "q_interval_merge" ->
+      """WITH iv AS (SELECT o_custkey % 50 AS k,
+        |                   o_orderkey % 1000 AS lo,
+        |                   o_orderkey % 1000 + o_orderkey % 7 * 40 + 1 AS hi
+        |            FROM orders),
+        |x AS (SELECT k, lo, hi,
+        |             MAX(hi) OVER (PARTITION BY k ORDER BY lo, hi
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |               AS prev_hi
+        |      FROM iv),
+        |g AS (SELECT k, lo, hi,
+        |             SUM(CASE WHEN prev_hi IS NULL OR lo > prev_hi
+        |                      THEN 1 ELSE 0 END)
+        |               OVER (PARTITION BY k ORDER BY lo, hi
+        |                 ROWS UNBOUNDED PRECEDING) AS island
+        |      FROM x)
+        |SELECT k, MIN(lo) AS island_start, MAX(hi) AS island_end,
+        |       COUNT(*) AS n_merged
+        |FROM g GROUP BY k, island""".stripMargin,
+
+    // exact fixed-point centroids: quantize, elementwise HUGEINT sums via
+    // unnest/subscripts, divide back once in double
+    "q_centroids" ->
+      """WITH fx AS (SELECT label, list_transform(embedding,
+        |              x -> CAST(floor(CAST(x AS DOUBLE) * 1000000000.0)
+        |                        AS BIGINT)) AS f
+        |            FROM embeddings),
+        |u AS (SELECT label, generate_subscripts(f, 1) AS j1, unnest(f) AS v
+        |      FROM fx),
+        |s AS (SELECT label, j1, SUM(v) AS sv FROM u GROUP BY label, j1),
+        |n AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)
+        |SELECT s.label, n.n, s.j1 - 1 AS j,
+        |       CAST(sv AS DOUBLE)
+        |         / (1000000000.0 * CAST(n.n AS DOUBLE)) AS c
+        |FROM s JOIN n USING (label)""".stripMargin,
 
     // exact heavy hitters: the sketch is candidacy-only, so the oracle is
     // the direct definitional aggregate with the same derived skewed key

@@ -9,28 +9,33 @@ import org.apache.spark.sql.functions._
   * entity feature shape), UNPIVOT melts a wide table back into the long
   * form every groupBy/join in this engine wants.
   *
-  * Scale shape: pivot with an EXPLICIT category list is one partial-
-  * aggregated hash shuffle on the group keys — identical cost to a plain
-  * groupBy, because each category becomes a conditional aggregate, not a
-  * join. (Spark's `pivot(col)` without values runs a distinct-collect job
-  * first and caps it at `spark.sql.pivotMaxValues` — never do that on a
-  * 100 TB stream; callers here must pass the list.) Unpivot is a narrow
+  * Scale shape: pivot compiles each category to a CONDITIONAL aggregate
+  * (`agg(when(cat = c, v))`) inside one groupBy — exactly ONE
+  * partial-aggregated hash shuffle on the group keys, the same cost as a
+  * plain groupBy (asserted in PlanSpec). This deliberately bypasses
+  * `Dataset.pivot`, which plans TWO aggregations (a (keys, cat)
+  * pre-aggregate, then a pivotfirst regroup — two shuffles), and whose
+  * no-values form additionally runs a distinct-collect job capped by
+  * `spark.sql.pivotMaxValues` — never do that on a 100 TB stream; the
+  * category list here is explicit by construction. Unpivot is a narrow
   * per-row expansion (`×|cols|` rows out, zero shuffle).
   */
 object Reshape {
 
-  /** Crosstab: one row per `groupCols`, one `agg(valueCol)` column per
-    * entry of `categories` (columns named by category value). Categories
-    * are explicit — the 100 TB contract above. Rows whose category is in
-    * no bucket simply contribute nowhere; absent (group, category) cells
-    * are NULL, as in SQL PIVOT.
+  /** Crosstab: one row per `groupCols`, one `agg(valueCol-where-category-
+    * matches)` column per entry of `categories` (columns named by
+    * category value). Rows whose category is in no bucket contribute
+    * nowhere; absent (group, category) cells are NULL, as in SQL PIVOT
+    * (aggregates skip the NULLs the unmatched `when` produces).
     */
   def pivot(df: DataFrame, groupCols: Seq[String], pivotCol: String,
-      categories: Seq[String], valueAgg: Column): DataFrame = {
+      categories: Seq[String], valueCol: Column,
+      agg: Column => Column): DataFrame = {
     require(categories.nonEmpty, "pivot needs an explicit category list")
+    val cells = categories.map(c =>
+      agg(when(col(pivotCol) === lit(c), valueCol)).alias(c))
     df.groupBy(groupCols.map(col): _*)
-      .pivot(pivotCol, categories)
-      .agg(valueAgg)
+      .agg(cells.head, cells.tail: _*)
   }
 
   /** Melt: keep `idCols`, turn each of `valueCols` into a (variable,

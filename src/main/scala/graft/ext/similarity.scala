@@ -99,6 +99,32 @@ object Similarity {
         .alias("projected"))
   }
 
+  /** Exact per-group mean vectors (centroids) — the k-means /
+    * class-prototype step — in ONE hash shuffle of fixed-width states: each
+    * embedding is quantized to fixed-point longs (`floor(x·scale)`;
+    * long addition is associative, so the distributed sum is exact and
+    * partitioning-independent — float accumulation never is), summed
+    * element-wise by the native [[graft.functions.ArraySumAgg]], then
+    * divided back once in double. The explode-reassemble alternative
+    * shuffles dim× the rows (the [[graft.functions.ArrayMinAgg]]
+    * rationale). Quantization bias is ≤ 1/scale per element — at the
+    * default 1e-9, far below float32 input precision. Emits
+    * (groupCol, n, centroid: array<double>).
+    */
+  def groupCentroids(df: DataFrame, groupCol: String, vecCol: String,
+      scale: Double = 1e9): DataFrame = {
+    val fx = transform(col(vecCol),
+      x => floor(x.cast("double") * lit(scale)).cast("long"))
+    df.select(col(groupCol), fx.alias("__fx"))
+      .groupBy(col(groupCol))
+      .agg(graft.functions.ArraySumAgg.column(col("__fx")).alias("__s"),
+        count(lit(1)).alias("n"))
+      .select(col(groupCol), col("n"),
+        transform(col("__s"),
+          s => s.cast("double") / (lit(scale) * col("n").cast("double")))
+          .alias("centroid"))
+  }
+
   /** Sign-LSH bucket id: one bit per hyperplane (dot >= 0). A single native
     * [[graft.functions.SignBuckets]] loop — the per-plane
     * `when(dot >= 0, ...)` chain this replaces inlined one dot-product loop

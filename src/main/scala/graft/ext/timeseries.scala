@@ -55,6 +55,57 @@ object TimeSeries {
     AsOf.joinBackward(grid, obs, key, "grid_ts", "__t", valueCols)
   }
 
+  /** Trailing moving aggregate per key: for each row, the mean of the
+    * last `window` values (current row inclusive) in (timeCol, tieCol)
+    * order — the smoothing/feature primitive next to [[ewma]], but with
+    * a bounded frame, so it IS expressible as a window (`ROWS window-1
+    * PRECEDING`): one hash shuffle on the key, per-group independent
+    * sorts, no global state. The mean is decimal-pinned then divided
+    * once in double — order-independent and engine-exact (the
+    * [[graft.ext.Stats]] discipline). Emits input columns + mov_avg.
+    */
+  def movingAvg(df: DataFrame, key: String, timeCol: String, tieCol: String,
+      valueCol: String, window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 1, "window must be >= 1")
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(timeCol), col(tieCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    df.withColumn("mov_avg",
+      (sum(col(valueCol).cast("decimal(28,6)")).over(w).cast("double") /
+        count(lit(1)).over(w).cast("double")))
+  }
+
+  /** Merge overlapping-or-touching [startCol, endCol] intervals per key —
+    * the gaps-and-islands stitcher (session ranges, availability windows,
+    * maintenance calendars). An interval starts a new island when its
+    * start exceeds the running max end of all earlier intervals; islands
+    * then aggregate to (key, island_start, island_end, n_merged).
+    * Two partitioned windows + one aggregate on (key, island) — per-key
+    * independent work after one hash shuffle.
+    */
+  def mergeIntervals(df: DataFrame, key: String, startCol: String,
+      endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy(col(key))
+      .orderBy(col(startCol), col(endCol))
+    // running max end over all PRIOR intervals (frame excludes current)
+    val prior = order.rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__prev_hi", max(col(endCol)).over(prior))
+      .withColumn("__new",
+        when(col("__prev_hi").isNull ||
+          col(startCol) > col("__prev_hi"), 1L).otherwise(0L))
+      .withColumn("__island",
+        sum(col("__new")).over(
+          order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(key), col("__island"))
+      .agg(min(col(startCol)).alias("island_start"),
+        max(col(endCol)).alias("island_end"),
+        count(lit(1)).alias("n_merged"))
+      .select(col(key), col("island_start"), col("island_end"),
+        col("n_merged"))
+  }
+
   /** Exponentially-weighted moving average per key:
     * `ewma₀ = x₀; ewmaₜ = α·xₜ + (1−α)·ewmaₜ₋₁` in (timeCol, tieCol)
     * order — the smoothing/monitoring primitive. A true sequential

@@ -59,6 +59,10 @@ object GraftFunctions {
       require(args.length == 1, "array_min_agg(arr)")
       ArrayMinAgg(args.head)
     },
+    "array_sum_agg" -> { args =>
+      require(args.length == 1, "array_sum_agg(arr)")
+      ArraySumAgg(args.head)
+    },
     "misra_gries" -> { args =>
       require(args.length == 2, "misra_gries(key, capacity)")
       MisraGriesAgg(args.head, intLit(args(1), "misra_gries", "capacity"))

@@ -178,4 +178,40 @@ class PlanSpec extends AnyFunSuite {
     assert(strictCount === lenientCount,
       s"guard added shuffles: strict=$strictCount lenient=$lenientCount")
   }
+
+  test("scd2 lookupJoin plans an equi join — never nested-loop/cartesian") {
+    val dim = (1 to 200).flatMap(k => Seq(
+      (k.toLong, "OLD", 0L, Option(100L), false),
+      (k.toLong, "NEW", 100L, None: Option[Long], true)))
+      .toDF("k", "seg", "valid_from", "valid_to", "is_current")
+    val facts = (1 to 1000).map(i => (i.toLong, (i % 200 + 1).toLong,
+      (i % 150).toLong)).toDF("fid", "k", "fts")
+    val plan = finalPlan(
+      ext.Scd2.lookupJoin(facts, dim, Seq("k"), "fts", Seq("seg")))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("Join"), plan)
+  }
+
+  test("heavyHitters recount pushes the candidate IN-list to the parquet scan") {
+    val rows = (0 until 300).map(i => s"hot_${i % 2}") ++
+      (0 until 100).map(i => s"cold_$i")
+    rows.toDF("k").write.mode("overwrite").parquet(s"$dir/hh.parquet")
+    val out = ext.Profile.heavyHitters(
+      spark.read.parquet(s"$dir/hh.parquet"), "k",
+      support = 0.1, capacity = 32)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(k"), plan)
+    assert(out.count() === 2)
+  }
+
+  test("pivot with an explicit category list is one shuffle (no distinct job)") {
+    val df = (1 to 1000).map(i => (s"g${i % 7}", s"c${i % 4}", i.toDouble))
+      .toDF("g", "cat", "v")
+    val plan = finalPlan(ext.Reshape.pivot(df, Seq("g"), "cat",
+      Seq("c0", "c1", "c2", "c3"), col("v"),
+      v => sum(v.cast("decimal(18,2)")).cast("double")))
+    val shuffles = "Exchange".r.findAllIn(plan).length
+    assert(shuffles === 1, s"expected one exchange, got $shuffles\n$plan")
+  }
 }

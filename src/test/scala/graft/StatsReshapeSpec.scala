@@ -20,7 +20,7 @@ class StatsReshapeSpec extends AnyFunSuite {
       ("b", "y", 5.0),
     ).toDF("g", "cat", "v")
     val p = ext.Reshape.pivot(df, Seq("g"), "cat", Seq("x", "y", "z"),
-      sum(col("v").cast("decimal(18,2)")).cast("double"))
+      col("v"), v => sum(v.cast("decimal(18,2)")).cast("double"))
     val rows = p.orderBy("g").collect()
     assert(p.columns === Array("g", "x", "y", "z"))
     assert(rows(0) === Row("a", 3.0, 10.0, null))
@@ -30,7 +30,7 @@ class StatsReshapeSpec extends AnyFunSuite {
   test("pivot ignores categories outside the explicit list") {
     val df = Seq(("a", "x", 1.0), ("a", "other", 99.0)).toDF("g", "cat", "v")
     val p = ext.Reshape.pivot(df, Seq("g"), "cat", Seq("x"),
-      sum(col("v").cast("decimal(18,2)")).cast("double"))
+      col("v"), v => sum(v.cast("decimal(18,2)")).cast("double"))
     assert(p.collect() === Array(Row("a", 1.0)))
   }
 
@@ -42,7 +42,7 @@ class StatsReshapeSpec extends AnyFunSuite {
     assert(long.filter(col("id") === 1L && col("m") === "q").head().getDouble(2) === 3.0)
     // melt of a crosstab rebuilds the long form
     val back = ext.Reshape.pivot(long, Seq("id"), "m", Seq("p", "q"),
-      sum(col("v").cast("decimal(18,2)")).cast("double"))
+      col("v"), v => sum(v.cast("decimal(18,2)")).cast("double"))
     assert(back.orderBy("id").collect() ===
       Array(Row(1L, 2.0, 3.0), Row(2L, 4.0, 5.0)))
   }
@@ -139,6 +139,72 @@ class StatsReshapeSpec extends AnyFunSuite {
     assert((1 to 4).forall(i => b(i.toLong) === 1))
     assert((5 to 7).forall(i => b(i.toLong) === 2))
     assert((8 to 10).forall(i => b(i.toLong) === 3))
+  }
+
+  // --- moving average / interval merge -----------------------------------------
+
+  test("movingAvg: trailing mean, short frames at group start, key isolation") {
+    val df = Seq(
+      ("a", 1L, 1L, 10.0), ("a", 2L, 2L, 20.0), ("a", 3L, 3L, 60.0),
+      ("a", 4L, 4L, 20.0),
+      ("b", 1L, 5L, 100.0),
+    ).toDF("k", "t", "tie", "v")
+    val m = ext.TimeSeries.movingAvg(df, "k", "t", "tie", "v", window = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    assert(m(("a", 1L)) === 10.0)
+    assert(m(("a", 2L)) === 15.0)
+    assert(m(("a", 3L)) === 30.0)
+    assert(m(("a", 4L)) === (20.0 + 60.0 + 20.0) / 3.0)  // row 1 left the frame
+    assert(m(("b", 1L)) === 100.0)                        // no cross-key leak
+  }
+
+  test("mergeIntervals: overlap and touch merge, disjoint and nested cases") {
+    val df = Seq(
+      // k1: [1,5] [3,8] overlap → island; [8,10] touches (lo == prev hi) →
+      // same island; [20,22] disjoint
+      (1L, 1L, 5L), (1L, 3L, 8L), (1L, 8L, 10L), (1L, 20L, 22L),
+      // k2: nested [1,100] ⊃ [10,20] → one island
+      (2L, 1L, 100L), (2L, 10L, 20L),
+    ).toDF("k", "lo", "hi")
+    val out = ext.TimeSeries.mergeIntervals(df, "k", "lo", "hi")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out === Set(
+      (1L, 1L, 10L, 3L), (1L, 20L, 22L, 1L),
+      (2L, 1L, 100L, 2L)))
+  }
+
+  // --- centroids ------------------------------------------------------------------
+
+  test("groupCentroids: exact means, partitioning-invariant, mixed length raises") {
+    val df = Seq(
+      (1, Array(1.0f, 2.0f)), (1, Array(3.0f, 6.0f)),
+      (2, Array(-1.0f, 0.5f)),
+    ).toDF("g", "vec")
+    def centroids(d: org.apache.spark.sql.DataFrame) =
+      ext.Similarity.groupCentroids(d, "g", "vec")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2))).toList
+        .sortBy(_._1)
+    val c1 = centroids(df)
+    assert(c1.map(_._1) === List(1, 2))
+    assert(c1.head._2 === 2L)
+    assert(math.abs(c1.head._3.head - 2.0) < 1e-8)   // (1+3)/2
+    assert(math.abs(c1.head._3(1) - 4.0) < 1e-8)     // (2+6)/2
+    assert(math.abs(c1(1)._3.head - (-1.0)) < 1e-8)
+    // associative long sums → identical under any partitioning
+    assert(centroids(df.repartition(7)) === c1)
+    val bad = Seq((1, Array(1.0f)), (1, Array(1.0f, 2.0f))).toDF("g", "vec")
+    intercept[org.apache.spark.SparkException] {
+      ext.Similarity.groupCentroids(bad, "g", "vec").collect()
+    }
+  }
+
+  test("array_sum_agg resolves in SQL") {
+    functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT array_sum_agg(a) FROM VALUES (array(1L, 2L)), (array(10L, 20L)) t(a)")
+      .head().getSeq[Long](0)
+    assert(r === Seq(11L, 22L))
   }
 
   // --- heavy hitters ----------------------------------------------------------

@@ -1342,6 +1342,25 @@ object SparkEntry {
         col("n_chars")),
       "source", "n_chars", "doc_id", 10)),
 
+    // forward as-of join: per event, the EARLIEST signup value at-or-after
+    // its timestamp (next-touch attribution) — the backward machinery on
+    // negated time, vs DuckDB's native forward ASOF JOIN
+    "q_asof_forward" -> { (s, dir) =>
+      val e = readEvents(s, dir)
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts_us"), col("value"))
+      ext.AsOf.joinForward(
+          e.select(col("event_id"), col("user_id"), col("ts_us")),
+          signups, "user_id", "ts_us", "ts_us", Seq("value"))
+        .select(col("event_id"), col("value").alias("next_signup"))
+    },
+
+    // rolling 3-day distinct active users (the DAU/WAU shape) via
+    // contribution explode — two hash shuffles regardless of window width
+    "q_rolling_dau" -> ((s, dir) => ext.TimeSeries.rollingDistinct(
+      readEvents(s, dir).select(col("user_id"), col("ts_us")),
+      "user_id", "ts_us", days = 3)),
+
     // trailing 5-row moving average of event values per user — bounded
     // frame as a partitioned window, decimal-pinned mean
     "q_moving_avg" -> { (s, dir) =>
@@ -1692,6 +1711,27 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_rp_reduce" -> rpReduceOracle,
+
+    // forward as-of vs DuckDB's native ASOF with the inequality flipped
+    "q_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |                  event_type, value FROM events),
+        |sg AS (SELECT user_id, ts_us, value FROM e WHERE event_type = 'signup')
+        |SELECT e.event_id, sg.value AS next_signup
+        |FROM e ASOF LEFT JOIN sg
+        |  ON e.user_id = sg.user_id AND e.ts_us <= sg.ts_us""".stripMargin,
+
+    // rolling distinct actives: dedup to (user, day), explode each pair
+    // into the window ends it serves, exact distinct per end
+    "q_rolling_dau" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+        |                  user_id FROM events),
+        |d AS (SELECT DISTINCT day, user_id FROM e),
+        |c AS (SELECT unnest(range(day, day + 3)) AS w_day, user_id FROM d),
+        |m AS (SELECT MAX(day) AS mx FROM d)
+        |SELECT w_day, COUNT(DISTINCT user_id) AS n_active
+        |FROM c, m WHERE w_day <= mx GROUP BY w_day""".stripMargin,
 
     // trailing moving average: same frame, decimal-pinned sum / count
     "q_moving_avg" ->

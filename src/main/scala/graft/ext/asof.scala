@@ -56,4 +56,23 @@ object AsOf {
       .select(leftCols.map(c => col(s"__lrow.$c").alias(c)) ++
         rightValueCols.map(c => col(s"__carried.$c").alias(c)): _*)
   }
+
+  /** Forward as-of: for each left row, the EARLIEST right row of the same
+    * key with `rightTime >= leftTime` — next-touch attribution ("the
+    * first purchase after this campaign event"). Same single-shuffle
+    * tagged-union machinery, run on negated time: backward-latest over
+    * `-t` IS forward-earliest over `t`, and the side ordering keeps
+    * equal timestamps matching. Times must be within (−2⁶³, 2⁶³) after
+    * the long cast (epoch ticks are), so negation is lossless.
+    */
+  def joinForward(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTime: String, rightTime: String,
+      rightValueCols: Seq[String]): DataFrame = {
+    val negL = "__neg_lt"; val negR = "__neg_rt"
+    val l2 = left.withColumn(negL, -col(leftTime).cast("long"))
+    val r2 = right.withColumn(negR, -col(rightTime).cast("long"))
+    joinBackward(l2, r2, key, negL, negR, rightValueCols)
+      .drop(negL)
+  }
 }

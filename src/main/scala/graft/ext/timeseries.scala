@@ -55,6 +55,34 @@ object TimeSeries {
     AsOf.joinBackward(grid, obs, key, "grid_ts", "__t", valueCols)
   }
 
+  /** Rolling distinct actives (the DAU/WAU/MAU shape): for each day with
+    * data coverage, the number of distinct `idCol` values seen in the
+    * trailing `days`-day window ending that day. Distinct-over-a-sliding-
+    * frame has no window-function form; the distributed shape is
+    * CONTRIBUTION EXPLODE: dedup to (id, day) first (bounds the explode
+    * by actives, not events), emit each pair into the ≤ `days` window
+    * ends it serves, then one exact distinct count per window end — two
+    * hash shuffles regardless of window width. Window ends past the last
+    * active day are trimmed (a 1-row max-day scalar). `timeCol` is epoch
+    * micros. Emits (w_day, n_active), w_day in days since epoch.
+    */
+  def rollingDistinct(df: DataFrame, idCol: String, timeCol: String,
+      days: Int): DataFrame = {
+    require(days >= 1, "days must be >= 1")
+    val perDay = df
+      .select(expr(s"$timeCol div 86400000000").alias("day"),
+        col(idCol).alias("__id"))
+      .distinct()
+    val maxDay = perDay.agg(max(col("day")).alias("__mx"))
+    perDay
+      .select(explode(sequence(col("day"),
+        col("day") + lit(days - 1))).alias("w_day"), col("__id"))
+      .crossJoin(maxDay)
+      .filter(col("w_day") <= col("__mx"))
+      .groupBy(col("w_day"))
+      .agg(countDistinct(col("__id")).alias("n_active"))
+  }
+
   /** Trailing moving aggregate per key: for each row, the mean of the
     * last `window` values (current row inclusive) in (timeCol, tieCol)
     * order — the smoothing/feature primitive next to [[ewma]], but with

@@ -174,6 +174,32 @@ class StatsReshapeSpec extends AnyFunSuite {
       (2L, 1L, 100L, 2L)))
   }
 
+  // --- forward as-of / rolling distinct --------------------------------------------
+
+  test("joinForward: earliest at-or-after match, equality matches, NULL when none") {
+    val left = Seq((1L, "u", 10L), (2L, "u", 50L), (3L, "u", 100L),
+      (4L, "v", 5L)).toDF("id", "k", "t")
+    val right = Seq(("u", 50L, "a"), ("u", 80L, "b")).toDF("k", "t", "payload")
+    val out = ext.AsOf.joinForward(left, right, "k", "t", "t", Seq("payload"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) === "a")    // earliest at-or-after 10 is 50
+    assert(out(2L) === "a")    // equality matches
+    assert(out(3L) === null)   // nothing at-or-after 100 except... 100>80 → null
+    assert(out(4L) === null)   // unknown key
+  }
+
+  test("rollingDistinct: contribution explode counts each id once per window") {
+    // days: u1 on day 0 and 2; u2 on day 0; u3 on day 2
+    val us = 86400000000L
+    val df = Seq(("u1", 0L), ("u1", 10L), ("u1", 2 * us), ("u2", 5L),
+      ("u3", 2 * us + 7L)).toDF("user_id", "ts_us")
+    val out = ext.TimeSeries.rollingDistinct(df, "user_id", "ts_us", days = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // window [d-1, d]: d0 → {u1,u2}=2; d1 → {u1,u2}=2; d2 → {u1,u3}=2;
+    // d3 trimmed (past last active day)
+    assert(out === Map(0L -> 2L, 1L -> 2L, 2L -> 2L))
+  }
+
   // --- centroids ------------------------------------------------------------------
 
   test("groupCentroids: exact means, partitioning-invariant, mixed length raises") {

@@ -1342,6 +1342,21 @@ object SparkEntry {
         col("n_chars")),
       "source", "n_chars", "doc_id", 10)),
 
+    // quality-weighted deterministic sampling: keep probability scales
+    // with doc length (p = min(1, 0.8·n_chars/2000)), decided by the
+    // engine-portable md5 hash — the kept set replays exactly in SQL
+    "q_weighted_sample" -> { (s, dir) =>
+      val d = read(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      ext.Sampling.weightedBernoulli(d, "doc_id",
+        col("n_chars").cast("double") / lit(2000.0) * lit(0.8))
+    },
+
+    // global equi-depth deciles via exact percentile cuts + narrow
+    // comparison chain — never a global sort (the 100 TB form of q_ntile)
+    "q_global_buckets" -> ((s, dir) => ext.Profile.globalBuckets(
+      read(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+      "n_chars", n = 10)),
+
     // forward as-of join: per event, the EARLIEST signup value at-or-after
     // its timestamp (next-touch attribution) — the backward machinery on
     // negated time, vs DuckDB's native forward ASOF JOIN
@@ -1711,6 +1726,30 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_rp_reduce" -> rpReduceOracle,
+
+    // weighted Bernoulli: same clamp, same per-row hex threshold
+    "q_weighted_sample" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |             least(greatest(CAST(n_chars AS DOUBLE) / 2000.0 * 0.8,
+        |                            0.0), 1.0) AS p
+        |           FROM documents)
+        |SELECT doc_id, n_chars FROM d
+        |WHERE p >= 1.0
+        |   OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+        |      < lower(lpad(hex(CAST(floor(p * 4294967296) AS BIGINT)),
+        |                   8, '0'))""".stripMargin,
+
+    // global equi-depth deciles: quantile_cont == Spark exact percentile
+    // bit-for-bit, bucket = 1 + #cuts strictly below the value
+    "q_global_buckets" -> {
+      val cases = (1 to 9).map(i =>
+        s"(CASE WHEN n_chars > cuts[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH c AS (SELECT quantile_cont(n_chars,
+         |             [${(1 to 9).map(i => s"0.$i").mkString(", ")}]) AS cuts
+         |           FROM documents)
+         |SELECT doc_id, n_chars, 1 + $cases AS bucket
+         |FROM documents, c""".stripMargin
+    },
 
     // forward as-of vs DuckDB's native ASOF with the inequality flipped
     "q_asof_forward" ->

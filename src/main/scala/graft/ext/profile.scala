@@ -145,6 +145,29 @@ object Profile {
         .orderBy(col(orderCol), col(tieCol))))
   }
 
+  /** GLOBAL equi-depth buckets — the 100 TB form of [[ntiles]]: instead
+    * of a single-partition global sort, compute the n−1 exact percentile
+    * boundaries (one aggregate; swap `approx_percentile` in for a
+    * cheaper sketch cut at extreme scale), then assign buckets with a
+    * narrow comparison chain — `bucket = 1 + #{cuts strictly below the
+    * value}`. Ties sharing a boundary value land in one bucket (unlike
+    * NTILE's row-split), which is exactly what a reproducible
+    * feature-binning wants. Exact `percentile` == DuckDB `quantile_cont`
+    * bit-for-bit (the q_quality_quantiles contract), so the cut points —
+    * and hence every assignment — are engine-identical. Emits input
+    * columns + `bucket`.
+    */
+  def globalBuckets(df: DataFrame, valueCol: String, n: Int): DataFrame = {
+    require(n >= 2, "n must be >= 2")
+    val fracs = (1 until n).map(i => i.toDouble / n)
+    val cuts = df.agg(expr(
+        s"percentile($valueCol, array(${fracs.mkString(", ")}))").alias("c"))
+      .head().getSeq[Double](0)
+    df.withColumn("bucket", cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(col(valueCol) > lit(c), 1).otherwise(0)
+    })
+  }
+
   /** EXACT heavy hitters at `support` (fraction of rows) without ever
     * shuffling the key's full cardinality: a
     * [[graft.functions.MisraGriesAgg]] sketch pass yields a guaranteed

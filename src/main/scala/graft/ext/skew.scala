@@ -68,6 +68,24 @@ object Sampling {
   def deterministic(df: DataFrame, idCol: String, fraction: Double): DataFrame =
     df.filter(keep(idCol, fraction))
 
+  /** Quality-weighted deterministic Bernoulli: each row keeps with its OWN
+    * probability `p` (any expression over the row — a quality score, a
+    * length prior, an importance weight), decided by the same engine-
+    * portable md5 hash as [[stratified]], so the kept set is reproducible
+    * anywhere: the per-row threshold is
+    * `lower(lpad(hex(floor(clamp(p) · 2³²)), 8, '0'))` compared against
+    * the id-hash prefix. `p` is clamped to [0, 1] (p ≥ 1 keeps
+    * unconditionally — also dodging the 9-hex-digit overflow a raw
+    * `floor(2³²)` would lpad-truncate into nonsense). One narrow filter:
+    * no shuffle, no sort.
+    */
+  def weightedBernoulli(df: DataFrame, idCol: String, p: Column): DataFrame = {
+    val pc = least(greatest(p, lit(0.0)), lit(1.0))
+    df.filter(pc >= 1.0 ||
+      substring(md5(col(idCol).cast("string")), 1, 8) <
+        lower(lpad(hex(floor(pc * lit(4294967296L))), 8, "0")))
+  }
+
   /** Per-stratum deterministic sampling: `fractions` maps stratum value →
     * keep rate (absent strata keep everything). One narrow filter — no
     * shuffle, no sort, reproducible.

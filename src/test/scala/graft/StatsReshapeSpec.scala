@@ -233,6 +233,39 @@ class StatsReshapeSpec extends AnyFunSuite {
     assert(r === Seq(11L, 22L))
   }
 
+  // --- weighted sampling / global buckets -------------------------------------
+
+  test("weightedBernoulli: p>=1 keeps all, p<=0 keeps none, higher p keeps superset") {
+    val df = (1L to 500L).toDF("id")
+    assert(ext.Sampling.weightedBernoulli(df, "id", lit(1.0)).count() === 500)
+    assert(ext.Sampling.weightedBernoulli(df, "id", lit(1.5)).count() === 500)
+    assert(ext.Sampling.weightedBernoulli(df, "id", lit(0.0)).count() === 0)
+    assert(ext.Sampling.weightedBernoulli(df, "id", lit(-0.3)).count() === 0)
+    def ids(p: Double) = ext.Sampling.weightedBernoulli(df, "id", lit(p))
+      .collect().map(_.getLong(0)).toSet
+    val (lo, hi) = (ids(0.3), ids(0.7))
+    assert(lo.subsetOf(hi))                  // monotone in p
+    assert(lo.nonEmpty && hi.size < 500)     // actually selective
+    assert(ids(0.3) === ids(0.3))            // deterministic replay
+  }
+
+  test("globalBuckets: decile cuts on 1..100, boundary ties share a bucket") {
+    val df = (1L to 100L).toDF("v")
+    val b = ext.Profile.globalBuckets(df, "v", 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // exact percentile cuts of 1..100 at 0.1..0.9 → each decile has 10 rows
+    (1 to 10).foreach { d =>
+      val members = b.filter(_._2 == d).keys
+      assert(members.size === 10, s"decile $d: $members")
+    }
+    assert(b(1L) === 1 && b(100L) === 10)
+    // equal values always map to one bucket (unlike NTILE's row split)
+    val ties = Seq.fill(50)(5L) ++ Seq.fill(50)(9L)
+    val tb = ext.Profile.globalBuckets(ties.toDF("v"), "v", 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(tb.size === 2)                    // exactly one bucket per value
+  }
+
   // --- heavy hitters ----------------------------------------------------------
 
   test("heavyHitters: exact result under heavy skew, eviction exercised") {

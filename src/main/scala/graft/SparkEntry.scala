@@ -1342,6 +1342,12 @@ object SparkEntry {
         col("n_chars")),
       "source", "n_chars", "doc_id", 10)),
 
+    // contrastive negative pairs: k partners per anchor by modular stride
+    // over the dense id rank — pure arithmetic, no RNG; cosine annotation
+    // for hard-negative filtering
+    "q_negative_pairs" -> ((s, dir) => ext.Similarity.negativePairs(
+      read(s, dir, "embeddings"), "vec_id", "embedding", k = 4)),
+
     // quality-weighted deterministic sampling: keep probability scales
     // with doc length (p = min(1, 0.8·n_chars/2000)), decided by the
     // engine-portable md5 hash — the kept set replays exactly in SQL
@@ -1726,6 +1732,25 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_rp_reduce" -> rpReduceOracle,
+
+    // negative pairs: dense rank via row_number, same modular stride,
+    // cosine rounded 4 (list_dot_product accumulation-order convention)
+    "q_negative_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |                  row_number() OVER (ORDER BY vec_id) - 1 AS idx
+        |           FROM embeddings),
+        |cnt AS (SELECT COUNT(*) AS n FROM e),
+        |st AS (SELECT greatest(1, n // 5) AS step, n FROM cnt),
+        |a AS (SELECT e.vec_id AS a_id, e.v AS va,
+        |             (e.idx + r.r * st.step) % st.n AS pidx
+        |      FROM e CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS r) r
+        |      CROSS JOIN st)
+        |SELECT a.a_id, p.vec_id AS b_id,
+        |       round(list_dot_product(a.va, p.v)
+        |             / (sqrt(list_dot_product(a.va, a.va))
+        |                * sqrt(list_dot_product(p.v, p.v))), 4) AS cosine
+        |FROM a JOIN e p ON p.idx = a.pidx
+        |WHERE a.a_id <> p.vec_id""".stripMargin,
 
     // weighted Bernoulli: same clamp, same per-row hex threshold
     "q_weighted_sample" ->

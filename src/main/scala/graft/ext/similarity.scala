@@ -125,6 +125,50 @@ object Similarity {
           .alias("centroid"))
   }
 
+  /** Deterministic negative-pair generation for contrastive training:
+    * each anchor draws `k` partners by modular stride over the DENSE rank
+    * of the id domain — `partner(idx, r) = (idx + (r+1)·step) mod n` with
+    * `step = max(1, n div (k+1))`, so partners are spread across the
+    * corpus, never the anchor itself (for n > k+1), and the pair set is
+    * pure arithmetic: reproducible in any engine, no RNG state. Emits
+    * (a_id, b_id, cosine) — the cosine annotation lets the trainer filter
+    * accidental positives (hard-negative mining keeps the high-cosine
+    * tail instead).
+    *
+    * Scale shape: the dense rank comes from sorted-RDD `zipWithIndex`
+    * (the [[graft.ext.TextOps.vocabulary]] discipline — no global
+    * window, no driver collect); pair generation is a narrow explode of
+    * k rows per anchor; resolving partner vectors is ONE equi-join on
+    * the dense index (AQE picks the strategy). Total: one sort + one
+    * join, k·n output rows.
+    */
+  def negativePairs(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, "k in [1, 64]")
+    val spark = df.sparkSession
+    val sorted = df.select(col(idCol), col(vecCol)).orderBy(col(idCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField("__idx",
+          org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema)
+    val n = indexed.count()
+    val step = math.max(1L, n / (k + 1))
+    val anchors = indexed.select(col(idCol).alias("a_id"),
+      col(vecCol).alias("__va"),
+      explode(array((1 to k).map(r =>
+        (col("__idx") + lit(r * step)) % lit(n)): _*)).alias("__pidx"))
+    val partners = indexed.select(col("__idx").alias("__pidx"),
+      col(idCol).alias("b_id"), col(vecCol).alias("__vb"))
+    anchors.join(partners, "__pidx")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(cosine(col("__va"), col("__vb")), 4).alias("cosine"))
+  }
+
   /** Sign-LSH bucket id: one bit per hyperplane (dot >= 0). A single native
     * [[graft.functions.SignBuckets]] loop — the per-plane
     * `when(dot >= 0, ...)` chain this replaces inlined one dot-product loop

@@ -307,6 +307,22 @@ class StatsReshapeSpec extends AnyFunSuite {
     assert(r.contains("a"))
   }
 
+  test("negativePairs: k per anchor, no self-pairs, deterministic, spread") {
+    val df = (0L until 20L).map(i =>
+      (i * 3, Array.tabulate(4)(j => (i + j).toFloat))).toDF("id", "vec")
+    val out = ext.Similarity.negativePairs(df, "id", "vec", k = 3)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === 60)                        // k per anchor
+    assert(rows.forall { case (a, b) => a != b })     // never self
+    assert(rows.groupBy(_._1).forall(_._2.length == 3))
+    // stride spread: each anchor's partners are distinct
+    assert(rows.groupBy(_._1).forall { case (_, ps) =>
+      ps.map(_._2).distinct.length == 3 })
+    // deterministic replay
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      rows.toSet)
+  }
+
   // --- random projection --------------------------------------------------------
 
   test("randomProject: coordinates are the exact plane dot products") {

@@ -140,6 +140,35 @@ object NativeProps extends Properties("natives") {
       uf == want && loop == want && capped == want
     }
 
+  // pure-JVM drive of the MisraGries aggregate through its real
+  // update/serialize/deserialize/merge surface: for ANY stream, ANY
+  // partition split, and ANY capacity, the merged summary must contain
+  // every item whose true count exceeds N/(capacity+1) — the superset
+  // guarantee Profile.heavyHitters' exactness rests on
+  propertyWithSeed("MisraGries merged summary ⊇ items above N/(k+1)", None) =
+    forAll(
+      Gen.listOf(Gen.choose(0, 25).map(i => s"k$i")),
+      Gen.choose(2, 12), Gen.choose(1, 6)) { (items, cap, nparts) =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.catalyst.expressions.BoundReference
+      import org.apache.spark.sql.types.StringType
+      import org.apache.spark.unsafe.types.UTF8String
+      val agg = functions.MisraGriesAgg(
+        BoundReference(0, StringType, nullable = true), cap)
+      val chunk = math.max(1, items.size / nparts + 1)
+      val parts = items.grouped(chunk).toList
+      val merged = parts
+        .map(_.foldLeft(agg.createAggregationBuffer()) { (b, s) =>
+          agg.update(b, InternalRow(UTF8String.fromString(s)))
+        })
+        .map(b => agg.deserialize(agg.serialize(b))) // wire round-trip
+        .foldLeft(agg.createAggregationBuffer())(agg.merge)
+      val counts = items.groupBy(identity).view.mapValues(_.size).toMap
+      val thresh = items.size.toDouble / (cap + 1)
+      counts.forall { case (k, c) => c <= thresh || merged.contains(k) } &&
+        merged.size <= cap
+    }
+
   override def overrideParameters(p: org.scalacheck.Test.Parameters) =
     p.withMinSuccessfulTests(10) // each cluster sample runs Spark jobs
 }

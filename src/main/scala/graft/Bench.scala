@@ -54,10 +54,19 @@ object Bench {
       val (a, b) = (run(name), run(name))
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver keeps only the LAST ~2000 chars of output; a 140-query
+    // map overflows that window. Emit queries sorted ASCENDING by time so
+    // truncation can only cut the cheapest entries, round to ms to shrink
+    // the line, and put the summary fields AFTER the map so total/failed
+    // always survive the tail capture.
+    val qs = results.sortBy(_._2)
+      .map { case (k, v) =>
+        "\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.3f") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    println(s"""{"queries":$qs,"n":${results.length},"failed":$failed,"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,109 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Element-wise SUM of `array<bigint>` values per group — the vector
+  * accumulator next to [[ArrayMinAgg]]: one fixed-width partial state per
+  * group per partition (dim longs), where the explode-reassemble
+  * alternative shuffles dim× the rows and needs a second aggregation.
+  *
+  * The motivating use is centroid/mean-vector computation
+  * ([[graft.ext.Similarity.groupCentroids]]): embeddings are quantized to
+  * FIXED-POINT longs first (`floor(x · scale)`), because long addition is
+  * associative — the sum is exact and identical under any partitioning or
+  * merge order, which float addition can never guarantee. Integer sums of
+  * quantized embeddings fit comfortably: |x| ≤ 1e3 at scale 1e9 is ~2^50
+  * per element, 2^63 allows 8k-row groups at that extreme; overflow
+  * raises (`Math.addExact`) rather than wrapping silently.
+  *
+  * Null input arrays are skipped; an empty group yields NULL; mixed
+  * lengths raise.
+  */
+case class ArraySumAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"array_sum_agg requires ARRAY<BIGINT>, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = null
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val arr = v.asInstanceOf[ArrayData].toLongArray()
+    if (buffer == null) return arr
+    if (buffer.length != arr.length)
+      throw new IllegalArgumentException(
+        s"array_sum_agg: mixed array lengths ${buffer.length} vs ${arr.length}")
+    var i = 0
+    while (i < buffer.length) {
+      buffer(i) = Math.addExact(buffer(i), arr(i))
+      i += 1
+    }
+    buffer
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    if (b1 == null) return b2
+    if (b2 == null) return b1
+    if (b1.length != b2.length)
+      throw new IllegalArgumentException(
+        s"array_sum_agg: mixed array lengths ${b1.length} vs ${b2.length}")
+    var i = 0
+    while (i < b1.length) {
+      b1(i) = Math.addExact(b1(i), b2(i))
+      i += 1
+    }
+    b1
+  }
+
+  override def eval(buffer: Array[Long]): Any =
+    if (buffer == null) null else new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    if (buffer == null) return Array.emptyByteArray
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    if (bytes.isEmpty) return null
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): ArraySumAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): ArraySumAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ArraySumAgg =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "array_sum_agg"
+}
+
+object ArraySumAgg {
+  def column(values: Column): Column =
+    Bridge.column(ArraySumAgg(Bridge.expression(values)).toAggregateExpression())
+}

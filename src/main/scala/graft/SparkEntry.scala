@@ -1451,7 +1451,74 @@ object SparkEntry {
         functions.UnicodeNorm.stripAccentsColumn(
           functions.UnicodeNorm.nfcColumn(injected)).alias("ascii_fold"))
     },
+
+    // URL canonicalization: deliberately messy synthetic URLs (mixed-case
+    // scheme/host, default port, tracking params, unsorted query params,
+    // fragment) — normalizeUrl must produce the byte-exact canonical form
+    // the oracle rebuilds from the same regex contract
+    "q_url_normalize" -> { (s, dir) =>
+      read(s, dir, "documents").select(col("doc_id"), messyUrl.alias("url"))
+        .select(col("doc_id"),
+          ext.Web.normalizeUrl(col("url")).alias("url_norm"),
+          ext.Web.registeredDomain(ext.Web.host(col("url"))).alias("domain"))
+    },
+
+    // per-registered-domain corpus profile after blocklist filtering:
+    // 40 domains (20 sources × 2 TLDs, multi-part co.uk among them),
+    // two blocked — count/chars/distinct-langs per survivor
+    "q_domain_stats" -> { (s, dir) =>
+      val docs = read(s, dir, "documents").withColumn("url", messyUrl)
+      ext.Web.domainStats(
+        ext.Web.filterBlockedDomains(docs, "url", Seq("src0.com", "src1.co.uk")),
+        "url", "n_chars", "lang")
+    },
+
+    // greedy token-budget selection: best docs per source by length until
+    // the running char total passes 2000 — one per-group window cumsum
+    "q_token_budget" -> ((s, dir) => ext.Sampling.selectByBudget(
+      read(s, dir, "documents").select("doc_id", "source", "n_chars"),
+      "source", "n_chars", "n_chars", "doc_id", budget = 2000L)),
+
+    // rolling z-score anomaly flags per user (trailing 6-row frame,
+    // decimal-pinned Σx/Σx² so the doubles hash-match the oracle)
+    "q_rolling_zscore" -> { (s, dir) =>
+      ext.TimeSeries.rollingZScore(
+        readEvents(s, dir).select(col("user_id"), col("ts_us"),
+          col("event_id"), col("value")),
+        "user_id", "ts_us", "event_id", "value",
+        window = 6, threshold = 2.0, minN = 5)
+    },
+
+    // lexicon topic tagging: sorted tag list per doc from token-set
+    // probes against literal keyword arrays — map-only, no shuffle
+    "q_topic_tags" -> ((s, dir) => read(s, dir, "documents").select(
+      col("doc_id"),
+      array_join(ext.TextOps.topicTags(col("text"), topicLexicon), ",")
+        .alias("topics"))),
   )
+
+  /** Deterministic messy-URL builder for the `q_url_*`/`q_domain_stats`
+    * queries: scheme/host case noise, default port, tracking params,
+    * unsorted query, fragment — every normalization rule gets exercised.
+    * The oracle rebuilds the same string in SQL.
+    */
+  private def messyUrl: org.apache.spark.sql.Column = concat(
+    when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.")).otherwise(lit("http://")),
+    col("source"),
+    when(col("doc_id") % 3 === 0, lit(".CO.UK")).otherwise(lit(".com")),
+    when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit("")),
+    lit("/page/"), col("doc_id").cast("string"),
+    lit("?utm_source=feed&b=2&ref=x&a=1"),
+    when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+
+  /** Keyword lexicon for `q_topic_tags` — drawn from the synthetic
+    * documents vocabulary so every topic actually fires on some docs.
+    */
+  private val topicLexicon: Map[String, Seq[String]] = Map(
+    "vectors" -> Seq("vector", "embedding"),
+    "streaming" -> Seq("stream", "watermark"),
+    "relational" -> Seq("join", "filter", "group"),
+    "perf" -> Seq("slow", "fast"))
 
   /** Generated DuckDB oracle for q_knn_lsh: the hyperplanes are seeded
     * constants (hyperplanes(64, 6, 42 + t*7919) for t in 0..7), so the SQL
@@ -3661,7 +3728,128 @@ object SparkEntry {
         |  nfc_normalize('$normalizeProbe' || text) AS nfc,
         |  strip_accents(nfc_normalize('$normalizeProbe' || text)) AS ascii_fold
         |FROM documents""".stripMargin,
+
+    // URL canonicalization: the same regex contract replayed in SQL —
+    // scheme/host lowercase, www strip, default-port drop, tracking-param
+    // removal + bytewise param sort, fragment drop
+    "q_url_normalize" ->
+      s"""WITH u AS (SELECT doc_id, $messyUrlSql AS url FROM documents),
+        |p AS (SELECT doc_id,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+        |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS h0,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)', 1) AS pt,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+        |  regexp_extract(url, '\\?([^#]*)', 1) AS q
+        |  FROM u),
+        |n AS (SELECT doc_id, sch, h0,
+        |  regexp_replace(h0, '^www\\.', '') AS h,
+        |  CASE WHEN pt <> '' AND NOT ((sch = 'https' AND pt = '443')
+        |         OR (sch = 'http' AND pt = '80'))
+        |       THEN ':' || pt ELSE '' END AS portseg,
+        |  CASE WHEN pth = '' THEN '/' ELSE pth END AS pthn,
+        |  array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |    x -> x <> '' AND NOT starts_with(x, 'utm_')
+        |         AND NOT starts_with(x, 'fbclid=')
+        |         AND NOT starts_with(x, 'gclid=')
+        |         AND NOT starts_with(x, 'msclkid=')
+        |         AND NOT starts_with(x, 'ref='))), '&') AS qs
+        |  FROM p)
+        |SELECT doc_id,
+        |  sch || '://' || h || portseg || pthn ||
+        |    CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url_norm,
+        |  $domainSql AS domain
+        |FROM n""".stripMargin,
+
+    // per-domain profile after blocklist: same registered-domain rule,
+    // blocked domains dropped before the aggregate
+    "q_domain_stats" ->
+      s"""WITH u AS (SELECT doc_id, n_chars, lang, $messyUrlSql AS url
+        |           FROM documents),
+        |n AS (SELECT doc_id, n_chars, lang,
+        |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS h0
+        |  FROM u),
+        |d AS (SELECT doc_id, n_chars, lang, $domainSql AS domain FROM n)
+        |SELECT domain, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       count(DISTINCT lang) AS n_langs
+        |FROM d WHERE domain NOT IN ('src0.com', 'src1.co.uk')
+        |GROUP BY domain""".stripMargin,
+
+    // greedy budget selection: running cumsum per source, prefix <= 2000
+    "q_token_budget" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |  CAST(sum(n_chars) OVER (PARTITION BY source
+        |    ORDER BY n_chars DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cost
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, running_cost
+        |FROM r WHERE running_cost <= 2000""".stripMargin,
+
+    // rolling z-score: decimal-pinned frame sums, then the identical IEEE
+    // double sequence — bit-exact across engines
+    "q_rolling_zscore" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+        |           FROM events),
+        |w AS (SELECT event_id, user_id, ts_us, value,
+        |  CAST(count(*) OVER win AS DOUBLE) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(28,6))) OVER win AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(value * value AS DECIMAL(28,6))) OVER win AS DOUBLE) AS sxx
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                 ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),
+        |z AS (SELECT event_id, user_id, ts_us, value, n,
+        |  sqrt(greatest(sxx - sx * sx / n, 0.0) / (n - 1.0)) AS std,
+        |  sx / n AS mean
+        |  FROM w)
+        |SELECT event_id, user_id, ts_us, value,
+        |  CASE WHEN n >= 5 AND std > 0.0 THEN (value - mean) / std END AS z,
+        |  coalesce(CASE WHEN n >= 5 AND std > 0.0
+        |                THEN abs((value - mean) / std) > 2.0 END,
+        |           false) AS is_outlier
+        |FROM z""".stripMargin,
+
+    // lexicon tagging: token-set probes per topic, tags sorted + joined
+    "q_topic_tags" ->
+      """SELECT doc_id, coalesce(array_to_string(list_sort(list_filter([
+        |  CASE WHEN list_has_any(string_split(text, ' '),
+        |    ['vector', 'embedding']) THEN 'vectors' END,
+        |  CASE WHEN list_has_any(string_split(text, ' '),
+        |    ['stream', 'watermark']) THEN 'streaming' END,
+        |  CASE WHEN list_has_any(string_split(text, ' '),
+        |    ['join', 'filter', 'group']) THEN 'relational' END,
+        |  CASE WHEN list_has_any(string_split(text, ' '),
+        |    ['slow', 'fast']) THEN 'perf' END],
+        |  x -> x IS NOT NULL)), ','), '') AS topics
+        |FROM documents""".stripMargin,
   )
+
+  /** The `messyUrl` builder rendered as DuckDB SQL — shared by the two
+    * URL oracles so the Spark and SQL sides construct identical bytes.
+    */
+  private def messyUrlSql: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.' ELSE 'http://' END ||
+      | source ||
+      | CASE WHEN doc_id % 3 = 0 THEN '.CO.UK' ELSE '.com' END ||
+      | CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+      | '/page/' || CAST(doc_id AS VARCHAR) ||
+      | '?utm_source=feed&b=2&ref=x&a=1' ||
+      | CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"""
+      .stripMargin.replace("\n", "")
+
+  /** Registered-domain rule rendered as DuckDB SQL over a lowercased host
+    * column `h0` (multi-part public suffixes = [[ext.Web.MultiPartTlds]]).
+    */
+  private def domainSql: String = {
+    val tlds = ext.Web.MultiPartTlds.map(t => s"'$t'").mkString(", ")
+    s"""(CASE WHEN len(string_split(h0, '.')) <= 2 THEN h0
+       | WHEN (string_split(h0, '.')[-2] || '.' || string_split(h0, '.')[-1])
+       |        IN ($tlds)
+       | THEN string_split(h0, '.')[-3] || '.' ||
+       |      string_split(h0, '.')[-2] || '.' || string_split(h0, '.')[-1]
+       | ELSE string_split(h0, '.')[-2] || '.' || string_split(h0, '.')[-1]
+       | END)""".stripMargin.replace("\n", "")
+  }
 }
 
 /** Stopword IN-lists rendered for the DuckDB oracle SQL. */

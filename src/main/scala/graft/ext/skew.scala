@@ -203,6 +203,32 @@ object Sampling {
     graft.plans.TopKPerGroup(
       df.withColumn("__h", md5(col(idCol).cast("string"))),
       groupCol, "__h", idCol, n).drop("__h")
+
+  /** Budgeted GREEDY selection per group: take rows in (`scoreCol` desc,
+    * `idCol` asc) order while the running total of `costCol` (tokens,
+    * bytes, …) stays within `budget` — "the best docs from each source up
+    * to N tokens", the quality-budget counterpart of [[topKPerGroup]]'s
+    * count budget. A row whose cost would push the running total past the
+    * budget is dropped, and so is everything ranked below it (prefix
+    * semantics — deterministic and engine-replayable, unlike "skip and
+    * keep trying", which would make every row's fate depend on all
+    * earlier drops).
+    *
+    * One window cumulative sum per group (`ROWS UNBOUNDED PRECEDING`):
+    * hash shuffle on the group key, per-group independent sort, exact
+    * integer arithmetic — no collect, no global sort.
+    */
+  def selectByBudget(df: DataFrame, groupCol: String, costCol: String,
+      scoreCol: String, idCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(costCol).cast("long")).over(w))
+      .filter(col("__cum") <= budget)
+      .withColumn("running_cost", col("__cum")).drop("__cum")
+  }
 }
 
 /** Cardinality sketches: exact distinct as the oracle-checkable baseline,

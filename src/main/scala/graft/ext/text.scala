@@ -580,4 +580,27 @@ object TextOps {
     */
   def lmScoreSelf(df: DataFrame, idCol: String, textCol: String): DataFrame =
     lmScore(df, idCol, textCol, lmBigramModel(df, textCol))
+
+  /** Topic tagging by keyword lexicon: `topics` maps a tag to its keyword
+    * list; a document gets every tag whose lexicon intersects its token
+    * set, as a SORTED `array<string>` (deterministic regardless of map
+    * iteration or match order). The domain-mixing labeler: tag docs by
+    * cheap lexicons, then [[graft.ext.Sampling.mixture]] balances the
+    * tagged slices.
+    *
+    * Pure narrow row-local math — the token array is built once per row
+    * and each topic is one `arrays_overlap` probe against a literal array
+    * (Catalyst folds it to a hash-set membership check). No explode, no
+    * join, no shuffle: at 100 TB this is a map-only pass, and adding a
+    * topic adds one probe, not a corpus scan.
+    */
+  def topicTags(text: Column, topics: Map[String, Seq[String]]): Column = {
+    require(topics.nonEmpty && topics.values.forall(_.nonEmpty),
+      "topics must map each tag to a non-empty keyword list")
+    val toks = tokens(text)
+    val hits = topics.toSeq.sortBy(_._1).map { case (tag, kws) =>
+      when(arrays_overlap(toks, lit(kws.toArray)), tag)
+    }
+    array_sort(filter(array(hits: _*), t => t.isNotNull))
+  }
 }

@@ -174,4 +174,47 @@ object TimeSeries {
       }
     }(Encoders.row(schema))
   }
+
+  /** Rolling z-score anomaly detection per key: each value scored against
+    * the mean/stddev of its trailing `window`-row frame (frame INCLUDES
+    * the current row — the monitoring convention that still flags a
+    * single wild spike, since one outlier inflates the frame's std less
+    * than it shifts its own distance). Emits `z` and `is_outlier`
+    * (|z| > `threshold`, only once the frame holds `minN` rows —
+    * cold-start rows are never flagged).
+    *
+    * Engine-exact discipline (the [[graft.ext.Stats]] contract): the
+    * frame's Σx and Σx² are decimal-pinned (order-independent exact
+    * sums), the final mean/variance/sqrt are a fixed sequence of IEEE
+    * double ops — so two engines replaying the formula agree bit-for-bit
+    * and the oracle can hash-match doubles. One window per key: hash
+    * shuffle on the key, per-group independent sort, O(1) state per row —
+    * no global sort, no collect, scale-independent.
+    */
+  def rollingZScore(df: DataFrame, key: String, timeCol: String,
+      tieCol: String, valueCol: String, window: Int,
+      threshold: Double = 3.0, minN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(window >= 2 && minN >= 2 && minN <= window,
+      "need window >= 2 and 2 <= minN <= window")
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(timeCol), col(tieCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val x = col(valueCol).cast("double")
+    val n = count(lit(1)).over(w).cast("double")
+    val sx = sum(x.cast("decimal(28,6)")).over(w).cast("double")
+    val sxx = sum((x * x).cast("decimal(28,6)")).over(w).cast("double")
+    val mean = sx / n
+    val m2 = greatest(sxx - sx * sx / n, lit(0.0))
+    // guarded: a 1-row frame would divide by zero under ANSI mode (minN
+    // >= 2 means such rows never score anyway)
+    val std = when(n > 1.0, sqrt(m2 / (n - lit(1.0))))
+    df.withColumn("__n", n).withColumn("__mean", mean).withColumn("__std", std)
+      .withColumn("z",
+        when(col("__n") >= minN && col("__std") > 0.0,
+          (x - col("__mean")) / col("__std")))
+      .withColumn("is_outlier",
+        coalesce(abs(col("z")) > threshold, lit(false)))
+      .drop("__n", "__mean", "__std")
+  }
 }

@@ -1,0 +1,121 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Web-corpus URL curation: normalization, registered-domain extraction,
+  * per-domain statistics, and domain blocklist filtering — the steps
+  * between "crawl dump" and "dedup-able corpus" (URL canonicalization is
+  * the cheapest dedup signal a web pipeline has; runs before any content
+  * hashing).
+  *
+  * Everything is built from codegen'd builtins (`regexp_extract`, array
+  * `filter`/`array_sort`/`array_join`) — narrow per-row math, no UDFs, no
+  * shuffle until the explicit per-domain aggregation. Every step is
+  * replayable in ANSI-ish SQL (the DuckDB oracles repeat the exact
+  * regexes), so normalization is an engine-portable contract, not an
+  * implementation detail: two engines curating the same crawl agree on
+  * canonical URLs byte-for-byte.
+  */
+object Web {
+
+  /** Query parameters dropped by [[normalizeUrl]]: click-tracking noise
+    * that makes identical pages look distinct. Prefix match for `utm_`
+    * (the whole namespace), exact match otherwise.
+    */
+  val TrackingParams: Seq[String] = Seq("fbclid", "gclid", "msclkid", "ref")
+
+  private val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  private val hostRe   = "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)"
+  private val portRe   = "^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]+:([0-9]+)"
+  private val pathRe   = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+  private val queryRe  = "\\?([^#]*)"
+
+  def scheme(url: Column): Column = lower(regexp_extract(url, schemeRe, 1))
+  def host(url: Column): Column   = lower(regexp_extract(url, hostRe, 1))
+  def port(url: Column): Column   = regexp_extract(url, portRe, 1)
+  def path(url: Column): Column   = regexp_extract(url, pathRe, 1)
+  def query(url: Column): Column  = regexp_extract(url, queryRe, 1)
+
+  /** Canonical URL:
+    *   - scheme and host lowercased; a leading `www.` dropped from host
+    *   - default ports dropped (`:443` for https, `:80` for http); any
+    *     other explicit port kept
+    *   - empty path → `/`
+    *   - query params: tracking params removed ([[TrackingParams]] exact,
+    *     `utm_*` by prefix), the rest SORTED bytewise — param order never
+    *     distinguishes two URLs — and re-joined with `&`; empty result
+    *     drops the `?` entirely
+    *   - fragment always dropped (never sent to the server)
+    *
+    * One narrow projection. The param sort is over a per-row array of a
+    * handful of elements — constant work per row, embarrassingly parallel
+    * at any scale.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val sch = scheme(url)
+    val h = regexp_replace(host(url), "^www\\.", "")
+    val p0 = port(url)
+    val keepPort = p0 =!= "" &&
+      !((sch === "https" && p0 === "443") || (sch === "http" && p0 === "80"))
+    val pth = when(path(url) === "", "/").otherwise(path(url))
+    val q0 = query(url)
+    val kept = array_sort(filter(split(q0, "&"), p =>
+      p =!= "" && !p.startsWith("utm_") &&
+        !TrackingParams.map(t => p.startsWith(t + "=")).reduce(_ || _)))
+    val qs = array_join(kept, "&")
+    concat(sch, lit("://"), h,
+      when(keepPort, concat(lit(":"), p0)).otherwise(lit("")),
+      pth,
+      when(qs === "", lit("")).otherwise(concat(lit("?"), qs)))
+  }
+
+  /** Multi-part public suffixes the registered-domain rule must know
+    * about: `example.co.uk`'s registrable domain is `example.co.uk`, not
+    * `co.uk`. A handful of common entries — the real public-suffix list
+    * is a data file a production deployment would load the same way
+    * (broadcast literal set; the lookup stays a narrow row-local check).
+    */
+  val MultiPartTlds: Seq[String] = Seq(
+    "co.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "com.br", "co.in", "co.nz", "com.cn")
+
+  /** Registrable domain of a (already lowercased) host: the last two
+    * labels, or the last three when the last two form a known multi-part
+    * public suffix. IPs and single-label hosts pass through unchanged.
+    */
+  def registeredDomain(hostCol: Column): Column = {
+    val labels = split(hostCol, "\\.")
+    val n = size(labels)
+    val lastTwo = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val lastThree = concat_ws(".",
+      element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
+    when(n <= 2, hostCol)
+      .when(lastTwo.isInCollection(MultiPartTlds), lastThree)
+      .otherwise(lastTwo)
+  }
+
+  /** Per-registered-domain corpus profile: doc count, total chars,
+    * distinct languages — the table a curation run ranks to decide which
+    * domains to keep, cap, or crawl deeper. One hash aggregation on the
+    * domain key (the natural partitioning for every later per-domain
+    * decision); count_distinct over the tiny lang set is exact.
+    */
+  def domainStats(df: DataFrame, urlCol: String, charsCol: String,
+      langCol: String): DataFrame =
+    df.withColumn("domain", registeredDomain(host(col(urlCol))))
+      .groupBy("domain")
+      .agg(count(lit(1)).alias("n_docs"),
+        sum(col(charsCol)).alias("total_chars"),
+        countDistinct(col(langCol)).alias("n_langs"))
+
+  /** Drop rows whose registered domain is on a blocklist. The list is a
+    * driver-side literal (blocklists are thousands of entries, never
+    * data-scale) compiled into an `IN` filter — Catalyst folds it to a
+    * hash-set probe per row; no join, no shuffle, pushes down to the scan
+    * when the domain is a stored column.
+    */
+  def filterBlockedDomains(df: DataFrame, urlCol: String,
+      blocked: Seq[String]): DataFrame =
+    df.filter(!registeredDomain(host(col(urlCol))).isInCollection(blocked))
+}

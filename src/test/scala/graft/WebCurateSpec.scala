@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit laws for the web-curation / selection / anomaly additions:
+  * URL normalization, registered domains, domain blocklists, greedy
+  * budget selection, rolling z-score, and lexicon topic tagging.
+  */
+class WebCurateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def norm(url: String): String =
+    Seq(url).toDF("u").select(ext.Web.normalizeUrl(col("u"))).head.getString(0)
+
+  // --- URL normalization --------------------------------------------------
+
+  test("normalizeUrl: lowercase, www strip, default port drop, param sort, fragment drop") {
+    assert(norm("HTTPS://WWW.Example.COM:443/Page?b=2&utm_source=x&a=1#frag")
+      === "https://example.com/Page?a=1&b=2")
+  }
+
+  test("normalizeUrl keeps non-default ports and http:80 drops") {
+    assert(norm("http://host.com:8080/x") === "http://host.com:8080/x")
+    assert(norm("http://host.com:80/x") === "http://host.com/x")
+    assert(norm("https://host.com:80/x") === "https://host.com:80/x")
+  }
+
+  test("normalizeUrl: empty path becomes /, tracking params removed exactly") {
+    assert(norm("https://h.com?ref=a&refx=1&fbclid=z") === "https://h.com/?refx=1")
+    assert(norm("https://h.com/p?utm_campaign=1&utm_x=2") === "https://h.com/p")
+  }
+
+  test("normalizeUrl is idempotent") {
+    val once = norm("HTTP://WWW.A.B.Example.ORG:80/q?z=1&y=2#f")
+    assert(norm(once) === once)
+  }
+
+  // --- Registered domain --------------------------------------------------
+
+  test("registeredDomain: plain, multi-part suffix, short hosts") {
+    val got = Seq("www.example.com", "a.b.example.co.uk", "example.com",
+        "localhost", "co.uk")
+      .toDF("h").select(ext.Web.registeredDomain(col("h"))).as[String].collect()
+    assert(got === Seq("example.com", "example.co.uk", "example.com",
+      "localhost", "co.uk"))
+  }
+
+  test("filterBlockedDomains drops exactly the blocked registrable domains") {
+    val df = Seq(
+      (1L, "https://www.bad.com/x"), (2L, "https://sub.bad.com/y"),
+      (3L, "https://good.com/z")).toDF("id", "url")
+    val kept = ext.Web.filterBlockedDomains(df, "url", Seq("bad.com"))
+      .select("id").as[Long].collect().sorted
+    assert(kept === Seq(3L))
+  }
+
+  // --- Greedy budget selection --------------------------------------------
+
+  test("selectByBudget keeps the greedy prefix per group and stops at the budget") {
+    val df = Seq(
+      // group a: scores 9,8,7 with costs 5,4,3 — budget 10 keeps 9,8 (cum 5,9)
+      ("a", 1L, 5L, 9.0), ("a", 2L, 4L, 8.0), ("a", 3L, 3L, 7.0),
+      // group b: first row alone blows the budget — nothing kept
+      ("b", 4L, 11L, 9.9), ("b", 5L, 1L, 1.0),
+    ).toDF("g", "id", "cost", "score")
+    val got = ext.Sampling.selectByBudget(df, "g", "cost", "score", "id", 10L)
+      .select("id", "running_cost").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got === Seq((1L, 5L), (2L, 9L)))
+  }
+
+  test("selectByBudget ties break by id — deterministic under reshuffle") {
+    val df = Seq(("g", 2L, 4L, 1.0), ("g", 1L, 4L, 1.0), ("g", 3L, 4L, 1.0))
+      .toDF("g", "id", "cost", "score").repartition(3)
+    val kept = ext.Sampling.selectByBudget(df, "g", "cost", "score", "id", 8L)
+      .select("id").as[Long].collect().sorted
+    assert(kept === Seq(1L, 2L))
+  }
+
+  // --- Rolling z-score ----------------------------------------------------
+
+  test("rollingZScore flags a wild spike and never flags cold-start rows") {
+    val rows = (1 to 10).map(i => ("u", i.toLong, i.toLong,
+        if (i == 9) 1000.0 else 10.0 + (i % 3))) // spike at t=9
+    val df = rows.toDF("k", "t", "id", "v")
+    val z = ext.TimeSeries.rollingZScore(df, "k", "t", "id", "v",
+      window = 6, threshold = 2.0, minN = 5)
+    val byId = z.select("id", "z", "is_outlier")
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), r.getBoolean(2))).toMap
+    assert(byId(9L)._2, "spike must be flagged")
+    // frame holds < minN rows at t=1..4 → z NULL, not flagged
+    (1L to 4L).foreach { t =>
+      assert(byId(t)._1.isEmpty && !byId(t)._2, s"cold start at $t")
+    }
+    // steady rows are not flagged
+    assert(!byId(8L)._2)
+  }
+
+  test("rollingZScore: zero-variance frame yields NULL z, no flag") {
+    val df = (1 to 8).map(i => ("u", i.toLong, i.toLong, 5.0)).toDF("k", "t", "id", "v")
+    val z = ext.TimeSeries.rollingZScore(df, "k", "t", "id", "v", window = 4,
+      threshold = 2.0, minN = 3)
+    assert(z.filter(col("z").isNotNull || col("is_outlier")).count() === 0)
+  }
+
+  // --- Topic tagging ------------------------------------------------------
+
+  test("topicTags: sorted multi-tag, no-match empty, substring never matches") {
+    val df = Seq(
+      (1L, "the stream joins fast"),        // streaming + relational? join vs joins
+      (2L, "vector stream"),
+      (3L, "nothing here"),
+    ).toDF("id", "text")
+    val topics = Map(
+      "streaming" -> Seq("stream"),
+      "relational" -> Seq("join"),
+      "vectors" -> Seq("vector"))
+    val got = df.select(col("id"),
+        ext.TextOps.topicTags(col("text"), topics).alias("tags"))
+      .as[(Long, Seq[String])].collect().toMap
+    // "joins" is a different token than "join" — set semantics, no substring
+    assert(got(1L) === Seq("streaming"))
+    assert(got(2L) === Seq("streaming", "vectors"))
+    assert(got(3L) === Seq.empty)
+  }
+}

@@ -1495,7 +1495,24 @@ object SparkEntry {
       col("doc_id"),
       array_join(ext.TextOps.topicTags(col("text"), topicLexicon), ",")
         .alias("topics"))),
+
+    // native Aho–Corasick scan: per-keyword substring counts in ONE text
+    // pass (the K-regex-passes alternative re-reads the corpus K times);
+    // borderless keywords make the replace-arithmetic oracle exact
+    "q_keyword_scan" -> { (s, dir) =>
+      val d = read(s, dir, "documents").withColumn("__h",
+        ext.TextOps.keywordCounts(col("text"), scanKeywords))
+      d.select(col("doc_id") +:
+        scanKeywords.zipWithIndex.map { case (k, i) =>
+          element_at(col("__h"), i + 1).alias(s"n_$k") }: _*)
+    },
   )
+
+  /** Keywords for `q_keyword_scan` — all borderless (no proper prefix =
+    * suffix), so Aho–Corasick all-positions counts equal the oracle's
+    * non-overlapping replace arithmetic.
+    */
+  private val scanKeywords = Seq("join", "scan", "table", "stream")
 
   /** Deterministic messy-URL builder for the `q_url_*`/`q_domain_stats`
     * queries: scheme/host case noise, default port, tracking params,
@@ -3822,6 +3839,17 @@ object SparkEntry {
         |    ['slow', 'fast']) THEN 'perf' END],
         |  x -> x IS NOT NULL)), ','), '') AS topics
         |FROM documents""".stripMargin,
+
+    // Aho–Corasick counts vs replace arithmetic (exact for borderless
+    // patterns): n = (len(t) − len(replace(t, kw, ''))) / len(kw)
+    "q_keyword_scan" -> {
+      val cols = Seq("join", "scan", "table", "stream").map { k =>
+        s"(len(text) - len(replace(text, '$k', ''))) // ${k.length} AS n_$k"
+      }.mkString(",\n|       ")
+      s"""SELECT doc_id,
+         |       $cols
+         |FROM documents""".stripMargin
+    },
   )
 
   /** The `messyUrl` builder rendered as DuckDB SQL — shared by the two

@@ -594,6 +594,14 @@ object TextOps {
     * join, no shuffle: at 100 TB this is a map-only pass, and adding a
     * topic adds one probe, not a corpus scan.
     */
+  /** Per-keyword substring occurrence counts in one text pass — the
+    * native Aho–Corasick scanner ([[graft.functions.MultiMatchCount]]):
+    * `array<bigint>` aligned to `keywords`. K keywords cost one automaton
+    * walk, not K `regexp_count` scans; the blocklist/compliance shape.
+    */
+  def keywordCounts(text: Column, keywords: Seq[String]): Column =
+    graft.functions.MultiMatchCount.column(text, keywords)
+
   def topicTags(text: Column, topics: Map[String, Seq[String]]): Column = {
     require(topics.nonEmpty && topics.values.forall(_.nonEmpty),
       "topics must map each tag to a non-empty keyword list")

@@ -1,0 +1,130 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Aho–Corasick multi-pattern substring counter: per-pattern occurrence
+  * counts (every match position, overlaps included) over the input text in
+  * ONE left-to-right pass, regardless of how many patterns the dictionary
+  * holds. The compliance/blocklist scanner shape: K `regexp_count` passes
+  * re-scan the corpus K times (O(K·n) with K regex engines in the hot
+  * loop); the automaton is O(n + matches) total, and adding a pattern
+  * grows the dictionary, not the scan count. At 100 TB the text is read
+  * once either way — this makes the CPU side match.
+  *
+  * The automaton is built ONCE per expression instance on the driver and
+  * shipped to executors inside the serialized plan (`addReferenceObj` in
+  * codegen) — patterns are plan constants, never a per-row cost.
+  *
+  * Output: `array<bigint>` aligned to the pattern list as given. For a
+  * pattern with no border (no proper prefix that is also a suffix — true
+  * of typical keywords), the count equals the non-overlapping
+  * `replace`-based count, which is what the SQL oracle replays; bordered
+  * patterns (`"aa"`) additionally count overlapping hits, pinned by unit
+  * law instead.
+  */
+case class MultiMatchCount(child: Expression, patterns: Seq[String])
+    extends UnaryExpression {
+
+  require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+    "multi_match_count needs at least one non-empty pattern")
+
+  @transient private lazy val ac = new AhoCorasick(patterns.toArray)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"multi_match_count requires STRING, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ac.countAll(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("ac", ac, classOf[AhoCorasick].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"$acRef.countAll($c.toString()))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiMatchCount =
+    copy(child = newChild)
+
+  override def prettyName: String = "multi_match_count"
+}
+
+object MultiMatchCount {
+  def column(text: Column, patterns: Seq[String]): Column =
+    Bridge.column(MultiMatchCount(Bridge.expression(text), patterns))
+}
+
+/** Classic Aho–Corasick automaton over Java chars: trie + BFS failure
+  * links with output-set merging, so every node knows every pattern that
+  * ends at it (directly or via a suffix). Built once, immutable after
+  * construction, serializable for plan shipping.
+  */
+final class AhoCorasick(patterns: Array[String]) extends Serializable {
+
+  private val next = mutable.ArrayBuffer(mutable.HashMap.empty[Char, Int])
+  private val fail = mutable.ArrayBuffer(0)
+  private val out = mutable.ArrayBuffer[List[Int]](Nil)
+
+  // trie
+  for ((p, pid) <- patterns.zipWithIndex) {
+    var s = 0
+    for (c <- p) {
+      s = next(s).getOrElseUpdate(c, {
+        next += mutable.HashMap.empty[Char, Int]
+        fail += 0
+        out += Nil
+        next.length - 1
+      })
+    }
+    out(s) = pid :: out(s)
+  }
+  // failure links in BFS order — a node's fail target is always shallower,
+  // so its merged output set is final before any deeper node reads it
+  locally {
+    val q = mutable.Queue.empty[Int]
+    for ((_, s) <- next(0)) { fail(s) = 0; q += s }
+    while (q.nonEmpty) {
+      val u = q.dequeue()
+      for ((c, v) <- next(u)) {
+        var f = fail(u)
+        while (f != 0 && !next(f).contains(c)) f = fail(f)
+        val target = next(f).getOrElse(c, 0)
+        fail(v) = if (target == v) 0 else target
+        out(v) = out(v) ++ out(fail(v))
+        q += v
+      }
+    }
+  }
+
+  /** One pass; counts every end position of every pattern. Called from
+    * both interpreted eval and generated code.
+    */
+  def countAll(text: String): Array[Long] = {
+    val counts = new Array[Long](patterns.length)
+    var s = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      while (s != 0 && !next(s).contains(c)) s = fail(s)
+      s = next(s).getOrElse(c, 0)
+      var os = out(s)
+      while (os.nonEmpty) { counts(os.head) += 1; os = os.tail }
+      i += 1
+    }
+    counts
+  }
+}

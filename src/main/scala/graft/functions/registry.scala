@@ -71,6 +71,15 @@ object GraftFunctions {
       require(args.length == 1, "nfc_normalize(text)")
       NfcNormalize(args.head)
     },
+    "multi_match_count" -> { args =>
+      require(args.length >= 2, "multi_match_count(text, pattern, ...)")
+      val pats = args.tail.map {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+        case other => throw new IllegalArgumentException(
+          s"multi_match_count: patterns must be string literals, got $other")
+      }
+      MultiMatchCount(args.head, pats)
+    },
     "strip_accents" -> { args =>
       require(args.length == 1, "strip_accents(text)")
       StripAccents(args.head)

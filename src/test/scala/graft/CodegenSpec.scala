@@ -34,6 +34,8 @@ class CodegenSpec extends AnyFunSuite {
           functions.WordShingles.column(col("text"), 2), 8).alias("mh"),
         functions.SimHash64.column(split(col("text"), " ")).alias("sim"),
         functions.ZInterleave.column(col("id"), col("id") * 2).alias("z"),
+        functions.MultiMatchCount.column(col("text"),
+          Seq("a b", "x", "c d e")).alias("mm"),
       ).collect()
       assert(rows(0).getSeq[String](0) === Seq("a b c", "b c d", "c d e"))
       assert(rows(0).getDouble(2) === 1.0 * 0.5 + 2.0 * 0.25 + 3.0 * 0.125)
@@ -53,6 +55,10 @@ class CodegenSpec extends AnyFunSuite {
       // z_interleave(1, 2): bit0 of x → pos 0, bit1 of y → pos 3 = 9
       assert(rows(0).getLong(6) === 9L)
       assert(rows(1).getLong(6) === functions.ZInterleave.morton(2L, 4L))
+      // aho-corasick under CODEGEN_ONLY: 'a b c d e' has 'a b' once,
+      // no 'x', 'c d e' once; 'x y' has 'x' once
+      assert(rows(0).getSeq[Long](7) === Seq(1L, 0L, 1L))
+      assert(rows(1).getSeq[Long](7) === Seq(0L, 1L, 0L))
     }
   }
 

@@ -104,6 +104,48 @@ class WebCurateSpec extends AnyFunSuite {
     assert(z.filter(col("z").isNotNull || col("is_outlier")).count() === 0)
   }
 
+  // --- Aho–Corasick multi-pattern counting ----------------------------------
+
+  test("keywordCounts: classic he/she/his/hers overlaps all counted") {
+    val got = Seq("ushers").toDF("t")
+      .select(ext.TextOps.keywordCounts(col("t"),
+        Seq("he", "she", "his", "hers")))
+      .as[Seq[Long]].head
+    // 'ushers' contains she(2..4), he(3..4), hers(3..6)
+    assert(got === Seq(1L, 1L, 0L, 1L))
+  }
+
+  test("keywordCounts: bordered pattern counts overlapping positions") {
+    val got = Seq("aaaa").toDF("t")
+      .select(ext.TextOps.keywordCounts(col("t"), Seq("aa", "aaa")))
+      .as[Seq[Long]].head
+    assert(got === Seq(3L, 2L))
+  }
+
+  test("keywordCounts: no match, empty text, null text, repeated pattern hits") {
+    val df = Seq(Some("join the join scan"), Some(""), None).toDF("t")
+    val got = df.select(ext.TextOps.keywordCounts(col("t"),
+      Seq("join", "scan", "zzz")).alias("c")).collect()
+    assert(got(0).getSeq[Long](0) === Seq(2L, 1L, 0L))
+    assert(got(1).getSeq[Long](0) === Seq(0L, 0L, 0L))
+    assert(got(2).isNullAt(0))
+  }
+
+  test("keywordCounts: one pattern inside another (substring hits both)") {
+    val got = Seq("tablet table").toDF("t")
+      .select(ext.TextOps.keywordCounts(col("t"), Seq("table", "tablet")))
+      .as[Seq[Long]].head
+    assert(got === Seq(2L, 1L))
+  }
+
+  test("multi_match_count resolves by name in SQL with literal patterns") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      "SELECT multi_match_count('she sells seashells', 'she', 'sea') AS c")
+      .as[Seq[Long]].head
+    assert(got === Seq(2L, 1L)) // 'she' standalone + inside 'seashells'; 'sea' once
+  }
+
   // --- Topic tagging ------------------------------------------------------
 
   test("topicTags: sorted multi-tag, no-match empty, substring never matches") {

@@ -1506,7 +1506,31 @@ object SparkEntry {
         scanKeywords.zipWithIndex.map { case (k, i) =>
           element_at(col("__h"), i + 1).alias(s"n_$k") }: _*)
     },
+
+    // per-domain boilerplate removal: line document-frequency counted
+    // WITHIN source — chrome repeats within a site, not across the corpus
+    "q_line_dedup_domain" -> { (s, dir) =>
+      val lined = read(s, dir, "documents").select(col("doc_id"), col("source"),
+        regexp_replace(col("text"), "((\\S+ ){4}\\S+) ", "$1\n").alias("t"))
+      ext.TextOps.dedupLinesByGroup(lined, "doc_id", "t", "source", maxDf = 2)
+    },
+
+    // fastText-shaped linear quality gate: decimal-exact weighted sum
+    // over hashed token buckets, keep = score >= threshold
+    "q_quality_classifier" -> ((s, dir) => ext.TextOps.linearScore(
+      read(s, dir, "documents"), "doc_id", "text",
+      classifierWeights, bias = 0.5, dim = 1024, threshold = 1.0)),
   )
+
+  /** Weight map for `q_quality_classifier`: buckets of known vocabulary
+    * words (computed with the same md5-48-bit bucket math the vectorizer
+    * uses), so the oracle can embed identical literals.
+    */
+  private val classifierWeights: Map[Int, Double] = Map(
+    ext.TextOps.bucketOf("join") -> 1.5,
+    ext.TextOps.bucketOf("fast") -> 0.8,
+    ext.TextOps.bucketOf("slow") -> -1.2,
+    ext.TextOps.bucketOf("the") -> -0.3)
 
   /** Keywords for `q_keyword_scan` — all borderless (no proper prefix =
     * suffix), so Aho–Corasick all-positions counts equal the oracle's
@@ -3849,6 +3873,50 @@ object SparkEntry {
       s"""SELECT doc_id,
          |       $cols
          |FROM documents""".stripMargin
+    },
+
+    // per-domain line dedup: same lining as q_line_dedup, hot lines
+    // counted per (source, line)
+    "q_line_dedup_domain" ->
+      ("""WITH d AS (SELECT doc_id, source,
+        |             regexp_replace(text, '((\S+ ){4}\S+) ', e'\\1\n', 'g') AS t
+        |           FROM documents),
+        |l AS (SELECT doc_id, source, string_split(t, chr(10)) AS ls FROM d),
+        |x AS (SELECT doc_id, source, ls[i + 1] AS line, i AS pos
+        |      FROM (SELECT doc_id, source, ls,
+        |              unnest(range(len(ls))) AS i FROM l)),
+        |hot AS (SELECT source, line
+        |        FROM (SELECT source, line, COUNT(DISTINCT doc_id) AS df
+        |              FROM x GROUP BY 1, 2)
+        |        WHERE df > 2),
+        |k AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
+        |      FROM x ANTI JOIN hot USING (source, line)
+        |      GROUP BY doc_id)
+        |SELECT d.doc_id, d.source, coalesce(k.clean, '') AS text_clean
+        |FROM d LEFT JOIN k USING (doc_id)""").stripMargin,
+
+    // linear classifier: identical bucket math and decimal weight CASE
+    "q_quality_classifier" -> {
+      val caseArms = classifierWeights.toSeq.sortBy(_._1)
+        .map { case (b, w) => s"WHEN $b THEN CAST($w AS DECIMAL(18,6))" }
+        .mkString(" ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |            FROM documents),
+        |v AS (SELECT doc_id,
+        |        CAST(CAST('0x' || substr(md5(tok), 1, 12) AS UBIGINT) % 1024
+        |             AS INTEGER) AS bucket,
+        |        CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM tok WHERE tok <> '' GROUP BY 1, 2),
+        |s AS (SELECT doc_id,
+        |        SUM(n * CASE bucket $caseArms
+        |                ELSE CAST(0 AS DECIMAL(18,6)) END) AS ws
+        |      FROM v GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(s.ws, CAST(0 AS DECIMAL(18,6)))
+        |       + CAST(0.5 AS DECIMAL(18,6)) AS DOUBLE) AS score,
+        |  (coalesce(s.ws, CAST(0 AS DECIMAL(18,6)))
+        |       + CAST(0.5 AS DECIMAL(18,6))) >= CAST(1.0 AS DECIMAL(18,6)) AS keep
+        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin
     },
   )
 

@@ -258,6 +258,87 @@ object TextOps {
       .select(col(idCol), col("text_clean"))
   }
 
+  /** Per-group boilerplate line removal: [[dedupLines]] with the document
+    * frequency counted WITHIN `groupCol` (registered domain, source,
+    * crawl shard) — the RefinedWeb/CCNet refinement: nav menus and footer
+    * chrome repeat within a site, not across the whole corpus, so a
+    * corpus-global cap either misses per-site chrome or (set low enough
+    * to catch it) starts deleting legitimately common sentences from
+    * unrelated sites.
+    *
+    * Scale shape: hot lines are keyed (group, line) and can be as large
+    * as groups × chrome — joined as a plain shuffle anti-join (no forced
+    * broadcast; AQE may still choose one when the list is small).
+    */
+  def dedupLinesByGroup(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, maxDf: Int, sep: String = "\n"): DataFrame = {
+    require(maxDf >= 1, "maxDf must be >= 1")
+    val lines = df.select(col(idCol), col(groupCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__line")))
+    val hot = lines.groupBy(col(groupCol), col("__line"))
+      .agg(countDistinct(col(idCol)).alias("__df"))
+      .filter(col("__df") > maxDf).select(col(groupCol), col("__line"))
+    val kept = lines.join(hot, Seq(groupCol, "__line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        expr("transform(sort_array(collect_list(struct(__pos, __line))), " +
+          "x -> x.__line)"), sep).alias("__clean"))
+    df.select(col(idCol), col(groupCol)).join(kept, Seq(idCol), "left")
+      .withColumn("text_clean", coalesce(col("__clean"), lit("")))
+      .select(col(idCol), col(groupCol), col("text_clean"))
+  }
+
+  /** Linear text classifier over hashed features — the fastText-shaped
+    * quality gate: `score = bias + Σ n(bucket)·w(bucket)` with a literal
+    * (offline-trained) weight map over [[hashingVectorize]] buckets, and
+    * `keep = score >= threshold`. Inference only: training happens where
+    * labels live; serving a linear model is one sparse aggregate.
+    *
+    * Engine-exact: weights are DECIMAL(18,6) literals and counts are
+    * longs, so the weighted sum is exact integer-scaled arithmetic under
+    * any partitioning (the [[graft.ext.Stats]] discipline); the one final
+    * decimal→double cast is correctly rounded in both engines. Docs whose
+    * tokens hit no weighted bucket (or with no tokens) score exactly
+    * `bias` via the left join back to the id set.
+    *
+    * Scale: the classifier adds ONE hash aggregate over the token
+    * explode (the same shuffle the vectorizer already pays) and a
+    * broadcast-size weight CASE folded into the aggregate — no joins, no
+    * model table.
+    */
+  def linearScore(df: DataFrame, idCol: String, textCol: String,
+      weights: Map[Int, Double], bias: Double, dim: Int = 1024,
+      threshold: Double = 0.0): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.keys.forall(b => b >= 0 && b < dim),
+      s"weight buckets must be in [0, $dim)")
+    val sparse = hashingVectorize(df, idCol, textCol, dim)
+    val zero = lit(0).cast("decimal(18,6)")
+    val wCase = weights.toSeq.sortBy(_._1)
+      .foldLeft(when(lit(false), zero)) { case (acc, (b, w)) =>
+        acc.when(col("bucket") === b, lit(w).cast("decimal(18,6)"))
+      }.otherwise(zero)
+    val scored = sparse
+      .groupBy(col(idCol))
+      .agg(sum(col("n") * wCase).alias("__ws"))
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .withColumn("__s",
+        coalesce(col("__ws"), zero) + lit(bias).cast("decimal(18,6)"))
+      .select(col(idCol), col("__s").cast("double").alias("score"),
+        (col("__s") >= lit(threshold).cast("decimal(18,6)")).alias("keep"))
+  }
+
+  /** The [[hashingVectorize]] bucket of a single token, computed on the
+    * driver — for building [[linearScore]] weight maps from known words.
+    */
+  def bucketOf(token: String, dim: Int = 1024): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(token.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 12)
+    (java.lang.Long.parseLong(hex, 16) % dim).toInt
+  }
+
   /** Gopher-style quality gate (Rae et al. 2021, §A1.1 heuristics adapted
     * to the single-space documents contract): per-doc rule measures, the
     * concatenated fixed-order list of failed rules, and the composite

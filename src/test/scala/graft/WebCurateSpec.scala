@@ -146,6 +146,40 @@ class WebCurateSpec extends AnyFunSuite {
     assert(got === Seq(2L, 1L)) // 'she' standalone + inside 'seashells'; 'sea' once
   }
 
+  // --- Per-domain line dedup ----------------------------------------------
+
+  test("dedupLinesByGroup: chrome line removed only in the group where it is hot") {
+    val df = Seq(
+      (1L, "a", "menu\nalpha"), (2L, "a", "menu\nbeta"), (3L, "a", "menu\ngamma"),
+      (4L, "b", "menu\ndelta"),
+    ).toDF("id", "g", "t")
+    val got = ext.TextOps.dedupLinesByGroup(df, "id", "t", "g", maxDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) === "alpha" && got(2L) === "beta" && got(3L) === "gamma",
+      "menu is hot in group a (df=3 > 2)")
+    assert(got(4L) === "menu\ndelta", "menu is NOT hot in group b (df=1)")
+  }
+
+  // --- Linear classifier ---------------------------------------------------
+
+  test("linearScore: hand-computed weighted sum, bias-only doc, keep flag") {
+    val dim = 64
+    val bGood = ext.TextOps.bucketOf("good", dim)
+    val bBad = ext.TextOps.bucketOf("bad", dim)
+    assert(bGood !== bBad)
+    val df = Seq(
+      (1L, "good good bad"),   // 2*2.0 - 1*1.0 + 0.5 = 3.5
+      (2L, "neutral words"),   // 0.5 (no weighted bucket)
+      (3L, "bad bad bad"),     // -3.0 + 0.5 = -2.5
+    ).toDF("id", "text")
+    val got = ext.TextOps.linearScore(df, "id", "text",
+        Map(bGood -> 2.0, bBad -> -1.0), bias = 0.5, dim = dim, threshold = 1.0)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(got(1L) === ((3.5, true)))
+    assert(got(2L) === ((0.5, false)))
+    assert(got(3L) === ((-2.5, false)))
+  }
+
   // --- Topic tagging ------------------------------------------------------
 
   test("topicTags: sorted multi-tag, no-match empty, substring never matches") {

@@ -1520,6 +1520,30 @@ object SparkEntry {
     "q_quality_classifier" -> ((s, dir) => ext.TextOps.linearScore(
       read(s, dir, "documents"), "doc_id", "text",
       classifierWeights, bias = 0.5, dim = 1024, threshold = 1.0)),
+
+    // WEB-CURATION CAPSTONE: URL blocklist → per-domain boilerplate line
+    // removal → linear quality gate → per-domain char-budget selection —
+    // the crawl-to-corpus path as ONE plan, each stage already
+    // independently oracled; the oracle replays the whole chain
+    "q_web_pipeline" -> { (s, dir) =>
+      val docs = read(s, dir, "documents").withColumn("url", messyUrl)
+      val unblocked = ext.Web
+        .filterBlockedDomains(docs, "url", Seq("src0.com", "src1.co.uk"))
+        .withColumn("domain",
+          ext.Web.registeredDomain(ext.Web.host(col("url"))))
+      val lined = unblocked.select(col("doc_id"), col("domain"),
+        regexp_replace(col("text"), "((\\S+ ){4}\\S+) ", "$1\n").alias("t"))
+      val cleaned = ext.TextOps
+        .dedupLinesByGroup(lined, "doc_id", "t", "domain", maxDf = 2)
+        .withColumn("text", regexp_replace(col("text_clean"), "\n", " "))
+      val scored = ext.TextOps.linearScore(cleaned, "doc_id", "text",
+        classifierWeights, bias = 0.5, dim = 1024, threshold = 0.0)
+      val kept = scored.filter(col("keep"))
+        .join(unblocked.select("doc_id", "domain", "n_chars"), "doc_id")
+      ext.Sampling.selectByBudget(kept, "domain", "n_chars", "score",
+          "doc_id", budget = 1500L)
+        .select("doc_id", "domain", "score", "n_chars", "running_cost")
+    },
   )
 
   /** Weight map for `q_quality_classifier`: buckets of known vocabulary
@@ -3917,6 +3941,60 @@ object SparkEntry {
         |  (coalesce(s.ws, CAST(0 AS DECIMAL(18,6)))
         |       + CAST(0.5 AS DECIMAL(18,6))) >= CAST(1.0 AS DECIMAL(18,6)) AS keep
         |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin
+    },
+
+    // capstone: the whole crawl-to-corpus chain in one statement —
+    // blocklist, per-domain hot lines, cleaned-text classifier, budget
+    "q_web_pipeline" -> {
+      val caseArms = classifierWeights.toSeq.sortBy(_._1)
+        .map { case (b, w) => s"WHEN $b THEN CAST($w AS DECIMAL(18,6))" }
+        .mkString(" ")
+      s"""WITH u AS (SELECT doc_id, n_chars, text, $messyUrlSql AS url
+        |           FROM documents),
+        |h AS (SELECT doc_id, n_chars, text,
+        |  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS h0
+        |  FROM u),
+        |ub AS (SELECT doc_id, n_chars, $domainSql AS domain,
+        |         regexp_replace(text, '((\\S+ ){4}\\S+) ', e'\\\\1\\n', 'g') AS t
+        |       FROM h
+        |       WHERE $domainSql NOT IN ('src0.com', 'src1.co.uk')),
+        |l AS (SELECT doc_id, domain, string_split(t, chr(10)) AS ls FROM ub),
+        |x AS (SELECT doc_id, domain, ls[i + 1] AS line, i AS pos
+        |      FROM (SELECT doc_id, domain, ls,
+        |              unnest(range(len(ls))) AS i FROM l)),
+        |hot AS (SELECT domain, line
+        |        FROM (SELECT domain, line, COUNT(DISTINCT doc_id) AS df
+        |              FROM x GROUP BY 1, 2)
+        |        WHERE df > 2),
+        |k AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean
+        |      FROM x ANTI JOIN hot USING (domain, line)
+        |      GROUP BY doc_id),
+        |c AS (SELECT ub.doc_id, ub.domain, ub.n_chars,
+        |        replace(coalesce(k.clean, ''), chr(10), ' ') AS text
+        |      FROM ub LEFT JOIN k USING (doc_id)),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM c),
+        |v AS (SELECT doc_id,
+        |        CAST(CAST('0x' || substr(md5(tok), 1, 12) AS UBIGINT) % 1024
+        |             AS INTEGER) AS bucket,
+        |        CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM tok WHERE tok <> '' GROUP BY 1, 2),
+        |s AS (SELECT doc_id,
+        |        SUM(n * CASE bucket $caseArms
+        |                ELSE CAST(0 AS DECIMAL(18,6)) END) AS ws
+        |      FROM v GROUP BY doc_id),
+        |sc AS (SELECT c.doc_id, c.domain, c.n_chars,
+        |         CAST(coalesce(s.ws, CAST(0 AS DECIMAL(18,6)))
+        |              + CAST(0.5 AS DECIMAL(18,6)) AS DOUBLE) AS score
+        |       FROM c LEFT JOIN s USING (doc_id)
+        |       WHERE (coalesce(s.ws, CAST(0 AS DECIMAL(18,6)))
+        |              + CAST(0.5 AS DECIMAL(18,6))) >= CAST(0.0 AS DECIMAL(18,6))),
+        |r AS (SELECT doc_id, domain, score, n_chars,
+        |        CAST(sum(n_chars) OVER (PARTITION BY domain
+        |          ORDER BY score DESC, doc_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cost
+        |      FROM sc)
+        |SELECT doc_id, domain, score, n_chars, running_cost
+        |FROM r WHERE running_cost <= 1500""".stripMargin
     },
   )
 

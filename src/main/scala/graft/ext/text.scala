@@ -621,8 +621,13 @@ object TextOps {
     * heavy lifting; no shuffle carries more than the model's own rows).
     */
   def lmBigramModel(df: DataFrame, textCol: String): DataFrame = {
-    val bg = df.select(explode(charBigrams(textCol)).alias("bg"))
-      .groupBy("bg").agg(count(lit(1)).alias("n"))
+    // native per-doc bigram counting (CharBigramCounts): the explode
+    // emits DISTINCT bigrams per doc (≤ |charset|²), not one row per
+    // character — the corpus aggregate's input shrinks by the average
+    // bigram multiplicity and the per-char hash-probe pass disappears
+    val bg = df.select(
+        explode(graft.functions.CharBigramCounts.column(col(textCol))).alias("x"))
+      .groupBy(col("x.bg").alias("bg")).agg(sum(col("x.cnt")).alias("n"))
     val pre = bg.groupBy(substring(col("bg"), 1, 1).alias("c1"))
       .agg(sum(col("n")).alias("n1"))
     bg.withColumn("c1", substring(col("bg"), 1, 1))
@@ -646,9 +651,12 @@ object TextOps {
     */
   def lmScore(df: DataFrame, idCol: String, textCol: String,
       model: DataFrame): DataFrame = {
+    // the native counts arrive pre-grouped per doc — no (id, bg) hash
+    // aggregate over the character stream at all
     val docBg = df
-      .select(col(idCol), explode(charBigrams(textCol)).alias("bg"))
-      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).alias("cnt"))
+      .select(col(idCol),
+        explode(graft.functions.CharBigramCounts.column(col(textCol))).alias("x"))
+      .select(col(idCol), col("x.bg").alias("bg"), col("x.cnt").alias("cnt"))
     docBg.join(broadcast(model), Seq("bg"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("cnt")).alias("n_bigrams"),

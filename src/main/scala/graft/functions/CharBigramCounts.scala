@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document character-bigram occurrence counts as ONE native pass:
+  * `array<struct<bg string, cnt bigint>>` in first-occurrence order,
+  * equivalent to `explode(charBigrams(text))` + `groupBy(id, bg).count()`
+  * but emitting DISTINCT bigrams (≤ |charset|²) instead of one row per
+  * character position. The aggregate downstream of the explode then sees
+  * a stream shrunk by the average bigram multiplicity — for LM scoring
+  * ([[graft.ext.TextOps.lmScore]]) that removes a doc-length-proportional
+  * hash-aggregate pass per document, the hot loop of the corpus-scale
+  * perplexity gate.
+  *
+  * Bigrams are CODE-POINT pairs (the `substring(i, 2)` contract of the
+  * HOF form): boundaries found by UTF-8 continuation-byte scanning, so
+  * multi-byte text agrees with the builtin byte-for-byte. Texts shorter
+  * than 2 code points yield an empty array.
+  */
+case class CharBigramCounts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("bg", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"char_bigram_counts requires STRING, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    CharBigramCounts.countsOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharBigramCounts.countsOf($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharBigramCounts =
+    copy(child = newChild)
+
+  override def prettyName: String = "char_bigram_counts"
+}
+
+object CharBigramCounts {
+
+  /** Referenced from generated code (static forwarder — companion method
+    * name must not collide with a class member, see WordShingles note).
+    */
+  def countsOf(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    // code-point start offsets (a UTF-8 char starts at any non-10xxxxxx)
+    var chars = 0
+    var i = 0
+    while (i < n) { if ((bytes(i) & 0xC0) != 0x80) chars += 1; i += 1 }
+    if (chars < 2) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](chars + 1)
+    var c = 0
+    i = 0
+    while (i < n) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(chars) = n
+    val seen = new java.util.LinkedHashMap[UTF8String, Array[Long]](64)
+    var k = 0
+    while (k < chars - 1) {
+      val from = starts(k)
+      val to = starts(k + 2)
+      val bg = UTF8String.fromBytes(bytes, from, to - from)
+      val slot = seen.get(bg)
+      if (slot == null) seen.put(bg, Array(1L)) else slot(0) += 1L
+      k += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new GenericInternalRow(Array[Any](e.getKey, e.getValue()(0)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def column(text: Column): Column =
+    Bridge.column(CharBigramCounts(Bridge.expression(text)))
+}

@@ -71,6 +71,10 @@ object GraftFunctions {
       require(args.length == 1, "nfc_normalize(text)")
       NfcNormalize(args.head)
     },
+    "char_bigram_counts" -> { args =>
+      require(args.length == 1, "char_bigram_counts(text)")
+      CharBigramCounts(args.head)
+    },
     "multi_match_count" -> { args =>
       require(args.length >= 2, "multi_match_count(text, pattern, ...)")
       val pats = args.tail.map {

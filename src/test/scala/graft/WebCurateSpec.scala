@@ -180,6 +180,38 @@ class WebCurateSpec extends AnyFunSuite {
     assert(got(3L) === ((-2.5, false)))
   }
 
+  // --- Native char-bigram counts -------------------------------------------
+
+  test("CharBigramCounts == explode(charBigrams) + count, incl. multi-byte") {
+    val texts = Seq("abcab", "aa", "a", "", "héllo wörld", "ααβ", "x y x y",
+      "mixèd ascii ünïcode")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val native = df.select(col("id"),
+        explode(graft.functions.CharBigramCounts.column(col("t"))).alias("x"))
+      .select(col("id"), col("x.bg"), col("x.cnt"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val hof = df.select(col("id"),
+        explode(ext.TextOps.charBigrams("t")).alias("bg"))
+      .groupBy("id", "bg").count()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(native === hof)
+    // docs with < 2 chars produce no rows in either form
+    assert(!native.exists(r => r._1 == 2L || r._1 == 3L))
+  }
+
+  test("lmScoreSelf is unchanged by the native rewrite (hand corpus)") {
+    val df = Seq((1L, "abab"), (2L, "abba"), (3L, "zz")).toDF("id", "t")
+    val got = ext.TextOps.lmScoreSelf(df, "id", "t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // corpus bigrams: ab×3 (doc1 ×2, doc2), ba×2 (doc1, doc2), bb×1, zz×1
+    // prefix a: 3 → p(ab)=1e9; prefix b: 3 → p(ba)=666666666, p(bb)=333333333
+    // prefix z: 1 → p(zz)=1e9
+    assert(got(1L) === ((3L, (2L * 1000000000L + 666666666L) / 3L)))
+    assert(got(2L) === ((3L, (1000000000L + 666666666L + 333333333L) / 3L)))
+    assert(got(3L) === ((1L, 1000000000L)))
+  }
+
   // --- Topic tagging ------------------------------------------------------
 
   test("topicTags: sorted multi-tag, no-match empty, substring never matches") {

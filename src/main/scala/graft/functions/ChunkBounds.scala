@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Content-defined chunk boundary positions in ONE native pass: every
+  * 1-based char position `p ∈ [window, len]` whose trailing `window`-char
+  * [[RollingHash]] is ≡ 0 (mod `modulus`), plus the text length — exactly
+  * the boundary set [[graft.ext.TextOps.contentChunks]] previously built
+  * with `filter(sequence(...), p -> pmod(rolling_hash(substr(...)), m) = 0)`.
+  * The HOF form evaluates a lambda + UTF8String substring copy + full
+  * re-hash per candidate position; this is a flat byte loop (window ≤ a
+  * few dozen bytes, so brute per-window hashing is already allocation-free
+  * and branch-cheap — no incremental roll needed). Texts shorter than
+  * `window` chars (including empty) yield `[len]` — one whole-text chunk.
+  *
+  * Windows are CODE-POINT spans (the `substr` contract): boundaries are
+  * found by UTF-8 continuation-byte scanning, so multi-byte text agrees
+  * with the builtin form byte-for-byte.
+  */
+case class ChunkBounds(child: Expression, window: Int, modulus: Long)
+    extends UnaryExpression {
+
+  require(window >= 1, "window >= 1")
+  require(modulus >= 2 && (modulus & (modulus - 1)) == 0,
+    "modulus must be a power of two >= 2")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"chunk_bounds requires STRING, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    ChunkBounds.boundsOf(input.asInstanceOf[UTF8String], window, modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ChunkBounds.boundsOf($c, $window, ${modulus}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): ChunkBounds =
+    copy(child = newChild)
+
+  override def prettyName: String = "chunk_bounds"
+}
+
+object ChunkBounds {
+
+  /** Referenced from generated code (static forwarder — see WordShingles
+    * note on naming).
+    */
+  def boundsOf(text: UTF8String, window: Int, modulus: Long): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    var chars = 0
+    var i = 0
+    while (i < n) { if ((bytes(i) & 0xC0) != 0x80) chars += 1; i += 1 }
+    if (chars < window)
+      return new GenericArrayData(Array[Any](chars))
+    val starts = new Array[Int](chars + 1)
+    var c = 0
+    i = 0
+    while (i < n) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(c) = i; c += 1 }
+      i += 1
+    }
+    starts(chars) = n
+    val mask = modulus - 1 // power of two: (h & mask) == pmod(h, modulus)
+    val out = new java.util.ArrayList[Any](16)
+    var p = window
+    while (p <= chars) {
+      var h = 1125899906842597L // RollingHash seed — identical math
+      var b = starts(p - window)
+      val end = starts(p)
+      while (b < end) { h = 31 * h + bytes(b); b += 1 }
+      if ((h & mask) == 0L) out.add(p)
+      p += 1
+    }
+    // the text length is always a boundary; avoid the duplicate when the
+    // last window already emitted it (array_distinct in the old form)
+    if (out.isEmpty || out.get(out.size - 1).asInstanceOf[Int] != chars)
+      out.add(chars)
+    new GenericArrayData(out.toArray)
+  }
+
+  def column(text: Column, window: Int, modulus: Long): Column =
+    Bridge.column(ChunkBounds(Bridge.expression(text), window, modulus))
+}

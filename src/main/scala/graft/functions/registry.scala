@@ -71,6 +71,11 @@ object GraftFunctions {
       require(args.length == 1, "nfc_normalize(text)")
       NfcNormalize(args.head)
     },
+    "chunk_bounds" -> { args =>
+      require(args.length == 3, "chunk_bounds(text, window, modulus)")
+      ChunkBounds(args.head, intLit(args(1), "chunk_bounds", "window"),
+        intLit(args(2), "chunk_bounds", "modulus").toLong)
+    },
     "char_bigram_counts" -> { args =>
       require(args.length == 1, "char_bigram_counts(text)")
       CharBigramCounts(args.head)

@@ -37,6 +37,7 @@ class CodegenSpec extends AnyFunSuite {
         functions.MultiMatchCount.column(col("text"),
           Seq("a b", "x", "c d e")).alias("mm"),
         functions.CharBigramCounts.column(col("text")).alias("cbc"),
+        functions.ChunkBounds.column(col("text"), 4, 8).alias("cb"),
       ).collect()
       assert(rows(0).getSeq[String](0) === Seq("a b c", "b c d", "c d e"))
       assert(rows(0).getDouble(2) === 1.0 * 0.5 + 2.0 * 0.25 + 3.0 * 0.125)

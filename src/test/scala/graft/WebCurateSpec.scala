@@ -212,6 +212,33 @@ class WebCurateSpec extends AnyFunSuite {
     assert(got(3L) === ((1L, 1000000000L)))
   }
 
+  // --- Native chunk bounds --------------------------------------------------
+
+  test("ChunkBounds == HOF filter(sequence)+rolling_hash boundary set") {
+    val texts = Seq("", "a", "short", "x" * 100,
+      ("the quick brown fox jumps over the lazy dog " * 8).trim,
+      "héllo wörld " * 12)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+    val (window, modulus) = (16, 64)
+    val native = df.select(col("id"),
+        explode(graft.functions.ChunkBounds.column(col("t"), window, modulus))
+          .alias("p"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val isBoundary = (p: org.apache.spark.sql.Column) =>
+      pmod(graft.functions.RollingHash.column(
+          col("t").substr(p - lit(window - 1), lit(window))),
+        lit(modulus.toLong)) === 0L
+    val hof = df.select(col("id"),
+        explode(array_distinct(concat(
+          array(length(col("t"))),
+          when(length(col("t")) >= window,
+            filter(sequence(lit(window), length(col("t"))), isBoundary))
+            .otherwise(array().cast("array<int>"))))).alias("p"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(native === hof)
+  }
+
   // --- Topic tagging ------------------------------------------------------
 
   test("topicTags: sorted multi-tag, no-match empty, substring never matches") {

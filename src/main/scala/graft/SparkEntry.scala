@@ -1479,6 +1479,24 @@ object SparkEntry {
       read(s, dir, "documents").select("doc_id", "source", "n_chars"),
       "source", "n_chars", "n_chars", "doc_id", budget = 2000L)),
 
+    // time-weighted average value per user: step interpolation, gap
+    // weights, decimal-pinned Σ value·gap — AVG under uneven sampling
+    "q_twap" -> { (s, dir) =>
+      ext.TimeSeries.timeWeightedAvg(
+        readEvents(s, dir).select(col("user_id"), col("ts_us"),
+          col("event_id"), col("value")),
+        "user_id", "ts_us", "event_id", "value")
+    },
+
+    // event-type transition matrix: (from, to) counts over each user's
+    // time-ordered sequence — the next-action profile
+    "q_transitions" -> { (s, dir) =>
+      ext.TimeSeries.transitionCounts(
+        readEvents(s, dir).select(col("user_id"), col("ts_us"),
+          col("event_id"), col("event_type")),
+        "user_id", "ts_us", "event_id", "event_type")
+    },
+
     // rolling z-score anomaly flags per user (trailing 6-row frame,
     // decimal-pinned Σx/Σx² so the doubles hash-match the oracle)
     "q_rolling_zscore" -> { (s, dir) =>
@@ -3850,6 +3868,35 @@ object SparkEntry {
         |SELECT doc_id, source, n_chars, running_cost
         |FROM r WHERE running_cost <= 2000""".stripMargin,
 
+    // TWAP: gap = time to successor (last obs weight 0), decimal-pinned
+    // weighted sum, one closing double division
+    "q_twap" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |             event_id, value FROM events),
+        |g AS (SELECT user_id, value,
+        |  greatest(coalesce(CAST(lead(ts_us, 1) OVER
+        |    (PARTITION BY user_id ORDER BY ts_us, event_id) - ts_us
+        |    AS BIGINT), 0), 0) AS gap
+        |  FROM e)
+        |SELECT user_id,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6)) * gap) AS DOUBLE)
+        |    / nullif(CAST(sum(gap) AS DOUBLE), 0.0), 6) AS twap,
+        |  CAST(sum(gap) AS BIGINT) AS total_time,
+        |  count(*) AS n_obs
+        |FROM g GROUP BY user_id""".stripMargin,
+
+    // transition matrix: lag per user sequence, pair counts
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |             event_id, event_type FROM events),
+        |p AS (SELECT user_id, event_type,
+        |        lag(event_type, 1) OVER (PARTITION BY user_id
+        |          ORDER BY ts_us, event_id) AS prev
+        |      FROM e)
+        |SELECT prev AS from_event, event_type AS to_event, count(*) AS n
+        |FROM p WHERE prev IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
+
     // rolling z-score: decimal-pinned frame sums, then the identical IEEE
     // double sequence — bit-exact across engines
     "q_rolling_zscore" ->
@@ -3858,8 +3905,9 @@ object SparkEntry {
         |           FROM events),
         |w AS (SELECT event_id, user_id, ts_us, value,
         |  CAST(count(*) OVER win AS DOUBLE) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(28,6))) OVER win AS DOUBLE) AS sx,
-        |  CAST(sum(CAST(value * value AS DECIMAL(28,6))) OVER win AS DOUBLE) AS sxx
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER win AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+        |       OVER win AS DOUBLE) AS sxx
         |  FROM e
         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
         |                 ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)),

@@ -191,6 +191,67 @@ object TimeSeries {
     * shuffle on the key, per-group independent sort, O(1) state per row —
     * no global sort, no collect, scale-independent.
     */
+  /** Time-weighted average per key: each observation holds until the next
+    * one (step interpolation), so its weight is the gap to the successor —
+    * the TWAP/utilization metric that plain AVG gets wrong under uneven
+    * sampling. The final observation carries zero weight (nothing is held
+    * after it) unless `horizonEnd` extends the last gap to a fixed
+    * timestamp. Keys with a single observation (and no horizon) emit NULL.
+    *
+    * Exactness: gaps are exact integer time deltas, `Σ value·gap` is
+    * decimal-pinned, and the single closing division runs in double — the
+    * [[graft.ext.Stats]] discipline, so the result hash-matches any engine
+    * replaying the formula. One lead() window + one hash aggregate per
+    * key: a shuffle on the key and nothing else.
+    */
+  def timeWeightedAvg(df: DataFrame, key: String, timeCol: String,
+      tieCol: String, valueCol: String,
+      horizonEnd: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col(timeCol), col(tieCol))
+    val nextT = lead(col(timeCol), 1).over(w)
+    val endT = horizonEnd match {
+      case Some(h) => coalesce(nextT, lit(h))
+      case None    => nextT
+    }
+    // the last observation's gap is NULL without a horizon — explicit
+    // coalesce(0) rather than relying on greatest()'s null handling,
+    // which differs between engines
+    val gap = coalesce((endT - col(timeCol)).cast("long"), lit(0L))
+    // value pinned to decimal BEFORE the multiply: a double product
+    // rounded to decimal can land on a rounding tie and differ by one
+    // decimal unit between engines; decimal × integer-gap is exact. The
+    // exact Σ value·gap exceeds double's 53-bit mantissa at micro-second
+    // gaps, so the decimal→double cast itself rounds — emitted round-6
+    // (the q_rp_reduce/q_knn_lsh convention for conversion-rounding
+    // differences between engines).
+    df.withColumn("__gap", greatest(gap, lit(0L)))
+      .groupBy(col(key))
+      .agg(
+        round(sum(col(valueCol).cast("decimal(18,6)") * col("__gap"))
+            .cast("double") /
+          nullif(sum(col("__gap")).cast("double"), lit(0.0)), 6).alias("twap"),
+        sum(col("__gap")).alias("total_time"),
+        count(lit(1)).alias("n_obs"))
+  }
+
+  /** Event-type transition counts per key: (from, to) adjacency over each
+    * key's time-ordered event sequence — the Markov-chain / next-action
+    * profile behind "what do users do after X". One lag window per key +
+    * one hash aggregate on the pair; both shuffles are key- or
+    * pair-bounded, never corpus-wide state.
+    */
+  def transitionCounts(df: DataFrame, key: String, timeCol: String,
+      tieCol: String, eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col(timeCol), col(tieCol))
+    df.withColumn("__prev", lag(col(eventCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").alias("from_event"),
+        col(eventCol).alias("to_event"))
+      .agg(count(lit(1)).alias("n"))
+  }
+
   def rollingZScore(df: DataFrame, key: String, timeCol: String,
       tieCol: String, valueCol: String, window: Int,
       threshold: Double = 3.0, minN: Int = 5): DataFrame = {
@@ -202,8 +263,12 @@ object TimeSeries {
       .rowsBetween(-(window - 1), Window.currentRow)
     val x = col(valueCol).cast("double")
     val n = count(lit(1)).over(w).cast("double")
-    val sx = sum(x.cast("decimal(28,6)")).over(w).cast("double")
-    val sxx = sum((x * x).cast("decimal(28,6)")).over(w).cast("double")
+    // Σx and Σx² from the DECIMAL-pinned value: squaring in decimal keeps
+    // the product exact (a double product rounded to decimal can land on
+    // a rounding tie and differ by one decimal unit between engines)
+    val xd = x.cast("decimal(18,6)")
+    val sx = sum(xd).over(w).cast("double")
+    val sxx = sum(xd * xd).over(w).cast("double")
     val mean = sx / n
     val m2 = greatest(sxx - sx * sx / n, lit(0.0))
     // guarded: a 1-row frame would divide by zero under ANSI mode (minN

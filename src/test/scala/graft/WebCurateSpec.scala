@@ -239,6 +239,41 @@ class WebCurateSpec extends AnyFunSuite {
     assert(native === hof)
   }
 
+  // --- Time-weighted average ------------------------------------------------
+
+  test("timeWeightedAvg: gap weighting, zero-weight last obs, single-obs NULL") {
+    val df = Seq(
+      ("a", 0L, 1L, 10.0), ("a", 10L, 2L, 20.0), ("a", 30L, 3L, 99.0),
+      ("b", 5L, 4L, 7.0), // single observation, no horizon → NULL twap
+    ).toDF("k", "t", "id", "v")
+    val got = ext.TimeSeries.timeWeightedAvg(df, "k", "t", "id", "v")
+      .collect().map(r => r.getString(0) ->
+        (Option(r.get(1)), r.getLong(2), r.getLong(3))).toMap
+    // a: 10 held 10, 20 held 20, 99 held 0 → (100+400)/30, emitted round-6
+    assert(got("a") === ((Some(16.666667), 30L, 3L)))
+    assert(got("b") === ((None, 0L, 1L)))
+  }
+
+  test("timeWeightedAvg horizon extends the last observation's hold") {
+    val df = Seq(("a", 0L, 1L, 10.0), ("a", 10L, 2L, 20.0)).toDF("k", "t", "id", "v")
+    val got = ext.TimeSeries.timeWeightedAvg(df, "k", "t", "id", "v",
+        horizonEnd = Some(40L))
+      .select("twap").as[Double].head
+    assert(got === (10.0 * 10 + 20.0 * 30) / 40.0)
+  }
+
+  // --- Event transitions ----------------------------------------------------
+
+  test("transitionCounts: per-key ordered adjacency, first event never a target") {
+    val df = Seq(
+      ("u1", 1L, 1L, "view"), ("u1", 2L, 2L, "click"), ("u1", 3L, 3L, "view"),
+      ("u2", 1L, 4L, "view"), ("u2", 2L, 5L, "click"),
+    ).toDF("k", "t", "id", "e")
+    val got = ext.TimeSeries.transitionCounts(df, "k", "t", "id", "e")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("view", "click") -> 2L, ("click", "view") -> 1L))
+  }
+
   // --- Topic tagging ------------------------------------------------------
 
   test("topicTags: sorted multi-tag, no-match empty, substring never matches") {

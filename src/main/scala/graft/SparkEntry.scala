@@ -1479,6 +1479,16 @@ object SparkEntry {
       read(s, dir, "documents").select("doc_id", "source", "n_chars"),
       "source", "n_chars", "n_chars", "doc_id", budget = 2000L)),
 
+    // inverted index postings: (token, doc, tf, first_pos) — the
+    // materialized build-once index under BM25/keyword search
+    "q_inverted_index" -> ((s, dir) => ext.TextOps.invertedIndex(
+      read(s, dir, "documents"), "doc_id", "text")),
+
+    // corpus index stats: df + total term frequency per token
+    "q_index_stats" -> ((s, dir) => ext.TextOps.invertedIndexStats(
+      ext.TextOps.invertedIndex(read(s, dir, "documents"), "doc_id", "text"),
+      "doc_id")),
+
     // time-weighted average value per user: step interpolation, gap
     // weights, decimal-pinned Σ value·gap — AVG under uneven sampling
     "q_twap" -> { (s, dir) =>
@@ -3867,6 +3877,24 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, n_chars, running_cost
         |FROM r WHERE running_cost <= 2000""".stripMargin,
+
+    // inverted index: list ops reproduce tf + 0-based first position
+    "q_inverted_index" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
+        |t AS (SELECT doc_id, unnest(list_distinct(ls)) AS token, ls FROM d)
+        |SELECT token, doc_id,
+        |  CAST(len(list_filter(ls, x -> x = token)) AS BIGINT) AS tf,
+        |  CAST(list_position(ls, token) - 1 AS BIGINT) AS first_pos
+        |FROM t WHERE token <> ''""".stripMargin,
+
+    "q_index_stats" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
+        |t AS (SELECT doc_id, unnest(list_distinct(ls)) AS token, ls FROM d),
+        |p AS (SELECT token, doc_id,
+        |        CAST(len(list_filter(ls, x -> x = token)) AS BIGINT) AS tf
+        |      FROM t WHERE token <> '')
+        |SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+        |FROM p GROUP BY token""".stripMargin,
 
     // TWAP: gap = time to successor (last obs weight 0), decimal-pinned
     // weighted sum, one closing double division

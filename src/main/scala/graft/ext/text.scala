@@ -666,6 +666,31 @@ object TextOps {
   def lmScoreSelf(df: DataFrame, idCol: String, textCol: String): DataFrame =
     lmScore(df, idCol, textCol, lmBigramModel(df, textCol))
 
+  /** Inverted index over the token stream: postings `(token, id, tf,
+    * first_pos)` plus corpus-level `(token, df, total_tf)` via
+    * [[invertedIndexStats]] — the retrieval-side primitive under BM25 /
+    * keyword search ([[graft.ext.Search.bm25TopK]] recomputes this shape
+    * inline; materializing it is the "build the index once, query many"
+    * path). One hash aggregate keyed (token, id): the shuffle carries
+    * distinct (token, doc) pairs — bounded by tokens-per-doc, and the
+    * token key is the partitioning every index lookup wants.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("__pos", "token")))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"), col(idCol))
+      .agg(count(lit(1)).alias("tf"),
+        min(col("__pos")).cast("long").alias("first_pos"))
+
+  /** Corpus-level index statistics: document frequency and total term
+    * frequency per token (one more aggregate over the postings — the df
+    * table BM25/IDF weighting joins against).
+    */
+  def invertedIndexStats(postings: DataFrame, idCol: String): DataFrame =
+    postings.groupBy(col("token"))
+      .agg(count(lit(1)).alias("df"), sum(col("tf")).alias("total_tf"))
+
   /** Topic tagging by keyword lexicon: `topics` maps a tag to its keyword
     * list; a document gets every tag whose lexicon intersects its token
     * set, as a SORTED `array<string>` (deterministic regardless of map

@@ -239,6 +239,22 @@ class WebCurateSpec extends AnyFunSuite {
     assert(native === hof)
   }
 
+  // --- Inverted index -------------------------------------------------------
+
+  test("invertedIndex: tf and first position per (token, doc); stats roll up") {
+    val df = Seq((1L, "a b a c"), (2L, "b b"), (3L, "")).toDF("id", "t")
+    val idx = ext.TextOps.invertedIndex(df, "id", "t")
+    val got = idx.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got === Map(
+      ("a", 1L) -> ((2L, 0L)), ("b", 1L) -> ((1L, 1L)), ("c", 1L) -> ((1L, 3L)),
+      ("b", 2L) -> ((2L, 0L))))
+    val stats = ext.TextOps.invertedIndexStats(idx, "id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(stats === Map("a" -> ((1L, 2L)), "b" -> ((2L, 3L)), "c" -> ((1L, 1L))))
+  }
+
   // --- Time-weighted average ------------------------------------------------
 
   test("timeWeightedAvg: gap weighting, zero-weight last obs, single-obs NULL") {

@@ -54,19 +54,35 @@ object Bench {
       val (a, b) = (run(name), run(name))
       name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
-    // The driver keeps only the LAST ~2000 chars of output; a 140-query
-    // map overflows that window. Emit queries sorted ASCENDING by time so
-    // truncation can only cut the cheapest entries, round to ms to shrink
-    // the line, and put the summary fields AFTER the map so total/failed
-    // always survive the tail capture.
-    val qs = results.sortBy(_._2)
+    // The driver keeps only the LAST ~2000 chars of output, and its JSON
+    // parse needs the final line COMPLETE — a 150-query map is ~3 KB, so
+    // truncation used to cut the line's head and zero the round's bench
+    // (BENCH_r04 `parsed: null`). Two emissions instead:
+    //   1. the full map on a "[bench-full]"-prefixed line (dev archive;
+    //      the prefix keeps a truncated fragment from ever parsing as the
+    //      result line),
+    //   2. a compact final line guaranteed to fit the tail window: the
+    //      BASELINE.md headline queries + every failure + the slowest
+    //      entries, `omitted` counting what was cut. Summary fields
+    //      (n/total/failed) cover the WHOLE suite either way.
+    def fmt(kvs: Seq[(String, Double)]): String = kvs
       .map { case (k, v) =>
         "\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.3f") }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"queries":$qs,"n":${results.length},"failed":$failed,"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir"}""")
+    val headline = Set("q_merge_upsert", "q_direct_copy", "q_source_filter",
+      "q_agg_grouping", "q_force_distinct", "q_distinct_count", "q_fk_lookup",
+      "q_concat_columns", "q_pipeline_chain", "q_multi_pass", "q_tpch_q3",
+      "q_pipeline_full")
+    val byTimeDesc = results.sortBy(-_._2)
+    val kept = (byTimeDesc.filter { case (k, v) =>
+      headline.contains(k) || v < 0 } ++
+      byTimeDesc.filterNot { case (k, _) => headline.contains(k) }.take(50))
+      .distinct.sortBy(-_._2)
+    println("[bench-full] " + fmt(results.sortBy(-_._2)))
+    println(s"""{"queries":${fmt(kept)},"n":${results.length},"omitted":${results.length - kept.length},"failed":$failed,"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

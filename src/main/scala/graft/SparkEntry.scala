@@ -891,6 +891,107 @@ object SparkEntry {
     // §2.4/§2.5 beyond-reference: the classic 3-table analytic join
     // (TPC-H Q3 shape) — filtered dim broadcast under AQE, fact-fact
     // shuffle join on the order key, decimal-exact revenue, top-10
+    // TPC-H Q1 shape: one wide scan-side aggregate — the fullest test of
+    // map-side partial aggregation (6 sums + count collapse per partition
+    // before the 6-group exchange). Decimal-pinned sums, closing double
+    // division for the averages.
+    "q_tpch_q1" -> { (s, dir) =>
+      read(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("date") <= lit("2000-12-01").cast("date"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,4)")).alias("__sq"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).alias("__sp"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).alias("__sd"),
+          // charge is a 6-decimal exact rational (three 2-decimal
+          // factors); rounding its DOUBLE into decimal(18,4) lands on
+          // exact half-quantum boundaries where engines' rounding modes
+          // disagree (~0.7% of rows vs DuckDB) — so multiply EXACT
+          // decimal factors instead: each factor recovers its 2-decimal
+          // value losslessly, decimal×decimal is exact, and the sum is
+          // order-independent with no rounding anywhere
+          sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)")) *
+            (lit(1).cast("decimal(4,2)") + col("l_tax").cast("decimal(4,2)")))
+            .alias("__sc"),
+          sum(col("l_discount").cast("decimal(18,4)")).alias("__sdisc"),
+          count(lit(1)).alias("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("__sq").cast("double").alias("sum_qty"),
+          col("__sp").cast("double").alias("sum_base_price"),
+          col("__sd").cast("double").alias("sum_disc_price"),
+          col("__sc").cast("double").alias("sum_charge"),
+          (col("__sq").cast("double") / col("count_order")).alias("avg_qty"),
+          (col("__sp").cast("double") / col("count_order")).alias("avg_price"),
+          (col("__sdisc").cast("double") / col("count_order")).alias("avg_disc"),
+          col("count_order"))
+    },
+
+    // TPC-H Q5 shape: a 6-table snowflake — region/nation prune to an
+    // AQE-broadcast dim chain, customer and supplier co-constrain via the
+    // c_nationkey = s_nationkey equi-condition INSIDE the join (never a
+    // post-filter over a wider product), and the only big shuffle is
+    // lineitem ⋈ orders on the order key.
+    "q_tpch_q5" -> { (s, dir) =>
+      val nat = read(s, dir, "nation")
+        .join(read(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      val ord = read(s, dir, "orders")
+        .filter(col("o_orderdate").cast("date") >= lit("1996-01-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1997-01-01").cast("date"))
+        .select("o_orderkey", "o_custkey")
+      read(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(read(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(read(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).alias("__r"))
+        .select(col("n_name"), col("__r").cast("double").alias("revenue"))
+    },
+
+    // TPC-H Q18 shape: large-volume orders — a HAVING-style aggregate
+    // filter feeding a join back to the fact row. The quantity rollup
+    // reduces lineitem to order grain BEFORE any join (the small side is
+    // derived, not scanned), so the order/customer joins see only the
+    // qualifying keys.
+    "q_tpch_q18" -> { (s, dir) =>
+      val big = read(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).alias("__sq"))
+        .filter(col("__sq") > lit(300))
+      read(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(read(s, dir, "customer").select("c_custkey", "c_name"),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("__sq").cast("double").alias("sum_qty"))
+    },
+
+    // adjacent-bigram PMI collocations over documents (marginals measured
+    // before the min-count emission cut; ln over exact counts, rounded)
+    "q_pmi_pairs" -> ((s, dir) => ext.TextOps.pmiPairs(
+      read(s, dir, "documents"), "text", minCount = 5L)
+      .withColumn("pmi", round(col("pmi"), 6))),
+
+    // per-user ordered event-sequence assembly, earliest-50 cap
+    // (ts_us long micros — the events-table timestamp contract)
+    "q_event_sequences" -> ((s, dir) => ext.Funnel.sequences(
+      readEvents(s, dir), "user_id", "ts_us", "event_id", "event_type",
+      maxEvents = 50)),
+
+    // Pareto frontier of part size vs best retail price at that size
+    "q_pareto_front" -> ((s, dir) => ext.Stats.pareto2d(
+      read(s, dir, "part"), "p_size", "p_retailprice", bucketWidth = 10.0)),
+
     "q_tpch_q3" -> { (s, dir) =>
       val cust = read(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
@@ -3235,6 +3336,94 @@ object SparkEntry {
         |       CAST(SUM(n_chars) AS BIGINT) AS shard_tokens,
         |       CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / 20000.0 AS fill
         |FROM s GROUP BY source, shard""".stripMargin,
+
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+        |           (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) *
+        |           (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey,
+        |               SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sq
+        |             FROM lineitem GROUP BY l_orderkey
+        |             HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       CAST(sq AS DOUBLE) AS sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    // bigram extraction via list_zip of the two token-array slices;
+    // marginals summed FROM the pair counts, N = Σ pair counts, same
+    // ln shape rounded to 6
+    "q_pmi_pairs" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS ls FROM documents),
+        |bg AS (SELECT unnest(list_zip(ls[1:len(ls)-1], ls[2:len(ls)])) AS p
+        |       FROM t),
+        |pairs AS (SELECT p[1] AS a, p[2] AS b FROM bg
+        |          WHERE p[1] <> '' AND p[2] <> ''),
+        |cab AS (SELECT a, b, COUNT(*) AS c_ab FROM pairs GROUP BY a, b),
+        |ca AS (SELECT a, SUM(c_ab) AS ca FROM cab GROUP BY a),
+        |cb AS (SELECT b, SUM(c_ab) AS cb FROM cab GROUP BY b),
+        |n AS (SELECT SUM(c_ab) AS n FROM cab)
+        |SELECT cab.a, cab.b, c_ab,
+        |  round(ln(CAST(c_ab AS DOUBLE) * CAST(n AS DOUBLE) /
+        |           (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE))), 6) AS pmi
+        |FROM cab JOIN ca ON cab.a = ca.a JOIN cb ON cab.b = cb.b CROSS JOIN n
+        |WHERE c_ab >= 5""".stripMargin,
+
+    // ordered list() with the same (ts_us, event_id) sort, sliced to the
+    // earliest-50 cap before every derived field
+    "q_event_sequences" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |l AS (SELECT user_id,
+        |        list(struct_pack(t := ts_us, k := event_id,
+        |                         v := event_type)
+        |             ORDER BY ts_us, event_id) AS ev
+        |      FROM e GROUP BY user_id),
+        |c AS (SELECT user_id, ev[1:50] AS ev FROM l)
+        |SELECT user_id,
+        |  array_to_string(list_transform(ev, e -> e.v), ' -> ') AS sequence,
+        |  CAST(len(ev) AS BIGINT) AS n_events,
+        |  ev[1].t AS t_first, ev[len(ev)].t AS t_last
+        |FROM c""".stripMargin,
+
+    // frontier = distinct-size best-price points not beaten by any
+    // strictly larger size at >= price
+    "q_pareto_front" ->
+      """WITH pts AS (SELECT p_size, max(p_retailprice) AS p_retailprice
+        |             FROM part GROUP BY p_size)
+        |SELECT p_size, p_retailprice FROM pts p
+        |WHERE NOT EXISTS (SELECT 1 FROM pts q
+        |                  WHERE q.p_size > p.p_size
+        |                    AND q.p_retailprice >= p.p_retailprice)""".stripMargin,
 
     "q_tpch_q3" ->
       """WITH c AS (SELECT c_custkey FROM customer

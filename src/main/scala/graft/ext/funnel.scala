@@ -87,4 +87,38 @@ object Funnel {
       .groupBy(col("cohort"), (col("__p") - col("cohort")).alias("periods_since"))
       .agg(countDistinct(col(userCol)).alias("n_active"))
   }
+
+  /** Per-key ordered event-sequence assembly — the "events → training
+    * example" step: each key's events become ONE row holding the
+    * time-ordered label sequence (joined with `sep`), its length, and the
+    * span timestamps. This is how interaction logs become
+    * sequence-modeling corpora (next-event prediction, session LM).
+    *
+    * Determinism: events sort by (ts, tieCol) INSIDE the group via
+    * `array_sort` on structs — the output is independent of partitioning
+    * and shuffle order, unlike a bare `collect_list`. `maxEvents` caps
+    * the per-key array AFTER the sort (earliest-N contract), bounding
+    * row width under hot keys.
+    *
+    * Scale: one hash aggregate keyed on `keyCol`; the sort is per-group
+    * row-local work. The cap means a 100 TB pathological key costs one
+    * skewed reduce task, not an OOM — for heavy keys beyond that,
+    * pre-sessionize ([[graft.ext.Timeseries]] sessionization) so groups
+    * are time-bounded before assembly.
+    */
+  def sequences(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, labelCol: String, sep: String = " -> ",
+      maxEvents: Int = 1000): DataFrame = {
+    require(maxEvents >= 1, "maxEvents must be >= 1")
+    events.groupBy(col(keyCol))
+      .agg(collect_list(struct(col(tsCol).alias("t"),
+        col(tieCol).alias("k"), col(labelCol).alias("v"))).alias("__ev"))
+      .select(col(keyCol),
+        slice(array_sort(col("__ev")), 1, maxEvents).alias("__ev"))
+      .select(col(keyCol),
+        array_join(transform(col("__ev"), e => e("v")), sep).alias("sequence"),
+        size(col("__ev")).cast("long").alias("n_events"),
+        element_at(col("__ev"), 1)("t").alias("t_first"),
+        element_at(col("__ev"), -1)("t").alias("t_last"))
+  }
 }

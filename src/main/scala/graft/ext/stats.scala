@@ -111,4 +111,44 @@ object Stats {
       .select(col(idCol), col(byCol), x,
         round((d(x) - mean) / std, scale).alias("z"))
   }
+
+  /** 2-D Pareto frontier (maximize both axes): the distinct (x, max-y)
+    * points not dominated by any point with strictly larger x and ≥ y —
+    * the quality-vs-cost selection curve ("at every length budget, the
+    * best achievable quality") a curation pipeline sweeps instead of
+    * picking one threshold blind.
+    *
+    * Scale shape: (1) one hash aggregate collapses the corpus to
+    * distinct-x points (max y per x) — the only pass over the data;
+    * (2) a coarse `floor(x / bucketWidth)` pre-filter kills every point
+    * beaten by a LATER bucket's max-y (bucket b' > b implies every x' in
+    * b' is strictly greater than every x in b, so the bucket running-max
+    * is a sound dominator) — the running max is a window over the ~x
+    * range / bucketWidth bucket rows, never the data; (3) the exact
+    * frontier scan runs only on the surviving candidates (per bucket,
+    * points above all later-bucket maxima — in practice a handful per
+    * bucket). The single-partition windows touch bucket counts and
+    * survivors, not the corpus.
+    */
+  def pareto2d(df: DataFrame, xCol: String, yCol: String,
+      bucketWidth: Double = 1.0): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol)).agg(max(col(yCol)).alias("__y"))
+    val bucketed = pts.withColumn("__b",
+      floor(col(xCol).cast("double") / lit(bucketWidth)))
+    val laterMax = Window.orderBy(col("__b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val domBy = bucketed.groupBy("__b").agg(max("__y").alias("__bm"))
+      .withColumn("__dom", max(col("__bm")).over(laterMax))
+      .select("__b", "__dom")
+    val cand = bucketed.join(domBy, "__b")
+      .filter(col("__dom").isNull || col("__y") > col("__dom"))
+    val larger = Window.orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cand.withColumn("__cm", max(col("__y")).over(larger))
+      .filter(col("__cm").isNull || col("__y") > col("__cm"))
+      .select(col(xCol), col("__y").alias(yCol))
+  }
 }

@@ -721,4 +721,47 @@ object TextOps {
     }
     array_sort(filter(array(hits: _*), t => t.isNotNull))
   }
+
+  /** Pointwise mutual information over adjacent token bigrams:
+    * `pmi(a,b) = ln(N · c(a,b) / (c(a,·) · c(·,b)))` with counts from the
+    * corpus bigram distribution (marginals are bigram-position marginals,
+    * so Σc(a,·) = Σc(·,b) = N exactly). The collocation detector —
+    * "new york"-style phrases surface as high-PMI pairs, and the output
+    * feeds tokenizer merge rules and stop-phrase lists.
+    *
+    * `minCount` prunes rare pairs AFTER the marginals are measured (the
+    * distribution stays honest; only the emission is cut). Emits
+    * (a, b, c_ab, pmi); pmi is one `ln` per emitted row over exact
+    * counts — no sum-of-doubles anywhere, so results are bit-stable
+    * across engines and partitionings.
+    *
+    * Scale: bigram extraction is narrow (one `arrays_zip` of two array
+    * slices per doc); counting is one hash aggregate keyed (a,b); the
+    * two marginal aggregates reduce FROM the pair counts (never re-scan
+    * the corpus) and join back keyed on a single token — all shuffles
+    * carry distinct pairs, bounded by vocabulary², in practice ≪ corpus
+    * size. N is a 1-row aggregate cross-joined (broadcast) onto the
+    * output.
+    */
+  def pmiPairs(df: DataFrame, textCol: String,
+      minCount: Long = 2L): DataFrame = {
+    val toks = tokens(col(textCol))
+    val pairs = df
+      .select(arrays_zip(
+        slice(toks, lit(1), size(toks) - 1).alias("a"),
+        slice(toks, lit(2), size(toks) - 1).alias("b")).alias("__bg"))
+      .select(explode(col("__bg")).alias("p"))
+      .select(col("p.a").alias("a"), col("p.b").alias("b"))
+      .filter(col("a") =!= "" && col("b") =!= "")
+    val cab = pairs.groupBy("a", "b").agg(count(lit(1)).alias("c_ab"))
+    val ca = cab.groupBy("a").agg(sum("c_ab").alias("__ca"))
+    val cb = cab.groupBy("b").agg(sum("c_ab").alias("__cb"))
+    val n = cab.agg(sum("c_ab").alias("__n"))
+    cab.filter(col("c_ab") >= minCount)
+      .join(ca, "a").join(cb, "b").crossJoin(n)
+      .select(col("a"), col("b"), col("c_ab"),
+        log(col("c_ab").cast("double") * col("__n").cast("double") /
+          (col("__ca").cast("double") * col("__cb").cast("double")))
+          .alias("pmi"))
+  }
 }

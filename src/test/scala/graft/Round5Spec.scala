@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit laws for the round-5 additions: bigram PMI collocations,
+  * per-key event-sequence assembly, and the 2-D Pareto frontier.
+  */
+class Round5Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- PMI ---------------------------------------------------------------
+
+  test("pmiPairs: counts from adjacent bigrams, marginals before the cut") {
+    // corpus bigrams: (a b) ×3, (b a) ×3 (2 in doc1 + doc2), (b c) ×1 → N = 7
+    val df = Seq("a b a b a b c", "b a").toDF("text")
+    val got = ext.TextOps.pmiPairs(df, "text", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // (b c) exists in the distribution (marginal c(b,·) counts it) but is
+    // cut from the emission by minCount
+    assert(got.keySet === Set(("a", "b"), ("b", "a")))
+    val (cab, pmi) = got(("a", "b"))
+    assert(cab === 3L)
+    // c(a,·)=3, c(·,b)=3 → ln(3·7 / (3·3))
+    assert(math.abs(pmi - math.log(21.0 / 9.0)) < 1e-12)
+    val (cba, pmiBa) = got(("b", "a"))
+    assert(cba === 3L)
+    // c(b,·)=4 (includes the cut (b,c)), c(·,a)=3 → ln(3·7 / (4·3))
+    assert(math.abs(pmiBa - math.log(21.0 / 12.0)) < 1e-12)
+  }
+
+  test("pmiPairs: empty tokens never form pairs") {
+    val df = Seq("a  b").toDF("text") // double space → '' between a and b
+    val got = ext.TextOps.pmiPairs(df, "text", minCount = 1L).collect()
+    assert(got.isEmpty) // both adjacencies involve the '' token
+  }
+
+  // --- Event sequences ---------------------------------------------------
+
+  test("sequences: time-ordered join, tie broken by tieCol, cap keeps earliest") {
+    val df = Seq(
+      (1L, 10L, 2L, "b"), (1L, 10L, 1L, "a"), (1L, 5L, 9L, "s"),
+      (2L, 7L, 1L, "x"), (1L, 99L, 0L, "z"),
+    ).toDF("u", "t", "e", "typ")
+    val got = ext.Funnel.sequences(df, "u", "t", "e", "typ",
+        sep = "|", maxEvents = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // user 1: (5,s) (10,a) (10,b) (99,z) → cap 3 keeps earliest three
+    assert(got(1L) === (("s|a|b", 3L, 5L, 10L)))
+    assert(got(2L) === (("x", 1L, 7L, 7L)))
+  }
+
+  // --- Pareto frontier ---------------------------------------------------
+
+  test("pareto2d: frontier points only, duplicates collapsed, nulls dropped") {
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 9.0), (1.0, 4.0),   // x=1 keeps y=9 — frontier (nothing right is >= 9)
+      (2.0, 9.0),               // dominates nothing left of it? x=2,y=9 dominates (1,9)? y>=9 and x>1 → yes
+      (5.0, 3.0),               // frontier (rightmost among y>=3 until x=7)
+      (7.0, 3.0),               // dominates (5,3)
+      (8.0, 1.0),               // frontier (largest x)
+      (null, 5.0), (3.0, null), // dropped
+    ).toDF("x", "y")
+    val got = ext.Stats.pareto2d(df, "x", "y", bucketWidth = 2.0)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(got === Set((2.0, 9.0), (7.0, 3.0), (8.0, 1.0)))
+  }
+
+  test("pareto2d: bucket prefilter is sound across widths (same answer)") {
+    val xs = (1 to 200).map(i => (i.toDouble % 37, (i * 31 % 97).toDouble))
+    val df = xs.toDF("x", "y")
+    val exact = ext.Stats.pareto2d(df, "x", "y", bucketWidth = 1000.0)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    for (w <- Seq(0.5, 3.0, 10.0)) {
+      val got = ext.Stats.pareto2d(df, "x", "y", bucketWidth = w)
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+      assert(got === exact, s"bucketWidth=$w")
+    }
+  }
+}

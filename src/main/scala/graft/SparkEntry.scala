@@ -576,6 +576,26 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     },
 
+    // late-interaction MaxSim: items are 4-vector bags (vec_id div 4),
+    // first 10 bags query the rest; top-5 per query by the summed
+    // per-vector maxima
+    "q_maxsim" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = read(s, dir, "embeddings").select(
+        expr("vec_id div 4").alias("item"),
+        col("vec_id").alias("vid"), col("embedding"))
+      val qs = e.filter(col("item") < 10)
+      val pairs = qs.select(col("item").alias("q_item")).distinct()
+        .crossJoin(e.select(col("item").alias("d_item")).distinct())
+        .filter(col("q_item") =!= col("d_item"))
+      ext.Similarity
+        .maxSimScore(qs, e, pairs, "q_item", "d_item", "item", "vid",
+          "embedding")
+        .withColumn("rnk", row_number().over(Window.partitionBy("q_item")
+          .orderBy(col("score").desc, col("d_item"))))
+        .filter(col("rnk") <= 5)
+    },
+
     // similarity: sign-LSH approximate top-k — oracle is generated SQL with
     // the seeded hyperplanes embedded as literals (see knnLshOracle); recall
     // vs brute force additionally asserted in ExtSpec
@@ -1182,6 +1202,14 @@ object SparkEntry {
     "q_vocabulary" -> ((s, dir) =>
       ext.TextOps.vocabulary(read(s, dir, "documents"), "text", minDf = 5L)),
 
+    // tokenizer-coverage audit: per-doc OOV rate against the same
+    // min-df-5 vocabulary
+    "q_oov_rate" -> { (s, dir) =>
+      val docs = read(s, dir, "documents")
+      ext.TextOps.oovRate(docs, "doc_id", "text",
+        ext.TextOps.vocabulary(docs, "text", minDf = 5L))
+    },
+
     // tokenizer-prep composite: encode every doc against that vocabulary
     // (order-preserving id sequence, OOV → −1, broadcast vocab join)
     "q_encode_docs" -> { (s, dir) =>
@@ -1526,6 +1554,14 @@ object SparkEntry {
       ext.Profile.heavyHitters(keyed, "k", support = 0.01, capacity = 128)
     },
 
+    // count–min sketch cells over document tokens (tf-weighted by
+    // construction: one increment per token occurrence); 4×1024
+    "q_cms" -> ((s, dir) => ext.Profile.countMinCells(
+      read(s, dir, "documents")
+        .select(explode(ext.TextOps.tokens(col("text"))).alias("tok"))
+        .filter(col("tok") =!= ""),
+      "tok", lit(1L), depth = 4, width = 1024)),
+
     // Johnson-Lindenstrauss random projection 64→8: per-coordinate native
     // dot products against seeded Gaussian planes, exploded to
     // (vec_id, j, coord) rows; rounded to 6 — DuckDB's list_dot_product
@@ -1656,15 +1692,22 @@ object SparkEntry {
     // independently oracled; the oracle replays the whole chain
     "q_web_pipeline" -> { (s, dir) =>
       val docs = read(s, dir, "documents").withColumn("url", messyUrl)
+      // materialized once: the blocklist + URL-regex lineage feeds BOTH
+      // the line-dedup chain and the final metadata join, and the
+      // line-dedup result feeds linearScore twice (vectorizer + id set)
+      // — without the eager checkpoint the whole regex/explode chain
+      // re-executes per consumer
       val unblocked = ext.Web
         .filterBlockedDomains(docs, "url", Seq("src0.com", "src1.co.uk"))
         .withColumn("domain",
           ext.Web.registeredDomain(ext.Web.host(col("url"))))
+        .localCheckpoint()
       val lined = unblocked.select(col("doc_id"), col("domain"),
         regexp_replace(col("text"), "((\\S+ ){4}\\S+) ", "$1\n").alias("t"))
       val cleaned = ext.TextOps
         .dedupLinesByGroup(lined, "doc_id", "t", "domain", maxDf = 2)
         .withColumn("text", regexp_replace(col("text_clean"), "\n", " "))
+        .localCheckpoint()
       val scored = ext.TextOps.linearScore(cleaned, "doc_id", "text",
         classifierWeights, bias = 0.5, dim = 1024, threshold = 0.0)
       val kept = scored.filter(col("keep"))
@@ -2117,6 +2160,19 @@ object SparkEntry {
         |           FROM events)
         |SELECT k, COUNT(*) AS n FROM k GROUP BY k
         |HAVING COUNT(*) >= CEIL(0.01 * (SELECT COUNT(*) FROM events))""".stripMargin,
+
+    // every CMS cell rebuilt from the md5-slice contract: row r's bucket
+    // is hex slice [8r, 8r+8) of md5(token) mod width, idx = r·1024 + b
+    "q_cms" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |           FROM documents),
+        |tk AS (SELECT tok FROM t WHERE tok <> ''),
+        |r AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |cells AS (SELECT CAST(r.r * 1024 +
+        |    CAST('0x' || substr(md5(tk.tok), 1 + 8 * r.r, 8) AS UBIGINT)
+        |      % 1024 AS BIGINT) AS idx
+        |  FROM tk CROSS JOIN r)
+        |SELECT idx, COUNT(*) AS cnt FROM cells GROUP BY idx""".stripMargin,
 
     "q_knn_lsh" -> knnLshOracle,
     "q_embed_neardup_lsh" -> embedNearDupLshOracle,
@@ -2818,6 +2874,28 @@ object SparkEntry {
         |SELECT a.vec_id, CAST(a.list AS INTEGER) AS cluster
         |FROM assign a
         |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.b_id = a.vec_id)""".stripMargin,
+
+    // MaxSim replayed relationally: per-(pair, query-vector) max of
+    // 6-rounded cosines, exact decimal sum, same top-5 window
+    "q_maxsim" ->
+      """WITH e AS (SELECT vec_id // 4 AS item, vec_id AS vid,
+        |                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT item, vid, v, sqrt(list_dot_product(v, v)) AS nrm
+        |      FROM e),
+        |q AS (SELECT * FROM n WHERE item < 10),
+        |cos AS (SELECT q.item AS q_item, d.item AS d_item, q.vid AS qv,
+        |          round(list_dot_product(q.v, d.v) / (q.nrm * d.nrm), 6) AS c
+        |        FROM q JOIN n d ON d.item <> q.item),
+        |mx AS (SELECT q_item, d_item, qv, max(c) AS m FROM cos
+        |       GROUP BY 1, 2, 3),
+        |sc AS (SELECT q_item, d_item,
+        |         CAST(SUM(CAST(m AS DECIMAL(18,6))) AS DOUBLE) AS score
+        |       FROM mx GROUP BY 1, 2),
+        |r AS (SELECT q_item, d_item, score,
+        |        CAST(row_number() OVER (PARTITION BY q_item
+        |          ORDER BY score DESC, d_item) AS INTEGER) AS rnk
+        |      FROM sc)
+        |SELECT q_item, d_item, score, rnk FROM r WHERE rnk <= 5""".stripMargin,
 
     "q_knn_bruteforce" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -3712,6 +3790,28 @@ object SparkEntry {
         |       COUNT(DISTINCT n_chars) FROM documents""".stripMargin,
 
     // zipWithIndex over the (df desc, token) total order == row_number − 1
+    // same min-df-5 vocab rebuilt, then per-doc membership counting;
+    // empty docs rejoin with 0/0/NULL
+    "q_oov_rate" ->
+      """WITH v AS (SELECT token FROM (
+        |             SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        |             FROM documents)
+        |           GROUP BY token HAVING COUNT(*) >= 5),
+        |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |      FROM documents),
+        |tk AS (SELECT doc_id, token FROM t WHERE token <> ''),
+        |c AS (SELECT tk.doc_id, COUNT(*) AS n_tokens,
+        |        CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_oov
+        |      FROM tk LEFT JOIN v ON tk.token = v.token
+        |      GROUP BY tk.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(n_tokens, 0) AS n_tokens,
+        |  COALESCE(n_oov, 0) AS n_oov,
+        |  CASE WHEN COALESCE(n_tokens, 0) > 0
+        |       THEN CAST(n_oov AS DOUBLE) / n_tokens END AS oov_rate
+        |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id""".stripMargin,
+
     "q_vocabulary" ->
       """WITH v AS (SELECT token, COUNT(*) AS df FROM (
         |             SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token

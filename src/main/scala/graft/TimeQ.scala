@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev timing utility: `runMain graft.TimeQ <q1>[,<q2>,…] [sfDir] [reps]`
+  * — per-query wall seconds under the same session shape as
+  * [[Bench]] (warmup pass, then `reps` timed passes, min reported).
+  * For iterating on one query without paying the whole-suite run.
+  */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").toSeq
+    val sfDir = args.drop(1).headOption
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val reps = args.drop(2).headOption.map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def run(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); System.gc()
+      dt
+    }
+    names.foreach(run) // warmup
+    names.foreach { n =>
+      val ts = (1 to reps).map(_ => run(n))
+      println(f"[timeq] $n min=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Data profiling — the look-before-you-migrate step (and the
@@ -197,4 +197,26 @@ object Profile {
       .groupBy(col(keyCol)).agg(count(lit(1)).alias("n"))
       .filter(col("n") >= threshold)
   }
+
+  /** Materialized count–min sketch of a weighted key column — the
+    * nonzero cells `(idx, cnt)` of a `depth × width` CMS
+    * ([[graft.functions.CountMinAgg]]), row-major `idx = r·width +
+    * bucket_r(key)`. The sketch answers "how often is ANY key" in fixed
+    * space afterwards via [[graft.functions.CountMinAgg.estimate]];
+    * cells (not an opaque binary) are the output so the sketch is
+    * engine-portable and directly joinable/diffable.
+    *
+    * Scale: ONE aggregate with element-wise-additive partial states —
+    * every partition contributes a fixed depth·width vector regardless
+    * of key cardinality; the cell explode happens on the single merged
+    * row.
+    */
+  def countMinCells(df: DataFrame, keyCol: String, weight: Column,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    df.agg(graft.functions.CountMinAgg.column(
+        col(keyCol).cast("string"), weight.cast("long"), depth, width)
+        .alias("__cms"))
+      .select(posexplode(col("__cms")).as(Seq("idx", "cnt")))
+      .filter(col("cnt") > 0)
+      .select(col("idx").cast("long"), col("cnt"))
 }

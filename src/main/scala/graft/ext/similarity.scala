@@ -428,4 +428,51 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("q_id", "n_id", "sim", "rnk")
   }
+
+  /** Late-interaction MaxSim scoring (the ColBERT retrieval contract):
+    * items are BAGS of vectors, and
+    * `score(q, d) = Σ_{qv ∈ q} max_{dv ∈ d} cosine(qv, dv)` — each query
+    * vector finds its best match in the document independently, then the
+    * per-query-vector maxima sum. Strictly more expressive than one
+    * pooled vector per item: a document matches on several aspects at
+    * once.
+    *
+    * Inputs are per-VECTOR frames (`itemCol`, `vecIdCol` unique per
+    * vector, `vecCol`) and an explicit candidate-pair frame (`q_item`,
+    * `d_item`) — candidate generation is a separate concern
+    * ([[lshTopK]]/[[ivfTopK]] over pooled or individual vectors), so the
+    * quadratic rescoring cost is bounded by the candidate list, never
+    * item × item. Emits (q_item, d_item, score).
+    *
+    * Determinism: per-pair cosines round to 6 decimals, the per-vector
+    * maxima sum as exact DECIMAL(18,6) (order-independent), one closing
+    * double cast.
+    *
+    * Scale: two hash joins keyed on the item ids fan the candidate pairs
+    * out to vector granularity (pairs × |q-vectors| × |d-vectors| rows —
+    * the caller budgets via candidate count and bag sizes); two hash
+    * aggregates (max, then sum) collapse back. Query bags are usually
+    * tiny and AQE broadcasts them; nothing is ever all-pairs.
+    */
+  def maxSimScore(qVecs: DataFrame, dVecs: DataFrame, pairs: DataFrame,
+      qItemCol: String, dItemCol: String,
+      itemCol: String, vecIdCol: String, vecCol: String): DataFrame = {
+    val q = qVecs.select(col(itemCol).alias("__qi"),
+      col(vecIdCol).alias("__qv"), col(vecCol).alias("__qx"))
+      .withColumn("__qn", norm(col("__qx")))
+    val d = dVecs.select(col(itemCol).alias("__di"),
+      col(vecIdCol).alias("__dv"), col(vecCol).alias("__dx"))
+      .withColumn("__dn", norm(col("__dx")))
+    pairs.select(col(qItemCol), col(dItemCol))
+      .join(q, col(qItemCol) === col("__qi"))
+      .join(d, col(dItemCol) === col("__di"))
+      .withColumn("__cos",
+        round(dot(col("__qx"), col("__dx")) / (col("__qn") * col("__dn")), 6))
+      .groupBy(col(qItemCol), col(dItemCol), col("__qv"))
+      .agg(max(col("__cos")).alias("__mx"))
+      .groupBy(col(qItemCol), col(dItemCol))
+      .agg(sum(col("__mx").cast("decimal(18,6)")).alias("__s"))
+      .select(col(qItemCol), col(dItemCol),
+        col("__s").cast("double").alias("score"))
+  }
 }

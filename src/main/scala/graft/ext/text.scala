@@ -508,6 +508,37 @@ object TextOps {
         expr("transform(sort_array(collect_list(struct(pos, tid))), " +
           "x -> cast(x.tid as string))")).alias("ids"))
 
+  /** Per-document out-of-vocabulary rate against a vocabulary frame (a
+    * `token` column, e.g. [[vocabulary]]'s output) — the tokenizer-
+    * coverage audit: high OOV flags domain drift, encoding damage, or
+    * the wrong tokenizer for the corpus, BEFORE a training run pays for
+    * it. Emits (idCol, n_tokens, n_oov, oov_rate); empty docs get
+    * (0, 0, NULL).
+    *
+    * Scale: one token explode + a broadcast left join against the vocab
+    * (vocabularies are O(100k) rows — always the small side) + one hash
+    * aggregate back to doc grain; the final left join restores empty
+    * docs. Same shuffle budget as [[encode]].
+    */
+  def oovRate(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val counted = df
+      .select(col(idCol), explode(tokens(col(textCol))).alias("token"))
+      .filter(col("token") =!= "")
+      .join(broadcast(vocab.select(col("token")).distinct()
+        .withColumn("__in", lit(1))), Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).alias("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).alias("n_oov"))
+    df.select(col(idCol)).join(counted, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).alias("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).alias("n_oov"))
+      .withColumn("oov_rate",
+        when(col("n_tokens") > 0,
+          col("n_oov").cast("double") / col("n_tokens")))
+  }
+
   /** Canonical text normalization for normalized-key dedup: lowercase,
     * non-alphanumerics → space, whitespace collapsed, trimmed — so
     * "Hello,  World!" and "hello world" dedup together. Pure codegen'd

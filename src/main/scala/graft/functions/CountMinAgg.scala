@@ -1,0 +1,141 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count–min sketch over string keys (Cormode & Muthukrishnan 2005) —
+  * the mergeable frequency summary: `depth × width` counters, each row r
+  * hashing the key independently, point estimate = min over rows (always
+  * an OVERestimate; error ≤ N·e/width with probability 1−e^−depth).
+  * Complements [[MisraGriesAgg]]: MG answers "which keys are heavy",
+  * CMS answers "how often is THIS key" for any key, in fixed space.
+  *
+  * Mergeability is element-wise addition, so partial aggregation works
+  * everywhere Spark can place it: the shuffle carries one fixed
+  * `depth·width`-long vector per partition — never the key cardinality —
+  * which is the whole point at 100 TB (a billion-token vocabulary
+  * reduces to a few KB per partition).
+  *
+  * Engine-portable hashing: row r's bucket is hex slice
+  * `md5(key)[8r, 8r+8)` (32 bits) mod `width` — ONE md5 per update, d
+  * independent-enough slices, and an oracle can rebuild every cell with
+  * `CAST('0x' || substr(md5(k), 1+8*r, 8) AS UBIGINT) % width` (the
+  * [[graft.ext.TextOps.hashingVectorize]] md5-slice discipline). Depth is
+  * therefore capped at 4 (md5 has four disjoint 8-hex slices).
+  *
+  * `weight` is an arbitrary long expression (e.g. a precomputed tf);
+  * NULL keys and NULL weights are skipped. Evaluates to
+  * `array<bigint>` of length depth·width, row-major.
+  */
+case class CountMinAgg(
+    key: Expression,
+    weight: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(depth >= 1 && depth <= 4, "count_min depth in [1, 4]")
+  require(width >= 2 && width <= (1 << 20), "count_min width in [2, 2^20]")
+
+  override def children: Seq[Expression] = Seq(key, weight)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (key.dataType, weight.dataType) match {
+      case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (k, w) => TypeCheckResult.TypeCheckFailure(
+        s"count_min requires (STRING, BIGINT), got " +
+          s"(${k.catalogString}, ${w.catalogString})")
+    }
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val k = key.eval(input)
+    val w = weight.eval(input)
+    if (k == null || w == null) return buf
+    val hex = CountMinAgg.md5Hex(
+      k.asInstanceOf[UTF8String].getBytes)
+    var r = 0
+    while (r < depth) {
+      val slice = java.lang.Long.parseLong(hex.substring(8 * r, 8 * r + 8), 16)
+      buf(r * width + (slice % width).toInt) += w.asInstanceOf[Long]
+      r += 1
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(buf.map(_.asInstanceOf[Any]))
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CountMinAgg =
+    copy(key = newChildren(0), weight = newChildren(1))
+
+  override def prettyName: String = "count_min"
+}
+
+object CountMinAgg {
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val md = MessageDigest.getInstance("MD5")
+    val d = md.digest(bytes)
+    val sb = new java.lang.StringBuilder(32)
+    d.foreach(b => sb.append(f"$b%02x"))
+    sb.toString
+  }
+
+  def column(key: Column, weight: Column, depth: Int, width: Int): Column =
+    Bridge.column(CountMinAgg(Bridge.expression(key),
+      Bridge.expression(weight), depth, width).toAggregateExpression())
+
+  /** Point estimate from a materialized sketch array: min over the depth
+    * rows of the key's cell — computed per-row against a (usually
+    * literal/broadcast) sketch column.
+    */
+  def estimate(sketch: Column, key: Column, depth: Int, width: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val hex = md5(key.cast("binary"))
+    val cells = (0 until depth).map { r =>
+      element_at(sketch,
+        (conv(substring(hex, 8 * r + 1, 8), 16, 10).cast("long") % width)
+          .cast("int") + lit(r * width) + 1)
+    }
+    least(cells: _*)
+  }
+}

@@ -53,6 +53,28 @@ class Round5Spec extends AnyFunSuite {
     assert(got(2L) === (("x", 1L, 7L, 7L)))
   }
 
+  // --- MaxSim ------------------------------------------------------------
+
+  test("maxSimScore: each query vector takes its own best match, maxima sum") {
+    // q item 1: two orthogonal unit vectors; d item 10 holds exact matches
+    // for both (score 2), d item 11 matches only the first (score 1+0)
+    val qv = Seq((1L, 100L, Seq(1.0f, 0.0f)), (1L, 101L, Seq(0.0f, 1.0f)))
+      .toDF("item", "vid", "vec")
+    val dv = Seq(
+      (10L, 200L, Seq(1.0f, 0.0f)), (10L, 201L, Seq(0.0f, 1.0f)),
+      (11L, 202L, Seq(1.0f, 0.0f)), (11L, 203L, Seq(-1.0f, 0.0f)),
+    ).toDF("item", "vid", "vec")
+    val pairs = Seq((1L, 10L), (1L, 11L)).toDF("q_item", "d_item")
+    val got = ext.Similarity
+      .maxSimScore(qv, dv, pairs, "q_item", "d_item", "item", "vid", "vec")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got((1L, 10L)) === 2.0)
+    // second query vector's best in item 11 is cos=0 (orthogonal) — the
+    // max picks 0 over -1, and the sum is 1 + 0
+    assert(got((1L, 11L)) === 1.0)
+  }
+
   // --- Pareto frontier ---------------------------------------------------
 
   test("pareto2d: frontier points only, duplicates collapsed, nulls dropped") {
@@ -67,6 +89,43 @@ class Round5Spec extends AnyFunSuite {
     val got = ext.Stats.pareto2d(df, "x", "y", bucketWidth = 2.0)
       .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
     assert(got === Set((2.0, 9.0), (7.0, 3.0), (8.0, 1.0)))
+  }
+
+  // --- Count-min sketch --------------------------------------------------
+
+  test("count_min: cells sum to depth·N, estimate is an upper bound, " +
+      "exact without collisions; merge across partitions") {
+    val keys = Seq.fill(7)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")
+    val df = keys.toDF("k").repartition(8) // forces partial-state merges
+    val cells = ext.Profile.countMinCells(df, "k", lit(1L),
+      depth = 4, width = 1024)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells.values.sum === 4L * keys.length) // every row counts each key
+    val sketchDf = df.agg(functions.CountMinAgg.column(col("k"), lit(1L),
+      4, 1024).alias("s"))
+    val est = sketchDf.select(
+        functions.CountMinAgg.estimate(col("s"), lit("alpha"), 4, 1024).alias("a"),
+        functions.CountMinAgg.estimate(col("s"), lit("beta"), 4, 1024).alias("b"),
+        functions.CountMinAgg.estimate(col("s"), lit("zeta"), 4, 1024).alias("z"))
+      .head()
+    // 3 distinct keys in 1024 buckets: no collisions, estimates exact;
+    // an absent key reads 0 (all its cells untouched)
+    assert(est.getLong(0) === 7L)
+    assert(est.getLong(1) === 3L)
+    assert(est.getLong(2) === 0L)
+  }
+
+  test("count_min: weight column scales increments; null keys skipped") {
+    val df = Seq(("a", 5L), ("a", 2L), ("b", 1L), (null, 99L))
+      .toDF("k", "w")
+    val est = df.agg(functions.CountMinAgg.column(col("k"), col("w"),
+        2, 64).alias("s"))
+      .select(
+        functions.CountMinAgg.estimate(col("s"), lit("a"), 2, 64).alias("a"),
+        functions.CountMinAgg.estimate(col("s"), lit("b"), 2, 64).alias("b"))
+      .head()
+    assert(est.getLong(0) === 7L)
+    assert(est.getLong(1) === 1L)
   }
 
   test("pareto2d: bucket prefilter is sound across widths (same answer)") {

@@ -69,11 +69,16 @@ case class CountMinAgg(
     val k = key.eval(input)
     val w = weight.eval(input)
     if (k == null || w == null) return buf
-    val hex = CountMinAgg.md5Hex(
-      k.asInstanceOf[UTF8String].getBytes)
+    // hex slice [8r, 8r+8) of the digest == digest bytes [4r, 4r+4) read
+    // big-endian unsigned — same value as parsing the hex substring, no
+    // per-row string materialization
+    val d = CountMinAgg.digest.get()
+    d.reset()
+    val h = d.digest(k.asInstanceOf[UTF8String].getBytes)
     var r = 0
     while (r < depth) {
-      val slice = java.lang.Long.parseLong(hex.substring(8 * r, 8 * r + 8), 16)
+      val slice = ((h(4 * r) & 0xffL) << 24) | ((h(4 * r + 1) & 0xffL) << 16) |
+        ((h(4 * r + 2) & 0xffL) << 8) | (h(4 * r + 3) & 0xffL)
       buf(r * width + (slice % width).toInt) += w.asInstanceOf[Long]
       r += 1
     }
@@ -112,13 +117,8 @@ case class CountMinAgg(
 }
 
 object CountMinAgg {
-  private def md5Hex(bytes: Array[Byte]): String = {
-    val md = MessageDigest.getInstance("MD5")
-    val d = md.digest(bytes)
-    val sb = new java.lang.StringBuilder(32)
-    d.foreach(b => sb.append(f"$b%02x"))
-    sb.toString
-  }
+  private val digest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
   def column(key: Column, weight: Column, depth: Int, width: Int): Column =
     Bridge.column(CountMinAgg(Bridge.expression(key),

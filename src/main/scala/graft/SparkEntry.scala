@@ -908,6 +908,17 @@ object SparkEntry {
         groupCol = "source")
     },
 
+    // packing: fixed-length training sequences — the global token stream
+    // (whitespace tokens + 1 EOS per doc, ascending doc_id) cut into
+    // 2048-token sequences; distributed two-phase prefix sum, no global
+    // single-partition window
+    "q_pack_sequences" -> ((s, dir) =>
+      ext.Packing.packTokenSequences(
+        read(s, dir, "documents")
+          .select(col("doc_id"),
+            ext.TextOps.tokenCount(col("text")).alias("n_tokens")),
+        "doc_id", "n_tokens", seqLen = 2048L, sepTokens = 1)),
+
     // §2.4/§2.5 beyond-reference: the classic 3-table analytic join
     // (TPC-H Q3 shape) — filtered dim broadcast under AQE, fact-fact
     // shuffle join on the order key, decimal-exact revenue, top-10
@@ -1491,6 +1502,12 @@ object SparkEntry {
     "q_global_buckets" -> ((s, dir) => ext.Profile.globalBuckets(
       read(s, dir, "documents").select(col("doc_id"), col("n_chars")),
       "n_chars", n = 10)),
+
+    // cross-source quantile normalization of doc length onto the global
+    // distribution (score-calibration shape), 100-point grid
+    "q_quantile_norm" -> ((s, dir) => ext.Stats.quantileNormalize(
+      read(s, dir, "documents"), "doc_id", "n_chars", "source",
+      grid = 100)),
 
     // forward as-of join: per event, the EARLIEST signup value at-or-after
     // its timestamp (next-touch attribution) — the backward machinery on
@@ -2079,6 +2096,21 @@ object SparkEntry {
          |SELECT doc_id, n_chars, 1 + $cases AS bucket
          |FROM documents, c""".stripMargin
     },
+
+    // same 100-point quantile_cont grid, same integer-only ceil index
+    "q_quantile_norm" ->
+      s"""WITH g AS (SELECT quantile_cont(n_chars,
+         |             [${(1 to 100).map(i => i / 100.0).mkString(", ")}])
+         |             AS grid FROM documents),
+         |r AS (SELECT doc_id, source, n_chars,
+         |        CAST(row_number() OVER (PARTITION BY source
+         |          ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+         |        COUNT(*) OVER (PARTITION BY source) AS n
+         |      FROM documents)
+         |SELECT doc_id, source, n_chars,
+         |  CAST(r AS DOUBLE) / n AS p,
+         |  grid[CAST((r * 100 + n - 1) // n AS INTEGER)] AS v_norm
+         |FROM r, g""".stripMargin,
 
     // forward as-of vs DuckDB's native ASOF with the inequality flipped
     "q_asof_forward" ->
@@ -3414,6 +3446,26 @@ object SparkEntry {
         |       CAST(SUM(n_chars) AS BIGINT) AS shard_tokens,
         |       CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / 20000.0 AS fill
         |FROM s GROUP BY source, shard""".stripMargin,
+
+    // sequence packing: the same global stream as ONE window running sum
+    // (the semantic the distributed two-phase prefix sum reproduces);
+    // integer // division, matching Spark's `div`
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_tokens,
+        |         COALESCE(SUM(n_tokens + 1) OVER (ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS tok_start
+        |  FROM d)
+        |SELECT doc_id, n_tokens, tok_start,
+        |       tok_start // 2048 AS seq_first,
+        |       (tok_start + GREATEST(n_tokens - 1, 0)) // 2048 AS seq_last,
+        |       tok_start % 2048 AS pos_in_seq
+        |FROM p""".stripMargin,
 
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,

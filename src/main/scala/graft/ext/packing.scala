@@ -60,4 +60,66 @@ object Packing {
         sum(col(tokenCol)).alias("shard_tokens"))
       .withColumn("fill",
         col("shard_tokens").cast("double") / lit(budget.toDouble))
+
+  /** Fixed-length training-sequence packing — the LAST step of a training
+    * pipeline: concatenate every document's tokens (plus `sepTokens`
+    * separator tokens after each doc, the EOS convention) in ascending
+    * `idCol` order into one global token stream, then cut that stream
+    * into sequences of exactly `seqLen` tokens. Emits, per doc:
+    * `tok_start` (global offset of the doc's first token), `seq_first` /
+    * `seq_last` (the sequence ids its own tokens land in — docs cross
+    * sequence boundaries, the standard packed-pretraining layout) and
+    * `pos_in_seq` (offset within `seq_first`). A 0-token doc occupies no
+    * tokens: its `seq_first`/`seq_last` are the sequence its separator
+    * starts in.
+    *
+    * The semantic is a GLOBAL running sum — the naive form is a window
+    * ordered by id with no partition key, which moves the corpus to one
+    * task. This is the distributed two-phase prefix sum instead:
+    * range-partition by id, per-partition running sums in parallel, then
+    * one `numParts`-row aggregate of partition totals turned into
+    * per-partition base offsets and broadcast-joined back. No single
+    * data-bound sort, no driver collect of anything data-sized; the only
+    * sequential scan is over `numParts` rows. `tok_start` depends only on
+    * the global id order, not on partition boundaries, so the result is
+    * identical at any parallelism — and oracle-able as the plain window
+    * sum in any SQL engine.
+    */
+  def packTokenSequences(df: DataFrame, idCol: String, tokenCol: String,
+      seqLen: Long, sepTokens: Int = 1, numParts: Int = 32): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(sepTokens >= 0, "sepTokens must be >= 0")
+    val cost = col(tokenCol).cast("long") + lit(sepTokens.toLong)
+    val ranged = df
+      .select(col(idCol), col(tokenCol).cast("long").alias(tokenCol))
+      .repartitionByRange(numParts, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    // per-partition running sum: parallel across range partitions, and
+    // RangePartitioner guarantees partition i's ids all precede i+1's
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("__cum", sum(cost).over(wLocal))
+    // base offset per partition = sum of earlier partitions' totals; the
+    // unpartitioned window here runs over numParts rows (parallelism, not
+    // data size), then broadcasts back — the classic carry propagation
+    val wCarry = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy(col("__pid"))
+      .agg(sum(cost).alias("__ptot"))
+      .withColumn("__off", coalesce(sum(col("__ptot")).over(wCarry), lit(0L)))
+      .select(col("__pid").alias("__opid"), col("__off"))
+    val start = col("__off") + col("__cum") - cost
+    val lastTok = start + // index of the doc's last OWN token (or its
+      greatest(col(tokenCol) - lit(1L), lit(0L)) // separator when empty)
+    local.join(broadcast(offsets), col("__pid") === col("__opid"))
+      .withColumn("tok_start", start)
+      .withColumn("__last", lastTok)
+      // integer `div`, never `/`: long/long division is IEEE double in
+      // Spark, and a floor over doubles goes inexact past 2^53 tokens
+      .withColumn("seq_first", expr(s"tok_start div ${seqLen}L"))
+      .withColumn("seq_last", expr(s"__last div ${seqLen}L"))
+      .withColumn("pos_in_seq", pmod(col("tok_start"), lit(seqLen)))
+      .select(col(idCol), col(tokenCol), col("tok_start"),
+        col("seq_first"), col("seq_last"), col("pos_in_seq"))
+  }
 }

@@ -112,6 +112,49 @@ object Stats {
         round((d(x) - mean) / std, scale).alias("z"))
   }
 
+  /** Cross-group quantile normalization — map every group's value
+    * distribution onto the GLOBAL distribution: a value at within-group
+    * percentile p becomes the global p-quantile. The score-calibration
+    * step when per-source quality scores aren't comparable (different
+    * classifiers, different languages): after normalization, "top 10%
+    * of src A" and "top 10% of src B" mean the same number, so one
+    * global threshold curates fairly across sources.
+    *
+    * Mechanics: within-group rank r of n (ties broken by `idCol` —
+    * deterministic), target grid index `⌈r·grid/n⌉` in INTEGER
+    * arithmetic (never FP — an exact-integer ratio computed in doubles
+    * can ceil one step high), normalized value = the global
+    * `idx/grid`-quantile from one exact `percentile` aggregate. Emits
+    * (idCol, byCol, valueCol, p, v_norm).
+    *
+    * Scale: the grid is ONE aggregate → `grid` doubles on the driver
+    * (fixed size, not data-bound) folded back as a literal array — no
+    * join; the per-group window parallelizes across groups. Grid
+    * resolution bounds the approximation like any quantile sketch;
+    * raise `grid` for finer tails.
+    */
+  def quantileNormalize(df: DataFrame, idCol: String, valueCol: String,
+      byCol: String, grid: Int = 100): DataFrame = {
+    require(grid >= 2 && grid <= 100000, "grid in [2, 1e5]")
+    import org.apache.spark.sql.expressions.Window
+    val fracs = (1 to grid).map(i => i.toDouble / grid)
+    val g = df.agg(expr(
+        s"percentile(`$valueCol`, array(${fracs.mkString(", ")}))"))
+      .head().getSeq[Double](0)
+    val w = Window.partitionBy(col(byCol))
+      .orderBy(col(valueCol), col(idCol))
+    val counts = df.groupBy(col(byCol).alias("__by"))
+      .agg(count(lit(1)).alias("__n"))
+    df.select(col(idCol), col(byCol), col(valueCol))
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .join(counts, col(byCol) === col("__by"))
+      .withColumn("p", col("__r").cast("double") / col("__n"))
+      .withColumn("v_norm", element_at(
+        array(g.map(lit): _*),
+        expr(s"cast((__r * $grid + __n - 1) div __n as int)")))
+      .select(col(idCol), col(byCol), col(valueCol), col("p"), col("v_norm"))
+  }
+
   /** 2-D Pareto frontier (maximize both axes): the distinct (x, max-y)
     * points not dominated by any point with strictly larger x and ≥ y —
     * the quality-vs-cost selection curve ("at every length budget, the

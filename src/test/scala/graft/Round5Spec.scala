@@ -53,6 +53,73 @@ class Round5Spec extends AnyFunSuite {
     assert(got(2L) === (("x", 1L, 7L, 7L)))
   }
 
+  // --- Quantile normalization -------------------------------------------
+
+  test("quantileNormalize: group percentiles map onto the global grid") {
+    // group a: 1..4 (low), group b: 101..104 (high); global median splits
+    val df = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 4.0),
+      (5L, "b", 101.0), (6L, "b", 102.0), (7L, "b", 103.0), (8L, "b", 104.0),
+    ).toDF("id", "g", "v")
+    val out = ext.Stats.quantileNormalize(df, "id", "v", "g", grid = 4)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // within each group ranks are 1..4 of 4 → p = .25 .5 .75 1; the
+    // normalized values are the same global quartiles FOR BOTH groups —
+    // that is the calibration property
+    val grid = df.agg(expr(
+      "percentile(v, array(0.25, 0.5, 0.75, 1.0))")).head().getSeq[Double](0)
+    assert(out(1L) === ((0.25, grid(0))))
+    assert(out(4L) === ((1.0, grid(3))))
+    assert(out(5L) === ((0.25, grid(0))))
+    assert(out(8L) === ((1.0, grid(3))))
+  }
+
+  test("quantileNormalize: exact-integer rank ratios never ceil high") {
+    // 10 rows in one group, grid=5: r=2 of 10 → idx must be exactly 1
+    // (2·5/10 = 1), not 2 — the FP-ceil trap
+    val df = (1 to 10).map(i => (i.toLong, "g", i.toDouble)).toDF("id", "g", "v")
+    val out = ext.Stats.quantileNormalize(df, "id", "v", "g", grid = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val grid = df.agg(expr(
+      "percentile(v, array(0.2, 0.4, 0.6, 0.8, 1.0))")).head().getSeq[Double](0)
+    assert(out(2L) === grid(0)) // idx 1, not 2
+    assert(out(10L) === grid(4))
+  }
+
+  // --- Token-sequence packing --------------------------------------------
+
+  test("packTokenSequences: offsets, boundary crossing, empty docs") {
+    // seqLen 10, sep 1: doc 1 (5 tok) @0; doc 2 (8 tok) @6 crosses into
+    // seq 1; doc 3 (0 tok) @15 owns no tokens; doc 4 (20 tok) @16 spans
+    // seqs 1..3
+    val df = Seq((1L, 5L), (2L, 8L), (3L, 0L), (4L, 20L))
+      .toDF("id", "n")
+    val got = ext.Packing.packTokenSequences(df, "id", "n", seqLen = 10L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got(1L) === ((0L, 0L, 0L, 0L)))
+    assert(got(2L) === ((6L, 0L, 1L, 6L)))
+    assert(got(3L) === ((15L, 1L, 1L, 5L)))
+    assert(got(4L) === ((16L, 1L, 3L, 6L)))
+  }
+
+  test("packTokenSequences: identical at any parallelism") {
+    val df = (1 to 500).map(i => (i.toLong, (i % 37).toLong)).toDF("id", "n")
+    def run(p: Int) = ext.Packing
+      .packTokenSequences(df, "id", "n", seqLen = 64L, numParts = p)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    val one = run(1)
+    assert(run(7) === one)
+    assert(run(32) === one)
+    // stream-length law: last doc's start + cost = total stream size
+    val total = (1 to 500).map(i => (i % 37).toLong + 1).sum
+    assert(one.last._2 + (500 % 37) + 1 === total)
+  }
+
   // --- MaxSim ------------------------------------------------------------
 
   test("maxSimScore: each query vector takes its own best match, maxima sum") {

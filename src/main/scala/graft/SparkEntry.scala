@@ -652,6 +652,17 @@ object SparkEntry {
         "text", k = 3)
     },
 
+    // span-level decontamination: excise contaminated 3-gram REGIONS
+    // (merged into maximal spans) instead of dropping whole docs;
+    // untouched docs pass through bit-identical
+    "q_decontam_spans" -> { (s, dir) =>
+      val docs = read(s, dir, "documents")
+      ext.Dedup.decontaminateSpans(
+        docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 7).select(col("text")),
+        "text", k = 3)
+    },
+
     // text analysis: within-doc repetition ratio (1 − distinct/total
     // 3-gram shingles) — the boilerplate/template-spam gate; narrow
     // per-row math, deterministic IEEE division
@@ -3058,6 +3069,54 @@ object SparkEntry {
         |       END AS contamination
         |FROM c LEFT JOIN tot t ON t.doc_id = c.doc_id
         |LEFT JOIN hit h ON h.doc_id = c.doc_id""".stripMargin,
+
+    // span decontamination replayed relationally: contaminated shingle
+    // starts → gaps-and-islands merge (strict-overlap rule, same as
+    // mergeIntervals) → NOT-EXISTS token excision → ordered string_agg
+    "q_decontam_spans" ->
+      """WITH c AS (SELECT doc_id, text, string_split(text, ' ') AS w
+        |           FROM documents WHERE doc_id % 10 <> 7),
+        |b AS (SELECT string_split(text, ' ') AS w
+        |      FROM documents WHERE doc_id % 10 = 7),
+        |bs AS (SELECT DISTINCT
+        |         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |       FROM (SELECT w,
+        |               unnest(range(greatest(len(w) - 2, 0))) AS i FROM b)),
+        |h AS (SELECT doc_id, CAST(i AS BIGINT) AS s, CAST(i + 2 AS BIGINT) AS e
+        |      FROM (SELECT doc_id, w,
+        |              unnest(range(greatest(len(w) - 2, 0))) AS i FROM c)
+        |      WHERE w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]
+        |            IN (SELECT shingle FROM bs)),
+        |m AS (SELECT doc_id, s, e,
+        |        MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_hi
+        |      FROM h),
+        |i2 AS (SELECT doc_id, s, e,
+        |         SUM(CASE WHEN prev_hi IS NULL OR s > prev_hi
+        |               THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY s, e
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |       FROM m),
+        |sp AS (SELECT doc_id, isl, MIN(s) AS s, MAX(e) AS e
+        |       FROM i2 GROUP BY doc_id, isl),
+        |st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |              CAST(SUM(e - s + 1) AS BIGINT) AS n_tokens_removed
+        |       FROM sp GROUP BY doc_id),
+        |toks AS (SELECT doc_id, CAST(i AS BIGINT) AS p, w[i + 1] AS tok
+        |         FROM (SELECT doc_id, w, unnest(range(len(w))) AS i FROM c)
+        |         WHERE doc_id IN (SELECT doc_id FROM st)),
+        |surv AS (SELECT t.doc_id, t.p, t.tok FROM toks t
+        |         WHERE NOT EXISTS (SELECT 1 FROM sp
+        |           WHERE sp.doc_id = t.doc_id AND t.p BETWEEN sp.s AND sp.e)),
+        |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean
+        |        FROM surv GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |       CASE WHEN st.doc_id IS NULL THEN c.text
+        |            ELSE COALESCE(reb.clean, '') END AS text_clean,
+        |       COALESCE(st.n_spans, 0) AS n_spans,
+        |       COALESCE(st.n_tokens_removed, 0) AS n_tokens_removed
+        |FROM c LEFT JOIN st ON st.doc_id = c.doc_id
+        |LEFT JOIN reb ON reb.doc_id = c.doc_id""".stripMargin,
 
     // repetition ratio: 1 − distinct/total 3-gram shingles, 0 when there
     // is nothing to repeat — pure IEEE arithmetic on both engines

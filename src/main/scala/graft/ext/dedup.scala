@@ -579,6 +579,80 @@ object Dedup {
             col("n_shingles").cast("double")))
   }
 
+  /** Span-level benchmark decontamination — remove the contaminated
+    * REGIONS of a document instead of dropping the whole document (the
+    * standard eval-decontamination refinement: a 10k-token page that
+    * quotes one benchmark question loses ~k tokens, not the page).
+    *
+    * A doc's k-gram shingle at token position p matching any benchmark
+    * shingle marks tokens [p, p+k−1]; overlapping marks merge into
+    * maximal spans ([[graft.ext.TimeSeries.mergeIntervals]] — the same
+    * gaps-and-islands machinery, on token indices instead of
+    * timestamps); marked tokens are excised and the survivors rejoin
+    * with single spaces. Emits (idCol, text_clean, n_spans,
+    * n_tokens_removed): untouched docs pass their text through
+    * bit-identical (n_spans = 0); contaminated docs get the token-level
+    * reconstruction; a fully-contaminated doc keeps an empty string,
+    * not its original text.
+    *
+    * Scale: benchmark shingles are tiny → AQE broadcasts them; the
+    * corpus side is one posexplode + one semi-shaped join, never
+    * all-pairs. Span merge and text reassembly are per-doc windows
+    * (parallel across docs); reassembly sorts the SURVIVING tokens of
+    * CONTAMINATED docs only — clean docs never re-explode into the
+    * rebuild path.
+    */
+  def decontaminateSpans(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val bs = bench
+      .select(explode(shingleArray(benchTextCol, k)).alias("shingle"))
+      .distinct()
+    // (id, p) of every contaminated shingle start — the POSITIONAL
+    // shingle variant (no dedup: array index i IS token position i;
+    // the distinct shingleArray would misalign repeated shingles)
+    val hits = corpus
+      .select(col(idCol),
+        posexplode(graft.functions.WordShingles.columnAll(col(textCol), k))
+          .as(Seq("p", "shingle")))
+      .join(bs, Seq("shingle"), "left_semi")
+      .select(col(idCol), col("p").cast("long").alias("s"),
+        (col("p") + lit(k - 1)).cast("long").alias("e"))
+    val spans = TimeSeries.mergeIntervals(hits, idCol, "s", "e")
+    val stats = spans.groupBy(col(idCol))
+      .agg(count(lit(1)).alias("n_spans"),
+        sum(col("island_end") - col("island_start") + lit(1L))
+          .alias("n_tokens_removed"))
+    // rebuild ONLY contaminated docs: explode their tokens, drop the
+    // covered positions, rejoin in position order (array_sort over
+    // (p, tok) structs — partitioning-independent, no window)
+    val contaminatedToks = corpus
+      .join(stats.select(col(idCol)), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        posexplode(split(col(textCol), " ")).as(Seq("p", "tok")))
+      .withColumn("p", col("p").cast("long"))
+    val surviving = contaminatedToks
+      .join(spans,
+        contaminatedToks(idCol) === spans(idCol) &&
+          col("p") >= col("island_start") && col("p") <= col("island_end"),
+        "left_anti")
+    val rebuilt = surviving.groupBy(col(idCol))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x("tok")), " ").alias("__clean"))
+    corpus.select(col(idCol), col(textCol))
+      .join(stats, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("n_spans").isNull, col(textCol))
+          .otherwise(coalesce(col("__clean"), lit("")))
+          .alias("text_clean"),
+        coalesce(col("n_spans"), lit(0L)).alias("n_spans"),
+        coalesce(col("n_tokens_removed"), lit(0L))
+          .alias("n_tokens_removed"))
+  }
+
   // ------------------------------------------------- embedding-cosine dedup
 
   /** Embedding near-dup pairs: cosine >= threshold, (a_id, b_id, cosine)

@@ -76,6 +76,61 @@ object WordShingles {
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
   }
 
+  /** POSITIONAL variant: every shingle in order, NO dedup — array index i
+    * IS the token start position, the contract span-level operations
+    * (decontamination excision) depend on. Referenced from generated code.
+    */
+  def shinglesAll(text: UTF8String, k: Int): ArrayData = {
+    val words = text.split(SPACE, -1)
+    val n = words.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      var s = words(i)
+      var j = 1
+      while (j < k) {
+        s = UTF8String.concat(s, SPACE, words(i + j))
+        j += 1
+      }
+      out(i) = s
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def column(text: Column, k: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), k))
+
+  def columnAll(text: Column, k: Int): Column =
+    Bridge.column(WordShinglesAll(Bridge.expression(text), k))
+}
+
+/** Positional (non-distinct) word-k-gram shingles: element i covers tokens
+  * [i, i+k−1] of the single-space split. Same codegen shape as
+  * [[WordShingles]] minus the LinkedHashSet.
+  */
+case class WordShinglesAll(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, "shingle size k must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_shingles_all requires STRING, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.shinglesAll(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.shinglesAll($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesAll =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles_all"
 }

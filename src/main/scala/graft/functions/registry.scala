@@ -33,6 +33,10 @@ object GraftFunctions {
       require(args.length == 2, "word_shingles(text, k)")
       WordShingles(args.head, intLit(args(1), "word_shingles", "k"))
     },
+    "word_shingles_all" -> { args =>
+      require(args.length == 2, "word_shingles_all(text, k)")
+      WordShinglesAll(args.head, intLit(args(1), "word_shingles_all", "k"))
+    },
     "rolling_hash" -> { args =>
       require(args.length == 1, "rolling_hash(text)")
       RollingHash(args.head)

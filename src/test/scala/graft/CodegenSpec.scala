@@ -38,8 +38,12 @@ class CodegenSpec extends AnyFunSuite {
           Seq("a b", "x", "c d e")).alias("mm"),
         functions.CharBigramCounts.column(col("text")).alias("cbc"),
         functions.ChunkBounds.column(col("text"), 4, 8).alias("cb"),
+        functions.WordShingles.columnAll(col("text"), 4).alias("sha"),
       ).collect()
       assert(rows(0).getSeq[String](0) === Seq("a b c", "b c d", "c d e"))
+      // positional variant keeps duplicates and order (index = position)
+      assert(rows(0).getSeq[String](10) === Seq("a b c d", "b c d e"))
+      assert(rows(1).getSeq[String](10) === Seq.empty)
       assert(rows(0).getDouble(2) === 1.0 * 0.5 + 2.0 * 0.25 + 3.0 * 0.125)
       // e1 row1 = (1,2,3): dot(plane0)=1>=0 → bit0; dot(plane1)=-2<0 → no bit1
       assert(rows(0).getSeq[Long](3) === Seq(1L))

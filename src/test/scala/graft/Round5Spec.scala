@@ -87,6 +87,44 @@ class Round5Spec extends AnyFunSuite {
     assert(out(10L) === grid(4))
   }
 
+  // --- Span-level decontamination ----------------------------------------
+
+  test("decontaminateSpans: overlapping marks merge, clean docs untouched") {
+    val bench = Seq(Tuple1("x y z"), Tuple1("c d e")).toDF("text")
+    val docs = Seq(
+      // tokens 2..4 ("x y z") and 3..5 ("y z w"? no — only "x y z"
+      // matches at p=2) → one span [2,4]
+      (1L, "a b x y z f g"),
+      // two matches at p=1 ("x y z") and p=3 ("z x y"? no): "w x y z x y z"
+      // has "x y z" at p=1 and p=4 → spans [1,3] and [4,6] — ADJACENT,
+      // not overlapping: two islands
+      (2L, "w x y z x y z"),
+      // untouched: original text survives bit-identical, double space kept
+      (3L, "hello  world no match"),
+      // fully contaminated: "c d e" IS the doc → empty string, not null
+      (4L, "c d e"),
+    ).toDF("id", "text")
+    val got = ext.Dedup.decontaminateSpans(docs, "id", "text", bench, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("a b f g", 1L, 3L)))
+    assert(got(2L) === (("w", 2L, 6L)))
+    assert(got(3L) === (("hello  world no match", 0L, 0L)))
+    assert(got(4L) === (("", 1L, 3L)))
+  }
+
+  test("decontaminateSpans: chained overlaps merge into one span") {
+    // doc "a b c d e f": bench trigrams "b c d" (p=1..3) and "c d e"
+    // (p=2..4) overlap → one merged span [1,4], four tokens removed
+    val bench = Seq(Tuple1("b c d"), Tuple1("c d e")).toDF("text")
+    val docs = Seq((1L, "a b c d e f")).toDF("id", "text")
+    val r = ext.Dedup.decontaminateSpans(docs, "id", "text", bench, "text")
+      .collect().head
+    assert(r.getString(1) === "a f")
+    assert(r.getLong(2) === 1L)
+    assert(r.getLong(3) === 4L)
+  }
+
   // --- Token-sequence packing --------------------------------------------
 
   test("packTokenSequences: offsets, boundary crossing, empty docs") {

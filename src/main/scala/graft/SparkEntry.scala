@@ -596,6 +596,16 @@ object SparkEntry {
         .filter(col("rnk") <= 5)
     },
 
+    // cross-corpus alignment: ratio-margin bitext mining (even-label vs
+    // odd-label corpora) — best match per A-row where the cosine beats
+    // both sides' top-4 neighborhood average
+    "q_margin_align" -> ((s, dir) => {
+      val e = read(s, dir, "embeddings")
+      ext.Similarity.marginAlign(
+        e.filter(col("label") % 2 === 0), e.filter(col("label") % 2 === 1),
+        "vec_id", "embedding", k = 4, minMargin = 1.0)
+    }),
+
     // similarity: sign-LSH approximate top-k — oracle is generated SQL with
     // the seeded hyperplanes embedded as literals (see knnLshOracle); recall
     // vs brute force additionally asserted in ExtSpec
@@ -2920,6 +2930,38 @@ object SparkEntry {
 
     // MaxSim replayed relationally: per-(pair, query-vector) max of
     // 6-rounded cosines, exact decimal sum, same top-5 window
+    // ratio margin replayed relationally: same 6-rounded cosines, exact
+    // 1e6-integer top-k sums, identical fixed-shape division chain
+    "q_margin_align" ->
+      """WITH a AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE label % 2 = 0),
+        |b AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE label % 2 = 1),
+        |p AS (SELECT a_id, b_id,
+        |        round(list_dot_product(a.v, b.v)
+        |          / (sqrt(list_dot_product(a.v, a.v))
+        |             * sqrt(list_dot_product(b.v, b.v))), 6) AS c6
+        |      FROM a CROSS JOIN b),
+        |p2 AS (SELECT a_id, b_id, c6,
+        |         CAST(round(c6 * 1000000, 0) AS BIGINT) AS s,
+        |         row_number() OVER (PARTITION BY a_id
+        |           ORDER BY c6 DESC, b_id) AS ra,
+        |         row_number() OVER (PARTITION BY b_id
+        |           ORDER BY c6 DESC, a_id) AS rb
+        |       FROM p),
+        |sa AS (SELECT a_id, SUM(s) AS sa, COUNT(*) AS ka FROM p2
+        |       WHERE ra <= 4 GROUP BY a_id),
+        |sb AS (SELECT b_id, SUM(s) AS sb, COUNT(*) AS kb FROM p2
+        |       WHERE rb <= 4 GROUP BY b_id),
+        |m AS (SELECT p2.a_id, p2.b_id, c6,
+        |        c6 / (((CAST(sa AS DOUBLE) / ka + CAST(sb AS DOUBLE) / kb)
+        |               / 2) / 1000000.0) AS margin
+        |      FROM p2 JOIN sa ON sa.a_id = p2.a_id
+        |      JOIN sb ON sb.b_id = p2.b_id
+        |      WHERE ra = 1)
+        |SELECT a_id, b_id, c6 AS cosine, margin FROM m
+        |WHERE margin >= 1.0""".stripMargin,
+
     "q_maxsim" ->
       """WITH e AS (SELECT vec_id // 4 AS item, vec_id AS vid,
         |                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

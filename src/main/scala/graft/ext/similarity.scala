@@ -69,6 +69,64 @@ object Similarity {
       .select("q_id", "n_id", "sim", "rnk")
   }
 
+  /** Margin-based cross-corpus alignment — bitext/translation-pair mining
+    * with the ratio margin of Artetxe & Schwenk (2019): a pair (x, y) is
+    * kept when its cosine clearly exceeds both sides' neighborhood
+    * average, `margin = cos(x,y) / ((avgTopK(x) + avgTopK(y)) / 2)`,
+    * which suppresses hubness (a y close to EVERYTHING scores high cosine
+    * against every x but margin ≈ 1). Emits each A-row's best B match
+    * with its cosine and margin, filtered to `margin >= minMargin`.
+    *
+    * Determinism contract: cosines round to 6 decimals, then scale to
+    * exact 1e6-integers for the top-k sums — long sums are
+    * order-independent, so the margin is bit-identical under any
+    * partitioning and in any engine replaying the same expression tree
+    * (the IEEE division chain is fixed-shape).
+    *
+    * Scale: this is the exact path (|A|×|B| cross product — the
+    * correctness baseline and the oracle contract). At corpus scale the
+    * cross product is replaced by [[lshCandidatePairs]]/[[ivfTopK]]
+    * candidates and the averages run over each side's retrieved top-k —
+    * the standard practical approximation, same downstream margin math;
+    * the per-side windows and integer-sum aggregates here are already
+    * per-key-parallel and carry over unchanged.
+    */
+  def marginAlign(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, minMargin: Double = 1.0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val aa = a.select(col(idCol).alias("a_id"), col(vecCol).alias("va"))
+      .withColumn("na", norm(col("va")))
+    val bb = b.select(col(idCol).alias("b_id"), col(vecCol).alias("vb"))
+      .withColumn("nb", norm(col("vb")))
+    val p = aa.crossJoin(bb)
+      .withColumn("c6",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .withColumn("s", round(col("c6") * lit(1e6), 0).cast("long"))
+      .select("a_id", "b_id", "c6", "s")
+    // top-k sums as CONDITIONAL WINDOW SUMS over the partitioning the rank
+    // window already established — no groupBy+self-join back (which would
+    // consume the cross-product lineage three times and recompute every
+    // dot product per consumer): one lineage, exactly two shuffles
+    // (by a_id, then by b_id)
+    val wa = Window.partitionBy(col("a_id")).orderBy(col("c6").desc, col("b_id"))
+    val wb = Window.partitionBy(col("b_id")).orderBy(col("c6").desc, col("a_id"))
+    val pa = Window.partitionBy(col("a_id"))
+    val pb = Window.partitionBy(col("b_id"))
+    p.withColumn("ra", row_number().over(wa))
+      .withColumn("sa", sum(when(col("ra") <= k, col("s"))).over(pa))
+      .withColumn("ka", sum(when(col("ra") <= k, lit(1L))).over(pa))
+      .withColumn("rb", row_number().over(wb))
+      .withColumn("sb", sum(when(col("rb") <= k, col("s"))).over(pb))
+      .withColumn("kb", sum(when(col("rb") <= k, lit(1L))).over(pb))
+      .filter(col("ra") === 1)
+      .withColumn("margin", col("c6") /
+        (((col("sa").cast("double") / col("ka")
+          + col("sb").cast("double") / col("kb")) / lit(2.0)) / lit(1e6)))
+      .filter(col("margin") >= minMargin)
+      .select(col("a_id"), col("b_id"), col("c6").alias("cosine"),
+        col("margin"))
+  }
+
   /** Deterministic random hyperplanes: `planes` × `dim`, seeded. */
   def hyperplanes(dim: Int, planes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)

@@ -87,6 +87,32 @@ class Round5Spec extends AnyFunSuite {
     assert(out(10L) === grid(4))
   }
 
+  // --- Margin alignment ---------------------------------------------------
+
+  test("marginAlign: hub vectors score margin ~1, true pairs exceed it") {
+    // b10 is a hub (close to BOTH a-rows); b20 is a's true match only for
+    // a1. a1's best is b20 (cos 1.0) with a high margin; a2's best is the
+    // hub b10 whose margin stays near 1 because the hub also scores high
+    // against a1 (its neighborhood average is high).
+    val a = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.8f, 0.6f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val b = Seq(
+      (10L, Array(0.9f, 0.3f, 0.3f)),  // hub: close to both
+      (20L, Array(1.0f, 0.0f, 0.0f)),  // exact match for a1
+      (30L, Array(0.0f, 0.0f, 1.0f)),  // background
+    ).toDF("vec_id", "embedding")
+    val got = ext.Similarity
+      .marginAlign(a, b, "vec_id", "embedding", k = 2, minMargin = 0.0)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(3))))
+      .toMap
+    assert(got(1L)._1 === 20L)   // a1's best is its true match
+    assert(got(1L)._2 > 1.05)    // clear margin over the neighborhood
+    assert(got(2L)._1 === 10L)   // a2's best is the hub...
+    assert(got(2L)._2 < got(1L)._2) // ...at a weaker margin than a1's
+  }
+
   // --- Span-level decontamination ----------------------------------------
 
   test("decontaminateSpans: overlapping marks merge, clean docs untouched") {

@@ -662,6 +662,18 @@ object SparkEntry {
         "text", k = 3)
     },
 
+    // mixing diagnostics: Jensen–Shannon divergence between source
+    // unigram distributions — 9-rounded terms decimal-summed
+    // (order-independent), finite for one-sided tokens
+    "q_source_divergence" -> ((s, dir) =>
+      ext.TextOps.sourceDivergence(read(s, dir, "documents"),
+        "text", "source")),
+
+    // corpus health: Zipf slope (ln freq vs ln rank, top-100 per source)
+    "q_zipf_slope" -> ((s, dir) =>
+      ext.TextOps.zipfSlope(read(s, dir, "documents"),
+        "text", "source", topN = 100)),
+
     // span-level decontamination: excise contaminated 3-gram REGIONS
     // (merged into maximal spans) instead of dropping whole docs;
     // untouched docs pass through bit-identical
@@ -3111,6 +3123,68 @@ object SparkEntry {
         |       END AS contamination
         |FROM c LEFT JOIN tot t ON t.doc_id = c.doc_id
         |LEFT JOIN hit h ON h.doc_id = c.doc_id""".stripMargin,
+
+    // JS divergence: same 9-rounded terms, exact decimal sums
+    "q_source_divergence" ->
+      """WITH tk AS (SELECT source AS src, tok
+        |            FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |                  FROM documents) WHERE tok <> ''),
+        |cnt AS (SELECT src, tok, COUNT(*) AS c FROM tk GROUP BY src, tok),
+        |tot AS (SELECT src, SUM(c) AS t FROM cnt GROUP BY src),
+        |dist AS (SELECT cnt.src, tok, CAST(c AS DOUBLE) / CAST(t AS DOUBLE) AS p
+        |         FROM cnt JOIN tot ON tot.src = cnt.src),
+        |prs AS (SELECT x.src AS src_a, y.src AS src_b
+        |        FROM (SELECT DISTINCT src FROM dist) x,
+        |             (SELECT DISTINCT src FROM dist) y
+        |        WHERE x.src < y.src),
+        |da AS (SELECT src_a, src_b, tok, p AS pa
+        |       FROM prs JOIN dist ON dist.src = prs.src_a),
+        |db AS (SELECT src_a, src_b, tok, p AS pb
+        |       FROM prs JOIN dist ON dist.src = prs.src_b),
+        |j AS (SELECT COALESCE(da.src_a, db.src_a) AS src_a,
+        |             COALESCE(da.src_b, db.src_b) AS src_b,
+        |             COALESCE(pa, 0) AS p0, COALESCE(pb, 0) AS q0
+        |      FROM da FULL JOIN db ON da.src_a = db.src_a
+        |        AND da.src_b = db.src_b AND da.tok = db.tok)
+        |SELECT src_a, src_b,
+        |       CAST(SUM(CAST(round((
+        |         CASE WHEN p0 > 0
+        |           THEN 0.5 * p0 * ln(p0 / ((p0 + q0) / 2)) ELSE 0 END +
+        |         CASE WHEN q0 > 0
+        |           THEN 0.5 * q0 * ln(q0 / ((p0 + q0) / 2)) ELSE 0 END)
+        |         * 1000000000.0, 0)
+        |         AS BIGINT)) AS DOUBLE) / 1000000000.0 AS js
+        |FROM j GROUP BY src_a, src_b""".stripMargin,
+
+    // Zipf slope: same 1e9-scaled BIGINT ln-terms, exact integer sums,
+    // one closing double expression
+    "q_zipf_slope" ->
+      """WITH tk AS (SELECT source AS src, tok
+        |            FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |                  FROM documents) WHERE tok <> ''),
+        |cnt AS (SELECT src, tok, COUNT(*) AS c FROM tk GROUP BY src, tok),
+        |rk AS (SELECT src, c,
+        |         row_number() OVER (PARTITION BY src
+        |           ORDER BY c DESC, tok) AS r
+        |       FROM cnt QUALIFY r <= 100),
+        |s AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |        CAST(SUM(CAST(round(ln(CAST(r AS DOUBLE))
+        |          * 1000000000.0, 0) AS BIGINT)) AS DOUBLE)
+        |          / 1000000000.0 AS sx,
+        |        CAST(SUM(CAST(round(ln(CAST(c AS DOUBLE))
+        |          * 1000000000.0, 0) AS BIGINT)) AS DOUBLE)
+        |          / 1000000000.0 AS sy,
+        |        CAST(SUM(CAST(round(ln(CAST(r AS DOUBLE))
+        |          * ln(CAST(c AS DOUBLE)) * 1000000000.0, 0)
+        |          AS BIGINT)) AS DOUBLE) / 1000000000.0 AS sxy,
+        |        CAST(SUM(CAST(round(ln(CAST(r AS DOUBLE))
+        |          * ln(CAST(r AS DOUBLE)) * 1000000000.0, 0)
+        |          AS BIGINT)) AS DOUBLE) / 1000000000.0 AS sxx
+        |      FROM rk GROUP BY src)
+        |SELECT src, n_terms,
+        |       (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
+        |       / (CAST(n_terms AS DOUBLE) * sxx - sx * sx) AS slope
+        |FROM s""".stripMargin,
 
     // span decontamination replayed relationally: contaminated shingle
     // starts → gaps-and-islands merge (strict-overlap rule, same as

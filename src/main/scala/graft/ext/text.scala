@@ -795,4 +795,103 @@ object TextOps {
           (col("__ca").cast("double") * col("__cb").cast("double")))
           .alias("pmi"))
   }
+
+  /** Jensen–Shannon divergence between every source pair's unigram token
+    * distribution — the mixing diagnostic that tells you whether two
+    * sources are near-duplicates of each other (JS ≈ 0) or disjoint
+    * registers (JS → ln 2) BEFORE you weight them into a training mix.
+    * JS (unlike KL) is symmetric and finite when a token exists in only
+    * one source. Emits (src_a, src_b, js) for src_a < src_b.
+    *
+    * Determinism contract: probabilities are exact-count IEEE ratios and
+    * each token's JS contribution is one fixed-shape double expression,
+    * but the SUM of those ln-terms would be addition-order-dependent —
+    * so every term rounds to a 1e9-scaled BIGINT and sums as exact
+    * order-independent integers (NOT decimal-cast doubles: engines
+    * disagree on double→DECIMAL conversion in the last ulp once
+    * |term|·10¹⁸ outgrows the double mantissa; |term|·10⁹ ≤ ~4·10¹⁰ is
+    * exactly representable everywhere). Resolution 1e-9 per term bounds
+    * the error at |vocab|·5e-10 — diagnostics noise, far under any
+    * decision threshold.
+    *
+    * Scale: two hash aggregates (per-source token counts, per-source
+    * totals), a tiny source-pair cross (|sources|², driver-free), one
+    * full-outer join per pair keyed (pair, token) — vocabulary-bounded,
+    * never corpus-bounded; no windows, no driver state.
+    */
+  def sourceDivergence(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val tok = df.select(col(sourceCol).alias("src"),
+        explode(tokens(col(textCol))).alias("tok"))
+      .filter(col("tok") =!= "")
+    val cnt = tok.groupBy(col("src"), col("tok"))
+      .agg(count(lit(1)).alias("c"))
+    val tot = cnt.groupBy(col("src")).agg(sum(col("c")).alias("t"))
+    val dist = cnt.join(tot, Seq("src"))
+      .select(col("src"), col("tok"),
+        (col("c").cast("double") / col("t").cast("double")).alias("p"))
+    val srcs = dist.select(col("src")).distinct()
+    val prs = srcs.select(col("src").alias("src_a"))
+      .crossJoin(srcs.select(col("src").alias("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    val da = prs.join(dist.select(col("src").alias("src_a"),
+        col("tok"), col("p").alias("pa")), Seq("src_a"))
+    val db = prs.join(dist.select(col("src").alias("src_b"),
+        col("tok"), col("p").alias("pb")), Seq("src_b"))
+    val p0 = coalesce(col("pa"), lit(0.0))
+    val q0 = coalesce(col("pb"), lit(0.0))
+    val m = (p0 + q0) / lit(2.0)
+    val term =
+      when(p0 > 0, lit(0.5) * p0 * log(p0 / m)).otherwise(lit(0.0)) +
+      when(q0 > 0, lit(0.5) * q0 * log(q0 / m)).otherwise(lit(0.0))
+    da.join(db, Seq("src_a", "src_b", "tok"), "full_outer")
+      .select(col("src_a"), col("src_b"),
+        round(term * lit(1e9), 0).cast("long").alias("__term"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg((sum(col("__term")).cast("double") / lit(1e9)).alias("js"))
+  }
+
+  /** Zipf-slope corpus diagnostic: least-squares slope of
+    * ln(frequency) against ln(rank) over each source's `topN`
+    * most-frequent tokens. Natural text sits near −1; templated or
+    * machine-generated text flattens toward 0, and a slope shift after
+    * a pipeline change is the cheapest corpus-health regression signal.
+    * Emits (src, n_terms, slope).
+    *
+    * Same determinism contract as [[sourceDivergence]]: each ln-term
+    * (and each product of ln-terms) rounds to a 1e9-scaled BIGINT and
+    * sums as exact integers; the closing slope formula is one
+    * fixed-shape double expression over the unscaled sums.
+    *
+    * Scale: one hash aggregate + a per-source top-N window (parallel
+    * across sources, N rows each) + one aggregate — rank data never
+    * leaves the executors.
+    */
+  def zipfSlope(df: DataFrame, textCol: String, sourceCol: String,
+      topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 2, "topN must be >= 2")
+    val cnt = df.select(col(sourceCol).alias("src"),
+        explode(tokens(col(textCol))).alias("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("src"), col("tok")).agg(count(lit(1)).alias("c"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("c").desc, col("tok"))
+    val ranked = cnt.withColumn("r", row_number().over(w))
+      .filter(col("r") <= topN)
+    val x = log(col("r").cast("double"))
+    val y = log(col("c").cast("double"))
+    val iTerm = (e: Column) => round(e * lit(1e9), 0).cast("long")
+    ranked.groupBy(col("src"))
+      .agg(count(lit(1)).alias("n_terms"),
+        (sum(iTerm(x)).cast("double") / lit(1e9)).alias("__sx"),
+        (sum(iTerm(y)).cast("double") / lit(1e9)).alias("__sy"),
+        (sum(iTerm(x * y)).cast("double") / lit(1e9)).alias("__sxy"),
+        (sum(iTerm(x * x)).cast("double") / lit(1e9)).alias("__sxx"))
+      .select(col("src"), col("n_terms"),
+        ((col("n_terms").cast("double") * col("__sxy")
+          - col("__sx") * col("__sy"))
+          / (col("n_terms").cast("double") * col("__sxx")
+            - col("__sx") * col("__sx"))).alias("slope"))
+  }
 }

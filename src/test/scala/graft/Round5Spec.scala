@@ -87,6 +87,32 @@ class Round5Spec extends AnyFunSuite {
     assert(out(10L) === grid(4))
   }
 
+  // --- Corpus diagnostics -------------------------------------------------
+
+  test("sourceDivergence: identical sources → 0, disjoint → ln 2") {
+    val df = Seq(
+      ("a", "x y z"), ("b", "x y z"),   // identical distributions
+      ("c", "q r s"),                    // disjoint from both
+    ).toDF("source", "text")
+    val got = ext.TextOps.sourceDivergence(df, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(got(("a", "b")) === 0.0)
+    assert(math.abs(got(("a", "c")) - math.log(2.0)) < 1e-6)
+    assert(math.abs(got(("b", "c")) - math.log(2.0)) < 1e-6)
+  }
+
+  test("zipfSlope: an exact 1/r frequency law fits slope -1") {
+    // counts 12, 6, 4, 3 at ranks 1..4 lie on ln c = ln 12 - ln r
+    val text = (Seq.fill(12)("t1") ++ Seq.fill(6)("t2") ++
+      Seq.fill(4)("t3") ++ Seq.fill(3)("t4")).mkString(" ")
+    val df = Seq(("s", text)).toDF("source", "text")
+    val r = ext.TextOps.zipfSlope(df, "text", "source", topN = 100)
+      .collect().head
+    assert(r.getLong(1) === 4L)
+    assert(math.abs(r.getDouble(2) + 1.0) < 1e-6)
+  }
+
   // --- Margin alignment ---------------------------------------------------
 
   test("marginAlign: hub vectors score margin ~1, true pairs exceed it") {

@@ -1536,6 +1536,18 @@ object SparkEntry {
       read(s, dir, "documents").select(col("doc_id"), col("n_chars")),
       "n_chars", n = 10)),
 
+    // monotone score calibration: PAV isotonic fit of token count
+    // against doc length per source, on the deterministic 50-doc
+    // md5 sample (calibration curves are fit on samples)
+    "q_isotonic" -> ((s, dir) => {
+      val sampled = ext.Sampling.samplePerGroup(
+        read(s, dir, "documents"), "doc_id", "source", n = 50)
+      ext.Stats.isotonicFit(
+        sampled.select(col("source"), col("doc_id"), col("n_chars"),
+          ext.TextOps.tokenCount(col("text")).alias("n_tok")),
+        "source", "n_chars", "n_tok", "doc_id")
+    }),
+
     // cross-source quantile normalization of doc length onto the global
     // distribution (score-calibration shape), 100-point grid
     "q_quantile_norm" -> ((s, dir) => ext.Stats.quantileNormalize(
@@ -2129,6 +2141,38 @@ object SparkEntry {
          |SELECT doc_id, n_chars, 1 + $cases AS bucket
          |FROM documents, c""".stripMargin
     },
+
+    // isotonic via the closed-form minimax identity
+    // f_i = max_{j<=i} min_{k>=i} mean(y_j..y_k)  (= the PAV optimum):
+    // exact integer prefix sums, one IEEE division per pair mean,
+    // suffix-min window then a grouped max — quadratic pairs are fine
+    // at the 50-row-per-source sample this calibration runs on
+    "q_isotonic" ->
+      """WITH sampled AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)) DESC, doc_id) AS rk
+        |        FROM documents) WHERE rk <= 50),
+        |r AS (SELECT source, doc_id, n_chars, n_tok,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY n_chars, doc_id) AS BIGINT) AS i
+        |      FROM sampled),
+        |ps AS (SELECT *, SUM(n_tok) OVER (PARTITION BY source ORDER BY i
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS S
+        |       FROM r),
+        |p AS (SELECT j.source, j.i AS j, k.i AS k,
+        |        CAST(k.S - j.S + j.n_tok AS DOUBLE) / (k.i - j.i + 1) AS m
+        |      FROM ps j JOIN ps k
+        |        ON k.source = j.source AND k.i >= j.i),
+        |sm AS (SELECT source, j, k,
+        |         MIN(m) OVER (PARTITION BY source, j ORDER BY k DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS minv
+        |       FROM p),
+        |f AS (SELECT source, k AS i, MAX(minv) AS y_iso
+        |      FROM sm GROUP BY source, k)
+        |SELECT r.source, r.n_chars, r.doc_id, r.n_tok, f.y_iso
+        |FROM r JOIN f ON f.source = r.source AND f.i = r.i""".stripMargin,
 
     // same 100-point quantile_cont grid, same integer-only ceil index
     "q_quantile_norm" ->

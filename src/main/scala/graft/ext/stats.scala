@@ -112,6 +112,96 @@ object Stats {
         round((d(x) - mean) / std, scale).alias("z"))
   }
 
+  /** Per-group isotonic regression (PAV) — the monotone calibration fit:
+    * given (x, y) per group, the non-decreasing step function `y_iso(x)`
+    * minimizing Σ(y − y_iso)², i.e. Platt-free score calibration
+    * ("does a higher quality score really mean longer/better docs, and
+    * what is the calibrated value at each score level"). Emits every
+    * input row with its fitted `y_iso`.
+    *
+    * Pool-adjacent-violators over rows ordered by (x, `idCol`): maintain
+    * a pool stack; a new value that violates monotonicity against the
+    * top pool's mean merges into it, cascading left. Violation tests
+    * compare pool means by EXACT long cross-multiplication (never the
+    * divided doubles — a rounded comparison could pool differently than
+    * the oracle's exact rationals); `yCol` is required integral (cast to
+    * long) for exactly this reason, matching the engine-exact discipline
+    * of this file. Fitted values are one IEEE division of exact sums —
+    * bit-identical in any engine. The oracle replays the closed-form
+    * minimax identity `f_i = max_{j≤i} min_{k≥i} mean(y_j..y_k)`, which
+    * equals the PAV solution.
+    *
+    * Scale: the secondary-sort shape ([[TimeSeries.ewma]]): repartition
+    * on the group, sort within partitions by (group, x, id), one pass
+    * per partition. PAV must see a whole group (pools merge backward),
+    * so each GROUP's rows buffer in memory — calibration groups are
+    * sources/classifiers, typically fit on bounded samples
+    * ([[Sampling.samplePerGroup]]); cross-multiplication bounds:
+    * |Σy| × poolCount must fit a long (Σ|y| · n < 2⁶³).
+    */
+  def isotonicFit(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, StructType}
+    val sorted = df
+      .select(col(groupCol), col(xCol), col(idCol),
+        col(yCol).cast("long").alias(yCol))
+      .repartition(col(groupCol))
+      .sortWithinPartitions(col(groupCol), col(xCol), col(idCol))
+    val schema = new StructType(sorted.schema.fields)
+      .add("y_iso", DoubleType, nullable = false)
+    sorted.mapPartitions { it =>
+      val in = it.buffered
+      def fitGroup(rows: collection.mutable.ArrayBuffer[Row]): Iterator[Row] = {
+        val n = rows.length
+        // pool stack: parallel arrays of (sum, count, startIdx)
+        val ps = new Array[Long](n); val pc = new Array[Long](n)
+        val st = new Array[Int](n)
+        var top = -1
+        var i = 0
+        while (i < n) {
+          var s = rows(i).getLong(3); var c = 1L
+          var start = i
+          // merge while the previous pool's mean EXCEEDS this one's:
+          // mean_prev > mean_cur  ⇔  ps*c > s*pc  (exact in longs)
+          while (top >= 0 && ps(top) * c > s * pc(top)) {
+            s += ps(top); c += pc(top); start = st(top); top -= 1
+          }
+          top += 1; ps(top) = s; pc(top) = c; st(top) = start
+          i += 1
+        }
+        // emit fitted means pool by pool
+        val out = new Array[Row](n)
+        var p = 0
+        while (p <= top) {
+          val m = ps(p).toDouble / pc(p).toDouble
+          val end = if (p == top) n else st(p + 1)
+          var j = st(p)
+          while (j < end) {
+            val r = rows(j)
+            out(j) = Row(r.get(0), r.get(1), r.get(2), r.getLong(3), m)
+            j += 1
+          }
+          p += 1
+        }
+        out.iterator
+      }
+      new Iterator[Row] {
+        private var cur: Iterator[Row] = Iterator.empty
+        def hasNext: Boolean = cur.hasNext || in.hasNext
+        def next(): Row = {
+          if (!cur.hasNext) {
+            val g = in.head.get(0)
+            val buf = collection.mutable.ArrayBuffer[Row]()
+            while (in.hasNext && in.head.get(0) == g) buf += in.next()
+            cur = fitGroup(buf)
+          }
+          cur.next()
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Cross-group quantile normalization — map every group's value
     * distribution onto the GLOBAL distribution: a value at within-group
     * percentile p becomes the global p-quantile. The score-calibration

@@ -87,6 +87,40 @@ class Round5Spec extends AnyFunSuite {
     assert(out(10L) === grid(4))
   }
 
+  // --- Isotonic regression ------------------------------------------------
+
+  test("isotonicFit: violators pool to their mean, monotone parts untouched") {
+    // y = [1, 3, 2, 4] over x = 1..4: 3 and 2 pool to 2.5
+    val df = Seq((1L, 1L, 1L), (2L, 2L, 3L), (3L, 3L, 2L), (4L, 4L, 4L))
+      .toDF("id", "x", "y").withColumn("g", lit("a"))
+    val got = ext.Stats.isotonicFit(df, "g", "x", "y", "id")
+      .collect().map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    assert(got === Map(1L -> 1.0, 2L -> 2.5, 3L -> 2.5, 4L -> 4.0))
+  }
+
+  test("isotonicFit: strictly decreasing input collapses to one mean pool") {
+    val df = Seq((1L, 1L, 9L), (2L, 2L, 6L), (3L, 3L, 3L))
+      .toDF("id", "x", "y").withColumn("g", lit("a"))
+    val got = ext.Stats.isotonicFit(df, "g", "x", "y", "id")
+      .collect().map(_.getDouble(4)).toSet
+    assert(got === Set(6.0))
+  }
+
+  test("isotonicFit: groups fit independently, cascading merges are exact") {
+    // group b: [5, 1, 3] → 5,1 merge to 3, then 3 joins? pool(5,1)=3,
+    // next 3 is NOT a violation (3 > 3 is false) → [3, 3, 3]
+    val df = Seq(
+      ("a", 1L, 1L, 2L), ("a", 2L, 2L, 7L),
+      ("b", 1L, 1L, 5L), ("b", 2L, 2L, 1L), ("b", 3L, 3L, 3L),
+    ).toDF("g", "id", "x", "y")
+    val got = ext.Stats.isotonicFit(df.repartition(5), "g", "x", "y", "id")
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getDouble(4))
+      .toMap
+    assert(got(("a", 1L)) === 2.0 && got(("a", 2L)) === 7.0)
+    assert(got(("b", 1L)) === 3.0 && got(("b", 2L)) === 3.0
+      && got(("b", 3L)) === 3.0)
+  }
+
   // --- Corpus diagnostics -------------------------------------------------
 
   test("sourceDivergence: identical sources → 0, disjoint → ln 2") {

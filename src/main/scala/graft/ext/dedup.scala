@@ -306,6 +306,69 @@ object Dedup {
       .select("a_id", "b_id", "est_jaccard")
   }
 
+  /** Incremental MinHash+LSH near-dup: a NEW batch against an EXISTING
+    * corpus — the production shape for continuous ingestion at scale.
+    * [[ngramJaccardAgainst]] joins full shingle sets (exact Jaccard, cost
+    * proportional to shared-shingle pairs); this variant banding-buckets
+    * fixed-width signatures instead, so per batch the corpus contributes
+    * one narrow (id, band, bucket) relation that is computed once, can be
+    * persisted, and NEVER reshuffles with batch size — candidate
+    * generation is a (band, bucket) equi-join in which AQE broadcasts the
+    * small batch side. Emits (new_id, corpus_id, est_jaccard >= threshold).
+    *
+    * `portable = true` swaps the engine-internal xxhash64 signature/bucket
+    * hashing for the md5-derived contract of
+    * [[minHashSignaturesPortable]], with band buckets formed as the
+    * comma-joined signature slice — every intermediate is replayable in
+    * plain SQL in any engine (the oracle path). Default (native) hashing
+    * is ~10× cheaper; use it everywhere reproducibility across engines is
+    * not required.
+    */
+  def minHashNearDupAgainst(
+      newDf: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, portable: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def sigsOf(d: DataFrame): DataFrame =
+      if (portable)
+        minHashSignaturesPortable(d, idCol, textCol, k, numHashes)
+          .groupBy(col(idCol))
+          .agg(expr("transform(sort_array(collect_list(struct(i, min_hash)))," +
+            " x -> x.min_hash)").alias("signature"))
+      else minHashSignatures(d, idCol, textCol, k, numHashes)
+    // portable buckets: the signature slice itself (comma-joined) — string
+    // compare is engine-portable where xxhash64 seeding is not
+    def buckets(sigs: DataFrame, outId: String): DataFrame = {
+      val b = if (portable) {
+        val slices = expr(
+          s"transform(sequence(0, $bands - 1), b -> array_join(" +
+            s"transform(slice(signature, b * (size(signature) div $bands) + 1, " +
+            s"size(signature) div $bands), x -> cast(x as string)), ','))")
+        sigs.select(col(idCol), posexplode(slices))
+          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      } else lshBuckets(sigs, idCol, bands)
+      b.select(col(idCol).alias(outId), col("band"), col("bucket"))
+    }
+    val sn = sigsOf(newDf)
+    val sc = sigsOf(corpus)
+    // batch side is the small one — leave the join to AQE (broadcasts it
+    // at runtime); hinting would pin the choice wrong when a backfill run
+    // feeds a large "batch"
+    val cand = buckets(sn, "new_id")
+      .join(buckets(sc, "corpus_id"), Seq("band", "bucket"))
+      .select("new_id", "corpus_id").distinct()
+    cand
+      .join(sn.select(col(idCol).alias("new_id"), col("signature").alias("sa")),
+        "new_id")
+      .join(sc.select(col(idCol).alias("corpus_id"), col("signature").alias("sb")),
+        "corpus_id")
+      .withColumn("est_jaccard",
+        expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))").cast("double")
+          / size(col("sa")).cast("double"))
+      .filter(col("est_jaccard") >= threshold)
+      .select("new_id", "corpus_id", "est_jaccard")
+  }
+
   // ----------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash: per token-occurrence hash, ±1 vote per bit position,

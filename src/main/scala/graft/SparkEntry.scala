@@ -528,6 +528,20 @@ object SparkEntry {
         read(s, dir, "documents").filter(col("doc_id") < 100),
         "doc_id", "text")),
 
+    // dedup: INCREMENTAL MinHash+LSH near-dup — new batch (even ids) vs
+    // existing corpus (odd ids), the continuous-ingestion shape. Portable
+    // md5 signature/bucket contract so banding, candidate generation and
+    // signature scoring all replay in SQL; the xxhash64 native path is the
+    // scale twin (equivalence in Round6Spec)
+    "q_minhash_against" -> { (s, dir) =>
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 300)
+      ext.Dedup.minHashNearDupAgainst(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", k = 3, numHashes = 32, bands = 8,
+        threshold = 0.5, portable = true)
+    },
+
     // dedup: ENTITY-level minhash — per-doc portable signatures rolled up
     // per source through the native array_min_agg TypedImperativeAggregate
     // (mergeable-sketch shuffle: one fixed-width state per entity per
@@ -951,6 +965,22 @@ object SparkEntry {
           .select(col("doc_id"),
             ext.TextOps.tokenCount(col("text")).alias("n_tokens")),
         "doc_id", "n_tokens", seqLen = 2048L, sepTokens = 1)),
+
+    // packing: length-bucketed shards — global equi-depth length buckets,
+    // contiguous-fill packing within each bucket (padding-minimizing
+    // batch layout; the percentile cuts fold back as literals, the pack
+    // window parallelizes across buckets)
+    "q_length_buckets" -> ((s, dir) =>
+      ext.Packing.lengthBucketedShards(
+        read(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", nBuckets = 8, budget = 20000L)),
+
+    // sampling: deterministic global training order (epoch shuffle) —
+    // dense position by md5(seed:id), distributed sort + zipWithIndex,
+    // reproducible in any engine from (seed, id set)
+    "q_shuffle_order" -> ((s, dir) =>
+      ext.Sampling.shuffleOrder(read(s, dir, "documents"), "doc_id",
+        seed = "ep1")),
 
     // §2.4/§2.5 beyond-reference: the classic 3-table analytic join
     // (TPC-H Q3 shape) — filtered dim broadcast under AQE, fact-fact
@@ -2512,6 +2542,38 @@ object SparkEntry {
         |SELECT doc_id, CAST(i AS INTEGER) AS i, MIN(hv) AS min_hash
         |FROM g GROUP BY doc_id, i""".stripMargin,
 
+    // incremental LSH near-dup: the ENTIRE path — portable signatures,
+    // comma-joined band buckets, cross-split candidate join, per-pair
+    // signature agreement — replayed in SQL; est_jaccard is a dyadic
+    // fraction (x/32) so the double compare is exact
+    "q_minhash_against" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents WHERE doc_id < 300),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |       FROM (SELECT doc_id, w,
+        |               unnest(range(greatest(len(w) - 2, 0))) AS i FROM d)),
+        |g AS (SELECT doc_id, i,
+        |        CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 12)
+        |             AS BIGINT) AS hv
+        |      FROM sh CROSS JOIN range(32) r(i)),
+        |sig AS (SELECT doc_id, i, MIN(hv) AS mh FROM g GROUP BY doc_id, i),
+        |bk AS (SELECT doc_id, i // 4 AS band,
+        |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+        |       FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+        |         WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+        |SELECT c.new_id, c.corpus_id,
+        |       CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32
+        |         AS est_jaccard
+        |FROM cand c
+        |JOIN sig sa ON sa.doc_id = c.new_id
+        |JOIN sig sb ON sb.doc_id = c.corpus_id AND sb.i = sa.i
+        |GROUP BY c.new_id, c.corpus_id
+        |HAVING CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32
+        |         >= 0.5""".stripMargin,
+
     // entity rollup: min over ALL of a source's shingles per hash index ==
     // elementwise min of its docs' signatures (the mergeability law the
     // native aggregate exploits)
@@ -3665,6 +3727,39 @@ object SparkEntry {
         |       CAST(SUM(n_chars) AS BIGINT) AS shard_tokens,
         |       CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / 20000.0 AS fill
         |FROM s GROUP BY source, shard""".stripMargin,
+
+    // length-bucketed packing: exact-percentile bucket cuts (same
+    // quantile_cont == Spark percentile contract as q_global_buckets)
+    // feeding the q_pack_shards running-sum pack within each bucket
+    "q_length_buckets" -> {
+      val cases = (1 to 7).map(i =>
+        s"(CASE WHEN n_chars > cuts[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH c AS (SELECT quantile_cont(n_chars,
+         |             [${(1 to 7).map(i => i / 8.0).mkString(", ")}]) AS cuts
+         |           FROM documents),
+         |b AS (SELECT doc_id, n_chars, 1 + $cases AS bucket
+         |      FROM documents, c),
+         |p AS (SELECT doc_id, n_chars, bucket,
+         |        COALESCE(SUM(n_chars) OVER (PARTITION BY bucket ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |          - n_chars, 0) AS cumb
+         |      FROM b)
+         |SELECT doc_id, n_chars, bucket,
+         |       CAST(FLOOR(cumb / 20000.0) AS BIGINT) AS shard,
+         |       CAST(row_number() OVER (
+         |           PARTITION BY bucket, CAST(FLOOR(cumb / 20000.0) AS BIGINT)
+         |           ORDER BY doc_id) - 1 AS BIGINT) AS shard_pos
+         |FROM p""".stripMargin
+    },
+
+    // epoch shuffle: dense md5(seed:id) rank — the distributed
+    // sort+zipWithIndex result IS this one-window definition
+    "q_shuffle_order" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('ep1:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |    AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
 
     // sequence packing: the same global stream as ONE window running sum
     // (the semantic the distributed two-phase prefix sum reproduces);

@@ -122,4 +122,22 @@ object Packing {
       .select(col(idCol), col(tokenCol), col("tok_start"),
         col("seq_first"), col("seq_last"), col("pos_in_seq"))
   }
+
+  /** Length-bucketed shard packing — the padding-minimizing batch layout
+    * for sequence-level training/inference: documents are first split into
+    * `nBuckets` global equi-depth LENGTH buckets
+    * ([[Profile.globalBuckets]] on `tokenCol`: one exact-percentile
+    * aggregate folded back as literals, no join, no sort), then packed
+    * contiguous-fill within each bucket ([[packByBudget]] with the bucket
+    * as the group). Shards therefore hold length-homogeneous documents —
+    * batch padding waste is bounded by the bucket's length spread instead
+    * of the corpus-wide max — and the shard id is the (bucket, shard)
+    * pair. Same two shuffles as plain grouped packing: the percentile
+    * aggregate and the per-bucket pack window; buckets are the window
+    * partitions, so work parallelizes across them.
+    */
+  def lengthBucketedShards(df: DataFrame, idCol: String, tokenCol: String,
+      nBuckets: Int, budget: Long): DataFrame =
+    packByBudget(Profile.globalBuckets(df, tokenCol, nBuckets),
+      idCol, tokenCol, budget, groupCol = "bucket")
 }

@@ -229,6 +229,37 @@ object Sampling {
       .filter(col("__cum") <= budget)
       .withColumn("running_cost", col("__cum")).drop("__cum")
   }
+
+  /** Deterministic GLOBAL training order ("epoch shuffle"): every row gets
+    * a dense position 0..n−1 in the order of `md5(seed || ':' || id)` —
+    * reproducible from (seed, id set) alone in any engine, independent of
+    * partitioning, and re-derivable for any epoch by changing the seed.
+    * Emits (idCol, pos); the caller joins `pos` back or writes by it.
+    *
+    * Scale: a distributed range-partitioned sort on the 32-hex hash key
+    * (uniform by construction, so partitions balance regardless of id
+    * skew) + the sorted-RDD `zipWithIndex` (one per-partition count pass)
+    * — the same global-consecutive-ids shape as [[TextOps.vocabulary]];
+    * never a single-partition window, never a driver collect. Null ids
+    * raise: an unkeyed row has no stable position.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, seed: String = "0"): DataFrame = {
+    val spark = df.sparkSession
+    val keyed = df.select(col(idCol))
+      .withColumn("__h",
+        when(col(idCol).isNull, raise_error(
+          lit(s"shuffleOrder: null $idCol — ordering needs a stable id")))
+          .otherwise(md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))))
+      .orderBy(col("__h"), col(idCol))
+    val schema = org.apache.spark.sql.types.StructType(
+      keyed.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "pos", org.apache.spark.sql.types.LongType, nullable = false))
+    spark.createDataFrame(
+      keyed.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema)
+      .select(col(idCol), col("pos"))
+  }
 }
 
 /** Cardinality sketches: exact distinct as the oracle-checkable baseline,

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit laws for the round-6 additions: incremental MinHash+LSH near-dup
+  * (batch vs corpus), length-bucketed shard packing, and the deterministic
+  * epoch-shuffle ordering.
+  */
+class Round6Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- minHashNearDupAgainst --------------------------------------------
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep dark forest to hide from every hunter"
+  private def docs = Seq(
+    (0L, base + " alpha"),            // near-dup of 1
+    (1L, base + " beta"),
+    (2L, base),                       // EXACT dup of 3
+    (3L, base),
+    (4L, "completely different text about spark catalyst optimizer rules " +
+      "and tungsten codegen stages running on a thousand executors"),
+    (5L, "unrelated cooking recipe with onions garlic butter and a pinch " +
+      "of salt simmered slowly for hours in a heavy cast iron pot"),
+    (6L, "xy"),                       // < k words: no shingles, must vanish
+  ).toDF("doc_id", "text")
+
+  private def against(portable: Boolean) =
+    ext.Dedup.minHashNearDupAgainst(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text", k = 3, numHashes = 32, bands = 8,
+      threshold = 0.5, portable = portable)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+  test("minHashNearDupAgainst: exact duplicate scores 1.0 on both paths") {
+    for (portable <- Seq(true, false)) {
+      val got = against(portable)
+      assert(got((2L, 3L)) === 1.0, s"portable=$portable")
+      // near-identical pair: banding must bucket it, estimate stays high
+      assert(got.contains((0L, 1L)), s"portable=$portable")
+      assert(got((0L, 1L)) >= 0.5)
+    }
+  }
+
+  test("minHashNearDupAgainst: disjoint and shingle-less docs never pair") {
+    for (portable <- Seq(true, false)) {
+      val got = against(portable)
+      assert(!got.keySet.exists { case (a, b) => a == 4L || b == 5L })
+      assert(!got.keySet.exists { case (a, b) => a == 6L || b == 6L })
+      // sides: new ids even, corpus ids odd
+      assert(got.keySet.forall { case (a, b) => a % 2 == 0 && b % 2 == 1 })
+    }
+  }
+
+  test("minHashNearDupAgainst: banding completeness guarantee") {
+    // a cross pair with m mismatching signature components can spoil at
+    // most m bands — with m < bands some band matches fully, so every
+    // pair agreeing on >= numHashes - bands + 1 components is GUARANTEED
+    // a candidate (not just probabilistically likely)
+    val numHashes = 32; val bands = 8
+    val sigs = ext.Dedup.minHashSignaturesPortable(
+        docs, "doc_id", "text", k = 3, numHashes = numHashes)
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    val guaranteed = for {
+      a <- sigs.keys if a % 2 == 0
+      b <- sigs.keys if b % 2 == 1
+      agree = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }
+      if agree >= numHashes - bands + 1 &&
+        agree.toDouble / numHashes >= 0.5
+    } yield (a, b)
+    val got = against(portable = true)
+    guaranteed.foreach { p => assert(got.contains(p), s"missing $p") }
+  }
+
+  // --- lengthBucketedShards ---------------------------------------------
+
+  test("lengthBucketedShards: equals globalBuckets then packByBudget") {
+    val df = (1 to 200).map(i => (i.toLong, (i * 37 % 991 + 10).toLong))
+      .toDF("id", "n_tok")
+    val got = ext.Packing.lengthBucketedShards(df, "id", "n_tok",
+      nBuckets = 4, budget = 1000L)
+    val manual = ext.Packing.packByBudget(
+      ext.Profile.globalBuckets(df, "n_tok", 4), "id", "n_tok",
+      1000L, groupCol = "bucket")
+    assert(got.collect().toSet === manual.collect().toSet)
+    // every row survives exactly once
+    assert(got.count() === 200)
+    // buckets are length-ordered: max length of bucket b <= min of b+2
+    // (equi-depth cuts; ties can straddle adjacent buckets, never skip one)
+    val ranges = got.groupBy("bucket")
+      .agg(min("n_tok").alias("lo"), max("n_tok").alias("hi"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (b <- ranges.keys if ranges.contains(b + 2))
+      assert(ranges(b)._2 <= ranges(b + 2)._1)
+  }
+
+  test("lengthBucketedShards: contiguous fill within (bucket, shard)") {
+    val df = (1 to 100).map(i => (i.toLong, 300L)).toDF("id", "n_tok")
+    val got = ext.Packing.lengthBucketedShards(df, "id", "n_tok",
+      nBuckets = 2, budget = 1000L).collect()
+    // identical lengths: every bucket packs ceil(1000/300)=4 docs per
+    // shard (3 whole + the one whose first token lands at cum 900)
+    val byShard = got.groupBy(r => (r.getInt(2), r.getLong(3)))
+    byShard.foreach { case (_, rows) =>
+      assert(rows.length <= 4)
+      assert(rows.map(_.getLong(4)).sorted.toSeq === (0L until rows.length))
+    }
+  }
+
+  // --- shuffleOrder ------------------------------------------------------
+
+  test("shuffleOrder: dense permutation, deterministic, partition-invariant") {
+    val df = (1 to 500).map(_.toLong).toDF("id")
+    val a = ext.Sampling.shuffleOrder(df, "id", seed = "ep1").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a.values.toSeq.sorted === (0L until 500L))
+    val b = ext.Sampling.shuffleOrder(df.repartition(7), "id", seed = "ep1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    val c = ext.Sampling.shuffleOrder(df, "id", seed = "ep2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c.values.toSeq.sorted === (0L until 500L))
+    assert(a !== c) // different epoch, different order
+  }
+
+  test("shuffleOrder: null id raises") {
+    val df = Seq(Some(1L), None, Some(3L)).toDF("id")
+    val e = intercept[Exception] {
+      ext.Sampling.shuffleOrder(df, "id").collect()
+    }
+    assert(e.getMessage.contains("shuffleOrder") ||
+      Option(e.getCause).exists(_.getMessage.contains("shuffleOrder")))
+  }
+}

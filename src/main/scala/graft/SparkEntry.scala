@@ -542,6 +542,18 @@ object SparkEntry {
         threshold = 0.5, portable = true)
     },
 
+    // dedup: the full production CASCADE (exact → LSH near-dup →
+    // canonical) with per-doc verdicts; 50 re-keyed exact copies injected
+    // so stage 1 has work, near stage runs on exact survivors only
+    "q_dedup_cascade" -> { (s, dir) =>
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val extra = docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000).alias("doc_id"), col("text"))
+      ext.Dedup.cascade(docs.unionByName(extra), "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.8, portable = true)
+    },
+
     // dedup: ENTITY-level minhash — per-doc portable signatures rolled up
     // per source through the native array_min_agg TypedImperativeAggregate
     // (mergeable-sketch shuffle: one fixed-width state per entity per
@@ -2573,6 +2585,59 @@ object SparkEntry {
         |GROUP BY c.new_id, c.corpus_id
         |HAVING CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32
         |         >= 0.5""".stripMargin,
+
+    // three-stage cascade: exact md5 groups → portable LSH pairs over
+    // survivors → recursive closure canonical; verdicts assembled with
+    // stage-local provenance. 50 injected exact copies exercise stage 1
+    "q_dedup_cascade" ->
+      """WITH RECURSIVE
+        |inp AS (SELECT doc_id, text FROM documents WHERE doc_id < 300
+        |        UNION ALL
+        |        SELECT doc_id + 1000, text FROM documents WHERE doc_id < 50),
+        |ex AS (SELECT doc_id, text,
+        |         MIN(doc_id) OVER (PARTITION BY text) AS rep FROM inp),
+        |surv AS (SELECT doc_id, text FROM ex WHERE doc_id = rep),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM surv),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |       FROM (SELECT doc_id, w,
+        |               unnest(range(greatest(len(w) - 2, 0))) AS i FROM d)),
+        |g AS (SELECT doc_id, i,
+        |        CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 12)
+        |             AS BIGINT) AS hv
+        |      FROM sh CROSS JOIN range(32) r(i)),
+        |sig AS (SELECT doc_id, i, MIN(hv) AS mh FROM g GROUP BY doc_id, i),
+        |bk AS (SELECT doc_id, i // 4 AS band,
+        |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+        |       FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+        |           AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT c.a_id, c.b_id
+        |          FROM cand c
+        |          JOIN sig sa ON sa.doc_id = c.a_id
+        |          JOIN sig sb ON sb.doc_id = c.b_id AND sb.i = sa.i
+        |          GROUP BY c.a_id, c.b_id
+        |          HAVING CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+        |                      AS DOUBLE) / 32 >= 0.8),
+        |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |          UNION SELECT b_id, a_id FROM pairs),
+        |reach AS (SELECT src AS a, dst AS b FROM edges
+        |          UNION
+        |          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |clus AS (SELECT s.doc_id,
+        |           least(s.doc_id, coalesce(min(r.b), s.doc_id)) AS cluster
+        |         FROM surv s LEFT JOIN reach r ON r.a = s.doc_id
+        |         GROUP BY s.doc_id)
+        |SELECT i.doc_id,
+        |  CASE WHEN i.doc_id <> e.rep THEN FALSE
+        |       WHEN c.cluster <> i.doc_id THEN FALSE ELSE TRUE END AS keep,
+        |  CASE WHEN i.doc_id <> e.rep THEN 'exact'
+        |       WHEN c.cluster <> i.doc_id THEN 'near_dup' END AS stage,
+        |  CASE WHEN i.doc_id <> e.rep THEN e.rep
+        |       WHEN c.cluster <> i.doc_id THEN c.cluster END AS dup_of
+        |FROM inp i JOIN ex e ON e.doc_id = i.doc_id
+        |LEFT JOIN clus c ON c.doc_id = i.doc_id""".stripMargin,
 
     // entity rollup: min over ALL of a source's shingles per hash index ==
     // elementwise min of its docs' signatures (the mergeability law the

@@ -369,6 +369,49 @@ object Dedup {
       .select("new_id", "corpus_id", "est_jaccard")
   }
 
+  /** Production dedup CASCADE: exact → MinHash+LSH near-dup → canonical,
+    * cheapest stage first, with per-document provenance. Emits one verdict
+    * row per input doc: (idCol, keep, stage, dup_of) where `stage` is NULL
+    * for kept docs, 'exact' for byte-identical drops (dup_of = min id of
+    * the identical group) and 'near_dup' for LSH-cluster drops (dup_of =
+    * the cluster's canonical min id, computed over exact survivors only).
+    *
+    * Stage order is the scale argument: exact dedup is ONE hash shuffle on
+    * md5(text) — 33-byte keys, never full documents — and removes the
+    * byte-identical mass (typically the bulk of crawl duplication) before
+    * the signature build, so LSH banding runs on the smaller survivor set.
+    * The near stage reuses [[minHashNearDupAgainst]]'s machinery
+    * self-joined (a < b) and [[nearDupClusters]]' capped union-find /
+    * distributed min-label closure. `portable = true` keeps every stage
+    * replayable in plain SQL (the oracle path); native xxhash64 hashing is
+    * the scale default.
+    */
+  def cascade(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, portable: Boolean = false): DataFrame = {
+    val keyed = df.select(col(idCol), col(textCol))
+      .withColumn("__k", md5(col(textCol)))
+    val rep = keyed.groupBy(col("__k")).agg(min(col(idCol)).alias("__rep"))
+    val tagged = keyed.join(rep, Seq("__k"))
+    val exactDrop = tagged.filter(col(idCol) =!= col("__rep"))
+      .select(col(idCol), lit("exact").alias("stage"),
+        col("__rep").alias("dup_of"))
+    val surv = tagged.filter(col(idCol) === col("__rep"))
+      .select(col(idCol), col(textCol))
+    val pairs = minHashNearDupAgainst(surv, surv, idCol, textCol,
+        k, numHashes, bands, threshold, portable)
+      .filter(col("new_id") < col("corpus_id"))
+      .select(col("new_id").alias("a_id"), col("corpus_id").alias("b_id"))
+    val clusters = nearDupClusters(surv.select(col(idCol)), idCol, pairs)
+    val nearDrop = clusters.filter(col("id") =!= col("cluster"))
+      .select(col("id").alias(idCol), lit("near_dup").alias("stage"),
+        col("cluster").alias("dup_of"))
+    df.select(col(idCol))
+      .join(exactDrop.unionByName(nearDrop), Seq(idCol), "left")
+      .select(col(idCol), col("stage").isNull.alias("keep"),
+        col("stage"), col("dup_of"))
+  }
+
   // ----------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash: per token-occurrence hash, ±1 vote per bit position,

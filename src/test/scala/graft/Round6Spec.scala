@@ -76,6 +76,36 @@ class Round6Spec extends AnyFunSuite {
     guaranteed.foreach { p => assert(got.contains(p), s"missing $p") }
   }
 
+  // --- cascade -----------------------------------------------------------
+
+  test("cascade: stage verdicts, stage-local provenance, exhaustive output") {
+    // 10 == 11 (exact), 11 ~ 13 (near), 12/14 unique
+    val df = Seq(
+      (13L, base + " gamma"),
+      (11L, base), (10L, base),
+      (12L, "totally different text about cast iron pots and slow onions " +
+        "simmered with garlic butter for hours in a heavy pan tonight"),
+      (14L, "spark catalyst optimizer rules and tungsten codegen stages " +
+        "running across a thousand executors in a big cluster today"),
+    ).toDF("doc_id", "text")
+    for (portable <- Seq(true, false)) {
+      val got = ext.Dedup.cascade(df, "doc_id", "text",
+          k = 3, numHashes = 32, bands = 8, threshold = 0.8,
+          portable = portable)
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), Option(r.getString(2)),
+            if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      assert(got.keySet === Set(10L, 11L, 12L, 13L, 14L))
+      // 11 drops at the exact stage (min id 10 is the rep)
+      assert(got(11L) === ((false, Some("exact"), Some(10L))))
+      // 13 near-dups the surviving copy 10
+      assert(got(13L) === ((false, Some("near_dup"), Some(10L))))
+      assert(got(10L) === ((true, None, None)))
+      assert(got(12L) === ((true, None, None)))
+      assert(got(14L) === ((true, None, None)))
+    }
+  }
+
   // --- lengthBucketedShards ---------------------------------------------
 
   test("lengthBucketedShards: equals globalBuckets then packByBudget") {

@@ -385,19 +385,28 @@ object Dedup {
     * distributed min-label closure. `portable = true` keeps every stage
     * replayable in plain SQL (the oracle path); native xxhash64 hashing is
     * the scale default.
+    *
+    * NULL text hashes to NULL, and NULL join keys never match — so
+    * null-text docs always survive both stages (they also produce no
+    * shingles). Dedup of untexted rows is [[exact]]'s job on real keys.
     */
   def cascade(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, portable: Boolean = false): DataFrame = {
-    val keyed = df.select(col(idCol), col(textCol))
-      .withColumn("__k", md5(col(textCol)))
-    val rep = keyed.groupBy(col("__k")).agg(min(col(idCol)).alias("__rep"))
-    val tagged = keyed.join(rep, Seq("__k"))
-    val exactDrop = tagged.filter(col(idCol) =!= col("__rep"))
+    // the exact stage never shuffles document text: the hash relation is
+    // (id, 32-hex md5) only, and survivors are recovered by an id
+    // anti-join against the drop list (duplicates are the minority, so
+    // AQE broadcasts it; the alternative — joining rep back onto the
+    // text-carrying relation — would move the whole corpus on a text-hash
+    // shuffle)
+    val h = df.select(col(idCol), md5(col(textCol)).alias("__k"))
+    val rep = h.groupBy(col("__k")).agg(min(col(idCol)).alias("__rep"))
+    val exactDrop = h.join(rep, Seq("__k"))
+      .filter(col(idCol) =!= col("__rep"))
       .select(col(idCol), lit("exact").alias("stage"),
         col("__rep").alias("dup_of"))
-    val surv = tagged.filter(col(idCol) === col("__rep"))
-      .select(col(idCol), col(textCol))
+    val surv = df.select(col(idCol), col(textCol))
+      .join(exactDrop.select(col(idCol)), Seq(idCol), "left_anti")
     val pairs = minHashNearDupAgainst(surv, surv, idCol, textCol,
         k, numHashes, bands, threshold, portable)
       .filter(col("new_id") < col("corpus_id"))

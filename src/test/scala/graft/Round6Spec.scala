@@ -88,6 +88,9 @@ class Round6Spec extends AnyFunSuite {
       (14L, "spark catalyst optimizer rules and tungsten codegen stages " +
         "running across a thousand executors in a big cluster today"),
     ).toDF("doc_id", "text")
+      // two null-text docs: NULL never joins, both must survive
+      .unionByName(Seq(15L, 16L).toDF("doc_id")
+        .withColumn("text", lit(null).cast("string")))
     for (portable <- Seq(true, false)) {
       val got = ext.Dedup.cascade(df, "doc_id", "text",
           k = 3, numHashes = 32, bands = 8, threshold = 0.8,
@@ -95,7 +98,10 @@ class Round6Spec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) ->
           (r.getBoolean(1), Option(r.getString(2)),
             if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
-      assert(got.keySet === Set(10L, 11L, 12L, 13L, 14L))
+      assert(got.keySet === Set(10L, 11L, 12L, 13L, 14L, 15L, 16L))
+      // null text: hashes to NULL, never joins, always survives
+      assert(got(15L) === ((true, None, None)))
+      assert(got(16L) === ((true, None, None)))
       // 11 drops at the exact stage (min id 10 is the rep)
       assert(got(11L) === ((false, Some("exact"), Some(10L))))
       // 13 near-dups the surviving copy 10
@@ -139,6 +145,25 @@ class Round6Spec extends AnyFunSuite {
       assert(rows.length <= 4)
       assert(rows.map(_.getLong(4)).sorted.toSeq === (0L until rows.length))
     }
+  }
+
+  // --- plan shapes --------------------------------------------------------
+
+  test("incremental LSH and cascade plan bucketed joins — no cartesian/BNL") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def planOf(df: org.apache.spark.sql.DataFrame): String = {
+      df.queryExecution.executedPlan.toString
+    }
+    val inc = ext.Dedup.minHashNearDupAgainst(
+      docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1),
+      "doc_id", "text")
+    val p1 = planOf(inc)
+    assert(!p1.contains("CartesianProduct") &&
+      !p1.contains("BroadcastNestedLoop"), p1)
+    val casc = ext.Dedup.cascade(docs, "doc_id", "text")
+    val p2 = planOf(casc)
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoop"), p2)
   }
 
   // --- shuffleOrder ------------------------------------------------------

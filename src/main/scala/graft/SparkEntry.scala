@@ -438,6 +438,13 @@ object SparkEntry {
       ext.Dedup.ngramJaccardPairs(read(s, dir, "documents"),
         "doc_id", "text", k = 3, threshold = 0.8)),
 
+    // dedup: ASYMMETRIC shingle containment |A∩B|/min(|A|,|B|) — quote
+    // inclusion across size-mismatched docs, which Jaccard's union term
+    // structurally dilutes below threshold
+    "q_containment" -> ((s, dir) =>
+      ext.Dedup.ngramContainmentPairs(read(s, dir, "documents"),
+        "doc_id", "text", k = 3, threshold = 0.8)),
+
     // text analysis: corpus top-k terms
     "q_text_topterms" -> ((s, dir) =>
       ext.TextOps.topTerms(read(s, dir, "documents"), "text", k = 20)),
@@ -785,6 +792,12 @@ object SparkEntry {
         .agg(sum(col("l_quantity")).cast("long").alias("sum_qty"),
           count(lit(1)).alias("n_lines"))
     },
+
+    // data governance: k-anonymity release gate — quasi-identifier
+    // combinations shared by fewer than k rows (re-identification risk)
+    "q_k_anonymity" -> ((s, dir) =>
+      ext.Expect.kAnonymityViolations(read(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 8L)),
 
     // data-quality expectations: row-local rules in ONE aggregate pass
     // (not-null / range / regex / set), plus key-uniqueness and
@@ -2939,6 +2952,22 @@ object SparkEntry {
         |JOIN cnt cb ON cb.doc_id = b_id
         |WHERE CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) >= 0.8""".stripMargin,
 
+    "q_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i.i:i.i+2], ' ') AS s
+        |       FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) i
+        |       WHERE i.i <= len(t) - 2),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ic
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |       CAST(ic AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE) AS containment
+        |FROM inter
+        |JOIN cnt ca ON ca.doc_id = a_id
+        |JOIN cnt cb ON cb.doc_id = b_id
+        |WHERE CAST(ic AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE) >= 0.8""".stripMargin,
+
     "q_text_topterms" ->
       """SELECT term, cnt, rnk FROM (
         |  SELECT term, COUNT(*) AS cnt,
@@ -3542,6 +3571,11 @@ object SparkEntry {
 
     // expectations: each rule's count as its own UNION ALL arm — the same
     // NULL-explicit predicates as the compiled aggregate
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_rows
+        |FROM customer GROUP BY c_nationkey, c_mktsegment
+        |HAVING COUNT(*) < 8""".stripMargin,
+
     "q_expectations" ->
       """SELECT 'not_null_o_custkey' AS rule,
         |       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations

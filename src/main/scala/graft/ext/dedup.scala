@@ -121,6 +121,51 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** ASYMMETRIC near-dup: shingle CONTAINMENT `|A∩B| / min(|A|, |B|)` —
+    * catches a short document quoted inside a much longer one, which
+    * Jaccard structurally misses (the union term dilutes any size-
+    * mismatched pair below threshold no matter how completely the small
+    * side is contained). Emits (a_id, b_id, containment) for a_id < b_id,
+    * containment >= threshold. Same one-shuffle shingle self-join and
+    * optional hot-shingle DF cap as [[ngramJaccardPairs]]; there is
+    * deliberately NO length-compatibility prune — size mismatch is the
+    * signal here, not noise. At 100 TB this too runs after LSH/candidate
+    * generation, never standalone (and note MinHash approximates Jaccard,
+    * not containment: candidates for this scorer come from the SMALL
+    * side's shingles, e.g. a benchmark semi-join like
+    * [[contaminationScores]]).
+    */
+  def ngramContainmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val withN = maxShingleDf match {
+      case None =>
+        df.select(col(idCol), shingleArray(textCol, k).alias("__sh"))
+          .withColumn("n", size(col("__sh")).cast("long"))
+          .select(col(idCol), col("n"),
+            explode(col("__sh")).alias("shingle"))
+      case Some(cap) =>
+        val sh0 = shingles(df, idCol, textCol, k)
+        val hot = sh0.groupBy("shingle").agg(count(lit(1)).alias("df"))
+          .filter(col("df") > cap).select("shingle")
+        sh0.join(broadcast(hot), Seq("shingle"), "left_anti")
+          .withColumn("n",
+            count(lit(1)).over(Window.partitionBy(col(idCol))))
+    }
+    val a = withN.select(col(idCol).alias("a_id"), col("shingle").alias("sh_a"),
+      col("n").alias("na"))
+    val b = withN.select(col(idCol).alias("b_id"), col("shingle").alias("sh_b"),
+      col("n").alias("nb"))
+    a.hint("shuffle_hash")
+      .join(b, col("sh_a") === col("sh_b") && col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id", "na", "nb").agg(count(lit(1)).alias("ic"))
+      .withColumn("containment",
+        col("ic").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("a_id", "b_id", "containment")
+  }
+
   /** Incremental near-dup: new batch vs EXISTING corpus — the production
     * shape for continuous ingestion (dedup today's crawl against the
     * accumulated training set, not against itself). Same shingle-join

@@ -82,6 +82,23 @@ object Expect {
       .join(dim.select(col(dimCol).alias(fkCol)).distinct(),
         Seq(fkCol), "left_anti")
 
+  /** k-anonymity violations: quasi-identifier combinations shared by
+    * FEWER than `k` rows — each such group is a re-identification risk
+    * (the release-gate check run before publishing any dataset keyed on
+    * quasi-identifiers). Emits the violating combination plus its row
+    * count. One hash aggregate on the quasi-identifier columns — the
+    * minimum possible shuffle, same scale shape as [[uniqueViolations]]
+    * (which is the k=2 special case over unique keys).
+    */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(k >= 2, "k must be >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).alias("n_rows"))
+      .filter(col("n_rows") < k)
+  }
+
   /** Composite report: row-local rules + uniqueness + referential rules,
     * one (rule, n_violations) row each.
     */

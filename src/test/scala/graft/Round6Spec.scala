@@ -147,6 +147,48 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  // --- containment --------------------------------------------------------
+
+  test("ngramContainmentPairs catches quote inclusion that Jaccard misses") {
+    val quote = "to be or not to be that is the question"
+    val df = Seq(
+      (1L, quote), // 8 shingles, all inside doc 2
+      (2L, "the prince ponders aloud " + quote + " while the court watches " +
+        "in silence from the far end of the great hall tonight"),
+      (3L, "an entirely different document about spark shuffles and " +
+        "exchange reuse in adaptive query execution plans"),
+    ).toDF("doc_id", "text")
+    val cont = ext.Dedup.ngramContainmentPairs(df, "doc_id", "text",
+      k = 3, threshold = 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont.contains((1L, 2L)))
+    assert(cont((1L, 2L)) === 1.0) // every small-side shingle contained
+    assert(!cont.keySet.exists { case (a, b) => a == 3L || b == 3L })
+    // Jaccard at the same bar misses the pair: union dilution
+    val jac = ext.Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      k = 3, threshold = 0.9).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  // --- k-anonymity ---------------------------------------------------------
+
+  test("kAnonymityViolations: groups under k, and only those") {
+    val df = Seq(
+      ("us", "a"), ("us", "a"), ("us", "a"), ("us", "a"),
+      ("de", "b"), ("de", "b"),
+      ("fr", "c"),
+    ).toDF("country", "seg")
+    val got = ext.Expect.kAnonymityViolations(df, Seq("country", "seg"), 3L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === Map(("de", "b") -> 2L, ("fr", "c") -> 1L))
+    assertThrows[IllegalArgumentException] {
+      ext.Expect.kAnonymityViolations(df, Seq("country"), 1L)
+    }
+    assertThrows[IllegalArgumentException] {
+      ext.Expect.kAnonymityViolations(df, Nil, 3L)
+    }
+  }
+
   // --- plan shapes --------------------------------------------------------
 
   test("incremental LSH and cascade plan bucketed joins — no cartesian/BNL") {

@@ -609,6 +609,18 @@ object SparkEntry {
         "vec_id", "embedding", k = 5)
     },
 
+    // similarity: product quantization + ADC top-k (the FAISS IVFPQ
+    // scoring shape) — codebooks sampled deterministically in-query, so
+    // the ENTIRE index build + encode + asymmetric rescoring replays in
+    // SQL; corpus vectors compress to m codes, queries stay exact
+    "q_pq_topk" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      val cb = ext.Similarity.pqCodebooks(e, "vec_id", "embedding",
+        m = 4, ksub = 16)
+      ext.Similarity.pqTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, cb)
+    },
+
     // late-interaction MaxSim: items are 4-vector bags (vec_id div 4),
     // first 10 bags query the rest; top-5 per query by the summed
     // per-vector maxima
@@ -3206,6 +3218,41 @@ object SparkEntry {
         |                    ORDER BY sim DESC, n_id) AS INTEGER) AS rnk
         |           FROM scored)
         |SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+
+    // PQ/ADC: codebook sample (md5 order), per-subspace argmin encode
+    // (-2·q·c + |c|² — the |x|² term can't change the winner), ordered
+    // flatten reconstruction, one flat-fold dot per ADC term
+    "q_pq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cb0 AS (SELECT v,
+        |          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        |            - 1 AS c
+        |        FROM e
+        |        QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |          vec_id) <= 16),
+        |cw AS (SELECT c, j, v[j * 16 + 1 : (j + 1) * 16] AS w
+        |       FROM cb0, range(4) r(j)),
+        |sub AS (SELECT vec_id, j, v[j * 16 + 1 : (j + 1) * 16] AS s
+        |        FROM e, range(4) r(j)),
+        |scored AS (SELECT vec_id, j, c,
+        |             -2 * list_dot_product(s, w) + list_dot_product(w, w) AS d
+        |           FROM sub JOIN cw USING (j)),
+        |enc AS (SELECT vec_id, j, c FROM scored
+        |        QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |          ORDER BY d, c) = 1),
+        |rec AS (SELECT en.vec_id, flatten(list(cw.w ORDER BY en.j)) AS r
+        |        FROM enc en JOIN cw ON cw.j = en.j AND cw.c = en.c
+        |        GROUP BY en.vec_id),
+        |q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+        |sc AS (SELECT q.vec_id AS q_id, rec.vec_id AS n_id,
+        |         round(list_dot_product(q.v, q.v)
+        |               - 2 * list_dot_product(q.v, rec.r)
+        |               + list_dot_product(rec.r, rec.r), 4) AS dist2
+        |       FROM q JOIN rec ON rec.vec_id <> q.vec_id)
+        |SELECT q_id, n_id, dist2,
+        |       CAST(row_number() OVER (PARTITION BY q_id
+        |         ORDER BY dist2, n_id) AS INTEGER) AS rnk
+        |FROM sc QUALIFY rnk <= 5""".stripMargin,
 
     "q_curate_corpus" ->
       s"""WITH RECURSIVE

@@ -533,4 +533,79 @@ object Similarity {
       .select(col(qItemCol), col(dItemCol),
         col("__s").cast("double").alias("score"))
   }
+
+  // -------------------------------------------------------- product quant
+
+  /** Training-free product-quantization codebooks: `ksub` corpus vectors
+    * sampled deterministically (ascending `md5(id)`, id tie-break —
+    * TakeOrdered, no global sort), each sliced into `m` subvectors; slice
+    * `j` of sample `c` is codeword `c` of subspace `j`. NOT normalized —
+    * PQ lives in raw L2 space. Returns m × ksub × (dim/m) doubles (float
+    * inputs upcast exactly), ~ksub·dim·8 bytes on the driver. The same
+    * sampled-init-vs-trained trade as [[ivfCentroids]]: plain-SQL
+    * reproducibility over the last few recall points.
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && ksub >= 1, "m and ksub must be >= 1")
+    val sampled = corpus
+      .select(md5(col(idCol).cast("string")).alias("h"), col(idCol).alias("i"),
+        col(vecCol).alias("v"))
+      .orderBy(col("h"), col("i")).limit(ksub)
+      .collect()
+      .map(_.getSeq[Any](2).map {
+        case f: Float  => f.toDouble
+        case d: Double => d
+      }.toSeq).toSeq
+    require(sampled.nonEmpty, "empty corpus")
+    val dim = sampled.head.length
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val dsub = dim / m
+    (0 until m).map(j => sampled.map(_.slice(j * dsub, (j + 1) * dsub)))
+  }
+
+  /** PQ-encode every vector: (idCol, codes array<int> of length m) via the
+    * native [[graft.functions.PqEncode]] — narrow, no shuffle; a 64-dim
+    * float vector compresses to m bytes-ish of codes (the 100 TB memory
+    * story: the corpus index holds codes, not vectors).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    df.select(col(idCol),
+      graft.functions.PqEncode.column(col(vecCol), codebooks).alias("codes"))
+
+  /** Approximate top-k by ASYMMETRIC distance (ADC — the FAISS IVFPQ
+    * scoring contract): corpus vectors are encoded to PQ codes and decoded
+    * back to their codeword reconstructions (a bit-exact gather, narrow),
+    * queries stay exact, and `dist2 = q·q − 2·q·r + r·r` ranks candidates
+    * ascending (rounded to 4 decimals; each dot is ONE left-to-right fold
+    * over the full dimension — never per-subspace partials, whose
+    * regrouped addition drifts in the last ulp vs a flat fold). Emits
+    * (q_id, n_id, dist2, rnk <= k).
+    *
+    * Scale: encode/decode are narrow maps; scoring is the same
+    * broadcast-queries × corpus scan as [[bruteForceTopK]] but against
+    * reconstructions that the engine can keep as codes (m ints) instead
+    * of dim floats — at 100 TB the candidate source is [[lshTopK]] /
+    * [[ivfTopK]] lists and ADC rescoring replaces full-vector reads.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    import graft.functions.{PqDecode, PqEncode}
+    val c = corpus.select(col(idCol).alias("n_id"),
+        PqEncode.column(col(vecCol), codebooks).alias("codes"))
+      .withColumn("r", PqDecode.column(col("codes"), codebooks))
+      .withColumn("rr", dot(col("r"), col("r")))
+    val q = queries.select(col(idCol).alias("q_id"), col(vecCol).alias("vq"))
+      .withColumn("qq", dot(col("vq"), col("vq")))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("dist2",
+        round(col("qq") - lit(2.0) * dot(col("vq"), col("r")) + col("rr"), 4))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("dist2"), col("n_id"))))
+      .filter(col("rnk") <= k)
+      .select("q_id", "n_id", "dist2", "rnk")
+  }
 }

@@ -1,0 +1,192 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Product-quantization encode: split a dim-`m·dsub` vector into `m`
+  * subvectors and emit, per subspace, the index of the L2-nearest codeword
+  * — `array<int>` of length `m`. The argmin compares
+  * `-2·Σ_t x_t·c_t + Σ_t c_t²` (the `Σ x_t²` term is constant per
+  * subvector and cannot change the winner); dot products accumulate
+  * left-to-right in double (the [[DotProduct]] numeric contract) and the
+  * codeword self-dots are precomputed with the same fold, so the selected
+  * code is deterministic and bit-replayable in any engine whose dot
+  * product folds the same way (DuckDB `list_dot_product` — the oracle).
+  * Ties pick the lower codeword index.
+  *
+  * One native loop over a reference-object codebook — same janino-64KB
+  * compactness argument as [[IvfAssign]].
+  */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  require(codebooks.nonEmpty, "need at least one subspace codebook")
+  private def m: Int = codebooks.length
+  private def ksub: Int = codebooks.head.length
+  private def dsub: Int = codebooks.head.head.length
+  require(codebooks.forall(cb => cb.length == ksub &&
+    cb.forall(_.length == dsub)), "ragged codebooks")
+
+  @transient private lazy val flat: Array[Double] =
+    codebooks.flatten.flatten.toArray
+
+  @transient private lazy val norms2: Array[Double] = {
+    val out = new Array[Double](m * ksub)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * dsub
+        var s = 0.0
+        var t = 0
+        while (t < dsub) { s += flat(base + t) * flat(base + t); t += 1 }
+        out(j * ksub + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_encode requires ARRAY<FLOAT|DOUBLE>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PqEncode.encode(input.asInstanceOf[ArrayData], flat, norms2,
+      m, ksub, dsub, elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", flat, "double[]")
+    val n2Ref = ctx.addReferenceObj("pqn2", norms2, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqEncode.encode(" +
+        s"$c, $cbRef, $n2Ref, $m, $ksub, $dsub, $elemIsFloat);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_encode"
+}
+
+object PqEncode {
+
+  /** Referenced from generated code. */
+  def encode(v: ArrayData, flat: Array[Double], norms2: Array[Double],
+      m: Int, ksub: Int, dsub: Int, isFloat: Boolean): ArrayData = {
+    val codes = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var bestC = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ksub) {
+        val base = (j * ksub + c) * dsub
+        var s = 0.0
+        var t = 0
+        while (t < dsub) {
+          val idx = j * dsub + t
+          val x =
+            if (idx >= v.numElements()) 0.0
+            else if (isFloat) v.getFloat(idx).toDouble
+            else v.getDouble(idx)
+          s += x * flat(base + t)
+          t += 1
+        }
+        val d = -2.0 * s + norms2(j * ksub + c)
+        // strict < keeps the earlier (lower-index) codeword on exact ties
+        if (d < bestD) { bestD = d; bestC = c }
+        c += 1
+      }
+      codes(j) = bestC
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  def column(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    Bridge.column(PqEncode(Bridge.expression(vec), codebooks))
+}
+
+/** Product-quantization decode: expand an `array<int>` of `m` codeword
+  * indices back to the concatenated `m·dsub`-dim reconstruction vector.
+  * Pure gather from the codebook reference object — no floating-point
+  * arithmetic, so the reconstruction is bit-exact everywhere; downstream
+  * asymmetric-distance scoring then runs ONE left-to-right dot over the
+  * full reconstruction (never per-subspace partial sums, whose regrouped
+  * addition would drift in the last ulp vs a flat fold).
+  */
+case class PqDecode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+
+  require(codebooks.nonEmpty, "need at least one subspace codebook")
+  private def m: Int = codebooks.length
+  private def ksub: Int = codebooks.head.length
+  private def dsub: Int = codebooks.head.head.length
+
+  @transient private lazy val flat: Array[Double] =
+    codebooks.flatten.flatten.toArray
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(IntegerType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_decode requires ARRAY<INT>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PqDecode.decode(input.asInstanceOf[ArrayData], flat, m, ksub, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", flat, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PqDecode.decode(" +
+        s"$c, $cbRef, $m, $ksub, $dsub);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqDecode =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_decode"
+}
+
+object PqDecode {
+
+  /** Referenced from generated code. */
+  def decode(codes: ArrayData, flat: Array[Double],
+      m: Int, ksub: Int, dsub: Int): ArrayData = {
+    val out = new Array[Double](m * dsub)
+    var j = 0
+    while (j < m && j < codes.numElements()) {
+      val c = codes.getInt(j)
+      require(c >= 0 && c < ksub, s"code $c out of [0, $ksub) in subspace $j")
+      val base = (j * ksub + c) * dsub
+      var t = 0
+      while (t < dsub) { out(j * dsub + t) = flat(base + t); t += 1 }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def column(codes: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    Bridge.column(PqDecode(Bridge.expression(codes), codebooks))
+}

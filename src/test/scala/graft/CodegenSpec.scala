@@ -68,6 +68,28 @@ class CodegenSpec extends AnyFunSuite {
     }
   }
 
+  test("pq encode/decode compile under strict whole-stage codegen") {
+    withStrictCodegen {
+      val df = Seq(
+        (1L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+        (2L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      ).toDF("id", "v")
+      // m=2, ksub=2, dsub=2: subspace codebooks chosen so row 1 encodes
+      // (0, 1) and row 2 encodes (1, 0)
+      val cb = Seq(
+        Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)),
+        Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)))
+      val rows = df
+        .select(col("id"), functions.PqEncode.column(col("v"), cb).alias("c"))
+        .withColumn("r", functions.PqDecode.column(col("c"), cb))
+        .orderBy("id").collect()
+      assert(rows(0).getSeq[Int](1) === Seq(0, 1))
+      assert(rows(1).getSeq[Int](1) === Seq(1, 0))
+      assert(rows(0).getSeq[Double](2) === Seq(1.0, 0.0, 0.0, 1.0))
+      assert(rows(1).getSeq[Double](2) === Seq(0.0, 1.0, 1.0, 0.0))
+    }
+  }
+
   test("LSH similarity paths stay inside codegen at realistic sizes") {
     withStrictCodegen {
       val rnd = new scala.util.Random(7)

@@ -189,6 +189,48 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  // --- product quantization ------------------------------------------------
+
+  test("pq: codes bounded, sampled codewords reconstruct exactly") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = ext.Similarity.pqCodebooks(e, "vec_id", "embedding",
+      m = 4, ksub = 8)
+    assert(cb.length === 4 && cb.forall(_.length === 8) &&
+      cb.forall(_.forall(_.length === 16)))
+    val enc = ext.Similarity.pqEncode(e, "vec_id", "embedding", cb)
+    val codes = enc.select(col("codes")).collect().map(_.getSeq[Int](0))
+    assert(codes.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 8)))
+    // the sampled rows ARE codewords: a vector is always (weakly) closest
+    // to itself in every subspace (|x-c|^2 >= 0), so its reconstruction
+    // is bit-exact
+    val sampleIds = e
+      .select(md5(col("vec_id").cast("string")).alias("h"), col("vec_id"))
+      .orderBy(col("h"), col("vec_id")).limit(8)
+      .collect().map(_.getLong(1)).toSet
+    val errs = enc
+      .withColumn("r", graft.functions.PqDecode.column(col("codes"), cb))
+      .join(e, "vec_id")
+      .filter(col("vec_id").isin(sampleIds.toSeq: _*))
+      .withColumn("err", expr("aggregate(zip_with(r, embedding, " +
+        "(a, b) -> abs(a - cast(b as double))), 0d, (acc, x) -> acc + x)"))
+      .select("err").collect().map(_.getDouble(0))
+    assert(errs.length === 8 && errs.forall(_ === 0.0))
+  }
+
+  test("pqTopK: rank law, self-excluded, partition-invariant") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = ext.Similarity.pqCodebooks(e, "vec_id", "embedding",
+      m = 4, ksub = 8)
+    val a = ext.Similarity.pqTopK(e, e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 3, cb).collect()
+    assert(a.forall(r => r.getInt(3) >= 1 && r.getInt(3) <= 3))
+    assert(a.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(a.groupBy(_.getLong(0)).forall(_._2.length == 3))
+    val b = ext.Similarity.pqTopK(e.repartition(7), e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 3, cb).collect()
+    assert(a.map(_.toSeq).toSet === b.map(_.toSeq).toSet)
+  }
+
   // --- plan shapes --------------------------------------------------------
 
   test("incremental LSH and cascade plan bucketed joins — no cartesian/BNL") {

@@ -621,6 +621,18 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, cb)
     },
 
+    // similarity: the FULL FAISS-IVFPQ shape — coarse lists bound the
+    // candidates, PQ codes bound the memory, ADC rescoring; both index
+    // builds (centroid + codebook samples) replay in SQL
+    "q_ivfpq_topk" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      val cents = ext.Similarity.ivfCentroids(e, "vec_id", "embedding", k = 32)
+      val cb = ext.Similarity.pqCodebooks(e, "vec_id", "embedding",
+        m = 4, ksub = 16)
+      ext.Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, cents, cb, nProbe = 4)
+    },
+
     // late-interaction MaxSim: items are 4-vector bags (vec_id div 4),
     // first 10 bags query the rest; top-5 per query by the summed
     // per-vector maxima
@@ -3249,6 +3261,60 @@ object SparkEntry {
         |               - 2 * list_dot_product(q.v, rec.r)
         |               + list_dot_product(rec.r, rec.r), 4) AS dist2
         |       FROM q JOIN rec ON rec.vec_id <> q.vec_id)
+        |SELECT q_id, n_id, dist2,
+        |       CAST(row_number() OVER (PARTITION BY q_id
+        |         ORDER BY dist2, n_id) AS INTEGER) AS rnk
+        |FROM sc QUALIFY rnk <= 5""".stripMargin,
+
+    // IVF + PQ: q_knn_ivf's centroid/assignment CTEs feeding q_pq_topk's
+    // codebook/encode/reconstruction CTEs; candidates from the list join,
+    // ADC rescoring with flat-fold dots
+    "q_ivfpq_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM e
+        |          ORDER BY h LIMIT 32),
+        |cent AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cidx,
+        |                CASE WHEN list_dot_product(v, v) = 0 THEN v
+        |                     ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+        |                END AS c
+        |         FROM cent0),
+        |cassign AS (SELECT n_id, list FROM (
+        |    SELECT e2.vec_id AS n_id, c.cidx AS list,
+        |           row_number() OVER (PARTITION BY e2.vec_id
+        |             ORDER BY list_dot_product(e2.v, c.c) DESC, c.cidx) AS rn
+        |    FROM e e2 CROSS JOIN cent c) WHERE rn = 1),
+        |qassign AS (SELECT q_id, list FROM (
+        |    SELECT e2.vec_id AS q_id, c.cidx AS list,
+        |           row_number() OVER (PARTITION BY e2.vec_id
+        |             ORDER BY list_dot_product(e2.v, c.c) DESC, c.cidx) AS rn
+        |    FROM e e2 CROSS JOIN cent c WHERE e2.vec_id < 10) WHERE rn <= 4),
+        |cb0 AS (SELECT v,
+        |          row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+        |            - 1 AS cc
+        |        FROM e
+        |        QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+        |          vec_id) <= 16),
+        |cw AS (SELECT cc, j, v[j * 16 + 1 : (j + 1) * 16] AS w
+        |       FROM cb0, range(4) r(j)),
+        |sub AS (SELECT vec_id, j, v[j * 16 + 1 : (j + 1) * 16] AS s
+        |        FROM e, range(4) r(j)),
+        |scoredpq AS (SELECT vec_id, j, cc,
+        |               -2 * list_dot_product(s, w) + list_dot_product(w, w) AS d
+        |             FROM sub JOIN cw USING (j)),
+        |enc AS (SELECT vec_id, j, cc FROM scoredpq
+        |        QUALIFY row_number() OVER (PARTITION BY vec_id, j
+        |          ORDER BY d, cc) = 1),
+        |rec AS (SELECT en.vec_id, flatten(list(cw.w ORDER BY en.j)) AS r
+        |        FROM enc en JOIN cw ON cw.j = en.j AND cw.cc = en.cc
+        |        GROUP BY en.vec_id),
+        |sc AS (SELECT qa.q_id, ca.n_id,
+        |         round(list_dot_product(q.v, q.v)
+        |               - 2 * list_dot_product(q.v, rec.r)
+        |               + list_dot_product(rec.r, rec.r), 4) AS dist2
+        |       FROM qassign qa
+        |       JOIN cassign ca ON qa.list = ca.list AND qa.q_id <> ca.n_id
+        |       JOIN e q ON q.vec_id = qa.q_id
+        |       JOIN rec ON rec.vec_id = ca.n_id)
         |SELECT q_id, n_id, dist2,
         |       CAST(row_number() OVER (PARTITION BY q_id
         |         ORDER BY dist2, n_id) AS INTEGER) AS rnk

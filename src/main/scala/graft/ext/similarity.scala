@@ -589,6 +589,41 @@ object Similarity {
     * of dim floats — at 100 TB the candidate source is [[lshTopK]] /
     * [[ivfTopK]] lists and ADC rescoring replaces full-vector reads.
     */
+  /** IVF + PQ — the full FAISS-IVFPQ retrieval shape: corpus vectors land
+    * in their nearest coarse-centroid list AND compress to PQ codes;
+    * queries probe `nProbe` lists and rescore the candidates by
+    * asymmetric distance against the code reconstructions. The list join
+    * bounds candidates (never corpus × queries), the codes bound memory
+    * (m ints per vector instead of dim floats) — at 100 TB the inverted
+    * lists hold codes only and full vectors are never read at query time.
+    * Emits (q_id, n_id, dist2, rnk <= k); every stage (centroid sample,
+    * assignment, codebook sample, encode, ADC) replays in SQL.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+      nProbe: Int = 4): DataFrame = {
+    import graft.functions.{IvfAssign, PqDecode, PqEncode}
+    val c = corpus.select(col(idCol).alias("n_id"), col(vecCol).alias("vn"))
+      .withColumn("list", IvfAssign.column(col("vn"), centroids, 1).getItem(0))
+      .withColumn("codes", PqEncode.column(col("vn"), codebooks))
+      .withColumn("r", PqDecode.column(col("codes"), codebooks))
+      .withColumn("rr", dot(col("r"), col("r")))
+      .drop("vn")
+    val q = queries.select(col(idCol).alias("q_id"), col(vecCol).alias("vq"))
+      .withColumn("list", explode(IvfAssign.column(col("vq"), centroids, nProbe)))
+      .withColumn("qq", dot(col("vq"), col("vq")))
+    c.join(broadcast(q), Seq("list"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("dist2",
+        round(col("qq") - lit(2.0) * dot(col("vq"), col("r")) + col("rr"), 4))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("dist2"), col("n_id"))))
+      .filter(col("rnk") <= k)
+      .select("q_id", "n_id", "dist2", "rnk")
+  }
+
   def pqTopK(corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {

@@ -231,6 +231,25 @@ class Round6Spec extends AnyFunSuite {
     assert(a.map(_.toSeq).toSet === b.map(_.toSeq).toSet)
   }
 
+  test("ivfPqTopK: ADC scores agree with pqTopK on shared pairs") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = ext.Similarity.ivfCentroids(e, "vec_id", "embedding", k = 8)
+    val cb = ext.Similarity.pqCodebooks(e, "vec_id", "embedding",
+      m = 4, ksub = 8)
+    val full = ext.Similarity.pqTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 1000, cb)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivfpq = ext.Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 3, cents, cb, nProbe = 2).collect()
+    assert(ivfpq.nonEmpty)
+    ivfpq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(full.contains(key))
+      assert(full(key) === r.getDouble(2)) // same ADC distance, bit-for-bit
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 3)
+    }
+  }
+
   // --- plan shapes --------------------------------------------------------
 
   test("incremental LSH and cascade plan bucketed joins — no cartesian/BNL") {

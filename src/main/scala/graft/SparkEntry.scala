@@ -549,6 +549,21 @@ object SparkEntry {
         threshold = 0.5, portable = true)
     },
 
+    // record linkage: Jaro-Winkler rescoring over an EXPLICIT bounded
+    // candidate frame (candidate generation is a separate blocking
+    // concern — maxSimScore doctrine); native codegen expression, matches
+    // DuckDB's jaro_winkler_similarity bit-for-bit
+    "q_jaro_winkler" -> { (s, dir) =>
+      val c = read(s, dir, "customer").filter(col("c_custkey") < 100)
+        .select(col("c_custkey"), col("c_name"))
+      val sup = read(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      c.crossJoin(broadcast(sup))
+        .withColumn("jw",
+          round(graft.functions.JaroWinkler.column(col("c_name"), col("s_name")), 6))
+        .filter(col("jw") >= 0.8)
+        .select("c_custkey", "s_suppkey", "jw")
+    },
+
     // dedup: the full production CASCADE (exact → LSH near-dup →
     // canonical) with per-doc verdicts; 50 re-keyed exact copies injected
     // so stage 1 has work, near stage runs on exact survivors only
@@ -2622,6 +2637,13 @@ object SparkEntry {
         |GROUP BY c.new_id, c.corpus_id
         |HAVING CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32
         |         >= 0.5""".stripMargin,
+
+    "q_jaro_winkler" ->
+      """SELECT c_custkey, s_suppkey,
+        |       round(jaro_winkler_similarity(c_name, s_name), 6) AS jw
+        |FROM customer, supplier
+        |WHERE c_custkey < 100
+        |  AND round(jaro_winkler_similarity(c_name, s_name), 6) >= 0.8""".stripMargin,
 
     // three-stage cascade: exact md5 groups → portable LSH pairs over
     // survivors → recursive closure canonical; verdicts assembled with

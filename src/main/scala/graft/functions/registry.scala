@@ -41,6 +41,10 @@ object GraftFunctions {
       require(args.length == 1, "rolling_hash(text)")
       RollingHash(args.head)
     },
+    "jaro_winkler" -> { args =>
+      require(args.length == 2, "jaro_winkler(a, b)")
+      JaroWinkler(args.head, args(1))
+    },
     "dot_product" -> { args =>
       require(args.length == 2, "dot_product(a, b)")
       DotProduct(args.head, args(1))

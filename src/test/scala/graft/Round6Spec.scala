@@ -250,6 +250,35 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  // --- jaro-winkler --------------------------------------------------------
+
+  test("jaroWinkler: textbook values, symmetry, bounds, edge cases") {
+    import graft.functions.JaroWinkler.similarity
+    assert(math.abs(similarity("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(similarity("DWAYNE", "DUANE") - 0.84) < 1e-15)
+    assert(math.abs(similarity("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(similarity("same", "same") === 1.0)
+    assert(similarity("", "x") === 0.0)
+    assert(similarity("ab", "ba") === 0.0) // window 0: no off-diagonal match
+    // prefix boost caps at 4 chars
+    assert(math.abs(similarity("apple", "applesauce") - 0.9) < 1e-15)
+    val pairs = Seq(("alpha", "alpah"), ("Customer#1", "Supplier#1"))
+    pairs.foreach { case (a, b) =>
+      val s = similarity(a, b)
+      assert(s === similarity(b, a)) // symmetric
+      assert(s >= 0.0 && s <= 1.0)
+    }
+    // the Column/codegen path and SQL registration agree with the scala impl
+    val df = Seq(("MARTHA", "MARHTA")).toDF("a", "b")
+    val viaCol = df.select(
+      graft.functions.JaroWinkler.column(col("a"), col("b"))).head.getDouble(0)
+    assert(viaCol === similarity("MARTHA", "MARHTA"))
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT jaro_winkler('MARTHA', 'MARHTA')").head.getDouble(0)
+    assert(viaSql === viaCol)
+  }
+
   // --- plan shapes --------------------------------------------------------
 
   test("incremental LSH and cascade plan bucketed joins — no cartesian/BNL") {

@@ -636,6 +636,20 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, cb)
     },
 
+    // similarity: recall@5 of the IVF index against brute-force ground
+    // truth per query — the ANN acceptance metric, with both rankings and
+    // the hit-count division replayed in SQL
+    "q_ann_recall" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+      val exact = ext.Similarity.bruteForceTopK(e, qs,
+        "vec_id", "embedding", k = 5)
+      val cents = ext.Similarity.ivfCentroids(e, "vec_id", "embedding", k = 32)
+      val approx = ext.Similarity.ivfTopK(e, qs,
+        "vec_id", "embedding", k = 5, cents, nProbe = 4)
+      ext.Similarity.recallAtK(approx, exact, "q_id", "n_id")
+    },
+
     // similarity: the FULL FAISS-IVFPQ shape — coarse lists bound the
     // candidates, PQ codes bound the memory, ADC rescoring; both index
     // builds (centroid + codebook samples) replay in SQL
@@ -1387,6 +1401,31 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) => ext.Search.bm25TopK(
       read(s, dir, "documents"), "doc_id", "text",
       terms = Seq("vector", "merge", "scan"), k = 20)),
+
+    // hybrid retrieval: reciprocal-rank fusion of a LEXICAL ranking
+    // (n-gram Jaccard of the query doc against the corpus) and a SEMANTIC
+    // ranking (embedding cosine top-k) — rank positions fuse as exact
+    // integer reciprocals, so no score calibration and no float-sum drift
+    "q_rrf_fusion" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = read(s, dir, "documents")
+      val e = read(s, dir, "embeddings")
+      val lex = ext.Dedup.ngramJaccardAgainst(
+          docs.filter(col("doc_id") < 10), docs, "doc_id", "text",
+          k = 3, threshold = 0.05)
+        .filter(col("new_id") =!= col("corpus_id"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("new_id"))
+            .orderBy(col("jaccard").desc, col("corpus_id"))))
+        .filter(col("rnk") <= 20)
+        .select(col("new_id").alias("q_id"),
+          col("corpus_id").alias("item_id"), col("rnk"))
+      val sem = ext.Similarity.bruteForceTopK(e,
+          e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 20)
+        .select(col("q_id"), col("n_id").alias("item_id"), col("rnk"))
+      ext.Search.rrfFuse(Seq(lex, sem), "q_id", "item_id", "rnk",
+        kRrf = 60, topK = 10)
+    },
 
     // web cleaning: latin-1 round-trip mojibake injected around every doc
     // is repaired by the fixed replacement ladder; clean text untouched
@@ -2638,6 +2677,56 @@ object SparkEntry {
         |HAVING CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32
         |         >= 0.5""".stripMargin,
 
+    // RRF: both retriever rankings replayed (jaccard-against + cosine
+    // top-k), reciprocal terms as exact integer floor divisions
+    "q_rrf_fusion" ->
+      """WITH nd AS (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents WHERE doc_id < 10),
+        |cd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ash AS (SELECT DISTINCT doc_id,
+        |          w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |        FROM (SELECT doc_id, w,
+        |                unnest(range(greatest(len(w) - 2, 0))) AS i FROM nd)),
+        |bsh AS (SELECT DISTINCT doc_id,
+        |          w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |        FROM (SELECT doc_id, w,
+        |                unnest(range(greatest(len(w) - 2, 0))) AS i FROM cd)),
+        |na AS (SELECT doc_id, COUNT(*) AS n FROM ash GROUP BY doc_id),
+        |nb AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id, COUNT(*) AS ic
+        |      FROM ash a JOIN bsh b ON a.shingle = b.shingle
+        |      WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+        |jac AS (SELECT new_id, corpus_id,
+        |          CAST(ic AS DOUBLE) / CAST(x.n + y.n - ic AS DOUBLE) AS jaccard
+        |        FROM p JOIN na x ON x.doc_id = new_id
+        |               JOIN nb y ON y.doc_id = corpus_id
+        |        WHERE CAST(ic AS DOUBLE) / CAST(x.n + y.n - ic AS DOUBLE) >= 0.05),
+        |lex AS (SELECT new_id AS q_id, corpus_id AS item_id, rnk FROM (
+        |          SELECT new_id, corpus_id,
+        |                 row_number() OVER (PARTITION BY new_id
+        |                   ORDER BY jaccard DESC, corpus_id) AS rnk
+        |          FROM jac) WHERE rnk <= 20),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT * FROM n WHERE vec_id < 10),
+        |scored AS (SELECT q.vec_id AS q_id, c.vec_id AS item_id,
+        |             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS sim
+        |           FROM q JOIN n c ON c.vec_id <> q.vec_id),
+        |sem AS (SELECT q_id, item_id, rnk FROM (
+        |          SELECT q_id, item_id,
+        |                 row_number() OVER (PARTITION BY q_id
+        |                   ORDER BY sim DESC, item_id) AS rnk
+        |          FROM scored) WHERE rnk <= 20),
+        |terms AS (SELECT q_id, item_id, 1000000000000 // (60 + rnk) AS t FROM lex
+        |          UNION ALL
+        |          SELECT q_id, item_id, 1000000000000 // (60 + rnk) AS t FROM sem),
+        |fused AS (SELECT q_id, item_id, CAST(SUM(t) AS BIGINT) AS rrf_scaled
+        |          FROM terms GROUP BY q_id, item_id)
+        |SELECT q_id, item_id, rrf_scaled,
+        |       CAST(row_number() OVER (PARTITION BY q_id
+        |         ORDER BY rrf_scaled DESC, item_id) AS INTEGER) AS rnk
+        |FROM fused QUALIFY rnk <= 10""".stripMargin,
+
     "q_jaro_winkler" ->
       """SELECT c_custkey, s_suppkey,
         |       round(jaro_winkler_similarity(c_name, s_name), 6) AS jw
@@ -3287,6 +3376,52 @@ object SparkEntry {
         |       CAST(row_number() OVER (PARTITION BY q_id
         |         ORDER BY dist2, n_id) AS INTEGER) AS rnk
         |FROM sc QUALIFY rnk <= 5""".stripMargin,
+
+    // recall@5: exact (brute force) and approximate (IVF) rankings both
+    // replayed, hits counted by left join, one small-integer division
+    "q_ann_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT * FROM n WHERE vec_id < 10),
+        |exsc AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |           round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS sim
+        |         FROM q JOIN n c ON c.vec_id <> q.vec_id),
+        |ex AS (SELECT q_id, n_id FROM (
+        |         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |           ORDER BY sim DESC, n_id) AS rnk FROM exsc) WHERE rnk <= 5),
+        |cent0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM e
+        |          ORDER BY h LIMIT 32),
+        |cent AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cidx,
+        |                CASE WHEN list_dot_product(v, v) = 0 THEN v
+        |                     ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+        |                END AS c
+        |         FROM cent0),
+        |cassign AS (SELECT n_id, list FROM (
+        |    SELECT e2.vec_id AS n_id, c.cidx AS list,
+        |           row_number() OVER (PARTITION BY e2.vec_id
+        |             ORDER BY list_dot_product(e2.v, c.c) DESC, c.cidx) AS rn
+        |    FROM e e2 CROSS JOIN cent c) WHERE rn = 1),
+        |qassign AS (SELECT q_id, list FROM (
+        |    SELECT e2.vec_id AS q_id, c.cidx AS list,
+        |           row_number() OVER (PARTITION BY e2.vec_id
+        |             ORDER BY list_dot_product(e2.v, c.c) DESC, c.cidx) AS rn
+        |    FROM e e2 CROSS JOIN cent c WHERE e2.vec_id < 10) WHERE rn <= 4),
+        |apsc AS (SELECT qa.q_id, ca.n_id,
+        |           round(list_dot_product(q2.v, c2.v) / (q2.nrm * c2.nrm), 4) AS sim
+        |         FROM qassign qa JOIN cassign ca
+        |           ON qa.list = ca.list AND qa.q_id <> ca.n_id
+        |         JOIN n q2 ON q2.vec_id = qa.q_id
+        |         JOIN n c2 ON c2.vec_id = ca.n_id),
+        |ap AS (SELECT q_id, n_id FROM (
+        |         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |           ORDER BY sim DESC, n_id) AS rnk FROM apsc) WHERE rnk <= 5)
+        |SELECT ex.q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |       CAST(SUM(CASE WHEN ap.n_id IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_hit,
+        |       CAST(SUM(CASE WHEN ap.n_id IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+        |FROM ex LEFT JOIN ap ON ap.q_id = ex.q_id AND ap.n_id = ex.n_id
+        |GROUP BY ex.q_id""".stripMargin,
 
     // IVF + PQ: q_knn_ivf's centroid/assignment CTEs feeding q_pq_topk's
     // codebook/encode/reconstruction CTEs; candidates from the list join,

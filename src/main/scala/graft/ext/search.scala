@@ -64,4 +64,40 @@ object Search {
       .limit(k)
       .select(col(idCol), col("score"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the hybrid-retrieval
+    * combiner: given per-query rankings from independent retrievers
+    * (lexical BM25/Jaccard, semantic ANN, …), each (query, doc) earns
+    * `Σ_r 1/(kRrf + rank_r)` over the rankings that returned it, and the
+    * fused top-`topK` per query is re-ranked by that sum. Rank positions
+    * — not scores — are fused, so incomparable score scales (cosine vs
+    * BM25) need no calibration; `kRrf = 60` is the published default.
+    *
+    * The reciprocal terms are computed as EXACT integers
+    * (`10¹² div (kRrf + rank)` — floor division) so the cross-retriever
+    * sum is order-independent and bit-identical in any engine, where a
+    * double `1/(k+r)` sum would drift with aggregation order. Emits
+    * (queryCol, docCol, rrf_scaled, rnk).
+    *
+    * Scale: one union of the (already small) per-query ranking lists, one
+    * hash aggregate on (query, doc), one per-query window over ≤
+    * Σ list sizes rows — cost is bounded by the retrievers' k, never the
+    * corpus.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], queryCol: String, docCol: String,
+      rankCol: String, kRrf: Int = 60, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kRrf >= 1 && topK >= 1, "kRrf and topK must be >= 1")
+    val terms = rankings.map(_.select(col(queryCol), col(docCol),
+      expr(s"1000000000000L div (${kRrf}L + cast($rankCol as long))")
+        .alias("__t")))
+    terms.reduce(_ unionByName _)
+      .groupBy(col(queryCol), col(docCol))
+      .agg(sum(col("__t")).alias("rrf_scaled"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(queryCol))
+          .orderBy(col("rrf_scaled").desc, col(docCol))))
+      .filter(col("rnk") <= topK)
+  }
 }

@@ -534,6 +534,28 @@ object Similarity {
         col("__s").cast("double").alias("score"))
   }
 
+  /** Recall@k of an approximate retriever against exact ground truth: per
+    * query, the fraction of the exact top-k that the approximate list
+    * recovered — THE acceptance metric for every ANN index (LSH probe
+    * counts, IVF nProbe, PQ code budgets are all tuned against it).
+    * Both inputs are (qCol, nCol, …) ranking frames; emits
+    * (qCol, n_exact, n_hit, recall). The division is small-integer /
+    * small-integer — one exactly-rounded IEEE op, engine-identical.
+    *
+    * Scale: one equi-join on (query, neighbor) + one hash aggregate, cost
+    * bounded by queries × k — never touches the corpus.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame,
+      qCol: String, nCol: String): DataFrame =
+    exact.select(col(qCol), col(nCol))
+      .join(approx.select(col(qCol), col(nCol)).withColumn("__hit", lit(1L)),
+        Seq(qCol, nCol), "left")
+      .groupBy(col(qCol))
+      .agg(count(lit(1)).alias("n_exact"),
+        sum(coalesce(col("__hit"), lit(0L))).alias("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+
   // -------------------------------------------------------- product quant
 
   /** Training-free product-quantization codebooks: `ksub` corpus vectors

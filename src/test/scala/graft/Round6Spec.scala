@@ -250,6 +250,46 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  // --- recall@k -------------------------------------------------------------
+
+  test("recallAtK: hand-computed hits, missing queries score zero hits") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("q_id", "n_id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (3L, 30L))
+      .toDF("q_id", "n_id")
+    val got = ext.Similarity.recallAtK(approx, exact, "q_id", "n_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) === ((3L, 2L, 2.0 / 3.0)))
+    assert(got(2L) === ((2L, 0L, 0.0))) // approx returned nothing for q=2
+    assert(!got.contains(3L)) // no ground truth, no row
+  }
+
+  // --- reciprocal-rank fusion ---------------------------------------------
+
+  test("rrfFuse: exact integer reciprocal sums, fusion beats single lists") {
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("q", "d", "rnk")
+    val sem = Seq((1L, 12L, 1), (1L, 13L, 2), (1L, 11L, 3))
+      .toDF("q", "d", "rnk")
+    val got = ext.Search.rrfFuse(Seq(lex, sem), "q", "d", "rnk",
+        kRrf = 60, topK = 10)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getInt(3))).toMap
+    def t(r: Int) = 1000000000000L / (60L + r)
+    // docs in both lists sum both reciprocal terms
+    assert(got(12L)._1 === t(1) + t(3))
+    assert(got(11L)._1 === t(2) + t(3))
+    assert(got(10L)._1 === t(1))
+    assert(got(13L)._1 === t(2))
+    // fused order: dual-listed docs outrank single-listed rank-1 docs
+    assert(got(12L)._2 === 1 && got(11L)._2 === 2)
+    assert(got(10L)._2 === 3 && got(13L)._2 === 4) // t(1) > t(2)
+    // topK cuts
+    val cut = ext.Search.rrfFuse(Seq(lex, sem), "q", "d", "rnk", topK = 2)
+      .collect()
+    assert(cut.length === 2)
+  }
+
   // --- jaro-winkler --------------------------------------------------------
 
   test("jaroWinkler: textbook values, symmetry, bounds, edge cases") {

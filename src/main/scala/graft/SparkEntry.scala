@@ -1229,6 +1229,17 @@ object SparkEntry {
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .select("doc_id", "split")),
 
+    // eval hygiene: LEAKAGE-SAFE splits — the split unit is the near-dup
+    // cluster, so two near-identical docs can never land in train AND
+    // test; members inherit the canonical id's md5 band
+    "q_split_by_cluster" -> { (s, dir) =>
+      val docs = read(s, dir, "documents")
+      val pairs = ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.8)
+      ext.Sampling.splitByCluster(docs, "doc_id", pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    },
+
     // budgeted selection: k highest-scored docs per source (per-group
     // window, deterministic id tie-break — parallel across groups)
     "q_topk_per_source" -> ((s, dir) => ext.Sampling.topKPerGroup(
@@ -4380,6 +4391,39 @@ object SparkEntry {
          |            < '${ext.Sampling.thresholdHex(0.8 + 0.1)}' THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin,
+
+    // leakage-safe splits: jaccard pairs → recursive closure → min-id
+    // cluster → the cluster id's md5 band decides the whole cluster
+    "q_split_by_cluster" ->
+      s"""WITH RECURSIVE
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i.i:i.i+2], ' ') AS s
+         |       FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) i
+         |       WHERE i.i <= len(t) - 2),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ic
+         |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT a_id, b_id FROM inter
+         |          JOIN cnt ca ON ca.doc_id = a_id
+         |          JOIN cnt cb ON cb.doc_id = b_id
+         |          WHERE CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) >= 0.8),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         |          UNION SELECT b_id, a_id FROM pairs),
+         |reach AS (SELECT src AS a, dst AS b FROM edges
+         |          UNION
+         |          SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+         |clusters AS (SELECT d.doc_id,
+         |                    least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster
+         |             FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+         |             GROUP BY d.doc_id)
+         |SELECT doc_id, cluster,
+         |  CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 8)
+         |            < '${ext.Sampling.thresholdHex(0.8)}' THEN 'train'
+         |       WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 8)
+         |            < '${ext.Sampling.thresholdHex(0.8 + 0.1)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM clusters""".stripMargin,
 
     "q_topk_per_source" ->
       """SELECT doc_id, source, n_chars FROM (

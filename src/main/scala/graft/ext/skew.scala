@@ -230,6 +230,28 @@ object Sampling {
       .withColumn("running_cost", col("__cum")).drop("__cum")
   }
 
+  /** LEAKAGE-SAFE train/val/test split: the split unit is the near-dup
+    * CLUSTER, not the document — naive per-id splitting puts two copies
+    * of the same (near-identical) document in train AND test, silently
+    * inflating eval scores. Cluster labels come from
+    * [[Dedup.nearDupClusters]] over the caller's pair list (LSH/Jaccard —
+    * the caller picks the near-dup definition); every member then
+    * inherits the split of its cluster's canonical id via the same
+    * cumulative md5-band contract as [[assignSplits]], so singleton docs
+    * split exactly as assignSplits would, the assignment is reproducible
+    * in any engine, and a cluster NEVER straddles splits. Emits
+    * (idCol, cluster, split).
+    *
+    * Scale: the pair-graph machinery is pair-list-sized; the band
+    * assignment is one narrow expression over (id, cluster).
+    */
+  def splitByCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)]): DataFrame =
+    assignSplits(
+      Dedup.nearDupClusters(df.select(col(idCol)), idCol, pairs), "cluster",
+      splits)
+      .select(col("id").alias(idCol), col("cluster"), col("split"))
+
   /** Deterministic GLOBAL training order ("epoch shuffle"): every row gets
     * a dense position 0..n−1 in the order of `md5(seed || ':' || id)` —
     * reproducible from (seed, id set) alone in any engine, independent of

@@ -250,6 +250,32 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  // --- leakage-safe splits --------------------------------------------------
+
+  test("splitByCluster: a near-dup cluster never straddles splits") {
+    val df = Seq(
+      (1L, base + " one"), (2L, base + " two"), (3L, base + " three"),
+      (4L, "a separate short text about something else entirely here now"),
+      (5L, "yet another unrelated document with its own words and shape"),
+    ).toDF("doc_id", "text")
+    val pairs = ext.Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      k = 3, threshold = 0.8)
+    assert(pairs.count() >= 3) // 1-2-3 all pairwise near-dups
+    val got = ext.Sampling.splitByCluster(df, "doc_id", pairs,
+        Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    // cluster 1-2-3 shares canonical id 1 and ONE split
+    assert(Set(got(1L), got(2L), got(3L)).size === 1)
+    assert(got(1L)._1 === 1L)
+    // singletons split by their own id — identical to assignSplits
+    val solo = ext.Sampling.assignSplits(
+        df.filter(col("doc_id") >= 4).select("doc_id"), "doc_id",
+        Seq("train" -> 0.5, "val" -> 0.25, "test" -> 0.25))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(4L)._2 === solo(4L) && got(5L)._2 === solo(5L))
+  }
+
   // --- recall@k -------------------------------------------------------------
 
   test("recallAtK: hand-computed hits, missing queries score zero hits") {

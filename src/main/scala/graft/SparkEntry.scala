@@ -1781,6 +1781,24 @@ object SparkEntry {
         .select(col("vec_id"), col("j"), round(col("coord"), 6).alias("coord"))
     },
 
+    // distributed PCA, stage 1: upper-triangle Gram numerators over
+    // fixed-point-scaled embeddings — ONE mergeable array aggregate
+    // (state d(d+1)/2 longs, independent of corpus size), exact BIGINT
+    // output so the hash compare is integer-for-integer
+    "q_pca_gram" -> { (s, dir) =>
+      ext.Pca.gramUpper(read(s, dir, "embeddings"), "embedding")
+    },
+
+    // distributed PCA, stage 2: top-2 principal components by
+    // fixed-iteration power iteration with deflation on the collected
+    // d×d Gram (bounded driver work), then one native DotProduct
+    // projection per component; the ENTIRE eigensolve replays in the
+    // oracle as a recursive CTE over the same pinned left-to-right folds
+    "q_pca_project" -> { (s, dir) =>
+      ext.Pca.pcaProject(read(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 2)
+    },
+
     // unicode canonicalization: NFC compose + accent strip as native
     // codegen expressions (JDK Normalizer — no dependency); the injected
     // decomposed prefix proves real composition work on the ASCII corpus
@@ -2242,6 +2260,69 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_rp_reduce" -> rpReduceOracle,
+
+    // PCA Gram: same fixed-point scaling (floor(x·1e6 + 0.5) — identical
+    // deterministic semantics in every engine), exact BIGINT sums over
+    // the upper triangle via a per-row index self-join
+    "q_pca_gram" ->
+      """WITH x AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |        e -> CAST(floor(e*1000000.0 + 0.5) AS BIGINT)) AS xi FROM embeddings),
+        |ua AS (SELECT vec_id, CAST(r.i AS INTEGER) AS i,
+        |              xi[CAST(r.i AS INTEGER)+1] AS v
+        |       FROM x, range(64) r(i))
+        |SELECT a.i AS i, b.i AS j, CAST(SUM(a.v*b.v) AS BIGINT) AS num
+        |FROM ua a JOIN ua b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |GROUP BY 1, 2""".stripMargin,
+
+    // PCA projection: the ENTIRE eigensolve replays — exact-integer Gram,
+    // 100 fixed power-iteration steps per component as a recursive CTE
+    // (MATERIALIZED hints keep DuckDB from re-inlining the Gram build into
+    // every iteration), Hotelling deflation, then one pinned-fold dot per
+    // component; every float op is the same left-to-right sequence the
+    // driver-side Scala solver executes, so doubles match bit-for-bit
+    // (round(…,6) absorbs any residual last-ulp divergence)
+    "q_pca_project" ->
+      """WITH RECURSIVE
+        |x AS MATERIALIZED (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+        |        e -> CAST(floor(e*1000000.0 + 0.5) AS BIGINT)) AS xi FROM embeddings),
+        |ua AS MATERIALIZED (SELECT vec_id, CAST(r.i AS INTEGER) AS i,
+        |        xi[CAST(r.i AS INTEGER)+1] AS v
+        |       FROM x, range(64) r(i)),
+        |gu AS MATERIALIZED (SELECT a.i AS i, b.i AS j, CAST(SUM(a.v*b.v) AS BIGINT) AS num
+        |       FROM ua a JOIN ua b ON a.vec_id = b.vec_id AND b.i >= a.i GROUP BY 1,2),
+        |gfull AS MATERIALIZED (SELECT i, j, CAST(num AS DOUBLE)/1000000000000.0 AS gv FROM gu
+        |          UNION ALL
+        |          SELECT j, i, CAST(num AS DOUBLE)/1000000000000.0 FROM gu WHERE i <> j),
+        |grows AS (SELECT i, list(gv ORDER BY j) AS r FROM gfull GROUP BY i),
+        |gm AS MATERIALIZED (SELECT list(r ORDER BY i) AS g FROM grows),
+        |pi1(t, v) AS (
+        |  SELECT 0, list_transform(range(64), q -> CAST(0.125 AS DOUBLE))
+        |  UNION ALL
+        |  SELECT s.t + 1, list_transform(s.mv, e -> e / sqrt(list_dot_product(s.mv, s.mv)))
+        |  FROM (SELECT p.t AS t, list_transform(gm.g, r -> list_dot_product(r, p.v)) AS mv
+        |        FROM pi1 p, gm WHERE p.t < 100) s
+        |),
+        |v1s AS MATERIALIZED (SELECT v FROM pi1 WHERE t = 100),
+        |mv1 AS (SELECT list_transform(gm.g, r -> list_dot_product(r, v1s.v)) AS w
+        |        FROM gm, v1s),
+        |lam1 AS MATERIALIZED (SELECT list_dot_product(v1s.v, mv1.w) AS l FROM v1s, mv1),
+        |g2full AS MATERIALIZED (SELECT f.i, f.j,
+        |          f.gv - lam1.l * v1s.v[f.i+1] * v1s.v[f.j+1] AS gv
+        |        FROM gfull f, lam1, v1s),
+        |g2rows AS (SELECT i, list(gv ORDER BY j) AS r FROM g2full GROUP BY i),
+        |g2m AS MATERIALIZED (SELECT list(r ORDER BY i) AS g FROM g2rows),
+        |pi2(t, v) AS (
+        |  SELECT 0, list_transform(range(64), q -> CAST(0.125 AS DOUBLE))
+        |  UNION ALL
+        |  SELECT s.t + 1, list_transform(s.mv, e -> e / sqrt(list_dot_product(s.mv, s.mv)))
+        |  FROM (SELECT p.t AS t, list_transform(g2m.g, r -> list_dot_product(r, p.v)) AS mv
+        |        FROM pi2 p, g2m WHERE p.t < 100) s
+        |),
+        |v2s AS MATERIALIZED (SELECT v FROM pi2 WHERE t = 100),
+        |xq AS (SELECT vec_id, list_transform(xi, l -> l/1000000.0) AS q FROM x)
+        |SELECT xq.vec_id, round(list_dot_product(xq.q, v1s.v), 6) AS pc1,
+        |       round(list_dot_product(xq.q, v2s.v), 6) AS pc2
+        |FROM xq, v1s, v2s""".stripMargin,
 
     // negative pairs: dense rank via row_number, same modular stride,
     // cosine rounded 4 (list_dot_product accumulation-order convention)

@@ -1,0 +1,170 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed principal-component analysis over an embedding column
+  * (SURVEY §2.11 similarity family) — the classic big-data PCA shape:
+  * because the covariance structure of an n×d corpus lives entirely in
+  * the d×d Gram matrix, ONE mergeable aggregation pass reduces 100 TB of
+  * vectors to d(d+1)/2 numbers, the eigenproblem is solved on the driver
+  * in microseconds (d is 64-1024, never row-scaled), and the projection
+  * back over the corpus is a narrow map. Spark MLlib's
+  * `RowMatrix.computePrincipalComponents` uses exactly this
+  * Gram-then-driver-eigen split; re-built here on the engine's own
+  * primitives so every step is engine-reproducible from SQL:
+  *
+  *  - elements are fixed-point-scaled to BIGINT (`floor(x·s + 0.5)`), so
+  *    the Gram accumulation is EXACT integer math — associative,
+  *    identical under any partitioning or merge order (same argument as
+  *    [[graft.functions.ArraySumAgg]] centroids; float sums can never
+  *    guarantee that);
+  *  - the per-row flattened upper-triangle outer product feeds one
+  *    [[graft.functions.ArraySumAgg]]: partial state is d(d+1)/2 longs
+  *    per partition, merged pairwise — no explode, no per-pair shuffle
+  *    rows (the explode-groupBy alternative shuffles n·d²/2 rows);
+  *  - eigenvectors come from fixed-iteration power iteration with
+  *    deflation, every fold left-to-right, so a DuckDB recursive CTE
+  *    replays the exact double sequence (`list_dot_product` is the same
+  *    flat fold) and the oracle hash-verifies the whole pipeline;
+  *  - projection onto the top-k components is one native codegen
+  *    [[graft.functions.DotProduct]] per component — no UDF, stays
+  *    inside whole-stage codegen.
+  *
+  * The driver-side collect is the d(d+1)/2-long Gram row — bounded by
+  * dimension, independent of corpus size, the same justification as the
+  * k=32 IVF centroid collect.
+  */
+object Pca {
+
+  /** Fixed-point element scaling: `floor(x·scale + 0.5)` as BIGINT.
+    * floor(+0.5) rather than round() because its semantics are identical
+    * and deterministic in every engine (round() half-case rules differ
+    * between engines and between double/decimal paths).
+    */
+  def scaledInts(vec: Column, scale: Double): Column =
+    transform(vec, x => floor(x.cast("double") * lit(scale) + lit(0.5)))
+
+  /** Per-row flattened upper-triangle outer product of the scaled vector:
+    * entry (i, j>=i) at flat position i·d - i(i-1)/2 + (j-i). Length
+    * d(d+1)/2; elements are exact products of BIGINTs.
+    */
+  private def upperOuter(vec: Column, scale: Double): Column = {
+    val x = scaledInts(vec, scale)
+    flatten(transform(x, (xi, i) =>
+      transform(slice(x, i + lit(1), size(x) - i), xj => xi * xj)))
+  }
+
+  /** Upper-triangle Gram numerators: (i, j, num) for 0 <= i <= j < d with
+    * `num = Σ_rows xint_i · xint_j` (exact BIGINT; the real Gram entry is
+    * `num / scale²`). One narrow map + one mergeable array aggregate +
+    * a single-row explode — the only shuffle is the final single-row
+    * merge of d(d+1)/2-long partials.
+    */
+  def gramUpper(df: DataFrame, vecCol: String, scale: Double = 1e6): DataFrame = {
+    val d = probeDim(df, vecCol)
+    val pairs = for { i <- 0 until d; j <- i until d } yield (i, j)
+    val iArr = pairs.map(_._1).toArray
+    val jArr = pairs.map(_._2).toArray
+    df.select(upperOuter(col(vecCol), scale).alias("__up"))
+      .agg(graft.functions.ArraySumAgg.column(col("__up")).alias("__g"))
+      .select(posexplode(col("__g")).as(Seq("__p", "num")))
+      .select(
+        element_at(typedlit(iArr), col("__p").cast("int") + 1).alias("i"),
+        element_at(typedlit(jArr), col("__p").cast("int") + 1).alias("j"),
+        col("num"))
+  }
+
+  /** Dimension probe: one-row bounded collect (same class of driver work
+    * as the merge-size probes — O(1) regardless of corpus size).
+    */
+  private def probeDim(df: DataFrame, vecCol: String): Int = {
+    val row = df.filter(col(vecCol).isNotNull).select(size(col(vecCol))).head()
+    row.getInt(0)
+  }
+
+  /** Left-to-right double dot — the pinned fold order shared with
+    * [[graft.functions.DotProduct]] and DuckDB's `list_dot_product`.
+    */
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def matvec(g: Array[Array[Double]], v: Array[Double]): Array[Double] =
+    g.map(row => dot(row, v))
+
+  /** Fixed-iteration power iteration: `iters` normalize(G·v) steps from
+    * the deterministic start v0 = (1/√d, …). Returns (eigenvalue,
+    * eigenvector). No convergence test — a FIXED iteration count is what
+    * makes the float sequence replayable in the SQL oracle.
+    */
+  private def powerIteration(
+      g: Array[Array[Double]], iters: Int): (Double, Array[Double]) = {
+    val d = g.length
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var t = 0
+    while (t < iters) {
+      val w = matvec(g, v)
+      val nrm = math.sqrt(dot(w, w))
+      v = w.map(_ / nrm)
+      t += 1
+    }
+    val w = matvec(g, v)
+    (dot(v, w), v)
+  }
+
+  /** Top-k eigenpairs of the (uncentered) Gram matrix by power iteration
+    * with Hotelling deflation `G ← G - λ v vᵀ`, eigenvalues descending.
+    */
+  def principalComponents(
+      gram: Array[Array[Double]], k: Int, iters: Int = 100)
+      : Seq[(Double, Array[Double])] = {
+    var g = gram.map(_.clone())
+    (0 until k).map { _ =>
+      val (lam, v) = powerIteration(g, iters)
+      g = g.zipWithIndex.map { case (row, i) =>
+        Array.tabulate(row.length)(j => row(j) - lam * v(i) * v(j))
+      }
+      (lam, v)
+    }
+  }
+
+  /** Collect the Gram (d(d+1)/2 longs — bounded) and solve for the top-k
+    * components on the driver.
+    */
+  def fit(df: DataFrame, vecCol: String, k: Int,
+      scale: Double = 1e6, iters: Int = 100): Seq[(Double, Array[Double])] = {
+    val entries = gramUpper(df, vecCol, scale)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val d = entries.keys.map(_._2).max + 1
+    val g = Array.tabulate(d, d) { (i, j) =>
+      val key = if (i <= j) (i, j) else (j, i)
+      entries(key).toDouble / (scale * scale)
+    }
+    principalComponents(g, k, iters)
+  }
+
+  /** Project each vector onto the top components: pc_m = <x_q, v_m> where
+    * x_q is the fixed-point-quantized vector (so both engines dot the
+    * bit-identical input), rounded to 6 places. Output
+    * (idCol, pc1 … pck) — one narrow codegen map over the corpus.
+    */
+  def project(df: DataFrame, idCol: String, vecCol: String,
+      components: Seq[Array[Double]], scale: Double = 1e6): DataFrame = {
+    val xq = transform(scaledInts(col(vecCol), scale),
+      l => l.cast("double") / lit(scale))
+    val pcs = components.zipWithIndex.map { case (v, m) =>
+      round(graft.functions.DotProduct.column(xq, typedlit(v)), 6)
+        .alias(s"pc${m + 1}")
+    }
+    df.select(col(idCol) +: pcs: _*)
+  }
+
+  /** fit + project in one call (the common path). */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String, k: Int = 2,
+      scale: Double = 1e6, iters: Int = 100): DataFrame =
+    project(df, idCol, vecCol, fit(df, vecCol, k, scale, iters).map(_._2), scale)
+}

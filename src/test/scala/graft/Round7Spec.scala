@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit laws for the round-7 additions: distributed PCA (exact-integer
+  * Gram aggregate, fixed-iteration power-iteration eigensolver,
+  * component projection).
+  */
+class Round7Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- Pca --------------------------------------------------------------
+
+  // deterministic small corpus with a dominant direction: rows are
+  // a·(1,2,3,4) + small orthogonal noise, so pc1 must align with (1,2,3,4)
+  private def vecs = (0 until 40).map { r =>
+    val a = (r % 7 + 1).toDouble
+    val noise = (r % 3 - 1).toDouble * 0.05
+    (r.toLong, Array(1.0 * a + noise, 2.0 * a - noise, 3.0 * a, 4.0 * a))
+  }.toDF("vec_id", "embedding")
+
+  private def collectGram(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Long] =
+    ext.Pca.gramUpper(df, "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+  test("gramUpper matches a naive driver-side computation exactly") {
+    val got = collectGram(vecs)
+    val xs = vecs.collect().map(_.getSeq[Double](1).toArray
+      .map(x => math.floor(x * 1e6 + 0.5).toLong))
+    val want = (for { i <- 0 until 4; j <- i until 4 } yield
+      (i, j) -> xs.map(x => x(i) * x(j)).sum).toMap
+    assert(got === want)
+  }
+
+  test("gramUpper is exactly partitioning-invariant (integer associativity)") {
+    assert(collectGram(vecs.repartition(7)) === collectGram(vecs.coalesce(1)))
+  }
+
+  test("power iteration with deflation: residual, orthogonality, ordering") {
+    val comps = ext.Pca.fit(vecs, "embedding", k = 2)
+    val Seq((lam1, v1), (lam2, v2)) = comps
+    assert(lam1 >= lam2 && lam2 > 0.0)
+    // rebuild the Gram the same way fit does and check G·v ≈ λ·v
+    val entries = collectGram(vecs)
+    val g = Array.tabulate(4, 4) { (i, j) =>
+      entries(if (i <= j) (i, j) else (j, i)).toDouble / 1e12
+    }
+    def residual(lam: Double, v: Array[Double]): Double = {
+      val gv = g.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+      math.sqrt(gv.zip(v).map { case (w, x) => (w - lam * x) * (w - lam * x) }.sum)
+    }
+    assert(residual(lam1, v1) < 1e-8 * lam1)
+    assert(residual(lam2, v2) < 1e-6 * lam1) // deflated matrix: looser
+    val ortho = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(ortho) < 1e-8)
+    // dominant direction is (1,2,3,4)/|.|
+    val expected = Array(1.0, 2.0, 3.0, 4.0).map(_ / math.sqrt(30.0))
+    val cos = math.abs(v1.zip(expected).map { case (a, b) => a * b }.sum)
+    assert(cos > 0.999, s"pc1 should align with the planted direction, cos=$cos")
+  }
+
+  test("pcaProject: pc1 carries at least as much variance as pc2") {
+    val proj = ext.Pca.pcaProject(vecs, "vec_id", "embedding", k = 2)
+    val Array(r) = proj.agg(
+      var_samp(col("pc1")).alias("v1"), var_samp(col("pc2")).alias("v2"))
+      .collect()
+    assert(r.getDouble(0) >= r.getDouble(1))
+    assert(proj.count() === 40)
+    assert(proj.columns.toSeq === Seq("vec_id", "pc1", "pc2"))
+  }
+
+  test("gramUpper plan: partial aggregation, no per-pair explode shuffle") {
+    val plan = ext.Pca.gramUpper(vecs, "embedding")
+      .queryExecution.executedPlan.toString
+    // the single Generate (posexplode) must sit ABOVE the aggregate —
+    // i.e. operate on the one merged Gram row, not on per-row pairs
+    val genIdx = plan.indexOf("Generate")
+    val aggIdx = plan.indexOf("Aggregate")
+    assert(genIdx >= 0 && aggIdx >= 0 && genIdx < aggIdx,
+      s"expected explode above the aggregate in:\n$plan")
+  }
+}

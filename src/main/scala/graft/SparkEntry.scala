@@ -1781,6 +1781,33 @@ object SparkEntry {
         .select(col("vec_id"), col("j"), round(col("coord"), 6).alias("coord"))
     },
 
+    // exact ROC-AUC (Mann-Whitney rank form, half-credit ties) of the
+    // n_chars "score" against the English label — the quality-classifier
+    // acceptance gate; integer numerator, one aggregate + one window over
+    // DISTINCT scores
+    "q_roc_auc" -> { (s, dir) =>
+      ext.Evals.rocAuc(read(s, dir, "documents"), "n_chars",
+        col("lang") === "en")
+    },
+
+    // per-query MRR + NDCG@5 of the brute-force ranking against
+    // label-match relevance — the retrieval acceptance metrics; the
+    // 1/log2 discount table is fixed-point BIGINT literals shared with
+    // the oracle, DCG/IDCG exact integer sums
+    "q_retrieval_metrics" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      val ranked = ext.Similarity.bruteForceTopK(e,
+        e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+      val lbl = e.select(col("vec_id"), col("label"))
+      val withRel = ranked
+        .join(lbl.select(col("vec_id").alias("q_id"),
+          col("label").alias("q_label")), Seq("q_id"))
+        .join(lbl.select(col("vec_id").alias("n_id"),
+          col("label").alias("n_label")), Seq("n_id"))
+      ext.Evals.retrievalMetrics(withRel, "q_id", "rnk",
+        col("q_label") === col("n_label"), k = 5)
+    },
+
     // distributed PCA, stage 1: upper-triangle Gram numerators over
     // fixed-point-scaled embeddings — ONE mergeable array aggregate
     // (state d(d+1)/2 longs, independent of corpus size), exact BIGINT
@@ -2258,8 +2285,75 @@ object SparkEntry {
        |$sels""".stripMargin
   }
 
+  /** Generated oracle for q_retrieval_metrics: the brute-force ranking
+    * replays as in q_knn_bruteforce; the 1/log2(rank+1) discount table is
+    * the SAME driver-evaluated fixed-point literals the Spark plan uses
+    * (no cross-engine log), DCG/IDCG exact integer sums.
+    */
+  private def retrievalMetricsOracle: String = {
+    val gains = ext.Evals.gainTable(5)
+    val idcg = gains.scanLeft(0L)(_ + _).tail
+    val gainCase = gains.zipWithIndex
+      .map { case (g, i) => s"WHEN ${i + 1} THEN $g" }.mkString(" ")
+    val idcgCase = idcg.zipWithIndex
+      .map { case (p, i) => s"WHEN ${i + 1} THEN $p" }.mkString(" ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |q AS (SELECT * FROM n WHERE vec_id < 10),
+       |scored AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |                  round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS sim
+       |           FROM q JOIN n c ON c.vec_id <> q.vec_id),
+       |ranked AS (SELECT q_id, n_id, sim,
+       |                  CAST(row_number() OVER (PARTITION BY q_id
+       |                    ORDER BY sim DESC, n_id) AS INTEGER) AS rnk
+       |           FROM scored),
+       |rel AS (SELECT r.q_id, r.rnk, (lq.label = ln.label) AS is_rel
+       |        FROM ranked r
+       |        JOIN embeddings lq ON lq.vec_id = r.q_id
+       |        JOIN embeddings ln ON ln.vec_id = r.n_id
+       |        WHERE r.rnk <= 5),
+       |per AS (SELECT q_id,
+       |          CAST(SUM(CASE WHEN is_rel THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |          CAST(coalesce(MIN(CASE WHEN is_rel THEN rnk END), 0) AS INTEGER)
+       |            AS first_rank,
+       |          CAST(SUM(CASE WHEN is_rel THEN (CASE rnk $gainCase ELSE 0 END)
+       |                        ELSE 0 END) AS BIGINT) AS dcg_num
+       |        FROM rel GROUP BY q_id)
+       |SELECT q_id, hits, first_rank,
+       |       CASE WHEN first_rank > 0
+       |            THEN round(CAST(1 AS DOUBLE) / first_rank, 6)
+       |            ELSE 0.0 END AS rr,
+       |       dcg_num,
+       |       CAST(CASE hits WHEN 0 THEN 0 $idcgCase END AS BIGINT) AS idcg_num,
+       |       CASE WHEN hits > 0
+       |            THEN round(CAST(dcg_num AS DOUBLE) /
+       |                       (CASE hits $idcgCase END), 6)
+       |            ELSE 0.0 END AS ndcg
+       |FROM per""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_rp_reduce" -> rpReduceOracle,
+
+    // exact Mann-Whitney ROC-AUC: integer numerator (×2 keeps half-credit
+    // ties integral), cumulative negatives over DISTINCT scores
+    "q_roc_auc" ->
+      """WITH per AS (SELECT n_chars AS s,
+        |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        |       FROM documents GROUP BY 1),
+        |cum AS (SELECT s, pos, neg,
+        |          coalesce(SUM(neg) OVER (ORDER BY s
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |        FROM per)
+        |SELECT CAST(SUM(pos) AS BIGINT) AS pos_n,
+        |       CAST(SUM(neg) AS BIGINT) AS neg_n,
+        |       CAST(SUM(pos * (2 * below + neg)) AS BIGINT) AS auc_num2,
+        |       round(CAST(SUM(pos * (2 * below + neg)) AS DOUBLE) /
+        |             (CAST(2 AS DOUBLE) * SUM(pos) * SUM(neg)), 6) AS auc
+        |FROM cum""".stripMargin,
+
+    "q_retrieval_metrics" -> retrievalMetricsOracle,
 
     // PCA Gram: same fixed-point scaling (floor(x·1e6 + 0.5) — identical
     // deterministic semantics in every engine), exact BIGINT sums over

@@ -1,0 +1,102 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Offline evaluation metrics for the pipeline's own model-shaped
+  * outputs — the acceptance gates a training-data/retrieval stack runs
+  * before swapping a quality classifier or an ANN index into
+  * production. Everything is exact integer math until one final
+  * division, so results are engine-reproducible (the same argument as
+  * the exact-decimal incremental aggregates):
+  *
+  *  - [[rocAuc]]: Mann-Whitney rank form of ROC-AUC with the standard
+  *    half-credit tie handling, accumulated as an exact BIGINT
+  *    numerator (×2, so ties stay integral);
+  *  - [[retrievalMetrics]]: per-query MRR and NDCG@k over a ranked
+  *    candidate list, with the 1/log2(rank+1) discount table passed as
+  *    fixed-point BIGINT literals (log2 is evaluated ONCE, driver-side
+  *    — no cross-engine transcendental-function drift) and DCG/IDCG
+  *    kept as exact integer sums.
+  *
+  * Scale: rocAuc aggregates per DISTINCT SCORE first (one hash
+  * aggregate over the corpus), so its ordered cumulative window runs
+  * over score cardinality, not row count — same rationale as the
+  * top-terms TakeOrdered note. retrievalMetrics is one hash aggregate
+  * keyed by query id.
+  */
+object Evals {
+
+  /** ROC-AUC of `scoreCol` against boolean `labelCol` (true = positive).
+    * AUC = P(score_pos > score_neg) + ½·P(score_pos = score_neg),
+    * computed exactly: per distinct score s, with `pos`/`neg` counts at
+    * s and `cumNegBelow` the negatives strictly below s,
+    * `auc_num2 = Σ_s pos(s) · (2·cumNegBelow(s) + neg(s))` (BIGINT) and
+    * AUC = auc_num2 / (2·P·N). Output: one row
+    * (pos_n, neg_n, auc_num2, auc).
+    */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: Column): DataFrame = {
+    val perScore = df.groupBy(col(scoreCol).alias("__s")).agg(
+      sum(when(labelCol, 1L).otherwise(0L)).alias("__pos"),
+      sum(when(labelCol, 0L).otherwise(1L)).alias("__neg"))
+    // ordered cumulative window over DISTINCT scores (bounded by score
+    // cardinality; a quality score is low-cardinality by construction)
+    val w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("__below", coalesce(sum(col("__neg")).over(w), lit(0L)))
+      .agg(
+        sum(col("__pos")).alias("pos_n"),
+        sum(col("__neg")).alias("neg_n"),
+        sum(col("__pos") * (lit(2L) * col("__below") + col("__neg")))
+          .alias("auc_num2"))
+      .select(col("pos_n"), col("neg_n"), col("auc_num2"),
+        round(col("auc_num2").cast("double") /
+          (lit(2.0) * col("pos_n") * col("neg_n")), 6).alias("auc"))
+  }
+
+  /** Fixed-point discount table for NDCG: gain(rank r) = 1/log2(r+1),
+    * scaled to BIGINT at 1e15 (floor(+0.5) — same deterministic rounding
+    * convention as the PCA scaling). Evaluated once on the driver; both
+    * the Spark plan and the SQL oracle consume the identical literals.
+    */
+  def gainTable(k: Int): Seq[Long] =
+    (1 to k).map(r =>
+      math.floor(1e15 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  /** Per-query retrieval metrics over a ranked candidate list
+    * (`rankCol` 1-based, `relCol` boolean relevance):
+    * hits@k, first relevant rank (0 = none), reciprocal rank, and
+    * NDCG@k in exact-integer form (dcg_num / idcg_num at 1e15 scale,
+    * IDCG self-normalized to the query's hits-in-top-k — ordering
+    * quality within the cutoff). Output:
+    * (qCol, hits, first_rank, rr, dcg_num, idcg_num, ndcg).
+    */
+  def retrievalMetrics(ranked: DataFrame, qCol: String, rankCol: String,
+      relCol: Column, k: Int): DataFrame = {
+    val gains = gainTable(k)
+    // idcg prefix sums: best-case DCG when h relevant fill ranks 1..h
+    val idcgPrefix = gains.scanLeft(0L)(_ + _).tail
+    val gainLit = typedlit(gains.toArray)
+    val idcgLit = typedlit(idcgPrefix.toArray)
+    ranked.filter(col(rankCol) <= k)
+      .groupBy(col(qCol))
+      .agg(
+        sum(when(relCol, 1L).otherwise(0L)).alias("hits"),
+        coalesce(min(when(relCol, col(rankCol))), lit(0))
+          .cast("int").alias("first_rank"),
+        sum(when(relCol, element_at(gainLit, col(rankCol).cast("int")))
+          .otherwise(0L)).alias("dcg_num"))
+      .withColumn("idcg_num",
+        when(col("hits") > 0, element_at(idcgLit, col("hits").cast("int")))
+          .otherwise(0L))
+      .select(col(qCol), col("hits"), col("first_rank"),
+        when(col("first_rank") > 0,
+          round(lit(1.0) / col("first_rank"), 6)).otherwise(lit(0.0))
+          .alias("rr"),
+        col("dcg_num"), col("idcg_num"),
+        when(col("idcg_num") > 0,
+          round(col("dcg_num").cast("double") / col("idcg_num"), 6))
+          .otherwise(lit(0.0)).alias("ndcg"))
+  }
+}

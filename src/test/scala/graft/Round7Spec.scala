@@ -71,6 +71,59 @@ class Round7Spec extends AnyFunSuite {
     assert(proj.columns.toSeq === Seq("vec_id", "pc1", "pc2"))
   }
 
+  // --- Evals ------------------------------------------------------------
+
+  private def auc(rows: Seq[(Int, Boolean)]): (Long, Long, Long, Double) = {
+    val df = rows.toDF("score", "pos")
+    val Array(r) = ext.Evals.rocAuc(df, "score", col("pos")).collect()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+  }
+
+  test("rocAuc: perfect separation is 1, reversed is 0, all-tied is 0.5") {
+    assert(auc(Seq((1, false), (2, false), (3, true), (4, true)))._4 === 1.0)
+    assert(auc(Seq((9, false), (8, false), (1, true), (2, true)))._4 === 0.0)
+    assert(auc(Seq((5, true), (5, false), (5, true), (5, false)))._4 === 0.5)
+  }
+
+  test("rocAuc: mixed case matches the hand-computed Mann-Whitney value") {
+    // pos scores {3, 5}, neg scores {3, 4}: pairs (3,3)=½, (3,4)=0,
+    // (5,3)=1, (5,4)=1 → AUC = 2.5/4 = 0.625; num2 = 5
+    val (p, n, num2, a) = auc(Seq((3, true), (5, true), (3, false), (4, false)))
+    assert((p, n, num2, a) === ((2L, 2L, 5L, 0.625)))
+  }
+
+  test("retrievalMetrics: hand-computed MRR and NDCG@3") {
+    // query 1: rel at ranks 2 and 3 of 3 → rr = 1/2;
+    //   dcg = g(2)+g(3), idcg = g(1)+g(2) (2 hits) → ndcg < 1
+    // query 2: rel at rank 1 only → rr = 1, ndcg = 1
+    // query 3: no rel → all zeros
+    val ranked = Seq(
+      (1L, 1, false), (1L, 2, true), (1L, 3, true),
+      (2L, 1, true), (2L, 2, false), (2L, 3, false),
+      (3L, 1, false), (3L, 2, false), (3L, 3, false)
+    ).toDF("q_id", "rnk", "is_rel")
+    val got = ext.Evals.retrievalMetrics(ranked, "q_id", "rnk",
+        col("is_rel"), k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6)))).toMap
+    val g = ext.Evals.gainTable(3)
+    assert(got(2L) === ((1L, 1, 1.0, g(0), g(0), 1.0)))
+    assert(got(3L) === ((0L, 0, 0.0, 0L, 0L, 0.0)))
+    val (hits1, fr1, rr1, dcg1, idcg1, ndcg1) = got(1L)
+    assert((hits1, fr1, rr1) === ((2L, 2, 0.5)))
+    assert(dcg1 === g(1) + g(2) && idcg1 === g(0) + g(1))
+    val expectNdcg = BigDecimal(dcg1.toDouble / idcg1)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ndcg1 === expectNdcg && ndcg1 < 1.0)
+  }
+
+  test("gainTable is positive, strictly decreasing, rank-1 gain = 1e15") {
+    val g = ext.Evals.gainTable(8)
+    assert(g.head === 1000000000000000L)
+    assert(g.zip(g.tail).forall { case (a, b) => a > b && b > 0 })
+  }
+
   test("gramUpper plan: partial aggregation, no per-pair explode shuffle") {
     val plan = ext.Pca.gramUpper(vecs, "embedding")
       .queryExecution.executedPlan.toString

@@ -1781,6 +1781,16 @@ object SparkEntry {
         .select(col("vec_id"), col("j"), round(col("coord"), 6).alias("coord"))
     },
 
+    // seasonal-profile anomaly detection: each (event_type, hour) bucket
+    // scored against the baseline of buckets sharing its hour-of-day —
+    // the z² test is an exact BIGINT cross-multiplied inequality, so the
+    // anomaly set is engine-identical with no float comparison in the
+    // decision path
+    "q_seasonal_anomaly" -> { (s, dir) =>
+      ext.TimeSeries.seasonalAnomalies(readEvents(s, dir),
+        "event_type", "ts_us", threshold = 2L, minBuckets = 3)
+    },
+
     // exact ROC-AUC (Mann-Whitney rank form, half-credit ties) of the
     // n_chars "score" against the English label — the quality-classifier
     // acceptance gate; integer numerator, one aggregate + one window over
@@ -2334,6 +2344,30 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_rp_reduce" -> rpReduceOracle,
+
+    // seasonal anomalies: integer hour bucketing (// is exact integer
+    // division), BIGINT cross-multiplied z² inequality, one double
+    // division + sqrt only in the REPORTED z
+    "q_seasonal_anomaly" ->
+      """WITH e AS (SELECT event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h
+        |           FROM events),
+        |hourly AS (SELECT event_type, h, CAST(h % 24 AS INTEGER) AS hod,
+        |             COUNT(*) AS cnt FROM e GROUP BY 1, 2, 3),
+        |prof AS (SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n_base,
+        |           CAST(SUM(cnt) AS BIGINT) AS sx,
+        |           CAST(SUM(cnt*cnt) AS BIGINT) AS sxx
+        |         FROM hourly GROUP BY 1, 2)
+        |SELECT hourly.event_type, h*3600000000 AS hour_us, hourly.hod,
+        |       cnt, n_base,
+        |       round(CASE WHEN cnt*n_base - sx >= 0 THEN 1 ELSE -1 END *
+        |             sqrt(CAST((cnt*n_base - sx)*(cnt*n_base - sx)*(n_base-1)
+        |                       AS DOUBLE) /
+        |                  (n_base*(n_base*sxx - sx*sx))), 4) AS z
+        |FROM hourly JOIN prof USING (event_type, hod)
+        |WHERE n_base >= 3 AND n_base*(n_base*sxx - sx*sx) > 0
+        |  AND (cnt*n_base - sx)*(cnt*n_base - sx)*(n_base-1) >
+        |      4*n_base*(n_base*sxx - sx*sx)""".stripMargin,
 
     // exact Mann-Whitney ROC-AUC: integer numerator (×2 keeps half-credit
     // ties integral), cumulative negatives over DISTINCT scores

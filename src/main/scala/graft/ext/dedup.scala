@@ -166,6 +166,53 @@ object Dedup {
       .select("a_id", "b_id", "containment")
   }
 
+  /** MULTISET (bag) n-gram Jaccard near-dup:
+    * `Σ_s min(a_s,b_s) / Σ_s max(a_s,b_s)` over shingle OCCURRENCE
+    * counts — catches what set-Jaccard structurally overrates: a doc
+    * that repeats one paragraph ten times shares every distinct shingle
+    * with its single-copy source (set-J ≈ 1) but only a tenth of its
+    * occurrence mass (bag-J ≈ 0.1). The repetition-heavy boilerplate and
+    * template spam that dominates web crawls is exactly this shape.
+    *
+    * Identity used: Σmax = |A| + |B| − Σmin (totals WITH multiplicity),
+    * so the same intersect-count join as [[ngramJaccardPairs]] works
+    * once each shingle is occurrence-indexed: occurrence r of shingle s
+    * in A matches occurrence r in B, so the (shingle, occ) equi-join
+    * counts exactly Σ_s min(a_s, b_s). Occurrence indexing is one
+    * count-aggregate + sequence-explode — no per-(doc, shingle) window
+    * sort. The PPJoin length prune holds verbatim for multisets (same
+    * proof on totals); same rounding slack as the set path. At 100 TB
+    * this, like every exact scorer here, runs post-LSH, never standalone.
+    */
+  def bagJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = graft.functions.WordShinglesAll.column(col(textCol), k)
+    val occ = df
+      .select(col(idCol), sh.alias("__sh"))
+      .withColumn("n", size(col("__sh")).cast("long"))
+      .filter(col("n") > 0L)
+      .select(col(idCol), col("n"), explode(col("__sh")).alias("shingle"))
+      .groupBy(col(idCol), col("n"), col("shingle"))
+      .agg(count(lit(1)).alias("__m"))
+      .select(col(idCol), col("n"), col("shingle"),
+        explode(sequence(lit(1L), col("__m"))).alias("occ"))
+    val a = occ.select(col(idCol).alias("a_id"), col("shingle").alias("sh_a"),
+      col("occ").alias("occ_a"), col("n").alias("na"))
+    val b = occ.select(col(idCol).alias("b_id"), col("shingle").alias("sh_b"),
+      col("occ").alias("occ_b"), col("n").alias("nb"))
+    a.hint("shuffle_hash")
+      .join(b, col("sh_a") === col("sh_b") && col("occ_a") === col("occ_b") &&
+        col("a_id") < col("b_id") &&
+        col("nb") > col("na") * lit(threshold) - lit(1.0) &&
+        col("na") > col("nb") * lit(threshold) - lit(1.0))
+      .groupBy("a_id", "b_id", "na", "nb").agg(count(lit(1)).alias("ic"))
+      .withColumn("jaccard",
+        col("ic").cast("double") / (col("na") + col("nb") - col("ic")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   /** Incremental near-dup: new batch vs EXISTING corpus — the production
     * shape for continuous ingestion (dedup today's crawl against the
     * accumulated training set, not against itself). Same shingle-join

@@ -282,4 +282,51 @@ object TimeSeries {
         coalesce(abs(col("z")) > threshold, lit(false)))
       .drop("__n", "__mean", "__std")
   }
+
+  /** Seasonal-profile anomaly detection over an event stream — the
+    * monitoring complement of [[rollingZScore]]: instead of a trailing
+    * window, each hourly bucket is scored against the baseline of all
+    * buckets sharing its HOUR-OF-DAY for the same key (the "is this
+    * 3 a.m. unusually busy *for a 3 a.m.*" question; a rolling window
+    * would flag every diurnal peak). Buckets are integer microsecond
+    * epochs (`floor(ts_us / 3600e6)` hours), so bucketing and
+    * season assignment are exact integer ops — no timezone/calendar
+    * function in the comparison path.
+    *
+    * The z² test runs ENTIRELY in exact BIGINT cross-multiplied form:
+    * with per-season n, Σx, Σx² over the hourly counts x,
+    * `z² = (x·n − Σx)²·(n−1) / (n·(n·Σx² − (Σx)²))`, so a bucket is
+    * anomalous iff `(x·n − Σx)²·(n−1) > t²·n·(n·Σx² − (Σx)²)` — an
+    * integer inequality both engines evaluate identically (`threshold`
+    * is integral for that reason). The reported z is one double
+    * division + sqrt from those exact integers. Baseline includes only
+    * hours that HAVE events (a production densify step would zero-fill
+    * from the grid of [[resampleLocf]]).
+    *
+    * Scale: two hash aggregates (hour buckets, then seasonal profile)
+    * and one broadcast-size join back — the profile has at most
+    * 24·|keys| rows.
+    */
+  def seasonalAnomalies(df: DataFrame, key: String, tsUsCol: String,
+      threshold: Long = 2L, minBuckets: Int = 3): DataFrame = {
+    require(threshold >= 1L && minBuckets >= 2, "need threshold>=1, minBuckets>=2")
+    val hourly = df
+      .select(col(key), expr(s"$tsUsCol div 3600000000").alias("__h"))
+      .groupBy(col(key), col("__h")).agg(count(lit(1)).alias("cnt"))
+      .withColumn("hod", (col("__h") % 24).cast("int"))
+    val profile = hourly.groupBy(col(key), col("hod")).agg(
+      count(lit(1)).alias("n_base"),
+      sum(col("cnt")).alias("sx"),
+      sum(col("cnt") * col("cnt")).alias("sxx"))
+    val dev = col("cnt") * col("n_base") - col("sx")
+    val z2num = dev * dev * (col("n_base") - 1L)
+    val z2den = col("n_base") * (col("n_base") * col("sxx") - col("sx") * col("sx"))
+    hourly.join(broadcast(profile), Seq(key, "hod"))
+      .filter(col("n_base") >= minBuckets && z2den > 0L &&
+        z2num > lit(threshold * threshold) * z2den)
+      .select(col(key), (col("__h") * 3600000000L).alias("hour_us"),
+        col("hod"), col("cnt"), col("n_base"),
+        round(signum(dev.cast("double")) *
+          sqrt(z2num.cast("double") / z2den.cast("double")), 4).alias("z"))
+  }
 }

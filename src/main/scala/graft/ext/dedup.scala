@@ -187,7 +187,7 @@ object Dedup {
   def bagJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = graft.functions.WordShinglesAll.column(col(textCol), k)
+    val sh = graft.functions.WordShingles.columnAll(col(textCol), k)
     val occ = df
       .select(col(idCol), sh.alias("__sh"))
       .withColumn("n", size(col("__sh")).cast("long"))

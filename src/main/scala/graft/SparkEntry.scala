@@ -4360,9 +4360,9 @@ object SparkEntry {
         |  FROM documents),
         |p AS (
         |  SELECT doc_id, n_tokens,
-        |         COALESCE(SUM(n_tokens + 1) OVER (ORDER BY doc_id
+        |         CAST(COALESCE(SUM(n_tokens + 1) OVER (ORDER BY doc_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |           0) AS tok_start
+        |           0) AS BIGINT) AS tok_start
         |  FROM d)
         |SELECT doc_id, n_tokens, tok_start,
         |       tok_start // 2048 AS seq_first,

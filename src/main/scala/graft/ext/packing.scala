@@ -77,13 +77,16 @@ object Packing {
     * ordered by id with no partition key, which moves the corpus to one
     * task. This is the distributed two-phase prefix sum instead:
     * range-partition by id, per-partition running sums in parallel, then
-    * one `numParts`-row aggregate of partition totals turned into
-    * per-partition base offsets and broadcast-joined back. No single
-    * data-bound sort, no driver collect of anything data-sized; the only
-    * sequential scan is over `numParts` rows. `tok_start` depends only on
-    * the global id order, not on partition boundaries, so the result is
-    * identical at any parallelism — and oracle-able as the plain window
-    * sum in any SQL engine.
+    * the `numParts` partition totals collapse to ONE row (a sorted
+    * array of (pid, total) structs) that broadcasts back; each row's
+    * base offset is an O(numParts) higher-order-function fold over that
+    * array. No single data-bound sort, no driver collect of anything
+    * data-sized, and no partition-less window anywhere in the plan
+    * (asserted in PlanSpec) — the only sequential fold is over
+    * `numParts` entries. `tok_start` depends only on the global id
+    * order, not on partition boundaries, so the result is identical at
+    * any parallelism — and oracle-able as the plain window sum in any
+    * SQL engine.
     */
   def packTokenSequences(df: DataFrame, idCol: String, tokenCol: String,
       seqLen: Long, sepTokens: Int = 1, numParts: Int = 32): DataFrame = {

@@ -368,9 +368,29 @@ object SparkEntry {
     ext.Scd2(dim, updates, Seq("c_custkey"), Seq("c_mktsegment"), "ts")
   }
 
+  /** Events read adapter. The driver's testdata has shipped `events.ts`
+    * under two physical contracts so far — int64 nanoseconds (rounds 1–5)
+    * and parquet `timestamp[us]` (round 6+, read by Spark as TIMESTAMP_NTZ
+    * or TIMESTAMP depending on inference conf) — so branch on the dtype the
+    * files actually carry rather than assuming either. The downstream
+    * contract is invariant: `ts_us` = epoch microseconds as BIGINT, which
+    * every events query and its DuckDB oracle
+    * (`epoch_us(CAST(ts AS TIMESTAMP))`) is written against. All session
+    * builders (Verify/Bench/TestSpark) pin spark.sql.session.timeZone=UTC,
+    * making the NTZ→timestamp cast an identity on the stored micros.
+    */
   private def readEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    val raw = read(s, dir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType                         => expr("ts div 1000")
+      case TimestampType                    => unix_micros(col("ts"))
+      case _: TimestampNTZType              =>
+        unix_micros(col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts dtype: $other")
+    }
+    raw.withColumn("ts_us", tsUs)
   }
 
   /** Orders reinterpreted as a CDC changelog for the `q_cdc_*` queries:

@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.{Merge, TableMapping}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -19,25 +19,41 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Schema of the driver's events table with `ts` as raw nanos (the
-    * parquet files carry TIMESTAMP(NANOS), which Spark reads as long under
-    * `nanosAsLong`; micros are derived with integer division).
+  /** `ts` → TimestampType `ts_utc`, adapted to the physical dtype the
+    * files carry. The driver's events testdata has shipped both int64
+    * nanoseconds and parquet `timestamp[us]` (TIMESTAMP_NTZ under Spark's
+    * default inference); sessions pin timeZone=UTC so the NTZ cast is an
+    * identity on the stored micros. Mirrors `SparkEntry.readEvents`.
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  private def tsUtcExpr(dt: DataType): Column = dt match {
+    case LongType            => timestamp_micros(expr("ts div 1000"))
+    case TimestampType       => col("ts")
+    case _: TimestampNTZType => col("ts").cast(TimestampType)
+    case other =>
+      throw new IllegalStateException(s"unsupported events.ts dtype: $other")
+  }
 
-  /** File-source event stream with a proper TimestampType `ts_utc`. */
+  /** Batch read of an events parquet file/dir with the same `ts_utc`
+    * contract as [[readStream]] — the batch twin specs compare against.
+    */
+  def readBatch(spark: SparkSession, path: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(path)
+    df.withColumn("ts_utc", tsUtcExpr(df.schema("ts").dataType))
+  }
+
+  /** File-source event stream with a proper TimestampType `ts_utc`.
+    * Streaming sources need an explicit schema — peek at the existing
+    * files with a batch read so the stream adapts to whichever `ts`
+    * contract they carry.
+    */
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val fileSchema = spark.read.parquet(dir).schema
     spark.readStream
-      .schema(rawSchema)
+      .schema(fileSchema)
       .parquet(dir)
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_utc", tsUtcExpr(fileSchema("ts").dataType))
   }
 
   /** Tumbling-window counts per event type, late data bounded by the

@@ -26,11 +26,7 @@ class StreamingSpec extends AnyFunSuite {
     d.getAbsolutePath
   }
 
-  private def batchEvents = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.schema(EventStream.rawSchema).parquet(s"$dir/events.parquet")
-      .withColumn("ts_utc", timestamp_micros(expr("ts div 1000")))
-  }
+  private def batchEvents = EventStream.readBatch(spark, s"$dir/events.parquet")
 
   test("streaming tumbling counts == batch groupBy (complete drain)") {
     val stream = EventStream.readStream(spark, streamDir)

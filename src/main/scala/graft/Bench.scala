@@ -12,7 +12,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
@@ -22,10 +22,21 @@ object Bench {
       // GCs; at the default 30 min periodic GC a 150-execution session
       // accumulates enough state to slow later queries 2-3×
       .config("spark.cleaner.periodicGC.interval", "30s")
-      .getOrCreate()
+    // dev knob: SPARK_GRAFT_CONF="k=v;k=v" overlays session confs for
+    // A/B-ing scheduler/AQE settings; unset in driver runs
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // dev knob: SPARK_GRAFT_ONLY=q_a,q_b benches a subset in a fresh
+    // session — for isolating per-query cost from whole-suite session
+    // aging; the driver never sets it, so driver runs bench everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only.contains(n))
 
     // every query runs from a clean slate: operators may cache internally
     // (e.g. iterative clustering), and letting those blocks accumulate

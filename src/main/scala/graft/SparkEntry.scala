@@ -458,6 +458,15 @@ object SparkEntry {
       ext.Dedup.ngramJaccardPairs(read(s, dir, "documents"),
         "doc_id", "text", k = 3, threshold = 0.8)),
 
+    // dedup: MULTISET (bag) n-gram Jaccard Σmin/Σmax over shingle
+    // OCCURRENCE counts — catches the repeated-paragraph spam set-Jaccard
+    // structurally overrates (occurrence-indexed equi-join, no all-pairs);
+    // threshold 0.5 so repetition-discounted pairs survive alongside
+    // exact dups
+    "q_bag_jaccard" -> ((s, dir) =>
+      ext.Dedup.bagJaccardPairs(read(s, dir, "documents"),
+        "doc_id", "text", k = 3, threshold = 0.5)),
+
     // dedup: ASYMMETRIC shingle containment |A∩B|/min(|A|,|B|) — quote
     // inclusion across size-mismatched docs, which Jaccard's union term
     // structurally dilutes below threshold
@@ -710,6 +719,22 @@ object SparkEntry {
       ext.Similarity.marginAlign(
         e.filter(col("label") % 2 === 0), e.filter(col("label") % 2 === 1),
         "vec_id", "embedding", k = 4, minMargin = 1.0)
+    }),
+
+    // cross-corpus alignment, 100 TB path: same ratio-margin math over
+    // sign-LSH cross-frame candidates instead of the |A|×|B| cross product
+    // — neighborhood averages over retrieved candidates (the standard
+    // practical approximation). The oracle regenerates the same seeded
+    // buckets + 1-bit probes in SQL so the WHOLE blocked path is checked;
+    // recall vs the exact-path pairs additionally asserted in Round7Spec.
+    "q_margin_align_lsh" -> ((s, dir) => {
+      val e = read(s, dir, "embeddings")
+      val a = e.filter(col("label") % 2 === 0)
+      val b = e.filter(col("label") % 2 === 1)
+      val cands = ext.Similarity.lshCrossCandidates(a, b, "vec_id",
+        "embedding", dim = 64, tables = 8, bitsPerTable = 6)
+      ext.Similarity.marginAlignCandidates(a, b, "vec_id", "embedding",
+        cands, k = 4, minMargin = 1.0)
     }),
 
     // similarity: sign-LSH approximate top-k — oracle is generated SQL with
@@ -2232,6 +2257,64 @@ object SparkEntry {
        |SELECT a_id, b_id, round(c, 4) AS cosine FROM scored WHERE c >= 0.4""".stripMargin
   }
 
+  /** Generated DuckDB oracle for q_margin_align_lsh — regenerates the
+    * cross-frame sign-LSH candidate set (same seeded hyperplanes as
+    * [[ext.Similarity.lshCrossCandidates]], b-side 1-bit multi-probe) and
+    * replays the exact q_margin_align math over it: 6-rounded cosines,
+    * exact 1e6-integer top-k sums over the CANDIDATE neighborhoods,
+    * identical fixed-shape division chain.
+    */
+  private lazy val marginAlignLshOracle: String = {
+    val tables = 8; val bits = 6
+    def planeLit(p: Seq[Double]) = p.mkString("[", ", ", "]")
+    def bucketExpr(t: Int): String = {
+      val hp = ext.Similarity.hyperplanes(64, bits, 42L + t * 7919)
+      hp.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product(v, ${planeLit(p)}) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+    }
+    def buckets(src: String, id: String) = (0 until tables).map(t =>
+      s"SELECT $id, $t AS tbl, ${bucketExpr(t)} AS bkt FROM $src")
+      .mkString("\nUNION ALL\n")
+    val probes = ("SELECT b_id, tbl, bkt FROM bbk" +:
+      (0 until bits).map(i => s"SELECT b_id, tbl, xor(bkt, ${1L << i}) FROM bbk"))
+      .mkString("\nUNION ALL\n")
+    s"""WITH a AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings WHERE label % 2 = 0),
+       |b AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS v
+       |      FROM embeddings WHERE label % 2 = 1),
+       |abk AS (${buckets("a", "a_id")}),
+       |bbk AS (${buckets("b", "b_id")}),
+       |bbp AS ($probes),
+       |cand AS (SELECT DISTINCT x.a_id, y.b_id
+       |         FROM abk x JOIN bbp y ON x.tbl = y.tbl AND x.bkt = y.bkt),
+       |p AS (SELECT cand.a_id, cand.b_id,
+       |        round(list_dot_product(a.v, b.v)
+       |          / (sqrt(list_dot_product(a.v, a.v))
+       |             * sqrt(list_dot_product(b.v, b.v))), 6) AS c6
+       |      FROM cand JOIN a ON a.a_id = cand.a_id
+       |      JOIN b ON b.b_id = cand.b_id),
+       |p2 AS (SELECT a_id, b_id, c6,
+       |         CAST(round(c6 * 1000000, 0) AS BIGINT) AS s,
+       |         row_number() OVER (PARTITION BY a_id
+       |           ORDER BY c6 DESC, b_id) AS ra,
+       |         row_number() OVER (PARTITION BY b_id
+       |           ORDER BY c6 DESC, a_id) AS rb
+       |       FROM p),
+       |sa AS (SELECT a_id, SUM(s) AS sa, COUNT(*) AS ka FROM p2
+       |       WHERE ra <= 4 GROUP BY a_id),
+       |sb AS (SELECT b_id, SUM(s) AS sb, COUNT(*) AS kb FROM p2
+       |       WHERE rb <= 4 GROUP BY b_id),
+       |m AS (SELECT p2.a_id, p2.b_id, c6,
+       |        c6 / (((CAST(sa AS DOUBLE) / ka + CAST(sb AS DOUBLE) / kb)
+       |               / 2) / 1000000.0) AS margin
+       |      FROM p2 JOIN sa ON sa.a_id = p2.a_id
+       |      JOIN sb ON sb.b_id = p2.b_id
+       |      WHERE ra = 1)
+       |SELECT a_id, b_id, c6 AS cosine, margin FROM m
+       |WHERE margin >= 1.0""".stripMargin
+  }
+
   /** Shared CTE chain rebuilding the SCD2 fixture in SQL (used by both
     * q_scd2, which dumps the whole table, and q_scd2_lookup, which joins
     * facts against it).
@@ -2658,6 +2741,7 @@ object SparkEntry {
 
     "q_knn_lsh" -> knnLshOracle,
     "q_embed_neardup_lsh" -> embedNearDupLshOracle,
+    "q_margin_align_lsh" -> marginAlignLshOracle,
     "q_simhash_portable" -> simhashPortableOracle,
     "q_pagerank" -> pageRankOracle,
 
@@ -3326,6 +3410,29 @@ object SparkEntry {
         |JOIN cnt ca ON ca.doc_id = a_id
         |JOIN cnt cb ON cb.doc_id = b_id
         |WHERE CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) >= 0.8""".stripMargin,
+
+    // bag (multiset) Jaccard: occurrence r of shingle s in A joins
+    // occurrence r in B, so the equi-join counts exactly Σ_s min(a_s,b_s);
+    // Σmax = na + nb − Σmin (totals WITH multiplicity)
+    "q_bag_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, array_to_string(t[i.i:i.i+2], ' ') AS s
+        |       FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) i
+        |       WHERE i.i <= len(t) - 2),
+        |occ AS (SELECT doc_id, s,
+        |          row_number() OVER (PARTITION BY doc_id, s ORDER BY s) AS o
+        |        FROM sh),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ic
+        |          FROM occ a JOIN occ b
+        |            ON a.s = b.s AND a.o = b.o AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |       CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN cnt ca ON ca.doc_id = a_id
+        |JOIN cnt cb ON cb.doc_id = b_id
+        |WHERE CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) >= 0.5""".stripMargin,
 
     "q_containment" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

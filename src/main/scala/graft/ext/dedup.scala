@@ -595,13 +595,16 @@ object Dedup {
     */
   def nearDupClusters(
       ids: DataFrame, idCol: String, pairs: DataFrame,
-      maxIters: Int = 20, driverEdgeLimit: Long = 10_000_000L): DataFrame = {
+      maxIters: Int = 20, driverEdgeLimit: Long = 2_000_000L): DataFrame = {
     // Near-dup edge lists are orders of magnitude smaller than the corpus
     // (that is what LSH candidate generation is for), so up to
     // `driverEdgeLimit` edges the components are computed exactly with
     // driver-side union-find: one collect of (a_id, b_id) pairs, zero
-    // iterative jobs. Past the limit — or for exotic id types — fall back
-    // to the distributed min-label loop below.
+    // iterative jobs. The probe is `limit(cap+1).collect()`, so the
+    // driver never materializes more than the cap no matter how many
+    // edges exist; past the limit — or for exotic id types — fall back
+    // to the distributed min-label loop below. Default 2M edges ≈ tens
+    // of MB of Rows on the driver (r6 advisory: 10M was generous).
     val idType = ids.schema(ids.schema.fieldIndex(idCol)).dataType
     val ordering: Option[Ordering[Any]] = idType match {
       case _: org.apache.spark.sql.types.LongType    => Some(Ordering.Long.on[Any](_.asInstanceOf[Long]))

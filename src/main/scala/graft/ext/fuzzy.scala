@@ -1,74 +1,163 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Fuzzy (edit-distance) joins with SOUND blocking — record linkage /
   * near-duplicate key matching ("Jon Smith" ⋈ "John Smith") without an
   * all-pairs comparison.
   *
-  * Blocking is by length band: `bucket(s) = len(s) div (maxDist+1)`.
-  * `levenshtein(a,b) <= d` implies `|len(a)-len(b)| <= d`, and two
-  * lengths at most `d` apart land in the same or adjacent buckets of
-  * width `d+1` — so probing buckets {b−1, b, b+1} is COMPLETE: every
-  * true match is a candidate (unlike prefix/phonetic blocking, which
-  * trades recall silently). Candidates then rescore with the exact
-  * `levenshtein` builtin (codegen'd) and the sound length refinement.
+  * Blocking is Ed-Join-style q-gram PREFIX FILTERING (Xiao, Wang & Lin,
+  * VLDB'08): one edit operation destroys at most `q` of a string's
+  * positional q-grams (the grams overlapping the edited position — later
+  * grams shift position but keep their VALUES), so strings within edit
+  * distance `d` share at least `max(|Ga|,|Gb|) − q·d` grams. Order all
+  * grams by a global total order (document frequency ascending, gram
+  * ascending — rarest first) and keep each string's first `q·d + 1`
+  * grams (its "prefix"): whenever the shared-gram lower bound is ≥ 1,
+  * the pair must share at least one PREFIX gram, so an equi-join on
+  * prefix grams finds it. The bound degenerates to 0 only when the
+  * longer string has ≤ q·d grams, i.e. BOTH strings are shorter than
+  * `q·(d+1)` characters — that short stratum goes through a classic
+  * length-band join instead (`len div (d+1)` buckets, ±1 probe, sound
+  * because `lev ≤ d ⟹ |len(a)−len(b)| ≤ d`). The union of the two
+  * candidate sets is COMPLETE (unlike phonetic/truncation blocking,
+  * which trades recall silently); candidates then rescore with the
+  * sound length refinement and the exact `levenshtein` builtin
+  * (codegen'd).
   *
-  * Scale: the join is a hash equi-join on the bucket (3× replication of
-  * one side, same bounded-replication shape as the salted join); no
-  * cartesian node at any size. Skewed length distributions (most names
-  * share a few lengths) make single buckets large — production layers a
-  * second sound key (e.g. q-gram count signatures) inside the bucket;
-  * at the reference's data shapes the length band alone is the right
-  * cost/recall point because it loses nothing.
+  * Why rarest-first is the whole trick: common template grams
+  * ("Supplier#", zero-pad runs) have df ≈ n and never enter a prefix
+  * when anything rarer exists, so candidate buckets are keyed by each
+  * string's most DISTINCTIVE substrings (the digit tail, the typo'd
+  * name), and bucket sizes track gram rarity, not corpus skew. A pure
+  * length band degenerates to all-pairs on fixed-template corpora
+  * (every "Supplier#%09d" has one length); prefix buckets stay small —
+  * the measured fix for the one superlinear path in BENCH_SCALING. The
+  * short stratum the length band DOES handle is harmless by
+  * construction: its strings have < q·(d+1) characters, so per-bucket
+  * populations are bounded by the corpus's short-string counts, not by
+  * template skew.
+  *
+  * Scale: gram document frequencies are one hash aggregation; prefix
+  * selection is a per-string top-(qd+1) window over ≤ len−1 gram rows;
+  * the candidate join is a hash equi-join on rare grams with id-only
+  * rows (text joins back on after `distinct()`); no cartesian node at
+  * any size. All-identical-string corpora still produce quadratic
+  * candidates — but those pairs are all TRUE matches, quadratic in any
+  * complete algorithm's output.
   */
 object Fuzzy {
 
+  private val Q = 2
+
+  /** Both members of any pair the prefix theorem cannot cover are
+    * shorter than this (the longer string has ≤ q·d grams ⟺ its length
+    * < q·(d+1) with q-gram count len−q+1).
+    */
+  private def shortLimit(maxDist: Int): Int = Q * (maxDist + 1) - 1
+
+  /** (id, g) prefix-gram rows: each string's `q·maxDist + 1`
+    * globally-rarest distinct grams (df asc, gram asc).
+    */
+  private[graft] def prefixGrams(df: DataFrame, idCol: String,
+      textCol: String, maxDist: Int): DataFrame = {
+    val base = df.select(col(idCol).alias("__id"), col(textCol).alias("__t"))
+    gramPrefix(base, maxDist, dfreqOf(allGrams(base)))
+  }
+
+  /** All (id, g) distinct-gram rows (empty below q characters). */
+  private def allGrams(base: DataFrame): DataFrame =
+    base.select(col("__id"),
+      explode(when(length(col("__t")) < Q, array().cast("array<string>"))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), length(col("__t")) - 1),
+          i => substring(col("__t"), i, lit(Q)))))).alias("g"))
+
+  /** Global gram order: df ascending over the given gram rows. */
+  private def dfreqOf(grams: DataFrame): DataFrame =
+    grams.groupBy("g").agg(count(lit(1)).alias("__df"))
+
+  /** Per-string first q·d+1 grams in (df, gram) order. */
+  private def gramPrefix(base: DataFrame, maxDist: Int,
+      dfreq: DataFrame): DataFrame = {
+    val pl = Q * maxDist + 1
+    allGrams(base).join(dfreq, "g")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("__id")).orderBy(col("__df"), col("g"))))
+      .filter(col("__rk") <= pl)
+      .select("__id", "g")
+  }
+
+  /** Length-band (a-probes, b-exact) candidate pairs over the short
+    * stratum — `leftAll`/`rightAll` pre-aliased (id, __t) frames.
+    */
+  private def shortPairs(left: DataFrame, leftIdAs: String,
+      right: DataFrame, rightIdAs: String, maxDist: Int): DataFrame = {
+    val lim = shortLimit(maxDist)
+    val w = maxDist + 1
+    val a = left.filter(length(col("__t")) <= lim)
+      .select(col("__id").alias(leftIdAs),
+        (length(col("__t")) / w).cast("long").alias("__b0"))
+      .withColumn("__bucket", explode(array(
+        col("__b0") - 1, col("__b0"), col("__b0") + 1)))
+      .drop("__b0")
+    val b = right.filter(length(col("__t")) <= lim)
+      .select(col("__id").alias(rightIdAs),
+        (length(col("__t")) / w).cast("long").alias("__bucket"))
+    a.join(b, Seq("__bucket")).select(leftIdAs, rightIdAs)
+  }
+
   /** Self-join: (a_id, b_id, dist) for all distinct pairs with
-    * `levenshtein <= maxDist`, `a_id < b_id`. Complete under the length
-    * banding (see object doc).
+    * `levenshtein <= maxDist`, `a_id < b_id`. Complete under prefix
+    * filtering ∪ short-stratum length banding (see object doc).
     */
   def selfJoin(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
-    val w = maxDist + 1
-    val a = df.select(col(idCol).alias("a_id"), col(textCol).alias("ta"),
-        (length(col(textCol)) / w).cast("long").alias("__b0"))
-      .withColumn("__bucket", explode(array(
-        col("__b0") - 1, col("__b0"), col("__b0") + 1)))
-    val b = df.select(col(idCol).alias("b_id"), col(textCol).alias("tb"),
-      (length(col(textCol)) / w).cast("long").alias("__bucket"))
-    a.join(b, Seq("__bucket"))
-      .filter(col("a_id") < col("b_id") &&
-        abs(length(col("ta")) - length(col("tb"))) <= maxDist &&
+    val base = df.select(col(idCol).alias("__id"), col(textCol).alias("__t"))
+    val pref = gramPrefix(base, maxDist, dfreqOf(allGrams(base)))
+    val gramCand = pref.alias("x").join(pref.alias("y"),
+        col("x.g") === col("y.g") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id").alias("a_id"), col("y.__id").alias("b_id"))
+    val shortCand = shortPairs(base, "a_id", base, "b_id", maxDist)
+      .filter(col("a_id") < col("b_id"))
+    val cand = gramCand.unionByName(shortCand).distinct()
+    cand
+      .join(base.select(col("__id").alias("a_id"), col("__t").alias("ta")), "a_id")
+      .join(base.select(col("__id").alias("b_id"), col("__t").alias("tb")), "b_id")
+      .filter(abs(length(col("ta")) - length(col("tb"))) <= maxDist &&
         levenshtein(col("ta"), col("tb")) <= maxDist)
-      // bucket probing can pair the same ids through two adjacent buckets
-      // only if lengths differ — and then exactly one bucket matches; the
-      // self bucket pairs equal-length rows once. No dedup needed.
       .select(col("a_id"), col("b_id"),
         levenshtein(col("ta"), col("tb")).alias("dist"))
   }
 
   /** Two-table variant: every (left_id, right_id, dist) with
-    * `levenshtein <= maxDist` — the incremental linkage shape (today's
-    * batch against the master list; the master side builds its buckets
-    * once and reuses them per batch).
+    * `levenshtein <= maxDist` — the incremental linkage shape. The gram
+    * order comes from BOTH sides' document frequencies (one consistent
+    * total order is all the prefix theorem needs); the master side's
+    * grams and frequencies are reusable across batches.
     */
   def join(left: DataFrame, right: DataFrame,
       leftId: String, leftText: String,
       rightId: String, rightText: String,
       maxDist: Int): DataFrame = {
     require(maxDist >= 1, "maxDist must be >= 1")
-    val w = maxDist + 1
-    val a = left.select(col(leftId).alias("left_id"), col(leftText).alias("ta"),
-        (length(col(leftText)) / w).cast("long").alias("__b0"))
-      .withColumn("__bucket", explode(array(
-        col("__b0") - 1, col("__b0"), col("__b0") + 1)))
-    val b = right.select(col(rightId).alias("right_id"),
-      col(rightText).alias("tb"),
-      (length(col(rightText)) / w).cast("long").alias("__bucket"))
-    a.join(b, Seq("__bucket"))
+    val lbase = left.select(col(leftId).alias("__id"), col(leftText).alias("__t"))
+    val rbase = right.select(col(rightId).alias("__id"), col(rightText).alias("__t"))
+    val dfreq = dfreqOf(allGrams(lbase).unionByName(allGrams(rbase)))
+    val lp = gramPrefix(lbase, maxDist, dfreq)
+    val rp = gramPrefix(rbase, maxDist, dfreq)
+    val gramCand = lp.alias("x").join(rp.alias("y"), col("x.g") === col("y.g"))
+      .select(col("x.__id").alias("left_id"), col("y.__id").alias("right_id"))
+    val shortCand = shortPairs(lbase, "left_id", rbase, "right_id", maxDist)
+    val cand = gramCand.unionByName(shortCand).distinct()
+    cand
+      .join(lbase.select(col("__id").alias("left_id"), col("__t").alias("ta")),
+        "left_id")
+      .join(rbase.select(col("__id").alias("right_id"), col("__t").alias("tb")),
+        "right_id")
       .filter(abs(length(col("ta")) - length(col("tb"))) <= maxDist &&
         levenshtein(col("ta"), col("tb")) <= maxDist)
       .select(col("left_id"), col("right_id"),

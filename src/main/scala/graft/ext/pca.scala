@@ -61,6 +61,16 @@ object Pca {
     * a single-row explode — the only shuffle is the final single-row
     * merge of d(d+1)/2-long partials.
     */
+  /** Overflow ceiling (ENFORCED, not just documented): each addend is
+    * `(scale·|xi|)·(scale·|xj|)` ≈ `scale²·|x|²`, so the BIGINT sum holds
+    * up to `2^63 / (scale²·max|x|²)` rows — ~9.2M rows at scale=1e6 with
+    * unit-normalized embeddings. [[graft.functions.ArraySumAgg]]
+    * accumulates with `Math.addExact`, so exceeding the ceiling RAISES
+    * (ArithmeticException) instead of silently wrapping; for larger
+    * corpora pass a smaller `scale` (each 10× off `scale` buys 100× more
+    * rows at a precision cost quadratic in nothing the eigensolve
+    * notices — components are normalized).
+    */
   def gramUpper(df: DataFrame, vecCol: String, scale: Double = 1e6): DataFrame = {
     val d = probeDim(df, vecCol)
     val pairs = for { i <- 0 until d; j <- i until d } yield (i, j)

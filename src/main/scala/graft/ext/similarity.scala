@@ -103,10 +103,72 @@ object Similarity {
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .withColumn("s", round(col("c6") * lit(1e6), 0).cast("long"))
       .select("a_id", "b_id", "c6", "s")
+    marginOverScoredPairs(p, k, minMargin)
+  }
+
+  /** Margin alignment over an EXPLICIT candidate pair set — the 100 TB
+    * path: candidates come from [[lshCrossCandidates]] (or any blocked
+    * generator) instead of the |A|×|B| cross product, the neighborhood
+    * averages run over each side's retrieved candidates (the standard
+    * practical approximation of Artetxe & Schwenk's margin), and the
+    * downstream margin math is IDENTICAL to [[marginAlign]] — same
+    * 6-decimal rounding, same exact 1e6-integer top-k sums, same
+    * fixed-shape division. With candidates that contain each side's true
+    * top-k the two paths emit identical rows; recall under sign-LSH
+    * candidates is asserted against the exact path in ExtSpec.
+    *
+    * Scale: cosines are computed ONLY for candidate rows; the id-only
+    * candidate frame shuffles first, vectors join on afterward — the
+    * cross product never materializes anywhere in the plan.
+    */
+  def marginAlignCandidates(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, candidates: DataFrame, k: Int = 4,
+      minMargin: Double = 1.0): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val aa = a.select(col(idCol).alias("a_id"), col(vecCol).alias("va"))
+      .withColumn("na", norm(col("va")))
+    val bb = b.select(col(idCol).alias("b_id"), col(vecCol).alias("vb"))
+      .withColumn("nb", norm(col("vb")))
+    val p = candidates.select("a_id", "b_id").distinct()
+      .join(aa, "a_id").join(bb, "b_id")
+      .withColumn("c6",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .withColumn("s", round(col("c6") * lit(1e6), 0).cast("long"))
+      .select("a_id", "b_id", "c6", "s")
+    marginOverScoredPairs(p, k, minMargin)
+  }
+
+  /** Cross-frame sign-LSH candidates (a_id, b_id): multi-table buckets on
+    * both frames, 1-bit multi-probe on the b side — the two-corpus twin of
+    * [[lshPairCandidates]], id-only rows on the candidate shuffle.
+    */
+  def lshCrossCandidates(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, dim: Int, tables: Int = 8, bitsPerTable: Int = 6,
+      seed: Long = 42L): DataFrame = {
+    val hp = (0 until tables).map(t =>
+      hyperplanes(dim, bitsPerTable, seed + t * 7919))
+    def bk(df: DataFrame, as: String) = df
+      .select(col(idCol).alias(as), signBucketsAll(col(vecCol), hp).alias("bkts"))
+      .select(col(as), posexplode(col("bkts")))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bkt")
+    val x = bk(a, "a_id")
+    val y = bk(b, "b_id")
+      .select(col("b_id"), col("tbl"),
+        explode(array(col("bkt") +: (0 until bitsPerTable).map(i =>
+          col("bkt").bitwiseXOR(lit(1L << i))): _*)).alias("bkt"))
+    x.hint("shuffle_hash").join(y, Seq("tbl", "bkt"))
+      .select("a_id", "b_id").distinct()
+  }
+
+  /** Shared margin math over scored pairs (a_id, b_id, c6, s) — see
+    * [[marginAlign]] for the determinism contract.
+    */
+  private def marginOverScoredPairs(p: DataFrame, k: Int,
+      minMargin: Double): DataFrame = {
     // top-k sums as CONDITIONAL WINDOW SUMS over the partitioning the rank
     // window already established — no groupBy+self-join back (which would
-    // consume the cross-product lineage three times and recompute every
-    // dot product per consumer): one lineage, exactly two shuffles
+    // consume the pair lineage three times and recompute every dot
+    // product per consumer): one lineage, exactly two shuffles
     // (by a_id, then by b_id)
     val wa = Window.partitionBy(col("a_id")).orderBy(col("c6").desc, col("b_id"))
     val wb = Window.partitionBy(col("b_id")).orderBy(col("c6").desc, col("a_id"))

@@ -134,4 +134,177 @@ class Round7Spec extends AnyFunSuite {
     assert(genIdx >= 0 && aggIdx >= 0 && genIdx < aggIdx,
       s"expected explode above the aggregate in:\n$plan")
   }
+
+  // --- bagJaccardPairs (multiset n-gram Jaccard) ------------------------
+
+  /** Driver-side brute-force bag Jaccard with the engine's tokenization
+    * contract: single-space split, k consecutive words per shingle.
+    */
+  private def bruteBagJ(a: String, b: String, k: Int): Double = {
+    def bag(t: String): Map[String, Int] = {
+      val w = t.split(" ", -1)
+      if (w.length < k) Map.empty
+      else w.toSeq.sliding(k).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (s, g) => s -> g.size }
+    }
+    val (ba, bb) = (bag(a), bag(b))
+    val keys = ba.keySet ++ bb.keySet
+    val mins = keys.toSeq.map(s => math.min(ba.getOrElse(s, 0), bb.getOrElse(s, 0))).sum
+    val maxs = keys.toSeq.map(s => math.max(ba.getOrElse(s, 0), bb.getOrElse(s, 0))).sum
+    mins.toDouble / maxs.toDouble
+  }
+
+  test("bagJaccardPairs: repetition discounts what set-Jaccard overrates") {
+    val para = (0 until 6).map(i => s"w$i").mkString(" ")
+    val spam = Seq.fill(5)(para).mkString(" ")
+    val d = Seq((1L, para), (2L, spam)).toDF("doc_id", "text")
+    val bagRow = ext.Dedup.bagJaccardPairs(d, "doc_id", "text",
+        k = 3, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val setRow = ext.Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        k = 3, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // para: 4 distinct shingles ×1 (total 4); spam: 4 core ×5 + 2 seam ×4
+    // (total 28). set-J = 4/6; bag-J = 4/28 — the repetition discount.
+    assert(setRow.toSeq === Seq((1L, 2L, 4.0 / 6.0)))
+    assert(bagRow.toSeq === Seq((1L, 2L, bruteBagJ(para, spam, 3))))
+    assert(bagRow.head._3 === 4.0 / 28.0)
+  }
+
+  test("bagJaccardPairs == set ngramJaccardPairs when no shingle repeats") {
+    // all-distinct tokens per doc, heavy cross-doc overlap
+    val docs = (0 until 8).map { i =>
+      (i.toLong, (i until i + 9).map(t => s"t${t % 12}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val bag = ext.Dedup.bagJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val set = ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(bag === set)
+    assert(bag.nonEmpty, "fixture produced no pairs — weak test")
+  }
+
+  test("bagJaccardPairs == brute force over a repetition-heavy corpus") {
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 30).map { i =>
+      val toks = (0 until 6 + rnd.nextInt(6)).map(_ => s"v${rnd.nextInt(5)}")
+      // every third doc repeats its own text to exercise multiplicities
+      val t = if (i % 3 == 0) (toks ++ toks).mkString(" ") else toks.mkString(" ")
+      (i.toLong, t)
+    }
+    val df = docs.toDF("doc_id", "text")
+    val th = 0.3
+    val got = ext.Dedup.bagJaccardPairs(df, "doc_id", "text", k = 3, threshold = th)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val want = (for {
+      (ai, at) <- docs; (bi, bt) <- docs if ai < bi
+      j = bruteBagJ(at, bt, 3) if j >= th &&
+        at.split(" ", -1).length >= 3 && bt.split(" ", -1).length >= 3
+    } yield (ai, bi) -> j).toMap
+    assert(got === want)
+    assert(want.nonEmpty, "fixture produced no pairs — weak test")
+  }
+
+  // --- marginAlignCandidates / lshCrossCandidates -----------------------
+
+  private lazy val embeddings =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("marginAlignCandidates over ALL pairs == marginAlign (exact path)") {
+    val a = embeddings.filter(col("label") % 2 === 0)
+    val b = embeddings.filter(col("label") % 2 === 1)
+    val allPairs = a.select(col("vec_id").alias("a_id"))
+      .crossJoin(b.select(col("vec_id").alias("b_id")))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val exact = ext.Similarity.marginAlign(a, b, "vec_id", "embedding",
+      k = 4, minMargin = 1.0).collect().map(key).toSet
+    val cand = ext.Similarity.marginAlignCandidates(a, b, "vec_id",
+      "embedding", allPairs, k = 4, minMargin = 1.0).collect().map(key).toSet
+    assert(cand === exact)
+    assert(exact.nonEmpty, "fixture produced no aligned pairs — weak test")
+  }
+
+  test("LSH-candidate margin alignment: high recall of the exact pairs") {
+    val a = embeddings.filter(col("label") % 2 === 0)
+    val b = embeddings.filter(col("label") % 2 === 1)
+    val cands = ext.Similarity.lshCrossCandidates(a, b, "vec_id",
+      "embedding", dim = 64, tables = 8, bitsPerTable = 6)
+    val lsh = ext.Similarity.marginAlignCandidates(a, b, "vec_id",
+        "embedding", cands, k = 4, minMargin = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = ext.Similarity.marginAlign(a, b, "vec_id", "embedding",
+        k = 4, minMargin = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("lshCrossCandidates plan has no cartesian/broadcast-nested-loop node") {
+    val a = embeddings.filter(col("label") % 2 === 0)
+    val b = embeddings.filter(col("label") % 2 === 1)
+    val cands = ext.Similarity.lshCrossCandidates(a, b, "vec_id",
+      "embedding", dim = 64, tables = 8, bitsPerTable = 6)
+    val plan = ext.Similarity.marginAlignCandidates(a, b, "vec_id",
+      "embedding", cands, k = 4, minMargin = 1.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  // --- fuzzy join composite banding -------------------------------------
+
+  test("fuzzy selfJoin stays complete on same-length key-like corpora") {
+    // zero-padded id strings: ONE length, one template — the shape that
+    // degenerates a pure length band; composite banding must stay exact
+    val rnd = new scala.util.Random(3)
+    val d = (0 until 400).map { i =>
+      val n = rnd.nextInt(500)
+      (i.toLong, f"Supplier#$n%09d")
+    }.toDF("id", "s")
+    for (maxDist <- Seq(1, 2)) {
+      val blocked = ext.Fuzzy.selfJoin(d, "id", "s", maxDist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val brute = d.as("a").crossJoin(d.as("b"))
+        .filter($"a.id" < $"b.id" &&
+          levenshtein($"a.s", $"b.s") <= maxDist)
+        .select($"a.id", $"b.id", levenshtein($"a.s", $"b.s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(blocked === brute, s"maxDist=$maxDist")
+      assert(brute.nonEmpty, "fixture produced no pairs — weak test")
+    }
+  }
+
+  test("fuzzy prefix blocking keeps candidates far below all-pairs on a template corpus") {
+    // fixed template, one length: a pure length band would degenerate to
+    // all-pairs (n(n-1)/2 = 79800); rarest-bigram prefixes must not
+    val n = 400
+    val d = (0 until n).map(i => (i.toLong, f"Supplier#$i%09d"))
+      .toDF("id", "s")
+    val pref = ext.Fuzzy.prefixGrams(d, "id", "s", maxDist = 1)
+    val cands = pref.alias("x").join(pref.alias("y"),
+        col("x.g") === col("y.g") && col("x.__id") < col("y.__id"))
+      .select(col("x.__id"), col("y.__id")).distinct().count()
+    val allPairs = n.toLong * (n - 1) / 2
+    // 400 ids span only 3 varying digits, so the bigram pool is tiny and
+    // rare-gram dfs still track n — a 3× cut here; wider corpora (more
+    // varying positions) cut far more. The measured gate is the
+    // BENCH_SCALING ratio, not this constant.
+    assert(cands < allPairs / 3, s"$cands candidates of $allPairs all-pairs")
+    // and the template grams ("Su","up","pp",…, df = n) never enter a
+    // prefix: every string owns at least qd+1 = 3 rarer grams
+    val hot = pref.groupBy("g").count().filter(col("count") === n).count()
+    assert(hot === 0, "df=n template gram found in a prefix")
+  }
+
+  test("fuzzy selfJoin: short stratum links gramless and short strings") {
+    val d = Seq((1L, "a"), (2L, "ab"), (3L, ""), (4L, "xy"), (5L, "abcdef"))
+      .toDF("id", "s")
+    val got = ext.Fuzzy.selfJoin(d, "id", "s", 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // lev: (a,ab)=1, (a,"")=1, (ab,"")=2✗, (a,xy)=2✗, (ab,xy)=2✗
+    assert(got === Set((1L, 2L, 1), (1L, 3L, 1)))
+  }
 }

@@ -45,15 +45,11 @@ object Pca {
   def scaledInts(vec: Column, scale: Double): Column =
     transform(vec, x => floor(x.cast("double") * lit(scale) + lit(0.5)))
 
-  /** Per-row flattened upper-triangle outer product of the scaled vector:
-    * entry (i, j>=i) at flat position i·d - i(i-1)/2 + (j-i). Length
-    * d(d+1)/2; elements are exact products of BIGINTs.
-    */
-  private def upperOuter(vec: Column, scale: Double): Column = {
-    val x = scaledInts(vec, scale)
-    flatten(transform(x, (xi, i) =>
-      transform(slice(x, i + lit(1), size(x) - i), xj => xi * xj)))
-  }
+  // (the per-row flattened-outer-product + ArraySumAgg formulation this
+  // module launched with is gone: building a d(d+1)/2-element ArrayData
+  // per row through transform/flatten lambdas cost ~3× the whole query;
+  // GramUpperAgg accumulates the same exact integers without any per-row
+  // allocation — equivalence asserted in Round7Spec)
 
   /** Upper-triangle Gram numerators: (i, j, num) for 0 <= i <= j < d with
     * `num = Σ_rows xint_i · xint_j` (exact BIGINT; the real Gram entry is
@@ -76,8 +72,8 @@ object Pca {
     val pairs = for { i <- 0 until d; j <- i until d } yield (i, j)
     val iArr = pairs.map(_._1).toArray
     val jArr = pairs.map(_._2).toArray
-    df.select(upperOuter(col(vecCol), scale).alias("__up"))
-      .agg(graft.functions.ArraySumAgg.column(col("__up")).alias("__g"))
+    df.select(scaledInts(col(vecCol), scale).alias("__x"))
+      .agg(graft.functions.GramUpperAgg.column(col("__x")).alias("__g"))
       .select(posexplode(col("__g")).as(Seq("__p", "num")))
       .select(
         element_at(typedlit(iArr), col("__p").cast("int") + 1).alias("i"),

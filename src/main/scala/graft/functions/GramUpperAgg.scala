@@ -1,0 +1,119 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Upper-triangle Gram accumulator: for each input `array<bigint>` x of
+  * dimension d, adds `x(i)·x(j)` for every `0 <= i <= j < d` into a
+  * flat d(d+1)/2-long buffer (entry (i, j) at `i·d − i(i−1)/2 + (j−i)`).
+  * One aggregate replaces the per-row flattened-outer-product +
+  * [[ArraySumAgg]] pipeline [[graft.ext.Pca.gramUpper]] used to run:
+  * higher-order `transform`/`flatten` lambdas allocate a d(d+1)/2
+  * element ArrayData PER ROW before the aggregate ever sees it (~2080
+  * boxed elements at d=64, measured ~3× the whole query's runtime);
+  * this is a tight primitive-long loop straight into the partial-state
+  * buffer — nothing per-row is allocated at all.
+  *
+  * Exactness contract matches [[ArraySumAgg]]: integer math throughout,
+  * identical under any partitioning or merge order; both the per-term
+  * product and the accumulation use `Math.multiplyExact`/`addExact`, so
+  * exceeding the documented scale ceiling RAISES instead of wrapping.
+  *
+  * Null input arrays are skipped; an empty group yields NULL; mixed
+  * dimensions raise.
+  */
+case class GramUpperAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_upper_agg requires ARRAY<BIGINT>, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = null
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val xs = v.asInstanceOf[ArrayData].toLongArray()
+    val d = xs.length
+    val buf = if (buffer == null) new Array[Long](d * (d + 1) / 2) else buffer
+    if (buf.length != d * (d + 1) / 2)
+      throw new IllegalArgumentException(
+        s"gram_upper_agg: mixed dimensions (buffer ${buf.length}, row d=$d)")
+    var p = 0
+    var i = 0
+    while (i < d) {
+      val xi = xs(i)
+      var j = i
+      while (j < d) {
+        buf(p) = Math.addExact(buf(p), Math.multiplyExact(xi, xs(j)))
+        p += 1
+        j += 1
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    if (b1 == null) return b2
+    if (b2 == null) return b1
+    if (b1.length != b2.length)
+      throw new IllegalArgumentException(
+        s"gram_upper_agg: mixed buffer lengths ${b1.length} vs ${b2.length}")
+    var i = 0
+    while (i < b1.length) {
+      b1(i) = Math.addExact(b1(i), b2(i))
+      i += 1
+    }
+    b1
+  }
+
+  override def eval(buffer: Array[Long]): Any =
+    if (buffer == null) null else new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    if (buffer == null) return Array.emptyByteArray
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    if (bytes.isEmpty) return null
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GramUpperAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GramUpperAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): GramUpperAgg =
+    copy(child = newChildren.head)
+
+  override def prettyName: String = "gram_upper_agg"
+}
+
+object GramUpperAgg {
+  def column(values: Column): Column =
+    Bridge.column(GramUpperAgg(Bridge.expression(values)).toAggregateExpression())
+}

@@ -299,6 +299,36 @@ class Round7Spec extends AnyFunSuite {
     assert(hot === 0, "df=n template gram found in a prefix")
   }
 
+  // --- events read adapter (schema drift guard) -------------------------
+
+  test("events adapter: int64-nanos, TIMESTAMP and TIMESTAMP_NTZ files all yield the same ts_us") {
+    // the driver's testdata has shipped events.ts as int64 nanoseconds
+    // (rounds 1–5) AND parquet timestamp[us] (round 6+); the adapter must
+    // produce identical downstream results for every physical contract so
+    // a regeneration never breaks the events family again
+    import java.nio.file.Files
+    val rows = (0 until 200).map { i =>
+      (i.toLong, 1700000000000000L + i * 60000000L, (i % 7).toLong,
+        s"type${i % 3}", i * 1.5, "{}")
+    }
+    def stage(write: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): String = {
+      val d = Files.createTempDirectory("graft-evt").toFile
+      d.deleteOnExit()
+      write(rows.toDF("event_id", "ts_us", "user_id", "event_type", "value", "props"))
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"${d.getAbsolutePath}/events.parquet")
+      d.getAbsolutePath
+    }
+    val nanosDir = stage(_.withColumn("ts", col("ts_us") * 1000L))
+    val tsDir = stage(_.withColumn("ts", timestamp_micros(col("ts_us"))))
+    val ntzDir = stage(_.withColumn("ts",
+      timestamp_micros(col("ts_us")).cast("timestamp_ntz")))
+    def run(dir: String) = SparkEntry.queries("q_moving_avg")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val (a, b, c) = (run(nanosDir), run(tsDir), run(ntzDir))
+    assert(a.nonEmpty && a === b && b === c)
+  }
+
   test("fuzzy selfJoin: short stratum links gramless and short strings") {
     val d = Seq((1L, "a"), (2L, "ab"), (3L, ""), (4L, "xy"), (5L, "abcdef"))
       .toDF("id", "s")

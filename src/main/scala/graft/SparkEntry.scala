@@ -348,6 +348,13 @@ object SparkEntry {
   private val normalizeProbe: String =
     "Café élève Ça über niño ß Å "
 
+  /** Multi-script probe prefix shared by q_text_script and its oracle —
+    * injected onto every 50th document so the ASCII corpus exercises the
+    * non-Latin ranges for real.
+    */
+  private val scriptProbe: String =
+    "Привет мир 你好世界 こんにちは مرحبا بالعالم 12345 "
+
   /** SCD2 dimension fixture shared by q_scd2 / q_scd2_lookup: customers
     * as the v0 dimension, a synthetic ts=100 update batch (every 3rd key
     * resegmented, every 7th key shifted to a brand-new key).
@@ -432,6 +439,21 @@ object SparkEntry {
       read(s, dir, "documents")
         .withColumn("t", ext.TextOps.tokens(col("text")))
         .select(col("doc_id"), ext.TextOps.langId("t").alias("lang_pred"))
+    },
+
+    // text analysis: unicode-script profile (per-range char counts +
+    // dominant script) — the multilingual corpus-routing signal; the
+    // probe prefix on every 50th doc proves the non-Latin ranges count
+    // for real on the ASCII corpus. Narrow map, no shuffle; oracle
+    // generated from the same range table (literal-char classes evaluate
+    // identically under Java regex and RE2)
+    "q_text_script" -> { (s, dir) =>
+      val injected = when(col("doc_id") % 50 === 0,
+        concat(lit(scriptProbe), col("text"))).otherwise(col("text"))
+      val (counts, dominant) = ext.TextOps.scriptProfile(injected)
+      read(s, dir, "documents").select(
+        col("doc_id") +: counts.map { case (n, c) => c.alias(n) } :+
+          dominant.alias("script"): _*)
     },
 
     // text analysis: content fingerprint (sorted distinct token sha256)
@@ -719,6 +741,18 @@ object SparkEntry {
       ext.Similarity.marginAlign(
         e.filter(col("label") % 2 === 0), e.filter(col("label") % 2 === 1),
         "vec_id", "embedding", k = 4, minMargin = 1.0)
+    }),
+
+    // decontamination, EMBEDDING level: max cosine of every corpus vector
+    // against the benchmark set (vec_id % 10 = 7 acts as the eval set) —
+    // catches the paraphrased leakage n-gram decontam is blind to; bench
+    // side broadcast, argmax as a map-side-combining groupBy (no window
+    // shuffle of scored rows)
+    "q_embed_decontam" -> ((s, dir) => {
+      val e = read(s, dir, "embeddings")
+      ext.Dedup.embeddingContamination(
+        e.filter(col("vec_id") % 10 =!= 7), e.filter(col("vec_id") % 10 === 7),
+        "vec_id", "embedding", threshold = 0.5)
     }),
 
     // cross-corpus alignment, 100 TB path: same ratio-margin math over
@@ -2257,6 +2291,35 @@ object SparkEntry {
        |SELECT a_id, b_id, round(c, 4) AS cosine FROM scored WHERE c >= 0.4""".stripMargin
   }
 
+  /** Generated DuckDB oracle for q_text_script — counts and dominant-
+    * script CASE chain generated from [[ext.TextOps.scriptRanges]] (same
+    * literal-char classes, same priority order) so the two sides cannot
+    * drift; DuckDB regexp_replace needs the explicit 'g' flag to match
+    * Spark's replace-all semantics.
+    */
+  private lazy val textScriptOracle: String = {
+    val names = ext.TextOps.scriptRanges.map(_._1)
+    val counts = ext.TextOps.scriptRanges.map { case (name, r) =>
+      s"length(regexp_replace(t, '[^$r]', '', 'g')) AS n_$name"
+    }.mkString(",\n       ")
+    val cases = names.map { name =>
+      val geRest = names.filter(_ != name)
+        .map(o => s"n_$name >= n_$o").mkString(" AND ")
+      s"WHEN n_$name > 0 AND $geRest THEN '$name'"
+    }.mkString("\n         ")
+    s"""WITH d AS (SELECT doc_id,
+       |             CASE WHEN doc_id % 50 = 0 THEN '$scriptProbe' || text
+       |                  ELSE text END AS t
+       |           FROM documents),
+       |c AS (SELECT doc_id,
+       |       $counts
+       |      FROM d)
+       |SELECT doc_id, ${names.map("n_" + _).mkString(", ")},
+       |       CASE $cases
+       |         ELSE 'other' END AS script
+       |FROM c""".stripMargin
+  }
+
   /** Generated DuckDB oracle for q_margin_align_lsh — regenerates the
     * cross-frame sign-LSH candidate set (same seeded hyperplanes as
     * [[ext.Similarity.lshCrossCandidates]], b-side 1-bit multi-probe) and
@@ -2742,6 +2805,28 @@ object SparkEntry {
     "q_knn_lsh" -> knnLshOracle,
     "q_embed_neardup_lsh" -> embedNearDupLshOracle,
     "q_margin_align_lsh" -> marginAlignLshOracle,
+    "q_text_script" -> textScriptOracle,
+
+    // embedding decontamination: per-corpus-vector argmax over the
+    // benchmark set — max(struct(c6, -bench_id)) replays as the
+    // (c6 DESC, bench_id ASC) row_number
+    "q_embed_decontam" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id % 10 <> 7),
+        |b AS (SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id % 10 = 7),
+        |p AS (SELECT c.vec_id, b.bench_id,
+        |        round(list_dot_product(c.v, b.v)
+        |          / (sqrt(list_dot_product(c.v, c.v))
+        |             * sqrt(list_dot_product(b.v, b.v))), 6) AS c6
+        |      FROM c CROSS JOIN b),
+        |r AS (SELECT vec_id, bench_id, c6,
+        |        row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY c6 DESC, bench_id) AS rn
+        |      FROM p)
+        |SELECT vec_id, bench_id, c6 AS max_cosine,
+        |       c6 >= 0.5 AS contaminated
+        |FROM r WHERE rn = 1""".stripMargin,
     "q_simhash_portable" -> simhashPortableOracle,
     "q_pagerank" -> pageRankOracle,
 

@@ -789,6 +789,47 @@ object Dedup {
             col("n_shingles").cast("double")))
   }
 
+  /** EMBEDDING-level benchmark contamination — per corpus vector, its
+    * maximum cosine against the benchmark set and the nearest benchmark
+    * id: the semantic twin of [[contaminationScores]]. Paraphrased eval
+    * leakage (reworded questions, translated answers) has near-zero
+    * shingle overlap but high embedding cosine — the documented blind
+    * spot of n-gram decontamination, and the reason production pipelines
+    * run both. Emits every corpus row:
+    * (idCol, bench_id, max_cosine, contaminated).
+    *
+    * Determinism: cosines round to 6 decimals; the per-row argmax is
+    * `max(struct(c6, -bench_id))` — highest cosine, ties to the LOWEST
+    * benchmark id — which replays in SQL as a (c6 DESC, bench_id ASC)
+    * row_number.
+    *
+    * Scale: benchmarks are tiny next to a training corpus — the bench
+    * side broadcasts (hinted) and scoring is a narrow map over the
+    * corpus; the argmax is a partial-aggregating groupBy (map-side
+    * combine collapses each corpus row's |bench| scored rows before the
+    * exchange), NOT a window (which would shuffle every scored row). A
+    * benchmark too large to broadcast swaps the scored cross for
+    * [[Similarity.lshCrossCandidates]] + the same rescore/argmax.
+    */
+  def embeddingContamination(
+      corpus: DataFrame, bench: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).alias("__vc"))
+      .withColumn("__nc", Similarity.norm(col("__vc")))
+    val b = bench.select(col(idCol).alias("__bid"), col(vecCol).alias("__vb"))
+      .withColumn("__nb", Similarity.norm(col("__vb")))
+    c.crossJoin(broadcast(b))
+      .withColumn("__c6", round(
+        Similarity.dot(col("__vc"), col("__vb")) / (col("__nc") * col("__nb")), 6))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__c6").alias("c"),
+        (-col("__bid")).alias("nb"))).alias("__m"))
+      .select(col(idCol),
+        (-col("__m.nb")).alias("bench_id"),
+        col("__m.c").alias("max_cosine"))
+      .withColumn("contaminated", col("max_cosine") >= lit(threshold))
+  }
+
   /** Span-level benchmark decontamination — remove the contaminated
     * REGIONS of a document instead of dropping the whole document (the
     * standard eval-decontamination refinement: a 10k-token page that

@@ -55,6 +55,51 @@ object TextOps {
       .otherwise("und")
   }
 
+  /** Unicode-script character classes by EXPLICIT codepoint range — not
+    * named classes (`\p{IsLatin}` is Java-regex-only, `\p{Latin}` is
+    * RE2-only) and not regex-level `\uXXXX` escapes (Java-only; RE2
+    * spells it `\x{…}`). The range endpoints are LITERAL characters
+    * (Scala-level escapes), which every regex engine reads identically —
+    * that is what keeps the op oracle-checkable, with the oracle SQL
+    * generated from this same table so the two sides cannot drift.
+    * Ranges cover the dominant blocks, which is what corpus routing
+    * needs — script detection for mixing/routing, not full Unicode
+    * taxonomy.
+    */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "latin"    -> "A-Za-zÀ-ɏ",
+    "cyrillic" -> "Ѐ-ӿ",
+    "cjk"      -> "぀-ヿ一-鿿가-힯",
+    "arabic"   -> "؀-ۿ",
+    "digit"    -> "0-9")
+
+  /** Per-class character count: drop everything outside the class, count
+    * what remains (one codegen'd regexp_replace per class).
+    */
+  def scriptCount(text: Column, ranges: String): Column =
+    length(regexp_replace(text, s"[^$ranges]", "")).cast("long")
+
+  /** (count columns, dominant-script column) for [[scriptRanges]]:
+    * counts as `n_<script>`, dominant by max count with the fixed
+    * priority order of the range list (earlier wins ties), 'other' when
+    * every class counts zero — the per-document routing signal for
+    * multilingual corpus mixing. Narrow per-row map, no shuffle.
+    */
+  def scriptProfile(text: Column): (Seq[(String, Column)], Column) = {
+    val counts = scriptRanges.map { case (name, r) =>
+      s"n_$name" -> scriptCount(text, r)
+    }
+    val byName = counts.toMap
+    val dominant = scriptRanges.foldRight(lit("other")) {
+      case ((name, _), fallback) =>
+        val c = byName(s"n_$name")
+        val geRest = scriptRanges.filter(_._1 != name)
+          .map(o => c >= byName(s"n_${o._1}")).reduce(_ && _)
+        when(c > 0 && geRest, lit(name)).otherwise(fallback)
+    }
+    (counts, dominant)
+  }
+
   /** Quality-score components + composite (deterministic double math,
     * identical expression tree to the oracle SQL).
     */

@@ -299,6 +299,52 @@ class Round7Spec extends AnyFunSuite {
     assert(hot === 0, "df=n template gram found in a prefix")
   }
 
+  // --- embeddingContamination / scriptProfile ---------------------------
+
+  test("embeddingContamination: argmax, lowest-id tie-break, threshold gate") {
+    val corpus = Seq(
+      (1L, Array(1.0, 0.0)),   // equidistant from bench 10 and 12 → tie
+      (2L, Array(0.0, 1.0)),   // exactly bench 11 → cosine 1
+      (3L, Array(-1.0, 0.0))). // anti-aligned with everything
+      toDF("vec_id", "embedding")
+    val bench = Seq(
+      (10L, Array(1.0, 1.0)), (11L, Array(0.0, 2.0)), (12L, Array(1.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val got = ext.Dedup.embeddingContamination(corpus, bench,
+        "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    val c45 = BigDecimal(1.0 / math.sqrt(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === ((10L, c45, false)))   // tie 10 vs 12 → lowest id
+    assert(got(2L) === ((11L, 1.0, true)))
+    // (-1,0): cos 0 vs bench 11's (0,2), cos -1/√2 vs 10/12 → argmax 11
+    assert(got(3L) === ((11L, 0.0, false)))
+    assert(got.size === 3, "every corpus row must be emitted")
+  }
+
+  test("scriptProfile: counts per range, dominance priority, other fallback") {
+    val d = Seq(
+      (1L, "hello world"),            // latin
+      (2L, "Привет мир"),             // cyrillic
+      (3L, "你好 こんにちは"),          // cjk
+      (4L, "مرحبا"),                  // arabic
+      (5L, "12345"),                  // digit
+      (6L, "!!! ---"),                // nothing → other
+      (7L, "ab Привет")).             // 2 latin vs 6 cyrillic → cyrillic
+      toDF("doc_id", "text")
+    val (counts, dominant) = ext.TextOps.scriptProfile(col("text"))
+    val got = d.select(col("doc_id") +:
+        counts.map { case (n, c) => c.alias(n) } :+ dominant.alias("s"): _*)
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(got === Map(1L -> "latin", 2L -> "cyrillic", 3L -> "cjk",
+      4L -> "arabic", 5L -> "digit", 6L -> "other", 7L -> "cyrillic"))
+    // equal nonzero counts resolve by the fixed range-list priority
+    val tie = d.filter(col("doc_id") === 1).select(
+      ext.TextOps.scriptProfile(lit("ab Пр"))._2.alias("s"))
+    assert(tie.head().getString(0) === "latin")
+  }
+
   // --- events read adapter (schema drift guard) -------------------------
 
   test("events adapter: int64-nanos, TIMESTAMP and TIMESTAMP_NTZ files all yield the same ts_us") {

@@ -743,6 +743,22 @@ object SparkEntry {
         "vec_id", "embedding", k = 4, minMargin = 1.0)
     }),
 
+    // similarity: Matryoshka-truncation acceptance — recall@5 of cosine
+    // top-k over the FIRST 16 dims vs the full 64-dim ground truth per
+    // query: the rollout metric for serving cheap prefix embeddings (MRL);
+    // both rankings and the hit-count division replay in SQL
+    "q_mrl_eval" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 10)
+      val full = ext.Similarity.bruteForceTopK(e, qs, "vec_id", "embedding",
+        k = 5)
+      val te = e.withColumn("embedding", slice(col("embedding"), 1, 16))
+      val tqs = qs.withColumn("embedding", slice(col("embedding"), 1, 16))
+      ext.Similarity.recallAtK(
+        ext.Similarity.bruteForceTopK(te, tqs, "vec_id", "embedding", k = 5),
+        full, "q_id", "n_id")
+    },
+
     // decontamination, EMBEDDING level: max cosine of every corpus vector
     // against the benchmark set (vec_id % 10 = 7 acts as the eval set) —
     // catches the paraphrased leakage n-gram decontam is blind to; bench
@@ -2806,6 +2822,36 @@ object SparkEntry {
     "q_embed_neardup_lsh" -> embedNearDupLshOracle,
     "q_margin_align_lsh" -> marginAlignLshOracle,
     "q_text_script" -> textScriptOracle,
+
+    // MRL truncation eval: both the full-dim and prefix-dim brute-force
+    // rankings rebuilt in SQL (same 4-rounding, same tie-break), hit
+    // counting by left join on (q_id, n_id)
+    "q_mrl_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |q AS (SELECT * FROM n WHERE vec_id < 10),
+        |fsc AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |          round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS sim
+        |        FROM q JOIN n c ON c.vec_id <> q.vec_id),
+        |f5 AS (SELECT q_id, n_id FROM (
+        |         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |           ORDER BY sim DESC, n_id) AS rnk FROM fsc) WHERE rnk <= 5),
+        |t AS (SELECT vec_id, v[1:16] AS v FROM e),
+        |tn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM t),
+        |tq AS (SELECT * FROM tn WHERE vec_id < 10),
+        |tsc AS (SELECT tq.vec_id AS q_id, c.vec_id AS n_id,
+        |          round(list_dot_product(tq.v, c.v) / (tq.nrm * c.nrm), 4) AS sim
+        |        FROM tq JOIN tn c ON c.vec_id <> tq.vec_id),
+        |t5 AS (SELECT q_id, n_id FROM (
+        |         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |           ORDER BY sim DESC, n_id) AS rnk FROM tsc) WHERE rnk <= 5)
+        |SELECT f.q_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |       CAST(SUM(CASE WHEN t5.n_id IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_hit,
+        |       CAST(SUM(CASE WHEN t5.n_id IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+        |FROM f5 f LEFT JOIN t5 ON t5.q_id = f.q_id AND t5.n_id = f.n_id
+        |GROUP BY f.q_id""".stripMargin,
 
     // embedding decontamination: per-corpus-vector argmax over the
     // benchmark set — max(struct(c6, -bench_id)) replays as the

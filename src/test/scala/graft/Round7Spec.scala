@@ -299,6 +299,16 @@ class Round7Spec extends AnyFunSuite {
     assert(hot === 0, "df=n template gram found in a prefix")
   }
 
+  test("MRL eval: a ranking scored against itself has recall exactly 1.0") {
+    val e = embeddings
+    val qs = e.filter(col("vec_id") < 5)
+    val full = ext.Similarity.bruteForceTopK(e, qs, "vec_id", "embedding", k = 5)
+    val r = ext.Similarity.recallAtK(full, full, "q_id", "n_id")
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getDouble(3)))
+    assert(r.length === 5 && r.forall { case (ne, nh, rec) =>
+      ne === 5L && nh === 5L && rec === 1.0 })
+  }
+
   // --- embeddingContamination / scriptProfile ---------------------------
 
   test("embeddingContamination: argmax, lowest-id tie-break, threshold gate") {

@@ -831,6 +831,23 @@ object SparkEntry {
     "q_curate_corpus" -> ((s, dir) => ext.Curate.corpusStats(
       ext.Curate.curateCorpus(read(s, dir, "documents")))),
 
+    // curation observability: per-rule rejection attribution for an
+    // ordered filter cascade — rejected-at-stage, flagged-at-all, and
+    // unique-reject counts per rule from ONE conditional-sum aggregate
+    // (digit_heavy is a deliberately dead rule: zero flags on this
+    // corpus, the pattern the unique_rejects column exists to expose)
+    "q_filter_funnel" -> { (s, dir) =>
+      val d = read(s, dir, "documents")
+      val toks = split(col("text"), " ")
+      ext.Curate.filterFunnel(d, Seq(
+        "too_short" -> (length(col("text")) < 150),
+        "non_english" -> (col("lang") =!= "en"),
+        "digit_heavy" ->
+          (length(regexp_replace(col("text"), "[^0-9]", "")) * 20
+            > length(col("text"))),
+        "repetitive" -> (size(array_distinct(toks)) * 2 < size(toks))))
+    },
+
     // decontamination: per-doc fraction of shingles appearing anywhere in
     // the benchmark set (docs with doc_id % 10 = 7 act as the eval set) —
     // one semi-join against the distinct benchmark shingles, never
@@ -854,6 +871,23 @@ object SparkEntry {
     "q_zipf_slope" -> ((s, dir) =>
       ext.TextOps.zipfSlope(read(s, dir, "documents"),
         "text", "source", topN = 100)),
+
+    // corpus health: distinct-n diversity per source (n=1 is type-token
+    // ratio) — totals from pure length arithmetic, only the distinct
+    // count's (src, n, gram) stream shuffles
+    "q_ngram_diversity" -> ((s, dir) =>
+      ext.TextOps.ngramDiversity(read(s, dir, "documents"),
+        "text", "source", ns = Seq(1, 2, 3))),
+
+    // vocabulary-granular drift: top-20 tokens by |frequency-share move|
+    // between the even- and odd-id corpus halves — ranking decided on
+    // exact cross-multiplied integers, distributed top-k
+    "q_token_drift" -> { (s, dir) =>
+      val d = read(s, dir, "documents")
+      ext.TextOps.tokenDrift(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "text", topK = 20)
+    },
 
     // span-level decontamination: excise contaminated 3-gram REGIONS
     // (merged into maximal spans) instead of dropping whole docs;
@@ -1300,6 +1334,17 @@ object SparkEntry {
       Map("src0" -> 6.0, "src1" -> 1.0, "src2" -> 1.0), targetRows = 60L)
       .groupBy(col("source")).agg(count(lit(1)).alias("n_kept"))),
 
+    // data mixing, temperature-scaled (UniMax / mT5): source shares
+    // ∝ count^α with α=0.5 flattening head sources toward the tail —
+    // α-power weights round to exact 1e6-integers (order-independent
+    // total), rates 9-rounded so a last-ulp pow() divergence between
+    // libms can't flip the md5 hash threshold; oracle replays
+    // count → pow → rate → threshold entirely in SQL
+    "q_mixture_temperature" -> ((s, dir) => ext.Sampling.temperatureMixture(
+      read(s, dir, "documents"), "doc_id", "source",
+      alpha = 0.5, targetRows = 300L)
+      .groupBy(col("source")).agg(count(lit(1)).alias("n_kept"))),
+
     // migration validation: diff a deterministically perturbed copy of
     // orders against the original (drops, updates, and inserts all
     // surfaced; NULL transitions counted via null-safe compare)
@@ -1385,6 +1430,40 @@ object SparkEntry {
     // profiling: per-column count / nulls / exact distinct
     "q_profile_summary" -> ((s, dir) => ext.Profile.summary(
       read(s, dir, "documents"), Seq("text", "lang", "source", "n_chars"))),
+
+    // drift alarm: Population Stability Index over fixed-width n_chars
+    // bins between the even- and odd-id halves of the corpus — per-bin
+    // 9-rounded ln-terms, exact integer total; nothing row-scaled
+    // shuffles (two ≤10-group hash aggregates + a tiny outer join)
+    "q_psi_drift" -> { (s, dir) =>
+      val d = read(s, dir, "documents")
+      ext.Stats.psi(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "n_chars", binWidth = 60.0, nBins = 10)
+    },
+
+    // drift alarm, event-time: PSI of the event-value distribution,
+    // week 1 vs week 2 — the rolling release-health check a streaming
+    // pipeline schedules per window pair
+    "q_psi_events" -> { (s, dir) =>
+      val e = readEvents(s, dir)
+      val w0 = 1704067200000000L // 2024-01-01T00:00:00Z, epoch micros
+      val wk = 7L * 86400000000L
+      ext.Stats.psi(
+        e.filter(col("ts_us") >= w0 && col("ts_us") < w0 + wk),
+        e.filter(col("ts_us") >= w0 + wk && col("ts_us") < w0 + 2 * wk),
+        "value", binWidth = 50.0, nBins = 10)
+    },
+
+    // drift alarm, KS form: max CDF gap between the same two corpus
+    // halves as q_psi_drift — argmax bin decided on exact cross-
+    // multiplied integers, one fixed-shape closing division
+    "q_ks_drift" -> { (s, dir) =>
+      val d = read(s, dir, "documents")
+      ext.Stats.ksDrift(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "n_chars", binWidth = 60.0, nBins = 10)
+    },
 
     // event analytics: view → click → purchase conversion funnel, each
     // step within 24 h of the previous (greedy earliest-match); per-step
@@ -3955,6 +4034,50 @@ object SparkEntry {
         |         ORDER BY dist2, n_id) AS INTEGER) AS rnk
         |FROM sc QUALIFY rnk <= 5""".stripMargin,
 
+    // funnel attribution: the same four rule predicates as boolean
+    // columns, every metric a conditional sum, one UNION ALL row per rule
+    "q_filter_funnel" ->
+      """WITH f AS (SELECT
+        |  length(text) < 150 AS f0,
+        |  lang <> 'en' AS f1,
+        |  length(regexp_replace(text, '[^0-9]', '', 'g')) * 20
+        |    > length(text) AS f2,
+        |  len(list_distinct(string_split(text, ' '))) * 2
+        |    < len(string_split(text, ' ')) AS f3
+        |  FROM documents),
+        |a AS (SELECT
+        |  CAST(SUM(CASE WHEN f0 THEN 1 ELSE 0 END) AS BIGINT) AS fl0,
+        |  CAST(SUM(CASE WHEN f0 AND NOT (f1 OR f2 OR f3) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS u0,
+        |  CAST(SUM(CASE WHEN NOT f0 THEN 1 ELSE 0 END) AS BIGINT) AS s0,
+        |  CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS fl1,
+        |  CAST(SUM(CASE WHEN f1 AND NOT f0 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        |  CAST(SUM(CASE WHEN f1 AND NOT (f0 OR f2 OR f3) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS u1,
+        |  CAST(SUM(CASE WHEN NOT (f0 OR f1) THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        |  CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS fl2,
+        |  CAST(SUM(CASE WHEN f2 AND NOT (f0 OR f1) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS h2,
+        |  CAST(SUM(CASE WHEN f2 AND NOT (f0 OR f1 OR f3) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS u2,
+        |  CAST(SUM(CASE WHEN NOT (f0 OR f1 OR f2) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS s2,
+        |  CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS fl3,
+        |  CAST(SUM(CASE WHEN f3 AND NOT (f0 OR f1 OR f2) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS h3,
+        |  CAST(SUM(CASE WHEN f3 AND NOT (f0 OR f1 OR f2) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS u3,
+        |  CAST(SUM(CASE WHEN NOT (f0 OR f1 OR f2 OR f3) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS s3
+        |  FROM f)
+        |SELECT CAST(1 AS BIGINT) AS stage, 'too_short' AS rule, fl0 AS flagged,
+        |       fl0 AS rejected_here, u0 AS unique_rejects, s0 AS survivors
+        |FROM a
+        |UNION ALL SELECT CAST(2 AS BIGINT), 'non_english', fl1, h1, u1, s1 FROM a
+        |UNION ALL SELECT CAST(3 AS BIGINT), 'digit_heavy', fl2, h2, u2, s2 FROM a
+        |UNION ALL SELECT CAST(4 AS BIGINT), 'repetitive', fl3, h3, u3, s3
+        |FROM a""".stripMargin,
+
     "q_curate_corpus" ->
       s"""WITH RECURSIVE
          |d AS (SELECT doc_id, text, source, string_split(text, ' ') AS t FROM documents),
@@ -4133,6 +4256,57 @@ object SparkEntry {
         |       (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
         |       / (CAST(n_terms AS DOUBLE) * sxx - sx * sx) AS slope
         |FROM s""".stripMargin,
+
+    // distinct-n diversity: totals from length arithmetic, distincts from
+    // the position-grid n-gram build (same grid as the shingle oracles)
+    "q_ngram_diversity" ->
+      """WITH d AS (SELECT source AS src, string_split(text, ' ') AS t
+        |           FROM documents),
+        |nn AS (SELECT * FROM (VALUES (1), (2), (3)) AS v(n)),
+        |tot AS (SELECT src, nn.n AS n,
+        |          CAST(SUM(GREATEST(len(t) - nn.n + 1, 0)) AS BIGINT)
+        |            AS total_ngrams
+        |        FROM d, nn GROUP BY src, nn.n),
+        |g AS (SELECT src, nn.n AS n,
+        |        array_to_string(t[i.i:i.i + nn.n - 1], ' ') AS gram
+        |      FROM d, nn,
+        |           (SELECT unnest(generate_series(1, 4000)) AS i) i
+        |      WHERE i.i <= len(t) - nn.n + 1),
+        |dn AS (SELECT src, n, CAST(COUNT(DISTINCT gram) AS BIGINT)
+        |         AS distinct_ngrams
+        |       FROM g GROUP BY src, n)
+        |SELECT t.src, CAST(t.n AS BIGINT) AS n, t.total_ngrams,
+        |       dn.distinct_ngrams,
+        |       round(CAST(dn.distinct_ngrams AS DOUBLE)
+        |         / CAST(t.total_ngrams AS DOUBLE), 9) AS ratio
+        |FROM tot t JOIN dn ON dn.src = t.src AND dn.n = t.n""".stripMargin,
+
+    // token drift: same exact cross-product ranking, HUGEINT in SQL
+    "q_token_drift" ->
+      """WITH ta AS (SELECT unnest(string_split(text, ' ')) AS token
+        |            FROM documents WHERE doc_id % 2 = 0),
+        |tb AS (SELECT unnest(string_split(text, ' ')) AS token
+        |       FROM documents WHERE doc_id % 2 = 1),
+        |a AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS ca FROM ta
+        |      WHERE token <> '' GROUP BY token),
+        |b AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cb FROM tb
+        |      WHERE token <> '' GROUP BY token),
+        |j AS (SELECT COALESCE(a.token, b.token) AS token,
+        |             COALESCE(ca, CAST(0 AS BIGINT)) AS ca,
+        |             COALESCE(cb, CAST(0 AS BIGINT)) AS cb
+        |      FROM a FULL OUTER JOIN b ON a.token = b.token),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |             CAST(SUM(cb) AS BIGINT) AS nb FROM j),
+        |d AS (SELECT token, ca, cb,
+        |        CAST(ca AS HUGEINT) * CAST(nb AS HUGEINT)
+        |          - CAST(cb AS HUGEINT) * CAST(na AS HUGEINT) AS dd,
+        |        na, nb
+        |      FROM j, t)
+        |SELECT token, ca, cb,
+        |       CAST(dd AS DOUBLE)
+        |         / CAST(CAST(na AS HUGEINT) * CAST(nb AS HUGEINT) AS DOUBLE)
+        |         AS delta
+        |FROM d ORDER BY abs(dd) DESC, token LIMIT 20""".stripMargin,
 
     // span decontamination replayed relationally: contaminated shingle
     // starts → gaps-and-islands merge (strict-overlap rule, same as
@@ -4754,6 +4928,27 @@ object SparkEntry {
         |                                     AS BIGINT)), 8, '0')))
         |SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source""".stripMargin,
 
+    // temperature mixture: count → 1e6-integer pow-weight → exact integer
+    // total → 9-rounded rate → md5 threshold, all replayed in SQL
+    "q_mixture_temperature" ->
+      """WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents
+        |             GROUP BY source),
+        |w AS (SELECT source, n,
+        |        CAST(round(pow(CAST(n AS DOUBLE), 0.5) * 1000000, 0)
+        |          AS BIGINT) AS w6
+        |      FROM cnt),
+        |sw AS (SELECT CAST(SUM(w6) AS BIGINT) AS s FROM w),
+        |r AS (SELECT source,
+        |        round(least(CAST(1 AS DOUBLE),
+        |          CAST(w6 AS DOUBLE) / s * 300 / n), 9) AS rate
+        |      FROM w, sw),
+        |kept AS (SELECT d.source FROM documents d JOIN r ON d.source = r.source
+        |         WHERE r.rate >= 1
+        |            OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+        |               < lower(lpad(hex(CAST(floor(r.rate * 4294967296)
+        |                                     AS BIGINT)), 8, '0')))
+        |SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source""".stripMargin,
+
     // the q_curate_decontam closure with an argmax(n_chars) survivor pick,
     // then the q_split_assign hash bands and the q_pack_shards window —
     // one SQL statement replaying the whole composed pipeline
@@ -5034,6 +5229,105 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
         |       COUNT(DISTINCT n_chars) FROM documents""".stripMargin,
+
+    // PSI: same fixed bins, Laplace-smoothed probabilities, 9-rounded
+    // ln-terms and exact integer total (terms are always ≥ 0, so the
+    // HALF_UP/half-away rounding modes agree)
+    "q_psi_drift" ->
+      """WITH a AS (SELECT LEAST(CAST(floor(CAST(n_chars AS DOUBLE) / 60)
+        |                  AS BIGINT), 9) AS bin,
+        |                  CAST(COUNT(*) AS BIGINT) AS ca
+        |           FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT LEAST(CAST(floor(CAST(n_chars AS DOUBLE) / 60)
+        |             AS BIGINT), 9) AS bin,
+        |             CAST(COUNT(*) AS BIGINT) AS cb
+        |      FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT COALESCE(a.bin, b.bin) AS bin,
+        |             COALESCE(ca, CAST(0 AS BIGINT)) AS ca,
+        |             COALESCE(cb, CAST(0 AS BIGINT)) AS cb
+        |      FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |             CAST(SUM(cb) AS BIGINT) AS nb FROM j),
+        |p AS (SELECT bin, ca, cb,
+        |        CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE) AS pa,
+        |        CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE) AS pb
+        |      FROM j, t),
+        |x AS (SELECT bin, ca, cb,
+        |        CAST(round((pa - pb) * ln(pa / pb) * 1000000000.0, 0)
+        |          AS BIGINT) AS term9
+        |      FROM p),
+        |s AS (SELECT CAST(SUM(term9) AS BIGINT) AS s9 FROM x)
+        |SELECT bin, ca, cb,
+        |       CAST(term9 AS DOUBLE) / 1000000000.0 AS psi_bin,
+        |       CAST(s9 AS DOUBLE) / 1000000000.0 AS psi
+        |FROM x, s""".stripMargin,
+
+    // event-time PSI: same machinery over week-1 vs week-2 event values
+    "q_psi_events" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, value
+        |           FROM events),
+        |a AS (SELECT LEAST(CAST(floor(CAST(value AS DOUBLE) / 50)
+        |                  AS BIGINT), 9) AS bin,
+        |                  CAST(COUNT(*) AS BIGINT) AS ca
+        |      FROM e WHERE ts_us >= 1704067200000000
+        |        AND ts_us < 1704067200000000 + 604800000000 GROUP BY 1),
+        |b AS (SELECT LEAST(CAST(floor(CAST(value AS DOUBLE) / 50)
+        |             AS BIGINT), 9) AS bin,
+        |             CAST(COUNT(*) AS BIGINT) AS cb
+        |      FROM e WHERE ts_us >= 1704067200000000 + 604800000000
+        |        AND ts_us < 1704067200000000 + 1209600000000 GROUP BY 1),
+        |j AS (SELECT COALESCE(a.bin, b.bin) AS bin,
+        |             COALESCE(ca, CAST(0 AS BIGINT)) AS ca,
+        |             COALESCE(cb, CAST(0 AS BIGINT)) AS cb
+        |      FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |             CAST(SUM(cb) AS BIGINT) AS nb FROM j),
+        |p AS (SELECT bin, ca, cb,
+        |        CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE) AS pa,
+        |        CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE) AS pb
+        |      FROM j, t),
+        |x AS (SELECT bin, ca, cb,
+        |        CAST(round((pa - pb) * ln(pa / pb) * 1000000000.0, 0)
+        |          AS BIGINT) AS term9
+        |      FROM p),
+        |s AS (SELECT CAST(SUM(term9) AS BIGINT) AS s9 FROM x)
+        |SELECT bin, ca, cb,
+        |       CAST(term9 AS DOUBLE) / 1000000000.0 AS psi_bin,
+        |       CAST(s9 AS DOUBLE) / 1000000000.0 AS psi
+        |FROM x, s""".stripMargin,
+
+    // KS drift: cumulative window over the ≤10 bins, argmax on exact
+    // HUGEINT cross-products, ties to the smallest bin
+    "q_ks_drift" ->
+      """WITH a AS (SELECT LEAST(CAST(floor(CAST(n_chars AS DOUBLE) / 60)
+        |                  AS BIGINT), 9) AS bin,
+        |                  CAST(COUNT(*) AS BIGINT) AS ca
+        |           FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT LEAST(CAST(floor(CAST(n_chars AS DOUBLE) / 60)
+        |             AS BIGINT), 9) AS bin,
+        |             CAST(COUNT(*) AS BIGINT) AS cb
+        |      FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT COALESCE(a.bin, b.bin) AS bin,
+        |             COALESCE(ca, CAST(0 AS BIGINT)) AS ca,
+        |             COALESCE(cb, CAST(0 AS BIGINT)) AS cb
+        |      FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+        |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na,
+        |             CAST(SUM(cb) AS BIGINT) AS nb FROM j),
+        |c AS (SELECT bin,
+        |        SUM(ca) OVER (ORDER BY bin
+        |          ROWS UNBOUNDED PRECEDING) AS cca,
+        |        SUM(cb) OVER (ORDER BY bin
+        |          ROWS UNBOUNDED PRECEDING) AS ccb
+        |      FROM j),
+        |d AS (SELECT bin, na, nb,
+        |        abs(CAST(cca AS HUGEINT) * CAST(nb AS HUGEINT)
+        |          - CAST(ccb AS HUGEINT) * CAST(na AS HUGEINT)) AS dd
+        |      FROM c, t)
+        |SELECT bin, na, nb,
+        |       CAST(dd AS DOUBLE)
+        |         / CAST(CAST(na AS HUGEINT) * CAST(nb AS HUGEINT) AS DOUBLE)
+        |         AS ks
+        |FROM d ORDER BY dd DESC, bin LIMIT 1""".stripMargin,
 
     // zipWithIndex over the (df desc, token) total order == row_number − 1
     // same min-df-5 vocab rebuilt, then per-doc membership counting;

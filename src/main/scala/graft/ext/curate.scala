@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-corpus curation — the composite the rest of the
@@ -106,4 +106,59 @@ object Curate {
       .agg(count(lit(1)).alias("n_docs"),
         sum(col("n_words")).alias("total_words"),
         min(col(idCol)).alias("first_doc"))
+
+  /** Filter-funnel attribution — the observability step of a curation
+    * pipeline: for an ORDERED cascade of reject rules, how many docs does
+    * each rule actually remove, how many does it flag at all, and how many
+    * would no other rule catch? Tuning any web-scale filter set starts
+    * from exactly these three numbers per rule (a rule with zero unique
+    * rejects is dead weight; a rule rejecting 90% at its stage is
+    * mis-ordered or mis-calibrated).
+    *
+    * Emits one row per rule, in cascade order:
+    *   - `stage`          1-based position in the cascade
+    *   - `rule`           the rule's name
+    *   - `flagged`        docs the rule fires on, regardless of order
+    *   - `rejected_here`  docs rejected AT this stage (fire, and survived
+    *                      every earlier rule) — sums to total rejects
+    *   - `unique_rejects` docs ONLY this rule fires on — the rule's
+    *                      irreplaceable contribution
+    *   - `survivors`      docs passing this rule and all earlier ones
+    *
+    * Scale: every metric is a conditional sum over the same row scan —
+    * ONE aggregate (map-side partial, no join, no window), then the
+    * single result row explodes into per-rule rows. Rule predicates are
+    * arbitrary `Column`s; keep them SQL-expressible for oracle parity.
+    */
+  def filterFunnel(docs: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "filterFunnel needs at least one rule")
+    val flags = rules.zipWithIndex.map { case ((_, c), i) =>
+      c.cast("boolean").alias(s"__f$i")
+    }
+    val flagged = docs.select(flags: _*)
+    val n = rules.length
+    def f(i: Int) = col(s"__f$i")
+    val aggs = (0 until n).flatMap { i =>
+      val earlier = (0 until i).foldLeft(lit(false))((acc, j) => acc || f(j))
+      val others = (0 until n).filter(_ != i)
+        .foldLeft(lit(false))((acc, j) => acc || f(j))
+      val upTo = (0 to i).foldLeft(lit(false))((acc, j) => acc || f(j))
+      Seq(
+        sum(when(f(i), 1L).otherwise(0L)).alias(s"__flagged$i"),
+        sum(when(f(i) && !earlier, 1L).otherwise(0L)).alias(s"__here$i"),
+        sum(when(f(i) && !others, 1L).otherwise(0L)).alias(s"__uniq$i"),
+        sum(when(!upTo, 1L).otherwise(0L)).alias(s"__surv$i"))
+    }
+    flagged.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(rules.zipWithIndex.map { case ((name, _), i) =>
+        struct(
+          lit(i + 1).cast("long").alias("stage"),
+          lit(name).alias("rule"),
+          col(s"__flagged$i").alias("flagged"),
+          col(s"__here$i").alias("rejected_here"),
+          col(s"__uniq$i").alias("unique_rejects"),
+          col(s"__surv$i").alias("survivors"))
+      }: _*)).alias("r"))
+      .select("r.*")
+  }
 }

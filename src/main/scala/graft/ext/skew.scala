@@ -139,6 +139,46 @@ object Sampling {
       idCol, sourceCol, rates)
   }
 
+  /** Temperature-scaled mixture — the multilingual/multi-source sampling
+    * rule (UniMax / mT5-style): source `i` is sampled in proportion to
+    * `nᵢ^α` instead of `nᵢ`, so `α < 1` flattens head sources toward the
+    * tail (α=1 is natural proportions, α=0 uniform). This is the
+    * derivation step [[mixture]] expects the caller to have done by hand:
+    * the α-powers BECOME the weights, then the same
+    * min(1, share × target / n) rate and md5-Bernoulli keep apply — this
+    * operator never duplicates rows; upsampling epochs are the trainer's
+    * job.
+    *
+    * Determinism contract (cross-engine): each `nᵢ^α` rounds to a
+    * 1e6-scaled BIGINT (`w6ᵢ = round(nᵢ^α·1e6)`), the weight total is the
+    * EXACT integer sum of those — never a float sum, whose value would
+    * depend on addition order — and the keep rate is
+    * `round(min(1, w6ᵢ/Σw6 · target / nᵢ), 9)` (fixed-shape,
+    * left-associative), rounded so a last-ulp `pow` divergence between
+    * libms cannot flip the `floor(rate·2³²)` hash threshold.
+    *
+    * Scale: one hash-groupBy for per-source counts (rows = #sources, a
+    * driver-safe collect), then one narrow filter — same shape as
+    * [[mixture]].
+    */
+  def temperatureMixture(df: DataFrame, idCol: String, sourceCol: String,
+      alpha: Double, targetRows: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0, 1]")
+    val counts = df.groupBy(col(sourceCol).cast("string").alias("__src"))
+      .agg(count(lit(1)).alias("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val w6 = counts.map { case (s, n) =>
+      s -> math.round(math.pow(n.toDouble, alpha) * 1e6)
+    }
+    val sumW6 = w6.values.sum // exact integer sum: order-independent
+    val rates = counts.map { case (s, n) =>
+      val r = w6(s).toDouble / sumW6 * targetRows / n
+      s -> BigDecimal(math.min(1.0, r))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    stratified(df, idCol, sourceCol, rates)
+  }
+
   /** Deterministic train/val/test split assignment: each row gets the
     * split whose cumulative md5-hash band its id falls in — reproducible
     * across runs/engines (same md5-prefix contract as [[stratified]]), and

@@ -284,4 +284,109 @@ object Stats {
       .filter(col("__cm").isNull || col("__y") > col("__cm"))
       .select(col(xCol), col("__y").alias(yCol))
   }
+
+  /** Population Stability Index between a reference and a candidate frame
+    * over fixed-width bins of `valueCol` — THE drift alarm between two
+    * snapshots of a feature/quality score (pipeline release vs last week's
+    * corpus): PSI = Σᵢ (pᵃᵢ − pᵇᵢ)·ln(pᵃᵢ/pᵇᵢ). Rule-of-thumb thresholds
+    * 0.1 (drifting) / 0.25 (broken) — emitted per-bin so the alarm points
+    * at WHERE the distribution moved, not just that it did.
+    *
+    * Bins are FIXED-width (`floor(v/binWidth)`, clamped to `nBins`
+    * buckets) — never data-derived quantiles, whose edges would shift
+    * with the very drift being measured and whose global sort is a
+    * needless scale cost. Laplace smoothing (+1 per bin) keeps both
+    * distributions strictly positive, so one-sided bins stay finite.
+    *
+    * Determinism contract (same as [[graft.ext.TextOps.sourceDivergence]]):
+    * each bin's ln-term rounds to a 1e9-scaled BIGINT; the headline `psi`
+    * is the EXACT integer sum of those — order-independent, replayable
+    * from SQL. Per-bin probabilities are fixed-shape double divisions.
+    *
+    * Scale: two hash aggregates (one per frame, map-side partial over
+    * ≤ nBins+1 groups), one tiny outer join on bin id, one broadcast of
+    * the two scalar totals — nothing row-scaled ever shuffles.
+    */
+  def psi(ref: DataFrame, cand: DataFrame, valueCol: String,
+      binWidth: Double, nBins: Int = 10): DataFrame = {
+    require(binWidth > 0 && nBins >= 2, "binWidth > 0, nBins >= 2")
+    def binned(df: DataFrame): DataFrame = df
+      .select(least(floor(col(valueCol).cast("double") / lit(binWidth)),
+        lit(nBins.toLong - 1)).cast("long").alias("bin"))
+      .groupBy("bin").agg(count(lit(1)).alias("c"))
+    val a = binned(ref).withColumnRenamed("c", "ca")
+    val b = binned(cand).withColumnRenamed("c", "cb")
+    // ≤ nBins rows from here on — checkpoint so the two downstream
+    // consumers (totals, final projection) never rescan the inputs
+    val j0 = a.join(b, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("ca"), lit(0L)).alias("ca"),
+        coalesce(col("cb"), lit(0L)).alias("cb"))
+      .localCheckpoint()
+    val tots = j0.agg(sum(col("ca")).alias("__na"), sum(col("cb")).alias("__nb"))
+    val terms = j0.crossJoin(broadcast(tots))
+      .withColumn("pa", (col("ca") + lit(1L)).cast("double")
+        / (col("__na") + lit(nBins.toLong)).cast("double"))
+      .withColumn("pb", (col("cb") + lit(1L)).cast("double")
+        / (col("__nb") + lit(nBins.toLong)).cast("double"))
+      .withColumn("term9",
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb"))
+          * lit(1e9), 0).cast("long"))
+    val total = terms.agg(sum(col("term9")).alias("__s"))
+    terms.crossJoin(broadcast(total))
+      .select(col("bin"), col("ca"), col("cb"),
+        (col("term9").cast("double") / lit(1e9)).alias("psi_bin"),
+        (col("__s").cast("double") / lit(1e9)).alias("psi"))
+      .orderBy(col("bin"))
+  }
+
+  /** Binned two-sample Kolmogorov–Smirnov drift: the max CDF gap between
+    * a reference and a candidate sample of `valueCol`, over the same
+    * fixed-width bins as [[psi]] — the complementary alarm (PSI reacts to
+    * mass reweighting anywhere; KS pinpoints the largest cumulative
+    * displacement and is insensitive to binning noise in the tails).
+    * Emits ONE row: the argmax bin (ties → smallest bin), both sample
+    * sizes, and `ks = max |Fᵃ(bin) − Fᵇ(bin)|`.
+    *
+    * Exactness: CDF gaps compare as EXACT integers — the cross-multiplied
+    * `|cumᵃ·nᵇ − cumᵇ·nᵃ|` as DECIMAL(38,0) (HUGEINT in the oracle), so
+    * the argmax is engine-identical regardless of double rounding; the
+    * closing `ks` is one fixed-shape division. DECIMAL(38,0) holds the
+    * product exactly to ~10¹⁹ rows per side.
+    *
+    * Scale: identical shape to [[psi]] — two ≤nBins-group hash
+    * aggregates, a tiny outer join, and a cumulative window over ≤nBins
+    * rows (partition-less but BOUNDED by nBins, the [[pareto2d]]
+    * precedent — never row-scaled).
+    */
+  def ksDrift(ref: DataFrame, cand: DataFrame, valueCol: String,
+      binWidth: Double, nBins: Int = 10): DataFrame = {
+    require(binWidth > 0 && nBins >= 2, "binWidth > 0, nBins >= 2")
+    import org.apache.spark.sql.expressions.Window
+    def binned(df: DataFrame): DataFrame = df
+      .select(least(floor(col(valueCol).cast("double") / lit(binWidth)),
+        lit(nBins.toLong - 1)).cast("long").alias("bin"))
+      .groupBy("bin").agg(count(lit(1)).alias("c"))
+    val a = binned(ref).withColumnRenamed("c", "ca")
+    val b = binned(cand).withColumnRenamed("c", "cb")
+    val j0 = a.join(b, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("ca"), lit(0L)).alias("ca"),
+        coalesce(col("cb"), lit(0L)).alias("cb"))
+      .localCheckpoint() // ≤ nBins rows; inputs scanned exactly once
+    val tots = j0.agg(sum(col("ca")).alias("__na"), sum(col("cb")).alias("__nb"))
+    val cum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    j0.crossJoin(broadcast(tots))
+      .withColumn("cca", sum(col("ca")).over(cum))
+      .withColumn("ccb", sum(col("cb")).over(cum))
+      .withColumn("__d", abs(dec(col("cca")) * dec(col("__nb"))
+        - dec(col("ccb")) * dec(col("__na"))))
+      .orderBy(col("__d").desc, col("bin"))
+      .limit(1)
+      .select(col("bin"), col("__na").alias("na"), col("__nb").alias("nb"),
+        (col("__d").cast("double")
+          / (dec(col("__na")) * dec(col("__nb"))).cast("double")).alias("ks"))
+  }
 }

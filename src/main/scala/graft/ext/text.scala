@@ -939,4 +939,98 @@ object TextOps {
           / (col("n_terms").cast("double") * col("__sxx")
             - col("__sx") * col("__sx"))).alias("slope"))
   }
+
+  /** Distinct-n diversity per source: for each n in `ns`, the total
+    * n-gram count, the number of DISTINCT n-grams across the source, and
+    * their ratio (n=1 is the classic type-token ratio). Falling
+    * distinct-2/3 ratios are the standard bulk signal for templated or
+    * self-repeating corpora — the corpus-level twin of the per-doc
+    * [[q_repetition]]-style score, and the metric "Self-BLEU"-type
+    * diversity audits reduce to at n-gram granularity.
+    *
+    * Totals come from pure length arithmetic (`max(len−n+1, 0)` summed
+    * per source — no explode), so the only shuffled data is the distinct
+    * count's (src, n, gram) stream; per-doc-distinct shingles
+    * ([[Dedup.shingleArray]]'s native expression) feed it, which leaves
+    * source-level distinct counts unchanged while shrinking the exchange.
+    * At 100 TB swap the exact `count_distinct` for
+    * `approx_count_distinct` — totals and ratios keep their shape.
+    *
+    * Emits (src, n, total_ngrams, distinct_ngrams, ratio) with the ratio
+    * 9-rounded (fixed-shape division — engine-portable).
+    */
+  /** Token-level drift: the `topK` tokens whose frequency SHARE moved
+    * most between a reference and a candidate corpus — the
+    * vocabulary-granular twin of [[graft.ext.Stats.psi]], and the
+    * standard first look when a drift alarm fires (a template burst, a
+    * spam run, or a scraper change shows up as a handful of tokens
+    * grabbing share).
+    *
+    * Ranking is decided on EXACT integers: the share delta
+    * `ca/na − cb/nb` compares as the cross-multiplied
+    * `ca·nb − cb·na` in DECIMAL(38,0) (HUGEINT in the oracle), so no
+    * double rounding can reorder the top-k; the emitted `delta` is one
+    * fixed-shape division. Ties break on the token string.
+    *
+    * Scale: one hash aggregate per side (map-side partial), a
+    * full-outer join on token, totals as two broadcast scalars, and a
+    * distributed top-k (`TakeOrderedAndProject` — per-partition heaps,
+    * only k rows reach the driver-side merge). Nothing row-scaled ever
+    * sits in one partition.
+    */
+  def tokenDrift(ref: DataFrame, cand: DataFrame, textCol: String,
+      topK: Int = 20): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    def cnt(df: DataFrame, as: String) = df
+      .select(explode(tokens(col(textCol))).alias("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).alias(as))
+    val a = cnt(ref, "ca")
+    val b = cnt(cand, "cb")
+    // vocabulary-sized from here on (not row-scaled); checkpoint so the
+    // totals pass and the top-k pass don't each rescan both corpora
+    val j0 = a.join(b, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("ca"), lit(0L)).alias("ca"),
+        coalesce(col("cb"), lit(0L)).alias("cb"))
+      .localCheckpoint()
+    val tots = j0.agg(sum(col("ca")).alias("__na"), sum(col("cb")).alias("__nb"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    j0.crossJoin(broadcast(tots))
+      .withColumn("__d", dec(col("ca")) * dec(col("__nb"))
+        - dec(col("cb")) * dec(col("__na")))
+      .orderBy(abs(col("__d")).desc, col("token"))
+      .limit(topK)
+      .select(col("token"), col("ca"), col("cb"),
+        (col("__d").cast("double")
+          / (dec(col("__na")) * dec(col("__nb"))).cast("double"))
+          .alias("delta"))
+  }
+
+  def ngramDiversity(df: DataFrame, textCol: String, sourceCol: String,
+      ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
+    val len = size(tokens(col(textCol))).cast("long")
+    val tAggs = ns.map(n =>
+      sum(greatest(len - lit(n.toLong) + lit(1L), lit(0L))).alias(s"__t$n"))
+    val totals = df.groupBy(col(sourceCol).alias("src"))
+      .agg(tAggs.head, tAggs.tail: _*)
+      .select(col("src"), explode(array(ns.map(n =>
+        struct(lit(n).cast("long").alias("n"),
+          col(s"__t$n").alias("total_ngrams"))): _*)).alias("x"))
+      .select(col("src"), col("x.n"), col("x.total_ngrams"))
+    val distincts = df
+      .select(col(sourceCol).alias("src"), explode(array(ns.map(n =>
+        struct(lit(n).cast("long").alias("n"),
+          Dedup.shingleArray(textCol, n).alias("gs"))): _*)).alias("x"))
+      .select(col("src"), col("x.n").alias("n"), explode(col("x.gs")).alias("g"))
+      .groupBy(col("src"), col("n"))
+      .agg(countDistinct(col("g")).alias("distinct_ngrams"))
+    totals.join(distincts, Seq("src", "n"))
+      .select(col("src"), col("n"), col("total_ngrams"), col("distinct_ngrams"),
+        when(col("total_ngrams") > 0,
+          round(col("distinct_ngrams").cast("double")
+            / col("total_ngrams").cast("double"), 9))
+          .otherwise(lit(0.0)).alias("ratio"))
+  }
 }

@@ -393,4 +393,147 @@ class Round7Spec extends AnyFunSuite {
     // lev: (a,ab)=1, (a,"")=1, (ab,"")=2✗, (a,xy)=2✗, (ab,xy)=2✗
     assert(got === Set((1L, 2L, 1), (1L, 3L, 1)))
   }
+
+  // --- temperatureMixture ----------------------------------------------
+
+  test("temperatureMixture: composes stratified with the documented rate math") {
+    val df = ((0 until 80).map(i => (i.toLong, "big"))
+      ++ (1000 until 1020).map(i => (i.toLong, "small")))
+      .toDF("id", "src")
+    val got = ext.Sampling.temperatureMixture(df, "id", "src",
+      alpha = 0.5, targetRows = 50L)
+    // replay the contract by hand: w6 = round(n^0.5 · 1e6), exact int sum,
+    // rate = round(min(1, w6/Σw6 · 50 / n), 9)
+    val w6 = Map("big" -> math.round(math.pow(80, 0.5) * 1e6),
+      "small" -> math.round(math.pow(20, 0.5) * 1e6))
+    val sw = w6.values.sum
+    val rates = Map("big" -> 80L, "small" -> 20L).map { case (s, n) =>
+      s -> BigDecimal(math.min(1.0, w6(s).toDouble / sw * 50L / n))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = ext.Sampling.stratified(df, "id", "src", rates)
+    assert(got.collect().map(_.getLong(0)).sorted
+      === want.collect().map(_.getLong(0)).sorted)
+    // α<1 boosts the tail: the small source's keep RATE must exceed the
+    // big source's (natural proportions would keep both at the same rate)
+    assert(rates("small") > rates("big"))
+  }
+
+  test("temperatureMixture: alpha=1 reduces to natural proportions") {
+    val df = ((0 until 60).map(i => (i.toLong, "a"))
+      ++ (100 until 140).map(i => (i.toLong, "b"))).toDF("id", "src")
+    // natural proportions at target=50 over 100 rows: both rates 0.5
+    val kept = ext.Sampling.temperatureMixture(df, "id", "src",
+      alpha = 1.0, targetRows = 50L)
+    val want = ext.Sampling.deterministic(df, "id", 0.5)
+    assert(kept.collect().map(_.getLong(0)).sorted
+      === want.collect().map(_.getLong(0)).sorted)
+  }
+
+  // --- filterFunnel ----------------------------------------------------
+
+  test("filterFunnel: stage/unique attribution and survivor counts") {
+    // 6 docs, 2 rules: r1 fires on {1,2}, r2 fires on {2,3,4}
+    val df = Seq(
+      (1L, true, false), (2L, true, true), (3L, false, true),
+      (4L, false, true), (5L, false, false), (6L, false, false))
+      .toDF("id", "a", "b")
+    val got = ext.Curate.filterFunnel(df,
+      Seq("ra" -> col("a"), "rb" -> col("b")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // ra: flagged 2, rejects both at stage 1, unique {1}, survivors {3..6}
+    // rb: flagged 3, rejects {3,4} at stage 2 (2 already gone),
+    //     unique {3,4}, survivors {5,6}
+    assert(got === Array(
+      (1L, "ra", 2L, 2L, 1L, 4L),
+      (2L, "rb", 3L, 2L, 2L, 2L)))
+  }
+
+  test("filterFunnel: rejected_here sums to total rejects; dead rule shows zero unique") {
+    val df = Seq(
+      (1L, true, true), (2L, true, false), (3L, false, true),
+      (4L, false, false))
+      .toDF("id", "a", "b")
+    val rows = ext.Curate.filterFunnel(df, Seq(
+      "ra" -> col("a"),
+      "dead" -> lit(false),
+      "rb" -> col("b"))).collect()
+    val here = rows.map(_.getLong(3)).sum
+    val lastSurv = rows.last.getLong(5)
+    assert(here + lastSurv === 4L)
+    val dead = rows.find(_.getString(1) == "dead").get
+    assert(dead.getLong(2) === 0L && dead.getLong(4) === 0L)
+  }
+
+  // --- ngramDiversity --------------------------------------------------
+
+  test("ngramDiversity: hand-computed totals, distincts, and ratios") {
+    val df = Seq((1L, "a b a", "x"), (2L, "a b", "x")).toDF("id", "text", "src")
+    val got = ext.TextOps.ngramDiversity(df, "text", "src", ns = Seq(1, 2, 3))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // n=1: totals 3+2=5, distinct {a,b}=2; n=2: totals 2+1=3,
+    // distinct {"a b","b a"}=2; n=3: totals 1+0=1, distinct {"a b a"}=1
+    assert(got(("x", 1L)) === ((5L, 2L, 0.4)))
+    assert(got(("x", 2L)) === ((3L, 2L, 0.666666667)))
+    assert(got(("x", 3L)) === ((1L, 1L, 1.0)))
+  }
+
+  // --- tokenDrift --------------------------------------------------------
+
+  test("tokenDrift: hand-computed share deltas, exact ranking, tie-break") {
+    val ref = Seq("a a b", "a c").toDF("text")  // a:3 b:1 c:1, na=5
+    val cand = Seq("b b b", "c d").toDF("text") // b:3 c:1 d:1, nb=5
+    val got = ext.TextOps.tokenDrift(ref, cand, "text", topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // deltas ×25: a +15, b −10, c 0, d −5 → |d| order: a, b, d
+    assert(got === Array(
+      ("a", 3L, 0L, 0.6), ("b", 1L, 3L, -0.4), ("d", 0L, 1L, -0.2)))
+  }
+
+  test("tokenDrift: identical corpora drift nowhere") {
+    val df = Seq("x y z", "x x").toDF("text")
+    val got = ext.TextOps.tokenDrift(df, df, "text", topK = 10).collect()
+    assert(got.forall(_.getDouble(3) === 0.0))
+  }
+
+  // --- psi --------------------------------------------------------------
+
+  test("psi: identical distributions give exactly zero everywhere") {
+    val df = (0 until 100).map(i => i.toLong % 50).toDF("v")
+    val out = ext.Stats.psi(df, df, "v", binWidth = 10.0, nBins = 5)
+      .collect()
+    assert(out.length === 5)
+    assert(out.forall(r => r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0))
+  }
+
+  test("ksDrift: identical distributions give ks 0 at the smallest bin") {
+    val df = (0 until 60).map(i => (i % 30).toLong).toDF("v")
+    val r = ext.Stats.ksDrift(df, df, "v", binWidth = 10.0, nBins = 5).head()
+    assert(r.getLong(0) === 0L && r.getDouble(3) === 0.0)
+  }
+
+  test("ksDrift: hand-computed argmax bin and exact gap") {
+    val ref = Seq(0.0, 0.0, 1.0).toDF("v")
+    val cand = Seq(2.0, 2.0, 2.0).toDF("v")
+    // cum ref: bin0 2/3, bin1 3/3, bin2 3/3; cum cand: 0, 0, 3/3
+    // gaps ×9: 6, 9, 0 → argmax bin 1, ks = 9/9 = 1.0
+    val r = ext.Stats.ksDrift(ref, cand, "v", binWidth = 1.0, nBins = 3).head()
+    assert(r.getLong(0) === 1L)
+    assert(r.getLong(1) === 3L && r.getLong(2) === 3L)
+    assert(r.getDouble(3) === 1.0)
+  }
+
+  test("psi: shifted distribution is positive and per-bin terms sum to the total") {
+    val ref = (0 until 100).map(i => (i % 40).toLong).toDF("v")
+    val cand = (0 until 100).map(i => (i % 40).toLong + 30L).toDF("v")
+    val out = ext.Stats.psi(ref, cand, "v", binWidth = 10.0, nBins = 10)
+      .collect()
+    val psi = out.head.getDouble(4)
+    assert(psi > 0.25) // a 30-unit shift on 40-wide support is "broken"
+    assert(math.abs(out.map(_.getDouble(3)).sum - psi) < 1e-6)
+    assert(out.forall(r => r.getDouble(3) >= 0.0))
+  }
 }

@@ -1431,6 +1431,12 @@ object SparkEntry {
     "q_profile_summary" -> ((s, dir) => ext.Profile.summary(
       read(s, dir, "documents"), Seq("text", "lang", "source", "n_chars"))),
 
+    // approximate distinct, PORTABLE: md5-bucketed HyperLogLog whose
+    // registers (and the estimate, bit-for-bit after 6-rounding) replay
+    // in any engine — next to its exact ground truth, ANN-recall style
+    "q_hll_distinct" -> ((s, dir) =>
+      ext.Hll.distinctEval(read(s, dir, "lineitem"), "l_orderkey", p = 8)),
+
     // drift alarm: Population Stability Index over fixed-width n_chars
     // bins between the even- and odd-id halves of the corpus — per-bin
     // 9-rounded ln-terms, exact integer total; nothing row-scaled
@@ -5229,6 +5235,45 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
         |       COUNT(DISTINCT n_chars) FROM documents""".stripMargin,
+
+    // portable HLL: identical md5 register construction (bin() strips
+    // leading zeros exactly like conv(...,16,2)), exact integer register
+    // sum, same fixed-shape closing estimate
+    "q_hll_distinct" ->
+      """WITH h AS (SELECT md5(CAST(l_orderkey AS VARCHAR)) AS hx
+        |           FROM lineitem),
+        |r0 AS (SELECT CAST('0x' || substr(hx, 1, 8) AS BIGINT) % 256
+        |                AS bucket,
+        |              CASE WHEN CAST('0x' || substr(hx, 9, 8) AS BIGINT) = 0
+        |                   THEN 33
+        |                   ELSE 33 - length(bin(CAST('0x' || substr(hx, 9, 8)
+        |                                             AS BIGINT)))
+        |              END AS rho
+        |       FROM h),
+        |reg AS (SELECT bucket, MAX(rho) AS rho FROM r0 GROUP BY bucket),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+        |             CAST(SUM(CAST(pow(2, 33 - rho) AS BIGINT)) AS BIGINT)
+        |               AS sp
+        |      FROM reg),
+        |e AS (SELECT CAST(256 AS BIGINT) AS m,
+        |             256 - nb AS v_zero,
+        |             COALESCE(sp, 0) + (256 - nb) * 8589934592 AS s33
+        |      FROM a),
+        |est AS (SELECT m, v_zero,
+        |          round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0
+        |                            * 256.0 * 8589934592.0
+        |                            / CAST(s33 AS DOUBLE)
+        |                          <= 2.5 * 256.0 AND v_zero > 0
+        |                     THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE))
+        |                     ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0
+        |                            * 256.0 * 8589934592.0
+        |                            / CAST(s33 AS DOUBLE) END, 6) AS est
+        |        FROM e),
+        |x AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact
+        |      FROM lineitem)
+        |SELECT m, v_zero, est, exact,
+        |       round(abs(est / CAST(exact AS DOUBLE) - 1.0), 6) AS rel_err
+        |FROM est, x""".stripMargin,
 
     // PSI: same fixed bins, Laplace-smoothed probabilities, 9-rounded
     // ln-terms and exact integer total (terms are always ≥ 0, so the

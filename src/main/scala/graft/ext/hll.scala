@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Portable HyperLogLog — approximate COUNT(DISTINCT) whose every
+  * register, and therefore every estimate bit, replays EXACTLY in any
+  * engine with md5 and string ops (the same engine-portability contract
+  * as [[Sampling]]'s md5-Bernoulli and the CMS/Misra-Gries sketches:
+  * no engine-private hash, so the DuckDB oracle reproduces the sketch
+  * register-for-register).
+  *
+  * Why not `approx_count_distinct`: Spark's HLL++ seeds xxhash64
+  * internally — correct, but unverifiable from SQL and not reproducible
+  * across engines; THIS sketch is the auditable twin (and the
+  * cross-system contract when registers are exchanged between a Spark
+  * pipeline and a non-Spark consumer).
+  *
+  * Hash layout (md5 of the key's string form, hex): first 8 hex chars →
+  * 32-bit value whose low `p` bits pick the bucket; next 8 hex chars →
+  * the 32-bit register stream, rho = leading zeros + 1 computed from the
+  * LENGTH of its no-leading-zeros binary form (`conv(hex,16,2)` here,
+  * `bin()` in DuckDB — both strip leading zeros, both yield "0" for
+  * zero, which is the one special case).
+  *
+  * Exactness discipline: `2^(33−rho)` is integer-exact (≤ 2^32), the
+  * register sum is an exact BIGINT (order-independent), and the closing
+  * estimate is one fixed-shape double expression, 6-rounded; the
+  * small-range (linear-counting) branch condition compares the SAME
+  * exact integers both sides.
+  *
+  * Scale: one narrow map + one `max` groupBy over ≤ 2^p groups
+  * (map-side partial combine — the shuffle carries at most
+  * partitions × m rows); registers MERGE by max, so per-partition /
+  * per-day sketches union for free. The 32-bit register stream serves
+  * up to ~10⁹ distinct; for 100 TB cardinalities switch the rho source
+  * to the remaining 24 hex chars (same construction, wider stream).
+  */
+object Hll {
+
+  /** Register sketch: (bucket, rho) with rho maxed per bucket; absent
+    * buckets are implicit zero registers.
+    */
+  def sketch(df: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "p in [4, 16]")
+    val m = 1L << p
+    val h = md5(col(keyCol).cast("string"))
+    val bucket = conv(substring(h, 1, 8), 16, 10).cast("long") % m
+    val bits = conv(substring(h, 9, 8), 16, 2)
+    val rho = when(bits === "0", lit(33))
+      .otherwise(lit(33) - length(bits))
+    df.select(bucket.alias("bucket"), rho.cast("int").alias("rho"))
+      .groupBy("bucket").agg(max(col("rho")).alias("rho"))
+  }
+
+  /** Merge two register frames (sketch union = per-bucket max). */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("bucket").agg(max(col("rho")).alias("rho"))
+
+  /** Close a register frame into the cardinality estimate. Emits ONE row
+    * (m, v_zero, est): bucket count, zero registers, 6-rounded estimate
+    * (standard bias-corrected raw HLL, linear counting below 2.5·m).
+    */
+  def estimate(registers: DataFrame, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "p in [4, 16]")
+    val m = 1L << p
+    val agg = registers.agg(
+      count(lit(1)).alias("__nb"),
+      sum(pow(lit(2.0), lit(33) - col("rho")).cast("long")).alias("__sp"))
+    val v = lit(m) - col("__nb")
+    val s33 = coalesce(col("__sp"), lit(0L)) + v * lit(8589934592L) // 2^33
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val raw = alpha * lit(m.toDouble) * lit(m.toDouble) *
+      lit(8589934592.0) / s33.cast("double")
+    val linear = lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double"))
+    agg.select(
+      lit(m).alias("m"),
+      v.alias("v_zero"),
+      round(when(raw <= lit(2.5) * lit(m.toDouble) && v > 0, linear)
+        .otherwise(raw), 6).alias("est"))
+  }
+
+  /** Sketch + estimate + exact-count evaluation in one result row
+    * (m, v_zero, est, exact, rel_err) — the acceptance query shape the
+    * ANN-recall family uses: the approximate path next to its ground
+    * truth.
+    */
+  def distinctEval(df: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
+    val est = estimate(sketch(df, keyCol, p), p)
+    val exact = df.agg(countDistinct(col(keyCol)).alias("exact"))
+    est.crossJoin(broadcast(exact))
+      .select(col("m"), col("v_zero"), col("est"), col("exact"),
+        round(abs(col("est") / col("exact").cast("double") - lit(1.0)), 6)
+          .alias("rel_err"))
+  }
+}

@@ -480,6 +480,34 @@ class Round7Spec extends AnyFunSuite {
     assert(got(("x", 3L)) === ((1L, 1L, 1.0)))
   }
 
+  // --- portable HLL ------------------------------------------------------
+
+  test("hll: sketch of a union equals the merged sketches (mergeability)") {
+    val a = (0 until 500).map(_.toLong).toDF("id")
+    val b = (300 until 900).map(_.toLong).toDF("id")
+    val whole = ext.Hll.sketch(a.unionByName(b), "id", p = 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val merged = ext.Hll.merge(
+      ext.Hll.sketch(a, "id", p = 6), ext.Hll.sketch(b, "id", p = 6))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(whole === merged)
+    assert(whole.keys.forall(bk => bk >= 0 && bk < 64))
+    assert(whole.values.forall(r => r >= 1 && r <= 33))
+  }
+
+  test("hll: estimate within 10% of truth at 10k distinct (raw branch)") {
+    val df = (0 until 30000).map(i => (i % 10000).toLong).toDF("id")
+    val r = ext.Hll.distinctEval(df, "id", p = 8).head()
+    assert(r.getLong(3) === 10000L)
+    assert(r.getDouble(4) < 0.10, s"rel_err ${r.getDouble(4)}")
+  }
+
+  test("hll: linear-counting branch is near-exact at tiny cardinality") {
+    val df = Seq(1L, 2L, 3L, 1L, 2L).toDF("id")
+    val r = ext.Hll.distinctEval(df, "id", p = 8).head()
+    assert(math.abs(r.getDouble(2) - 3.0) < 0.05)
+  }
+
   // --- tokenDrift --------------------------------------------------------
 
   test("tokenDrift: hand-computed share deltas, exact ranking, tie-break") {

@@ -1461,6 +1461,18 @@ object SparkEntry {
         "value", binWidth = 50.0, nBins = 10)
     },
 
+    // drift triage: the per-source PSI breakdown behind the corpus-level
+    // alarm — which source moved. Block parity (doc_id div 20) puts every
+    // source in BOTH halves (plain doc_id parity correlates with source
+    // in this testdata and would compare each source against nothing)
+    "q_psi_by_source" -> { (s, dir) =>
+      val d = read(s, dir, "documents")
+      val half = expr("(doc_id div 20) % 2")
+      ext.Stats.psiByGroup(
+        d.filter(half === 0), d.filter(half === 1),
+        "n_chars", "source", binWidth = 60.0, nBins = 10)
+    },
+
     // drift alarm, KS form: max CDF gap between the same two corpus
     // halves as q_psi_drift — argmax bin decided on exact cross-
     // multiplied integers, one fixed-shape closing division
@@ -5340,6 +5352,37 @@ object SparkEntry {
         |       CAST(term9 AS DOUBLE) / 1000000000.0 AS psi_bin,
         |       CAST(s9 AS DOUBLE) / 1000000000.0 AS psi
         |FROM x, s""".stripMargin,
+
+    // per-source PSI: the same machinery with a group key carried through
+    "q_psi_by_source" ->
+      """WITH a AS (SELECT source AS grp,
+        |             LEAST(CAST(floor(CAST(n_chars AS DOUBLE) / 60)
+        |               AS BIGINT), 9) AS bin,
+        |             CAST(COUNT(*) AS BIGINT) AS ca
+        |           FROM documents WHERE (doc_id // 20) % 2 = 0 GROUP BY 1, 2),
+        |b AS (SELECT source AS grp,
+        |        LEAST(CAST(floor(CAST(n_chars AS DOUBLE) / 60)
+        |          AS BIGINT), 9) AS bin,
+        |        CAST(COUNT(*) AS BIGINT) AS cb
+        |      FROM documents WHERE (doc_id // 20) % 2 = 1 GROUP BY 1, 2),
+        |j AS (SELECT COALESCE(a.grp, b.grp) AS grp,
+        |             COALESCE(a.bin, b.bin) AS bin,
+        |             COALESCE(ca, CAST(0 AS BIGINT)) AS ca,
+        |             COALESCE(cb, CAST(0 AS BIGINT)) AS cb
+        |      FROM a FULL OUTER JOIN b ON a.grp = b.grp AND a.bin = b.bin),
+        |t AS (SELECT grp, CAST(SUM(ca) AS BIGINT) AS na,
+        |             CAST(SUM(cb) AS BIGINT) AS nb FROM j GROUP BY grp),
+        |x AS (SELECT j.grp, na, nb,
+        |        CAST(round((CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE)
+        |            - CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE))
+        |          * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE))
+        |            / (CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE)))
+        |          * 1000000000.0, 0) AS BIGINT) AS term9
+        |      FROM j JOIN t ON t.grp = j.grp)
+        |SELECT grp, na, nb,
+        |       CAST(CAST(SUM(term9) AS BIGINT) AS DOUBLE) / 1000000000.0
+        |         AS psi
+        |FROM x GROUP BY grp, na, nb""".stripMargin,
 
     // KS drift: cumulative window over the ≤10 bins, argmax on exact
     // HUGEINT cross-products, ties to the smallest bin

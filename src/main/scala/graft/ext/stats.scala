@@ -340,6 +340,50 @@ object Stats {
       .orderBy(col("bin"))
   }
 
+  /** Per-group PSI — [[psi]] partitioned by `groupCol`: one PSI row per
+    * group between the reference and candidate frames, answering the
+    * question the corpus-level alarm raises: WHICH source/language/shard
+    * drifted. Same contract per group as [[psi]] (fixed-width bins,
+    * Laplace smoothing over `nBins`, 9-rounded ln-terms, exact integer
+    * per-group totals); bins empty on BOTH sides of a group contribute
+    * nothing, exactly as [[psi]] drops them.
+    *
+    * Scale: two (group × ≤nBins)-cardinality hash aggregates, an outer
+    * join and a per-group totals join on that same bounded frame, one
+    * closing hash aggregate — per-group parallel, nothing row-scaled
+    * shuffles after the first aggregates.
+    */
+  def psiByGroup(ref: DataFrame, cand: DataFrame, valueCol: String,
+      groupCol: String, binWidth: Double, nBins: Int = 10): DataFrame = {
+    require(binWidth > 0 && nBins >= 2, "binWidth > 0, nBins >= 2")
+    def binned(df: DataFrame, as: String): DataFrame = df
+      .select(col(groupCol).alias("grp"),
+        least(floor(col(valueCol).cast("double") / lit(binWidth)),
+          lit(nBins.toLong - 1)).cast("long").alias("bin"))
+      .groupBy("grp", "bin").agg(count(lit(1)).alias(as))
+    val a = binned(ref, "ca")
+    val b = binned(cand, "cb")
+    val j0 = a.join(b, Seq("grp", "bin"), "full_outer")
+      .select(col("grp"), col("bin"),
+        coalesce(col("ca"), lit(0L)).alias("ca"),
+        coalesce(col("cb"), lit(0L)).alias("cb"))
+      .localCheckpoint() // group×bins-sized; inputs scanned exactly once
+    val tots = j0.groupBy("grp")
+      .agg(sum(col("ca")).alias("__na"), sum(col("cb")).alias("__nb"))
+    j0.join(tots, Seq("grp"))
+      .withColumn("pa", (col("ca") + lit(1L)).cast("double")
+        / (col("__na") + lit(nBins.toLong)).cast("double"))
+      .withColumn("pb", (col("cb") + lit(1L)).cast("double")
+        / (col("__nb") + lit(nBins.toLong)).cast("double"))
+      .withColumn("term9",
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb"))
+          * lit(1e9), 0).cast("long"))
+      .groupBy(col("grp"), col("__na"), col("__nb"))
+      .agg((sum(col("term9")).cast("double") / lit(1e9)).alias("psi"))
+      .select(col("grp"), col("__na").alias("na"), col("__nb").alias("nb"),
+        col("psi"))
+  }
+
   /** Binned two-sample Kolmogorov–Smirnov drift: the max CDF gap between
     * a reference and a candidate sample of `valueCol`, over the same
     * fixed-width bins as [[psi]] — the complementary alarm (PSI reacts to

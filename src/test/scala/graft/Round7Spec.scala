@@ -537,6 +537,18 @@ class Round7Spec extends AnyFunSuite {
     assert(out.forall(r => r.getDouble(3) === 0.0 && r.getDouble(4) === 0.0))
   }
 
+  test("psiByGroup: per-group zero on identical frames; only the shifted group alarms") {
+    val ref = ((0 until 60).map(i => ("a", (i % 30).toLong))
+      ++ (0 until 60).map(i => ("b", (i % 30).toLong))).toDF("g", "v")
+    val cand = ((0 until 60).map(i => ("a", (i % 30).toLong))
+      ++ (0 until 60).map(i => ("b", (i % 30).toLong + 60L))).toDF("g", "v")
+    val out = ext.Stats.psiByGroup(ref, cand, "v", "g",
+      binWidth = 10.0, nBins = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("a") === 0.0)
+    assert(out("b") > 0.25)
+  }
+
   test("ksDrift: identical distributions give ks 0 at the smallest bin") {
     val df = (0 until 60).map(i => (i % 30).toLong).toDF("v")
     val r = ext.Stats.ksDrift(df, df, "v", binWidth = 10.0, nBins = 5).head()

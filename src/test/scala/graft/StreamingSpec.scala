@@ -79,6 +79,24 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming sessions not in batch: ${got.diff(expect).take(3)}")
   }
 
+  test("streaming HLL registers converge to the batch sketch (mergeable agg)") {
+    // Hll.sketch is a plain groupBy+max, so the SAME code runs as an
+    // incremental streaming aggregation — per-micro-batch registers merge
+    // by max exactly like per-day sketches; the drained state must equal
+    // the batch sketch register-for-register.
+    val stream = EventStream.readStream(spark, streamDir)
+    val q = ext.Hll.sketch(stream, "user_id", p = 6)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hll_out")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = ext.Hll.sketch(batchEvents, "user_id", p = 6)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup drops replayed event_ids") {
     val stream = EventStream.readStream(spark, streamDir)
     val q = EventStream.dedupped(stream)

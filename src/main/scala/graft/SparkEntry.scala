@@ -1437,6 +1437,17 @@ object SparkEntry {
     "q_hll_distinct" -> ((s, dir) =>
       ext.Hll.distinctEval(read(s, dir, "lineitem"), "l_orderkey", p = 8)),
 
+    // sketch set algebra: cross-source overlap by inclusion–exclusion
+    // over MERGED HLL sketches (no join anywhere near the data), next to
+    // the exact intersection — the cheap "how much do these two share"
+    // triage before any MinHash pass
+    "q_hll_overlap" -> { (s, dir) =>
+      val c = read(s, dir, "customer").select(col("c_custkey").alias("k"))
+      ext.Hll.overlapEval(
+        c.filter(col("k") < 1000), c.filter(col("k") >= 500 && col("k") < 1500),
+        "k", p = 8)
+    },
+
     // drift alarm: Population Stability Index over fixed-width n_chars
     // bins between the even- and odd-id halves of the corpus — per-bin
     // 9-rounded ln-terms, exact integer total; nothing row-scaled
@@ -5287,6 +5298,32 @@ object SparkEntry {
         |       round(abs(est / CAST(exact AS DOUBLE) - 1.0), 6) AS rel_err
         |FROM est, x""".stripMargin,
 
+    // HLL overlap: three register replays (a, b, union-by-max) + the
+    // exact intersection, inclusion–exclusion at the end
+    "q_hll_overlap" ->
+      s"""WITH reg_a AS ${hllRegSql(
+             "(SELECT c_custkey AS k FROM customer WHERE c_custkey < 1000)")},
+         |reg_b AS ${hllRegSql(
+             "(SELECT c_custkey AS k FROM customer WHERE c_custkey >= 500 AND c_custkey < 1500)")},
+         |reg_u AS (SELECT bucket, MAX(rho) AS rho
+         |          FROM (SELECT * FROM reg_a
+         |                UNION ALL SELECT * FROM reg_b)
+         |          GROUP BY bucket),
+         |e AS (SELECT ${hllEstSql("reg_a")} AS est_a,
+         |             ${hllEstSql("reg_b")} AS est_b,
+         |             ${hllEstSql("reg_u")} AS est_union),
+         |x AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter
+         |      FROM (SELECT DISTINCT c_custkey AS k FROM customer
+         |            WHERE c_custkey < 1000) a
+         |      JOIN (SELECT DISTINCT c_custkey AS k FROM customer
+         |            WHERE c_custkey >= 500 AND c_custkey < 1500) b
+         |        USING (k))
+         |SELECT est_a, est_b, est_union,
+         |       round(greatest(est_a + est_b - est_union, 0.0), 6)
+         |         AS est_inter,
+         |       exact_inter
+         |FROM e, x""".stripMargin,
+
     // PSI: same fixed bins, Laplace-smoothed probabilities, 9-rounded
     // ln-terms and exact integer total (terms are always ≥ 0, so the
     // HALF_UP/half-away rounding modes agree)
@@ -5990,6 +6027,39 @@ object SparkEntry {
         |FROM r WHERE running_cost <= 1500""".stripMargin
     },
   )
+
+  /** HLL register CTE body over a `(k)` relation rendered as DuckDB SQL —
+    * identical construction to [[ext.Hll.sketch]] (m=256).
+    */
+  private def hllRegSql(src: String): String =
+    s"""(SELECT bucket, MAX(rho) AS rho
+       | FROM (SELECT CAST('0x' || substr(hx, 1, 8) AS BIGINT) % 256 AS bucket,
+       |              CASE WHEN CAST('0x' || substr(hx, 9, 8) AS BIGINT) = 0
+       |                   THEN 33
+       |                   ELSE 33 - length(bin(CAST('0x' || substr(hx, 9, 8)
+       |                                             AS BIGINT)))
+       |              END AS rho
+       |       FROM (SELECT md5(CAST(k AS VARCHAR)) AS hx FROM $src))
+       | GROUP BY bucket)""".stripMargin.replace("\n", "")
+
+  /** [[ext.Hll.estimate]] (m=256) rendered as a scalar DuckDB SQL select
+    * over a named register relation.
+    */
+  private def hllEstSql(reg: String): String =
+    s"""(SELECT round(CASE
+       |  WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+       |         * 8589934592.0
+       |         / CAST(COALESCE(CAST(SUM(CAST(pow(2, 33 - rho) AS BIGINT))
+       |                              AS BIGINT), 0)
+       |                + (256 - COUNT(*)) * 8589934592 AS DOUBLE)
+       |       <= 2.5 * 256.0 AND (256 - COUNT(*)) > 0
+       |  THEN 256.0 * ln(256.0 / CAST(256 - COUNT(*) AS DOUBLE))
+       |  ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+       |         * 8589934592.0
+       |         / CAST(COALESCE(CAST(SUM(CAST(pow(2, 33 - rho) AS BIGINT))
+       |                              AS BIGINT), 0)
+       |                + (256 - COUNT(*)) * 8589934592 AS DOUBLE)
+       |  END, 6) FROM $reg)""".stripMargin.replace("\n", "")
 
   /** The `messyUrl` builder rendered as DuckDB SQL — shared by the two
     * URL oracles so the Spark and SQL sides construct identical bytes.

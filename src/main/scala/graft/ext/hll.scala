@@ -93,4 +93,36 @@ object Hll {
         round(abs(col("est") / col("exact").cast("double") - lit(1.0)), 6)
           .alias("rel_err"))
   }
+
+  /** Sketch set algebra: estimate the key overlap of two frames by
+    * inclusion–exclusion over MERGED sketches —
+    * `|A∩B| ≈ est(A) + est(B) − est(A∪B)` — next to the exact
+    * intersection ground truth. This is why mergeable registers matter
+    * beyond re-aggregation: pairwise overlap across N sources needs only
+    * the N per-source sketches (register max under union), never an
+    * N²-join — THE cheap first answer to "how much do these two crawls
+    * share" before any MinHash pass. Differencing amplifies the sketch's
+    * relative error (small true overlaps drown in it — clamped at 0);
+    * treat the estimate as triage, the MinHash family as the verdict.
+    *
+    * Emits one row: (est_a, est_b, est_union, est_inter, exact_inter).
+    */
+  def overlapEval(a: DataFrame, b: DataFrame, keyCol: String,
+      p: Int = 8): DataFrame = {
+    // ≤2^p rows each; checkpoint so the per-side estimate and the union
+    // merge don't each rescan the inputs
+    val sa = sketch(a, keyCol, p).localCheckpoint()
+    val sb = sketch(b, keyCol, p).localCheckpoint()
+    val ea = estimate(sa, p).select(col("est").alias("est_a"))
+    val eb = estimate(sb, p).select(col("est").alias("est_b"))
+    val eu = estimate(merge(sa, sb), p).select(col("est").alias("est_union"))
+    val exact = a.select(col(keyCol).alias("__k")).distinct()
+      .join(b.select(col(keyCol).alias("__k")).distinct(), Seq("__k"))
+      .agg(count(lit(1)).alias("exact_inter"))
+    ea.crossJoin(broadcast(eb)).crossJoin(broadcast(eu))
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        round(greatest(col("est_a") + col("est_b") - col("est_union"),
+          lit(0.0)), 6).alias("est_inter"))
+      .crossJoin(broadcast(exact))
+  }
 }

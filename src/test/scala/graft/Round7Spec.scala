@@ -508,6 +508,18 @@ class Round7Spec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 3.0) < 0.05)
   }
 
+  test("hll overlapEval: inclusion-exclusion lands near the true intersection") {
+    val a = (0 until 1000).map(_.toLong).toDF("k")
+    val b = (500 until 1500).map(_.toLong).toDF("k")
+    val r = ext.Hll.overlapEval(a, b, "k", p = 8).head()
+    assert(r.getLong(4) === 500L) // exact intersection
+    val estInter = r.getDouble(3)
+    assert(estInter > 200.0 && estInter < 800.0,
+      s"est_inter $estInter too far from 500")
+    // union estimate can never exceed the sum of the parts
+    assert(r.getDouble(2) <= r.getDouble(0) + r.getDouble(1))
+  }
+
   // --- tokenDrift --------------------------------------------------------
 
   test("tokenDrift: hand-computed share deltas, exact ranking, tie-break") {

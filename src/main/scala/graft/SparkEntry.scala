@@ -1437,6 +1437,25 @@ object SparkEntry {
     "q_hll_distinct" -> ((s, dir) =>
       ext.Hll.distinctEval(read(s, dir, "lineitem"), "l_orderkey", p = 8)),
 
+    // sketch time series: per-day HLL register table → prefix-union
+    // running max → the distinct-events-so-far curve, never re-reading
+    // raw data — the production shape for "daily sketch partitions";
+    // exact running distinct alongside via first-seen-day counts
+    "q_hll_daily" -> { (s, dir) =>
+      val e = readEvents(s, dir)
+        .withColumn("day", expr("ts_us div 86400000000"))
+      val reg = ext.Hll.sketchByGroup(e, "event_id", "day", p = 8)
+      val est = ext.Hll.estimateByGroup(
+        ext.Hll.cumulativeRegisters(reg), p = 8)
+      val perDay = e.groupBy(col("event_id")).agg(min(col("day")).alias("fd"))
+        .groupBy(col("fd")).agg(count(lit(1)).alias("nf"))
+      est.join(broadcast(perDay), col("grp") >= col("fd"))
+        .groupBy(col("grp"), col("v_zero"), col("est"))
+        .agg(sum(col("nf")).alias("exact_cum"))
+        .select(col("grp").alias("day"), col("v_zero"), col("est"),
+          col("exact_cum"))
+    },
+
     // sketch set algebra: cross-source overlap by inclusion–exclusion
     // over MERGED HLL sketches (no join anywhere near the data), next to
     // the exact intersection — the cheap "how much do these two share"
@@ -5298,6 +5317,47 @@ object SparkEntry {
         |       round(abs(est / CAST(exact AS DOUBLE) - 1.0), 6) AS rel_err
         |FROM est, x""".stripMargin,
 
+    // daily HLL: day×bucket register table, dense day×bucket grid,
+    // per-bucket running max, grouped estimate, windowed exact curve
+    "q_hll_daily" ->
+      s"""WITH e AS (SELECT event_id,
+         |             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+         |               AS day
+         |           FROM events),
+         |r0 AS (SELECT day,
+         |         CAST('0x' || substr(hx, 1, 8) AS BIGINT) % 256 AS bucket,
+         |         CASE WHEN CAST('0x' || substr(hx, 9, 8) AS BIGINT) = 0
+         |              THEN 33
+         |              ELSE 33 - length(bin(CAST('0x' || substr(hx, 9, 8)
+         |                                        AS BIGINT)))
+         |         END AS rho
+         |       FROM (SELECT day, md5(CAST(event_id AS VARCHAR)) AS hx
+         |             FROM e)),
+         |reg AS (SELECT day, bucket, MAX(rho) AS rho FROM r0
+         |        GROUP BY day, bucket),
+         |dense AS (SELECT d.day, b.bucket, reg.rho
+         |          FROM (SELECT DISTINCT day FROM reg) d
+         |          CROSS JOIN (SELECT DISTINCT bucket FROM reg) b
+         |          LEFT JOIN reg ON reg.day = d.day
+         |                       AND reg.bucket = b.bucket),
+         |cum AS (SELECT grp, bucket, crho AS rho
+         |        FROM (SELECT day AS grp, bucket,
+         |                MAX(rho) OVER (PARTITION BY bucket ORDER BY day
+         |                  ROWS UNBOUNDED PRECEDING) AS crho
+         |              FROM dense)
+         |        WHERE crho IS NOT NULL),
+         |est AS (SELECT grp, CAST(256 - COUNT(*) AS BIGINT) AS v_zero,
+         |          $hllEstAggSql AS est
+         |        FROM cum GROUP BY grp),
+         |fd AS (SELECT MIN(day) AS fd FROM e GROUP BY event_id),
+         |pd AS (SELECT fd, CAST(COUNT(*) AS BIGINT) AS nf FROM fd
+         |       GROUP BY fd),
+         |xc AS (SELECT est.grp AS day, CAST(SUM(pd.nf) AS BIGINT)
+         |         AS exact_cum
+         |       FROM est JOIN pd ON pd.fd <= est.grp GROUP BY est.grp)
+         |SELECT est.grp AS day, est.v_zero, est.est, xc.exact_cum
+         |FROM est JOIN xc ON xc.day = est.grp""".stripMargin,
+
     // HLL overlap: three register replays (a, b, union-by-max) + the
     // exact intersection, inclusion–exclusion at the end
     "q_hll_overlap" ->
@@ -6042,24 +6102,30 @@ object SparkEntry {
        |       FROM (SELECT md5(CAST(k AS VARCHAR)) AS hx FROM $src))
        | GROUP BY bucket)""".stripMargin.replace("\n", "")
 
+  /** [[ext.Hll.estimate]] (m=256) as a DuckDB aggregate EXPRESSION —
+    * valid in any (grouped) select over register rows `rho`.
+    */
+  private def hllEstAggSql: String =
+    """round(CASE
+      |  WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+      |         * 8589934592.0
+      |         / CAST(COALESCE(CAST(SUM(CAST(pow(2, 33 - rho) AS BIGINT))
+      |                              AS BIGINT), 0)
+      |                + (256 - COUNT(*)) * 8589934592 AS DOUBLE)
+      |       <= 2.5 * 256.0 AND (256 - COUNT(*)) > 0
+      |  THEN 256.0 * ln(256.0 / CAST(256 - COUNT(*) AS DOUBLE))
+      |  ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
+      |         * 8589934592.0
+      |         / CAST(COALESCE(CAST(SUM(CAST(pow(2, 33 - rho) AS BIGINT))
+      |                              AS BIGINT), 0)
+      |                + (256 - COUNT(*)) * 8589934592 AS DOUBLE)
+      |  END, 6)""".stripMargin.replace("\n", "")
+
   /** [[ext.Hll.estimate]] (m=256) rendered as a scalar DuckDB SQL select
     * over a named register relation.
     */
   private def hllEstSql(reg: String): String =
-    s"""(SELECT round(CASE
-       |  WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
-       |         * 8589934592.0
-       |         / CAST(COALESCE(CAST(SUM(CAST(pow(2, 33 - rho) AS BIGINT))
-       |                              AS BIGINT), 0)
-       |                + (256 - COUNT(*)) * 8589934592 AS DOUBLE)
-       |       <= 2.5 * 256.0 AND (256 - COUNT(*)) > 0
-       |  THEN 256.0 * ln(256.0 / CAST(256 - COUNT(*) AS DOUBLE))
-       |  ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256.0 * 256.0
-       |         * 8589934592.0
-       |         / CAST(COALESCE(CAST(SUM(CAST(pow(2, 33 - rho) AS BIGINT))
-       |                              AS BIGINT), 0)
-       |                + (256 - COUNT(*)) * 8589934592 AS DOUBLE)
-       |  END, 6) FROM $reg)""".stripMargin.replace("\n", "")
+    s"(SELECT $hllEstAggSql FROM $reg)"
 
   /** The `messyUrl` builder rendered as DuckDB SQL — shared by the two
     * URL oracles so the Spark and SQL sides construct identical bytes.

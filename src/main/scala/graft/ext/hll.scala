@@ -57,6 +57,67 @@ object Hll {
   def merge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("bucket").agg(max(col("rho")).alias("rho"))
 
+  /** One register frame PER GROUP (day, source, shard): (grp, bucket,
+    * rho) — the "sketch table" a production pipeline materializes once
+    * per partition and re-aggregates forever after.
+    */
+  def sketchByGroup(df: DataFrame, keyCol: String, groupCol: String,
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "p in [4, 16]")
+    val m = 1L << p
+    val h = md5(col(keyCol).cast("string"))
+    val bucket = conv(substring(h, 1, 8), 16, 10).cast("long") % m
+    val bits = conv(substring(h, 9, 8), 16, 2)
+    val rho = when(bits === "0", lit(33))
+      .otherwise(lit(33) - length(bits))
+    df.select(col(groupCol).alias("grp"), bucket.alias("bucket"),
+        rho.cast("int").alias("rho"))
+      .groupBy("grp", "bucket").agg(max(col("rho")).alias("rho"))
+  }
+
+  /** Running prefix-union of a grouped register frame along the group
+    * order: row (g, bucket, rho) becomes the register state "as of g"
+    * (per-bucket running max) — turning per-day sketches into the
+    * distinct-so-far curve WITHOUT ever touching the raw data again.
+    * Densifies over groups × occupied buckets first (bounded:
+    * |groups| × ≤2^p rows) so a bucket last hit three days ago still
+    * counts today; the running-max window partitions by bucket, so no
+    * partition-less window anywhere.
+    */
+  def cumulativeRegisters(reg: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grps = reg.select(col("grp")).distinct()
+    val bks = reg.select(col("bucket")).distinct()
+    val w = Window.partitionBy(col("bucket")).orderBy(col("grp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grps.crossJoin(bks)
+      .join(reg, Seq("grp", "bucket"), "left")
+      .withColumn("crho", max(col("rho")).over(w))
+      .filter(col("crho").isNotNull)
+      .select(col("grp"), col("bucket"), col("crho").alias("rho"))
+  }
+
+  /** Close a grouped register frame into one estimate row per group
+    * (grp, v_zero, est) — same formula as [[estimate]], vectorized over
+    * groups in a single hash aggregate.
+    */
+  def estimateByGroup(reg: DataFrame, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, "p in [4, 16]")
+    val m = 1L << p
+    val agg = reg.groupBy(col("grp")).agg(
+      count(lit(1)).alias("__nb"),
+      sum(pow(lit(2.0), lit(33) - col("rho")).cast("long")).alias("__sp"))
+    val v = lit(m) - col("__nb")
+    val s33 = coalesce(col("__sp"), lit(0L)) + v * lit(8589934592L)
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
+    val raw = alpha * lit(m.toDouble) * lit(m.toDouble) *
+      lit(8589934592.0) / s33.cast("double")
+    val linear = lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double"))
+    agg.select(col("grp"), v.alias("v_zero"),
+      round(when(raw <= lit(2.5) * lit(m.toDouble) && v > 0, linear)
+        .otherwise(raw), 6).alias("est"))
+  }
+
   /** Close a register frame into the cardinality estimate. Emits ONE row
     * (m, v_zero, est): bucket count, zero registers, 6-rounded estimate
     * (standard bias-corrected raw HLL, linear counting below 2.5·m).

@@ -508,6 +508,23 @@ class Round7Spec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 3.0) < 0.05)
   }
 
+  test("hll cumulative registers: final group equals the whole-data sketch; curve non-decreasing") {
+    val df = (0 until 3000).map(i => (i.toLong, (i % 3).toLong)).toDF("id", "day")
+    val reg = ext.Hll.sketchByGroup(df, "id", "day", p = 7)
+    val cum = ext.Hll.cumulativeRegisters(reg)
+    // prefix union at the last group == one sketch over everything
+    val last = cum.filter(col("grp") === 2L).select("bucket", "rho")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val whole = ext.Hll.sketch(df, "id", p = 7)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(last === whole)
+    val curve = ext.Hll.estimateByGroup(cum, p = 7)
+      .orderBy("grp").collect().map(_.getDouble(2))
+    assert(curve.length === 3)
+    assert(curve.sliding(2).forall(w => w(0) <= w(1)),
+      s"cumulative estimate curve must be non-decreasing: ${curve.toSeq}")
+  }
+
   test("hll overlapEval: inclusion-exclusion lands near the true intersection") {
     val a = (0 until 1000).map(_.toLong).toDF("k")
     val b = (500 until 1500).map(_.toLong).toDF("k")

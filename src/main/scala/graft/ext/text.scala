@@ -1033,4 +1033,40 @@ object TextOps {
             / col("total_ngrams").cast("double"), 9))
           .otherwise(lit(0.0)).alias("ratio"))
   }
+
+  /** [[ngramDiversity]]'s 100 TB form: identical length-arithmetic
+    * totals, but the distinct count is `approx_count_distinct` (HLL++) —
+    * the swap the exact operator's docstring promises. The gram stream
+    * now only feeds mergeable sketch registers, so the exchange carries
+    * ≤ partitions × groups × sketch-size rows instead of every distinct
+    * gram. No SQL oracle (Spark's HLL++ hashing is engine-private — the
+    * auditable alternative is [[graft.ext.Hll]]); closeness to the exact
+    * form is pinned in Round7Spec.
+    */
+  def ngramDiversityApprox(df: DataFrame, textCol: String, sourceCol: String,
+      ns: Seq[Int] = Seq(1, 2, 3), rsd: Double = 0.05): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be positive")
+    val len = size(tokens(col(textCol))).cast("long")
+    val tAggs = ns.map(n =>
+      sum(greatest(len - lit(n.toLong) + lit(1L), lit(0L))).alias(s"__t$n"))
+    val totals = df.groupBy(col(sourceCol).alias("src"))
+      .agg(tAggs.head, tAggs.tail: _*)
+      .select(col("src"), explode(array(ns.map(n =>
+        struct(lit(n).cast("long").alias("n"),
+          col(s"__t$n").alias("total_ngrams"))): _*)).alias("x"))
+      .select(col("src"), col("x.n"), col("x.total_ngrams"))
+    val distincts = df
+      .select(col(sourceCol).alias("src"), explode(array(ns.map(n =>
+        struct(lit(n).cast("long").alias("n"),
+          Dedup.shingleArray(textCol, n).alias("gs"))): _*)).alias("x"))
+      .select(col("src"), col("x.n").alias("n"), explode(col("x.gs")).alias("g"))
+      .groupBy(col("src"), col("n"))
+      .agg(approx_count_distinct(col("g"), rsd).alias("distinct_ngrams"))
+    totals.join(distincts, Seq("src", "n"))
+      .select(col("src"), col("n"), col("total_ngrams"), col("distinct_ngrams"),
+        when(col("total_ngrams") > 0,
+          round(col("distinct_ngrams").cast("double")
+            / col("total_ngrams").cast("double"), 9))
+          .otherwise(lit(0.0)).alias("ratio"))
+  }
 }

@@ -214,4 +214,25 @@ class PlanSpec extends AnyFunSuite {
     val shuffles = "Exchange".r.findAllIn(plan).length
     assert(shuffles === 1, s"expected one exchange, got $shuffles\n$plan")
   }
+
+  test("filterFunnel is one aggregate over one scan — no join, no window") {
+    val df = (1 to 1000).map(i => (i.toLong, s"t$i")).toDF("id", "t")
+    val plan = finalPlan(ext.Curate.filterFunnel(df, Seq(
+      "a" -> (col("id") % 2 === 0),
+      "b" -> (length(col("t")) > 3))))
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Window"), plan)
+    // partial + final hash aggregate of the single global group
+    assert(plan.contains("HashAggregate"), plan)
+  }
+
+  test("tokenDrift top-k plans as TakeOrderedAndProject, not a global sort") {
+    val a = (1 to 200).map(i => s"w$i w${i % 7}").toDF("text")
+    val b = (1 to 200).map(i => s"w$i w${i % 5}").toDF("text")
+    val plan = finalPlan(ext.TextOps.tokenDrift(a, b, "text", topK = 10))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the only Sort allowed is inside TakeOrderedAndProject's heaps — no
+    // standalone global Sort node
+    assert(!plan.contains("Sort ["), plan)
+  }
 }

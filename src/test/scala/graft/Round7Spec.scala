@@ -556,6 +556,27 @@ class Round7Spec extends AnyFunSuite {
     assert(got.forall(_.getDouble(3) === 0.0))
   }
 
+  // --- ngramDiversityApprox ----------------------------------------------
+
+  test("ngramDiversityApprox tracks the exact form within the sketch rsd") {
+    val docs = (0 until 300).map { i =>
+      val words = (0 until 40).map(j => s"w${(i * 7 + j * 13) % 900}")
+      (i.toLong, words.mkString(" "), s"s${i % 3}")
+    }.toDF("id", "text", "src")
+    val exact = ext.TextOps.ngramDiversity(docs, "text", "src")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val approx = ext.TextOps.ngramDiversityApprox(docs, "text", "src")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (k, (tot, dist)) =>
+      assert(tot === exact(k)._1, s"totals must be identical at $k")
+      val rel = math.abs(dist.toDouble / exact(k)._2 - 1.0)
+      assert(rel < 0.15, s"$k: approx $dist vs exact ${exact(k)._2} ($rel)")
+    }
+  }
+
   // --- psi --------------------------------------------------------------
 
   test("psi: identical distributions give exactly zero everywhere") {

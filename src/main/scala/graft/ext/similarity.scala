@@ -162,25 +162,34 @@ object Similarity {
 
   /** Shared margin math over scored pairs (a_id, b_id, c6, s) — see
     * [[marginAlign]] for the determinism contract.
+    *
+    * Shape: the per-side top-k sums run through the native bounded-heap
+    * [[graft.plans.TopKPerGroup]] operator instead of rank windows — the
+    * two exchanges carry ≤ partitions × groups × k winner rows and no
+    * group is ever fully sorted (the window form sorted the ENTIRE pair
+    * frame twice). The scored frame is checkpointed once so both top-k
+    * passes read the same materialization instead of re-running the
+    * cross product / candidate join. Winner selection, tie-breaks
+    * ((c6 desc, id asc)) and the exact integer sums are bit-identical to
+    * the window form — the operator's total order is the same one the
+    * rank windows used.
     */
-  private def marginOverScoredPairs(p: DataFrame, k: Int,
+  private def marginOverScoredPairs(p0: DataFrame, k: Int,
       minMargin: Double): DataFrame = {
-    // top-k sums as CONDITIONAL WINDOW SUMS over the partitioning the rank
-    // window already established — no groupBy+self-join back (which would
-    // consume the pair lineage three times and recompute every dot
-    // product per consumer): one lineage, exactly two shuffles
-    // (by a_id, then by b_id)
-    val wa = Window.partitionBy(col("a_id")).orderBy(col("c6").desc, col("b_id"))
-    val wb = Window.partitionBy(col("b_id")).orderBy(col("c6").desc, col("a_id"))
-    val pa = Window.partitionBy(col("a_id"))
-    val pb = Window.partitionBy(col("b_id"))
-    p.withColumn("ra", row_number().over(wa))
-      .withColumn("sa", sum(when(col("ra") <= k, col("s"))).over(pa))
-      .withColumn("ka", sum(when(col("ra") <= k, lit(1L))).over(pa))
-      .withColumn("rb", row_number().over(wb))
-      .withColumn("sb", sum(when(col("rb") <= k, col("s"))).over(pb))
-      .withColumn("kb", sum(when(col("rb") <= k, lit(1L))).over(pb))
-      .filter(col("ra") === 1)
+    val p = p0.localCheckpoint()
+    val ta = graft.plans.TopKPerGroup(p, "a_id", "c6", "b_id", k)
+    val tb = graft.plans.TopKPerGroup(p, "b_id", "c6", "a_id", k)
+    // winner pair per a: max(struct(c6, -b_id)) over a's top-k == rank-1
+    // of (c6 desc, b_id asc); sums/counts over exactly those k rows
+    val aStats = ta.groupBy(col("a_id")).agg(
+      sum(col("s")).alias("sa"), count(lit(1)).alias("ka"),
+      max(struct(col("c6").alias("c6"),
+        (-col("b_id")).alias("nb"))).alias("__w"))
+    val bStats = tb.groupBy(col("b_id")).agg(
+      sum(col("s")).alias("sb"), count(lit(1)).alias("kb"))
+    aStats.select(col("a_id"), col("sa"), col("ka"),
+        col("__w.c6").alias("c6"), (-col("__w.nb")).alias("b_id"))
+      .join(bStats, Seq("b_id"))
       .withColumn("margin", col("c6") /
         (((col("sa").cast("double") / col("ka")
           + col("sb").cast("double") / col("kb")) / lit(2.0)) / lit(1e6)))

@@ -872,6 +872,14 @@ object SparkEntry {
       ext.TextOps.zipfSlope(read(s, dir, "documents"),
         "text", "source", topN = 100)),
 
+    // pretraining example construction: deterministic T5-style span
+    // corruption — md5(id:window)-driven mask offsets, sequential
+    // <extra_id_N> sentinels, (input, target) denoising pairs; one
+    // narrow projection, nothing explodes or shuffles
+    "q_span_corrupt" -> ((s, dir) =>
+      ext.TextOps.spanCorrupt(read(s, dir, "documents"),
+        "doc_id", "text", window = 20, span = 3)),
+
     // corpus health: distinct-n diversity per source (n=1 is type-token
     // ratio) — totals from pure length arithmetic, only the distinct
     // count's (src, n, gram) stream shuffles
@@ -4304,6 +4312,51 @@ object SparkEntry {
         |       (CAST(n_terms AS DOUBLE) * sxy - sx * sy)
         |       / (CAST(n_terms AS DOUBLE) * sxx - sx * sx) AS slope
         |FROM s""".stripMargin,
+
+    // span corruption: identical md5 offsets, sentinel numbering, and
+    // window-wise string assembly in DuckDB list lambdas
+    "q_span_corrupt" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |             CAST(len(string_split(text, ' ')) AS INT) AS L
+        |           FROM documents),
+        |s AS (SELECT doc_id, t, L,
+        |        list_transform(range(0, CAST(ceil(L / 20.0) AS INT)), w ->
+        |          CASE WHEN least(20, L - w * 20) >= 4
+        |            THEN w * 20 + 1 + CAST(
+        |              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+        |                || CAST(w AS VARCHAR)), 1, 8) AS BIGINT)
+        |              % (least(20, L - w * 20) - 2) AS INT)
+        |            ELSE NULL END) AS starts
+        |      FROM d),
+        |s2 AS (SELECT doc_id, t, L, starts,
+        |         list_transform(range(0, len(starts)), w ->
+        |           len(list_filter(starts[1:w], x -> x IS NOT NULL)))
+        |           AS sent
+        |       FROM s)
+        |SELECT doc_id,
+        |  array_to_string(list_filter(
+        |    list_transform(range(0, len(starts)), w ->
+        |      CASE WHEN starts[w + 1] IS NULL
+        |        THEN array_to_string(
+        |          t[w * 20 + 1 : w * 20 + least(20, L - w * 20)], ' ')
+        |        ELSE array_to_string(
+        |          t[w * 20 + 1 : starts[w + 1] - 1]
+        |          || ['<extra_id_' || CAST(sent[w + 1] AS VARCHAR) || '>']
+        |          || t[starts[w + 1] + 3 : w * 20 + least(20, L - w * 20)],
+        |          ' ')
+        |      END),
+        |    x -> x <> ''), ' ') AS input,
+        |  array_to_string(list_filter(
+        |    list_transform(range(0, len(starts)), w ->
+        |      CASE WHEN starts[w + 1] IS NOT NULL
+        |        THEN '<extra_id_' || CAST(sent[w + 1] AS VARCHAR) || '> '
+        |          || array_to_string(t[starts[w + 1] : starts[w + 1] + 2],
+        |               ' ')
+        |      END),
+        |    x -> x IS NOT NULL), ' ') AS target,
+        |  CAST(len(list_filter(starts, x -> x IS NOT NULL)) AS BIGINT)
+        |    AS n_masked
+        |FROM s2""".stripMargin,
 
     // distinct-n diversity: totals from length arithmetic, distincts from
     // the position-grid n-gram build (same grid as the shingle oracles)

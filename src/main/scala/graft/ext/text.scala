@@ -1034,6 +1034,77 @@ object TextOps {
           .otherwise(lit(0.0)).alias("ratio"))
   }
 
+  /** Deterministic T5/UL2-style span corruption — the "make pretraining
+    * examples" step: per fixed `window` of tokens, mask one `span`-token
+    * run whose offset is decided by `md5(id:window)` (no RNG, no seed
+    * plumbing — the same doc always corrupts identically, across runs,
+    * partitionings, and engines), replace it with a sequentially numbered
+    * `<extra_id_N>` sentinel, and emit the (input, target) pair the
+    * denoising objective trains on. Windows too short to hold a span
+    * (< span+1 tokens — masking ALL tokens of a window would leave the
+    * sentinel no context) pass through unmasked.
+    *
+    * Density ≈ span/window (defaults 3/20 = 0.15, the T5 paper's rate).
+    *
+    * Scale: one narrow per-row projection — token arrays never explode,
+    * nothing shuffles; every piece is Spark HOF + md5 arithmetic, so the
+    * whole construction (offsets, sentinel numbering, both strings)
+    * replays bit-identically in the SQL oracle.
+    */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 20, span: Int = 3): DataFrame = {
+    require(span >= 1 && window >= span + 2,
+      "need window >= span + 2 so a masked window keeps context")
+    val W = window; val S = span
+    df
+      .withColumn("__t", tokens(col(textCol)))
+      .withColumn("__L", size(col("__t")).cast("int"))
+      // per-window mask start (1-based token index), NULL = window unmasked
+      .withColumn("__starts", expr(
+        s"""transform(sequence(0, CAST(ceil(__L / ${W}.0) AS INT) - 1), w ->
+           |  CASE WHEN least($W, __L - w * $W) >= ${S + 1}
+           |    THEN w * $W + 1 + CAST(
+           |      CAST(conv(substring(md5(concat(
+           |        CAST(`$idCol` AS STRING), ':', CAST(w AS STRING))),
+           |        1, 8), 16, 10) AS BIGINT)
+           |      % (least($W, __L - w * $W) - ${S - 1}) AS INT)
+           |    ELSE CAST(NULL AS INT) END)""".stripMargin))
+      // sequential sentinel number per masked window (count of earlier masks)
+      .withColumn("__sent", expr(
+        """transform(sequence(0, size(__starts) - 1), w ->
+          |  size(filter(slice(__starts, 1, w), x -> x IS NOT NULL)))"""
+          .stripMargin))
+      .withColumn("input", expr(
+        s"""concat_ws(' ', filter(
+           |  transform(sequence(0, size(__starts) - 1), w ->
+           |    CASE WHEN element_at(__starts, w + 1) IS NULL
+           |      THEN concat_ws(' ',
+           |        slice(__t, w * $W + 1, least($W, __L - w * $W)))
+           |      ELSE concat_ws(' ', concat(
+           |        slice(__t, w * $W + 1,
+           |          element_at(__starts, w + 1) - (w * $W + 1)),
+           |        array(concat('<extra_id_',
+           |          CAST(element_at(__sent, w + 1) AS STRING), '>')),
+           |        slice(__t, element_at(__starts, w + 1) + $S,
+           |          least($W, __L - w * $W)
+           |            - (element_at(__starts, w + 1) - (w * $W + 1)) - $S)))
+           |    END),
+           |  x -> x <> ''))""".stripMargin))
+      .withColumn("target", expr(
+        s"""concat_ws(' ', filter(
+           |  transform(sequence(0, size(__starts) - 1), w ->
+           |    CASE WHEN element_at(__starts, w + 1) IS NOT NULL
+           |      THEN concat('<extra_id_',
+           |        CAST(element_at(__sent, w + 1) AS STRING), '> ',
+           |        concat_ws(' ',
+           |          slice(__t, element_at(__starts, w + 1), $S)))
+           |    END),
+           |  x -> x IS NOT NULL))""".stripMargin))
+      .withColumn("n_masked",
+        expr("size(filter(__starts, x -> x IS NOT NULL))").cast("long"))
+      .select(col(idCol), col("input"), col("target"), col("n_masked"))
+  }
+
   /** [[ngramDiversity]]'s 100 TB form: identical length-arithmetic
     * totals, but the distinct count is `approx_count_distinct` (HLL++) —
     * the swap the exact operator's docstring promises. The gram stream

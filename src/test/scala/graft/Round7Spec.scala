@@ -556,6 +556,39 @@ class Round7Spec extends AnyFunSuite {
     assert(got.forall(_.getDouble(3) === 0.0))
   }
 
+  // --- spanCorrupt -------------------------------------------------------
+
+  test("spanCorrupt: substituting each sentinel's target span reconstructs the original") {
+    val docs = (0 until 50).map(i =>
+      (i.toLong, (1 to 25 + i % 10).map(j => s"tok$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = ext.TextOps.spanCorrupt(docs, "doc_id", "text").collect()
+    assert(out.length === 50)
+    out.foreach { r =>
+      val (id, input, target, n) =
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))
+      assert(n >= 1, s"doc $id: expected at least one mask")
+      val spans = target.split("<extra_id_\\d+> ").filter(_.nonEmpty)
+        .map(_.trim)
+      assert(spans.length === n, s"doc $id: target spans vs n_masked")
+      assert(spans.forall(_.split(" ").length === 3),
+        s"doc $id: every span is exactly 3 tokens")
+      var rec = input
+      spans.zipWithIndex.foreach { case (sp, i) =>
+        rec = rec.replace(s"<extra_id_$i>", sp)
+      }
+      assert(rec === orig(id), s"doc $id: reconstruction failed")
+    }
+  }
+
+  test("spanCorrupt: short docs pass through unmasked") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val r = ext.TextOps.spanCorrupt(docs, "doc_id", "text").head()
+    assert(r.getString(1) === "a b c" && r.getString(2) === ""
+      && r.getLong(3) === 0L)
+  }
+
   // --- ngramDiversityApprox ----------------------------------------------
 
   test("ngramDiversityApprox tracks the exact form within the sketch rsd") {

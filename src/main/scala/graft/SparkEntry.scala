@@ -2207,6 +2207,54 @@ object SparkEntry {
           "doc_id", budget = 1500L)
         .select("doc_id", "domain", "score", "n_chars", "running_cost")
     },
+
+    // post-training: chat-template flattening with character-exact
+    // loss-mask offsets (SFT example format) — turn rows derived
+    // deterministically from lineitem (conversation = order, turn =
+    // line; odd lines user, even assistant); one hash aggregate on the
+    // conversation key, then narrow list-lambda math
+    "q_chat_render" -> { (s, dir) =>
+      val li = read(s, dir, "lineitem")
+      val turns = li.select(
+        col("l_orderkey").alias("conv_id"),
+        col("l_linenumber").alias("idx"),
+        when(col("l_linenumber") % 2 === 1, lit("user"))
+          .otherwise(lit("assistant")).alias("role"),
+        concat(lit("part "), col("l_partkey").cast("string"),
+          lit(" qty "), col("l_quantity").cast("long").cast("string"),
+          lit(" "), col("l_returnflag"), col("l_linestatus"))
+          .alias("content"))
+      ext.Chat.renderTemplate(turns, "conv_id", "idx", "role", "content")
+    },
+
+    // post-training: scored candidates → (chosen, rejected) preference
+    // pairs with a minimum margin (DPO/reward-model format) — ONE
+    // partial-aggregable hash aggregate (max_by/min_by on total-order
+    // structs), the minimum shape for any per-prompt extremes reduction
+    "q_pref_pairs" -> ((s, dir) => ext.Chat.preferencePairs(
+      read(s, dir, "orders"), "o_custkey", "o_orderkey", "o_totalprice",
+      minMargin = 1000.0)),
+
+    // quality: add-one bigram LM cross-entropy vs the 80% train split
+    // (the CCNet/KenLM-style fluency gate, entirely in-engine) — model =
+    // two count aggregates; scoring = hash joins on (w1,w2) and w1 with
+    // a broadcast scalar V; ln-terms 1e9-scaled-integer-summed
+    "q_lm_xent" -> { (s, dir) =>
+      val d = read(s, dir, "documents")
+      ext.Lm.bigramCrossEntropy(
+        d.filter(col("doc_id") % 10 >= 8), "doc_id", "text",
+        d.filter(col("doc_id") % 10 < 8), "text")
+    },
+
+    // contrastive training prep: per-query top-1 same-label positive +
+    // top-5 different-label hard negatives with the semi-hard band flag
+    // — exact path over broadcast queries (oracle contract); scale path
+    // swaps in IVF/LSH candidates per the docstring
+    "q_hard_negatives" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      ext.Similarity.hardNegatives(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", k = 5)
+    },
   )
 
   /** Weight map for `q_quality_classifier`: buckets of known vocabulary
@@ -6139,6 +6187,123 @@ object SparkEntry {
         |SELECT doc_id, domain, score, n_chars, running_cost
         |FROM r WHERE running_cost <= 1500""".stripMargin
     },
+
+    // chat render: ordered list aggregate, O(n²) list-lambda prefix sums
+    // for the content offsets, identical template literals
+    "q_chat_render" ->
+      """WITH turns AS (
+        |  SELECT l_orderkey AS conv_id, l_linenumber AS idx,
+        |         CASE WHEN l_linenumber % 2 = 1
+        |              THEN 'user' ELSE 'assistant' END AS role,
+        |         'part ' || CAST(l_partkey AS VARCHAR) || ' qty ' ||
+        |           CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || ' ' ||
+        |           l_returnflag || l_linestatus AS content
+        |  FROM lineitem),
+        |g AS (SELECT conv_id,
+        |        list({'idx': idx, 'role': role, 'content': content}
+        |             ORDER BY idx, role, content) AS t
+        |      FROM turns GROUP BY conv_id),
+        |s AS (SELECT conv_id, t,
+        |        list_transform(range(0, len(t)), i ->
+        |          COALESCE(list_sum(list_transform(t[1:i], y ->
+        |            11 + len(y.role) + len(y.content))), 0)
+        |          + 4 + len(t[i + 1].role)) AS starts
+        |      FROM g)
+        |SELECT conv_id,
+        |  array_to_string(list_transform(t, x ->
+        |    '<|' || x.role || '|>' || x.content || '<|end|>'), '') AS text,
+        |  COALESCE(array_to_string(list_transform(
+        |    list_filter(range(0, len(t)), i -> t[i + 1].role = 'assistant'),
+        |    i -> CAST(starts[i + 1] AS VARCHAR)), ','), '') AS mask_starts,
+        |  COALESCE(array_to_string(list_transform(
+        |    list_filter(range(0, len(t)), i -> t[i + 1].role = 'assistant'),
+        |    i -> CAST(len(t[i + 1].content) AS VARCHAR)), ','), '') AS mask_lens,
+        |  CAST(len(t) AS BIGINT) AS n_turns,
+        |  CAST(len(list_filter(t, x -> x.role = 'assistant')) AS BIGINT)
+        |    AS n_masked
+        |FROM s""".stripMargin,
+
+    // preference pairs: the max_by/min_by total orders replayed as
+    // row_number windows over (score, id)
+    "q_pref_pairs" ->
+      """WITH r AS (SELECT o_custkey AS prompt_id, o_orderkey AS resp_id,
+        |                  o_totalprice AS score FROM orders),
+        |w AS (SELECT prompt_id, resp_id, score,
+        |        row_number() OVER (PARTITION BY prompt_id
+        |          ORDER BY score DESC, resp_id) AS rc,
+        |        row_number() OVER (PARTITION BY prompt_id
+        |          ORDER BY score ASC, resp_id) AS rr
+        |      FROM r),
+        |n AS (SELECT prompt_id, CAST(COUNT(*) AS BIGINT) AS n_responses
+        |      FROM r GROUP BY prompt_id)
+        |SELECT c.prompt_id, c.resp_id AS chosen_id, c.score AS chosen_score,
+        |       j.resp_id AS rejected_id, j.score AS rejected_score,
+        |       c.score - j.score AS margin, n.n_responses
+        |FROM (SELECT * FROM w WHERE rc = 1) c
+        |JOIN (SELECT * FROM w WHERE rr = 1) j USING (prompt_id)
+        |JOIN n USING (prompt_id)
+        |WHERE c.score - j.score >= 1000.0""".stripMargin,
+
+    // bigram LM: counts on the same position grid as the shingle
+    // oracles, add-one formula, 1e9-scaled-integer ln-term sums
+    "q_lm_xent" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS t
+        |            FROM documents WHERE doc_id % 10 < 8),
+        |sc AS (SELECT doc_id, string_split(text, ' ') AS t
+        |       FROM documents WHERE doc_id % 10 >= 8),
+        |pos AS (SELECT unnest(generate_series(1, 4000)) AS i),
+        |tb AS (SELECT t[i.i] AS w1, t[i.i + 1] AS w2
+        |       FROM tr, pos i WHERE i.i <= len(t) - 1),
+        |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |        FROM tb GROUP BY w1, w2),
+        |cctx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cctx
+        |         FROM tb GROUP BY w1),
+        |vv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+        |       FROM (SELECT unnest(t) AS w FROM tr)),
+        |db AS (SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2
+        |       FROM sc, pos i WHERE i.i <= len(t) - 1),
+        |dg AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS m
+        |       FROM db GROUP BY doc_id, w1, w2),
+        |j AS (SELECT dg.doc_id, dg.m,
+        |        CAST(round(ln(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE) /
+        |          CAST(COALESCE(cctx.cctx, 0) + vv.v AS DOUBLE))
+        |          * 1000000000.0, 0) AS BIGINT) AS tt
+        |      FROM dg LEFT JOIN c12 ON c12.w1 = dg.w1 AND c12.w2 = dg.w2
+        |              LEFT JOIN cctx ON cctx.w1 = dg.w1
+        |              CROSS JOIN vv)
+        |SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+        |       -(CAST(SUM(m * tt) AS DOUBLE) / 1000000000.0) /
+        |         CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE) AS xent_nats
+        |FROM j GROUP BY doc_id""".stripMargin,
+
+    // hard negatives: same cosine frame as q_knn_bruteforce, label-split
+    // windows, semi-hard band on the 4-rounded sims
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm
+        |      FROM e),
+        |q AS (SELECT * FROM n WHERE vec_id < 10),
+        |scored AS (SELECT q.vec_id AS q_id, q.label AS q_lab,
+        |                  c.vec_id AS n_id, c.label AS n_lab,
+        |                  round(list_dot_product(q.v, c.v)
+        |                    / (q.nrm * c.nrm), 4) AS sim
+        |           FROM q JOIN n c ON c.vec_id <> q.vec_id),
+        |pos AS (SELECT q_id, n_id AS pos_id, sim AS pos_sim
+        |        FROM (SELECT q_id, n_id, sim,
+        |                row_number() OVER (PARTITION BY q_id
+        |                  ORDER BY sim DESC, n_id) AS r
+        |              FROM scored WHERE n_lab = q_lab)
+        |        WHERE r = 1),
+        |negs AS (SELECT q_id, n_id AS neg_id, sim AS neg_sim, neg_rank
+        |         FROM (SELECT q_id, n_id, sim,
+        |                 CAST(row_number() OVER (PARTITION BY q_id
+        |                   ORDER BY sim DESC, n_id) AS BIGINT) AS neg_rank
+        |               FROM scored WHERE n_lab <> q_lab)
+        |         WHERE neg_rank <= 5)
+        |SELECT negs.q_id, pos_id, pos_sim, neg_id, neg_sim, neg_rank,
+        |       (neg_sim < pos_sim AND neg_sim + 0.05 > pos_sim) AS semi_hard
+        |FROM negs JOIN pos ON pos.q_id = negs.q_id""".stripMargin,
   )
 
   /** HLL register CTE body over a `(k)` relation rendered as DuckDB SQL —

@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Post-training (SFT / preference) data preparation.
+  *
+  * The reference pipeline stops at row-shaped ETL
+  * (`/root/reference/mappr.js:1-396` — column mappings into destination
+  * tables); a training-data engine additionally has to turn curated rows
+  * into model-ready examples. This module covers the two standard
+  * post-training shapes:
+  *
+  *  - [[renderTemplate]] — multi-turn conversations flattened into one
+  *    training string per conversation under a fixed chat template, with
+  *    character-exact loss-mask offsets for the assistant spans (the
+  *    supervised-fine-tuning example format: loss on assistant tokens
+  *    only).
+  *  - [[preferencePairs]] — scored candidate responses per prompt reduced
+  *    to (chosen, rejected) pairs with a minimum score margin (the
+  *    DPO/RLHF-reward-model example format).
+  *
+  * Determinism contract: no RNG anywhere — turn order comes from an
+  * explicit index column, tie-breaks are total orders on (score, id) —
+  * so the same input renders bit-identically under any partitioning and
+  * replays row-for-row in SQL.
+  */
+object Chat {
+
+  /** Template pieces: a turn renders as `<|role|>content<|end|>`, turns
+    * concatenated in `idxCol` order with no separator. Header length is
+    * `len(role) + 4`, footer length 7, so a turn occupies
+    * `len(role) + len(content) + 11` characters.
+    */
+  private val FooterLen = 7  // "<|end|>"
+  private val ExtraLen  = 11 // header "<|" + "|>" (4) + footer (7)
+
+  /** Flatten `(convCol, idxCol, roleCol, contentCol)` turn rows into one
+    * rendered training string per conversation plus loss-mask offsets.
+    *
+    * Output: `conv_id`, `text` (the rendered conversation), `mask_starts`
+    * / `mask_lens` (comma-joined 0-based character offsets and lengths of
+    * every `assistant` turn's content within `text` — the spans a trainer
+    * unmasks for loss), `n_turns`, `n_masked`.
+    *
+    * Scale: one hash aggregate on the conversation key (`collect_list` +
+    * `array_sort` — conversations are bounded-fan-in by construction, a
+    * few turns each, so per-group state is small); everything after the
+    * aggregate is narrow higher-order-function math over the turn array.
+    * The offset prefix-sum is quadratic in turns-per-conversation, which
+    * is fine at ≤ dozens of turns and keeps the expression shape exactly
+    * replayable in SQL list lambdas.
+    */
+  def renderTemplate(df: DataFrame, convCol: String, idxCol: String,
+      roleCol: String, contentCol: String): DataFrame = {
+    val turns = df.groupBy(col(convCol).alias("conv_id"))
+      .agg(array_sort(collect_list(struct(
+        col(idxCol).cast("long").alias("idx"),
+        col(roleCol).alias("role"),
+        col(contentCol).alias("content")))).alias("t"))
+
+    def piece(x: Column): Column =
+      concat(lit("<|"), x.getField("role"), lit("|>"),
+        x.getField("content"), lit("<|end|>"))
+    def turnLen(x: Column): Column =
+      (length(x.getField("role")) + length(x.getField("content")) +
+        lit(ExtraLen)).cast("long")
+
+    // start of turn i's CONTENT = sum of full lengths of turns < i
+    //                             + this turn's header
+    val spans = transform(col("t"), (x, i) =>
+      struct(
+        (aggregate(slice(col("t"), lit(1), i), lit(0L),
+          (acc, y) => acc + turnLen(y))
+          + length(x.getField("role")) + lit(4)).alias("start"),
+        length(x.getField("content")).cast("long").alias("len"),
+        x.getField("role").alias("role")))
+    val masked = filter(spans, s => s.getField("role") === lit("assistant"))
+
+    turns.select(
+      col("conv_id"),
+      concat_ws("", transform(col("t"), x => piece(x))).alias("text"),
+      concat_ws(",",
+        transform(masked, m => m.getField("start").cast("string")))
+        .alias("mask_starts"),
+      concat_ws(",",
+        transform(masked, m => m.getField("len").cast("string")))
+        .alias("mask_lens"),
+      size(col("t")).cast("long").alias("n_turns"),
+      size(masked).cast("long").alias("n_masked"))
+  }
+
+  /** Reduce scored candidate responses to one (chosen, rejected) pair per
+    * prompt: chosen = best (score desc, id asc tie-break), rejected =
+    * worst (score asc, id asc), kept only when the score margin is at
+    * least `minMargin` (a zero-margin pair carries no preference signal).
+    *
+    * Output: `prompt_id`, `chosen_id`, `chosen_score`, `rejected_id`,
+    * `rejected_score`, `margin`, `n_responses`.
+    *
+    * Scale: ONE hash aggregate on the prompt key — `max_by`/`min_by` on a
+    * total-order struct are partial-aggregable, so the shuffle carries one
+    * row per prompt per map partition, never the full candidate set. The
+    * same reduction at 100 TB is the minimum-possible shape (any pairing
+    * rule needs the per-prompt extremes co-located).
+    */
+  def preferencePairs(df: DataFrame, promptCol: String, idCol: String,
+      scoreCol: String, minMargin: Double): DataFrame = {
+    val base = df.select(
+      col(promptCol).alias("prompt_id"),
+      col(idCol).cast("long").alias("resp_id"),
+      col(scoreCol).cast("double").alias("score"))
+    base.groupBy(col("prompt_id"))
+      .agg(
+        max_by(struct(col("resp_id"), col("score")),
+          struct(col("score"), -col("resp_id"))).alias("ch"),
+        min_by(struct(col("resp_id"), col("score")),
+          struct(col("score"), col("resp_id"))).alias("rj"),
+        count(lit(1)).alias("n_responses"))
+      .select(
+        col("prompt_id"),
+        col("ch.resp_id").alias("chosen_id"),
+        col("ch.score").alias("chosen_score"),
+        col("rj.resp_id").alias("rejected_id"),
+        col("rj.score").alias("rejected_score"),
+        (col("ch.score") - col("rj.score")).alias("margin"),
+        col("n_responses"))
+      .filter(col("margin") >= lit(minMargin))
+  }
+}

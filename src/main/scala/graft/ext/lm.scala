@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-based n-gram language-model scoring — the CCNet/Dolma-style
+  * corpus quality signal: train a smoothed bigram model on a reference
+  * split, score every document by cross-entropy, and gate or bucket on
+  * the score (well-formed text scores low; boilerplate, mojibake, and
+  * wrong-language text score high). No external model artifacts — the
+  * "training" is two count aggregations, so the whole signal stays
+  * inside the engine and replays in SQL.
+  *
+  * Model: add-one (Laplace) bigram LM.
+  * `p(w2 | w1) = (c(w1,w2) + 1) / (cctx(w1) + V)` where `c` is the
+  * train-split bigram count, `cctx(w1)` the count of `w1` as a bigram
+  * LEFT context (all but the last token of each doc — so the
+  * denominator is exactly the numerator's marginal), and `V` the
+  * train-split vocabulary size. Unseen bigrams and unseen contexts fall
+  * out of the same formula via 0-coalesced joins.
+  *
+  * Determinism contract: each occurrence's ln-term rounds to a
+  * 1e9-scaled BIGINT and sums as exact integers (order-independent
+  * under any partitioning); the closing per-doc division is one
+  * fixed-shape double expression. Same contract as
+  * [[TextOps.sourceDivergence]].
+  *
+  * Scale: token arrays never explode doc-side until grouped to
+  * per-doc (w1, w2, multiplicity) rows; the model join is a hash join
+  * on the bigram key (the model table is vocabulary², in practice
+  * heavy-tailed and much smaller); the context-count join keys on a
+  * single token. V is a broadcast scalar. Nothing is driver-side.
+  */
+object Lm {
+
+  private def toks(textCol: String): Column = split(col(textCol), " ")
+
+  /** Per-row (w1, w2) bigram pairs as an array of "w1 w2" structs. */
+  private def bigrams(textCol: String): Column = {
+    val t = toks(textCol)
+    transform(sequence(lit(0), size(t) - 2), i =>
+      struct(element_at(t, i + 1).alias("w1"),
+        element_at(t, i + 2).alias("w2")))
+  }
+
+  /** Train-split model tables: bigram counts, left-context counts, and
+    * the vocabulary size as a 1-row frame.
+    */
+  def bigramModel(train: DataFrame, textCol: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val bg = train.select(explode(bigrams(textCol)).alias("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).alias("c12"))
+    val cctx = bg.groupBy("w1").agg(count(lit(1)).alias("cctx"))
+    val v = train.select(explode(toks(textCol)).alias("w"))
+      .agg(count_distinct(col("w")).alias("v"))
+    (c12, cctx, v)
+  }
+
+  /** Score `docs` under the add-one bigram model trained on `train`:
+    * per-document cross-entropy in nats,
+    * `xent = -(1/n) Σ ln p(w2|w1)` over the doc's `n` bigram
+    * occurrences. Documents with fewer than 2 tokens carry no bigram
+    * evidence and are dropped.
+    *
+    * Output: `doc_id`, `n_bigrams`, `xent_nats` (low = fluent under the
+    * reference distribution; high = junk — the quality gate thresholds
+    * on this).
+    */
+  def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+      train: DataFrame, trainTextCol: String): DataFrame = {
+    val (c12, cctx, v) = bigramModel(train, trainTextCol)
+
+    // per-doc bigram multiplicities — group BEFORE the model join so the
+    // join carries one row per distinct (doc, w1, w2), not per occurrence
+    val docBg = docs
+      .select(col(idCol).alias("doc_id"), explode(bigrams(textCol)).alias("b"))
+      .groupBy(col("doc_id"), col("b.w1").alias("w1"), col("b.w2").alias("w2"))
+      .agg(count(lit(1)).alias("m"))
+
+    val joined = docBg
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(cctx, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+    val term = log((coalesce(col("c12"), lit(0L)) + lit(1)).cast("double") /
+      (coalesce(col("cctx"), lit(0L)) + col("v")).cast("double"))
+    joined
+      .select(col("doc_id"), col("m"),
+        round(term * lit(1e9), 0).cast("long").alias("__t"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).alias("n_bigrams"),
+        sum(col("m") * col("__t")).alias("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (-(col("__s").cast("double") / lit(1e9)) /
+          col("n_bigrams").cast("double")).alias("xent_nats"))
+  }
+}

@@ -736,4 +736,63 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("q_id", "n_id", "dist2", "rnk")
   }
+
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query vector, the top-1 SAME-label neighbor (the positive) and the
+    * top-`k` DIFFERENT-label neighbors by cosine (the hard negatives —
+    * lookalikes the model must learn to separate). One row per
+    * (query, negative), the positive repeated on each row, plus the
+    * standard `semi_hard` flag (negative farther than the positive but
+    * within `margin` — the triplet-loss band that actually produces
+    * gradient; Schroff et al., FaceNet 2015).
+    *
+    * Output: `q_id`, `pos_id`, `pos_sim`, `neg_id`, `neg_sim`,
+    * `neg_rank`, `semi_hard`. Queries with no same-label partner in the
+    * corpus drop out (no positive ⇒ no triplet).
+    *
+    * Determinism: cosines round to 4 decimals; ranks and the positive
+    * tie-break on (sim, id) total orders. Comparisons in `semi_hard`
+    * are on the rounded values, so the flag is engine-stable.
+    *
+    * Scale: this is the exact path — corpus × broadcast queries, the
+    * oracle contract. At corpus scale swap the scored frame for
+    * [[ivfTopK]]/[[lshCandidatePairs]] candidates retrieved with an
+    * oversampled k and keep the label split + window unchanged (the
+    * same swap [[marginAlign]] documents, oracled by
+    * `q_margin_align_lsh`).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String,
+      k: Int, margin: Double = 0.05): DataFrame = {
+    val c = corpus.select(col(idCol).alias("n_id"), col(vecCol).alias("vn"),
+        col(labelCol).alias("n_lab"))
+      .withColumn("nn", norm(col("vn")))
+    val q = queries.select(col(idCol).alias("q_id"), col(vecCol).alias("vq"),
+        col(labelCol).alias("q_lab"))
+      .withColumn("nq", norm(col("vq")))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("sim",
+        round(dot(col("vq"), col("vn")) / (col("nq") * col("nn")), 4))
+
+    val pos = scored.filter(col("n_lab") === col("q_lab"))
+      .groupBy(col("q_id"))
+      .agg(max_by(struct(col("n_id"), col("sim")),
+        struct(col("sim"), -col("n_id"))).alias("p"))
+      .select(col("q_id"), col("p.n_id").alias("pos_id"),
+        col("p.sim").alias("pos_sim"))
+
+    val negs = scored.filter(col("n_lab") =!= col("q_lab"))
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("neg_rank") <= k)
+      .select(col("q_id"), col("n_id").alias("neg_id"),
+        col("sim").alias("neg_sim"), col("neg_rank"))
+
+    negs.join(pos, Seq("q_id"))
+      .select(col("q_id"), col("pos_id"), col("pos_sim"),
+        col("neg_id"), col("neg_sim"), col("neg_rank").cast("long"),
+        (col("neg_sim") < col("pos_sim") &&
+          col("neg_sim") + lit(margin) > col("pos_sim")).alias("semi_hard"))
+  }
 }

@@ -1,0 +1,187 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the post-training data-prep suite: chat-template rendering
+  * with loss-mask offsets, preference-pair reduction, bigram-LM
+  * cross-entropy, and hard-negative mining.
+  */
+class PostTrainSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- Chat.renderTemplate ---------------------------------------------
+
+  private def turns = Seq(
+    (1L, 1, "user", "hello there"),
+    (1L, 2, "assistant", "hi"),
+    (1L, 3, "user", "bye"),
+    (1L, 4, "assistant", "see you"),
+    (2L, 1, "user", "only me")
+  ).toDF("conv", "idx", "role", "content")
+
+  test("renderTemplate: mask offsets cut exactly the assistant contents") {
+    val out = ext.Chat.renderTemplate(turns, "conv", "idx", "role", "content")
+      .collect().map(r => r.getAs[Long]("conv_id") -> r).toMap
+    val r1 = out(1L)
+    val text = r1.getAs[String]("text")
+    assert(text ===
+      "<|user|>hello there<|end|><|assistant|>hi<|end|>" +
+      "<|user|>bye<|end|><|assistant|>see you<|end|>")
+    val starts = r1.getAs[String]("mask_starts").split(",").map(_.toInt)
+    val lens = r1.getAs[String]("mask_lens").split(",").map(_.toInt)
+    val cut = starts.zip(lens).map { case (s, l) => text.substring(s, s + l) }
+    assert(cut.toSeq === Seq("hi", "see you"))
+    assert(r1.getAs[Long]("n_turns") === 4L)
+    assert(r1.getAs[Long]("n_masked") === 2L)
+  }
+
+  test("renderTemplate: a conversation with no assistant turn masks nothing") {
+    val out = ext.Chat.renderTemplate(turns, "conv", "idx", "role", "content")
+      .filter(col("conv_id") === 2L).collect().head
+    assert(out.getAs[String]("text") === "<|user|>only me<|end|>")
+    assert(out.getAs[String]("mask_starts") === "")
+    assert(out.getAs[String]("mask_lens") === "")
+    assert(out.getAs[Long]("n_masked") === 0L)
+  }
+
+  test("renderTemplate is partitioning-invariant") {
+    val a = ext.Chat.renderTemplate(turns.repartition(7), "conv", "idx",
+      "role", "content").collect().map(_.toString).sorted.toSeq
+    val b = ext.Chat.renderTemplate(turns.coalesce(1), "conv", "idx",
+      "role", "content").collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
+  // --- Chat.preferencePairs --------------------------------------------
+
+  private def responses = Seq(
+    ("p1", 10L, 0.9), ("p1", 11L, 0.2), ("p1", 12L, 0.5),
+    ("p2", 20L, 0.8), ("p2", 21L, 0.8), ("p2", 22L, 0.1),
+    ("p3", 30L, 0.5), ("p3", 31L, 0.45) // margin 0.05 < 0.2 → dropped
+  ).toDF("prompt", "resp", "score")
+
+  test("preferencePairs: extremes with (score, id) tie-breaks and margin gate") {
+    val out = ext.Chat.preferencePairs(responses, "prompt", "resp", "score",
+      minMargin = 0.2).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet === Set("p1", "p2"))
+    val p1 = out("p1")
+    assert(p1.getAs[Long]("chosen_id") === 10L)
+    assert(p1.getAs[Long]("rejected_id") === 11L)
+    assert(math.abs(p1.getAs[Double]("margin") - 0.7) < 1e-12)
+    // p2: scores tie at 0.8 — smaller id wins chosen
+    assert(out("p2").getAs[Long]("chosen_id") === 20L)
+    assert(out("p2").getAs[Long]("rejected_id") === 22L)
+    assert(out("p2").getAs[Long]("n_responses") === 3L)
+  }
+
+  test("preferencePairs: single-response prompts never pair (margin 0)") {
+    val solo = Seq(("p", 1L, 5.0)).toDF("prompt", "resp", "score")
+    assert(ext.Chat.preferencePairs(solo, "prompt", "resp", "score",
+      minMargin = 0.0001).count() === 0L)
+  }
+
+  // --- Lm.bigramCrossEntropy -------------------------------------------
+
+  test("bigram LM: all-unseen doc scores exactly ln(V)") {
+    val train = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val score = Seq((9L, "x y z")).toDF("doc_id", "text")
+    // V = 3 {a,b,c}; every scored bigram unseen with unseen context:
+    // p = (0+1)/(0+3) → term = ln(1/3), xent = ln 3
+    val out = ext.Lm.bigramCrossEntropy(score, "doc_id", "text", train, "text")
+      .collect().head
+    assert(out.getAs[Long]("n_bigrams") === 2L)
+    assert(math.abs(out.getAs[Double]("xent_nats") - math.log(3.0)) < 1e-8)
+  }
+
+  test("bigram LM: hand-computed mixed seen/unseen doc") {
+    val train = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val score = Seq((9L, "a b z")).toDF("doc_id", "text")
+    // train bigrams: (a,b)x2 (b,a) (b,c); cctx: a→2, b→2; V=3
+    // doc: (a,b): ln((2+1)/(2+3)) = ln(3/5); (b,z): ln((0+1)/(2+3)) = ln(1/5)
+    val want = -(math.log(3.0 / 5) + math.log(1.0 / 5)) / 2
+    val got = ext.Lm.bigramCrossEntropy(score, "doc_id", "text", train, "text")
+      .collect().head.getAs[Double]("xent_nats")
+    assert(math.abs(got - want) < 1e-8)
+  }
+
+  test("bigram LM: fluent text scores lower than shuffled junk") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.filter(col("doc_id") % 10 < 8)
+    // junk twin: every scored doc with its tokens reversed — same
+    // unigrams, destroyed bigram structure
+    val heldOut = docs.filter(col("doc_id") % 10 >= 8)
+    val junk = heldOut.select(col("doc_id"),
+      concat_ws(" ", reverse(split(col("text"), " "))).alias("text"))
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg(col("xent_nats"))).collect().head.getDouble(0)
+    val fluent = mean(ext.Lm.bigramCrossEntropy(heldOut, "doc_id", "text",
+      train, "text"))
+    val junky = mean(ext.Lm.bigramCrossEntropy(junk, "doc_id", "text",
+      train, "text"))
+    assert(fluent < junky)
+  }
+
+  test("bigram LM is partitioning-invariant (integer-summed terms)") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    def run(n: Int) = ext.Lm.bigramCrossEntropy(
+        docs.repartition(n), "doc_id", "text", docs.repartition(n), "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(run(1) === run(13))
+  }
+
+  // --- Similarity.hardNegatives ----------------------------------------
+
+  private def labeled = Seq(
+    (0L, Array(1.0f, 0.0f), 0),   // query
+    (1L, Array(0.9f, 0.1f), 0),   // near positive
+    (2L, Array(0.0f, 1.0f), 0),   // far positive (not top-1)
+    (3L, Array(0.95f, 0.05f), 1), // hardest negative
+    (4L, Array(0.5f, 0.5f), 1),
+    (5L, Array(-1.0f, 0.0f), 2)   // easy negative
+  ).toDF("vec_id", "embedding", "label")
+
+  test("hardNegatives: label split, rank order, semi-hard band") {
+    val out = ext.Similarity.hardNegatives(labeled,
+        labeled.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        "label", k = 3, margin = 0.05)
+      .collect().sortBy(_.getAs[Long]("neg_rank"))
+    assert(out.forall(_.getAs[Long]("pos_id") === 1L))
+    assert(out.map(_.getAs[Long]("neg_id")).toSeq === Seq(3L, 4L, 5L))
+    val sims = out.map(_.getAs[Double]("neg_sim"))
+    assert(sims.sliding(2).forall { case Array(a, b) => a >= b })
+    // neg 3 sim≈0.9986 vs pos sim≈0.9939: HARDER than the positive → not
+    // semi-hard; negs 4 and 5 fall below the margin band → not semi-hard
+    assert(out.forall(!_.getAs[Boolean]("semi_hard")))
+  }
+
+  test("hardNegatives: semi-hard flags exactly the in-band negative") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f), 0),    // pos_sim = 1.0
+      (2L, Array(0.999f, 0.045f), 1), // sim ≈ 0.999 → within 0.05 band
+      (3L, Array(0.0f, 1.0f), 1)     // sim 0 → out of band
+    ).toDF("vec_id", "embedding", "label")
+    val out = ext.Similarity.hardNegatives(vecs,
+        vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
+        "label", k = 2, margin = 0.05)
+      .collect().map(r => r.getAs[Long]("neg_id") ->
+        r.getAs[Boolean]("semi_hard")).toMap
+    assert(out === Map(2L -> true, 3L -> false))
+  }
+
+  test("hardNegatives: queries with no same-label partner drop out") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 7), // lone label
+      (1L, Array(0.9f, 0.1f), 1),
+      (2L, Array(0.8f, 0.2f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    assert(ext.Similarity.hardNegatives(vecs,
+      vecs.filter(col("vec_id") === 0L), "vec_id", "embedding",
+      "label", k = 2).count() === 0L)
+  }
+}

@@ -2255,6 +2255,38 @@ object SparkEntry {
       ext.Similarity.hardNegatives(e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", "label", k = 5)
     },
+
+    // post-training: GRPO group-relative advantages — per-prompt
+    // (r−mean)/std from EXACT integer moments (2-decimal rewards
+    // quantize exactly at scale=100); one aggregate + one stats
+    // equi-join, degenerate groups → 0
+    "q_grpo_advantage" -> ((s, dir) => ext.Chat.groupAdvantage(
+      read(s, dir, "orders"), "o_custkey", "o_orderkey", "o_totalprice",
+      scale = 100L)),
+
+    // SFT capstone composite: chat-template render → whitespace token
+    // count → greedy contiguous shard packing within conv_id%8 groups —
+    // the render aggregate, a narrow count, and the per-group packing
+    // window chain in ONE plan
+    "q_sft_pack" -> { (s, dir) =>
+      val li = read(s, dir, "lineitem")
+      val turns = li.select(
+        col("l_orderkey").alias("conv_id"),
+        col("l_linenumber").alias("idx"),
+        when(col("l_linenumber") % 2 === 1, lit("user"))
+          .otherwise(lit("assistant")).alias("role"),
+        concat(lit("part "), col("l_partkey").cast("string"),
+          lit(" qty "), col("l_quantity").cast("long").cast("string"),
+          lit(" "), col("l_returnflag"), col("l_linestatus"))
+          .alias("content"))
+      val rendered = ext.Chat
+        .renderTemplate(turns, "conv_id", "idx", "role", "content")
+        .select(col("conv_id"),
+          size(split(col("text"), " ")).cast("long").alias("n_tokens"),
+          (col("conv_id") % 8).alias("grp"))
+      ext.Packing.packByBudget(rendered, "conv_id", "n_tokens",
+        budget = 200L, groupCol = "grp")
+    },
   )
 
   /** Weight map for `q_quality_classifier`: buckets of known vocabulary
@@ -6304,6 +6336,70 @@ object SparkEntry {
         |SELECT negs.q_id, pos_id, pos_sim, neg_id, neg_sim, neg_rank,
         |       (neg_sim < pos_sim AND neg_sim + 0.05 > pos_sim) AS semi_hard
         |FROM negs JOIN pos ON pos.q_id = negs.q_id""".stripMargin,
+
+    // GRPO advantages: exact integer moments (HUGEINT sum-of-squares =
+    // the Spark DECIMAL(38,0) twin), one fixed-shape IEEE tail
+    "q_grpo_advantage" ->
+      """WITH r AS (SELECT o_custkey AS prompt_id, o_orderkey AS resp_id,
+        |                  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS rs
+        |           FROM orders),
+        |g AS (SELECT prompt_id, CAST(COUNT(*) AS BIGINT) AS n_responses,
+        |             CAST(SUM(rs) AS BIGINT) AS s1,
+        |             SUM(CAST(rs AS HUGEINT) * rs) AS s2
+        |      FROM r GROUP BY prompt_id),
+        |j AS (SELECT r.prompt_id, r.resp_id, r.rs, g.n_responses,
+        |        CAST(g.s1 AS DOUBLE) / CAST(g.n_responses AS DOUBLE) AS mean,
+        |        sqrt(CASE WHEN (CAST(g.s2 AS DOUBLE)
+        |              - CAST(g.s1 AS DOUBLE) * CAST(g.s1 AS DOUBLE)
+        |                / CAST(g.n_responses AS DOUBLE))
+        |              / CAST(g.n_responses AS DOUBLE) > 0
+        |          THEN (CAST(g.s2 AS DOUBLE)
+        |              - CAST(g.s1 AS DOUBLE) * CAST(g.s1 AS DOUBLE)
+        |                / CAST(g.n_responses AS DOUBLE))
+        |              / CAST(g.n_responses AS DOUBLE)
+        |          ELSE 0 END) AS std
+        |      FROM r JOIN g USING (prompt_id))
+        |SELECT prompt_id, resp_id,
+        |       CAST(rs AS DOUBLE) / CAST(100 AS DOUBLE) AS reward,
+        |       CASE WHEN std > 0
+        |            THEN (CAST(rs AS DOUBLE) - mean) / std
+        |            ELSE 0.0 END AS advantage,
+        |       n_responses
+        |FROM j""".stripMargin,
+
+    // SFT capstone: the q_chat_render CTE feeding whitespace token
+    // counts into the q_pack_shards running-sum pack within conv_id%8
+    "q_sft_pack" ->
+      """WITH turns AS (
+        |  SELECT l_orderkey AS conv_id, l_linenumber AS idx,
+        |         CASE WHEN l_linenumber % 2 = 1
+        |              THEN 'user' ELSE 'assistant' END AS role,
+        |         'part ' || CAST(l_partkey AS VARCHAR) || ' qty ' ||
+        |           CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || ' ' ||
+        |           l_returnflag || l_linestatus AS content
+        |  FROM lineitem),
+        |g AS (SELECT conv_id,
+        |        list({'idx': idx, 'role': role, 'content': content}
+        |             ORDER BY idx, role, content) AS t
+        |      FROM turns GROUP BY conv_id),
+        |r AS (SELECT conv_id,
+        |        CAST(len(string_split(array_to_string(list_transform(t, x ->
+        |          '<|' || x.role || '|>' || x.content || '<|end|>'), ''),
+        |          ' ')) AS BIGINT) AS n_tokens,
+        |        conv_id % 8 AS grp
+        |      FROM g),
+        |p AS (SELECT conv_id, n_tokens, grp,
+        |        COALESCE(SUM(n_tokens) OVER (PARTITION BY grp
+        |            ORDER BY conv_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          - n_tokens, 0) AS cumb
+        |      FROM r),
+        |s AS (SELECT conv_id, n_tokens, grp,
+        |        CAST(FLOOR(cumb / 200.0) AS BIGINT) AS shard FROM p)
+        |SELECT conv_id, n_tokens, grp, shard,
+        |       CAST(row_number() OVER (PARTITION BY grp, shard
+        |         ORDER BY conv_id) - 1 AS BIGINT) AS shard_pos
+        |FROM s""".stripMargin,
   )
 
   /** HLL register CTE body over a `(k)` relation rendered as DuckDB SQL —

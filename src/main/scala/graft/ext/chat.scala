@@ -127,4 +127,54 @@ object Chat {
         col("n_responses"))
       .filter(col("margin") >= lit(minMargin))
   }
+
+  /** Group-relative advantage normalization (the GRPO estimator — Shao
+    * et al. 2024): per prompt group, `adv_i = (r_i − mean) / std` over
+    * the group's rewards, the per-prompt baseline that replaces a
+    * learned critic. Degenerate groups (one response, or all rewards
+    * equal) get advantage 0 — no signal, not a division blow-up.
+    *
+    * Determinism contract: rewards quantize to `scale`-scaled BIGINTs
+    * (pick `scale` so the quantization is exact for the source — e.g.
+    * 100 for 2-decimal scores); group moments are EXACT integer sums
+    * (sum as BIGINT, sum-of-squares as DECIMAL(38,0) — the
+    * [[Stats.ksDrift]] discipline), so mean/std/advantage are one
+    * fixed-shape IEEE expression over exact integers: bit-identical
+    * under any partitioning and in any engine.
+    *
+    * Output: `prompt_id`, `resp_id`, `reward` (de-quantized), `advantage`,
+    * `n_responses`.
+    *
+    * Scale: one hash aggregate on the prompt key (partial-aggregable
+    * integer sums) + one equi-join of the per-prompt stats back to the
+    * rows — AQE broadcasts the stats side (|prompts| rows). No windows,
+    * nothing driver-side.
+    */
+  def groupAdvantage(df: DataFrame, promptCol: String, idCol: String,
+      rewardCol: String, scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    val base = df.select(
+      col(promptCol).alias("prompt_id"),
+      col(idCol).cast("long").alias("resp_id"),
+      round(col(rewardCol).cast("double") * lit(scale), 0).cast("long")
+        .alias("rs"))
+    val stats = base.groupBy(col("prompt_id"))
+      .agg(
+        count(lit(1)).alias("n_responses"),
+        sum(col("rs")).alias("s1"),
+        sum(col("rs").cast("decimal(38,0)") * col("rs")).alias("s2"))
+    val n = col("n_responses").cast("double")
+    val mean = col("s1").cast("double") / n
+    val variance = (col("s2").cast("double") -
+      col("s1").cast("double") * col("s1").cast("double") / n) / n
+    val std = sqrt(when(variance > 0, variance).otherwise(lit(0.0)))
+    base.join(stats, Seq("prompt_id"))
+      .select(
+        col("prompt_id"), col("resp_id"),
+        (col("rs").cast("double") / lit(scale).cast("double"))
+          .alias("reward"),
+        when(std > 0, (col("rs").cast("double") - mean) / std)
+          .otherwise(lit(0.0)).alias("advantage"),
+        col("n_responses"))
+  }
 }

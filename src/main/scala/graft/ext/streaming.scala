@@ -123,6 +123,63 @@ object EventStream {
       }
   }
 
+  final case class PrefState(
+      chosenId: Long, chosenScore: Double,
+      rejectedId: Long, rejectedScore: Double, n: Long)
+
+  final case class PrefUpdate(
+      prompt_id: Long, chosen_id: Long, chosen_score: Double,
+      rejected_id: Long, rejected_score: Double, margin: Double,
+      n_responses: Long)
+
+  /** Streaming twin of [[Chat.preferencePairs]]: scored candidate
+    * responses arrive as an unbounded stream and the per-prompt
+    * (chosen, rejected) extremes are maintained as keyed state, emitting
+    * the updated pair on every micro-batch that touches a prompt. The
+    * fold uses the SAME total orders as the batch reduction — chosen
+    * maximizes (score, −id), rejected minimizes (score, id) — so after
+    * any drain the state equals the batch result over the same rows
+    * (asserted in StreamingSpec), regardless of arrival order or batch
+    * boundaries.
+    *
+    * State is two (id, score) pairs + a count per prompt — bounded by
+    * prompt cardinality, checkpointed, recoverable; the downstream margin
+    * gate stays a plain filter on the emitted updates.
+    */
+  def runningPreferencePairs(
+      responses: DataFrame): Dataset[PrefUpdate] = {
+    import responses.sparkSession.implicits._
+    responses
+      .selectExpr("prompt_id", "resp_id", "score")
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PrefState, PrefUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (promptId, rows, state) =>
+          var st = state.getOption.orNull
+          rows.foreach { case (_, id, score) =>
+            st =
+              if (st == null) PrefState(id, score, id, score, 1L)
+              else {
+                val better = score > st.chosenScore ||
+                  (score == st.chosenScore && id < st.chosenId)
+                val worse = score < st.rejectedScore ||
+                  (score == st.rejectedScore && id < st.rejectedId)
+                PrefState(
+                  if (better) id else st.chosenId,
+                  if (better) score else st.chosenScore,
+                  if (worse) id else st.rejectedId,
+                  if (worse) score else st.rejectedScore,
+                  st.n + 1L)
+              }
+          }
+          state.update(st)
+          Iterator(PrefUpdate(promptId, st.chosenId, st.chosenScore,
+            st.rejectedId, st.rejectedScore,
+            st.chosenScore - st.rejectedScore, st.n))
+      }
+  }
+
   /** Stream-stream interval join: each left event matched to right events
     * of the same `keyCol` with `right.ts_utc` in
     * `[left.ts_utc − lookback, left.ts_utc]` — the streaming form of

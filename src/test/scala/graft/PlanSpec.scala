@@ -235,4 +235,45 @@ class PlanSpec extends AnyFunSuite {
     // standalone global Sort node
     assert(!plan.contains("Sort ["), plan)
   }
+
+  test("preferencePairs is ONE exchange with map-side partial max_by/min_by") {
+    val r = (1 to 500).map(i => (i % 50, i.toLong, i * 1.7))
+      .toDF("prompt", "resp", "score")
+    val plan = finalPlan(
+      ext.Chat.preferencePairs(r, "prompt", "resp", "score", 0.5))
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+    // partial aggregation before the shuffle — the reduction ships one
+    // row per prompt per map partition, never the candidate set
+    assert(plan.contains("partial_max_by") || plan.contains("partial"), plan)
+  }
+
+  test("renderTemplate is ONE exchange (the conversation-key aggregate)") {
+    val t = (1 to 300).map(i => (i % 40, i % 7, if (i % 2 == 0) "user"
+      else "assistant", s"msg $i")).toDF("conv", "idx", "role", "content")
+    val plan = finalPlan(
+      ext.Chat.renderTemplate(t, "conv", "idx", "role", "content"))
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("Window"), plan) // offsets are list lambdas, not windows
+  }
+
+  test("bigramCrossEntropy: model joins are keyed — no cartesian; V broadcasts") {
+    val d = (1 to 200).map(i => (i.toLong, s"a b c w$i d")).toDF("doc_id", "text")
+    val plan = finalPlan(ext.Lm.bigramCrossEntropy(
+      d.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      d.filter(col("doc_id") % 2 === 1), "text"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop is the broadcast 1-row V scalar
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan)
+  }
+
+  test("hardNegatives: the query side broadcasts, the corpus never collects") {
+    val e = (0 until 200).map(i =>
+      (i.toLong, Array(i + 1.0f, (i % 13).toFloat), i % 4))
+      .toDF("vec_id", "embedding", "label")
+    val plan = finalPlan(ext.Similarity.hardNegatives(e,
+      e.filter(col("vec_id") < 5), "vec_id", "embedding", "label", k = 3))
+    // exact path: corpus x broadcast queries (non-equi => BNLJ), with the
+    // bounded query frame as the broadcast build side
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

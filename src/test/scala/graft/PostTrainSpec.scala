@@ -83,6 +83,48 @@ class PostTrainSpec extends AnyFunSuite {
       minMargin = 0.0001).count() === 0L)
   }
 
+  // --- Chat.groupAdvantage ---------------------------------------------
+
+  test("groupAdvantage: hand-computed z-scores; degenerate groups → 0") {
+    val r = Seq(
+      ("p1", 1L, 1.0), ("p1", 2L, 2.0), ("p1", 3L, 3.0),
+      ("p2", 4L, 5.0), ("p2", 5L, 5.0), // all-equal → std 0
+      ("p3", 6L, 9.0)                   // singleton
+    ).toDF("prompt", "resp", "reward")
+    val out = ext.Chat.groupAdvantage(r, "prompt", "resp", "reward")
+      .collect().map(x => x.getAs[Long]("resp_id") ->
+        x.getAs[Double]("advantage")).toMap
+    // p1: mean 2, biased std = sqrt(2/3)
+    val s = math.sqrt(2.0 / 3.0)
+    assert(math.abs(out(1L) - (-1.0 / s)) < 1e-9)
+    assert(math.abs(out(2L)) < 1e-12)
+    assert(math.abs(out(3L) - 1.0 / s) < 1e-9)
+    assert(out(4L) === 0.0 && out(5L) === 0.0 && out(6L) === 0.0)
+  }
+
+  test("groupAdvantage: advantages are zero-mean unit-variance per live group") {
+    val r = (1 to 200).map(i => (s"p${i % 13}", i.toLong, (i * 37 % 101) / 7.0))
+      .toDF("prompt", "resp", "reward")
+    val stats = ext.Chat.groupAdvantage(r, "prompt", "resp", "reward")
+      .groupBy("prompt_id")
+      .agg(avg(col("advantage")).alias("m"),
+        avg(col("advantage") * col("advantage")).alias("v"))
+      .collect()
+    stats.foreach { row =>
+      assert(math.abs(row.getAs[Double]("m")) < 1e-9)
+      assert(math.abs(row.getAs[Double]("v") - 1.0) < 1e-9)
+    }
+  }
+
+  test("groupAdvantage is partitioning-invariant (exact integer moments)") {
+    val r = (1 to 300).map(i => (i % 17, i.toLong, i * 0.37))
+      .toDF("prompt", "resp", "reward")
+    def run(n: Int) = ext.Chat.groupAdvantage(r.repartition(n),
+        "prompt", "resp", "reward")
+      .collect().map(x => x.getLong(1) -> x.getDouble(3)).toMap
+    assert(run(1) === run(11))
+  }
+
   // --- Lm.bigramCrossEntropy -------------------------------------------
 
   test("bigram LM: all-unseen doc scores exactly ln(V)") {

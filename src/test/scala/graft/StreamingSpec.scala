@@ -259,4 +259,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(cat.readVersion("user_state", 0L).collect()
       .map(r => (r.getLong(0), r.getString(1))) === Array((-1L, "seed")))
   }
+
+  test("running preference state drains to the batch preferencePairs result") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val stream = mem.toDF().toDF("prompt_id", "resp_id", "score")
+    val q = EventStream.runningPreferencePairs(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pref_out").start()
+    // two batches, interleaved prompts, ties included — batch boundaries
+    // and arrival order must not matter
+    mem.addData((1L, 10L, 0.3), (1L, 11L, 0.9), (2L, 20L, 0.5))
+    q.processAllAvailable()
+    mem.addData((1L, 12L, 0.1), (2L, 21L, 0.5), (2L, 22L, 0.8))
+    q.processAllAvailable(); q.stop()
+
+    // final state per prompt = the row with the highest n_responses
+    val fin = spark.table("pref_out")
+      .groupBy("prompt_id")
+      .agg(max_by(
+        struct(col("chosen_id"), col("chosen_score"), col("rejected_id"),
+          col("rejected_score"), col("margin"), col("n_responses")),
+        col("n_responses")).alias("s"))
+      .select(col("prompt_id"), col("s.*"))
+    val all = Seq((1L, 10L, 0.3), (1L, 11L, 0.9), (1L, 12L, 0.1),
+      (2L, 20L, 0.5), (2L, 21L, 0.5), (2L, 22L, 0.8))
+      .toDF("prompt_id", "resp_id", "score")
+    val batch = ext.Chat.preferencePairs(all, "prompt_id", "resp_id",
+      "score", minMargin = 0.0)
+    val g = fin.collect().map(_.toSeq).toSet
+    val e = batch.select("prompt_id", "chosen_id", "chosen_score",
+      "rejected_id", "rejected_score", "margin", "n_responses")
+      .collect().map(_.toSeq).toSet
+    assert(g === e)
+    // the score-tie at prompt 2 resolved to the smaller rejected id (20)
+    assert(fin.filter(col("prompt_id") === 2L).collect()
+      .head.getAs[Long]("rejected_id") === 20L)
+  }
 }

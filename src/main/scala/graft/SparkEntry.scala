@@ -2256,6 +2256,30 @@ object SparkEntry {
         "vec_id", "embedding", "label", k = 5)
     },
 
+    // quality at scale: Stupid Backoff trigram LM over a top-500
+    // vocabulary (OOV → <unk>) — the vocabulary cap is what bounds every
+    // model table at 100 TB; seen branches are exact relative
+    // frequencies, the floor is add-one unigram
+    "q_lm_backoff" -> { (s, dir) =>
+      val d = read(s, dir, "documents")
+      ext.Lm.stupidBackoffXent(
+        d.filter(col("doc_id") % 10 >= 8), "doc_id", "text",
+        d.filter(col("doc_id") % 10 < 8), "text", vocabSize = 500)
+    },
+
+    // curriculum schedule: bigram-LM difficulty → per-source quartile
+    // tiers (easy first) → deterministic md5 shuffle within tier; both
+    // windows keyed by source, never a global sort
+    "q_curriculum" -> { (s, dir) =>
+      val d = read(s, dir, "documents")
+      val scored = ext.Lm.bigramCrossEntropy(
+        d.filter(col("doc_id") % 10 >= 8), "doc_id", "text",
+        d.filter(col("doc_id") % 10 < 8), "text")
+      ext.Curate.curriculumOrder(
+        scored.join(d.select(col("doc_id"), col("source")), "doc_id"),
+        "doc_id", "source", "xent_nats", buckets = 4)
+    },
+
     // post-training: GRPO group-relative advantages — per-prompt
     // (r−mean)/std from EXACT integer moments (2-decimal rewards
     // quantize exactly at scale=100); one aggregate + one stats
@@ -6336,6 +6360,115 @@ object SparkEntry {
         |SELECT negs.q_id, pos_id, pos_sim, neg_id, neg_sim, neg_rank,
         |       (neg_sim < pos_sim AND neg_sim + 0.05 > pos_sim) AS semi_hard
         |FROM negs JOIN pos ON pos.q_id = negs.q_id""".stripMargin,
+
+    // curriculum: the q_lm_xent CTE + source join + ntile/row_number
+    // windows with identical (score, id) and (md5, id) orders
+    "q_curriculum" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS t
+        |            FROM documents WHERE doc_id % 10 < 8),
+        |sc AS (SELECT doc_id, string_split(text, ' ') AS t
+        |       FROM documents WHERE doc_id % 10 >= 8),
+        |pos AS (SELECT unnest(generate_series(1, 4000)) AS i),
+        |tb AS (SELECT t[i.i] AS w1, t[i.i + 1] AS w2
+        |       FROM tr, pos i WHERE i.i <= len(t) - 1),
+        |c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |        FROM tb GROUP BY w1, w2),
+        |cctx AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS cctx
+        |         FROM tb GROUP BY w1),
+        |vv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+        |       FROM (SELECT unnest(t) AS w FROM tr)),
+        |db AS (SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2
+        |       FROM sc, pos i WHERE i.i <= len(t) - 1),
+        |dg AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS m
+        |       FROM db GROUP BY doc_id, w1, w2),
+        |j AS (SELECT dg.doc_id, dg.m,
+        |        CAST(round(ln(CAST(COALESCE(c12.c12, 0) + 1 AS DOUBLE) /
+        |          CAST(COALESCE(cctx.cctx, 0) + vv.v AS DOUBLE))
+        |          * 1000000000.0, 0) AS BIGINT) AS tt
+        |      FROM dg LEFT JOIN c12 ON c12.w1 = dg.w1 AND c12.w2 = dg.w2
+        |              LEFT JOIN cctx ON cctx.w1 = dg.w1
+        |              CROSS JOIN vv),
+        |x AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+        |        -(CAST(SUM(m * tt) AS DOUBLE) / 1000000000.0) /
+        |          CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE) AS xent_nats
+        |      FROM j GROUP BY doc_id),
+        |s AS (SELECT x.doc_id, x.n_bigrams, x.xent_nats, d.source,
+        |        CAST(ntile(4) OVER (PARTITION BY d.source
+        |          ORDER BY x.xent_nats, x.doc_id) AS BIGINT) AS bucket
+        |      FROM x JOIN documents d ON d.doc_id = x.doc_id)
+        |SELECT doc_id, n_bigrams, xent_nats, source, bucket,
+        |       CAST(row_number() OVER (PARTITION BY source, bucket
+        |         ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+        |         AS BIGINT) AS curriculum_pos
+        |FROM s""".stripMargin,
+
+    // Stupid Backoff: top-V vocab (count desc, tok asc), <unk> mapping,
+    // lead()-window trigram/bigram streams, exact-marginal denominators,
+    // 0.4 / 0.4*0.4 backoff weights as the same IEEE products
+    "q_lm_backoff" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS t
+        |            FROM documents WHERE doc_id % 10 < 8),
+        |sc AS (SELECT doc_id, string_split(text, ' ') AS t
+        |       FROM documents WHERE doc_id % 10 >= 8),
+        |pos AS (SELECT unnest(generate_series(1, 4000)) AS i),
+        |vc AS (SELECT t[i.i] AS tok, COUNT(*) AS c
+        |       FROM tr, pos i WHERE i.i <= len(t) GROUP BY 1),
+        |vocab AS (SELECT tok FROM
+        |            (SELECT tok, row_number() OVER (ORDER BY c DESC, tok)
+        |               AS r FROM vc)
+        |          WHERE r <= 500),
+        |trm AS (SELECT doc_id, i.i AS p,
+        |          CASE WHEN t[i.i] IN (SELECT tok FROM vocab)
+        |               THEN t[i.i] ELSE '<unk>' END AS w
+        |        FROM tr, pos i WHERE i.i <= len(t)),
+        |trt AS (SELECT w AS w1,
+        |          lead(w, 1) OVER (PARTITION BY doc_id ORDER BY p) AS w2,
+        |          lead(w, 2) OVER (PARTITION BY doc_id ORDER BY p) AS w3
+        |        FROM trm),
+        |tri AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
+        |        FROM trt WHERE w3 IS NOT NULL GROUP BY 1, 2, 3),
+        |trictx AS (SELECT w1, w2, CAST(SUM(c3) AS BIGINT) AS c3ctx
+        |           FROM tri GROUP BY 1, 2),
+        |bit AS (SELECT w AS u,
+        |          lead(w, 1) OVER (PARTITION BY doc_id ORDER BY p) AS v
+        |        FROM trm),
+        |bi AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS c2
+        |       FROM bit WHERE v IS NOT NULL GROUP BY 1, 2),
+        |bictx AS (SELECT u, CAST(SUM(c2) AS BIGINT) AS c2ctx
+        |          FROM bi GROUP BY 1),
+        |uni AS (SELECT w AS w3u, CAST(COUNT(*) AS BIGINT) AS c1
+        |        FROM trm GROUP BY 1),
+        |sca AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM trm) AS nn,
+        |               (SELECT CAST(COUNT(*) AS BIGINT) FROM vocab) AS vv),
+        |scm AS (SELECT doc_id, i.i AS p,
+        |          CASE WHEN t[i.i] IN (SELECT tok FROM vocab)
+        |               THEN t[i.i] ELSE '<unk>' END AS w
+        |        FROM sc, pos i WHERE i.i <= len(t)),
+        |sct AS (SELECT doc_id, w AS w1,
+        |          lead(w, 1) OVER (PARTITION BY doc_id ORDER BY p) AS w2,
+        |          lead(w, 2) OVER (PARTITION BY doc_id ORDER BY p) AS w3
+        |        FROM scm),
+        |dg AS (SELECT doc_id, w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS m
+        |       FROM sct WHERE w3 IS NOT NULL GROUP BY 1, 2, 3, 4),
+        |j AS (SELECT dg.doc_id, dg.m,
+        |        CAST(round(ln(CASE
+        |          WHEN COALESCE(tri.c3, 0) > 0
+        |            THEN CAST(tri.c3 AS DOUBLE) / CAST(trictx.c3ctx AS DOUBLE)
+        |          WHEN COALESCE(bi.c2, 0) > 0
+        |            THEN 0.4 * CAST(bi.c2 AS DOUBLE) / CAST(bictx.c2ctx AS DOUBLE)
+        |          ELSE (0.4 * 0.4) * CAST(COALESCE(uni.c1, 0) + 1 AS DOUBLE)
+        |            / CAST(sca.nn + sca.vv + 1 AS DOUBLE) END)
+        |          * 1000000000.0, 0) AS BIGINT) AS tt
+        |      FROM dg LEFT JOIN tri USING (w1, w2, w3)
+        |              LEFT JOIN trictx USING (w1, w2)
+        |              LEFT JOIN bi ON bi.u = dg.w2 AND bi.v = dg.w3
+        |              LEFT JOIN bictx ON bictx.u = dg.w2
+        |              LEFT JOIN uni ON uni.w3u = dg.w3
+        |              CROSS JOIN sca)
+        |SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_trigrams,
+        |       -(CAST(SUM(m * tt) AS DOUBLE) / 1000000000.0) /
+        |         CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE) AS xent_nats
+        |FROM j GROUP BY doc_id""".stripMargin,
 
     // GRPO advantages: exact integer moments (HUGEINT sum-of-squares =
     // the Spark DECIMAL(38,0) twin), one fixed-shape IEEE tail

@@ -161,4 +161,32 @@ object Curate {
       }: _*)).alias("r"))
       .select("r.*")
   }
+
+  /** Curriculum ordering: per `groupCol`, rank rows into `buckets`
+    * difficulty tiers by `scoreCol` ascending (easy first — the standard
+    * curriculum-learning schedule), then give each row a deterministic
+    * shuffled position within its tier (md5(seed:id) — the
+    * [[Sampling.shuffleOrder]] device), so a trainer reads tiers in
+    * order but sees no intra-tier bias. Emits the input plus `bucket`
+    * (1-based) and `curriculum_pos` (0-based within (group, bucket)).
+    *
+    * Scale: two windows, both partitioned by the group key (and the
+    * second further by bucket) — parallel across groups, never a global
+    * sort. Per-group curricula are what a sharded reader consumes
+    * anyway; a single global curriculum at 100 TB would serialize the
+    * read order through one consumer.
+    */
+  def curriculumOrder(scored: DataFrame, idCol: String, groupCol: String,
+      scoreCol: String, buckets: Int, seed: String = "0"): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val wb = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol), col(idCol))
+    val wp = Window.partitionBy(col(groupCol), col("bucket"))
+      .orderBy(md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))),
+        col(idCol))
+    scored
+      .withColumn("bucket", ntile(buckets).over(wb).cast("long"))
+      .withColumn("curriculum_pos", (row_number().over(wp) - 1).cast("long"))
+  }
 }

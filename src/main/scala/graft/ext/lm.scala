@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Count-based n-gram language-model scoring — the CCNet/Dolma-style
@@ -93,5 +94,120 @@ object Lm {
       .select(col("doc_id"), col("n_bigrams"),
         (-(col("__s").cast("double") / lit(1e9)) /
           col("n_bigrams").cast("double")).alias("xent_nats"))
+  }
+
+  /** Top-`vocabSize` train vocabulary (count desc, token asc tie-break);
+    * everything else maps to `<unk>`. THE device that bounds every model
+    * table at 100 TB: raw bigram/trigram tables grow with the corpus, but
+    * capped ones are ≤V², ≤V³ and in practice heavy-tailed-small.
+    */
+  def topVocab(train: DataFrame, textCol: String, vocabSize: Int): DataFrame = {
+    val w = Window.orderBy(col("c").desc, col("tok"))
+    train.select(explode(toks(textCol)).alias("tok"))
+      .groupBy("tok").agg(count(lit(1)).alias("c"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= vocabSize)
+      .select("tok")
+  }
+
+  /** Stupid Backoff trigram scoring (Brants et al., "Large Language
+    * Models in Machine Translation", 2007 — the count-based scheme built
+    * FOR distributed corpora):
+    *
+    *   S(w3|w1,w2) = c(w1w2w3)/c(w1w2·)            when the trigram is seen
+    *               = α · c(w2w3)/c(w2·)             backing off to the bigram
+    *               = α² · (c(w3)+1)/(N+V+1)         add-one unigram floor
+    *
+    * with α = 0.4 and all tokens mapped through the top-`vocabSize`
+    * vocabulary (OOV → `<unk>`), so every count table is
+    * vocabulary-bounded — the property that makes the model join-able at
+    * corpus scale. Context denominators are exact marginals of their
+    * numerator tables (c(w1w2·) = Σ_w3 c(w1w2w3)), so seen branches are
+    * true relative frequencies. Per-doc score = −(1/n) Σ ln S over the
+    * doc's n trigram occurrences (docs under 3 tokens drop).
+    *
+    * Determinism: same 1e9-scaled-integer ln-term contract as
+    * [[bigramCrossEntropy]]. Scale: token mapping is a broadcast join
+    * against the V-row vocab; trigram/bigram streams come from two
+    * `lead()` windows partitioned by doc (one shuffle on the doc key);
+    * model joins are hash joins on ≤V³/≤V²/≤V keys; scalars broadcast.
+    *
+    * Output: `doc_id`, `n_trigrams`, `xent_nats`.
+    */
+  def stupidBackoffXent(docs: DataFrame, idCol: String, textCol: String,
+      train: DataFrame, trainTextCol: String,
+      vocabSize: Int = 2000, alpha: Double = 0.4): DataFrame = {
+    val vocab = topVocab(train, trainTextCol, vocabSize)
+
+    // (doc, pos, mapped token) stream — OOV → <unk> via broadcast join
+    def mapped(df: DataFrame, id: Column, text: String): DataFrame =
+      df.select(id.alias("__id"),
+          posexplode(toks(text)).as(Seq("pos", "tok0")))
+        .join(broadcast(vocab.withColumnRenamed("tok", "__v")),
+          col("tok0") === col("__v"), "left")
+        .select(col("__id"), col("pos"),
+          coalesce(col("__v"), lit("<unk>")).alias("w"))
+
+    // per-doc trigram stream via two lead() windows (one shuffle on doc)
+    def trigrams(stream: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
+      stream
+        .select(col("__id"), col("w").alias("w1"),
+          lead(col("w"), 1).over(w).alias("w2"),
+          lead(col("w"), 2).over(w).alias("w3"))
+        .filter(col("w3").isNotNull)
+    }
+
+    // per-row train ids: only adjacency WITHIN a row matters, so any
+    // unique id works — counts are id-invariant (each row contributes its
+    // own trigrams regardless of id values or partitioning)
+    val trainS = mapped(
+      train.withColumn("__rid", monotonically_increasing_id()),
+      col("__rid"), trainTextCol)
+
+    val tri = trigrams(trainS)
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).alias("c3"))
+    val triCtx = tri.groupBy("w1", "w2").agg(sum(col("c3")).alias("c3ctx"))
+    val wb = Window.partitionBy(col("__id")).orderBy(col("pos"))
+    val bi = trainS
+      .select(col("__id"), col("w").alias("u"),
+        lead(col("w"), 1).over(wb).alias("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("u", "v").agg(count(lit(1)).alias("c2"))
+    val biCtx = bi.groupBy("u").agg(sum(col("c2")).alias("c2ctx"))
+    val uni = trainS.groupBy(col("w").alias("w3"))
+      .agg(count(lit(1)).alias("c1"))
+    val scalars = trainS.agg(count(lit(1)).alias("nn"))
+      .crossJoin(broadcast(vocab.agg(count(lit(1)).alias("vv"))))
+
+    val docTri = trigrams(mapped(docs, col(idCol), textCol))
+      .groupBy(col("__id").alias("doc_id"),
+        col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).alias("m"))
+
+    val joined = docTri
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(triCtx, Seq("w1", "w2"), "left")
+      .join(bi.withColumnRenamed("u", "w2").withColumnRenamed("v", "w3"),
+        Seq("w2", "w3"), "left")
+      .join(biCtx.withColumnRenamed("u", "w2"), Seq("w2"), "left")
+      .join(uni, Seq("w3"), "left")
+      .crossJoin(broadcast(scalars))
+    val s = when(coalesce(col("c3"), lit(0L)) > 0,
+        col("c3").cast("double") / col("c3ctx").cast("double"))
+      .when(coalesce(col("c2"), lit(0L)) > 0,
+        lit(alpha) * col("c2").cast("double") / col("c2ctx").cast("double"))
+      .otherwise(lit(alpha * alpha) *
+        (coalesce(col("c1"), lit(0L)) + lit(1)).cast("double") /
+        (col("nn") + col("vv") + lit(1)).cast("double"))
+    joined
+      .select(col("doc_id"), col("m"),
+        round(log(s) * lit(1e9), 0).cast("long").alias("__t"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).alias("n_trigrams"),
+        sum(col("m") * col("__t")).alias("__s"))
+      .select(col("doc_id"), col("n_trigrams"),
+        (-(col("__s").cast("double") / lit(1e9)) /
+          col("n_trigrams").cast("double")).alias("xent_nats"))
   }
 }

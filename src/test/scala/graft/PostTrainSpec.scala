@@ -176,6 +176,89 @@ class PostTrainSpec extends AnyFunSuite {
     assert(run(1) === run(13))
   }
 
+  // --- Lm.stupidBackoffXent --------------------------------------------
+
+  // train: trigrams (a,b,c)x2 (b,c,d); bigrams (a,b)x2 (b,c)x3 (c,d);
+  // uni a:2 b:3 c:3 d:1, N=9, V=4
+  private def sbTrain = Seq((1L, "a b c"), (2L, "a b c"), (3L, "b c d"))
+    .toDF("doc_id", "text")
+
+  private def sbScore(text: String): Double =
+    ext.Lm.stupidBackoffXent(
+      Seq((9L, text)).toDF("doc_id", "text"), "doc_id", "text",
+      sbTrain, "text", vocabSize = 10)
+      .collect().head.getAs[Double]("xent_nats")
+
+  test("stupid backoff: seen trigram branch is the exact relative frequency") {
+    // (a,b,c): c3=2, c3ctx(a,b)=2 → S=1 → xent 0
+    assert(math.abs(sbScore("a b c")) < 1e-9)
+  }
+
+  test("stupid backoff: bigram backoff applies alpha once") {
+    // (<unk>,b,c): tri unseen; bigram (b,c) 3/3 → S=0.4
+    assert(math.abs(sbScore("x b c") - (-math.log(0.4))) < 1e-8)
+  }
+
+  test("stupid backoff: unigram floor applies alpha^2 and add-one") {
+    // (c,a,d): tri unseen, bigram (a,d) unseen → 0.16*(1+1)/(9+4+1)
+    val want = -math.log(0.4 * 0.4 * 2.0 / 14.0)
+    assert(math.abs(sbScore("c a d") - want) < 1e-8)
+  }
+
+  test("stupid backoff: vocabulary cap folds OOV into <unk> consistently") {
+    // vocabSize=2 → vocab {b,c}; train maps to "<unk> b c"x2, "b c <unk>"
+    // → scored "a b c" maps to (<unk>,b,c): seen twice, ctx 2 → xent 0
+    val got = ext.Lm.stupidBackoffXent(
+      Seq((9L, "a b c")).toDF("doc_id", "text"), "doc_id", "text",
+      sbTrain, "text", vocabSize = 2)
+      .collect().head.getAs[Double]("xent_nats")
+    assert(math.abs(got) < 1e-9)
+  }
+
+  test("stupid backoff is partitioning-invariant") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    def run(n: Int) = ext.Lm.stupidBackoffXent(
+        docs.repartition(n), "doc_id", "text",
+        docs.repartition(n), "text", vocabSize = 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(run(1) === run(7))
+  }
+
+  // --- Curate.curriculumOrder ------------------------------------------
+
+  test("curriculumOrder: tiers are score-monotone, positions dense, seed permutes") {
+    val scored = (1 to 80).map(i => (i.toLong, s"g${i % 2}", i * 0.01))
+      .toDF("id", "grp", "difficulty")
+    val out = ext.Curate.curriculumOrder(scored, "id", "grp", "difficulty",
+      buckets = 4).collect()
+    val byGroup = out.groupBy(_.getAs[String]("grp"))
+    byGroup.values.foreach { rows =>
+      // every bucket-b score <= every bucket-(b+1) score
+      val byBucket = rows.groupBy(_.getAs[Long]("bucket"))
+      assert(byBucket.keySet === Set(1L, 2L, 3L, 4L))
+      (1L to 3L).foreach { b =>
+        val maxB = byBucket(b).map(_.getAs[Double]("difficulty")).max
+        val minN = byBucket(b + 1).map(_.getAs[Double]("difficulty")).min
+        assert(maxB <= minN)
+      }
+      // dense 0..n-1 positions per bucket
+      byBucket.values.foreach { br =>
+        assert(br.map(_.getAs[Long]("curriculum_pos")).sorted.toSeq ===
+          (0L until br.length).toSeq)
+      }
+    }
+    // a different seed keeps bucket membership, permutes intra-bucket order
+    val out2 = ext.Curate.curriculumOrder(scored, "id", "grp", "difficulty",
+      buckets = 4, seed = "7").collect()
+    def buckets(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getAs[Long]("id") -> r.getAs[Long]("bucket")).toMap
+    def positions(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => r.getAs[Long]("id") -> r.getAs[Long]("curriculum_pos")).toMap
+    assert(buckets(out) === buckets(out2))
+    assert(positions(out) !== positions(out2))
+  }
+
   // --- Similarity.hardNegatives ----------------------------------------
 
   private def labeled = Seq(

@@ -2267,6 +2267,15 @@ object SparkEntry {
         d.filter(col("doc_id") % 10 < 8), "text", vocabSize = 500)
     },
 
+    // contrastive prep at scale: the same triplet mining over sign-LSH
+    // bucket candidates (candidateK=50) instead of the cross product —
+    // the oracled scale twin of q_hard_negatives
+    "q_hard_negatives_lsh" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      ext.Similarity.hardNegativesLsh(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", "label", k = 5)
+    },
+
     // curriculum schedule: bigram-LM difficulty → per-source quartile
     // tiers (easy first) → deterministic md5 shuffle within tier; both
     // windows keyed by source, never a global sort
@@ -2359,7 +2368,11 @@ object SparkEntry {
     * `list_dot_product` matches the native left-fold accumulation bitwise,
     * so bucket signs (dot >= 0) agree exactly.
     */
-  private lazy val knnLshOracle: String = {
+  /** Shared WITH-prefix for the sign-LSH oracles: seeded hyperplanes as
+    * literals, per-table buckets, 1-bit-flip probes, distinct candidate
+    * pairs, rounded cosines — everything through the `scored` CTE.
+    */
+  private lazy val lshScoredPrefix: String = {
     val tables = 8; val bits = 6
     def planeLit(p: Seq[Double]) = p.mkString("[", ", ", "]")
     def bucketExpr(t: Int): String = {
@@ -2388,13 +2401,50 @@ object SparkEntry {
        |scored AS (SELECT cand.q_id, cand.n_id,
        |                  round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS sim
        |           FROM cand JOIN n q ON q.vec_id = cand.q_id
-       |           JOIN n c ON c.vec_id = cand.n_id),
+       |           JOIN n c ON c.vec_id = cand.n_id)""".stripMargin
+  }
+
+  private lazy val knnLshOracle: String =
+    s"""$lshScoredPrefix,
        |ranked AS (SELECT q_id, n_id, sim,
        |                  CAST(row_number() OVER (PARTITION BY q_id
        |                    ORDER BY sim DESC, n_id) AS INTEGER) AS rnk
        |           FROM scored)
        |SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= 5""".stripMargin
-  }
+
+  /** q_hard_negatives_lsh: the LSH `scored` frame capped to the top-50
+    * candidates per query (the `ck` CTE replays lshTopK's candidateK
+    * rank cap exactly) feeding the identical label-split windows as the
+    * exact path.
+    */
+  private lazy val hardNegativesLshOracle: String =
+    s"""$lshScoredPrefix,
+       |ck AS (SELECT q_id, n_id, sim FROM
+       |         (SELECT q_id, n_id, sim,
+       |            row_number() OVER (PARTITION BY q_id
+       |              ORDER BY sim DESC, n_id) AS cr
+       |          FROM scored)
+       |       WHERE cr <= 50),
+       |el AS (SELECT vec_id, label FROM embeddings),
+       |sl AS (SELECT ck.q_id, ck.n_id, ck.sim,
+       |              ql.label AS q_lab, nl.label AS n_lab
+       |       FROM ck JOIN el ql ON ql.vec_id = ck.q_id
+       |               JOIN el nl ON nl.vec_id = ck.n_id),
+       |pos AS (SELECT q_id, n_id AS pos_id, sim AS pos_sim
+       |        FROM (SELECT q_id, n_id, sim,
+       |                row_number() OVER (PARTITION BY q_id
+       |                  ORDER BY sim DESC, n_id) AS r
+       |              FROM sl WHERE n_lab = q_lab)
+       |        WHERE r = 1),
+       |negs AS (SELECT q_id, n_id AS neg_id, sim AS neg_sim, neg_rank
+       |         FROM (SELECT q_id, n_id, sim,
+       |                 CAST(row_number() OVER (PARTITION BY q_id
+       |                   ORDER BY sim DESC, n_id) AS BIGINT) AS neg_rank
+       |               FROM sl WHERE n_lab <> q_lab)
+       |         WHERE neg_rank <= 5)
+       |SELECT negs.q_id, pos_id, pos_sim, neg_id, neg_sim, neg_rank,
+       |       (neg_sim < pos_sim AND neg_sim + 0.05 > pos_sim) AS semi_hard
+       |FROM negs JOIN pos ON pos.q_id = negs.q_id""".stripMargin
 
   /** Generated DuckDB oracle for q_pagerank — the same nation-trade edge
     * derivation, then each PageRank iteration unrolled as its own CTE
@@ -3058,6 +3108,7 @@ object SparkEntry {
         |SELECT idx, COUNT(*) AS cnt FROM cells GROUP BY idx""".stripMargin,
 
     "q_knn_lsh" -> knnLshOracle,
+    "q_hard_negatives_lsh" -> hardNegativesLshOracle,
     "q_embed_neardup_lsh" -> embedNearDupLshOracle,
     "q_margin_align_lsh" -> marginAlignLshOracle,
     "q_text_script" -> textScriptOracle,

@@ -773,7 +773,16 @@ object Similarity {
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("sim",
         round(dot(col("vq"), col("vn")) / (col("nq") * col("nn")), 4))
+    labelSplitTriplets(scored, k, margin)
+  }
 
+  /** Shared tail of the hard-negative miners: split a labeled scored
+    * frame (q_id, n_id, sim, q_lab, n_lab) into the top-1 same-label
+    * positive and top-k different-label negatives with the semi-hard
+    * band flag. Windows are per-query-parallel; tie-breaks total orders.
+    */
+  private def labelSplitTriplets(scored: DataFrame, k: Int,
+      margin: Double): DataFrame = {
     val pos = scored.filter(col("n_lab") === col("q_lab"))
       .groupBy(col("q_id"))
       .agg(max_by(struct(col("n_id"), col("sim")),
@@ -794,5 +803,29 @@ object Similarity {
         col("neg_id"), col("neg_sim"), col("neg_rank").cast("long"),
         (col("neg_sim") < col("pos_sim") &&
           col("neg_sim") + lit(margin) > col("pos_sim")).alias("semi_hard"))
+  }
+
+  /** The 100 TB path for [[hardNegatives]]: candidates come from the
+    * sign-LSH bucket join ([[lshTopK]] with an oversampled `candidateK`)
+    * instead of the full cross product, then the identical label split +
+    * semi-hard math runs over the retrieved frame. Positives/negatives
+    * outside the candidate set are missed — the standard ANN trade,
+    * quantified by the recall the LSH family's oracles already pin
+    * (`q_ann_recall` pattern). Same output schema as [[hardNegatives]].
+    */
+  def hardNegativesLsh(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int,
+      margin: Double = 0.05, dim: Int = 64, tables: Int = 8,
+      bitsPerTable: Int = 6, candidateK: Int = 50): DataFrame = {
+    val cands = lshTopK(corpus, queries, idCol, vecCol, candidateK,
+      dim, tables, bitsPerTable)
+    val labs = corpus.select(col(idCol).alias("n_id"),
+      col(labelCol).alias("n_lab"))
+    val qlabs = queries.select(col(idCol).alias("q_id"),
+      col(labelCol).alias("q_lab"))
+    val scored = cands.select("q_id", "n_id", "sim")
+      .join(labs, Seq("n_id"))
+      .join(broadcast(qlabs), Seq("q_id"))
+    labelSplitTriplets(scored, k, margin)
   }
 }

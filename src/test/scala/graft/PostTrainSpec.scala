@@ -299,6 +299,29 @@ class PostTrainSpec extends AnyFunSuite {
     assert(out === Map(2L -> true, 3L -> false))
   }
 
+  test("hardNegativesLsh tracks the exact path on real embeddings") {
+    val e = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 10)
+    val exact = ext.Similarity.hardNegatives(e, q,
+      "vec_id", "embedding", "label", k = 5)
+    val approx = ext.Similarity.hardNegativesLsh(e, q,
+      "vec_id", "embedding", "label", k = 5)
+    def negs(df: org.apache.spark.sql.DataFrame) = df
+      .select("q_id", "neg_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (ex, ap) = (negs(exact), negs(approx))
+    assert(ap.nonEmpty)
+    val recall = ex.intersect(ap).size.toDouble / ex.size
+    assert(recall >= 0.5, s"LSH triplet recall $recall")
+    // an approximate positive can never beat the exact one
+    val exPos = exact.select("q_id", "pos_sim").distinct().collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    approx.select("q_id", "pos_sim").distinct().collect().foreach { r =>
+      assert(r.getDouble(1) <= exPos(r.getLong(0)) + 1e-12)
+    }
+  }
+
   test("hardNegatives: queries with no same-label partner drop out") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 7), // lone label

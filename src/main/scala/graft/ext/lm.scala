@@ -36,12 +36,18 @@ object Lm {
 
   private def toks(textCol: String): Column = split(col(textCol), " ")
 
-  /** Per-row (w1, w2) bigram pairs as an array of "w1 w2" structs. */
+  /** Per-row (w1, w2) bigram pairs as an array of "w1 w2" structs.
+    * Sub-2-token rows yield an EMPTY array — the `when` guard matters:
+    * `sequence(0, size-2)` runs DESCENDING for size < 2 and the negative
+    * index would throw under ANSI (caught by PostTrainProps).
+    */
   private def bigrams(textCol: String): Column = {
     val t = toks(textCol)
-    transform(sequence(lit(0), size(t) - 2), i =>
+    val pairs = transform(sequence(lit(0), size(t) - 2), i =>
       struct(element_at(t, i + 1).alias("w1"),
         element_at(t, i + 2).alias("w2")))
+    when(size(t) >= 2, pairs)
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
   }
 
   /** Train-split model tables: bigram counts, left-context counts, and

@@ -1,0 +1,209 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+
+/** ScalaCheck properties for the post-training / LM family: each Spark
+  * operator vs an executable in-memory Scala spec over generated inputs.
+  * Samples run one Spark job each, so counts stay small.
+  */
+object PostTrainProps extends Properties("posttrain") {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- renderTemplate ---------------------------------------------------
+
+  private case class Turn(idx: Int, role: String, content: String)
+
+  private val turnGen: Gen[Turn] = for {
+    idx <- Gen.choose(1, 20)
+    role <- Gen.oneOf("user", "assistant", "system")
+    content <- Gen.listOfN(6,
+      Gen.frequency(5 -> Gen.alphaNumChar, 1 -> Gen.const(' ')))
+      .map(_.mkString)
+  } yield Turn(idx, role, content)
+
+  private val convGen: Gen[List[Turn]] =
+    Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, turnGen))
+
+  propertyWithSeed("renderTemplate: masks cut assistant contents exactly", None) =
+    forAll(Gen.listOfN(3, convGen)) { convs =>
+      val rows = convs.zipWithIndex.flatMap { case (ts, c) =>
+        ts.map(t => (c.toLong, t.idx, t.role, t.content))
+      }
+      if (rows.isEmpty) true
+      else {
+        val out = ext.Chat.renderTemplate(
+            rows.toDF("conv", "idx", "role", "content"),
+            "conv", "idx", "role", "content")
+          .collect().map(r => r.getAs[Long]("conv_id") -> r).toMap
+        convs.zipWithIndex.forall { case (ts, c) =>
+          val sorted = ts.map(t => (t.idx.toLong, t.role, t.content)).sorted
+          val text = sorted.map { case (_, r, ct) => s"<|$r|>$ct<|end|>" }
+            .mkString
+          val row = out(c.toLong)
+          val starts = row.getAs[String]("mask_starts")
+          val lens = row.getAs[String]("mask_lens")
+          val cuts =
+            if (starts.isEmpty) Seq.empty[String]
+            else starts.split(",").map(_.toInt)
+              .zip(lens.split(",").map(_.toInt))
+              .map { case (s, l) => text.substring(s, s + l) }.toSeq
+          val wantCuts = sorted.collect { case (_, "assistant", ct) => ct }
+          row.getAs[String]("text") == text &&
+            cuts == wantCuts &&
+            row.getAs[Long]("n_turns") == ts.length.toLong &&
+            row.getAs[Long]("n_masked") == wantCuts.length.toLong
+        }
+      }
+    }
+
+  // --- preferencePairs --------------------------------------------------
+
+  private val respGen: Gen[(Int, Double)] = for {
+    prompt <- Gen.choose(0, 4)
+    score <- Gen.oneOf(0.0, 0.25, 0.5, 0.5, 1.0) // ties likely
+  } yield (prompt, score)
+
+  propertyWithSeed("preferencePairs == naive extremes with tie-breaks", None) =
+    forAll(Gen.listOf(respGen), Gen.oneOf(0.0, 0.3)) { (rs, m) =>
+      val rows = rs.zipWithIndex.map { case ((p, s), i) => (p, i.toLong, s) }
+      if (rows.isEmpty) true
+      else {
+        val got = ext.Chat.preferencePairs(
+            rows.toDF("prompt", "resp", "score"), "prompt", "resp", "score", m)
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(3),
+            r.getLong(6))).toSet
+        val want = rows.groupBy(_._1).flatMap { case (p, g) =>
+          val chosen = g.minBy(r => (-r._3, r._2))
+          val rejected = g.minBy(r => (r._3, r._2))
+          if (chosen._3 - rejected._3 >= m)
+            Some((p, chosen._2, rejected._2, g.size.toLong))
+          else None
+        }.toSet
+        got == want
+      }
+    }
+
+  // --- groupAdvantage ---------------------------------------------------
+
+  propertyWithSeed("groupAdvantage == naive z-scores from exact moments", None) =
+    forAll(Gen.listOf(for {
+      p <- Gen.choose(0, 3)
+      cents <- Gen.choose(-50000, 50000)
+    } yield (p, cents / 100.0))) { rs =>
+      val rows = rs.zipWithIndex.map { case ((p, r), i) => (p, i.toLong, r) }
+      if (rows.isEmpty) true
+      else {
+        val got = ext.Chat.groupAdvantage(
+            rows.toDF("prompt", "resp", "reward"), "prompt", "resp", "reward",
+            scale = 100L)
+          .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+        val want = rows.groupBy(_._1).flatMap { case (_, g) =>
+          val qs = g.map(r => r._2 ->
+            BigDecimal(r._3 * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+              .toLong)
+          val n = qs.size.toDouble
+          val s1 = qs.map(_._2).sum
+          val s2 = qs.map(q => BigInt(q._2) * BigInt(q._2)).sum
+          val mean = s1.toDouble / n
+          val variance = (s2.toDouble - s1.toDouble * s1.toDouble / n) / n
+          val std = math.sqrt(if (variance > 0) variance else 0.0)
+          qs.map { case (id, q) =>
+            id -> (if (std > 0) (q.toDouble - mean) / std else 0.0)
+          }
+        }
+        got == want
+      }
+    }
+
+  // --- bigram LM --------------------------------------------------------
+
+  private val docGen: Gen[String] =
+    Gen.choose(0, 7).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+
+  private def round9(x: Double): Long =
+    BigDecimal(x * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  propertyWithSeed("bigramCrossEntropy == naive add-one LM", None) =
+    forAll(Gen.listOfN(6, docGen), Gen.listOfN(4, docGen)) { (train, score) =>
+      def toks(s: String) = s.split(" ", -1).toSeq
+      val trainBg = train.flatMap(t => toks(t).sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))))
+      val c12 = trainBg.groupBy(identity).map { case (k, v) => k -> v.size }
+      val cctx = trainBg.groupBy(_._1).map { case (k, v) => k -> v.size }
+      val v = train.flatMap(toks).distinct.size
+      val want = score.zipWithIndex.flatMap { case (d, i) =>
+        val bgs = toks(d).sliding(2).filter(_.size == 2)
+          .map(p => (p(0), p(1))).toSeq
+        if (bgs.isEmpty) None
+        else {
+          val s = bgs.map { b =>
+            round9(math.log((c12.getOrElse(b, 0) + 1).toDouble /
+              (cctx.getOrElse(b._1, 0) + v).toDouble))
+          }.sum
+          Some(i.toLong -> (-(s.toDouble / 1e9) / bgs.size.toDouble))
+        }
+      }.toMap
+      val got = ext.Lm.bigramCrossEntropy(
+          score.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+            .toDF("doc_id", "text"), "doc_id", "text",
+          train.toDF("text"), "text")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      got == want
+    }
+
+  // --- stupid backoff ---------------------------------------------------
+
+  propertyWithSeed("stupidBackoffXent == naive backoff LM", None) =
+    forAll(Gen.listOfN(5, docGen), Gen.listOfN(3, docGen),
+      Gen.choose(2, 6)) { (train, score, vcap) =>
+      def toks(s: String) = s.split(" ", -1).toSeq
+      val counts = train.flatMap(toks).groupBy(identity)
+        .map { case (k, g) => k -> g.size }
+      val vocab = counts.toSeq.sortBy { case (t, c) => (-c, t) }
+        .take(vcap).map(_._1).toSet
+      def m(w: String) = if (vocab(w)) w else "<unk>"
+      def grams(d: String, n: Int) = toks(d).map(m)
+        .sliding(n).filter(_.size == n).map(_.toList).toSeq
+      val tri = train.flatMap(grams(_, 3)).groupBy(identity)
+        .map { case (k, g) => k -> g.size }
+      val triCtx = tri.groupBy(_._1.take(2)).map { case (k, g) =>
+        k -> g.values.sum }
+      val bi = train.flatMap(grams(_, 2)).groupBy(identity)
+        .map { case (k, g) => k -> g.size }
+      val biCtx = bi.groupBy(_._1.take(1)).map { case (k, g) =>
+        k -> g.values.sum }
+      val uni = train.flatMap(t => toks(t).map(m)).groupBy(identity)
+        .map { case (k, g) => k -> g.size }
+      val nn = train.map(t => toks(t).size).sum
+      val vv = vocab.size
+      val want = score.zipWithIndex.flatMap { case (d, i) =>
+        val ts = grams(d, 3)
+        if (ts.isEmpty) None
+        else {
+          val s = ts.map { t =>
+            val sVal =
+              if (tri.getOrElse(t, 0) > 0)
+                tri(t).toDouble / triCtx(t.take(2)).toDouble
+              else if (bi.getOrElse(t.drop(1), 0) > 0)
+                0.4 * bi(t.drop(1)).toDouble / biCtx(t.slice(1, 2)).toDouble
+              else
+                0.4 * 0.4 * (uni.getOrElse(t(2), 0) + 1).toDouble /
+                  (nn + vv + 1).toDouble
+            round9(math.log(sVal))
+          }.sum
+          Some(i.toLong -> (-(s.toDouble / 1e9) / ts.size.toDouble))
+        }
+      }.toMap
+      val got = ext.Lm.stupidBackoffXent(
+          score.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+            .toDF("doc_id", "text"), "doc_id", "text",
+          train.toDF("text"), "text", vocabSize = vcap)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      got == want
+    }
+}

@@ -50,8 +50,13 @@ object Lm {
       .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
   }
 
-  /** Train-split model tables: bigram counts, left-context counts, and
-    * the vocabulary size as a 1-row frame.
+  /** Train-split model tables: bigram counts `(w1, w2, c12)`,
+    * left-context counts `(w1, cctx)`, and unigram vocabulary counts
+    * `(w, cw)` — three COUNT tables, which is exactly what makes the
+    * model incrementally maintainable: counts from a new ingest batch
+    * ADD ([[mergeBigramModel]]), no retrain pass over the accumulated
+    * corpus (the law `model(a ∪ b) == merge(model(a), model(b))` is
+    * pinned in PostTrainSpec).
     */
   def bigramModel(train: DataFrame, textCol: String)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -59,9 +64,41 @@ object Lm {
       .select(col("b.w1"), col("b.w2"))
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).alias("c12"))
     val cctx = bg.groupBy("w1").agg(count(lit(1)).alias("cctx"))
-    val v = train.select(explode(toks(textCol)).alias("w"))
-      .agg(count_distinct(col("w")).alias("v"))
-    (c12, cctx, v)
+    val uni = train.select(explode(toks(textCol)).alias("w"))
+      .groupBy("w").agg(count(lit(1)).alias("cw"))
+    (c12, cctx, uni)
+  }
+
+  /** Merge two bigram models by summing counts — the incremental-ingest
+    * path: train once, fold each day's batch in with three full-outer
+    * count merges (each keyed, partial-aggregable, vocabulary-bounded).
+    */
+  def mergeBigramModel(
+      a: (DataFrame, DataFrame, DataFrame),
+      b: (DataFrame, DataFrame, DataFrame))
+      : (DataFrame, DataFrame, DataFrame) = {
+    def merge(x: DataFrame, y: DataFrame, keys: Seq[String],
+        cnt: String): DataFrame =
+      x.withColumnRenamed(cnt, "__a")
+        .join(y.withColumnRenamed(cnt, "__b"), keys, "full_outer")
+        .select(keys.map(col) :+
+          (coalesce(col("__a"), lit(0L)) + coalesce(col("__b"), lit(0L)))
+            .alias(cnt): _*)
+    (merge(a._1, b._1, Seq("w1", "w2"), "c12"),
+      merge(a._2, b._2, Seq("w1"), "cctx"),
+      merge(a._3, b._3, Seq("w"), "cw"))
+  }
+
+  /** Score against precomputed model tables (train once / refresh
+    * incrementally, score every batch). V = the unigram table's row
+    * count, identical to the distinct-token count the one-shot path used.
+    */
+  def bigramCrossEntropyWithModel(docs: DataFrame, idCol: String,
+      textCol: String,
+      model: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val (c12, cctx, uni) = model
+    val v = uni.agg(count(lit(1)).alias("v"))
+    scoreBigrams(docs, idCol, textCol, c12, cctx, v)
   }
 
   /** Score `docs` under the add-one bigram model trained on `train`:
@@ -75,9 +112,12 @@ object Lm {
     * on this).
     */
   def bigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
-      train: DataFrame, trainTextCol: String): DataFrame = {
-    val (c12, cctx, v) = bigramModel(train, trainTextCol)
+      train: DataFrame, trainTextCol: String): DataFrame =
+    bigramCrossEntropyWithModel(docs, idCol, textCol,
+      bigramModel(train, trainTextCol))
 
+  private def scoreBigrams(docs: DataFrame, idCol: String, textCol: String,
+      c12: DataFrame, cctx: DataFrame, v: DataFrame): DataFrame = {
     // per-doc bigram multiplicities — group BEFORE the model join so the
     // join carries one row per distinct (doc, w1, w2), not per occurrence
     val docBg = docs

@@ -89,9 +89,15 @@ final class VersionedCatalog(spark: SparkSession, root: String) extends Catalog 
     readVersion(name, vs.last)
   }
 
-  /** Time travel: the table exactly as committed at `version`. */
+  /** Time travel: the table exactly as committed at `version`.
+    * `mergeSchema` makes schema evolution safe: an append carrying a new
+    * column widens the read schema (old rows backfill NULL) instead of
+    * the default first-footer behavior, which would silently DROP the
+    * new column; incompatible type changes still fail loudly at read.
+    */
   def readVersion(name: String, version: Long): DataFrame =
-    spark.read.parquet(chain(name, version).map(_.toString): _*)
+    spark.read.option("mergeSchema", "true")
+      .parquet(chain(name, version).map(_.toString): _*)
 
   private def commit(name: String, df: DataFrame, action: String): Long = {
     val rel = s"data/${java.util.UUID.randomUUID().toString.take(12)}"

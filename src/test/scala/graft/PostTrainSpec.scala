@@ -167,6 +167,22 @@ class PostTrainSpec extends AnyFunSuite {
     assert(fluent < junky)
   }
 
+  test("bigram LM: incremental model merge == full retrain (scores equal)") {
+    val docs = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val (a, b) = (docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+    val merged = ext.Lm.mergeBigramModel(
+      ext.Lm.bigramModel(a, "text"), ext.Lm.bigramModel(b, "text"))
+    val full = ext.Lm.bigramModel(docs, "text")
+    val score = docs.limit(20)
+    def xents(m: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame)) =
+      ext.Lm.bigramCrossEntropyWithModel(score, "doc_id", "text", m)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(xents(merged) === xents(full))
+  }
+
   test("bigram LM is partitioning-invariant (integer-summed terms)") {
     val docs = TestSpark.spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet").limit(40)

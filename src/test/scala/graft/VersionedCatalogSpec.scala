@@ -112,4 +112,20 @@ class VersionedCatalogSpec extends AnyFunSuite {
     assert(cat.readVersion("users", 0L).orderBy("k").collect()
       .map(r => (r.getInt(0), r.getString(1))) === Array((1, "a"), (2, "b")))
   }
+
+  test("schema evolution: an appended column widens the read, old rows NULL") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vschema").toString
+    val cat = new VersionedCatalog(spark, root)
+    cat.write("t", Seq((1, "a")).toDF("k", "v"))
+    // day-2 ingest carries a new quality-score column
+    cat.append("t", Seq((2, "b", 0.9)).toDF("k", "v", "score"))
+    val latest = cat.read("t")
+    assert(latest.columns.sorted.toSeq === Seq("k", "score", "v"))
+    val rows = latest.orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows === Array((1, "a", None), (2, "b", Some(0.9))))
+    // time travel to the pre-evolution snapshot keeps the narrow schema
+    assert(cat.readVersion("t", 0L).columns.sorted.toSeq === Seq("k", "v"))
+  }
 }

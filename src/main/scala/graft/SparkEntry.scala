@@ -1775,6 +1775,30 @@ object SparkEntry {
           hex(element_at(col("frames"), 2)).alias("frame1_hex"))
     },
 
+    // multimodal: image near-dup by 64-bit aHash (block-mean perceptual
+    // hash) — portable pixel-grid path (the real-codec ImageIO path is
+    // law-pinned equal in MultimodalSpec): each doc renders a 16×16
+    // luminance grid from its chars plus a one-char-perturbed twin, so
+    // near-dup pairs exist by construction; hashes pair via the SimHash
+    // 4×16 band machinery (pigeonhole-complete at maxHamming=3, so the
+    // all-pairs oracle is the exact contract)
+    "q_image_ahash" -> { (s, dir) =>
+      val d = read(s, dir, "documents").filter(length(col("text")) >= 10)
+      val v = d.select(col("doc_id"), explode(array(
+          struct(lit(0L).alias("k"), col("text").alias("t")),
+          struct(lit(1L).alias("k"),
+            expr("concat(substring(text, 1, 8), 'Z', substring(text, 10))")
+              .alias("t")))).alias("va"))
+        .select((col("doc_id") * 2 + col("va.k")).alias("img_id"),
+          col("va.t").alias("t"))
+      val pix = v.select(col("img_id"), expr(
+        "transform(sequence(0, 255), " +
+          "p -> ascii(substring(t, p % length(t) + 1, 1)))")
+        .alias("pix"))
+      val hashes = ext.Multimodal.aHashPortable(pix, "img_id", "pix", 16, 16)
+      ext.Multimodal.imageNearDupPairs(hashes, "img_id", maxHamming = 3)
+    },
+
     // as-of join: per event, the latest signup value at-or-before its
     // timestamp (Spark-composed union+window vs DuckDB's native ASOF JOIN)
     "q_asof_join" -> { (s, dir) =>
@@ -2267,6 +2291,18 @@ object SparkEntry {
         d.filter(col("doc_id") % 10 < 8), "text", vocabSize = 500)
     },
 
+    // in-engine-TRAINED quality filter: add-one multinomial Naive Bayes
+    // over a top-300 vocab (<unk>-bounded model tables), label =
+    // lang=='en', fit on the 80% split and scoring EVERY doc — train and
+    // score are one Spark plan; counts merge by addition for
+    // incremental refits (law in ClassifySpec)
+    "q_nb_classifier" -> { (s, dir) =>
+      val d = read(s, dir, "documents")
+      ext.Classify.naiveBayesClassify(d, "doc_id", "text",
+        d.filter(col("doc_id") % 10 < 8), "text", col("lang") === "en",
+        vocabSize = 300)
+    },
+
     // contrastive prep at scale: the same triplet mining over sign-LSH
     // bucket candidates (candidateK=50) instead of the cross product —
     // the oracled scale twin of q_hard_negatives
@@ -2296,6 +2332,20 @@ object SparkEntry {
     "q_grpo_advantage" -> ((s, dir) => ext.Chat.groupAdvantage(
       read(s, dir, "orders"), "o_custkey", "o_orderkey", "o_totalprice",
       scale = 100L)),
+
+    // post-training: PPO GAE advantages — TD residuals from exact-decimal
+    // arithmetic (2-dp rewards/values quantize exactly at scale=100),
+    // λ-discount as 9-decimal-rounded powers, 1e9-scaled integer sums;
+    // lineitem as (order = trajectory, linenumber = step), min-reduced
+    // first because the synthetic data repeats (orderkey, linenumber)
+    // and GAE requires unique steps
+    "q_gae_advantage" -> { (s, dir) =>
+      val steps = read(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(min(col("l_discount")).alias("r"), min(col("l_tax")).alias("v"))
+      ext.Chat.gaeAdvantage(steps, "l_orderkey", "l_linenumber",
+        "r", "v", scale = 100L)
+    },
 
     // SFT capstone composite: chat-template render → whitespace token
     // count → greedy contiguous shard packing within conv_id%8 groups —
@@ -3290,6 +3340,46 @@ object SparkEntry {
         |       CAST(CAST(SUM(f.fv) / 8 AS REAL) AS DOUBLE) AS r0
         |FROM f JOIN d ON d.id = f.id
         |GROUP BY d.id, d.modality""".stripMargin,
+
+    // aHash near-dup: 16×16 grids from chars (+1-char-perturbed twin),
+    // 8×8 block map (y*8//16)*8 + (x*8//16), IEEE mean compares, bit_or
+    // hash, then ALL-PAIRS Hamming≤3 (== the banded result by pigeonhole)
+    "q_image_ahash" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len
+        |           FROM documents WHERE length(text) >= 10),
+        |v AS (SELECT doc_id * 2 AS id, text, len FROM d
+        |      UNION ALL
+        |      SELECT doc_id * 2 + 1,
+        |             substr(text, 1, 8) || 'Z' || substr(text, 10), len
+        |      FROM d),
+        |pos AS (SELECT unnest(generate_series(0, 255)) AS p),
+        |px AS (SELECT id, p.p AS p,
+        |         ord(substr(text, CAST(p.p % len + 1 AS INTEGER), 1)) AS pv
+        |       FROM v, pos p),
+        |cells AS (SELECT id,
+        |            ((p // 16) * 8 // 16) * 8 + ((p % 16) * 8 // 16) AS b,
+        |            CAST(SUM(pv) AS BIGINT) AS s,
+        |            CAST(COUNT(*) AS BIGINT) AS n
+        |          FROM px GROUP BY 1, 2),
+        |tot AS (SELECT id, CAST(SUM(s) AS BIGINT) AS ts,
+        |               CAST(SUM(n) AS BIGINT) AS tn
+        |        FROM cells GROUP BY id),
+        |hb AS (SELECT cells.id,
+        |         CASE WHEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) >
+        |                   CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)
+        |              THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER)
+        |              ELSE CAST(0 AS HUGEINT) END AS bv
+        |       FROM cells JOIN tot USING (id)),
+        |hu AS (SELECT id, bit_or(bv) AS hh FROM hb GROUP BY id),
+        |hs AS (SELECT id,
+        |         CAST(CASE WHEN hh >= 9223372036854775808
+        |                   THEN hh - 18446744073709551616
+        |                   ELSE hh END AS BIGINT) AS ahash
+        |       FROM hu)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |       bit_count(xor(a.ahash, b.ahash)) AS hamming
+        |FROM hs a JOIN hs b ON b.id > a.id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin,
 
     // frame slicing over the payload bytes — the corpus is ASCII (the
     // q_rolling_hash oracle's ord-per-char fold proves char==byte), so
@@ -6521,6 +6611,60 @@ object SparkEntry {
         |         CAST(CAST(SUM(m) AS BIGINT) AS DOUBLE) AS xent_nats
         |FROM j GROUP BY doc_id""".stripMargin,
 
+    // Naive Bayes: top-V vocab + <unk> mapping as q_lm_backoff, per-class
+    // token counts, two separately-rounded 1e9-scaled ln terms per token,
+    // integer sums, prior added as the same scaled integer
+    "q_nb_classifier" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |              COALESCE(lang = 'en', FALSE) AS lab
+        |            FROM documents WHERE doc_id % 10 < 8),
+        |sc AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT unnest(generate_series(1, 4000)) AS i),
+        |vc AS (SELECT t[i.i] AS tok, COUNT(*) AS c
+        |       FROM tr, pos i WHERE i.i <= len(t) GROUP BY 1),
+        |vocab AS (SELECT tok FROM
+        |            (SELECT tok, row_number() OVER (ORDER BY c DESC, tok)
+        |               AS r FROM vc)
+        |          WHERE r <= 300),
+        |trm AS (SELECT doc_id, lab,
+        |          CASE WHEN t[i.i] IN (SELECT tok FROM vocab)
+        |               THEN t[i.i] ELSE '<unk>' END AS w
+        |        FROM tr, pos i WHERE i.i <= len(t)),
+        |ct AS (SELECT w,
+        |         CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(SUM(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS c0
+        |       FROM trm GROUP BY 1),
+        |sca AS (SELECT
+        |          CAST(SUM(CASE WHEN lab THEN len(t) ELSE 0 END) AS BIGINT) AS n1,
+        |          CAST(SUM(CASE WHEN lab THEN 0 ELSE len(t) END) AS BIGINT) AS n0,
+        |          CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |          CAST(SUM(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS d0,
+        |          (SELECT CAST(COUNT(*) AS BIGINT) + 1 FROM vocab) AS vv
+        |        FROM tr),
+        |scm AS (SELECT doc_id,
+        |          CASE WHEN t[i.i] IN (SELECT tok FROM vocab)
+        |               THEN t[i.i] ELSE '<unk>' END AS w
+        |        FROM sc, pos i WHERE i.i <= len(t)),
+        |dg AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS m
+        |       FROM scm GROUP BY 1, 2),
+        |j AS (SELECT dg.doc_id, dg.m,
+        |        CAST(round(ln(CAST(COALESCE(ct.c1, 0) + 1 AS DOUBLE) /
+        |          CAST(sca.n1 + sca.vv AS DOUBLE)) * 1000000000.0, 0) AS BIGINT)
+        |        - CAST(round(ln(CAST(COALESCE(ct.c0, 0) + 1 AS DOUBLE) /
+        |          CAST(sca.n0 + sca.vv AS DOUBLE)) * 1000000000.0, 0) AS BIGINT)
+        |          AS tt
+        |      FROM dg LEFT JOIN ct USING (w) CROSS JOIN sca),
+        |agg AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens,
+        |          CAST(SUM(m * tt) AS BIGINT) AS s
+        |        FROM j GROUP BY doc_id),
+        |pri AS (SELECT CAST(round(ln(CAST(d1 + 1 AS DOUBLE) /
+        |          CAST(d0 + 1 AS DOUBLE)) * 1000000000.0, 0) AS BIGINT) AS p
+        |        FROM sca)
+        |SELECT doc_id, n_tokens,
+        |       CAST(pri.p + agg.s AS DOUBLE) / 1000000000.0 AS log_odds,
+        |       (CAST(pri.p + agg.s AS DOUBLE) / 1000000000.0) > 0.0 AS pred
+        |FROM agg CROSS JOIN pri""".stripMargin,
+
     // GRPO advantages: exact integer moments (HUGEINT sum-of-squares =
     // the Spark DECIMAL(38,0) twin), one fixed-shape IEEE tail
     "q_grpo_advantage" ->
@@ -6550,6 +6694,42 @@ object SparkEntry {
         |            ELSE 0.0 END AS advantage,
         |       n_responses
         |FROM j""".stripMargin,
+
+    // GAE: lead() next-value window, exact-DECIMAL TD residuals, powers
+    // of 0.99*0.95 rounded to 9 decimals before the 1e9-scaled term
+    "q_gae_advantage" ->
+      """WITH st AS (SELECT l_orderkey, l_linenumber,
+        |               MIN(l_discount) AS r, MIN(l_tax) AS v
+        |             FROM lineitem GROUP BY 1, 2),
+        |base AS (SELECT l_orderkey AS traj_id,
+        |                CAST(l_linenumber AS BIGINT) AS t,
+        |                CAST(round(r * 100, 0) AS BIGINT) AS rq,
+        |                CAST(round(v * 100, 0) AS BIGINT) AS vq
+        |              FROM st),
+        |d AS (SELECT traj_id, t, rq,  vq,
+        |        COALESCE(lead(vq) OVER (PARTITION BY traj_id ORDER BY t),
+        |                 0) AS vnext
+        |      FROM base),
+        |dd AS (SELECT traj_id, t, rq,
+        |         CAST(rq AS DECIMAL(28,10))
+        |           + 0.99 * CAST(vnext AS DECIMAL(28,10))
+        |           - CAST(vq AS DECIMAL(28,10)) AS dq
+        |       FROM d),
+        |j AS (SELECT a.traj_id, a.t, a.rq,
+        |        CAST(round(round(pow(0.99 * 0.95,
+        |            CAST(b.t - a.t AS DOUBLE)), 9) *
+        |          (CAST(b.dq AS DOUBLE) / CAST(100 AS DOUBLE))
+        |          * 1000000000.0, 0) AS BIGINT) AS term,
+        |        CASE WHEN b.t = a.t
+        |             THEN CAST(b.dq AS DOUBLE) / CAST(100 AS DOUBLE)
+        |        END AS d0
+        |      FROM dd a JOIN dd b ON b.traj_id = a.traj_id
+        |        AND b.t >= a.t AND b.t <= a.t + 64)
+        |SELECT traj_id, t,
+        |       CAST(MAX(rq) AS DOUBLE) / CAST(100 AS DOUBLE) AS reward,
+        |       MAX(d0) AS delta,
+        |       CAST(SUM(term) AS DOUBLE) / 1000000000.0 AS advantage
+        |FROM j GROUP BY traj_id, t""".stripMargin,
 
     // SFT capstone: the q_chat_render CTE feeding whitespace token
     // counts into the q_pack_shards running-sum pack within conv_id%8

@@ -177,4 +177,82 @@ object Chat {
           .otherwise(lit(0.0)).alias("advantage"),
         col("n_responses"))
   }
+
+  /** Generalized Advantage Estimation (Schulman et al. 2016) — the PPO
+    * advantage shape, completing the RLHF prep family (SFT render /
+    * DPO pairs / GRPO z-scores / PPO GAE). Input: one row per
+    * (trajectory, step) with a reward and a value estimate; output adds
+    * the TD residual and the λ-discounted advantage
+    *
+    *   δ_t = r_t + γ·v_{t+1} − v_t          (v after the last step = 0)
+    *   A_t = Σ_{l=0..maxLag} (γλ)^l δ_{t+l}
+    *
+    * Determinism contract: rewards/values quantize to `scale`-scaled
+    * BIGINTs (exact for fixed-point inputs); δ is computed in exact
+    * DECIMAL against γ as a decimal literal; each (t, l) term rounds
+    * `round(pow(γλ, l), 9) · δ` to a 1e9-scaled BIGINT and sums as exact
+    * integers — the two-stage rounding insulates the one non-rational
+    * step (libm `pow`) from last-ulp divergence between engines, the
+    * same device as [[Sampling.temperatureMixture]].
+    *
+    * Scale: one `lead()` window per trajectory for v_{t+1} (one shuffle
+    * on the trajectory key), then a bounded self-join `t ≤ k ≤ t+maxLag`
+    * INSIDE the trajectory — pairs ≤ T·maxLag per trajectory, and the
+    * join key is the trajectory id so co-partitioning is free after the
+    * window shuffle. `maxLag` truncation is part of the contract (the
+    * oracle truncates identically); (γλ)^64 < 2e−2 of weight only for
+    * γλ→1 — pick maxLag ≥ horizon for exact GAE on short trajectories.
+    *
+    * Output: `(traj_id, t, reward, delta, advantage)`.
+    *
+    * Contract: `(trajCol, stepCol)` must be unique — a duplicated step
+    * makes the `lead()` successor (and therefore every δ downstream)
+    * order-dependent. Pre-reduce duplicate steps before calling.
+    */
+  def gaeAdvantage(df: DataFrame, trajCol: String, stepCol: String,
+      rewardCol: String, valueCol: String,
+      gamma: BigDecimal = BigDecimal("0.99"),
+      lam: BigDecimal = BigDecimal("0.95"),
+      scale: Long = 100L, maxLag: Int = 64): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    require(maxLag >= 0, "maxLag must be >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("traj_id")).orderBy(col("t"))
+    val base = df.select(
+      col(trajCol).alias("traj_id"),
+      col(stepCol).cast("long").alias("t"),
+      round(col(rewardCol).cast("double") * lit(scale), 0).cast("long")
+        .alias("rq"),
+      round(col(valueCol).cast("double") * lit(scale), 0).cast("long")
+        .alias("vq"))
+    // δ in scale-space, exact decimal: rq + γ·vnext − vq
+    val deltas = base
+      .withColumn("vnext", coalesce(lead(col("vq"), 1).over(w), lit(0L)))
+      .withColumn("dq",
+        col("rq").cast("decimal(28,10)") +
+          lit(gamma.underlying()) * col("vnext").cast("decimal(28,10)") -
+          col("vq").cast("decimal(28,10)"))
+    val gl = (gamma * lam).toDouble // one IEEE product, same in the oracle
+    val a = deltas.select(col("traj_id"), col("t"), col("rq"))
+    val b = deltas.select(col("traj_id").alias("__tr"),
+      col("t").alias("k"), col("dq"))
+    a.join(b, col("traj_id") === col("__tr") &&
+        col("k") >= col("t") && col("k") <= col("t") + lit(maxLag))
+      .select(col("traj_id"), col("t"), col("rq"),
+        round(round(pow(lit(gl), (col("k") - col("t")).cast("double")), 9) *
+          (col("dq").cast("double") / lit(scale).cast("double")) * lit(1e9),
+          0).cast("long").alias("__term"),
+        when(col("k") === col("t"),
+          col("dq").cast("double") / lit(scale).cast("double"))
+          .alias("__d0"))
+      .groupBy(col("traj_id"), col("t"))
+      .agg(first(col("rq")).alias("__rq"),
+        max(col("__d0")).alias("delta"),
+        sum(col("__term")).alias("__s"))
+      .select(col("traj_id"), col("t"),
+        (col("__rq").cast("double") / lit(scale).cast("double"))
+          .alias("reward"),
+        col("delta"),
+        (col("__s").cast("double") / lit(1e9)).alias("advantage"))
+  }
 }

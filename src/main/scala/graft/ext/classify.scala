@@ -1,0 +1,155 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** In-engine-trained multinomial Naive Bayes text classifier — the
+  * count-based sibling of the fastText/logistic quality filters used to
+  * gate pretraining corpora (GPT-3's reference-vs-crawl filter, CCNet's
+  * quality buckets). [[TextOps.linearScore]] applies a classifier whose
+  * weights arrive from outside; this one is TRAINED by the engine itself:
+  * the "fit" is two count aggregations over a labeled seed set, so the
+  * whole train→score loop is a Spark plan, replays in SQL, and — counts
+  * being counts — the model is incrementally maintainable by addition
+  * ([[Classify.mergeNaiveBayes]], the same fold-the-batch-in contract as
+  * [[Lm.mergeBigramModel]]).
+  *
+  * Model: add-one (Laplace) multinomial NB over a top-V vocabulary
+  * (OOV → `<unk>`, the same table-bounding device as
+  * [[Lm.stupidBackoffXent]] — every model table is ≤ V+1 rows no matter
+  * the corpus size).
+  *
+  *   log-odds(doc) = ln((d₁+1)/(d₀+1))
+  *                 + Σ_w m_w · [ln((c_w1+1)/(n₁+V')) − ln((c_w0+1)/(n₀+V'))]
+  *
+  * where c_wℓ = count of token w in class ℓ, n_ℓ = total tokens in class
+  * ℓ, d_ℓ = docs in class ℓ, V' = V+1 (the vocab plus `<unk>`), and m_w
+  * the token's multiplicity in the doc. Positive log-odds ⇒ class 1.
+  *
+  * Determinism contract: each per-token ln-term rounds to a 1e9-scaled
+  * BIGINT and sums as exact integers (order-independent under any
+  * partitioning); the prior adds as the same scaled integer; one
+  * fixed-shape closing division. Same contract as [[Lm]].
+  *
+  * Scale: the vocab map is a broadcast join against V rows; per-doc
+  * token multiplicities group BEFORE the model join (one row per
+  * distinct (doc, w), not per occurrence); the model join is a hash join
+  * on ≤ V+1 keys that AQE broadcasts; scalars are one-row broadcasts.
+  * Nothing is driver-side, and training is two shuffles (vocab count +
+  * token count) regardless of corpus size.
+  */
+object Classify {
+
+  /** Naive Bayes model as three small tables: the frozen vocabulary
+    * (`tok`), per-token class counts (`w, c1, c0`, ≤ V+1 rows), and the
+    * one-row scalars (`n1, n0, d1, d0`). All counts — merge by addition.
+    */
+  final case class NbModel(vocab: DataFrame, toks: DataFrame,
+      scalars: DataFrame)
+
+  private def toks(textCol: String): Column = split(col(textCol), " ")
+
+  /** (id?, w) token stream mapped through the frozen vocab, OOV →
+    * `<unk>`. Token COUNT is mapping-invariant, so class token totals
+    * can be computed from raw `size(split(...))`.
+    */
+  private def mapped(df: DataFrame, keep: Seq[Column], textCol: String,
+      vocab: DataFrame): DataFrame =
+    df.select(keep :+ explode(toks(textCol)).alias("__tok0"): _*)
+      .join(broadcast(vocab.withColumnRenamed("tok", "__v")),
+        col("__tok0") === col("__v"), "left")
+      .drop("__tok0")
+      .withColumn("w", coalesce(col("__v"), lit("<unk>")))
+      .drop("__v")
+
+  /** Train on a labeled seed set. `labelCol` is a boolean column over
+    * `train` (null-safe: null ⇒ class 0). Pass `vocab` to train under a
+    * PRE-FROZEN vocabulary — required when models from different batches
+    * will be merged (the merge law only holds for a shared vocab; at
+    * 100 TB the vocab is fit once on a reference sample and frozen).
+    */
+  def naiveBayesModel(train: DataFrame, textCol: String, labelCol: Column,
+      vocabSize: Int = 2000, vocab: Option[DataFrame] = None): NbModel = {
+    val v = vocab.getOrElse(Lm.topVocab(train, textCol, vocabSize))
+    val lab = coalesce(labelCol, lit(false)).alias("__lab")
+    val tokTable = mapped(train, Seq(lab), textCol, v)
+      .groupBy("w")
+      .agg(sum(when(col("__lab"), lit(1L)).otherwise(lit(0L))).alias("c1"),
+        sum(when(col("__lab"), lit(0L)).otherwise(lit(1L))).alias("c0"))
+    val scalars = train
+      .select(lab, size(toks(textCol)).cast("long").alias("__nt"))
+      .agg(sum(when(col("__lab"), col("__nt")).otherwise(lit(0L))).alias("n1"),
+        sum(when(col("__lab"), lit(0L)).otherwise(col("__nt"))).alias("n0"),
+        sum(when(col("__lab"), lit(1L)).otherwise(lit(0L))).alias("d1"),
+        sum(when(col("__lab"), lit(0L)).otherwise(lit(1L))).alias("d0"))
+    NbModel(v, tokTable, scalars)
+  }
+
+  /** Fold batch `b`'s counts into `a` — the incremental-ingest path.
+    * Both models MUST share the same frozen vocabulary (pass `vocab` to
+    * [[naiveBayesModel]]); `a`'s is kept. The law
+    * `model(x ∪ y, vocab) == merge(model(x, vocab), model(y, vocab))`
+    * is pinned in ClassifySpec.
+    */
+  def mergeNaiveBayes(a: NbModel, b: NbModel): NbModel = {
+    val toks = a.toks.withColumnRenamed("c1", "__a1")
+      .withColumnRenamed("c0", "__a0")
+      .join(b.toks.withColumnRenamed("c1", "__b1")
+        .withColumnRenamed("c0", "__b0"), Seq("w"), "full_outer")
+      .select(col("w"),
+        (coalesce(col("__a1"), lit(0L)) + coalesce(col("__b1"), lit(0L)))
+          .alias("c1"),
+        (coalesce(col("__a0"), lit(0L)) + coalesce(col("__b0"), lit(0L)))
+          .alias("c0"))
+    val scalars = a.scalars.crossJoin(
+        b.scalars.select(col("n1").alias("__n1"), col("n0").alias("__n0"),
+          col("d1").alias("__d1"), col("d0").alias("__d0")))
+      .select((col("n1") + col("__n1")).alias("n1"),
+        (col("n0") + col("__n0")).alias("n0"),
+        (col("d1") + col("__d1")).alias("d1"),
+        (col("d0") + col("__d0")).alias("d0"))
+    NbModel(a.vocab, toks, scalars)
+  }
+
+  /** Score `docs` under a trained model: per-document Naive Bayes
+    * log-odds and the positive-class decision. Output:
+    * `(doc_id, n_tokens, log_odds, pred)`.
+    */
+  def naiveBayesScore(docs: DataFrame, idCol: String, textCol: String,
+      model: NbModel): DataFrame = {
+    val vv = model.vocab.agg((count(lit(1)) + lit(1L)).alias("vv"))
+    val docToks = mapped(docs, Seq(col(idCol).alias("doc_id")), textCol,
+        model.vocab)
+      .groupBy("doc_id", "w").agg(count(lit(1)).alias("m"))
+    def term(c: Column, n: Column): Column =
+      round(log((coalesce(c, lit(0L)) + lit(1L)).cast("double") /
+        (n + col("vv")).cast("double")) * lit(1e9), 0).cast("long")
+    docToks
+      .join(model.toks, Seq("w"), "left")
+      .crossJoin(broadcast(model.scalars))
+      .crossJoin(broadcast(vv))
+      .select(col("doc_id"), col("m"),
+        (term(col("c1"), col("n1")) - term(col("c0"), col("n0")))
+          .alias("__t"))
+      .groupBy("doc_id")
+      .agg(sum(col("m")).alias("n_tokens"),
+        sum(col("m") * col("__t")).alias("__s"))
+      .crossJoin(broadcast(model.scalars.select(
+        round(log((col("d1") + lit(1L)).cast("double") /
+          (col("d0") + lit(1L)).cast("double")) * lit(1e9), 0)
+          .cast("long").alias("__p"))))
+      .select(col("doc_id"), col("n_tokens"),
+        ((col("__p") + col("__s")).cast("double") / lit(1e9))
+          .alias("log_odds"))
+      .withColumn("pred", col("log_odds") > lit(0.0))
+  }
+
+  /** Train-and-score in one call — the one-shot path the oracle replays:
+    * fit on `train` (label = `labelCol`), score every row of `docs`.
+    */
+  def naiveBayesClassify(docs: DataFrame, idCol: String, textCol: String,
+      train: DataFrame, trainTextCol: String, labelCol: Column,
+      vocabSize: Int = 2000): DataFrame =
+    naiveBayesScore(docs, idCol, textCol,
+      naiveBayesModel(train, trainTextCol, labelCol, vocabSize))
+}

@@ -565,15 +565,28 @@ object Dedup {
     // map pass, and the banded join's own Exchanges are reused — caching
     // would pin O(corpus) memory and leak across queries
     val sh = simHash64(df, idCol, textCol)
-    val banded = sh.select(col(idCol), col("simhash"),
+    bandedHammingPairs(sh, idCol, "simhash", maxHamming)
+  }
+
+  /** 4×16-bit band blocking + exact Hamming filter over any 64-bit
+    * signature column — the candidate machinery behind
+    * [[simHashNearDupPairs]] and [[Multimodal.imageNearDupPairs]].
+    * Pigeonhole guarantee: maxHamming ≤ 3 differing bits cannot touch
+    * all 4 bands, so at least one band collides and NO qualifying pair
+    * is missed — the banded result EQUALS all-pairs-Hamming≤3 (which is
+    * what the oracles assert). Emits (a_id, b_id, hamming).
+    */
+  private[ext] def bandedHammingPairs(hashes: DataFrame, idCol: String,
+      hashCol: String, maxHamming: Int): DataFrame = {
+    val banded = hashes.select(col(idCol), col(hashCol),
       posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)")))
+        s"transform(sequence(0, 3), b -> shiftright($hashCol, b * 16) & 65535)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     banded.alias("x").hint("shuffle_hash").join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").alias("a_id"), col(s"y.$idCol").alias("b_id"),
-        col("x.simhash").alias("ha"), col("y.simhash").alias("hb"))
+        col(s"x.$hashCol").alias("ha"), col(s"y.$hashCol").alias("hb"))
       .distinct()
       .withColumn("hamming", expr("bit_count(ha ^ hb)"))
       .filter(col("hamming") <= maxHamming)

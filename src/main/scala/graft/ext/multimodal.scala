@@ -209,6 +209,108 @@ object Multimodal {
          |    1 + i * greatest((length($payloadCol) - $frameBytes) div greatest($n - 1, 1), 0),
          |    $frameBytes))""".stripMargin))
 
+  // ---------------------------------------- image perceptual hash (aHash)
+
+  /** 64-bit average hash over a luminance grid — the classic image
+    * near-dup signature (aHash): partition the `w`×`h` grid into 8×8
+    * blocks (pixel (x,y) → block `(y*8 div h)*8 + (x*8 div w)` — the
+    * pixel→block map is THE cross-path contract, identical here, in
+    * [[aHashPortable]]'s SQL expressions, and in the oracle), set bit k
+    * iff block k's mean luminance exceeds the global mean. Means compare
+    * as one IEEE double division each (exact integer sums underneath),
+    * so the codec path and the SQL path agree bit-for-bit — the law
+    * MultimodalSpec pins. Blocks smaller than a pixel (w or h < 8) stay 0.
+    */
+  def aHash64(luma: Array[Long], w: Int, h: Int): Long = {
+    require(w > 0 && h > 0 && luma.length == w * h,
+      "luma must be a w*h row-major grid")
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var total = 0L
+    var p = 0
+    while (p < luma.length) {
+      val b = ((p / w) * 8 / h) * 8 + ((p % w) * 8 / w)
+      sums(b) += luma(p); cnts(b) += 1; total += luma(p)
+      p += 1
+    }
+    val n = w.toLong * h
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (cnts(k) > 0 &&
+        sums(k).toDouble / cnts(k) > total.toDouble / n) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** aHash of a REAL image payload (JDK ImageIO, like [[imageDecode]]):
+    * integer luminance `299·R + 587·G + 114·B` per pixel (scaled ×1000 —
+    * stays exact), then [[aHash64]]. Throws on undecodable bytes.
+    */
+  def imageAHash(payload: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val luma = new Array[Long](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        luma(y * w + x) = 299L * ((rgb >> 16) & 0xff) +
+          587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    aHash64(luma, w, h)
+  }
+
+  /** Engine-portable aHash over a luminance-array column — the SQL-
+    * replayable twin of [[imageAHash]] (same block map, same IEEE mean
+    * compares), for oracle checks and for pipelines whose decode step
+    * already produced pixel grids. Input: `(idCol, pixCol: array<int|
+    * long> row-major, w, h literals)`. Output: `(idCol, ahash)`.
+    *
+    * Scale: one posexplode (w·h rows per image), one two-level hash
+    * aggregate back to 64 then 1 rows per image — no shuffle wider than
+    * the pixel count, and `bit_or` keeps the recombine associative.
+    */
+  def aHashPortable(df: DataFrame, idCol: String, pixCol: String,
+      w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0, "w and h must be positive")
+    val cells = df
+      .select(col(idCol), posexplode(col(pixCol)).as(Seq("p", "v")))
+      .select(col(idCol),
+        expr(s"((p div $w) * 8 div $h) * 8 + ((p % $w) * 8 div $w)")
+          .alias("b"),
+        col("v").cast("long").alias("v"))
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(col("v")).alias("s"), count(lit(1)).alias("n"))
+    val totals = cells.groupBy(col(idCol))
+      .agg(sum(col("s")).alias("ts"), sum(col("n")).alias("tn"))
+    cells.join(totals, Seq(idCol))
+      .select(col(idCol),
+        when(col("s").cast("double") / col("n").cast("double") >
+            col("ts").cast("double") / col("tn").cast("double"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+          .otherwise(lit(0L)).alias("__bit"))
+      .groupBy(col(idCol))
+      .agg(expr("bit_or(__bit)").alias("ahash"))
+  }
+
+  /** Image near-dup pairs over any `(idCol, ahash)` frame: the same
+    * 4×16-bit band blocking + exact Hamming tail as SimHash
+    * ([[Dedup.bandedHammingPairs]] — maxHamming ≤ 3 keeps the pigeonhole
+    * completeness guarantee). Emits (a_id, b_id, hamming).
+    */
+  def imageNearDupPairs(hashes: DataFrame, idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    Dedup.bandedHammingPairs(hashes, idCol, "ahash", maxHamming)
+
   /** Build a demo multimodal dataset from the documents table (payload =
     * utf-8 text bytes) — exercises the full plumbing on driver testdata
     * without external media files.

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the in-engine-trained Naive Bayes quality classifier. */
+class ClassifySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Tiny labeled corpus: class 1 = "good", class 0 = "spam".
+  private def train = Seq(
+    (1L, "good clean prose here", true),
+    (2L, "more good clean text", true),
+    (3L, "buy buy buy now", false),
+    (4L, "spam spam buy now", false)
+  ).toDF("doc_id", "text", "lab")
+
+  test("naiveBayes: hand-computed log-odds on a two-doc score set") {
+    val model = ext.Classify.naiveBayesModel(train, "text", col("lab"),
+      vocabSize = 100)
+    val docs = Seq((10L, "good clean"), (11L, "buy spam")).toDF("doc_id", "text")
+    val out = ext.Classify.naiveBayesScore(docs, "doc_id", "text", model)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    // vocab = 9 distinct train tokens, vv = 10; n1 = n0 = 8 tokens so
+    // both denominators are 18; d1 = d0 = 2 so the prior ln(3/3) = 0.
+    def t(c1: Long, c0: Long): Long =
+      math.round(math.log((c1 + 1).toDouble / 18.0) * 1e9) -
+        math.round(math.log((c0 + 1).toDouble / 18.0) * 1e9)
+    // good: c1=2 c0=0; clean: c1=2 c0=0; buy: c1=0 c0=4; spam: c1=0 c0=2
+    val lo10 = (t(2, 0) + t(2, 0)).toDouble / 1e9
+    val lo11 = (t(0, 4) + t(0, 2)).toDouble / 1e9
+    assert(math.abs(out(10L).getAs[Double]("log_odds") - lo10) < 1e-12)
+    assert(math.abs(out(11L).getAs[Double]("log_odds") - lo11) < 1e-12)
+    assert(out(10L).getAs[Boolean]("pred"))
+    assert(!out(11L).getAs[Boolean]("pred"))
+    assert(out(10L).getAs[Long]("n_tokens") === 2L)
+  }
+
+  test("naiveBayes: OOV tokens map to <unk> and still score") {
+    val model = ext.Classify.naiveBayesModel(train, "text", col("lab"),
+      vocabSize = 100)
+    val docs = Seq((20L, "zzz qqq")).toDF("doc_id", "text")
+    val out = ext.Classify.naiveBayesScore(docs, "doc_id", "text", model)
+      .collect()
+    assert(out.length === 1)
+    // both tokens collapse to one <unk> row with m=2, c1=c0=0 → the two
+    // rounded terms cancel exactly; prior is 0 → log-odds exactly 0
+    assert(out.head.getAs[Double]("log_odds") === 0.0)
+    assert(out.head.getAs[Long]("n_tokens") === 2L)
+  }
+
+  test("naiveBayes: merged batch models == one-shot fit on the union") {
+    val a = train.filter(col("doc_id") <= 2)
+    val b = train.filter(col("doc_id") > 2)
+    val vocab = ext.Lm.topVocab(train, "text", 100)
+    val full = ext.Classify.naiveBayesModel(train, "text", col("lab"),
+      vocab = Some(vocab))
+    val merged = ext.Classify.mergeNaiveBayes(
+      ext.Classify.naiveBayesModel(a, "text", col("lab"), vocab = Some(vocab)),
+      ext.Classify.naiveBayesModel(b, "text", col("lab"), vocab = Some(vocab)))
+    val docs = Seq((30L, "good buy now"), (31L, "spam text")).toDF("doc_id", "text")
+    def scores(m: ext.Classify.NbModel) =
+      ext.Classify.naiveBayesScore(docs, "doc_id", "text", m)
+        .collect().map(r => (r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_tokens"), r.getAs[Double]("log_odds"))).toSet
+    assert(scores(full) === scores(merged))
+  }
+
+  test("naiveBayes: null labels count as class 0") {
+    val t2 = Seq((1L, "alpha beta", Some(true)), (2L, "gamma delta", None))
+      .toDF("doc_id", "text", "lab")
+    val model = ext.Classify.naiveBayesModel(t2, "text", col("lab"),
+      vocabSize = 100)
+    val sc = model.scalars.collect().head
+    assert(sc.getAs[Long]("d1") === 1L)
+    assert(sc.getAs[Long]("d0") === 1L)
+    assert(sc.getAs[Long]("n0") === 2L)
+  }
+}

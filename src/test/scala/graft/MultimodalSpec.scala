@@ -150,4 +150,71 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(mods == Set("image", "audio", "video"))
   }
+
+  // ---------------------------------------- image perceptual hash (aHash)
+
+  /** Deterministic pseudo-random gray levels for a w×h grid. */
+  private def grays(w: Int, h: Int, seed: Long): Array[Int] =
+    Array.tabulate(w * h) { p =>
+      (((seed + p) * 6364136223846793005L + 1442695040888963407L) >>> 56).toInt
+    }
+
+  private def pngBytes(gray: Array[Int], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (p <- gray.indices) {
+      val g = gray(p) & 0xff
+      img.setRGB(p % w, p / w, (g << 16) | (g << 8) | g)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("aHash: real PNG codec path == portable pixel-grid path") {
+    // gray pixel g decodes to luminance 1000·g (299g+587g+114g), a
+    // positive scaling — aHash is scale-invariant, so the codec hash
+    // must equal the portable hash of the RAW gray grid
+    for ((w, h, seed) <- Seq((16, 16, 1L), (20, 13, 2L), (64, 48, 3L))) {
+      val g = grays(w, h, seed)
+      val codec = Multimodal.imageAHash(pngBytes(g, w, h))
+      val jvm = Multimodal.aHash64(g.map(_.toLong), w, h)
+      val portable = Multimodal.aHashPortable(
+          Seq((1L, g.toSeq)).toDF("id", "pix"), "id", "pix", w, h)
+        .collect().head.getAs[Long]("ahash")
+      assert(codec === jvm, s"codec vs jvm at ${(w, h)}")
+      assert(jvm === portable, s"jvm vs portable at ${(w, h)}")
+    }
+  }
+
+  test("aHash: flat image hashes to 0; perturbed copy is near, inverse far") {
+    val w = 16; val h = 16
+    assert(Multimodal.aHash64(Array.fill(w * h)(7L), w, h) === 0L)
+    val g = grays(w, h, 9L)
+    val tweaked = g.clone(); tweaked(17) = (tweaked(17) + 128) & 0xff
+    val inverted = g.map(v => 255 - v)
+    val base = Multimodal.aHash64(g.map(_.toLong), w, h)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(base, Multimodal.aHash64(tweaked.map(_.toLong), w, h)) <= 3)
+    assert(ham(base, Multimodal.aHash64(inverted.map(_.toLong), w, h)) > 20)
+  }
+
+  test("imageNearDupPairs: banded result == all-pairs Hamming<=3") {
+    val g = grays(16, 16, 4L)
+    val variants = (0 until 8).map { i =>
+      val v = g.clone()
+      // flip i blocks' worth of pixels hard enough to move their means
+      for (b <- 0 until i; p <- 0 until 4) v(b * 32 + p) = 255
+      (i.toLong, Multimodal.aHash64(v.map(_.toLong), 16, 16))
+    }
+    val hashes = variants.toDF("id", "ahash")
+    val banded = Multimodal.imageNearDupPairs(hashes, "id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val all = (for {
+      (a, ha) <- variants; (b, hb) <- variants if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(banded === all)
+    assert(all.nonEmpty) // the fixture actually exercises the join
+  }
 }

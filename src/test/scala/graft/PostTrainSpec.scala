@@ -125,6 +125,64 @@ class PostTrainSpec extends AnyFunSuite {
     assert(run(1) === run(11))
   }
 
+  // --- Chat.gaeAdvantage -----------------------------------------------
+
+  private def traj = Seq(
+    (1L, 1, 1.00, 0.50),
+    (1L, 2, 0.50, 1.00),
+    (1L, 3, 2.00, 0.25)
+  ).toDF("traj", "step", "r", "v")
+
+  test("gaeAdvantage: matches a naive driver-side GAE within rounding") {
+    val out = ext.Chat.gaeAdvantage(traj, "traj", "step", "r", "v")
+      .collect().map(x => x.getAs[Long]("t") ->
+        (x.getAs[Double]("delta"), x.getAs[Double]("advantage"))).toMap
+    val r = Array(1.00, 0.50, 2.00); val v = Array(0.50, 1.00, 0.25)
+    val g = 0.99; val l = 0.95
+    val d = Array.tabulate(3)(i =>
+      r(i) + g * (if (i < 2) v(i + 1) else 0.0) - v(i))
+    val a = Array.tabulate(3)(i =>
+      (i until 3).map(k => math.pow(g * l, k - i) * d(k)).sum)
+    for (i <- 0 until 3) {
+      assert(math.abs(out(i + 1L)._1 - d(i)) < 1e-9, s"delta t=${i + 1}")
+      assert(math.abs(out(i + 1L)._2 - a(i)) < 1e-6, s"advantage t=${i + 1}")
+    }
+    // last step: no successor, so A_T = δ_T exactly
+    assert(math.abs(out(3L)._2 - out(3L)._1) < 1e-9)
+  }
+
+  test("gaeAdvantage: λ=0 collapses to the TD residual") {
+    val out = ext.Chat.gaeAdvantage(traj, "traj", "step", "r", "v",
+        lam = BigDecimal(0)).collect()
+    out.foreach { x =>
+      assert(math.abs(x.getAs[Double]("advantage") -
+        x.getAs[Double]("delta")) < 1e-8)
+    }
+  }
+
+  test("gaeAdvantage: γ=λ=1 telescopes to reward-to-go minus value") {
+    val out = ext.Chat.gaeAdvantage(traj, "traj", "step", "r", "v",
+        gamma = BigDecimal(1), lam = BigDecimal(1))
+      .collect().map(x => x.getAs[Long]("t") ->
+        x.getAs[Double]("advantage")).toMap
+    val r = Array(1.00, 0.50, 2.00); val v = Array(0.50, 1.00, 0.25)
+    for (i <- 0 until 3) {
+      val expect = (i until 3).map(r).sum - v(i)
+      assert(math.abs(out(i + 1L) - expect) < 1e-6, s"t=${i + 1}")
+    }
+  }
+
+  test("gaeAdvantage is partitioning-invariant (integer term sums)") {
+    val rows = (1 to 200).map(i =>
+      ((i % 13).toLong, i / 13, i * 0.07 % 3, i * 0.11 % 2))
+      .toDF("traj", "step", "r", "v")
+    def run(n: Int) = ext.Chat.gaeAdvantage(rows.repartition(n),
+        "traj", "step", "r", "v")
+      .collect().map(x => (x.getAs[Long]("traj_id"), x.getAs[Long]("t")) ->
+        x.getAs[Double]("advantage")).toMap
+    assert(run(1) === run(7))
+  }
+
   // --- Lm.bigramCrossEntropy -------------------------------------------
 
   test("bigram LM: all-unseen doc scores exactly ln(V)") {

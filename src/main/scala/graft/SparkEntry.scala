@@ -1062,6 +1062,13 @@ object SparkEntry {
           chunkChars = 120, overlap = 20)
         .select("doc_id", "chunk_id", "chunk_text")),
 
+    // contrastive pretraining pairs (ICT/Contriever): adjacent chunks of
+    // one doc as (anchor, positive) — locality is the supervision; one
+    // lead() per doc over the q_chunk windows, single-chunk docs drop
+    "q_contrastive_chunks" -> ((s, dir) =>
+      ext.Similarity.contrastiveChunkPairs(read(s, dir, "documents"),
+        "doc_id", "text", chunkChars = 120, overlap = 20)),
+
     // line-level dedup (CCNet-style boilerplate removal): texts get
     // deterministic 5-word lines (the corpus has no newlines), then lines
     // shared by more than 2 docs are dropped and docs reassembled in line
@@ -1169,6 +1176,13 @@ object SparkEntry {
       ext.Packing.shardStats(packed, "n_chars", budget = 20000L,
         groupCol = "source")
     },
+
+    // packing: per-shard document boundary offsets — the block-diagonal
+    // attention mask data (cross-doc attention stops at each start);
+    // offsets comma-joined in shard_pos order so engines compare bytes
+    "q_pack_boundaries" -> ((s, dir) => ext.Packing.packBoundaries(
+      read(s, dir, "documents"), "doc_id", "n_chars", budget = 20000L,
+      groupCol = "source")),
 
     // packing: fixed-length training sequences — the global token stream
     // (whitespace tokens + 1 EOS per doc, ascending doc_id) cut into
@@ -1791,11 +1805,21 @@ object SparkEntry {
               .alias("t")))).alias("va"))
         .select((col("doc_id") * 2 + col("va.k")).alias("img_id"),
           col("va.t").alias("t"))
-      val pix = v.select(col("img_id"), expr(
-        "transform(sequence(0, 255), " +
-          "p -> ascii(substring(t, p % length(t) + 1, 1)))")
-        .alias("pix"))
+      // pixel p reads char p % len — materialize the 256-char cycle ONCE
+      // per row and split to a char array so each pixel is O(1); the
+      // naive substring-per-pixel form is O(len) per call on UTF8
+      // strings (measured 13 s at sf0.1 vs ~1 s for this shape)
+      val pix = v
+        .select(col("img_id"), expr(
+          "substring(repeat(t, CAST(ceil(256.0 / length(t)) AS INT)), 1, 256)")
+          .alias("t256"))
+        .select(col("img_id"), expr(
+          "transform(slice(split(t256, ''), 1, 256), c -> ascii(c))")
+          .alias("pix"))
+      // one row per image after the pixel aggregation — materialize so
+      // the band self-join's two sides don't each replay the explode
       val hashes = ext.Multimodal.aHashPortable(pix, "img_id", "pix", 16, 16)
+        .localCheckpoint()
       ext.Multimodal.imageNearDupPairs(hashes, "img_id", maxHamming = 3)
     },
 
@@ -2301,6 +2325,19 @@ object SparkEntry {
       ext.Classify.naiveBayesClassify(d, "doc_id", "text",
         d.filter(col("doc_id") % 10 < 8), "text", col("lang") === "en",
         vocabSize = 300)
+    },
+
+    // calibration of the trained filter: per 10-unit log-odds bin, how
+    // often the positive label actually occurs — train, score, and
+    // audit the classifier in ONE plan; bins-bounded aggregate
+    "q_nb_calibration" -> { (s, dir) =>
+      val d = read(s, dir, "documents")
+      val scored = ext.Classify.naiveBayesClassify(d, "doc_id", "text",
+        d.filter(col("doc_id") % 10 < 8), "text", col("lang") === "en",
+        vocabSize = 300)
+      val lab = d.select(col("doc_id"), (col("lang") === "en").alias("__y"))
+      ext.Evals.calibrationCurve(scored.join(lab, "doc_id"), "log_odds",
+        col("__y"), lo = -50.0, hi = 50.0, bins = 10)
     },
 
     // contrastive prep at scale: the same triplet mining over sign-LSH
@@ -5035,6 +5072,25 @@ object SparkEntry {
         |       substr(text, CAST(1 + i * 100 AS BIGINT), 120) AS chunk_text
         |FROM (SELECT doc_id, text, unnest(range(nc)) AS i FROM n)""".stripMargin,
 
+    // contrastive chunk pairs: the q_chunk CTE + one lead() window
+    "q_contrastive_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |n AS (SELECT doc_id, text,
+        |        greatest(1, CAST(ceil((len - 20) / 100.0) AS INTEGER)) AS nc
+        |      FROM d),
+        |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |        substr(text, CAST(1 + i * 100 AS BIGINT), 120) AS chunk_text
+        |      FROM (SELECT doc_id, text, unnest(range(nc)) AS i FROM n)),
+        |p AS (SELECT doc_id, chunk_id, chunk_text,
+        |        lead(chunk_id) OVER
+        |          (PARTITION BY doc_id ORDER BY chunk_id) AS pos_id,
+        |        lead(chunk_text) OVER
+        |          (PARTITION BY doc_id ORDER BY chunk_id) AS pos_text
+        |      FROM c)
+        |SELECT doc_id, chunk_id AS anchor_id, chunk_text AS anchor_text,
+        |       pos_id, pos_text
+        |FROM p WHERE pos_id IS NOT NULL""".stripMargin,
+
     // chunk → pack composite: chunk windows re-measured, then the
     // contiguous-fill running-sum packing of q_pack_shards over them
     "q_chunk_pack" ->
@@ -5094,6 +5150,32 @@ object SparkEntry {
         |       CAST(SUM(n_chars) AS BIGINT) AS shard_tokens,
         |       CAST(CAST(SUM(n_chars) AS BIGINT) AS DOUBLE) / 20000.0 AS fill
         |FROM s GROUP BY source, shard""".stripMargin,
+
+    // pack boundaries: the q_pack_shards CTE + an in-shard running sum
+    // and an ordered string_agg of the start offsets
+    "q_pack_boundaries" ->
+      """WITH p AS (
+        |  SELECT source, doc_id, n_chars,
+        |         COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - n_chars, 0) AS cumb
+        |  FROM documents),
+        |s AS (SELECT source, CAST(FLOOR(cumb / 20000.0) AS BIGINT) AS shard,
+        |             doc_id, n_chars
+        |      FROM p),
+        |w AS (SELECT source, shard, n_chars,
+        |        row_number() OVER (PARTITION BY source, shard
+        |          ORDER BY doc_id) - 1 AS shard_pos,
+        |        CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY source, shard
+        |            ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          - n_chars, 0) AS BIGINT) AS st
+        |      FROM s)
+        |SELECT source, shard, COUNT(*) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS shard_tokens,
+        |       string_agg(CAST(st AS VARCHAR), ',' ORDER BY shard_pos)
+        |         AS starts_csv
+        |FROM w GROUP BY source, shard""".stripMargin,
 
     // length-bucketed packing: exact-percentile bucket cuts (same
     // quantile_cont == Spark percentile contract as q_global_buckets)
@@ -6664,6 +6746,68 @@ object SparkEntry {
         |       CAST(pri.p + agg.s AS DOUBLE) / 1000000000.0 AS log_odds,
         |       (CAST(pri.p + agg.s AS DOUBLE) / 1000000000.0) > 0.0 AS pred
         |FROM agg CROSS JOIN pri""".stripMargin,
+
+    // calibration: the q_nb_classifier chain as a CTE, then fixed-width
+    // clamped bins and one bins-bounded aggregate
+    "q_nb_calibration" ->
+      """WITH tr AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |              COALESCE(lang = 'en', FALSE) AS lab
+        |            FROM documents WHERE doc_id % 10 < 8),
+        |sc AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos AS (SELECT unnest(generate_series(1, 4000)) AS i),
+        |vc AS (SELECT t[i.i] AS tok, COUNT(*) AS c
+        |       FROM tr, pos i WHERE i.i <= len(t) GROUP BY 1),
+        |vocab AS (SELECT tok FROM
+        |            (SELECT tok, row_number() OVER (ORDER BY c DESC, tok)
+        |               AS r FROM vc)
+        |          WHERE r <= 300),
+        |trm AS (SELECT doc_id, lab,
+        |          CASE WHEN t[i.i] IN (SELECT tok FROM vocab)
+        |               THEN t[i.i] ELSE '<unk>' END AS w
+        |        FROM tr, pos i WHERE i.i <= len(t)),
+        |ct AS (SELECT w,
+        |         CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(SUM(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS c0
+        |       FROM trm GROUP BY 1),
+        |sca AS (SELECT
+        |          CAST(SUM(CASE WHEN lab THEN len(t) ELSE 0 END) AS BIGINT) AS n1,
+        |          CAST(SUM(CASE WHEN lab THEN 0 ELSE len(t) END) AS BIGINT) AS n0,
+        |          CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |          CAST(SUM(CASE WHEN lab THEN 0 ELSE 1 END) AS BIGINT) AS d0,
+        |          (SELECT CAST(COUNT(*) AS BIGINT) + 1 FROM vocab) AS vv
+        |        FROM tr),
+        |scm AS (SELECT doc_id,
+        |          CASE WHEN t[i.i] IN (SELECT tok FROM vocab)
+        |               THEN t[i.i] ELSE '<unk>' END AS w
+        |        FROM sc, pos i WHERE i.i <= len(t)),
+        |dg AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS m
+        |       FROM scm GROUP BY 1, 2),
+        |j AS (SELECT dg.doc_id, dg.m,
+        |        CAST(round(ln(CAST(COALESCE(ct.c1, 0) + 1 AS DOUBLE) /
+        |          CAST(sca.n1 + sca.vv AS DOUBLE)) * 1000000000.0, 0) AS BIGINT)
+        |        - CAST(round(ln(CAST(COALESCE(ct.c0, 0) + 1 AS DOUBLE) /
+        |          CAST(sca.n0 + sca.vv AS DOUBLE)) * 1000000000.0, 0) AS BIGINT)
+        |          AS tt
+        |      FROM dg LEFT JOIN ct USING (w) CROSS JOIN sca),
+        |agg AS (SELECT doc_id, CAST(SUM(m * tt) AS BIGINT) AS s
+        |        FROM j GROUP BY doc_id),
+        |pri AS (SELECT CAST(round(ln(CAST(d1 + 1 AS DOUBLE) /
+        |          CAST(d0 + 1 AS DOUBLE)) * 1000000000.0, 0) AS BIGINT) AS p
+        |        FROM sca),
+        |nb AS (SELECT doc_id,
+        |         CAST(pri.p + agg.s AS DOUBLE) / 1000000000.0 AS log_odds
+        |       FROM agg CROSS JOIN pri),
+        |cal AS (SELECT LEAST(9, GREATEST(0,
+        |          CAST(FLOOR((nb.log_odds - (-50.0)) / 10.0) AS BIGINT)))
+        |            AS bin,
+        |          COALESCE(d.lang = 'en', FALSE) AS y
+        |        FROM nb JOIN documents d USING (doc_id))
+        |SELECT bin, -50.0 + CAST(bin AS DOUBLE) * 10.0 AS bin_lo,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS frac_pos
+        |FROM cal GROUP BY bin""".stripMargin,
 
     // GRPO advantages: exact integer moments (HUGEINT sum-of-squares =
     // the Spark DECIMAL(38,0) twin), one fixed-shape IEEE tail

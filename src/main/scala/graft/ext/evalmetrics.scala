@@ -55,6 +55,39 @@ object Evals {
           (lit(2.0) * col("pos_n") * col("neg_n")), 6).alias("auc"))
   }
 
+  /** Empirical calibration curve of a classifier score — per fixed-width
+    * score bin, how often the positive label actually occurs. The
+    * reliability diagram's data (and the input to a calibration gate:
+    * "does higher score mean more positive?") without ever mapping the
+    * score through a sigmoid — binning raw scores keeps every number
+    * exact-integer or one fixed-shape IEEE division, so the curve
+    * replays in SQL. Scores outside [lo, hi) clamp into the edge bins.
+    *
+    * Output: (bin, bin_lo, n, n_pos, frac_pos), one row per occupied
+    * bin. Scale: one narrow map + a `bins`-bounded hash aggregate.
+    *
+    * Pick (lo, hi, bins) so `width = (hi−lo)/bins` is exact in binary
+    * (e.g. −50..50 by 10) — then the only FP step shared with an oracle
+    * is the `floor(score−lo)/width` division itself.
+    */
+  def calibrationCurve(df: DataFrame, scoreCol: String, labelCol: Column,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, "need bins > 0 and hi > lo")
+    val width = (hi - lo) / bins
+    val bin = least(lit(bins - 1L), greatest(lit(0L),
+      floor((col(scoreCol) - lit(lo)) / lit(width)).cast("long")))
+    df.select(bin.alias("bin"),
+        coalesce(labelCol, lit(false)).alias("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).alias("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).alias("n_pos"))
+      .select(col("bin"),
+        (lit(lo) + col("bin").cast("double") * lit(width)).alias("bin_lo"),
+        col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double"))
+          .alias("frac_pos"))
+  }
+
   /** Fixed-point discount table for NDCG: gain(rank r) = 1/log2(r+1),
     * scaled to BIGINT at 1e15 (floor(+0.5) — same deterministic rounding
     * convention as the PCA scaling). Evaluated once on the driver; both

@@ -273,33 +273,19 @@ object Multimodal {
     * replayable twin of [[imageAHash]] (same block map, same IEEE mean
     * compares), for oracle checks and for pipelines whose decode step
     * already produced pixel grids. Input: `(idCol, pixCol: array<int|
-    * long> row-major, w, h literals)`. Output: `(idCol, ahash)`.
+    * long>, row-major, length EXACTLY w·h)`. Output: `(idCol, ahash)`.
     *
-    * Scale: one posexplode (w·h rows per image), one two-level hash
-    * aggregate back to 64 then 1 rows per image — no shuffle wider than
-    * the pixel count, and `bit_or` keeps the recombine associative.
+    * Scale: ONE narrow projection through the native codegen expression
+    * [[graft.functions.AHash64]] — the pixel array is row-local, so the
+    * hash needs no explode and no shuffle (the expression's Scaladoc
+    * records the 10–400× measurements over the aggregate/HOF plan
+    * shapes this replaced).
     */
   def aHashPortable(df: DataFrame, idCol: String, pixCol: String,
       w: Int, h: Int): DataFrame = {
     require(w > 0 && h > 0, "w and h must be positive")
-    val cells = df
-      .select(col(idCol), posexplode(col(pixCol)).as(Seq("p", "v")))
-      .select(col(idCol),
-        expr(s"((p div $w) * 8 div $h) * 8 + ((p % $w) * 8 div $w)")
-          .alias("b"),
-        col("v").cast("long").alias("v"))
-      .groupBy(col(idCol), col("b"))
-      .agg(sum(col("v")).alias("s"), count(lit(1)).alias("n"))
-    val totals = cells.groupBy(col(idCol))
-      .agg(sum(col("s")).alias("ts"), sum(col("n")).alias("tn"))
-    cells.join(totals, Seq(idCol))
-      .select(col(idCol),
-        when(col("s").cast("double") / col("n").cast("double") >
-            col("ts").cast("double") / col("tn").cast("double"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
-          .otherwise(lit(0L)).alias("__bit"))
-      .groupBy(col(idCol))
-      .agg(expr("bit_or(__bit)").alias("ahash"))
+    df.select(col(idCol),
+      graft.functions.AHash64.column(col(pixCol), w, h).alias("ahash"))
   }
 
   /** Image near-dup pairs over any `(idCol, ahash)` frame: the same

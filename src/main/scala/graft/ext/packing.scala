@@ -61,6 +61,37 @@ object Packing {
       .withColumn("fill",
         col("shard_tokens").cast("double") / lit(budget.toDouble))
 
+  /** Per-shard document boundary offsets — what a block-diagonal-
+    * attention trainer needs next to [[packByBudget]]: packed sequences
+    * concatenate multiple documents, and the attention mask must stop
+    * cross-document attention at each boundary. Emits one row per
+    * (group, shard): `n_docs`, `shard_tokens`, and `starts_csv` — each
+    * document's token start offset within its shard in `shard_pos`
+    * order, comma-joined (a string rather than an array so any engine
+    * can compare it byte-for-byte).
+    *
+    * Scale: the pack's window plus ONE more per-(group, shard) window
+    * and a hash aggregate whose `collect_list` is bounded by docs-per-
+    * shard (≈ budget / min-doc-tokens — a bounded constant, never
+    * corpus-sized); `array_sort` on (shard_pos, start) structs makes the
+    * aggregation order-insensitive.
+    */
+  def packBoundaries(df: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, groupCol: String): DataFrame = {
+    val packed = packByBudget(df, idCol, tokenCol, budget, groupCol)
+    val w = Window.partitionBy(col(groupCol), col("shard"))
+      .orderBy(col("shard_pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed
+      .withColumn("__start", sum(col(tokenCol)).over(w) - col(tokenCol))
+      .groupBy(col(groupCol), col("shard"))
+      .agg(count(lit(1)).alias("n_docs"),
+        sum(col(tokenCol)).alias("shard_tokens"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "struct(shard_pos, __start))), x -> CAST(x.__start AS STRING)), " +
+          "',')").alias("starts_csv"))
+  }
+
   /** Fixed-length training-sequence packing — the LAST step of a training
     * pipeline: concatenate every document's tokens (plus `sepTokens`
     * separator tokens after each doc, the EOS convention) in ascending

@@ -828,4 +828,30 @@ object Similarity {
       .join(broadcast(qlabs), Seq("q_id"))
     labelSplitTriplets(scored, k, margin)
   }
+
+  /** Contrastive positives from raw documents (the ICT / Contriever
+    * recipe): adjacent chunks of the same document form (anchor,
+    * positive) training pairs — no labels, no model, just locality as
+    * the supervision signal; in-batch items from other documents serve
+    * as negatives at train time (or feed [[hardNegatives]] for mined
+    * ones). Chunking is [[TextOps.chunk]]'s fixed-offset windows, the
+    * pairing one `lead()` per document — a single shuffle on the doc
+    * key, pairs ≈ chunks, nothing quadratic.
+    *
+    * Emits (doc_id, anchor_id, anchor_text, pos_id, pos_text); documents
+    * with a single chunk drop (no positive exists).
+    */
+  def contrastiveChunkPairs(docs: DataFrame, idCol: String,
+      textCol: String, chunkChars: Int = 120, overlap: Int = 20): DataFrame =
+    TextOps.chunk(docs, textCol, chunkChars, overlap)
+      .select(col(idCol).alias("doc_id"), col("chunk_id"),
+        col("chunk_text"))
+      .withColumn("pos_id", lead(col("chunk_id"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("chunk_id"))))
+      .withColumn("pos_text", lead(col("chunk_text"), 1).over(
+        Window.partitionBy(col("doc_id")).orderBy(col("chunk_id"))))
+      .filter(col("pos_id").isNotNull)
+      .select(col("doc_id"), col("chunk_id").alias("anchor_id"),
+        col("chunk_text").alias("anchor_text"), col("pos_id"),
+        col("pos_text"))
 }

@@ -259,6 +259,28 @@ object EventStream {
       .filter(col("all_first") === 1L)
       .select("doc_id")
 
+  /** Model-in-the-loop scoring sink: apply a frozen
+    * [[Classify.NbModel]] to every micro-batch of a document stream.
+    * `foreachBatch` is the right shape here — NB scoring is per-doc
+    * aggregation + broadcast model joins (batch-plan constructs), and
+    * the model tables stay FROZEN across batches, which is exactly the
+    * contract training-data gates want: refreshing the filter is an
+    * upstream `mergeNaiveBayes` fold + swapping the captured model, not
+    * a streaming-state mutation. Law (StreamingSpec): draining a stream
+    * through this sink equals batch [[Classify.naiveBayesScore]] on the
+    * same rows.
+    */
+  def nbScoreSink(docs: DataFrame, idCol: String, textCol: String,
+      model: Classify.NbModel,
+      write: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    // default micro-batch trigger, NOT AvailableNow: a quality gate is a
+    // long-lived service over an unbounded ingest, not a drain-once job
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        write(Classify.naiveBayesScore(batch, idCol, textCol, model))
+      }
+
   /** Streaming upsert sink: each micro-batch MERGEs into the destination
     * via the engine's upsert (the reference's `OUTPUT $action` changelog
     * becomes the per-batch `_action` audit, passed to `onBatch`).

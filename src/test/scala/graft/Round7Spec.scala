@@ -659,4 +659,54 @@ class Round7Spec extends AnyFunSuite {
     assert(math.abs(out.map(_.getDouble(3)).sum - psi) < 1e-6)
     assert(out.forall(r => r.getDouble(3) >= 0.0))
   }
+
+  test("contrastiveChunkPairs: adjacency, counts, and single-chunk drop") {
+    val docs = Seq(
+      (1L, "a" * 250),  // 3 chunks at 120/20 -> 2 pairs
+      (2L, "short")     // 1 chunk -> no pair
+    ).toDF("doc_id", "text")
+    val out = ext.Similarity.contrastiveChunkPairs(docs, "doc_id", "text")
+      .collect()
+    assert(out.forall(_.getAs[Long]("doc_id") == 1L))
+    assert(out.length === 2)
+    // each positive is the NEXT chunk of the same doc
+    assert(out.forall(r =>
+      r.getAs[Long]("pos_id") == r.getAs[Long]("anchor_id") + 1))
+    // anchor text is the 120-char window starting at anchor_id*100
+    assert(out.forall(r => r.getAs[String]("anchor_text") ==
+      ("a" * 250).slice(r.getAs[Long]("anchor_id").toInt * 100,
+        r.getAs[Long]("anchor_id").toInt * 100 + 120)))
+  }
+
+  test("calibrationCurve: fixed-width bins, edge clamping, exact fractions") {
+    val rows = Seq(
+      (-100.0, false), (-45.0, false), (-45.0, true),
+      (5.0, true), (5.0, true), (5.0, false), (100.0, true))
+      .toDF("score", "y")
+    val out = ext.Evals.calibrationCurve(rows, "score", col("y"),
+        lo = -50.0, hi = 50.0, bins = 10)
+      .collect().map(r => r.getAs[Long]("bin") ->
+        (r.getAs[Double]("bin_lo"), r.getAs[Long]("n"),
+          r.getAs[Long]("n_pos"), r.getAs[Double]("frac_pos"))).toMap
+    // -100 clamps into bin 0 with the two -45s; 100 clamps into bin 9
+    assert(out(0L) === ((-50.0, 3L, 1L, 1.0 / 3.0)))
+    assert(out(5L) === ((0.0, 3L, 2L, 2.0 / 3.0)))
+    assert(out(9L) === ((40.0, 1L, 1L, 1.0)))
+    assert(out.size === 3)
+  }
+
+  test("packBoundaries: per-shard start offsets in shard_pos order") {
+    val docs = Seq((1L, "g", 5L), (2L, "g", 5L), (3L, "g", 5L),
+      (4L, "h", 12L)).toDF("doc_id", "grp", "tok")
+    val out = ext.Packing.packBoundaries(docs, "doc_id", "tok",
+        budget = 10L, groupCol = "grp")
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("shard")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("shard_tokens"),
+          r.getAs[String]("starts_csv"))).toMap
+    // g: cum-before 0,5,10 -> docs 1,2 in shard 0 (starts 0,5), doc 3
+    // opens shard 1 at start 0; h: one 12-token doc overflows alone
+    assert(out(("g", 0L)) === ((2L, 10L, "0,5")))
+    assert(out(("g", 1L)) === ((1L, 5L, "0")))
+    assert(out(("h", 0L)) === ((1L, 12L, "0")))
+  }
 }

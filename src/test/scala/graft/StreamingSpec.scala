@@ -297,4 +297,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin.filter(col("prompt_id") === 2L).collect()
       .head.getAs[Long]("rejected_id") === 20L)
   }
+
+  test("nbScoreSink: drained stream == batch NB scoring under a frozen model") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq((1L, "good clean prose here", true),
+      (2L, "buy spam now please", false)).toDF("doc_id", "text", "lab")
+    val model = ext.Classify.naiveBayesModel(train, "text", col("lab"),
+      vocabSize = 50)
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    val q = EventStream.nbScoreSink(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", model,
+      b => got.synchronized { got ++= b.collect() }).start()
+    mem.addData((10L, "good prose"), (11L, "spam spam"))
+    q.processAllAvailable()
+    mem.addData((12L, "clean now zzz"))
+    q.processAllAvailable(); q.stop()
+
+    val batch = ext.Classify.naiveBayesScore(
+      Seq((10L, "good prose"), (11L, "spam spam"), (12L, "clean now zzz"))
+        .toDF("doc_id", "text"), "doc_id", "text", model)
+    assert(got.map(_.toSeq).toSet === batch.collect().map(_.toSeq).toSet)
+    // and the frozen filter actually separates the classes
+    val byId = got.map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(byId(10L) && !byId(11L))
+  }
 }

@@ -375,6 +375,36 @@ object SparkEntry {
     ext.Scd2(dim, updates, Seq("c_custkey"), Seq("c_mktsegment"), "ts")
   }
 
+  /** Shared fixture for the image-aHash queries: every document with
+    * ≥10 chars renders a 16×16 luminance grid from its characters
+    * (pixel p = char p % len) plus a one-char-perturbed twin — so
+    * near-dup pairs exist by construction — hashed by the native
+    * [[graft.functions.AHash64]] via `aHashPortable`. The 256-char
+    * cycle materializes ONCE per row (repeat + split): the naive
+    * substring-per-pixel form is O(len) per call on UTF8 strings
+    * (measured 13 s vs ~1 s at sf0.1). localCheckpoint: one row per
+    * image, so the band join's sides don't replay the char pipeline.
+    */
+  private def imageAHashFixture(s: SparkSession, dir: String): DataFrame = {
+    val d = read(s, dir, "documents").filter(length(col("text")) >= 10)
+    val v = d.select(col("doc_id"), explode(array(
+        struct(lit(0L).alias("k"), col("text").alias("t")),
+        struct(lit(1L).alias("k"),
+          expr("concat(substring(text, 1, 8), 'Z', substring(text, 10))")
+            .alias("t")))).alias("va"))
+      .select((col("doc_id") * 2 + col("va.k")).alias("img_id"),
+        col("va.t").alias("t"))
+    val pix = v
+      .select(col("img_id"), expr(
+        "substring(repeat(t, CAST(ceil(256.0 / length(t)) AS INT)), 1, 256)")
+        .alias("t256"))
+      .select(col("img_id"), expr(
+        "transform(slice(split(t256, ''), 1, 256), c -> ascii(c))")
+        .alias("pix"))
+    ext.Multimodal.aHashPortable(pix, "img_id", "pix", 16, 16)
+      .localCheckpoint()
+  }
+
   /** Events read adapter. The driver's testdata has shipped `events.ts`
     * under two physical contracts so far — int64 nanoseconds (rounds 1–5)
     * and parquet `timestamp[us]` (round 6+, read by Spark as TIMESTAMP_NTZ
@@ -1796,31 +1826,17 @@ object SparkEntry {
     // near-dup pairs exist by construction; hashes pair via the SimHash
     // 4×16 band machinery (pigeonhole-complete at maxHamming=3, so the
     // all-pairs oracle is the exact contract)
-    "q_image_ahash" -> { (s, dir) =>
-      val d = read(s, dir, "documents").filter(length(col("text")) >= 10)
-      val v = d.select(col("doc_id"), explode(array(
-          struct(lit(0L).alias("k"), col("text").alias("t")),
-          struct(lit(1L).alias("k"),
-            expr("concat(substring(text, 1, 8), 'Z', substring(text, 10))")
-              .alias("t")))).alias("va"))
-        .select((col("doc_id") * 2 + col("va.k")).alias("img_id"),
-          col("va.t").alias("t"))
-      // pixel p reads char p % len — materialize the 256-char cycle ONCE
-      // per row and split to a char array so each pixel is O(1); the
-      // naive substring-per-pixel form is O(len) per call on UTF8
-      // strings (measured 13 s at sf0.1 vs ~1 s for this shape)
-      val pix = v
-        .select(col("img_id"), expr(
-          "substring(repeat(t, CAST(ceil(256.0 / length(t)) AS INT)), 1, 256)")
-          .alias("t256"))
-        .select(col("img_id"), expr(
-          "transform(slice(split(t256, ''), 1, 256), c -> ascii(c))")
-          .alias("pix"))
-      // one row per image after the pixel aggregation — materialize so
-      // the band self-join's two sides don't each replay the explode
-      val hashes = ext.Multimodal.aHashPortable(pix, "img_id", "pix", 16, 16)
-        .localCheckpoint()
-      ext.Multimodal.imageNearDupPairs(hashes, "img_id", maxHamming = 3)
+    "q_image_ahash" -> ((s, dir) => ext.Multimodal.imageNearDupPairs(
+      imageAHashFixture(s, dir), "img_id", maxHamming = 3)),
+
+    // incremental image admission: 1-in-20 of the same fixture as the
+    // arriving batch vs the rest as the accumulated corpus — the corpus
+    // banded relation computes once; AQE broadcasts the batch side
+    "q_image_ahash_against" -> { (s, dir) =>
+      val hashes = imageAHashFixture(s, dir)
+      ext.Multimodal.imageNearDupAgainst(
+        hashes.filter(col("img_id") % 20 === 0),
+        hashes.filter(col("img_id") % 20 =!= 0), "img_id", maxHamming = 3)
     },
 
     // as-of join: per event, the latest signup value at-or-before its
@@ -3416,6 +3432,45 @@ object SparkEntry {
         |SELECT a.id AS a_id, b.id AS b_id,
         |       bit_count(xor(a.ahash, b.ahash)) AS hamming
         |FROM hs a JOIN hs b ON b.id > a.id
+        |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin,
+
+    // incremental aHash admission: same hash CTE, batch (id%20=0) ×
+    // corpus (rest) all-pairs Hamming≤3 (== the banded-against result)
+    "q_image_ahash_against" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len
+        |           FROM documents WHERE length(text) >= 10),
+        |v AS (SELECT doc_id * 2 AS id, text, len FROM d
+        |      UNION ALL
+        |      SELECT doc_id * 2 + 1,
+        |             substr(text, 1, 8) || 'Z' || substr(text, 10), len
+        |      FROM d),
+        |pos AS (SELECT unnest(generate_series(0, 255)) AS p),
+        |px AS (SELECT id, p.p AS p,
+        |         ord(substr(text, CAST(p.p % len + 1 AS INTEGER), 1)) AS pv
+        |       FROM v, pos p),
+        |cells AS (SELECT id,
+        |            ((p // 16) * 8 // 16) * 8 + ((p % 16) * 8 // 16) AS b,
+        |            CAST(SUM(pv) AS BIGINT) AS s,
+        |            CAST(COUNT(*) AS BIGINT) AS n
+        |          FROM px GROUP BY 1, 2),
+        |tot AS (SELECT id, CAST(SUM(s) AS BIGINT) AS ts,
+        |               CAST(SUM(n) AS BIGINT) AS tn
+        |        FROM cells GROUP BY id),
+        |hb AS (SELECT cells.id,
+        |         CASE WHEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) >
+        |                   CAST(ts AS DOUBLE) / CAST(tn AS DOUBLE)
+        |              THEN CAST(1 AS HUGEINT) << CAST(b AS INTEGER)
+        |              ELSE CAST(0 AS HUGEINT) END AS bv
+        |       FROM cells JOIN tot USING (id)),
+        |hu AS (SELECT id, bit_or(bv) AS hh FROM hb GROUP BY id),
+        |hs AS (SELECT id,
+        |         CAST(CASE WHEN hh >= 9223372036854775808
+        |                   THEN hh - 18446744073709551616
+        |                   ELSE hh END AS BIGINT) AS ahash
+        |       FROM hu)
+        |SELECT a.id AS new_id, b.id AS corpus_id,
+        |       bit_count(xor(a.ahash, b.ahash)) AS hamming
+        |FROM hs a JOIN hs b ON a.id % 20 = 0 AND b.id % 20 <> 0
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin,
 
     // frame slicing over the payload bytes — the corpus is ASCII (the

@@ -576,6 +576,31 @@ object Dedup {
     * is missed — the banded result EQUALS all-pairs-Hamming≤3 (which is
     * what the oracles assert). Emits (a_id, b_id, hamming).
     */
+  /** Batch-vs-corpus variant of [[bandedHammingPairs]] — the incremental
+    * admission path ([[minHashNearDupAgainst]]'s shape for 64-bit
+    * signatures): the corpus contributes one narrow (id, band, bucket)
+    * relation computed once and persistable; per batch the candidate
+    * join is a (band, bucket) equi-join in which AQE broadcasts the
+    * small batch side. Same pigeonhole completeness at maxHamming ≤ 3.
+    * Emits (new_id, corpus_id, hamming).
+    */
+  private[ext] def bandedHammingAgainst(newHashes: DataFrame,
+      corpusHashes: DataFrame, idCol: String, hashCol: String,
+      maxHamming: Int): DataFrame = {
+    def banded(df: DataFrame, outId: String, outHash: String): DataFrame =
+      df.select(col(idCol).alias(outId), col(hashCol).alias(outHash),
+        posexplode(expr(s"transform(sequence(0, 3), " +
+          s"b -> shiftright($hashCol, b * 16) & 65535)")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    banded(newHashes, "new_id", "ha")
+      .join(banded(corpusHashes, "corpus_id", "hb"), Seq("band", "bucket"))
+      .select("new_id", "corpus_id", "ha", "hb")
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("new_id", "corpus_id", "hamming")
+  }
+
   private[ext] def bandedHammingPairs(hashes: DataFrame, idCol: String,
       hashCol: String, maxHamming: Int): DataFrame = {
     val banded = hashes.select(col(idCol), col(hashCol),

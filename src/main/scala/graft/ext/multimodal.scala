@@ -297,6 +297,16 @@ object Multimodal {
       maxHamming: Int = 3): DataFrame =
     Dedup.bandedHammingPairs(hashes, idCol, "ahash", maxHamming)
 
+  /** Incremental image admission: new-batch hashes vs an accumulated
+    * corpus hash table ([[Dedup.bandedHammingAgainst]] — the corpus
+    * banded relation is computed once and persistable; each batch is the
+    * small AQE-broadcast side). Emits (new_id, corpus_id, hamming).
+    */
+  def imageNearDupAgainst(newHashes: DataFrame, corpusHashes: DataFrame,
+      idCol: String, maxHamming: Int = 3): DataFrame =
+    Dedup.bandedHammingAgainst(newHashes, corpusHashes, idCol, "ahash",
+      maxHamming)
+
   /** Build a demo multimodal dataset from the documents table (payload =
     * utf-8 text bytes) — exercises the full plumbing on driver testdata
     * without external media files.

@@ -217,4 +217,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(banded === all)
     assert(all.nonEmpty) // the fixture actually exercises the join
   }
+
+  test("imageNearDupAgainst: banded batch-vs-corpus == all-pairs cross") {
+    val g = grays(16, 16, 5L)
+    val variants = (0 until 8).map { i =>
+      val v = g.clone()
+      for (b <- 0 until i; p <- 0 until 4) v(b * 32 + p) = 255
+      (i.toLong, Multimodal.aHash64(v.map(_.toLong), 16, 16))
+    }
+    val (batch, corpus) = variants.partition(_._1 % 3 == 0)
+    val got = Multimodal.imageNearDupAgainst(
+        batch.toDF("id", "ahash"), corpus.toDF("id", "ahash"), "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val all = (for {
+      (a, ha) <- batch; (b, hb) <- corpus
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got === all)
+    assert(all.nonEmpty)
+  }
 }

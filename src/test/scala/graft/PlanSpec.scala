@@ -276,4 +276,37 @@ class PlanSpec extends AnyFunSuite {
     // bounded query frame as the broadcast build side
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("aHashPortable is one narrow projection — no Exchange, no explode") {
+    // parquet-backed input: a local relation would constant-fold the
+    // whole projection into a LocalTableScan and prove nothing
+    (1 to 50).map(i => (i.toLong, Array.fill(256)(i)))
+      .toDF("id", "pix").write.mode("overwrite").parquet(s"$dir/pix.parquet")
+    val plan = finalPlan(ext.Multimodal.aHashPortable(
+      spark.read.parquet(s"$dir/pix.parquet"), "id", "pix", 16, 16))
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Generate"), plan) // no explode
+    assert(plan.contains("ahash64"), plan)   // the native expression
+  }
+
+  test("naiveBayes scoring: model joins are keyed, scalars broadcast") {
+    val t = (1 to 100).map(i => (i.toLong, s"w$i x y", i % 2 == 0))
+      .toDF("doc_id", "text", "lab")
+    val m = ext.Classify.naiveBayesModel(t, "text", col("lab"), vocabSize = 20)
+    val plan = finalPlan(ext.Classify.naiveBayesScore(
+      t.select("doc_id", "text"), "doc_id", "text", m))
+    assert(!plan.contains("CartesianProduct"), plan)
+    // nested-loop joins only for the broadcast one-row scalar frames
+    // (vv + class totals + prior) — never a data-sized side
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 3, plan)
+  }
+
+  test("imageNearDupAgainst: band equi-join, batch side broadcast under AQE") {
+    val hs = (0 until 300).map(i => (i.toLong, i.toLong * 1103515245L))
+      .toDF("id", "ahash")
+    val plan = finalPlan(ext.Multimodal.imageNearDupAgainst(
+      hs.filter(col("id") < 5), hs.filter(col("id") >= 5), "id"))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

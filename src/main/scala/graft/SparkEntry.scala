@@ -1829,6 +1829,31 @@ object SparkEntry {
     "q_image_ahash" -> ((s, dir) => ext.Multimodal.imageNearDupPairs(
       imageAHashFixture(s, dir), "img_id", maxHamming = 3)),
 
+    // multimodal: audio near-dup by 64-bit delta-sign fingerprint over
+    // 65-slice loudness profiles (volume-invariant — only comparisons);
+    // real-codec path law-pinned in MultimodalSpec, banded Hamming pairs
+    "q_audio_fingerprint" -> { (s, dir) =>
+      val d = read(s, dir, "documents").filter(length(col("text")) >= 10)
+      val v = d.select(col("doc_id"), explode(array(
+          struct(lit(0L).alias("k"), col("text").alias("t")),
+          struct(lit(1L).alias("k"),
+            expr("concat(substring(text, 1, 3), 'z', substring(text, 5))")
+              .alias("t")))).alias("va"))
+        .select((col("doc_id") * 2 + col("va.k")).alias("clip_id"),
+          col("va.t").alias("t"))
+      // same O(1)-per-slice construction as the image fixture
+      val prof = v
+        .select(col("clip_id"), expr(
+          "substring(repeat(t, CAST(ceil(65.0 / length(t)) AS INT)), 1, 65)")
+          .alias("t65"))
+        .select(col("clip_id"), expr(
+          "transform(slice(split(t65, ''), 1, 65), " +
+            "c -> CAST(ascii(c) AS DOUBLE))").alias("prof"))
+      val hashes = ext.Multimodal
+        .deltaSignPortable(prof, "clip_id", "prof").localCheckpoint()
+      ext.Multimodal.audioNearDupPairs(hashes, "clip_id", maxHamming = 3)
+    },
+
     // incremental image admission: 1-in-20 of the same fixture as the
     // arriving batch vs the rest as the accumulated corpus — the corpus
     // banded relation computes once; AQE broadcasts the batch side
@@ -3433,6 +3458,38 @@ object SparkEntry {
         |       bit_count(xor(a.ahash, b.ahash)) AS hamming
         |FROM hs a JOIN hs b ON b.id > a.id
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin,
+
+    // audio fingerprint: 65-slice char profiles, delta-sign bits via a
+    // k↔k+1 self-join, HUGEINT bit_or, all-pairs Hamming≤3
+    "q_audio_fingerprint" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len
+        |           FROM documents WHERE length(text) >= 10),
+        |v AS (SELECT doc_id * 2 AS id, text, len FROM d
+        |      UNION ALL
+        |      SELECT doc_id * 2 + 1,
+        |             substr(text, 1, 3) || 'z' || substr(text, 5), len
+        |      FROM d),
+        |pos AS (SELECT unnest(generate_series(0, 64)) AS k),
+        |pr AS (SELECT id, k.k AS k,
+        |         CAST(ord(substr(text, CAST(k.k % len + 1 AS INTEGER), 1))
+        |           AS DOUBLE) AS pv
+        |       FROM v, pos k),
+        |hb AS (SELECT a.id,
+        |         CASE WHEN b.pv > a.pv
+        |              THEN CAST(1 AS HUGEINT) << CAST(a.k AS INTEGER)
+        |              ELSE CAST(0 AS HUGEINT) END AS bv
+        |       FROM pr a JOIN pr b ON b.id = a.id AND b.k = a.k + 1
+        |       WHERE a.k < 64),
+        |hu AS (SELECT id, bit_or(bv) AS hh FROM hb GROUP BY id),
+        |hs AS (SELECT id,
+        |         CAST(CASE WHEN hh >= 9223372036854775808
+        |                   THEN hh - 18446744073709551616
+        |                   ELSE hh END AS BIGINT) AS afp
+        |       FROM hu)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |       bit_count(xor(a.afp, b.afp)) AS hamming
+        |FROM hs a JOIN hs b ON b.id > a.id
+        |WHERE bit_count(xor(a.afp, b.afp)) <= 3""".stripMargin,
 
     // incremental aHash admission: same hash CTE, batch (id%20=0) ×
     // corpus (rest) all-pairs Hamming≤3 (== the banded-against result)

@@ -307,6 +307,51 @@ object Multimodal {
     Dedup.bandedHammingAgainst(newHashes, corpusHashes, idCol, "ahash",
       maxHamming)
 
+  // ------------------------------------------- audio fingerprint (delta-sign)
+
+  /** 64-bit delta-sign audio fingerprint over a 65-slice loudness
+    * profile — the Haitsma–Kalker idea reduced to its engine-friendly
+    * core: bit k = 1 iff energy rises from slice k to k+1. Loudness
+    * scaling cancels (only comparisons), so the same recording at a
+    * different volume fingerprints identically; pair with the SimHash
+    * band machinery for near-dup matching. The JVM path consumes
+    * [[audioDecode]]'s RMS profile (dim = 65); [[deltaSignPortable]] is
+    * the SQL-replayable twin over any numeric-array column.
+    */
+  def deltaSignHash64(profile: Array[Float]): Long = {
+    require(profile.length == 65, s"need 65 slices, got ${profile.length}")
+    var out = 0L
+    var k = 0
+    while (k < 64) {
+      if (profile(k + 1) > profile(k)) out |= 1L << k
+      k += 1
+    }
+    out
+  }
+
+  /** Engine-portable delta-sign fingerprint over a 65-element numeric
+    * array column. One 64-step row-local fold (bounded, so the
+    * interpreted higher-order function costs microseconds per row —
+    * unlike the per-pixel case [[graft.functions.AHash64]] replaces).
+    * Elements compare as doubles; a float profile casts exactly.
+    * Output: (idCol, afp).
+    */
+  def deltaSignPortable(df: DataFrame, idCol: String,
+      profCol: String): DataFrame =
+    df.select(col(idCol), expr(
+      s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, k) ->
+         |  acc | IF(CAST(element_at($profCol, k + 2) AS DOUBLE) >
+         |           CAST(element_at($profCol, k + 1) AS DOUBLE),
+         |    shiftleft(CAST(1 AS BIGINT), k), CAST(0 AS BIGINT)))"""
+        .stripMargin).alias("afp"))
+
+  /** Audio near-dup pairs / batch-vs-corpus admission over `(idCol,
+    * afp)` fingerprints — same banded Hamming machinery as images.
+    */
+  def audioNearDupPairs(hashes: DataFrame, idCol: String,
+      maxHamming: Int = 3): DataFrame =
+    Dedup.bandedHammingPairs(hashes, idCol, "afp", maxHamming)
+
   /** Build a demo multimodal dataset from the documents table (payload =
     * utf-8 text bytes) — exercises the full plumbing on driver testdata
     * without external media files.

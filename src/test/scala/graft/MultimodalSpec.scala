@@ -218,6 +218,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(all.nonEmpty) // the fixture actually exercises the join
   }
 
+  test("audio delta-sign fingerprint: codec == portable, volume-invariant") {
+    import javax.sound.sampled._
+    def wavVar(halve: Boolean, frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val data = new Array[Byte](frames * 2)
+      for (i <- 0 until frames) {
+        // period 97 ∤ the 100-frame slice width (else every slice has
+        // identical RMS and the hash degenerates to 0); even → halves
+        // exactly
+        val base = 2000 + 150 * ((i * 37) % 97)
+        val amp = (if (halve) base / 2 else base).toShort
+        data(i * 2) = (amp & 0xff).toByte
+        data(i * 2 + 1) = ((amp >> 8) & 0xff).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val p1 = Multimodal.audioDecode(wavVar(halve = false, 6500), 65)
+    val h1 = Multimodal.deltaSignHash64(p1)
+    // same recording at half volume → identical fingerprint
+    assert(h1 === Multimodal.deltaSignHash64(
+      Multimodal.audioDecode(wavVar(halve = true, 6500), 65)))
+    assert(h1 !== 0L)
+    // SQL-portable twin on the same profile agrees bit-for-bit
+    val port = Multimodal.deltaSignPortable(
+        Seq((1L, p1.map(_.toDouble).toSeq)).toDF("id", "prof"), "id", "prof")
+      .collect().head.getAs[Long]("afp")
+    assert(h1 === port)
+    // hand-computed: rises exactly at k=0 (1→2) and k=2 (1→2)
+    val tiny = Array.tabulate(65)(k => if (k == 1 || k == 3) 2f else 1f)
+    assert(Multimodal.deltaSignHash64(tiny) === ((1L << 0) | (1L << 2)))
+  }
+
   test("imageNearDupAgainst: banded batch-vs-corpus == all-pairs cross") {
     val g = grays(16, 16, 5L)
     val variants = (0 until 8).map { i =>

@@ -1829,6 +1829,13 @@ object SparkEntry {
     "q_image_ahash" -> ((s, dir) => ext.Multimodal.imageNearDupPairs(
       imageAHashFixture(s, dir), "img_id", maxHamming = 3)),
 
+    // dedup observability: duplication-rate histogram — clusters of
+    // identical (orderkey, linenumber) rows by multiplicity; the
+    // "what would exact dedup delete" report (lineitem carries real
+    // duplicate keys in this testdata)
+    "q_dup_histogram" -> ((s, dir) => ext.Profile.dupHistogram(
+      read(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber"))),
+
     // multimodal: audio near-dup by 64-bit delta-sign fingerprint over
     // 65-slice loudness profiles (volume-invariant — only comparisons);
     // real-codec path law-pinned in MultimodalSpec, banded Hamming pairs
@@ -3458,6 +3465,14 @@ object SparkEntry {
         |       bit_count(xor(a.ahash, b.ahash)) AS hamming
         |FROM hs a JOIN hs b ON b.id > a.id
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin,
+
+    // dup histogram: two nested GROUP BYs
+    "q_dup_histogram" ->
+      """SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        |       cluster_size * CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cluster_size
+        |      FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        |GROUP BY cluster_size""".stripMargin,
 
     // audio fingerprint: 65-slice char profiles, delta-sign bits via a
     // k↔k+1 self-join, HUGEINT bit_or, all-pairs Hamming≤3

@@ -39,6 +39,23 @@ object Profile {
       .select("bin", "lo", "hi", "n")
   }
 
+  /** Duplication-rate histogram — the dedup OBSERVABILITY number: how
+    * many groups of exactly-identical rows (by `keyCols`) exist at each
+    * multiplicity. `cluster_size = 1` is the unique mass;
+    * `n_rows − n_clusters` summed over sizes > 1 is exactly what exact
+    * dedup would delete — the before/after report a corpus curation run
+    * leads with. Two hash aggregates, the second over at most
+    * max-multiplicity rows.
+    */
+  def dupHistogram(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).alias("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).alias("n_clusters"))
+      .withColumn("n_rows", col("cluster_size") * col("n_clusters"))
+  }
+
   /** Join-key skew profile: the `topN` heaviest keys with row counts and
     * corpus share — the operational check before keying a 100 TB shuffle
     * (a key holding 30% of rows wants salting or AQE skew handling; see

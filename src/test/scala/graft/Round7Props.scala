@@ -1,0 +1,171 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+
+/** ScalaCheck properties for the round-7 additions: each Spark operator
+  * vs an executable in-memory Scala spec over generated inputs. Samples
+  * run one Spark job each, so counts stay small.
+  */
+object Round7Props extends Properties("round7") {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Spark's round(double, 0) semantics: HALF_UP via BigDecimal. */
+  private def sparkRound0(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+  private def sparkRound(x: Double, s: Int): Double =
+    BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // --- Classify.naiveBayes ---------------------------------------------
+
+  private val tokGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee")
+  private val docGen: Gen[String] =
+    Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, tokGen)).map(_.mkString(" "))
+
+  propertyWithSeed("naiveBayes log-odds == naive add-one NB", None) =
+    forAll(Gen.listOfN(6, Gen.zip(docGen, Gen.oneOf(true, false))),
+      Gen.listOfN(3, docGen)) { (train, score) =>
+      val trainDf = train.zipWithIndex
+        .map { case ((t, l), i) => (i.toLong, t, l) }
+        .toDF("doc_id", "text", "lab")
+      val scoreDf = score.zipWithIndex
+        .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      val model = ext.Classify.naiveBayesModel(trainDf, "text", col("lab"),
+        vocabSize = 100)
+      val got = ext.Classify.naiveBayesScore(scoreDf, "doc_id", "text", model)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Double]("log_odds")).toMap
+
+      // naive spec
+      val toks = (s: String) => s.split(" ").toSeq
+      val vocab = train.flatMap(d => toks(d._1)).toSet
+      val vv = vocab.size + 1L
+      def cls(lab: Boolean) = train.filter(_._2 == lab)
+      val n1 = cls(true).map(d => toks(d._1).length).sum.toLong
+      val n0 = cls(false).map(d => toks(d._1).length).sum.toLong
+      val d1 = cls(true).length.toLong
+      val d0 = cls(false).length.toLong
+      def cnt(lab: Boolean, w: String) =
+        cls(lab).flatMap(d => toks(d._1)).count(_ == w).toLong
+      val prior = sparkRound0(
+        math.log((d1 + 1).toDouble / (d0 + 1).toDouble) * 1e9)
+      score.zipWithIndex.forall { case (t, i) =>
+        val s = toks(t).map(w0 => if (vocab(w0)) w0 else "<unk>")
+          .groupBy(identity).map { case (w, ws) =>
+            val m = ws.length.toLong
+            val t1 = sparkRound0(
+              math.log((cnt(true, w) + 1).toDouble / (n1 + vv)) * 1e9)
+            val t0 = sparkRound0(
+              math.log((cnt(false, w) + 1).toDouble / (n0 + vv)) * 1e9)
+            m * (t1 - t0)
+          }.sum
+        got(100L + i) == (prior + s).toDouble / 1e9
+      }
+    }
+
+  // --- Chat.gaeAdvantage -----------------------------------------------
+
+  private val stepGen: Gen[(Double, Double)] = for {
+    r <- Gen.choose(0, 300).map(_ / 100.0)
+    v <- Gen.choose(0, 300).map(_ / 100.0)
+  } yield (r, v)
+
+  propertyWithSeed("gaeAdvantage == naive discounted residual sum", None) =
+    forAll(Gen.listOfN(3, Gen.choose(1, 5).flatMap(Gen.listOfN(_, stepGen)))) {
+      trajs =>
+      val rows = trajs.zipWithIndex.flatMap { case (steps, tr) =>
+        steps.zipWithIndex.map { case ((r, v), t) => (tr.toLong, t, r, v) }
+      }
+      val got = ext.Chat.gaeAdvantage(rows.toDF("traj", "step", "r", "v"),
+          "traj", "step", "r", "v")
+        .collect().map(x => (x.getAs[Long]("traj_id"), x.getAs[Long]("t")) ->
+          x.getAs[Double]("advantage")).toMap
+
+      val gl = (BigDecimal("0.99") * BigDecimal("0.95")).toDouble
+      trajs.zipWithIndex.forall { case (steps, tr) =>
+        val rq = steps.map(s => sparkRound0(s._1 * 100))
+        val vq = steps.map(s => sparkRound0(s._2 * 100))
+        // exact-decimal delta in scale space
+        val dq = steps.indices.map { t =>
+          val vnext = if (t + 1 < steps.length) vq(t + 1) else 0L
+          (BigDecimal(rq(t)) + BigDecimal("0.99") * BigDecimal(vnext) -
+            BigDecimal(vq(t))).toDouble
+        }
+        steps.indices.forall { t =>
+          val s = (t until steps.length).map { k =>
+            sparkRound0(sparkRound(math.pow(gl, (k - t).toDouble), 9) *
+              (dq(k) / 100.0) * 1e9)
+          }.sum
+          got((tr.toLong, t.toLong)) == s.toDouble / 1e9
+        }
+      }
+    }
+
+  // --- banded Hamming completeness -------------------------------------
+
+  private val hashClusterGen: Gen[Seq[Long]] = for {
+    base <- Gen.choose(Long.MinValue, Long.MaxValue)
+    n <- Gen.choose(2, 8)
+    flips <- Gen.listOfN(n, Gen.listOfN(5, Gen.choose(0, 63)))
+  } yield flips.map(_.foldLeft(base)((h, b) => h ^ (1L << b)))
+
+  propertyWithSeed("imageNearDupPairs == all-pairs Hamming<=3", None) =
+    forAll(hashClusterGen) { hashes =>
+      val hs = hashes.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+      val got = ext.Multimodal.imageNearDupPairs(
+          hs.toDF("id", "ahash"), "id", maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (a, ha) <- hs; (b, hb) <- hs if a < b
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+      } yield (a, b, d)).toSet
+      got == want
+    }
+
+  // --- Evals.calibrationCurve ------------------------------------------
+
+  propertyWithSeed("calibrationCurve == naive fixed-width binning", None) =
+    forAll(Gen.listOfN(30,
+      Gen.zip(Gen.choose(-6000, 6000).map(_ / 100.0), Gen.oneOf(true, false)))) {
+      rows =>
+      val got = ext.Evals.calibrationCurve(rows.toDF("score", "y"),
+          "score", col("y"), lo = -50.0, hi = 50.0, bins = 10)
+        .collect().map(r => r.getAs[Long]("bin") ->
+          (r.getAs[Long]("n"), r.getAs[Long]("n_pos"))).toMap
+      val want = rows.groupBy { case (s, _) =>
+        math.min(9L, math.max(0L, math.floor((s - (-50.0)) / 10.0).toLong))
+      }.map { case (b, rs) =>
+        b -> (rs.length.toLong, rs.count(_._2).toLong)
+      }
+      got == want
+    }
+
+  // --- Packing.packBoundaries ------------------------------------------
+
+  propertyWithSeed("packBoundaries == naive per-group fold", None) =
+    forAll(Gen.listOfN(12,
+      Gen.zip(Gen.oneOf("g", "h"), Gen.choose(1, 30)))) { docs =>
+      val rows = docs.zipWithIndex.map { case ((g, n), i) =>
+        (i.toLong, g, n.toLong) }
+      val got = ext.Packing.packBoundaries(
+          rows.toDF("doc_id", "grp", "tok"), "doc_id", "tok",
+          budget = 25L, groupCol = "grp")
+        .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("shard")) ->
+          (r.getAs[Long]("n_docs"), r.getAs[Long]("shard_tokens"),
+            r.getAs[String]("starts_csv"))).toMap
+      val want = rows.groupBy(_._2).flatMap { case (g, rs) =>
+        val sorted = rs.sortBy(_._1)
+        val cumB = sorted.scanLeft(0L)(_ + _._3).init
+        val shard = cumB.map(c => math.floor(c.toDouble / 25.0).toLong)
+        sorted.indices.groupBy(shard).map { case (sh, idxs) =>
+          val toks = idxs.map(sorted(_)._3)
+          val starts = toks.scanLeft(0L)(_ + _).init
+          (g, sh) -> (idxs.length.toLong, toks.sum, starts.mkString(","))
+        }
+      }
+      got == want
+    }
+}

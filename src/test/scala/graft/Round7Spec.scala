@@ -709,4 +709,16 @@ class Round7Spec extends AnyFunSuite {
     assert(out(("g", 1L)) === ((1L, 5L, "0")))
     assert(out(("h", 0L)) === ((1L, 12L, "0")))
   }
+
+  test("dupHistogram: multiplicities, unique mass, and deletable count") {
+    val rows = Seq((1, "a"), (1, "a"), (1, "a"), (2, "b"), (2, "b"),
+      (3, "c")).toDF("k", "v")
+    val out = ext.Profile.dupHistogram(rows, Seq("k", "v"))
+      .collect().map(r => r.getAs[Long]("cluster_size") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_rows"))).toMap
+    assert(out === Map(3L -> ((1L, 3L)), 2L -> ((1L, 2L)), 1L -> ((1L, 1L))))
+    // what exact dedup would delete: sum over sizes>1 of n_rows - n_clusters
+    val deletable = out.collect { case (sz, (nc, nr)) if sz > 1 => nr - nc }.sum
+    assert(deletable === 3L)
+  }
 }

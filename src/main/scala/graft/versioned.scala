@@ -124,6 +124,34 @@ final class VersionedCatalog(spark: SparkSession, root: String) extends Catalog 
     */
   def append(name: String, df: DataFrame): Unit = commit(name, df, "append")
 
+  /** Compaction — the lakehouse OPTIMIZE as a maintenance COMMIT: rewrite
+    * the current snapshot's overwrite+append chain into one fresh base
+    * directory, committed as a new `overwrite` version. Read
+    * amplification for the latest snapshot drops from O(appends)
+    * directories (each a footer fetch + listing at 100 TB) back to one;
+    * the table's rows are bit-identical; every pre-compaction version
+    * stays time-travelable until [[vacuum]] drops it. Options fold the
+    * layout step into maintenance: `partitions` sets the output file
+    * count (small-files repair), `sortCol` range-partitions + sorts so
+    * parquet footer min/max prune selective scans ([[ext.Layout]]'s
+    * one-dimension case; use `Layout.zorder` upstream for two).
+    * Returns the new version.
+    */
+  def compact(name: String, partitions: Option[Int] = None,
+      sortCol: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    val snap = read(name)
+    val laid = (partitions, sortCol) match {
+      case (Some(n), Some(c)) =>
+        snap.repartitionByRange(n, col(c)).sortWithinPartitions(col(c))
+      case (Some(n), None) => snap.repartition(n)
+      case (None, Some(c)) =>
+        snap.repartitionByRange(col(c)).sortWithinPartitions(col(c))
+      case (None, None) => snap
+    }
+    commit(name, laid, "overwrite")
+  }
+
   /** Drop history: keep the last `keepLast` versions (and the older log
     * entries their chains still reference), delete every unreferenced
     * data directory — including orphans from crashed commits — and every

@@ -128,4 +128,26 @@ class VersionedCatalogSpec extends AnyFunSuite {
     // time travel to the pre-evolution snapshot keeps the narrow schema
     assert(cat.readVersion("t", 0L).columns.sorted.toSeq === Seq("k", "v"))
   }
+
+  test("compact: one base dir, identical rows, history intact until vacuum") {
+    val root = java.nio.file.Files.createTempDirectory("graft-vcompact").toString
+    val cat = new VersionedCatalog(spark, root)
+    cat.write("t", Seq((1, "a")).toDF("k", "v"))
+    cat.append("t", Seq((2, "b")).toDF("k", "v"))
+    cat.append("t", Seq((3, "c")).toDF("k", "v"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    val before = rows(cat.read("t"))
+    val v = cat.compact("t", partitions = Some(1), sortCol = Some("k"))
+    assert(v === 3L)
+    assert(rows(cat.read("t")) === before)                // bit-identical table
+    assert(rows(cat.readVersion("t", 1L)) === before.take(2)) // history intact
+    // after vacuum only the compacted chain survives: ONE data directory
+    cat.vacuum("t", keepLast = 1)
+    val dataDirs = new File(s"$root/t/data").listFiles().filter(_.isDirectory)
+    assert(dataDirs.length === 1, dataDirs.mkString(", "))
+    assert(rows(cat.read("t")) === before)
+    // pre-compaction versions are gone
+    intercept[IllegalArgumentException](cat.readVersion("t", 1L))
+  }
 }

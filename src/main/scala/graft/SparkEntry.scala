@@ -1829,6 +1829,13 @@ object SparkEntry {
     "q_image_ahash" -> ((s, dir) => ext.Multimodal.imageNearDupPairs(
       imageAHashFixture(s, dir), "img_id", maxHamming = 3)),
 
+    // CLIP-score-style gate: cosine vs one fixed reference direction
+    // (deterministic probe vector), threshold keep — the DataComp
+    // filtering recipe as a pure narrow map
+    "q_ref_score" -> ((s, dir) => ext.Similarity.referenceScore(
+      read(s, dir, "embeddings"), "vec_id", "embedding",
+      Seq.tabulate(64)(k => ((k * 37 % 19) - 9) / 10.0), threshold = 0.05)),
+
     // dedup observability: duplication-rate histogram — clusters of
     // identical (orderkey, linenumber) rows by multiplicity; the
     // "what would exact dedup delete" report (lineitem carries real
@@ -3465,6 +3472,22 @@ object SparkEntry {
         |       bit_count(xor(a.ahash, b.ahash)) AS hamming
         |FROM hs a JOIN hs b ON b.id > a.id
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin,
+
+    // reference score: same probe vector built by the same integer
+    // formula, list_dot_product + sqrt norms, 4-rounded
+    "q_ref_score" ->
+      """WITH r AS (SELECT list_transform(range(0, 64),
+        |             k -> ((k * 37 % 19) - 9) / 10.0) AS ref),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings)
+        |SELECT vec_id,
+        |       round(list_dot_product(v, ref) /
+        |         (sqrt(list_dot_product(v, v)) *
+        |          sqrt(list_dot_product(ref, ref))), 4) + 0.0 AS ref_sim,
+        |       round(list_dot_product(v, ref) /
+        |         (sqrt(list_dot_product(v, v)) *
+        |          sqrt(list_dot_product(ref, ref))), 4) + 0.0 >= 0.05 AS keep
+        |FROM e CROSS JOIN r""".stripMargin,
 
     // dup histogram: two nested GROUP BYs
     "q_dup_histogram" ->

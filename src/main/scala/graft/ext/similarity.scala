@@ -34,6 +34,25 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** CLIP-score-style reference filter (the DataComp/LAION recipe):
+    * cosine of every row's embedding against ONE fixed reference vector
+    * (a text-prompt embedding, a quality-direction probe) with a
+    * threshold gate. A pure narrow map — no join, no shuffle, linear at
+    * any corpus size; the 4-decimal rounding is the same cross-engine
+    * contract as the top-k frames. Emits (idCol, ref_sim, keep).
+    */
+  def referenceScore(df: DataFrame, idCol: String, vecCol: String,
+      ref: Seq[Double], threshold: Double): DataFrame = {
+    require(ref.nonEmpty, "reference vector must be non-empty")
+    val refCol = array(ref.map(lit): _*)
+    // + 0.0 canonicalizes the −0.0 a tiny negative cosine rounds to
+    // (IEEE: −0.0 + 0.0 = +0.0) — engines disagree on the sign bit's
+    // string form even though the values compare equal
+    df.select(col(idCol),
+        (round(cosine(col(vecCol), refCol), 4) + lit(0.0)).alias("ref_sim"))
+      .withColumn("keep", col("ref_sim") >= lit(threshold))
+  }
+
   /** All-pairs exact cosine (a_id < b_id). Quadratic — the correctness
     * baseline; use [[lshCandidatePairs]]-based paths at scale.
     */

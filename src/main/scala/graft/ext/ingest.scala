@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructType}
+
+/** Raw-format ingest — the step BEFORE the parquet catalog: web-scale
+  * training-data drops arrive as JSONL (one document object per line,
+  * usually gzipped; Spark decompresses `.gz` transparently) and tabular
+  * side-data as CSV. Contracts that matter at 100 TB:
+  *
+  *  - **Explicit schema, never inference.** Schema inference is a full
+  *    extra pass over the data before the real one — at corpus scale
+  *    that doubles the ingest bill; worse, it makes the parsed types a
+  *    function of whichever sample was scanned.
+  *  - **Corrupt records quarantine, never vanish.** PERMISSIVE mode
+  *    routes unparseable lines into a corrupt-record column; the pair
+  *    returned is (clean, quarantine). Dropping bad lines silently
+  *    (DROPMALFORMED) hides upstream breakage exactly when a crawler
+  *    changed its output format; failing the whole job (FAILFAST) lets
+  *    one bad line in a billion kill a day's ingest. Routing keeps both
+  *    failure modes visible and the pipeline moving.
+  *
+  * The checkpoint before the split is required, not an optimization:
+  * Spark refuses to filter on only the corrupt-record column of a
+  * just-parsed frame (SPARK-21610) — materializing first is the
+  * documented contract, and it also means the file parses ONCE for both
+  * outputs.
+  */
+object Ingest {
+
+  private def split(raw: DataFrame): (DataFrame, DataFrame) = {
+    val cached = raw.localCheckpoint()
+    (cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      cached.filter(col("_corrupt_record").isNotNull)
+        .select(col("_corrupt_record").alias("raw_line")))
+  }
+
+  /** JSONL ingest with quarantine. Returns (clean, quarantine) where
+    * clean has exactly `schema`'s columns and quarantine carries the
+    * unparseable raw lines (`raw_line`).
+    */
+  def jsonl(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) =
+    split(spark.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path))
+
+  /** CSV ingest with quarantine — same contract as [[jsonl]]. */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true, delimiter: String = ","): (DataFrame, DataFrame) =
+    split(spark.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path))
+
+  /** JSONL export (gzip by default — the interchange format back out).
+    * One file per partition; repartition upstream to size the shards.
+    */
+  def writeJsonl(df: DataFrame, path: String,
+      compression: String = "gzip"): Unit =
+    df.write.mode("overwrite").option("compression", compression).json(path)
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Raw-format ingest: JSONL/CSV with corrupt-record quarantine, gzip
+  * transparency, and the JSONL round trip.
+  */
+class IngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("jsonl: clean rows parse, corrupt lines quarantine — none vanish") {
+    val dir = tmp("graft-jsonl")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part0.jsonl"),
+      ("""{"doc_id": 1, "text": "hello"}""" + "\n" +
+        """{"doc_id": 2, "text": "world"}""" + "\n" +
+        """{not json at all""" + "\n" +
+        """{"doc_id": 3, "text": "ok"}""" + "\n").getBytes("UTF-8"))
+    val (clean, bad) = ext.Ingest.jsonl(spark, dir, schema)
+    assert(clean.columns.toSeq === Seq("doc_id", "text"))
+    assert(clean.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "hello"), (2L, "world"), (3L, "ok")))
+    val q = bad.collect().map(_.getString(0))
+    assert(q.toSeq === Seq("{not json at all"))
+  }
+
+  test("csv: same quarantine contract") {
+    val dir = tmp("graft-csv")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part0.csv"),
+      ("doc_id,text\n1,hello\nnot-a-long,world\n3,ok\n").getBytes("UTF-8"))
+    val (clean, bad) = ext.Ingest.csv(spark, dir, schema)
+    assert(clean.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "hello"), (3L, "ok")))
+    assert(bad.collect().map(_.getString(0)).toSeq === Seq("not-a-long,world"))
+  }
+
+  test("jsonl round trip through gzip: write → read back identical") {
+    val dir = tmp("graft-jsonl-rt") + "/out"
+    val df = Seq((1L, "a"), (2L, "b é世"), (3L, null))
+      .toDF("doc_id", "text")
+    ext.Ingest.writeJsonl(df.repartition(1), dir)
+    // gzip part files, read back transparently
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(files.nonEmpty, "expected gzipped jsonl parts")
+    val (clean, bad) = ext.Ingest.jsonl(spark, dir, schema)
+    assert(bad.isEmpty)
+    assert(clean.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSeq ===
+      Seq((1L, Some("a")), (2L, Some("b é世")), (3L, None)))
+  }
+}

@@ -497,12 +497,22 @@ object Dedup {
       .filter(col(idCol) =!= col("__rep"))
       .select(col(idCol), lit("exact").alias("stage"),
         col("__rep").alias("dup_of"))
+    // both checkpoints are execution-plumbing, not semantics. Survivors
+    // feed the LSH stage TWICE (both sides of the against-join) and the
+    // verdict join — materializing once replaces three replays of the
+    // text anti-join; at 100 TB this is the standard persist-survivors
+    // step (the alternative recomputes the exact stage per consumer).
+    // The pair list is edge-sized (≪ corpus, post-LSH) and is consumed
+    // by the clustering loop's count + traversal — without the
+    // checkpoint every action replays the whole minhash/banding chain.
     val surv = df.select(col(idCol), col(textCol))
       .join(exactDrop.select(col(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint()
     val pairs = minHashNearDupAgainst(surv, surv, idCol, textCol,
         k, numHashes, bands, threshold, portable)
       .filter(col("new_id") < col("corpus_id"))
       .select(col("new_id").alias("a_id"), col("corpus_id").alias("b_id"))
+      .localCheckpoint()
     val clusters = nearDupClusters(surv.select(col(idCol)), idCol, pairs)
     val nearDrop = clusters.filter(col("id") =!= col("cluster"))
       .select(col("id").alias(idCol), lit("near_dup").alias("stage"),

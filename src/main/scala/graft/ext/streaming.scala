@@ -227,10 +227,36 @@ object EventStream {
   def nearDupBandVerdicts(docs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 64,
       bands: Int = 16): Dataset[BandVerdict] = {
-    import docs.sparkSession.implicits._
     val buckets = Dedup.lshBuckets(
       Dedup.minHashSignatures(docs, idCol, textCol, shingleK, numHashes),
       idCol, bands)
+    bandVerdicts(buckets, idCol)
+  }
+
+  /** Streaming perceptual-hash admission — the image/audio twin of
+    * [[nearDupBandVerdicts]]: a stream of `(id, hash64)` rows (aHash
+    * from a decode stage, delta-sign audio fingerprints) is banded
+    * 4×16-bit exactly like [[Dedup.bandedHammingPairs]], and the same
+    * per-(band, bucket) occupancy state admits first occupants. A clip
+    * whose every band is fresh is original; any occupied band means a
+    * near-duplicate (Hamming ≤ 3 guaranteed caught by pigeonhole) was
+    * already admitted.
+    */
+  def hashBandVerdicts(hashes: DataFrame, idCol: String,
+      hashCol: String): Dataset[BandVerdict] = {
+    val banded = hashes.select(col(idCol),
+      posexplode(expr(s"transform(sequence(0, 3), " +
+        s"b -> shiftright($hashCol, b * 16) & 65535)")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    bandVerdicts(banded, idCol)
+  }
+
+  /** Shared occupancy state machine over any `(id, band, bucket)`
+    * relation (earlier micro-batches win; lowest id wins within one).
+    */
+  private def bandVerdicts(buckets: DataFrame,
+      idCol: String): Dataset[BandVerdict] = {
+    import buckets.sparkSession.implicits._
     buckets
       .select(col(idCol).cast("long"), col("band").cast("int"),
         col("bucket").cast("long"))

@@ -298,6 +298,27 @@ class StreamingSpec extends AnyFunSuite {
       .head.getAs[Long]("rejected_id") === 20L)
   }
 
+  test("hashBandVerdicts: first hash admitted, near-dup rejected, distant admitted") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = EventStream.hashBandVerdicts(
+        mem.toDF().toDF("id", "ahash"), "id", "ahash")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("hash_verdicts").start()
+    val base = 0x0123456789abcdefL
+    mem.addData((1L, base))
+    q.processAllAvailable()
+    // 2 = base with ONE flipped bit (near-dup: 3 bands still collide);
+    // 3 = a hash differing in every band (all bands fresh)
+    mem.addData((2L, base ^ 1L), (3L, ~base))
+    q.processAllAvailable(); q.stop()
+
+    val admitted = EventStream.admittedDocIds(spark.table("hash_verdicts"))
+      .collect().map(_.getLong(0)).toSet
+    assert(admitted === Set(1L, 3L))
+  }
+
   test("nbScoreSink: drained stream == batch NB scoring under a frozen model") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

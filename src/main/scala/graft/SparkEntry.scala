@@ -1829,6 +1829,14 @@ object SparkEntry {
     "q_image_ahash" -> ((s, dir) => ext.Multimodal.imageNearDupPairs(
       imageAHashFixture(s, dir), "img_id", maxHamming = 3)),
 
+    // mixing: per-source epoch plan — the UPSAMPLING twin of q_mixture
+    // (full epochs + deterministic partial-rate tail per source); plan
+    // rows = #sources, one token aggregate over the corpus
+    "q_epoch_plan" -> ((s, dir) => ext.Sampling.epochPlan(
+      read(s, dir, "documents"), "source", "n_chars",
+      Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0),
+      targetTokens = 40000L)),
+
     // CLIP-score-style gate: cosine vs one fixed reference direction
     // (deterministic probe vector), threshold keep — the DataComp
     // filtering recipe as a pure narrow map
@@ -3472,6 +3480,26 @@ object SparkEntry {
         |       bit_count(xor(a.ahash, b.ahash)) AS hamming
         |FROM hs a JOIN hs b ON b.id > a.id
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin,
+
+    // epoch plan: same left-associative rate shape as q_mixture, 6-dp
+    // rounds, floor/partial split
+    "q_epoch_plan" ->
+      """WITH t AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+        |           FROM documents
+        |           WHERE source IN ('src0', 'src1', 'src2')
+        |           GROUP BY source),
+        |w AS (SELECT * FROM (VALUES ('src0', 4.0), ('src1', 2.0),
+        |                            ('src2', 1.0)) AS w(source, wt)),
+        |r AS (SELECT t.source, t.n_tokens,
+        |        round(w.wt / 7.0 * 40000.0 / CAST(t.n_tokens AS DOUBLE), 6)
+        |          AS repeat_factor
+        |      FROM t JOIN w USING (source))
+        |SELECT source, n_tokens, repeat_factor,
+        |       CAST(FLOOR(repeat_factor) AS BIGINT) AS full_epochs,
+        |       round(repeat_factor -
+        |         CAST(CAST(FLOOR(repeat_factor) AS BIGINT) AS DOUBLE), 6)
+        |         AS partial_rate
+        |FROM r""".stripMargin,
 
     // reference score: same probe vector built by the same integer
     // formula, list_dot_product + sqrt norms, 4-rounded

@@ -86,6 +86,45 @@ object Sampling {
         lower(lpad(hex(floor(pc * lit(4294967296L))), 8, "0")))
   }
 
+  /** Epoch plan — the UPSAMPLING twin of [[mixture]] (which only ever
+    * downsamples: "upsampling epochs are the trainer's job" — this is
+    * that job's input). Given per-source token totals, target mixture
+    * weights, and a token budget, emit how many times each source's data
+    * is seen in one training run: `repeat_factor = share × budget /
+    * n_tokens` split into `full_epochs` (floor) plus a `partial_rate`
+    * tail the reader applies as one deterministic md5-Bernoulli pass
+    * ([[stratified]]'s rate contract). Sources not in `weights` drop.
+    *
+    * Determinism: the rate shape (w / Σw × budget / n, left-associative,
+    * then 6-dp round) is part of the cross-engine contract — the oracle
+    * repeats it verbatim. Scale: one hash aggregate over the corpus for
+    * the token totals; the plan itself is #sources rows.
+    *
+    * Output: (source, n_tokens, repeat_factor, full_epochs,
+    * partial_rate).
+    */
+  def epochPlan(df: DataFrame, sourceCol: String, tokenCol: String,
+      weights: Map[String, Double], targetTokens: Long): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixture weights must be positive")
+    require(targetTokens > 0, "targetTokens must be positive")
+    val sumW = weights.values.sum
+    val wDf = df.sparkSession.createDataFrame(weights.toSeq)
+      .toDF("source", "__w")
+    df.filter(col(sourceCol).cast("string").isInCollection(weights.keys.toSeq))
+      .groupBy(col(sourceCol).cast("string").alias("source"))
+      .agg(sum(col(tokenCol)).cast("long").alias("n_tokens"))
+      .join(broadcast(wDf), Seq("source"))
+      .withColumn("repeat_factor",
+        round(col("__w") / lit(sumW) * lit(targetTokens.toDouble) /
+          col("n_tokens").cast("double"), 6))
+      .withColumn("full_epochs", floor(col("repeat_factor")).cast("long"))
+      .withColumn("partial_rate",
+        round(col("repeat_factor") - col("full_epochs").cast("double"), 6))
+      .select("source", "n_tokens", "repeat_factor", "full_epochs",
+        "partial_rate")
+  }
+
   /** Per-stratum deterministic sampling: `fractions` maps stratum value →
     * keep rate (absent strata keep everything). One narrow filter — no
     * shuffle, no sort, reproducible.

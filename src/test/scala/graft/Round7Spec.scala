@@ -721,4 +721,20 @@ class Round7Spec extends AnyFunSuite {
     val deletable = out.collect { case (sz, (nc, nr)) if sz > 1 => nr - nc }.sum
     assert(deletable === 3L)
   }
+
+  test("epochPlan: repeat factors split into full epochs + partial rate") {
+    val docs = Seq(("a", 100L), ("a", 100L), ("b", 50L), ("c", 999L))
+      .toDF("src", "tok")
+    val out = ext.Sampling.epochPlan(docs, "src", "tok",
+        Map("a" -> 3.0, "b" -> 1.0), targetTokens = 400L)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("repeat_factor"),
+          r.getAs[Long]("full_epochs"), r.getAs[Double]("partial_rate"))).toMap
+    // a: 3/4 * 400 / 200 = 1.5 -> 1 full epoch + 0.5 tail
+    assert(out("a") === ((200L, 1.5, 1L, 0.5)))
+    // b: 1/4 * 400 / 50 = 2.0 -> exactly 2 epochs, no tail
+    assert(out("b") === ((50L, 2.0, 2L, 0.0)))
+    // c not in the mixture -> dropped
+    assert(!out.contains("c"))
+  }
 }

@@ -47,4 +47,29 @@ object Diff {
   def summary(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
     tables(a, b, keys).groupBy(col("status"))
       .agg(count(lit(1)).alias("n"))
+
+  /** Schema drift between two table versions (what [[tables]] refuses to
+    * diff): one row per column present in either, with the evolution
+    * verdict — `added` / `removed` / `retyped` (with both type strings)
+    * / `same`. Metadata-only (no data read); the check an ingest runs
+    * BEFORE a `VersionedCatalog.append` so a crawler's silent format
+    * change surfaces as a review, not a parse-time surprise. Columns
+    * compare by catalogString, so nullability-only changes read `same`
+    * (parquet unions them safely) while type changes fail loudly.
+    */
+  def schemaDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val at = a.schema.map(f => f.name -> f.dataType.catalogString).toMap
+    val bt = b.schema.map(f => f.name -> f.dataType.catalogString).toMap
+    (at.keySet ++ bt.keySet).toSeq.sorted.map { c =>
+      (at.get(c), bt.get(c)) match {
+        case (Some(x), Some(y)) if x == y => (c, x, y, "same")
+        case (Some(x), Some(y))           => (c, x, y, "retyped")
+        case (Some(x), None)              => (c, x, null, "removed")
+        case (None, Some(y))              => (c, null, y, "added")
+        case _ => throw new IllegalStateException("unreachable")
+      }
+    }.toDF("column", "type_a", "type_b", "status")
+  }
 }

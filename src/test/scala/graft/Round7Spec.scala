@@ -737,4 +737,17 @@ class Round7Spec extends AnyFunSuite {
     // c not in the mixture -> dropped
     assert(!out.contains("c"))
   }
+
+  test("schemaDiff: added/removed/retyped/same verdicts") {
+    val a = Seq((1L, "x", 0.5)).toDF("id", "name", "score")
+    val b = Seq((1L, 2, true)).toDF("id", "name", "fresh")
+    val out = ext.Diff.schemaDiff(a, b)
+      .collect().map(r => r.getAs[String]("column") ->
+        (Option(r.getAs[String]("type_a")), Option(r.getAs[String]("type_b")),
+          r.getAs[String]("status"))).toMap
+    assert(out("id") === ((Some("bigint"), Some("bigint"), "same")))
+    assert(out("name") === ((Some("string"), Some("int"), "retyped")))
+    assert(out("score") === ((Some("double"), None, "removed")))
+    assert(out("fresh") === ((None, Some("boolean"), "added")))
+  }
 }

@@ -15,11 +15,11 @@ import org.apache.spark.sql.types._
   * w)` block map, same exact integer sums, same IEEE mean compares),
   * which is what the SQL oracle replays.
   *
-  * Measured at sf0.1 (10k 16×16 grids): this expression ≈0.3 s for the
-  * hash stage vs 2.3 s for a two-level aggregate + join plan, 8.7 s for
-  * a 128-conditional-sum vote aggregate, and 138 s for nested
-  * higher-order-function lambdas (HOFs have no codegen) — the narrow
-  * native form wins by an order of magnitude.
+  * Measured at sf0.1 (10k 16×16 grids, whole q_image_ahash query):
+  * 1.15 s with this expression vs 2.3 s for a two-level aggregate +
+  * join plan, 8.7 s for a 128-conditional-sum vote aggregate, and 138 s
+  * for nested higher-order-function lambdas (HOFs have no codegen) —
+  * the narrow native form wins by 2–120× depending on the alternative.
   *
   * Array elements must be non-null and the array length exactly `w·h`
   * (throws otherwise — a malformed grid must fail loudly, not hash to

@@ -1829,6 +1829,36 @@ object SparkEntry {
     "q_image_ahash" -> ((s, dir) => ext.Multimodal.imageNearDupPairs(
       imageAHashFixture(s, dir), "img_id", maxHamming = 3)),
 
+    // LSH quality eval: precision/recall of the banded MinHash estimate
+    // path vs exact n-gram Jaccard ground truth at the same threshold —
+    // the engine quantifies its own approximation (the number a corpus
+    // owner tunes bands/hashes against); one full-outer pair join, one
+    // aggregate row out
+    "q_lsh_pr" -> { (s, dir) =>
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text"))
+      val exact = ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          k = 3, threshold = 0.5)
+        .select(col("a_id"), col("b_id"), lit(1).alias("__e"))
+      val lsh = ext.Dedup.minHashNearDupAgainst(docs, docs, "doc_id",
+          "text", k = 3, numHashes = 32, bands = 8, threshold = 0.5,
+          portable = true)
+        .filter(col("new_id") < col("corpus_id"))
+        .select(col("new_id").alias("a_id"),
+          col("corpus_id").alias("b_id"), lit(1).alias("__l"))
+      lsh.join(exact, Seq("a_id", "b_id"), "full_outer")
+        .agg(
+          sum(when(col("__e").isNotNull, 1L).otherwise(0L)).alias("n_exact"),
+          sum(when(col("__l").isNotNull, 1L).otherwise(0L)).alias("n_lsh"),
+          sum(when(col("__e").isNotNull && col("__l").isNotNull, 1L)
+            .otherwise(0L)).alias("tp"))
+        .select(col("n_exact"), col("n_lsh"), col("tp"),
+          round(col("tp").cast("double") / col("n_lsh").cast("double"), 6)
+            .alias("precision"),
+          round(col("tp").cast("double") / col("n_exact").cast("double"), 6)
+            .alias("recall"))
+    },
+
     // mixing: per-source epoch plan — the UPSAMPLING twin of q_mixture
     // (full epochs + deterministic partial-rate tail per source); plan
     // rows = #sources, one token aggregate over the corpus
@@ -3480,6 +3510,65 @@ object SparkEntry {
         |       bit_count(xor(a.ahash, b.ahash)) AS hamming
         |FROM hs a JOIN hs b ON b.id > a.id
         |WHERE bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin,
+
+    // LSH P/R: exact-Jaccard CTE (q_ngram_jaccard shape at 0.5) as truth,
+    // the full portable minhash/banding/estimate chain (q_minhash_against
+    // shape, both sides, a<b) as candidate, full-outer pair join → counts
+    "q_lsh_pr" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents WHERE doc_id < 300),
+        |esh AS (SELECT DISTINCT doc_id, array_to_string(t[i.i:i.i+2], ' ') AS s
+        |        FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) i
+        |        WHERE i.i <= len(t) - 2),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM esh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ic
+        |          FROM esh a JOIN esh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |exact AS (SELECT a_id, b_id FROM inter
+        |          JOIN cnt ca ON ca.doc_id = a_id
+        |          JOIN cnt cb ON cb.doc_id = b_id
+        |          WHERE CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE)
+        |                >= 0.5),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |       FROM (SELECT doc_id, t AS w,
+        |               unnest(range(greatest(len(t) - 2, 0))) AS i FROM toks)),
+        |g AS (SELECT doc_id, i,
+        |        CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 12)
+        |             AS BIGINT) AS hv
+        |      FROM sh CROSS JOIN range(32) r(i)),
+        |sig AS (SELECT doc_id, i, MIN(hv) AS mh FROM g GROUP BY doc_id, i),
+        |bk AS (SELECT doc_id, i // 4 AS band,
+        |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+        |       FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+        |         WHERE a.doc_id < b.doc_id),
+        |lsh AS (SELECT c.a_id, c.b_id
+        |        FROM cand c
+        |        JOIN sig sa ON sa.doc_id = c.a_id
+        |        JOIN sig sb ON sb.doc_id = c.b_id AND sb.i = sa.i
+        |        GROUP BY c.a_id, c.b_id
+        |        HAVING CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+        |                 AS DOUBLE) / 32 >= 0.5),
+        |j AS (SELECT COALESCE(e.a_id, l.a_id) AS a_id,
+        |             COALESCE(e.b_id, l.b_id) AS b_id,
+        |             e.a_id IS NOT NULL AS in_e, l.a_id IS NOT NULL AS in_l
+        |      FROM exact e FULL OUTER JOIN lsh l
+        |        ON e.a_id = l.a_id AND e.b_id = l.b_id)
+        |SELECT CAST(SUM(CASE WHEN in_e THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |       CAST(SUM(CASE WHEN in_l THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+        |       CAST(SUM(CASE WHEN in_e AND in_l THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS tp,
+        |       round(CAST(SUM(CASE WHEN in_e AND in_l THEN 1 ELSE 0 END)
+        |           AS DOUBLE) /
+        |         CAST(SUM(CASE WHEN in_l THEN 1 ELSE 0 END) AS DOUBLE), 6)
+        |         AS precision,
+        |       round(CAST(SUM(CASE WHEN in_e AND in_l THEN 1 ELSE 0 END)
+        |           AS DOUBLE) /
+        |         CAST(SUM(CASE WHEN in_e THEN 1 ELSE 0 END) AS DOUBLE), 6)
+        |         AS recall
+        |FROM j""".stripMargin,
 
     // epoch plan: same left-associative rate shape as q_mixture, 6-dp
     // rounds, floor/partial split

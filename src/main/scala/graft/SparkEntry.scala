@@ -1248,6 +1248,26 @@ object SparkEntry {
     // map-side partial aggregation (6 sums + count collapse per partition
     // before the 6-group exchange). Decimal-pinned sums, closing double
     // division for the averages.
+    // §2.6 window-function breadth in one frame: row_number (total
+    // order), rank/dense_rank (tie semantics over the low-cardinality
+    // status), lag (previous order's price in key order) — all
+    // partitioned by customer, never a global sort
+    "q_window_funcs" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val byStatus = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderstatus"))
+      val byKey = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderkey"))
+      read(s, dir, "orders").filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(byPrice).alias("rn"),
+          rank().over(byStatus).alias("rnk"),
+          dense_rank().over(byStatus).alias("drnk"),
+          lag(col("o_totalprice"), 1).over(byKey).alias("prev_price"))
+    },
+
     "q_tpch_q1" -> { (s, dir) =>
       read(s, dir, "lineitem")
         .filter(col("l_shipdate").cast("date") <= lit("2000-12-01").cast("date"))
@@ -5496,6 +5516,19 @@ object SparkEntry {
         |       (tok_start + GREATEST(n_tokens - 1, 0)) // 2048 AS seq_last,
         |       tok_start % 2048 AS pos_in_seq
         |FROM p""".stripMargin,
+
+    // window suite: identical partitions/orders; rank ties over status
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn,
+        |  CAST(rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderstatus) AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderstatus) AS INTEGER) AS drnk,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderkey) AS prev_price
+        |FROM orders WHERE o_custkey < 200""".stripMargin,
 
     "q_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,

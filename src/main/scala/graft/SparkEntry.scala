@@ -1872,10 +1872,15 @@ object SparkEntry {
           sum(when(col("__l").isNotNull, 1L).otherwise(0L)).alias("n_lsh"),
           sum(when(col("__e").isNotNull && col("__l").isNotNull, 1L)
             .otherwise(0L)).alias("tp"))
+        // zero-count guard: Spark's x/0 is NaN where DuckDB's is NULL —
+        // emit NULL on both sides (NULLIF in the oracle) so a degenerate
+        // corpus cannot hash-diverge
         .select(col("n_exact"), col("n_lsh"), col("tp"),
-          round(col("tp").cast("double") / col("n_lsh").cast("double"), 6)
+          when(col("n_lsh") > 0,
+            round(col("tp").cast("double") / col("n_lsh").cast("double"), 6))
             .alias("precision"),
-          round(col("tp").cast("double") / col("n_exact").cast("double"), 6)
+          when(col("n_exact") > 0,
+            round(col("tp").cast("double") / col("n_exact").cast("double"), 6))
             .alias("recall"))
     },
 
@@ -3582,11 +3587,13 @@ object SparkEntry {
         |         AS tp,
         |       round(CAST(SUM(CASE WHEN in_e AND in_l THEN 1 ELSE 0 END)
         |           AS DOUBLE) /
-        |         CAST(SUM(CASE WHEN in_l THEN 1 ELSE 0 END) AS DOUBLE), 6)
+        |         CAST(NULLIF(SUM(CASE WHEN in_l THEN 1 ELSE 0 END), 0)
+        |           AS DOUBLE), 6)
         |         AS precision,
         |       round(CAST(SUM(CASE WHEN in_e AND in_l THEN 1 ELSE 0 END)
         |           AS DOUBLE) /
-        |         CAST(SUM(CASE WHEN in_e THEN 1 ELSE 0 END) AS DOUBLE), 6)
+        |         CAST(NULLIF(SUM(CASE WHEN in_e THEN 1 ELSE 0 END), 0)
+        |           AS DOUBLE), 6)
         |         AS recall
         |FROM j""".stripMargin,
 

@@ -195,13 +195,21 @@ object Chat {
     * step (libm `pow`) from last-ulp divergence between engines, the
     * same device as [[Sampling.temperatureMixture]].
     *
-    * Scale: one `lead()` window per trajectory for v_{t+1} (one shuffle
-    * on the trajectory key), then a bounded self-join `t ≤ k ≤ t+maxLag`
-    * INSIDE the trajectory — pairs ≤ T·maxLag per trajectory, and the
-    * join key is the trajectory id so co-partitioning is free after the
-    * window shuffle. `maxLag` truncation is part of the contract (the
-    * oracle truncates identically); (γλ)^64 < 2e−2 of weight only for
-    * γλ→1 — pick maxLag ≥ horizon for exact GAE on short trajectories.
+    * Scale: ONE window shuffle on the trajectory key, total. v_{t+1} is a
+    * `lead()`, and the λ-discounted sum is a RANGE-framed lookahead
+    * window (`collect_list(struct(k, δ)) over [t, t+maxLag]`) folded
+    * row-locally — each row's ≤ maxLag+1 terms are computed and reduced
+    * in place, so no intermediate ever multiplies the row count (the
+    * previous form self-joined `t ≤ k ≤ t+maxLag` inside the trajectory,
+    * shuffling T·maxLag rows through a groupBy — 64× the events table —
+    * which `BENCH_SCALING` flagged as the suite's worst scaler at 4–5.3×).
+    * The RANGE frame (not ROWS) keys the lag on the step VALUE `k − t`,
+    * exactly like the join's predicate, so step-gapped trajectories
+    * weight each δ identically; the fold is a bounded ≤ 65-step HOF (no
+    * codegen, but constant per row — the regime where HOFs are fine).
+    * `maxLag` truncation is part of the contract (the oracle truncates
+    * identically); (γλ)^64 < 2e−2 of weight only for γλ→1 — pick
+    * maxLag ≥ horizon for exact GAE on short trajectories.
     *
     * Output: `(traj_id, t, reward, delta, advantage)`.
     *
@@ -233,26 +241,30 @@ object Chat {
           lit(gamma.underlying()) * col("vnext").cast("decimal(28,10)") -
           col("vq").cast("decimal(28,10)"))
     val gl = (gamma * lam).toDouble // one IEEE product, same in the oracle
-    val a = deltas.select(col("traj_id"), col("t"), col("rq"))
-    val b = deltas.select(col("traj_id").alias("__tr"),
-      col("t").alias("k"), col("dq"))
-    a.join(b, col("traj_id") === col("__tr") &&
-        col("k") >= col("t") && col("k") <= col("t") + lit(maxLag))
-      .select(col("traj_id"), col("t"), col("rq"),
-        round(round(pow(lit(gl), (col("k") - col("t")).cast("double")), 9) *
-          (col("dq").cast("double") / lit(scale).cast("double")) * lit(1e9),
-          0).cast("long").alias("__term"),
-        when(col("k") === col("t"),
-          col("dq").cast("double") / lit(scale).cast("double"))
-          .alias("__d0"))
-      .groupBy(col("traj_id"), col("t"))
-      .agg(first(col("rq")).alias("__rq"),
-        max(col("__d0")).alias("delta"),
-        sum(col("__term")).alias("__s"))
+    // lookahead frame keyed on the step VALUE (RANGE, not ROWS): rows with
+    // k in [t, t+maxLag] — bit-identical to the former self-join predicate
+    val wr = Window.partitionBy(col("traj_id")).orderBy(col("t"))
+      .rangeBetween(0L, maxLag.toLong)
+    // per-(t, l) term arithmetic unchanged (two-stage rounding contract):
+    // round(round(pow(γλ, k−t), 9) · (δ/scale) · 1e9) as a 1e9-scaled
+    // BIGINT, summed exactly — null δ terms are skipped like SUM does,
+    // and an all-null window folds to NULL like SUM over an all-null group
+    val terms = transform(col("__win"), x =>
+      round(round(pow(lit(gl), (x.getField("k") - col("t")).cast("double")), 9) *
+        (x.getField("dq").cast("double") / lit(scale).cast("double")) *
+        lit(1e9), 0).cast("long"))
+    val live = filter(terms, x => x.isNotNull)
+    deltas
+      .withColumn("__win",
+        collect_list(struct(col("t").alias("k"), col("dq"))).over(wr))
       .select(col("traj_id"), col("t"),
-        (col("__rq").cast("double") / lit(scale).cast("double"))
+        (col("rq").cast("double") / lit(scale).cast("double"))
           .alias("reward"),
-        col("delta"),
-        (col("__s").cast("double") / lit(1e9)).alias("advantage"))
+        (col("dq").cast("double") / lit(scale).cast("double"))
+          .alias("delta"),
+        when(size(live) > 0,
+          aggregate(live, lit(0L), (acc, x) => acc + x)
+            .cast("double") / lit(1e9))
+          .alias("advantage"))
   }
 }

@@ -29,6 +29,16 @@ import org.apache.spark.sql.types.{StringType, StructType}
   */
 object Ingest {
 
+  /** The quarantine column is appended to the caller's schema — a caller
+    * whose schema already claims `_corrupt_record` would get a duplicate
+    * column (and silently misrouted quarantine), so reject it up front.
+    */
+  private def withCorrupt(schema: StructType): StructType = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "ingest schema must not contain _corrupt_record (reserved for quarantine)")
+    schema.add("_corrupt_record", StringType)
+  }
+
   private def split(raw: DataFrame): (DataFrame, DataFrame) = {
     val cached = raw.localCheckpoint()
     (cached.filter(col("_corrupt_record").isNull).drop("_corrupt_record"),
@@ -43,7 +53,7 @@ object Ingest {
   def jsonl(spark: SparkSession, path: String,
       schema: StructType): (DataFrame, DataFrame) =
     split(spark.read
-      .schema(schema.add("_corrupt_record", StringType))
+      .schema(withCorrupt(schema))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path))
@@ -52,7 +62,7 @@ object Ingest {
   def csv(spark: SparkSession, path: String, schema: StructType,
       header: Boolean = true, delimiter: String = ","): (DataFrame, DataFrame) =
     split(spark.read
-      .schema(schema.add("_corrupt_record", StringType))
+      .schema(withCorrupt(schema))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("header", header.toString)

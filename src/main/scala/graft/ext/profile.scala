@@ -110,11 +110,13 @@ object Profile {
       k: Double = 3.0): DataFrame = {
     val med = df.agg(
       expr(s"percentile($valueCol, 0.5)").alias("med"))
+    // 1-row scalar frames: broadcast-hinted so the plan is BNL-free even
+    // with AQE disabled (AQE broadcasts them at runtime anyway)
     val dev = df.select(col(idCol), col(valueCol))
-      .crossJoin(med)
+      .crossJoin(broadcast(med))
       .withColumn("deviation", abs(col(valueCol) - col("med")))
     val mad = dev.agg(expr("percentile(deviation, 0.5)").alias("mad"))
-    dev.crossJoin(mad)
+    dev.crossJoin(broadcast(mad))
       .filter(col("deviation") > lit(k) * col("mad"))
       .select(col(idCol), col(valueCol), col("deviation"))
   }
@@ -134,7 +136,7 @@ object Profile {
       expr(s"percentile($valueCol, $pLo)").alias("lo"),
       expr(s"percentile($valueCol, $pHi)").alias("hi"))
     df.select(col(idCol), col(valueCol))
-      .crossJoin(bounds)
+      .crossJoin(broadcast(bounds))
       .withColumn("clipped",
         least(greatest(col(valueCol), col("lo")), col("hi")))
       .select(col(idCol), col(valueCol), col("clipped"))

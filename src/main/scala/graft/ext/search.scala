@@ -46,7 +46,9 @@ object Search {
           sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).alias(s"__df$i"))
     val stats = perDoc.agg(statCols.head, statCols.tail: _*)
 
-    val scored = perDoc.crossJoin(stats)
+    // 1-row stats frame: hint the broadcast so the plan stays BNL-free
+    // even with AQE disabled (AQE would pick it up at runtime anyway)
+    val scored = perDoc.crossJoin(broadcast(stats))
     val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
     // (1 − b) + b·dl/avgdl — the document-length normalizer
     val lenNorm = lit(1.0) - lit(b) +

@@ -834,7 +834,7 @@ object TextOps {
     val cb = cab.groupBy("b").agg(sum("c_ab").alias("__cb"))
     val n = cab.agg(sum("c_ab").alias("__n"))
     cab.filter(col("c_ab") >= minCount)
-      .join(ca, "a").join(cb, "b").crossJoin(n)
+      .join(ca, "a").join(cb, "b").crossJoin(broadcast(n))
       .select(col("a"), col("b"), col("c_ab"),
         log(col("c_ab").cast("double") * col("__n").cast("double") /
           (col("__ca").cast("double") * col("__cb").cast("double")))

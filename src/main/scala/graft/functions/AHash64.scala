@@ -65,6 +65,9 @@ object AHash64 {
     var total = 0L
     var p = 0
     while (p < n) {
+      // ArrayData.getLong/getInt silently read 0 at a null slot — a grid
+      // with null pixels must fail loudly, same as a wrong-sized one
+      require(!pix.isNullAt(p), s"ahash64: null pixel at index $p")
       val v = if (isLong) pix.getLong(p) else pix.getInt(p).toLong
       val b = ((p / w) * 8 / h) * 8 + ((p % w) * 8 / w)
       sums(b) += v; cnts(b) += 1; total += v

@@ -101,6 +101,11 @@ object GraftFunctions {
       require(args.length == 1, "strip_accents(text)")
       StripAccents(args.head)
     },
+    "ahash64" -> { args =>
+      require(args.length == 3, "ahash64(pixels, w, h)")
+      AHash64(args.head, intLit(args(1), "ahash64", "w"),
+        intLit(args(2), "ahash64", "h"))
+    },
   )
 
   /** Register onto a live session (temp functions, session-scoped). */

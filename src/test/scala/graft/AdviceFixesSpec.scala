@@ -280,4 +280,37 @@ class AdviceFixesSpec extends AnyFunSuite {
     assert(r.getSeq[Long](0) == clean)
     assert(r.getSeq[Long](1).isEmpty)
   }
+
+  // --- r7 ADVICE: ahash64 must reject null pixels, not hash them as 0 ---
+
+  test("ahash64 throws on a null pixel element instead of silently reading 0") {
+    functions.GraftFunctions.register(spark)
+    val ex = intercept[Exception] {
+      spark.sql("SELECT ahash64(array(1, CAST(NULL AS INT), 3, 4), 2, 2)")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("null pixel")), ex)
+    // a null WHOLE array still yields null via null-safe eval
+    val r = spark.sql(
+      "SELECT ahash64(CAST(NULL AS ARRAY<INT>), 2, 2) AS h").head()
+    assert(r.isNullAt(0))
+  }
+
+  // --- r7 ADVICE: ingest schema must not claim the quarantine column ---
+
+  test("Ingest rejects a schema that already contains _corrupt_record") {
+    import org.apache.spark.sql.types._
+    val bad = StructType(Seq(StructField("a", LongType),
+      StructField("_corrupt_record", StringType)))
+    val ex = intercept[IllegalArgumentException] {
+      ext.Ingest.jsonl(spark, "/nonexistent", bad)
+    }
+    assert(ex.getMessage.contains("_corrupt_record"))
+    val ex2 = intercept[IllegalArgumentException] {
+      ext.Ingest.csv(spark, "/nonexistent", bad)
+    }
+    assert(ex2.getMessage.contains("_corrupt_record"))
+  }
 }

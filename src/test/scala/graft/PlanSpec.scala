@@ -138,6 +138,24 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("1-row scalar cross joins stay cartesian-free with AQE disabled") {
+    // madOutliers/winsorize/bm25/pmiPairs ride scalar stats on a cross
+    // join; the broadcast() hint (not AQE's runtime rescue) must be what
+    // keeps the plan off CartesianProduct, so assert with AQE off
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val mad = ext.Profile.madOutliers(docs, "doc_id", "n_chars", k = 3.0)
+      val madPlan = mad.queryExecution.executedPlan.toString
+      assert(!madPlan.contains("CartesianProduct"), madPlan)
+      assert(madPlan.contains("BroadcastNestedLoopJoin"), madPlan)
+      val pmi = ext.TextOps.pmiPairs(docs.limit(50), "text", minCount = 2L)
+      val pmiPlan = pmi.queryExecution.executedPlan.toString
+      assert(!pmiPlan.contains("CartesianProduct"), pmiPlan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("tfidf joins the vocabulary-bounded df side without a global sort") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val plan = finalPlan(ext.TextOps.tfidfTopTerms(docs, "doc_id", "text", 3))

@@ -585,12 +585,34 @@ object SparkEntry {
           when(col("doc_id") % 3 === 0, lit(" !!")).otherwise(lit(""))))),
       "doc_id", Seq("norm"))),
 
-    // dedup: MinHash+LSH near-dup (no oracle — xxhash64 is engine-
-    // internal; validated against q_ngram_jaccard in DedupSpec)
+    // dedup: MinHash+LSH near-dup over the FULL corpus — portable md5
+    // hash family so the whole path (signatures, banding, candidate
+    // join, signature agreement) replays in SQL and the query is fully
+    // oracled (est_jaccard = x/64 is dyadic → exact double compare).
+    // The native xxhash64 twin is pinned plan-shape in PlanSpec and
+    // equivalence-law'd in ExtSpec; it stays the scale default.
     "q_minhash_neardup" -> ((s, dir) =>
       ext.Dedup.minHashNearDupPairs(read(s, dir, "documents"),
         "doc_id", "text", k = 3, numHashes = 64, bands = 16,
-        threshold = 0.7)),
+        threshold = 0.7, portable = true)),
+
+    // dedup: blocked containment twin — LSH band candidates, exact
+    // |A∩B|/min rescore from the pair's own shingle arrays (the scale
+    // path the exact q_containment self-join documents); threshold 0.5
+    // so size-mismatched quote pairs survive the Jaccard-tuned blocking
+    "q_containment_lsh" -> ((s, dir) =>
+      ext.Dedup.ngramContainmentPairsLsh(read(s, dir, "documents"),
+        "doc_id", "text", k = 3, numHashes = 32, bands = 8,
+        threshold = 0.5, portable = true)),
+
+    // dedup: blocked bag-Jaccard twin — MinHash over the OCCURRENCE-
+    // EXPANDED multiset (bag-J = set-J of the expansion, exactly — the
+    // weighted-minhash identity), exact Σmin/Σmax rescore restricted to
+    // candidate ids; distinct-shingle banding would be unsound here
+    "q_bag_jaccard_lsh" -> ((s, dir) =>
+      ext.Dedup.bagJaccardPairsLsh(read(s, dir, "documents"),
+        "doc_id", "text", k = 3, numHashes = 32, bands = 8,
+        threshold = 0.5, portable = true)),
 
     // dedup: n-gram Jaccard with stop-shingle removal (the skew guard:
     // shingles appearing in more than maxShingleDf docs are dropped before
@@ -600,9 +622,13 @@ object SparkEntry {
         read(s, dir, "documents").filter(col("doc_id") < 200),
         "doc_id", "text", k = 3, threshold = 0.5, maxShingleDf = Some(5))),
 
-    // dedup: SimHash fingerprints (no oracle — engine-internal hash)
+    // dedup: 64-bit SimHash fingerprints — portable md5-digit hash family
+    // so the full-width fingerprint is oracled (HUGEINT rebuild + two's-
+    // complement wraparound on the DuckDB side); the native xxhash64
+    // SimHash64 expression stays the scale path, law-pinned in ExtSpec
+    // against its aggregation form
     "q_simhash" -> ((s, dir) =>
-      ext.Dedup.simHash64(read(s, dir, "documents"), "doc_id", "text")),
+      ext.Dedup.simHash64Portable(read(s, dir, "documents"), "doc_id", "text")),
 
     // dedup: portable 32-bit SimHash (md5 hex-digit bits) — full oracle
     "q_simhash_portable" -> ((s, dir) =>
@@ -1434,6 +1460,19 @@ object SparkEntry {
         .filter(col("status") =!= "same")
     },
 
+    // ingest hygiene: SCHEMA drift verdicts (the metadata-only check an
+    // ingest runs before a VersionedCatalog.append) — documents vs a
+    // deterministically evolved twin: one column dropped, one retyped
+    // (bigint → int), one added; the oracle rebuilds both schemas from
+    // DESCRIBE and replays the verdict join
+    "q_schema_drift" -> { (s, dir) =>
+      val a = read(s, dir, "documents")
+      val b = a.drop("lang")
+        .withColumn("n_chars", col("n_chars").cast("int"))
+        .withColumn("crawl_ts", lit("2026-01-01"))
+      ext.Diff.schemaDiff(a, b)
+    },
+
     // deterministic train/val/test assignment: cumulative md5-hash bands,
     // rows never migrate between splits as the corpus grows
     "q_split_assign" -> ((s, dir) => ext.Sampling.assignSplits(
@@ -1781,6 +1820,30 @@ object SparkEntry {
       .groupBy(col("w_start"), col("event_type"))
       .agg(count(lit(1)).alias("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))),
+
+    // events: the SAME tumbling aggregation executed THROUGH Structured
+    // Streaming — file source → window aggregate → drained memory sink
+    // (Trigger.AvailableNow, complete mode so every window emits) — so
+    // the driver's oracle checks a query whose Spark side actually ran
+    // the streaming engine, not just the batch twin of its shapes.
+    // Complete mode ignores the watermark for output, which is exactly
+    // the drain contract: after AvailableNow exhausts the input, state
+    // holds every window and the final emit equals the batch aggregation
+    // (the long-lived production form keeps append mode + watermark).
+    "q_stream_tumbling" -> { (s, dir) =>
+      val name = "graft_stream_tumbling"
+      s.catalog.dropTempView(name)
+      val agg = ext.EventStream.tumblingCounts(
+        ext.EventStream.readStream(s, s"$dir/events.parquet"), "1 hour")
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).select(
+        unix_micros(col("window.start")).alias("hour_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    },
 
     // events: JSON property extraction (semi-structured props column)
     "q_events_json" -> ((s, dir) => readEvents(s, dir).select(
@@ -2764,6 +2827,42 @@ object SparkEntry {
        |SELECT doc_id, CAST($bits AS BIGINT) AS simhash32 FROM v""".stripMargin
   }
 
+  /** VALUES list of the affine portable MinHash coefficients — generated
+    * from the SAME [[ext.Dedup.affineCoeffs]] the Spark plan embeds, so
+    * both engines share the family by construction.
+    */
+  private def affineCoeffValues(numHashes: Int): String =
+    ext.Dedup.affineCoeffs(numHashes).zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+
+  /** Generated DuckDB oracle for q_simhash — the 64-bit widening of
+    * [[simhashPortableOracle]] (16 md5 hex digits = 64 bits). Bit 63 can
+    * set, so the fingerprint assembles in HUGEINT and converts to the
+    * signed BIGINT by explicit two's-complement wraparound (`1::BIGINT
+    * << 63` overflows DuckDB's BIGINT).
+    */
+  private lazy val simhash64PortableOracle: String = {
+    val votes = (0 until 64).map { i =>
+      s"SUM(CASE WHEN (((strpos('0123456789abcdef', substr(mh, ${1 + i / 4}, 1)) - 1)" +
+        s" >> ${i % 4}) & 1) = 1 THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(",\n       ")
+    val bits = (0 until 64)
+      .map(i => s"(CASE WHEN v$i > 0 THEN CAST(1 AS HUGEINT) << $i" +
+        " ELSE CAST(0 AS HUGEINT) END)")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (SELECT doc_id, md5(tok) AS mh FROM tok),
+       |v AS (SELECT doc_id,
+       |       $votes
+       |      FROM h GROUP BY doc_id),
+       |hh AS (SELECT doc_id, $bits AS hu FROM v)
+       |SELECT doc_id,
+       |       CAST(CASE WHEN hu >= 9223372036854775808
+       |                 THEN hu - 18446744073709551616
+       |                 ELSE hu END AS BIGINT) AS simhash
+       |FROM hh""".stripMargin
+  }
+
   /** Generated DuckDB oracle for q_embed_neardup_lsh — regenerates the
     * multi-table sign-LSH candidate set (same seeded hyperplanes as the
     * Spark side, embedded as shortest-round-trip double literals, same
@@ -3368,6 +3467,7 @@ object SparkEntry {
         |SELECT vec_id, bench_id, c6 AS max_cosine,
         |       c6 >= 0.5 AS contaminated
         |FROM r WHERE rn = 1""".stripMargin,
+    "q_simhash" -> simhash64PortableOracle,
     "q_simhash_portable" -> simhashPortableOracle,
     "q_pagerank" -> pageRankOracle,
 
@@ -3843,6 +3943,39 @@ object SparkEntry {
         |HAVING CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32
         |         >= 0.5""".stripMargin,
 
+    // self-join LSH near-dup over the FULL corpus: affine portable family
+    // (one md5 per shingle, (a_i·h + b_i) mod 2^61−1 re-mixes with plan-
+    // time-shared coefficients), 16 four-hash bands (i // 4), candidate
+    // pairs a < b, signature-agreement estimate x/64 (dyadic → exact)
+    "q_minhash_neardup" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |       FROM (SELECT doc_id, w,
+        |               unnest(range(greatest(len(w) - 2, 0))) AS i FROM d)),
+        |hb AS (SELECT doc_id,
+        |         CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS h
+        |       FROM sh),
+        |co(i, a, b) AS (VALUES ${affineCoeffValues(64)}),
+        |g AS (SELECT doc_id, i, (a * h + b) % ${ext.Dedup.AffineP} AS hv
+        |      FROM hb CROSS JOIN co),
+        |sig AS (SELECT doc_id, i, MIN(hv) AS mh FROM g GROUP BY doc_id, i),
+        |bk AS (SELECT doc_id, i // 4 AS band,
+        |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+        |       FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+        |         WHERE a.doc_id < b.doc_id)
+        |SELECT c.a_id, c.b_id,
+        |       CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 64
+        |         AS est_jaccard
+        |FROM cand c
+        |JOIN sig sa ON sa.doc_id = c.a_id
+        |JOIN sig sb ON sb.doc_id = c.b_id AND sb.i = sa.i
+        |GROUP BY c.a_id, c.b_id
+        |HAVING CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 64
+        |         >= 0.7""".stripMargin,
+
     // RRF: both retriever rankings replayed (jaccard-against + cosine
     // top-k), reciprocal terms as exact integer floor divisions
     "q_rrf_fusion" ->
@@ -4276,6 +4409,46 @@ object SparkEntry {
         |JOIN cnt cb ON cb.doc_id = b_id
         |WHERE CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) >= 0.5""".stripMargin,
 
+    // blocked bag-Jaccard twin: portable minhash/banding candidates over
+    // OCCURRENCE-EXPANDED tokens s#r (bag-J = set-J of the expansion),
+    // then the exact occurrence-indexed rescore on candidate pairs
+    "q_bag_jaccard_lsh" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sha AS (SELECT doc_id,
+        |          w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS s
+        |        FROM (SELECT doc_id, w,
+        |                unnest(range(greatest(len(w) - 2, 0))) AS i FROM d)),
+        |occ AS (SELECT doc_id, s,
+        |          row_number() OVER (PARTITION BY doc_id, s ORDER BY s) AS o
+        |        FROM sha),
+        |hb AS (SELECT doc_id,
+        |         CAST('0x' || substr(md5(s || '#' || CAST(o AS VARCHAR)), 1, 12)
+        |              AS BIGINT) AS h
+        |       FROM occ),
+        |co(i, a, b) AS (VALUES ${affineCoeffValues(32)}),
+        |g AS (SELECT doc_id, i, (a * h + b) % ${ext.Dedup.AffineP} AS hv
+        |      FROM hb CROSS JOIN co),
+        |sig AS (SELECT doc_id, i, MIN(hv) AS mh FROM g GROUP BY doc_id, i),
+        |bk AS (SELECT doc_id, i // 4 AS band,
+        |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+        |       FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+        |         WHERE a.doc_id < b.doc_id),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sha GROUP BY doc_id),
+        |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS ic
+        |          FROM cand c
+        |          JOIN occ x ON x.doc_id = c.a_id
+        |          JOIN occ y ON y.doc_id = c.b_id
+        |            AND y.s = x.s AND y.o = x.o
+        |          GROUP BY 1, 2)
+        |SELECT i.a_id, i.b_id,
+        |       CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN cnt ca ON ca.doc_id = i.a_id
+        |JOIN cnt cb ON cb.doc_id = i.b_id
+        |WHERE CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) >= 0.5""".stripMargin,
+
     "q_containment" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i.i:i.i+2], ' ') AS s
@@ -4291,6 +4464,40 @@ object SparkEntry {
         |JOIN cnt ca ON ca.doc_id = a_id
         |JOIN cnt cb ON cb.doc_id = b_id
         |WHERE CAST(ic AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE) >= 0.8""".stripMargin,
+
+    // blocked containment twin: same portable candidate CTE, exact
+    // |A∩B|/min(|A|,|B|) rescore over the candidates' distinct shingles
+    "q_containment_lsh" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |       FROM (SELECT doc_id, w,
+        |               unnest(range(greatest(len(w) - 2, 0))) AS i FROM d)),
+        |hb AS (SELECT doc_id,
+        |         CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS h
+        |       FROM sh),
+        |co(i, a, b) AS (VALUES ${affineCoeffValues(32)}),
+        |g AS (SELECT doc_id, i, (a * h + b) % ${ext.Dedup.AffineP} AS hv
+        |      FROM hb CROSS JOIN co),
+        |sig AS (SELECT doc_id, i, MIN(hv) AS mh FROM g GROUP BY doc_id, i),
+        |bk AS (SELECT doc_id, i // 4 AS band,
+        |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+        |       FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+        |         WHERE a.doc_id < b.doc_id),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS ic
+        |          FROM cand c
+        |          JOIN sh x ON x.doc_id = c.a_id
+        |          JOIN sh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
+        |          GROUP BY 1, 2)
+        |SELECT i.a_id, i.b_id,
+        |       CAST(ic AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE) AS containment
+        |FROM inter i
+        |JOIN cnt ca ON ca.doc_id = i.a_id
+        |JOIN cnt cb ON cb.doc_id = i.b_id
+        |WHERE CAST(ic AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE) >= 0.5""".stripMargin,
 
     "q_text_topterms" ->
       """SELECT term, cnt, rnk FROM (
@@ -5778,6 +5985,30 @@ object SparkEntry {
         |             OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
         |           THEN 'changed' ELSE 'same' END <> 'same'""".stripMargin,
 
+    // schema drift: both schemas rebuilt from DESCRIBE (DuckDB types
+    // mapped to Spark catalogStrings), the evolved twin's mutations
+    // replayed in SQL, verdicts from the same full-outer shape
+    "q_schema_drift" ->
+      """WITH ad AS (SELECT column_name AS c,
+        |              CASE lower(column_type)
+        |                WHEN 'bigint' THEN 'bigint'
+        |                WHEN 'varchar' THEN 'string'
+        |                WHEN 'double' THEN 'double'
+        |                WHEN 'integer' THEN 'int'
+        |                WHEN 'timestamp' THEN 'timestamp'
+        |                ELSE lower(column_type) END AS t
+        |            FROM (DESCRIBE SELECT * FROM documents)),
+        |bd AS (SELECT c, CASE WHEN c = 'n_chars' THEN 'int' ELSE t END AS t
+        |       FROM ad WHERE c <> 'lang'
+        |       UNION ALL SELECT 'crawl_ts', 'string')
+        |SELECT COALESCE(a.c, b.c) AS "column",
+        |       a.t AS type_a, b.t AS type_b,
+        |       CASE WHEN b.c IS NULL THEN 'removed'
+        |            WHEN a.c IS NULL THEN 'added'
+        |            WHEN a.t <> b.t THEN 'retyped'
+        |            ELSE 'same' END AS status
+        |FROM ad a FULL OUTER JOIN bd b ON a.c = b.c""".stripMargin,
+
     // thresholds interpolated from the SAME cumulative-sum arithmetic the
     // operator runs (0.8, then 0.8 + 0.1 — bitwise-identical doubles)
     "q_split_assign" ->
@@ -6354,6 +6585,17 @@ object SparkEntry {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |       MAX(value) AS max_value
+        |FROM e GROUP BY 1, 2""".stripMargin,
+
+    // the streaming drain equals the batch tumbling aggregation (minus
+    // max_value, which tumblingCounts doesn't carry) — same hour-bucket
+    // integer arithmetic on the window start
+    "q_stream_tumbling" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type, value
+        |           FROM events)
+        |SELECT ts_us - (ts_us % 3600000000) AS hour_us, event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM e GROUP BY 1, 2""".stripMargin,
 
     "q_events_json" ->

@@ -213,6 +213,121 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  /** BLOCKED twin of [[ngramContainmentPairs]] — the 100 TB path the
+    * exact self-join docstring promises: MinHash/LSH band candidates
+    * ([[minHashCandidates]]) rescored with the EXACT containment
+    * `|A∩B| / min(|A|,|B|)` from the pair's own shingle sets. The rescore
+    * is row-local (`array_intersect` over the two carried shingle
+    * arrays — documents are bounded, so the arrays are too), so beyond
+    * the band shuffle the only joins are two id-keyed signature-set
+    * fetches per DISTINCT candidate pair — the
+    * [[embeddingNearDupPairsLsh]] shape.
+    *
+    * Recall caveat, by construction: MinHash approximates JACCARD, so a
+    * short doc quoted inside a much longer one (containment ≈ 1, Jaccard
+    * « 1) can be missed by Jaccard-banded blocking. High-containment
+    * pairs of comparable size are caught; for the asymmetric
+    * quote-inclusion case at scale, block from the SMALL side's shingles
+    * instead (a [[contaminationScores]]-style semi-join). Precision is
+    * exact: every emitted pair carries its true containment (asserted
+    * ⊆-with-equal-scores vs the exact operator in Round8Spec).
+    */
+  def ngramContainmentPairsLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8, portable: Boolean = false): DataFrame = {
+    val cand = minHashCandidates(df, idCol, textCol, k, numHashes, bands,
+      portable)
+    val sets = df.select(col(idCol), shingleArray(textCol, k).alias("__sh"))
+      .withColumn("n", size(col("__sh")).cast("long"))
+      .filter(col("n") > 0L)
+    cand
+      .join(sets.select(col(idCol).alias("a_id"), col("__sh").alias("sa"),
+        col("n").alias("na")), "a_id")
+      .join(sets.select(col(idCol).alias("b_id"), col("__sh").alias("sb"),
+        col("n").alias("nb")), "b_id")
+      .withColumn("containment",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          least(col("na"), col("nb")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("a_id", "b_id", "containment")
+  }
+
+  /** BLOCKED twin of [[bagJaccardPairs]] — MinHash/LSH candidates over
+    * the OCCURRENCE-EXPANDED multiset, then the exact occurrence-indexed
+    * `Σmin/Σmax` rescore restricted to candidate pairs.
+    *
+    * Why the expansion is the correct blocker (and a set-level one would
+    * be UNSOUND): bag-J(A,B) = Σmin/Σmax is EXACTLY the set-Jaccard of
+    * the expanded sets `{(s, r) : 1 ≤ r ≤ count_s}` — element (s, r)
+    * lies in both expansions iff r ≤ min(a_s, b_s) (so |∩| = Σmin) and
+    * in either iff r ≤ max (so |∪| = Σmax). MinHash banding over
+    * expanded shingles therefore carries its standard recall guarantee
+    * AT the bag similarity itself. Distinct-shingle banding has no such
+    * guarantee in either direction: A = {x×100}, B = {x×100, y} has
+    * bag-J ≈ 0.99 but set-J = 0.5 (repeated shared mass), while the
+    * repeated-paragraph spam case has set-J ≈ 1, bag-J ≈ 0.1 — the two
+    * similarities are incomparable (Round8Spec pins the counterexample).
+    *
+    * Rescore: occurrence `r` of shingle `s` in A equi-joins occurrence
+    * `r` in B (the [[bagJaccardPairs]] identity), with both occurrence
+    * relations first semi-joined down to candidate ids — the shingle
+    * join runs over candidate docs only, never the corpus-wide
+    * self-join. Precision is exact (true bag-J on every emitted pair).
+    */
+  def bagJaccardPairsLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8, portable: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = graft.functions.WordShingles.columnAll(col(textCol), k)
+    val occ = df
+      .select(col(idCol), sh.alias("__sh"))
+      .withColumn("n", size(col("__sh")).cast("long"))
+      .filter(col("n") > 0L)
+      .select(col(idCol), col("n"), explode(col("__sh")).alias("shingle"))
+      .groupBy(col(idCol), col("n"), col("shingle"))
+      .agg(count(lit(1)).alias("__m"))
+      .select(col(idCol), col("n"), col("shingle"),
+        explode(sequence(lit(1L), col("__m"))).alias("occ"))
+    // occurrence-expanded token: "shingle#r" — the weighted-minhash
+    // element whose set-Jaccard IS bag-J ('#' never appears inside a
+    // whitespace-delimited word shingle, so the encoding is injective)
+    val toks = occ.select(col(idCol),
+      concat(col("shingle"), lit("#"), col("occ").cast("string"))
+        .alias("token"))
+    val sigs =
+      if (portable)
+        affineSigArrays(toks.withColumnRenamed("token", "elem"), idCol,
+          numHashes)
+      else
+        toks.groupBy(col(idCol))
+          .agg(graft.functions.MinHashSig
+            .column(collect_list(col("token")), numHashes).alias("signature"))
+    val cand = bandCandidates(
+      if (portable) portableBuckets(sigs, idCol, bands, numHashes)
+      else lshBuckets(sigs, idCol, bands), idCol)
+    // candidate ids are few post-banding — prune each occurrence side to
+    // its candidate docs (semi-join) before the shingle equi-join
+    val aOcc = occ.join(cand.select(col("a_id")).distinct(),
+        occ(idCol) === col("a_id"), "left_semi")
+      .select(col(idCol).alias("__aid"), col("shingle").alias("sh_a"),
+        col("occ").alias("occ_a"), col("n").alias("na"))
+    val bOcc = occ.join(cand.select(col("b_id")).distinct(),
+        occ(idCol) === col("b_id"), "left_semi")
+      .select(col(idCol).alias("__bid"), col("shingle").alias("sh_b"),
+        col("occ").alias("occ_b"), col("n").alias("nb"))
+    cand
+      .join(aOcc, col("a_id") === col("__aid"))
+      .join(bOcc, col("b_id") === col("__bid") &&
+        col("sh_a") === col("sh_b") && col("occ_a") === col("occ_b"))
+      .groupBy("a_id", "b_id", "na", "nb").agg(count(lit(1)).alias("ic"))
+      .withColumn("jaccard",
+        col("ic").cast("double") / (col("na") + col("nb") - col("ic")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
   /** Incremental near-dup: new batch vs EXISTING corpus — the production
     * shape for continuous ingestion (dedup today's crawl against the
     * accumulated training set, not against itself). Same shingle-join
@@ -341,6 +456,139 @@ object Dedup {
       .groupBy(col(entityCol))
       .agg(graft.functions.ArrayMinAgg.column(col("sig")).alias("signature"))
 
+  /** Engine-portable signature ARRAYS: [[minHashSignaturesPortable]]'s
+    * long format reassembled to one `signature` array per doc (hash-order
+    * sorted), so the portable family plugs into the same banding/scoring
+    * machinery as the native [[minHashSignatures]].
+    */
+  private[ext] def portableSigArrays(df: DataFrame, idCol: String,
+      textCol: String, k: Int, numHashes: Int): DataFrame =
+    minHashSignaturesPortable(df, idCol, textCol, k, numHashes)
+      .groupBy(col(idCol))
+      .agg(expr("transform(sort_array(collect_list(struct(i, min_hash)))," +
+        " x -> x.min_hash)").alias("signature"))
+
+  /** Engine-portable band buckets: the signature slice itself,
+    * comma-joined — string compare replays in any SQL engine where
+    * xxhash64 seeding does not. Same (id, band, bucket) shape as
+    * [[lshBuckets]].
+    *
+    * Built codegen-only: one `posexplode` of the signature plus
+    * `rowsPerBand` conditional-max aggregates per band, then one
+    * `concat_ws`. The obvious one-liner — a `transform(sequence(...))`
+    * whose lambda slices, maps and joins the signature — is THREE nested
+    * higher-order functions, none of which codegen: measured 12.7 s for
+    * 5 000 × 16 bands at sf0.1 where this form runs in ~0.5 s (the
+    * [[graft.functions.AHash64]] lesson again — HOFs only ever in
+    * bounded, non-hot positions).
+    */
+  private[ext] def portableBuckets(sigs: DataFrame, idCol: String,
+      bands: Int, numHashes: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val slots = (0 until r).map(j =>
+      max(when(col("pos") % r === j, col("mh"))).cast("string")
+        .alias(s"__b$j"))
+    sigs.select(col(idCol), posexplode(col("signature")).as(Seq("pos", "mh")))
+      .groupBy(col(idCol), expr(s"pos div $r").alias("band"))
+      .agg(slots.head, slots.tail: _*)
+      .select(col(idCol), col("band"),
+        concat_ws(",", (0 until r).map(j => col(s"__b$j")): _*)
+          .alias("bucket"))
+  }
+
+  /** Modulus of the affine portable hash family: 2^61 − 1 (prime). */
+  val AffineP: Long = 2305843009213693951L
+
+  /** Deterministic (a_i, b_i) coefficients of the affine portable MinHash
+    * family — derived from md5 of the function index at PLAN time (both
+    * the Spark literals and the SQL oracle's VALUES list come from this
+    * one method, so the two engines share them by construction).
+    * a_i is 15-bit odd-ended (`| 1` keeps it nonzero) so `a_i · h` with a
+    * 48-bit base hash stays inside a signed 64-bit long; b_i is 48-bit.
+    */
+  private[graft] def affineCoeffs(numHashes: Int): Seq[(Long, Long)] = {
+    def hx(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (0 until numHashes).map { i =>
+      val a = (java.lang.Long.parseLong(hx(s"a:$i").take(4), 16) & 0x7FFFL) | 1L
+      val b = java.lang.Long.parseLong(hx(s"b:$i").take(12), 16)
+      (a, b)
+    }
+  }
+
+  private def affineCoeffLit(numHashes: Int): Column =
+    array(affineCoeffs(numHashes).map { case (a, b) =>
+      struct(lit(a).alias("a"), lit(b).alias("b")) }: _*)
+
+  /** FULL-CORPUS portable MinHash signature arrays — the affine family:
+    * base hash `h` = leading 12 hex digits of `md5(element)` (ONE md5 per
+    * element — the expensive step), hash function `i` the cheap affine
+    * re-mix `(a_i·h + b_i) mod (2^61−1)` with [[affineCoeffs]] constants.
+    * This mirrors the native [[graft.functions.MinHashSig]] design (one
+    * strong hash, constant-time re-mixes) in pure SQL-replayable
+    * arithmetic, and is ~numHashes× cheaper than
+    * [[minHashSignaturesPortable]]'s md5-per-(i, element) contract — the
+    * difference between 14 s and ~1 s on the sf0.1 corpus at 64 hashes.
+    * (The md5-per-(i, element) family remains the contract of the
+    * subset-scoped incremental queries and their committed oracles.)
+    * `elems` is any (idCol, `elem`) relation — shingles, or occurrence-
+    * expanded multiset tokens.
+    */
+  private[ext] def affineSigArrays(elems: DataFrame, idCol: String,
+      numHashes: Int): DataFrame = {
+    // ONE wide codegen aggregate: per element the base hash computes
+    // once and each hash function is a two-op affine re-mix inside its
+    // own min() slot — no numHashes× row explosion, no shuffle beyond
+    // the id groupBy, and no higher-order function anywhere (the
+    // collect_list + sort_array + transform reassembly this replaces
+    // was the hidden 12 s of the first full-corpus portable run)
+    val co = affineCoeffs(numHashes)
+    val slots = co.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("__h") + lit(b)) % lit(AffineP)).alias(s"__m$i")
+    }
+    elems
+      .select(col(idCol),
+        conv(substring(md5(col("elem")), 1, 12), 16, 10).cast("long")
+          .alias("__h"))
+      .groupBy(col(idCol))
+      .agg(slots.head, slots.tail: _*)
+      .select(col(idCol),
+        array(co.indices.map(i => col(s"__m$i")): _*).alias("signature"))
+  }
+
+  /** Shared LSH candidate generator: distinct (a_id < b_id) pairs sharing
+    * any (band, bucket) — the blocking step every `*Lsh` scorer rescores
+    * exactly. The band shuffle carries ONLY (id, band, bucket); see
+    * [[minHashNearDupPairs]] for why signatures never ride it. The
+    * portable branch uses the full-corpus [[affineSigArrays]] family.
+    */
+  private[ext] def minHashCandidates(df: DataFrame, idCol: String,
+      textCol: String, k: Int, numHashes: Int, bands: Int,
+      portable: Boolean): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs =
+      if (portable)
+        affineSigArrays(shingles(df, idCol, textCol, k)
+          .withColumnRenamed("shingle", "elem"), idCol, numHashes)
+      else minHashSignatures(df, idCol, textCol, k, numHashes)
+    val bk =
+      if (portable) portableBuckets(sigs, idCol, bands, numHashes)
+      else lshBuckets(sigs, idCol, bands)
+    bandCandidates(bk, idCol)
+  }
+
+  /** Distinct (a_id < b_id) pairs sharing any (band, bucket) of `bk`. */
+  private def bandCandidates(bk: DataFrame, idCol: String): DataFrame = {
+    val x = bk.select(col(idCol).alias("a_id"), col("band"), col("bucket"))
+    val y = bk.select(col(idCol).alias("b_id"), col("band"), col("bucket"))
+    // band tables scale with the corpus — never broadcast-collect a side
+    x.hint("shuffle_hash").join(y, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+  }
+
   /** LSH banding: hash each of `bands` contiguous signature slices; docs
     * sharing any (band, bucket) are candidates. rows = docs × bands.
     * `carry` columns ride along (e.g. the signature itself, so downstream
@@ -377,16 +625,18 @@ object Dedup {
   def minHashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
-    val sigs = minHashSignatures(df, idCol, textCol, k, numHashes)
-    val bk = lshBuckets(sigs, idCol, bands)
-    val x = bk.select(col(idCol).alias("a_id"), col("band"), col("bucket"))
-    val y = bk.select(col(idCol).alias("b_id"), col("band"), col("bucket"))
-    // band tables scale with the corpus — never broadcast-collect a side
-    val cand = x.hint("shuffle_hash").join(y, Seq("band", "bucket"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
-    cand
+      threshold: Double = 0.8, portable: Boolean = false): DataFrame = {
+    // `portable = true` swaps xxhash64 signatures/buckets for the affine
+    // md5-seeded family ([[affineSigArrays]]) so the WHOLE path —
+    // signatures, banding, candidate join, signature agreement — replays
+    // in plain SQL (the oracle path) at full-corpus cost; native hashing
+    // stays the scale default
+    val sigs =
+      if (portable)
+        affineSigArrays(shingles(df, idCol, textCol, k)
+          .withColumnRenamed("shingle", "elem"), idCol, numHashes)
+      else minHashSignatures(df, idCol, textCol, k, numHashes)
+    minHashCandidates(df, idCol, textCol, k, numHashes, bands, portable)
       .join(sigs.select(col(idCol).alias("a_id"), col("signature").alias("sa")),
         "a_id")
       .join(sigs.select(col(idCol).alias("b_id"), col("signature").alias("sb")),
@@ -422,25 +672,12 @@ object Dedup {
       threshold: Double = 0.8, portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     def sigsOf(d: DataFrame): DataFrame =
-      if (portable)
-        minHashSignaturesPortable(d, idCol, textCol, k, numHashes)
-          .groupBy(col(idCol))
-          .agg(expr("transform(sort_array(collect_list(struct(i, min_hash)))," +
-            " x -> x.min_hash)").alias("signature"))
+      if (portable) portableSigArrays(d, idCol, textCol, k, numHashes)
       else minHashSignatures(d, idCol, textCol, k, numHashes)
-    // portable buckets: the signature slice itself (comma-joined) — string
-    // compare is engine-portable where xxhash64 seeding is not
-    def buckets(sigs: DataFrame, outId: String): DataFrame = {
-      val b = if (portable) {
-        val slices = expr(
-          s"transform(sequence(0, $bands - 1), b -> array_join(" +
-            s"transform(slice(signature, b * (size(signature) div $bands) + 1, " +
-            s"size(signature) div $bands), x -> cast(x as string)), ','))")
-        sigs.select(col(idCol), posexplode(slices))
-          .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      } else lshBuckets(sigs, idCol, bands)
-      b.select(col(idCol).alias(outId), col("band"), col("bucket"))
-    }
+    def buckets(sigs: DataFrame, outId: String): DataFrame =
+      (if (portable) portableBuckets(sigs, idCol, bands, numHashes)
+       else lshBuckets(sigs, idCol, bands))
+        .select(col(idCol).alias(outId), col("band"), col("bucket"))
     val sn = sigsOf(newDf)
     val sc = sigsOf(corpus)
     // batch side is the small one — leave the join to AQE (broadcasts it
@@ -562,6 +799,34 @@ object Dedup {
       when(col(s"__v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
     agg.select(col(idCol),
       bits.reduce((a, b) => a.bitwiseOR(b)).alias("simhash32"))
+  }
+
+  /** Engine-portable 64-bit SimHash — [[simHash32Portable]]'s md5-digit
+    * scheme widened to the full fingerprint width: bit `i` (0..63) of a
+    * token's hash is read from hex digit `i/4`, bit `i%4` of `md5(token)`
+    * (16 of md5's 32 hex digits = 64 independent bits), ±1 vote per bit,
+    * sign of the vote sum sets the output bit. Same `simhash` column
+    * contract as the native [[simHash64]] (which stays the scale path —
+    * xxhash64 is ~10× cheaper than md5 and needs no explode); use this
+    * one when the fingerprint must replay in plain SQL in any engine.
+    * Bit 63 makes the BIGINT negative exactly when set — the oracle
+    * rebuilds it as HUGEINT and applies the two's-complement wraparound.
+    */
+  def simHash64Portable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+        explode(TextOps.tokens(col(textCol))).alias("tok"))
+      .withColumn("mh", md5(col("tok")))
+    val votes = (0 until 64).map { i =>
+      val bit = expr(
+        s"((instr('0123456789abcdef', substring(mh, ${1 + i / 4}, 1)) - 1)" +
+          s" >> ${i % 4}) & 1")
+      sum(when(bit === 1, 1).otherwise(-1)).alias(s"__v$i")
+    }
+    val agg = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val bits = (0 until 64).map(i =>
+      when(col(s"__v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+    agg.select(col(idCol),
+      bits.reduce((a, b) => a.bitwiseOR(b)).alias("simhash"))
   }
 
   /** SimHash near-dup pairs: 4×16-bit band blocking, then exact Hamming

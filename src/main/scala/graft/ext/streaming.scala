@@ -50,9 +50,21 @@ object EventStream {
   def readStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(dir).schema
-    spark.readStream
-      .schema(fileSchema)
-      .parquet(dir)
+    // FileStreamSource's partition inference requires basePath to be a
+    // directory, and for a NON-glob path it force-overrides basePath with
+    // the path itself — so a single file (the testdata layout) needs both
+    // tricks: rewrite the last character as a one-char glob class (which
+    // matches only the same file but flips isGlobPath) and pin basePath
+    // to the parent directory explicitly
+    val p = new java.io.File(dir)
+    val reader = spark.readStream.schema(fileSchema)
+    val (path, withBase) =
+      if (p.isFile)
+        (s"${p.getParent}/${p.getName.dropRight(1)}[${p.getName.last}]",
+          reader.option("basePath", p.getParent))
+      else (dir, reader)
+    withBase
+      .parquet(path)
       .withColumn("ts_utc", tsUtcExpr(fileSchema("ts").dataType))
   }
 

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 laws: the blocked (LSH-candidate) twins of the exact-pairs
+  * scorers, the portable 64-bit SimHash, and the linear-window GAE.
+  *
+  *  - blocked ⊆ exact with IDENTICAL scores (the rescore is exact, so
+  *    LSH can only lose pairs, never invent or mis-score one);
+  *  - recall of the blocked twin on the sf0.001 corpus is high (the
+  *    banding is tuned for it);
+  *  - bag-J ≤ set-J (min/max vs distinct), the inequality that makes
+  *    set-level banding a SOUND blocker for the bag scorer;
+  *  - simhash64Portable's low 32 bits equal simHash32Portable (both
+  *    read the same md5 hex digits).
+  */
+class Round8Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  private def pairScores(df: org.apache.spark.sql.DataFrame,
+      scoreCol: String): Map[(Long, Long), Double] =
+    df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        r.getDouble(r.fieldIndex(scoreCol)))).toMap
+
+  test("containment LSH twin ⊆ exact, identical scores, high recall") {
+    val exact = pairScores(ext.Dedup.ngramContainmentPairs(
+      docs, "doc_id", "text", k = 3, threshold = 0.5), "containment")
+    val lsh = pairScores(ext.Dedup.ngramContainmentPairsLsh(
+      docs, "doc_id", "text", k = 3, numHashes = 32, bands = 8,
+      threshold = 0.5, portable = true), "containment")
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (pair, score) =>
+      assert(exact.contains(pair), s"LSH invented pair $pair")
+      assert(exact(pair) == score, s"score drift on $pair")
+    }
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("bag-Jaccard LSH twin ⊆ exact, identical scores, high recall") {
+    val exact = pairScores(ext.Dedup.bagJaccardPairs(
+      docs, "doc_id", "text", k = 3, threshold = 0.5), "jaccard")
+    val lsh = pairScores(ext.Dedup.bagJaccardPairsLsh(
+      docs, "doc_id", "text", k = 3, numHashes = 32, bands = 8,
+      threshold = 0.5, portable = true), "jaccard")
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (pair, score) =>
+      assert(exact.contains(pair), s"LSH invented pair $pair")
+      assert(exact(pair) == score, s"score drift on $pair")
+    }
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall (${lsh.size}/${exact.size})")
+  }
+
+  test("bag-J and set-J are incomparable — expanded-token blocking still catches both directions") {
+    // the counterexample that makes DISTINCT-shingle banding unsound as
+    // a bag-J blocker: shared mass repeated in both docs. doc 1 repeats
+    // one sentence 20×; doc 2 is the same plus a disjoint tail — bag-J
+    // high, set-J much lower. docs 3/4: the opposite direction (repeated
+    // paragraph spam) — set-J ≈ 1, bag-J low.
+    val rep = (1 to 20).map(_ => "alpha beta gamma delta").mkString(" ")
+    val d = Seq(
+      (1L, rep),
+      (2L, rep + " omega psi chi phi upsilon tau sigma rho"),
+      (3L, "one two three four five six seven eight"),
+      (4L, (1 to 10).map(_ => "one two three four five six seven eight")
+        .mkString(" "))).toDF("doc_id", "text")
+    val bag = pairScores(ext.Dedup.bagJaccardPairs(
+      d, "doc_id", "text", k = 3, threshold = 0.05), "jaccard")
+    val set = pairScores(ext.Dedup.ngramJaccardPairs(
+      d, "doc_id", "text", k = 3, threshold = 0.05), "jaccard")
+    assert(bag((1L, 2L)) > set((1L, 2L)) + 0.1,
+      s"repeated-shared-mass pair: bag=${bag((1L, 2L))} set=${set((1L, 2L))}")
+    assert(bag((3L, 4L)) < set((3L, 4L)) - 0.1,
+      s"repetition-spam pair: bag=${bag((3L, 4L))} set=${set((3L, 4L))}")
+    // the occurrence-expanded blocker catches the high-bag pair that
+    // set-level banding has no recall guarantee for, with the exact score
+    val lsh = pairScores(ext.Dedup.bagJaccardPairsLsh(
+      d, "doc_id", "text", k = 3, numHashes = 32, bands = 8,
+      threshold = 0.5, portable = true), "jaccard")
+    assert(lsh.contains((1L, 2L)) && lsh((1L, 2L)) == bag((1L, 2L)))
+  }
+
+  test("native and portable minhash LSH agree on the obvious dup pairs") {
+    // hash families differ, so the pair SETS can differ at the margin —
+    // but an exact duplicate (est_jaccard = 1) collides in every band
+    // under ANY hash family; inject one and require both paths find it
+    val twin = docs.limit(20).unionByName(
+      docs.limit(1).select((col("doc_id") + 100000).alias("doc_id"),
+        col("text")))
+    def pairs(portable: Boolean) =
+      ext.Dedup.minHashNearDupPairs(twin, "doc_id", "text",
+        k = 3, numHashes = 32, bands = 8, threshold = 0.99,
+        portable = portable)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val native = pairs(portable = false)
+    val port = pairs(portable = true)
+    val inj = docs.limit(1).head().getLong(0)
+    assert(native.contains((inj, inj + 100000)))
+    assert(port.contains((inj, inj + 100000)))
+  }
+
+  test("simhash64Portable low 32 bits == simHash32Portable") {
+    val h64 = ext.Dedup.simHash64Portable(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h32 = ext.Dedup.simHash32Portable(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h64.keySet == h32.keySet && h64.nonEmpty)
+    h64.foreach { case (id, h) =>
+      assert((h & 0xFFFFFFFFL) == h32(id), s"doc $id low-bits drift")
+    }
+  }
+
+  test("gaeAdvantage emits one row per input step (window form, no fan-out)") {
+    val traj = (0L until 3L).flatMap(tr => (0L until 200L).map(t =>
+      (tr, t, (t % 7).toDouble / 2, (t % 5).toDouble / 4)))
+      .toDF("traj", "step", "r", "v")
+    val out = ext.Chat.gaeAdvantage(traj, "traj", "step", "r", "v",
+      maxLag = 64)
+    assert(out.count() == 600)
+    // spot-check the λ-truncation contract at a gap: steps beyond
+    // t+maxLag contribute nothing, steps within do — compare a maxLag=0
+    // run to the raw TD residual
+    val td = ext.Chat.gaeAdvantage(traj, "traj", "step", "r", "v",
+      maxLag = 0).collect()
+    td.foreach { r =>
+      assert(math.abs(r.getDouble(r.fieldIndex("advantage")) -
+        r.getDouble(r.fieldIndex("delta"))) < 1e-9)
+    }
+  }
+}

@@ -1,0 +1,80 @@
+"""Generate the sf1 scaling point by structure-preserving replication of
+the driver's sf0.1 tables (driver-side tooling; the Scala engine never
+depends on this). Copy c shifts every intra-fact key by c*OFFSET so each
+copy is an independent consistent sub-database: joins resolve within a
+copy and never across copies. region/nation stay 1x (fixed dims, as in
+the driver's own generator); embeddings grow 4x per decade (driver
+contract); everything else grows 10x.
+
+Content decorrelation: a real 10x crawl brings NEW content, not ten
+verbatim copies - verbatim replication would make every document/vector
+have 9 exact cross-copy duplicates and push the exact-pairs operators
+quadratic BY CONSTRUCTION (that is dup explosion, not scaling). So copy
+c>0 suffixes every document token with _c<c> (no shingle crosses copies;
+in-copy dup/near-dup structure preserved exactly) and rotates embedding
+vectors by c positions (norms/distributions preserved; within-copy
+cosine structure preserved; cross-copy cosines decorrelated).
+Deterministic: pure replication + fixed rewrites, no randomness."""
+import duckdb, os
+
+SRC = '/root/testdata/sf0.1'
+DST = '/root/repo/.bench/sf1'
+OFF = 1_000_000_000
+os.makedirs(DST, exist_ok=True)
+
+SPEC = {
+    'region':    (1,  []),
+    'nation':    (1,  []),
+    'customer':  (10, ['c_custkey']),
+    'supplier':  (10, ['s_suppkey']),
+    'part':      (10, ['p_partkey']),
+    'orders':    (10, ['o_orderkey', 'o_custkey']),
+    'lineitem':  (10, ['l_orderkey', 'l_partkey', 'l_suppkey']),
+    'events':    (10, ['event_id', 'user_id']),
+    'documents': (10, ['doc_id']),
+    'embeddings': (4, ['vec_id']),
+}
+
+con = duckdb.connect()
+dim = con.execute(
+    f"SELECT len(embedding) FROM read_parquet('{SRC}/embeddings.parquet') LIMIT 1"
+).fetchone()[0]
+
+for t, (copies, keys) in SPEC.items():
+    cols = [r[0] for r in con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')").fetchall()]
+    selects = []
+    for c in range(copies):
+        exprs = []
+        for col in cols:
+            if col in keys and c > 0:
+                exprs.append(f"{col} + {c * OFF} AS {col}")
+            elif t == 'supplier' and col == 's_name' and c > 0:
+                # regenerate the name from the OFFSET key (longer digit
+                # tail, copy-distinct leading digits) - verbatim copies
+                # would give every name 9 cross-copy twins within edit
+                # distance 0-1 and push the fuzzy join quadratic by
+                # construction (a real 10x supplier base has new names
+                # over a wider key space, like TPC-H itself)
+                exprs.append(
+                    f"'Supplier#' || lpad(CAST(s_suppkey + {c * OFF} AS VARCHAR),"
+                    f" 12, '0') AS s_name")
+            elif t == 'customer' and col == 'c_name' and c > 0:
+                exprs.append(
+                    f"'Customer#' || lpad(CAST(c_custkey + {c * OFF} AS VARCHAR),"
+                    f" 12, '0') AS c_name")
+            elif t == 'documents' and col == 'text' and c > 0:
+                exprs.append(
+                    f"regexp_replace(text, ' ', '_c{c} ', 'g') || '_c{c}' AS text")
+            elif t == 'embeddings' and col == 'embedding' and c > 0:
+                r = c % dim
+                exprs.append(
+                    f"embedding[{r + 1}:{dim}] || embedding[1:{r}] AS embedding")
+            else:
+                exprs.append(col)
+        selects.append("SELECT " + ", ".join(exprs) +
+                       f" FROM read_parquet('{SRC}/{t}.parquet')")
+    q = " UNION ALL ".join(selects)
+    con.execute(f"COPY ({q}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
+    n = con.execute(f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet')").fetchone()[0]
+    print(t, n)

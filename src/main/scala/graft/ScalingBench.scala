@@ -61,23 +61,48 @@ object ScalingBench {
       }.toMap
     }
 
+    // optional third point (SPARK_GRAFT_SF_XL, e.g. the replicated
+    // .bench/sf1) — a second decade: quadratic-with-small-constant paths
+    // that hide inside one decade's Spark-overhead floor show up in the
+    // larger decade's ratio. The xl pass skips the separate warmup sweep
+    // (JIT is warm from the earlier points; min-of-2 still absorbs the
+    // per-sf file-cache cold read).
+    val xlDir = sys.env.get("SPARK_GRAFT_SF_XL")
+    def timedNoWarm(sfDir: String): Map[String, Double] =
+      names.map { n =>
+        val (a, b) = (run(n, sfDir), run(n, sfDir))
+        n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      }.toMap
+
     val ts = timed(small)
     val tl = timed(large)
+    val tx = xlDir.map(timedNoWarm)
     val entries = names.map { n =>
       val (s, l) = (ts(n), tl(n))
       val ratio = if (s > 0 && l > 0) l / s else -1.0
-      (n, s, l, ratio)
+      val x = tx.map(_(n))
+      val ratio2 = x.map(xv => if (l > 0 && xv > 0) xv / l else -1.0)
+      (n, s, l, ratio, x, ratio2)
     }
-    // a query that FAILS at either scale is the loudest superlinear signal
+    // a query that FAILS at any scale is the loudest superlinear signal
     // of all (OOM/timeout from a blowup) — it must land in `flagged`, not
     // silently drop out with ratio -1
-    val failed = entries.collect { case (n, s, l, _) if s < 0 || l < 0 => n }
-    val flagged = entries.collect { case (n, _, _, r) if r > FlagRatio => n } ++ failed
-    val qs = entries.map { case (n, s, l, r) =>
-      f"""\"$n\":{\"small\":$s%.4f,\"large\":$l%.4f,\"ratio\":$r%.2f}"""
+    val failed = entries.collect {
+      case (n, s, l, _, x, _) if s < 0 || l < 0 || x.exists(_ < 0) => n }
+    val flagged = entries.collect {
+      case (n, _, _, r, _, r2) if r > FlagRatio || r2.exists(_ > FlagRatio) => n
+    } ++ failed
+    val qs = entries.map { case (n, s, l, r, x, r2) =>
+      val base = f"""\"$n\":{\"small\":$s%.4f,\"large\":$l%.4f,\"ratio\":$r%.2f"""
+      val ext = (x, r2) match {
+        case (Some(xv), Some(rv)) => f""",\"xl\":$xv%.4f,\"ratio2\":$rv%.2f}"""
+        case _ => "}"
+      }
+      base + ext
     }.mkString("{", ",", "}")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"scaling","sf_small":"$small","sf_large":"$large",""" +
+    val xlField = xlDir.map(d => s""""sf_xl":"$d",""").getOrElse("")
+    println(s"""{"metric":"scaling","sf_small":"$small","sf_large":"$large",$xlField""" +
       s""""queries":$qs,"flagged":${arr(flagged)},"failed":${arr(failed)}}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

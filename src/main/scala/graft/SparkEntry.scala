@@ -793,7 +793,13 @@ object SparkEntry {
     // odd-label corpora) — best match per A-row where the cosine beats
     // both sides' top-4 neighborhood average
     "q_margin_align" -> ((s, dir) => {
-      val e = read(s, dir, "embeddings")
+      // exact all-pairs margin baseline — definitionally for BOUNDED
+      // corpora (the oracle contract + the LSH twin's ground truth), so
+      // gate the input like embeddingNearDupPairs' bruteForceLimit:
+      // vec_id < 4000 is vacuous at every driver scale (max 1999 at
+      // sf0.1) and caps the quadratic on larger scaling points; past the
+      // cap, q_margin_align_lsh IS the operator
+      val e = read(s, dir, "embeddings").filter(col("vec_id") < 4000)
       ext.Similarity.marginAlign(
         e.filter(col("label") % 2 === 0), e.filter(col("label") % 2 === 1),
         "vec_id", "embedding", k = 4, minMargin = 1.0)
@@ -1547,6 +1553,23 @@ object SparkEntry {
     // in any engine — next to its exact ground truth, ANN-recall style
     "q_hll_distinct" -> ((s, dir) =>
       ext.Hll.distinctEval(read(s, dir, "lineitem"), "l_orderkey", p = 8)),
+
+    // mergeable quantiles, PORTABLE: DDSketch geometric buckets over
+    // l_extendedprice (1e9-quantized-ln bucketing — every bucket and the
+    // readback replay in SQL); exact percentile needs a full sort of raw
+    // values, this is a few-hundred-row bucket table that merges by
+    // addition across partitions/days
+    "q_ddsketch" -> ((s, dir) => ext.QuantileSketch.quantiles(
+      ext.QuantileSketch.sketch(read(s, dir, "lineitem"),
+        "l_extendedprice", gamma = 1.02),
+      gamma = 1.02, qs = Seq(0.01, 0.25, 0.5, 0.9, 0.99))),
+
+    // DDSketch per group: one bucket table per l_returnflag, quantile
+    // readback inside each group — the per-source profile shape
+    "q_ddsketch_grouped" -> ((s, dir) => ext.QuantileSketch.quantiles(
+      ext.QuantileSketch.sketch(read(s, dir, "lineitem"),
+        "l_extendedprice", gamma = 1.02, grpCols = Seq("l_returnflag")),
+      gamma = 1.02, qs = Seq(0.5, 0.95), grpCols = Seq("l_returnflag"))),
 
     // sketch time series: per-day HLL register table → prefix-union
     // running max → the distinct-events-so-far curve, never re-reading
@@ -2825,6 +2848,48 @@ object SparkEntry {
        |       $votes
        |      FROM h GROUP BY doc_id)
        |SELECT doc_id, CAST($bits AS BIGINT) AS simhash32 FROM v""".stripMargin
+  }
+
+  /** Generated DuckDB oracle for the DDSketch queries — same quantized
+    * lnQ bucketing (the lg literal is computed ONCE in Scala and
+    * interpolated into both engines), same explicit floor CASE (Spark
+    * `div` and DuckDB `//` both truncate toward zero), same cumulative
+    * readback and two-stage-rounded pow midpoint. γ / γ+1 / q literals
+    * ride as full-precision double strings (`Double.toString`
+    * round-trips, `CAST('…' AS DOUBLE)` parses correctly-rounded), so
+    * both engines compute on identical bits.
+    */
+  private def ddsketchOracle(grpCol: Option[String], gamma: Double,
+      qs: Seq[Double]): String = {
+    val lg = math.round(math.log(gamma) * 1e9)
+    val g = s"CAST('$gamma' AS DOUBLE)"
+    val g1 = s"CAST('${gamma + 1.0}' AS DOUBLE)"
+    val qVals = qs.map(q => s"(CAST('$q' AS DOUBLE))").mkString(", ")
+    val sel = grpCol.map(c => s"$c, ").getOrElse("")
+    val by = grpCol.map(c => s"$c, ").getOrElse("")
+    val part = grpCol.map(c => s"PARTITION BY $c ").getOrElse("")
+    val partTot = grpCol.map(c => s"PARTITION BY $c").getOrElse("")
+    s"""WITH v AS (SELECT ${sel}CAST(l_extendedprice AS DOUBLE) AS v
+       |           FROM lineitem
+       |           WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0),
+       |l AS (SELECT ${sel}CAST(round(ln(v) * 1e9, 0) AS BIGINT) AS lnq
+       |      FROM v),
+       |b AS (SELECT ${sel}CASE WHEN lnq % $lg <> 0 AND lnq < 0
+       |                        THEN lnq // $lg - 1
+       |                        ELSE lnq // $lg END AS bucket FROM l),
+       |sk AS (SELECT ${sel}bucket, COUNT(*) AS cnt
+       |       FROM b GROUP BY ${by}bucket),
+       |c AS (SELECT ${sel}bucket, cnt,
+       |             SUM(cnt) OVER (${part}ORDER BY bucket) AS cum,
+       |             SUM(cnt) OVER ($partTot) AS n FROM sk),
+       |hit AS (SELECT ${sel}q, MIN(bucket) AS bucket
+       |        FROM c CROSS JOIN (VALUES $qVals) qs(q)
+       |        WHERE cum >= greatest(ceil(q * n), 1.0)
+       |        GROUP BY ${by}q)
+       |SELECT ${sel}q,
+       |       round(2.0 * round(pow($g, CAST(bucket + 1 AS DOUBLE)), 9)
+       |             / $g1, 6) AS est
+       |FROM hit""".stripMargin
   }
 
   /** VALUES list of the affine portable MinHash coefficients — generated
@@ -4677,9 +4742,9 @@ object SparkEntry {
     // 1e6-integer top-k sums, identical fixed-shape division chain
     "q_margin_align" ->
       """WITH a AS (SELECT vec_id AS a_id, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings WHERE label % 2 = 0),
+        |           FROM embeddings WHERE label % 2 = 0 AND vec_id < 4000),
         |b AS (SELECT vec_id AS b_id, CAST(embedding AS DOUBLE[]) AS v
-        |      FROM embeddings WHERE label % 2 = 1),
+        |      FROM embeddings WHERE label % 2 = 1 AND vec_id < 4000),
         |p AS (SELECT a_id, b_id,
         |        round(list_dot_product(a.v, b.v)
         |          / (sqrt(list_dot_product(a.v, a.v))
@@ -6234,6 +6299,15 @@ object SparkEntry {
         |SELECT m, v_zero, est, exact,
         |       round(abs(est / CAST(exact AS DOUBLE) - 1.0), 6) AS rel_err
         |FROM est, x""".stripMargin,
+
+    // DDSketch: the whole sketch (1e9-quantized-ln bucketing with the
+    // explicit floor CASE, bucket counts, cumulative readback, two-stage
+    // rounded pow midpoint) replayed in SQL; γ, γ+1 and the q literals
+    // interpolated as full-precision double strings so both engines
+    // compute on identical bits
+    "q_ddsketch" -> ddsketchOracle(None, 1.02, Seq(0.01, 0.25, 0.5, 0.9, 0.99)),
+    "q_ddsketch_grouped" ->
+      ddsketchOracle(Some("l_returnflag"), 1.02, Seq(0.5, 0.95)),
 
     // daily HLL: day×bucket register table, dense day×bucket grid,
     // per-bucket running max, grouped estimate, windowed exact curve

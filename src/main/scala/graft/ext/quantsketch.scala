@@ -1,0 +1,131 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Portable DDSketch — mergeable relative-error quantiles (Masson,
+  * Rim & Lee 2019, "DDSketch: a fast and fully-mergeable quantile
+  * sketch with relative-error guarantees"), completing the mergeable-
+  * sketch family next to [[Hll]] (distinct), CountMin (frequency) and
+  * Misra-Gries (heavy hitters).
+  *
+  * Why not Spark's `percentile` / `approx_percentile`: exact
+  * `percentile` materializes and sorts every group — at 100 TB that is
+  * a full shuffle of raw values per statistic; `approx_percentile`
+  * (GK) is rank-error, engine-private, and its state does not merge
+  * across engines. DDSketch buckets values into geometric bins
+  * `i = floor(log_γ(v))`, so the sketch is ≤ a-few-hundred (bucket,
+  * count) rows per group, counts MERGE BY ADDITION (per-partition /
+  * per-day / per-source sketches union for free — the same algebra as
+  * [[Hll.merge]]), and any quantile reads back with relative error
+  * ≤ (γ−1)/(γ+1).
+  *
+  * Engine-portability contract: the bucket index is computed as
+  * `round(ln(v)·1e9) div round(ln(γ)·1e9)` — both logs quantized to
+  * 1e9-scaled BIGINTs BEFORE the division (the repo's standard libm
+  * insulation, see [[Chat.gaeAdvantage]] / `ext/lm.scala`), so the one
+  * float-sensitive step is exact-integer on both engines and the
+  * sketch replays row-for-row in SQL. Bucket→value reads back as
+  * `2·γ^i/(γ+1)` (the bucket's midpoint in relative terms) through
+  * `round(pow(γ, i), 9)` — the same two-stage-rounded pow device.
+  *
+  * Contract: values must be POSITIVE (the geometric grid is undefined
+  * at ≤ 0); rows with NULL or v ≤ 0 are excluded and surfaced via
+  * [[sketchCounts]]' `n_nonpos` so the exclusion is visible, not
+  * silent. (The signed extension is two mirrored sketches + a zero
+  * count, per the paper; not needed for the length/price/score columns
+  * this engine profiles.)
+  */
+object QuantileSketch {
+
+  /** ln(x) quantized to a 1e9-scaled BIGINT — the portable log. */
+  private def lnQ(c: Column): Column =
+    round(log(c) * lit(1e9), 0).cast("long")
+
+  /** Geometric bucket index from the quantized log (`__lnq` column):
+    * `floor(lnq / lnQ(γ))` as exact integer arithmetic. Spark's BIGINT
+    * `div` and DuckDB's `//` truncate toward ZERO, so the floor is
+    * taken explicitly when lnq < 0 (v < 1) with a remainder — the same
+    * CASE replays in the oracle. Bucket i covers v ∈ [γ^i, γ^(i+1)).
+    */
+  private def bucketOf(gamma: Double): Column = {
+    val lg = math.round(math.log(gamma) * 1e9) // exact long, plan-time
+    val q = expr(s"__lnq div $lg")
+    val r = expr(s"__lnq % $lg")
+    when(r =!= 0L && col("__lnq") < 0L, q - 1L).otherwise(q)
+  }
+
+  /** Per-group sketch: (grpCols..., bucket, cnt) — one bounded-width
+    * groupBy (map-side combine collapses in-partition repeats; the
+    * shuffle carries ≤ partitions × buckets rows per group). Non-
+    * positive/NULL rows are excluded here; see [[sketchCounts]].
+    */
+  def sketch(df: DataFrame, valueCol: String, gamma: Double,
+      grpCols: Seq[String] = Seq.empty): DataFrame = {
+    require(gamma > 1.0, "gamma must be > 1 (relative accuracy (γ−1)/(γ+1))")
+    val v = col(valueCol).cast("double")
+    df.filter(v.isNotNull && v > 0.0)
+      .withColumn("__lnq", lnQ(v))
+      .withColumn("bucket", bucketOf(gamma))
+      .groupBy(grpCols.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).alias("cnt"))
+  }
+
+  /** Total / excluded row counts per group — the visibility companion
+    * to [[sketch]]'s positive-values contract.
+    */
+  def sketchCounts(df: DataFrame, valueCol: String,
+      grpCols: Seq[String] = Seq.empty): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val grouped =
+      if (grpCols.isEmpty) df.groupBy()
+      else df.groupBy(grpCols.map(col): _*)
+    grouped.agg(
+      sum(when(v.isNotNull && v > 0.0, 1L).otherwise(0L)).alias("n_pos"),
+      sum(when(v.isNull || v <= 0.0, 1L).otherwise(0L)).alias("n_nonpos"))
+  }
+
+  /** Merge sketches over the same grouping (counts add — the whole
+    * point of the bucket representation).
+    */
+  def merge(a: DataFrame, b: DataFrame,
+      grpCols: Seq[String] = Seq.empty): DataFrame =
+    a.unionByName(b)
+      .groupBy(grpCols.map(col) :+ col("bucket"): _*)
+      .agg(sum(col("cnt")).alias("cnt"))
+
+  /** Read quantiles back from a (grpCols..., bucket, cnt) sketch: for
+    * each q, the FIRST bucket (ascending) whose cumulative count
+    * reaches `max(ceil(q·n), 1)` (n = Σcnt per group; q=0 reads the
+    * first occupied bucket). Bucket i covers [γ^i, γ^(i+1)), so the
+    * estimate is its relative midpoint `2·γ^(i+1)/(γ+1)` — relative
+    * error ≤ (γ−1)/(γ+1) at both bucket edges. Emits one row per
+    * (group, q): (grpCols..., q, est). `est` rounds to 6 decimals via
+    * the two-stage-rounded pow, so the value replays in SQL.
+    *
+    * Scale: the sketch is bucket-width-bounded, so the cumulative
+    * window runs over a few hundred rows per group — never raw data.
+    */
+  def quantiles(sk: DataFrame, gamma: Double, qs: Seq[Double],
+      grpCols: Seq[String] = Seq.empty): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0))
+    val w = Window.partitionBy(grpCols.map(col): _*).orderBy(col("bucket"))
+    val cum = sk
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.partitionBy(grpCols.map(col): _*)))
+    val qRows = cum.withColumn("q",
+      explode(array(qs.map(lit(_)): _*)))
+    // rank = max(ceil(q·n), 1): integer-exact when q·n is (q is a plan
+    // literal; ceil on double — boundary q·n values are exact dyadics
+    // for the test qs, and the same expression shape replays in SQL)
+    val hit = qRows
+      .filter(col("cum") >= greatest(ceil(col("q") * col("n")), lit(1.0)))
+      .groupBy(grpCols.map(col) :+ col("q"): _*)
+      .agg(min(col("bucket")).alias("bucket"))
+    hit.select(grpCols.map(col) :+ col("q") :+
+      round(lit(2.0) * round(pow(lit(gamma), (col("bucket") + 1).cast("double")), 9)
+        / lit(gamma + 1.0), 6).alias("est"): _*)
+  }
+}

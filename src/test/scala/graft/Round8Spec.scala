@@ -118,6 +118,58 @@ class Round8Spec extends AnyFunSuite {
     }
   }
 
+  test("ddsketch: relative error bound, merge-by-addition, non-positive visibility") {
+    import ext.QuantileSketch
+    val gamma = 1.02
+    val vals = (1 to 5000).map(i => (i.toLong, (i * i).toDouble / 100.0))
+    val d = vals.toDF("id", "v")
+    val sk = QuantileSketch.sketch(d, "v", gamma)
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    val est = QuantileSketch.quantiles(sk, gamma, qs)
+      .collect().map(r => r.getDouble(r.fieldIndex("q")) ->
+        r.getDouble(r.fieldIndex("est"))).toMap
+    val sorted = vals.map(_._2).sorted
+    val alpha = (gamma - 1) / (gamma + 1)
+    qs.foreach { q =>
+      val exact = sorted(math.max(math.ceil(q * sorted.size).toInt, 1) - 1)
+      val rel = math.abs(est(q) / exact - 1.0)
+      assert(rel <= alpha + 1e-6, s"q=$q est=${est(q)} exact=$exact rel=$rel")
+    }
+    // merge(sketch(A), sketch(B)) == sketch(A ∪ B) — counts add exactly
+    val (a, b) = (d.filter(col("id") % 2 === 0), d.filter(col("id") % 2 === 1))
+    val merged = QuantileSketch.merge(
+      QuantileSketch.sketch(a, "v", gamma),
+      QuantileSketch.sketch(b, "v", gamma))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = sk.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == whole)
+    // non-positive rows are excluded from the sketch but counted loudly
+    val noisy = d.unionByName(Seq((-1L, -5.0), (-2L, 0.0))
+      .toDF("id", "v"))
+    val counts = QuantileSketch.sketchCounts(noisy, "v").head()
+    assert(counts.getLong(0) == 5000 && counts.getLong(1) == 2)
+    assert(QuantileSketch.sketch(noisy, "v", gamma)
+      .agg(sum("cnt")).head().getLong(0) == 5000)
+  }
+
+  test("ddsketch grouped: per-group readback equals per-group standalone sketches") {
+    import ext.QuantileSketch
+    val gamma = 1.05
+    val d = (1 to 2000).map(i =>
+      (if (i % 3 == 0) "a" else "b", i.toDouble)).toDF("g", "v")
+    val grouped = QuantileSketch.quantiles(
+      QuantileSketch.sketch(d, "v", gamma, Seq("g")),
+      gamma, Seq(0.5), Seq("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    Seq("a", "b").foreach { g =>
+      val solo = QuantileSketch.quantiles(
+        QuantileSketch.sketch(d.filter(col("g") === g), "v", gamma),
+        gamma, Seq(0.5))
+        .head().getDouble(1)
+      assert(grouped(g) == solo, s"group $g: ${grouped(g)} vs $solo")
+    }
+  }
+
   test("gaeAdvantage emits one row per input step (window form, no fan-out)") {
     val traj = (0L until 3L).flatMap(tr => (0L until 200L).map(t =>
       (tr, t, (t % 7).toDouble / 2, (t % 5).toDouble / 4)))

@@ -138,6 +138,14 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("fuzzy deletion-variant join plans hash equi-joins — no cartesian/BNL") {
+    val sup = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+      .select("s_suppkey", "s_name")
+    val plan = finalPlan(ext.Fuzzy.selfJoin(sup, "s_suppkey", "s_name", 1))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("1-row scalar cross joins stay cartesian-free with AQE disabled") {
     // madOutliers/winsorize/bm25/pmiPairs ride scalar stats on a cross
     // join; the broadcast() hint (not AQE's runtime rescue) must be what

@@ -1601,6 +1601,33 @@ object SparkEntry {
         "k", p = 8)
     },
 
+    // membership sketch, PORTABLE: Bloom pre-filter for benchmark
+    // decontamination — the filter of the eval set's shingles (≤2^16
+    // position rows, broadcastable no matter how many distinct shingle
+    // strings the benchmark holds) flags per-doc maybe-contaminated
+    // shingle counts next to the exact semi-join ground truth;
+    // n_maybe ≥ n_hits by construction (zero false negatives), the
+    // surplus is the designed false-positive rate
+    "q_bloom_decontam" -> { (s, dir) =>
+      val docs = read(s, dir, "documents")
+      ext.Bloom.shingleDecontamEval(
+        docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text",
+        docs.filter(col("doc_id") % 10 === 7).select(col("text")),
+        "text", kgram = 3, logm = 16, k = 3)
+    },
+
+    // filter export: the same benchmark filter bit-packed into 64-bit
+    // words (word, bits, n_bits) — the contiguous byte-array form a
+    // non-relational consumer loads; per-word popcounts audit the
+    // packing against the sparse position rows
+    "q_bloom_packed" -> { (s, dir) =>
+      val bench = read(s, dir, "documents")
+        .filter(col("doc_id") % 10 === 7)
+        .select(explode(ext.Dedup.shingleArray("text", 3)).alias("shingle"))
+        .distinct()
+      ext.Bloom.packed(ext.Bloom.build(bench, "shingle", logm = 16, k = 3))
+    },
+
     // drift alarm: Population Stability Index over fixed-width n_chars
     // bins between the even- and odd-id halves of the corpus — per-bin
     // 9-rounded ln-terms, exact integer total; nothing row-scaled
@@ -6299,6 +6326,71 @@ object SparkEntry {
         |SELECT m, v_zero, est, exact,
         |       round(abs(est / CAST(exact AS DOUBLE) - 1.0), 6) AS rel_err
         |FROM est, x""".stripMargin,
+
+    // Bloom decontam pre-filter: the ENTIRE filter (3 md5-slice hashes
+    // mod 2^16 per shingle), every probe verdict, and the exact
+    // ground-truth semi-join replayed in SQL — n_maybe ≥ n_hits is
+    // checkable right in the result
+    "q_bloom_decontam" ->
+      """WITH c AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents WHERE doc_id % 10 <> 7),
+        |b AS (SELECT string_split(text, ' ') AS w
+        |      FROM documents WHERE doc_id % 10 = 7),
+        |cs AS (SELECT DISTINCT doc_id,
+        |         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |       FROM (SELECT doc_id, w,
+        |               unnest(range(greatest(len(w) - 2, 0))) AS i FROM c)),
+        |bs AS (SELECT DISTINCT
+        |         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |       FROM (SELECT w,
+        |               unnest(range(greatest(len(w) - 2, 0))) AS i FROM b)),
+        |f AS (SELECT DISTINCT
+        |        CAST('0x' || substr(md5(shingle), 1 + 8 * j, 8) AS BIGINT)
+        |          % 65536 AS pos
+        |      FROM bs CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+        |cp AS (SELECT DISTINCT doc_id, shingle,
+        |         CAST('0x' || substr(md5(shingle), 1 + 8 * j, 8) AS BIGINT)
+        |           % 65536 AS pos
+        |       FROM cs CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+        |pr AS (SELECT doc_id, shingle, COUNT(*) AS need,
+        |         COUNT(*) FILTER (WHERE pos IN (SELECT pos FROM f)) AS got
+        |       FROM cp GROUP BY doc_id, shingle),
+        |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |          CAST(SUM(CASE WHEN got = need THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS n_maybe
+        |        FROM pr GROUP BY doc_id),
+        |hit AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM cs
+        |        WHERE shingle IN (SELECT shingle FROM bs) GROUP BY doc_id)
+        |SELECT c.doc_id, COALESCE(t.n_shingles, 0) AS n_shingles,
+        |       COALESCE(t.n_maybe, 0) AS n_maybe,
+        |       COALESCE(h.n_hits, 0) AS n_hits
+        |FROM c LEFT JOIN tot t ON t.doc_id = c.doc_id
+        |LEFT JOIN hit h ON h.doc_id = c.doc_id""".stripMargin,
+
+    // Bloom packed export: word index, bit_or of single-bit words (bit
+    // 63 wraps to the minimum BIGINT — built by CASE here because a
+    // BIGINT shift by 63 overflows in this engine, by the natural Java
+    // shift in Spark), popcount per word
+    "q_bloom_packed" ->
+      """WITH b AS (SELECT string_split(text, ' ') AS w
+        |           FROM documents WHERE doc_id % 10 = 7),
+        |bs AS (SELECT DISTINCT
+        |         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |       FROM (SELECT w,
+        |               unnest(range(greatest(len(w) - 2, 0))) AS i FROM b)),
+        |f AS (SELECT DISTINCT
+        |        CAST('0x' || substr(md5(shingle), 1 + 8 * j, 8) AS BIGINT)
+        |          % 65536 AS pos
+        |      FROM bs CROSS JOIN (SELECT unnest([0, 1, 2]) AS j)),
+        |p AS (SELECT pos // 64 AS word,
+        |        bit_or(CASE WHEN pos % 64 = 63
+        |                    THEN -9223372036854775807 - 1
+        |                    ELSE (CAST(1 AS BIGINT)
+        |                          << CAST(pos % 64 AS INT))
+        |               END) AS bits
+        |      FROM f GROUP BY word)
+        |SELECT word, bits, CAST(bit_count(bits) AS INT) AS n_bits
+        |FROM p""".stripMargin,
 
     // DDSketch: the whole sketch (1e9-quantized-ln bucketing with the
     // explicit floor CASE, bucket counts, cumulative readback, two-stage

@@ -1,0 +1,162 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Portable Bloom filter — the MEMBERSHIP sketch that completes the
+  * mergeable-sketch family ([[Hll]] distinct, CountMin frequency,
+  * Misra-Gries heavy hitters, [[QuantSketch]] quantiles): "is this key
+  * possibly in the set", with zero false negatives and a tunable false-
+  * positive rate of `(1 − e^(−k·n/m))^k` for `n` inserted keys, `m`
+  * bits, `k` hash functions (Bloom 1970).
+  *
+  * Engine-portability contract (same as [[Hll]] / the md5-Bernoulli
+  * samplers): the `k` bit positions of a key are independent 8-hex-char
+  * slices of ONE md5 of its string form, each reduced mod `m = 2^logm` —
+  * so the filter's every set bit, probe verdict and packed word replays
+  * EXACTLY in any engine with `md5` and string ops (the DuckDB oracle
+  * rebuilds the filter bit-for-bit).
+  *
+  * Division of labor vs [[RuntimeFilter]] (the Catalyst
+  * `BloomFilterAggregate` join pruner): RuntimeFilter is the PLAN-TIME
+  * optimization — an opaque xxhash sketch held by the driver to cheapen
+  * one join inside one job. THIS filter is the cross-job / cross-engine
+  * DATA artifact: sparse rows that persist as a table, merge
+  * incrementally across days/shards, audit from SQL, and ship to
+  * non-Spark consumers ([[packed]]). Same math, different lifetime.
+  *
+  * Representation: a filter is a DataFrame of DISTINCT set-bit positions
+  * (`pos` ∈ [0, 2^logm)) — at most `m` rows, bounded regardless of input
+  * size. The relational (sparse) form is what makes the sketch algebra
+  * free: union = `distinct` of the concatenation, probe = one broadcast
+  * join. [[packed]] bit-packs positions into 64-bit words for export to
+  * byte-array consumers.
+  *
+  * Scale (the 100 TB story): the canonical use is ADMISSION — probe a
+  * huge corpus against a small reference set (benchmark shingles for
+  * decontamination, yesterday's key space for incremental dedup) without
+  * materializing or broadcasting the reference's raw keys. The filter is
+  * ≤ 2^logm rows (logm = 22 → 4 M rows ≈ 32 MB, broadcastable) even when
+  * the reference holds billions of distinct strings; the corpus side is
+  * one narrow map + one broadcast join — it NEVER shuffles on key
+  * strings. Definite non-members (the overwhelming majority) are
+  * eliminated for the cost of one md5; only the `maybe` sliver proceeds
+  * to the exact verification join. Per-shard / per-day filters merge by
+  * union, so the reference side builds incrementally with no rescans.
+  */
+object Bloom {
+
+  /** The `k` bit positions of a key: 8-hex md5 slices mod 2^logm.
+    * logm ≤ 26 keeps the filter frame comfortably broadcastable;
+    * k ≤ 4 because one md5 yields four independent 32-bit slices.
+    */
+  private def positions(key: Column, logm: Int, k: Int): Seq[Column] = {
+    require(logm >= 8 && logm <= 26, "logm in [8, 26]")
+    require(k >= 1 && k <= 4, "k in [1, 4] (one md5 = four 32-bit slices)")
+    val m = 1L << logm
+    val h = md5(key.cast("string"))
+    (0 until k).map(i =>
+      conv(substring(h, 1 + 8 * i, 8), 16, 10).cast("long") % m)
+  }
+
+  /** Build a filter over a key column: the distinct set-bit positions
+    * (`pos`). One explode + one distinct — the map-side combine collapses
+    * in-partition repeats, and the shuffle carries at most
+    * partitions × 2^logm position rows, never the raw keys.
+    */
+  def build(df: DataFrame, keyCol: String, logm: Int = 16,
+      k: Int = 3): DataFrame =
+    df.select(explode(array(positions(col(keyCol), logm, k): _*))
+        .alias("pos"))
+      .distinct()
+
+  /** Filter union: a key inserted into either side probes positive in the
+    * merge — the algebra that lets per-day / per-shard filters re-
+    * aggregate forever without touching raw data (same role as register
+    * max in [[Hll.merge]]).
+    */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+
+  /** Probe a batch against a filter: (idCol, keyCol, maybe) — `maybe` is
+    * true iff ALL of the key's bit positions are set. No false negatives
+    * by construction; false positives at the designed rate.
+    *
+    * Plan shape: positions are deduped per key BEFORE the explode (two
+    * slices of one md5 can collide mod m), the filter side broadcasts
+    * (≤ 2^logm rows, hinted), and the verdict re-aggregates by
+    * (id, key) with map-side partial combine — the batch never shuffles
+    * more than its own (id, key, need) triples.
+    */
+  def probe(batch: DataFrame, idCol: String, keyCol: String,
+      filter: DataFrame, logm: Int = 16, k: Int = 3): DataFrame = {
+    val pb = batch.select(col(idCol), col(keyCol),
+      array_distinct(array(positions(col(keyCol), logm, k): _*))
+        .alias("__pos"))
+    val ex = pb.select(col(idCol), col(keyCol),
+      size(col("__pos")).alias("__need"),
+      explode(col("__pos")).alias("pos"))
+    val f = broadcast(filter.withColumn("__hit", lit(1)))
+    ex.join(f, Seq("pos"), "left")
+      .groupBy(col(idCol), col(keyCol), col("__need"))
+      .agg(sum(coalesce(col("__hit"), lit(0))).alias("__got"))
+      .select(col(idCol), col(keyCol),
+        (col("__got") === col("__need")).alias("maybe"))
+  }
+
+  /** Bit-pack a filter into 64-bit words for export: (word, bits,
+    * n_bits) — `word` = pos div 64, `bits` = OR of 1L << (pos mod 64)
+    * (bit 63 wraps to Long.MIN_VALUE — a shift, never an arithmetic
+    * overflow), `n_bits` = popcount. ≤ 2^logm / 64 rows; a byte-array
+    * consumer reassembles the classic contiguous filter from (word,
+    * bits) pairs, and Σ n_bits audits against the sparse row count.
+    */
+  def packed(filter: DataFrame): DataFrame =
+    filter
+      .groupBy(expr("pos div 64").alias("word"))
+      .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").alias("bits"))
+      .withColumn("n_bits", expr("cast(bit_count(bits) as int)"))
+
+  /** Decontamination pre-filter evaluation — the flagship admission use:
+    * per corpus doc, its distinct word-`kgram` shingle count, how many
+    * shingles the Bloom filter of the BENCHMARK's shingles flags as
+    * `maybe` contaminated, and the exact hit count from the reference
+    * semi-join ([[Dedup.contaminationScores]] ground truth). Emits every
+    * corpus doc: (idCol, n_shingles, n_maybe, n_hits) with
+    * n_maybe ≥ n_hits guaranteed (no false negatives).
+    *
+    * Why this beats the exact join at 100 TB: the exact path broadcasts
+    * the benchmark's DISTINCT SHINGLE STRINGS (unbounded — a big eval
+    * suite is GBs of shingles); this path broadcasts ≤ 2^logm position
+    * rows regardless, and the corpus pays one md5 per shingle. The
+    * `maybe` sliver (true hits + designed-rate false positives) is the
+    * only traffic that proceeds to exact verification, so the expensive
+    * join runs on a corpus-fraction ≈ contamination-rate + FPR instead
+    * of 1.0.
+    */
+  def shingleDecontamEval(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String,
+      kgram: Int = 3, logm: Int = 16, k: Int = 3): DataFrame = {
+    val bs = bench
+      .select(explode(Dedup.shingleArray(benchTextCol, kgram))
+        .alias("shingle"))
+      .distinct()
+      .localCheckpoint() // feeds both the filter build and the exact join
+    val filter = build(bs, "shingle", logm, k)
+    val cs = Dedup.shingles(corpus, idCol, textCol, kgram)
+    val probed = probe(cs, idCol, "shingle", filter, logm, k)
+    val tot = probed.groupBy(col(idCol)).agg(
+      count(lit(1)).alias("n_shingles"),
+      sum(when(col("maybe"), lit(1L)).otherwise(lit(0L))).alias("n_maybe"))
+    val exact = cs.join(bs, Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).alias("n_hits"))
+    corpus.select(col(idCol))
+      .join(tot, Seq(idCol), "left")
+      .join(exact, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).alias("n_shingles"),
+        coalesce(col("n_maybe"), lit(0L)).alias("n_maybe"),
+        coalesce(col("n_hits"), lit(0L)).alias("n_hits"))
+  }
+}

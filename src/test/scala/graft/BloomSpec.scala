@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bloom-filter laws — the membership sketch's contract:
+  *
+  *  - NO FALSE NEGATIVES: every inserted key probes maybe=true;
+  *  - union algebra: merge(build(a), build(b)) ≡ build(a ∪ b) as a
+  *    position set (per-shard filters re-aggregate losslessly);
+  *  - packed export round-trips: per-word popcounts sum to the sparse
+  *    row count and unpacking the words recovers the exact position set;
+  *  - false positives stay at the designed rate (non-member probe);
+  *  - the decontam eval brackets its ground truth:
+  *    n_hits ≤ n_maybe ≤ n_shingles on every doc.
+  */
+class BloomSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  private lazy val benchShingles = docs
+    .filter(col("doc_id") % 10 === 7)
+    .select(explode(ext.Dedup.shingleArray("text", 3)).alias("shingle"))
+    .distinct()
+
+  test("no false negatives: every inserted key probes maybe=true") {
+    val filter = ext.Bloom.build(benchShingles, "shingle", logm = 16, k = 3)
+    val probed = ext.Bloom.probe(
+      benchShingles.withColumn("id", col("shingle")),
+      "id", "shingle", filter, logm = 16, k = 3)
+    assert(probed.count() > 0)
+    assert(probed.filter(!col("maybe")).count() === 0L)
+  }
+
+  test("merge(build(a), build(b)) ≡ build(a ∪ b)") {
+    val a = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("text").alias("key"))
+    val b = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("text").alias("key"))
+    val merged = ext.Bloom.merge(
+        ext.Bloom.build(a, "key", logm = 12, k = 2),
+        ext.Bloom.build(b, "key", logm = 12, k = 2))
+      .as[Long].collect().toSet
+    val whole = ext.Bloom.build(a.unionByName(b), "key", logm = 12, k = 2)
+      .as[Long].collect().toSet
+    assert(merged === whole)
+  }
+
+  test("packed export round-trips the position set") {
+    val filter = ext.Bloom.build(benchShingles, "shingle", logm = 16, k = 3)
+    val positions = filter.as[Long].collect().toSet
+    val packed = ext.Bloom.packed(filter).collect()
+    assert(packed.map(_.getInt(2).toLong).sum === positions.size.toLong)
+    val unpacked = packed.flatMap { r =>
+      val word = r.getLong(0); val bits = r.getLong(1)
+      (0 until 64).filter(i => (bits >>> i & 1L) == 1L)
+        .map(i => word * 64 + i)
+    }.toSet
+    assert(unpacked === positions)
+  }
+
+  test("false-positive rate stays at the designed rate") {
+    val filter = ext.Bloom.build(benchShingles, "shingle", logm = 16, k = 3)
+    val nonMembers = spark.range(2000)
+      .select(concat(lit("__nonmember_key_"), col("id")).alias("key"),
+        col("id"))
+    val fp = ext.Bloom.probe(nonMembers, "id", "key", filter,
+      logm = 16, k = 3).filter(col("maybe")).count()
+    // (1 − e^(−kn/m))^k at n ≈ a few hundred positions, m = 65536,
+    // k = 3 is ≈ 1e-6 — 2000 probes should yield essentially zero;
+    // allow a generous margin
+    assert(fp <= 20, s"false positives $fp / 2000")
+  }
+
+  test("decontam eval brackets its ground truth on every doc") {
+    val eval = ext.Bloom.shingleDecontamEval(
+      docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text",
+      docs.filter(col("doc_id") % 10 === 7).select(col("text")),
+      "text", kgram = 3, logm = 16, k = 3).collect()
+    assert(eval.nonEmpty)
+    eval.foreach { r =>
+      val (n, maybe, hits) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(hits <= maybe, s"false negative on doc ${r.getLong(0)}")
+      assert(maybe <= n)
+    }
+  }
+}

@@ -335,4 +335,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("Bloom probe: the filter side broadcasts, the batch never re-shuffles keys") {
+    val corpus = (0 until 500).map(i => (i.toLong, s"key_$i"))
+      .toDF("id", "key")
+    val filter = ext.Bloom.build(
+      corpus.filter(col("id") % 2 === 0), "key", logm = 14, k = 3)
+    val plan = finalPlan(ext.Bloom.probe(
+      corpus, "id", "key", filter, logm = 14, k = 3))
+    // position join = broadcast hash join on the ≤2^logm filter frame;
+    // nothing cartesian, and exactly one exchange (the per-(id,key)
+    // verdict re-aggregate) downstream of the probe join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }

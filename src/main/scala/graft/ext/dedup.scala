@@ -269,11 +269,17 @@ object Dedup {
     * repeated-paragraph spam case has set-J ≈ 1, bag-J ≈ 0.1 — the two
     * similarities are incomparable (Round8Spec pins the counterexample).
     *
-    * Rescore: occurrence `r` of shingle `s` in A equi-joins occurrence
-    * `r` in B (the [[bagJaccardPairs]] identity), with both occurrence
-    * relations first semi-joined down to candidate ids — the shingle
-    * join runs over candidate docs only, never the corpus-wide
-    * self-join. Precision is exact (true bag-J on every emitted pair).
+    * Rescore: ROW-LOCAL from carried per-doc (shingle → multiplicity)
+    * maps — `Σmin` is a bounded `map_zip_with` fold over the two maps of
+    * one candidate pair (documents are bounded, so the maps are too),
+    * `Σmax = na + nb − Σmin` by the multiset identity. This is the
+    * [[ngramContainmentPairsLsh]] `array_intersect` shape: beyond the
+    * band shuffle the only joins are two id-keyed map fetches per
+    * DISTINCT candidate pair — no occurrence-level equi-join, no
+    * post-banding shuffle that scales with document length. (The
+    * interpreted-HOF cost is candidate-pairs × map-size — both bounded;
+    * the corpus-scaled signature path below stays pure codegen.)
+    * Precision is exact (true bag-J on every emitted pair).
     */
   def bagJaccardPairsLsh(
       df: DataFrame, idCol: String, textCol: String,
@@ -281,21 +287,26 @@ object Dedup {
       threshold: Double = 0.8, portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sh = graft.functions.WordShingles.columnAll(col(textCol), k)
-    val occ = df
+    // checkpointed: the multiplicity frame feeds the signature build AND
+    // the rescore maps — without the cut the explode→count chain replays
+    // per consumer (the q_dedup_cascade survivor discipline)
+    val counted = df
       .select(col(idCol), sh.alias("__sh"))
       .withColumn("n", size(col("__sh")).cast("long"))
       .filter(col("n") > 0L)
       .select(col(idCol), col("n"), explode(col("__sh")).alias("shingle"))
       .groupBy(col(idCol), col("n"), col("shingle"))
       .agg(count(lit(1)).alias("__m"))
-      .select(col(idCol), col("n"), col("shingle"),
-        explode(sequence(lit(1L), col("__m"))).alias("occ"))
+      .localCheckpoint()
     // occurrence-expanded token: "shingle#r" — the weighted-minhash
     // element whose set-Jaccard IS bag-J ('#' never appears inside a
     // whitespace-delimited word shingle, so the encoding is injective)
-    val toks = occ.select(col(idCol),
-      concat(col("shingle"), lit("#"), col("occ").cast("string"))
-        .alias("token"))
+    val toks = counted.select(col(idCol),
+      explode(sequence(lit(1L), col("__m"))).alias("occ"),
+      col("shingle"))
+      .select(col(idCol),
+        concat(col("shingle"), lit("#"), col("occ").cast("string"))
+          .alias("token"))
     val sigs =
       if (portable)
         affineSigArrays(toks.withColumnRenamed("token", "elem"), idCol,
@@ -307,21 +318,22 @@ object Dedup {
     val cand = bandCandidates(
       if (portable) portableBuckets(sigs, idCol, bands, numHashes)
       else lshBuckets(sigs, idCol, bands), idCol)
-    // candidate ids are few post-banding — prune each occurrence side to
-    // its candidate docs (semi-join) before the shingle equi-join
-    val aOcc = occ.join(cand.select(col("a_id")).distinct(),
-        occ(idCol) === col("a_id"), "left_semi")
-      .select(col(idCol).alias("__aid"), col("shingle").alias("sh_a"),
-        col("occ").alias("occ_a"), col("n").alias("na"))
-    val bOcc = occ.join(cand.select(col("b_id")).distinct(),
-        occ(idCol) === col("b_id"), "left_semi")
-      .select(col(idCol).alias("__bid"), col("shingle").alias("sh_b"),
-        col("occ").alias("occ_b"), col("n").alias("nb"))
+    // per-doc multiplicity map — the row-local rescore payload
+    val cm = counted
+      .groupBy(col(idCol), col("n"))
+      .agg(map_from_entries(collect_list(struct(col("shingle"), col("__m"))))
+        .alias("__cm"))
     cand
-      .join(aOcc, col("a_id") === col("__aid"))
-      .join(bOcc, col("b_id") === col("__bid") &&
-        col("sh_a") === col("sh_b") && col("occ_a") === col("occ_b"))
-      .groupBy("a_id", "b_id", "na", "nb").agg(count(lit(1)).alias("ic"))
+      .join(cm.select(col(idCol).alias("a_id"), col("__cm").alias("ca"),
+        col("n").alias("na")), "a_id")
+      .join(cm.select(col(idCol).alias("b_id"), col("__cm").alias("cb"),
+        col("n").alias("nb")), "b_id")
+      // Σmin over the pair's own maps (absent key → 0 contribution)
+      .withColumn("ic", expr(
+        """aggregate(
+          |  map_values(map_zip_with(ca, cb,
+          |    (k, x, y) -> least(coalesce(x, 0L), coalesce(y, 0L)))),
+          |  0L, (acc, v) -> acc + v)""".stripMargin))
       .withColumn("jaccard",
         col("ic").cast("double") / (col("na") + col("nb") - col("ic")).cast("double"))
       .filter(col("jaccard") >= threshold)

@@ -977,6 +977,14 @@ object SparkEntry {
       col("doc_id"),
       ext.TextOps.repetitionRatio("text", k = 3).alias("rep_ratio"))),
 
+    // quality: per-doc character Shannon entropy — the compression-ratio
+    // proxy that catches BOTH tails (base64/binary junk near the uniform
+    // ceiling, template/whitespace spam near 0) which length and
+    // word-repetition gates are blind to; 1e9-scaled ln-terms summed as
+    // exact integers (the PSI discipline)
+    "q_char_entropy" -> ((s, dir) => ext.TextOps.charEntropy(
+      read(s, dir, "documents"), "doc_id", "text")),
+
     // feature hashing: tokens → 1024 md5 buckets, sparse (doc, bucket, n)
     // count vectors — no vocabulary pass, no driver state
     "q_hash_vectorize" -> ((s, dir) => ext.TextOps.hashingVectorize(
@@ -1050,6 +1058,13 @@ object SparkEntry {
     "q_k_anonymity" -> ((s, dir) =>
       ext.Expect.kAnonymityViolations(read(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment"), k = 8L)),
+
+    // data governance: ε-DP noisy per-segment counts — Laplace(1/ε) via
+    // the derandomized md5 inverse-CDF draw (reproducible across engines;
+    // true count kept beside the release value, ANN-recall style)
+    "q_dp_counts" -> ((s, dir) =>
+      ext.Expect.dpNoisyCounts(read(s, dir, "customer"),
+        "c_mktsegment", epsilon = 0.5, seed = "r8")),
 
     // data-quality expectations: row-local rules in ONE aggregate pass
     // (not-null / range / regex / set), plus key-uniqueness and
@@ -5350,6 +5365,32 @@ object SparkEntry {
         |       END AS rep_ratio
         |FROM t LEFT JOIN ds ON ds.doc_id = t.doc_id""".stripMargin,
 
+    // char entropy: per-(doc, char) counts, 1e9-scaled p·ln(p) terms
+    // summed as exact integers, one closing division (+0.0 kills −0.0)
+    "q_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+        |            FROM documents),
+        |cnt AS (SELECT doc_id, c, COUNT(*) AS m FROM ch
+        |        WHERE c <> '' GROUP BY doc_id, c),
+        |tot AS (SELECT doc_id, SUM(m) AS n FROM cnt GROUP BY doc_id),
+        |t AS (SELECT cnt.doc_id, tot.n,
+        |        CAST(round((CAST(m AS DOUBLE) / CAST(n AS DOUBLE))
+        |               * ln(CAST(m AS DOUBLE) / CAST(n AS DOUBLE))
+        |               * 1e9, 0) AS BIGINT) AS t9
+        |      FROM cnt JOIN tot ON tot.doc_id = cnt.doc_id),
+        |e AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars_counted,
+        |        CAST(-SUM(t9) AS DOUBLE) / 1e9 + 0.0 AS entropy
+        |      FROM t GROUP BY doc_id),
+        |r AS (SELECT d.doc_id,
+        |        COALESCE(e.n_chars_counted, 0) AS n_chars_counted,
+        |        COALESCE(e.entropy, 0.0) AS entropy
+        |      FROM documents d LEFT JOIN e ON e.doc_id = d.doc_id)
+        |SELECT doc_id, n_chars_counted, entropy,
+        |       CASE WHEN entropy < 2.5 THEN 'low'
+        |            WHEN entropy > 5.2 THEN 'high'
+        |            ELSE 'ok' END AS entropy_band
+        |FROM r""".stripMargin,
+
     // feature hashing: same md5-48-bit bucket math (UBIGINT parse)
     "q_hash_vectorize" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -5473,6 +5514,30 @@ object SparkEntry {
       """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_rows
         |FROM customer GROUP BY c_nationkey, c_mktsegment
         |HAVING COUNT(*) < 8""".stripMargin,
+
+    // ε-DP noisy counts: the md5-derandomized Laplace draw replayed —
+    // 48-bit uniform, inverse CDF with the 1e9-quantized ln, one
+    // fixed-shape closing expression 6-rounded
+    "q_dp_counts" ->
+      """WITH c AS (SELECT c_mktsegment, COUNT(*) AS n
+        |           FROM customer GROUP BY c_mktsegment),
+        |h AS (SELECT c_mktsegment, n,
+        |        CAST('0x' || substr(md5(c_mktsegment || ':r8'), 1, 12)
+        |             AS BIGINT) AS h48
+        |      FROM c),
+        |u AS (SELECT c_mktsegment, n,
+        |        (CAST(h48 AS DOUBLE) + 0.5) / 281474976710656.0 - 0.5
+        |          AS shifted
+        |      FROM h)
+        |SELECT c_mktsegment, n,
+        |       round(CAST(n AS DOUBLE)
+        |             - sign(shifted)
+        |               * (CAST(CAST(round(ln(1.0 - 2.0 * abs(shifted))
+        |                                  * 1e9, 0) AS BIGINT) AS DOUBLE)
+        |                  / 1e9)
+        |               / 0.5, 6) AS n_noisy,
+        |       CAST(0.5 AS DOUBLE) AS epsilon
+        |FROM u""".stripMargin,
 
     "q_expectations" ->
       """SELECT 'not_null_o_custkey' AS rule,

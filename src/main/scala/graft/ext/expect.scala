@@ -99,6 +99,50 @@ object Expect {
       .filter(col("n_rows") < k)
   }
 
+  /** Differentially-private noisy group counts — the release twin of
+    * [[kAnonymityViolations]]: instead of gating on group size, publish
+    * per-group counts with Laplace(1/ε) noise (count queries have
+    * sensitivity 1, so scale b = 1/ε gives ε-DP for the noise
+    * distribution). The noise draw is DERANDOMIZED the way every sampler
+    * here is ([[Sampling.deterministic]]'s md5-Bernoulli): the uniform is
+    * the leading 48 md5 bits of "group:seed" — reproducible across runs,
+    * partitionings and engines, so the release is auditable and the
+    * DuckDB oracle replays it bit-for-bit. (A cryptographic-RNG draw is
+    * what a production release would use; the md5 derivation is the
+    * deterministic stand-in that keeps the pipeline's replayability
+    * contract — same trade as every md5-seeded sampler in this engine.)
+    *
+    * Inverse-CDF transform: u ∈ (0,1) via (h48 + 0.5)/2^48, noise =
+    * −b·sign(u − 0.5)·ln(1 − 2|u − 0.5|); the ln quantizes to a
+    * 1e9-scaled BIGINT (the libm-insulation contract) and the closing
+    * arithmetic is one fixed-shape double expression, 6-rounded.
+    *
+    * Emits (grpCol, n, n_noisy, epsilon): `n` is the true count — kept
+    * for the oracle/evaluation frame (the HLL/ANN-recall shape of truth
+    * beside estimate); a production release drops it.
+    *
+    * Scale: one hash aggregate over the groups, then narrow per-group
+    * math — nothing row-scaled leaves the aggregate.
+    */
+  def dpNoisyCounts(df: DataFrame, grpCol: String, epsilon: Double,
+      seed: String = "0"): DataFrame = {
+    require(epsilon > 0.0, "epsilon must be > 0")
+    val counts = df.groupBy(col(grpCol)).agg(count(lit(1)).alias("n"))
+    val h48 = conv(substring(
+      md5(concat(col(grpCol).cast("string"), lit(":"), lit(seed))), 1, 12),
+      16, 10).cast("long")
+    val u = (h48.cast("double") + lit(0.5)) / lit(281474976710656.0) // 2^48
+    val shifted = u - lit(0.5)
+    val ln9 = round(log(lit(1.0) - lit(2.0) * abs(shifted)) * lit(1e9), 0)
+      .cast("long")
+    counts
+      .withColumn("n_noisy", round(
+        col("n").cast("double") -
+          signum(shifted) * (ln9.cast("double") / lit(1e9)) / lit(epsilon), 6))
+      .withColumn("epsilon", lit(epsilon))
+      .select(col(grpCol), col("n"), col("n_noisy"), col("epsilon"))
+  }
+
   /** Composite report: row-local rules + uniqueness + referential rules,
     * one (rule, n_violations) row each.
     */

@@ -194,6 +194,56 @@ object TextOps {
         distinctSh.cast("double") / total.cast("double"))
   }
 
+  /** Per-document character-level Shannon entropy — the compression-ratio
+    * proxy quality signal (RefinedWeb/CCNet-style crawl cleaning): base64
+    * blobs, hex dumps and minified junk sit near the uniform ceiling
+    * (ln 64 ≈ 4.16+ for base64 over its alphabet, higher for binary),
+    * template/whitespace spam collapses toward 0, natural prose occupies
+    * a stable mid band — so BOTH tails of the distribution are drop
+    * candidates, which neither a length nor a repetition gate catches
+    * (repetition is word-level; a base64 blob has zero repeated 3-grams
+    * and perfect "diversity").
+    *
+    * H = −Σ_c (m_c/n)·ln(m_c/n) in nats over the doc's characters.
+    * Determinism contract: each character's ln-term rounds to a
+    * 1e9-scaled BIGINT and the per-doc sum is exact integer addition
+    * (order-independent, the [[Stats.psi]] discipline); the closing
+    * division is one fixed-shape double op, `+ 0.0` canonicalizing −0.0
+    * (single-char docs). Emits every input doc:
+    * (idCol, n_chars_counted, entropy, entropy_band) with band cuts at
+    * 2.5 / 5.2 nats (low = template/whitespace spam, high = binary-ish).
+    *
+    * Scale: one explode to (doc, char) and two hash aggregates — the
+    * (doc, char) stream is corpus-character-sized but map-side combine
+    * collapses it to ≤ |alphabet| rows per doc before the exchange;
+    * nothing is ever corpus-quadratic and no window appears. Empty docs
+    * pass through with entropy 0 and n_chars_counted 0.
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cnt = df
+      .select(col(idCol), explode(split(col(textCol), "")).alias("__c"))
+      .filter(col("__c") =!= "")
+      .groupBy(col(idCol), col("__c"))
+      .agg(count(lit(1)).alias("__m"))
+    val tot = cnt.groupBy(col(idCol)).agg(sum(col("__m")).alias("__n"))
+    val p = col("__m").cast("double") / col("__n").cast("double")
+    val ent = cnt.join(tot, Seq(idCol))
+      .withColumn("__t9", round(p * log(p) * lit(1e9), 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(max(col("__n")).alias("n_chars_counted"),
+        ((-sum(col("__t9"))).cast("double") / lit(1e9) + lit(0.0))
+          .alias("entropy"))
+    df.select(col(idCol))
+      .join(ent, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chars_counted"), lit(0L)).alias("n_chars_counted"),
+        coalesce(col("entropy"), lit(0.0)).alias("entropy"))
+      .withColumn("entropy_band",
+        when(col("entropy") < 2.5, lit("low"))
+          .when(col("entropy") > 5.2, lit("high"))
+          .otherwise(lit("ok")))
+  }
+
   /** Character chunking with overlap — the document → context-window step
     * of an LLM preprocessing pipeline. Emits one row per chunk:
     * (all input columns, chunk_id, chunk_text), chunks starting every

@@ -187,4 +187,48 @@ class Round8Spec extends AnyFunSuite {
         r.getDouble(r.fieldIndex("delta"))) < 1e-9)
     }
   }
+
+  test("charEntropy: hand-computed values, both junk tails flagged, prose ok") {
+    val d = Seq(
+      (1L, "aaaaaaaa"),                       // single symbol → H = 0
+      (2L, "abababab"),                        // two equiprobable → ln 2
+      (3L, "the quick brown fox jumps over the lazy dog and then " * 4),
+      (4L, ""),                                // empty → 0, counted 0
+      (5L, (0 until 120).map(i =>              // base64-ish junk: 60+ syms
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+          .charAt(i % 64)).mkString))
+      .toDF("doc_id", "text")
+    val out = ext.TextOps.charEntropy(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getString(3))).toMap
+    assert(out(1L)._2 == 0.0 && out(1L)._3 == "low")
+    assert(math.abs(out(2L)._2 - math.log(2)) < 1e-6 && out(2L)._3 == "low")
+    assert(out(3L)._3 == "ok", s"prose band ${out(3L)}")
+    assert(out(4L) == ((0L, 0.0, "low")))
+    assert(out(5L)._2 > 4.1 && out(5L)._2 < math.log(64) + 1e-6)
+    assert(out(5L)._1 == 120L)
+  }
+
+  test("dpNoisyCounts: deterministic per seed, Laplace-scale noise, counts true") {
+    val d = (1 to 50000).map(i => (s"g${i % 1000}", i)).toDF("g", "x")
+    val a = ext.Expect.dpNoisyCounts(d, "g", epsilon = 0.5, seed = "s1")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(a.size == 1000 && a.values.forall(_._1 == 50L))
+    // same seed → identical release; different seed → different noise
+    val a2 = ext.Expect.dpNoisyCounts(d, "g", epsilon = 0.5, seed = "s1")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(a.forall { case (g, (_, nn)) => a2(g) == nn })
+    val b = ext.Expect.dpNoisyCounts(d, "g", epsilon = 0.5, seed = "s2")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(a.count { case (g, (_, nn)) => b(g) != nn } > 900)
+    // |noise| median ≈ b·ln2 = 2·ln2 ≈ 1.386 at ε = 0.5 (Laplace |X|
+    // median); signs split evenly — the draw behaves like Laplace even
+    // though it is derandomized
+    val noise = a.values.map { case (n, nn) => nn - n }.toSeq.sorted
+    val medAbs = noise.map(math.abs).sorted.apply(500)
+    assert(medAbs > 0.9 && medAbs < 1.9, s"median |noise| $medAbs")
+    val pos = noise.count(_ > 0)
+    assert(pos > 400 && pos < 600, s"sign split $pos/1000")
+  }
 }

@@ -26,15 +26,26 @@ object ScalingBench {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
     val large = sys.env.getOrElse("SPARK_GRAFT_SF_LARGE", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.cleaner.periodicGC.interval", "30s")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def build(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.cleaner.periodicGC.interval", "30s")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = build()
+    // each scale point measures in a FRESH session (JIT warmth persists —
+    // it's JVM-level): a ~470-execution-old session penalizes the LAST
+    // point's big shuffles 2-3× (driver heap pressure, accumulated
+    // cleaner state), which lands entirely on the ratio of whichever
+    // query the alphabet put early — a session-aging artifact, not a
+    // data-scaling signal. Ratios must compare like with like.
+    def restart(): Unit = { spark.stop(); spark = build() }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
 
@@ -75,8 +86,9 @@ object ScalingBench {
       }.toMap
 
     val ts = timed(small)
+    restart()
     val tl = timed(large)
-    val tx = xlDir.map(timedNoWarm)
+    val tx = xlDir.map { d => restart(); timedNoWarm(d) }
     val entries = names.map { n =>
       val (s, l) = (ts(n), tl(n))
       val ratio = if (s > 0 && l > 0) l / s else -1.0

@@ -328,6 +328,12 @@ object Dedup {
         col("n").alias("na")), "a_id")
       .join(cm.select(col(idCol).alias("b_id"), col("__cm").alias("cb"),
         col("n").alias("nb")), "b_id")
+      // sound PPJoin length prune on expansion totals (holds verbatim for
+      // multisets — see [[bagJaccardPairs]]): J ≥ θ forces the size
+      // bounds, so the prune cannot change the output; it only spares the
+      // interpreted fold on pairs the banding collided by accident
+      .filter(col("nb") > col("na") * lit(threshold) - lit(1.0) &&
+        col("na") > col("nb") * lit(threshold) - lit(1.0))
       // Σmin over the pair's own maps (absent key → 0 contribution)
       .withColumn("ic", expr(
         """aggregate(

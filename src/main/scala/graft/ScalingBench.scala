@@ -75,20 +75,17 @@ object ScalingBench {
     // optional third point (SPARK_GRAFT_SF_XL, e.g. the replicated
     // .bench/sf1) — a second decade: quadratic-with-small-constant paths
     // that hide inside one decade's Spark-overhead floor show up in the
-    // larger decade's ratio. The xl pass skips the separate warmup sweep
-    // (JIT is warm from the earlier points; min-of-2 still absorbs the
-    // per-sf file-cache cold read).
+    // larger decade's ratio. The xl point gets the SAME warmup sweep as
+    // the others (an earlier skip-the-warmup shortcut left 2-3× cold-path
+    // variance on the shuffle-heavy queries — warm-vs-warm is the whole
+    // suite's methodology, and ratios of unlike measurements flag noise,
+    // not growth).
     val xlDir = sys.env.get("SPARK_GRAFT_SF_XL")
-    def timedNoWarm(sfDir: String): Map[String, Double] =
-      names.map { n =>
-        val (a, b) = (run(n, sfDir), run(n, sfDir))
-        n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-      }.toMap
 
     val ts = timed(small)
     restart()
     val tl = timed(large)
-    val tx = xlDir.map { d => restart(); timedNoWarm(d) }
+    val tx = xlDir.map { d => restart(); timed(d) }
     val entries = names.map { n =>
       val (s, l) = (ts(n), tl(n))
       val ratio = if (s > 0 && l > 0) l / s else -1.0

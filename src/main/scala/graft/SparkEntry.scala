@@ -985,6 +985,67 @@ object SparkEntry {
     "q_char_entropy" -> ((s, dir) => ext.TextOps.charEntropy(
       read(s, dir, "documents"), "doc_id", "text")),
 
+    // credential scan: planted AWS-key/GitHub-token/placeholder shapes
+    // (deterministic md5 plants, replayed by the oracle), pattern families
+    // in the Java∩RE2-portable regex subset, entropy gate dropping the
+    // low-entropy placeholder — one pass, entropy only on match tokens
+    "q_secrets_scan" -> ((s, dir) => ext.Secrets.scan(
+      read(s, dir, "documents").withColumn("text", plantedSecrets),
+      "doc_id", "text")),
+
+    // Welch two-sample A/B readout per event type: md5-parity variant
+    // assignment (engine-portable, no stored experiment table needed),
+    // exact decimal sufficient stats in ONE conditional aggregate, fixed-
+    // shape z on the exact sums
+    "q_welch_ab" -> ((s, dir) => ext.Stats.welchAb(
+      readEvents(s, dir).withColumn("__ctrl",
+        substring(md5(col("user_id").cast("string")), 1, 1) < "8"),
+      "event_type", col("__ctrl"), "value")),
+
+    // UniMax token-budget waterfilling: equal-split budget under a
+    // 4-epoch per-source cap, closed-form waterline (two windows over the
+    // per-source frame, no driver loop), exact micro-token integers
+    "q_waterfill_budget" -> ((s, dir) => ext.Sampling.waterfillBudget(
+      read(s, dir, "documents").select("source", "n_chars"),
+      "source", "n_chars", budget = 520000L, maxEpochs = 4)),
+
+    // Fellegi–Sunter record linkage: clean customers vs a deterministically
+    // perturbed copy (case flips, appended chars, drifted balances, lost
+    // segments — replayed by the oracle), blocked on (nation, name-digit
+    // bucket), integer milli-log-weight scores, match/possible/non_match
+    "q_record_linkage" -> { (s, dir) =>
+      val cust = read(s, dir, "customer")
+      val blk = substring(col("c_name"), 14, 2).alias("blk")
+      val clean = cust.select(col("c_custkey"), col("c_nationkey"), blk,
+        lower(col("c_name")).alias("name_n"),
+        floor(col("c_acctbal")).alias("bal_n"),
+        col("c_mktsegment").alias("seg_n"),
+        (col("c_nationkey") % 5).alias("reg_n"))
+      val dirty = cust.select(col("c_custkey"), col("c_nationkey"), blk,
+        lower(when(col("c_custkey") % 5 === 0, concat(col("c_name"), lit("X")))
+          .otherwise(upper(col("c_name")))).alias("name_n"),
+        (floor(col("c_acctbal")) +
+          when(col("c_custkey") % 3 === 0, lit(1L)).otherwise(lit(0L)))
+          .alias("bal_n"),
+        when(col("c_custkey") % 7 === 0, lit("NONE"))
+          .otherwise(col("c_mktsegment")).alias("seg_n"),
+        (when(col("c_custkey") % 11 === 0, col("c_nationkey") + 1)
+          .otherwise(col("c_nationkey")) % 5).alias("reg_n"))
+      ext.Linkage.fellegiSunter(clean, dirty, "c_custkey", "c_custkey",
+        Seq("c_nationkey", "blk"),
+        Seq(ext.Linkage.LinkField("name_n", 5000, -4000),
+          ext.Linkage.LinkField("bal_n", 2500, -1500),
+          ext.Linkage.LinkField("seg_n", 500, -800),
+          ext.Linkage.LinkField("reg_n", 1500, -1200)),
+        upperMilli = 5000, lowerMilli = 0)
+    },
+
+    // trained-in-engine k-means: md5-sample init, 2 Lloyd iterations with
+    // exact 1e9-scaled integer means and fixed-shape argmin scoring — the
+    // whole training run replays in the oracle
+    "q_kmeans_train" -> ((s, dir) => ext.Similarity.kmeansExact(
+      read(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)),
+
     // feature hashing: tokens → 1024 md5 buckets, sparse (doc, bucket, n)
     // count vectors — no vocabulary pass, no driver state
     "q_hash_vectorize" -> ((s, dir) => ext.TextOps.hashingVectorize(
@@ -1910,6 +1971,24 @@ object SparkEntry {
         col("event_type"), col("n_events"), col("sum_value"))
     },
 
+    // streaming DISTINCT through the dedup state store: key columns are
+    // projected BEFORE dropDuplicates so the emitted row per key is
+    // arrival-order-independent — drained append-mode output ≡ batch
+    // SELECT DISTINCT, making stateful streaming dedup driver-checkable
+    "q_stream_distinct" -> { (s, dir) =>
+      val name = "graft_stream_distinct"
+      s.catalog.dropTempView(name)
+      val keys = ext.EventStream.distinctKeys(
+        ext.EventStream.readStream(s, s"$dir/events.parquet"),
+        Seq("user_id", "event_type"))
+      val q = keys.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    },
+
     // events: JSON property extraction (semi-structured props column)
     "q_events_json" -> ((s, dir) => readEvents(s, dir).select(
       col("event_id"),
@@ -2684,6 +2763,25 @@ object SparkEntry {
     lit("/page/"), col("doc_id").cast("string"),
     lit("?utm_source=feed&b=2&ref=x&a=1"),
     when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+
+  /** Deterministic secret plants for `q_secrets_scan`: md5-derived
+    * AWS-key / GitHub-token / hex-blob shapes on residue classes of
+    * doc_id, plus one LOW-entropy placeholder (`pw=aaa…`) that matches
+    * the generic pattern but must be dropped by the entropy gate. The
+    * oracle replays the same concatenation.
+    */
+  private def plantedSecrets: org.apache.spark.sql.Column = concat(col("text"),
+    when(col("doc_id") % 13 === 0, concat(lit(" token=AKIA"),
+      upper(substring(md5(col("doc_id").cast("string")), 1, 16))))
+      .otherwise(lit("")),
+    when(col("doc_id") % 17 === 0, concat(lit(" key=ghp_"),
+      substring(md5(concat(lit("g"), col("doc_id").cast("string"))), 1, 20)))
+      .otherwise(lit("")),
+    when(col("doc_id") % 19 === 0, concat(lit(" sig="),
+      substring(md5(concat(lit("h"), col("doc_id").cast("string"))), 1, 32)))
+      .otherwise(lit("")),
+    when(col("doc_id") % 23 === 0, lit(" pw=aaaaaaaaaaaaaaaaaaaaaa"))
+      .otherwise(lit("")))
 
   /** Keyword lexicon for `q_topic_tags` — drawn from the synthetic
     * documents vocabulary so every topic actually fires on some docs.
@@ -5390,6 +5488,197 @@ object SparkEntry {
         |            WHEN entropy > 5.2 THEN 'high'
         |            ELSE 'ok' END AS entropy_band
         |FROM r""".stripMargin,
+
+    // secrets: same plants, same portable regex families, same 1e9-scaled
+    // entropy contract on the match tokens
+    "q_secrets_scan" ->
+      """WITH planted AS (SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 13 = 0 THEN ' token=AKIA' ||
+        |         upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) ELSE '' END ||
+        |    CASE WHEN doc_id % 17 = 0 THEN ' key=ghp_' ||
+        |         substr(md5('g' || CAST(doc_id AS VARCHAR)), 1, 20) ELSE '' END ||
+        |    CASE WHEN doc_id % 19 = 0 THEN ' sig=' ||
+        |         substr(md5('h' || CAST(doc_id AS VARCHAR)), 1, 32) ELSE '' END ||
+        |    CASE WHEN doc_id % 23 = 0 THEN ' pw=aaaaaaaaaaaaaaaaaaaaaa' ELSE '' END
+        |    AS text FROM documents),
+        |fam AS (
+        |  SELECT doc_id, 'aws_access_key' AS kind,
+        |         unnest(regexp_extract_all(text, 'AKIA[0-9A-F]{16}')) AS token
+        |  FROM planted
+        |  UNION ALL
+        |  SELECT doc_id, 'github_token',
+        |         unnest(regexp_extract_all(text, 'ghp_[0-9a-f]{20}'))
+        |  FROM planted
+        |  UNION ALL
+        |  SELECT doc_id, 'hex_blob',
+        |         unnest(regexp_extract_all(text, '[0-9a-f]{32,}'))
+        |  FROM planted
+        |  UNION ALL
+        |  SELECT doc_id, 'long_alnum',
+        |         unnest(regexp_extract_all(text, '[A-Za-z0-9]{20,}'))
+        |  FROM planted),
+        |hits AS (SELECT doc_id, kind, token, COUNT(*) AS n_hits
+        |         FROM fam GROUP BY 1, 2, 3),
+        |ch AS (SELECT doc_id, kind, token, unnest(string_split(token, '')) AS c
+        |       FROM hits),
+        |cnt AS (SELECT doc_id, kind, token, c, COUNT(*) AS m FROM ch
+        |        WHERE c <> '' GROUP BY 1, 2, 3, 4),
+        |tot AS (SELECT doc_id, kind, token, SUM(m) AS n FROM cnt GROUP BY 1, 2, 3),
+        |t AS (SELECT cnt.doc_id, cnt.kind, cnt.token,
+        |        CAST(round((CAST(m AS DOUBLE) / CAST(n AS DOUBLE))
+        |               * ln(CAST(m AS DOUBLE) / CAST(n AS DOUBLE))
+        |               * 1e9, 0) AS BIGINT) AS t9
+        |      FROM cnt JOIN tot USING (doc_id, kind, token)),
+        |e AS (SELECT doc_id, kind, token,
+        |        CAST(-SUM(t9) AS DOUBLE) / 1e9 + 0.0 AS entropy
+        |      FROM t GROUP BY 1, 2, 3)
+        |SELECT h.doc_id, h.kind, h.token, h.n_hits, e.entropy
+        |FROM hits h JOIN e USING (doc_id, kind, token)
+        |WHERE e.entropy >= 2.0""".stripMargin,
+
+    // Welch A/B: same md5-parity variant, same decimal sufficient stats,
+    // same fixed-shape z chain
+    "q_welch_ab" ->
+      """WITH v AS (SELECT event_type,
+        |             substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8' AS ctrl,
+        |             value AS x
+        |           FROM events),
+        |s AS (SELECT event_type,
+        |        COUNT(CASE WHEN ctrl THEN 1 END) AS n_a,
+        |        SUM(CASE WHEN ctrl THEN CAST(x AS DECIMAL(38,12)) END) AS sa,
+        |        SUM(CASE WHEN ctrl THEN CAST(x * x AS DECIMAL(38,12)) END) AS saa,
+        |        COUNT(CASE WHEN NOT ctrl THEN 1 END) AS n_b,
+        |        SUM(CASE WHEN NOT ctrl THEN CAST(x AS DECIMAL(38,12)) END) AS sb,
+        |        SUM(CASE WHEN NOT ctrl THEN CAST(x * x AS DECIMAL(38,12)) END) AS sbb
+        |      FROM v GROUP BY event_type),
+        |t AS (SELECT event_type, n_a, n_b,
+        |        CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+        |        CAST(sa AS DOUBLE) AS sad, CAST(saa AS DOUBLE) AS saad,
+        |        CAST(sb AS DOUBLE) AS sbd, CAST(sbb AS DOUBLE) AS sbbd
+        |      FROM s)
+        |SELECT event_type, n_a, n_b,
+        |  round(sad / nad, 6) AS mean_a,
+        |  round(sbd / nbd, 6) AS mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2
+        |        AND (((saad - sad * sad / nad) / (nad - 1.0)) / nad
+        |             + ((sbbd - sbd * sbd / nbd) / (nbd - 1.0)) / nbd) > 0.0
+        |       THEN round((sad / nad - sbd / nbd)
+        |                  / sqrt(((saad - sad * sad / nad) / (nad - 1.0)) / nad
+        |                         + ((sbbd - sbd * sbd / nbd) / (nbd - 1.0)) / nbd),
+        |                  6)
+        |  END AS welch_z
+        |FROM t""".stripMargin,
+
+    // the drained streaming dedup equals batch DISTINCT on the key tuple
+    "q_stream_distinct" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    // waterfill: same closed-form waterline, exact integer arithmetic,
+    // same floor (// == div) semantics
+    "q_waterfill_budget" ->
+      """WITH c2 AS (SELECT source, SUM(CAST(n_chars AS BIGINT)) AS nt
+        |            FROM documents GROUP BY source
+        |            HAVING SUM(CAST(n_chars AS BIGINT)) > 0),
+        |c3 AS (SELECT source, CAST(nt AS BIGINT) AS n_tokens,
+        |              CAST(nt * 4 AS BIGINT) AS cap FROM c2),
+        |r AS (SELECT source, n_tokens, cap,
+        |        CAST(row_number() OVER (ORDER BY cap, source) AS BIGINT) AS i,
+        |        CAST(SUM(cap) OVER (ORDER BY cap, source
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p,
+        |        CAST(COUNT(*) OVER () AS BIGINT) AS g
+        |      FROM c3),
+        |r2 AS (SELECT *, (cap * (g - i + 1) <= 520000 - (p - cap)) AS funded
+        |       FROM r),
+        |lv AS (SELECT CAST(MAX(g) AS BIGINT) AS g,
+        |              CAST(COALESCE(MAX(CASE WHEN funded THEN i END), 0) AS BIGINT) AS f,
+        |              CAST(COALESCE(MAX(CASE WHEN funded THEN p END), 0) AS BIGINT) AS pf
+        |       FROM r2),
+        |o AS (SELECT r2.source, r2.n_tokens, r2.cap,
+        |        CAST(CASE WHEN r2.i <= lv.f THEN r2.cap * 1000000
+        |             ELSE (520000 - lv.pf) * 1000000 // (lv.g - lv.f) END
+        |          AS BIGINT) AS alloc_micro
+        |      FROM r2 CROSS JOIN lv)
+        |SELECT source, n_tokens, cap, alloc_micro,
+        |       CAST(alloc_micro // n_tokens AS BIGINT) AS epochs_micro
+        |FROM o""".stripMargin,
+
+    // linkage: same perturbations, same blocking, same integer weights
+    "q_record_linkage" ->
+      """WITH clean AS (SELECT c_custkey AS a_id, c_nationkey,
+        |                 substr(c_name, 14, 2) AS blk,
+        |                 lower(c_name) AS name_a,
+        |                 CAST(floor(c_acctbal) AS BIGINT) AS bal_a,
+        |                 c_mktsegment AS seg_a,
+        |                 c_nationkey % 5 AS reg_a
+        |               FROM customer),
+        |dirty AS (SELECT c_custkey AS b_id, c_nationkey,
+        |            substr(c_name, 14, 2) AS blk,
+        |            lower(CASE WHEN c_custkey % 5 = 0 THEN c_name || 'X'
+        |                  ELSE upper(c_name) END) AS name_b,
+        |            CAST(floor(c_acctbal) AS BIGINT)
+        |              + CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS bal_b,
+        |            CASE WHEN c_custkey % 7 = 0 THEN 'NONE'
+        |                 ELSE c_mktsegment END AS seg_b,
+        |            (CASE WHEN c_custkey % 11 = 0 THEN c_nationkey + 1
+        |                  ELSE c_nationkey END) % 5 AS reg_b
+        |          FROM customer),
+        |p AS (SELECT a_id, b_id,
+        |        CAST((CASE WHEN name_a = name_b THEN 5000 ELSE -4000 END)
+        |           + (CASE WHEN bal_a = bal_b THEN 2500 ELSE -1500 END)
+        |           + (CASE WHEN seg_a = seg_b THEN 500 ELSE -800 END)
+        |           + (CASE WHEN reg_a = reg_b THEN 1500 ELSE -1200 END)
+        |          AS BIGINT) AS score_milli
+        |      FROM clean JOIN dirty USING (c_nationkey, blk))
+        |SELECT a_id, b_id, score_milli,
+        |       CASE WHEN score_milli >= 5000 THEN 'match'
+        |            WHEN score_milli > 0 THEN 'possible'
+        |            ELSE 'non_match' END AS verdict
+        |FROM p""".stripMargin,
+
+    // k-means: md5-sample init, two Lloyd rounds — assignment replays the
+    // q_knn_ivf fixed-shape scoring, means replay the q_centroids
+    // 1e9-scaled integer contract
+    "q_kmeans_train" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY h) - 1 AS INTEGER) AS cidx,
+        |              v AS c
+        |       FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM e
+        |             ORDER BY h LIMIT 8)),
+        |a1 AS (SELECT cidx, v FROM (
+        |    SELECT e.v, c.cidx,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_dot_product(e.v, c.c)
+        |                      - 0.5 * list_dot_product(c.c, c.c) DESC,
+        |                      c.cidx) AS rn
+        |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
+        |u1 AS (SELECT cidx, generate_subscripts(v, 1) - 1 AS j,
+        |              CAST(floor(unnest(v) * 1000000000.0) AS BIGINT) AS x9
+        |       FROM a1),
+        |m1 AS (SELECT cidx, j, CAST(SUM(x9) AS BIGINT) AS sv,
+        |              CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM u1 GROUP BY cidx, j),
+        |c1 AS (SELECT cidx,
+        |         list(CAST(sv AS DOUBLE) / (1000000000.0 * CAST(n AS DOUBLE))
+        |              ORDER BY j) AS c
+        |       FROM m1 GROUP BY cidx),
+        |a2 AS (SELECT cidx, v FROM (
+        |    SELECT e.v, c.cidx,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_dot_product(e.v, c.c)
+        |                      - 0.5 * list_dot_product(c.c, c.c) DESC,
+        |                      c.cidx) AS rn
+        |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
+        |u2 AS (SELECT cidx, generate_subscripts(v, 1) - 1 AS j,
+        |              CAST(floor(unnest(v) * 1000000000.0) AS BIGINT) AS x9
+        |       FROM a2),
+        |m2 AS (SELECT cidx, j, CAST(SUM(x9) AS BIGINT) AS sv,
+        |              CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM u2 GROUP BY cidx, j)
+        |SELECT cidx AS cluster, n, j,
+        |       CAST(sv AS DOUBLE) / (1000000000.0 * CAST(n AS DOUBLE)) AS c
+        |FROM m2""".stripMargin,
 
     // feature hashing: same md5-48-bit bucket math (UBIGINT parse)
     "q_hash_vectorize" ->

@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Probabilistic record linkage — the Fellegi–Sunter model (Fellegi &
+  * Sunter 1969, "A Theory for Record Linkage"): candidate pairs from a
+  * cheap blocking key, a per-field agreement score from log-likelihood
+  * weights (agree → log(m/u) > 0, disagree → log((1−m)/(1−u)) < 0), and
+  * a three-way verdict from two thresholds — `match` / `possible`
+  * (clerical review band) / `non_match`. This is the entity-resolution
+  * counterpart of the dedup family: same blocking discipline, but scores
+  * are field-structured instead of text-similarity-based, which is what
+  * links a CRM row to a billing row when neither text nor embeddings
+  * exist.
+  *
+  * Weights are caller-supplied MILLI-log-units (integers): the score is
+  * an exact BIGINT sum, so verdicts are engine-deterministic with no
+  * float contract needed. Field comparison is null-safe equality on
+  * caller-normalized columns (normalize — lowercase, prefix, round —
+  * BEFORE calling; the comparators stay exact so the oracle replays them
+  * verbatim).
+  *
+  * Scale: one equi-join on the blocking key — no pair survives outside a
+  * block, so candidate volume is Σ|block|² and the blocking key's
+  * cardinality is the scale knob (at 100 TB: block on a high-cardinality
+  * compound — phonetic name bucket × region — never a bare country
+  * code; skewed blocks get the same salting treatment as any hot join
+  * key). Score + verdict are narrow per-row expressions inside the join's
+  * codegen stage.
+  */
+object Linkage {
+
+  /** One compared field: equality on `name` scores `wAgreeMilli` (> 0)
+    * on agreement, `wDisagreeMilli` (< 0) on disagreement.
+    */
+  final case class LinkField(name: String, wAgreeMilli: Long,
+      wDisagreeMilli: Long)
+
+  /** Score blocked candidate pairs of `a` × `b`. Both frames must carry
+    * `blockCols` and every `LinkField.name` column (pre-normalized).
+    * Emits (a_id, b_id, score_milli, verdict).
+    */
+  def fellegiSunter(a: DataFrame, b: DataFrame, aId: String, bId: String,
+      blockCols: Seq[String], fields: Seq[LinkField],
+      upperMilli: Long, lowerMilli: Long): DataFrame = {
+    require(fields.nonEmpty, "need at least one compared field")
+    require(upperMilli > lowerMilli, "need upper > lower threshold")
+    val left = a.select(
+      col(aId).alias("a_id") +: (blockCols.map(col) ++
+        fields.map(f => col(f.name).alias(s"__a_${f.name}"))): _*)
+    val right = b.select(
+      col(bId).alias("b_id") +: (blockCols.map(col) ++
+        fields.map(f => col(f.name).alias(s"__b_${f.name}"))): _*)
+    val score = fields.map { f =>
+      when(col(s"__a_${f.name}") <=> col(s"__b_${f.name}"),
+        lit(f.wAgreeMilli)).otherwise(lit(f.wDisagreeMilli))
+    }.reduce(_ + _)
+    left.join(right, blockCols)
+      .withColumn("score_milli", score)
+      .withColumn("verdict",
+        when(col("score_milli") >= upperMilli, lit("match"))
+          .when(col("score_milli") > lowerMilli, lit("possible"))
+          .otherwise(lit("non_match")))
+      .select(col("a_id"), col("b_id"), col("score_milli"), col("verdict"))
+  }
+}

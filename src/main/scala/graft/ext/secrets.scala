@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Credential / secret scanning over document text — the "did a training
+  * shard swallow an API key" safety gate every corpus pipeline runs
+  * before release. Two detector layers compose:
+  *
+  *   1. PATTERN families — anchored token shapes (AWS-style access key
+  *      ids, GitHub-style tokens, long hex blobs, generic long
+  *      alphanumeric runs), restricted to the regex subset where Java's
+  *      engine and RE2-style engines agree (literal prefixes, character
+  *      classes, bounded repeats — no alternation, no backrefs), so the
+  *      same pattern extracts the same non-overlapping greedy matches in
+  *      any engine.
+  *   2. ENTROPY gate — a pattern hit is only a finding if the candidate
+  *      token's character entropy clears `minEntropy` nats: `deadbeef…`
+  *      repeated padding and `aaaa…` placeholder strings match the shape
+  *      but carry no key material, and dropping them is what keeps the
+  *      alert rate usable (the classic trufflehog/detect-secrets design).
+  *
+  * Determinism contract ([[TextOps.charEntropy]] discipline): each
+  * candidate's per-character ln-terms round to 1e9-scaled BIGINTs and sum
+  * exactly; one fixed-shape closing division. Candidates group by
+  * (doc, kind, token) so repeats collapse to one finding with `n_hits`.
+  *
+  * Scale: ONE pass over the text — all pattern families extract inside a
+  * single narrow projection (array-of-structs, then two explodes whose
+  * row count is bounded by matches, not corpus size); entropy runs on
+  * match tokens only (≤ ~100 chars each), never on full documents. No
+  * window, no join; the only exchange is the final per-finding aggregate.
+  */
+object Secrets {
+
+  /** Default pattern families: (kind, regex) in the engine-portable
+    * subset. Ordered from specific to generic; a token can legitimately
+    * fire multiple families (a real AWS key is also a long alnum run) —
+    * downstream consumers dedupe by token if they want one verdict.
+    */
+  val defaultPatterns: Seq[(String, String)] = Seq(
+    "aws_access_key" -> "AKIA[0-9A-F]{16}",
+    "github_token"   -> "ghp_[0-9a-f]{20}",
+    "hex_blob"       -> "[0-9a-f]{32,}",
+    "long_alnum"     -> "[A-Za-z0-9]{20,}")
+
+  /** Scan `textCol`, emitting (idCol, kind, token, n_hits, entropy) for
+    * every pattern match whose entropy ≥ `minEntropy`.
+    */
+  def scan(df: DataFrame, idCol: String, textCol: String,
+      patterns: Seq[(String, String)] = defaultPatterns,
+      minEntropy: Double = 2.0): DataFrame = {
+    require(patterns.nonEmpty, "need at least one pattern family")
+    val fams = patterns.map { case (k, re) =>
+      struct(lit(k).alias("kind"),
+        regexp_extract_all(col(textCol), lit(re), lit(0)).alias("toks"))
+    }
+    val hits = df
+      .select(col(idCol), explode(array(fams: _*)).alias("__f"))
+      .select(col(idCol), col("__f.kind").alias("kind"),
+        explode(col("__f.toks")).alias("token"))
+      .groupBy(col(idCol), col("kind"), col("token"))
+      .agg(count(lit(1)).alias("n_hits"))
+    // entropy over the candidate token's characters, exact-integer summed
+    val cnt = hits
+      .select(col(idCol), col("kind"), col("token"),
+        explode(split(col("token"), "")).alias("__c"))
+      .filter(col("__c") =!= "")
+      .groupBy(col(idCol), col("kind"), col("token"), col("__c"))
+      .agg(count(lit(1)).alias("__m"))
+      .withColumn("__n", sum(col("__m"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol), col("kind"), col("token"))))
+    val p = col("__m").cast("double") / col("__n").cast("double")
+    val ent = cnt
+      .withColumn("__t9", round(p * log(p) * lit(1e9), 0).cast("long"))
+      .groupBy(col(idCol), col("kind"), col("token"))
+      .agg(((-sum(col("__t9"))).cast("double") / lit(1e9) + lit(0.0))
+        .alias("entropy"))
+    hits.join(ent, Seq(idCol, "kind", "token"))
+      .filter(col("entropy") >= minEntropy)
+      .select(col(idCol), col("kind"), col("token"), col("n_hits"),
+        col("entropy"))
+  }
+}

@@ -543,6 +543,70 @@ object Similarity {
     cents
   }
 
+  /** ORACLE-EXACT distributed k-means (Lloyd) — the trained-in-engine
+    * counterpart of [[refineCentroids]] with no driver-side float math
+    * and no order-dependent sums, so the whole training run replays in
+    * plain SQL (the [[graft.ext.Classify]] "train the model inside the
+    * oracle lane" discipline, applied to clustering):
+    *
+    *   - init: the md5-first-`k` corpus sample ([[ivfCentroids]]' seed,
+    *     unnormalized — k-means lives in raw L2 space);
+    *   - assign: argmin ||v−c||² == argmax (v·c − ½·c·c), scored with the
+    *     native codegen [[graft.functions.DotProduct]] over a broadcast
+    *     k-row centroid frame, ties to the lower centroid index — the
+    *     score is a fixed-shape IEEE expression on doubles that are
+    *     themselves exact, so every engine ranks identically;
+    *   - update: per-(cluster, dim) means from 1e9-scaled BIGINT sums
+    *     (exact integer addition, order-independent — the
+    *     [[groupCentroids]] contract), one fixed-shape closing division.
+    *
+    * Empty clusters drop out (both engines lose them identically).
+    * Cost per iteration: a corpus × k broadcast score + per-id top-1
+    * window, then a corpus × dim posexplode aggregate — the standard
+    * distributed Lloyd cost, all map-side-combinable; the k × dim
+    * centroid frame is the only driver-independent state threaded
+    * between iterations (re-broadcast each round, never collected).
+    *
+    * Emits the FINAL iteration long-form: (cluster, n, j, c) — cluster
+    * sizes and per-dimension centroid coordinates.
+    */
+  def kmeansExact(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && iters >= 1, "need k >= 1 and iters >= 1")
+    val e = df.select(col(idCol).alias("__id"),
+      col(vecCol).cast("array<double>").alias("__v"))
+    val init = e
+      .select(md5(col("__id").cast("string")).alias("__h"), col("__v"))
+      .orderBy("__h").limit(k) // TakeOrdered — no global sort
+      .select((row_number().over(Window.orderBy("__h")) - 1).alias("cidx"),
+        col("__v").alias("c"))
+    val wTop = Window.partitionBy(col("__id"))
+      .orderBy(col("__score").desc, col("cidx"))
+    def iterate(cents: DataFrame): DataFrame = e
+      .crossJoin(broadcast(cents))
+      .withColumn("__score",
+        dot(col("__v"), col("c")) - lit(0.5) * dot(col("c"), col("c")))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") === 1)
+      .select(col("cidx"), posexplode(col("__v")).as(Seq("j", "x")))
+      .groupBy(col("cidx"), col("j"))
+      .agg(sum(floor(col("x") * lit(1e9)).cast("long")).alias("sv"),
+        count(lit(1)).alias("n"))
+    val last = (2 to iters).foldLeft(iterate(init)) { case (m, _) =>
+      // k-row array reassembly — the per-candidate HOF exemption (the
+      // corpus-scale collect_list/transform trap does not apply to a
+      // bounded k × dim frame)
+      iterate(m.groupBy("cidx").agg(
+        expr("transform(sort_array(collect_list(struct(j, sv, n)))," +
+          " s -> CAST(s.sv AS DOUBLE) / (1e9 * CAST(s.n AS DOUBLE)))")
+          .alias("c")))
+    }
+    last.select(col("cidx").alias("cluster"), col("n"), col("j"),
+      (col("sv").cast("double") / (lit(1e9) * col("n").cast("double")))
+        .alias("c"))
+  }
+
   /** Approximate top-k via IVF: corpus vectors are bucketed to their
     * nearest centroid (one list each), queries probe their `nProbe`
     * nearest lists; candidates score exactly, output shape matches

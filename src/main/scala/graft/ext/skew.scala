@@ -309,6 +309,64 @@ object Sampling {
       .withColumn("running_cost", col("__cum")).drop("__cum")
   }
 
+  /** UniMax-style token-budget waterfilling (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling"): split a total token
+    * `budget` across sources as EQUALLY as possible, subject to a per-
+    * source cap of `maxEpochs` passes over its data — the principled
+    * alternative to temperature mixing that never over-epochs a tiny
+    * source. Small sources get their full cap; the remainder splits
+    * evenly among the big ones at a common waterline t with
+    * Σ min(cap_i, t) = budget.
+    *
+    * The waterline is CLOSED-FORM, not iterative: with caps sorted
+    * ascending, source i is fully funded iff cap_i·(G−i+1) ≤ budget−P_{i−1}
+    * (equal-split of the remaining budget covers it), fundedness is a
+    * prefix property, and t = (budget − P_f)/(G − f) for the longest
+    * funded prefix f — two window passes over the G-row per-source frame
+    * instead of a driver-side loop. All arithmetic is exact integers
+    * (micro-token units, floor division), so the allocation is
+    * engine-deterministic; Σ alloc ≤ budget with at most G−f micro-token
+    * slack from the floors.
+    *
+    * Scale: the corpus-sized work is the one per-source count aggregate;
+    * the windows run over G rows (G = #sources, bounded) — the same
+    * tiny-frame exemption as every mixture/epoch operator here. Emits
+    * (groupCol, n_tokens, cap, alloc_micro, epochs_micro); `epochs_micro`
+    * = micro-epochs of each source (1e6 = one full pass).
+    */
+  def waterfillBudget(df: DataFrame, groupCol: String, costCol: String,
+      budget: Long, maxEpochs: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && maxEpochs > 0, "budget and maxEpochs must be positive")
+    val caps = df.groupBy(col(groupCol))
+      .agg(sum(col(costCol).cast("long")).alias("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("cap", col("n_tokens") * lit(maxEpochs.toLong))
+    val w = Window.orderBy(col("cap"), col(groupCol))
+    val ranked = caps
+      .withColumn("__i", row_number().over(w))
+      .withColumn("__p", sum(col("cap")).over(w))
+      .withColumn("__funded",
+        col("cap") * (count(lit(1)).over(Window.partitionBy()) - col("__i") + 1)
+          <= lit(budget) - (col("__p") - col("cap")))
+    val level = ranked.agg(
+      count(lit(1)).alias("__g"),
+      coalesce(max(when(col("__funded"), col("__i"))), lit(0L)).alias("__f"),
+      coalesce(max(when(col("__funded"), col("__p"))), lit(0L)).alias("__pf"))
+    // `div` (integer division) — a double `/` then cast loses exactness
+    // past 2^53, and decimal division rounds at result scale; only the
+    // SQL div operator floors the exact rational
+    val tMicro = when(col("__g") > col("__f"),
+      expr(s"(${budget}L - __pf) * 1000000L div (__g - __f)"))
+    ranked.crossJoin(broadcast(level))
+      .withColumn("alloc_micro",
+        when(col("__i") <= col("__f"), col("cap") * lit(1000000L))
+          .otherwise(tMicro))
+      .withColumn("epochs_micro", expr("alloc_micro div n_tokens"))
+      .select(col(groupCol), col("n_tokens"), col("cap"),
+        col("alloc_micro"), col("epochs_micro"))
+  }
+
   /** LEAKAGE-SAFE train/val/test split: the split unit is the near-dup
     * CLUSTER, not the document — naive per-id splitting puts two copies
     * of the same (near-identical) document in train AND test, silently

@@ -112,6 +112,49 @@ object Stats {
         round((d(x) - mean) / std, scale).alias("z"))
   }
 
+  /** Per-group Welch two-sample comparison — the A/B experiment readout:
+    * for each `groupCol` segment, compare the metric between the control
+    * and treatment variants (`isControl` boolean column) with Welch's
+    * unequal-variance statistic z = (x̄_A − x̄_B) / √(s²_A/n_A + s²_B/n_B).
+    *
+    * Engine-deterministic by the file's discipline: sufficient statistics
+    * (n, Σx, Σx²) per (group, variant) are exact DECIMAL conditional sums
+    * in ONE hash-aggregate pass (no join between variants — the variant
+    * split is a conditional aggregate, so adding a variant costs zero
+    * shuffles); the final statistic is a fixed-shape chain of IEEE ops on
+    * the exact sums, bit-identical in any engine. Sample variance uses the
+    * n−1 denominator; groups where either arm has n < 2 or zero variance
+    * emit NULL z rather than ±Inf/NaN (which hash differently across
+    * engines).
+    *
+    * At 100 TB this is the canonical map-side-combine aggregate: partials
+    * are 3 decimals per (group, variant), merged associatively — the
+    * shuffle carries |groups|·2 tiny rows no matter the input size.
+    */
+  def welchAb(df: DataFrame, groupCol: String, isControl: Column,
+      valueCol: String, scale: Int = 6): DataFrame = {
+    val x = col(valueCol)
+    val s = df.groupBy(col(groupCol)).agg(
+      sum(when(isControl, lit(1)).otherwise(lit(0))).alias("n_a"),
+      sum(when(isControl, dec(x)).otherwise(lit(null))).alias("sa"),
+      sum(when(isControl, dec(x * x)).otherwise(lit(null))).alias("saa"),
+      sum(when(!isControl, lit(1)).otherwise(lit(0))).alias("n_b"),
+      sum(when(!isControl, dec(x)).otherwise(lit(null))).alias("sb"),
+      sum(when(!isControl, dec(x * x)).otherwise(lit(null))).alias("sbb"))
+    val (na, nb) = (d(col("n_a")), d(col("n_b")))
+    val meanA = d(col("sa")) / na
+    val meanB = d(col("sb")) / nb
+    val varA = (d(col("saa")) - d(col("sa")) * d(col("sa")) / na) / (na - lit(1.0))
+    val varB = (d(col("sbb")) - d(col("sb")) * d(col("sb")) / nb) / (nb - lit(1.0))
+    val se2 = varA / na + varB / nb
+    val z = (meanA - meanB) / sqrt(se2)
+    s.select(col(groupCol), col("n_a"), col("n_b"),
+      round(meanA, scale).alias("mean_a"),
+      round(meanB, scale).alias("mean_b"),
+      when(col("n_a") >= 2 && col("n_b") >= 2 && se2 > lit(0.0),
+        round(z, scale)).alias("welch_z"))
+  }
+
   /** Per-group isotonic regression (PAV) — the monotone calibration fit:
     * given (x, y) per group, the non-decreasing step function `y_iso(x)`
     * minimizing Σ(y − y_iso)², i.e. Platt-free score calibration

@@ -101,6 +101,27 @@ object EventStream {
       .withWatermark("ts_utc", watermark)
       .dropDuplicates("event_id")
 
+  /** Streaming DISTINCT on a key tuple: project the key columns FIRST,
+    * then `dropDuplicates` — because only key columns flow into the
+    * stateful operator, the emitted row per key is order-independent
+    * (whichever arrival wins, the projected row is identical), so a
+    * drained stream equals batch `SELECT DISTINCT keys` exactly. Dedup
+    * state is one entry per distinct key; append mode emits each key
+    * once, on first arrival — the streaming form of the reference's
+    * `forceDistinct` projection. Note the state-lifetime trade: exact
+    * global distinct holds every key forever (state = key cardinality);
+    * a long-lived deployment that only needs dedup within a horizon
+    * should use `dropDuplicatesWithinWatermark` instead, which evicts at
+    * the watermark but re-admits a key that reappears later.
+    */
+  def distinctKeys(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts_utc", watermark)
+      .select((col("ts_utc") +: keyCols.map(col)): _*)
+      .dropDuplicates(keyCols)
+      .select(keyCols.map(col): _*)
+
   /** Per-user running state for [[withRunningState]]. */
   final case class UserState(nEvents: Long, totalValue: Double)
 

@@ -1046,6 +1046,42 @@ object SparkEntry {
     "q_kmeans_train" -> ((s, dir) => ext.Similarity.kmeansExact(
       read(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)),
 
+    // functional-dependency audit: orders that draw from more than one
+    // supplier violate the (claimed) l_orderkey → l_suppkey dependency
+    "q_fd_violations" -> ((s, dir) => ext.Expect.fdViolations(
+      read(s, dir, "lineitem"), Seq("l_orderkey"), "l_suppkey")),
+
+    // Benford leading-digit drift per order priority: exact integer-space
+    // digit extraction, full 9-digit spine, 1e9-scaled chi-square terms,
+    // expected fractions shared as literals with the oracle
+    "q_benford" -> ((s, dir) => ext.Stats.benford(
+      read(s, dir, "orders"), "o_orderpriority", "o_totalprice")),
+
+    // UCB1 per event type: exact decimal means + sqrt(2 ln N / n) bonus,
+    // best arm flagged on the rounded scores
+    "q_ucb_alloc" -> ((s, dir) => ext.Stats.ucbScores(
+      readEvents(s, dir), "event_type", "value")),
+
+    // cumulative vocabulary coverage: top-100 tokens by tf with running
+    // corpus share — the tokenizer-vocab sizing curve
+    "q_vocab_coverage" -> ((s, dir) => ext.TextOps.vocabCoverage(
+      read(s, dir, "documents"), "text", topN = 100)),
+
+    // two-sided CUSUM per user against the user's own exact mean — the
+    // sustained-small-shift detector; recurrence bit-replayed by the
+    // oracle's recursive CTE (the ewma discipline, unrounded)
+    "q_cusum" -> ((s, dir) => ext.TimeSeries.cusum(
+      readEvents(s, dir).select(col("user_id"), col("ts_us"),
+        col("event_id"), col("value")),
+      "user_id", "ts_us", "event_id", "value", slack = 0.5, h = 10.0)),
+
+    // Efraimidis–Spirakis weighted reservoir: exactly 5 docs per source,
+    // char-count-weighted, md5-derived uniforms — engine-replayable
+    // sampling without replacement
+    "q_weighted_reservoir" -> ((s, dir) => ext.Sampling.weightedReservoir(
+      read(s, dir, "documents").select("source", "doc_id", "n_chars"),
+      "source", "doc_id", "n_chars", k = 5)),
+
     // feature hashing: tokens → 1024 md5 buckets, sparse (doc, bucket, n)
     // count vectors — no vocabulary pass, no driver state
     "q_hash_vectorize" -> ((s, dir) => ext.TextOps.hashingVectorize(
@@ -2782,6 +2818,14 @@ object SparkEntry {
       .otherwise(lit("")),
     when(col("doc_id") % 23 === 0, lit(" pw=aaaaaaaaaaaaaaaaaaaaaa"))
       .otherwise(lit("")))
+
+  /** Benford expected-fraction CASE arms for the `q_benford` oracle — the
+    * IDENTICAL double literals the Spark side uses (never recompute ln in
+    * SQL; two libm builds may differ in the last ulp).
+    */
+  private def benfordCaseSql: String = (1 to 9)
+    .map(d => s"WHEN $d THEN ${ext.Stats.benfordExpected(d)}")
+    .mkString(" ")
 
   /** Keyword lexicon for `q_topic_tags` — drawn from the synthetic
     * documents vocabulary so every topic actually fires on some docs.
@@ -5679,6 +5723,125 @@ object SparkEntry {
         |SELECT cidx AS cluster, n, j,
         |       CAST(sv AS DOUBLE) / (1000000000.0 * CAST(n AS DOUBLE)) AS c
         |FROM m2""".stripMargin,
+
+    // FD audit is plain relational algebra
+    "q_fd_violations" ->
+      """SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_rhs,
+        |       COUNT(l_suppkey) AS n_rows,
+        |       MIN(l_suppkey) AS rhs_min, MAX(l_suppkey) AS rhs_max
+        |FROM lineitem GROUP BY l_orderkey
+        |HAVING COUNT(DISTINCT l_suppkey) > 1""".stripMargin,
+
+    // Benford: same integer-space digit extraction, same shared expected
+    // literals, same 1e9-scaled chi-square terms
+    "q_benford" ->
+      s"""WITH base AS (SELECT o_orderpriority AS grp,
+        |         CAST(floor(abs(o_totalprice) * 100.0) AS BIGINT) AS vc
+        |       FROM orders),
+        |b2 AS (SELECT grp,
+        |         CAST(substr(CAST(vc AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |       FROM base WHERE vc > 0),
+        |cnt AS (SELECT grp, digit, COUNT(*) AS n_obs FROM b2 GROUP BY 1, 2),
+        |tot AS (SELECT grp, CAST(SUM(n_obs) AS BIGINT) AS n_total
+        |        FROM cnt GROUP BY 1),
+        |spine AS (SELECT grp, n_total,
+        |            unnest(generate_series(1, 9)) AS digit FROM tot),
+        |j AS (SELECT s.grp, s.digit, s.n_total,
+        |        CAST(COALESCE(c.n_obs, 0) AS BIGINT) AS n_obs,
+        |        CASE s.digit $benfordCaseSql END AS p
+        |      FROM spine s LEFT JOIN cnt c
+        |        ON c.grp = s.grp AND c.digit = s.digit),
+        |t AS (SELECT *, CAST(round(
+        |        (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * p)
+        |        * (CAST(n_obs AS DOUBLE) - CAST(n_total AS DOUBLE) * p)
+        |        / (CAST(n_total AS DOUBLE) * p) * 1e9, 0) AS BIGINT) AS t9
+        |      FROM j)
+        |SELECT grp AS o_orderpriority, digit, n_obs, n_total,
+        |       round(CAST(n_obs AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+        |         AS obs_frac,
+        |       round(p, 6) AS exp_frac,
+        |       CAST(SUM(t9) OVER (PARTITION BY grp) AS DOUBLE) / 1e9 + 0.0
+        |         AS chi2
+        |FROM t""".stripMargin,
+
+    // UCB1: same decimal means, same fixed-shape bonus, best flag on the
+    // rounded scores
+    "q_ucb_alloc" ->
+      """WITH s AS (SELECT event_type, COUNT(*) AS n,
+        |             SUM(CAST(value AS DECIMAL(38,12))) AS sx
+        |           FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM s),
+        |o AS (SELECT event_type, n,
+        |        round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_value,
+        |        round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+        |              + sqrt(2.0 * ln(CAST(n_all AS DOUBLE))
+        |                     / CAST(n AS DOUBLE)), 6) AS ucb
+        |      FROM s CROSS JOIN tot)
+        |SELECT event_type, n, mean_value, ucb,
+        |       ucb = MAX(ucb) OVER () AS is_best
+        |FROM o""".stripMargin,
+
+    // coverage curve: same tokenization, same total-order prefix, exact
+    // integer cumsum
+    "q_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT token, COUNT(*) AS tf FROM tok
+        |       WHERE token <> '' GROUP BY token),
+        |tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS n_total FROM tf),
+        |top AS (SELECT token, CAST(tf AS BIGINT) AS tf,
+        |          CAST(row_number() OVER (ORDER BY tf DESC, token) AS INTEGER)
+        |            AS rank,
+        |          CAST(SUM(tf) OVER (ORDER BY tf DESC, token
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |            AS BIGINT) AS cum
+        |        FROM tf)
+        |SELECT rank, token, tf,
+        |       round(CAST(cum AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+        |         AS cum_frac
+        |FROM top CROSS JOIN tot WHERE rank <= 100""".stripMargin,
+
+    // CUSUM: same exact-decimal mean, same per-step IEEE recurrence via
+    // recursive CTE (the q_ewma precedent)
+    "q_cusum" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |         event_id, CAST(value AS DOUBLE) AS x,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+        |  FROM events),
+        |m AS (SELECT user_id,
+        |        CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE) AS mu
+        |      FROM events GROUP BY user_id),
+        |e2 AS (SELECT ev.user_id, ev.ts_us, ev.event_id, ev.x, ev.rn, m.mu
+        |       FROM ev JOIN m USING (user_id)),
+        |c AS (SELECT user_id, ts_us, event_id, x, mu, rn,
+        |        greatest(0.0, 0.0 + (x - mu - 0.5)) AS s_pos,
+        |        greatest(0.0, 0.0 + (mu - x - 0.5)) AS s_neg
+        |      FROM e2 WHERE rn = 1
+        |      UNION ALL
+        |      SELECT e2.user_id, e2.ts_us, e2.event_id, e2.x, e2.mu, e2.rn,
+        |        greatest(0.0, c.s_pos + (e2.x - e2.mu - 0.5)),
+        |        greatest(0.0, c.s_neg + (e2.mu - e2.x - 0.5))
+        |      FROM c JOIN e2 ON e2.user_id = c.user_id AND e2.rn = c.rn + 1)
+        |SELECT user_id, ts_us, event_id, s_pos, s_neg,
+        |       (s_pos > 10.0 OR s_neg > 10.0) AS alarm
+        |FROM c""".stripMargin,
+
+    // reservoir: same 48-bit md5 uniform, same ln(u)/w key, same total
+    // rank order
+    "q_weighted_reservoir" ->
+      """WITH b AS (SELECT source, doc_id, n_chars,
+        |    ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+        |              AS BIGINT) AS DOUBLE) + 1.0) / 281474976710657.0)
+        |    / CAST(n_chars AS DOUBLE) AS key
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, n_chars,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY key DESC, doc_id) AS INTEGER) AS rank
+        |      FROM b)
+        |SELECT source, doc_id, n_chars, rank FROM r WHERE rank <= 5""".stripMargin,
 
     // feature hashing: same md5-48-bit bucket math (UBIGINT parse)
     "q_hash_vectorize" ->

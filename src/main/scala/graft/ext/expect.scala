@@ -72,6 +72,26 @@ object Expect {
       .agg(count(lit(1)).alias("n_rows"))
       .filter(col("n_rows") > 1)
 
+  /** Functional-dependency audit: LHS value combinations that map to MORE
+    * than one `rhs` value — the violations of a claimed dependency
+    * "lhs determines rhs" (the schema-inference / contract-validation
+    * probe: does order really determine customer? does url determine
+    * domain?). Emits each violating LHS with the distinct-RHS count, the
+    * non-null row count, and the min/max RHS as witnesses. One hash
+    * aggregate on the LHS (the distinct-count expand is per-LHS-group,
+    * never corpus-global).
+    */
+  def fdViolations(df: DataFrame, lhsCols: Seq[String],
+      rhsCol: String): DataFrame = {
+    require(lhsCols.nonEmpty, "at least one determinant column")
+    df.groupBy(lhsCols.map(col): _*)
+      .agg(countDistinct(col(rhsCol)).alias("n_rhs"),
+        count(col(rhsCol)).alias("n_rows"),
+        min(col(rhsCol)).alias("rhs_min"),
+        max(col(rhsCol)).alias("rhs_max"))
+      .filter(col("n_rhs") > 1)
+  }
+
   /** Rows whose non-NULL `fkCol` has no match in `dim.dimCol` (referential
     * integrity). Anti-join against the deduped dim key set — AQE
     * broadcasts genuinely small dims, the general case stays a hash join.

@@ -367,6 +367,45 @@ object Sampling {
         col("alloc_micro"), col("epochs_micro"))
   }
 
+  /** Weighted sampling WITHOUT replacement, exactly `k` per group — the
+    * Efraimidis–Spirakis A-ES reservoir (2006): each row draws a
+    * deterministic uniform u from its id's md5 (48-bit slice, the
+    * md5-Bernoulli discipline of [[assignSplits]]) and keeps the k
+    * largest u^(1/w), here ranked by the monotone-equivalent ln(u)/w —
+    * heavier rows win proportionally more often, no row can repeat, and
+    * the draw replays in any engine (vs Bernoulli samplers, which only
+    * hit a target size in expectation).
+    *
+    * The sample key is a fixed-shape IEEE chain (one ln, one divide) on
+    * engine-identical inputs, ranked per group by (key desc, id) — a
+    * keyed shuffle + per-group sort, the same shape as every top-k-per-
+    * group here; at extreme k the native bounded-heap top-k operator
+    * ([[graft.plans]]) computes the same ranking without the full sort.
+    * Weights must be strictly positive — null/non-positive weights fail
+    * fast rather than silently ranking last.
+    *
+    * Emits (groupCol, idCol, weightCol, rank ≤ k).
+    */
+  def weightedReservoir(df: DataFrame, groupCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k >= 1")
+    val w = when(col(weightCol).isNull || col(weightCol) <= 0, raise_error(
+        lit(s"weightedReservoir: non-positive $weightCol — weights must be > 0")))
+      .otherwise(col(weightCol).cast("double"))
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val u = (h.cast("double") + lit(1.0)) / lit(281474976710657.0) // 2^48+1
+    val key = log(u) / w
+    val win = Window.partitionBy(col(groupCol))
+      .orderBy(col("__key").desc, col(idCol))
+    df.select(col(groupCol), col(idCol), col(weightCol),
+        key.alias("__key"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .drop("__key")
+  }
+
   /** LEAKAGE-SAFE train/val/test split: the split unit is the near-dup
     * CLUSTER, not the document — naive per-id splitting puts two copies
     * of the same (near-identical) document in train AND test, silently

@@ -155,6 +155,92 @@ object Stats {
         round(z, scale)).alias("welch_z"))
   }
 
+  /** Benford's-law expected fraction of leading digit `d`, log10(1+1/d).
+    * Exposed so the oracle SQL can interpolate the IDENTICAL double
+    * literals instead of trusting two engines' `ln` to agree.
+    */
+  def benfordExpected(d: Int): Double = math.log1p(1.0 / d) / math.log(10.0)
+
+  /** Benford's-law drift per group — the forensic data-quality screen:
+    * leading-digit distribution of `valueCol` vs the log10(1+1/d)
+    * expectation, plus a per-group Pearson χ² against it. Fabricated or
+    * truncated numeric feeds (synthetic prices, unit-rounded amounts)
+    * jump out as large χ² long before any schema check fires.
+    *
+    * Leading digits are extracted in EXACT integer space: values scale to
+    * cents (`floor(|x|·100)` as BIGINT — one IEEE multiply + floor, both
+    * bit-identical across engines), and the first character of the
+    * INTEGER's decimal string is the digit — never `log10`, whose last-ulp
+    * behavior at exact powers of ten differs between libm builds. Zero
+    * values drop (no leading digit). Missing digits materialize from a
+    * group × 1..9 spine with n_obs = 0, so every χ² sums the full 9 terms.
+    * χ² terms round to 1e9-scaled BIGINTs and sum exactly (the file's
+    * contract); expected fractions come from [[benfordExpected]] literals
+    * shared verbatim with the oracle.
+    *
+    * Scale: one hash aggregate to (group, digit) — ≤ 9 rows per group —
+    * then bounded-frame joins/windows; nothing downstream of the first
+    * aggregate sees corpus-sized data. Emits (groupCol, digit, n_obs,
+    * n_total, obs_frac, exp_frac, chi2) with chi2 repeated per digit row.
+    */
+  def benford(df: DataFrame, groupCol: String, valueCol: String,
+      scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vc = floor(abs(col(valueCol)) * lit(100.0)).cast("long")
+    val base = df.select(col(groupCol), vc.alias("__vc"))
+      .filter(col("__vc") > 0)
+      .withColumn("digit", substring(col("__vc").cast("string"), 1, 1).cast("int"))
+    val cnt = base.groupBy(col(groupCol), col("digit"))
+      .agg(count(lit(1)).alias("n_obs"))
+    val tot = cnt.groupBy(col(groupCol)).agg(sum("n_obs").alias("n_total"))
+    val spine = tot.select(col(groupCol), col("n_total"),
+      explode(sequence(lit(1), lit(9))).alias("digit"))
+    val ps = (1 to 9).map(dd => dd -> benfordExpected(dd))
+    val pExpr = ps.tail.foldLeft(
+      when(col("digit") === 1, lit(ps.head._2))) {
+      case (acc, (dd, p)) => acc.when(col("digit") === dd, lit(p))
+    }
+    val od = col("n_obs").cast("double")
+    val ed = col("n_total").cast("double") * col("__p")
+    val j = spine.join(cnt, Seq(groupCol, "digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("__p", pExpr)
+      .withColumn("__t9",
+        round((od - ed) * (od - ed) / ed * lit(1e9), 0).cast("long"))
+    val wg = Window.partitionBy(col(groupCol))
+    j.select(col(groupCol), col("digit"), col("n_obs"), col("n_total"),
+      round(od / col("n_total").cast("double"), scale).alias("obs_frac"),
+      round(col("__p"), scale).alias("exp_frac"),
+      (sum(col("__t9")).over(wg).cast("double") / lit(1e9) + lit(0.0))
+        .alias("chi2"))
+  }
+
+  /** UCB1 bandit readout per arm: mean reward plus the
+    * sqrt(c·ln(N)/n_arm) exploration bonus (Auer et al. 2002), with the
+    * best arm flagged — the "which variant should the next traffic slice
+    * go to" decision on top of logged per-arm rewards. Means come from
+    * exact decimal sums (one aggregate); the bonus is a fixed-shape IEEE
+    * chain; `is_best` compares the ROUNDED scores so the flag is as
+    * engine-stable as the emitted values. Arms frame is tiny — the only
+    * corpus-sized work is the per-arm aggregate.
+    */
+  def ucbScores(df: DataFrame, armCol: String, valueCol: String,
+      c: Double = 2.0, scale: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = col(valueCol)
+    val s = df.groupBy(col(armCol)).agg(
+      count(lit(1)).alias("n"), sum(dec(x)).alias("sx"))
+    val tot = s.agg(sum(col("n")).alias("n_all"))
+    val mean = d(col("sx")) / d(col("n"))
+    val ucb = mean + sqrt(lit(c) * log(d(col("n_all"))) / d(col("n")))
+    s.crossJoin(broadcast(tot))
+      .select(col(armCol), col("n"),
+        round(mean, scale).alias("mean_value"),
+        round(ucb, scale).alias("ucb"))
+      .withColumn("is_best",
+        col("ucb") === max(col("ucb")).over(Window.partitionBy()))
+  }
+
   /** Per-group isotonic regression (PAV) — the monotone calibration fit:
     * given (x, y) per group, the non-decreasing step function `y_iso(x)`
     * minimizing Σ(y − y_iso)², i.e. Platt-free score calibration

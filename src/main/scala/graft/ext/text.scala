@@ -582,6 +582,37 @@ object TextOps {
       }, schema)
   }
 
+  /** Cumulative vocabulary coverage curve — "how much of the corpus do
+    * the top-r tokens cover": the top `topN` tokens by term frequency
+    * with each token's running corpus share. The curve is what sizes a
+    * tokenizer vocab (pick r where coverage flattens) and what the OOV
+    * rate of any truncation will be (1 − cum_frac at the cut).
+    *
+    * Scale: one token-count aggregate (vocab-bounded output), then a
+    * distributed TakeOrdered for the top-N prefix — the rank/cumsum
+    * window runs over ≤ topN rows, never the full vocab (the
+    * [[vocabulary]] docstring's single-partition-window trap). Because
+    * (tf desc, token) is a total order, the top-N prefix IS the global
+    * prefix, so the in-prefix cumsum equals the full-vocab prefix sum.
+    * Exact integer cumsum; one fixed-shape closing division.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 1, "topN >= 1")
+    val tf = df.select(explode(tokens(col(textCol))).alias("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).alias("tf"))
+    val tot = tf.agg(sum(col("tf")).alias("n_total"))
+    val w = Window.orderBy(col("tf").desc, col("token"))
+    tf.orderBy(col("tf").desc, col("token")).limit(topN)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("__cum", sum(col("tf")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("token"), col("tf"),
+        round(col("__cum").cast("double") / col("n_total").cast("double"), 6)
+          .alias("cum_frac"))
+  }
+
   /** Document encoding against a [[vocabulary]]: every token becomes its
     * vocab id (out-of-vocabulary → −1), emitted as the space-joined id
     * string — the doc → token-id-sequence step before a training job.

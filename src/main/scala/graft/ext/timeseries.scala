@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DoubleType, StructType}
 
 /** Time-series regularization — turning an irregular event stream into a
   * fixed-interval series per key (the feature-store / monitoring shape:
@@ -171,6 +171,60 @@ object TimeSeries {
         if (!started || k != curKey) { curKey = k; started = true; ew = x }
         else ew = alpha * x + beta * ew
         Row(k, r.get(1), r.get(2), ew)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Two-sided CUSUM changepoint detection per key (Page 1954): the
+    * monitoring statistic that catches a SUSTAINED small shift a rolling
+    * z-score misses (ten consecutive +1σ readings never trip a |z| > 3
+    * gate, but their cumulative sum climbs linearly). Per key, against
+    * the key's own mean μ (exact decimal mean — the baseline pass):
+    *
+    *   S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − slack))
+    *   S⁻_t = max(0, S⁻_{t−1} + (μ − x_t − slack))
+    *
+    * with `alarm` when either side exceeds `h`. `slack` (the reference
+    * value k) absorbs in-control noise so S hugs 0 until a real shift.
+    *
+    * Engine-exact: the recurrence is the same fixed sequence of IEEE ops
+    * per step on both engines (the [[ewma]] discipline — emitted
+    * UNROUNDED, since each step is bit-identical while rounding would
+    * desync), and μ is one fixed-shape division of exact decimal sums.
+    * Scale: one aggregate for μ, one hash shuffle + per-partition
+    * secondary sort, O(1) state per row — no window, no self-join.
+    */
+  def cusum(df: DataFrame, key: String, timeCol: String, tieCol: String,
+      valueCol: String, slack: Double, h: Double): DataFrame = {
+    require(slack >= 0.0 && h > 0.0, "need slack >= 0 and h > 0")
+    val mu = df.groupBy(col(key)).agg(
+      (sum(col(valueCol).cast("decimal(38,12)")).cast("double") /
+        count(lit(1)).cast("double")).alias("__mu"))
+    val sorted = df
+      .select(col(key), col(timeCol), col(tieCol),
+        col(valueCol).cast("double").alias("__x"))
+      .join(mu, Seq(key))
+      .repartition(col(key))
+      .sortWithinPartitions(col(key), col(timeCol), col(tieCol))
+    val schema = new StructType(sorted.schema.fields.dropRight(2))
+      .add("s_pos", DoubleType, nullable = false)
+      .add("s_neg", DoubleType, nullable = false)
+      .add("alarm", BooleanType, nullable = false)
+    sorted.mapPartitions { it =>
+      var curKey: Any = null
+      var started = false
+      var sp = 0.0
+      var sn = 0.0
+      it.map { r =>
+        val k = r.get(0)
+        val x = r.getDouble(3)
+        val m = r.getDouble(4)
+        if (!started || k != curKey) {
+          curKey = k; started = true; sp = 0.0; sn = 0.0
+        }
+        sp = math.max(0.0, sp + (x - m - slack))
+        sn = math.max(0.0, sn + (m - x - slack))
+        Row(k, r.get(1), r.get(2), sp, sn, sp > h || sn > h)
       }
     }(Encoders.row(schema))
   }

@@ -153,6 +153,105 @@ class Round8bSpec extends AnyFunSuite {
     assert(byCluster.values.map(_.head._2).sum == emb.count())
   }
 
+  // ---- FD audit --------------------------------------------------------
+
+  test("fdViolations: flags multi-RHS keys with witnesses, skips clean keys") {
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "a"), (2L, "x"), (2L, "x"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("k", "v")
+    val out = ext.Expect.fdViolations(df, Seq("k"), "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L) == (2L, 3L, "a", "b"))
+  }
+
+  // ---- Benford ---------------------------------------------------------
+
+  test("benford: full 9-digit spine, shared expected literals, one chi2 per group") {
+    val df = Seq.tabulate(300)(i => ("g", 1.0 + (i % 3))) // digits 1,2,3 only
+      .toDF("grp", "x")
+    val rows = ext.Stats.benford(df, "grp", "x").collect()
+    assert(rows.length == 9) // missing digits 4..9 materialized
+    val byDigit = rows.map(r => r.getInt(1) ->
+      (r.getLong(2), r.getDouble(5), r.getDouble(6))).toMap
+    assert((4 to 9).forall(d => byDigit(d)._1 == 0L))
+    assert(byDigit(1)._1 == 100L)
+    (1 to 9).foreach { d =>
+      assert(math.abs(byDigit(d)._2 - ext.Stats.benfordExpected(d)) < 1e-6)
+    }
+    // chi2 identical on every row of the group
+    assert(rows.map(_.getDouble(7 - 1)).distinct.length == 1)
+  }
+
+  // ---- UCB -------------------------------------------------------------
+
+  test("ucbScores: formula and unique best arm") {
+    val df = (Seq.fill(10)(("a", 1.0)) ++ Seq.fill(40)(("b", 0.9)))
+      .toDF("arm", "x")
+    val out = ext.Stats.ucbScores(df, "arm", "x")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3), r.getBoolean(4))).toMap
+    val ua = 1.0 + math.sqrt(2.0 * math.log(50.0) / 10.0)
+    val ub = 0.9 + math.sqrt(2.0 * math.log(50.0) / 40.0)
+    assert(math.abs(out("a")._2 - ua) < 1e-6)
+    assert(math.abs(out("b")._2 - ub) < 1e-6)
+    assert(out("a")._3 && !out("b")._3) // the small arm earns the bonus
+  }
+
+  // ---- vocab coverage --------------------------------------------------
+
+  test("vocabCoverage: rank order, monotone cumulative share capped at 1") {
+    val df = Seq("a a a b b c", "a b d").toDF("text")
+    val rows = ext.TextOps.vocabCoverage(df, "text", topN = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(rows.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((1, "a", 4L), (2, "b", 3L), (3, "c", 1L)))
+    rows.map(_._4).zip(Seq(4.0 / 9, 7.0 / 9, 8.0 / 9)).foreach {
+      case (got, exp) => assert(math.abs(got - exp) < 1e-6)
+    }
+  }
+
+  // ---- CUSUM -----------------------------------------------------------
+
+  test("cusum: in-control hugs zero, sustained shift accumulates and alarms") {
+    val rows = (1 to 4).map(i => ("u", i.toLong, i.toLong, 0.0)) ++
+      (5 to 8).map(i => ("u", i.toLong, i.toLong, 10.0))
+    val out = ext.TimeSeries.cusum(rows.toDF("k", "t", "tie", "x"),
+      "k", "t", "tie", "x", slack = 0.5, h = 12.0)
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    // mu = 5: s_neg climbs 4.5 per step over the low half...
+    assert(out(1L) == ((0.0, 4.5, false)))
+    assert(out(4L) == ((0.0, 18.0, true)))
+    // ...then decays while s_pos climbs over the high half
+    assert(out(5L)._1 == 4.5 && out(5L)._2 == 12.5)
+    assert(out(8L) == ((18.0, 0.0, true)))
+  }
+
+  // ---- weighted reservoir ---------------------------------------------
+
+  test("weightedReservoir: exactly min(k, |group|) rows, deterministic") {
+    val df = (1L to 30L).map(i => (s"g${i % 2}", i, i * 10 + 1))
+      .toDF("src", "id", "w")
+    val r1 = ext.Sampling.weightedReservoir(df, "src", "id", "w", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    val r2 = ext.Sampling.weightedReservoir(df, "src", "id", "w", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    assert(r1.sortBy(t => (t._1, t._3)).sameElements(r2.sortBy(t => (t._1, t._3))))
+    val byG = r1.groupBy(_._1)
+    assert(byG.keySet == Set("g0", "g1"))
+    byG.values.foreach { g =>
+      assert(g.length == 5 && g.map(_._2).distinct.length == 5)
+      assert(g.map(_._3).sorted.sameElements(1 to 5))
+    }
+    // a tiny group yields the whole group
+    val small = ext.Sampling.weightedReservoir(
+      df.filter(col("id") <= 3), "src", "id", "w", 5)
+    assert(small.count() == 3)
+  }
+
   // ---- streaming DISTINCT ---------------------------------------------
 
   test("distinctKeys: drained stream equals batch DISTINCT") {

@@ -2025,6 +2025,25 @@ object SparkEntry {
       s.table(name)
     },
 
+    // custom keyed state (flatMapGroupsWithState) in the driver lane: the
+    // drained AvailableNow batch folds every user's events through the
+    // state store, one update per user; only the order-independent fields
+    // (count, threshold flag) are emitted — the running double total is
+    // arrival-order-dependent and stays out of the oracle contract
+    "q_stream_state" -> { (s, dir) =>
+      val name = "graft_stream_state"
+      s.catalog.dropTempView(name)
+      val upd = ext.EventStream.withRunningState(
+        ext.EventStream.readStream(s, s"$dir/events.parquet"), heavyAt = 67L)
+      val q = upd.toDF().writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).select(col("userId").alias("user_id"),
+        col("nEvents").alias("n_events"), col("isHeavy").alias("is_heavy"))
+    },
+
     // events: JSON property extraction (semi-structured props column)
     "q_events_json" -> ((s, dir) => readEvents(s, dir).select(
       col("event_id"),
@@ -5617,6 +5636,13 @@ object SparkEntry {
     // the drained streaming dedup equals batch DISTINCT on the key tuple
     "q_stream_distinct" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // one drained batch through the state store = one update per user
+    // carrying the full count
+    "q_stream_state" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |       COUNT(*) >= 67 AS is_heavy
+        |FROM events GROUP BY user_id""".stripMargin,
 
     // waterfill: same closed-form waterline, exact integer arithmetic,
     // same floor (// == div) semantics

@@ -1075,6 +1075,20 @@ object SparkEntry {
         col("event_id"), col("value")),
       "user_id", "ts_us", "event_id", "value", slack = 0.5, h = 10.0)),
 
+    // obfuscation-robust blocklist: leet-fold (J0IN/$TR3AM/t4bl3 plants)
+    // + native Aho-Corasick over the folded text
+    "q_blocklist_leet" -> ((s, dir) => ext.TextOps.blocklistScan(
+      read(s, dir, "documents").withColumn("text", plantedLeet),
+      "doc_id", "text", scanKeywords)),
+
+    // Holt linear-trend smoothing per user: explicit level+trend states,
+    // one-step-ahead forecast; dyadic α/β so the oracle's coefficient
+    // literals are exactly the same doubles
+    "q_holt" -> ((s, dir) => ext.TimeSeries.holt(
+      readEvents(s, dir).select(col("user_id"), col("ts_us"),
+        col("event_id"), col("value")),
+      "user_id", "ts_us", "event_id", "value", alpha = 0.5, beta = 0.25)),
+
     // Efraimidis–Spirakis weighted reservoir: exactly 5 docs per source,
     // char-count-weighted, md5-derived uniforms — engine-replayable
     // sampling without replacement
@@ -2837,6 +2851,15 @@ object SparkEntry {
       .otherwise(lit("")),
     when(col("doc_id") % 23 === 0, lit(" pw=aaaaaaaaaaaaaaaaaaaaaa"))
       .otherwise(lit("")))
+
+  /** Leet-obfuscated plants for `q_blocklist_leet`: cased + substituted
+    * forms of the `scanKeywords` terms that a literal scan misses but the
+    * fold recovers. The oracle replays the same concatenation.
+    */
+  private def plantedLeet: org.apache.spark.sql.Column = concat(col("text"),
+    when(col("doc_id") % 29 === 0, lit(" J0IN n0w")).otherwise(lit("")),
+    when(col("doc_id") % 31 === 0, lit(" free $TR3AM h3re")).otherwise(lit("")),
+    when(col("doc_id") % 37 === 0, lit(" t4bl3 5can")).otherwise(lit("")))
 
   /** Benford expected-fraction CASE arms for the `q_benford` oracle — the
     * IDENTICAL double literals the Spark side uses (never recompute ln in
@@ -5854,6 +5877,59 @@ object SparkEntry {
         |SELECT user_id, ts_us, event_id, s_pos, s_neg,
         |       (s_pos > 10.0 OR s_neg > 10.0) AS alarm
         |FROM c""".stripMargin,
+
+    // blocklist: same plants, same fold, borderless-term replace
+    // arithmetic (the q_keyword_scan precedent)
+    "q_blocklist_leet" ->
+      """WITH planted AS (SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 29 = 0 THEN ' J0IN n0w' ELSE '' END ||
+        |    CASE WHEN doc_id % 31 = 0 THEN ' free $TR3AM h3re' ELSE '' END ||
+        |    CASE WHEN doc_id % 37 = 0 THEN ' t4bl3 5can' ELSE '' END
+        |    AS text FROM documents),
+        |f AS (SELECT doc_id,
+        |        translate(lower(text), '013457@$', 'oleastas') AS t
+        |      FROM planted),
+        |c AS (
+        |  SELECT doc_id, 'join' AS term,
+        |         CAST((length(t) - length(replace(t, 'join', ''))) // 4
+        |              AS BIGINT) AS n_hits FROM f
+        |  UNION ALL
+        |  SELECT doc_id, 'scan',
+        |         CAST((length(t) - length(replace(t, 'scan', ''))) // 4
+        |              AS BIGINT) FROM f
+        |  UNION ALL
+        |  SELECT doc_id, 'table',
+        |         CAST((length(t) - length(replace(t, 'table', ''))) // 5
+        |              AS BIGINT) FROM f
+        |  UNION ALL
+        |  SELECT doc_id, 'stream',
+        |         CAST((length(t) - length(replace(t, 'stream', ''))) // 6
+        |              AS BIGINT) FROM f)
+        |SELECT doc_id, term, n_hits FROM c WHERE n_hits > 0""".stripMargin,
+
+    // Holt: same per-step IEEE recurrence (dyadic-exact coefficient
+    // literals), level recomputed inline where the trend needs it —
+    // identical value, pure IEEE
+    "q_holt" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |         event_id, CAST(value AS DOUBLE) AS x,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+        |  FROM events),
+        |h AS (SELECT user_id, ts_us, event_id, rn, x,
+        |        x AS level, CAST(0.0 AS DOUBLE) AS trend
+        |      FROM ev WHERE rn = 1
+        |      UNION ALL
+        |      SELECT ev.user_id, ev.ts_us, ev.event_id, ev.rn, ev.x,
+        |        0.5 * ev.x + 0.5 * (h.level + h.trend),
+        |        0.25 * ((0.5 * ev.x + 0.5 * (h.level + h.trend)) - h.level)
+        |          + 0.75 * h.trend
+        |      FROM h JOIN ev ON ev.user_id = h.user_id AND ev.rn = h.rn + 1)
+        |SELECT user_id, ts_us, event_id, level, trend,
+        |       level + trend AS forecast
+        |FROM h""".stripMargin,
 
     // reservoir: same 48-bit md5 uniform, same ln(u)/w key, same total
     // rank order

@@ -582,6 +582,33 @@ object TextOps {
       }, schema)
   }
 
+  /** Obfuscation-robust blocklist screening — the safety-filter step that
+    * plain keyword matching misses: leet-style substitutions (`J0IN`,
+    * `$TR3AM`, `t4bl3`) defeat a literal scan, so the text is FOLDED
+    * first (lowercase + the digit/symbol → letter map 0→o 1→l 3→e 4→a
+    * 5→s 7→t @→a $→s) and the blocklist matches against the folded form.
+    * The fold deliberately over-normalizes (a year like 2023 becomes
+    * 2o2e) — that costs nothing for screening and is what makes the
+    * substitution table a closed map (no replacement re-creates a source
+    * character, so char-translate ≡ any replace order).
+    *
+    * Matching is the native Aho–Corasick [[keywordCounts]] — one pass
+    * over the folded text for ALL terms, codegen'd, narrow; the fold
+    * itself is one `translate` (no regex). Emits long-form
+    * (idCol, term, n_hits) for terms with at least one hit.
+    */
+  def blocklistScan(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "need at least one blocked term")
+    val folded = translate(lower(col(textCol)), "013457@$", "oleastas")
+    df.select(col(idCol), keywordCounts(folded, terms).alias("__c"))
+      .select(col(idCol), posexplode(col("__c")).as(Seq("__i", "n_hits")))
+      .filter(col("n_hits") > 0)
+      .select(col(idCol),
+        element_at(array(terms.map(lit): _*), col("__i") + 1).alias("term"),
+        col("n_hits"))
+  }
+
   /** Cumulative vocabulary coverage curve — "how much of the corpus do
     * the top-r tokens cover": the top `topN` tokens by term frequency
     * with each token's running corpus share. The curve is what sizes a

@@ -229,6 +229,60 @@ object TimeSeries {
     }(Encoders.row(schema))
   }
 
+  /** Holt linear-trend smoothing per key (double exponential smoothing,
+    * Holt 1957) — the forecasting step a plain [[ewma]] can't do: EWMA
+    * converges to a LAGGING level on trending series, while Holt carries
+    * an explicit trend state and extrapolates it:
+    *
+    *   l_t = α·x_t + (1−α)·(l_{t−1} + b_{t−1})
+    *   b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}
+    *
+    * init l_1 = x_1, b_1 = 0; `forecast` = l_t + b_t is the one-step-ahead
+    * prediction as of each row (compare to the NEXT observation for
+    * residual monitoring).
+    *
+    * Engine-exact ([[ewma]]/[[cusum]] discipline): the recurrence is the
+    * same fixed IEEE op sequence per step on both engines — the (1−α)
+    * (1−β) complements are folded to double literals ONCE here, so the
+    * oracle interpolates numerically identical coefficients; emitted
+    * UNROUNDED (rounding would desync dyadic ties). Same scale shape:
+    * hash shuffle on the key, per-partition secondary sort, O(1) state.
+    */
+  def holt(df: DataFrame, key: String, timeCol: String, tieCol: String,
+      valueCol: String, alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1,
+      "need alpha in (0,1] and beta in [0,1]")
+    val ca = 1.0 - alpha
+    val cb = 1.0 - beta
+    val sorted = df
+      .select(col(key), col(timeCol), col(tieCol),
+        col(valueCol).cast("double").alias("__x"))
+      .repartition(col(key))
+      .sortWithinPartitions(col(key), col(timeCol), col(tieCol))
+    val schema = new StructType(sorted.schema.fields.dropRight(1))
+      .add("level", DoubleType, nullable = false)
+      .add("trend", DoubleType, nullable = false)
+      .add("forecast", DoubleType, nullable = false)
+    sorted.mapPartitions { it =>
+      var curKey: Any = null
+      var started = false
+      var l = 0.0
+      var b = 0.0
+      it.map { r =>
+        val k = r.get(0)
+        val x = r.getDouble(3)
+        if (!started || k != curKey) {
+          curKey = k; started = true; l = x; b = 0.0
+        } else {
+          val lp = l
+          l = alpha * x + ca * (lp + b)
+          b = beta * (l - lp) + cb * b
+        }
+        Row(k, r.get(1), r.get(2), l, b, l + b)
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Rolling z-score anomaly detection per key: each value scored against
     * the mean/stddev of its trailing `window`-row frame (frame INCLUDES
     * the current row — the monitoring convention that still flags a

@@ -252,6 +252,55 @@ class Round8bSpec extends AnyFunSuite {
     assert(small.count() == 3)
   }
 
+  // ---- Holt ------------------------------------------------------------
+
+  test("holt: dyadic recurrence matches hand computation exactly") {
+    val rows = Seq(("u", 1L, 1L, 4.0), ("u", 2L, 2L, 8.0), ("u", 3L, 3L, 12.0))
+    val out = ext.TimeSeries.holt(rows.toDF("k", "t", "tie", "x"),
+      "k", "t", "tie", "x", alpha = 0.5, beta = 0.25)
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out(1L) == ((4.0, 0.0, 4.0)))
+    assert(out(2L) == ((6.0, 0.5, 6.5)))
+    assert(out(3L) == ((9.25, 1.1875, 10.4375)))
+  }
+
+  // ---- leet blocklist --------------------------------------------------
+
+  test("blocklistScan: leet fold catches obfuscated terms, clean docs silent") {
+    val df = Seq((1L, "J0IN the $TR3AM join"), (2L, "innocent text"))
+      .toDF("doc_id", "text")
+    val out = ext.TextOps.blocklistScan(df, "doc_id", "text",
+      Seq("join", "stream"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        r.get(2).asInstanceOf[Number].longValue).toMap
+    assert(out((1L, "join")) == 2L) // obfuscated + literal occurrence
+    assert(out((1L, "stream")) == 1L)
+    assert(!out.keys.exists(_._1 == 2L))
+  }
+
+  // ---- plan shapes -----------------------------------------------------
+
+  test("plan shapes: linkage is an equi-join, kmeans scores via broadcast") {
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    val c = cust.select(col("c_custkey"), col("c_nationkey"),
+      lower(col("c_name")).alias("f"))
+    val link = ext.Linkage.fellegiSunter(c, c, "c_custkey", "c_custkey",
+      Seq("c_nationkey"), Seq(ext.Linkage.LinkField("f", 1000, -1000)),
+      500, 0)
+    val lp = link.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!lp.contains("CartesianProduct"), lp)
+    val km = ext.Similarity.kmeansExact(emb, "vec_id", "embedding", 4, 1)
+    val kp = km.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the corpus × k scoring join must be the broadcast of the k-row
+    // centroid frame, never a shuffled or unbroadcast nested loop
+    assert(kp.contains("BroadcastNestedLoopJoin") ||
+      kp.contains("BroadcastExchange"), kp)
+    assert(!kp.contains("CartesianProduct"), kp)
+  }
+
   // ---- streaming DISTINCT ---------------------------------------------
 
   test("distinctKeys: drained stream equals batch DISTINCT") {

@@ -1062,6 +1062,11 @@ object SparkEntry {
     "q_ucb_alloc" -> ((s, dir) => ext.Stats.ucbScores(
       readEvents(s, dir), "event_type", "value")),
 
+    // market-basket association rules over per-user event-type baskets:
+    // support / directed confidences / lift from exact counts
+    "q_assoc_rules" -> ((s, dir) => ext.Funnel.associationRules(
+      readEvents(s, dir), "user_id", "event_type")),
+
     // cumulative vocabulary coverage: top-100 tokens by tf with running
     // corpus share — the tokenizer-vocab sizing curve
     "q_vocab_coverage" -> ((s, dir) => ext.TextOps.vocabCoverage(
@@ -2037,6 +2042,26 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.table(name)
+    },
+
+    // streaming SESSION windows drained to completion: dynamic-gap
+    // stateful windowing through the session-window state store — the
+    // drained complete-mode output equals the batch session_window
+    // aggregation (q_session_window's oracle shape, per-user)
+    "q_stream_session" -> { (s, dir) =>
+      val name = "graft_stream_session"
+      s.catalog.dropTempView(name)
+      val agg = ext.EventStream.sessionCounts(
+        ext.EventStream.readStream(s, s"$dir/events.parquet"), "30 minutes")
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name).select(col("user_id"),
+        unix_micros(col("session_window.start")).alias("s_us"),
+        unix_micros(col("session_window.end")).alias("e_us"),
+        col("n_events"))
     },
 
     // custom keyed state (flatMapGroupsWithState) in the driver lane: the
@@ -5660,6 +5685,24 @@ object SparkEntry {
     "q_stream_distinct" ->
       "SELECT DISTINCT user_id, event_type FROM events",
 
+    // drained streaming session windows = the batch gap-island form
+    // (q_session_window's oracle, same [first, last+gap) edges)
+    "q_stream_session" ->
+      """WITH e AS (SELECT user_id,
+        |                  epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |x AS (SELECT user_id, ts_us,
+        |             CASE WHEN lag(ts_us) OVER w IS NULL
+        |                    OR ts_us - lag(ts_us) OVER w >= 1800000000
+        |                  THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |g AS (SELECT user_id, ts_us,
+        |             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us
+        |               ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x)
+        |SELECT user_id, MIN(ts_us) AS s_us,
+        |       MAX(ts_us) + 1800000000 AS e_us, COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+
     // one drained batch through the state store = one update per user
     // carrying the full count
     "q_stream_state" ->
@@ -5849,6 +5892,30 @@ object SparkEntry {
         |       round(CAST(cum AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
         |         AS cum_frac
         |FROM top CROSS JOIN tot WHERE rank <= 100""".stripMargin,
+
+    // association rules: plain relational counts + fixed-shape ratios
+    "q_assoc_rules" ->
+      """WITH base AS (SELECT DISTINCT user_id AS b, event_type AS i
+        |              FROM events),
+        |n AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS n_baskets
+        |      FROM base),
+        |s AS (SELECT i, COUNT(*) AS n_one FROM base GROUP BY i),
+        |p AS (SELECT l.i AS item_a, r.i AS item_b, COUNT(*) AS n_ab
+        |      FROM base l JOIN base r ON l.b = r.b AND l.i < r.i
+        |      GROUP BY 1, 2)
+        |SELECT item_a, item_b, n_ab, sa.n_one AS n_a, sb.n_one AS n_b,
+        |       n.n_baskets,
+        |       round(CAST(n_ab AS DOUBLE) / CAST(n_baskets AS DOUBLE), 6)
+        |         AS support,
+        |       round(CAST(n_ab AS DOUBLE) / CAST(sa.n_one AS DOUBLE), 6)
+        |         AS conf_a_b,
+        |       round(CAST(n_ab AS DOUBLE) / CAST(sb.n_one AS DOUBLE), 6)
+        |         AS conf_b_a,
+        |       round(CAST(n_ab AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+        |             / (CAST(sa.n_one AS DOUBLE) * CAST(sb.n_one AS DOUBLE)),
+        |             6) AS lift
+        |FROM p JOIN s sa ON sa.i = p.item_a
+        |       JOIN s sb ON sb.i = p.item_b CROSS JOIN n""".stripMargin,
 
     // CUSUM: same exact-decimal mean, same per-step IEEE recurrence via
     // recursive CTE (the q_ewma precedent)

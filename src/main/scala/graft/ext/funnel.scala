@@ -121,4 +121,45 @@ object Funnel {
         element_at(col("__ev"), 1)("t").alias("t_first"),
         element_at(col("__ev"), -1)("t").alias("t_last"))
   }
+
+  /** Market-basket association rules over (basket, item) pairs — which
+    * behaviors co-occur beyond chance: for every unordered item pair,
+    * support n_ab/N, both directed confidences, and lift
+    * n_ab·N/(n_a·n_b). Lift is the behavioral counterpart of token-level
+    * PMI ([[TextOps]] collocations): > 1 means the pair co-occurs more
+    * than independence predicts.
+    *
+    * Shape: dedupe to distinct (basket, item), one self-join on the
+    * basket key (per-basket pair count is |items|² bounded — item
+    * universes are small by construction; a wide-universe caller caps
+    * per-basket items first, the usual market-basket discipline), then
+    * broadcast joins against the per-item and total counts. All ratios
+    * are fixed-shape divisions of exact BIGINTs, rounded at `scale`.
+    */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      scale: Int = 6): DataFrame = {
+    val base = df.select(col(basketCol).alias("__b"),
+      col(itemCol).alias("__i")).distinct()
+    val n = base.select(countDistinct(col("__b")).alias("n_baskets"))
+    val singles = base.groupBy(col("__i")).agg(count(lit(1)).alias("n_one"))
+    val pairs = base.alias("l")
+      .join(base.alias("r"), Seq("__b"))
+      .filter(col("l.__i") < col("r.__i"))
+      .groupBy(col("l.__i").alias("item_a"), col("r.__i").alias("item_b"))
+      .agg(count(lit(1)).alias("n_ab"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("double")
+    pairs
+      .join(broadcast(singles.select(col("__i").alias("item_a"),
+        col("n_one").alias("n_a"))), Seq("item_a"))
+      .join(broadcast(singles.select(col("__i").alias("item_b"),
+        col("n_one").alias("n_b"))), Seq("item_b"))
+      .crossJoin(broadcast(n))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_baskets"),
+        round(d(col("n_ab")) / d(col("n_baskets")), scale).alias("support"),
+        round(d(col("n_ab")) / d(col("n_a")), scale).alias("conf_a_b"),
+        round(d(col("n_ab")) / d(col("n_b")), scale).alias("conf_b_a"),
+        round(d(col("n_ab")) * d(col("n_baskets"))
+          / (d(col("n_a")) * d(col("n_b"))), scale).alias("lift"))
+  }
 }

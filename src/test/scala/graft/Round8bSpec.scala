@@ -279,6 +279,23 @@ class Round8bSpec extends AnyFunSuite {
     assert(!out.keys.exists(_._1 == 2L))
   }
 
+  // ---- association rules ----------------------------------------------
+
+  test("associationRules: exact counts and ratios on a toy basket set") {
+    val df = Seq((1L, "a"), (1L, "b"), (1L, "b"), (2L, "a"), (2L, "b"),
+      (3L, "a")).toDF("u", "it")
+    val out = ext.Funnel.associationRules(df, "u", "it").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("item_a") == "a" && r.getAs[String]("item_b") == "b")
+    assert(r.getAs[Long]("n_ab") == 2L && r.getAs[Long]("n_a") == 3L &&
+      r.getAs[Long]("n_b") == 2L && r.getAs[Long]("n_baskets") == 3L)
+    assert(math.abs(r.getAs[Double]("support") - 2.0 / 3) < 1e-6)
+    assert(math.abs(r.getAs[Double]("conf_a_b") - 2.0 / 3) < 1e-6)
+    assert(r.getAs[Double]("conf_b_a") == 1.0)
+    assert(r.getAs[Double]("lift") == 1.0) // independent co-occurrence
+  }
+
   // ---- plan shapes -----------------------------------------------------
 
   test("plan shapes: linkage is an equi-join, kmeans scores via broadcast") {

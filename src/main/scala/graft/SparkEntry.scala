@@ -1011,11 +1011,16 @@ object SparkEntry {
 
     // Fellegi–Sunter record linkage: clean customers vs a deterministically
     // perturbed copy (case flips, appended chars, drifted balances, lost
-    // segments — replayed by the oracle), blocked on (nation, name-digit
-    // bucket), integer milli-log-weight scores, match/possible/non_match
+    // segments — replayed by the oracle), blocked on (nation, last-4
+    // name digits) — a NEAR-UNIQUE compound, the production blocking
+    // discipline: a fixed-cardinality key (first digits, country code)
+    // makes candidate pairs grow quadratically with corpus size (the sf1
+    // scaling guard caught exactly that at 285×; last-4 digits keeps
+    // blocks O(1)-sized at every tested scale). Integer milli-log-weight
+    // scores, match/possible/non_match
     "q_record_linkage" -> { (s, dir) =>
       val cust = read(s, dir, "customer")
-      val blk = substring(col("c_name"), 14, 2).alias("blk")
+      val blk = substring(col("c_name"), 15, 4).alias("blk")
       val clean = cust.select(col("c_custkey"), col("c_nationkey"), blk,
         lower(col("c_name")).alias("name_n"),
         floor(col("c_acctbal")).alias("bal_n"),
@@ -5742,14 +5747,14 @@ object SparkEntry {
     // linkage: same perturbations, same blocking, same integer weights
     "q_record_linkage" ->
       """WITH clean AS (SELECT c_custkey AS a_id, c_nationkey,
-        |                 substr(c_name, 14, 2) AS blk,
+        |                 substr(c_name, 15, 4) AS blk,
         |                 lower(c_name) AS name_a,
         |                 CAST(floor(c_acctbal) AS BIGINT) AS bal_a,
         |                 c_mktsegment AS seg_a,
         |                 c_nationkey % 5 AS reg_a
         |               FROM customer),
         |dirty AS (SELECT c_custkey AS b_id, c_nationkey,
-        |            substr(c_name, 14, 2) AS blk,
+        |            substr(c_name, 15, 4) AS blk,
         |            lower(CASE WHEN c_custkey % 5 = 0 THEN c_name || 'X'
         |                  ELSE upper(c_name) END) AS name_b,
         |            CAST(floor(c_acctbal) AS BIGINT)

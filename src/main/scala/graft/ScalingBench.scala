@@ -66,9 +66,19 @@ object ScalingBench {
 
     def timed(sfDir: String): Map[String, Double] = {
       names.foreach(run(_, sfDir)) // warmup pass, untimed
-      names.map { n =>
-        val (a, b) = (run(n, sfDir), run(n, sfDir))
-        n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      // restart every 40 queries DURING the timed pass too: after the
+      // ~254-execution warmup the session is already old enough that the
+      // biggest shuffles read 2-3× slow (measured: bag-J LSH 35 s in the
+      // aged xl session vs 19 s cold in a fresh JVM) — which lands on
+      // ratio2 as a phantom superlinear flag. JIT and the codegen cache
+      // are JVM-level, so restarting the SESSION keeps measurements warm
+      // while keeping every session ≤ ~80 executions young.
+      names.grouped(40).flatMap { batch =>
+        restart()
+        batch.map { n =>
+          val (a, b) = (run(n, sfDir), run(n, sfDir))
+          n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+        }
       }.toMap
     }
 

@@ -843,8 +843,17 @@ object SparkEntry {
       val e = read(s, dir, "embeddings")
       val a = e.filter(col("label") % 2 === 0)
       val b = e.filter(col("label") % 2 === 1)
+      // bucket fill must stay O(1) as the corpus grows — fixed 6 bits
+      // left 62 vectors/bucket at sf1 (9.6M candidate pairs, the
+      // fixed-cardinality quadratic the sf1 guard caught); bits ∝
+      // log2(side/250) holds fill at ~4/bucket at every scale. At the
+      // oracle scale (sf0.01, 250/side) the rule yields exactly the
+      // pinned 6 bits, so the generated-SQL oracle is unchanged.
+      val nSide = math.max(a.count(), b.count())
+      val bits = 6 + math.max(0,
+        math.floor(math.log(nSide / 250.0) / math.log(2.0)).toInt)
       val cands = ext.Similarity.lshCrossCandidates(a, b, "vec_id",
-        "embedding", dim = 64, tables = 8, bitsPerTable = 6)
+        "embedding", dim = 64, tables = 8, bitsPerTable = bits)
       ext.Similarity.marginAlignCandidates(a, b, "vec_id", "embedding",
         cands, k = 4, minMargin = 1.0)
     }),
@@ -1434,6 +1443,50 @@ object SparkEntry {
           rank().over(byStatus).alias("rnk"),
           dense_rank().over(byStatus).alias("drnk"),
           lag(col("o_totalprice"), 1).over(byKey).alias("prev_price"))
+    },
+
+    // TPC-H Q6: the scan-dominant filter aggregate — predicate pushdown
+    // to the parquet scan does all the work; one partial-agg row out
+    "q_tpch_q6" -> ((s, dir) => read(s, dir, "lineitem")
+      .filter(col("l_shipdate").cast("date") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate").cast("date") < lit("1997-01-01").cast("date") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,4)")).cast("double").alias("revenue"))),
+
+    // TPC-H Q4 (adapted to the fixture schema: the late-lineitem EXISTS
+    // uses l_shipdate > o_orderdate since commit/receipt dates are not
+    // generated) — the priority-count semi-join shape
+    "q_tpch_q4" -> { (s, dir) =>
+      val o = read(s, dir, "orders").filter(
+        col("o_orderdate").cast("date") >= lit("1996-07-01").cast("date") &&
+          col("o_orderdate").cast("date") < lit("1996-10-01").cast("date"))
+      val l = read(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate").cast("date") > col("o_orderdate").cast("date"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).alias("order_count"))
+    },
+
+    // TPC-H Q14: promo revenue share — broadcast dim join + conditional
+    // decimal aggregate, one fixed-shape closing division
+    "q_tpch_q14" -> { (s, dir) =>
+      val l = read(s, dir, "lineitem").filter(
+        col("l_shipdate").cast("date") >= lit("1996-03-01").cast("date") &&
+          col("l_shipdate").cast("date") < lit("1996-04-01").cast("date"))
+      l.join(broadcast(read(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "PROMO",
+              (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+                .cast("decimal(18,4)"))
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).cast("double"))
+          .alias("promo_revenue"))
     },
 
     "q_tpch_q1" -> { (s, dir) =>
@@ -6542,6 +6595,36 @@ object SparkEntry {
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+        |            AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-07-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND CAST(l_shipdate AS DATE)
+        |                    > CAST(o_orderdate AS DATE))
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |             AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-03-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'""".stripMargin,
 
     "q_tpch_q5" ->
       """SELECT n_name,

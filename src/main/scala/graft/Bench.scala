@@ -27,8 +27,12 @@ object Bench {
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
       .foreach { kv =>
         val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
-    val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def build(): SparkSession = {
+      val s = builder.getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = build()
 
     // dev knob: SPARK_GRAFT_ONLY=q_a,q_b benches a subset in a fresh
     // session — for isolating per-query cost from whole-suite session
@@ -60,11 +64,19 @@ object Bench {
     names.foreach(run)
     // timed: min of 2 passes per query — steady-state, the same
     // methodology as BASELINE.md's min-of-3 warm DuckDB numbers. Either
-    // pass failing marks the query failed (-1).
-    val results = names.map { name =>
-      val (a, b) = (run(name), run(name))
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-    }
+    // pass failing marks the query failed (-1). The SESSION restarts
+    // every 40 queries: after the ~250-execution warmup sweep a session
+    // is old enough that the heaviest shuffles read 2-3× slow (driver
+    // heap pressure, accumulated cleaner/codegen state) — JIT and the
+    // codegen cache are JVM-level, so restarting the session keeps the
+    // numbers warm while keeping every measurement in a young session.
+    val results = names.grouped(40).flatMap { batch =>
+      spark.stop(); spark = build()
+      batch.map { name =>
+        val (a, b) = (run(name), run(name))
+        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      }
+    }.toSeq
     // The driver keeps only the LAST ~2000 chars of output, and its JSON
     // parse needs the final line COMPLETE — a 150-query map is ~3 KB, so
     // truncation used to cut the line's head and zero the round's bench

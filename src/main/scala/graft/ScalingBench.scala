@@ -10,6 +10,18 @@ import org.apache.spark.sql.SparkSession
   * grow 4×; Spark's fixed per-query overhead pulls small-query ratios
   * DOWN, so a ratio > [[FlagRatio]] is a loud signal, not noise).
   *
+  * MEASUREMENT ISOLATION: every scale point runs in its OWN CHILD JVM.
+  * Session restarts are not enough — a JVM that has executed ~2000
+  * queries (two earlier points' warmup + timed passes) reads the
+  * heaviest shuffles of the LAST point 3-4× slow even in a brand-new
+  * SparkSession (measured: bag-J LSH at sf1 = 9.7 s in a fresh JVM,
+  * 39.5 s as the third point of a shared JVM — metaspace/code-cache
+  * accumulation from ~2500 Janino-generated classes, heap fragmentation),
+  * and that inflation lands entirely on the largest point's ratio as a
+  * phantom superlinear flag. Ratios must compare like with like: each
+  * point gets a fresh JVM, its own warmup sweep, and min-of-2 warm
+  * timing — the same methodology at every scale.
+  *
   * Output: one JSON line
   * `{"metric":"scaling","sf_small":…,"sf_large":…,"queries":{name:
   * {"small":s,"large":s,"ratio":r}},"flagged":[names]}` — written per
@@ -22,9 +34,18 @@ object ScalingBench {
     */
   val FlagRatio = 12.0
 
-  def main(args: Array[String]): Unit = {
-    val small = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
-    val large = sys.env.getOrElse("SPARK_GRAFT_SF_LARGE", "/root/testdata/sf0.1")
+  def main(args: Array[String]): Unit =
+    sys.env.get("SPARK_GRAFT_POINT") match {
+      case Some(dir) => runPoint(dir)
+      case None      => orchestrate()
+    }
+
+  /** Child mode: measure every query at ONE scale point and print
+    * machine-readable `[pt] name seconds` lines. Fresh SparkSession
+    * every 40 queries keeps sessions young within the point; the JVM
+    * itself is fresh by construction (one point per process).
+    */
+  private def runPoint(sfDir: String): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     def build(): SparkSession = {
       val s = SparkSession.builder()
@@ -39,18 +60,10 @@ object ScalingBench {
       s
     }
     var spark = build()
-    // each scale point measures in a FRESH session (JIT warmth persists —
-    // it's JVM-level): a ~470-execution-old session penalizes the LAST
-    // point's big shuffles 2-3× (driver heap pressure, accumulated
-    // cleaner state), which lands entirely on the ratio of whichever
-    // query the alphabet put early — a session-aging artifact, not a
-    // data-scaling signal. Ratios must compare like with like.
     def restart(): Unit = { spark.stop(); spark = build() }
-
     val names = SparkEntry.queries.keys.toSeq.sorted
-
     // same clean-slate methodology as Bench: -1 marks a failed query
-    def run(name: String, sfDir: String): Double = {
+    def run(name: String): Double = {
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }
@@ -63,39 +76,59 @@ object ScalingBench {
       System.gc()
       if (ok) dt else -1.0
     }
+    names.foreach(run) // warmup pass, untimed
+    names.grouped(40).foreach { batch =>
+      restart()
+      batch.foreach { n =>
+        val (a, b) = (run(n), run(n))
+        val t = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+        println(f"[pt] $n $t%.6f")
+      }
+    }
+    spark.stop()
+  }
 
-    def timed(sfDir: String): Map[String, Double] = {
-      names.foreach(run(_, sfDir)) // warmup pass, untimed
-      // restart every 40 queries DURING the timed pass too: after the
-      // ~254-execution warmup the session is already old enough that the
-      // biggest shuffles read 2-3× slow (measured: bag-J LSH 35 s in the
-      // aged xl session vs 19 s cold in a fresh JVM) — which lands on
-      // ratio2 as a phantom superlinear flag. JIT and the codegen cache
-      // are JVM-level, so restarting the SESSION keeps measurements warm
-      // while keeping every session ≤ ~80 executions young.
-      names.grouped(40).flatMap { batch =>
-        restart()
-        batch.map { n =>
-          val (a, b) = (run(n, sfDir), run(n, sfDir))
-          n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-        }
-      }.toMap
+  /** Parent mode: fork one child JVM per scale point (same classpath,
+    * same JVM flags — --add-opens and -Xmx come back verbatim from the
+    * runtime MX bean), collect the per-point times, emit the combined
+    * ratio JSON.
+    */
+  private def orchestrate(): Unit = {
+    val small = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
+    val large = sys.env.getOrElse("SPARK_GRAFT_SF_LARGE", "/root/testdata/sf0.1")
+    val xlDir = sys.env.get("SPARK_GRAFT_SF_XL")
+    val names = SparkEntry.queries.keys.toSeq.sorted
+
+    def measure(dir: String): Map[String, Double] = {
+      import scala.jdk.CollectionConverters._
+      val javaBin = sys.props("java.home") + "/bin/java"
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.filterNot(_.startsWith("-agentlib"))
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", sys.props("java.class.path"), "graft.ScalingBench")
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_GRAFT_POINT", dir)
+      pb.redirectErrorStream(false)
+      val p = pb.start()
+      // drain stderr concurrently (Spark logs) so the child never blocks
+      val drainer = new Thread(() => {
+        val es = scala.io.Source.fromInputStream(p.getErrorStream)
+        es.getLines().foreach(_ => ())
+      })
+      drainer.setDaemon(true); drainer.start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream)
+        .getLines().filter(_.startsWith("[pt] ")).map { l =>
+          val Array(_, n, t) = l.split(" ")
+          n -> t.toDouble
+        }.toMap
+      p.waitFor()
+      // a child that died mid-point marks every missing query failed
+      names.map(n => n -> out.getOrElse(n, -1.0)).toMap
     }
 
-    // optional third point (SPARK_GRAFT_SF_XL, e.g. the replicated
-    // .bench/sf1) — a second decade: quadratic-with-small-constant paths
-    // that hide inside one decade's Spark-overhead floor show up in the
-    // larger decade's ratio. The xl point gets the SAME warmup sweep as
-    // the others (an earlier skip-the-warmup shortcut left 2-3× cold-path
-    // variance on the shuffle-heavy queries — warm-vs-warm is the whole
-    // suite's methodology, and ratios of unlike measurements flag noise,
-    // not growth).
-    val xlDir = sys.env.get("SPARK_GRAFT_SF_XL")
-
-    val ts = timed(small)
-    restart()
-    val tl = timed(large)
-    val tx = xlDir.map { d => restart(); timed(d) }
+    val ts = measure(small)
+    val tl = measure(large)
+    val tx = xlDir.map(measure)
     val entries = names.map { n =>
       val (s, l) = (ts(n), tl(n))
       val ratio = if (s > 0 && l > 0) l / s else -1.0
@@ -123,7 +156,6 @@ object ScalingBench {
     val xlField = xlDir.map(d => s""""sf_xl":"$d",""").getOrElse("")
     println(s"""{"metric":"scaling","sf_small":"$small","sf_large":"$large",$xlField""" +
       s""""queries":$qs,"flagged":${arr(flagged)},"failed":${arr(failed)}}""")
-    spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -4,13 +4,37 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver benchmark main: one JSON line with per-query wall seconds.
   *
-  * Two passes: an untimed warmup (JIT, codegen caches, file-listing and
-  * parquet footer caches — BASELINE.md's DuckDB numbers are min-of-3 warm
-  * runs, so warm-vs-warm is the honest comparison), then the timed pass.
+  * MEASUREMENT ISOLATION (the ScalingBench lesson, applied here):
+  * the parent process forks ONE CHILD JVM PER 40-QUERY BATCH and the
+  * child does all the measuring. A single JVM that has executed the
+  * whole suite's warmup + timed passes (~770 executions for 257
+  * queries) reads the heaviest shuffles 2–5× slow even in a brand-new
+  * SparkSession (metaspace/code-cache accumulation from thousands of
+  * Janino-generated classes, heap fragmentation — measured:
+  * q_tpch_q18 11.2 s in the aged shared JVM vs 2.19 s isolated;
+  * q_triangles 3.46 s vs 1.21 s). Session restarts alone only
+  * half-fix it because the aging is JVM-level, not session-level.
+  * With ~160 executions per child (one warmup + two timed passes over
+  * 40 queries) every measurement runs in a young JVM, while JIT and
+  * the codegen cache — also JVM-level — are warmed by the child's own
+  * batch-scoped warmup pass, matching BASELINE.md's warm min-of-3
+  * DuckDB methodology.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+  /** Queries measured per child JVM: big enough to amortize the ~5 s
+    * SparkContext startup, small enough (~160 executions) that the
+    * child never ages into the shuffle-slowdown regime.
+    */
+  val BatchSize = 40
+
+  def main(args: Array[String]): Unit =
+    sys.env.get("SPARK_GRAFT_BATCH") match {
+      case Some(batch) => runBatch(batch.split(",").toSeq)
+      case None        => orchestrate()
+    }
+
+  private def buildSession(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,36 +42,31 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // ContextCleaner only reclaims shuffle/broadcast state when the driver
-      // GCs; at the default 30 min periodic GC a 150-execution session
-      // accumulates enough state to slow later queries 2-3×
+      // ContextCleaner only reclaims shuffle/broadcast state when the
+      // driver GCs; at the default 30 min periodic GC a long session
+      // accumulates enough state to slow later queries
       .config("spark.cleaner.periodicGC.interval", "30s")
     // dev knob: SPARK_GRAFT_CONF="k=v;k=v" overlays session confs for
-    // A/B-ing scheduler/AQE settings; unset in driver runs
+    // A/B-ing scheduler/AQE settings; unset in driver runs. Children
+    // inherit the env, so the overlay applies to every batch.
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
       .foreach { kv =>
         val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
-    def build(): SparkSession = {
-      val s = builder.getOrCreate()
-      s.sparkContext.setLogLevel("WARN")
-      s
-    }
-    var spark = build()
+    val s = builder.getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
 
-    // dev knob: SPARK_GRAFT_ONLY=q_a,q_b benches a subset in a fresh
-    // session — for isolating per-query cost from whole-suite session
-    // aging; the driver never sets it, so driver runs bench everything
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").toSet).getOrElse(Set.empty[String])
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.isEmpty || only.contains(n))
-
-    // every query runs from a clean slate: operators may cache internally
-    // (e.g. iterative clustering), and letting those blocks accumulate
-    // across the 50-query session turns into GC noise that lands on
-    // whichever query runs next
-    // returns seconds, or -1 on failure — a failing query must NOT show up
-    // as a suspiciously fast passing time in the benchmark JSON
+  /** Child mode: measure ONE batch of queries and print machine-readable
+    * `[pt] name seconds` lines. Warmup pass (JIT, codegen cache, parquet
+    * footers), then a session restart, then timed min-of-2 — the same
+    * warm-vs-warm methodology as BASELINE.md's DuckDB numbers.
+    */
+  private def runBatch(names: Seq[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    var spark = buildSession()
+    // clean slate per query; -1 marks a failure so it can never pose as
+    // a suspiciously fast passing time
     def run(name: String): Double = {
       val t0 = System.nanoTime()
       val ok =
@@ -59,24 +78,60 @@ object Bench {
       System.gc() // lets ContextCleaner drop finished shuffles/broadcasts now
       if (ok) dt else -1.0
     }
+    names.foreach(run) // warmup, untimed
+    spark.stop(); spark = buildSession() // timed pass gets a young session
+    names.foreach { name =>
+      val (a, b) = (run(name), run(name))
+      val t = if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      println(f"[pt] $name $t%.6f")
+    }
+    spark.stop()
+  }
 
-    // warmup pass (untimed)
-    names.foreach(run)
-    // timed: min of 2 passes per query — steady-state, the same
-    // methodology as BASELINE.md's min-of-3 warm DuckDB numbers. Either
-    // pass failing marks the query failed (-1). The SESSION restarts
-    // every 40 queries: after the ~250-execution warmup sweep a session
-    // is old enough that the heaviest shuffles read 2-3× slow (driver
-    // heap pressure, accumulated cleaner/codegen state) — JIT and the
-    // codegen cache are JVM-level, so restarting the session keeps the
-    // numbers warm while keeping every measurement in a young session.
-    val results = names.grouped(40).flatMap { batch =>
-      spark.stop(); spark = build()
-      batch.map { name =>
-        val (a, b) = (run(name), run(name))
-        name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-      }
-    }.toSeq
+  /** Parent mode: fork a child JVM per batch (same classpath, same JVM
+    * flags via the runtime MX bean), collect per-query seconds, emit the
+    * combined JSON lines.
+    */
+  private def orchestrate(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // dev knob: SPARK_GRAFT_ONLY=q_a,q_b benches a subset; the driver
+    // never sets it, so driver runs bench everything
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only.contains(n))
+
+    def measureBatch(batch: Seq[String]): Map[String, Double] = {
+      import scala.jdk.CollectionConverters._
+      val javaBin = sys.props("java.home") + "/bin/java"
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.filterNot(_.startsWith("-agentlib"))
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", sys.props("java.class.path"), "graft.Bench")
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_GRAFT_BATCH", batch.mkString(","))
+      pb.redirectErrorStream(false)
+      val p = pb.start()
+      // drain stderr concurrently (Spark logs) so the child never blocks
+      val drainer = new Thread(() => {
+        val es = scala.io.Source.fromInputStream(p.getErrorStream)
+        es.getLines().foreach(_ => ())
+      })
+      drainer.setDaemon(true); drainer.start()
+      val out = scala.io.Source.fromInputStream(p.getInputStream)
+        .getLines().filter(_.startsWith("[pt] ")).map { l =>
+          val Array(_, n, t) = l.split(" ")
+          n -> t.toDouble
+        }.toMap
+      p.waitFor()
+      // a child that died mid-batch marks every missing query failed
+      batch.map(n => n -> out.getOrElse(n, -1.0)).toMap
+    }
+
+    val results: Seq[(String, Double)] = names.grouped(BatchSize).flatMap {
+      batch => measureBatch(batch).toSeq
+    }.toSeq.sortBy(_._1)
+
     // The driver keeps only the LAST ~2000 chars of output, and its JSON
     // parse needs the final line COMPLETE — a 150-query map is ~3 KB, so
     // truncation used to cut the line's head and zero the round's bench
@@ -100,7 +155,7 @@ object Bench {
       "q_concat_columns", "q_pipeline_chain", "q_multi_pass", "q_tpch_q3",
       "q_pipeline_full")
     val byTimeDesc = results.sortBy(-_._2)
-    println("[bench-full] " + fmt(results.sortBy(-_._2)))
+    println("[bench-full] " + fmt(byTimeDesc))
     // Hard character budget for the FINAL line: the driver keeps only the
     // last ~2000 chars of the log, and sbt appends a "[success] Total
     // time: …" trailer (~70 chars) after us — so the line itself must
@@ -121,6 +176,5 @@ object Bench {
       next = if (it.hasNext) Some(it.next()) else None
     }
     println(line(kept))
-    spark.stop()
   }
 }

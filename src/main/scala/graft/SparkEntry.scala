@@ -1189,9 +1189,11 @@ object SparkEntry {
       ext.Expect.kAnonymityViolations(read(s, dir, "customer"),
         Seq("c_nationkey", "c_mktsegment"), k = 8L)),
 
-    // data governance: ε-DP noisy per-segment counts — Laplace(1/ε) via
-    // the derandomized md5 inverse-CDF draw (reproducible across engines;
-    // true count kept beside the release value, ANN-recall style)
+    // data governance: Laplace(1/ε)-noised per-segment counts with the
+    // REPLAYABLE md5 inverse-CDF draw — pins the DP release plumbing
+    // (scale calibration, engine-exact math); deliberately NOT labeled a
+    // private release (deterministic noise provides zero privacy, see
+    // Expect.dpNoisyCounts contract)
     "q_dp_counts" -> ((s, dir) =>
       ext.Expect.dpNoisyCounts(read(s, dir, "customer"),
         "c_mktsegment", epsilon = 0.5, seed = "r8")),
@@ -2923,11 +2925,17 @@ object SparkEntry {
     * oracle replays the same concatenation.
     */
   private def plantedSecrets: org.apache.spark.sql.Column = concat(col("text"),
+    // AWS: 16 upper-hex chars ⊂ the real [0-9A-Z] base-36 class; GitHub:
+    // 36 chars with an uppercase tail so the plant exercises the real
+    // mixed-case [A-Za-z0-9]{36} class, not just lowercase hex (the
+    // 32-char lowercase prefix also fires hex_blob — multi-family hits
+    // are the documented contract)
     when(col("doc_id") % 13 === 0, concat(lit(" token=AKIA"),
       upper(substring(md5(col("doc_id").cast("string")), 1, 16))))
       .otherwise(lit("")),
     when(col("doc_id") % 17 === 0, concat(lit(" key=ghp_"),
-      substring(md5(concat(lit("g"), col("doc_id").cast("string"))), 1, 20)))
+      substring(md5(concat(lit("g"), col("doc_id").cast("string"))), 1, 32),
+      upper(substring(md5(concat(lit("g2"), col("doc_id").cast("string"))), 1, 4))))
       .otherwise(lit("")),
     when(col("doc_id") % 19 === 0, concat(lit(" sig="),
       substring(md5(concat(lit("h"), col("doc_id").cast("string"))), 1, 32)))
@@ -5666,18 +5674,19 @@ object SparkEntry {
         |    CASE WHEN doc_id % 13 = 0 THEN ' token=AKIA' ||
         |         upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16)) ELSE '' END ||
         |    CASE WHEN doc_id % 17 = 0 THEN ' key=ghp_' ||
-        |         substr(md5('g' || CAST(doc_id AS VARCHAR)), 1, 20) ELSE '' END ||
+        |         substr(md5('g' || CAST(doc_id AS VARCHAR)), 1, 32) ||
+        |         upper(substr(md5('g2' || CAST(doc_id AS VARCHAR)), 1, 4)) ELSE '' END ||
         |    CASE WHEN doc_id % 19 = 0 THEN ' sig=' ||
         |         substr(md5('h' || CAST(doc_id AS VARCHAR)), 1, 32) ELSE '' END ||
         |    CASE WHEN doc_id % 23 = 0 THEN ' pw=aaaaaaaaaaaaaaaaaaaaaa' ELSE '' END
         |    AS text FROM documents),
         |fam AS (
         |  SELECT doc_id, 'aws_access_key' AS kind,
-        |         unnest(regexp_extract_all(text, 'AKIA[0-9A-F]{16}')) AS token
+        |         unnest(regexp_extract_all(text, 'AKIA[0-9A-Z]{16}')) AS token
         |  FROM planted
         |  UNION ALL
         |  SELECT doc_id, 'github_token',
-        |         unnest(regexp_extract_all(text, 'ghp_[0-9a-f]{20}'))
+        |         unnest(regexp_extract_all(text, 'ghp_[A-Za-z0-9]{36}'))
         |  FROM planted
         |  UNION ALL
         |  SELECT doc_id, 'hex_blob',
@@ -5714,10 +5723,10 @@ object SparkEntry {
         |             value AS x
         |           FROM events),
         |s AS (SELECT event_type,
-        |        COUNT(CASE WHEN ctrl THEN 1 END) AS n_a,
+        |        COUNT(CASE WHEN ctrl AND x IS NOT NULL THEN 1 END) AS n_a,
         |        SUM(CASE WHEN ctrl THEN CAST(x AS DECIMAL(38,12)) END) AS sa,
         |        SUM(CASE WHEN ctrl THEN CAST(x * x AS DECIMAL(38,12)) END) AS saa,
-        |        COUNT(CASE WHEN NOT ctrl THEN 1 END) AS n_b,
+        |        COUNT(CASE WHEN NOT ctrl AND x IS NOT NULL THEN 1 END) AS n_b,
         |        SUM(CASE WHEN NOT ctrl THEN CAST(x AS DECIMAL(38,12)) END) AS sb,
         |        SUM(CASE WHEN NOT ctrl THEN CAST(x * x AS DECIMAL(38,12)) END) AS sbb
         |      FROM v GROUP BY event_type),
@@ -6194,9 +6203,9 @@ object SparkEntry {
         |FROM customer GROUP BY c_nationkey, c_mktsegment
         |HAVING COUNT(*) < 8""".stripMargin,
 
-    // ε-DP noisy counts: the md5-derandomized Laplace draw replayed —
-    // 48-bit uniform, inverse CDF with the 1e9-quantized ln, one
-    // fixed-shape closing expression 6-rounded
+    // replayable Laplace-noised counts: the md5-derandomized draw
+    // replayed — 48-bit uniform, inverse CDF with the 1e9-quantized ln,
+    // one fixed-shape closing expression 6-rounded
     "q_dp_counts" ->
       """WITH c AS (SELECT c_mktsegment, COUNT(*) AS n
         |           FROM customer GROUP BY c_mktsegment),
@@ -6214,8 +6223,7 @@ object SparkEntry {
         |               * (CAST(CAST(round(ln(1.0 - 2.0 * abs(shifted))
         |                                  * 1e9, 0) AS BIGINT) AS DOUBLE)
         |                  / 1e9)
-        |               / 0.5, 6) AS n_noisy,
-        |       CAST(0.5 AS DOUBLE) AS epsilon
+        |               / 0.5, 6) AS n_noisy_replayable
         |FROM u""".stripMargin,
 
     "q_expectations" ->

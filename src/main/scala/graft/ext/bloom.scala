@@ -86,7 +86,12 @@ object Bloom {
     * slices of one md5 can collide mod m), the filter side broadcasts
     * (≤ 2^logm rows, hinted), and the verdict re-aggregates by
     * (id, key) with map-side partial combine — the batch never shuffles
-    * more than its own (id, key, need) triples.
+    * more than its own (id, key, need) triples. One output row per
+    * DISTINCT (id, key): duplicate input rows collapse into one group,
+    * and the verdict counts DISTINCT hit positions against `__need` so
+    * repeats can never sum a hit twice and fake a miss (a `sum(__hit)`
+    * verdict would return false for a present key whenever the batch
+    * carried the same (id, key) row more than once).
     */
   def probe(batch: DataFrame, idCol: String, keyCol: String,
       filter: DataFrame, logm: Int = 16, k: Int = 3): DataFrame = {
@@ -99,7 +104,8 @@ object Bloom {
     val f = broadcast(filter.withColumn("__hit", lit(1)))
     ex.join(f, Seq("pos"), "left")
       .groupBy(col(idCol), col(keyCol), col("__need"))
-      .agg(sum(coalesce(col("__hit"), lit(0))).alias("__got"))
+      .agg(count_distinct(when(col("__hit").isNotNull, col("pos")))
+        .alias("__got"))
       .select(col(idCol), col(keyCol),
         (col("__got") === col("__need")).alias("maybe"))
   }

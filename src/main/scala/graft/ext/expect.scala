@@ -119,27 +119,35 @@ object Expect {
       .filter(col("n_rows") < k)
   }
 
-  /** Differentially-private noisy group counts — the release twin of
-    * [[kAnonymityViolations]]: instead of gating on group size, publish
-    * per-group counts with Laplace(1/ε) noise (count queries have
-    * sensitivity 1, so scale b = 1/ε gives ε-DP for the noise
-    * distribution). The noise draw is DERANDOMIZED the way every sampler
-    * here is ([[Sampling.deterministic]]'s md5-Bernoulli): the uniform is
-    * the leading 48 md5 bits of "group:seed" — reproducible across runs,
-    * partitionings and engines, so the release is auditable and the
-    * DuckDB oracle replays it bit-for-bit. (A cryptographic-RNG draw is
-    * what a production release would use; the md5 derivation is the
-    * deterministic stand-in that keeps the pipeline's replayability
-    * contract — same trade as every md5-seeded sampler in this engine.)
+  /** Laplace-noised group counts with a REPLAYABLE noise draw — the
+    * release-shaped twin of [[kAnonymityViolations]]: per-group counts
+    * plus Laplace(1/ε)-distributed perturbation (count queries have
+    * sensitivity 1, so scale b = 1/ε is the ε-DP calibration). The draw
+    * is DERANDOMIZED the way every sampler here is
+    * ([[Sampling.deterministic]]'s md5-Bernoulli): the uniform is the
+    * leading 48 md5 bits of "group:seed" — reproducible across runs,
+    * partitionings and engines, so the DuckDB oracle replays it
+    * bit-for-bit.
+    *
+    * THIS IS NOT A PRIVATE RELEASE. Because the noise is a deterministic
+    * public function of the group name and seed, any consumer can
+    * recompute and subtract it — the mechanism provides ZERO privacy and
+    * the output deliberately says so: the column is named
+    * `n_noisy_replayable` (not an ε-labeled release value) and no
+    * epsilon column is emitted. It exists to pin the Laplace
+    * inverse-CDF plumbing (distribution shape, scale calibration,
+    * engine-exact math — law-checked in Round8Spec) so a production
+    * variant only has to swap the md5 uniform for a cryptographic RNG
+    * draw; everything downstream of the uniform is the audited path.
     *
     * Inverse-CDF transform: u ∈ (0,1) via (h48 + 0.5)/2^48, noise =
     * −b·sign(u − 0.5)·ln(1 − 2|u − 0.5|); the ln quantizes to a
     * 1e9-scaled BIGINT (the libm-insulation contract) and the closing
     * arithmetic is one fixed-shape double expression, 6-rounded.
     *
-    * Emits (grpCol, n, n_noisy, epsilon): `n` is the true count — kept
-    * for the oracle/evaluation frame (the HLL/ANN-recall shape of truth
-    * beside estimate); a production release drops it.
+    * Emits (grpCol, n, n_noisy_replayable): `n` is the true count —
+    * kept because this is an evaluation frame (the HLL/ANN-recall shape
+    * of truth beside estimate), which a real release could never emit.
     *
     * Scale: one hash aggregate over the groups, then narrow per-group
     * math — nothing row-scaled leaves the aggregate.
@@ -156,11 +164,10 @@ object Expect {
     val ln9 = round(log(lit(1.0) - lit(2.0) * abs(shifted)) * lit(1e9), 0)
       .cast("long")
     counts
-      .withColumn("n_noisy", round(
+      .withColumn("n_noisy_replayable", round(
         col("n").cast("double") -
           signum(shifted) * (ln9.cast("double") / lit(1e9)) / lit(epsilon), 6))
-      .withColumn("epsilon", lit(epsilon))
-      .select(col(grpCol), col("n"), col("n_noisy"), col("epsilon"))
+      .select(col(grpCol), col("n"), col("n_noisy_replayable"))
   }
 
   /** Composite report: row-local rules + uniqueness + referential rules,

@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
   * insulation, see [[Chat.gaeAdvantage]] / `ext/lm.scala`), so the one
   * float-sensitive step is exact-integer on both engines and the
   * sketch replays row-for-row in SQL. Bucket→value reads back as
-  * `2·γ^i/(γ+1)` (the bucket's midpoint in relative terms) through
+  * `2·γ^(i+1)/(γ+1)` (the relative midpoint of [γ^i, γ^(i+1)), which
+  * meets the (γ−1)/(γ+1) error bound at both bucket edges) through
   * `round(pow(γ, i), 9)` — the same two-stage-rounded pow device.
   *
   * Contract: values must be POSITIVE (the geometric grid is undefined

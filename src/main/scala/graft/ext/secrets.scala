@@ -39,8 +39,13 @@ object Secrets {
     * downstream consumers dedupe by token if they want one verdict.
     */
   val defaultPatterns: Seq[(String, String)] = Seq(
-    "aws_access_key" -> "AKIA[0-9A-F]{16}",
-    "github_token"   -> "ghp_[0-9a-f]{20}",
+    // real token shapes, not fixture shapes: AWS access key ids are
+    // AKIA + 16 uppercase base-36 chars (digits + A-Z), GitHub personal
+    // access tokens are ghp_ + 36 base-62 chars — a hex-only family
+    // would silently miss most real keys while passing a hex-derived
+    // test fixture (both stay in the Java∩RE2-portable subset)
+    "aws_access_key" -> "AKIA[0-9A-Z]{16}",
+    "github_token"   -> "ghp_[A-Za-z0-9]{36}",
     "hex_blob"       -> "[0-9a-f]{32,}",
     "long_alnum"     -> "[A-Za-z0-9]{20,}")
 

@@ -134,11 +134,15 @@ object Stats {
   def welchAb(df: DataFrame, groupCol: String, isControl: Column,
       valueCol: String, scale: Int = 6): DataFrame = {
     val x = col(valueCol)
+    // arms count only NON-NULL observations (x.isNotNull): the sums skip
+    // NULLs, so counting every arm row would divide Σx over fewer values
+    // by a larger n — biased means/variances, and the n ≥ 2 guard could
+    // pass with fewer than 2 actual observations
     val s = df.groupBy(col(groupCol)).agg(
-      sum(when(isControl, lit(1)).otherwise(lit(0))).alias("n_a"),
+      sum(when(isControl && x.isNotNull, lit(1)).otherwise(lit(0))).alias("n_a"),
       sum(when(isControl, dec(x)).otherwise(lit(null))).alias("sa"),
       sum(when(isControl, dec(x * x)).otherwise(lit(null))).alias("saa"),
-      sum(when(!isControl, lit(1)).otherwise(lit(0))).alias("n_b"),
+      sum(when(!isControl && x.isNotNull, lit(1)).otherwise(lit(0))).alias("n_b"),
       sum(when(!isControl, dec(x)).otherwise(lit(null))).alias("sb"),
       sum(when(!isControl, dec(x * x)).otherwise(lit(null))).alias("sbb"))
     val (na, nb) = (d(col("n_a")), d(col("n_b")))

@@ -36,6 +36,18 @@ class BloomSpec extends AnyFunSuite {
     assert(probed.filter(!col("maybe")).count() === 0L)
   }
 
+  test("no false negatives under duplicate (id, key) batch rows") {
+    // regression: a sum-of-hits verdict doubled __got on repeated rows
+    // and returned maybe=false for a key that IS in the filter — the
+    // verdict must count DISTINCT hit positions against __need
+    val filter = ext.Bloom.build(benchShingles, "shingle", logm = 16, k = 3)
+    val dup = benchShingles.withColumn("id", col("shingle"))
+    val probed = ext.Bloom.probe(dup.unionByName(dup),
+      "id", "shingle", filter, logm = 16, k = 3)
+    assert(probed.count() === benchShingles.count()) // one row per distinct pair
+    assert(probed.filter(!col("maybe")).count() === 0L)
+  }
+
   test("merge(build(a), build(b)) ≡ build(a ∪ b)") {
     val a = docs.filter(col("doc_id") % 2 === 0)
       .select(col("text").alias("key"))

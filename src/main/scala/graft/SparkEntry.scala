@@ -597,9 +597,10 @@ object SparkEntry {
         threshold = 0.7, portable = true)),
 
     // dedup: blocked containment twin — LSH band candidates, exact
-    // |A∩B|/min rescore from the pair's own shingle arrays (the scale
-    // path the exact q_containment self-join documents); threshold 0.5
-    // so size-mismatched quote pairs survive the Jaccard-tuned blocking
+    // |A∩B|/min rescore from the pair's own 48-bit hashed-shingle arrays
+    // (one native md5 pass feeds signatures AND rescore; the scale path
+    // the exact q_containment self-join documents); threshold 0.5 so
+    // size-mismatched quote pairs survive the Jaccard-tuned blocking
     "q_containment_lsh" -> ((s, dir) =>
       ext.Dedup.ngramContainmentPairsLsh(read(s, dir, "documents"),
         "doc_id", "text", k = 3, numHashes = 32, bands = 8,
@@ -607,8 +608,10 @@ object SparkEntry {
 
     // dedup: blocked bag-Jaccard twin — MinHash over the OCCURRENCE-
     // EXPANDED multiset (bag-J = set-J of the expansion, exactly — the
-    // weighted-minhash identity), exact Σmin/Σmax rescore restricted to
-    // candidate ids; distinct-shingle banding would be unsound here
+    // weighted-minhash identity; occurrence 1 stays the bare shingle so
+    // expansion costs only Σ(m−1) extra tokens), exact Σmin/Σmax rescore
+    // via hashed-token array intersection restricted to candidate ids;
+    // distinct-shingle banding would be unsound here
     "q_bag_jaccard_lsh" -> ((s, dir) =>
       ext.Dedup.bagJaccardPairsLsh(read(s, dir, "documents"),
         "doc_id", "text", k = 3, numHashes = 32, bands = 8,
@@ -4792,8 +4795,11 @@ object SparkEntry {
         |WHERE CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) >= 0.5""".stripMargin,
 
     // blocked bag-Jaccard twin: portable minhash/banding candidates over
-    // OCCURRENCE-EXPANDED tokens s#r (bag-J = set-J of the expansion),
-    // then the exact occurrence-indexed rescore on candidate pairs
+    // OCCURRENCE-EXPANDED tokens (bag-J = set-J of the expansion);
+    // occurrence 1 is the BARE shingle, occurrence r >= 2 is s#r (the
+    // WordShinglesBag encoding — extra tokens only where a shingle
+    // repeats), then the exact expansion-intersection rescore on
+    // candidate pairs
     "q_bag_jaccard_lsh" ->
       s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sha AS (SELECT doc_id,
@@ -4803,8 +4809,9 @@ object SparkEntry {
         |occ AS (SELECT doc_id, s,
         |          row_number() OVER (PARTITION BY doc_id, s ORDER BY s) AS o
         |        FROM sha),
-        |hb AS (SELECT doc_id,
-        |         CAST('0x' || substr(md5(s || '#' || CAST(o AS VARCHAR)), 1, 12)
+        |hb AS (SELECT DISTINCT doc_id,
+        |         CAST('0x' || substr(md5(CASE WHEN o = 1 THEN s
+        |                ELSE s || '#' || CAST(o AS VARCHAR) END), 1, 12)
         |              AS BIGINT) AS h
         |       FROM occ),
         |co(i, a, b) AS (VALUES ${affineCoeffValues(32)}),
@@ -4817,12 +4824,11 @@ object SparkEntry {
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
         |         WHERE a.doc_id < b.doc_id),
-        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sha GROUP BY doc_id),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM hb GROUP BY doc_id),
         |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS ic
         |          FROM cand c
-        |          JOIN occ x ON x.doc_id = c.a_id
-        |          JOIN occ y ON y.doc_id = c.b_id
-        |            AND y.s = x.s AND y.o = x.o
+        |          JOIN hb x ON x.doc_id = c.a_id
+        |          JOIN hb y ON y.doc_id = c.b_id AND y.h = x.h
         |          GROUP BY 1, 2)
         |SELECT i.a_id, i.b_id,
         |       CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) AS jaccard
@@ -4855,7 +4861,7 @@ object SparkEntry {
         |         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
         |       FROM (SELECT doc_id, w,
         |               unnest(range(greatest(len(w) - 2, 0))) AS i FROM d)),
-        |hb AS (SELECT doc_id,
+        |hb AS (SELECT DISTINCT doc_id,
         |         CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS h
         |       FROM sh),
         |co(i, a, b) AS (VALUES ${affineCoeffValues(32)}),
@@ -4868,11 +4874,11 @@ object SparkEntry {
         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
         |         WHERE a.doc_id < b.doc_id),
-        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM hb GROUP BY doc_id),
         |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS ic
         |          FROM cand c
-        |          JOIN sh x ON x.doc_id = c.a_id
-        |          JOIN sh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
+        |          JOIN hb x ON x.doc_id = c.a_id
+        |          JOIN hb y ON y.doc_id = c.b_id AND y.h = x.h
         |          GROUP BY 1, 2)
         |SELECT i.a_id, i.b_id,
         |       CAST(ic AS DOUBLE) / CAST(least(ca.n, cb.n) AS DOUBLE) AS containment

@@ -215,13 +215,13 @@ object Dedup {
 
   /** BLOCKED twin of [[ngramContainmentPairs]] — the 100 TB path the
     * exact self-join docstring promises: MinHash/LSH band candidates
-    * ([[minHashCandidates]]) rescored with the EXACT containment
-    * `|A∩B| / min(|A|,|B|)` from the pair's own shingle sets. The rescore
-    * is row-local (`array_intersect` over the two carried shingle
-    * arrays — documents are bounded, so the arrays are too), so beyond
-    * the band shuffle the only joins are two id-keyed signature-set
-    * fetches per DISTINCT candidate pair — the
-    * [[embeddingNearDupPairsLsh]] shape.
+    * rescored with the EXACT containment `|A∩B| / min(|A|,|B|)` from the
+    * pair's own shingle sets. The rescore is row-local
+    * (`array_intersect` over the two carried shingle arrays — documents
+    * are bounded, so the arrays are too; the portable path carries
+    * 48-bit hashed shingles, see [[sigsOfHashedSets]]), so beyond the
+    * band shuffle the only joins are two id-keyed set fetches per
+    * DISTINCT candidate pair — the [[embeddingNearDupPairsLsh]] shape.
     *
     * Recall caveat, by construction: MinHash approximates JACCARD, so a
     * short doc quoted inside a much longer one (containment ≈ 1, Jaccard
@@ -236,11 +236,25 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.8, portable: Boolean = false): DataFrame = {
-    val cand = minHashCandidates(df, idCol, textCol, k, numHashes, bands,
-      portable)
-    val sets = df.select(col(idCol), shingleArray(textCol, k).alias("__sh"))
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    // ONE shingle pass feeds blocking AND rescore; the portable path
+    // works on 48-bit hashed shingles throughout ([[sigsOfHashedSets]]).
+    // The sets relation is CHECKPOINTED because the plan consumes it
+    // three times (signature chain + both rescore sides) and each replay
+    // re-scans and re-shingles the corpus text — materializing the
+    // hashed arrays (~50 longs/doc, a ~50× reduction over the text)
+    // replaces two full corpus scans; at 100 TB this is the standard
+    // persist-the-working-set step (the q_dedup_cascade discipline).
+    val sets = df.select(col(idCol),
+        (if (portable) graft.functions.WordShingles.columnHashed(col(textCol), k)
+         else shingleArray(textCol, k)).alias("__sh"))
       .withColumn("n", size(col("__sh")).cast("long"))
       .filter(col("n") > 0L)
+      .localCheckpoint()
+    val sigs =
+      if (portable) sigsOfHashedSets(sets, idCol, "__sh", numHashes)
+      else sigsOfSets(sets, idCol, "__sh", numHashes)
+    val cand = sigCandidates(sigs, idCol, bands, numHashes, portable)
     cand
       .join(sets.select(col(idCol).alias("a_id"), col("__sh").alias("sa"),
         col("n").alias("na")), "a_id")
@@ -254,92 +268,88 @@ object Dedup {
   }
 
   /** BLOCKED twin of [[bagJaccardPairs]] — MinHash/LSH candidates over
-    * the OCCURRENCE-EXPANDED multiset, then the exact occurrence-indexed
-    * `Σmin/Σmax` rescore restricted to candidate pairs.
+    * the OCCURRENCE-EXPANDED multiset, then the exact `Σmin/Σmax`
+    * rescore restricted to candidate pairs.
     *
     * Why the expansion is the correct blocker (and a set-level one would
     * be UNSOUND): bag-J(A,B) = Σmin/Σmax is EXACTLY the set-Jaccard of
     * the expanded sets `{(s, r) : 1 ≤ r ≤ count_s}` — element (s, r)
     * lies in both expansions iff r ≤ min(a_s, b_s) (so |∩| = Σmin) and
     * in either iff r ≤ max (so |∪| = Σmax). MinHash banding over
-    * expanded shingles therefore carries its standard recall guarantee
+    * expanded tokens therefore carries its standard recall guarantee
     * AT the bag similarity itself. Distinct-shingle banding has no such
     * guarantee in either direction: A = {x×100}, B = {x×100, y} has
     * bag-J ≈ 0.99 but set-J = 0.5 (repeated shared mass), while the
     * repeated-paragraph spam case has set-J ≈ 1, bag-J ≈ 0.1 — the two
     * similarities are incomparable (Round8Spec pins the counterexample).
     *
-    * Rescore: ROW-LOCAL from carried per-doc (shingle → multiplicity)
-    * maps — `Σmin` is a bounded `map_zip_with` fold over the two maps of
-    * one candidate pair (documents are bounded, so the maps are too),
-    * `Σmax = na + nb − Σmin` by the multiset identity. This is the
-    * [[ngramContainmentPairsLsh]] `array_intersect` shape: beyond the
-    * band shuffle the only joins are two id-keyed map fetches per
-    * DISTINCT candidate pair — no occurrence-level equi-join, no
-    * post-banding shuffle that scales with document length. (The
-    * interpreted-HOF cost is candidate-pairs × map-size — both bounded;
-    * the corpus-scaled signature path below stays pure codegen.)
-    * Precision is exact (true bag-J on every emitted pair).
+    * The expansion is built ROW-LOCALLY by the native
+    * [[graft.functions.WordShinglesBag]] expression (one HashMap pass
+    * per doc): occurrence 1 stays the BARE shingle, occurrence r ≥ 2
+    * becomes `shingle#r` — so the expansion's extra cost over the set
+    * path is Σ(m−1) tokens, which on natural text is noise (measured
+    * 0.12% of tokens on the synthetic corpus, max multiplicity 2). This
+    * replaces a three-shuffle chain (explode → multiplicity groupBy →
+    * checkpoint → sequence-explode → map re-aggregation) with zero
+    * pre-blocking exchanges, making the bag twin structurally IDENTICAL
+    * to [[ngramContainmentPairsLsh]]: signature groupBy, band shuffle,
+    * two id-keyed rescore joins — nothing else moves.
+    *
+    * Why not ICWS/consistent weighted sampling (the standard technique
+    * for REAL-valued weights, Ioffe 2010): CWS pays O(numHashes)
+    * transcendental samples per DISTINCT shingle — strictly more work
+    * than this corpus's Σ(m−1) ≈ 0.001·Σm extra affine re-mixes — and
+    * its per-hash float math (ln/exp chains) would need the full
+    * fixed-point insulation treatment to stay oracle-replayable. CWS
+    * wins only when average multiplicity is large (heavy boilerplate
+    * corpora, TF-weighted tokens); for integer counts near 1 the exact
+    * expansion identity is both cheaper and sound by construction, not
+    * in distribution. If a corpus with multiplicity ≫ 2 shows up, CWS
+    * slots in as an alternative `sets` builder behind the same banding.
+    *
+    * Rescore: ROW-LOCAL `array_intersect` over the two carried token
+    * arrays — expansion tokens are distinct within a doc by
+    * construction, so |ta ∩ tb| = Σmin and Σmax = na + nb − Σmin by the
+    * multiset identity. Native set intersection (no lambda, no map
+    * build); documents are bounded, so the arrays are too. The portable
+    * path carries 48-bit hashed tokens (array<long>, ~5× lighter than
+    * strings through the rescore joins; the oracle derives the same h
+    * values, so any within-doc 48-bit collision — probability ~n²/2^49 —
+    * merges identically in both engines). Precision is exact (true
+    * bag-J on every emitted pair, modulo that vanishing collision).
     */
   def bagJaccardPairsLsh(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.8, portable: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sh = graft.functions.WordShingles.columnAll(col(textCol), k)
-    // checkpointed: the multiplicity frame feeds the signature build AND
-    // the rescore maps — without the cut the explode→count chain replays
-    // per consumer (the q_dedup_cascade survivor discipline)
-    val counted = df
-      .select(col(idCol), sh.alias("__sh"))
-      .withColumn("n", size(col("__sh")).cast("long"))
+    // checkpointed for the same three-consumer reason as
+    // [[ngramContainmentPairsLsh]]'s sets relation
+    val sets = df.select(col(idCol),
+        (if (portable)
+           graft.functions.WordShingles.columnBagHashed(col(textCol), k)
+         else graft.functions.WordShingles.columnBag(col(textCol), k))
+          .alias("__tk"))
+      .withColumn("n", size(col("__tk")).cast("long"))
       .filter(col("n") > 0L)
-      .select(col(idCol), col("n"), explode(col("__sh")).alias("shingle"))
-      .groupBy(col(idCol), col("n"), col("shingle"))
-      .agg(count(lit(1)).alias("__m"))
       .localCheckpoint()
-    // occurrence-expanded token: "shingle#r" — the weighted-minhash
-    // element whose set-Jaccard IS bag-J ('#' never appears inside a
-    // whitespace-delimited word shingle, so the encoding is injective)
-    val toks = counted.select(col(idCol),
-      explode(sequence(lit(1L), col("__m"))).alias("occ"),
-      col("shingle"))
-      .select(col(idCol),
-        concat(col("shingle"), lit("#"), col("occ").cast("string"))
-          .alias("token"))
     val sigs =
-      if (portable)
-        affineSigArrays(toks.withColumnRenamed("token", "elem"), idCol,
-          numHashes)
-      else
-        toks.groupBy(col(idCol))
-          .agg(graft.functions.MinHashSig
-            .column(collect_list(col("token")), numHashes).alias("signature"))
-    val cand = bandCandidates(
-      if (portable) portableBuckets(sigs, idCol, bands, numHashes)
-      else lshBuckets(sigs, idCol, bands), idCol)
-    // per-doc multiplicity map — the row-local rescore payload
-    val cm = counted
-      .groupBy(col(idCol), col("n"))
-      .agg(map_from_entries(collect_list(struct(col("shingle"), col("__m"))))
-        .alias("__cm"))
+      if (portable) sigsOfHashedSets(sets, idCol, "__tk", numHashes)
+      else sigsOfSets(sets, idCol, "__tk", numHashes)
+    val cand = sigCandidates(sigs, idCol, bands, numHashes, portable)
     cand
-      .join(cm.select(col(idCol).alias("a_id"), col("__cm").alias("ca"),
+      .join(sets.select(col(idCol).alias("a_id"), col("__tk").alias("ta"),
         col("n").alias("na")), "a_id")
-      .join(cm.select(col(idCol).alias("b_id"), col("__cm").alias("cb"),
+      .join(sets.select(col(idCol).alias("b_id"), col("__tk").alias("tb"),
         col("n").alias("nb")), "b_id")
       // sound PPJoin length prune on expansion totals (holds verbatim for
       // multisets — see [[bagJaccardPairs]]): J ≥ θ forces the size
       // bounds, so the prune cannot change the output; it only spares the
-      // interpreted fold on pairs the banding collided by accident
+      // intersection on pairs the banding collided by accident
       .filter(col("nb") > col("na") * lit(threshold) - lit(1.0) &&
         col("na") > col("nb") * lit(threshold) - lit(1.0))
-      // Σmin over the pair's own maps (absent key → 0 contribution)
-      .withColumn("ic", expr(
-        """aggregate(
-          |  map_values(map_zip_with(ca, cb,
-          |    (k, x, y) -> least(coalesce(x, 0L), coalesce(y, 0L)))),
-          |  0L, (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("ic",
+        size(array_intersect(col("ta"), col("tb"))).cast("long"))
       .withColumn("jaccard",
         col("ic").cast("double") / (col("na") + col("nb") - col("ic")).cast("double"))
       .filter(col("jaccard") >= threshold)
@@ -491,28 +501,28 @@ object Dedup {
     * xxhash64 seeding does not. Same (id, band, bucket) shape as
     * [[lshBuckets]].
     *
-    * Built codegen-only: one `posexplode` of the signature plus
-    * `rowsPerBand` conditional-max aggregates per band, then one
-    * `concat_ws`. The obvious one-liner — a `transform(sequence(...))`
-    * whose lambda slices, maps and joins the signature — is THREE nested
-    * higher-order functions, none of which codegen: measured 12.7 s for
-    * 5 000 × 16 bands at sf0.1 where this form runs in ~0.5 s (the
-    * [[graft.functions.AHash64]] lesson again — HOFs only ever in
-    * bounded, non-hot positions).
+    * Built ROW-LOCALLY with zero shuffle: `bands` is a plan-time
+    * constant, so the per-band slice+join UNROLLS into `bands` static
+    * native expressions (`array_join(slice(cast(signature), …), ',')`)
+    * fed to one `posexplode` — no lambda anywhere. Two prior forms both
+    * lost: the `transform(sequence(...))` one-liner is THREE nested
+    * higher-order functions, none of which codegen (measured 12.7 s for
+    * 5 000 docs × 16 bands at sf0.1 — the [[graft.functions.AHash64]]
+    * lesson); the posexplode + groupBy(id, band) conditional-max
+    * aggregate it replaced was codegen-clean but paid a full
+    * (docs × numHashes)-row EXCHANGE per twin — the only shuffle in the
+    * signature→bucket chain, gone for free by unrolling.
     */
   private[ext] def portableBuckets(sigs: DataFrame, idCol: String,
       bands: Int, numHashes: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val slots = (0 until r).map(j =>
-      max(when(col("pos") % r === j, col("mh"))).cast("string")
-        .alias(s"__b$j"))
-    sigs.select(col(idCol), posexplode(col("signature")).as(Seq("pos", "mh")))
-      .groupBy(col(idCol), expr(s"pos div $r").alias("band"))
-      .agg(slots.head, slots.tail: _*)
-      .select(col(idCol), col("band"),
-        concat_ws(",", (0 until r).map(j => col(s"__b$j")): _*)
-          .alias("bucket"))
+    val slots = (0 until bands).map(b =>
+      concat_ws(",", (0 until r).map(j =>
+        element_at(col("signature"), b * r + j + 1).cast("string")): _*))
+    sigs.select(col(idCol), posexplode(array(slots: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
   }
 
   /** Modulus of the affine portable hash family: 2^61 − 1 (prime). */
@@ -576,26 +586,56 @@ object Dedup {
         array(co.indices.map(i => col(s"__m$i")): _*).alias("signature"))
   }
 
-  /** Shared LSH candidate generator: distinct (a_id < b_id) pairs sharing
-    * any (band, bucket) — the blocking step every `*Lsh` scorer rescores
-    * exactly. The band shuffle carries ONLY (id, band, bucket); see
-    * [[minHashNearDupPairs]] for why signatures never ride it. The
-    * portable branch uses the full-corpus [[affineSigArrays]] family.
+  /** NATIVE MinHash signatures from an already-built row-local
+    * element-array relation (`sets`: idCol + `elemsCol` array<string> +
+    * whatever else rides along) — the shared signature build of the LSH
+    * twin family's scale-default path ([[minHashNearDupPairs]] /
+    * [[ngramContainmentPairsLsh]] / [[bagJaccardPairsLsh]]): each twin
+    * shingles ONCE into `sets`, feeds it here for blocking, and rescores
+    * from the same arrays — no twin re-derives elements it already has.
+    * One wide [[graft.functions.MinHashSig]] pass directly over the
+    * array (no explode, no shuffle). The oracle-portable counterpart is
+    * [[sigsOfHashedSets]].
     */
-  private[ext] def minHashCandidates(df: DataFrame, idCol: String,
-      textCol: String, k: Int, numHashes: Int, bands: Int,
-      portable: Boolean): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val sigs =
-      if (portable)
-        affineSigArrays(shingles(df, idCol, textCol, k)
-          .withColumnRenamed("shingle", "elem"), idCol, numHashes)
-      else minHashSignatures(df, idCol, textCol, k, numHashes)
-    val bk =
-      if (portable) portableBuckets(sigs, idCol, bands, numHashes)
-      else lshBuckets(sigs, idCol, bands)
-    bandCandidates(bk, idCol)
+  private def sigsOfSets(sets: DataFrame, idCol: String, elemsCol: String,
+      numHashes: Int): DataFrame =
+    sets.select(col(idCol),
+      graft.functions.MinHashSig.column(col(elemsCol), numHashes)
+        .alias("signature"))
+
+  /** Portable signatures from PRE-HASHED element arrays (`sets`: idCol +
+    * `hCol` array<long> of 48-bit md5 prefixes, built row-locally by
+    * [[graft.functions.WordShinglesHashed]]/`BagHashed`): the
+    * [[affineSigArrays]] re-mix slots applied directly — the expensive
+    * md5 already happened inside the native shingle pass, so the
+    * signature chain is one explode + pure integer codegen + the
+    * groupBy(id) exchange (map-side combined to one partial per doc per
+    * partition). The SAME hashed arrays then ride the rescore joins
+    * (~5× lighter than shingle strings) and compare with a long-typed
+    * `array_intersect` — one hash pass serves blocking AND rescoring.
+    */
+  private def sigsOfHashedSets(sets: DataFrame, idCol: String, hCol: String,
+      numHashes: Int): DataFrame = {
+    val co = affineCoeffs(numHashes)
+    val slots = co.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("__h") + lit(b)) % lit(AffineP)).alias(s"__m$i")
+    }
+    sets.select(col(idCol), explode(col(hCol)).alias("__h"))
+      .groupBy(col(idCol))
+      .agg(slots.head, slots.tail: _*)
+      .select(col(idCol),
+        array(co.indices.map(i => col(s"__m$i")): _*).alias("signature"))
   }
+
+  /** Distinct (a_id < b_id) LSH band candidates of a signature relation —
+    * buckets ([[portableBuckets]] / [[lshBuckets]], both row-local) then
+    * the (band, bucket) self-join.
+    */
+  private def sigCandidates(sigs: DataFrame, idCol: String, bands: Int,
+      numHashes: Int, portable: Boolean): DataFrame =
+    bandCandidates(
+      if (portable) portableBuckets(sigs, idCol, bands, numHashes)
+      else lshBuckets(sigs, idCol, bands), idCol)
 
   /** Distinct (a_id < b_id) pairs sharing any (band, bucket) of `bk`. */
   private def bandCandidates(bk: DataFrame, idCol: String): DataFrame = {
@@ -649,12 +689,15 @@ object Dedup {
     // signatures, banding, candidate join, signature agreement — replays
     // in plain SQL (the oracle path) at full-corpus cost; native hashing
     // stays the scale default
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sets = df.select(col(idCol),
+        (if (portable) graft.functions.WordShingles.columnHashed(col(textCol), k)
+         else shingleArray(textCol, k)).alias("__sh"))
+      .filter(size(col("__sh")) > 0)
     val sigs =
-      if (portable)
-        affineSigArrays(shingles(df, idCol, textCol, k)
-          .withColumnRenamed("shingle", "elem"), idCol, numHashes)
-      else minHashSignatures(df, idCol, textCol, k, numHashes)
-    minHashCandidates(df, idCol, textCol, k, numHashes, bands, portable)
+      if (portable) sigsOfHashedSets(sets, idCol, "__sh", numHashes)
+      else sigsOfSets(sets, idCol, "__sh", numHashes)
+    sigCandidates(sigs, idCol, bands, numHashes, portable)
       .join(sigs.select(col(idCol).alias("a_id"), col("signature").alias("sa")),
         "a_id")
       .join(sigs.select(col(idCol).alias("b_id"), col("signature").alias("sb")),

@@ -99,11 +99,235 @@ object WordShingles {
     new GenericArrayData(out)
   }
 
+  private val HASH = UTF8String.fromString("#")
+
+  /** BAG (occurrence-indexed) variant: one token per shingle OCCURRENCE,
+    * the first occurrence as the bare shingle and the r-th (r ≥ 2) as
+    * `shingle#r` — the occurrence-expanded multiset whose SET-Jaccard
+    * equals the bag-Jaccard of the shingle multiset (element (s, r) is in
+    * both expansions iff r ≤ min count, in either iff r ≤ max — see
+    * [[graft.ext.Dedup.bagJaccardPairsLsh]]). Tokens are distinct within
+    * a doc by construction, so downstream set machinery (MinHash
+    * signatures, `array_intersect` rescores) applies unchanged. Keeping
+    * occurrence 1 UN-suffixed makes the expansion cost Σ(m−1) extra
+    * tokens instead of Σm re-encoded ones — in natural text multiplicity
+    * is ≈ 1 (measured 0.12% extra on the synthetic corpus), so the bag
+    * path prices like the set path. One HashMap pass; referenced from
+    * generated code (static forwarder — see doGenCode note above).
+    */
+  def shinglesBag(text: UTF8String, k: Int): ArrayData = {
+    val words = text.split(SPACE, -1)
+    val n = words.length
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.HashMap[UTF8String, Integer](math.max(16, n))
+    val out = new Array[AnyRef](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      var s = words(i)
+      var j = 1
+      while (j < k) {
+        s = UTF8String.concat(s, SPACE, words(i + j))
+        j += 1
+      }
+      val prev = counts.get(s)
+      val r = if (prev == null) 1 else prev.intValue() + 1
+      counts.put(s, Integer.valueOf(r))
+      out(i) =
+        if (r == 1) s
+        else UTF8String.concat(s, HASH, UTF8String.fromString(r.toString))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val md5Local =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** Leading 48 bits of md5(s) as a non-negative long — bit-identical to
+    * the SQL `CAST('0x' || substr(md5(s), 1, 12) AS BIGINT)` the portable
+    * oracles replay (first 6 digest bytes = first 12 hex chars).
+    */
+  private def md548(s: UTF8String): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val b = d.digest(s.getBytes)
+    ((b(0) & 0xffL) << 40) | ((b(1) & 0xffL) << 32) | ((b(2) & 0xffL) << 24) |
+      ((b(3) & 0xffL) << 16) | ((b(4) & 0xffL) << 8) | (b(5) & 0xffL)
+  }
+
+  /** HASHED set variant: the distinct shingles of [[shingles]], each
+    * reduced to its 48-bit md5 prefix ([[md548]]) and deduped POST-hash —
+    * the portable LSH twins' working representation. One long per
+    * shingle (~5× lighter than the string arrays) rides the rescore
+    * joins, the signature build re-mixes the SAME base hash (no second
+    * md5 pass), and `array_intersect` compares longs instead of strings.
+    * A 48-bit within-doc collision (~n²/2^49, vanishing at document
+    * sizes) would merge two shingles in BOTH engines identically — the
+    * oracle derives the same h values in SQL, so results stay bit-equal
+    * by construction. Referenced from generated code.
+    */
+  def shinglesHashed(text: UTF8String, k: Int): ArrayData = {
+    val words = text.split(SPACE, -1)
+    val n = words.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.LinkedHashSet[java.lang.Long](math.max(16, n))
+    var i = 0
+    while (i <= n - k) {
+      var s = words(i)
+      var j = 1
+      while (j < k) {
+        s = UTF8String.concat(s, SPACE, words(i + j))
+        j += 1
+      }
+      seen.add(java.lang.Long.valueOf(md548(s)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** HASHED bag variant: [[shinglesBag]]'s occurrence-indexed tokens
+    * (bare shingle for occurrence 1, `s#r` for r ≥ 2) hashed with
+    * [[md548]] and deduped post-hash — same collision note as
+    * [[shinglesHashed]]. Referenced from generated code.
+    */
+  def shinglesBagHashed(text: UTF8String, k: Int): ArrayData = {
+    val words = text.split(SPACE, -1)
+    val n = words.length
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val counts = new java.util.HashMap[UTF8String, Integer](math.max(16, n))
+    val seen = new java.util.LinkedHashSet[java.lang.Long](math.max(16, n))
+    var i = 0
+    while (i <= n - k) {
+      var s = words(i)
+      var j = 1
+      while (j < k) {
+        s = UTF8String.concat(s, SPACE, words(i + j))
+        j += 1
+      }
+      val prev = counts.get(s)
+      val r = if (prev == null) 1 else prev.intValue() + 1
+      counts.put(s, Integer.valueOf(r))
+      val tok =
+        if (r == 1) s
+        else UTF8String.concat(s, HASH, UTF8String.fromString(r.toString))
+      seen.add(java.lang.Long.valueOf(md548(tok)))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   def column(text: Column, k: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(text), k))
 
   def columnAll(text: Column, k: Int): Column =
     Bridge.column(WordShinglesAll(Bridge.expression(text), k))
+
+  def columnBag(text: Column, k: Int): Column =
+    Bridge.column(WordShinglesBag(Bridge.expression(text), k))
+
+  def columnHashed(text: Column, k: Int): Column =
+    Bridge.column(WordShinglesHashed(Bridge.expression(text), k))
+
+  def columnBagHashed(text: Column, k: Int): Column =
+    Bridge.column(WordShinglesBagHashed(Bridge.expression(text), k))
+}
+
+/** 48-bit md5 prefixes of the distinct word-k-gram shingles — the
+  * portable twins' element representation (see
+  * [[WordShingles.shinglesHashed]]).
+  */
+case class WordShinglesHashed(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, "shingle size k must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_shingles_hashed requires STRING, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.shinglesHashed(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.shinglesHashed($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesHashed =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles_hashed"
+}
+
+/** 48-bit md5 prefixes of the occurrence-indexed bag tokens (see
+  * [[WordShingles.shinglesBagHashed]]).
+  */
+case class WordShinglesBagHashed(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, "shingle size k must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_shingles_bag_hashed requires STRING, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.shinglesBagHashed(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.shinglesBagHashed($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesBagHashed =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles_bag_hashed"
+}
+
+/** Occurrence-indexed word-k-gram bag tokens: element i is shingle i with
+  * a `#r` suffix for its r-th within-doc occurrence (r ≥ 2); first
+  * occurrences stay bare. Same codegen shape as [[WordShinglesAll]] plus
+  * an occurrence-count HashMap.
+  */
+case class WordShinglesBag(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, "shingle size k must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes() =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"word_shingles_bag requires STRING, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.shinglesBag(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.shinglesBag($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesBag =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles_bag"
 }
 
 /** Positional (non-distinct) word-k-gram shingles: element i covers tokens

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 laws: the native bag-token / hashed-shingle expressions that
+  * carry the LSH twin family.
+  *
+  *  - bag tokens = the occurrence expansion (bare shingle for occurrence
+  *    1, `s#r` for r ≥ 2), in positional order, distinct by construction;
+  *  - hashed variants equal the md5-48 of the string variants (the
+  *    native MessageDigest path is bit-identical to Spark's md5()
+  *    expression + hex-prefix conv — the contract the DuckDB oracles
+  *    replay);
+  *  - set-J of bag tokens = bag-J of the shingle multiset (the expansion
+  *    identity, checked against the exact scorer).
+  */
+class Round9Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select(col("doc_id"), col("text"))
+    // inject a repetition-heavy doc so multiplicities > 2 are exercised
+    .unionByName(Seq((900001L,
+      (1 to 7).map(_ => "alpha beta gamma delta").mkString(" ")))
+      .toDF("doc_id", "text"))
+
+  test("columnBag = occurrence expansion of columnAll, first occurrence bare") {
+    val bag = docs.select(col("doc_id"),
+      explode(functions.WordShingles.columnBag(col("text"), 3)).alias("tok"))
+    // reference: positional shingles + a per-(doc, shingle) running
+    // occurrence index derived relationally
+    val ref = docs.select(col("doc_id"),
+        posexplode(functions.WordShingles.columnAll(col("text"), 3))
+          .as(Seq("pos", "s")))
+      .withColumn("o", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id", "s").orderBy("pos")))
+      .select(col("doc_id"),
+        when(col("o") === 1, col("s"))
+          .otherwise(concat(col("s"), lit("#"), col("o").cast("string")))
+          .alias("tok"))
+    assert(bag.exceptAll(ref).isEmpty && ref.exceptAll(bag).isEmpty)
+    // distinct within doc by construction
+    val dup = bag.groupBy("doc_id", "tok").count().filter(col("count") > 1)
+    assert(dup.isEmpty)
+  }
+
+  test("hashed variants = md5-48 prefix of the string variants") {
+    def h(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+    val viaSql = docs.select(col("doc_id"),
+      explode(functions.WordShingles.columnBag(col("text"), 3)).alias("t"))
+      .select(col("doc_id"), h(col("t")).alias("h")).distinct()
+    val native = docs.select(col("doc_id"),
+      explode(functions.WordShingles.columnBagHashed(col("text"), 3)).alias("h"))
+    assert(native.exceptAll(viaSql).isEmpty && viaSql.exceptAll(native).isEmpty)
+    val viaSqlSet = docs.select(col("doc_id"),
+      explode(functions.WordShingles.column(col("text"), 3)).alias("s"))
+      .select(col("doc_id"), h(col("s")).alias("h")).distinct()
+    val nativeSet = docs.select(col("doc_id"),
+      explode(functions.WordShingles.columnHashed(col("text"), 3)).alias("h"))
+    assert(nativeSet.exceptAll(viaSqlSet).isEmpty &&
+      viaSqlSet.exceptAll(nativeSet).isEmpty)
+  }
+
+  test("set-Jaccard of bag tokens = bag-Jaccard of the shingle multiset") {
+    val d = Seq(
+      (1L, (1 to 20).map(_ => "alpha beta gamma delta").mkString(" ")),
+      (2L, (1 to 20).map(_ => "alpha beta gamma delta").mkString(" ")
+        + " omega psi chi phi upsilon tau sigma rho"),
+      (3L, "one two three four five six seven")).toDF("doc_id", "text")
+    val toks = d.select(col("doc_id"),
+      functions.WordShingles.columnBag(col("text"), 3).alias("tk"))
+    val a = toks.select(col("doc_id").alias("a"), col("tk").alias("ta"))
+    val b = toks.select(col("doc_id").alias("b"), col("tk").alias("tb"))
+    val setJ = a.crossJoin(b).filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (size(array_intersect(col("ta"), col("tb"))).cast("double") /
+          size(array_union(col("ta"), col("tb"))).cast("double")).alias("j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val bagJ = ext.Dedup.bagJaccardPairs(d, "doc_id", "text", 3, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    bagJ.foreach { case (p, j) =>
+      assert(math.abs(setJ(p) - j) < 1e-12, s"pair $p: ${setJ(p)} vs $j") }
+  }
+}

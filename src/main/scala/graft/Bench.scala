@@ -78,13 +78,33 @@ object Bench {
       System.gc() // lets ContextCleaner drop finished shuffles/broadcasts now
       if (ok) dt else -1.0
     }
-    names.foreach(run) // warmup, untimed
+    // two untimed warmup passes: the first also pays JIT/codegen-cache
+    // compilation for the whole batch, the second runs on the warmed JVM
+    // so the timed pass starts at steady state (one pass left small
+    // queries ~40% over their steady-state floor — C2 compilation of the
+    // shared Spark/codegen infrastructure needs more executions than one
+    // sweep provides)
+    names.foreach(run); names.foreach(run)
     spark.stop(); spark = buildSession() // timed pass gets a young session
     names.foreach { name =>
       val (a, b) = (run(name), run(name))
       val t = if (a < 0 || b < 0) -1.0 else math.min(a, b)
       println(f"[pt] $name $t%.6f")
     }
+    // per-JOB floor of this child, measured under the identical session
+    // shape: the cheapest possible Spark job (`range(1).count`) after the
+    // batch's own warmth. Reported so the headline contract can separate
+    // plan cost from the platform's fixed per-job overhead (BASELINE.md
+    // floor-adjusted contract) — DuckDB's per-query floor is ~0, Spark
+    // local's is ~0.1-0.2 s/job, and a Σratio over eight sub-second
+    // queries is dominated by it.
+    spark.range(1).count() // warm
+    val fs = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      spark.range(1).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"[floor] ${fs.min}%.6f")
     spark.stop()
   }
 
@@ -101,7 +121,7 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only.contains(n))
 
-    def measureBatch(batch: Seq[String]): Map[String, Double] = {
+    def measureBatch(batch: Seq[String]): (Map[String, Double], Double) = {
       import scala.jdk.CollectionConverters._
       val javaBin = sys.props("java.home") + "/bin/java"
       val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -118,19 +138,28 @@ object Bench {
         es.getLines().foreach(_ => ())
       })
       drainer.setDaemon(true); drainer.start()
+      var floor = -1.0
       val out = scala.io.Source.fromInputStream(p.getInputStream)
-        .getLines().filter(_.startsWith("[pt] ")).map { l =>
-          val Array(_, n, t) = l.split(" ")
-          n -> t.toDouble
+        .getLines().flatMap {
+          case l if l.startsWith("[pt] ") =>
+            val Array(_, n, t) = l.split(" ")
+            Some(n -> t.toDouble)
+          case l if l.startsWith("[floor] ") =>
+            floor = l.stripPrefix("[floor] ").toDouble; None
+          case _ => None
         }.toMap
       p.waitFor()
       // a child that died mid-batch marks every missing query failed
-      batch.map(n => n -> out.getOrElse(n, -1.0)).toMap
+      (batch.map(n => n -> out.getOrElse(n, -1.0)).toMap, floor)
     }
 
-    val results: Seq[(String, Double)] = names.grouped(BatchSize).flatMap {
-      batch => measureBatch(batch).toSeq
-    }.toSeq.sortBy(_._1)
+    val measured = names.grouped(BatchSize).map(measureBatch).toSeq
+    val results: Seq[(String, Double)] =
+      measured.flatMap(_._1.toSeq).sortBy(_._1)
+    // the per-job floor: min across children (each measures min-of-3
+    // range(1).count jobs in its own warmed JVM)
+    val floors = measured.map(_._2).filter(_ > 0)
+    val floorSec = if (floors.nonEmpty) floors.min else -1.0
 
     // The driver keeps only the LAST ~2000 chars of output, and its JSON
     // parse needs the final line COMPLETE — a 150-query map is ~3 KB, so
@@ -166,7 +195,7 @@ object Bench {
     val mandatory = byTimeDesc.filter { case (k, v) => headline.contains(k) || v < 0 }
     val filler = byTimeDesc.filterNot { case (k, v) => headline.contains(k) || v < 0 }
     def line(kvs: Seq[(String, Double)]): String =
-      s"""{"queries":${fmt(kvs.sortBy(-_._2))},"n":${results.length},"omitted":${results.length - kvs.length},"failed":$failed,"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir"}"""
+      s"""{"queries":${fmt(kvs.sortBy(-_._2))},"n":${results.length},"omitted":${results.length - kvs.length},"failed":$failed,"floor_sec":${f"$floorSec%.3f"},"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir"}"""
     val budget = 1500
     var kept = mandatory
     var it = filler.iterator

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev scratch: separates mapping-layer cost from raw Spark floor on the
+  * headline queries. Not part of the driver contract.
+  */
+object FloorProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(label: String)(f: => Long): Unit = {
+      f; f // warm x2
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9 }
+      println(f"[floor] $label min=${ts.min}%.3f runs=${ts.map(t => f"$t%.3f").mkString(",")}")
+    }
+
+    time("noop job (range(1))") { spark.range(1).count() }
+    time("lineitem scan count") {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count() }
+    time("handwritten groupby_agg") {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("l_quantity"), max("l_extendedprice"), count(lit(1)))
+        .count()
+    }
+    time("mapped q_agg_grouping") {
+      SparkEntry.queries("q_agg_grouping")(spark, sfDir).count() }
+    time("handwritten merge core") {
+      val d = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderkey") % 3 === 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn("__d", lit(1))
+      val s = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), lower(col("o_orderstatus")).alias("o_orderstatus"),
+          col("o_totalprice")).withColumn("__s", lit(1))
+      d.join(s, d("o_orderkey") === s("o_orderkey"), "full_outer")
+        .select(
+          when(d("__d").isNotNull && s("__s").isNotNull, s("o_orderstatus"))
+            .when(d("__d").isNull, s("o_orderstatus"))
+            .otherwise(d("o_orderstatus")).alias("st"))
+        .count()
+    }
+    time("mapped q_merge_upsert") {
+      SparkEntry.queries("q_merge_upsert")(spark, sfDir).count() }
+    time("handwritten fk_lookup") {
+      val c = spark.read.parquet(s"$sfDir/customer.parquet")
+      val n = spark.read.parquet(s"$sfDir/nation.parquet")
+      val r = spark.read.parquet(s"$sfDir/region.parquet")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name").count()
+    }
+    time("mapped q_fk_lookup") {
+      SparkEntry.queries("q_fk_lookup")(spark, sfDir).count() }
+    spark.stop()
+  }
+}

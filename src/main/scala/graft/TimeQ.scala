@@ -14,14 +14,19 @@ object TimeQ {
       .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val reps = args.drop(2).headOption.map(_.toInt).getOrElse(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "30s")
-      .getOrCreate()
+    // same dev knob as Bench: SPARK_GRAFT_CONF="k=v;k=v" overlays confs
+    // for A/B-ing scheduler/AQE settings
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def run(name: String): Double = {
       val t0 = System.nanoTime()

@@ -1,0 +1,73 @@
+"""Generate the DUPLICATE-HEAVY fixture (driver-side tooling; the Scala
+engine never depends on this): a documents.parquet whose near-dup regime
+is the one the LSH twins exist for, which the uniform sf* fixtures never
+enter (their docs are decorrelated by construction, so exact pairwise
+scorers stay near-linear and an LSH twin can only add overhead).
+
+Shape: 50,000 docs at sf1 document scale.
+  - 30% duplicate mass: 600 clusters x 25 near-duplicate copies of a
+    per-cluster template (~120 words). Copy j perturbs template
+    positions p where p % 25 == j, so any two copies differ in <= 10 of
+    ~120 positions -> bag/set-Jaccard ~ 0.6 (> the 0.5 query threshold:
+    every within-cluster pair is a true near-dup pair).
+  - 70% unique docs over the same vocabulary (3-gram shingle space is
+    ~vocab^3, so cross-doc shingle sharing is incidental).
+
+Why this breaks the exact paths but not the twins: within a cluster
+every shared shingle has document frequency ~25, so the exact
+shingle-equi-join materializes ~shingles x 25^2 rows per cluster
+(~44M rows corpus-wide vs ~3M for the uniform sf1 fixture) - the
+quadratic-in-duplication cost the exact docstrings warn about. The
+twins' banding emits only the ~180k true candidate pairs and their
+rescore is row-local, so their cost tracks candidates, not df^2.
+
+Deterministic: pure arithmetic content, no randomness.
+"""
+import duckdb, os
+
+DST = '/root/repo/.bench/dupheavy'
+os.makedirs(DST, exist_ok=True)
+
+VOCAB = 211  # prime; words are w0..w210
+DOC_WORDS = 120
+CLUSTERS = 600
+COPIES = 25
+UNIQUE = 50_000 - CLUSTERS * COPIES
+
+rows = []
+
+
+def template_word(cluster: int, pos: int) -> str:
+    return f"w{(cluster * 37 + pos * 11 + (pos * pos) % 19) % VOCAB}"
+
+
+doc_id = 0
+for c in range(CLUSTERS):
+    for j in range(COPIES):
+        words = []
+        for p in range(DOC_WORDS):
+            if p % COPIES == j:
+                words.append(f"v{c}x{j}p{p}")  # copy-private token
+            else:
+                words.append(template_word(c, p))
+        text = ' '.join(words)
+        rows.append((doc_id, text, 'en', f'tpl{c % 40}', len(text)))
+        doc_id += 1
+
+for u in range(UNIQUE):
+    words = [f"w{(u * 53 + p * 29 + (u + p) * (u + p) % 23) % VOCAB}"
+             for p in range(DOC_WORDS)]
+    # a doc-private marker token ensures no two "unique" docs are
+    # accidental exact duplicates
+    words[60] = f"u{u}"
+    text = ' '.join(words)
+    rows.append((doc_id, text, 'en', f'src{u % 40}', len(text)))
+    doc_id += 1
+
+con = duckdb.connect()
+con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR, lang VARCHAR,"
+            " source VARCHAR, n_chars BIGINT)")
+con.executemany("INSERT INTO docs VALUES (?, ?, ?, ?, ?)", rows)
+con.execute(f"COPY docs TO '{DST}/documents.parquet' (FORMAT PARQUET)")
+print(f"wrote {doc_id} docs -> {DST}/documents.parquet "
+      f"({CLUSTERS * COPIES} in {CLUSTERS} near-dup clusters, {UNIQUE} unique)")

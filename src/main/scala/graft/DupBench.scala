@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Exact-vs-LSH-twin crossover bench on the DUPLICATE-HEAVY fixture
+  * (`.bench/gen_dupheavy.py` → `.bench/dupheavy`): the near-dup regime
+  * the blocked twins exist for, which the uniform sf* fixtures never
+  * enter (decorrelated docs keep exact pairwise scorers near-linear, so
+  * on those fixtures a twin can only add overhead). On 30% planted
+  * duplicate mass the exact shingle-equi-joins pay ~df² rows per shared
+  * shingle while the twins pay banding + true-candidate rescores — this
+  * main measures that crossover and prints one JSON line (committed per
+  * round as `BENCH_DUPHEAVY.json`).
+  *
+  * Methodology matches [[Bench]]'s child JVMs: run this main in its own
+  * fresh JVM (it measures one "batch": warmup ×2, session restart, timed
+  * min-of-2).
+  */
+object DupBench {
+  private val Pairs = Seq(
+    "q_bag_jaccard" -> "q_bag_jaccard_lsh",
+    "q_containment" -> "q_containment_lsh",
+    "q_ngram_jaccard" -> "q_minhash_neardup")
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/repo/.bench/dupheavy")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    def build(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.cleaner.periodicGC.interval", "30s")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
+    var spark = build()
+    val names = Pairs.flatMap { case (a, b) => Seq(a, b) }
+    def run(name: String): Double = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { SparkEntry.queries(name)(spark, dir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[dup] $name FAILED: ${e.getMessage}"); false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); System.gc()
+      if (ok) dt else -1.0
+    }
+    names.foreach(run); names.foreach(run) // warmup ×2
+    spark.stop(); spark = build()
+    val t = names.map { n =>
+      val (a, b) = (run(n), run(n))
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+    }.toMap
+    val qs = names.map(n => f""""$n":${t(n)}%.3f""").mkString("{", ",", "}")
+    val wins = Pairs.map { case (exact, twin) =>
+      f""""$twin":${if (t(twin) > 0 && t(exact) > 0) t(exact) / t(twin) else -1.0}%.2f"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"dupheavy","dir":"$dir","queries":$qs,"exact_over_twin":$wins}""")
+    spark.stop()
+  }
+}

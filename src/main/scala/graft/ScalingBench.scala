@@ -30,9 +30,19 @@ import org.apache.spark.sql.SparkSession
 object ScalingBench {
 
   /** Data grows ≤10× between the two scale factors; anything past this is
-    * superlinear even after overhead effects.
+    * superlinear even after overhead effects. Applies to the FIRST decade
+    * (sf0.01 → sf0.1), where Spark's fixed per-query overhead still
+    * distorts small-query ratios in both directions.
     */
   val FlagRatio = 12.0
+
+  /** Tighter line for the XL decade (sf0.1 → sf1): data grows exactly
+    * 10× and by sf0.1 the fixed overhead is already amortized, so a
+    * ratio2 above ~10.5 means superlinear work, not noise — 12.0 there
+    * would hide a 1.2×-superlinear path (q_bag_jaccard_lsh sat at 10.29
+    * and q_tpch_q18 at 10.23 under the old single line).
+    */
+  val FlagRatioXl = 10.5
 
   def main(args: Array[String]): Unit =
     sys.env.get("SPARK_GRAFT_POINT") match {
@@ -142,7 +152,7 @@ object ScalingBench {
     val failed = entries.collect {
       case (n, s, l, _, x, _) if s < 0 || l < 0 || x.exists(_ < 0) => n }
     val flagged = entries.collect {
-      case (n, _, _, r, _, r2) if r > FlagRatio || r2.exists(_ > FlagRatio) => n
+      case (n, _, _, r, _, r2) if r > FlagRatio || r2.exists(_ > FlagRatioXl) => n
     } ++ failed
     val qs = entries.map { case (n, s, l, r, x, r2) =>
       val base = f"""\"$n\":{\"small\":$s%.4f,\"large\":$l%.4f,\"ratio\":$r%.2f"""

@@ -340,6 +340,31 @@ object EventStream {
         write(Classify.naiveBayesScore(batch, idCol, textCol, model))
       }
 
+  /** Production FILE sink for a complete-mode streaming aggregation:
+    * every micro-batch of a complete-mode query holds the FULL updated
+    * result, so `foreachBatch` overwrites the versioned table with it —
+    * each commit rides [[graft.VersionedCatalog]]'s crash-safe swap
+    * (time-travelable history of the aggregation as it converged), and
+    * after an `AvailableNow` drain the table's head version IS the final
+    * aggregation state. This is the 100 TB form of the memory-sink drain
+    * the oracle lane uses: the memory sink collects to the driver by
+    * construction; this path writes distributed parquet and never moves
+    * the result through the driver. (FileStreamSink itself is
+    * append-only, so complete-mode aggregations go through foreachBatch
+    * overwrite — the standard pattern; a Delta/Iceberg deployment swaps
+    * the catalog write for `MERGE INTO`/`replaceWhere`.) Law
+    * (StreamingSpec): after a drain, the catalog table equals the
+    * memory-sink frame exactly.
+    */
+  def completeToCatalog(agg: DataFrame, catalog: graft.Catalog,
+      table: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    agg.writeStream
+      .outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        catalog.write(table, batch)
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** Streaming upsert sink: each micro-batch MERGEs into the destination
     * via the engine's upsert (the reference's `OUTPUT $action` changelog
     * becomes the per-batch `_action` audit, passed to `onBatch`).

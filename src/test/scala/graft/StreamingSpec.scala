@@ -52,6 +52,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(g.nonEmpty)
   }
 
+  test("complete-mode drain through VersionedCatalog file sink == memory sink") {
+    // the production round-trip of q_stream_tumbling: same aggregation,
+    // drained once to the (driver-collecting) memory sink and once
+    // through foreachBatch overwrite-commits into a VersionedCatalog —
+    // after the drain the catalog's head version must equal the
+    // memory-sink frame exactly, and every commit must be a
+    // time-travelable version of the converging state
+    val mem = EventStream.tumblingCounts(
+      EventStream.readStream(spark, streamDir), "1 hour")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_cat_mem").start()
+    mem.processAllAvailable(); mem.stop()
+    val memFrame = spark.table("tumbling_cat_mem")
+      .select(col("window.start").alias("w"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-cat").toFile
+    root.deleteOnExit()
+    val cat = new VersionedCatalog(spark, root.getAbsolutePath)
+    val q = EventStream.completeToCatalog(
+      EventStream.tumblingCounts(
+        EventStream.readStream(spark, streamDir), "1 hour"),
+      cat, "tumbling").start()
+    q.awaitTermination()
+
+    assert(cat.exists("tumbling"))
+    assert(cat.versions("tumbling").nonEmpty) // one commit per micro-batch
+    val fileFrame = cat.read("tumbling")
+      .select(col("window.start").alias("w"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val (m, f) = (rows(memFrame), rows(fileFrame))
+    assert(m == f, s"file-sink drift: mem-only=${m.diff(f).take(3)} " +
+      s"file-only=${f.diff(m).take(3)}")
+    assert(m.nonEmpty)
+  }
+
   test("session windows emit per-user gap sessions == batch session_window") {
     val stream = EventStream.readStream(spark, streamDir)
     val q = EventStream.sessionCounts(stream, "30 minutes")

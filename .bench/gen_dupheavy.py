@@ -28,7 +28,6 @@ import duckdb, os
 DST = '/root/repo/.bench/dupheavy'
 os.makedirs(DST, exist_ok=True)
 
-VOCAB = 211  # prime; words are w0..w210
 DOC_WORDS = 120
 CLUSTERS = 600
 COPIES = 25
@@ -38,7 +37,11 @@ rows = []
 
 
 def template_word(cluster: int, pos: int) -> str:
-    return f"w{(cluster * 37 + pos * 11 + (pos * pos) % 19) % VOCAB}"
+    # wide (1M) word space keyed by cluster so templates never collide
+    # ACROSS clusters: within-cluster shingle df is exactly the copy
+    # count (~25), cross-cluster df ~ 1 — the duplicate mass is the
+    # planted 30%, not an artifact of a short vocab period
+    return f"w{(cluster * 2017 + pos * 31 + 7) % 1000003}"
 
 
 doc_id = 0
@@ -55,11 +58,12 @@ for c in range(CLUSTERS):
         doc_id += 1
 
 for u in range(UNIQUE):
-    words = [f"w{(u * 53 + p * 29 + (u + p) * (u + p) % 23) % VOCAB}"
-             for p in range(DOC_WORDS)]
-    # a doc-private marker token ensures no two "unique" docs are
-    # accidental exact duplicates
-    words[60] = f"u{u}"
+    # unique docs draw words from a per-doc slice of a 1M-word space so
+    # cross-doc shingle sharing is negligible (a small shared vocab with
+    # an arithmetic word formula has a short period in u — every doc
+    # would get accidental near-identical twins and the "unique" mass
+    # would be duplicate-heavy too)
+    words = [f"w{(u * 104729 + p * 31) % 1000003}" for p in range(DOC_WORDS)]
     text = ' '.join(words)
     rows.append((doc_id, text, 'en', f'src{u % 40}', len(text)))
     doc_id += 1

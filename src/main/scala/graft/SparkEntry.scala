@@ -35,6 +35,23 @@ object SparkEntry {
 
   // --- shared mapping fixtures -------------------------------------------
 
+  /** Run `f` with `spark.sql.shuffle.partitions` scoped to `n`, restoring
+    * the session value after. Used by the streaming DRAIN queries: a
+    * stateful streaming sink pays state-store open/commit PER PARTITION
+    * per micro-batch, and the drain jobs' state key cardinality is small
+    * (hundreds of windows / thousands of keys), so 32 partitions is pure
+    * fixed cost there — 8 halves the drain (2.07 → 1.26 s measured at
+    * sf0.1, values identical since results never depend on partitioning).
+    * Production long-lived streams size this to throughput instead; batch
+    * queries keep the session default (= cores).
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   /** dest for merge queries: keyed subset of orders (FIXTURES.md role map). */
   private def mergeDest(s: SparkSession, dir: String): DataFrame =
     read(s, dir, "orders")
@@ -2077,13 +2094,15 @@ object SparkEntry {
     "q_stream_tumbling" -> { (s, dir) =>
       val name = "graft_stream_tumbling"
       s.catalog.dropTempView(name)
-      val agg = ext.EventStream.tumblingCounts(
-        ext.EventStream.readStream(s, s"$dir/events.parquet"), "1 hour")
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val agg = ext.EventStream.tumblingCounts(
+          ext.EventStream.readStream(s, s"$dir/events.parquet"), "1 hour")
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name).select(
         unix_micros(col("window.start")).alias("hour_us"),
         col("event_type"), col("n_events"), col("sum_value"))
@@ -2096,14 +2115,16 @@ object SparkEntry {
     "q_stream_distinct" -> { (s, dir) =>
       val name = "graft_stream_distinct"
       s.catalog.dropTempView(name)
-      val keys = ext.EventStream.distinctKeys(
-        ext.EventStream.readStream(s, s"$dir/events.parquet"),
-        Seq("user_id", "event_type"))
-      val q = keys.writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val keys = ext.EventStream.distinctKeys(
+          ext.EventStream.readStream(s, s"$dir/events.parquet"),
+          Seq("user_id", "event_type"))
+        val q = keys.writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name)
     },
 
@@ -2114,13 +2135,15 @@ object SparkEntry {
     "q_stream_session" -> { (s, dir) =>
       val name = "graft_stream_session"
       s.catalog.dropTempView(name)
-      val agg = ext.EventStream.sessionCounts(
-        ext.EventStream.readStream(s, s"$dir/events.parquet"), "30 minutes")
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val agg = ext.EventStream.sessionCounts(
+          ext.EventStream.readStream(s, s"$dir/events.parquet"), "30 minutes")
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name).select(col("user_id"),
         unix_micros(col("session_window.start")).alias("s_us"),
         unix_micros(col("session_window.end")).alias("e_us"),
@@ -2135,13 +2158,15 @@ object SparkEntry {
     "q_stream_state" -> { (s, dir) =>
       val name = "graft_stream_state"
       s.catalog.dropTempView(name)
-      val upd = ext.EventStream.withRunningState(
-        ext.EventStream.readStream(s, s"$dir/events.parquet"), heavyAt = 67L)
-      val q = upd.toDF().writeStream.format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val upd = ext.EventStream.withRunningState(
+          ext.EventStream.readStream(s, s"$dir/events.parquet"), heavyAt = 67L)
+        val q = upd.toDF().writeStream.format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.table(name).select(col("userId").alias("user_id"),
         col("nEvents").alias("n_events"), col("isHeavy").alias("is_heavy"))
     },

@@ -634,6 +634,28 @@ object SparkEntry {
         "doc_id", "text", k = 3, numHashes = 32, bands = 8,
         threshold = 0.5, portable = true)),
 
+    // dedup: the CWS-blocked sibling of q_bag_jaccard_lsh — TRUE
+    // weighted MinHash (0-bit ICWS, Ioffe 2010 / Li 2015): collision
+    // prob = Σmin/Σmax exactly with NO occurrence expansion; fixed-point
+    // integer sampler (scaled-BIGINT lns, exact floor division, (la, h)
+    // lexicographic argmin) so the whole draw replays in SQL. Same exact
+    // rescore as the expansion twin. Fixed-size probe (doc_id < 500 =
+    // the whole corpus at sf0.01, the q_ngram_jaccard_capped scoping
+    // discipline at larger SFs): the sampler costs 5 affine draws + 5
+    // lns per (element, hash) — measured 7.7× the expansion twin on
+    // full sf0.1, exactly the multiplicity≈1 regime the
+    // bagJaccardPairsLsh docstring predicts CWS to lose — and carries a
+    // ~2 s data-independent plan/codegen floor (16 sampler expression
+    // trees; the expansion twin needs none), which is why this query
+    // reads ~2.2 s at every SF and is itself the measured argument for
+    // the expansion default. Full-corpus A/B in the law suite + that
+    // docstring; the query pins the sampler's oracle contract
+    "q_bag_jaccard_cws" -> ((s, dir) =>
+      ext.Dedup.bagJaccardPairsCws(
+        read(s, dir, "documents").filter(col("doc_id") < 500),
+        "doc_id", "text", k = 3, numHashes = 16, bands = 4,
+        threshold = 0.5)),
+
     // dedup: n-gram Jaccard with stop-shingle removal (the skew guard:
     // shingles appearing in more than maxShingleDf docs are dropped before
     // the self-join) — oracle rebuilds shingling + the DF cap in SQL
@@ -3245,6 +3267,20 @@ object SparkEntry {
     ext.Dedup.affineCoeffs(numHashes).zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
 
+  /** Coefficient VALUES rows for the CWS oracle: hash `i` consumes the
+    * five consecutive [[ext.Dedup.affineCoeffs]] pairs 5i..5i+4 — the
+    * SAME plan-time constants `Dedup.cwsSigArrays` interpolates into the
+    * Spark expressions, so both engines share the sampler by
+    * construction.
+    */
+  private def cwsCoeffValues(numHashes: Int): String = {
+    val co = ext.Dedup.affineCoeffs(5 * numHashes)
+    (0 until numHashes).map { i =>
+      val cs = (0 until 5).map(j => co(5 * i + j))
+      s"($i, ${cs.map { case (a, b) => s"$a, $b" }.mkString(", ")})"
+    }.mkString(", ")
+  }
+
   /** Generated DuckDB oracle for q_simhash — the 64-bit widening of
     * [[simhashPortableOracle]] (16 md5 hex digits = 64 bits). Bit 63 can
     * set, so the fingerprint assembles in HUGEINT and converts to the
@@ -4854,6 +4890,81 @@ object SparkEntry {
         |          FROM cand c
         |          JOIN hb x ON x.doc_id = c.a_id
         |          JOIN hb y ON y.doc_id = c.b_id AND y.h = x.h
+        |          GROUP BY 1, 2)
+        |SELECT i.a_id, i.b_id,
+        |       CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN cnt ca ON ca.doc_id = i.a_id
+        |JOIN cnt cb ON cb.doc_id = i.b_id
+        |WHERE CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) >= 0.5""".stripMargin,
+
+    // CWS-blocked bag-Jaccard: the fixed-point ICWS sampler replayed —
+    // five affine re-mix uniforms per (element, hash), scaled-BIGINT
+    // lns, exact integer floor division for t, lexicographic (la, h)
+    // argmin via struct MIN — then the same candidate banding and exact
+    // expansion-intersection rescore as q_bag_jaccard_lsh
+    "q_bag_jaccard_cws" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents WHERE doc_id < 500),
+        |sha AS (SELECT doc_id,
+        |          w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS s
+        |        FROM (SELECT doc_id, w,
+        |                unnest(range(greatest(len(w) - 2, 0))) AS i FROM d)),
+        |cm AS (SELECT doc_id, s, COUNT(*) AS m FROM sha GROUP BY 1, 2),
+        |hb AS (SELECT doc_id,
+        |         CAST('0x' || substr(md5(s), 1, 12) AS BIGINT) AS h,
+        |         CAST(floor(ln(CAST(m AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lw6
+        |       FROM cm),
+        |co(i, a0, b0, a1, b1, a2, b2, a3, b3, a4, b4)
+        |  AS (VALUES ${cwsCoeffValues(16)}),
+        |gl AS (SELECT doc_id, h, lw6, i,
+        |         CAST(-floor((-ln((CAST((a0*h+b0) % 2305843009213693951 AS DOUBLE) + 0.5)
+        |                        / 2305843009213693951.0)) * 1e6 + 0.5) AS BIGINT) AS l0,
+        |         CAST(-floor((-ln((CAST((a1*h+b1) % 2305843009213693951 AS DOUBLE) + 0.5)
+        |                        / 2305843009213693951.0)) * 1e6 + 0.5) AS BIGINT) AS l1,
+        |         CAST(-floor((-ln((CAST((a2*h+b2) % 2305843009213693951 AS DOUBLE) + 0.5)
+        |                        / 2305843009213693951.0)) * 1e6 + 0.5) AS BIGINT) AS l2,
+        |         CAST(-floor((-ln((CAST((a3*h+b3) % 2305843009213693951 AS DOUBLE) + 0.5)
+        |                        / 2305843009213693951.0)) * 1e6 + 0.5) AS BIGINT) AS l3,
+        |         ((a4*h+b4) % 2305843009213693951) % 1000000 AS b6
+        |       FROM hb CROSS JOIN co),
+        |gr AS (SELECT doc_id, h, lw6, i,
+        |         greatest(10000, -(l0 + l1)) AS r6,
+        |         CASE WHEN greatest(1, -(l2 + l3)) >= 1000000
+        |           THEN CAST(floor(ln(CAST(greatest(1, -(l2 + l3)) AS DOUBLE)
+        |                           / 1e6) * 1e12 + 0.5) AS BIGINT)
+        |           ELSE CAST(-floor(-ln(CAST(greatest(1, -(l2 + l3)) AS DOUBLE)
+        |                            / 1e6) * 1e12 + 0.5) AS BIGINT) END AS lc12,
+        |         b6 FROM gl),
+        |gla AS (SELECT doc_id, h, i,
+        |          lc12 - r6 * ((((lw6 * 1000000 + b6 * r6) // (r6 * 1000000))
+        |                        * 1000000 - b6) + 1000000) AS la
+        |        FROM gr),
+        |sig AS (SELECT doc_id, i,
+        |          CAST(((mk % 281474976710656) + 281474976710656)
+        |               % 281474976710656 AS BIGINT) AS mh
+        |        FROM (SELECT doc_id, i,
+        |                MIN(CAST(la AS HUGEINT) * 281474976710656 + h) AS mk
+        |              FROM gla GROUP BY 1, 2)),
+        |bk AS (SELECT doc_id, i // 4 AS band,
+        |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+        |       FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+        |         WHERE a.doc_id < b.doc_id),
+        |occ AS (SELECT doc_id, s,
+        |          row_number() OVER (PARTITION BY doc_id, s ORDER BY s) AS o
+        |        FROM sha),
+        |hb2 AS (SELECT DISTINCT doc_id,
+        |          CAST('0x' || substr(md5(CASE WHEN o = 1 THEN s
+        |                 ELSE s || '#' || CAST(o AS VARCHAR) END), 1, 12)
+        |               AS BIGINT) AS h
+        |        FROM occ),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM hb2 GROUP BY doc_id),
+        |inter AS (SELECT c.a_id, c.b_id, COUNT(*) AS ic
+        |          FROM cand c
+        |          JOIN hb2 x ON x.doc_id = c.a_id
+        |          JOIN hb2 y ON y.doc_id = c.b_id AND y.h = x.h
         |          GROUP BY 1, 2)
         |SELECT i.a_id, i.b_id,
         |       CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) AS jaccard

@@ -337,15 +337,123 @@ object Dedup {
       if (portable) sigsOfHashedSets(sets, idCol, "__tk", numHashes)
       else sigsOfSets(sets, idCol, "__tk", numHashes)
     val cand = sigCandidates(sigs, idCol, bands, numHashes, portable)
+    // sound PPJoin length prune on expansion totals inside [[bagRescore]]
+    // (holds verbatim for multisets — see [[bagJaccardPairs]]): J ≥ θ
+    // forces the size bounds, so the prune cannot change the output; it
+    // only spares the intersection on pairs the banding collided by
+    // accident
+    bagRescore(cand, sets, idCol, threshold)
+  }
+
+  /** 0-bit Consistent Weighted Sampling signatures over (shingle-hash,
+    * multiplicity) rows — TRUE weighted MinHash (ICWS sampling, Ioffe
+    * 2010, "Improved consistent sampling, weighted minhash and L1
+    * sketching"; 0-bit reduction, Li 2015): hash `i` of a weighted set
+    * is the element minimizing `a = c / (y·e^r)` with `r, c ~ Gamma(2,1)`,
+    * `β ~ U(0,1)` drawn per (element, i), `t = ⌊ln w / r + β⌋`,
+    * `ln y = r(t − β)` — and `P(sig_i(A) = sig_i(B)) = Σmin/Σmax`
+    * exactly, for ARBITRARY positive weights, with no occurrence
+    * expansion. This is the standard public alternative to
+    * [[bagJaccardPairsLsh]]'s expansion blocker; see that docstring for
+    * when each wins (CWS pays 5 uniform draws + 5 `ln` per element per
+    * hash — O(numHashes) transcendentals per DISTINCT shingle — so it
+    * loses at multiplicity ≈ 1 and wins on heavily weighted inputs).
+    *
+    * Engine-exactness (the repo's fixed-point discipline): every
+    * uniform is an affine re-mix of the element's 48-bit md5 base hash
+    * (`(a·h+b) mod 2^61−1`, [[affineCoeffs]] over 5·numHashes indices),
+    * every `ln` quantizes to a scaled BIGINT (1e6 for rates, 1e12 for
+    * the final log-score), `t` is one exact integer floor-division, and
+    * the argmin compares (la, h) pairs lexicographically — so the whole
+    * sampler replays bit-for-bit in SQL. Distribution notes: `r` clamps
+    * at 0.01 (P ≈ 5·10⁻⁵ for Gamma(2,1), keeps `t`'s integer form
+    * overflow-free), `β` uses the re-mix value mod 10⁶ directly.
+    *
+    * `counts`: (idCol, `h` 48-bit BIGINT element hash, `__m` BIGINT
+    * weight ≥ 1). Output: (idCol, signature array<long> of winning
+    * element hashes) — plugs into [[portableBuckets]] like any portable
+    * signature.
+    */
+  private[ext] def cwsSigArrays(counts: DataFrame, idCol: String,
+      numHashes: Int): DataFrame = {
+    // [[affineSigArrays]]' wide-aggregate shape: ONE pass over the
+    // (element, weight) rows with numHashes UNCONDITIONAL min slots —
+    // slot i's input inlines the whole fixed-point ICWS chain for hash i
+    // with plan-time literal coefficients. Two rejected shapes, both
+    // measured ~6× slower at identical math: posexplode over the hash
+    // index + conditional `min(when(i = k, …))` slots multiplies the
+    // aggregate work ×numHashes (every exploded row evaluates every
+    // slot's CASE — 88M updates vs 2.8M here), and `round()` for the
+    // quantization allocates a BigDecimal per call where the
+    // value-identical `-floor(-x·scale + 0.5)` (x ≤ 0; sign-split CASE
+    // for mixed-sign lc12) is a native double op. The oracle uses the
+    // same floor forms, so both engines share every quantized value
+    // bit-for-bit.
+    val co = affineCoeffs(5 * numHashes)
+    val P48 = 281474976710656L // 2^48
+    // per-hash sampler intermediates as NAMED columns: each is
+    // referenced 3× by its slot's la formula, and CollapseProject does
+    // not inline a non-cheap alias with multiple references — so every
+    // ln chain evaluates exactly once per (element, hash) instead of
+    // three times re-inlined (the textual-repetition form measured 2×
+    // slower at identical math)
+    def lS(i: Int, j: Int): String = {
+      val (a, b) = co(5 * i + j)
+      s"(-floor((-ln((CAST(($a * h + $b) % $AffineP" +
+        s" AS DOUBLE) + 0.5) / 2305843009213693951.0)) * 1e6 + 0.5))"
+    }
+    val inter = (0 until numHashes).flatMap { i =>
+      val (a4, b4) = co(5 * i + 4)
+      Seq(
+        expr(s"greatest(10000, -(${lS(i, 0)} + ${lS(i, 1)}))").alias(s"r$i"),
+        expr(s"greatest(1, -(${lS(i, 2)} + ${lS(i, 3)}))").alias(s"c$i"),
+        expr(s"(($a4 * h + $b4) % $AffineP % 1000000)").alias(s"b$i"))
+    }
+    // la = lc12 − r6·((t·10⁶ − b6) + 10⁶), t = (lw6·10⁶+b6·r6) div (r6·10⁶);
+    // INJECTIVE packing: key = la·2^48 + h orders exactly like the
+    // lexicographic (la, h) pair (h ∈ [0, 2^48) rides the low bits), so
+    // MIN(key) is the tie-free argmin in one decimal128 slot
+    def slotKey(i: Int): String = {
+      val la =
+        s"""((CASE WHEN c$i >= 1000000
+           |  THEN floor(ln(CAST(c$i AS DOUBLE) / 1e6) * 1e12 + 0.5)
+           |  ELSE -floor(-ln(CAST(c$i AS DOUBLE) / 1e6) * 1e12 + 0.5) END)
+           | - r$i * ((((lw6 * 1000000 + b$i * r$i) div (r$i * 1000000))
+           |          * 1000000 - b$i) + 1000000))""".stripMargin
+      s"CAST($la AS DECIMAL(38,0)) * $P48 + h"
+    }
+    val slots = (0 until numHashes).map(i =>
+      min(expr(slotKey(i))).alias(s"s$i"))
+    val unpack = (0 until numHashes).map { i =>
+      (((col(s"s$i") % lit(P48)) + lit(P48)) % lit(P48)).cast("long")
+    }
+    // the unpack runs on the MATERIALIZED aggregate output (one row per
+    // doc): left in the same plan, CollapseProject folds the decimal
+    // mods into the aggregate's resultExpressions and the whole hash
+    // aggregate — including the slot pass over every element row —
+    // drops out of its fast path. The signature relation is
+    // doc-count-sized (numHashes longs per doc), i.e. the thing a
+    // production pipeline persists anyway.
+    counts
+      .select((col(idCol) +: col("h") +:
+        expr("floor(ln(CAST(__m AS DOUBLE)) * 1e6 + 0.5)").alias("lw6") +:
+        inter): _*)
+      .groupBy(col(idCol)).agg(slots.head, slots.tail: _*)
+      .localCheckpoint()
+      .select(col(idCol), array(unpack: _*).alias("signature"))
+  }
+
+  /** Shared exact bag-Jaccard rescore: candidate (a_id, b_id) pairs
+    * joined to the per-doc expansion-token arrays (`sets`: idCol, `__tk`,
+    * `n`), PPJoin length prune, `Σmin = |ta ∩ tb|`, threshold filter.
+    */
+  private def bagRescore(cand: DataFrame, sets: DataFrame, idCol: String,
+      threshold: Double): DataFrame =
     cand
       .join(sets.select(col(idCol).alias("a_id"), col("__tk").alias("ta"),
         col("n").alias("na")), "a_id")
       .join(sets.select(col(idCol).alias("b_id"), col("__tk").alias("tb"),
         col("n").alias("nb")), "b_id")
-      // sound PPJoin length prune on expansion totals (holds verbatim for
-      // multisets — see [[bagJaccardPairs]]): J ≥ θ forces the size
-      // bounds, so the prune cannot change the output; it only spares the
-      // intersection on pairs the banding collided by accident
       .filter(col("nb") > col("na") * lit(threshold) - lit(1.0) &&
         col("na") > col("nb") * lit(threshold) - lit(1.0))
       .withColumn("ic",
@@ -354,6 +462,48 @@ object Dedup {
         col("ic").cast("double") / (col("na") + col("nb") - col("ic")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
+
+  /** [[bagJaccardPairsLsh]]'s CWS-blocked sibling: 0-bit Consistent
+    * Weighted Sampling signatures ([[cwsSigArrays]]) over
+    * (distinct-shingle, multiplicity) rows generate the band candidates;
+    * the rescore is the SAME exact row-local Σmin/Σmax. Emits the same
+    * (a_id, b_id, jaccard ≥ threshold) contract — the two blockers
+    * differ only in which true pairs they may miss (both exact-precision
+    * by rescore). Oracle-portable throughout (the md5-affine fixed-point
+    * sampler). Input cost profile vs the expansion twin: CWS reads one
+    * row per DISTINCT (shingle, count) — built by an explode + count
+    * aggregate, the relational step the expansion twin avoids — and pays
+    * ~5 `ln` per hash per row; the expansion twin pays Σ(m−1) extra
+    * cheap affine tokens. Measured at sf0.1/sf1 in BENCH_SCALING; the
+    * expansion twin stays the default for natural-text multiplicities.
+    */
+  def bagJaccardPairsCws(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = graft.functions.WordShingles.columnAll(col(textCol), k)
+    // (doc, distinct shingle, multiplicity) — the weighted-set relation
+    // CWS samples from; one md5 per distinct shingle
+    val counts = df
+      .select(col(idCol), sh.alias("__sh"))
+      .filter(size(col("__sh")) > 0)
+      .select(col(idCol), explode(col("__sh")).alias("shingle"))
+      .groupBy(col(idCol), col("shingle"))
+      .agg(count(lit(1)).alias("__m"))
+      .select(col(idCol),
+        conv(substring(md5(col("shingle")), 1, 12), 16, 10).cast("long")
+          .alias("h"),
+        col("__m"))
+    val cand = bandCandidates(
+      portableBuckets(cwsSigArrays(counts, idCol, numHashes), idCol,
+        bands, numHashes), idCol)
+    val sets = df.select(col(idCol),
+        graft.functions.WordShingles.columnBagHashed(col(textCol), k)
+          .alias("__tk"))
+      .withColumn("n", size(col("__tk")).cast("long"))
+      .filter(col("n") > 0L)
+    bagRescore(cand, sets, idCol, threshold)
   }
 
   /** Incremental near-dup: new batch vs EXISTING corpus — the production

@@ -66,6 +66,34 @@ class Round9Spec extends AnyFunSuite {
       viaSqlSet.exceptAll(nativeSet).isEmpty)
   }
 
+  test("CWS twin ⊆ exact with identical scores, high recall, catches the bag counterexample") {
+    val exact = ext.Dedup.bagJaccardPairs(
+      docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cws = ext.Dedup.bagJaccardPairsCws(
+      docs, "doc_id", "text", k = 3, numHashes = 32, bands = 8,
+      threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cws.nonEmpty)
+    cws.foreach { case (pair, score) =>
+      assert(exact.contains(pair), s"CWS invented pair $pair")
+      assert(exact(pair) == score, s"score drift on $pair")
+    }
+    assert(cws.size.toDouble / exact.size >= 0.8,
+      s"recall ${cws.size}/${exact.size}")
+    // the repeated-shared-mass counterexample (high bag-J, low set-J):
+    // a TRUE weighted sampler must block it, like the expansion twin does
+    val rep = (1 to 20).map(_ => "alpha beta gamma delta").mkString(" ")
+    val d = Seq(
+      (1L, rep),
+      (2L, rep + " omega psi chi phi upsilon tau sigma rho"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val pairs = ext.Dedup.bagJaccardPairsCws(d, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0.8)
+  }
+
   test("set-Jaccard of bag tokens = bag-Jaccard of the shingle multiset") {
     val d = Seq(
       (1L, (1 to 20).map(_ => "alpha beta gamma delta").mkString(" ")),

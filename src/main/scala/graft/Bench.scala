@@ -88,8 +88,16 @@ object Bench {
     spark.stop(); spark = buildSession() // timed pass gets a young session
     names.foreach { name =>
       val (a, b) = (run(name), run(name))
-      val t = if (a < 0 || b < 0) -1.0 else math.min(a, b)
-      println(f"[pt] $name $t%.6f")
+      val (lo, hi) =
+        if (a < 0 || b < 0) (-1.0, -1.0)
+        else (math.min(a, b), math.max(a, b))
+      // BOTH timed passes go on the wire so the parent can report
+      // within-run spread (max/min) — the only way to tell a plan
+      // regression from measurement noise across rounds. Locale.ROOT:
+      // the f"" interpolator uses the default locale, and a
+      // comma-decimal locale would corrupt the parent's parse.
+      println(String.format(java.util.Locale.ROOT,
+        "[pt] %s %.6f %.6f", name, Double.box(lo), Double.box(hi)))
     }
     // per-JOB floor of this child, measured under the identical session
     // shape: the cheapest possible Spark job (`range(1).count`) after the
@@ -104,7 +112,8 @@ object Bench {
       spark.range(1).count()
       (System.nanoTime() - t0) / 1e9
     }
-    println(f"[floor] ${fs.min}%.6f")
+    println(String.format(java.util.Locale.ROOT,
+      "[floor] %.6f", Double.box(fs.min)))
     spark.stop()
   }
 
@@ -121,7 +130,7 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.isEmpty || only.contains(n))
 
-    def measureBatch(batch: Seq[String]): (Map[String, Double], Double) = {
+    def measureBatch(batch: Seq[String]): (Map[String, (Double, Double)], Double) = {
       import scala.jdk.CollectionConverters._
       val javaBin = sys.props("java.home") + "/bin/java"
       val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -139,27 +148,60 @@ object Bench {
       })
       drainer.setDaemon(true); drainer.start()
       var floor = -1.0
+      // tolerant parse: a malformed marker line (stray stdout from a
+      // library, truncated write) skips that LINE, not the orchestration
+      // — one garbled query reads as failed (-1) via getOrElse below
+      // instead of an exception killing the whole run
       val out = scala.io.Source.fromInputStream(p.getInputStream)
         .getLines().flatMap {
           case l if l.startsWith("[pt] ") =>
-            val Array(_, n, t) = l.split(" ")
-            Some(n -> t.toDouble)
+            scala.util.Try {
+              val parts = l.split(" ")
+              (parts(1), (parts(2).toDouble, parts(3).toDouble))
+            }.toOption
           case l if l.startsWith("[floor] ") =>
-            floor = l.stripPrefix("[floor] ").toDouble; None
+            scala.util.Try(l.stripPrefix("[floor] ").toDouble)
+              .foreach(floor = _); None
           case _ => None
         }.toMap
       p.waitFor()
       // a child that died mid-batch marks every missing query failed
-      (batch.map(n => n -> out.getOrElse(n, -1.0)).toMap, floor)
+      (batch.map(n => n -> out.getOrElse(n, (-1.0, -1.0))).toMap, floor)
     }
 
     val measured = names.grouped(BatchSize).map(measureBatch).toSeq
-    val results: Seq[(String, Double)] =
+    val spreads: Seq[(String, (Double, Double))] =
       measured.flatMap(_._1.toSeq).sortBy(_._1)
+    val results: Seq[(String, Double)] = spreads.map { case (n, (lo, _)) => n -> lo }
     // the per-job floor: min across children (each measures min-of-3
     // range(1).count jobs in its own warmed JVM)
     val floors = measured.map(_._2).filter(_ > 0)
     val floorSec = if (floors.nonEmpty) floors.min else -1.0
+
+    // Full per-query (min, max) of the two timed passes → BENCH_SPREAD.json
+    // in the working directory (the stdout tail window is too small for a
+    // 258-query map ×2). max/min per query is the within-run noise bound:
+    // a cross-round delta smaller than a query's own spread is measurement,
+    // not a plan change.
+    locally {
+      def j(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+      val rows = spreads.map { case (n, (lo, hi)) =>
+        s""""$n":[${j(lo)},${j(hi)}]""" }.mkString(",")
+      val body = s"""{"floor_sec":${j(floorSec)},"unit":"sec","sf":"$sfDir",""" +
+        s""""note":"per-query [min,max] of the two timed passes","queries":{$rows}}"""
+      scala.util.Try { // bench must not die on an unwritable cwd
+        val w = new java.io.PrintWriter("BENCH_SPREAD.json", "UTF-8")
+        try w.println(body) finally w.close()
+      }
+    }
+    // compact spread summary for the final line: worst and p95 max/min
+    // ratio across queries (≥50 ms min, so a 5 ms jitter on a trivial
+    // query can't pose as 2× noise)
+    val ratios = spreads.collect {
+      case (n, (lo, hi)) if lo >= 0.05 => (n, hi / lo) }.sortBy(-_._2)
+    val spreadWorst = ratios.headOption.getOrElse(("none", 1.0))
+    val spreadP95 = if (ratios.isEmpty) 1.0
+      else ratios(math.min(ratios.size - 1, ratios.size / 20))._2
 
     // The driver keeps only the LAST ~2000 chars of output, and its JSON
     // parse needs the final line COMPLETE — a 150-query map is ~3 KB, so
@@ -172,9 +214,10 @@ object Bench {
     //      BASELINE.md headline queries + every failure + the slowest
     //      entries, `omitted` counting what was cut. Summary fields
     //      (n/total/failed) cover the WHOLE suite either way.
+    def num(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     def fmt(kvs: Seq[(String, Double)]): String = kvs
       .map { case (k, v) =>
-        "\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.3f") }
+        "\"" + k + "\":" + (if (v < 0) "-1" else num(v)) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
@@ -195,7 +238,7 @@ object Bench {
     val mandatory = byTimeDesc.filter { case (k, v) => headline.contains(k) || v < 0 }
     val filler = byTimeDesc.filterNot { case (k, v) => headline.contains(k) || v < 0 }
     def line(kvs: Seq[(String, Double)]): String =
-      s"""{"queries":${fmt(kvs.sortBy(-_._2))},"n":${results.length},"omitted":${results.length - kvs.length},"failed":$failed,"floor_sec":${f"$floorSec%.3f"},"metric":"total","value":${f"$total%.3f"},"unit":"sec","sf":"$sfDir"}"""
+      s"""{"queries":${fmt(kvs.sortBy(-_._2))},"n":${results.length},"omitted":${results.length - kvs.length},"failed":$failed,"floor_sec":${num(floorSec)},"spread_worst":["${spreadWorst._1}",${num(spreadWorst._2)}],"spread_p95":${num(spreadP95)},"metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir"}"""
     val budget = 1500
     var kept = mandatory
     var it = filler.iterator

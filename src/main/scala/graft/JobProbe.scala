@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+
+/** Dev profiling utility: `runMain graft.JobProbe <query> [sfDir] [reps]`
+  * — runs one SparkEntry query with a job listener attached and prints
+  * every Spark JOB the query triggers with start/end offsets from the
+  * query's own t0, so driver-side GAPS (planning, AQE re-optimization,
+  * driver loops) show up as holes in the timeline. The tool for
+  * multi-action composites (checkpoints, driver probes, iterative loops)
+  * where per-query wall time says nothing about WHICH action pays the
+  * per-job floor.
+  */
+object JobProbe {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = args.drop(1).headOption
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val reps = args.drop(2).headOption.map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val starts = scala.collection.concurrent.TrieMap.empty[Int, Long]
+    val spans = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Long)]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        starts.put(js.jobId, js.time)
+      override def onJobEnd(je: SparkListenerJobEnd): Unit =
+        starts.remove(je.jobId).foreach(t0 => spans.add((je.jobId, t0, je.time)))
+    })
+    @volatile var base = 0L
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      base = System.currentTimeMillis()
+      SparkEntry.queries(name)(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); System.gc()
+      dt
+    }
+    (1 to 2).foreach(_ => run()) // warmup
+    (1 to reps).foreach { r =>
+      spans.clear()
+      val dt = run()
+      // listener events are async; give the bus a beat to drain
+      Thread.sleep(300)
+      import scala.jdk.CollectionConverters._
+      val rows = spans.asScala.toSeq.sortBy(_._1)
+      println(f"[probe] rep $r total=$dt%.3f jobs=${rows.size}")
+      rows.foreach { case (id, s0, s1) =>
+        println(f"[probe]   job $id%3d start=${(s0 - base) / 1e3}%6.3f end=${(s1 - base) / 1e3}%6.3f dur=${(s1 - s0) / 1e3}%6.3f")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -92,7 +92,10 @@ object ScalingBench {
       batch.foreach { n =>
         val (a, b) = (run(n), run(n))
         val t = if (a < 0 || b < 0) -1.0 else math.min(a, b)
-        println(f"[pt] $n $t%.6f")
+        // Locale.ROOT: the f"" interpolator is default-locale and a
+        // comma-decimal locale would corrupt the parent's parse
+        println(String.format(java.util.Locale.ROOT,
+          "[pt] %s %.6f", n, Double.box(t)))
       }
     }
     spark.stop()
@@ -126,10 +129,14 @@ object ScalingBench {
         es.getLines().foreach(_ => ())
       })
       drainer.setDaemon(true); drainer.start()
+      // tolerant parse: a malformed marker line skips that LINE (query
+      // reads failed via getOrElse), never the orchestration
       val out = scala.io.Source.fromInputStream(p.getInputStream)
-        .getLines().filter(_.startsWith("[pt] ")).map { l =>
-          val Array(_, n, t) = l.split(" ")
-          n -> t.toDouble
+        .getLines().filter(_.startsWith("[pt] ")).flatMap { l =>
+          scala.util.Try {
+            val parts = l.split(" ")
+            parts(1) -> parts(2).toDouble
+          }.toOption
         }.toMap
       p.waitFor()
       // a child that died mid-point marks every missing query failed
@@ -154,10 +161,12 @@ object ScalingBench {
     val flagged = entries.collect {
       case (n, _, _, r, _, r2) if r > FlagRatio || r2.exists(_ > FlagRatioXl) => n
     } ++ failed
+    def n4(d: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+    def n2(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val qs = entries.map { case (n, s, l, r, x, r2) =>
-      val base = f"""\"$n\":{\"small\":$s%.4f,\"large\":$l%.4f,\"ratio\":$r%.2f"""
+      val base = s""""$n":{"small":${n4(s)},"large":${n4(l)},"ratio":${n2(r)}"""
       val ext = (x, r2) match {
-        case (Some(xv), Some(rv)) => f""",\"xl\":$xv%.4f,\"ratio2\":$rv%.2f}"""
+        case (Some(xv), Some(rv)) => s""","xl":${n4(xv)},"ratio2":${n2(rv)}}"""
         case _ => "}"
       }
       base + ext

@@ -35,21 +35,24 @@ object SparkEntry {
 
   // --- shared mapping fixtures -------------------------------------------
 
-  /** Run `f` with `spark.sql.shuffle.partitions` scoped to `n`, restoring
-    * the session value after. Used by the streaming DRAIN queries: a
-    * stateful streaming sink pays state-store open/commit PER PARTITION
-    * per micro-batch, and the drain jobs' state key cardinality is small
-    * (hundreds of windows / thousands of keys), so 32 partitions is pure
-    * fixed cost there — 8 halves the drain (2.07 → 1.26 s measured at
-    * sf0.1, values identical since results never depend on partitioning).
-    * Production long-lived streams size this to throughput instead; batch
-    * queries keep the session default (= cores).
+  /** Run `f` against a CLONED session (same SparkContext, own SQLConf)
+    * whose `spark.sql.shuffle.partitions` is `n`. Used by the streaming
+    * DRAIN queries: a stateful streaming sink pays state-store
+    * open/commit PER PARTITION per micro-batch, and the drain jobs'
+    * state key cardinality is small (hundreds of windows / thousands of
+    * keys), so 32 partitions is pure fixed cost there — 8 halves the
+    * drain (2.07 → 1.26 s measured at sf0.1, values identical since
+    * results never depend on partitioning). The clone means the override
+    * CANNOT leak: a concurrent query on the shared session never sees 8,
+    * and there is no restore to race (the r9 form mutated the shared
+    * conf in try/finally — safe only under the bench's serial
+    * execution). Production long-lived streams size this to throughput
+    * instead; batch queries keep the session default (= cores).
     */
-  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try f finally s.conf.set(key, prev)
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(f: SparkSession => T): T = {
+    val scoped = s.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
+    f(scoped)
   }
 
   /** dest for merge queries: keyed subset of orders (FIXTURES.md role map). */
@@ -937,6 +940,19 @@ object SparkEntry {
       val e = read(s, dir, "embeddings")
       val cents = ext.Similarity.ivfCentroids(e, "vec_id", "embedding", k = 32)
       ext.Dedup.semanticDedup(e, "vec_id", "embedding", cents, threshold = 0.3)
+    },
+
+    // dedup: SemDeDup with the OVERSIZED-CLUSTER SPLIT guard — only 8
+    // centroids, so every cluster exceeds the 40-vector cap at every SF
+    // and the split actually fires (sub-seeds = lowest-md5 members,
+    // members move to the max cosine sub-seed); one split level so the
+    // whole recursion replays in plain SQL. The unbounded-depth law
+    // (every splittable cluster ends ≤ cap) is Round10Spec's.
+    "q_semdedup_capped" -> { (s, dir) =>
+      val e = read(s, dir, "embeddings")
+      val cents = ext.Similarity.ivfCentroids(e, "vec_id", "embedding", k = 8)
+      ext.Dedup.semanticDedupCapped(e, "vec_id", "embedding", cents,
+        threshold = 0.3, sizeCap = 40, maxDepth = 1)
     },
 
     // flagship composite: training-corpus curation (quality gate →
@@ -2115,19 +2131,18 @@ object SparkEntry {
     // (the long-lived production form keeps append mode + watermark).
     "q_stream_tumbling" -> { (s, dir) =>
       val name = "graft_stream_tumbling"
-      s.catalog.dropTempView(name)
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 8) { ss =>
         val agg = ext.EventStream.tumblingCounts(
-          ext.EventStream.readStream(s, s"$dir/events.parquet"), "1 hour")
+          ext.EventStream.readStream(ss, s"$dir/events.parquet"), "1 hour")
         val q = agg.writeStream.format("memory").queryName(name)
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        ss.table(name).select(
+          unix_micros(col("window.start")).alias("hour_us"),
+          col("event_type"), col("n_events"), col("sum_value"))
       }
-      s.table(name).select(
-        unix_micros(col("window.start")).alias("hour_us"),
-        col("event_type"), col("n_events"), col("sum_value"))
     },
 
     // streaming DISTINCT through the dedup state store: key columns are
@@ -2136,18 +2151,17 @@ object SparkEntry {
     // SELECT DISTINCT, making stateful streaming dedup driver-checkable
     "q_stream_distinct" -> { (s, dir) =>
       val name = "graft_stream_distinct"
-      s.catalog.dropTempView(name)
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 8) { ss =>
         val keys = ext.EventStream.distinctKeys(
-          ext.EventStream.readStream(s, s"$dir/events.parquet"),
+          ext.EventStream.readStream(ss, s"$dir/events.parquet"),
           Seq("user_id", "event_type"))
         val q = keys.writeStream.format("memory").queryName(name)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        ss.table(name)
       }
-      s.table(name)
     },
 
     // streaming SESSION windows drained to completion: dynamic-gap
@@ -2156,20 +2170,19 @@ object SparkEntry {
     // aggregation (q_session_window's oracle shape, per-user)
     "q_stream_session" -> { (s, dir) =>
       val name = "graft_stream_session"
-      s.catalog.dropTempView(name)
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 8) { ss =>
         val agg = ext.EventStream.sessionCounts(
-          ext.EventStream.readStream(s, s"$dir/events.parquet"), "30 minutes")
+          ext.EventStream.readStream(ss, s"$dir/events.parquet"), "30 minutes")
         val q = agg.writeStream.format("memory").queryName(name)
           .outputMode("complete")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        ss.table(name).select(col("user_id"),
+          unix_micros(col("session_window.start")).alias("s_us"),
+          unix_micros(col("session_window.end")).alias("e_us"),
+          col("n_events"))
       }
-      s.table(name).select(col("user_id"),
-        unix_micros(col("session_window.start")).alias("s_us"),
-        unix_micros(col("session_window.end")).alias("e_us"),
-        col("n_events"))
     },
 
     // custom keyed state (flatMapGroupsWithState) in the driver lane: the
@@ -2179,18 +2192,17 @@ object SparkEntry {
     // arrival-order-dependent and stays out of the oracle contract
     "q_stream_state" -> { (s, dir) =>
       val name = "graft_stream_state"
-      s.catalog.dropTempView(name)
-      withShufflePartitions(s, 8) {
+      withShufflePartitions(s, 8) { ss =>
         val upd = ext.EventStream.withRunningState(
-          ext.EventStream.readStream(s, s"$dir/events.parquet"), heavyAt = 67L)
+          ext.EventStream.readStream(ss, s"$dir/events.parquet"), heavyAt = 67L)
         val q = upd.toDF().writeStream.format("memory").queryName(name)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        ss.table(name).select(col("userId").alias("user_id"),
+          col("nEvents").alias("n_events"), col("isHeavy").alias("is_heavy"))
       }
-      s.table(name).select(col("userId").alias("user_id"),
-        col("nEvents").alias("n_events"), col("isHeavy").alias("is_heavy"))
     },
 
     // events: JSON property extraction (semi-structured props column)
@@ -4483,7 +4495,7 @@ object SparkEntry {
     // survivors → recursive closure canonical; verdicts assembled with
     // stage-local provenance. 50 injected exact copies exercise stage 1
     "q_dedup_cascade" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
         |inp AS (SELECT doc_id, text FROM documents WHERE doc_id < 300
         |        UNION ALL
         |        SELECT doc_id + 1000, text FROM documents WHERE doc_id < 50),
@@ -4495,10 +4507,12 @@ object SparkEntry {
         |         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
         |       FROM (SELECT doc_id, w,
         |               unnest(range(greatest(len(w) - 2, 0))) AS i FROM d)),
-        |g AS (SELECT doc_id, i,
-        |        CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 12)
-        |             AS BIGINT) AS hv
-        |      FROM sh CROSS JOIN range(32) r(i)),
+        |hb AS (SELECT doc_id,
+        |         CAST('0x' || substr(md5(shingle), 1, 12) AS BIGINT) AS h
+        |       FROM sh),
+        |co(i, a, b) AS (VALUES ${affineCoeffValues(32)}),
+        |g AS (SELECT doc_id, i, (a * h + b) % ${ext.Dedup.AffineP} AS hv
+        |      FROM hb CROSS JOIN co),
         |sig AS (SELECT doc_id, i, MIN(hv) AS mh FROM g GROUP BY doc_id, i),
         |bk AS (SELECT doc_id, i // 4 AS band,
         |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
@@ -5193,6 +5207,54 @@ object SparkEntry {
         |          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3)
         |SELECT a.vec_id, CAST(a.list AS INTEGER) AS cluster
         |FROM assign a
+        |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.b_id = a.vec_id)""".stripMargin,
+
+    // capped SemDeDup: same centroid sample + assignment device (k=8),
+    // then ONE split pass — per oversized cluster the ceil(sz/40)
+    // lowest-md5 members become sub-seeds, members re-rank by
+    // dot(v, seed)/‖seed‖ (ties by seed rank), labels become 'cl:j';
+    // pairs and the greedy anti-join run on the final labels
+    "q_semdedup_capped" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |cent0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM e
+        |          ORDER BY h LIMIT 8),
+        |cent AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cidx,
+        |                CASE WHEN list_dot_product(v, v) = 0 THEN v
+        |                     ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+        |                END AS c
+        |         FROM cent0),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |assign AS (SELECT vec_id, v, nrm, CAST(list AS VARCHAR) AS cl FROM (
+        |    SELECT n.vec_id, n.v, n.nrm, c.cidx AS list,
+        |           row_number() OVER (PARTITION BY n.vec_id
+        |             ORDER BY list_dot_product(n.v, c.c) DESC, c.cidx) AS rn
+        |    FROM n CROSS JOIN cent c) WHERE rn = 1),
+        |sz AS (SELECT cl, COUNT(*) AS sz FROM assign GROUP BY cl),
+        |overm AS (SELECT a.vec_id, a.v, a.nrm, a.cl, z.sz
+        |          FROM assign a JOIN sz z ON z.cl = a.cl AND z.sz > 40),
+        |seeds AS (SELECT cl, v AS sv, sqrt(list_dot_product(v, v)) AS sn, sr
+        |          FROM (SELECT cl, v, sz,
+        |                  row_number() OVER (PARTITION BY cl
+        |                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS sr
+        |                FROM overm)
+        |          WHERE sr <= (sz + 39) // 40),
+        |sub AS (SELECT vec_id, v, nrm, cl || ':' || CAST(sr - 1 AS VARCHAR) AS cl
+        |        FROM (SELECT m.vec_id, m.v, m.nrm, m.cl, s.sr,
+        |                row_number() OVER (PARTITION BY m.vec_id
+        |                  ORDER BY (CASE WHEN s.sn = 0 THEN 0.0
+        |                            ELSE list_dot_product(m.v, s.sv) / s.sn END) DESC,
+        |                    s.sr) AS rn
+        |              FROM overm m JOIN seeds s ON s.cl = m.cl)
+        |        WHERE rn = 1),
+        |final AS (SELECT a.vec_id, a.v, a.nrm, a.cl
+        |          FROM assign a JOIN sz z ON z.cl = a.cl AND z.sz <= 40
+        |          UNION ALL SELECT vec_id, v, nrm, cl FROM sub),
+        |pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |          FROM final a JOIN final b
+        |            ON a.cl = b.cl AND a.vec_id < b.vec_id
+        |          WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3)
+        |SELECT a.vec_id, a.cl AS cluster
+        |FROM final a
         |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.b_id = a.vec_id)""".stripMargin,
 
     // MaxSim replayed relationally: per-(pair, query-vector) max of

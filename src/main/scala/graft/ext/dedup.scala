@@ -244,7 +244,11 @@ object Dedup {
     // re-scans and re-shingles the corpus text — materializing the
     // hashed arrays (~50 longs/doc, a ~50× reduction over the text)
     // replaces two full corpus scans; at 100 TB this is the standard
-    // persist-the-working-set step (the q_dedup_cascade discipline).
+    // persist-the-working-set step. CALLER NOTE (here and in
+    // [[bagJaccardPairsLsh]]): localCheckpoint is EAGER — merely
+    // CONSTRUCTING this DataFrame runs the shingle job and pins the
+    // materialized blocks in executor storage until the ContextCleaner
+    // reclaims them; build the frame when you intend to consume it.
     val sets = df.select(col(idCol),
         (if (portable) graft.functions.WordShingles.columnHashed(col(textCol), k)
          else shingleArray(textCol, k)).alias("__sh"))
@@ -920,9 +924,10 @@ object Dedup {
     * md5(text) — 33-byte keys, never full documents — and removes the
     * byte-identical mass (typically the bulk of crawl duplication) before
     * the signature build, so LSH banding runs on the smaller survivor set.
-    * The near stage reuses [[minHashNearDupAgainst]]'s machinery
-    * self-joined (a < b) and [[nearDupClusters]]' capped union-find /
-    * distributed min-label closure. `portable = true` keeps every stage
+    * The near stage is one signature build + [[sigCandidates]] banding
+    * (a < b) + signature rescore, then [[nearDupClusters]]' capped
+    * union-find / distributed min-label closure. `portable = true` keeps
+    * every stage
     * replayable in plain SQL (the oracle path); native xxhash64 hashing is
     * the scale default.
     *
@@ -945,22 +950,50 @@ object Dedup {
       .filter(col(idCol) =!= col("__rep"))
       .select(col(idCol), lit("exact").alias("stage"),
         col("__rep").alias("dup_of"))
-    // both checkpoints are execution-plumbing, not semantics. Survivors
-    // feed the LSH stage TWICE (both sides of the against-join) and the
-    // verdict join — materializing once replaces three replays of the
-    // text anti-join; at 100 TB this is the standard persist-survivors
-    // step (the alternative recomputes the exact stage per consumer).
-    // The pair list is edge-sized (≪ corpus, post-LSH) and is consumed
-    // by the clustering loop's count + traversal — without the
-    // checkpoint every action replays the whole minhash/banding chain.
+    // the near stage is a SELF-join, so signatures build ONCE and feed
+    // banding and both rescore sides from the same relation — the r9
+    // shape ran the against-join machinery on (surv, surv), paying the
+    // signature aggregation twice plus two materialization barriers
+    // (survivors + pairs localCheckpoints). Neither barrier earns its
+    // per-job floor: within one action the signature groupBy Exchange is
+    // computed once and reused (ReusedExchange — the minHashNearDupPairs
+    // doctrine), and the pair list's only consumer on the driver
+    // union-find path is a single `limit(cap+1).collect()` probe (the
+    // distributed fallback caches its edge frame internally), so nothing
+    // here is consumed twice ACROSS actions. Measured at sf0.1 the
+    // checkpoint jobs were the cost: 2.06 s → ~1.2 s with identical
+    // results. At 100 TB the same holds — the cascade is two actions
+    // (pair probe + verdict write), each a linear pipeline.
     val surv = df.select(col(idCol), col(textCol))
       .join(exactDrop.select(col(idCol)), Seq(idCol), "left_anti")
+    // portable signatures use the AFFINE family over native 48-bit hashed
+    // shingles (one md5 per shingle inside [[graft.functions.WordShingles
+    // .columnHashed]], cheap re-mix slots, one wide groupBy) — the LSH-twin
+    // chain, ~numHashes× less md5 work and no HOF reassembly vs the
+    // md5-per-(i, shingle) contract this replaces (that family remains the
+    // contract of the subset-scoped incremental queries). The checkpoint
+    // is the one materialization barrier: signatures feed banding AND both
+    // rescore sides, and the pair probe + verdict actions would otherwise
+    // replay the whole build per consumer. NOTE: localCheckpoint is eager.
+    val sigs =
+      (if (portable)
+         sigsOfHashedSets(
+           surv.select(col(idCol),
+             graft.functions.WordShingles.columnHashed(col(textCol), k)
+               .alias("__sh")),
+           idCol, "__sh", numHashes)
+       else minHashSignatures(surv, idCol, textCol, k, numHashes))
       .localCheckpoint()
-    val pairs = minHashNearDupAgainst(surv, surv, idCol, textCol,
-        k, numHashes, bands, threshold, portable)
-      .filter(col("new_id") < col("corpus_id"))
-      .select(col("new_id").alias("a_id"), col("corpus_id").alias("b_id"))
-      .localCheckpoint()
+    val pairs = sigCandidates(sigs, idCol, bands, numHashes, portable)
+      .join(sigs.select(col(idCol).alias("a_id"), col("signature").alias("sa")),
+        "a_id")
+      .join(sigs.select(col(idCol).alias("b_id"), col("signature").alias("sb")),
+        "b_id")
+      .withColumn("est_jaccard",
+        expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))").cast("double")
+          / size(col("sa")).cast("double"))
+      .filter(col("est_jaccard") >= threshold)
+      .select("a_id", "b_id")
     val clusters = nearDupClusters(surv.select(col(idCol)), idCol, pairs)
     val nearDrop = clusters.filter(col("id") =!= col("cluster"))
       .select(col("id").alias(idCol), lit("near_dup").alias("stage"),
@@ -1547,9 +1580,10 @@ object Dedup {
     * parallelizes across clusters with no global candidate structure.
     *
     * Skew guard at 100 TB: a pathological mega-cluster re-introduces the
-    * quadratic blowup; production splits oversized clusters by re-running
-    * assignment against sub-centroids (same operator, cluster-scoped
-    * input) — the same recursion IVF uses for unbalanced lists.
+    * quadratic blowup; [[semanticDupPairsCapped]] is this operator with
+    * the oversized-cluster split implemented (recursive sub-seed
+    * re-assignment, [[semanticAssignCapped]]) — use it whenever cluster
+    * sizes are not known to be bounded.
     *
     * Emits (cluster, a_id < b_id, cosine ≥ threshold).
     */
@@ -1564,6 +1598,141 @@ object Dedup {
       col("v").alias("va"), col("nrm").alias("na"))
     val b = e.select(col("cluster"), col("id").alias("b_id"),
       col("v").alias("vb"), col("nrm").alias("nb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine",
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("cluster", "a_id", "b_id", "cosine")
+  }
+
+  /** Capped cluster assignment — [[semanticDupPairs]]' oversized-cluster
+    * skew guard made real. Vectors are first assigned to `centroids`
+    * ([[graft.functions.IvfAssign]], narrow); then, up to `maxDepth`
+    * times, every cluster holding more than `sizeCap` members is SPLIT:
+    * its `ceil(size / sizeCap)` members with the lowest `md5(id)` become
+    * sub-seeds (the [[graft.ext.Similarity.ivfCentroids]] sampling
+    * device, engine-reproducible), and each member moves to the sub-seed
+    * maximizing `dot(v, seed) / ‖seed‖` (cosine ranking against the
+    * unit seed — division instead of materializing normalized seed
+    * arrays keeps the scoring a pure codegen expression), ties broken by
+    * seed rank. Labels are path strings (`"7" → "7:2" → "7:2:0"`), so
+    * the recursion is the same operator re-applied to cluster-scoped
+    * input — the IVF unbalanced-list recipe the r9 docstring promised.
+    *
+    * Scale: each level costs one size aggregate (a `limit(1)` probe —
+    * oversized clusters number ≤ n/sizeCap, nothing corpus-sized reaches
+    * the driver), one seed-rank window over OVERSIZED members only, and
+    * a members × sub-seeds scoring join whose row count is at most
+    * n · ceil(maxClusterShare/sizeCap) — all bounded, all distributed.
+    * Without the guard one pathological mega-cluster (a crawl of
+    * boilerplate, an embedding-model collapse) silently restores the n²
+    * all-pairs blowup SemDeDup exists to avoid.
+    *
+    * Caveat, by geometry: IDENTICAL vectors tie on every sub-seed score
+    * and land on one sub-seed together, so a true point mass does not
+    * split (and must not — scattering exact duplicates across
+    * sub-clusters would hide their pairs). Point masses are exact
+    * duplicates; remove them upstream with [[exact]] on a vector hash.
+    * The guard bounds work for clusters with geometric EXTENT, which is
+    * every real mega-cluster that isn't already an exact-dup group.
+    *
+    * Emits (idCol, vecCol, cluster STRING).
+    */
+  def semanticAssignCapped(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], sizeCap: Int,
+      maxDepth: Int = 4): DataFrame = {
+    require(sizeCap > 1, "sizeCap must exceed 1")
+    require(maxDepth >= 0, "maxDepth must be non-negative")
+    import graft.functions.IvfAssign
+    import org.apache.spark.sql.expressions.Window
+    var assign = df.select(col(idCol), col(vecCol),
+      IvfAssign.column(col(vecCol), centroids, 1).getItem(0).cast("string")
+        .alias("cluster"))
+    var depth = 0
+    var done = maxDepth == 0
+    while (!done) {
+      val oversized = assign.groupBy(col("cluster"))
+        .agg(count(lit(1)).alias("__sz"))
+        .filter(col("__sz") > sizeCap)
+      if (oversized.limit(1).count() == 0L) done = true
+      else {
+        val over = assign.join(oversized, Seq("cluster"))
+        val seedW = Window.partitionBy(col("cluster"))
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))
+        val seeds = over
+          .withColumn("__sr", row_number().over(seedW))
+          .filter(col("__sr") <= expr(s"(__sz + ${sizeCap - 1}) div $sizeCap"))
+          .select(col("cluster"), col("__sr"),
+            col(vecCol).alias("__seedv"),
+            Similarity.norm(col(vecCol)).alias("__seedn"))
+        val pickW = Window.partitionBy(col(idCol))
+          .orderBy(col("__score").desc, col("__sr"))
+        val sub = over.join(seeds, Seq("cluster"))
+          .withColumn("__score",
+            when(col("__seedn") === 0.0, lit(0.0)).otherwise(
+              Similarity.dot(col(vecCol), col("__seedv")) / col("__seedn")))
+          .withColumn("__rn", row_number().over(pickW))
+          .filter(col("__rn") === 1)
+          .select(col(idCol), col(vecCol),
+            concat(col("cluster"), lit(":"),
+              (col("__sr") - 1).cast("string")).alias("cluster"))
+        // one barrier per SPLIT level (rare in production): the loop's
+        // size probe and every downstream consumer would otherwise replay
+        // all previous levels' windows. NOTE: localCheckpoint is eager.
+        assign = assign
+          .join(oversized.select("cluster"), Seq("cluster"), "left_anti")
+          .select(col(idCol), col(vecCol), col("cluster"))
+          .unionByName(sub)
+          .localCheckpoint()
+        depth += 1
+        if (depth >= maxDepth) done = true
+      }
+    }
+    assign
+  }
+
+  /** [[semanticDupPairs]] with the [[semanticAssignCapped]] split guard:
+    * pairs are generated within CAPPED cluster labels, so per-cluster
+    * all-pairs work is bounded by sizeCap² regardless of how skewed the
+    * centroid assignment is. Emits (cluster STRING, a_id < b_id,
+    * cosine ≥ threshold).
+    */
+  def semanticDupPairsCapped(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], threshold: Double, sizeCap: Int,
+      maxDepth: Int = 4): DataFrame =
+    pairsWithinClusters(
+      semanticAssignCapped(df, idCol, vecCol, centroids, sizeCap, maxDepth),
+      idCol, vecCol, threshold)
+
+  /** [[semanticDedup]] under the capped assignment: survivors are vectors
+    * with no lower-id neighbor at `threshold` cosine within their CAPPED
+    * cluster. Emits (idCol, cluster STRING) for every kept vector.
+    */
+  def semanticDedupCapped(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: Seq[Seq[Double]], threshold: Double, sizeCap: Int,
+      maxDepth: Int = 4): DataFrame = {
+    val asg = semanticAssignCapped(df, idCol, vecCol, centroids, sizeCap, maxDepth)
+    val dropped = pairsWithinClusters(asg, idCol, vecCol, threshold)
+      .select(col("b_id").alias(idCol)).distinct()
+    asg.select(col(idCol), col("cluster"))
+      .join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** In-cluster (a_id < b_id) cosine pairs of an assignment frame
+    * (idCol, vecCol, cluster) — the shared pair generator of the
+    * semantic-dedup family. */
+  private def pairsWithinClusters(
+      asg: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val e = asg.withColumn("nrm", Similarity.norm(col(vecCol)))
+    val a = e.select(col("cluster"), col(idCol).alias("a_id"),
+      col(vecCol).alias("va"), col("nrm").alias("na"))
+    val b = e.select(col("cluster"), col(idCol).alias("b_id"),
+      col(vecCol).alias("vb"), col("nrm").alias("nb"))
     a.join(b, Seq("cluster"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cosine",

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-10 laws: the SemDeDup oversized-cluster split guard
+  * ([[ext.Dedup.semanticAssignCapped]] family).
+  *
+  *  - a planted MEGA-CLUSTER (every vector assigned to one centroid, but
+  *    with geometric extent) is recursively split until every splittable
+  *    cluster holds ≤ sizeCap members, so in-cluster pair work stays
+  *    Σ|c|² ≤ (#clusters)·cap² instead of n²;
+  *  - the capped pair list is CORRECT: every emitted pair shares a final
+  *    cluster and carries its true cosine ≥ threshold;
+  *  - depth 0 / cap ≥ n degenerate to the uncapped operator exactly;
+  *  - survivors = corpus minus pair-b-sides (the greedy law, same as the
+  *    uncapped ExtSpec law).
+  */
+class Round10Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 600 vectors in 3 dims, all in the far-positive-x halfspace so ONE
+    * centroid at (1,0,0) swallows everything — the mega-cluster — but
+    * with real geometric spread in y/z (deterministic lattice jitter),
+    * so sub-seed splitting has extent to work with.
+    */
+  private lazy val mega = {
+    val rows = (0 until 600).map { i =>
+      val y = (i % 25) * 0.04 - 0.5        // [-0.5, 0.46]
+      val z = ((i * 7) % 31) * 0.03 - 0.45 // [-0.45, 0.45]
+      (i.toLong, Seq(10.0f, y.toFloat, z.toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+  // two centroids; every vector is nearest the first — cluster "0" holds
+  // all 600 vectors
+  private val cents = Seq(Seq(1.0, 0.0, 0.0), Seq(-1.0, 0.0, 0.0))
+
+  test("planted mega-cluster splits to ≤ cap; pair work is Σ|c|²-bounded") {
+    val cap = 50
+    val asg = ext.Dedup.semanticAssignCapped(
+      mega, "vec_id", "embedding", cents, sizeCap = cap, maxDepth = 6)
+    val sizes = asg.groupBy("cluster").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every vector still assigned exactly once
+    assert(sizes.values.sum === 600L)
+    // the split FIRED (root label alone would be one 600-cluster)
+    assert(sizes.size > 1, s"split did not fire: $sizes")
+    // bounded: every final cluster ≤ cap (the fixture has geometric
+    // extent, so recursion converges before maxDepth)
+    val oversized = sizes.filter(_._2 > cap)
+    assert(oversized.isEmpty, s"clusters still over cap: $oversized")
+    // pair work bound that motivates the guard: Σ|c|² ≪ n²
+    val sigma2 = sizes.values.map(s => s * s).sum
+    assert(sigma2 <= sizes.size * cap.toLong * cap,
+      s"Σ|c|²=$sigma2 exceeds clusters×cap²")
+    assert(sigma2 < 600L * 600L / 4,
+      s"Σ|c|²=$sigma2 not meaningfully below n²")
+  }
+
+  test("capped pairs are correct: same final cluster, true cosine ≥ threshold") {
+    val cap = 50
+    val thr = 0.9
+    val asg = ext.Dedup.semanticAssignCapped(
+      mega, "vec_id", "embedding", cents, sizeCap = cap, maxDepth = 6)
+    val label = asg.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val vecs = mega.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).foldLeft(0.0)((s, p) => s + p._1 * p._2)
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val pairs = ext.Dedup.semanticDupPairsCapped(
+      mega, "vec_id", "embedding", cents, thr, cap, maxDepth = 6).collect()
+    assert(pairs.nonEmpty, "fixture degenerate: no in-cluster pairs at thr")
+    pairs.foreach { r =>
+      val (cl, a, b, c) = (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(a < b)
+      assert(label(a) === cl && label(b) === cl, s"pair ($a,$b) crosses clusters")
+      assert(math.abs(cos(vecs(a), vecs(b)) - c) < 1e-9, s"cosine wrong for ($a,$b)")
+      assert(c >= thr - 1e-9)
+    }
+    // completeness WITHIN final clusters: every same-cluster pair over
+    // the threshold is present
+    val emitted = pairs.map(r => (r.getLong(1), r.getLong(2))).toSet
+    val byCluster = label.toSeq.groupBy(_._2).values
+    byCluster.foreach { members =>
+      val ids = members.map(_._1).sorted
+      for (i <- ids.indices; j <- i + 1 until ids.length)
+        if (cos(vecs(ids(i)), vecs(ids(j))) >= thr)
+          assert(emitted.contains((ids(i), ids(j))),
+            s"missing in-cluster pair (${ids(i)},${ids(j)})")
+    }
+  }
+
+  test("cap ≥ n and maxDepth 0 degenerate to the uncapped operator") {
+    val thr = 0.3
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents8 = ext.Similarity.ivfCentroids(e, "vec_id", "embedding", k = 8)
+    val base = ext.Dedup.semanticDupPairs(e, "vec_id", "embedding", cents8, thr)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capWide = ext.Dedup.semanticDupPairsCapped(
+        e, "vec_id", "embedding", cents8, thr, sizeCap = 1000000)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val depth0 = ext.Dedup.semanticDupPairsCapped(
+        e, "vec_id", "embedding", cents8, thr, sizeCap = 2, maxDepth = 0)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capWide === base)
+    assert(depth0 === base)
+  }
+
+  test("capped survivors = corpus minus pair b-sides (greedy law)") {
+    val cap = 50
+    val thr = 0.9
+    val kept = ext.Dedup.semanticDedupCapped(
+        mega, "vec_id", "embedding", cents, thr, cap, maxDepth = 6)
+      .collect().map(_.getLong(0)).toSet
+    val dropped = ext.Dedup.semanticDupPairsCapped(
+        mega, "vec_id", "embedding", cents, thr, cap, maxDepth = 6)
+      .collect().map(_.getLong(2)).toSet
+    val all = (0 until 600).map(_.toLong).toSet
+    assert(kept === all -- dropped)
+    assert(kept.nonEmpty && dropped.nonEmpty)
+  }
+}

@@ -47,7 +47,8 @@ object EventStream {
     * files with a batch read so the stream adapts to whichever `ts`
     * contract they carry.
     */
-  def readStream(spark: SparkSession, dir: String): DataFrame = {
+  def readStream(spark: SparkSession, dir: String,
+      extraOptions: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(dir).schema
     // FileStreamSource's partition inference requires basePath to be a
@@ -57,7 +58,10 @@ object EventStream {
     // matches only the same file but flips isGlobPath) and pin basePath
     // to the parent directory explicitly
     val p = new java.io.File(dir)
-    val reader = spark.readStream.schema(fileSchema)
+    // extraOptions passes source knobs through (e.g. maxFilesPerTrigger=1
+    // to force one micro-batch per file — how the late-data law replays a
+    // specific arrival order)
+    val reader = spark.readStream.schema(fileSchema).options(extraOptions)
     val (path, withBase) =
       if (p.isFile)
         (s"${p.getParent}/${p.getName.dropRight(1)}[${p.getName.last}]",

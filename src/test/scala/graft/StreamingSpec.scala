@@ -385,4 +385,115 @@ class StreamingSpec extends AnyFunSuite {
     val byId = got.map(r => r.getLong(0) -> r.getBoolean(3)).toMap
     assert(byId(10L) && !byId(11L))
   }
+
+  test("late data past the watermark: append sink drops exactly the late rows, complete catalog drain retains them") {
+    // Two files, one micro-batch each (maxFilesPerTrigger=1, mtime order):
+    //   file A (batch 1): hours 00-02 — max ts 02:55, so the watermark
+    //     after batch 1 is 02:45 and windows W0/W1 (ends 01:00/02:00) are
+    //     finalized and their state evicted;
+    //   file B (batch 2): two LATE rows back in W0 (event time below the
+    //     02:45 watermark → dropped by the stateful aggregation) plus one
+    //     on-time row at 04:30 (watermark moves to 04:20 → W2 finalizes,
+    //     the 04:00 window stays open and is withheld by append mode).
+    // Laws:
+    //   append-mode FILE sink (the long-lived production form) ==
+    //     batch aggregation over the ON-TIME rows restricted to windows
+    //     ending ≤ the final watermark — and the batch-over-ALL minus
+    //     stream delta is EXACTLY the planted late rows' contribution;
+    //   complete-mode catalog drain (completeToCatalog) == batch over ALL
+    //     rows INCLUDING the late ones: complete mode never evicts state,
+    //     so the drain path is late-data-lossless by construction.
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s"2025-01-01 $s:00")
+    val aRows = Seq(
+      (ts("00:05"), "a", 1.50), (ts("00:15"), "b", 2.25),
+      (ts("00:45"), "a", 1.00), (ts("01:10"), "a", 3.00),
+      (ts("01:40"), "b", 0.75), (ts("02:20"), "a", 2.00),
+      (ts("02:55"), "b", 1.25))
+    val lateRows = Seq((ts("00:20"), "a", 9.00), (ts("00:30"), "b", 9.00))
+    val bRows = lateRows :+ ((ts("04:30"), "a", 5.00))
+    val d = java.nio.file.Files.createTempDirectory("graft-late").toFile
+    d.deleteOnExit()
+    def writeFile(rows: Seq[(Timestamp, String, Double)], name: String,
+        mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-late-w").toFile
+      rows.toDF("ts", "event_type", "value").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(d, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 120000
+    // file A is written BEFORE the query starts; file B lands only after
+    // the first drain (processAllAvailable) — arrival order is driven
+    // explicitly instead of trusting listing order, so batch 1 is exactly
+    // A and batch 2 exactly B
+    writeFile(aRows, "a.parquet", t0)
+
+    def aggOf(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).alias("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window.start"), col("event_type"), col("n_events"),
+        col("sum_value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val onTime = aRows :+ bRows.last
+    def batchOf(rows: Seq[(Timestamp, String, Double)]) =
+      aggOf(rows.toDF("ts", "event_type", "value")
+        .withColumn("ts_utc", col("ts")))
+
+    // --- append-mode production FILE sink (native FileStreamSink) ---
+    val outDir = java.nio.file.Files.createTempDirectory("graft-late-out").toFile
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-late-ck").toFile
+    outDir.deleteOnExit(); ckDir.deleteOnExit()
+    val appendQ = EventStream.tumblingCounts(
+        EventStream.readStream(spark, d.getAbsolutePath,
+          Map("maxFilesPerTrigger" -> "1")), "1 hour")
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", outDir.getAbsolutePath)
+      .option("checkpointLocation", ckDir.getAbsolutePath)
+      .start()
+    appendQ.processAllAvailable() // batch 1: file A → watermark 02:45
+    writeFile(bRows, "b.parquet", t0 + 60000)
+    appendQ.processAllAvailable(); appendQ.stop() // batch 2: file B
+    val emitted = keyed(spark.read.parquet(outDir.getAbsolutePath))
+    val finalWm = ts("04:20")
+    val expectAppend = keyed(batchOf(onTime)
+      .filter(col("window.end") <= lit(finalWm)))
+    assert(emitted === expectAppend,
+      s"append sink != on-time batch: got=$emitted want=$expectAppend")
+    // dropped-row accounting: batch-over-ALL differs from the stream
+    // output EXACTLY by the planted late rows (inside emitted windows)
+    val allBatch = keyed(batchOf(aRows ++ bRows)
+      .filter(col("window.end") <= lit(finalWm)))
+    val delta = allBatch.map { case (k, (n, s)) =>
+      val (en, es) = emitted.getOrElse(k, (0L, 0.0)); k -> (n - en, s - es) }
+      .filter { case (_, (n, _)) => n != 0 }
+    val lateContribution = keyed(batchOf(lateRows))
+    assert(delta === lateContribution,
+      s"dropped accounting mismatch: delta=$delta late=$lateContribution")
+
+    // --- complete-mode catalog drain: late rows ARE retained ---
+    val root = java.nio.file.Files.createTempDirectory("graft-late-cat").toFile
+    root.deleteOnExit()
+    val cat = new VersionedCatalog(spark, root.getAbsolutePath)
+    val q = EventStream.completeToCatalog(
+      EventStream.tumblingCounts(
+        EventStream.readStream(spark, d.getAbsolutePath,
+          Map("maxFilesPerTrigger" -> "1")), "1 hour"),
+      cat, "late_tumbling").start()
+    q.awaitTermination()
+    val drained = keyed(cat.read("late_tumbling"))
+    val expectAll = keyed(batchOf(aRows ++ bRows))
+    assert(drained === expectAll,
+      s"complete drain lost late data: got=$drained want=$expectAll")
+    // and the append output is the all-rows result minus exactly the
+    // late mass and the still-open window — no other divergence
+    assert(expectAll.keySet.diff(allBatch.keySet).forall(_._1 == ts("04:00")))
+  }
 }

@@ -1,29 +1,42 @@
 package graft
 
+import java.util.Locale
+
 import org.apache.spark.sql.SparkSession
 
-/** Exact-vs-LSH-twin crossover bench on the DUPLICATE-HEAVY fixture
-  * (`.bench/gen_dupheavy.py` → `.bench/dupheavy`): the near-dup regime
-  * the blocked twins exist for, which the uniform sf* fixtures never
-  * enter (decorrelated docs keep exact pairwise scorers near-linear, so
-  * on those fixtures a twin can only add overhead). On 30% planted
-  * duplicate mass the exact shingle-equi-joins pay ~df² rows per shared
-  * shingle while the twins pay banding + true-candidate rescores — this
-  * main measures that crossover and prints one JSON line (committed per
-  * round as `BENCH_DUPHEAVY.json`).
+/** Exact-vs-LSH-twin crossover bench on the DUPLICATE-HEAVY fixtures
+  * ([[DupFixture]], regenerated on demand under the gitignored
+  * `.bench/`): the near-dup regime the blocked twins exist for, which
+  * the uniform sf* fixtures never enter (decorrelated docs keep exact
+  * pairwise scorers near-linear, so on those fixtures a twin can only
+  * add overhead). This main measures the crossover on two profiles and
+  * prints one JSON line (committed per round as `BENCH_DUPHEAVY.json`):
+  *
+  *   - `Base` (30% mass, multiplicity 25): all three exact/twin pairs —
+  *     the exact shingle-equi-joins pay ~df² rows per shared shingle
+  *     while the twins pay banding + true-candidate rescores;
+  *   - `Multiplicity100` (same mass, multiplicity 100): the
+  *     `q_ngram_jaccard`/`q_minhash_neardup` pair only — the deep-
+  *     duplication regime where the full-corpus signature estimator's
+  *     df-flat cost must beat the exact join's df² (on Base the 64-hash
+  *     signature build costs more than the modest 44M-row exact join,
+  *     an honest 0.85×; the exact pair here is ~330M join rows, so each
+  *     run is tens of seconds — the profile stays scoped to one pair).
   *
   * Methodology matches [[Bench]]'s child JVMs: run this main in its own
-  * fresh JVM (it measures one "batch": warmup ×2, session restart, timed
-  * min-of-2).
+  * fresh JVM; each profile gets a fresh session, a warmup pass, then a
+  * session restart and timed min-of-2.
   */
 object DupBench {
-  private val Pairs = Seq(
+  private val BasePairs = Seq(
     "q_bag_jaccard" -> "q_bag_jaccard_lsh",
     "q_containment" -> "q_containment_lsh",
     "q_ngram_jaccard" -> "q_minhash_neardup")
 
+  private val M100Pairs = Seq("q_ngram_jaccard" -> "q_minhash_neardup")
+
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/repo/.bench/dupheavy")
+    val root = args.headOption.getOrElse("/root/repo/.bench")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     def build(): SparkSession = {
       val s = SparkSession.builder()
@@ -37,29 +50,50 @@ object DupBench {
       s.sparkContext.setLogLevel("WARN")
       s
     }
-    var spark = build()
-    val names = Pairs.flatMap { case (a, b) => Seq(a, b) }
-    def run(name: String): Double = {
-      val t0 = System.nanoTime()
-      val ok =
-        try { SparkEntry.queries(name)(spark, dir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[dup] $name FAILED: ${e.getMessage}"); false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache(); System.gc()
-      if (ok) dt else -1.0
+
+    def num(d: Double) = String.format(Locale.ROOT, "%.3f", Double.box(d))
+    def num2(d: Double) = String.format(Locale.ROOT, "%.2f", Double.box(d))
+
+    /** Measure one profile: warmup ×`warmups`, session restart, timed
+      * min-of-2. Returns the two JSON object bodies (times, ratios).
+      */
+    def profile(p: DupFixture.Profile, pairs: Seq[(String, String)],
+        warmups: Int): (String, String) = {
+      var spark = build()
+      val dir = DupFixture.ensure(spark, root, p)
+      val names = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
+      def run(name: String): Double = {
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(name)(spark, dir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[dup] $name FAILED: ${e.getMessage}"); false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache(); System.gc()
+        if (ok) dt else -1.0
+      }
+      (1 to warmups).foreach(_ => names.foreach(run))
+      spark.stop(); spark = build()
+      val t = names.map { n =>
+        val (a, b) = (run(n), run(n))
+        n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      }.toMap
+      spark.stop()
+      val qs = names.map(n => s""""$n":${num(t(n))}""").mkString("{", ",", "}")
+      val wins = pairs.map { case (exact, twin) =>
+        val r = if (t(twin) > 0 && t(exact) > 0) t(exact) / t(twin) else -1.0
+        s""""$twin":${num2(r)}"""
+      }.mkString("{", ",", "}")
+      (qs, wins)
     }
-    names.foreach(run); names.foreach(run) // warmup ×2
-    spark.stop(); spark = build()
-    val t = names.map { n =>
-      val (a, b) = (run(n), run(n))
-      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
-    }.toMap
-    val qs = names.map(n => f""""$n":${t(n)}%.3f""").mkString("{", ",", "}")
-    val wins = Pairs.map { case (exact, twin) =>
-      f""""$twin":${if (t(twin) > 0 && t(exact) > 0) t(exact) / t(twin) else -1.0}%.2f"""
-    }.mkString("{", ",", "}")
-    println(s"""{"metric":"dupheavy","dir":"$dir","queries":$qs,"exact_over_twin":$wins}""")
-    spark.stop()
+
+    // Base keeps two warmups (sub-20 s queries need the C2 floor
+    // amortized); m100's tens-of-seconds runs don't, one suffices.
+    val (baseQs, baseWins) = profile(DupFixture.Base, BasePairs, warmups = 2)
+    val (mQs, mWins) = profile(DupFixture.Multiplicity100, M100Pairs,
+      warmups = 1)
+    println(s"""{"metric":"dupheavy","queries":$baseQs,""" +
+      s""""exact_over_twin":$baseWins,""" +
+      s""""m100":{"queries":$mQs,"exact_over_twin":$mWins}}""")
   }
 }

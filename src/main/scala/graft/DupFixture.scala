@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Deterministic DUPLICATE-HEAVY fixture generator (dev/bench tooling;
+  * the engine itself never depends on it): a `documents.parquet` whose
+  * near-dup regime is the one the LSH twins exist for, which the uniform
+  * sf* fixtures never enter (their docs are decorrelated by construction,
+  * so exact pairwise scorers stay near-linear and a blocked twin can only
+  * add overhead).
+  *
+  * Replaces the committed 23 MB binary fixture (and the former
+  * driver-side `gen_dupheavy.py`): the content is pure arithmetic with no
+  * randomness, so [[DupBench]] regenerates it on demand into the
+  * gitignored `.bench/` tree. The `Base` profile reproduces the python
+  * generator's rows exactly (same formulas, same doc order).
+  *
+  * Shape (profile `p`): `p.clusters × p.copies` near-duplicate docs +
+  * unique filler up to `p.docs`, all ~120 words.
+  *   - Cluster `c`'s template word at position `pos` is
+  *     `w{(c*2017 + pos*31 + 7) % 1000003}` — a wide (1e6) word space
+  *     keyed by cluster, so templates never collide ACROSS clusters:
+  *     within-cluster shingle document frequency is exactly the copy
+  *     count, cross-cluster df ~ 1, and the duplicate mass is the planted
+  *     fraction rather than an artifact of a short vocab period.
+  *   - Copy `j` replaces template positions `pos % copies == j` with a
+  *     copy-private token, so any two copies differ in only a few of ~120
+  *     positions → pairwise Jaccard well above every query threshold:
+  *     every within-cluster pair is a true near-dup pair.
+  *   - Unique docs draw words from per-doc slices of the same 1e6-word
+  *     space (`w{(u*104729 + pos*31) % 1000003}`) so cross-doc shingle
+  *     sharing is negligible (a small shared vocab with an arithmetic
+  *     word formula has a short period in `u` — every doc would get
+  *     accidental near-identical twins and the "unique" mass would be
+  *     duplicate-heavy too; the sf1 scaling guard caught exactly that).
+  *
+  * Why this breaks the exact paths but not the twins: a shared shingle
+  * with document frequency df costs the exact shingle-equi-join ~df² rows
+  * — `Base` (df≈25) materializes ~44M join rows corpus-wide vs ~3M on the
+  * uniform sf1 fixture. The twins' banding emits only the true candidate
+  * pairs and their rescore is row-local, so their cost tracks candidates,
+  * not df².
+  *
+  * `Multiplicity100` raises the copy count 25→100 at the same 30% planted
+  * mass (fewer, deeper clusters): df≈97 per template shingle → the exact
+  * join pays ~16× more per shingle (~330M rows) while a signature path's
+  * cost is flat in df (one 64-slot signature per doc regardless of how
+  * many twins it has). This is the regime where the full-corpus MinHash
+  * signature estimator (`q_minhash_neardup`) must beat the exact scorer —
+  * real crawl corpora run at even higher multiplicity (boilerplate pages
+  * duplicate thousands of times), the Base profile's 25 is the LOW end.
+  */
+object DupFixture {
+
+  /** `docs` total documents, of which `clusters × copies` are planted
+    * near-duplicates (copies of a per-cluster template) and the rest
+    * unique filler.
+    */
+  final case class Profile(subdir: String, clusters: Int, copies: Int,
+      docs: Int) {
+    def dupDocs: Int = clusters * copies
+    require(dupDocs <= docs)
+  }
+
+  /** The round-9 python fixture, bit-compatible content: 30% duplicate
+    * mass at multiplicity 25 (600 clusters × 25 copies of 50k docs).
+    */
+  val Base = Profile("dupheavy", clusters = 600, copies = 25, docs = 50000)
+
+  /** Same 30% mass, multiplicity 100 (150 clusters × 100 copies): the
+    * deep-duplication regime where signature cost (flat in df) must beat
+    * exact join cost (quadratic in df).
+    */
+  val Multiplicity100 =
+    Profile("dupheavy_m100", clusters = 150, copies = 100, docs = 50000)
+
+  private val DocWords = 120
+
+  /** Generate `<root>/<profile.subdir>/documents.parquet` if absent;
+    * returns the profile's fixture directory either way.
+    */
+  def ensure(spark: SparkSession, root: String, p: Profile): String = {
+    val dir = new java.io.File(root, p.subdir)
+    val out = new java.io.File(dir, "documents.parquet")
+    if (!out.exists()) {
+      System.err.println(s"[dup] generating ${p.subdir} fixture -> $out")
+      generate(spark, p).write.mode(SaveMode.Overwrite)
+        .parquet(out.getAbsolutePath)
+    }
+    dir.getAbsolutePath
+  }
+
+  /** Standalone generation (dev): `runMain graft.DupFixture [root]`
+    * materializes both profiles under `root` (default `/root/repo/.bench`).
+    */
+  def main(args: Array[String]): Unit = {
+    val root = args.headOption.getOrElse("/root/repo/.bench")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Seq(Base, Multiplicity100).foreach(p => ensure(spark, root, p))
+    spark.stop()
+  }
+
+  /** The fixture as a DataFrame: (doc_id, text, lang, source, n_chars),
+    * doc order = clusters first then unique filler (matches the python
+    * generator). Row construction is driver-free (built distributed from
+    * `spark.range`); one output file keeps the fixture a single parquet
+    * footer like the testdata tables.
+    */
+  def generate(spark: SparkSession, p: Profile) = {
+    import spark.implicits._
+    val copies = p.copies
+    val clusters = p.clusters
+    val dup = p.dupDocs
+    spark.range(0, p.docs.toLong, 1, 32).map { id =>
+      val i = id.toInt
+      val words =
+        if (i < dup) {
+          val c = i / copies
+          val j = i % copies
+          Array.tabulate(DocWords) { pos =>
+            if (pos % copies == j) s"v${c}x${j}p$pos"
+            else s"w${(c.toLong * 2017L + pos * 31L + 7L) % 1000003L}"
+          }
+        } else {
+          val u = i - dup
+          Array.tabulate(DocWords) { pos =>
+            s"w${(u.toLong * 104729L + pos * 31L) % 1000003L}"
+          }
+        }
+      val text = words.mkString(" ")
+      val source =
+        if (i < dup) s"tpl${(i / copies) % 40}" else s"src${(i - dup) % 40}"
+      (id, text, "en", source, text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars").coalesce(1)
+  }
+}

@@ -945,6 +945,10 @@ object Dedup {
     // text-carrying relation — would move the whole corpus on a text-hash
     // shuffle)
     val h = df.select(col(idCol), md5(col(textCol)).alias("__k"))
+    // groupBy+join, NOT a window min over __k: A/B'd — the window form
+    // reads 7.3 s vs 2.2 s here (WindowExec is no-codegen and its sort
+    // breaks the surrounding whole-stage span twice per action), while
+    // the rep groupBy collapses map-side and AQE broadcasts the join
     val rep = h.groupBy(col("__k")).agg(min(col(idCol)).alias("__rep"))
     val exactDrop = h.join(rep, Seq("__k"))
       .filter(col(idCol) =!= col("__rep"))
@@ -974,7 +978,12 @@ object Dedup {
     // contract of the subset-scoped incremental queries). The checkpoint
     // is the one materialization barrier: signatures feed banding AND both
     // rescore sides, and the pair probe + verdict actions would otherwise
-    // replay the whole build per consumer. NOTE: localCheckpoint is eager.
+    // replay the whole build per consumer. A/B'd alternatives (sf0.1,
+    // min-of-3 each): no barrier 3.0 s (the three in-plan consumers do NOT
+    // collapse to one ReusedExchange — the shingle hash is a separate
+    // subtree per alias), persist() 3.1 s (InMemoryRelation defeats AQE's
+    // broadcast of the small rescore sides), eager localCheckpoint 2.2 s.
+    // NOTE: localCheckpoint is eager.
     val sigs =
       (if (portable)
          sigsOfHashedSets(
@@ -994,8 +1003,15 @@ object Dedup {
           / size(col("sa")).cast("double"))
       .filter(col("est_jaccard") >= threshold)
       .select("a_id", "b_id")
-    val clusters = nearDupClusters(surv.select(col(idCol)), idCol, pairs)
-    val nearDrop = clusters.filter(col("id") =!= col("cluster"))
+    // mapping over pair-graph nodes ONLY ([[nearDupReps]]): the drop list
+    // keeps just `id =!= cluster` rows, which isolated survivors never
+    // produce — joining the mapping back onto the survivor frame first
+    // (the r9 shape) made the verdict action re-run the exact-dedup
+    // anti-join a second time purely to materialize rows the next filter
+    // discarded. Saves a corpus-wide anti-join + left-join at any scale.
+    val reps = nearDupReps(
+      surv.schema(surv.schema.fieldIndex(idCol)).dataType, pairs)
+    val nearDrop = reps.filter(col("id") =!= col("cluster"))
       .select(col("id").alias(idCol), lit("near_dup").alias("stage"),
         col("cluster").alias("dup_of"))
     df.select(col(idCol))
@@ -1153,6 +1169,29 @@ object Dedup {
   def nearDupClusters(
       ids: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 20, driverEdgeLimit: Long = 2_000_000L): DataFrame = {
+    val idType = ids.schema(ids.schema.fieldIndex(idCol)).dataType
+    val reps = nearDupReps(idType, pairs, maxIters, driverEdgeLimit)
+    // no broadcast hint: the mapping is key-unique but can approach
+    // 2 × driverEdgeLimit rows — AQE broadcasts it when (and only
+    // when) it actually fits; forcing it could OOM at the cap
+    ids.alias("i")
+      .join(reps.alias("l"), col("i." + idCol) === col("l.id"), "left")
+      .select(col("i." + idCol).alias("id"),
+        coalesce(col("l.cluster"), col("i." + idCol)).alias("cluster"))
+  }
+
+  /** The component mapping of [[nearDupClusters]] restricted to nodes that
+    * appear in the pair graph: (id, cluster) with cluster = component min.
+    * Isolated ids are absent (they trivially label themselves) — callers
+    * that only consume NON-canonical members (`id =!= cluster`), like the
+    * cascade's near-dup drop list, should use this directly: joining the
+    * mapping back onto a corpus-wide id frame first would re-run the id
+    * frame's whole lineage (for the cascade, the exact-dedup anti-join)
+    * only to produce rows the filter immediately discards.
+    */
+  def nearDupReps(idType: org.apache.spark.sql.types.DataType,
+      pairs: DataFrame, maxIters: Int = 20,
+      driverEdgeLimit: Long = 2_000_000L): DataFrame = {
     // Near-dup edge lists are orders of magnitude smaller than the corpus
     // (that is what LSH candidate generation is for), so up to
     // `driverEdgeLimit` edges the components are computed exactly with
@@ -1162,7 +1201,6 @@ object Dedup {
     // edges exist; past the limit — or for exotic id types — fall back
     // to the distributed min-label loop below. Default 2M edges ≈ tens
     // of MB of Rows on the driver (r6 advisory: 10M was generous).
-    val idType = ids.schema(ids.schema.fieldIndex(idCol)).dataType
     val ordering: Option[Ordering[Any]] = idType match {
       case _: org.apache.spark.sql.types.LongType    => Some(Ordering.Long.on[Any](_.asInstanceOf[Long]))
       case _: org.apache.spark.sql.types.IntegerType => Some(Ordering.Int.on[Any](_.asInstanceOf[Int]))
@@ -1176,21 +1214,14 @@ object Dedup {
       val edgeRows = pairs.select("a_id", "b_id").limit(cap + 1).collect()
       if (edgeRows.length <= cap) {
         val reps = unionFindMinReps(edgeRows.map(r => (r.get(0), r.get(1))))(ordering.get)
-        val spark = ids.sparkSession
-        val mapping = spark.createDataFrame(
+        val spark = pairs.sparkSession
+        return spark.createDataFrame(
           spark.sparkContext.parallelize(
             reps.toSeq.map { case (n, c) => org.apache.spark.sql.Row(n, c) },
             math.max(1, math.min(32, reps.size / 10000 + 1))),
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("id", idType),
             org.apache.spark.sql.types.StructField("cluster", idType))))
-        // no broadcast hint: the mapping is key-unique but can approach
-        // 2 × driverEdgeLimit rows — AQE broadcasts it when (and only
-        // when) it actually fits; forcing it could OOM at the cap
-        return ids.alias("i")
-          .join(mapping.alias("l"), col("i." + idCol) === col("l.id"), "left")
-          .select(col("i." + idCol).alias("id"),
-            coalesce(col("l.cluster"), col("i." + idCol)).alias("cluster"))
       }
     }
     // undirected edges, both directions — cached: the loop re-reads this
@@ -1242,10 +1273,7 @@ object Dedup {
     val finalLabels = labels.localCheckpoint()
     cachedRound.foreach(_.unpersist())
     edges.unpersist(false)
-    ids.alias("i")
-      .join(finalLabels.alias("l"), col("i." + idCol) === col("l.id"), "left")
-      .select(col("i." + idCol).alias("id"),
-        coalesce(col("l.cluster"), col("i." + idCol)).alias("cluster"))
+    finalLabels
   }
 
   /** Union-find with min-valued roots and path compression: returns

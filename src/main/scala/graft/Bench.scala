@@ -87,15 +87,20 @@ object Bench {
     names.foreach(run); names.foreach(run)
     spark.stop(); spark = buildSession() // timed pass gets a young session
     names.foreach { name =>
-      val (a, b) = (run(name), run(name))
+      // timed min-of-3 (was min-of-2 through r9): BENCH_SPREAD's first
+      // round measured within-run max/min at p95 = 2.1× on this box —
+      // enough for an unlucky two-draw min to read a 1.4 s composite as
+      // 2.2 s and flag a phantom regression (q_curriculum, r9). A third
+      // draw costs ~2.5 min over the full suite and matches BASELINE.md's
+      // DuckDB warm min-of-3 exactly.
+      val ts = Seq(run(name), run(name), run(name))
       val (lo, hi) =
-        if (a < 0 || b < 0) (-1.0, -1.0)
-        else (math.min(a, b), math.max(a, b))
-      // BOTH timed passes go on the wire so the parent can report
-      // within-run spread (max/min) — the only way to tell a plan
-      // regression from measurement noise across rounds. Locale.ROOT:
-      // the f"" interpolator uses the default locale, and a
-      // comma-decimal locale would corrupt the parent's parse.
+        if (ts.exists(_ < 0)) (-1.0, -1.0) else (ts.min, ts.max)
+      // min AND max go on the wire so the parent can report within-run
+      // spread — the only way to tell a plan regression from measurement
+      // noise across rounds. Locale.ROOT: the f"" interpolator uses the
+      // default locale, and a comma-decimal locale would corrupt the
+      // parent's parse.
       println(String.format(java.util.Locale.ROOT,
         "[pt] %s %.6f %.6f", name, Double.box(lo), Double.box(hi)))
     }

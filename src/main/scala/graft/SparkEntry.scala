@@ -1951,6 +1951,18 @@ object SparkEntry {
     "q_triangles" -> ((s, dir) =>
       ext.Graph.triangleCounts(nationTradeEdges(s, dir), "src", "dst")),
 
+    // graph: connected components by ALTERNATING LARGE-STAR/SMALL-STAR
+    // (Kiveris et al. 2014) — the O(log² n)-round distributed CC for pair
+    // graphs past the driver union-find cap (the min-label loop pays
+    // O(diameter) rounds on near-dup chains); deterministic bipartite
+    // customer–bucket graph, component = min id, pure integers
+    "q_cc_components" -> ((s, dir) =>
+      ext.Graph.connectedComponents(
+        read(s, dir, "orders").filter(col("o_custkey") < 300)
+          .select(col("o_custkey").alias("a"),
+            (lit(100000L) + col("o_orderkey") % 700).alias("b")),
+        "a", "b")),
+
     // profiling: heaviest join keys with corpus share (the pre-shuffle
     // skew check; TakeOrdered top-N, no global sort)
     "q_key_skew" -> ((s, dir) => ext.Profile.keySkew(
@@ -3950,6 +3962,23 @@ object SparkEntry {
         |          UNION ALL SELECT y FROM tri
         |          UNION ALL SELECT z FROM tri)
         |SELECT node, COUNT(*) AS n_tri FROM verts GROUP BY node""".stripMargin,
+
+    // connected components via the definitional min-reachable-label
+    // closure (recursive CTE over undirected edges): the hash match
+    // proves the alternating-star fixpoint labels every node with its
+    // component's true minimum
+    "q_cc_components" ->
+      """WITH RECURSIVE und AS (
+        |  SELECT DISTINCT o_custkey AS s, 100000 + o_orderkey % 700 AS d
+        |  FROM orders WHERE o_custkey < 300
+        |  UNION
+        |  SELECT DISTINCT 100000 + o_orderkey % 700, o_custkey
+        |  FROM orders WHERE o_custkey < 300),
+        |reach(node, lab) AS (
+        |  SELECT s, s FROM und
+        |  UNION
+        |  SELECT u.s, r.lab FROM und u JOIN reach r ON u.d = r.node)
+        |SELECT node, MIN(lab) AS component FROM reach GROUP BY node""".stripMargin,
 
     "q_bpe_merges" -> bpeOracle,
 

@@ -1188,6 +1188,12 @@ object Dedup {
     * mapping back onto a corpus-wide id frame first would re-run the id
     * frame's whole lineage (for the cascade, the exact-dedup anti-join)
     * only to produce rows the filter immediately discards.
+    *
+    * Past the driver cap this falls back to the min-label loop, which
+    * pays O(component diameter) rounds; for pair graphs with long chains
+    * at extreme scale, [[Graph.connectedComponents]] (alternating
+    * large-star/small-star, O(log² n) rounds) computes the identical
+    * mapping — equivalence pinned in Round10Spec.
     */
   def nearDupReps(idType: org.apache.spark.sql.types.DataType,
       pairs: DataFrame, maxIters: Int = 20,

@@ -61,6 +61,85 @@ object Graph {
     r.select(col("node"), col("r").alias("rank_ppb"))
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014): returns (node, component) for every node on an edge,
+    * component = the component's min id — the same contract as
+    * [[Dedup.nearDupReps]]' mapping, computed fully distributed.
+    *
+    * Why this and not the min-label loop ([[Dedup.nearDupClusters]]'
+    * distributed fallback): label propagation needs O(graph diameter)
+    * rounds — a path/chain component of length L (near-dup chains of
+    * drifting boilerplate do this) pays L rounds of full-frame joins —
+    * while alternating stars provably converge in O(log² n) rounds on any
+    * graph, each round two edge-sized shuffles. This is the CC to run on
+    * a 100 TB pair graph whose edge list exceeds the driver union-find
+    * cap; below the cap, union-find stays the cheaper path.
+    *
+    *   - large-star: per node u over the undirected neighborhood Γ(u),
+    *     connect every strictly LARGER neighbor to m = min(Γ(u) ∪ u);
+    *   - small-star: per node u over the smaller-or-equal neighborhood,
+    *     connect every node (and u) to its minimum;
+    *   - at the joint fixpoint every component is a star centered on its
+    *     minimum; the mapping reads straight off the edges.
+    *
+    * Each round: two groupBy-min + join passes over the edge relation
+    * (O(E) shuffled bytes), one localCheckpoint to cut lineage (the r6/r9
+    * nearDupClusters discipline), and the convergence probe is a count
+    * plus an anti-join limit(1) — O(1) driver rows. Skew note: large-star
+    * keys a hub's whole neighborhood through one reducer once, but its
+    * output halves the hub's star depth — the paper's proof bounds total
+    * work; no salting needed because the neighborhood list is never
+    * materialized row-wise wider than the edge relation itself.
+    */
+  def connectedComponents(edges0: DataFrame, srcCol: String,
+      dstCol: String, maxIters: Int = 40): DataFrame = {
+    var e = edges0.select(
+        least(col(srcCol), col(dstCol)).alias("a"),
+        greatest(col(srcCol), col(dstCol)).alias("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // LARGE-STAR over both directions: u's min incl. itself, larger
+      // neighbors re-pointed at it. Emitted edges keep a < b by
+      // construction (m ≤ u < v).
+      val nbr = e.select(col("a").alias("u"), col("b").alias("v"))
+        .union(e.select(col("b").alias("u"), col("a").alias("v")))
+      val mBoth = nbr.groupBy("u")
+        .agg(min(col("v")).alias("mv"))
+        .select(col("u"), least(col("mv"), col("u")).alias("m"))
+      val ls = nbr.join(mBoth, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").alias("a"), col("v").alias("b"))
+        .filter(col("a") =!= col("b")).distinct()
+      // SMALL-STAR: group by the larger endpoint; all smaller neighbors
+      // and the node itself point at the minimum neighbor.
+      val byLarger = ls.select(col("b").alias("u"), col("a").alias("v"))
+      val mSmall = byLarger.groupBy("u").agg(min(col("v")).alias("m"))
+      val ss = byLarger.join(mSmall, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("m").alias("a"), col("v").alias("b"))
+        .unionByName(mSmall.select(col("m").alias("a"), col("u").alias("b")))
+        .distinct()
+        .localCheckpoint()
+      // set equality probe: same cardinality + empty one-sided anti-join
+      // (both sides are distinct), two O(1)-row driver results
+      val same = ss.count() == e.count() &&
+        ss.join(e, Seq("a", "b"), "left_anti").limit(1).count() == 0
+      e = ss
+      converged = same
+      i += 1
+    }
+    // fixpoint edges are stars (component-min, member): the mapping is
+    // the edge list itself plus the self-row for each center
+    e.select(col("b").alias("node"), col("a").alias("component"))
+      .unionByName(e.select(col("a").alias("node"), col("a").alias("component"))
+        .distinct())
+      .distinct()
+  }
+
   /** Per-vertex triangle counts — the clustering/cohesion metric behind
     * community detection and link-spam gates. Pure integer counting, so
     * any engine agrees exactly.

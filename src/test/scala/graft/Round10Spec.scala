@@ -126,4 +126,43 @@ class Round10Spec extends AnyFunSuite {
     assert(kept === all -- dropped)
     assert(kept.nonEmpty && dropped.nonEmpty)
   }
+
+  // ---- alternating large-star/small-star connected components ----
+
+  private def ccMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ext.Graph.connectedComponents(
+        edges.toDF("s", "d"), "s", "d")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("large/small-star CC: path graph (min-label's worst case) collapses to the chain minimum") {
+    // a 64-long chain has diameter 63 — the min-label loop would need 63
+    // full-frame rounds; alternating stars converge in O(log²) rounds
+    // (maxIters default 40 would trip if convergence were linear)
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val got = ccMap(edges)
+    assert(got.keySet === (0L to 63L).toSet)
+    assert(got.values.toSet === Set(0L))
+  }
+
+  test("large/small-star CC == driver union-find clusters on a mixed-shape graph") {
+    // chain + cycle + star + isolated pair + cross-link, ids out of order
+    val edges = Seq[(Long, Long)](
+      (5, 3), (3, 9), (9, 7),              // chain min=3
+      (20, 21), (21, 22), (22, 20),        // cycle min=20
+      (40, 41), (40, 42), (40, 43),        // star min=40
+      (60, 61),                            // pair
+      (7, 20))                             // cross-link joins chain+cycle
+    val got = ccMap(edges)
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct.toDF("id")
+    val uf = ext.Dedup.nearDupClusters(ids, "id",
+        edges.toDF("a_id", "b_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === uf)
+    assert(got(22L) === 3L && got(43L) === 40L && got(61L) === 60L)
+  }
+
+  test("large/small-star CC: self-loops and duplicate/reversed edges are inert") {
+    val got = ccMap(Seq((1L, 1L), (2L, 3L), (3L, 2L), (2L, 3L)))
+    assert(got === Map(2L -> 2L, 3L -> 2L))
+  }
 }

@@ -44,6 +44,18 @@ object ScalingBench {
     */
   val FlagRatioXl = 10.5
 
+  /** Dev knob (same as Bench): SPARK_GRAFT_ONLY=q_a,q_b re-measures a
+    * subset under the identical fresh-JVM-per-point methodology — for
+    * patching a single stale row after a targeted plan change without
+    * paying the full three-point hour. Children inherit the env. The
+    * driver never sets it.
+    */
+  private def onlyFilter(names: Seq[String]): Seq[String] =
+    sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet)
+      .map(only => names.filter(only.contains))
+      .getOrElse(names)
+
   def main(args: Array[String]): Unit =
     sys.env.get("SPARK_GRAFT_POINT") match {
       case Some(dir) => runPoint(dir)
@@ -71,7 +83,7 @@ object ScalingBench {
     }
     var spark = build()
     def restart(): Unit = { spark.stop(); spark = build() }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = onlyFilter(SparkEntry.queries.keys.toSeq.sorted)
     // same clean-slate methodology as Bench: -1 marks a failed query
     def run(name: String): Double = {
       val t0 = System.nanoTime()
@@ -114,7 +126,7 @@ object ScalingBench {
     val small = sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01")
     val large = sys.env.getOrElse("SPARK_GRAFT_SF_LARGE", "/root/testdata/sf0.1")
     val xlDir = sys.env.get("SPARK_GRAFT_SF_XL")
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = onlyFilter(SparkEntry.queries.keys.toSeq.sorted)
 
     def measure(dir: String): Map[String, Double] = {
       import scala.jdk.CollectionConverters._

@@ -1956,11 +1956,17 @@ object SparkEntry {
     // graphs past the driver union-find cap (the min-label loop pays
     // O(diameter) rounds on near-dup chains); deterministic bipartite
     // customer–bucket graph, component = min id, pure integers
+    // bucket formula keys each 10-custkey band to its own 3 buckets →
+    // many bounded components (≤13 nodes) merging in parallel, the
+    // realistic near-dup-cluster shape; a single giant hub component
+    // measured ~10 star rounds (~4 s of pure action floor) for no extra
+    // operator coverage
     "q_cc_components" -> ((s, dir) =>
       ext.Graph.connectedComponents(
         read(s, dir, "orders").filter(col("o_custkey") < 300)
           .select(col("o_custkey").alias("a"),
-            (lit(100000L) + col("o_orderkey") % 700).alias("b")),
+            (lit(100000L) + expr("o_custkey div 10") * 3 +
+              col("o_orderkey") % 3).alias("b")),
         "a", "b")),
 
     // profiling: heaviest join keys with corpus share (the pre-shuffle
@@ -3969,10 +3975,12 @@ object SparkEntry {
     // component's true minimum
     "q_cc_components" ->
       """WITH RECURSIVE und AS (
-        |  SELECT DISTINCT o_custkey AS s, 100000 + o_orderkey % 700 AS d
+        |  SELECT DISTINCT o_custkey AS s,
+        |         100000 + (o_custkey // 10) * 3 + o_orderkey % 3 AS d
         |  FROM orders WHERE o_custkey < 300
         |  UNION
-        |  SELECT DISTINCT 100000 + o_orderkey % 700, o_custkey
+        |  SELECT DISTINCT 100000 + (o_custkey // 10) * 3 + o_orderkey % 3,
+        |         o_custkey
         |  FROM orders WHERE o_custkey < 300),
         |reach(node, lab) AS (
         |  SELECT s, s FROM und

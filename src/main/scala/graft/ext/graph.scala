@@ -85,8 +85,12 @@ object Graph {
     *
     * Each round: two groupBy-min + join passes over the edge relation
     * (O(E) shuffled bytes), one localCheckpoint to cut lineage (the r6/r9
-    * nearDupClusters discipline), and the convergence probe is a count
-    * plus an anti-join limit(1) — O(1) driver rows. Skew note: large-star
+    * nearDupClusters discipline), and the convergence probe tests
+    * STAR-NESS of the round's output directly (count == countDistinct(b)
+    * + empty member↔center semi-join, both O(1) driver rows) — star sets
+    * are exactly the joint fixpoints, so the loop stops on the round that
+    * produces one instead of paying an equality-confirmation round; a
+    * pre-starred input skips the loop entirely. Skew note: large-star
     * keys a hub's whole neighborhood through one reducer once, but its
     * output halves the hub's star depth — the paper's proof bounds total
     * work; no salting needed because the neighborhood list is never
@@ -99,7 +103,22 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).alias("b"))
       .filter(col("a") =!= col("b")).distinct()
       .localCheckpoint()
-    var converged = false
+    // convergence = STAR-NESS of the current edge set, not equality with
+    // the previous round: the joint fixpoint of the two operators is
+    // exactly the star sets (each member has ONE center: count ==
+    // countDistinct(b); and no member is itself a center: empty b↔a
+    // semi-join — both required, e.g. {(1,5),(2,5)} passes the second
+    // test alone but small-star still rewrites it). Testing star-ness
+    // directly detects the fixpoint ON the round that produces it — the
+    // equality probe paid one full extra transform round (~10 stage jobs
+    // at bench scale) just to observe nothing changed.
+    def isStars(df: org.apache.spark.sql.DataFrame): Boolean = {
+      val r = df.agg(count(lit(1)), countDistinct(col("b"))).head()
+      r.getLong(0) == r.getLong(1) &&
+        df.alias("x").join(df.alias("y"), col("x.b") === col("y.a"),
+          "left_semi").limit(1).count() == 0
+    }
+    var converged = isStars(e)
     var i = 0
     while (!converged && i < maxIters) {
       // LARGE-STAR over both directions: u's min incl. itself, larger
@@ -110,10 +129,13 @@ object Graph {
       val mBoth = nbr.groupBy("u")
         .agg(min(col("v")).alias("mv"))
         .select(col("u"), least(col("mv"), col("u")).alias("m"))
+      // no distinct here: duplicate (a, b) rows are inert through
+      // small-star's min aggregate and the round-final distinct — an
+      // exchange per round saved (iterative cost = stages × floor)
       val ls = nbr.join(mBoth, "u")
         .filter(col("v") > col("u"))
         .select(col("m").alias("a"), col("v").alias("b"))
-        .filter(col("a") =!= col("b")).distinct()
+        .filter(col("a") =!= col("b"))
       // SMALL-STAR: group by the larger endpoint; all smaller neighbors
       // and the node itself point at the minimum neighbor.
       val byLarger = ls.select(col("b").alias("u"), col("a").alias("v"))
@@ -124,20 +146,17 @@ object Graph {
         .unionByName(mSmall.select(col("m").alias("a"), col("u").alias("b")))
         .distinct()
         .localCheckpoint()
-      // set equality probe: same cardinality + empty one-sided anti-join
-      // (both sides are distinct), two O(1)-row driver results
-      val same = ss.count() == e.count() &&
-        ss.join(e, Seq("a", "b"), "left_anti").limit(1).count() == 0
+      converged = isStars(ss)
       e = ss
-      converged = same
       i += 1
     }
     // fixpoint edges are stars (component-min, member): the mapping is
-    // the edge list itself plus the self-row for each center
+    // the edge list itself plus the self-row for each center. No outer
+    // distinct: star edges are unique rows (each member has exactly one
+    // center) and a center never appears on the member side
     e.select(col("b").alias("node"), col("a").alias("component"))
       .unionByName(e.select(col("a").alias("node"), col("a").alias("component"))
         .distinct())
-      .distinct()
   }
 
   /** Per-vertex triangle counts — the clustering/cohesion metric behind

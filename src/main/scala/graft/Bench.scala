@@ -14,8 +14,8 @@ import org.apache.spark.sql.SparkSession
   * q_tpch_q18 11.2 s in the aged shared JVM vs 2.19 s isolated;
   * q_triangles 3.46 s vs 1.21 s). Session restarts alone only
   * half-fix it because the aging is JVM-level, not session-level.
-  * With ~160 executions per child (one warmup + two timed passes over
-  * 40 queries) every measurement runs in a young JVM, while JIT and
+  * With ~200 executions per child (two warmup + three timed passes
+  * over 40 queries) every measurement runs in a young JVM, while JIT and
   * the codegen cache — also JVM-level — are warmed by the child's own
   * batch-scoped warmup pass, matching BASELINE.md's warm min-of-3
   * DuckDB methodology.
@@ -59,7 +59,7 @@ object Bench {
 
   /** Child mode: measure ONE batch of queries and print machine-readable
     * `[pt] name seconds` lines. Warmup pass (JIT, codegen cache, parquet
-    * footers), then a session restart, then timed min-of-2 — the same
+    * footers), then a session restart, then timed min-of-3 — the same
     * warm-vs-warm methodology as BASELINE.md's DuckDB numbers.
     */
   private def runBatch(names: Seq[String]): Unit = {
@@ -183,7 +183,7 @@ object Bench {
     val floors = measured.map(_._2).filter(_ > 0)
     val floorSec = if (floors.nonEmpty) floors.min else -1.0
 
-    // Full per-query (min, max) of the two timed passes → BENCH_SPREAD.json
+    // Full per-query (min, max) of the three timed passes → BENCH_SPREAD.json
     // in the working directory (the stdout tail window is too small for a
     // 258-query map ×2). max/min per query is the within-run noise bound:
     // a cross-round delta smaller than a query's own spread is measurement,
@@ -193,7 +193,7 @@ object Bench {
       val rows = spreads.map { case (n, (lo, hi)) =>
         s""""$n":[${j(lo)},${j(hi)}]""" }.mkString(",")
       val body = s"""{"floor_sec":${j(floorSec)},"unit":"sec","sf":"$sfDir",""" +
-        s""""note":"per-query [min,max] of the two timed passes","queries":{$rows}}"""
+        s""""note":"per-query [min,max] of the three timed passes","queries":{$rows}}"""
       scala.util.Try { // bench must not die on an unwritable cwd
         val w = new java.io.PrintWriter("BENCH_SPREAD.json", "UTF-8")
         try w.println(body) finally w.close()

@@ -82,7 +82,12 @@ object DupFixture {
   def ensure(spark: SparkSession, root: String, p: Profile): String = {
     val dir = new java.io.File(root, p.subdir)
     val out = new java.io.File(dir, "documents.parquet")
-    if (!out.exists()) {
+    // reuse only a COMPLETE fixture: Spark writes the _SUCCESS marker as
+    // the commit's last step, so a directory left by a crashed/killed
+    // prior generation lacks it and gets regenerated (the bare
+    // `out.exists()` check silently reused partial data and skewed
+    // DupBench results); SaveMode.Overwrite makes the rewrite safe
+    if (!new java.io.File(out, "_SUCCESS").exists()) {
       System.err.println(s"[dup] generating ${p.subdir} fixture -> $out")
       generate(spark, p).write.mode(SaveMode.Overwrite)
         .parquet(out.getAbsolutePath)

@@ -571,11 +571,11 @@ object SparkEntry {
         .select("doc_id", "n_chars", "source")
     },
 
-    // dedup: connected components via the DISTRIBUTED min-label loop
-    // (driverEdgeLimit = 0 forces the 10M+-edge fallback path that a
-    // 100 TB corpus would take), over exact Jaccard pairs on a doc subset;
-    // oracle = recursive reachability closure. Also the loop's bench entry
-    // — before this, the distributed path only ran in unit tests.
+    // dedup: connected components via the DISTRIBUTED path — alternating
+    // large-star/small-star CC (driverEdgeLimit = 0 forces the past-cap
+    // path that a 100 TB corpus would take), over exact Jaccard pairs on
+    // a doc subset; oracle = recursive reachability closure. Also the
+    // distributed path's bench entry.
     "q_cluster_distributed" -> { (s, dir) =>
       val docs = read(s, dir, "documents").filter(col("doc_id") < 300)
       val pairs = ext.Dedup.ngramJaccardPairs(docs, "doc_id", "text",

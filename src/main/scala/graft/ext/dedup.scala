@@ -1155,16 +1155,16 @@ object Dedup {
 
   // ------------------------------------------- clustering / canonicalization
 
-  /** Connected components over near-dup pairs by iterative min-label
-    * propagation: every doc starts labeled with its own id; each round a
-    * doc takes the min label among itself and its neighbors; converges in
-    * O(log(diameter)) rounds (near-dup clusters are small, so few).
-    * Returns (id, cluster) where cluster = min id in the component.
+  /** Connected components over near-dup pairs: returns (id, cluster)
+    * where cluster = min id in the component, for every id in `ids`
+    * (isolated ids label themselves).
     *
-    * Scale: each round is one join + one groupBy on the pair list (pairs
-    * ≪ docs after LSH); the label frame is (id, long). The driver-side
-    * convergence check counts changed labels — an O(1)-row action, not a
-    * collect of data.
+    * Scale: below `driverEdgeLimit` edges the components come from
+    * driver-side union-find (one bounded collect, zero iterative jobs);
+    * past the cap, from [[Graph.connectedComponents]] — alternating
+    * large-star/small-star, O(log² n) rounds of edge-sized shuffles,
+    * diameter-independent. Either way the working frames are O(pair-graph
+    * nodes), never O(corpus).
     */
   def nearDupClusters(
       ids: DataFrame, idCol: String, pairs: DataFrame,
@@ -1189,11 +1189,17 @@ object Dedup {
     * frame's whole lineage (for the cascade, the exact-dedup anti-join)
     * only to produce rows the filter immediately discards.
     *
-    * Past the driver cap this falls back to the min-label loop, which
-    * pays O(component diameter) rounds; for pair graphs with long chains
-    * at extreme scale, [[Graph.connectedComponents]] (alternating
-    * large-star/small-star, O(log² n) rounds) computes the identical
-    * mapping — equivalence pinned in Round10Spec.
+    * Past the driver cap this runs [[Graph.connectedComponents]]
+    * (alternating large-star/small-star, Kiveris et al. 2014): O(log² n)
+    * rounds of edge-sized shuffles regardless of component DIAMETER.
+    * The previous fallback — iterative min-label propagation — paid
+    * O(diameter) rounds, and near-dup CHAINS (drifting boilerplate where
+    * each copy is within threshold of its predecessor only) are exactly
+    * the diameter-pathological input: at 100 TB a chained dup graph
+    * silently degraded to hundreds of full-frame join rounds.
+    * Union-find ≡ stars equivalence is law-pinned (NativeProps, ExtSpec,
+    * Round10Spec path-graph worst case; `driverEdgeLimit = 0` forces the
+    * distributed path).
     */
   def nearDupReps(idType: org.apache.spark.sql.types.DataType,
       pairs: DataFrame, maxIters: Int = 20,
@@ -1230,56 +1236,16 @@ object Dedup {
             org.apache.spark.sql.types.StructField("cluster", idType))))
       }
     }
-    // undirected edges, both directions — cached: the loop re-reads this
-    // every round, and its lineage (a near-dup detector) is expensive;
-    // the edge list itself is tiny (pairs ≪ docs)
-    val edges = pairs.select(col("a_id").alias("src"), col("b_id").alias("dst"))
-      .union(pairs.select(col("b_id").alias("src"), col("a_id").alias("dst")))
-      .cache()
-    // propagate ONLY over nodes that appear in the pair graph — the loop's
-    // frames are O(near-dup docs), not O(corpus). Isolated docs (the vast
-    // majority at any scale) trivially form their own cluster and join
-    // back in once at the end.
-    var labels = edges.select(col("src").alias("id")).distinct()
-      .withColumn("cluster", col("id"))
-    // unpersist must target the exact cached frame (a projection over it
-    // would not match the cache entry), so track it separately from `labels`
-    var cachedRound: Option[DataFrame] = None
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("cluster")).alias("nmin"))
-      // prev label carried in-frame: the convergence check is a filter over
-      // the frame we were computing anyway, not a join against the old one
-      val next = labels
-        .join(neighborMin, labels("id") === neighborMin("src"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nmin"), col("cluster")))
-            .alias("cluster"),
-          col("cluster").alias("prev"))
-        .cache()
-      val changed = next.filter(col("cluster") =!= col("prev")).count()
-      cachedRound.foreach(_.unpersist())
-      cachedRound = Some(next)
-      labels = next.drop("prev")
-      converged = changed == 0
-      i += 1
-    }
-    // truncate lineage so no cache entry outlives this call: the final
-    // labels materialize once into executor storage (localCheckpoint — the
-    // loop already computed them, so this reads the cache, not the lineage),
-    // after which every cache entry this call created is released. The
-    // checkpoint blocks are freed by the ContextCleaner when the returned
-    // frame is garbage-collected — no cross-query cache-table leak.
-    // Caveat: localCheckpoint blocks are executor-local/unreplicated; on a
-    // cluster with aggressive dynamic allocation, set a reliable checkpoint
-    // dir and swap this to .checkpoint(), or consume the result promptly.
-    val finalLabels = labels.localCheckpoint()
-    cachedRound.foreach(_.unpersist())
-    edges.unpersist(false)
-    finalLabels
+    // Distributed path: alternating large-star/small-star over the pair
+    // graph. The mapping covers nodes ON edges only — the frames are
+    // O(near-dup docs), not O(corpus); isolated docs trivially label
+    // themselves and [[nearDupClusters]] joins them back in once at the
+    // end. CC's own per-round localCheckpoint cuts the (expensive)
+    // detector lineage, and its star-ness probe throws rather than return
+    // a wrong mapping if `maxIters` is exhausted — 20 rounds covers
+    // O(log² n) convergence for any pair graph an LSH stage can emit.
+    Graph.connectedComponents(pairs, "a_id", "b_id", maxIters)
+      .select(col("node").alias("id"), col("component").alias("cluster"))
   }
 
   /** Union-find with min-valued roots and path compression: returns

@@ -67,14 +67,14 @@ object Graph {
     * component = the component's min id — the same contract as
     * [[Dedup.nearDupReps]]' mapping, computed fully distributed.
     *
-    * Why this and not the min-label loop ([[Dedup.nearDupClusters]]'
-    * distributed fallback): label propagation needs O(graph diameter)
-    * rounds — a path/chain component of length L (near-dup chains of
-    * drifting boilerplate do this) pays L rounds of full-frame joins —
-    * while alternating stars provably converge in O(log² n) rounds on any
-    * graph, each round two edge-sized shuffles. This is the CC to run on
-    * a 100 TB pair graph whose edge list exceeds the driver union-find
-    * cap; below the cap, union-find stays the cheaper path.
+    * Why alternating stars and not min-label propagation: label
+    * propagation needs O(graph diameter) rounds — a path/chain component
+    * of length L (near-dup chains of drifting boilerplate do this) pays
+    * L rounds of full-frame joins — while alternating stars provably
+    * converge in O(log² n) rounds on any graph, each round two edge-sized
+    * shuffles. This IS [[Dedup.nearDupReps]]' distributed path for pair
+    * graphs whose edge list exceeds the driver union-find cap; below the
+    * cap, union-find stays the cheaper path.
     *
     *   - large-star: per node u over the undirected neighborhood Γ(u),
     *     connect every strictly LARGER neighbor to m = min(Γ(u) ∪ u);
@@ -150,6 +150,14 @@ object Graph {
       e = ss
       i += 1
     }
+    // a non-star edge set is NOT a component mapping — reading it off as
+    // one would hand callers wrong components with no signal. O(log² n)
+    // convergence means 40 rounds covers any physically storable graph,
+    // so exhausting maxIters indicates a bug or an absurdly low setting;
+    // fail loudly rather than return silently wrong data.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds; " +
+        "raise maxIters (alternating stars need O(log² n) rounds)")
     // fixpoint edges are stars (component-min, member): the mapping is
     // the edge list itself plus the self-row for each center. No outer
     // distinct: star edges are unique rows (each member has exactly one

@@ -178,7 +178,7 @@ class AdviceFixesSpec extends AnyFunSuite {
     spark.catalog.clearCache()
     val ids = (1L to 20L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
-    // driverEdgeLimit = 0 forces the distributed min-label loop
+    // driverEdgeLimit = 0 forces the distributed alternating-stars path
     val out = ext.Dedup.nearDupClusters(ids, "id", pairs, driverEdgeLimit = 0L)
     val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m(3L) == 1L && m(6L) == 5L && m(7L) == 7L)

@@ -193,9 +193,9 @@ class ExtSpec extends AnyFunSuite {
       s"refined recall $refinedRecall vs unrefined $recall")
   }
 
-  test("near-dup clustering: distributed loop path matches union-find path") {
+  test("near-dup clustering: distributed stars path matches union-find path") {
     val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
-    // chain 1-2-3-4 (worst case for propagation rounds), pair {5,6}, isolated 7
+    // chain 1-2-3-4 (diameter worst case), pair {5,6}, isolated 7
     val pairs = Seq((3L, 4L), (1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
     val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L)
     val loop = Dedup.nearDupClusters(ids, "doc_id", pairs, driverEdgeLimit = 0L)

@@ -131,9 +131,10 @@ object NativeProps extends Properties("natives") {
           driverEdgeLimit = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // a tiny non-zero cap exercises the overflow branch (collect cap+1,
-      // detect the limit is exceeded, fall back to the distributed loop)
-      // whenever the generated graph has more than 2 edges — and the
-      // union-find path when it doesn't; both must agree with the reference
+      // detect the limit is exceeded, fall back to the distributed
+      // alternating-stars CC) whenever the generated graph has more than
+      // 2 edges — and the union-find path when it doesn't; both must
+      // agree with the reference
       val capped = ext.Dedup.nearDupClusters(ids, "doc_id", pairs,
           driverEdgeLimit = 2L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -1610,9 +1610,10 @@ object Dedup {
     * skew guard made real. Vectors are first assigned to `centroids`
     * ([[graft.functions.IvfAssign]], narrow); then, up to `maxDepth`
     * times, every cluster holding more than `sizeCap` members is SPLIT:
-    * its `ceil(size / sizeCap)` members with the lowest `md5(id)` become
-    * sub-seeds (the [[graft.ext.Similarity.ivfCentroids]] sampling
-    * device, engine-reproducible), and each member moves to the sub-seed
+    * its `min(ceil(size / sizeCap), seedFanout)` members with the lowest
+    * `md5(id)` become sub-seeds (the
+    * [[graft.ext.Similarity.ivfCentroids]] sampling device,
+    * engine-reproducible), and each member moves to the sub-seed
     * maximizing `dot(v, seed) / ‖seed‖` (cosine ranking against the
     * unit seed — division instead of materializing normalized seed
     * arrays keeps the scoring a pure codegen expression), ties broken by
@@ -1623,11 +1624,17 @@ object Dedup {
     * Scale: each level costs one size aggregate (a `limit(1)` probe —
     * oversized clusters number ≤ n/sizeCap, nothing corpus-sized reaches
     * the driver), one seed-rank window over OVERSIZED members only, and
-    * a members × sub-seeds scoring join whose row count is at most
-    * n · ceil(maxClusterShare/sizeCap) — all bounded, all distributed.
-    * Without the guard one pathological mega-cluster (a crawl of
-    * boilerplate, an embedding-model collapse) silently restores the n²
-    * all-pairs blowup SemDeDup exists to avoid.
+    * a members × sub-seeds scoring join. The `seedFanout` bound is what
+    * keeps that join LINEAR per level: an uncapped `ceil(sz/sizeCap)`
+    * seed count (the r10 shape) materialized sz²/sizeCap score rows on a
+    * genuine mega-cluster — cap× below the n² it prevents, but still
+    * quadratic in exactly the pathological input the guard exists for.
+    * Capping seeds at F per level bounds the join to F·sz rows and the
+    * recursion reaches the same ≤ sizeCap leaves in `log_F(sz/sizeCap)`
+    * levels (10⁹ members, F = 16, cap = 10⁴: 5 levels). Without the
+    * guard one pathological mega-cluster (a crawl of boilerplate, an
+    * embedding-model collapse) silently restores the n² all-pairs blowup
+    * SemDeDup exists to avoid.
     *
     * Caveat, by geometry: IDENTICAL vectors tie on every sub-seed score
     * and land on one sub-seed together, so a true point mass does not
@@ -1642,9 +1649,10 @@ object Dedup {
   def semanticAssignCapped(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], sizeCap: Int,
-      maxDepth: Int = 4): DataFrame = {
+      maxDepth: Int = 4, seedFanout: Int = 16): DataFrame = {
     require(sizeCap > 1, "sizeCap must exceed 1")
     require(maxDepth >= 0, "maxDepth must be non-negative")
+    require(seedFanout >= 2, "seedFanout must be at least 2")
     import graft.functions.IvfAssign
     import org.apache.spark.sql.expressions.Window
     var assign = df.select(col(idCol), col(vecCol),
@@ -1663,7 +1671,8 @@ object Dedup {
           .orderBy(md5(col(idCol).cast("string")), col(idCol))
         val seeds = over
           .withColumn("__sr", row_number().over(seedW))
-          .filter(col("__sr") <= expr(s"(__sz + ${sizeCap - 1}) div $sizeCap"))
+          .filter(col("__sr") <= least(
+            expr(s"(__sz + ${sizeCap - 1}) div $sizeCap"), lit(seedFanout)))
           .select(col("cluster"), col("__sr"),
             col(vecCol).alias("__seedv"),
             Similarity.norm(col(vecCol)).alias("__seedn"))
@@ -1702,9 +1711,10 @@ object Dedup {
   def semanticDupPairsCapped(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], threshold: Double, sizeCap: Int,
-      maxDepth: Int = 4): DataFrame =
+      maxDepth: Int = 4, seedFanout: Int = 16): DataFrame =
     pairsWithinClusters(
-      semanticAssignCapped(df, idCol, vecCol, centroids, sizeCap, maxDepth),
+      semanticAssignCapped(df, idCol, vecCol, centroids, sizeCap, maxDepth,
+        seedFanout),
       idCol, vecCol, threshold)
 
   /** [[semanticDedup]] under the capped assignment: survivors are vectors
@@ -1714,8 +1724,9 @@ object Dedup {
   def semanticDedupCapped(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], threshold: Double, sizeCap: Int,
-      maxDepth: Int = 4): DataFrame = {
-    val asg = semanticAssignCapped(df, idCol, vecCol, centroids, sizeCap, maxDepth)
+      maxDepth: Int = 4, seedFanout: Int = 16): DataFrame = {
+    val asg = semanticAssignCapped(df, idCol, vecCol, centroids, sizeCap,
+      maxDepth, seedFanout)
     val dropped = pairsWithinClusters(asg, idCol, vecCol, threshold)
       .select(col("b_id").alias(idCol)).distinct()
     asg.select(col(idCol), col("cluster"))

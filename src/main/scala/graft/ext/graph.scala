@@ -30,9 +30,15 @@ object Graph {
     *     ranks still order identically for gate/top-k use.
     *
     * `iters` is fixed and small (PageRank converges geometrically; 3–10
-    * covers curation use). The loop builds ONE lazy plan — for deep
-    * iteration counts in production, localCheckpoint the rank frame every
-    * few rounds to cut lineage, exactly as [[Dedup.nearDupClusters]] does.
+    * covers curation use). Deep iteration counts are safe too: the loop
+    * localCheckpoints the rank frame every [[CheckpointEvery]] rounds, so
+    * plan depth (analysis cost, codegen size, lineage replay on task
+    * retry) stays bounded by a constant number of iterations no matter
+    * what `iters` is — the [[Graph.connectedComponents]] per-round
+    * discipline, amortized because rank frames are O(nodes) and cheap to
+    * materialize. Checkpoint placement is value-neutral: Round11Spec
+    * pins iters = 20 ranks to a driver-replayed integer reference and
+    * bounds the returned plan's node count.
     */
   def pageRank(edges0: DataFrame, srcCol: String, dstCol: String,
       iters: Int = 3, dampPpb: Long = 850000000L): DataFrame = {
@@ -47,7 +53,7 @@ object Graph {
     require(n > 0, "empty graph")
     val od = edges.groupBy("src").agg(count(lit(1)).alias("deg"))
     var r = nodes.withColumn("r", lit(1000000000L / n))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edges
         .join(r.withColumnRenamed("node", "src"), "src")
         .join(od, "src")
@@ -57,9 +63,23 @@ object Graph {
         .select(col("node"),
           (lit((1000000000L - dampPpb) / n) +
             expr(s"${dampPpb}L * coalesce(s, 0L) div 1000000000L")).alias("r"))
+      // bound lineage for deep iteration counts: without a cut, one lazy
+      // plan over `iters` rounds grows linearly in analysis/codegen cost
+      // and any task retry replays EVERY round. Skipped on the final
+      // round (the caller's action materializes it) and entirely for
+      // short runs, so the common iters ≤ CheckpointEvery case pays zero
+      // extra actions.
+      if (i % CheckpointEvery == 0 && i < iters) r = r.localCheckpoint()
     }
     r.select(col("node"), col("r").alias("rank_ppb"))
   }
+
+  /** Iterations between [[pageRank]]'s internal lineage cuts: small
+    * enough that plan depth never exceeds a handful of join-aggregate
+    * rounds, large enough that short runs (the curation norm) pay no
+    * checkpoint at all.
+    */
+  val CheckpointEvery = 8
 
   /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",

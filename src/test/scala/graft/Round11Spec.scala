@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 laws:
+  *
+  *  - [[ext.Dedup.semanticAssignCapped]]'s seed fan-out is bounded by a
+  *    constant F per level (the r10 shape emitted ⌈sz/cap⌉ seeds at
+  *    level 1, making the seed-scoring join sz²/cap rows on a true
+  *    mega-cluster): planting a cluster ≫ F·cap shows every split level
+  *    emits ≤ F sub-seeds (so per-level join rows ≤ F·sz), recursion
+  *    goes DEEPER instead of wider, and final sizes still reach ≤ cap;
+  *  - [[ext.Graph.pageRank]]'s internal lineage cut is value-neutral
+  *    (iters = 20 ranks == a driver-replayed integer reference) and
+  *    actually bounds the returned plan's node count;
+  *  - [[ext.Graph.connectedComponents]] throws on maxIters exhaustion
+  *    instead of returning a non-star edge set as a component mapping.
+  */
+class Round11Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Same mega-cluster shape as Round10Spec: one centroid swallows all
+    * 600 vectors, but the lattice jitter gives every vector a distinct
+    * direction, so splits always have geometric extent to work with.
+    */
+  private lazy val mega = {
+    val rows = (0 until 600).map { i =>
+      val y = (i % 25) * 0.04 - 0.5
+      val z = ((i * 7) % 31) * 0.03 - 0.45
+      (i.toLong, Seq(10.0f, y.toFloat, z.toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+  private val cents = Seq(Seq(1.0, 0.0, 0.0), Seq(-1.0, 0.0, 0.0))
+
+  test("seed fan-out is bounded by F per level; recursion goes deeper, not wider") {
+    val cap = 10
+    val fanout = 4
+    // 600 members ≫ F·cap = 40, so ONE capped level cannot finish: the
+    // bound forces recursion depth ≥ 2 where the r10 shape would have
+    // emitted ⌈600/10⌉ = 60 level-1 seeds (a 600×60 scoring join)
+    val asg = ext.Dedup.semanticAssignCapped(
+      mega, "vec_id", "embedding", cents, sizeCap = cap, maxDepth = 12,
+      seedFanout = fanout)
+    val labels = asg.select("cluster").collect().map(_.getString(0))
+    assert(labels.length === 600)
+    // per-level fan-out bound: every path segment after the root is a
+    // sub-seed rank in [0, F) — which bounds that level's members×seeds
+    // scoring join to F·sz rows
+    labels.foreach { l =>
+      val segs = l.split(":")
+      segs.drop(1).foreach { s =>
+        val v = s.toInt
+        assert(v >= 0 && v < fanout, s"label $l has fan-out segment ≥ $fanout")
+      }
+    }
+    // depth ≥ 2: the cap made the recursion go deeper instead of wider
+    assert(labels.map(_.count(_ == ':')).max >= 2,
+      "expected ≥ 2 split levels on a cluster ≫ F·cap")
+    // and the guard still terminates at ≤ cap leaves
+    val sizes = asg.groupBy("cluster").count().collect().map(_.getLong(1))
+    assert(sizes.sum === 600L)
+    assert(sizes.max <= cap, s"cluster over cap after capped-fan-out splits")
+  }
+
+  test("seedFanout ≥ ⌈sz/cap⌉ reproduces the uncapped-fan-out labels exactly") {
+    // cap 50 → ⌈600/50⌉ = 12 seeds wanted; both 16 (default) and 100
+    // exceed it, so the fan-out bound never binds and labels must match
+    def run(f: Int) = ext.Dedup.semanticAssignCapped(
+        mega, "vec_id", "embedding", cents, sizeCap = 50, maxDepth = 6,
+        seedFanout = f)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(run(16) === run(100))
+  }
+
+  // ---- pageRank internal lineage cut ----
+
+  /** Driver replay of pageRank's exact integer semantics (floor div
+    * throughout, dangling mass leaks). */
+  private def refRanks(edges: Seq[(Long, Long)], iters: Int,
+      damp: Long = 850000000L): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val outdeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = nodes.map(_ -> 1000000000L / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.HashMap.empty[Long, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (u, v) => contrib(v) += r(u) / outdeg(u) }
+      r = nodes.map(v => v -> ((1000000000L - damp) / n +
+        damp * contrib(v) / 1000000000L)).toMap
+    }
+    r
+  }
+
+  test("pageRank iters=20: internal checkpoints are value-neutral vs driver replay") {
+    // chain + cycle + dangling sink: mixes converging and leaking mass
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (2, 5))
+    val got = ext.Graph.pageRank(edges.toDF("s", "d"), "s", "d", iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === refRanks(edges, 20))
+  }
+
+  test("pageRank plan depth is bounded by the checkpoint cadence, not iters") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    def planNodes(iters: Int): Int =
+      ext.Graph.pageRank(edges, "s", "d", iters)
+        .queryExecution.analyzed.collect { case p => p }.size
+    // 20 iters = last cut at 16 → 4 uncheckpointed rounds in the plan;
+    // without the cut the plan would grow ~linearly (≈ 5× the 4-iter
+    // plan). The checkpointed leaf replaces the whole prefix, so the
+    // 20-iter plan must stay within the 4-iter plan's size plus a small
+    // constant (leaf node shapes differ slightly from the scan prefix).
+    val p4 = planNodes(4)
+    val p20 = planNodes(20)
+    assert(p20 <= p4 + 10, s"plan grew with iters: 4-iter=$p4 20-iter=$p20")
+  }
+
+  // ---- connectedComponents non-convergence is an error, not bad data ----
+
+  test("connectedComponents throws when maxIters is exhausted before star-ness") {
+    // a 64-chain cannot reach the star fixpoint in one round
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("s", "d")
+    val ex = intercept[IllegalStateException] {
+      ext.Graph.connectedComponents(edges, "s", "d", maxIters = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+}

@@ -496,4 +496,123 @@ class StreamingSpec extends AnyFunSuite {
     // late mass and the still-open window — no other divergence
     assert(expectAll.keySet.diff(allBatch.keySet).forall(_._1 == ts("04:00")))
   }
+
+  test("checkpoint recovery: stop/restart between micro-batches is exactly-once (no dupes, no loss)") {
+    // The OTHER production failure mode (late data covered eviction):
+    // a query dies between micro-batches and restarts FROM THE SAME
+    // CHECKPOINT. Laws, both production sinks:
+    //   1. append-mode FILE sink across two restarts == one batch run
+    //      over all files (windows ending ≤ final watermark): the offset
+    //      log resumes after the last committed batch (no loss) and the
+    //      sink's _spark_metadata commit log admits each batch's files
+    //      once (no dupes). Window W1's rows arrive BEFORE the first stop
+    //      but are only emitted AFTER the restart, so the law also pins
+    //      state-store recovery, not just offset tracking.
+    //   2. completeToCatalog (foreachBatch + VersionedCatalog overwrite,
+    //      AvailableNow) drained across three separate runs on one
+    //      checkpoint == batch over everything: recovered aggregation
+    //      state counts pre-crash rows exactly once even though the
+    //      source never re-reads them.
+    // Each restart's progress counters additionally pin "no reprocessing"
+    // mechanically: numInputRows per run == that run's new file only.
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s"2025-03-01 $s:00")
+    val aRows = Seq( // window 00 + the first half of window 01
+      (ts("00:05"), "a", 1.00), (ts("00:35"), "b", 2.00),
+      (ts("01:10"), "a", 3.00), (ts("01:40"), "b", 4.00))
+    val bRows = Seq( // closes window 01 (emitted only after restart 1)
+      (ts("02:10"), "a", 5.00), (ts("02:40"), "b", 6.00))
+    val cRows = Seq((ts("04:30"), "a", 7.00)) // closes window 02
+    def mkDir(tag: String) = {
+      val f = java.nio.file.Files.createTempDirectory(tag).toFile
+      f.deleteOnExit(); f
+    }
+    def writeFile(dir: java.io.File, rows: Seq[(Timestamp, String, Double)],
+        name: String, mtime: Long): Unit = {
+      val tmp = mkDir("graft-rec-w")
+      rows.toDF("ts", "event_type", "value").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(dir, name)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(mtime)
+    }
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("window.start"), col("event_type"), col("n_events"),
+        col("sum_value"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    def batchOf(rows: Seq[(Timestamp, String, Double)]) =
+      rows.toDF("ts", "event_type", "value")
+        .withColumn("ts_utc", col("ts"))
+        .groupBy(window(col("ts_utc"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).alias("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
+    val allRows = aRows ++ bRows ++ cRows
+    val t0 = System.currentTimeMillis() - 120000
+
+    // --- law 1: append-mode parquet sink across two stop/restart cycles ---
+    val src = mkDir("graft-rec-src")
+    val out = mkDir("graft-rec-out")
+    val ck = mkDir("graft-rec-ck")
+    writeFile(src, aRows, "a.parquet", t0)
+    def startAppend() = EventStream.tumblingCounts(
+        EventStream.readStream(spark, src.getAbsolutePath,
+          Map("maxFilesPerTrigger" -> "1")), "1 hour")
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", out.getAbsolutePath)
+      .option("checkpointLocation", ck.getAbsolutePath)
+      .start()
+    def inputRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.recentProgress.map(_.numInputRows).sum
+    val q1 = startAppend(); q1.processAllAvailable()
+    val in1 = inputRows(q1); q1.stop() // "crash" after a committed batch
+    writeFile(src, bRows, "b.parquet", t0 + 60000)
+    val q2 = startAppend(); q2.processAllAvailable()
+    val in2 = inputRows(q2); q2.stop()
+    writeFile(src, cRows, "c.parquet", t0 + 120000)
+    val q3 = startAppend(); q3.processAllAvailable()
+    val in3 = inputRows(q3); q3.stop()
+    // no reprocessing: each run read exactly its new file's rows
+    assert(in1 === aRows.size.toLong, s"run 1 read $in1 rows")
+    assert(in2 === bRows.size.toLong, s"restart 1 re-read data: $in2 rows")
+    assert(in3 === cRows.size.toLong, s"restart 2 re-read data: $in3 rows")
+    // exactly-once output: final sink == batch over all rows, closed windows
+    val finalWm = ts("04:20") // 04:30 max event time − 10 min watermark
+    val emitted = keyed(spark.read.parquet(out.getAbsolutePath))
+    val expect = keyed(batchOf(allRows).filter(col("window.end") <= lit(finalWm)))
+    assert(emitted === expect,
+      s"recovered append sink != batch: got=$emitted want=$expect")
+    // the cross-restart window: W1's rows all arrived in run 1, but its
+    // emission required run 2's watermark advance — state recovery proof
+    assert(emitted.contains((ts("01:00"), "a")) && emitted.contains((ts("01:00"), "b")))
+
+    // --- law 2: completeToCatalog drained across three runs, one checkpoint ---
+    val src2 = mkDir("graft-rec-src2")
+    val ck2 = mkDir("graft-rec-ck2")
+    val root = mkDir("graft-rec-cat")
+    val cat = new VersionedCatalog(spark, root.getAbsolutePath)
+    def drainOnce(): Unit = {
+      val q = EventStream.completeToCatalog(
+        EventStream.tumblingCounts(
+          EventStream.readStream(spark, src2.getAbsolutePath,
+            Map("maxFilesPerTrigger" -> "1")), "1 hour"),
+        cat, "rec_tumbling")
+        .option("checkpointLocation", ck2.getAbsolutePath)
+        .start()
+      q.awaitTermination() // AvailableNow terminates after the drain
+    }
+    writeFile(src2, aRows, "a.parquet", t0)
+    drainOnce()
+    writeFile(src2, bRows, "b.parquet", t0 + 60000)
+    drainOnce() // reads ONLY b, but recovered state still holds a's counts
+    assert(keyed(cat.read("rec_tumbling")) === keyed(batchOf(aRows ++ bRows)),
+      "complete drain after restart lost or duplicated pre-crash rows")
+    writeFile(src2, cRows, "c.parquet", t0 + 120000)
+    drainOnce()
+    assert(keyed(cat.read("rec_tumbling")) === keyed(batchOf(allRows)),
+      "complete drain after second restart != batch over everything")
+  }
 }

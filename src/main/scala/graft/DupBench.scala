@@ -35,6 +35,12 @@ object DupBench {
 
   private val M100Pairs = Seq("q_ngram_jaccard" -> "q_minhash_neardup")
 
+  /** Below-threshold spam measures the same pair: high-df shingles with
+    * ~zero qualifying output — the regime the r10 retirement argument
+    * claimed the signature path owns; this row is that claim measured.
+    */
+  private val BelowPairs = Seq("q_ngram_jaccard" -> "q_minhash_neardup")
+
   def main(args: Array[String]): Unit = {
     val root = args.headOption.getOrElse("/root/repo/.bench")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -92,8 +98,11 @@ object DupBench {
     val (baseQs, baseWins) = profile(DupFixture.Base, BasePairs, warmups = 2)
     val (mQs, mWins) = profile(DupFixture.Multiplicity100, M100Pairs,
       warmups = 1)
+    val (bQs, bWins) = profile(DupFixture.TemplateSpamBelow, BelowPairs,
+      warmups = 1)
     println(s"""{"metric":"dupheavy","queries":$baseQs,""" +
       s""""exact_over_twin":$baseWins,""" +
-      s""""m100":{"queries":$mQs,"exact_over_twin":$mWins}}""")
+      s""""m100":{"queries":$mQs,"exact_over_twin":$mWins},""" +
+      s""""below_threshold":{"queries":$bQs,"exact_over_twin":$bWins}}""")
   }
 }

@@ -52,14 +52,30 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   */
 object DupFixture {
 
+  // declared before Profile/the profile vals: object init runs top-down,
+  // and Profile's require reads it during construction
+  private val DocWords = 120
+
   /** `docs` total documents, of which `clusters × copies` are planted
     * near-duplicates (copies of a per-cluster template) and the rest
     * unique filler.
+    *
+    * `coreWords = None` (the default) uses the INTERLEAVED replacement
+    * rule (copy `j` replaces positions `pos % copies == j`): every pair
+    * is a true near-dup well above the query thresholds. `coreWords =
+    * Some(m)` switches to the BLOCK rule: positions `< m` carry the
+    * shared template, positions `≥ m` are copy-private — with k = 3 word
+    * shingles that is exactly `m − 2` shared shingles per pair out of
+    * 118 per doc, so every pair's Jaccard is (m−2)/(236−(m−2))
+    * regardless of the copy count, tunable to sit BELOW the query
+    * thresholds while the shared shingles' document frequency stays the
+    * full copy count.
     */
   final case class Profile(subdir: String, clusters: Int, copies: Int,
-      docs: Int) {
+      docs: Int, coreWords: Option[Int] = None) {
     def dupDocs: Int = clusters * copies
     require(dupDocs <= docs)
+    coreWords.foreach(m => require(m >= 3 && m < DocWords))
   }
 
   /** The round-9 python fixture, bit-compatible content: 30% duplicate
@@ -74,7 +90,21 @@ object DupFixture {
   val Multiplicity100 =
     Profile("dupheavy_m100", clusters = 150, copies = 100, docs = 50000)
 
-  private val DocWords = 120
+  /** BELOW-THRESHOLD template spam: the regime the r10 minhash-claim
+    * retirement asserted but never planted. 15 clusters × 1000 copies
+    * sharing an 85-word template core (pairwise Jaccard = 83/153 ≈ 0.54
+    * — below q_minhash_neardup's 0.7 AND q_ngram_jaccard's 0.8, so
+    * QUALIFYING output is ~zero) while each of the 83 shared shingles
+    * has document frequency 1000: the exact shingle-equi-join pays
+    * Σ df²/2 ≈ 83 · 10⁶/2 · 15 ≈ 620M rows to conclude "no pairs",
+    * the signature path pays one df-flat build + an estimate-filtered
+    * rescore of the banded candidates. This is where df² explodes
+    * WITHOUT dense true-pair output — the regime where banding + flat
+    * signatures must beat exact scoring asymptotically (above-threshold
+    * dup mass can't show it: there the output itself is quadratic).
+    */
+  val TemplateSpamBelow = Profile("dupheavy_below", clusters = 15,
+    copies = 1000, docs = 50000, coreWords = Some(85))
 
   /** Generate `<root>/<profile.subdir>/documents.parquet` if absent;
     * returns the profile's fixture directory either way.
@@ -104,7 +134,8 @@ object DupFixture {
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Seq(Base, Multiplicity100).foreach(p => ensure(spark, root, p))
+    Seq(Base, Multiplicity100, TemplateSpamBelow)
+      .foreach(p => ensure(spark, root, p))
     spark.stop()
   }
 
@@ -119,14 +150,19 @@ object DupFixture {
     val copies = p.copies
     val clusters = p.clusters
     val dup = p.dupDocs
+    val core = p.coreWords
     spark.range(0, p.docs.toLong, 1, 32).map { id =>
       val i = id.toInt
       val words =
         if (i < dup) {
           val c = i / copies
           val j = i % copies
+          // block rule (coreWords set): private iff pos ≥ core;
+          // interleaved rule (default): private iff pos % copies == j
+          def isPrivate(pos: Int) =
+            core.fold(pos % copies == j)(m => pos >= m)
           Array.tabulate(DocWords) { pos =>
-            if (pos % copies == j) s"v${c}x${j}p$pos"
+            if (isPrivate(pos)) s"v${c}x${j}p$pos"
             else s"w${(c.toLong * 2017L + pos * 31L + 7L) % 1000003L}"
           }
         } else {

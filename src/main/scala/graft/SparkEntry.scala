@@ -179,6 +179,23 @@ object SparkEntry {
     "q_merge_upsert" -> ((s, dir) =>
       Merge(mergeDest(s, dir), mapped(s, dir, mergeTm()), mergeTm())),
 
+    // §2.4 merge at scale: the SAME flagship MERGE with the destination
+    // read from a bucketed+sorted warehouse table on the merge key, so
+    // only the (small) source side shuffles — the PlanSpec single-
+    // Exchange law with a committed bench number attached. The bucketed
+    // dest writes once per session (exists-guard) and is keyed by the sf
+    // dir, so the timed bench passes (min-of-3 after a session restart:
+    // pass 1 pays the setup write, passes 2-3 reuse) measure the merge
+    // itself; result ≡ q_merge_upsert, same oracle.
+    "q_merge_upsert_bucketed" -> { (s, dir) =>
+      val tm = mergeTm()
+      val table = "mergedest_hl_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val cat = new BucketedCatalog(s, buckets = 32,
+        bucketKeys = Map(table -> Seq("o_orderkey")))
+      if (!cat.exists(table)) cat.write(table, mergeDest(s, dir))
+      Merge(cat.read(table), mapped(s, dir, tm), tm)
+    },
+
     // §2.4 insertOnly — matched rows keep dest values
     "q_merge_insert_only" -> ((s, dir) =>
       Merge(mergeDest(s, dir), mapped(s, dir, mergeTm(insertOnly = true)),
@@ -4640,6 +4657,20 @@ object SparkEntry {
         |            ELSE 'unknown' END AS status_nm FROM orders""".stripMargin,
 
     "q_merge_upsert" -> (mergeOracleCte +
+      """
+        |SELECT COALESCE(s.o_orderkey, d.o_orderkey) AS o_orderkey,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+        |            ELSE d.o_orderstatus END AS o_orderstatus,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+        |            ELSE d.o_totalprice END AS o_totalprice,
+        |       CASE WHEN d.o_orderkey IS NULL THEN 'INSERT'
+        |            WHEN s.o_orderkey IS NULL THEN NULL
+        |            ELSE 'UPDATE' END AS _action
+        |FROM d FULL OUTER JOIN s ON d.o_orderkey = s.o_orderkey""".stripMargin),
+
+    // identical semantics — the bucketed-destination layout changes the
+    // physical plan (one Exchange instead of two), never the result
+    "q_merge_upsert_bucketed" -> (mergeOracleCte +
       """
         |SELECT COALESCE(s.o_orderkey, d.o_orderkey) AS o_orderkey,
         |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus

@@ -189,8 +189,13 @@ object SparkEntry {
     // itself; result ≡ q_merge_upsert, same oracle.
     "q_merge_upsert_bucketed" -> { (s, dir) =>
       val tm = mergeTm()
+      // buckets == the session's shuffle partitions, so the strict-merge
+      // guard window's source-side exchange ALSO satisfies the join's
+      // distribution (the PlanSpec fixture's alignment note) — a
+      // mismatched bucket count re-shuffles the source a second time
+      val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
       val table = "mergedest_hl_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val cat = new BucketedCatalog(s, buckets = 32,
+      val cat = new BucketedCatalog(s, buckets,
         bucketKeys = Map(table -> Seq("o_orderkey")))
       if (!cat.exists(table)) cat.write(table, mergeDest(s, dir))
       Merge(cat.read(table), mapped(s, dir, tm), tm)

@@ -74,6 +74,22 @@ class PlanSpec extends AnyFunSuite {
     assert(merged.count() === 900)
   }
 
+  test("q_merge_upsert_bucketed (the committed bench row) plans exactly one exchange") {
+    // ties the r11 bench number (0.305 vs 0.375 s unbucketed) to the
+    // mechanical plan property it claims: the QUERY's own plan — not just
+    // the operator fixture above — shuffles only the source side. Runs at
+    // sf0.001 (layout, not data size, decides exchange count).
+    val merged = SparkEntry.queries("q_merge_upsert_bucketed")(
+      spark, "/root/testdata/sf0.001")
+    val plan = finalPlan(merged)
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchanges === 1, s"expected only the source-side shuffle:\n$plan")
+    // and the unbucketed flagship pays two on identical data
+    val plain = finalPlan(
+      SparkEntry.queries("q_merge_upsert")(spark, "/root/testdata/sf0.001"))
+    assert("Exchange hashpartitioning".r.findAllIn(plain).length === 2, plain)
+  }
+
   test("embedding near-dup LSH path plans bucketed joins — no cartesian/BNL node") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val lsh = ext.Dedup.embeddingNearDupPairsLsh(e, "vec_id", "embedding",

@@ -1991,6 +1991,27 @@ object SparkEntry {
               col("o_orderkey") % 3).alias("b")),
         "a", "b")),
 
+    // graph: k-CORE PEELING (Seidman 1983) — the link-farm/spam gate:
+    // repeatedly drop nodes with remaining-degree < k. Fixture = the
+    // part-group co-purchase graph (parts mod 397 co-occurring in an
+    // order, one side offset so the bipartite projection is collision-
+    // free); k=18 cascades through 4 real peel rounds at sf0.01 (each
+    // removal drops neighbors below k) into a non-empty 464-node core.
+    // rounds=6 fixed so the oracle unrolls the same recurrence; per
+    // round one degree aggregate + two semi-joins, all O(E)
+    "q_kcore" -> { (s, dir) =>
+      val li = read(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 11 === 0)
+        .select(col("l_orderkey"), (col("l_partkey") % 397).alias("p"))
+      val edges = li.alias("x").join(li.alias("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.p") < col("y.p"))
+        .select(col("x.p").alias("src"),
+          (col("y.p") + 100000L).alias("dst"))
+        .distinct()
+      ext.Graph.kCore(edges, "src", "dst", k = 18, rounds = 6)
+    },
+
     // profiling: heaviest join keys with corpus share (the pre-shuffle
     // skew check; TakeOrdered top-N, no global sort)
     "q_key_skew" -> ((s, dir) => ext.Profile.keySkew(
@@ -3251,6 +3272,38 @@ object SparkEntry {
        |SELECT node, CAST(r AS BIGINT) AS rank_ppb FROM r3""".stripMargin
   }
 
+  /** Generated DuckDB oracle for q_kcore — the same co-purchase edge
+    * derivation, then each peel round unrolled as its own CTE chain
+    * (degree → keep-set → filtered edges), replaying
+    * [[graft.ext.Graph.kCore]]'s fixed-rounds recurrence exactly (the
+    * engine's fixpoint early-exit is value-neutral: a round that removes
+    * nothing makes every later unrolled round an identity).
+    */
+  private lazy val kCoreOracle: String = {
+    val (k, rounds) = (18, 6)
+    // AS MATERIALIZED: each round references the previous edge set three
+    // times — inlined CTEs would expand to 3^rounds re-scans of the base
+    // parquet (measured: blows the fd limit at rounds = 6)
+    def round(i: Int): String =
+      s"""d$i AS MATERIALIZED (SELECT v, COUNT(*) AS c FROM (
+         |  SELECT a AS v FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1})
+         |  GROUP BY v),
+         |k$i AS MATERIALIZED (SELECT v FROM d$i WHERE c >= $k),
+         |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+         |        WHERE a IN (SELECT v FROM k$i)
+         |          AND b IN (SELECT v FROM k$i))""".stripMargin
+    s"""WITH li AS MATERIALIZED (SELECT l_orderkey, l_partkey % 397 AS p
+       |            FROM lineitem WHERE l_orderkey % 11 = 0),
+       |e0 AS MATERIALIZED (SELECT DISTINCT x.p AS a, y.p + 100000 AS b
+       |       FROM li x JOIN li y
+       |         ON x.l_orderkey = y.l_orderkey AND x.p < y.p),
+       |${(1 to rounds).map(round).mkString(",\n")}
+       |SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+       |FROM (SELECT a AS node FROM e$rounds
+       |      UNION ALL SELECT b FROM e$rounds)
+       |GROUP BY node""".stripMargin
+  }
+
   /** Generated DuckDB oracle for q_simhash_portable — same md5-hex-digit
     * bit reads and ±1 votes as `Dedup.simHash32Portable`, emitted as 32
     * aggregate expressions.
@@ -3969,6 +4022,7 @@ object SparkEntry {
     "q_simhash" -> simhash64PortableOracle,
     "q_simhash_portable" -> simhashPortableOracle,
     "q_pagerank" -> pageRankOracle,
+    "q_kcore" -> kCoreOracle,
 
     // triangles via the definitional a<b<c three-way join — the hash
     // match proves the oriented wedge enumeration finds each exactly once

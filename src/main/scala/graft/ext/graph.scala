@@ -187,6 +187,56 @@ object Graph {
         .distinct())
   }
 
+  /** k-core peeling — the classic link-farm/spam gate over a web or
+    * co-occurrence graph (Seidman 1983; used in crawl curation to keep
+    * densely-connected cores and shed tendrils): repeatedly delete every
+    * node whose degree in the REMAINING graph is < k, until a fixpoint.
+    * Returns (node, degree) for every surviving node, degree measured in
+    * the surviving subgraph.
+    *
+    * `rounds` bounds the peeling like [[pageRank]]'s fixed `iters`, so a
+    * plain-SQL oracle can replay the recurrence by unrolling rounds; the
+    * loop still early-exits on the fixpoint (a round that removes
+    * nothing — every later round is then a no-op, so the exit is
+    * value-neutral and the fixed-rounds contract holds either way).
+    *
+    * Scale: each round is one degree aggregate + two semi-joins on the
+    * edge relation — O(E) shuffled bytes, the [[connectedComponents]]
+    * cost model — with a localCheckpoint per round to cut lineage and a
+    * single O(1)-row count probe for the early exit. Cascades are
+    * shallow in practice (each round must remove ≥ 1 node, and real
+    * graphs peel in bulk); pathological chains are bounded by `rounds`
+    * explicitly rather than silently looping.
+    */
+  def kCore(edges0: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(rounds >= 1 && rounds <= 50, "rounds in [1, 50]")
+    var e = edges0.select(
+        least(col(srcCol), col(dstCol)).alias("a"),
+        greatest(col(srcCol), col(dstCol)).alias("b"))
+      .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    var n = e.count()
+    var i = 0
+    var done = n == 0L
+    while (!done && i < rounds) {
+      val deg = e.select(col("a").alias("v"))
+        .unionAll(e.select(col("b").alias("v")))
+        .groupBy("v").agg(count(lit(1)).alias("d"))
+      val keep = deg.filter(col("d") >= k).select("v")
+      val next = e
+        .join(keep.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+      val n2 = next.count()
+      done = n2 == n // fixpoint: nothing peeled, later rounds are no-ops
+      e = next; n = n2; i += 1
+    }
+    e.select(explode(array(col("a"), col("b"))).alias("node"))
+      .groupBy("node").agg(count(lit(1)).alias("degree"))
+  }
+
   /** Per-vertex triangle counts — the clustering/cohesion metric behind
     * community detection and link-spam gates. Pure integer counting, so
     * any engine agrees exactly.

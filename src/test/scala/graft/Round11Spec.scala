@@ -119,6 +119,33 @@ class Round11Spec extends AnyFunSuite {
     assert(p20 <= p4 + 10, s"plan grew with iters: 4-iter=$p4 20-iter=$p20")
   }
 
+  // ---- k-core peeling ----
+
+  test("kCore: chain peels in cascade, clique survives; fixed rounds replay exactly") {
+    // triangle {1,2,3} (2-core) + tendril 3-4-5-6 hanging off it: at k=2
+    // the tendril peels one node per round FROM THE END (6 then 5 then 4
+    // — each removal drops the next below k), the classic cascade
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6))
+    def core(k: Int, rounds: Int) =
+      ext.Graph.kCore(edges.toDF("s", "d"), "s", "d", k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // converged: only the triangle remains, each node at degree 2
+    assert(core(2, 10) === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // fixed-rounds contract: rounds=1 removes exactly the current
+    // sub-k nodes (node 6), leaving 5 at degree 1 for the next round
+    assert(core(2, 1) ===
+      Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 2L, 5L -> 1L))
+    assert(core(2, 2) === Map(1L -> 2L, 2L -> 2L, 3L -> 3L, 4L -> 1L))
+    // k above the max core empties the graph; early-exit handles it
+    assert(core(4, 10) === Map.empty[Long, Long])
+    // duplicate/reversed/self-loop edges are inert (canonicalization)
+    val noisy = edges ++ Seq((2L, 1L), (1L, 1L), (1L, 2L))
+    assert(ext.Graph.kCore(noisy.toDF("s", "d"), "s", "d", 2, 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
   // ---- connectedComponents non-convergence is an error, not bad data ----
 
   test("connectedComponents throws when maxIters is exhausted before star-ness") {

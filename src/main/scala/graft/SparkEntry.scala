@@ -19,6 +19,32 @@ object SparkEntry {
   private def read(s: SparkSession, dir: String, table: String): DataFrame =
     s.read.parquet(s"$dir/$table.parquet")
 
+  /** Exact row count of a parquet table from its FOOTER metadata — a
+    * driver-side read of each file's row-group counts, zero Spark jobs.
+    * The sizing device for adaptive knobs (LSH bits ∝ log2(n)): a
+    * catalog/metastore serves this from statistics at 100 TB; on raw
+    * parquet the footers ARE that catalog. Handles both a single file
+    * and a directory of part files.
+    */
+  private def parquetRowCount(s: SparkSession, dir: String,
+      table: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val conf = s.sessionState.newHadoopConf()
+    val root = new Path(s"$dir/$table.parquet")
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).filter(st => st.isFile &&
+          st.getPath.getName.endsWith(".parquet")).toSeq
+      else Seq(fs.getFileStatus(root))
+    files.map { st =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromStatus(st, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
   /** Run a non-merge mapping against a parquet sf dir. */
   private def mapped(s: SparkSession, dir: String, tm: TableMapping,
       src: DataFrame = null): DataFrame = {
@@ -194,7 +220,13 @@ object SparkEntry {
       // distribution (the PlanSpec fixture's alignment note) — a
       // mismatched bucket count re-shuffles the source a second time
       val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val table = "mergedest_hl_" + dir.replaceAll("[^a-zA-Z0-9]", "_")
+      // bucket count is part of the table NAME: if the session's shuffle
+      // partitions change between runs, the exists-guard must force a
+      // rewrite at the new layout rather than silently reuse a table
+      // whose bucket count no longer matches the join's distribution
+      // (two shuffles instead of the one this row claims)
+      val table = "mergedest_hl_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_b" + buckets
       val cat = new BucketedCatalog(s, buckets,
         bucketKeys = Map(table -> Seq("o_orderkey")))
       if (!cat.exists(table)) cat.write(table, mergeDest(s, dir))
@@ -917,7 +949,11 @@ object SparkEntry {
       // log2(side/250) holds fill at ~4/bucket at every scale. At the
       // oracle scale (sf0.01, 250/side) the rule yields exactly the
       // pinned 6 bits, so the generated-SQL oracle is unchanged.
-      val nSide = math.max(a.count(), b.count())
+      // Side size comes from the parquet FOOTERS (label%2 splits the
+      // corpus evenly by construction), not a per-run count(): the r11
+      // shape ran two full-corpus jobs before the real query — two
+      // extra full scans per invocation at 100 TB.
+      val nSide = parquetRowCount(s, dir, "embeddings") / 2
       val bits = 6 + math.max(0,
         math.floor(math.log(nSide / 250.0) / math.log(2.0)).toInt)
       val cands = ext.Similarity.lshCrossCandidates(a, b, "vec_id",

@@ -1165,6 +1165,17 @@ object Dedup {
     * large-star/small-star, O(log² n) rounds of edge-sized shuffles,
     * diameter-independent. Either way the working frames are O(pair-graph
     * nodes), never O(corpus).
+    *
+    * `maxIters` CHANGED MEANING in r11 (and the failure mode with it):
+    * it now counts alternating-star rounds — O(log² n), so the default
+    * 20 covers any physically storable pair graph — not min-label
+    * propagation rounds, which scaled with component DIAMETER. Callers
+    * that tuned a small value to an expected diameter should drop the
+    * argument and take the default; exhaustion now THROWS
+    * (IllegalStateException, from [[Graph.connectedComponents]]) instead
+    * of returning best-effort labels — a non-converged star set is not a
+    * component mapping, and silently wrong clusters cost more than a
+    * loud retry with a higher bound.
     */
   def nearDupClusters(
       ids: DataFrame, idCol: String, pairs: DataFrame,
@@ -1631,7 +1642,10 @@ object Dedup {
     * quadratic in exactly the pathological input the guard exists for.
     * Capping seeds at F per level bounds the join to F·sz rows and the
     * recursion reaches the same ≤ sizeCap leaves in `log_F(sz/sizeCap)`
-    * levels (10⁹ members, F = 16, cap = 10⁴: 5 levels). Without the
+    * levels (10⁹ members, F = 16, cap = 10⁴: 5 levels — inside the
+    * default maxDepth = 8, which covers log₁₆ of any physically
+    * storable sz/cap; exhausting maxDepth with clusters still over cap
+    * logs a loud warning, see below). Without the
     * guard one pathological mega-cluster (a crawl of boilerplate, an
     * embedding-model collapse) silently restores the n² all-pairs blowup
     * SemDeDup exists to avoid.
@@ -1649,7 +1663,7 @@ object Dedup {
   def semanticAssignCapped(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], sizeCap: Int,
-      maxDepth: Int = 4, seedFanout: Int = 16): DataFrame = {
+      maxDepth: Int = 8, seedFanout: Int = 16): DataFrame = {
     require(sizeCap > 1, "sizeCap must exceed 1")
     require(maxDepth >= 0, "maxDepth must be non-negative")
     require(seedFanout >= 2, "seedFanout must be at least 2")
@@ -1660,11 +1674,12 @@ object Dedup {
         .alias("cluster"))
     var depth = 0
     var done = maxDepth == 0
+    var fixpoint = false // exited because no cluster exceeds sizeCap
     while (!done) {
       val oversized = assign.groupBy(col("cluster"))
         .agg(count(lit(1)).alias("__sz"))
         .filter(col("__sz") > sizeCap)
-      if (oversized.limit(1).count() == 0L) done = true
+      if (oversized.limit(1).count() == 0L) { done = true; fixpoint = true }
       else {
         val over = assign.join(oversized, Seq("cluster"))
         val seedW = Window.partitionBy(col("cluster"))
@@ -1699,6 +1714,25 @@ object Dedup {
         if (depth >= maxDepth) done = true
       }
     }
+    // Degradation must be VISIBLE: exhausting maxDepth with clusters
+    // still over sizeCap means a downstream all-pairs stage
+    // ([[semanticDupPairsCapped]]) would do quadratic work inside them —
+    // the exact blowup this guard exists to prevent. One cheap limit(1)
+    // probe, only on the exhausted exit. Not an error: a true point mass
+    // (identical vectors) legitimately never splits (see caveat above),
+    // so warn rather than throw.
+    if (!fixpoint && maxDepth > 0) {
+      val still = assign.groupBy(col("cluster"))
+        .agg(count(lit(1)).alias("__sz"))
+        .filter(col("__sz") > sizeCap).limit(1).count()
+      if (still > 0L)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"semanticAssignCapped: maxDepth=$maxDepth exhausted with " +
+            s"clusters still above sizeCap=$sizeCap — downstream " +
+            "in-cluster all-pairs stages will be quadratic inside them. " +
+            "Raise maxDepth (levels needed ~ log_seedFanout(sz/sizeCap)) " +
+            "or remove exact-duplicate point masses upstream.")
+    }
     assign
   }
 
@@ -1711,7 +1745,7 @@ object Dedup {
   def semanticDupPairsCapped(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], threshold: Double, sizeCap: Int,
-      maxDepth: Int = 4, seedFanout: Int = 16): DataFrame =
+      maxDepth: Int = 8, seedFanout: Int = 16): DataFrame =
     pairsWithinClusters(
       semanticAssignCapped(df, idCol, vecCol, centroids, sizeCap, maxDepth,
         seedFanout),
@@ -1724,7 +1758,7 @@ object Dedup {
   def semanticDedupCapped(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: Seq[Seq[Double]], threshold: Double, sizeCap: Int,
-      maxDepth: Int = 4, seedFanout: Int = 16): DataFrame = {
+      maxDepth: Int = 8, seedFanout: Int = 16): DataFrame = {
     val asg = semanticAssignCapped(df, idCol, vecCol, centroids, sizeCap,
       maxDepth, seedFanout)
     val dropped = pairsWithinClusters(asg, idCol, vecCol, threshold)

@@ -132,11 +132,22 @@ object Graph {
     // directly detects the fixpoint ON the round that produces it — the
     // equality probe paid one full extra transform round (~10 stage jobs
     // at bench scale) just to observe nothing changed.
+    // ONE action, not two (r12): both violation types are per-NODE facts
+    // — a member (b side) with >1 center, or a node on both sides — so
+    // one union + hash aggregate over node roles tests them together
+    // (map-side partial aggregation collapses each partition's roles
+    // before the shuffle; the old shape paid a countDistinct aggregate
+    // AND a member↔center semi-join as two separate jobs per round, and
+    // iterative cost here is actions × per-action floor).
     def isStars(df: org.apache.spark.sql.DataFrame): Boolean = {
-      val r = df.agg(count(lit(1)), countDistinct(col("b"))).head()
-      r.getLong(0) == r.getLong(1) &&
-        df.alias("x").join(df.alias("y"), col("x.b") === col("y.a"),
-          "left_semi").limit(1).count() == 0
+      val roles = df.select(col("b").alias("n"),
+          lit(1L).alias("mem"), lit(0L).alias("cen"))
+        .unionAll(df.select(col("a").alias("n"),
+          lit(0L).alias("mem"), lit(1L).alias("cen")))
+      roles.groupBy("n")
+        .agg(sum(col("mem")).alias("m"), max(col("cen")).alias("c"))
+        .filter(col("m") > 1 || (col("m") >= 1 && col("c") === 1))
+        .limit(1).count() == 0L
     }
     var converged = isStars(e)
     var i = 0
@@ -233,6 +244,20 @@ object Graph {
       done = n2 == n // fixpoint: nothing peeled, later rounds are no-ops
       e = next; n = n2; i += 1
     }
+    // Exhausting `rounds` BEFORE the fixpoint means the result is a
+    // partially-peeled graph, not the k-core — sub-k tendrils survive in
+    // it, and an unrolled fixed-rounds oracle AGREES (both replay the
+    // same rounds), so no downstream check can catch the shortfall. Make
+    // it visible here: a loud warning naming the headroom to raise.
+    // (Value contract unchanged — the fixed-rounds recurrence is what
+    // the oracle replays; callers sizing `rounds` get a signal, not a
+    // different answer.)
+    if (!done && n > 0L)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"kCore: rounds=$rounds exhausted before the peeling fixpoint — " +
+          "the result is partially peeled (sub-k tendrils remain). " +
+          "Raise `rounds`; real graphs peel in bulk, so the cascade " +
+          "depth grows slowly with scale.")
     e.select(explode(array(col("a"), col("b"))).alias("node"))
       .groupBy("node").agg(count(lit(1)).alias("degree"))
   }

@@ -102,27 +102,57 @@ object Similarity {
     * partitioning and in any engine replaying the same expression tree
     * (the IEEE division chain is fixed-shape).
     *
-    * Scale: this is the exact path (|A|×|B| cross product — the
-    * correctness baseline and the oracle contract). At corpus scale the
-    * cross product is replaced by [[lshCandidatePairs]]/[[ivfTopK]]
-    * candidates and the averages run over each side's retrieved top-k —
-    * the standard practical approximation, same downstream margin math;
-    * the per-side windows and integer-sum aggregates here are already
-    * per-key-parallel and carry over unchanged.
+    * Scale: the exact |A|×|B| cross product is gated the same way as
+    * [[graft.ext.Dedup.embeddingNearDupPairs]] — a `limit(cap+1)` size
+    * probe per side (Spark stops scanning at cap+1 rows). At or below
+    * `bruteForceLimit` rows on BOTH sides the cross product runs: it is
+    * the correctness baseline and the oracle contract, and quadratic
+    * cost is fine at that size. Past the limit the OPERATOR — not the
+    * caller — refuses the cartesian and falls back to
+    * [[lshCrossCandidates]] + [[marginAlignCandidates]]: bucketed
+    * equi-joins only, neighborhood averages over retrieved candidates
+    * (the standard practical approximation, recall asserted against the
+    * exact path in ExtSpec), identical downstream margin math.
     */
   def marginAlign(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
-      k: Int = 4, minMargin: Double = 1.0): DataFrame = {
+      k: Int = 4, minMargin: Double = 1.0,
+      bruteForceLimit: Long = 100000L, tables: Int = 8,
+      bitsPerTable: Int = 6, seed: Long = 42L): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    marginOverScoredPairs(
+      marginScoredPairs(a, b, idCol, vecCol, bruteForceLimit,
+        tables, bitsPerTable, seed), k, minMargin)
+  }
+
+  /** The gated scored-pairs stage of [[marginAlign]], exposed for plan
+    * laws (the downstream margin math checkpoints this frame, so its
+    * join shape is invisible in the final query's executed plan).
+    */
+  private[graft] def marginScoredPairs(a: DataFrame, b: DataFrame,
+      idCol: String, vecCol: String, bruteForceLimit: Long,
+      tables: Int, bitsPerTable: Int, seed: Long): DataFrame = {
+    val small =
+      if (bruteForceLimit >= Int.MaxValue - 1) true
+      else {
+        val cap = bruteForceLimit.toInt
+        a.limit(cap + 1).count() <= bruteForceLimit &&
+          b.limit(cap + 1).count() <= bruteForceLimit
+      }
+    if (!small) {
+      val dim = a.select(size(col(vecCol))).head().getInt(0)
+      val cands = lshCrossCandidates(a, b, idCol, vecCol, dim,
+        tables, bitsPerTable, seed)
+      return candidateScoredPairs(a, b, idCol, vecCol, cands)
+    }
     val aa = a.select(col(idCol).alias("a_id"), col(vecCol).alias("va"))
       .withColumn("na", norm(col("va")))
     val bb = b.select(col(idCol).alias("b_id"), col(vecCol).alias("vb"))
       .withColumn("nb", norm(col("vb")))
-    val p = aa.crossJoin(bb)
+    aa.crossJoin(bb)
       .withColumn("c6",
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .withColumn("s", round(col("c6") * lit(1e6), 0).cast("long"))
       .select("a_id", "b_id", "c6", "s")
-    marginOverScoredPairs(p, k, minMargin)
   }
 
   /** Margin alignment over an EXPLICIT candidate pair set — the 100 TB
@@ -144,17 +174,26 @@ object Similarity {
       vecCol: String, candidates: DataFrame, k: Int = 4,
       minMargin: Double = 1.0): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    marginOverScoredPairs(
+      candidateScoredPairs(a, b, idCol, vecCol, candidates), k, minMargin)
+  }
+
+  /** Scored (a_id, b_id, c6, s) rows for an explicit candidate set — the
+    * shared pair stage of [[marginAlignCandidates]] and the gate
+    * fallback in [[marginScoredPairs]].
+    */
+  private def candidateScoredPairs(a: DataFrame, b: DataFrame,
+      idCol: String, vecCol: String, candidates: DataFrame): DataFrame = {
     val aa = a.select(col(idCol).alias("a_id"), col(vecCol).alias("va"))
       .withColumn("na", norm(col("va")))
     val bb = b.select(col(idCol).alias("b_id"), col(vecCol).alias("vb"))
       .withColumn("nb", norm(col("vb")))
-    val p = candidates.select("a_id", "b_id").distinct()
+    candidates.select("a_id", "b_id").distinct()
       .join(aa, "a_id").join(bb, "b_id")
       .withColumn("c6",
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .withColumn("s", round(col("c6") * lit(1e6), 0).cast("long"))
       .select("a_id", "b_id", "c6", "s")
-    marginOverScoredPairs(p, k, minMargin)
   }
 
   /** Cross-frame sign-LSH candidates (a_id, b_id): multi-table buckets on

@@ -117,7 +117,22 @@ final class BucketedCatalog(
     bucketKeys: Map[String, Seq[String]],
     prefix: String = "graft") extends Catalog {
   private def qual(name: String) = s"${prefix}_$name"
-  def read(name: String): DataFrame = spark.table(qual(name))
+  /** T-SQL temp-relation passthrough (`/root/reference/tsql2008.js:8`):
+    * names containing `#` are tempdb-scoped and SKIP database
+    * qualification — `[db].[dbo].[t]` for ordinary names, the raw name
+    * for `#staging`. The Spark analogue of tempdb is the session
+    * temp-view namespace: a `#` name reads/writes an UNQUALIFIED session
+    * temp view (backtick-quoted — `#` is not a bare-identifier char) and
+    * never touches the prefixed warehouse. Temp writes materialize via
+    * localCheckpoint first, so a later pass reads the state as of the
+    * write (T-SQL temp tables hold data, not definitions) and a
+    * read-back never replays a swapped-out upstream plan.
+    */
+  private def isTempName(name: String) = name.contains("#")
+  private def tempRef(name: String) = s"`$name`"
+  def read(name: String): DataFrame =
+    if (isTempName(name)) spark.table(tempRef(name))
+    else spark.table(qual(name))
   /** Remove an orphan warehouse directory for a table that is NOT
     * registered (in this session's catalog): with the default in-memory
     * catalog, a previous process's tables leave their directories behind
@@ -143,6 +158,10 @@ final class BucketedCatalog(
     * catalog's [[Catalog.swapWrite]].)
     */
   def write(name: String, df: DataFrame): Unit = {
+    if (isTempName(name)) {
+      df.localCheckpoint().createOrReplaceTempView(tempRef(name))
+      return
+    }
     val tmp = qual(name) + "__swap_tmp"
     val old = qual(name) + "__swap_old"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
@@ -171,7 +190,9 @@ final class BucketedCatalog(
     }
     if (hadTable) spark.sql(s"DROP TABLE IF EXISTS $old")
   }
-  def exists(name: String): Boolean = spark.catalog.tableExists(qual(name))
+  def exists(name: String): Boolean =
+    if (isTempName(name)) spark.catalog.tableExists(tempRef(name))
+    else spark.catalog.tableExists(qual(name))
 }
 
 /** Generic file-format catalog (csv/json/orc/...): `<dir>/<table>.<ext>`.

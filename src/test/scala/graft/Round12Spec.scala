@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 laws:
+  *
+  *  - [[ext.Similarity.marginAlign]] carries its OWN brute-force gate
+  *    (the embeddingNearDupPairs pattern): past `bruteForceLimit` the
+  *    operator — not the caller — refuses the |A|×|B| cartesian and
+  *    falls back to sign-LSH cross candidates, so an API user calling
+  *    it on a large frame never plans a cartesian node;
+  *  - `#` names are TEMP relations (`/root/reference/tsql2008.js:8`):
+  *    a BucketedCatalog resolves them as unqualified session temp views
+  *    — never prefixed, never warehouse tables — and a ported mapping
+  *    with a `#staging` source runs end-to-end;
+  *  - [[ext.Graph.connectedComponents]]' single-action star-ness probe
+  *    still requires BOTH violation tests (a duplicated member, and a
+  *    node on both sides): inputs crafted to pass one test alone must
+  *    still be rewritten to the true component mapping.
+  */
+class Round12Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- marginAlign brute-force gate ---------------------------------------
+
+  private lazy val embeddings =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("marginAlign past bruteForceLimit plans no cartesian node") {
+    val a = embeddings.filter(col("label") % 2 === 0)
+    val b = embeddings.filter(col("label") % 2 === 1)
+    // the pair stage is checkpointed downstream, so inspect IT — the
+    // final query's plan would hide the join shape behind a Scan
+    val pairs = ext.Similarity.marginScoredPairs(a, b, "vec_id",
+      "embedding", bruteForceLimit = 10L, tables = 8, bitsPerTable = 6,
+      seed = 42L)
+    val logical = pairs.queryExecution.optimizedPlan.toString
+    val physical = pairs.queryExecution.executedPlan.toString
+    assert(!logical.contains("Join Cross"), logical)
+    assert(!physical.contains("CartesianProduct") &&
+      !physical.contains("BroadcastNestedLoopJoin"), physical)
+  }
+
+  test("marginAlign gate fallback == explicit lshCrossCandidates path") {
+    val a = embeddings.filter(col("label") % 2 === 0)
+    val b = embeddings.filter(col("label") % 2 === 1)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val gated = ext.Similarity.marginAlign(a, b, "vec_id", "embedding",
+      k = 4, minMargin = 1.0, bruteForceLimit = 10L)
+      .collect().map(key).toSet
+    val explicit = {
+      val cands = ext.Similarity.lshCrossCandidates(a, b, "vec_id",
+        "embedding", dim = 64, tables = 8, bitsPerTable = 6)
+      ext.Similarity.marginAlignCandidates(a, b, "vec_id", "embedding",
+        cands, k = 4, minMargin = 1.0).collect().map(key).toSet
+    }
+    assert(gated === explicit)
+    assert(gated.nonEmpty, "fixture produced no aligned pairs — weak test")
+  }
+
+  test("marginAlign below bruteForceLimit keeps the exact path") {
+    val a = embeddings.filter(col("label") % 2 === 0)
+    val b = embeddings.filter(col("label") % 2 === 1)
+    // the exact path IS the cross product (the oracle contract) — the
+    // pair stage's logical plan must contain it below the gate
+    val pairs = ext.Similarity.marginScoredPairs(a, b, "vec_id",
+      "embedding", bruteForceLimit = 100000L, tables = 8,
+      bitsPerTable = 6, seed = 42L)
+    assert(pairs.queryExecution.optimizedPlan.toString.contains("Join Cross"),
+      pairs.queryExecution.optimizedPlan.toString)
+  }
+
+  // --- `#` temp-relation passthrough --------------------------------------
+
+  test("# names resolve as unqualified session temp views, never warehouse") {
+    val cat = new BucketedCatalog(spark, buckets = 4, bucketKeys = Map.empty)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(!cat.exists("#staging"))
+    cat.write("#staging", df)
+    assert(cat.exists("#staging"))
+    assert(cat.read("#staging").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L))
+    // passthrough means NO prefix qualification (tsql2008.js:8): the
+    // warehouse namespace must not contain any graft_-prefixed variant
+    val warehouse = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_"))
+    assert(!warehouse.exists(_.contains("staging")), warehouse.mkString(","))
+    // and it is a temp view: dropping temp views removes it
+    spark.catalog.dropTempView("#staging")
+    assert(!cat.exists("#staging"))
+  }
+
+  test("# temp writes hold data as of the write (T-SQL temp-table state)") {
+    val cat = new BucketedCatalog(spark, buckets = 4, bucketKeys = Map.empty)
+    Seq(1L, 2L).toDF("id").createOrReplaceTempView("r12_upstream")
+    cat.write("#snap", spark.table("r12_upstream"))
+    // mutating the upstream AFTER the write must not change reads — a
+    // lazy (non-materialized) temp view would replay the new upstream
+    Seq(1L, 2L, 3L, 4L).toDF("id").createOrReplaceTempView("r12_upstream")
+    assert(cat.read("#snap").count() === 2L)
+    spark.catalog.dropTempView("#snap")
+    spark.catalog.dropTempView("r12_upstream")
+  }
+
+  test("ported mapping with a #staging source runs end-to-end") {
+    val cat = new BucketedCatalog(spark, buckets = 4, bucketKeys = Map.empty)
+    cat.write("#staging", Seq(
+      (1, "alice", 100.0), (2, "bob", 50.0), (3, "carol", 75.0),
+    ).toDF("UserID", "Username", "Balance"))
+    val tm = TableMapping(
+      destination = "users",
+      source = "#staging",
+      columns = Seq(
+        "orig_id" -> DirectCopy("UserID"),
+        "user_id" -> DirectCopy("Username"),
+        "bal2"    -> Sql("Balance * CAST(2.0 AS DOUBLE)", Seq("Balance"))))
+    val dest = new InMemoryCatalog()
+    new PipelineRunner(cat, dest).run(Pipeline(Seq(tm)))
+    val rows = dest.read("users").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(rows === Array((1, "alice", 200.0), (2, "bob", 100.0),
+      (3, "carol", 150.0)))
+    spark.catalog.dropTempView("#staging")
+  }
+
+  // --- single-action star-ness probe still tests both violations ----------
+
+  test("CC: duplicated-member input (passes the no-center-overlap test alone)") {
+    // {(1,5),(2,5)}: no b appears as an a, but b=5 has two centers —
+    // small-star must still rewrite it; accepting it as stars would
+    // emit 5 → 1 AND 5 → 2
+    val e = Seq((1L, 5L), (2L, 5L)).toDF("a_id", "b_id")
+    val got = ext.Graph.connectedComponents(e, "a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 5L -> 1L))
+  }
+
+  test("CC: member-is-center input (passes the unique-member test alone)") {
+    // {(1,2),(2,3)}: every b unique, but 2 is on both sides — large-star
+    // must still re-point 3 at 1
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val got = ext.Graph.connectedComponents(e, "a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("CC: a true star set converges with zero rounds") {
+    val e = Seq((1L, 5L), (1L, 7L), (10L, 12L)).toDF("a_id", "b_id")
+    val got = ext.Graph.connectedComponents(e, "a_id", "b_id", maxIters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 5L -> 1L, 7L -> 1L, 10L -> 10L, 12L -> 10L))
+  }
+}

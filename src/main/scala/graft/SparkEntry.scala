@@ -233,6 +233,26 @@ object SparkEntry {
       Merge(cat.read(table), mapped(s, dir, tm), tm)
     },
 
+    // §2.4 the full PIPELINE path over a bucketed destination: one
+    // Merge.into call — compile → upsert → crash-safe swap-write — with
+    // the catalog's bucket layout derived from the mapping
+    // (Merge.bucketKeysFor), so the dest side never shuffles AND the
+    // write re-buckets the new state for the next pass. The dest resets
+    // to the FIXTURES.md initial state each invocation, so the returned
+    // changelog (incl. _action) is deterministic across bench passes;
+    // the timed cost honestly includes both warehouse writes — this row
+    // measures persistence + merge, where q_merge_upsert_bucketed
+    // isolates the merge plan itself.
+    "q_merge_into_bucketed" -> { (s, dir) =>
+      val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val table = "mergedest_into_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_b" + buckets
+      val tm = mergeTm().copy(destination = table)
+      val cat = new BucketedCatalog(s, buckets, Merge.bucketKeysFor(tm))
+      cat.write(table, mergeDest(s, dir))
+      Merge.into(cat, tm, read(s, dir, "orders"))
+    },
+
     // §2.4 insertOnly — matched rows keep dest values
     "q_merge_insert_only" -> ((s, dir) =>
       Merge(mergeDest(s, dir), mapped(s, dir, mergeTm(insertOnly = true)),
@@ -4766,6 +4786,20 @@ object SparkEntry {
     // identical semantics — the bucketed-destination layout changes the
     // physical plan (one Exchange instead of two), never the result
     "q_merge_upsert_bucketed" -> (mergeOracleCte +
+      """
+        |SELECT COALESCE(s.o_orderkey, d.o_orderkey) AS o_orderkey,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus
+        |            ELSE d.o_orderstatus END AS o_orderstatus,
+        |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice
+        |            ELSE d.o_totalprice END AS o_totalprice,
+        |       CASE WHEN d.o_orderkey IS NULL THEN 'INSERT'
+        |            WHEN s.o_orderkey IS NULL THEN NULL
+        |            ELSE 'UPDATE' END AS _action
+        |FROM d FULL OUTER JOIN s ON d.o_orderkey = s.o_orderkey""".stripMargin),
+
+    // same values again — Merge.into adds the compile + swap-write
+    // lifecycle around the identical upsert, never different rows
+    "q_merge_into_bucketed" -> (mergeOracleCte +
       """
         |SELECT COALESCE(s.o_orderkey, d.o_orderkey) AS o_orderkey,
         |       CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus

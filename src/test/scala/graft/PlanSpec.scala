@@ -74,6 +74,78 @@ class PlanSpec extends AnyFunSuite {
     assert(merged.count() === 900)
   }
 
+  test("mergePk over a bucketed destination shuffles only the source side") {
+    val cat = new BucketedCatalog(spark, buckets = 4,
+      bucketKeys = Map("dpk" -> Seq("k")), prefix = "planspec")
+    cat.write("dpk", (1 to 300).map(i => (i, "s", i * 1.0))
+      .toDF("k", "st", "price"))
+    val tm = TableMapping(
+      destination = "dpk", source = "src", useMerge = true,
+      mergePk = Some("price"),
+      columns = Seq(
+        "k"     -> MergeOn("k"),
+        "st"    -> RawValue("X"),
+        "price" -> Sql("price + CAST(1.0 AS DOUBLE)", Seq("price"))))
+    val src = Compiler.transformedSource(
+      (200 to 600).map(i => (i, i * 2.0)).toDF("k", "price"), tm, cat.read)
+    val merged = Merge(cat.read("dpk"), src, tm)
+    val plan = finalPlan(merged)
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchanges === 1, s"expected only the source-side shuffle:\n$plan")
+    assert(merged.count() === 600)
+  }
+
+  test("grouped merge over a bucketed destination: the groupBy exchange is the only one") {
+    // useGrouping aggregates the source on the merge key BEFORE the join
+    // — that aggregate's exchange must serve the strict-merge guard
+    // window AND the join, with the bucketed dest contributing zero
+    val cat = new BucketedCatalog(spark, buckets = 4,
+      bucketKeys = Map("dg" -> Seq("ck")), prefix = "planspec")
+    cat.write("dg", (1 to 50).map(i => (i, -1L, 0.0))
+      .toDF("ck", "cnt", "mx"))
+    val tm = TableMapping(
+      destination = "dg", source = "src", useMerge = true,
+      useGrouping = true,
+      columns = Seq(
+        "ck"  -> MergeOn("ck"),
+        "cnt" -> AggregateColumn("k", "COUNT"),
+        "mx"  -> AggregateColumn("price", "MAX")))
+    val src = Compiler.transformedSource(
+      (1 to 1000).map(i => (i % 80 + 1, i.toLong, i * 2.0))
+        .toDF("ck", "k", "price"), tm, cat.read)
+    val merged = Merge(cat.read("dg"), src, tm)
+    val plan = finalPlan(merged)
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchanges === 1, s"expected only the source groupBy shuffle:\n$plan")
+    assert(merged.count() === 80)
+  }
+
+  test("q_merge_into_bucketed changelog (pipeline path) plans exactly one exchange") {
+    // the full Merge.into lifecycle — compile, upsert, swap-write — over
+    // a bucketKeysFor-configured catalog: the returned changelog's plan
+    // is post-checkpoint, so assert on the same merge shape the runner
+    // executed (dest read back from the bucketed warehouse table)
+    val tm0 = TableMapping(
+      destination = "dinto", source = "src", useMerge = true,
+      columns = Seq("k" -> MergeOn("k"), "v" -> DirectCopy("v")))
+    val cat = new BucketedCatalog(spark, buckets = 4,
+      Merge.bucketKeysFor(tm0), prefix = "planspec")
+    assert(Merge.bucketKeysFor(tm0) === Map("dinto" -> Seq("k")))
+    cat.write("dinto", (1 to 200).map(i => (i, s"old$i")).toDF("k", "v"))
+    val src = (150 to 400).map(i => (i, s"new$i")).toDF("k", "v")
+    val changelog = Merge.into(cat, tm0, src)
+    assert(changelog.count() === 400)
+    assert(changelog.filter(col(Merge.ActionCol) === "INSERT").count() === 200)
+    // the state the runner persisted is the merged state
+    assert(cat.read("dinto").count() === 400)
+    // and the merge plan over the (re-read, re-bucketed) dest still
+    // shuffles only the source side — the per-pass property at scale
+    val again = Merge(cat.read("dinto"), src, tm0)
+    val plan = finalPlan(again)
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(nExchanges === 1, s"expected only the source-side shuffle:\n$plan")
+  }
+
   test("q_merge_upsert_bucketed (the committed bench row) plans exactly one exchange") {
     // ties the r11 bench number (0.305 vs 0.375 s unbucketed) to the
     // mechanical plan property it claims: the QUERY's own plan — not just

@@ -1,0 +1,25 @@
+"""Time the 8 BASELINE.md headline oracle SQLs in DuckDB at a given sf dir
+(min-of-3 warm, single process, all cores) - the DuckDB side of
+BENCH_HEADLINE_SF1.json. Driver-side tooling; the engine never depends on it."""
+import duckdb, json, sys, time
+
+sfdir = sys.argv[1]
+oracle = json.load(open(sys.argv[2]))
+names = ["q_merge_upsert", "q_direct_copy", "q_source_filter",
+         "q_agg_grouping", "q_force_distinct", "q_fk_lookup",
+         "q_concat_columns", "q_pipeline_chain"]
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sfdir}/{t}.parquet')")
+out = {}
+for n in names:
+    sql = oracle[n]
+    con.execute(sql).fetchall()  # warm
+    best = min(
+        (lambda t0: (con.execute(sql).fetchall(), time.time() - t0)[1])(time.time())
+        for _ in range(3))
+    out[n] = round(best, 4)
+    print(n, out[n], flush=True)
+print(json.dumps({"sf": sfdir, "duckdb": out, "sum": round(sum(out.values()), 4)}))

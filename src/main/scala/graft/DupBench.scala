@@ -64,9 +64,17 @@ object DupBench {
       * min-of-2. Returns the two JSON object bodies (times, ratios).
       */
     def profile(p: DupFixture.Profile, pairs: Seq[(String, String)],
-        warmups: Int): (String, String) = {
+        warmups: Int): (String, String, String) = {
       var spark = build()
       val dir = DupFixture.ensure(spark, root, p)
+      // the cost dispatcher's verdict on this fixture at the production
+      // sample rate — BENCH_DUPHEAVY's exact_over_twin columns are the
+      // ground truth it must agree with (signature iff exact/twin > 1)
+      val choice = {
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        if (ext.Dedup.dupDispatchStats(docs, "doc_id", "text").useSignature)
+          "minhash_sig" else "exact_join"
+      }
       val names = pairs.flatMap { case (a, b) => Seq(a, b) }.distinct
       def run(name: String): Double = {
         val t0 = System.nanoTime()
@@ -90,19 +98,22 @@ object DupBench {
         val r = if (t(twin) > 0 && t(exact) > 0) t(exact) / t(twin) else -1.0
         s""""$twin":${num2(r)}"""
       }.mkString("{", ",", "}")
-      (qs, wins)
+      (qs, wins, choice)
     }
 
     // Base keeps two warmups (sub-20 s queries need the C2 floor
     // amortized); m100's tens-of-seconds runs don't, one suffices.
-    val (baseQs, baseWins) = profile(DupFixture.Base, BasePairs, warmups = 2)
-    val (mQs, mWins) = profile(DupFixture.Multiplicity100, M100Pairs,
+    val (baseQs, baseWins, baseChoice) =
+      profile(DupFixture.Base, BasePairs, warmups = 2)
+    val (mQs, mWins, mChoice) = profile(DupFixture.Multiplicity100, M100Pairs,
       warmups = 1)
-    val (bQs, bWins) = profile(DupFixture.TemplateSpamBelow, BelowPairs,
-      warmups = 1)
+    val (bQs, bWins, bChoice) = profile(DupFixture.TemplateSpamBelow,
+      BelowPairs, warmups = 1)
     println(s"""{"metric":"dupheavy","queries":$baseQs,""" +
-      s""""exact_over_twin":$baseWins,""" +
-      s""""m100":{"queries":$mQs,"exact_over_twin":$mWins},""" +
-      s""""below_threshold":{"queries":$bQs,"exact_over_twin":$bWins}}""")
+      s""""exact_over_twin":$baseWins,"auto_choice":"$baseChoice",""" +
+      s""""m100":{"queries":$mQs,"exact_over_twin":$mWins,""" +
+      s""""auto_choice":"$mChoice"},""" +
+      s""""below_threshold":{"queries":$bQs,"exact_over_twin":$bWins,""" +
+      s""""auto_choice":"$bChoice"}}""")
   }
 }

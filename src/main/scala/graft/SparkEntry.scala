@@ -604,6 +604,19 @@ object SparkEntry {
       ext.Dedup.ngramJaccardPairs(read(s, dir, "documents"),
         "doc_id", "text", k = 3, threshold = 0.8)),
 
+    // dedup: COST-DISPATCHED near-dup — a 1/16 shingle-sample probe
+    // measures whether the exact join's df² mass would be output (above-
+    // threshold dups) or discarded work (below-threshold template spam),
+    // then runs the measured winner (BENCH_DUPHEAVY crossover: exact wins
+    // both above-threshold profiles, signature wins 1.73× on spam). The
+    // uniform sf fixtures have ~zero join mass → dispatches exact_join,
+    // which is what the oracle replays; Round12Spec pins the signature
+    // choice on the spam regime and DupBench exercises both committed
+    // dup-heavy fixtures.
+    "q_dedup_auto" -> ((s, dir) =>
+      ext.Dedup.nearDupPairsAuto(read(s, dir, "documents"),
+        "doc_id", "text", k = 3, threshold = 0.8)),
+
     // dedup: MULTISET (bag) n-gram Jaccard Σmin/Σmax over shingle
     // OCCURRENCE counts — catches the repeated-paragraph spam set-Jaccard
     // structurally overrates (occurrence-indexed equi-join, no all-pairs);
@@ -2250,14 +2263,13 @@ object SparkEntry {
     "q_stream_tumbling" -> { (s, dir) =>
       val name = "graft_stream_tumbling"
       withShufflePartitions(s, 8) { ss =>
+        // complete mode: batch 0 already emits the full state, so the
+        // trailing no-data micro-batch (watermark finalization for APPEND
+        // drains) adds a whole state-store open/commit cycle for nothing
+        ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         val agg = ext.EventStream.tumblingCounts(
           ext.EventStream.readStream(ss, s"$dir/events.parquet"), "1 hour")
-        val q = agg.writeStream.format("memory").queryName(name)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        ss.table(name).select(
+        ext.EventStream.drainToMemory(agg, name, "complete").select(
           unix_micros(col("window.start")).alias("hour_us"),
           col("event_type"), col("n_events"), col("sum_value"))
       }
@@ -2270,15 +2282,13 @@ object SparkEntry {
     "q_stream_distinct" -> { (s, dir) =>
       val name = "graft_stream_distinct"
       withShufflePartitions(s, 8) { ss =>
+        // dedup emits each key on FIRST arrival; the no-data batch only
+        // advances the watermark to evict state — output-neutral here
+        ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         val keys = ext.EventStream.distinctKeys(
           ext.EventStream.readStream(ss, s"$dir/events.parquet"),
           Seq("user_id", "event_type"))
-        val q = keys.writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        ss.table(name)
+        ext.EventStream.drainToMemory(keys, name, "append")
       }
     },
 
@@ -2289,17 +2299,16 @@ object SparkEntry {
     "q_stream_session" -> { (s, dir) =>
       val name = "graft_stream_session"
       withShufflePartitions(s, 8) { ss =>
+        // complete mode: batch 0 emits the full state; skip the trailing
+        // no-data batch (r12 drain-cost work, StreamProbe A/B)
+        ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         val agg = ext.EventStream.sessionCounts(
           ext.EventStream.readStream(ss, s"$dir/events.parquet"), "30 minutes")
-        val q = agg.writeStream.format("memory").queryName(name)
-          .outputMode("complete")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        ss.table(name).select(col("user_id"),
-          unix_micros(col("session_window.start")).alias("s_us"),
-          unix_micros(col("session_window.end")).alias("e_us"),
-          col("n_events"))
+        ext.EventStream.drainToMemory(agg, name, "complete")
+          .select(col("user_id"),
+            unix_micros(col("session_window.start")).alias("s_us"),
+            unix_micros(col("session_window.end")).alias("e_us"),
+            col("n_events"))
       }
     },
 
@@ -2311,15 +2320,14 @@ object SparkEntry {
     "q_stream_state" -> { (s, dir) =>
       val name = "graft_stream_state"
       withShufflePartitions(s, 8) { ss =>
+        // flatMapGroupsWithState with NoTimeout emits per update only —
+        // the no-data batch can trigger nothing
+        ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
         val upd = ext.EventStream.withRunningState(
           ext.EventStream.readStream(ss, s"$dir/events.parquet"), heavyAt = 67L)
-        val q = upd.toDF().writeStream.format("memory").queryName(name)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-        ss.table(name).select(col("userId").alias("user_id"),
-          col("nEvents").alias("n_events"), col("isHeavy").alias("is_heavy"))
+        ext.EventStream.drainToMemory(upd.toDF(), name, "append")
+          .select(col("userId").alias("user_id"),
+            col("nEvents").alias("n_events"), col("isHeavy").alias("is_heavy"))
       }
     },
 
@@ -5039,6 +5047,26 @@ object SparkEntry {
         |          GROUP BY 1, 2)
         |SELECT a_id, b_id,
         |       CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) AS jaccard
+        |FROM inter
+        |JOIN cnt ca ON ca.doc_id = a_id
+        |JOIN cnt cb ON cb.doc_id = b_id
+        |WHERE CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) >= 0.8""".stripMargin,
+
+    // cost-dispatch picks the exact join on the uniform sf corpus (its
+    // sampled join mass is ~zero), so the oracle is the exact-path replay
+    // with the dispatcher's (score, method) output contract
+    "q_dedup_auto" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(t[i.i:i.i+2], ' ') AS s
+        |       FROM toks, (SELECT unnest(generate_series(1, 4000)) AS i) i
+        |       WHERE i.i <= len(t) - 2),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS ic
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |       CAST(ic AS DOUBLE) / CAST(ca.n + cb.n - ic AS DOUBLE) AS score,
+        |       'exact_join' AS method
         |FROM inter
         |JOIN cnt ca ON ca.doc_id = a_id
         |JOIN cnt cb ON cb.doc_id = b_id

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: micro-batch cost breakdown of the streaming session drain
+  * (`runMain graft.StreamProbe [sfDir]`) — prints per-variant
+  * build/drain/read wall seconds plus Spark's own `durationMs` split
+  * (queryPlanning, addBatch, walCommit, …) from the query progress.
+  *
+  * Findings behind the r12 drain changes (sf0.1, 100k events → 95,465
+  * sessions, min over interleaved reps):
+  *   - trailing no-data micro-batch OFF: −0.1–0.2 s (complete mode emits
+  *     the full state in batch 0; the extra batch is a whole state-store
+  *     open/commit cycle for nothing);
+  *   - ephemeral checkpoint on /dev/shm instead of the disk tmpdir:
+  *     −0.1 s (offset/commit WAL + state delta files are the drain's
+  *     only disk I/O);
+  *   - state partitions swept 2/4/8/16/32: 8 best (the committed scoped
+  *     value), 2 and 32 both ~+0.3 s;
+  *   - RocksDB state store provider: +10–15% on every drain (open cost
+  *     dominates at this state size);
+  *   - session-window local merge and pre-aggregation repartition: no
+  *     effect (the input file is one parquet row group — the scan cannot
+  *     split — and the merge cost is in the keyed state update, not the
+  *     partial aggregation);
+  *   - remainder (~1.4 s drain): the single-batch session-window merge +
+  *     the 95k-entry state commit + the complete-mode memory sink — the
+  *     price of running the REAL streaming engine, which is the point of
+  *     the q_stream_* contract rows.
+  */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def drain(tag: String, noData: Boolean, parts: Int,
+        shm: Boolean = false): Unit = {
+      val ss = spark.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+        noData.toString)
+      val t0 = System.nanoTime()
+      val agg = ext.EventStream.sessionCounts(
+        ext.EventStream.readStream(ss, s"$dir/events.parquet"), "30 minutes")
+      val t1 = System.nanoTime()
+      val w0 = agg.writeStream.format("memory").queryName(s"probe_$tag")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      val w = if (shm) w0.option("checkpointLocation",
+        s"/dev/shm/graft_probe_$tag") else w0
+      val q = w.start()
+      q.awaitTermination()
+      val t2 = System.nanoTime()
+      val n = ss.table(s"probe_$tag").count()
+      val t3 = System.nanoTime()
+      println(s"== $tag: build=${(t1 - t0) / 1e9} drain=${(t2 - t1) / 1e9} " +
+        s"read=${(t3 - t2) / 1e9} rows=$n batches=${q.recentProgress.length}")
+      q.recentProgress.foreach { p =>
+        println(s"   batch=${p.batchId} rows=${p.numInputRows} " +
+          s"durationMs=${p.durationMs}")
+      }
+    }
+    // warmups, then the committed A/B, interleaved against lane noise
+    drain("w1", noData = true, parts = 8)
+    drain("w2", noData = false, parts = 8, shm = true)
+    (1 to 3).foreach { i =>
+      drain(s"base$i", noData = true, parts = 8)
+      drain(s"tuned$i", noData = false, parts = 8, shm = true)
+    }
+    spark.stop()
+  }
+}

@@ -1804,4 +1804,112 @@ object Dedup {
         IvfAssign.column(col(vecCol), centroids, 1).getItem(0).alias("cluster"))
       .join(dropped, Seq(idCol), "left_anti")
   }
+
+  // ------------------------------------------------- cost-based dispatch
+
+  /** Corpus duplication profile from a deterministic 1-in-`sampleMod`
+    * shingle sample — the cheap stats behind [[nearDupPairsAuto]]'s
+    * exact-join vs MinHash-signature dispatch.
+    *
+    * All masses are RAW SAMPLED counts: a shingle is sampled iff
+    * `xxhash64(shingle) % sampleMod == 0`, which keeps EVERY instance of
+    * 1/m of the shingle vocabulary, so per-shingle document frequency is
+    * exact for sampled shingles and every Σ below carries the same 1/m
+    * expectation factor — ratios between them are unbiased and no
+    * rescaling is needed for the decision.
+    *
+    *  - `instanceMass` = Σ df: the linear explode/aggregate work either
+    *    path pays (sampled share of it).
+    *  - `usefulMass` / `wastedMass` = Σ df·(df−1) exact-join mass, split
+    *    by whether the contributing DOC could possibly be in a qualifying
+    *    pair. For doc d, `ub_d = |{s ∈ d : df_s ≥ 2}| / |d|` (sampled)
+    *    bounds any pair's score from above — J(A,B) ≤ |A∩B|/|A| ≤ ub_A —
+    *    so join rows from docs with `ub_d < threshold·ubSlack` are mass
+    *    the exact join pays and then discards (`ubSlack` < 1 absorbs the
+    *    downward sampling noise of small per-doc samples so true-dup docs
+    *    aren't misclassified as waste).
+    *
+    * This is the discriminator BENCH_DUPHEAVY measured: above-threshold
+    * duplication (Base df≈25, m100 df≈97) makes the join mass mostly
+    * OUTPUT — the exact join wins there (exact/twin 0.73 and 0.89) because
+    * the signature path pays its flat per-doc build and still emits the
+    * same quadratic pair set; below-threshold template spam (df≈1000,
+    * pairwise J≈0.54 < t) makes the join mass pure waste — ~620M join rows
+    * to conclude "no pairs" — and the signature path wins 1.73× because
+    * banding never materializes sub-threshold pairs. df alone cannot tell
+    * the two apart (both are high-df); the per-doc shared-fraction bound
+    * can.
+    */
+  final case class DupDispatch(
+      sampledDocs: Long, instanceMass: Long,
+      usefulMass: Double, wastedMass: Double, useSignature: Boolean)
+
+  /** Compute [[DupDispatch]] for a corpus: one 1/m-sampled explode, one
+    * groupBy(shingle) for df, one groupBy(doc) for the per-doc bound, one
+    * single-row collect — probe cost ~1/m of the exact path's first
+    * shuffle, linear in the corpus (no df² term: the df table joins back
+    * to instances one-to-many on `shingle`, Σ df rows total, never pairs).
+    *
+    * Dispatch rule: signature iff
+    * `wastedMass > wasteFactor · (instanceMass + usefulMass)` — the join
+    * rows the exact path would discard exceed the linear work the
+    * signature path pays anyway plus the join rows that become output.
+    * `wasteFactor = 1` is calibrated against BENCH_DUPHEAVY: the uniform
+    * sf fixtures (jmass ≈ 0) and both above-threshold profiles dispatch
+    * exact (measured exact wins), the below-threshold spam profile's
+    * wasted share (≥⅔ of a join mass that dwarfs `instanceMass`)
+    * dispatches signature (measured 1.73× win).
+    */
+  def dupDispatchStats(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8, sampleMod: Int = 16,
+      ubSlack: Double = 0.9, wasteFactor: Double = 1.0): DupDispatch = {
+    val inst = shingles(df, idCol, textCol, k)
+      .filter(pmod(xxhash64(col("shingle")), lit(sampleMod.toLong)) === 0)
+    val dfs = inst.groupBy("shingle").agg(count(lit(1)).alias("df"))
+    val perDoc = inst.join(dfs, "shingle")
+      .groupBy(idCol)
+      .agg(count(lit(1)).alias("n"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).alias("shared"),
+        sum(col("df") - 1).alias("jmass"))
+    val cut = lit(threshold * ubSlack)
+    // bounded collect: ONE aggregate row
+    val r = perDoc.select(
+        count(lit(1)).alias("docs"), sum("n").alias("inst"),
+        sum(when(col("shared").cast("double") / col("n") >= cut,
+          col("jmass")).otherwise(0L)).alias("useful"),
+        sum(when(col("shared").cast("double") / col("n") < cut,
+          col("jmass")).otherwise(0L)).alias("wasted"))
+      .na.fill(0L).collect()(0)
+    val (docs, instM) = (r.getLong(0), r.getLong(1))
+    val (useful, wasted) = (r.getLong(2).toDouble, r.getLong(3).toDouble)
+    DupDispatch(docs, instM, useful, wasted,
+      useSignature = wasted > wasteFactor * (instM + useful))
+  }
+
+  /** Cost-dispatched near-dup pairs: probe the corpus with
+    * [[dupDispatchStats]], then run the winner —
+    * [[ngramJaccardPairs]] (exact scores) when the join mass is useful or
+    * negligible, [[minHashNearDupPairs]] (signature-estimated scores) when
+    * the corpus is in the below-threshold-spam regime where the exact
+    * join's mass is discarded work. Emits (a_id, b_id, score, method) so
+    * callers and audits see which path ran; both paths emit only pairs
+    * with score ≥ threshold.
+    */
+  def nearDupPairsAuto(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, sampleMod: Int = 16,
+      ubSlack: Double = 0.9, wasteFactor: Double = 1.0): DataFrame = {
+    val d = dupDispatchStats(df, idCol, textCol, k, threshold, sampleMod,
+      ubSlack, wasteFactor)
+    if (d.useSignature)
+      minHashNearDupPairs(df, idCol, textCol, k, numHashes, bands, threshold)
+        .withColumnRenamed("est_jaccard", "score")
+        .withColumn("method", lit("minhash_sig"))
+    else
+      ngramJaccardPairs(df, idCol, textCol, k, threshold)
+        .withColumnRenamed("jaccard", "score")
+        .withColumn("method", lit("exact_join"))
+  }
 }

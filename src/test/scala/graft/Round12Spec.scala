@@ -153,4 +153,79 @@ class Round12Spec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got === Map(1L -> 1L, 5L -> 1L, 7L -> 1L, 10L -> 10L, 12L -> 10L))
   }
+
+  // --- cost-based dedup dispatch (the BENCH_DUPHEAVY crossover, encoded) --
+
+  // miniature instances of the committed DupFixture profiles: same
+  // generator, same structure, spec-sized. `t_above` is Base's regime
+  // (interleaved copies, pairwise overlap ABOVE threshold, df≈copies);
+  // `t_below` is TemplateSpamBelow's (85-word shared core → per-doc
+  // shared-shingle fraction 83/118 ≈ 0.70, below the 0.8·0.9 = 0.72 cut,
+  // with df = copies on every core shingle: pure wasted join mass).
+  private lazy val aboveCorpus = DupFixture.generate(spark,
+    DupFixture.Profile("t_above", clusters = 4, copies = 25, docs = 150))
+  private lazy val belowCorpus = DupFixture.generate(spark,
+    DupFixture.Profile("t_below", clusters = 2, copies = 60, docs = 150,
+      coreWords = Some(85)))
+  private lazy val uniformDocs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("dispatch: uniform corpus (join mass ~0) -> exact join") {
+    val d = ext.Dedup.dupDispatchStats(uniformDocs, "doc_id", "text")
+    assert(!d.useSignature, d)
+  }
+
+  test("dispatch: above-threshold dup mass (Base regime) -> exact join") {
+    // sampleMod = 1: spec-sized docs leave too few sampled shingles per
+    // doc for the per-doc bound at the production 1/16 rate
+    val d = ext.Dedup.dupDispatchStats(aboveCorpus, "doc_id", "text",
+      sampleMod = 1)
+    assert(!d.useSignature, d)
+    assert(d.usefulMass > d.wastedMass, d)
+    assert(d.usefulMass > d.instanceMass, d) // dup-heavy, not just uniform
+  }
+
+  test("dispatch: below-threshold template spam -> signature path") {
+    val d = ext.Dedup.dupDispatchStats(belowCorpus, "doc_id", "text",
+      sampleMod = 1)
+    assert(d.useSignature, d)
+    assert(d.wastedMass > d.usefulMass + d.instanceMass, d)
+  }
+
+  test("auto == exact path (+ method) when the exact join is chosen") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9))
+    // 110-of-120 shared core: pairwise J = 108/128 ≈ 0.84 ≥ 0.8 — the
+    // above-threshold regime where the exact join's mass IS the output
+    val highCore = DupFixture.generate(spark,
+      DupFixture.Profile("t_high", clusters = 3, copies = 8, docs = 100,
+        coreWords = Some(110)))
+    val auto = ext.Dedup.nearDupPairsAuto(highCore, "doc_id", "text",
+      sampleMod = 1)
+    assert(auto.columns.toSeq === Seq("a_id", "b_id", "score", "method"))
+    assert(auto.select("method").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("exact_join"))
+    val got = auto.select("a_id", "b_id", "score").collect().map(key).toSet
+    val want = ext.Dedup.ngramJaccardPairs(highCore, "doc_id", "text")
+      .collect().map(key).toSet
+    assert(got === want)
+    assert(want.nonEmpty) // above-threshold regime really emits pairs
+  }
+
+  test("auto == signature path when the spam regime is detected") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9))
+    val auto = ext.Dedup.nearDupPairsAuto(belowCorpus, "doc_id", "text",
+      sampleMod = 1)
+    // the spam corpus emits no qualifying pairs (that is the point), so
+    // the chosen path shows in the PLAN: the signature path builds
+    // minhash signatures, the exact path never does
+    assert(auto.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("minhash"),
+      auto.queryExecution.optimizedPlan.toString.take(2000))
+    val got = auto.select("a_id", "b_id", "score").collect().map(key).toSet
+    val want = ext.Dedup.minHashNearDupPairs(belowCorpus, "doc_id", "text")
+      .collect().map(key).toSet
+    assert(got === want)
+  }
 }

@@ -604,11 +604,11 @@ object SparkEntry {
       ext.Dedup.ngramJaccardPairs(read(s, dir, "documents"),
         "doc_id", "text", k = 3, threshold = 0.8)),
 
-    // dedup: COST-DISPATCHED near-dup — a 1/16 shingle-sample probe
-    // measures whether the exact join's df² mass would be output (above-
-    // threshold dups) or discarded work (below-threshold template spam),
-    // then runs the measured winner (BENCH_DUPHEAVY crossover: exact wins
-    // both above-threshold profiles, signature wins 1.73× on spam). The
+    // dedup: COST-DISPATCHED near-dup — an adaptively-sampled shingle
+    // probe measures whether the exact join's df² mass would be output
+    // (above-threshold dups) or discarded work (below-threshold template
+    // spam), then runs the measured winner (BENCH_DUPHEAVY crossover:
+    // exact wins both above-threshold profiles, signature wins on spam). The
     // uniform sf fixtures have ~zero join mass → dispatches exact_join,
     // which is what the oracle replays; Round12Spec pins the signature
     // choice on the spam regime and DupBench exercises both committed

@@ -1822,12 +1822,15 @@ object Dedup {
     *    path pays (sampled share of it).
     *  - `usefulMass` / `wastedMass` = Σ df·(df−1) exact-join mass, split
     *    by whether the contributing DOC could possibly be in a qualifying
-    *    pair. For doc d, `ub_d = |{s ∈ d : df_s ≥ 2}| / |d|` (sampled)
-    *    bounds any pair's score from above — J(A,B) ≤ |A∩B|/|A| ≤ ub_A —
-    *    so join rows from docs with `ub_d < threshold·ubSlack` are mass
-    *    the exact join pays and then discards (`ubSlack` < 1 absorbs the
-    *    downward sampling noise of small per-doc samples so true-dup docs
-    *    aren't misclassified as waste).
+    *    pair. For doc d let `r_d = |{s ∈ d : df_s ≥ 2}| / |d|` (sampled).
+    *    For ANY pair with J(A,B) ≥ t: the standard length bound gives
+    *    |B| ≥ t·|A|, and |A∩B| ≤ shared_A, so
+    *    J ≤ shared_A / (|A| + |B| − shared_A) ≤ r_A / (1 + t − r_A),
+    *    which reaches t only if `r_A ≥ t` — docs with `r_d < t` cannot
+    *    be in ANY qualifying pair, and their join mass is work the exact
+    *    join pays and then discards. The cut is `threshold · ubSlack`
+    *    with `ubSlack = 1` by default (the bound above is exact; the
+    *    knob exists only for calibration experiments).
     *
     * This is the discriminator BENCH_DUPHEAVY measured: above-threshold
     * duplication (Base df≈25, m100 df≈97) makes the join mass mostly
@@ -1850,22 +1853,48 @@ object Dedup {
     * shuffle, linear in the corpus (no df² term: the df table joins back
     * to instances one-to-many on `shingle`, Σ df rows total, never pairs).
     *
+    * `sampleMod = 0` (the default) sizes m ADAPTIVELY from a bounded
+    * doc-size pre-probe (1024 docs, row-local, one tiny action):
+    * m = clamp(avgShinglesPerDoc / 32, 1, 64), so every doc expects
+    * ≥~32 sampled shingles regardless of corpus shape. A fixed rate has
+    * no safe value: 1/16 leaves a 120-word doc ~7 samples — far too few
+    * for the per-doc ratio cut, and since near-dup docs share their core
+    * shingles the estimate error is correlated ACROSS a whole duplicate
+    * cluster (measured: the committed below-threshold spam fixture
+    * misdispatched to exact at a fixed 1/16) — while real crawl docs
+    * (1000s of shingles) would waste probe cost at any rate dense
+    * enough for short docs.
+    *
     * Dispatch rule: signature iff
     * `wastedMass > wasteFactor · (instanceMass + usefulMass)` — the join
     * rows the exact path would discard exceed the linear work the
     * signature path pays anyway plus the join rows that become output.
     * `wasteFactor = 1` is calibrated against BENCH_DUPHEAVY: the uniform
     * sf fixtures (jmass ≈ 0) and both above-threshold profiles dispatch
-    * exact (measured exact wins), the below-threshold spam profile's
-    * wasted share (≥⅔ of a join mass that dwarfs `instanceMass`)
-    * dispatches signature (measured 1.73× win).
+    * exact (measured exact wins at m25 and m100), the below-threshold
+    * spam profile's wasted share (~¾ of a join mass that dwarfs
+    * `instanceMass`) dispatches signature (measured 1.73–2.15× win).
     */
   def dupDispatchStats(
       df: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.8, sampleMod: Int = 16,
-      ubSlack: Double = 0.9, wasteFactor: Double = 1.0): DupDispatch = {
+      k: Int = 3, threshold: Double = 0.8, sampleMod: Int = 0,
+      ubSlack: Double = 1.0, wasteFactor: Double = 1.0): DupDispatch = {
+    val m: Long =
+      if (sampleMod > 0) sampleMod.toLong
+      else {
+        // bounded pre-probe: average shingle count of ≤1024 docs —
+        // row-local (no shuffle), one scalar action
+        val avgSh = df.limit(1024)
+          .select(org.apache.spark.sql.functions
+            .avg(size(shingleArray(textCol, k))))
+          .collect()(0) match {
+            case r if r.isNullAt(0) => 0.0
+            case r                  => r.getDouble(0)
+          }
+        math.max(1L, math.min(64L, math.round(avgSh / 32.0)))
+      }
     val inst = shingles(df, idCol, textCol, k)
-      .filter(pmod(xxhash64(col("shingle")), lit(sampleMod.toLong)) === 0)
+      .filter(pmod(xxhash64(col("shingle")), lit(m)) === 0)
     val dfs = inst.groupBy("shingle").agg(count(lit(1)).alias("df"))
     val perDoc = inst.join(dfs, "shingle")
       .groupBy(idCol)
@@ -1899,8 +1928,8 @@ object Dedup {
   def nearDupPairsAuto(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8, sampleMod: Int = 16,
-      ubSlack: Double = 0.9, wasteFactor: Double = 1.0): DataFrame = {
+      threshold: Double = 0.8, sampleMod: Int = 0,
+      ubSlack: Double = 1.0, wasteFactor: Double = 1.0): DataFrame = {
     val d = dupDispatchStats(df, idCol, textCol, k, threshold, sampleMod,
       ubSlack, wasteFactor)
     if (d.useSignature)

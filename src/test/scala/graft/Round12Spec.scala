@@ -170,7 +170,11 @@ class Round12Spec extends AnyFunSuite {
   private lazy val uniformDocs =
     spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 
-  test("dispatch: uniform corpus (join mass ~0) -> exact join") {
+  test("dispatch: sf documents corpus (mid-regime) -> exact join") {
+    // the driver's documents fixture is NOT fully uniform — templated
+    // synthetic text shares phrases, so the probe sees real join mass
+    // (wasted ≈ 0.7 · (inst + useful) at sf0.001) and must still land
+    // exact: a mid-regime corpus the wasted > inst + useful rule spares
     val d = ext.Dedup.dupDispatchStats(uniformDocs, "doc_id", "text")
     assert(!d.useSignature, d)
   }

@@ -52,6 +52,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(g.nonEmpty)
   }
 
+  test("drainToMemory is idempotent: a second drain sees ALL data again") {
+    // the failure mode the helper's pre-clean exists for: its fixed-name
+    // checkpoint marks the source committed, so a REUSED checkpoint would
+    // make the next drain read zero rows and silently return an empty
+    // (complete) or stale (append) table. Two full drains, same name,
+    // same JVM — both must produce the complete result.
+    def drain(): Long = {
+      val agg = EventStream.tumblingCounts(
+        EventStream.readStream(spark, streamDir), "1 hour")
+      EventStream.drainToMemory(agg, "drain_idem", "complete").count()
+    }
+    val first = drain()
+    val second = drain()
+    assert(first > 0)
+    assert(second === first,
+      s"second drain saw $second windows vs $first — stale checkpoint reused")
+  }
+
   test("complete-mode drain through VersionedCatalog file sink == memory sink") {
     // the production round-trip of q_stream_tumbling: same aggregation,
     // drained once to the (driver-collecting) memory sink and once

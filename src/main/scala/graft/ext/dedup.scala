@@ -1860,8 +1860,13 @@ object Dedup {
     *
     * `sampleMod = 0` (the default) sizes m ADAPTIVELY from a bounded
     * doc-size pre-probe (1024 docs, row-local, one tiny action):
-    * m = clamp(avgShinglesPerDoc / 32, 1, 64), so every doc expects
-    * ≥~32 sampled shingles regardless of corpus shape. A fixed rate has
+    * m = clamp(avgShinglesPerDoc / 24, 1, 64), so every doc expects
+    * ≥~24 sampled shingles regardless of corpus shape (at 24 the
+    * committed spam fixture's per-cluster misclassification rate is
+    * ~0.25, leaving the aggregate wasted share ≈ 0.75 ≫ the 0.5 decision
+    * boundary — ~3σ of headroom over its 15 cluster draws — while the
+    * probe stays ~1/5 of the full explode even on 120-word docs). A
+    * fixed rate has
     * no safe value: 1/16 leaves a 120-word doc ~7 samples — far too few
     * for the per-doc ratio cut, and since near-dup docs share their core
     * shingles the estimate error is correlated ACROSS a whole duplicate
@@ -1896,12 +1901,16 @@ object Dedup {
             case r if r.isNullAt(0) => 0.0
             case r                  => r.getDouble(0)
           }
-        math.max(1L, math.min(64L, math.round(avgSh / 32.0)))
+        math.max(1L, math.min(64L, math.round(avgSh / 24.0)))
       }
+    // the probe never needs the shingle TEXT — hash up front and carry
+    // 8-byte keys through both shuffles (collisions only perturb stats,
+    // never results); the sample filter reuses the same hash
     val inst = shingles(df, idCol, textCol, k)
-      .filter(pmod(xxhash64(col("shingle")), lit(m)) === 0)
-    val dfs = inst.groupBy("shingle").agg(count(lit(1)).alias("df"))
-    val perDoc = inst.join(dfs, "shingle")
+      .select(col(idCol), xxhash64(col("shingle")).alias("__h"))
+      .filter(pmod(col("__h"), lit(m)) === 0)
+    val dfs = inst.groupBy("__h").agg(count(lit(1)).alias("df"))
+    val perDoc = inst.join(dfs, "__h")
       .groupBy(idCol)
       .agg(count(lit(1)).alias("n"),
         sum(when(col("df") >= 2, 1L).otherwise(0L)).alias("shared"),

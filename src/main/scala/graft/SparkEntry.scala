@@ -682,6 +682,19 @@ object SparkEntry {
         "doc_id", "text", k = 3, threshold = 0.5)
     },
 
+    // dedup: cost-dispatched batch-vs-corpus ingestion — the dispatcher
+    // probes the CORPUS side (the side that grows without bound) and
+    // picks exact-against vs signature-against; the sf corpus is
+    // mid-regime → exact, which the oracle replays (Round12Spec pins the
+    // signature choice when the corpus is below-threshold spam)
+    "q_dedup_auto_against" -> { (s, dir) =>
+      val docs = read(s, dir, "documents")
+      ext.Dedup.nearDupAgainstAuto(
+        docs.filter(col("doc_id") % 5 === 4),
+        docs.filter(col("doc_id") % 5 =!= 4),
+        "doc_id", "text", k = 3, threshold = 0.5)
+    },
+
     // dedup: normalized-key exact dedup — deterministic case/punct noise
     // injected, then normalizeText collapses the variants back together
     "q_dedup_normalized" -> ((s, dir) => ext.Dedup.exact(
@@ -4512,6 +4525,34 @@ object SparkEntry {
         |      GROUP BY 1, 2)
         |SELECT new_id, corpus_id,
         |       CAST(ic AS DOUBLE) / CAST(x.n + y.n - ic AS DOUBLE) AS jaccard
+        |FROM p JOIN na x ON x.doc_id = new_id
+        |       JOIN nb y ON y.doc_id = corpus_id
+        |WHERE CAST(ic AS DOUBLE) / CAST(x.n + y.n - ic AS DOUBLE) >= 0.5""".stripMargin,
+
+    // the corpus-side probe lands exact on the sf corpus, so the oracle
+    // is the exact-against replay with the dispatcher's output contract
+    "q_dedup_auto_against" ->
+      """WITH nd AS (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents WHERE doc_id % 5 = 4),
+        |cd AS (SELECT doc_id, string_split(text, ' ') AS w
+        |       FROM documents WHERE doc_id % 5 <> 4),
+        |ash AS (SELECT DISTINCT doc_id,
+        |          w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |        FROM (SELECT doc_id, w,
+        |                unnest(range(greatest(len(w) - 2, 0))) AS i FROM nd)),
+        |bsh AS (SELECT DISTINCT doc_id,
+        |          w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |        FROM (SELECT doc_id, w,
+        |                unnest(range(greatest(len(w) - 2, 0))) AS i FROM cd)),
+        |na AS (SELECT doc_id, COUNT(*) AS n FROM ash GROUP BY doc_id),
+        |nb AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+        |             COUNT(*) AS ic
+        |      FROM ash a JOIN bsh b ON a.shingle = b.shingle
+        |      GROUP BY 1, 2)
+        |SELECT new_id, corpus_id,
+        |       CAST(ic AS DOUBLE) / CAST(x.n + y.n - ic AS DOUBLE) AS score,
+        |       'exact_join' AS method
         |FROM p JOIN na x ON x.doc_id = new_id
         |       JOIN nb y ON y.doc_id = corpus_id
         |WHERE CAST(ic AS DOUBLE) / CAST(x.n + y.n - ic AS DOUBLE) >= 0.5""".stripMargin,

@@ -1955,4 +1955,34 @@ object Dedup {
         .withColumnRenamed("jaccard", "score")
         .withColumn("method", lit("exact_join"))
   }
+
+  /** [[nearDupPairsAuto]] for the batch-vs-corpus ingestion shape: the
+    * probe runs on the CORPUS side — the side that grows without bound
+    * and whose document frequencies decide whether the exact shingle
+    * equi-join's mass is output or waste; a typical ingestion batch is
+    * too small to move the regime, and probing it per batch would pay
+    * the probe on every increment. Dispatches
+    * [[ngramJaccardAgainst]] (exact scores) vs [[minHashNearDupAgainst]]
+    * (signature-estimated), emitting (new_id, corpus_id, score, method).
+    * A long-lived pipeline should compute [[dupDispatchStats]] once per
+    * corpus snapshot and reuse the decision across batches rather than
+    * re-probing per call.
+    */
+  def nearDupAgainstAuto(
+      newDf: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, sampleMod: Int = 0,
+      ubSlack: Double = 1.0, wasteFactor: Double = 1.0): DataFrame = {
+    val d = dupDispatchStats(corpus, idCol, textCol, k, threshold, sampleMod,
+      ubSlack, wasteFactor)
+    if (d.useSignature)
+      minHashNearDupAgainst(newDf, corpus, idCol, textCol, k, numHashes,
+          bands, threshold)
+        .withColumnRenamed("est_jaccard", "score")
+        .withColumn("method", lit("minhash_sig"))
+    else
+      ngramJaccardAgainst(newDf, corpus, idCol, textCol, k, threshold)
+        .withColumnRenamed("jaccard", "score")
+        .withColumn("method", lit("exact_join"))
+  }
 }

@@ -231,6 +231,33 @@ class Round12Spec extends AnyFunSuite {
     assert(want.nonEmpty) // above-threshold regime really emits pairs
   }
 
+  test("against-auto dispatches on the CORPUS side and matches the path") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9))
+    val batch = belowCorpus.filter(col("doc_id") % 10 === 0)
+    // spam corpus → signature-against, regardless of the (tiny) batch
+    val sig = ext.Dedup.nearDupAgainstAuto(batch, belowCorpus, "doc_id",
+      "text", sampleMod = 1)
+    assert(sig.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("minhash"))
+    // above-threshold corpus → exact-against, results == the exact path
+    val highCore = DupFixture.generate(spark,
+      DupFixture.Profile("t_high_ag", clusters = 3, copies = 8, docs = 100,
+        coreWords = Some(110)))
+    val hbatch = highCore.filter(col("doc_id") % 10 === 0)
+    val hrest = highCore.filter(col("doc_id") % 10 =!= 0)
+    val auto = ext.Dedup.nearDupAgainstAuto(hbatch, hrest, "doc_id",
+      "text", sampleMod = 1)
+    assert(auto.columns.toSeq ===
+      Seq("new_id", "corpus_id", "score", "method"))
+    val got = auto.select("new_id", "corpus_id", "score")
+      .collect().map(key).toSet
+    val want = ext.Dedup.ngramJaccardAgainst(hbatch, hrest, "doc_id", "text")
+      .collect().map(key).toSet
+    assert(got === want)
+    assert(want.nonEmpty)
+  }
+
   test("auto == signature path when the spam regime is detected") {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9))

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import org.apache.spark.sql.functions._
+
+/** ScalaCheck properties for the cost-based dedup dispatcher
+  * ([[ext.Dedup.dupDispatchStats]] / [[ext.Dedup.nearDupPairsAuto]]) over
+  * GENERATED corpora: random mixes of unique filler and planted template
+  * clusters (block rule, like DupFixture) across core sizes that land on
+  * both sides of the qualification cut. Laws:
+  *
+  *  1. mass accounting — useful + wasted equals the independently
+  *     recomputed Σ df·(df−1) over sampled shingles, and instanceMass
+  *     equals Σ df (sampleMod = 1 so both are exact, no sampling error);
+  *  2. the auto result always equals the path the stats chose, verbatim
+  *     (schema + rows) — the dispatch can never produce a third behavior.
+  *
+  * Corpora are built with a deterministic word formula (no randomness
+  * inside a doc beyond the generated parameters), so failures shrink to
+  * reproducible profiles.
+  */
+object DispatchProps extends Properties("dispatch") {
+
+  private lazy val spark = TestSpark.spark
+
+  /** (clusters, copies, coreWords, fillerDocs) — block-rule corpus. */
+  private val corpusGen: Gen[(Int, Int, Int, Int)] =
+    for {
+      clusters <- Gen.choose(1, 4)
+      copies   <- Gen.choose(2, 12)
+      core     <- Gen.choose(10, 110) // below AND above the 0.8 cut
+      filler   <- Gen.choose(0, 60)
+    } yield (clusters, copies, core, filler)
+
+  private def corpus(clusters: Int, copies: Int, core: Int, filler: Int) = {
+    import spark.implicits._
+    val docWords = 120
+    val dup = clusters * copies
+    spark.range(0, (dup + filler).toLong, 1, 4).map { id =>
+      val i = id.toInt
+      val words =
+        if (i < dup) {
+          val c = i / copies; val j = i % copies
+          Array.tabulate(docWords) { pos =>
+            if (pos >= core) s"v${c}x${j}p$pos"
+            else s"w${(c.toLong * 2017L + pos * 31L + 7L) % 1000003L}"
+          }
+        } else {
+          val u = i - dup
+          Array.tabulate(docWords)(pos =>
+            s"w${(u.toLong * 104729L + pos * 31L) % 1000003L}")
+        }
+      (id, words.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
+  propertyWithSeed("mass accounting: useful+wasted == Σ df·(df−1), inst == Σ df", None) =
+    forAll(corpusGen) { case (clusters, copies, core, filler) =>
+      val df = corpus(clusters, copies, core, filler)
+      val d = ext.Dedup.dupDispatchStats(df, "doc_id", "text", sampleMod = 1)
+      // independent recomputation, straight from the definition
+      val r = ext.Dedup.shingles(df, "doc_id", "text", 3)
+        .groupBy("shingle").agg(count(lit(1)).alias("df"))
+        .select(coalesce(sum(col("df")), lit(0L)).alias("inst"),
+          coalesce(sum(col("df") * (col("df") - 1)), lit(0L)).alias("jmass"))
+        .collect()(0)
+      val inst = r.getLong(0); val jmass = r.getLong(1)
+      d.instanceMass == inst &&
+        math.abs(d.usefulMass + d.wastedMass - jmass) < 0.5
+    }
+
+  propertyWithSeed("auto result == the path the stats chose, verbatim", None) =
+    forAll(corpusGen) { case (clusters, copies, core, filler) =>
+      val df = corpus(clusters, copies, core, filler)
+      val d = ext.Dedup.dupDispatchStats(df, "doc_id", "text", sampleMod = 1)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9))
+      val auto = ext.Dedup.nearDupPairsAuto(df, "doc_id", "text",
+        sampleMod = 1)
+      val want =
+        if (d.useSignature)
+          ext.Dedup.minHashNearDupPairs(df, "doc_id", "text")
+        else ext.Dedup.ngramJaccardPairs(df, "doc_id", "text")
+      auto.columns.toSeq == Seq("a_id", "b_id", "score", "method") &&
+        auto.select("a_id", "b_id", "score").collect().map(key).toSet ==
+          want.collect().map(key).toSet
+    }
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters) =
+    p.withMinSuccessfulTests(8) // each sample runs several Spark jobs
+}

@@ -995,11 +995,17 @@ object SparkEntry {
       // log2(side/250) holds fill at ~4/bucket at every scale. At the
       // oracle scale (sf0.01, 250/side) the rule yields exactly the
       // pinned 6 bits, so the generated-SQL oracle is unchanged.
-      // Side size comes from the parquet FOOTERS (label%2 splits the
-      // corpus evenly by construction), not a per-run count(): the r11
-      // shape ran two full-corpus jobs before the real query — two
-      // extra full scans per invocation at 100 TB.
-      val nSide = parquetRowCount(s, dir, "embeddings") / 2
+      // Side size comes from the parquet FOOTERS, not a per-run count():
+      // the r11 shape ran two full-corpus jobs before the real query —
+      // two extra full scans per invocation at 100 TB. label%2 does NOT
+      // split exactly evenly (measured 1025/975 at sf0.1), so total/2
+      // would under-size bits when the larger side crosses a 2^j·250
+      // boundary the half does not; the 1.1 factor upper-bounds the
+      // larger side under any ≤±10% imbalance, erring toward MORE bits
+      // (smaller buckets — the cheap direction) if the split drifts. At
+      // the oracle scale (sf0.01) it still yields the pinned 6 bits.
+      val nSide =
+        math.ceil(parquetRowCount(s, dir, "embeddings") / 2.0 * 1.1).toLong
       val bits = 6 + math.max(0,
         math.floor(math.log(nSide / 250.0) / math.log(2.0)).toInt)
       val cands = ext.Similarity.lshCrossCandidates(a, b, "vec_id",

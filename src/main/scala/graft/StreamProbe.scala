@@ -51,8 +51,18 @@ object StreamProbe {
       val w0 = agg.writeStream.format("memory").queryName(s"probe_$tag")
         .outputMode("complete")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      // pre-clean like drainToMemory: a checkpoint left by a previous
+      // probe run marks the source committed — the variant would drain
+      // ZERO rows in near-zero time and fake a speedup vs the
+      // fresh-temp-checkpoint base variants
+      val ckpt = new java.io.File(s"/dev/shm/graft_probe_$tag")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      if (shm) { rm(ckpt); require(!ckpt.exists(), s"stale $ckpt") }
       val w = if (shm) w0.option("checkpointLocation",
-        s"/dev/shm/graft_probe_$tag") else w0
+        ckpt.getAbsolutePath) else w0
       val q = w.start()
       q.awaitTermination()
       val t2 = System.nanoTime()

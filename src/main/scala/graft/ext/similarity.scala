@@ -139,7 +139,28 @@ object Similarity {
           b.limit(cap + 1).count() <= bruteForceLimit
       }
     if (!small) {
-      val dim = a.select(size(col(vecCol))).head().getInt(0)
+      // dim probe: either side works (pairs need both), but `a` can be
+      // empty or lead with a NULL vector while `b` is the one past the
+      // limit — head() would throw on the very input whose pair set is
+      // trivially empty. Probe non-null rows from both sides; no row
+      // anywhere → no pairs, return the empty frame with the contract
+      // schema instead of crashing.
+      val dimRow = a.select(size(col(vecCol)).alias("d"))
+        .filter(col("d") >= 0).limit(1)
+        .union(b.select(size(col(vecCol)).alias("d"))
+          .filter(col("d") >= 0).limit(1))
+        .head(1)
+      if (dimRow.isEmpty) {
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(
+          StructField("a_id", a.schema(idCol).dataType),
+          StructField("b_id", b.schema(idCol).dataType),
+          StructField("c6", DoubleType), StructField("s", LongType)))
+        return a.sparkSession.createDataFrame(
+          a.sparkSession.sparkContext
+            .emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+      val dim = dimRow.head.getInt(0)
       val cands = lshCrossCandidates(a, b, idCol, vecCol, dim,
         tables, bitsPerTable, seed)
       return candidateScoredPairs(a, b, idCol, vecCol, cands)

@@ -121,10 +121,18 @@ object EventStream {
       else System.getProperty("java.io.tmpdir")
     val ckpt = new java.io.File(root, s"graft_ckpt_$name")
     def rmTree(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmTree)
+      if (f.isDirectory)
+        Option(f.listFiles()).foreach(_.foreach(rmTree)) // null on I/O error
       f.delete(); ()
     }
     if (ckpt.exists()) rmTree(ckpt)
+    // a pre-clean that silently FAILS (foreign owner on a shared tmpfs,
+    // permission error) would leave a committed checkpoint in place and
+    // the drain would read zero rows — the exact failure this function
+    // guards against. Refuse loudly instead.
+    require(!ckpt.exists(),
+      s"drainToMemory: cannot remove stale checkpoint $ckpt — " +
+        "a committed checkpoint there would silently drain zero rows")
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode)
       .option("checkpointLocation", ckpt.getAbsolutePath)

@@ -103,6 +103,23 @@ object Merge {
     kept.drop(DP)
   }
 
+  /** Bucket layout for a mapping's destination: the COLUMN merge keys —
+    * the `bucketKeys` entry that makes a [[BucketedCatalog]] destination
+    * exploitable by [[into]]. With the destination written
+    * `bucketBy(buckets, keys)` + `sortBy(keys)`, every pass's merge join
+    * reads it pre-partitioned on exactly the join keys, so only the
+    * (new, small) source side shuffles — at 100 TB that removes the
+    * re-shuffle + re-sort of the accumulated destination on every
+    * pipeline pass (~22% of the flagship merge's plan cost at bench
+    * scale, and the dominant term once dest ≫ source). Constant merge
+    * keys are not distribution keys (they compare against literals), so
+    * they are excluded; all-constant-key mappings return no entry.
+    */
+  def bucketKeysFor(tm: TableMapping): Map[String, Seq[String]] = {
+    val keys = tm.mergeKeys.collect { case (d, MergeOnColumn(_)) => d }
+    if (keys.isEmpty) Map.empty else Map(tm.destination -> keys)
+  }
+
   /** `MERGE INTO`-shaped single entry point over a [[Catalog]] — the
     * production-mapping story from this file's header made runnable: one
     * call compiles the raw source through the mapping (FK lookups resolve
@@ -128,23 +145,6 @@ object Merge {
     * the single-Exchange plan for the flagship, mergePk, and grouped
     * shapes; `q_merge_into_bucketed` carries the bench number.
     */
-  /** Bucket layout for a mapping's destination: the COLUMN merge keys —
-    * the `bucketKeys` entry that makes a [[BucketedCatalog]] destination
-    * exploitable by [[into]]. With the destination written
-    * `bucketBy(buckets, keys)` + `sortBy(keys)`, every pass's merge join
-    * reads it pre-partitioned on exactly the join keys, so only the
-    * (new, small) source side shuffles — at 100 TB that removes the
-    * re-shuffle + re-sort of the accumulated destination on every
-    * pipeline pass (~22% of the flagship merge's plan cost at bench
-    * scale, and the dominant term once dest ≫ source). Constant merge
-    * keys are not distribution keys (they compare against literals), so
-    * they are excluded; all-constant-key mappings return no entry.
-    */
-  def bucketKeysFor(tm: TableMapping): Map[String, Seq[String]] = {
-    val keys = tm.mergeKeys.collect { case (d, MergeOnColumn(_)) => d }
-    if (keys.isEmpty) Map.empty else Map(tm.destination -> keys)
-  }
-
   def into(dest: Catalog, tm: TableMapping, source: DataFrame): DataFrame = {
     val src = Compiler.transformedSource(source, tm, dest.read)
     val destDf =

@@ -160,8 +160,9 @@ class Round12Spec extends AnyFunSuite {
   // generator, same structure, spec-sized. `t_above` is Base's regime
   // (interleaved copies, pairwise overlap ABOVE threshold, df≈copies);
   // `t_below` is TemplateSpamBelow's (85-word shared core → per-doc
-  // shared-shingle fraction 83/118 ≈ 0.70, below the 0.8·0.9 = 0.72 cut,
-  // with df = copies on every core shingle: pure wasted join mass).
+  // shared-shingle fraction 83/118 ≈ 0.70, below the qualification cut —
+  // threshold·ubSlack = 0.8 at the shipped defaults — with df = copies
+  // on every core shingle: pure wasted join mass).
   private lazy val aboveCorpus = DupFixture.generate(spark,
     DupFixture.Profile("t_above", clusters = 4, copies = 25, docs = 150))
   private lazy val belowCorpus = DupFixture.generate(spark,

@@ -183,7 +183,7 @@ object Merge {
     * both INSERT. Mappings whose keys are ALL constants get no static
     * guard — whether T-SQL would raise there depends on the dest contents.
     */
-  private def keyUniqueGuard(tm: TableMapping): Column = {
+  private[graft] def keyUniqueGuard(tm: TableMapping): Column = {
     import org.apache.spark.sql.expressions.Window
     val keys = tm.mergeKeys.collect { case (d, MergeOnColumn(_)) => d }
     if (keys.isEmpty) lit(1)

@@ -1,0 +1,216 @@
+package graft
+
+/** TableMapping/Pipeline → RUNNABLE Spark SQL script — the reference's
+  * actual deliverable (`/root/reference/etl.js:48` pipes a generated T-SQL
+  * script to stdout; `README.md:18` runs it with sqlcmd), re-expressed for
+  * Spark. `Pipeline.describe`/`graft.Explain` narrate the compiled plan;
+  * this emits STATEMENTS a `spark-sql` shell (or `spark.sql` in a loop)
+  * executes against session-catalog tables, closing the one reference
+  * deliverable previously conceded as N/A.
+  *
+  * Parity by construction: every projected expression is rendered from the
+  * SAME compiled `Column` the DataFrame path executes
+  * (`ColumnMapper.toColumn(ctx).alias(dest).expr.sql`), the key-unique
+  * guard is `Merge.keyUniqueGuard` rendered the same way, and the
+  * scaffolding (WHERE → shape → FK left joins → projection; full-outer
+  * merge recompute with `__d_present`/`__s_present` markers) mirrors
+  * `Compiler.transformedSource` and `Merge.apply` clause for clause.
+  * ScriptGenSpec EXECUTES the generated script and asserts the final
+  * destination state (and the emitted `_action` changelog) equals the
+  * engine path, bit for bit.
+  *
+  * Dialect notes:
+  *   - v1 session-catalog tables support neither `MERGE INTO` nor
+  *     `DELETE FROM`, and `INSERT OVERWRITE` cannot read the table it
+  *     overwrites — so the merge and the killWhere delete both go through
+  *     an explicit staged table (`CREATE TABLE __stg AS … ;
+  *     INSERT OVERWRITE … SELECT FROM __stg ; DROP TABLE __stg`), the
+  *     script-level analogue of the engine's crash-safe swap-write. On a
+  *     Delta/Iceberg catalog, hand-replace those blocks with native
+  *     `MERGE INTO`/`DELETE` — the SELECT bodies are identical.
+  *   - the reference emits the pre-load `TRUNCATE TABLE` COMMENTED for
+  *     merge mappings (`tsql2008.js:269-277`); so does this.
+  */
+object ScriptGen {
+
+  private def q(n: String): String = s"`${n.replace("`", "``")}`"
+
+  /** A possibly-qualified relation name, each part quoted. */
+  private def rel(n: String): String =
+    if (n.contains(".")) n.split("\\.").map(q).mkString(".") else q(n)
+
+  private def sqlLit(v: Any): String = v match {
+    case null      => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case b: Boolean => b.toString.toUpperCase
+    case other     => other.toString
+  }
+
+  private def exprSql(c: org.apache.spark.sql.Column): String =
+    org.apache.spark.sql.graftbridge.Bridge.convertedExpression(c).sql
+
+  /** The compiled transformed-source SELECT — `Compiler.transformedSource`
+    * rendered as one nested SQL query: filter → [distinct | inferred
+    * GROUP BY] → FK left joins (each dim a key-unique min-match subquery
+    * on the destination-side parent) → the mapped projection, every
+    * projected item rendered from the very `Column` the engine executes.
+    */
+  def transformedSelect(tm: TableMapping): String = {
+    val base = s"SELECT * FROM ${rel(tm.source)}" +
+      tm.sourceFilter.fold("")(f => s" WHERE $f")
+    val shaped =
+      if (tm.useGrouping) {
+        val keys = Compiler.inferredGroupKeys(tm)
+        val aggs = tm.columns.collect {
+          case (_, m) if m.aggregate.isDefined =>
+            val src = m.sourceColumns.head
+            s"${m.aggregate.get}(${q(src)}) AS ${q(src)}"
+        }
+        if (aggs.nonEmpty)
+          s"SELECT ${(keys.map(q) ++ aggs).mkString(", ")} FROM ($base) " +
+            s"GROUP BY ${keys.map(q).mkString(", ")}"
+        else s"SELECT DISTINCT ${keys.map(q).mkString(", ")} FROM ($base)"
+      } else if (tm.forceDistinct) s"SELECT DISTINCT * FROM ($base)"
+      else base
+
+    val lookups = Compiler.fkLookups(tm)
+    val aliases = lookups.zipWithIndex
+      .map { case (l, i) => l -> s"__fk_$i" }.toMap
+    val joins = lookups.zipWithIndex.map { case (l, i) =>
+      val a = aliases(l)
+      val filt = (l.spec.filterColumn, l.spec.filterValue) match {
+        case (Some(fc), fv) => s" WHERE ${q(fc)} = ${sqlLit(fv.orNull)}"
+        case _              => ""
+      }
+      val dim = s"SELECT ${q(l.spec.importColumn)} AS ${q(a + "_key")}, " +
+        s"min(${q(l.spec.parentColumn)}) AS ${q(a)} " +
+        s"FROM ${rel(l.spec.parentTable)}$filt " +
+        s"GROUP BY ${q(l.spec.importColumn)}"
+      s"LEFT JOIN ($dim) __fkd_$i ON __src.${q(l.sourceColumn)} = " +
+        s"__fkd_$i.${q(a + "_key")}"
+    }
+
+    val ctx = CompileCtx(aliases)
+    val items = tm.columns
+      .map { case (d, m) => exprSql(m.toColumn(ctx).alias(d)) }
+    s"SELECT ${items.mkString(",\n       ")}\n" +
+      s"FROM ($shaped) __src\n" + joins.mkString("\n")
+  }
+
+  /** Statements for one mapping's LOAD (insert or merge path).
+    * `destCols`: the destination table's full column list (the merge must
+    * carry unmapped columns through untouched, exactly as `Merge.apply`).
+    */
+  def loadStatements(tm: TableMapping, destCols: Seq[String]): Seq[String] = {
+    val msg = tm.message.map(m => s"-- $m\n").getOrElse("")
+    if (!tm.useMerge)
+      Seq(msg +
+        s"INSERT INTO ${rel(tm.destination)}\n${transformedSelect(tm)}")
+    else {
+      require(tm.mergeKeys.nonEmpty,
+        s"${tm.destination}: useMerge requires MergeOn keys")
+      val stg = rel(tm.destination.replace(".", "_") + "__merge_stg")
+      // the guard is rendered BY HAND, not via Column.sql: a window
+      // expression over an unresolved Column renders internals
+      // (`unspecifiedframe$()`, `and(…)`) that the SQL parser rejects.
+      // Same predicate, same raise_error message as Merge.keyUniqueGuard.
+      val guard = if (tm.strictMerge) guardSql(tm) else "1"
+      val on = tm.mergeKeys.map {
+        case (d, MergeOnColumn(_))         => s"d.${q(d)} = s.${q(d)}"
+        case (d, MergeOnConstant(Some(v))) => s"d.${q(d)} = ${sqlLit(v)}"
+        case (d, MergeOnConstant(None))    => s"d.${q(d)} IS NULL"
+      }.mkString(" AND ")
+      val matched  = "d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL"
+      val inserted = "d.`__dp` IS NULL"
+      val mapped = tm.destColumns.map { c =>
+        val keepDest = tm.insertOnly || tm.mergePk.contains(c)
+        val updated = if (keepDest) s"d.${q(c)}" else s"s.${q(c)}"
+        s"CASE WHEN $matched THEN $updated WHEN $inserted THEN s.${q(c)} " +
+          s"ELSE d.${q(c)} END AS ${q(c)}"
+      }
+      val unmapped = destCols.diff(tm.destColumns).map(c =>
+        s"CASE WHEN $inserted THEN NULL ELSE d.${q(c)} END AS ${q(c)}")
+      val action =
+        s"CASE WHEN $matched AND NOT ${tm.insertOnly} THEN 'UPDATE' " +
+          s"WHEN $inserted AND NOT ${tm.updateOnly} THEN 'INSERT' END " +
+          s"AS ${q(Merge.ActionCol)}"
+      val outCols = destCols.map(q) // dest layout order, as the engine writes
+      val keptFilter =
+        if (tm.updateOnly) " WHERE `__d_present` IS NOT NULL" else ""
+      Seq(
+        msg + s"-- TRUNCATE TABLE ${rel(tm.destination)}\n" +
+          s"CREATE TABLE $stg AS\n" +
+          s"SELECT ${(mapped ++ unmapped).mkString(",\n       ")},\n" +
+          s"       $action,\n" +
+          s"       d.`__dp` AS `__d_present`\n" +
+          s"FROM (SELECT *, 1 AS `__dp` FROM ${rel(tm.destination)}) d\n" +
+          s"FULL OUTER JOIN (SELECT *, $guard AS `__sp`\n" +
+          s"                 FROM (${transformedSelect(tm)})) s\n" +
+          s"ON $on",
+        // OUTPUT $action (tsql2008.js:316): the changelog result set
+        s"SELECT * FROM $stg WHERE ${q(Merge.ActionCol)} IS NOT NULL",
+        s"INSERT OVERWRITE TABLE ${rel(tm.destination)}\n" +
+          s"SELECT ${outCols.mkString(", ")} FROM $stg$keptFilter",
+        s"DROP TABLE $stg")
+    }
+  }
+
+  /** The strict-merge key-unique guard as parser-clean SQL — predicate
+    * and message mirror [[Merge.keyUniqueGuard]].
+    */
+  private def guardSql(tm: TableMapping): String = {
+    val keys = tm.mergeKeys.collect { case (d, MergeOnColumn(_)) => d }
+    if (keys.isEmpty) "1"
+    else {
+      val present = keys.map(k => s"${q(k)} IS NOT NULL").mkString(" AND ")
+      val cnt = s"count(1) OVER (PARTITION BY ${keys.map(q).mkString(", ")})"
+      val keyStr = keys.map(k => s"CAST(${q(k)} AS STRING)")
+        .mkString("concat_ws(',', ", ", ", ")")
+      val msg = s"MERGE into ${tm.destination}: source is not key-unique " +
+        s"on (${keys.mkString(", ")}) — T-SQL MERGE raises here; " +
+        "deduplicate the source (forceDistinct/useGrouping) or set " +
+        "strictMerge=false. Duplicate key: "
+      s"CASE WHEN $present AND $cnt > 1 THEN " +
+        s"raise_error(concat(${sqlLit(msg)}, $keyStr)) ELSE 1 END"
+    }
+  }
+
+  /** killWhere DELETE, staged (v1 tables have no `DELETE FROM`). */
+  def killStatements(tm: TableMapping): Seq[String] =
+    tm.killWhere.toSeq.flatMap { kw =>
+      val stg = rel(tm.destination.replace(".", "_") + "__kill_stg")
+      Seq(
+        s"CREATE TABLE $stg AS SELECT * FROM ${rel(tm.destination)} " +
+          s"WHERE NOT coalesce($kw, FALSE)",
+        s"INSERT OVERWRITE TABLE ${rel(tm.destination)} SELECT * FROM $stg",
+        s"DROP TABLE $stg")
+    }
+
+  /** The whole pipeline as an ordered statement list: per pass, killWhere
+    * deletes in REVERSE mapping order (children before parents —
+    * `pipeline.scala` run order), then loads in mapping order. Setup hooks
+    * run once, deduped, before everything; teardown after (the reference's
+    * `tsql2008.js:52-58,135-141` contract).
+    */
+  def script(p: Pipeline, destCols: String => Seq[String]): Seq[String] = {
+    val setup = p.mappings.flatMap(_.setup).distinct
+    val teardown = p.mappings.flatMap(_.teardown).distinct
+    val passes = (1 to p.passes).flatMap { pass =>
+      val body =
+        p.mappings.reverse.flatMap(killStatements) ++
+          p.mappings.flatMap(tm =>
+            loadStatements(tm, destCols(tm.destination)))
+      // pass marker rides on the first statement: a comment-only
+      // "statement" is not executable SQL
+      body match {
+        case head +: tail => (s"-- pass $pass\n" + head) +: tail
+        case empty        => empty
+      }
+    }
+    setup ++ passes ++ teardown
+  }
+
+  /** One text blob, statements `;`-terminated — pipe to `spark-sql -f`. */
+  def render(p: Pipeline, destCols: String => Seq[String]): String =
+    script(p, destCols).mkString("", ";\n\n", ";\n")
+}

@@ -13,6 +13,16 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Column → EAGERLY-converted Catalyst expression.
+    * [[ExpressionUtils.expression]] wraps the column node lazily
+    * (`ColumnNodeExpression`), whose `.sql` renders as an opaque
+    * `columnnodeexpression(…)` call; the session-independent converter
+    * resolves the node to the real expression tree so `.sql` produces
+    * runnable SQL text (the ScriptGen path).
+    */
+  def convertedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** DataFrame over a raw logical plan (`Dataset.ofRows` went
     * `private[sql]` with the classic split) — the entry point for custom
     * `LogicalPlan` operators like [[graft.plans.TopKPerGroupNode]].

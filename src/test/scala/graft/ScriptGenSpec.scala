@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The generated Spark SQL script is EXECUTED and compared to the engine
+  * path, bit for bit — parity is the whole point of rendering the script
+  * from the same compiled `Column`s the engine runs.
+  */
+class ScriptGenSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.mkString("|")).toSet
+
+  /** Drop catalog entry AND warehouse directory: the in-memory catalog
+    * forgets tables between JVMs but `spark-warehouse/<name>` persists,
+    * and CREATE TABLE validates the location.
+    */
+  private def resetTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File("spark-warehouse", name))
+  }
+
+  private val srcRows = Seq(
+    (1L, "Alice", "Smith", "GOLD", 10, "x@a", 100L),
+    (2L, "Bob", null, "SILVER", 0, null, 200L),
+    (3L, "Carol", "Jones", "GOLD", 7, "c@a", 999L),
+    (4L, "Dan", "Low", "BRONZE", 3, "d@a", 100L))
+
+  private def srcDf = srcRows.toDF(
+    "UserID", "FirstName", "LastName", "Tier", "IsActive", "EMail", "AgentID")
+
+  private def parentDf = Seq(
+    (100L, "g-100", "A"), (200L, "g-200", "A"), (300L, "g-300", "B"))
+    .toDF("orig_agent_id", "individual_id", "region")
+
+  private val fkMapping = TableMapping(
+    destination = "sg_users",
+    source = "sg_src",
+    sourceFilter = Some("IsActive >= 0"),
+    columns = Seq(
+      "orig_id"   -> MergeOn("UserID"),
+      "user_nm"   -> ConcatColumns(Seq("FirstName", "LastName"), " "),
+      "tier_cd"   -> CaseMap("Tier",
+        Seq("GOLD" -> "G", "SILVER" -> "S"), "?"),
+      "n_active"  -> CastAs("IsActive",
+        org.apache.spark.sql.types.LongType),
+      "user_guid" -> ForeignKey("AgentID",
+        FkSpec("sg_parent", "individual_id", "orig_agent_id",
+          filterColumn = Some("region"), filterValue = Some("A"))),
+      "email"     -> CopyOrDefault("EMail", "none")))
+
+  test("insert-path SELECT: generated SQL == Compiler.transformedSource") {
+    srcDf.createOrReplaceTempView("sg_src")
+    parentDf.createOrReplaceTempView("sg_parent")
+    val got = spark.sql(ScriptGen.transformedSelect(fkMapping))
+    val want = Compiler.transformedSource(srcDf, fkMapping, spark.table)
+    assert(got.columns.toSeq === want.columns.toSeq)
+    assert(rows(got) === rows(want))
+    assert(rows(got).nonEmpty)
+  }
+
+  test("grouped mapping: inferred GROUP BY + aggregate alias-back renders") {
+    srcDf.createOrReplaceTempView("sg_src")
+    val tm = TableMapping(
+      destination = "sg_agg", source = "sg_src", useGrouping = true,
+      columns = Seq(
+        "tier"     -> DirectCopy("Tier"),
+        "n_users"  -> AggregateColumn("UserID", "count"),
+        "max_act"  -> AggregateColumn("IsActive", "max")))
+    val got = spark.sql(ScriptGen.transformedSelect(tm))
+    val want = Compiler.transformedSource(srcDf, tm, spark.table)
+    assert(rows(got) === rows(want))
+    assert(got.count() === 3) // three tiers
+  }
+
+  test("merge script executes: final state + changelog == Merge.apply") {
+    for ((variant, tmv) <- Seq(
+        "flagship"   -> fkMapping.copy(useMerge = true),
+        "mergePk"    -> fkMapping.copy(useMerge = true,
+          mergePk = Some("email")),
+        "insertOnly" -> fkMapping.copy(useMerge = true, insertOnly = true),
+        "updateOnly" -> fkMapping.copy(useMerge = true, updateOnly = true))) {
+
+      resetTable("sg_users"); resetTable("sg_users__merge_stg")
+      srcDf.createOrReplaceTempView("sg_src")
+      parentDf.createOrReplaceTempView("sg_parent")
+      // dest: one overlapping key (1), one dest-only (9); an extra
+      // UNMAPPED column that must survive updates and NULL on inserts
+      val dest = Seq(
+        (1L, "old name", "?", 0L, "g-old", "old@a", "keepme"),
+        (9L, "ghost", "G", 5L, "g-9", "nine@a", "ghost-extra"))
+        .toDF("orig_id", "user_nm", "tier_cd", "n_active", "user_guid",
+          "email", "extra")
+      dest.write.mode("overwrite").saveAsTable("sg_users")
+
+      // engine path (on the ORIGINAL dest state)
+      val want = Merge.apply(dest,
+        Compiler.transformedSource(srcDf, tmv, spark.table), tmv)
+      val wantState = want.drop(Merge.ActionCol)
+      val wantActions = want.select(col("orig_id"), col(Merge.ActionCol))
+        .filter(col(Merge.ActionCol).isNotNull)
+
+      // script path: execute every generated statement; the changelog
+      // statement's result set (the OUTPUT $action analogue) must be
+      // consumed WHEN it runs — the staged table it reads is dropped by
+      // a later statement, exactly as a script runner would consume it
+      var changelog: Set[String] = Set.empty
+      ScriptGen.loadStatements(tmv,
+        spark.table("sg_users").columns.toSeq).foreach { stmt =>
+        val r = spark.sql(stmt)
+        if (stmt.startsWith("SELECT"))
+          changelog = rows(r.select(col("orig_id"), col(Merge.ActionCol)))
+        else r.collect() // force side-effecting statements
+      }
+      val gotState = spark.table("sg_users")
+        .select(wantState.columns.map(col): _*)
+      assert(rows(gotState) === rows(wantState), s"state [$variant]")
+      assert(changelog === rows(wantActions), s"actions [$variant]")
+      resetTable("sg_users")
+    }
+  }
+
+  test("strict-merge guard raises in the SCRIPT too on duplicate keys") {
+    val dup = (srcRows :+ (1L, "Alice2", "S", "GOLD", 1, "x2@a", 100L))
+      .toDF("UserID", "FirstName", "LastName", "Tier", "IsActive", "EMail",
+        "AgentID")
+    dup.createOrReplaceTempView("sg_src")
+    parentDf.createOrReplaceTempView("sg_parent")
+    resetTable("sg_users"); resetTable("sg_users__merge_stg")
+    Seq((1L, "n", "?", 0L, "g", "e", "x"))
+      .toDF("orig_id", "user_nm", "tier_cd", "n_active", "user_guid",
+        "email", "extra")
+      .write.mode("overwrite").saveAsTable("sg_users")
+    val tmv = fkMapping.copy(useMerge = true)
+    val stmts = ScriptGen.loadStatements(tmv,
+      spark.table("sg_users").columns.toSeq)
+    val e = intercept[Exception] { stmts.foreach(spark.sql(_).collect()) }
+    assert(e.getMessage.contains("not key-unique") ||
+      Option(e.getCause).exists(_.getMessage.contains("not key-unique")))
+    resetTable("sg_users"); resetTable("sg_users__merge_stg")
+  }
+
+  test("killWhere + 2-pass pipeline script is idempotent") {
+    resetTable("sg_users"); resetTable("sg_users__merge_stg")
+    resetTable("sg_users__kill_stg")
+    srcDf.createOrReplaceTempView("sg_src")
+    parentDf.createOrReplaceTempView("sg_parent")
+    Seq((9L, "ghost", "G", 5L, "g-9", "nine@a", "x"))
+      .toDF("orig_id", "user_nm", "tier_cd", "n_active", "user_guid",
+        "email", "extra")
+      .write.mode("overwrite").saveAsTable("sg_users")
+    val p = Pipeline(Seq(fkMapping.copy(useMerge = true,
+      killWhere = Some("orig_id = 9"))), passes = 2)
+    ScriptGen.script(p,
+      d => spark.table(d).columns.toSeq).foreach(spark.sql(_).collect())
+    val state1 = rows(spark.table("sg_users"))
+    // the killed dest-only row is gone; all four source rows present
+    assert(!state1.exists(_.contains("ghost")))
+    assert(spark.table("sg_users").count() === 4)
+    // a third pass (re-running one pass of the script) changes nothing
+    ScriptGen.script(p.copy(passes = 1),
+      d => spark.table(d).columns.toSeq).foreach(spark.sql(_).collect())
+    assert(rows(spark.table("sg_users")) === state1)
+    resetTable("sg_users")
+  }
+}

@@ -1,0 +1,35 @@
+"""Time extension-composite oracle SQLs in DuckDB at a given sf dir
+(min-of-3 warm, single process, all cores) - the DuckDB side of
+BENCH_EXT_SF1.json (r12 verdict #5: evidence the <=2x contract at sf1
+for the LLM-pipeline surface, not just the 8 reference-shaped headline
+rows). Driver-side tooling; the engine never depends on it.
+
+Usage: python3 duck_ext_sf1.py <sfdir> <oracle_sql.json> [name ...]
+"""
+import duckdb, json, sys, time
+
+sfdir = sys.argv[1]
+oracle = json.load(open(sys.argv[2]))
+names = sys.argv[3:] or [
+    "q_web_pipeline", "q_dedup_auto", "q_bag_jaccard",
+    "q_minhash_neardup", "q_dedup_auto_against"]
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sfdir}/{t}.parquet')")
+out = {}
+for n in names:
+    sql = oracle[n]
+    t0 = time.time()
+    con.execute(sql).fetchall()  # warm (also the only pass if very slow)
+    warm = time.time() - t0
+    reps = 3 if warm < 120 else 1
+    best = warm if reps == 1 else min(
+        (lambda s: (con.execute(sql).fetchall(), time.time() - s)[1])(
+            time.time())
+        for _ in range(reps))
+    out[n] = round(best, 4)
+    print(n, out[n], flush=True)
+print(json.dumps({"sf": sfdir, "duckdb": out,
+                  "sum": round(sum(out.values()), 4)}))

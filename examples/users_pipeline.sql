@@ -1,0 +1,129 @@
+-- merge dest keeps state: DELETE FROM `user_roles` WHERE orig_user_id IS NOT NULL
+-- merge dest keeps state: DELETE FROM `users` WHERE orig_id IS NOT NULL
+-- pass 1
+-- migrating NON-DUPLICATE users
+CREATE TABLE `users__merge_stg` AS
+SELECT CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`orig_id` WHEN d.`__dp` IS NULL THEN s.`orig_id` ELSE d.`orig_id` END AS `orig_id`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`orig_admin` WHEN d.`__dp` IS NULL THEN s.`orig_admin` ELSE d.`orig_admin` END AS `orig_admin`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`user_id` WHEN d.`__dp` IS NULL THEN s.`user_id` ELSE d.`user_id` END AS `user_id`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`password` WHEN d.`__dp` IS NULL THEN s.`password` ELSE d.`password` END AS `password`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`user_nm` WHEN d.`__dp` IS NULL THEN s.`user_nm` ELSE d.`user_nm` END AS `user_nm`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`attr_bits` WHEN d.`__dp` IS NULL THEN s.`attr_bits` ELSE d.`attr_bits` END AS `attr_bits`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`email_address` WHEN d.`__dp` IS NULL THEN s.`email_address` ELSE d.`email_address` END AS `email_address`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`user_guid` WHEN d.`__dp` IS NULL THEN s.`user_guid` ELSE d.`user_guid` END AS `user_guid`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`first_name` WHEN d.`__dp` IS NULL THEN s.`first_name` ELSE d.`first_name` END AS `first_name`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`last_name` WHEN d.`__dp` IS NULL THEN s.`last_name` ELSE d.`last_name` END AS `last_name`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`date_created` WHEN d.`__dp` IS NULL THEN s.`date_created` ELSE d.`date_created` END AS `date_created`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`pin_code` WHEN d.`__dp` IS NULL THEN s.`pin_code` ELSE d.`pin_code` END AS `pin_code`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL AND NOT false THEN 'UPDATE' WHEN d.`__dp` IS NULL AND NOT false THEN 'INSERT' END AS `_action`,
+       d.`__dp` AS `__d_present`
+FROM (SELECT *, 1 AS `__dp` FROM `users`) d
+FULL OUTER JOIN (SELECT *, CASE WHEN `orig_id` IS NOT NULL AND count(1) OVER (PARTITION BY `orig_id`) > 1 THEN raise_error(concat('MERGE into users: source is not key-unique on (orig_id) — T-SQL MERGE raises here; deduplicate the source (forceDistinct/useGrouping) or set strictMerge=false. Duplicate key: ', concat_ws(',', CAST(`orig_id` AS STRING)))) ELSE 1 END AS `__sp`
+                 FROM (SELECT UserID AS orig_id,
+       Admin AS orig_admin,
+       Username AS user_id,
+       NULL AS password,
+       trim(concat(coalesce(FirstName, ''), ' ', coalesce(LastName, ''))) AS user_nm,
+       CASE WHEN `=`(IsActive, 1) THEN 0 ELSE 1 END AS attr_bits,
+       EMailAddress AS email_address,
+       __fk_0 AS user_guid,
+       FirstName AS first_name,
+       LastName AS last_name,
+       RegistrationDate AS date_created,
+       PinCode AS pin_code
+FROM (SELECT * FROM `etl_Users`) __src
+LEFT JOIN (SELECT `orig_agent_id` AS `__fk_0_key`, min(`individual_id`) AS `__fk_0` FROM `individual` GROUP BY `orig_agent_id`) __fkd_0 ON __src.`AgentID` = __fkd_0.`__fk_0_key`)) s
+ON d.`orig_id` = s.`orig_id`;
+
+SELECT * FROM `users__merge_stg` WHERE `_action` IS NOT NULL;
+
+INSERT OVERWRITE TABLE `users`
+SELECT `orig_id`, `orig_admin`, `user_id`, `password`, `user_nm`, `attr_bits`, `email_address`, `user_guid`, `first_name`, `last_name`, `date_created`, `pin_code` FROM `users__merge_stg`;
+
+DROP TABLE `users__merge_stg`;
+
+CREATE TABLE `user_roles__merge_stg` AS
+SELECT CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`orig_user_id` WHEN d.`__dp` IS NULL THEN s.`orig_user_id` ELSE d.`orig_user_id` END AS `orig_user_id`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`user_id` WHEN d.`__dp` IS NULL THEN s.`user_id` ELSE d.`user_id` END AS `user_id`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`role_nm` WHEN d.`__dp` IS NULL THEN s.`role_nm` ELSE d.`role_nm` END AS `role_nm`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL AND NOT false THEN 'UPDATE' WHEN d.`__dp` IS NULL AND NOT false THEN 'INSERT' END AS `_action`,
+       d.`__dp` AS `__d_present`
+FROM (SELECT *, 1 AS `__dp` FROM `user_roles`) d
+FULL OUTER JOIN (SELECT *, CASE WHEN `orig_user_id` IS NOT NULL AND count(1) OVER (PARTITION BY `orig_user_id`) > 1 THEN raise_error(concat('MERGE into user_roles: source is not key-unique on (orig_user_id) — T-SQL MERGE raises here; deduplicate the source (forceDistinct/useGrouping) or set strictMerge=false. Duplicate key: ', concat_ws(',', CAST(`orig_user_id` AS STRING)))) ELSE 1 END AS `__sp`
+                 FROM (SELECT UserID AS orig_user_id,
+       Username AS user_id,
+       'Users' AS role_nm
+FROM (SELECT * FROM `etl_Users`) __src
+)) s
+ON d.`orig_user_id` = s.`orig_user_id`;
+
+SELECT * FROM `user_roles__merge_stg` WHERE `_action` IS NOT NULL;
+
+INSERT OVERWRITE TABLE `user_roles`
+SELECT `orig_user_id`, `user_id`, `role_nm` FROM `user_roles__merge_stg`;
+
+DROP TABLE `user_roles__merge_stg`;
+
+-- pass 2
+-- migrating NON-DUPLICATE users
+CREATE TABLE `users__merge_stg` AS
+SELECT CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`orig_id` WHEN d.`__dp` IS NULL THEN s.`orig_id` ELSE d.`orig_id` END AS `orig_id`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`orig_admin` WHEN d.`__dp` IS NULL THEN s.`orig_admin` ELSE d.`orig_admin` END AS `orig_admin`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`user_id` WHEN d.`__dp` IS NULL THEN s.`user_id` ELSE d.`user_id` END AS `user_id`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`password` WHEN d.`__dp` IS NULL THEN s.`password` ELSE d.`password` END AS `password`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`user_nm` WHEN d.`__dp` IS NULL THEN s.`user_nm` ELSE d.`user_nm` END AS `user_nm`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`attr_bits` WHEN d.`__dp` IS NULL THEN s.`attr_bits` ELSE d.`attr_bits` END AS `attr_bits`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`email_address` WHEN d.`__dp` IS NULL THEN s.`email_address` ELSE d.`email_address` END AS `email_address`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`user_guid` WHEN d.`__dp` IS NULL THEN s.`user_guid` ELSE d.`user_guid` END AS `user_guid`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`first_name` WHEN d.`__dp` IS NULL THEN s.`first_name` ELSE d.`first_name` END AS `first_name`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`last_name` WHEN d.`__dp` IS NULL THEN s.`last_name` ELSE d.`last_name` END AS `last_name`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`date_created` WHEN d.`__dp` IS NULL THEN s.`date_created` ELSE d.`date_created` END AS `date_created`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`pin_code` WHEN d.`__dp` IS NULL THEN s.`pin_code` ELSE d.`pin_code` END AS `pin_code`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL AND NOT false THEN 'UPDATE' WHEN d.`__dp` IS NULL AND NOT false THEN 'INSERT' END AS `_action`,
+       d.`__dp` AS `__d_present`
+FROM (SELECT *, 1 AS `__dp` FROM `users`) d
+FULL OUTER JOIN (SELECT *, CASE WHEN `orig_id` IS NOT NULL AND count(1) OVER (PARTITION BY `orig_id`) > 1 THEN raise_error(concat('MERGE into users: source is not key-unique on (orig_id) — T-SQL MERGE raises here; deduplicate the source (forceDistinct/useGrouping) or set strictMerge=false. Duplicate key: ', concat_ws(',', CAST(`orig_id` AS STRING)))) ELSE 1 END AS `__sp`
+                 FROM (SELECT UserID AS orig_id,
+       Admin AS orig_admin,
+       Username AS user_id,
+       NULL AS password,
+       trim(concat(coalesce(FirstName, ''), ' ', coalesce(LastName, ''))) AS user_nm,
+       CASE WHEN `=`(IsActive, 1) THEN 0 ELSE 1 END AS attr_bits,
+       EMailAddress AS email_address,
+       __fk_0 AS user_guid,
+       FirstName AS first_name,
+       LastName AS last_name,
+       RegistrationDate AS date_created,
+       PinCode AS pin_code
+FROM (SELECT * FROM `etl_Users`) __src
+LEFT JOIN (SELECT `orig_agent_id` AS `__fk_0_key`, min(`individual_id`) AS `__fk_0` FROM `individual` GROUP BY `orig_agent_id`) __fkd_0 ON __src.`AgentID` = __fkd_0.`__fk_0_key`)) s
+ON d.`orig_id` = s.`orig_id`;
+
+SELECT * FROM `users__merge_stg` WHERE `_action` IS NOT NULL;
+
+INSERT OVERWRITE TABLE `users`
+SELECT `orig_id`, `orig_admin`, `user_id`, `password`, `user_nm`, `attr_bits`, `email_address`, `user_guid`, `first_name`, `last_name`, `date_created`, `pin_code` FROM `users__merge_stg`;
+
+DROP TABLE `users__merge_stg`;
+
+CREATE TABLE `user_roles__merge_stg` AS
+SELECT CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`orig_user_id` WHEN d.`__dp` IS NULL THEN s.`orig_user_id` ELSE d.`orig_user_id` END AS `orig_user_id`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`user_id` WHEN d.`__dp` IS NULL THEN s.`user_id` ELSE d.`user_id` END AS `user_id`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL THEN s.`role_nm` WHEN d.`__dp` IS NULL THEN s.`role_nm` ELSE d.`role_nm` END AS `role_nm`,
+       CASE WHEN d.`__dp` IS NOT NULL AND s.`__sp` IS NOT NULL AND NOT false THEN 'UPDATE' WHEN d.`__dp` IS NULL AND NOT false THEN 'INSERT' END AS `_action`,
+       d.`__dp` AS `__d_present`
+FROM (SELECT *, 1 AS `__dp` FROM `user_roles`) d
+FULL OUTER JOIN (SELECT *, CASE WHEN `orig_user_id` IS NOT NULL AND count(1) OVER (PARTITION BY `orig_user_id`) > 1 THEN raise_error(concat('MERGE into user_roles: source is not key-unique on (orig_user_id) — T-SQL MERGE raises here; deduplicate the source (forceDistinct/useGrouping) or set strictMerge=false. Duplicate key: ', concat_ws(',', CAST(`orig_user_id` AS STRING)))) ELSE 1 END AS `__sp`
+                 FROM (SELECT UserID AS orig_user_id,
+       Username AS user_id,
+       'Users' AS role_nm
+FROM (SELECT * FROM `etl_Users`) __src
+)) s
+ON d.`orig_user_id` = s.`orig_user_id`;
+
+SELECT * FROM `user_roles__merge_stg` WHERE `_action` IS NOT NULL;
+
+INSERT OVERWRITE TABLE `user_roles`
+SELECT `orig_user_id`, `user_id`, `role_nm` FROM `user_roles__merge_stg`;
+
+DROP TABLE `user_roles__merge_stg`;

@@ -64,7 +64,7 @@ object DupBench {
       * min-of-2. Returns the two JSON object bodies (times, ratios).
       */
     def profile(p: DupFixture.Profile, pairs: Seq[(String, String)],
-        warmups: Int): (String, String, String) = {
+        warmups: Int): (String, String, String, Double, Double) = {
       var spark = build()
       val dir = DupFixture.ensure(spark, root, p)
       // the cost dispatcher's verdict on this fixture at the production
@@ -92,28 +92,51 @@ object DupBench {
         val (a, b) = (run(n), run(n))
         n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
       }.toMap
+      // probe-cost attribution (VERDICT r12): q_dedup_auto conflates
+      // probe + dispatched path — time the probe alone, and the
+      // amortized form (precomputed DupDispatch supplied, no probe),
+      // warm min-of-2 in the same timed session. `amortized − the
+      // dispatched query's own row ≈ ε` is the amortization claim.
+      def time(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      time { ext.Dedup.dupDispatchStats(docs, "doc_id", "text"); () } // warm
+      val probeSec = Seq.fill(2)(
+        time { ext.Dedup.dupDispatchStats(docs, "doc_id", "text"); () }).min
+      val disp = ext.Dedup.dupDispatchStats(docs, "doc_id", "text")
+      def amortized(): Unit = {
+        ext.Dedup.nearDupPairsAuto(docs, "doc_id", "text", disp,
+          k = 3, numHashes = 64, bands = 16, threshold = 0.8).count()
+        ()
+      }
+      time(amortized()) // warm
+      val amortSec = Seq.fill(2)(time(amortized())).min
       spark.stop()
       val qs = names.map(n => s""""$n":${num(t(n))}""").mkString("{", ",", "}")
       val wins = pairs.map { case (exact, twin) =>
         val r = if (t(twin) > 0 && t(exact) > 0) t(exact) / t(twin) else -1.0
         s""""$twin":${num2(r)}"""
       }.mkString("{", ",", "}")
-      (qs, wins, choice)
+      (qs, wins, choice, probeSec, amortSec)
     }
 
     // Base keeps two warmups (sub-20 s queries need the C2 floor
     // amortized); m100's tens-of-seconds runs don't, one suffices.
-    val (baseQs, baseWins, baseChoice) =
+    val (baseQs, baseWins, baseChoice, basePr, baseAm) =
       profile(DupFixture.Base, BasePairs, warmups = 2)
-    val (mQs, mWins, mChoice) = profile(DupFixture.Multiplicity100, M100Pairs,
-      warmups = 1)
-    val (bQs, bWins, bChoice) = profile(DupFixture.TemplateSpamBelow,
+    val (mQs, mWins, mChoice, mPr, mAm) = profile(DupFixture.Multiplicity100,
+      M100Pairs, warmups = 1)
+    val (bQs, bWins, bChoice, bPr, bAm) = profile(DupFixture.TemplateSpamBelow,
       BelowPairs, warmups = 1)
     println(s"""{"metric":"dupheavy","queries":$baseQs,""" +
       s""""exact_over_twin":$baseWins,"auto_choice":"$baseChoice",""" +
+      s""""probe_sec":${num(basePr)},"amortized_auto_sec":${num(baseAm)},""" +
       s""""m100":{"queries":$mQs,"exact_over_twin":$mWins,""" +
-      s""""auto_choice":"$mChoice"},""" +
+      s""""auto_choice":"$mChoice","probe_sec":${num(mPr)},""" +
+      s""""amortized_auto_sec":${num(mAm)}},""" +
       s""""below_threshold":{"queries":$bQs,"exact_over_twin":$bWins,""" +
-      s""""auto_choice":"$bChoice"}}""")
+      s""""auto_choice":"$bChoice","probe_sec":${num(bPr)},""" +
+      s""""amortized_auto_sec":${num(bAm)}}}""")
   }
 }

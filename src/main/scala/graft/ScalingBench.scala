@@ -114,6 +114,26 @@ object ScalingBench {
           "[pt] %s %.6f", n, Double.box(t)))
       }
     }
+    // convergence-headroom probe (r12 advice: rounds-to-fixpoint as
+    // DATA): run the iterative graph operators on the SAME fixtures the
+    // benched queries use and report rounds vs cap, so budget erosion
+    // with scale is a flagged bench row, not a warning in a log nobody
+    // greps. Skipped under SPARK_GRAFT_ONLY re-measures (subset runs
+    // re-time queries; the probe belongs to the full point).
+    if (sys.env.get("SPARK_GRAFT_ONLY").isEmpty) {
+      try {
+        val (_, cc) = ext.Graph.connectedComponentsWithStats(
+          SparkEntry.ccFixtureEdges(spark, sfDir), "a", "b")
+        val (_, kc) = ext.Graph.kCoreWithStats(
+          SparkEntry.kcoreFixtureEdges(spark, sfDir), "src", "dst",
+          k = 18, rounds = 6)
+        println(s"[cv] cc ${cc.rounds} ${cc.cap} ${cc.converged}")
+        println(s"[cv] kcore ${kc.rounds} ${kc.cap} ${kc.converged}")
+      } catch { case e: Throwable =>
+        System.err.println(s"[scaling] convergence probe FAILED: ${e.getMessage}")
+        println("[cv] cc -1 -1 false")
+      }
+    }
     spark.stop()
   }
 
@@ -128,7 +148,12 @@ object ScalingBench {
     val xlDir = sys.env.get("SPARK_GRAFT_SF_XL")
     val names = onlyFilter(SparkEntry.queries.keys.toSeq.sorted)
 
-    def measure(dir: String): Map[String, Double] = {
+    /** One child JVM over one scale point. `only` restricts the child to a
+      * subset via SPARK_GRAFT_ONLY (the re-measure pass). Returns
+      * (per-query seconds, convergence-probe lines).
+      */
+    def measure(dir: String,
+        only: Seq[String] = Seq.empty): (Map[String, Double], Map[String, (Int, Int, Boolean)]) = {
       import scala.jdk.CollectionConverters._
       val javaBin = sys.props("java.home") + "/bin/java"
       val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -137,6 +162,8 @@ object ScalingBench {
         Seq("-cp", sys.props("java.class.path"), "graft.ScalingBench")
       val pb = new ProcessBuilder(cmd.asJava)
       pb.environment().put("SPARK_GRAFT_POINT", dir)
+      if (only.nonEmpty)
+        pb.environment().put("SPARK_GRAFT_ONLY", only.mkString(","))
       pb.redirectErrorStream(false)
       val p = pb.start()
       // drain stderr concurrently (Spark logs) so the child never blocks
@@ -147,21 +174,66 @@ object ScalingBench {
       drainer.setDaemon(true); drainer.start()
       // tolerant parse: a malformed marker line skips that LINE (query
       // reads failed via getOrElse), never the orchestration
-      val out = scala.io.Source.fromInputStream(p.getInputStream)
-        .getLines().filter(_.startsWith("[pt] ")).flatMap { l =>
-          scala.util.Try {
+      val pts = scala.collection.mutable.Map.empty[String, Double]
+      val cvs = scala.collection.mutable.Map.empty[String, (Int, Int, Boolean)]
+      scala.io.Source.fromInputStream(p.getInputStream)
+        .getLines().foreach { l =>
+          if (l.startsWith("[pt] ")) scala.util.Try {
+            val parts = l.split(" "); pts(parts(1)) = parts(2).toDouble
+          }
+          else if (l.startsWith("[cv] ")) scala.util.Try {
             val parts = l.split(" ")
-            parts(1) -> parts(2).toDouble
-          }.toOption
-        }.toMap
+            cvs(parts(1)) = (parts(2).toInt, parts(3).toInt, parts(4).toBoolean)
+          }
+        }
       p.waitFor()
       // a child that died mid-point marks every missing query failed
-      names.map(n => n -> out.getOrElse(n, -1.0)).toMap
+      val expect = if (only.nonEmpty) only else names
+      (expect.map(n => n -> pts.getOrElse(n, -1.0)).toMap, cvs.toMap)
     }
 
-    val ts = measure(small)
-    val tl = measure(large)
-    val tx = xlDir.map(measure)
+    val (ts0, cvS) = measure(small)
+    val (tl0, cvL) = measure(large)
+    val txPair = xlDir.map(d => measure(d))
+    val tx0 = txPair.map(_._1); val cvX = txPair.map(_._2)
+
+    def ratioFlags(ts: Map[String, Double], tl: Map[String, Double],
+        tx: Option[Map[String, Double]]): Seq[String] =
+      names.filter { n =>
+        val (s, l) = (ts(n), tl(n))
+        val r = if (s > 0 && l > 0) l / s else -1.0
+        val r2 = tx.map(_(n)).map(xv => if (l > 0 && xv > 0) xv / l else -1.0)
+        r > FlagRatio || r2.exists(_ > FlagRatioXl)
+      }
+
+    // PER-POINT MIN-OF-3 FOR FLAG-DECIDING ROWS (r12 verdict #4): the
+    // recurring ratio2 false alarms all traced to whole-child lane
+    // variance — one unusually fast/slow CHILD at one point skews every
+    // ratio through it. Instead of tripling the full sweep, any row whose
+    // ratios cross a flag line is re-measured in TWO more fresh children
+    // per scale point (identical methodology) and scored min across the
+    // three children — the same discipline the manual standalone
+    // re-measures applied, now built in, so a surviving flag is real.
+    val prelim = ratioFlags(ts0, tl0, tx0)
+    def mergeMin(base: Map[String, Double],
+        reruns: Seq[Map[String, Double]]): Map[String, Double] =
+      base.map { case (n, v) =>
+        val vs = (v +: reruns.flatMap(_.get(n))).filter(_ > 0)
+        n -> (if (vs.isEmpty) -1.0 else vs.min)
+      }
+    val (ts, tl, tx) =
+      if (prelim.isEmpty) (ts0, tl0, tx0)
+      else {
+        System.err.println(s"[scaling] re-measuring flagged rows: " +
+          prelim.mkString(", "))
+        val rs = Seq.fill(2)(measure(small, prelim)._1)
+        val rl = Seq.fill(2)(measure(large, prelim)._1)
+        val rx = xlDir.map(d => Seq.fill(2)(measure(d, prelim)._1))
+        (mergeMin(ts0, rs), mergeMin(tl0, rl),
+          tx0.map(x => mergeMin(x, rx.getOrElse(Seq.empty))))
+      }
+    val remeasured = prelim
+
     val entries = names.map { n =>
       val (s, l) = (ts(n), tl(n))
       val ratio = if (s > 0 && l > 0) l / s else -1.0
@@ -174,9 +246,23 @@ object ScalingBench {
     // silently drop out with ratio -1
     val failed = entries.collect {
       case (n, s, l, _, x, _) if s < 0 || l < 0 || x.exists(_ < 0) => n }
+    // convergence assertions, per scale point: CC must converge with the
+    // round budget under half-used (headroom erosion is the early
+    // warning); kCore must REACH its fixpoint within its deliberately
+    // tight fixed-rounds cap (its cap is the oracle contract, so the
+    // assertable property is convergence, not headroom)
+    val cvPoints = Seq("small" -> Some(cvS), "large" -> Some(cvL),
+      "xl" -> cvX).collect { case (k, Some(m)) if m.nonEmpty => k -> m }
+    val cvFlags = cvPoints.flatMap { case (pt, m) =>
+      m.toSeq.collect {
+        case ("cc", (r, c, ok)) if !ok || r < 0 || r * 2 > c =>
+          s"cc_convergence_$pt"
+        case ("kcore", (_, _, ok)) if !ok => s"kcore_convergence_$pt"
+      }
+    }
     val flagged = entries.collect {
       case (n, _, _, r, _, r2) if r > FlagRatio || r2.exists(_ > FlagRatioXl) => n
-    } ++ failed
+    } ++ failed ++ cvFlags
     def n4(d: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     def n2(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val qs = entries.map { case (n, s, l, r, x, r2) =>
@@ -189,8 +275,15 @@ object ScalingBench {
     }.mkString("{", ",", "}")
     def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val xlField = xlDir.map(d => s""""sf_xl":"$d",""").getOrElse("")
+    val cvJson = cvPoints.map { case (pt, m) =>
+      val ops = m.toSeq.sortBy(_._1).map { case (op, (r, c, ok)) =>
+        s""""$op":{"rounds":$r,"cap":$c,"converged":$ok}"""
+      }.mkString(",")
+      s""""$pt":{$ops}"""
+    }.mkString("{", ",", "}")
     println(s"""{"metric":"scaling","sf_small":"$small","sf_large":"$large",$xlField""" +
-      s""""queries":$qs,"flagged":${arr(flagged)},"failed":${arr(failed)}}""")
+      s""""queries":$qs,"flagged":${arr(flagged)},"failed":${arr(failed)},""" +
+      s""""remeasured":${arr(remeasured)},"convergence":$cvJson}""")
     if (failed.nonEmpty) sys.exit(1)
   }
 }

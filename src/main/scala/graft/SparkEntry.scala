@@ -510,6 +510,31 @@ object SparkEntry {
     * builders (Verify/Bench/TestSpark) pin spark.sql.session.timeZone=UTC,
     * making the NTZ→timestamp cast an identity on the stored micros.
     */
+  /** Graph fixture edges shared by `q_cc_components` and ScalingBench's
+    * convergence-headroom probe — ONE construction, so the probe measures
+    * exactly the graph the benched query runs on (no drift).
+    */
+  def ccFixtureEdges(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "orders").filter(col("o_custkey") < 300)
+      .select(col("o_custkey").alias("a"),
+        (lit(100000L) + expr("o_custkey div 10") * 3 +
+          col("o_orderkey") % 3).alias("b"))
+
+  /** `q_kcore`'s co-purchase edge fixture, shared with the convergence
+    * probe (see [[ccFixtureEdges]]).
+    */
+  def kcoreFixtureEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = read(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 11 === 0)
+      .select(col("l_orderkey"), (col("l_partkey") % 397).alias("p"))
+    li.alias("x").join(li.alias("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.p") < col("y.p"))
+      .select(col("x.p").alias("src"),
+        (col("y.p") + 100000L).alias("dst"))
+      .distinct()
+  }
+
   private def readEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(s, dir, "events")
@@ -2072,12 +2097,7 @@ object SparkEntry {
     // measured ~10 star rounds (~4 s of pure action floor) for no extra
     // operator coverage
     "q_cc_components" -> ((s, dir) =>
-      ext.Graph.connectedComponents(
-        read(s, dir, "orders").filter(col("o_custkey") < 300)
-          .select(col("o_custkey").alias("a"),
-            (lit(100000L) + expr("o_custkey div 10") * 3 +
-              col("o_orderkey") % 3).alias("b")),
-        "a", "b")),
+      ext.Graph.connectedComponents(ccFixtureEdges(s, dir), "a", "b")),
 
     // graph: k-CORE PEELING (Seidman 1983) — the link-farm/spam gate:
     // repeatedly drop nodes with remaining-degree < k. Fixture = the
@@ -2087,18 +2107,9 @@ object SparkEntry {
     // removal drops neighbors below k) into a non-empty 464-node core.
     // rounds=6 fixed so the oracle unrolls the same recurrence; per
     // round one degree aggregate + two semi-joins, all O(E)
-    "q_kcore" -> { (s, dir) =>
-      val li = read(s, dir, "lineitem")
-        .filter(col("l_orderkey") % 11 === 0)
-        .select(col("l_orderkey"), (col("l_partkey") % 397).alias("p"))
-      val edges = li.alias("x").join(li.alias("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.p") < col("y.p"))
-        .select(col("x.p").alias("src"),
-          (col("y.p") + 100000L).alias("dst"))
-        .distinct()
-      ext.Graph.kCore(edges, "src", "dst", k = 18, rounds = 6)
-    },
+    "q_kcore" -> ((s, dir) =>
+      ext.Graph.kCore(kcoreFixtureEdges(s, dir), "src", "dst",
+        k = 18, rounds = 6)),
 
     // profiling: heaviest join keys with corpus share (the pre-shuffle
     // skew check; TakeOrdered top-N, no global sort)

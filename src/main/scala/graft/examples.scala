@@ -1,0 +1,81 @@
+package graft
+
+/** The reference repo's shipped example — `mappings/users.js:8-44` and
+  * `mappings/user_roles.js:7-28` re-expressed as [[TableMapping]]s, with
+  * the run modes `etl.js:24-31` sets (2 passes, merge, killWhere). This is
+  * the configuration every round's `UsersPipelineSpec` golden executes;
+  * living in main it is also what [[GenScript]] renders into the committed
+  * script deliverable (the analogue of the reference's generated
+  * `test.sql`, `README.md:18`).
+  */
+object UsersExample {
+
+  /** `mappings/users.js:8-44`: the users table mapping. `clearPasswords`
+    * is the reference's mapArguments config switch (`etl.js:24-26`).
+    */
+  def usersTm(clearPasswords: Boolean = true): TableMapping = TableMapping(
+    destination = "users",
+    source = "etl_Users",
+    useMerge = true,
+    killWhere = Some("orig_id IS NOT NULL"),
+    message = Some("migrating NON-DUPLICATE users"),
+    columns = Seq(
+      "orig_id"       -> MergeOn("UserID"),
+      "orig_admin"    -> DirectCopy("Admin"),
+      "user_id"       -> DirectCopy("Username"),
+      "password"      -> (if (clearPasswords) RawValue.Null: ColumnMapper
+                          else DirectCopy("Password")),
+      "user_nm"       -> ConcatColumns(Seq("FirstName", "LastName"), " "),
+      "attr_bits"     -> InvertBit("IsActive"),
+      "email_address" -> DirectCopy("EMailAddress"),
+      "user_guid"     -> ForeignKey("AgentID",
+        FkSpec("individual", "individual_id", "orig_agent_id")),
+      "first_name"    -> DirectCopy("FirstName"),
+      "last_name"     -> DirectCopy("LastName"),
+      "date_created"  -> DirectCopy("RegistrationDate"),
+      "pin_code"      -> DirectCopy("PinCode"),
+    ))
+
+  /** `mappings/user_roles.js:7-28`: every migrated user gets the static
+    * "Users" role.
+    */
+  val rolesTm: TableMapping = TableMapping(
+    destination = "user_roles",
+    source = "etl_Users",
+    useMerge = true,
+    killWhere = Some("orig_user_id IS NOT NULL"),
+    columns = Seq(
+      "orig_user_id" -> MergeOn("UserID"),
+      "user_id"      -> DirectCopy("Username"),
+      "role_nm"      -> RawValue("Users"),
+    ))
+
+  /** 2 passes — the reference's idempotence check (`etl.js:28-29`). */
+  def pipeline(clearPasswords: Boolean = true): Pipeline =
+    Pipeline(Seq(usersTm(clearPasswords), rolesTm), passes = 2)
+
+  /** Destination layouts (both example tables map every dest column). */
+  val destLayouts: Map[String, Seq[String]] = Map(
+    "users"      -> usersTm().destColumns,
+    "user_roles" -> rolesTm.destColumns)
+
+  /** The rendered script deliverable for the example pipeline. */
+  def script: String = ScriptGen.render(pipeline(), destLayouts)
+}
+
+/** Regenerate the committed example script:
+  * `sbt "runMain graft.GenScript examples/users_pipeline.sql"` — the
+  * Spark analogue of the reference's `node etl.js > test.sql`.
+  * `ScriptGenSpec` diffs the committed file against [[UsersExample.script]]
+  * so script-dialect drift fails review, not production.
+  */
+object GenScript {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("examples/users_pipeline.sql")
+    val p = java.nio.file.Paths.get(out)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p,
+      UsersExample.script.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"wrote $out (${UsersExample.script.length} chars)")
+  }
+}

@@ -1943,10 +1943,24 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, sampleMod: Int = 0,
-      ubSlack: Double = 1.0, wasteFactor: Double = 1.0): DataFrame = {
-    val d = dupDispatchStats(df, idCol, textCol, k, threshold, sampleMod,
-      ubSlack, wasteFactor)
-    if (d.useSignature)
+      ubSlack: Double = 1.0, wasteFactor: Double = 1.0): DataFrame =
+    nearDupPairsAuto(df, idCol, textCol,
+      dupDispatchStats(df, idCol, textCol, k, threshold, sampleMod,
+        ubSlack, wasteFactor),
+      k, numHashes, bands, threshold)
+
+  /** [[nearDupPairsAuto]] with a PRECOMPUTED [[DupDispatch]] — the
+    * amortized form for long-lived pipelines: the probe is linear but not
+    * free (~the dispatched path's own cost at small SF), and a corpus
+    * snapshot's duplication profile does not change between calls over
+    * it. Compute [[dupDispatchStats]] once per snapshot, reuse the
+    * decision across every pairs/against call (DispatchProps pins that a
+    * supplied decision produces output identical to the probing form).
+    */
+  def nearDupPairsAuto(
+      df: DataFrame, idCol: String, textCol: String, dispatch: DupDispatch,
+      k: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame =
+    if (dispatch.useSignature)
       minHashNearDupPairs(df, idCol, textCol, k, numHashes, bands, threshold)
         .withColumnRenamed("est_jaccard", "score")
         .withColumn("method", lit("minhash_sig"))
@@ -1954,7 +1968,6 @@ object Dedup {
       ngramJaccardPairs(df, idCol, textCol, k, threshold)
         .withColumnRenamed("jaccard", "score")
         .withColumn("method", lit("exact_join"))
-  }
 
   /** [[nearDupPairsAuto]] for the batch-vs-corpus ingestion shape: the
     * probe runs on the CORPUS side — the side that grows without bound
@@ -1972,10 +1985,23 @@ object Dedup {
       newDf: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.8, sampleMod: Int = 0,
-      ubSlack: Double = 1.0, wasteFactor: Double = 1.0): DataFrame = {
-    val d = dupDispatchStats(corpus, idCol, textCol, k, threshold, sampleMod,
-      ubSlack, wasteFactor)
-    if (d.useSignature)
+      ubSlack: Double = 1.0, wasteFactor: Double = 1.0): DataFrame =
+    nearDupAgainstAuto(newDf, corpus, idCol, textCol,
+      dupDispatchStats(corpus, idCol, textCol, k, threshold, sampleMod,
+        ubSlack, wasteFactor),
+      k, numHashes, bands, threshold)
+
+  /** [[nearDupAgainstAuto]] with a precomputed corpus [[DupDispatch]] —
+    * THE form a streaming/batch ingestion loop should call: probe the
+    * corpus once per snapshot, then dispatch every incoming batch with
+    * the saved decision (re-probe only when the corpus itself changes
+    * materially, e.g. after compaction or a large merge).
+    */
+  def nearDupAgainstAuto(
+      newDf: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      dispatch: DupDispatch,
+      k: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame =
+    if (dispatch.useSignature)
       minHashNearDupAgainst(newDf, corpus, idCol, textCol, k, numHashes,
           bands, threshold)
         .withColumnRenamed("est_jaccard", "score")
@@ -1984,5 +2010,4 @@ object Dedup {
       ngramJaccardAgainst(newDf, corpus, idCol, textCol, k, threshold)
         .withColumnRenamed("jaccard", "score")
         .withColumn("method", lit("exact_join"))
-  }
 }

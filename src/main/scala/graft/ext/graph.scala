@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   * partition it, never collecting anything driver-side beyond the single
   * node count.
   */
+/** Fixpoint-loop telemetry for the iterative graph operators: how many
+  * rounds a run actually consumed vs its cap, as assertable data (the
+  * r12 advice: warnings are invisible to a harness). `converged=false`
+  * only occurs for operators that return a degraded-but-defined result
+  * on exhaustion (k-core's partially-peeled graph); CC throws instead.
+  */
+final case class ConvergenceStats(rounds: Int, cap: Int, converged: Boolean) {
+  /** Fraction of the round budget left unused — assert this stays high. */
+  def headroom: Double = if (cap == 0) 0.0 else 1.0 - rounds.toDouble / cap
+}
+
 object Graph {
 
   /** PageRank over `edges` (a multigraph: parallel edges weight the link;
@@ -117,7 +128,17 @@ object Graph {
     * materialized row-wise wider than the edge relation itself.
     */
   def connectedComponents(edges0: DataFrame, srcCol: String,
-      dstCol: String, maxIters: Int = 40): DataFrame = {
+      dstCol: String, maxIters: Int = 40): DataFrame =
+    connectedComponentsWithStats(edges0, srcCol, dstCol, maxIters)._1
+
+  /** [[connectedComponents]] plus [[ConvergenceStats]] — rounds-to-
+    * fixpoint as DATA, not a log line: ScalingBench's convergence probe
+    * asserts headroom (rounds ≪ cap) per scale point, so a graph shape
+    * that starts consuming the round budget shows up as a flagged bench
+    * row while there is still margin, not as a production throw.
+    */
+  def connectedComponentsWithStats(edges0: DataFrame, srcCol: String,
+      dstCol: String, maxIters: Int = 40): (DataFrame, ConvergenceStats) = {
     var e = edges0.select(
         least(col(srcCol), col(dstCol)).alias("a"),
         greatest(col(srcCol), col(dstCol)).alias("b"))
@@ -193,9 +214,10 @@ object Graph {
     // the edge list itself plus the self-row for each center. No outer
     // distinct: star edges are unique rows (each member has exactly one
     // center) and a center never appears on the member side
-    e.select(col("b").alias("node"), col("a").alias("component"))
+    val mapping = e.select(col("b").alias("node"), col("a").alias("component"))
       .unionByName(e.select(col("a").alias("node"), col("a").alias("component"))
         .distinct())
+    (mapping, ConvergenceStats(rounds = i, cap = maxIters, converged = true))
   }
 
   /** k-core peeling — the classic link-farm/spam gate over a web or
@@ -220,7 +242,17 @@ object Graph {
     * explicitly rather than silently looping.
     */
   def kCore(edges0: DataFrame, srcCol: String, dstCol: String,
-      k: Int, rounds: Int): DataFrame = {
+      k: Int, rounds: Int): DataFrame =
+    kCoreWithStats(edges0, srcCol, dstCol, k, rounds)._1
+
+  /** [[kCore]] plus [[ConvergenceStats]] — unlike CC (which throws),
+    * an exhausted k-core budget returns a PARTIALLY-PEELED graph that no
+    * downstream check can distinguish from the true core, so the stats'
+    * `converged=false` is the only machine-readable signal; ScalingBench
+    * asserts headroom on it per scale point.
+    */
+  def kCoreWithStats(edges0: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): (DataFrame, ConvergenceStats) = {
     require(k >= 1, "k must be positive")
     require(rounds >= 1 && rounds <= 50, "rounds in [1, 50]")
     var e = edges0.select(
@@ -258,8 +290,9 @@ object Graph {
           "the result is partially peeled (sub-k tendrils remain). " +
           "Raise `rounds`; real graphs peel in bulk, so the cascade " +
           "depth grows slowly with scale.")
-    e.select(explode(array(col("a"), col("b"))).alias("node"))
+    val core = e.select(explode(array(col("a"), col("b"))).alias("node"))
       .groupBy("node").agg(count(lit(1)).alias("degree"))
+    (core, ConvergenceStats(rounds = i, cap = rounds, converged = done))
   }
 
   /** Per-vertex triangle counts — the clustering/cohesion metric behind

@@ -119,20 +119,18 @@ object EventStream {
     val root =
       if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
       else System.getProperty("java.io.tmpdir")
-    val ckpt = new java.io.File(root, s"graft_ckpt_$name")
+    // createTempDirectory: a UNIQUE fresh dir per drain — a fixed name
+    // (`graft_ckpt_<name>`) let two processes draining the same query
+    // name pre-delete each other's LIVE checkpoint mid-drain, and a
+    // stale committed checkpoint there would silently drain zero rows.
+    // Unique + empty by construction kills both failure modes.
+    val ckpt = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get(root), s"graft_ckpt_${name}_").toFile
     def rmTree(f: java.io.File): Unit = {
       if (f.isDirectory)
         Option(f.listFiles()).foreach(_.foreach(rmTree)) // null on I/O error
       f.delete(); ()
     }
-    if (ckpt.exists()) rmTree(ckpt)
-    // a pre-clean that silently FAILS (foreign owner on a shared tmpfs,
-    // permission error) would leave a committed checkpoint in place and
-    // the drain would read zero rows — the exact failure this function
-    // guards against. Refuse loudly instead.
-    require(!ckpt.exists(),
-      s"drainToMemory: cannot remove stale checkpoint $ckpt — " +
-        "a committed checkpoint there would silently drain zero rows")
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode)
       .option("checkpointLocation", ckpt.getAbsolutePath)

@@ -39,11 +39,31 @@ object ScriptGen {
   private def rel(n: String): String =
     if (n.contains(".")) n.split("\\.").map(q).mkString(".") else q(n)
 
+  /** Typed SQL literals. Temporal and decimal values render as TYPED
+    * literals (`DATE '…'` / `TIMESTAMP '…'` / `1.50BD`) — a bare
+    * `toString` fall-through would emit `2024-01-01` unquoted (parses as
+    * arithmetic) or a decimal that Spark reads as DOUBLE. Anything not
+    * handled here is rejected loudly rather than silently mis-rendered.
+    */
   private def sqlLit(v: Any): String = v match {
-    case null      => "NULL"
-    case s: String => "'" + s.replace("'", "''") + "'"
+    case null       => "NULL"
+    case s: String  => "'" + s.replace("'", "''") + "'"
     case b: Boolean => b.toString.toUpperCase
-    case other     => other.toString
+    case d: java.sql.Date            => s"DATE '$d'"
+    case t: java.sql.Timestamp       => s"TIMESTAMP '$t'"
+    case d: java.time.LocalDate      => s"DATE '$d'"
+    case t: java.time.LocalDateTime  =>
+      s"TIMESTAMP '${t.toString.replace('T', ' ')}'"
+    case i: java.time.Instant        => s"TIMESTAMP '$i'"
+    case d: java.math.BigDecimal     => d.toPlainString + "BD"
+    case d: BigDecimal               => d.underlying.toPlainString + "BD"
+    case n @ (_: Byte | _: Short | _: Int | _: Long) => n.toString
+    case n @ (_: Float | _: Double) => n.toString
+    case other => throw new IllegalArgumentException(
+      s"ScriptGen.sqlLit: no SQL literal rendering for " +
+        s"${other.getClass.getName} ($other) — pass a String, Boolean, " +
+        "number, BigDecimal, java.sql.Date/Timestamp, or " +
+        "java.time.LocalDate/LocalDateTime/Instant")
   }
 
   private def exprSql(c: org.apache.spark.sql.Column): String =
@@ -104,8 +124,14 @@ object ScriptGen {
   def loadStatements(tm: TableMapping, destCols: Seq[String]): Seq[String] = {
     val msg = tm.message.map(m => s"-- $m\n").getOrElse("")
     if (!tm.useMerge)
+      // explicit column list (tsql2008.js:319-343 emits one): Spark
+      // resolves a bare INSERT INTO positionally, so a destination whose
+      // layout is a superset of — or ordered differently from — the
+      // mapped columns would mis-assign values. Unlisted columns get
+      // NULL/default, the engine's unionByName(allowMissingColumns=true).
       Seq(msg +
-        s"INSERT INTO ${rel(tm.destination)}\n${transformedSelect(tm)}")
+        s"INSERT INTO ${rel(tm.destination)} " +
+        s"(${tm.destColumns.map(q).mkString(", ")})\n${transformedSelect(tm)}")
     else {
       require(tm.mergeKeys.nonEmpty,
         s"${tm.destination}: useMerge requires MergeOn keys")
@@ -138,8 +164,7 @@ object ScriptGen {
       val keptFilter =
         if (tm.updateOnly) " WHERE `__d_present` IS NOT NULL" else ""
       Seq(
-        msg + s"-- TRUNCATE TABLE ${rel(tm.destination)}\n" +
-          s"CREATE TABLE $stg AS\n" +
+        msg + s"CREATE TABLE $stg AS\n" +
           s"SELECT ${(mapped ++ unmapped).mkString(",\n       ")},\n" +
           s"       $action,\n" +
           s"       d.`__dp` AS `__d_present`\n" +
@@ -186,20 +211,58 @@ object ScriptGen {
         s"DROP TABLE $stg")
     }
 
-  /** The whole pipeline as an ordered statement list: per pass, killWhere
-    * deletes in REVERSE mapping order (children before parents —
-    * `pipeline.scala` run order), then loads in mapping order. Setup hooks
-    * run once, deduped, before everything; teardown after (the reference's
-    * `tsql2008.js:52-58,135-141` contract).
+  /** Pre-load cleanup — `PipelineRunner.cleanup` rendered as SQL, emitted
+    * ONCE before the pass loop (the reference calls `cleanup(config)` once
+    * between setup and the pass body, `tsql2008.js:110-114`): reverse
+    * mapping order ("delete things in reverse order", `:79-80`), deduped
+    * per command, TRUNCATE when `truncate && killWhere.isEmpty` (`:85`),
+    * DELETE killWhere when `killWhere && !truncate` (`:95`). Merge
+    * mappings keep their accumulated state: the engine skips them
+    * (`cleanup`'s `filterNot(_.useMerge)`) and the reference emits their
+    * statements COMMENTED (`sqlComment(cmd, !tbl.useMerge)`, `:88,98`) —
+    * returned separately here so [[script]] can render them as comment
+    * lines (a comment-only "statement" is not executable SQL).
+    *
+    * Returns (live statements, commented-out statements).
+    */
+  def cleanupStatements(p: Pipeline): (Seq[String], Seq[String]) = {
+    val live = Seq.newBuilder[String]
+    val commented = Seq.newBuilder[String]
+    val seen = scala.collection.mutable.Set.empty[String]
+    p.mappings.reverse.foreach { tm =>
+      if (tm.truncate && tm.killWhere.isEmpty &&
+          seen.add(s"t:${tm.destination}")) {
+        if (tm.useMerge) commented += s"TRUNCATE TABLE ${rel(tm.destination)}"
+        else live += s"TRUNCATE TABLE ${rel(tm.destination)}"
+      }
+      tm.killWhere.filter(_ => !tm.truncate).foreach { kw =>
+        if (seen.add(s"k:${tm.destination}:$kw")) {
+          if (tm.useMerge)
+            commented += s"DELETE FROM ${rel(tm.destination)} WHERE $kw"
+          else live ++= killStatements(tm)
+        }
+      }
+    }
+    (live.result(), commented.result())
+  }
+
+  /** The whole pipeline as an ordered statement list, mirroring
+    * `PipelineRunner.run` stage for stage: deduped setup hooks once; the
+    * [[cleanupStatements]] block ONCE (live for non-merge mappings,
+    * comment lines for merge mappings — their state survives); then per
+    * pass, loads in mapping order; deduped teardown hooks last (the
+    * reference's `tsql2008.js:52-58,110-114,135-141` lifecycle).
     */
   def script(p: Pipeline, destCols: String => Seq[String]): Seq[String] = {
     val setup = p.mappings.flatMap(_.setup).distinct
     val teardown = p.mappings.flatMap(_.teardown).distinct
+    val (liveCleanup, commentedCleanup) = cleanupStatements(p)
+    // merge-table cleanup rides as comment lines on the next statement
+    val commentBlock = commentedCleanup
+      .map(c => s"-- merge dest keeps state: $c\n").mkString
     val passes = (1 to p.passes).flatMap { pass =>
-      val body =
-        p.mappings.reverse.flatMap(killStatements) ++
-          p.mappings.flatMap(tm =>
-            loadStatements(tm, destCols(tm.destination)))
+      val body = p.mappings.flatMap(tm =>
+        loadStatements(tm, destCols(tm.destination)))
       // pass marker rides on the first statement: a comment-only
       // "statement" is not executable SQL
       body match {
@@ -207,7 +270,11 @@ object ScriptGen {
         case empty        => empty
       }
     }
-    setup ++ passes ++ teardown
+    val tail = (liveCleanup ++ passes) match {
+      case head +: rest if commentBlock.nonEmpty => (commentBlock + head) +: rest
+      case other                                 => other
+    }
+    setup ++ tail ++ teardown
   }
 
   /** One text blob, statements `;`-terminated — pipe to `spark-sql -f`. */

@@ -87,6 +87,34 @@ object DispatchProps extends Properties("dispatch") {
           want.collect().map(key).toSet
     }
 
+  propertyWithSeed("amortized overloads: supplied DupDispatch == probing form", None) =
+    forAll(corpusGen) { case (clusters, copies, core, filler) =>
+      val df = corpus(clusters, copies, core, filler)
+      val d = ext.Dedup.dupDispatchStats(df, "doc_id", "text", sampleMod = 1)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9))
+      def rows(x: org.apache.spark.sql.DataFrame) =
+        x.select("a_id", "b_id", "score").collect().map(key).toSet
+      val probedPairs = ext.Dedup.nearDupPairsAuto(df, "doc_id", "text",
+        sampleMod = 1)
+      val suppliedPairs = ext.Dedup.nearDupPairsAuto(df, "doc_id", "text", d,
+        k = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      // against-shape: a small "batch" of the same corpus vs the corpus
+      val batch = df.filter(col("doc_id") % 3 === 0)
+      def keyAb(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), math.rint(r.getDouble(2) * 1e9))
+      val probedAgainst = ext.Dedup.nearDupAgainstAuto(batch, df,
+        "doc_id", "text", sampleMod = 1)
+      val suppliedAgainst = ext.Dedup.nearDupAgainstAuto(batch, df,
+        "doc_id", "text", d, k = 3, numHashes = 64, bands = 16,
+        threshold = 0.8)
+      suppliedPairs.columns.toSeq == probedPairs.columns.toSeq &&
+        rows(suppliedPairs) == rows(probedPairs) &&
+        suppliedAgainst.columns.toSeq == probedAgainst.columns.toSeq &&
+        suppliedAgainst.drop("method").collect().map(keyAb).toSet ==
+          probedAgainst.drop("method").collect().map(keyAb).toSet
+    }
+
   override def overrideParameters(p: org.scalacheck.Test.Parameters) =
     p.withMinSuccessfulTests(8) // each sample runs several Spark jobs
 }

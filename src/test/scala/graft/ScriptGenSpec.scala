@@ -148,27 +148,154 @@ class ScriptGenSpec extends AnyFunSuite {
     resetTable("sg_users"); resetTable("sg_users__merge_stg")
   }
 
-  test("killWhere + 2-pass pipeline script is idempotent") {
-    resetTable("sg_users"); resetTable("sg_users__merge_stg")
-    resetTable("sg_users__kill_stg")
-    srcDf.createOrReplaceTempView("sg_src")
-    parentDf.createOrReplaceTempView("sg_parent")
-    Seq((9L, "ghost", "G", 5L, "g-9", "nine@a", "x"))
-      .toDF("orig_id", "user_nm", "tier_cd", "n_active", "user_guid",
-        "email", "extra")
-      .write.mode("overwrite").saveAsTable("sg_users")
-    val p = Pipeline(Seq(fkMapping.copy(useMerge = true,
-      killWhere = Some("orig_id = 9"))), passes = 2)
+  /** Multiset of rows — cleanup-parity tests involve deliberate
+    * duplicate appends (2-pass inserts), which a Set would collapse.
+    */
+  private def bag(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).toSeq.sorted
+
+  /** Run the script against session-catalog state AND the engine against
+    * an [[InMemoryCatalog]] seeded with the same frames; return
+    * (script dest rows, engine dest rows) projected to the same columns.
+    */
+  private def scriptVsEngine(
+      p: Pipeline, dest: String, destDf: DataFrame,
+      sources: Map[String, DataFrame],
+      destSeed: Map[String, DataFrame] = Map.empty): (Seq[String], Seq[String]) = {
+    // engine path, on copies of the initial state
+    val srcCat = new InMemoryCatalog(sources)
+    val dstCat = new InMemoryCatalog(destSeed + (dest -> destDf))
+    new PipelineRunner(srcCat, dstCat, Some(spark)).run(p)
+    val want = dstCat.read(dest)
+    // script path: same initial state as session-catalog tables/views
+    resetTable(dest)
+    resetTable(dest.replace(".", "_") + "__merge_stg")
+    resetTable(dest.replace(".", "_") + "__kill_stg")
+    sources.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    destSeed.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    destDf.write.mode("overwrite").saveAsTable(dest)
     ScriptGen.script(p,
       d => spark.table(d).columns.toSeq).foreach(spark.sql(_).collect())
-    val state1 = rows(spark.table("sg_users"))
-    // the killed dest-only row is gone; all four source rows present
-    assert(!state1.exists(_.contains("ghost")))
-    assert(spark.table("sg_users").count() === 4)
-    // a third pass (re-running one pass of the script) changes nothing
+    val got = spark.table(dest).select(want.columns.map(col): _*)
+    (bag(got), bag(want))
+  }
+
+  private val plainMapping = TableMapping(
+    destination = "sg_plain_dest", source = "sg_src",
+    columns = Seq(
+      "id" -> MergeOn("UserID"),
+      "nm" -> DirectCopy("FirstName")))
+
+  private def plainDest = Seq((9L, "ghost"), (8L, "keep")).toDF("id", "nm")
+
+  test("truncate cleanup: once before the pass loop, parity with engine") {
+    // passes=2: the engine truncates ONCE then appends twice (duplicates
+    // land) — a script that truncated per pass would lose pass 1
+    val p = Pipeline(Seq(plainMapping.copy(truncate = true)), passes = 2)
+    val (got, want) = scriptVsEngine(p, "sg_plain_dest", plainDest,
+      Map("sg_src" -> srcDf))
+    assert(got === want)
+    assert(!got.exists(_.contains("ghost")) && got.size === 8)
+    resetTable("sg_plain_dest")
+  }
+
+  test("killWhere cleanup (insert path): live delete once, parity with engine") {
+    val p = Pipeline(Seq(plainMapping.copy(killWhere = Some("id = 9"))),
+      passes = 2)
+    val (got, want) = scriptVsEngine(p, "sg_plain_dest", plainDest,
+      Map("sg_src" -> srcDf))
+    assert(got === want)
+    // ghost deleted once; 'keep' survives; 4 src rows × 2 passes appended
+    assert(!got.exists(_.contains("ghost")) && got.size === 9)
+    resetTable("sg_plain_dest")
+  }
+
+  test("truncate + killWhere both set: neither runs (engine parity)") {
+    val p = Pipeline(Seq(plainMapping.copy(truncate = true,
+      killWhere = Some("id = 9"))))
+    val (got, want) = scriptVsEngine(p, "sg_plain_dest", plainDest,
+      Map("sg_src" -> srcDf))
+    assert(got === want)
+    assert(got.exists(_.contains("ghost")) && got.size === 6)
+    resetTable("sg_plain_dest")
+  }
+
+  test("merge + killWhere: cleanup COMMENTED, dest state survives (engine parity)") {
+    val tmv = fkMapping.copy(useMerge = true, killWhere = Some("orig_id = 9"))
+    val destDf = Seq((9L, "ghost", "G", 5L, "g-9", "nine@a", "x"))
+      .toDF("orig_id", "user_nm", "tier_cd", "n_active", "user_guid",
+        "email", "extra")
+    val p = Pipeline(Seq(tmv), passes = 2)
+    // the rendered script carries the delete as a comment, reference-style
+    val text = ScriptGen.render(p, _ => destDf.columns.toSeq)
+    assert(text.contains("-- merge dest keeps state: DELETE FROM"))
+    val (got, want) = scriptVsEngine(p, "sg_users", destDf,
+      Map("sg_src" -> srcDf), destSeed = Map("sg_parent" -> parentDf))
+    assert(got === want)
+    // the engine SKIPS cleanup for merge mappings: the ghost row stays
+    assert(got.exists(_.contains("ghost")) && got.size === 5)
+    // a further single pass changes nothing (merge idempotence)
     ScriptGen.script(p.copy(passes = 1),
       d => spark.table(d).columns.toSeq).foreach(spark.sql(_).collect())
-    assert(rows(spark.table("sg_users")) === state1)
+    assert(bag(spark.table("sg_users")
+      .select(destDf.columns.map(col).toSeq: _*)) === got)
     resetTable("sg_users")
+  }
+
+  test("insert into superset/reordered dest: column list, NULLs for unmapped") {
+    // dest layout reordered AND a superset of the mapped columns — a bare
+    // positional INSERT INTO would mis-assign; the column list must not
+    val destDf = Seq(("keepme", "z@a", 7L, "seed", "?", 0L, "g-0"))
+      .toDF("extra", "email", "orig_id", "user_nm", "tier_cd", "n_active",
+        "user_guid")
+    val p = Pipeline(Seq(fkMapping))
+    val (got, want) = scriptVsEngine(p, "sg_users", destDf,
+      Map("sg_src" -> srcDf), destSeed = Map("sg_parent" -> parentDf))
+    assert(got === want)
+    assert(got.size === 5)
+    // appended rows carry NULL in the unmapped 'extra' column
+    assert(spark.table("sg_users").filter(col("extra").isNull).count() === 4)
+    resetTable("sg_users")
+  }
+
+  test("committed users-pipeline script golden: regenerate == committed") {
+    // the analogue of the reference's generated test.sql, but ENFORCED:
+    // any script-dialect drift diffs against the committed artifact here.
+    // Regenerate with: sbt "runMain graft.GenScript examples/users_pipeline.sql"
+    val p = java.nio.file.Paths.get("examples/users_pipeline.sql")
+    assert(java.nio.file.Files.exists(p),
+      "missing examples/users_pipeline.sql — run graft.GenScript")
+    val committed = new String(java.nio.file.Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(UsersExample.script === committed,
+      "generated script drifted from examples/users_pipeline.sql — " +
+        "review the change, then regenerate via graft.GenScript")
+  }
+
+  test("sqlLit renders typed literals and rejects unknown types loudly") {
+    val tm = fkMapping.copy(columns = fkMapping.columns.map {
+      case ("user_guid", _) => "user_guid" -> ForeignKey("AgentID",
+        FkSpec("sg_parent", "individual_id", "orig_agent_id",
+          filterColumn = Some("since"),
+          filterValue = Some(java.sql.Date.valueOf("2024-03-01"))))
+      case other => other
+    })
+    val sql = ScriptGen.transformedSelect(tm)
+    assert(sql.contains("DATE '2024-03-01'"))
+    srcDf.createOrReplaceTempView("sg_src")
+    parentDf.withColumn("since", to_date(lit("2024-03-01")))
+      .createOrReplaceTempView("sg_parent")
+    // typed literal parses and matches the engine's lit() comparison
+    val got = spark.sql(sql)
+    val want = Compiler.transformedSource(srcDf, tm, spark.table)
+    assert(rows(got) === rows(want))
+    val bad = intercept[IllegalArgumentException] {
+      ScriptGen.transformedSelect(fkMapping.copy(columns = Seq(
+        "x" -> ForeignKey("AgentID",
+          FkSpec("sg_parent", "individual_id", "orig_agent_id",
+            filterColumn = Some("region"),
+            filterValue = Some(new Object))))))
+    }
+    assert(bad.getMessage.contains("no SQL literal rendering"))
   }
 }

@@ -31,41 +31,11 @@ class UsersPipelineSpec extends AnyFunSuite {
     ("guid-10", 10), ("guid-11", 11), ("guid-12b", 12), ("guid-12a", 12),
   ).toDF("individual_id", "orig_agent_id")
 
-  /** mappings/users.js:8-44 re-expressed. */
-  private def usersTm(clearPasswords: Boolean) = TableMapping(
-    destination = "users",
-    source = "etl_Users",
-    useMerge = true,
-    killWhere = Some("orig_id IS NOT NULL"),
-    message = Some("migrating NON-DUPLICATE users"),
-    columns = Seq(
-      "orig_id"       -> MergeOn("UserID"),
-      "orig_admin"    -> DirectCopy("Admin"),
-      "user_id"       -> DirectCopy("Username"),
-      "password"      -> (if (clearPasswords) RawValue.Null: ColumnMapper
-                          else DirectCopy("Password")),
-      "user_nm"       -> ConcatColumns(Seq("FirstName", "LastName"), " "),
-      "attr_bits"     -> InvertBit("IsActive"),
-      "email_address" -> DirectCopy("EMailAddress"),
-      "user_guid"     -> ForeignKey("AgentID",
-        FkSpec("individual", "individual_id", "orig_agent_id")),
-      "first_name"    -> DirectCopy("FirstName"),
-      "last_name"     -> DirectCopy("LastName"),
-      "date_created"  -> DirectCopy("RegistrationDate"),
-      "pin_code"      -> DirectCopy("PinCode"),
-    ))
-
-  /** mappings/user_roles.js:7-28 re-expressed. */
-  private val rolesTm = TableMapping(
-    destination = "user_roles",
-    source = "etl_Users",
-    useMerge = true,
-    killWhere = Some("orig_user_id IS NOT NULL"),
-    columns = Seq(
-      "orig_user_id" -> MergeOn("UserID"),
-      "user_id"      -> DirectCopy("Username"),
-      "role_nm"      -> RawValue("Users"),
-    ))
+  // the ported mappings live in main (graft.UsersExample) so the committed
+  // script deliverable and this golden suite run the SAME definitions
+  private def usersTm(clearPasswords: Boolean) =
+    UsersExample.usersTm(clearPasswords)
+  private val rolesTm = UsersExample.rolesTm
 
   private def emptyUsers = etlUsers.limit(0).sparkSession.createDataFrame(
     spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -131,6 +101,44 @@ class UsersPipelineSpec extends AnyFunSuite {
       .head._3
     assert(secondPassAudit.filter(col(Merge.ActionCol) === "INSERT").count() == 0)
     assert(secondPassAudit.filter(col(Merge.ActionCol) === "UPDATE").count() == 5)
+  }
+
+  test("UsersExample.script EXECUTES: both dest tables == engine, 2 passes") {
+    // engine path
+    val srcCat = new InMemoryCatalog(Map("etl_Users" -> etlUsers))
+    val destCat = new InMemoryCatalog(Map(
+      "users" -> emptyUsers,
+      "individual" -> individual,
+      "user_roles" -> Seq((99, "legacy", "Admins")).toDF(
+        "orig_user_id", "user_id", "role_nm")))
+    new PipelineRunner(srcCat, destCat).run(UsersExample.pipeline())
+    // script path: the COMMITTED deliverable's statements, same state as
+    // session tables/views (merge dests must be tables: the staged merge
+    // INSERT OVERWRITEs them)
+    def resetTable(name: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File("spark-warehouse", name))
+    }
+    Seq("users", "user_roles", "users__merge_stg", "user_roles__merge_stg")
+      .foreach(resetTable)
+    etlUsers.createOrReplaceTempView("etl_Users")
+    individual.createOrReplaceTempView("individual")
+    emptyUsers.write.mode("overwrite").saveAsTable("users")
+    Seq((99, "legacy", "Admins")).toDF("orig_user_id", "user_id", "role_nm")
+      .write.mode("overwrite").saveAsTable("user_roles")
+    ScriptGen.script(UsersExample.pipeline(),
+      d => spark.table(d).columns.toSeq).foreach(spark.sql(_).collect())
+    for (t <- Seq("users", "user_roles")) {
+      val want = destCat.read(t)
+      val got = spark.table(t).select(want.columns.map(col).toSeq: _*)
+      assert(got.collect().map(_.mkString("|")).sorted.toSeq ===
+        want.collect().map(_.mkString("|")).sorted.toSeq, s"table $t")
+    }
+    Seq("users", "user_roles").foreach(resetTable)
   }
 
   test("users mapping extended with T-SQL Sql('GETDATE()') runs unmodified") {

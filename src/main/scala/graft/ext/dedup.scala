@@ -565,8 +565,16 @@ object Dedup {
             col("na"))
         (ac, bc)
     }
-    // same PPJoin length filter (with rounding slack) as ngramJaccardPairs
-    a.join(b, col("sh_a") === col("sh_b") &&
+    // same PPJoin length filter (with rounding slack) as ngramJaccardPairs.
+    // The shuffle_hash hint (batch side = build) is load-bearing: Spark's
+    // size-only estimator prices the CORPUS's exploded-shingle relation
+    // off the parquet footprint scaled by projected-column ratios, which
+    // lands under the 10 MB broadcast threshold — the static plan then
+    // BROADCASTS THE CORPUS SIDE (measured at sf1: 9.1 s vs 4.4 s hinted,
+    // and a driver OOM waiting to happen at real corpus sizes; AQE cannot
+    // rescue a statically-chosen BHJ because no shuffle ever runs to
+    // re-measure). Build side = the batch (the bounded side by contract).
+    a.hint("shuffle_hash").join(b, col("sh_a") === col("sh_b") &&
         col("nb") > col("na") * lit(threshold) - lit(1.0) &&
         col("na") > col("nb") * lit(threshold) - lit(1.0))
       .groupBy("new_id", "corpus_id", "na", "nb")
@@ -1905,10 +1913,15 @@ object Dedup {
       }
     // the probe never needs the shingle TEXT — hash up front and carry
     // 8-byte keys through both shuffles (collisions only perturb stats,
-    // never results); the sample filter reuses the same hash
-    val inst = shingles(df, idCol, textCol, k)
-      .select(col(idCol), xxhash64(col("shingle")).alias("__h"))
-      .filter(pmod(col("__h"), lit(m)) === 0)
+    // never results); the sample filter reuses the same hash. Hash AND
+    // filter run INSIDE the array (higher-order transform+filter before
+    // the explode), so the m−1 unsampled shingles per sampled one never
+    // materialize as rows — the explode emits 1/m of the instance mass
+    // instead of generating everything and filtering after.
+    val inst = df.select(col(idCol),
+        explode(org.apache.spark.sql.functions.filter(
+          transform(shingleArray(textCol, k), s => xxhash64(s)),
+          h => pmod(h, lit(m)) === 0)).alias("__h"))
     val dfs = inst.groupBy("__h").agg(count(lit(1)).alias("df"))
     val perDoc = inst.join(dfs, "__h")
       .groupBy(idCol)

@@ -234,6 +234,27 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoop"), plan)
   }
 
+  test("ngramJaccardAgainst: batch-build shuffle hash join — corpus NEVER broadcast") {
+    // Spark's size-only estimator prices the corpus's exploded-shingle
+    // relation off projected parquet bytes, which can land under the
+    // 10 MB broadcast threshold — the unhinted static plan then
+    // BROADCASTS THE CORPUS side (measured at sf1: 9.1 s vs 4.6 s, and a
+    // driver collect that grows with the corpus). AQE cannot rescue a
+    // statically-chosen BHJ (no shuffle runs to re-measure). Pinned: the
+    // join is a ShuffledHashJoin building on the batch (left) side.
+    val docs = (0 until 400).map(i =>
+      (i.toLong, (0 until 30).map(w => s"w${(i * 7 + w) % 50}").mkString(" ")))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$dir/docs_ag.parquet")
+    val d = spark.read.parquet(s"$dir/docs_ag.parquet")
+    val out = ext.Dedup.ngramJaccardAgainst(
+      d.filter(col("doc_id") % 5 === 0), d.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", k = 3, threshold = 0.5)
+    val plan = finalPlan(out)
+    assert(plan.contains("ShuffledHashJoin") && plan.contains("BuildLeft"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("1-row scalar cross joins stay cartesian-free with AQE disabled") {
     // madOutliers/winsorize/bm25/pmiPairs ride scalar stats on a cross
     // join; the broadcast() hint (not AQE's runtime rescue) must be what

@@ -188,7 +188,10 @@ object Bench {
     // 258-query map ×2). max/min per query is the within-run noise bound:
     // a cross-round delta smaller than a query's own spread is measurement,
     // not a plan change.
-    locally {
+    // full-suite runs only: a SPARK_GRAFT_ONLY subset re-measure would
+    // otherwise overwrite the committed full-suite spread with its
+    // handful of rows (happened in r13 — caught at commit review)
+    if (only.isEmpty) {
       def j(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
       val rows = spreads.map { case (n, (lo, hi)) =>
         s""""$n":[${j(lo)},${j(hi)}]""" }.mkString(",")

@@ -115,6 +115,34 @@ object DispatchProps extends Properties("dispatch") {
           probedAgainst.drop("method").collect().map(keyAb).toSet
     }
 
+  propertyWithSeed("array-level sampling == row-level sampling (the r13 probe rewrite)", None) =
+    forAll(corpusGen, Gen.choose(2, 8)) {
+      case ((clusters, copies, core, filler), m) =>
+        val df = corpus(clusters, copies, core, filler)
+        val got = ext.Dedup.dupDispatchStats(df, "doc_id", "text",
+          sampleMod = m)
+        // the pre-r13 probe shape: explode everything, hash, filter rows —
+        // same hash, same modulus, so the sampled instance set (and every
+        // statistic over it) must be identical
+        val inst = ext.Dedup.shingles(df, "doc_id", "text", 3)
+          .select(col("doc_id"), xxhash64(col("shingle")).alias("__h"))
+          .filter(pmod(col("__h"), lit(m.toLong)) === 0)
+        val dfs = inst.groupBy("__h").agg(count(lit(1)).alias("df"))
+        val r = inst.join(dfs, "__h").groupBy("doc_id")
+          .agg(count(lit(1)).alias("n"),
+            sum(when(col("df") >= 2, 1L).otherwise(0L)).alias("shared"),
+            sum(col("df") - 1).alias("jmass"))
+          .select(count(lit(1)), coalesce(sum("n"), lit(0L)),
+            coalesce(sum(when(col("shared").cast("double") / col("n") >= 0.8,
+              col("jmass")).otherwise(0L)), lit(0L)),
+            coalesce(sum(when(col("shared").cast("double") / col("n") < 0.8,
+              col("jmass")).otherwise(0L)), lit(0L)))
+          .collect()(0)
+        got.sampledDocs == r.getLong(0) && got.instanceMass == r.getLong(1) &&
+          got.usefulMass == r.getLong(2).toDouble &&
+          got.wastedMass == r.getLong(3).toDouble
+    }
+
   override def overrideParameters(p: org.scalacheck.Test.Parameters) =
     p.withMinSuccessfulTests(8) // each sample runs several Spark jobs
 }

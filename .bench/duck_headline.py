@@ -11,8 +11,11 @@ names = ["q_merge_upsert", "q_direct_copy", "q_source_filter",
 con = duckdb.connect()
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{sfdir}/{t}.parquet')")
+    try:  # sf10 carries only the relational tables the headline touches
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sfdir}/{t}.parquet')")
+    except duckdb.IOException:
+        pass
 out = {}
 for n in names:
     sql = oracle[n]

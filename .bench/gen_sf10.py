@@ -1,0 +1,55 @@
+"""Generate the sf10 HEADLINE scaling point: 10x structure-preserving
+replication of .bench/sf1 (itself 10x of the driver's sf0.1), relational
+tables only - the 8 BASELINE.md headline rows touch region/nation/
+customer/supplier/part/orders/lineitem and nothing else, so documents/
+embeddings/events are not generated (a third decade for the text/vector
+operators would be dup-explosion-by-construction without content
+rewriting, and the headline contract is the reference-shaped core).
+Same key-offset scheme as gen_sf1.py one decade up: copy c shifts every
+intra-fact key by c*1e10 (sf1 keys top out below 1e10), so each copy is
+an independent consistent sub-database. Deterministic, no randomness.
+Driver-side tooling; the Scala engine never depends on this."""
+import duckdb, os
+
+SRC = '/root/repo/.bench/sf1'
+DST = '/root/repo/.bench/sf10'
+OFF = 10_000_000_000
+os.makedirs(DST, exist_ok=True)
+
+SPEC = {
+    'region':    (1,  []),
+    'nation':    (1,  []),
+    'customer':  (10, ['c_custkey']),
+    'supplier':  (10, ['s_suppkey']),
+    'part':      (10, ['p_partkey']),
+    'orders':    (10, ['o_orderkey', 'o_custkey']),
+    'lineitem':  (10, ['l_orderkey', 'l_partkey', 'l_suppkey']),
+}
+
+con = duckdb.connect()
+for t, (copies, keys) in SPEC.items():
+    cols = [r[0] for r in con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')").fetchall()]
+    selects = []
+    for c in range(copies):
+        exprs = []
+        for col in cols:
+            if col in keys and c > 0:
+                exprs.append(f"{col} + {c * OFF} AS {col}")
+            elif t == 'supplier' and col == 's_name' and c > 0:
+                exprs.append(
+                    f"'Supplier#' || lpad(CAST(s_suppkey + {c * OFF} AS VARCHAR),"
+                    f" 14, '0') AS s_name")
+            elif t == 'customer' and col == 'c_name' and c > 0:
+                exprs.append(
+                    f"'Customer#' || lpad(CAST(c_custkey + {c * OFF} AS VARCHAR),"
+                    f" 14, '0') AS c_name")
+            else:
+                exprs.append(col)
+        selects.append("SELECT " + ", ".join(exprs) +
+                       f" FROM read_parquet('{SRC}/{t}.parquet')")
+    q = " UNION ALL ".join(selects)
+    con.execute(f"COPY ({q}) TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{DST}/{t}.parquet')").fetchone()[0]
+    print(t, n, flush=True)

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Materialization-symmetric bench: each query's FULL result is written
+  * to parquet, timed end to end — the apples-to-apples mode for
+  * cross-engine comparison at scale, where neither `.count()` (Catalyst
+  * prunes the projection work; a count over a parquet scan can answer
+  * from footers) nor a client `fetchall` (dominated by row-object
+  * materialization in the client, not the operators) measures the same
+  * thing in both engines. The DuckDB twin is `COPY (<oracle sql>) TO
+  * '<tmp>.parquet'` — same operators, same output format, same bytes.
+  *
+  * `runMain graft.WriteBench <q1>[,<q2>,…] [sfDir] [reps]` — warmup
+  * pass, then `reps` timed passes, min per query, one JSON line.
+  */
+object WriteBench {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").toSeq
+    val sfDir = args.drop(1).headOption
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val reps = args.drop(2).headOption.map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val out = java.nio.file.Files.createTempDirectory("graft-writebench")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def run(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); System.gc()
+      dt
+    }
+    names.foreach(run) // warmup
+    val ts = names.map(n => n -> (1 to reps).map(_ => run(n)).min)
+    def num(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    println(ts.map { case (n, t) => s""""$n":${num(t)}""" }
+      .mkString("""{"metric":"write_bench","sf":"""" + sfDir + """","queries":{""",
+        ",", s"""},"sum":${num(ts.map(_._2).sum)}}"""))
+    spark.stop()
+  }
+}

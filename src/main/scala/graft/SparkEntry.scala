@@ -535,6 +535,39 @@ object SparkEntry {
       .distinct()
   }
 
+  /** One oracle, two queries: `q_minhash_against` (the index-free
+    * operator) and `q_lsh_index` (the persistent-index probe) share the
+    * fixture, hash family and thresholds, and are law-pinned identical
+    * in ExtSpec — so they share this SQL verbatim.
+    */
+  private val minhashAgainstOracleSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+      |           FROM documents WHERE doc_id < 300),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+      |       FROM (SELECT doc_id, w,
+      |               unnest(range(greatest(len(w) - 2, 0))) AS i FROM d)),
+      |g AS (SELECT doc_id, i,
+      |        CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 12)
+      |             AS BIGINT) AS hv
+      |      FROM sh CROSS JOIN range(32) r(i)),
+      |sig AS (SELECT doc_id, i, MIN(hv) AS mh FROM g GROUP BY doc_id, i),
+      |bk AS (SELECT doc_id, i // 4 AS band,
+      |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+      |       FROM sig GROUP BY doc_id, i // 4),
+      |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+      |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+      |         WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+      |SELECT c.new_id, c.corpus_id,
+      |       CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32
+      |         AS est_jaccard
+      |FROM cand c
+      |JOIN sig sa ON sa.doc_id = c.new_id
+      |JOIN sig sb ON sb.doc_id = c.corpus_id AND sb.i = sa.i
+      |GROUP BY c.new_id, c.corpus_id
+      |HAVING CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32
+      |         >= 0.5""".stripMargin
+
   private def readEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(s, dir, "events")
@@ -825,6 +858,30 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1),
         "doc_id", "text", k = 3, numHashes = 32, bands = 8,
         threshold = 0.5, portable = true)
+    },
+
+    // dedup at INGESTION scale: the persistent LSH index — corpus
+    // signatures + band buckets pre-bucketed on their join keys as
+    // warehouse tables (built once per corpus snapshot; exists-guarded
+    // like the bucketed merge rows, so timed bench passes measure the
+    // per-batch probe with the corpus-side work already on disk, which
+    // is the production shape). The probe contributes ZERO corpus-side
+    // exchanges (PlanSpec law). Same fixture/family/threshold as
+    // q_minhash_against: one oracle serves both, and ExtSpec pins the
+    // probe ≡ the index-free against-operator
+    "q_lsh_index" -> { (s, dir) =>
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 300)
+      val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val name = "lshidx_hl_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_b" + buckets
+      val ref = ext.LshIndex.Ref(name, "doc_id", buckets,
+        k = 3, numHashes = 32, bands = 8, portable = true)
+      if (!ext.LshIndex.exists(s, ref))
+        ext.LshIndex.build(s, docs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "text", name, buckets,
+          k = 3, numHashes = 32, bands = 8, portable = true)
+      ext.LshIndex.probe(s, docs.filter(col("doc_id") % 2 === 0), "text",
+        ref, threshold = 0.5)
     },
 
     // record linkage: Jaro-Winkler rescoring over an EXPLICIT bounded
@@ -4609,33 +4666,13 @@ object SparkEntry {
     // comma-joined band buckets, cross-split candidate join, per-pair
     // signature agreement — replayed in SQL; est_jaccard is a dyadic
     // fraction (x/32) so the double compare is exact
-    "q_minhash_against" ->
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
-        |           FROM documents WHERE doc_id < 300),
-        |sh AS (SELECT DISTINCT doc_id,
-        |         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
-        |       FROM (SELECT doc_id, w,
-        |               unnest(range(greatest(len(w) - 2, 0))) AS i FROM d)),
-        |g AS (SELECT doc_id, i,
-        |        CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 12)
-        |             AS BIGINT) AS hv
-        |      FROM sh CROSS JOIN range(32) r(i)),
-        |sig AS (SELECT doc_id, i, MIN(hv) AS mh FROM g GROUP BY doc_id, i),
-        |bk AS (SELECT doc_id, i // 4 AS band,
-        |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
-        |       FROM sig GROUP BY doc_id, i // 4),
-        |cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
-        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
-        |         WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
-        |SELECT c.new_id, c.corpus_id,
-        |       CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32
-        |         AS est_jaccard
-        |FROM cand c
-        |JOIN sig sa ON sa.doc_id = c.new_id
-        |JOIN sig sb ON sb.doc_id = c.corpus_id AND sb.i = sa.i
-        |GROUP BY c.new_id, c.corpus_id
-        |HAVING CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32
-        |         >= 0.5""".stripMargin,
+    "q_minhash_against" -> minhashAgainstOracleSql,
+
+    // identical fixture + portable family + thresholds as
+    // q_minhash_against: the persistent-index probe's RESULT contract is
+    // exactly the index-free against-operator's (law-pinned in ExtSpec),
+    // so the same SQL oracles both
+    "q_lsh_index" -> minhashAgainstOracleSql,
 
     // self-join LSH near-dup over the FULL corpus: affine portable family
     // (one md5 per shingle, (a_i·h + b_i) mod 2^61−1 re-mixes with plan-

@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.BucketedCatalog
+
+/** Persistent MinHash+LSH index — the "pre-shingled, pre-bucketed once,
+  * reused across batches" corpus layout the incremental dedup docstrings
+  * promise ([[Dedup.ngramJaccardAgainst]], [[Dedup.minHashNearDupAgainst]]),
+  * made concrete. At 100 TB the accumulated corpus must not be
+  * re-shingled, re-signed, or re-shuffled per ingestion batch: [[build]]
+  * computes signatures ONCE and persists two warehouse tables —
+  *
+  *   - `<name>_lshidx_buckets` (id, band, bucket), bucketed+sorted BY
+  *     (band, bucket): the candidate equi-join's exact key layout;
+  *   - `<name>_lshidx_sigs` (id, signature), bucketed BY id: the rescore
+  *     join's key layout
+  *
+  * — so [[probe]] reads both pre-partitioned on their join keys and the
+  * index side contributes ZERO exchanges to the per-batch plan (PlanSpec
+  * law); only the batch (bounded by contract) shuffles. The write goes
+  * through [[graft.BucketedCatalog]], inheriting its crash-safe two-rename
+  * swap, so rebuilding an index over a grown corpus is an atomic swap a
+  * concurrent prober never half-reads.
+  *
+  * Signature family mirrors the ad-hoc operators: native xxhash64
+  * ([[Dedup.minHashSignatures]]) is the scale default; `portable = true`
+  * uses the md5 family so the whole index (build + probe) replays in
+  * plain SQL — `q_lsh_index` is oracled that way, and its result is
+  * law-pinned identical to the index-free
+  * [[Dedup.minHashNearDupAgainst]] in ExtSpec.
+  */
+object LshIndex {
+
+  /** Index handle: the configuration a prober must share with the
+    * builder (bucket count and hash family are part of the on-disk
+    * layout's meaning, not tunables).
+    */
+  final case class Ref(
+      name: String, idCol: String, buckets: Int,
+      k: Int, numHashes: Int, bands: Int, portable: Boolean) {
+    def bucketsTable: String = s"${name}_lshidx_buckets"
+    def sigsTable: String = s"${name}_lshidx_sigs"
+  }
+
+  private def catalogFor(spark: SparkSession, ref: Ref): BucketedCatalog =
+    new BucketedCatalog(spark, ref.buckets, Map(
+      ref.bucketsTable -> Seq("band", "bucket"),
+      ref.sigsTable    -> Seq(ref.idCol)))
+
+  private def sigsOf(df: DataFrame, idCol: String, textCol: String,
+      k: Int, numHashes: Int, portable: Boolean): DataFrame =
+    if (portable) Dedup.portableSigArrays(df, idCol, textCol, k, numHashes)
+    else Dedup.minHashSignatures(df, idCol, textCol, k, numHashes)
+
+  private def bucketsOf(sigs: DataFrame, idCol: String,
+      bands: Int, numHashes: Int, portable: Boolean): DataFrame =
+    if (portable) Dedup.portableBuckets(sigs, idCol, bands, numHashes)
+    else Dedup.lshBuckets(sigs, idCol, bands)
+
+  /** Build (or atomically rebuild) the index. Signatures compute ONCE:
+    * the bucket table derives from the PERSISTED signature table, not a
+    * second signature pass over the corpus text.
+    */
+  def build(spark: SparkSession, corpus: DataFrame, idCol: String,
+      textCol: String, name: String, buckets: Int,
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      portable: Boolean = false): Ref = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val ref = Ref(name, idCol, buckets, k, numHashes, bands, portable)
+    val cat = catalogFor(spark, ref)
+    cat.write(ref.sigsTable,
+      sigsOf(corpus, idCol, textCol, k, numHashes, portable))
+    cat.write(ref.bucketsTable,
+      bucketsOf(cat.read(ref.sigsTable), idCol, bands, numHashes, portable))
+    ref
+  }
+
+  /** Both index tables exist in this session's warehouse. */
+  def exists(spark: SparkSession, ref: Ref): Boolean = {
+    val cat = catalogFor(spark, ref)
+    cat.exists(ref.sigsTable) && cat.exists(ref.bucketsTable)
+  }
+
+  /** Near-dup the batch AGAINST the persisted index: batch signatures
+    * build per call (the batch is the bounded side by contract), band
+    * buckets equi-join the bucketed index table, candidates rescore
+    * against the bucketed signature table — the same
+    * (candidates → signature-agreement ≥ threshold) semantics as
+    * [[Dedup.minHashNearDupAgainst]], with the corpus-side work already
+    * on disk. Emits (new_id, corpus_id, est_jaccard).
+    */
+  def probe(spark: SparkSession, newDf: DataFrame, textCol: String,
+      ref: Ref, threshold: Double): DataFrame = {
+    val cat = catalogFor(spark, ref)
+    val idxB = cat.read(ref.bucketsTable)
+      .select(col(ref.idCol).alias("corpus_id"), col("band"), col("bucket"))
+    val idxS = cat.read(ref.sigsTable)
+      .select(col(ref.idCol).alias("corpus_id"), col("signature").alias("sb"))
+    val sn = sigsOf(newDf, ref.idCol, textCol, ref.k, ref.numHashes,
+      ref.portable)
+    val bn = bucketsOf(sn, ref.idCol, ref.bands, ref.numHashes, ref.portable)
+      .select(col(ref.idCol).alias("new_id"), col("band"), col("bucket"))
+    val cand = bn.join(idxB, Seq("band", "bucket"))
+      .select("new_id", "corpus_id").distinct()
+    cand
+      .join(sn.select(col(ref.idCol).alias("new_id"),
+        col("signature").alias("sa")), "new_id")
+      .join(idxS, "corpus_id")
+      .withColumn("est_jaccard",
+        expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), b -> b))")
+          .cast("double") / size(col("sa")).cast("double"))
+      .filter(col("est_jaccard") >= threshold)
+      .select("new_id", "corpus_id", "est_jaccard")
+  }
+}

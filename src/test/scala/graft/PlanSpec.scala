@@ -255,6 +255,57 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("LshIndex.probe: the persisted index contributes ZERO shuffle exchanges") {
+    // the whole point of the index: per-batch probes must not re-shuffle
+    // (or broadcast-collect) the corpus-side tables — they are bucketed
+    // on their join keys on disk. AQE off + broadcast off so the static
+    // plan is the asserted one (the scale shape, not a small-input rescue)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import spark.implicits._
+      val docs = (0 until 200).map(i =>
+        (i.toLong, (0 until 12).map(p => s"w${i / 2}_$p").mkString(" ")))
+        .toDF("doc_id", "text")
+      val ref = ext.LshIndex.build(spark,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+        name = "planspec_lshidx", buckets = 4,
+        k = 3, numHashes = 32, bands = 8, portable = false)
+      val probe = ext.LshIndex.probe(spark,
+        docs.filter(col("doc_id") % 2 === 0), "text", ref, 0.5)
+      val plan = probe.queryExecution.executedPlan
+      // offending = the INDEX RELATION ITSELF re-shuffled: an exchange
+      // whose entire input lineage is index-table scans. Exchanges above
+      // the joins (candidates, rescore keys) carry batch-derived rows and
+      // legitimately have index scans somewhere in their mixed lineage.
+      def isIndexScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case f: FileSourceScanExec =>
+            f.tableIdentifier.exists(_.table.contains("lshidx"))
+          case _ => false
+        }
+      val offending = plan.collect {
+        case e: ShuffleExchangeExec
+          if e.collectLeaves().nonEmpty &&
+            e.collectLeaves().forall(isIndexScan) => e }
+      assert(offending.isEmpty,
+        s"index tables re-shuffled in the probe plan:\n$plan")
+      // ...and both index tables ARE read (the law is not vacuous)
+      val idxScans = plan.collectLeaves().collect {
+        case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table.contains("lshidx")) => f }
+      assert(idxScans.size === 2, plan.toString)
+      assert(probe.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("1-row scalar cross joins stay cartesian-free with AQE disabled") {
     // madOutliers/winsorize/bm25/pmiPairs ride scalar stats on a cross
     // join; the broadcast() hint (not AQE's runtime rescue) must be what

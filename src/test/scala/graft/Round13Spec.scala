@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-13 pins: the persistent LSH index ([[ext.LshIndex]]) — parity
+  * with the index-free against-operator on both hash families, and the
+  * atomic-rebuild contract.
+  */
+class Round13Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // 40 near-dup pairs: docs (2j, 2j+1) share 12 of 13 words; evens form
+  // the batch, odds the corpus — every batch doc has exactly one
+  // expected near-dup partner in the corpus
+  private def docs = (0 until 80).map { i =>
+    val cluster = i / 2
+    val words = (0 until 12).map(p => s"w${cluster}_$p") :+
+      (if (i % 2 == 0) "xx" else "yy")
+    (i.toLong, words.mkString(" "))
+  }.toDF("doc_id", "text")
+
+  private def batch  = docs.filter(col("doc_id") % 2 === 0)
+  private def corpus = docs.filter(col("doc_id") % 2 === 1)
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("LshIndex.probe == minHashNearDupAgainst, native AND portable family") {
+    for (portable <- Seq(false, true)) {
+      val ref = ext.LshIndex.build(spark, corpus, "doc_id", "text",
+        name = s"r13idx_$portable", buckets = 4,
+        k = 3, numHashes = 32, bands = 8, portable = portable)
+      assert(ext.LshIndex.exists(spark, ref))
+      val got = rows(ext.LshIndex.probe(spark, batch, "text", ref, 0.5))
+      val want = rows(ext.Dedup.minHashNearDupAgainst(batch, corpus,
+        "doc_id", "text", k = 3, numHashes = 32, bands = 8,
+        threshold = 0.5, portable = portable))
+      assert(got === want, s"portable=$portable")
+      assert(got.nonEmpty && got.size >= 30, s"portable=$portable: $got")
+      // every pair is a (2j, 2j+1) partner
+      assert(got.forall { case (n, c, _) => c == n + 1 }, s"portable=$portable")
+    }
+  }
+
+  test("rebuild is an atomic swap: probe sees exactly the new corpus snapshot") {
+    val ref = ext.LshIndex.build(spark, corpus, "doc_id", "text",
+      name = "r13idx_swap", buckets = 4,
+      k = 3, numHashes = 32, bands = 8, portable = false)
+    val before = rows(ext.LshIndex.probe(spark, batch, "text", ref, 0.5))
+    // the corpus grows: rebuild over a snapshot that DROPS the first 10
+    // partners and the probe must stop pairing them (no stale index rows)
+    val corpus2 = corpus.filter(col("doc_id") > 20)
+    val ref2 = ext.LshIndex.build(spark, corpus2, "doc_id", "text",
+      name = "r13idx_swap", buckets = 4,
+      k = 3, numHashes = 32, bands = 8, portable = false)
+    val after = rows(ext.LshIndex.probe(spark, batch, "text", ref2, 0.5))
+    assert(after === before.filter(_._2 > 20))
+    assert(after.size < before.size)
+  }
+}

@@ -568,6 +568,43 @@ object SparkEntry {
       |HAVING CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS DOUBLE) / 32
       |         >= 0.5""".stripMargin
 
+  /** One oracle, two queries: `q_knn_ivf` (ad-hoc IVF top-k) and
+    * `q_ann_index` (the persistent-index probe) share fixture, centroid
+    * construction, nProbe and k, and are law-pinned identical in
+    * Round13Spec — so they share this SQL verbatim.
+    */
+  private val knnIvfOracleSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM e
+      |          ORDER BY h LIMIT 32),
+      |cent AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cidx,
+      |                CASE WHEN list_dot_product(v, v) = 0 THEN v
+      |                     ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
+      |                END AS c
+      |         FROM cent0),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |cassign AS (SELECT n_id, list FROM (
+      |    SELECT e2.vec_id AS n_id, c.cidx AS list,
+      |           row_number() OVER (PARTITION BY e2.vec_id
+      |             ORDER BY list_dot_product(e2.v, c.c) DESC, c.cidx) AS rn
+      |    FROM e e2 CROSS JOIN cent c) WHERE rn = 1),
+      |qassign AS (SELECT q_id, list FROM (
+      |    SELECT e2.vec_id AS q_id, c.cidx AS list,
+      |           row_number() OVER (PARTITION BY e2.vec_id
+      |             ORDER BY list_dot_product(e2.v, c.c) DESC, c.cidx) AS rn
+      |    FROM e e2 CROSS JOIN cent c WHERE e2.vec_id < 10) WHERE rn <= 4),
+      |scored AS (SELECT qa.q_id, ca.n_id,
+      |                  round(list_dot_product(q.v, c2.v) / (q.nrm * c2.nrm), 4) AS sim
+      |           FROM qassign qa JOIN cassign ca
+      |             ON qa.list = ca.list AND qa.q_id <> ca.n_id
+      |           JOIN n q  ON q.vec_id  = qa.q_id
+      |           JOIN n c2 ON c2.vec_id = ca.n_id),
+      |ranked AS (SELECT q_id, n_id, sim,
+      |                  CAST(row_number() OVER (PARTITION BY q_id
+      |                    ORDER BY sim DESC, n_id) AS INTEGER) AS rnk
+      |           FROM scored)
+      |SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= 5""".stripMargin
+
   private def readEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(s, dir, "events")
@@ -1122,6 +1159,27 @@ object SparkEntry {
       val cents = ext.Similarity.ivfCentroids(e, "vec_id", "embedding", k = 32)
       ext.Similarity.ivfTopK(e, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, cents, nProbe = 4)
+    },
+
+    // ANN at SERVING scale: the persistent IVF index — corpus assignment
+    // + norms computed ONCE and persisted bucketed by inverted list, the
+    // quantizer itself persisted alongside (a later-session prober shares
+    // the builder's centroids instead of re-deriving them from a grown
+    // corpus). Probe assigns only the query batch; the index contributes
+    // zero shuffles AND zero recompute (PlanSpec: exactly one ivf_assign
+    // in the plan — the query side's). Same fixture as q_knn_ivf → one
+    // oracle serves both; Round13Spec pins probe ≡ ivfTopK
+    "q_ann_index" -> { (s, dir) =>
+      val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val name = "annidx_hl_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_b" + buckets
+      val ref = ext.AnnIndex.Ref(name, "vec_id", buckets, nLists = 32)
+      if (!ext.AnnIndex.exists(s, ref))
+        ext.AnnIndex.build(s, read(s, dir, "embeddings"), "vec_id",
+          "embedding", name, buckets, nLists = 32)
+      ext.AnnIndex.probe(s,
+        read(s, dir, "embeddings").filter(col("vec_id") < 10),
+        "embedding", ref, k = 5, nProbe = 4)
     },
 
     // dedup: SemDeDup — cluster the embedding space (32 md5-first
@@ -5473,37 +5531,11 @@ object SparkEntry {
     // IVF: centroid sample (md5-first 32, unit-normalized), corpus assigned
     // to nearest centroid, queries probe 4 lists, exact rescoring — the SQL
     // mirrors ivfCentroids/IvfAssign/ivfTopK step for step
-    "q_knn_ivf" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |cent0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM e
-        |          ORDER BY h LIMIT 32),
-        |cent AS (SELECT row_number() OVER (ORDER BY h) - 1 AS cidx,
-        |                CASE WHEN list_dot_product(v, v) = 0 THEN v
-        |                     ELSE list_transform(v, x -> x / sqrt(list_dot_product(v, v)))
-        |                END AS c
-        |         FROM cent0),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |cassign AS (SELECT n_id, list FROM (
-        |    SELECT e2.vec_id AS n_id, c.cidx AS list,
-        |           row_number() OVER (PARTITION BY e2.vec_id
-        |             ORDER BY list_dot_product(e2.v, c.c) DESC, c.cidx) AS rn
-        |    FROM e e2 CROSS JOIN cent c) WHERE rn = 1),
-        |qassign AS (SELECT q_id, list FROM (
-        |    SELECT e2.vec_id AS q_id, c.cidx AS list,
-        |           row_number() OVER (PARTITION BY e2.vec_id
-        |             ORDER BY list_dot_product(e2.v, c.c) DESC, c.cidx) AS rn
-        |    FROM e e2 CROSS JOIN cent c WHERE e2.vec_id < 10) WHERE rn <= 4),
-        |scored AS (SELECT qa.q_id, ca.n_id,
-        |                  round(list_dot_product(q.v, c2.v) / (q.nrm * c2.nrm), 4) AS sim
-        |           FROM qassign qa JOIN cassign ca
-        |             ON qa.list = ca.list AND qa.q_id <> ca.n_id
-        |           JOIN n q  ON q.vec_id  = qa.q_id
-        |           JOIN n c2 ON c2.vec_id = ca.n_id),
-        |ranked AS (SELECT q_id, n_id, sim,
-        |                  CAST(row_number() OVER (PARTITION BY q_id
-        |                    ORDER BY sim DESC, n_id) AS INTEGER) AS rnk
-        |           FROM scored)
-        |SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= 5""".stripMargin,
+    "q_knn_ivf" -> knnIvfOracleSql,
+
+    // the persistent-index probe's RESULT contract is exactly ivfTopK's
+    // on the same fixture (Round13Spec law), so the same SQL oracles both
+    "q_ann_index" -> knnIvfOracleSql,
 
     // SemDeDup: same centroid sample + nearest-centroid assignment as
     // q_knn_ivf, in-cluster pairwise cosine, drop-if-lower-id-neighbor

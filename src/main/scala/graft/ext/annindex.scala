@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.BucketedCatalog
+
+/** Persistent IVF (inverted-file) ANN index — [[LshIndex]]'s embedding
+  * twin. The ad-hoc [[Similarity.ivfTopK]] re-assigns EVERY corpus vector
+  * to its nearest centroid and recomputes every norm on each call — a
+  * full-corpus pass per query batch that a 100 TB embedding store cannot
+  * pay. [[build]] does that work once and persists
+  *
+  *   - `<name>_annidx_lists` (n_id, vn, nn, list) bucketed BY `list`:
+  *     the probe's join key layout, assignment + norms precomputed;
+  *   - `<name>_annidx_centroids` (list, centroid): the quantizer itself,
+  *     k tiny rows — so a prober in ANY later session shares the
+  *     builder's centroids instead of re-deriving them from a corpus
+  *     that may have grown since (re-derived centroids would silently
+  *     disagree with the persisted assignments).
+  *
+  * [[probe]] assigns only the QUERY batch (bounded by contract), joins
+  * its `nProbe` lists against the bucketed lists table — zero index-side
+  * shuffle exchanges, PlanSpec law — and rescores exact cosine within
+  * the probed lists, emitting the same (q_id, n_id, sim, rnk) contract
+  * as [[Similarity.ivfTopK]] (law-pinned identical in Round13Spec;
+  * `q_ann_index` shares `q_knn_ivf`'s oracle). Writes ride
+  * [[graft.BucketedCatalog]]'s crash-safe swap: rebuilds are atomic.
+  */
+object AnnIndex {
+
+  /** Index handle — bucket count and centroid count are part of the
+    * on-disk layout's meaning.
+    */
+  final case class Ref(name: String, idCol: String, buckets: Int, nLists: Int) {
+    def listsTable: String = s"${name}_annidx_lists"
+    def centroidsTable: String = s"${name}_annidx_centroids"
+  }
+
+  private def catalogFor(spark: SparkSession, ref: Ref): BucketedCatalog =
+    new BucketedCatalog(spark, ref.buckets,
+      Map(ref.listsTable -> Seq("list"))) // centroids table: k rows, unbucketed
+
+  /** Build (or atomically rebuild) the index over the corpus. */
+  def build(spark: SparkSession, corpus: DataFrame, idCol: String,
+      vecCol: String, name: String, buckets: Int, nLists: Int): Ref = {
+    import graft.functions.IvfAssign
+    val ref = Ref(name, idCol, buckets, nLists)
+    val cents = Similarity.ivfCentroids(corpus, idCol, vecCol, nLists)
+    val cat = catalogFor(spark, ref)
+    import spark.implicits._
+    cat.write(ref.centroidsTable,
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("list", "centroid"))
+    cat.write(ref.listsTable,
+      corpus.select(col(idCol).alias("n_id"), col(vecCol).alias("vn"))
+        .withColumn("list", IvfAssign.column(col("vn"), cents, 1).getItem(0))
+        .withColumn("nn", Similarity.norm(col("vn"))))
+    ref
+  }
+
+  /** Both index tables exist in this session's warehouse. */
+  def exists(spark: SparkSession, ref: Ref): Boolean = {
+    val cat = catalogFor(spark, ref)
+    cat.exists(ref.listsTable) && cat.exists(ref.centroidsTable)
+  }
+
+  /** The persisted quantizer — `nLists` rows, bounded by construction
+    * (the same collect class as [[Similarity.ivfCentroids]]).
+    */
+  def centroidsOf(spark: SparkSession, ref: Ref): Seq[Seq[Double]] =
+    catalogFor(spark, ref).read(ref.centroidsTable)
+      .orderBy("list").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+
+  /** Cosine top-k of each query against the persisted index —
+    * [[Similarity.ivfTopK]] semantics with the corpus-side work already
+    * on disk. Emits (q_id, n_id, sim, rnk), rnk ≤ k.
+    */
+  def probe(spark: SparkSession, queries: DataFrame, vecCol: String,
+      ref: Ref, k: Int, nProbe: Int = 4): DataFrame = {
+    import graft.functions.IvfAssign
+    val cents = centroidsOf(spark, ref)
+    val c = catalogFor(spark, ref).read(ref.listsTable)
+    val q = queries.select(col(ref.idCol).alias("q_id"), col(vecCol).alias("vq"))
+      .withColumn("list", explode(IvfAssign.column(col("vq"), cents, nProbe)))
+      .withColumn("nq", Similarity.norm(col("vq")))
+    c.join(broadcast(q), Seq("list"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim",
+        round(Similarity.dot(col("vq"), col("vn")) / (col("nq") * col("nn")), 4))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("n_id"))))
+      .filter(col("rnk") <= k)
+      .select("q_id", "n_id", "sim", "rnk")
+  }
+}

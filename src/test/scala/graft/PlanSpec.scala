@@ -306,6 +306,41 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AnnIndex.probe: zero index-side exchanges AND zero corpus recompute") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val vecs = spark.range(0, 200, 1, 4).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 7), p -> CAST(" +
+          "  CASE WHEN p = CAST(id % 4 AS INT) THEN 10.0 ELSE 0.1 END" +
+          "  AS DOUBLE)) AS embedding")
+      val ref = ext.AnnIndex.build(spark, vecs, "vec_id", "embedding",
+        name = "planspec_annidx", buckets = 4, nLists = 8)
+      val probe = ext.AnnIndex.probe(spark,
+        vecs.filter(col("vec_id") < 10), "embedding", ref, k = 5, nProbe = 3)
+      val plan = probe.queryExecution.executedPlan
+      def isIndexScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case f: FileSourceScanExec =>
+            f.tableIdentifier.exists(_.table.contains("annidx"))
+          case _ => false
+        }
+      val offending = plan.collect {
+        case e: ShuffleExchangeExec
+          if e.collectLeaves().nonEmpty &&
+            e.collectLeaves().forall(isIndexScan) => e }
+      assert(offending.isEmpty, s"index re-shuffled:\n$plan")
+      // assignment runs ONCE, on the query side — the corpus assignment
+      // was paid at build time and must not reappear in the probe plan
+      val nAssign = "ivf_assign".r.findAllIn(plan.toString).length
+      assert(nAssign === 1, s"expected only the query-side ivf_assign:\n$plan")
+      assert(probe.count() > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("1-row scalar cross joins stay cartesian-free with AQE disabled") {
     // madOutliers/winsorize/bm25/pmiPairs ride scalar stats on a cross
     // join; the broadcast() hint (not AQE's runtime rescue) must be what

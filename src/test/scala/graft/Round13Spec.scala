@@ -44,6 +44,36 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  // 200 deterministic 8-dim vectors in 4 coarse directions + noise
+  private def vecs = spark.range(0, 200, 1, 4).selectExpr(
+    "id AS vec_id",
+    "transform(sequence(0, 7), p -> CAST(" +
+      "  CASE WHEN p = CAST(id % 4 AS INT) THEN 10.0 " +
+      "       ELSE (CAST((id * 31 + p * 7) % 13 AS DOUBLE) - 6.0) / 10.0 END" +
+      "  AS DOUBLE)) AS embedding")
+
+  test("AnnIndex.probe == ivfTopK on the persisted quantizer; centroids persist") {
+    val corpus = vecs
+    val ref = ext.AnnIndex.build(spark, corpus, "vec_id", "embedding",
+      name = "r13ann", buckets = 4, nLists = 8)
+    assert(ext.AnnIndex.exists(spark, ref))
+    // the persisted quantizer IS the builder's centroid sample
+    val persisted = ext.AnnIndex.centroidsOf(spark, ref)
+    val derived = ext.Similarity.ivfCentroids(corpus, "vec_id", "embedding", 8)
+    assert(persisted === derived)
+    val queries = corpus.filter(col("vec_id") < 12)
+    val got = ext.AnnIndex.probe(spark, queries, "embedding", ref,
+      k = 5, nProbe = 3)
+    val want = ext.Similarity.ivfTopK(corpus, queries, "vec_id", "embedding",
+      k = 5, persisted, nProbe = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    val g = rows(got)
+    assert(g === rows(want))
+    assert(g.nonEmpty && g.groupBy(_._1).size == 12) // every query answered
+  }
+
   test("rebuild is an atomic swap: probe sees exactly the new corpus snapshot") {
     val ref = ext.LshIndex.build(spark, corpus, "doc_id", "text",
       name = "r13idx_swap", buckets = 4,

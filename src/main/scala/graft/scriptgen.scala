@@ -45,12 +45,19 @@ object ScriptGen {
     * arithmetic) or a decimal that Spark reads as DOUBLE. Anything not
     * handled here is rejected loudly rather than silently mis-rendered.
     */
-  private def sqlLit(v: Any): String = v match {
+  private[graft] def sqlLit(v: Any): String = v match {
     case null       => "NULL"
     case s: String  => "'" + s.replace("'", "''") + "'"
     case b: Boolean => b.toString.toUpperCase
     case d: java.sql.Date            => s"DATE '$d'"
-    case t: java.sql.Timestamp       => s"TIMESTAMP '$t'"
+    // render the INSTANT, not Timestamp.toString (r13 advice): toString
+    // formats in the JVM default timezone while Spark parses a zone-less
+    // TIMESTAMP '…' literal in spark.sql.session.timeZone — when the two
+    // differ the script would denote a different instant than the
+    // engine's lit(Timestamp) comparison. toInstant.toString carries an
+    // explicit Z offset, which Spark's timestamp parser honors, so the
+    // literal is timezone-unambiguous under any session/JVM zone pair.
+    case t: java.sql.Timestamp       => s"TIMESTAMP '${t.toInstant}'"
     case d: java.time.LocalDate      => s"DATE '$d'"
     case t: java.time.LocalDateTime  =>
       s"TIMESTAMP '${t.toString.replace('T', ' ')}'"
@@ -58,6 +65,15 @@ object ScriptGen {
     case d: java.math.BigDecimal     => d.toPlainString + "BD"
     case d: BigDecimal               => d.underlying.toPlainString + "BD"
     case n @ (_: Byte | _: Short | _: Int | _: Long) => n.toString
+    // non-finite floats have no bare SQL literal form — toString would
+    // emit `NaN`/`Infinity`, which Spark SQL rejects at EXECUTION time,
+    // breaking this function's rejected-loudly-at-GENERATION contract
+    // (r13 advice). Render them as typed CAST literals (Spark's own
+    // round-trip form: `CAST('NaN' AS DOUBLE)` evaluates to NaN).
+    case f: Float if f.isNaN || f.isInfinite =>
+      s"CAST('${f.toString}' AS FLOAT)"
+    case d: Double if d.isNaN || d.isInfinite =>
+      s"CAST('${d.toString}' AS DOUBLE)"
     case n @ (_: Float | _: Double) => n.toString
     case other => throw new IllegalArgumentException(
       s"ScriptGen.sqlLit: no SQL literal rendering for " +

@@ -298,4 +298,45 @@ class ScriptGenSpec extends AnyFunSuite {
     }
     assert(bad.getMessage.contains("no SQL literal rendering"))
   }
+
+  test("sqlLit Timestamp literal is timezone-unambiguous (r13 advice)") {
+    // a Timestamp's toString renders in the JVM default zone; the literal
+    // must instead denote the INSTANT so a session zone ≠ JVM zone pair
+    // cannot shift it. The rendered form carries an explicit offset and,
+    // parsed by the engine, equals lit(ts) exactly.
+    val ts = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-03-01T12:34:56.789Z"))
+    val rendered = ScriptGen.sqlLit(ts)
+    assert(rendered.contains("Z"), s"no explicit offset in $rendered")
+    val viaScript = spark.sql(s"SELECT $rendered AS t").collect()(0).getTimestamp(0)
+    val viaEngine = spark.range(1).select(lit(ts).alias("t"))
+      .collect()(0).getTimestamp(0)
+    assert(viaScript === viaEngine)
+    // and the instant survives even when the session zone is not UTC
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val shifted = spark.sql(s"SELECT $rendered AS t").collect()(0).getTimestamp(0)
+      assert(shifted.toInstant === ts.toInstant)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("sqlLit non-finite floats render as executable CAST literals (r13 advice)") {
+    // bare NaN/Infinity are not Spark SQL literals — the old fall-through
+    // broke the rejected-loudly-at-generation contract by failing at
+    // EXECUTION instead. CAST('NaN' AS DOUBLE) both parses and evaluates.
+    val cases = Seq[(Any, Double => Boolean)](
+      (Double.NaN, _.isNaN), (Double.PositiveInfinity, _.isPosInfinity),
+      (Double.NegativeInfinity, _.isNegInfinity),
+      (Float.NaN, _.isNaN), (Float.PositiveInfinity, _.isPosInfinity))
+    cases.foreach { case (v, check) =>
+      val lit = ScriptGen.sqlLit(v)
+      assert(lit.startsWith("CAST('"), s"$v rendered bare: $lit")
+      val got = spark.sql(s"SELECT CAST($lit AS DOUBLE) AS v")
+        .collect()(0).getDouble(0)
+      assert(check(got), s"$lit evaluated to $got")
+    }
+    // finite values keep the bare numeric form
+    assert(ScriptGen.sqlLit(1.5d) === "1.5")
+  }
 }

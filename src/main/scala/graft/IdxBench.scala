@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Incremental-index bench: the r13 verdict's gap between "persistent
+  * index" and "ingestion pipeline" is that rebuilding over a grown corpus
+  * re-signs everything — append cost must be ∝ batch, not corpus. This
+  * main measures, at two corpus decades (sf0.01 → sf0.1: documents ×10,
+  * embeddings ×4), with the SAME fixed-size batch:
+  *
+  *   - `build`  — full index build over the corpus (expected ~linear in
+  *     corpus);
+  *   - `append` — [[ext.LshIndex.append]] / [[ext.AnnIndex.append]] of the
+  *     fixed batch into the built index (expected ~FLAT across decades —
+  *     the whole point);
+  *   - `probe`  — the per-batch query over the appended index (expected
+  *     ~flat: the index side contributes zero exchanges).
+  *
+  * Two full cycles per point, min per op (first cycle doubles as warmup).
+  * One JSON line → committed as `BENCH_IDXAPPEND.json`.
+  */
+object IdxBench {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.periodicGC.interval", "30s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val points = Seq(
+      "small" -> sys.env.getOrElse("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.01"),
+      "large" -> sys.env.getOrElse("SPARK_GRAFT_SF_LARGE", "/root/testdata/sf0.1")) ++
+      sys.env.get("SPARK_GRAFT_SF_XL").map("xl" -> _)
+
+    def t(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def num(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+
+    // global warmup: one untimed build/append/probe cycle over the first
+    // point, discarded — without it the first measured point absorbs the
+    // session's JIT/codegen warmup and reads HIGHER than larger points
+    locally {
+      val wdir = points.head._2
+      val wdocs = spark.read.parquet(s"$wdir/documents.parquet")
+      val wref = ext.LshIndex.build(spark, wdocs, "doc_id", "text",
+        "idxbench_warm", buckets = cpus.toInt, k = 3, numHashes = 32, bands = 8)
+      ext.LshIndex.append(spark, wdocs.limit(50), "text", wref)
+      ext.LshIndex.probe(spark, wdocs.limit(50), "text", wref, 0.5).count()
+      val wemb = spark.read.parquet(s"$wdir/embeddings.parquet")
+      val waref = ext.AnnIndex.build(spark, wemb, "vec_id", "embedding",
+        "idxbench_warm_ann", buckets = cpus.toInt, nLists = 32)
+      ext.AnnIndex.append(spark, wemb.limit(50), "embedding", waref)
+      ext.AnnIndex.probe(spark, wemb.limit(50), "embedding", waref,
+        k = 5, nProbe = 4).count()
+    }
+
+    val out = points.map { case (tag, dir) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val nDocs = docs.count()
+      // fixed ingestion batch at every point: the same 200 docs, re-keyed
+      // clear of the corpus id space — decade-invariant by construction
+      val batch = spark.read
+        .parquet(s"${points.head._2}/documents.parquet")
+        .filter(col("doc_id") < 200)
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val nVecs = emb.count()
+      val vbatch = spark.read
+        .parquet(s"${points.head._2}/embeddings.parquet")
+        .filter(col("vec_id") < 200)
+        .withColumn("vec_id", col("vec_id") + lit(10000000L))
+
+      val cycles = (1 to 2).map { i =>
+        val lname = s"idxbench_${tag}_$i"
+        var lref: ext.LshIndex.Ref = null
+        val bL = t { lref = ext.LshIndex.build(spark, docs, "doc_id", "text",
+          lname, buckets = cpus.toInt, k = 3, numHashes = 32, bands = 8) }
+        val aL = t { ext.LshIndex.append(spark, batch, "text", lref) }
+        val pL = t { ext.LshIndex.probe(spark, batch, "text", lref, 0.5).count() }
+        val aname = s"idxbench_ann_${tag}_$i"
+        var aref: ext.AnnIndex.Ref = null
+        val bA = t { aref = ext.AnnIndex.build(spark, emb, "vec_id",
+          "embedding", aname, buckets = cpus.toInt, nLists = 32) }
+        val aA = t { ext.AnnIndex.append(spark, vbatch, "embedding", aref) }
+        val pA = t { ext.AnnIndex.probe(spark, vbatch, "embedding", aref,
+          k = 5, nProbe = 4).count() }
+        (bL, aL, pL, bA, aA, pA)
+      }
+      def mn(g: ((Double, Double, Double, Double, Double, Double)) => Double) =
+        cycles.map(g).min
+      s""""$tag":{"dir":"$dir","docs":$nDocs,"vecs":$nVecs,""" +
+        s""""lsh":{"build":${num(mn(_._1))},"append":${num(mn(_._2))},"probe":${num(mn(_._3))}},""" +
+        s""""ann":{"build":${num(mn(_._4))},"append":${num(mn(_._5))},"probe":${num(mn(_._6))}}}"""
+    }
+    println(out.mkString(
+      """{"metric":"idx_append","batch_docs":200,"batch_vecs":200,""" +
+        """"note":"fixed batch at every point; append/probe must stay ~flat across decades while build grows with the corpus",""",
+      ",", "}"))
+    spark.stop()
+  }
+}

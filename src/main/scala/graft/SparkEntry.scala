@@ -605,6 +605,19 @@ object SparkEntry {
       |           FROM scored)
       |SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= 5""".stripMargin
 
+  /** `q_ann_index_append`'s oracle: [[knnIvfOracleSql]] with ONE change —
+    * the centroid sample (`cent0`) draws only from the BUILD subset
+    * (vec_id % 4 != 3), because append ingests the rest under the frozen
+    * build-time quantizer; every vector (build + appended) is still
+    * assigned and scored.
+    */
+  private val knnIvfAppendOracleSql: String =
+    knnIvfOracleSql.replace(
+      "cent0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM e\n",
+      "cent0 AS (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, v FROM e\n" +
+        "          WHERE vec_id % 4 <> 3\n") ensuring
+    (_ != knnIvfOracleSql, "knnIvfOracleSql drifted — cent0 splice missed")
+
   private def readEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(s, dir, "events")
@@ -921,6 +934,32 @@ object SparkEntry {
         ref, threshold = 0.5)
     },
 
+    // dedup at INGESTION scale, the INCREMENTAL form: the corpus is
+    // indexed in two installments — build over the first half, then
+    // LshIndex.append signs/bands ONLY the second half into the bucketed
+    // tables (cost ∝ batch, never corpus — the 100 TB ingestion-loop
+    // contract; Round14Spec pins build(∪) ≡ append(build, batch) as
+    // exact table equality). Final index state equals q_lsh_index's, so
+    // the probe shares minhashAgainstOracleSql verbatim
+    "q_lsh_index_append" -> { (s, dir) =>
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 300)
+      val corpus = docs.filter(col("doc_id") % 2 === 1)
+      val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val name = "lshidxap_hl_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_b" + buckets
+      val ref = ext.LshIndex.Ref(name, "doc_id", buckets,
+        k = 3, numHashes = 32, bands = 8, portable = true)
+      if (!ext.LshIndex.exists(s, ref)) {
+        ext.LshIndex.build(s, corpus.filter(col("doc_id") < 150),
+          "doc_id", "text", name, buckets,
+          k = 3, numHashes = 32, bands = 8, portable = true)
+        ext.LshIndex.append(s, corpus.filter(col("doc_id") >= 150),
+          "text", ref)
+      }
+      ext.LshIndex.probe(s, docs.filter(col("doc_id") % 2 === 0), "text",
+        ref, threshold = 0.5)
+    },
+
     // record linkage: Jaro-Winkler rescoring over an EXPLICIT bounded
     // candidate frame (candidate generation is a separate blocking
     // concern — maxSimScore doctrine); native codegen expression, matches
@@ -1177,6 +1216,29 @@ object SparkEntry {
       if (!ext.AnnIndex.exists(s, ref))
         ext.AnnIndex.build(s, read(s, dir, "embeddings"), "vec_id",
           "embedding", name, buckets, nLists = 32)
+      ext.AnnIndex.probe(s,
+        read(s, dir, "embeddings").filter(col("vec_id") < 10),
+        "embedding", ref, k = 5, nProbe = 4)
+    },
+
+    // ANN at SERVING scale, the INCREMENTAL form: quantizer trained on
+    // the first ~3/4 of the corpus (vec_id % 4 != 3), the remaining
+    // vectors ingested via AnnIndex.append — assigned under the FROZEN
+    // persisted quantizer (FAISS add-after-train semantics; Round14Spec
+    // pins lists(append) ≡ union-assigned-under-persisted-centroids).
+    // Oracle = knnIvfOracleSql with cent0 sampling only the build subset
+    "q_ann_index_append" -> { (s, dir) =>
+      val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val name = "annidxap_hl_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_b" + buckets
+      val ref = ext.AnnIndex.Ref(name, "vec_id", buckets, nLists = 32)
+      if (!ext.AnnIndex.exists(s, ref)) {
+        val e = read(s, dir, "embeddings")
+        ext.AnnIndex.build(s, e.filter(col("vec_id") % 4 =!= 3), "vec_id",
+          "embedding", name, buckets, nLists = 32)
+        ext.AnnIndex.append(s, e.filter(col("vec_id") % 4 === 3),
+          "embedding", ref)
+      }
       ext.AnnIndex.probe(s,
         read(s, dir, "embeddings").filter(col("vec_id") < 10),
         "embedding", ref, k = 5, nProbe = 4)
@@ -4731,6 +4793,9 @@ object SparkEntry {
     // exactly the index-free against-operator's (law-pinned in ExtSpec),
     // so the same SQL oracles both
     "q_lsh_index" -> minhashAgainstOracleSql,
+    // append-built index reaches the identical final state, so the probe
+    // shares the SQL verbatim (the append law is Round14Spec's)
+    "q_lsh_index_append" -> minhashAgainstOracleSql,
 
     // self-join LSH near-dup over the FULL corpus: affine portable family
     // (one md5 per shingle, (a_i·h + b_i) mod 2^61−1 re-mixes with plan-
@@ -5536,6 +5601,7 @@ object SparkEntry {
     // the persistent-index probe's RESULT contract is exactly ivfTopK's
     // on the same fixture (Round13Spec law), so the same SQL oracles both
     "q_ann_index" -> knnIvfOracleSql,
+    "q_ann_index_append" -> knnIvfAppendOracleSql,
 
     // SemDeDup: same centroid sample + nearest-centroid assignment as
     // q_knn_ivf, in-cluster pairwise cosine, drop-if-lower-id-neighbor

@@ -64,6 +64,31 @@ object AnnIndex {
     cat.exists(ref.listsTable) && cat.exists(ref.centroidsTable)
   }
 
+  /** Incrementally index a new batch: assign ONLY the batch under the
+    * PERSISTED quantizer and append into the bucketed lists table — cost
+    * ∝ batch, never corpus. The centroids table is deliberately left
+    * untouched: the quantizer is frozen at build time (the whole point
+    * of persisting it — see the object doc), so the law here is NOT
+    * `build(corpus ∪ batch) ≡ append` (a rebuild would re-derive
+    * different centroids over the grown corpus); it is
+    * `lists(append(build(corpus), batch)) ≡ (corpus ∪ batch) assigned
+    * under centroidsOf(ref)` (Round14Spec), which is exactly IVF
+    * ingestion semantics — FAISS's add-after-train. Recall naturally
+    * drifts as the appended distribution diverges from the trained one;
+    * [[build]] compaction retrains. Bucket layout is preserved, so the
+    * probe's zero-index-side-exchange law holds across appends.
+    */
+  def append(spark: SparkSession, batch: DataFrame, vecCol: String,
+      ref: Ref): Unit = {
+    import graft.functions.IvfAssign
+    require(exists(spark, ref), s"AnnIndex ${ref.name} not built")
+    val cents = centroidsOf(spark, ref)
+    catalogFor(spark, ref).append(ref.listsTable,
+      batch.select(col(ref.idCol).alias("n_id"), col(vecCol).alias("vn"))
+        .withColumn("list", IvfAssign.column(col("vn"), cents, 1).getItem(0))
+        .withColumn("nn", Similarity.norm(col("vn"))))
+  }
+
   /** The persisted quantizer — `nLists` rows, bounded by construction
     * (the same collect class as [[Similarity.ivfCentroids]]).
     */

@@ -82,6 +82,123 @@ object LshIndex {
     cat.exists(ref.sigsTable) && cat.exists(ref.bucketsTable)
   }
 
+  /** Incrementally index a new batch: sign and band ONLY the batch, then
+    * append into the bucketed tables — cost ∝ batch, never corpus. This
+    * is the gap between "persistent index" and an ingestion pipeline: a
+    * 100 TB loop appends a bounded batch per cycle, and [[build]]'s
+    * rebuild re-signs everything. The law (Round14Spec):
+    * `build(corpus ∪ batch) ≡ append(build(corpus), batch)` — exact
+    * table equality, because signatures are per-row functions with no
+    * trained component (contrast [[AnnIndex.append]], whose quantizer is
+    * frozen at build time by design). Appends preserve the bucket-key
+    * layout (probe stays corpus-exchange-free); they add file sets per
+    * bucket, so periodic [[build]] compaction restores the
+    * one-file-per-bucket sortedness (see [[graft.BucketedCatalog.append]]).
+    * If a dispatch row is persisted ([[saveDispatch]]), its
+    * `appended_docs` counter advances by the batch's signed-doc count so
+    * staleness is measurable ([[readDispatch]] / re-probe semantics).
+    */
+  def append(spark: SparkSession, batch: DataFrame, textCol: String,
+      ref: Ref): Unit = {
+    require(exists(spark, ref), s"LshIndex ${ref.name} not built")
+    val cat = catalogFor(spark, ref)
+    val sigs = sigsOf(batch, ref.idCol, textCol, ref.k, ref.numHashes,
+      ref.portable)
+    cat.append(ref.sigsTable, sigs)
+    cat.append(ref.bucketsTable,
+      bucketsOf(sigs, ref.idCol, ref.bands, ref.numHashes, ref.portable))
+    if (cat.exists(metaTable(ref))) {
+      // bounded action: the batch is the bounded side by contract
+      val n = sigs.count()
+      val m = cat.read(metaTable(ref))
+      cat.write(metaTable(ref),
+        m.withColumn("appended_docs", col("appended_docs") + lit(n)))
+    }
+  }
+
+  // ------------------------------------------------- persisted dispatch
+
+  private def metaTable(ref: Ref): String = s"${ref.name}_lshidx_meta"
+
+  /** Persist a corpus snapshot's [[Dedup.DupDispatch]] beside the index
+    * tables — the cross-session home for the "probe once per corpus
+    * snapshot" doctrine ([[Dedup.nearDupAgainstAuto]]): the probe is
+    * linear but not free, and its decision is a property of the corpus
+    * snapshot the index is also a materialization of, so they share a
+    * lifecycle. `appended_docs` starts at 0 and advances on [[append]].
+    */
+  def saveDispatch(spark: SparkSession, ref: Ref,
+      d: Dedup.DupDispatch): Unit = {
+    import spark.implicits._
+    catalogFor(spark, ref).write(metaTable(ref),
+      Seq((d.sampledDocs, d.instanceMass, d.usefulMass, d.wastedMass,
+        d.useSignature, 0L))
+        .toDF("sampled_docs", "instance_mass", "useful_mass",
+          "wasted_mass", "use_signature", "appended_docs"))
+  }
+
+  /** The persisted dispatch, if any, plus the docs appended since it was
+    * probed. Bounded collect: one row.
+    */
+  def readDispatch(spark: SparkSession,
+      ref: Ref): Option[(Dedup.DupDispatch, Long)] = {
+    val cat = catalogFor(spark, ref)
+    if (!cat.exists(metaTable(ref))) None
+    else cat.read(metaTable(ref)).collect().headOption.map { r =>
+      (Dedup.DupDispatch(
+        r.getAs[Long]("sampled_docs"), r.getAs[Long]("instance_mass"),
+        r.getAs[Double]("useful_mass"), r.getAs[Double]("wasted_mass"),
+        r.getAs[Boolean]("use_signature")),
+        r.getAs[Long]("appended_docs"))
+    }
+  }
+
+  /** RE-PROBE-ON-APPEND SEMANTICS: a persisted dispatch stays valid while
+    * the corpus it measured still dominates the index — appended docs ≤
+    * (reprobeFactor − 1) × the probed snapshot's docs (default 2.0: valid
+    * until appends have doubled the corpus). A typical batch is ~10⁻⁴ of
+    * a 100 TB corpus, so re-probes are rare compaction-time events, not
+    * per-batch cost.
+    */
+  def dispatchFresh(d: Dedup.DupDispatch, appendedDocs: Long,
+      reprobeFactor: Double = 2.0): Boolean =
+    appendedDocs.toDouble <= (reprobeFactor - 1.0) * d.sampledDocs.toDouble
+
+  /** The r12 cost dispatcher unified with the persistent index
+    * ([[Dedup.nearDupAgainstAuto]]'s cross-session form): the dispatch
+    * decision comes from the metadata row beside the index tables —
+    * probed and saved on first use, reused across sessions and batches,
+    * re-probed (and re-saved) only when [[dispatchFresh]] says appends
+    * have outgrown the measured snapshot. The signature path probes the
+    * INDEX (zero corpus-side work — [[probe]]); the exact path is
+    * [[Dedup.ngramJaccardAgainst]] over the corpus text (the index stores
+    * signatures, not text). Emits (new_id, corpus_id, score, method);
+    * DispatchProps pins output ≡ the session-memory dispatcher given the
+    * same decision.
+    */
+  def nearDupAgainstAuto(spark: SparkSession, newDf: DataFrame,
+      corpus: DataFrame, textCol: String, ref: Ref, threshold: Double,
+      reprobeFactor: Double = 2.0): DataFrame = {
+    val d = readDispatch(spark, ref) match {
+      case Some((d0, appended)) if dispatchFresh(d0, appended, reprobeFactor) =>
+        d0
+      case _ =>
+        val probed = Dedup.dupDispatchStats(corpus, ref.idCol, textCol,
+          ref.k, threshold)
+        saveDispatch(spark, ref, probed)
+        probed
+    }
+    if (d.useSignature)
+      probe(spark, newDf, textCol, ref, threshold)
+        .withColumnRenamed("est_jaccard", "score")
+        .withColumn("method", lit("minhash_sig_index"))
+    else
+      Dedup.ngramJaccardAgainst(newDf, corpus, ref.idCol, textCol,
+          ref.k, threshold)
+        .withColumnRenamed("jaccard", "score")
+        .withColumn("method", lit("exact_join"))
+  }
+
   /** Near-dup the batch AGAINST the persisted index: batch signatures
     * build per call (the batch is the bounded side by contract), band
     * buckets equi-join the bucketed index table, candidates rescore

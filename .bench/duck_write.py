@@ -1,0 +1,40 @@
+"""Write-symmetric DuckDB twin: COPY (<oracle sql>) TO '<tmp>.parquet',
+warm min-of-3 - the DuckDB side of the write_bench methodology
+(BENCH_HEADLINE_SF10.json, graft.WriteBench). Driver-side tooling; the
+engine never depends on it.
+
+Usage: duck_write.py <sfdir> <oracle_sql.json> [query ...]
+(default queries = the 8 BASELINE.md headline rows)
+"""
+import duckdb, json, sys, time, tempfile, os
+
+sfdir = sys.argv[1]
+oracle = json.load(open(sys.argv[2]))
+names = sys.argv[3:] or [
+    "q_merge_upsert", "q_direct_copy", "q_source_filter",
+    "q_agg_grouping", "q_force_distinct", "q_fk_lookup",
+    "q_concat_columns", "q_pipeline_chain"]
+con = duckdb.connect()
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    try:  # some sf dirs carry only the relational tables
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sfdir}/{t}.parquet')")
+    except duckdb.IOException:
+        pass
+tmp = tempfile.mkdtemp(prefix="duck_wb_")
+out = {}
+for n in names:
+    dest = os.path.join(tmp, n + ".parquet")
+    copy = f"COPY ({oracle[n]}) TO '{dest}' (FORMAT PARQUET)"
+    con.execute(copy)  # warm
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        con.execute(copy)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    out[n] = round(best, 4)
+    print(n, out[n], flush=True)
+print(json.dumps({"sf": sfdir, "mode": "copy_parquet", "duckdb": out,
+                  "sum": round(sum(out.values()), 4)}))

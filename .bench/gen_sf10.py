@@ -1,10 +1,11 @@
 """Generate the sf10 HEADLINE scaling point: 10x structure-preserving
 replication of .bench/sf1 (itself 10x of the driver's sf0.1), relational
-tables only - the 8 BASELINE.md headline rows touch region/nation/
-customer/supplier/part/orders/lineitem and nothing else, so documents/
-embeddings/events are not generated (a third decade for the text/vector
-operators would be dup-explosion-by-construction without content
-rewriting, and the headline contract is the reference-shaped core).
+tables plus documents (r14: the write-symmetric extension rows
+q_ngram_jaccard / q_minhash_neardup need a third text decade).
+documents reuses gen_sf1's content-rewriting decorrelation one decade
+up (every space -> '_d{c} ' per copy), so cross-copy shingle sets are
+disjoint and the dup structure per copy is preserved - no
+dup-explosion-by-construction. embeddings/events stay ungenerated.
 Same key-offset scheme as gen_sf1.py one decade up: copy c shifts every
 intra-fact key by c*1e10 (sf1 keys top out below 1e10), so each copy is
 an independent consistent sub-database. Deterministic, no randomness.
@@ -24,6 +25,7 @@ SPEC = {
     'part':      (10, ['p_partkey']),
     'orders':    (10, ['o_orderkey', 'o_custkey']),
     'lineitem':  (10, ['l_orderkey', 'l_partkey', 'l_suppkey']),
+    'documents': (10, ['doc_id']),
 }
 
 con = duckdb.connect()
@@ -44,6 +46,9 @@ for t, (copies, keys) in SPEC.items():
                 exprs.append(
                     f"'Customer#' || lpad(CAST(c_custkey + {c * OFF} AS VARCHAR),"
                     f" 14, '0') AS c_name")
+            elif t == 'documents' and col == 'text' and c > 0:
+                exprs.append(
+                    f"regexp_replace(text, ' ', '_d{c} ', 'g') || '_d{c}' AS text")
             else:
                 exprs.append(col)
         selects.append("SELECT " + ", ".join(exprs) +

@@ -522,6 +522,14 @@ object SparkEntry {
 
   /** `q_kcore`'s co-purchase edge fixture, shared with the convergence
     * probe (see [[ccFixtureEdges]]).
+    *
+    * HEADROOM NOTE (r13 verdict #4): at sf0.01 the peel reaches its
+    * fixpoint in round 5 of the rounds=6 cap — converged, green, but
+    * only ONE round of headroom at the smallest point. The cap is
+    * deliberately part of `q_kcore`'s oracle contract (the oracle
+    * unrolls the same fixed recurrence), so only NON-convergence flags
+    * in BENCH_SCALING; anyone tightening rounds below 6 will start
+    * flagging the smallest scale point first. Don't.
     */
   def kcoreFixtureEdges(s: SparkSession, dir: String): DataFrame = {
     val li = read(s, dir, "lineitem")
@@ -958,6 +966,28 @@ object SparkEntry {
       }
       ext.LshIndex.probe(s, docs.filter(col("doc_id") % 2 === 0), "text",
         ref, threshold = 0.5)
+    },
+
+    // the INDEX-UNIFIED dispatcher (r14): the dispatch decision lives in
+    // a metadata row beside the LSH index tables — probed and persisted
+    // on first use, reused across sessions/batches, re-probed only when
+    // appends outgrow the measured snapshot (LshIndex.dispatchFresh).
+    // The sf corpus is mid-regime → exact_join, which the oracle
+    // replays; Round14Spec pins output ≡ the session-memory dispatcher
+    // given the same decision, and the signature branch ≡ LshIndex.probe
+    "q_lsh_index_auto" -> { (s, dir) =>
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 300)
+      val corpus = docs.filter(col("doc_id") % 2 === 1)
+      val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val name = "lshidxau_hl_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_b" + buckets
+      val ref = ext.LshIndex.Ref(name, "doc_id", buckets,
+        k = 3, numHashes = 32, bands = 8, portable = true)
+      if (!ext.LshIndex.exists(s, ref))
+        ext.LshIndex.build(s, corpus, "doc_id", "text", name, buckets,
+          k = 3, numHashes = 32, bands = 8, portable = true)
+      ext.LshIndex.nearDupAgainstAuto(s, docs.filter(col("doc_id") % 2 === 0),
+        corpus, "text", ref, threshold = 0.5)
     },
 
     // record linkage: Jaro-Winkler rescoring over an EXPLICIT bounded
@@ -4796,6 +4826,34 @@ object SparkEntry {
     // append-built index reaches the identical final state, so the probe
     // shares the SQL verbatim (the append law is Round14Spec's)
     "q_lsh_index_append" -> minhashAgainstOracleSql,
+    // index-unified dispatcher: the persisted decision on the sf corpus
+    // is exact_join, so the oracle is the exact cross-frame shingle join
+    // over the q_lsh_index fixture/split with the dispatcher contract
+    "q_lsh_index_auto" ->
+      """WITH nd AS (SELECT doc_id, string_split(text, ' ') AS w
+        |            FROM documents WHERE doc_id < 300 AND doc_id % 2 = 0),
+        |cd AS (SELECT doc_id, string_split(text, ' ') AS w
+        |       FROM documents WHERE doc_id < 300 AND doc_id % 2 = 1),
+        |ash AS (SELECT DISTINCT doc_id,
+        |          w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |        FROM (SELECT doc_id, w,
+        |                unnest(range(greatest(len(w) - 2, 0))) AS i FROM nd)),
+        |bsh AS (SELECT DISTINCT doc_id,
+        |          w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |        FROM (SELECT doc_id, w,
+        |                unnest(range(greatest(len(w) - 2, 0))) AS i FROM cd)),
+        |na AS (SELECT doc_id, COUNT(*) AS n FROM ash GROUP BY doc_id),
+        |nb AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+        |             COUNT(*) AS ic
+        |      FROM ash a JOIN bsh b ON a.shingle = b.shingle
+        |      GROUP BY 1, 2)
+        |SELECT new_id, corpus_id,
+        |       CAST(ic AS DOUBLE) / CAST(x.n + y.n - ic AS DOUBLE) AS score,
+        |       'exact_join' AS method
+        |FROM p JOIN na x ON x.doc_id = new_id
+        |       JOIN nb y ON y.doc_id = corpus_id
+        |WHERE CAST(ic AS DOUBLE) / CAST(x.n + y.n - ic AS DOUBLE) >= 0.5""".stripMargin,
 
     // self-join LSH near-dup over the FULL corpus: affine portable family
     // (one md5 per shingle, (a_i·h + b_i) mod 2^61−1 re-mixes with plan-

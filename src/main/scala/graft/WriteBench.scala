@@ -13,6 +13,24 @@ import org.apache.spark.sql.SparkSession
   *
   * `runMain graft.WriteBench <q1>[,<q2>,…] [sfDir] [reps]` — warmup
   * pass, then `reps` timed passes, min per query, one JSON line.
+  *
+  * WRITE-FLOOR WORK (r14): the measured floor decomposition
+  * (BASELINE.md "write floor") shows Spark's ~0.25 s/write floor is
+  * WRITER TASK/FILE COUNT, not the commit protocol: a 10-row write
+  * costs 0.262 s from 32 input partitions and 0.135 s from one (the
+  * bare job floor is ~0.12 s; committer algorithm v2 and summary-off
+  * together shave only ~12%). So:
+  *   - the session always runs committer algorithm v2 + no parquet
+  *     summary files (strictly less commit work, output-identical);
+  *   - `SPARK_GRAFT_WRITEMODE=rebalance` applies [[OptimizedWrite]] —
+  *     the Delta/Iceberg "optimized writes" pattern: an AQE-sized
+  *     rebalance shuffle before the write so file count tracks OUTPUT
+  *     size (small results → 1 file like DuckDB's COPY, large results →
+  *     advisory-sized files) instead of input split count;
+  *   - the emitted line carries `write_floor_sec` (min-of-3 one-row
+  *     one-partition write in the same warmed session): the per-write
+  *     commit+job cost, so readers can decompose every row into
+  *     commit-vs-data seconds.
   */
 object WriteBench {
   def main(args: Array[String]): Unit = {
@@ -21,30 +39,50 @@ object WriteBench {
       .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val reps = args.drop(2).headOption.map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val rebalance = sys.env.get("SPARK_GRAFT_WRITEMODE").contains("rebalance")
     val out = java.nio.file.Files.createTempDirectory("graft-writebench")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.periodicGC.interval", "30s")
-      .getOrCreate()
+      // commit-floor cuts (r14, measurement-neutral to the data path):
+      // v2 task commits rename straight to the destination, and parquet
+      // summary files are pure extra commit I/O
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.parquet.summary.metadata.level", "NONE")
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def run(name: String): Double = {
+      val df0 = SparkEntry.queries(name)(spark, sfDir)
+      val df = if (rebalance) OptimizedWrite(df0) else df0
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache(); System.gc()
       dt
     }
     names.foreach(run) // warmup
     val ts = names.map(n => n -> (1 to reps).map(_ => run(n)).min)
+    // per-write commit+job floor in this same warmed session: the
+    // cheapest possible committed write (one row, one writer task)
+    val wf = (1 to 3).map { i =>
+      val t0 = System.nanoTime()
+      spark.range(1).coalesce(1).write.mode("overwrite")
+        .parquet(s"$out/__floor$i.parquet")
+      (System.nanoTime() - t0) / 1e9
+    }.min
     def num(d: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     println(ts.map { case (n, t) => s""""$n":${num(t)}""" }
-      .mkString("""{"metric":"write_bench","sf":"""" + sfDir + """","queries":{""",
+      .mkString("""{"metric":"write_bench","sf":"""" + sfDir +
+        s"""","mode":"${if (rebalance) "rebalance" else "plain"}",""" +
+        s""""write_floor_sec":${num(wf)},"queries":{""",
         ",", s"""},"sum":${num(ts.map(_._2).sum)}}"""))
     spark.stop()
   }

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Optimized writes — the Delta/Iceberg "optimizeWrite" pattern as a
+  * plain-Spark utility: insert an AQE-sized REBALANCE shuffle in front
+  * of a write so the writer-task count (= output file count) tracks the
+  * RESULT's size, not the input's split count.
+  *
+  * Why it matters (measured, BASELINE.md "write floor"): Spark's
+  * per-write floor is dominated by writer tasks × per-file commit cost —
+  * a 10-row result written from 32 input partitions costs 0.26 s vs
+  * 0.135 s from one; a scan-shaped query over a 100-split table would
+  * write 100 near-empty files for a tiny filtered result. The rebalance
+  * hint lets AQE coalesce the pre-write exchange to
+  * `spark.sql.adaptive.advisoryPartitionSizeInBytes` (64 MB default):
+  * small results become one file (what an in-process engine's COPY
+  * produces), large results become advisory-sized files — the layout a
+  * downstream 100 TB scan wants anyway (no small-file explosion on the
+  * lakehouse, fewer footers to read).
+  *
+  * The trade is one extra exchange of the OUTPUT bytes, paid only when
+  * the plan doesn't already end in a shuffle AQE could size (aggregates
+  * and joins already do; scans and maps don't). Use it on writes whose
+  * results are much smaller than their inputs or whose downstream is
+  * file-count-sensitive; skip it when the write is a straight
+  * full-volume copy whose input partitioning is already right.
+  */
+object OptimizedWrite {
+  def apply(df: DataFrame): DataFrame = df.hint("rebalance")
+}

@@ -158,6 +158,23 @@ class Round14Spec extends AnyFunSuite {
     assert(got.filter(col("n_id") >= 160).count() > 0)
   }
 
+  // --- optimized writes ---
+
+  test("OptimizedWrite: small result writes ONE file regardless of input partitioning") {
+    val out = java.nio.file.Files.createTempDirectory("r14ow").toString
+    val tiny = spark.range(0, 10, 1, 16).toDF("x") // 16 input partitions
+    def files(p: String) = new java.io.File(p).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    tiny.write.mode("overwrite").parquet(s"$out/plain")
+    OptimizedWrite(tiny).write.mode("overwrite").parquet(s"$out/opt")
+    assert(files(s"$out/plain") > 1,  "fixture not exercising the problem")
+    assert(files(s"$out/opt") === 1,
+      "AQE rebalance should coalesce a tiny result to one writer task")
+    // and the data survives the rebalance untouched
+    assert(spark.read.parquet(s"$out/opt").collect().map(_.getLong(0)).sorted
+      === (0L until 10L).toArray)
+  }
+
   // --- persisted dispatch ---
 
   test("dispatch row round-trips; append advances appended_docs; freshness boundary") {

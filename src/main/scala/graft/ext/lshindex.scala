@@ -97,6 +97,14 @@ object LshIndex {
     * If a dispatch row is persisted ([[saveDispatch]]), its
     * `appended_docs` counter advances by the batch's signed-doc count so
     * staleness is measurable ([[readDispatch]] / re-probe semantics).
+    *
+    * Visibility: the appending session self-invalidates its relation
+    * cache (saveAsTable refreshes), but OTHER sessions that already
+    * resolved the index tables hold their own cached file listings —
+    * standard Spark semantics for externally-mutated tables. A
+    * long-lived reader session calls
+    * `spark.catalog.refreshTable("graft_<table>")` after a foreign
+    * append (foreachBatch clones count as foreign to their parent).
     */
   def append(spark: SparkSession, batch: DataFrame, textCol: String,
       ref: Ref): Unit = {

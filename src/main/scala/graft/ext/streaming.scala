@@ -411,6 +411,57 @@ object EventStream {
       }
       .trigger(Trigger.AvailableNow())
 
+  /** Continuous-ingestion dedup loop — the [[LshIndex]] lifecycle
+    * (build once → probe per batch → append survivors) wired into a
+    * Structured Streaming sink, i.e. the shape a 100 TB crawl pipeline
+    * actually runs. Per micro-batch:
+    *
+    *   1. exact-id dedup within the batch;
+    *   2. in-batch near-dups (same hash family/params as the index):
+    *      drop every doc with a LOWER-id near-dup in its own batch —
+    *      the [[Dedup.semanticDedup]] min-id rule, deterministic
+    *      regardless of partitioning;
+    *   3. probe the PERSISTENT index: drop every doc with a near-dup in
+    *      the accumulated corpus (zero corpus-side exchanges — the
+    *      index tables are pre-bucketed on their join keys);
+    *   4. [[LshIndex.append]] the admitted docs (cost ∝ batch), so the
+    *      NEXT batch's probe sees them — cross-batch dups need no extra
+    *      state: micro-batches serialize, the index IS the state;
+    *   5. hand the admitted rows to `write`.
+    *
+    * The admitted frame is materialized (`localCheckpoint`) BEFORE the
+    * append: the probe plan reads the very tables the append mutates,
+    * and a lazy re-evaluation after the append would see the batch's
+    * own rows in the index and drop everything as self-duplicate.
+    *
+    * Law (Round14Spec): draining docs through this sink leaves the
+    * index holding exactly initialCorpus ∪ admitted, no admitted doc
+    * has an LSH match against the corpus-at-its-admission-time, and a
+    * doc admitted in batch N blocks its near-dups in batch N+1.
+    */
+  def dedupIngestSink(docs: DataFrame, textCol: String,
+      ref: graft.ext.LshIndex.Ref, threshold: Double,
+      write: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.dropDuplicates(ref.idCol).localCheckpoint()
+        val inBatchLosers = Dedup.minHashNearDupPairs(b, ref.idCol, textCol,
+            ref.k, ref.numHashes, ref.bands, threshold, ref.portable)
+          .select(col("b_id").alias(ref.idCol)) // b_id = the larger id
+        val vsCorpus = graft.ext.LshIndex.probe(spark, b, textCol, ref,
+            threshold)
+          .select(col("new_id").alias(ref.idCol))
+        val admitted = b.join(
+            inBatchLosers.unionByName(vsCorpus).distinct(),
+            Seq(ref.idCol), "left_anti")
+          .localCheckpoint() // MUST materialize before the index mutates
+        graft.ext.LshIndex.append(spark, admitted, textCol, ref)
+        write(admitted)
+      }
+      .trigger(Trigger.AvailableNow())
+
   /** Streaming upsert sink: each micro-batch MERGEs into the destination
     * via the engine's upsert (the reference's `OUTPUT $action` changelog
     * becomes the per-batch `_action` audit, passed to `onBatch`).

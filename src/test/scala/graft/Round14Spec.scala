@@ -158,6 +158,56 @@ class Round14Spec extends AnyFunSuite {
     assert(got.filter(col("n_id") >= 160).count() > 0)
   }
 
+  // --- streaming ingestion over the appendable index ---
+
+  test("dedupIngestSink: probe → admit → append loop; batch-N admits block batch-N+1 dups") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def doc(cluster: Int, tail: String) =
+      ((0 until 12).map(p => s"g${cluster}_$p") :+ tail).mkString(" ")
+    // corpus: clusters 0..9, one doc each
+    val corpus = (0 until 10).map(i => (i.toLong, doc(i, "yy")))
+      .toDF("doc_id", "text")
+    val ref = ext.LshIndex.build(spark, corpus, "doc_id", "text",
+      name = "r14ingest", buckets = 4, k = 3, numHashes = 32, bands = 8)
+
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("r14ingest").toString
+    def drain(): Unit = {
+      val q = ext.EventStream.dedupIngestSink(
+          mem.toDF().toDF("doc_id", "text"), "text", ref, threshold = 0.5,
+          write = b => admitted ++= b.select("doc_id").collect().map(_.getLong(0)))
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination() // AvailableNow: stops after draining new data
+    }
+    // batch 1: 100 near-dups corpus cluster 0 (dropped via index probe),
+    // 102 fresh (admitted), 104/106 near-dup EACH OTHER (min-id 104
+    // admitted, 106 dropped by the in-batch rule)
+    mem.addData(Seq(
+      (100L, doc(0, "xx")), (102L, doc(50, "xx")),
+      (104L, doc(60, "xx")), (106L, doc(60, "zz"))))
+    drain()
+    assert(admitted.toSet === Set(102L, 104L))
+    // batch 2: 200 near-dups doc 102 — admitted LAST batch, visible only
+    // through the appended index; 202 fresh
+    mem.addData(Seq((200L, doc(50, "qq")), (202L, doc(70, "xx"))))
+    drain()
+    assert(admitted.toSet === Set(102L, 104L, 202L))
+    // the index holds exactly corpus ∪ admitted. The appends ran through
+    // foreachBatch's CLONED sessions, so this outer session's relation
+    // cache still holds the pre-append file listing — refresh first (the
+    // documented cross-session visibility rule; mid-stream probes ran in
+    // fresh clones and needed nothing, which is why batch-2 blocking
+    // worked)
+    spark.catalog.refreshTable(s"graft_${ref.sigsTable}")
+    val ids = spark.table(s"graft_${ref.sigsTable}")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === (0L until 10L).toSet ++ Set(102L, 104L, 202L))
+  }
+
   // --- optimized writes ---
 
   test("OptimizedWrite: small result writes ONE file regardless of input partitioning") {

@@ -990,6 +990,32 @@ object SparkEntry {
         corpus, "text", ref, threshold = 0.5)
     },
 
+    // the FULL ingestion loop, oracled end-to-end: corpus indexed, then
+    // two sequential batch installments through LshIndex.ingestBatch
+    // (exact-id dedup → in-batch min-id near-dup rule → index probe →
+    // append admitted). Batch 2's probe sees batch 1's admits through
+    // the GROWN index — the cross-installment semantics the oracle
+    // replays in SQL (portable md5 family throughout). The index is
+    // REBUILT unconditionally per call: the loop mutates it, so an
+    // exists-guard would compound appends across bench passes.
+    "q_dedup_ingest_loop" -> { (s, dir) =>
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 600)
+      val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val name = "ingestloop_hl_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_b" + buckets
+      val ref = ext.LshIndex.build(s,
+        docs.filter(col("doc_id") % 5 =!= 3 && col("doc_id") % 5 =!= 4),
+        "doc_id", "text", name, buckets,
+        k = 3, numHashes = 32, bands = 8, portable = true)
+      val a1 = ext.LshIndex.ingestBatch(s,
+          docs.filter(col("doc_id") % 5 === 3), "text", ref, threshold = 0.5)
+        .select(col("doc_id"), lit(1).alias("batch"))
+      val a2 = ext.LshIndex.ingestBatch(s,
+          docs.filter(col("doc_id") % 5 === 4), "text", ref, threshold = 0.5)
+        .select(col("doc_id"), lit(2).alias("batch"))
+      a1.unionByName(a2)
+    },
+
     // record linkage: Jaro-Winkler rescoring over an EXPLICIT bounded
     // candidate frame (candidate generation is a separate blocking
     // concern — maxSimScore doctrine); native codegen expression, matches
@@ -4826,6 +4852,65 @@ object SparkEntry {
     // append-built index reaches the identical final state, so the probe
     // shares the SQL verbatim (the append law is Round14Spec's)
     "q_lsh_index_append" -> minhashAgainstOracleSql,
+    // the two-installment ingestion loop: one shared signature/band CTE
+    // (portable md5 family), `matches` = every near-dup pair among the
+    // fixture docs, then the loop's set algebra — batch-1 losers (min-id
+    // rule) and corpus hits leave adm1; the index grows to c0 ∪ adm1;
+    // batch 2 repeats against the grown index. Replays ingestBatch's
+    // semantics exactly, cross-installment blocking included
+    "q_dedup_ingest_loop" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents WHERE doc_id < 600),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |       FROM (SELECT doc_id, w,
+        |               unnest(range(greatest(len(w) - 2, 0))) AS i FROM d)),
+        |g AS (SELECT doc_id, i,
+        |        CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 12)
+        |             AS BIGINT) AS hv
+        |      FROM sh CROSS JOIN range(32) r(i)),
+        |sig AS (SELECT doc_id, i, MIN(hv) AS mh FROM g GROUP BY doc_id, i),
+        |bk AS (SELECT doc_id, i // 4 AS band,
+        |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+        |       FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS x_id, b.doc_id AS y_id
+        |         FROM bk a JOIN bk b
+        |           ON a.band = b.band AND a.bucket = b.bucket
+        |          AND a.doc_id < b.doc_id),
+        |matches AS (SELECT c.x_id, c.y_id FROM cand c
+        |            JOIN sig sa ON sa.doc_id = c.x_id
+        |            JOIN sig sb ON sb.doc_id = c.y_id AND sb.i = sa.i
+        |            GROUP BY c.x_id, c.y_id
+        |            HAVING CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+        |                        AS DOUBLE) / 32 >= 0.5),
+        |b1 AS (SELECT doc_id FROM d WHERE doc_id % 5 = 3),
+        |b2 AS (SELECT doc_id FROM d WHERE doc_id % 5 = 4),
+        |c0 AS (SELECT doc_id FROM d WHERE doc_id % 5 NOT IN (3, 4)),
+        |loser1 AS (SELECT DISTINCT y_id AS doc_id FROM matches
+        |           WHERE x_id % 5 = 3 AND y_id % 5 = 3),
+        |hit1 AS (SELECT DISTINCT CASE WHEN x_id % 5 = 3 THEN x_id ELSE y_id END
+        |           AS doc_id
+        |         FROM matches
+        |         WHERE (x_id % 5 = 3 AND y_id IN (SELECT doc_id FROM c0))
+        |            OR (y_id % 5 = 3 AND x_id IN (SELECT doc_id FROM c0))),
+        |adm1 AS (SELECT doc_id FROM b1
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM loser1)
+        |           AND doc_id NOT IN (SELECT doc_id FROM hit1)),
+        |idx1 AS (SELECT doc_id FROM c0 UNION ALL SELECT doc_id FROM adm1),
+        |loser2 AS (SELECT DISTINCT y_id AS doc_id FROM matches
+        |           WHERE x_id % 5 = 4 AND y_id % 5 = 4),
+        |hit2 AS (SELECT DISTINCT CASE WHEN x_id % 5 = 4 THEN x_id ELSE y_id END
+        |           AS doc_id
+        |         FROM matches
+        |         WHERE (x_id % 5 = 4 AND y_id IN (SELECT doc_id FROM idx1))
+        |            OR (y_id % 5 = 4 AND x_id IN (SELECT doc_id FROM idx1))),
+        |adm2 AS (SELECT doc_id FROM b2
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM loser2)
+        |           AND doc_id NOT IN (SELECT doc_id FROM hit2))
+        |SELECT doc_id, 1 AS batch FROM adm1
+        |UNION ALL
+        |SELECT doc_id, 2 AS batch FROM adm2""".stripMargin,
+
     // index-unified dispatcher: the persisted decision on the sf corpus
     // is exact_join, so the oracle is the exact cross-frame shingle join
     // over the q_lsh_index fixture/split with the dispatcher contract

@@ -107,11 +107,18 @@ object LshIndex {
     * append (foreachBatch clones count as foreign to their parent).
     */
   def append(spark: SparkSession, batch: DataFrame, textCol: String,
-      ref: Ref): Unit = {
+      ref: Ref): Unit =
+    appendSigs(spark, ref,
+      sigsOf(batch, ref.idCol, textCol, ref.k, ref.numHashes, ref.portable))
+
+  /** [[append]] from ALREADY-COMPUTED signatures — the path
+    * [[ingestBatch]] takes so a batch is signed exactly once for its
+    * in-batch pairs, its index probe AND its append.
+    */
+  private def appendSigs(spark: SparkSession, ref: Ref,
+      sigs: DataFrame): Unit = {
     require(exists(spark, ref), s"LshIndex ${ref.name} not built")
     val cat = catalogFor(spark, ref)
-    val sigs = sigsOf(batch, ref.idCol, textCol, ref.k, ref.numHashes,
-      ref.portable)
     cat.append(ref.sigsTable, sigs)
     cat.append(ref.bucketsTable,
       bucketsOf(sigs, ref.idCol, ref.bands, ref.numHashes, ref.portable))
@@ -122,6 +129,64 @@ object LshIndex {
       cat.write(metaTable(ref),
         m.withColumn("appended_docs", col("appended_docs") + lit(n)))
     }
+  }
+
+  /** ONE cycle of the continuous-ingestion dedup loop — the body
+    * [[EventStream.dedupIngestSink]] runs per micro-batch, callable
+    * directly for batch-mode installments (backfills, replays, the
+    * oracle lane):
+    *
+    *   1. exact-id dedup within the batch;
+    *   2. in-batch near-dups, same hash family/params as the index:
+    *      drop every doc with a LOWER-id near-dup in its own batch;
+    *   3. probe the index: drop every doc with a corpus near-dup;
+    *   4. [[append]] the admitted docs so the next cycle sees them.
+    *
+    * Returns the admitted rows. EAGER by construction: the admitted
+    * frame is materialized (`localCheckpoint`) BEFORE the append,
+    * because its probe plan reads the very tables the append mutates —
+    * and eagerness is what makes two sequential calls compose (call 2's
+    * probe must see call 1's appends).
+    */
+  def ingestBatch(spark: SparkSession, batch: DataFrame, textCol: String,
+      ref: Ref, threshold: Double): DataFrame = {
+    val b = batch.dropDuplicates(ref.idCol).localCheckpoint()
+    // sign ONCE, in the INDEX's hash family: in-batch pairs, the index
+    // probe and the append all derive from these signatures. Using a
+    // different signature family for the in-batch rule (e.g. the
+    // affine-portable family [[Dedup.minHashNearDupPairs]] uses) would
+    // make in-batch and vs-corpus verdicts disagree near the threshold —
+    // estimates are family-dependent — and break the single-SQL-replay
+    // oracle (caught live: q_dedup_ingest_loop doc 239).
+    val sn = sigsOf(b, ref.idCol, textCol, ref.k, ref.numHashes,
+      ref.portable).localCheckpoint()
+    val bn = bucketsOf(sn, ref.idCol, ref.bands, ref.numHashes, ref.portable)
+    // in-batch near-dups under the min-id rule: candidates share a band
+    // bucket within the batch, rescore = signature agreement, the larger
+    // id of every qualifying pair is the loser
+    val bx = bn.select(col(ref.idCol).alias("a_id"),
+      col("band"), col("bucket"))
+    val by = bn.select(col(ref.idCol).alias("b_id"),
+      col("band"), col("bucket"))
+    val inBatchLosers = bx.join(by, Seq("band", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .join(sn.select(col(ref.idCol).alias("a_id"),
+        col("signature").alias("sa")), "a_id")
+      .join(sn.select(col(ref.idCol).alias("b_id"),
+        col("signature").alias("sb")), "b_id")
+      .filter(expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))")
+        .cast("double") / size(col("sa")).cast("double") >= threshold)
+      .select(col("b_id").alias(ref.idCol))
+    val vsCorpus = probeSigs(spark, ref, sn, bn, threshold)
+      .select(col("new_id").alias(ref.idCol))
+    val admitted = b.join(
+        inBatchLosers.unionByName(vsCorpus).distinct(),
+        Seq(ref.idCol), "left_anti")
+      .localCheckpoint() // MUST materialize before the index mutates
+    appendSigs(spark, ref,
+      sn.join(admitted.select(ref.idCol), Seq(ref.idCol), "left_semi"))
+    admitted
   }
 
   // ------------------------------------------------- persisted dispatch
@@ -217,14 +282,25 @@ object LshIndex {
     */
   def probe(spark: SparkSession, newDf: DataFrame, textCol: String,
       ref: Ref, threshold: Double): DataFrame = {
+    val sn = sigsOf(newDf, ref.idCol, textCol, ref.k, ref.numHashes,
+      ref.portable)
+    probeSigs(spark, ref, sn,
+      bucketsOf(sn, ref.idCol, ref.bands, ref.numHashes, ref.portable),
+      threshold)
+  }
+
+  /** [[probe]] from already-computed batch signatures/buckets (the
+    * [[ingestBatch]] path — one signing per batch, shared by in-batch
+    * pairs, probe and append).
+    */
+  private def probeSigs(spark: SparkSession, ref: Ref, sn: DataFrame,
+      bn0: DataFrame, threshold: Double): DataFrame = {
     val cat = catalogFor(spark, ref)
     val idxB = cat.read(ref.bucketsTable)
       .select(col(ref.idCol).alias("corpus_id"), col("band"), col("bucket"))
     val idxS = cat.read(ref.sigsTable)
       .select(col(ref.idCol).alias("corpus_id"), col("signature").alias("sb"))
-    val sn = sigsOf(newDf, ref.idCol, textCol, ref.k, ref.numHashes,
-      ref.portable)
-    val bn = bucketsOf(sn, ref.idCol, ref.bands, ref.numHashes, ref.portable)
+    val bn = bn0
       .select(col(ref.idCol).alias("new_id"), col("band"), col("bucket"))
     val cand = bn.join(idxB, Seq("band", "bucket"))
       .select("new_id", "corpus_id").distinct()

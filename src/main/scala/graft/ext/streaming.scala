@@ -445,20 +445,8 @@ object EventStream {
     docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val b = batch.dropDuplicates(ref.idCol).localCheckpoint()
-        val inBatchLosers = Dedup.minHashNearDupPairs(b, ref.idCol, textCol,
-            ref.k, ref.numHashes, ref.bands, threshold, ref.portable)
-          .select(col("b_id").alias(ref.idCol)) // b_id = the larger id
-        val vsCorpus = graft.ext.LshIndex.probe(spark, b, textCol, ref,
-            threshold)
-          .select(col("new_id").alias(ref.idCol))
-        val admitted = b.join(
-            inBatchLosers.unionByName(vsCorpus).distinct(),
-            Seq(ref.idCol), "left_anti")
-          .localCheckpoint() // MUST materialize before the index mutates
-        graft.ext.LshIndex.append(spark, admitted, textCol, ref)
-        write(admitted)
+        write(graft.ext.LshIndex.ingestBatch(batch.sparkSession, batch,
+          textCol, ref, threshold))
       }
       .trigger(Trigger.AvailableNow())
 

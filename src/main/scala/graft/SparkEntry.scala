@@ -998,9 +998,26 @@ object SparkEntry {
     // replays in SQL (portable md5 family throughout). The index is
     // REBUILT unconditionally per call: the loop mutates it, so an
     // exists-guard would compound appends across bench passes.
+    //
+    // BENCH NOTE: this row prices TRANSACTION CADENCE, not data — per
+    // call it is ~11 sequential barriers (index build = 2 bucketed
+    // swap-writes + a read-back; 2 × ingestBatch = batch pin, admitted
+    // materialization, 2 append commits each), and local-mode's
+    // 0.15–0.3 s per job/commit floor stacks them to ~6 s at ANY sf
+    // (flat in BENCH_SCALING — the fixture is capped). The per-write
+    // cost matches q_merge_into_bucketed's single-transaction row; a
+    // real deployment amortizes the same cadence over real batch
+    // volumes. The loop's operators are individually priced by
+    // q_lsh_index / q_lsh_index_append / q_minhash_neardup.
     "q_dedup_ingest_loop" -> { (s, dir) =>
       val docs = read(s, dir, "documents").filter(col("doc_id") < 600)
-      val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // bucket count sized to the FIXTURE (≤600 docs), not the session
+      // cores: this row rebuilds + appends per call (the loop mutates
+      // the index, so every pass must start from the corpus-only
+      // snapshot), and 32-bucket layouts would pay 32 files per table
+      // write for a few hundred rows — pure commit overhead. A 100 TB
+      // deployment sizes buckets to the corpus, same knob.
+      val buckets = 4
       val name = "ingestloop_hl_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
         "_b" + buckets
       val ref = ext.LshIndex.build(s,

@@ -158,8 +158,13 @@ object LshIndex {
     // make in-batch and vs-corpus verdicts disagree near the threshold —
     // estimates are family-dependent — and break the single-SQL-replay
     // oracle (caught live: q_dedup_ingest_loop doc 239).
+    // no checkpoint on sn: it is a pure function of b, and b IS pinned
+    // (dropDuplicates picks an arbitrary row per id, so an unpinned b
+    // could re-evaluate differently between the probe and the append);
+    // sn's three consumers may recompute the cheap signature lineage,
+    // each seeing identical rows
     val sn = sigsOf(b, ref.idCol, textCol, ref.k, ref.numHashes,
-      ref.portable).localCheckpoint()
+      ref.portable)
     val bn = bucketsOf(sn, ref.idCol, ref.bands, ref.numHashes, ref.portable)
     // in-batch near-dups under the min-id rule: candidates share a band
     // bucket within the batch, rescore = signature agreement, the larger

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANN recall drift under appends — the measurement behind
+  * [[ext.AnnIndex.retrainFresh]] (r14 verdict #4): [[ext.AnnIndex.append]]
+  * assigns new vectors under the FROZEN build-time quantizer (FAISS
+  * add-after-train), which is exact for layout but degrades RETRIEVAL as
+  * the appended distribution diverges from the trained one. This main
+  * measures recall@10 (IVF probe vs brute-force cosine ground truth over
+  * the same corpus, [[ext.Similarity.recallAtK]]) at four points:
+  *
+  *   - `base`: freshly built index, in-distribution queries;
+  *   - `after in-dist append`: a deterministically jittered re-keyed
+  *     slice of the corpus — the "same crawl, next day" batch;
+  *   - `after SHIFTED append`: four synthetic clusters offset into
+  *     dimension ranges the trained corpus never occupied — the
+  *     "new modality / new language" batch — measured for base queries
+  *     AND for queries drawn from the shifted clusters themselves;
+  *   - `after retrain`: [[ext.AnnIndex.retrain]] re-derives the
+  *     quantizer from the index's own persisted vectors.
+  *
+  * Each recall is reported at nProbe 1 and 4 (drift hits the small-probe
+  * regime first: a query whose true neighbors straddle a list boundary
+  * loses them when it can only open one list). List-size imbalance
+  * (max/mean over the lists table) is reported beside recall — the
+  * frozen quantizer funnels out-of-distribution mass into a few lists,
+  * which is the probe-cost symptom of drift even where recall survives.
+  * One JSON line → committed as `BENCH_ANNDRIFT.json`; the numbers set
+  * [[ext.AnnIndex.retrainFresh]]'s doc and default.
+  */
+object AnnDriftBench {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS vd")
+
+    // in-distribution batch: re-keyed corpus slice with a deterministic
+    // ±4% per-coordinate jitter (hash-driven — no RNG, replayable)
+    val ind = emb.filter(col("vec_id") >= 1000 && col("vec_id") < 1500)
+      .selectExpr("vec_id + 10000000 AS vec_id",
+        "transform(vd, (x, i) -> x * (1.0 + 0.02 * " +
+          "CAST(xxhash64(vec_id, i) % 3 AS DOUBLE))) AS vd")
+
+    // SHIFTED batch: four clusters, each offset into a 16-dim block the
+    // base corpus occupies only incidentally, base structure attenuated
+    // 0.3× — within-cluster neighborhoods survive (ground truth is
+    // nontrivial) but the region is one the quantizer never trained on
+    val avgNorm = String.format(java.util.Locale.ROOT, "%.6f", Double.box(
+      emb.select(avg(ext.Similarity.norm(col("vd")))).head().getDouble(0)))
+    val shift = emb.filter(col("vec_id") < 500)
+      .selectExpr("vec_id + 20000000 AS vec_id",
+        "transform(vd, (x, i) -> 0.3 * x + CASE WHEN i DIV 16 = " +
+          s"CAST(vec_id % 4 AS INT) THEN CAST($avgNorm AS DOUBLE) " +
+          "ELSE 0.0D END) AS vd")
+
+    val qBase  = emb.filter(col("vec_id") < 50)
+    val qInd   = ind.limit(50).localCheckpoint()
+    val qShift = shift.limit(50).localCheckpoint()
+
+    val name = "anndrift"
+    val ref = ext.AnnIndex.build(spark, emb, "vec_id", "vd", name,
+      buckets = cpus.toInt, nLists = 32)
+
+    def num(d: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+    // mean recall@10 of the index probe vs brute force over `corpus`
+    def recall(corpus: DataFrame, queries: DataFrame, nProbe: Int): Double = {
+      val approx = ext.AnnIndex.probe(spark, queries, "vd", ref,
+        k = 10, nProbe = nProbe)
+      val exact = ext.Similarity.bruteForceTopK(corpus, queries,
+        "vec_id", "vd", k = 10)
+      ext.Similarity.recallAtK(approx, exact, "q_id", "n_id")
+        .select(avg("recall")).head().getDouble(0)
+    }
+    def recalls(corpus: DataFrame, queries: DataFrame): String =
+      s"""{"np1":${num(recall(corpus, queries, 1))},""" +
+        s""""np4":${num(recall(corpus, queries, 4))}}"""
+    def imbalance(): Double = {
+      val r = spark.table(s"graft_${ref.listsTable}")
+        .groupBy("list").count()
+        .select(max("count").cast("double").alias("mx"),
+          avg("count").alias("mean")).head()
+      r.getDouble(0) / r.getDouble(1)
+    }
+
+    val c0 = emb
+    val s0 = s""""base":{"q_base":${recalls(c0, qBase)},"imbalance":${num(imbalance())}}"""
+
+    ext.AnnIndex.append(spark, ind, "vd", ref, epoch = "ind")
+    val c1 = c0.unionByName(ind)
+    val s1 = s""""after_indist_append":{"q_base":${recalls(c1, qBase)},""" +
+      s""""q_indist":${recalls(c1, qInd)}}"""
+
+    ext.AnnIndex.append(spark, shift, "vd", ref, epoch = "shift")
+    val c2 = c1.unionByName(shift)
+    val (trained, appended) = ext.AnnIndex.appendedState(spark, ref)
+    val s2 = s""""after_shift_append_FROZEN":{"q_base":${recalls(c2, qBase)},""" +
+      s""""q_shift":${recalls(c2, qShift)},"imbalance":${num(imbalance())},""" +
+      s""""trained":$trained,"appended":$appended,""" +
+      s""""retrain_fresh_f2":${ext.AnnIndex.retrainFresh(trained, appended, 2.0)},""" +
+      s""""retrain_fresh_f1_25":${ext.AnnIndex.retrainFresh(trained, appended, 1.25)}}"""
+
+    ext.AnnIndex.retrain(spark, ref)
+    val s3 = s""""after_RETRAIN":{"q_base":${recalls(c2, qBase)},""" +
+      s""""q_shift":${recalls(c2, qShift)},"imbalance":${num(imbalance())}}"""
+
+    println(s"""{"metric":"ann_drift","sf":"$dir","k":10,"n_lists":32,""" +
+      s""""note":"recall@10 of AnnIndex.probe vs bruteForceTopK over the same corpus, mean over 50 queries, at nProbe 1/4; imbalance = max/mean list size",""" +
+      s"$s0,$s1,$s2,$s3}")
+    spark.stop()
+  }
+}

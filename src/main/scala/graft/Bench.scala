@@ -184,6 +184,14 @@ object Bench {
     val priorSpread: Map[String, Double] = scala.util.Try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BENCH_SPREAD.json")), "UTF-8")
+      // the prior file must be THIS run's scale factor: cross-sf minima
+      // would both compute a meaningless lane_factor and permanently
+      // poison the rolling lane_ref (the min keeps smaller-sf rows
+      // forever) — r14 ADVICE. A mismatch reads as "no prior"
+      // (lane_factor -1, lane_ref reseeded from this run).
+      val priorSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      require(priorSf.contains(sfDir),
+        s"BENCH_SPREAD.json is for sf ${priorSf.getOrElse("?")}, not $sfDir")
       // minimal extraction, no JSON lib on the classpath: lane_ref
       // entries are "name":num, query entries are "name":[min,max]
       val ref = """"(q_\w+)":([0-9.]+)""".r

@@ -98,10 +98,47 @@ object IdxBench {
         s""""lsh":{"build":${num(mn(_._1))},"append":${num(mn(_._2))},"probe":${num(mn(_._3))}},""" +
         s""""ann":{"build":${num(mn(_._4))},"append":${num(mn(_._5))},"probe":${num(mn(_._6))}}}"""
     }
+    // COMPACTION CURVE (r15 verdict #5): each append adds one file set
+    // per bucket — bucketing survives (probe stays exchange-free) but
+    // one-file-per-bucket sortedness is gone and scan-side file count
+    // grows linearly. Measure probe latency at 1 / 8 / 32 accumulated
+    // append file-sets on the large point, then LshIndex.compact (from
+    // the PERSISTED signatures — no re-signing) and probe again: the
+    // degradation slope + the restored floor ARE the trigger policy's
+    // inputs (compact when probe latency exceeds budget).
+    val cdir = points.last._2
+    val cdocs = spark.read.parquet(s"$cdir/documents.parquet")
+    val cbatch0 = spark.read
+      .parquet(s"${points.head._2}/documents.parquet")
+      .filter(col("doc_id") < 200)
+    val cref = ext.LshIndex.build(spark, cdocs, "doc_id", "text",
+      "idxbench_compact", buckets = cpus.toInt,
+      k = 3, numHashes = 32, bands = 8)
+    val probeBatch = cbatch0.withColumn("doc_id", col("doc_id") + lit(90000000L))
+    def probeSec(): Double =
+      (1 to 2).map(_ => t {
+        ext.LshIndex.probe(spark, probeBatch, "text", cref, 0.5).count() }).min
+    var appendedSets = 0
+    val curve = Seq(1, 8, 32).map { target =>
+      while (appendedSets < target) {
+        appendedSets += 1
+        ext.LshIndex.append(spark,
+          cbatch0.withColumn("doc_id",
+            col("doc_id") + lit(10000000L + appendedSets * 1000L)),
+          "text", cref, epoch = s"c$appendedSets")
+      }
+      s""""$target":${num(probeSec())}"""
+    }
+    val compactSec = t { ext.LshIndex.compact(spark, cref) }
+    val afterCompact = probeSec()
+
     println(out.mkString(
       """{"metric":"idx_append","batch_docs":200,"batch_vecs":200,""" +
         """"note":"fixed batch at every point; append/probe must stay ~flat across decades while build grows with the corpus",""",
-      ",", "}"))
+      ",",
+      s""","lsh_compaction":{"dir":"$cdir","probe_sec_at_append_filesets":{${curve.mkString(",")}},""" +
+        s""""compact_sec":${num(compactSec)},"probe_sec_after_compact":${num(afterCompact)},""" +
+        """"note":"probe min-of-2 after N appended file-sets per bucket; compact rebuilds from persisted sigs (never re-signs text) and restores one-file-per-bucket"}}"""))
     spark.stop()
   }
 }

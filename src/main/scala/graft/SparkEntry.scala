@@ -613,6 +613,39 @@ object SparkEntry {
       |           FROM scored)
       |SELECT q_id, n_id, sim, rnk FROM ranked WHERE rnk <= 5""".stripMargin
 
+  /** One oracle, two queries: `q_dedup_auto_against` (probe paid in-row
+    * every run) and `q_dedup_auto_against_idx` (probe paid once at index
+    * build, decision persisted — the deployment form) land on the same
+    * exact_join decision over the same snapshot and share the exact
+    * cross-frame shingle-join replay with the dispatcher's output
+    * contract.
+    */
+  private val dedupAutoAgainstOracleSql: String =
+    """WITH nd AS (SELECT doc_id, string_split(text, ' ') AS w
+      |            FROM documents WHERE doc_id % 5 = 4),
+      |cd AS (SELECT doc_id, string_split(text, ' ') AS w
+      |       FROM documents WHERE doc_id % 5 <> 4),
+      |ash AS (SELECT DISTINCT doc_id,
+      |          w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+      |        FROM (SELECT doc_id, w,
+      |                unnest(range(greatest(len(w) - 2, 0))) AS i FROM nd)),
+      |bsh AS (SELECT DISTINCT doc_id,
+      |          w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+      |        FROM (SELECT doc_id, w,
+      |                unnest(range(greatest(len(w) - 2, 0))) AS i FROM cd)),
+      |na AS (SELECT doc_id, COUNT(*) AS n FROM ash GROUP BY doc_id),
+      |nb AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY doc_id),
+      |p AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
+      |             COUNT(*) AS ic
+      |      FROM ash a JOIN bsh b ON a.shingle = b.shingle
+      |      GROUP BY 1, 2)
+      |SELECT new_id, corpus_id,
+      |       CAST(ic AS DOUBLE) / CAST(x.n + y.n - ic AS DOUBLE) AS score,
+      |       'exact_join' AS method
+      |FROM p JOIN na x ON x.doc_id = new_id
+      |       JOIN nb y ON y.doc_id = corpus_id
+      |WHERE CAST(ic AS DOUBLE) / CAST(x.n + y.n - ic AS DOUBLE) >= 0.5""".stripMargin
+
   /** `q_ann_index_append`'s oracle: [[knnIvfOracleSql]] with ONE change —
     * the centroid sample (`cent0`) draws only from the BUILD subset
     * (vec_id % 4 != 3), because append ingests the rest under the frozen
@@ -811,6 +844,38 @@ object SparkEntry {
         "doc_id", "text", k = 3, threshold = 0.5)
     },
 
+    // the DEPLOYMENT-SHAPED twin of q_dedup_auto_against (r15, closes
+    // the r14 "wrong form measured" weak badge): the dispatch probe is a
+    // property of the corpus SNAPSHOT, so it is paid ONCE — at index
+    // build, persisted beside the index tables (LshIndex.saveDispatch)
+    // — and every per-batch call reads the decision back instead of
+    // re-probing (LshIndex.nearDupAgainstAuto; re-probe only fires when
+    // appends outgrow the snapshot, dispatchFresh). Same fixture, same
+    // decision (exact_join on the sf corpora), same output contract →
+    // shares q_dedup_auto_against's oracle verbatim. The exists-guard
+    // makes warm bench passes price the per-batch form a 100 TB loop
+    // actually runs; q_dedup_auto_against stays as the labeled
+    // probe-included twin.
+    "q_dedup_auto_against_idx" -> { (s, dir) =>
+      val docs = read(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+      val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val name = "dispidx_hl_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_b" + buckets
+      val ref = ext.LshIndex.Ref(name, "doc_id", buckets,
+        k = 3, numHashes = 64, bands = 16, portable = false)
+      if (!ext.LshIndex.exists(s, ref)) {
+        ext.LshIndex.build(s, corpus, "doc_id", "text", name, buckets,
+          k = 3, numHashes = 64, bands = 16, portable = false)
+        ext.LshIndex.saveDispatch(s, ref,
+          ext.Dedup.dupDispatchStats(corpus, "doc_id", "text",
+            k = 3, threshold = 0.5))
+      }
+      ext.LshIndex.nearDupAgainstAuto(s,
+        docs.filter(col("doc_id") % 5 === 4), corpus, "text", ref,
+        threshold = 0.5)
+    },
+
     // dedup: normalized-key exact dedup — deterministic case/punct noise
     // injected, then normalizeText collapses the variants back together
     "q_dedup_normalized" -> ((s, dir) => ext.Dedup.exact(
@@ -988,6 +1053,59 @@ object SparkEntry {
           k = 3, numHashes = 32, bands = 8, portable = true)
       ext.LshIndex.nearDupAgainstAuto(s, docs.filter(col("doc_id") % 2 === 0),
         corpus, "text", ref, threshold = 0.5)
+    },
+
+    // the index COMPACTION lifecycle (r15): build half, append the rest,
+    // then LshIndex.compact folds every manifested commit back into the
+    // one-file-per-bucket `base` layout — rebuilt from the PERSISTED
+    // signature table, corpus text never re-signed (the work the index
+    // exists to avoid) — and reclaims any torn-append garbage. Final
+    // state is law-pinned ≡ build(union) (Round15Spec exact table
+    // equality), so the probe shares minhashAgainstOracleSql verbatim
+    "q_lsh_index_compact" -> { (s, dir) =>
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 300)
+      val corpus = docs.filter(col("doc_id") % 2 === 1)
+      val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val name = "lshidxcp_hl_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_b" + buckets
+      val ref = ext.LshIndex.Ref(name, "doc_id", buckets,
+        k = 3, numHashes = 32, bands = 8, portable = true)
+      if (!ext.LshIndex.exists(s, ref)) {
+        ext.LshIndex.build(s, corpus.filter(col("doc_id") < 150),
+          "doc_id", "text", name, buckets,
+          k = 3, numHashes = 32, bands = 8, portable = true)
+        ext.LshIndex.append(s, corpus.filter(col("doc_id") >= 150),
+          "text", ref)
+        ext.LshIndex.compact(s, ref)
+      }
+      ext.LshIndex.probe(s, docs.filter(col("doc_id") % 2 === 0), "text",
+        ref, threshold = 0.5)
+    },
+
+    // restart semantics, oracled (r15): one ingestBatch installment is
+    // run TWICE under the same manifest epoch — the second call is the
+    // foreachBatch-redelivery shape (crash after the append committed,
+    // before the caller consumed the admits) and takes the REPLAY path:
+    // admitted ids recovered from the committed manifest entry, index
+    // untouched. The returned frame is the REPLAY's, and the oracle is
+    // the plain single-installment loop algebra — replay ≡ the clean
+    // run is exactly the law. Rebuilt unconditionally per call (the
+    // loop mutates the index; an exists-guard would compound appends)
+    "q_dedup_ingest_replay" -> { (s, dir) =>
+      val docs = read(s, dir, "documents").filter(col("doc_id") < 300)
+      val buckets = 4 // fixture-sized, as q_dedup_ingest_loop
+      val name = "ingestrp_hl_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_b" + buckets
+      val ref = ext.LshIndex.build(s,
+        docs.filter(col("doc_id") % 5 =!= 3 && col("doc_id") % 5 =!= 4),
+        "doc_id", "text", name, buckets,
+        k = 3, numHashes = 32, bands = 8, portable = true)
+      val batch = docs.filter(col("doc_id") % 5 === 3)
+      ext.LshIndex.ingestBatch(s, batch, "text", ref, threshold = 0.5,
+        epoch = "replay_oracle")
+      ext.LshIndex.ingestBatch(s, batch, "text", ref, threshold = 0.5,
+          epoch = "replay_oracle")
+        .select("doc_id")
     },
 
     // the FULL ingestion loop, oracled end-to-end: corpus indexed, then
@@ -1311,6 +1429,33 @@ object SparkEntry {
           "embedding", name, buckets, nLists = 32)
         ext.AnnIndex.append(s, e.filter(col("vec_id") % 4 === 3),
           "embedding", ref)
+      }
+      ext.AnnIndex.probe(s,
+        read(s, dir, "embeddings").filter(col("vec_id") < 10),
+        "embedding", ref, k = 5, nProbe = 4)
+    },
+
+    // ANN RETRAIN (r15): quantizer trained on 3/4 of the corpus, the
+    // rest appended under the frozen centroids (recall drift measured in
+    // BENCH_ANNDRIFT.json), then AnnIndex.retrain derives fresh
+    // centroids from the index's own PERSISTED vectors — the source
+    // corpus is never re-read — and re-assigns everything. Law
+    // (Round15Spec): retrain(append(build(c), b)) ≡ build(c ∪ b)
+    // exactly, because the centroid sample is a deterministic function
+    // of the vector set; so the probe shares q_ann_index's full-corpus
+    // oracle (knnIvfOracleSql) verbatim
+    "q_ann_index_retrain" -> { (s, dir) =>
+      val buckets = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val name = "annidxrt_hl_" + dir.replaceAll("[^a-zA-Z0-9]", "_") +
+        "_b" + buckets
+      val ref = ext.AnnIndex.Ref(name, "vec_id", buckets, nLists = 32)
+      if (!ext.AnnIndex.exists(s, ref)) {
+        val e = read(s, dir, "embeddings")
+        ext.AnnIndex.build(s, e.filter(col("vec_id") % 4 =!= 3), "vec_id",
+          "embedding", name, buckets, nLists = 32)
+        ext.AnnIndex.append(s, e.filter(col("vec_id") % 4 === 3),
+          "embedding", ref)
+        ext.AnnIndex.retrain(s, ref)
       }
       ext.AnnIndex.probe(s,
         read(s, dir, "embeddings").filter(col("vec_id") < 10),
@@ -4798,31 +4943,12 @@ object SparkEntry {
 
     // the corpus-side probe lands exact on the sf corpus, so the oracle
     // is the exact-against replay with the dispatcher's output contract
-    "q_dedup_auto_against" ->
-      """WITH nd AS (SELECT doc_id, string_split(text, ' ') AS w
-        |            FROM documents WHERE doc_id % 5 = 4),
-        |cd AS (SELECT doc_id, string_split(text, ' ') AS w
-        |       FROM documents WHERE doc_id % 5 <> 4),
-        |ash AS (SELECT DISTINCT doc_id,
-        |          w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
-        |        FROM (SELECT doc_id, w,
-        |                unnest(range(greatest(len(w) - 2, 0))) AS i FROM nd)),
-        |bsh AS (SELECT DISTINCT doc_id,
-        |          w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
-        |        FROM (SELECT doc_id, w,
-        |                unnest(range(greatest(len(w) - 2, 0))) AS i FROM cd)),
-        |na AS (SELECT doc_id, COUNT(*) AS n FROM ash GROUP BY doc_id),
-        |nb AS (SELECT doc_id, COUNT(*) AS n FROM bsh GROUP BY doc_id),
-        |p AS (SELECT a.doc_id AS new_id, b.doc_id AS corpus_id,
-        |             COUNT(*) AS ic
-        |      FROM ash a JOIN bsh b ON a.shingle = b.shingle
-        |      GROUP BY 1, 2)
-        |SELECT new_id, corpus_id,
-        |       CAST(ic AS DOUBLE) / CAST(x.n + y.n - ic AS DOUBLE) AS score,
-        |       'exact_join' AS method
-        |FROM p JOIN na x ON x.doc_id = new_id
-        |       JOIN nb y ON y.doc_id = corpus_id
-        |WHERE CAST(ic AS DOUBLE) / CAST(x.n + y.n - ic AS DOUBLE) >= 0.5""".stripMargin,
+    "q_dedup_auto_against" -> dedupAutoAgainstOracleSql,
+
+    // the persisted-dispatch form lands on the same decision over the
+    // same snapshot (DispatchProps/Round14Spec pin the equivalence), so
+    // the exact-against replay oracles both twins
+    "q_dedup_auto_against_idx" -> dedupAutoAgainstOracleSql,
 
     // upper/concat noise, then lower + punct→space + collapse + trim —
     // identical string ops in both engines on the ASCII corpus
@@ -4869,6 +4995,50 @@ object SparkEntry {
     // append-built index reaches the identical final state, so the probe
     // shares the SQL verbatim (the append law is Round14Spec's)
     "q_lsh_index_append" -> minhashAgainstOracleSql,
+    // compaction folds the appended index back to the clean-build state
+    // (Round15Spec exact table equality), so the probe shares it too
+    "q_lsh_index_compact" -> minhashAgainstOracleSql,
+    // the REPLAY of a committed ingest epoch re-emits the clean run's
+    // admitted set (Round15Spec restart law) — the oracle is the plain
+    // single-installment loop algebra over the <300 fixture: in-batch
+    // min-id losers and corpus hits leave the admitted docs
+    "q_dedup_ingest_replay" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents WHERE doc_id < 300),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3] AS shingle
+        |       FROM (SELECT doc_id, w,
+        |               unnest(range(greatest(len(w) - 2, 0))) AS i FROM d)),
+        |g AS (SELECT doc_id, i,
+        |        CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 12)
+        |             AS BIGINT) AS hv
+        |      FROM sh CROSS JOIN range(32) r(i)),
+        |sig AS (SELECT doc_id, i, MIN(hv) AS mh FROM g GROUP BY doc_id, i),
+        |bk AS (SELECT doc_id, i // 4 AS band,
+        |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bucket
+        |       FROM sig GROUP BY doc_id, i // 4),
+        |cand AS (SELECT DISTINCT a.doc_id AS x_id, b.doc_id AS y_id
+        |         FROM bk a JOIN bk b
+        |           ON a.band = b.band AND a.bucket = b.bucket
+        |          AND a.doc_id < b.doc_id),
+        |matches AS (SELECT c.x_id, c.y_id FROM cand c
+        |            JOIN sig sa ON sa.doc_id = c.x_id
+        |            JOIN sig sb ON sb.doc_id = c.y_id AND sb.i = sa.i
+        |            GROUP BY c.x_id, c.y_id
+        |            HAVING CAST(SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+        |                        AS DOUBLE) / 32 >= 0.5),
+        |b1 AS (SELECT doc_id FROM d WHERE doc_id % 5 = 3),
+        |c0 AS (SELECT doc_id FROM d WHERE doc_id % 5 NOT IN (3, 4)),
+        |loser1 AS (SELECT DISTINCT y_id AS doc_id FROM matches
+        |           WHERE x_id % 5 = 3 AND y_id % 5 = 3),
+        |hit1 AS (SELECT DISTINCT CASE WHEN x_id % 5 = 3 THEN x_id ELSE y_id END
+        |           AS doc_id
+        |         FROM matches
+        |         WHERE (x_id % 5 = 3 AND y_id IN (SELECT doc_id FROM c0))
+        |            OR (y_id % 5 = 3 AND x_id IN (SELECT doc_id FROM c0)))
+        |SELECT doc_id FROM b1
+        |WHERE doc_id NOT IN (SELECT doc_id FROM loser1)
+        |  AND doc_id NOT IN (SELECT doc_id FROM hit1)""".stripMargin,
     // the two-installment ingestion loop: one shared signature/band CTE
     // (portable md5 family), `matches` = every near-dup pair among the
     // fixture docs, then the loop's set algebra — batch-1 losers (min-id
@@ -5762,6 +5932,10 @@ object SparkEntry {
     // on the same fixture (Round13Spec law), so the same SQL oracles both
     "q_ann_index" -> knnIvfOracleSql,
     "q_ann_index_append" -> knnIvfAppendOracleSql,
+    // retrain from the persisted vectors reproduces the full-corpus
+    // build exactly (deterministic centroid sample — Round15Spec law),
+    // so the probe shares q_ann_index's oracle verbatim
+    "q_ann_index_retrain" -> knnIvfOracleSql,
 
     // SemDeDup: same centroid sample + nearest-centroid assignment as
     // q_knn_ivf, in-cluster pairwise cosine, drop-if-lower-id-neighbor

@@ -11,13 +11,22 @@ import graft.BucketedCatalog
   * full-corpus pass per query batch that a 100 TB embedding store cannot
   * pay. [[build]] does that work once and persists
   *
-  *   - `<name>_annidx_lists` (n_id, vn, nn, list) bucketed BY `list`:
-  *     the probe's join key layout, assignment + norms precomputed;
+  *   - `<name>_annidx_lists` (n_id, vn, list, nn, commit_id) bucketed BY
+  *     `list`: the probe's join key layout, assignment + norms
+  *     precomputed;
   *   - `<name>_annidx_centroids` (list, centroid): the quantizer itself,
   *     k tiny rows — so a prober in ANY later session shares the
   *     builder's centroids instead of re-deriving them from a corpus
   *     that may have grown since (re-derived centroids would silently
-  *     disagree with the persisted assignments).
+  *     disagree with the persisted assignments);
+  *   - `<name>_annidx_manifest` (epoch, commit_id, n_vecs): the commit
+  *     log — same crash-consistent, idempotent append protocol as
+  *     [[LshIndex]] (see its object doc §"manifest protocol"): appended
+  *     rows carry an attempt-unique commit_id, the manifest row commits
+  *     LAST, readers filter to manifested commits (pushed IN predicate,
+  *     zero index-side exchanges), torn attempts stay invisible and
+  *     [[compact]] reclaims them. The build row's `n_vecs` records the
+  *     TRAINED corpus size — the denominator of [[retrainFresh]].
   *
   * [[probe]] assigns only the QUERY batch (bounded by contract), joins
   * its `nProbe` lists against the bucketed lists table — zero index-side
@@ -35,16 +44,46 @@ object AnnIndex {
   final case class Ref(name: String, idCol: String, buckets: Int, nLists: Int) {
     def listsTable: String = s"${name}_annidx_lists"
     def centroidsTable: String = s"${name}_annidx_centroids"
+    def manifestTable: String = s"${name}_annidx_manifest"
   }
+
+  private val BaseCommit = "base"
+  private val BuildEpoch = "__build__"
+  private val CarryEpoch = "__carry__"
+
+  /** A fresh epoch for callers without a natural batch id — idempotent
+    * retry requires re-presenting the SAME epoch (see [[LshIndex]]).
+    */
+  def freshEpoch(): String = s"adhoc_${java.util.UUID.randomUUID()}"
 
   private def catalogFor(spark: SparkSession, ref: Ref): BucketedCatalog =
     new BucketedCatalog(spark, ref.buckets,
-      Map(ref.listsTable -> Seq("list"))) // centroids table: k rows, unbucketed
+      Map(ref.listsTable -> Seq("list"))) // centroids/manifest: tiny, unbucketed
 
-  /** Build (or atomically rebuild) the index over the corpus. */
+  private def manifest(spark: SparkSession,
+      ref: Ref): Seq[(String, String, Long)] = {
+    val cat = catalogFor(spark, ref)
+    require(cat.exists(ref.manifestTable),
+      s"AnnIndex ${ref.name} has no manifest — built by a pre-manifest " +
+        "version; rebuild")
+    cat.read(ref.manifestTable).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+  }
+
+  private def assigned(batch: DataFrame, ref: Ref,
+      cents: Seq[Seq[Double]]): DataFrame = {
+    import graft.functions.IvfAssign
+    batch.select(col(ref.idCol).alias("n_id"), col("vn"))
+      .withColumn("list", IvfAssign.column(col("vn"), cents, 1).getItem(0))
+      .withColumn("nn", Similarity.norm(col("vn")))
+  }
+
+  /** Build (or atomically rebuild — i.e. RETRAIN) the index over the
+    * corpus. The build manifest row records the trained corpus size for
+    * [[retrainFresh]].
+    */
   def build(spark: SparkSession, corpus: DataFrame, idCol: String,
       vecCol: String, name: String, buckets: Int, nLists: Int): Ref = {
-    import graft.functions.IvfAssign
     val ref = Ref(name, idCol, buckets, nLists)
     val cents = Similarity.ivfCentroids(corpus, idCol, vecCol, nLists)
     val cat = catalogFor(spark, ref)
@@ -52,16 +91,22 @@ object AnnIndex {
     cat.write(ref.centroidsTable,
       cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("list", "centroid"))
     cat.write(ref.listsTable,
-      corpus.select(col(idCol).alias("n_id"), col(vecCol).alias("vn"))
-        .withColumn("list", IvfAssign.column(col("vn"), cents, 1).getItem(0))
-        .withColumn("nn", Similarity.norm(col("vn"))))
+      assigned(corpus.select(col(idCol), col(vecCol).alias("vn")), ref, cents)
+        .withColumn("commit_id", lit(BaseCommit)))
+    // metadata count over the just-written parquet (footer stats)
+    val n = cat.read(ref.listsTable).count()
+    cat.write(ref.manifestTable,
+      Seq((BuildEpoch, BaseCommit, n)).toDF("epoch", "commit_id", "n_vecs"))
     ref
   }
 
-  /** Both index tables exist in this session's warehouse. */
+  /** All three index tables exist in this session's warehouse (the
+    * manifest is load-bearing — a pre-manifest index must rebuild).
+    */
   def exists(spark: SparkSession, ref: Ref): Boolean = {
     val cat = catalogFor(spark, ref)
-    cat.exists(ref.listsTable) && cat.exists(ref.centroidsTable)
+    cat.exists(ref.listsTable) && cat.exists(ref.centroidsTable) &&
+      cat.exists(ref.manifestTable)
   }
 
   /** Incrementally index a new batch: assign ONLY the batch under the
@@ -73,20 +118,126 @@ object AnnIndex {
     * different centroids over the grown corpus); it is
     * `lists(append(build(corpus), batch)) ≡ (corpus ∪ batch) assigned
     * under centroidsOf(ref)` (Round14Spec), which is exactly IVF
-    * ingestion semantics — FAISS's add-after-train. Recall naturally
-    * drifts as the appended distribution diverges from the trained one;
-    * [[build]] compaction retrains. Bucket layout is preserved, so the
-    * probe's zero-index-side-exchange law holds across appends.
+    * ingestion semantics — FAISS's add-after-train. Recall drifts as the
+    * appended distribution diverges from the trained one — MEASURED in
+    * BENCH_ANNDRIFT.json ([[graft.AnnDriftBench]]): in-distribution
+    * appends cost ~nothing, a shifted cluster craters its own recall
+    * under the frozen quantizer while retraining restores it — so
+    * [[retrainFresh]] bounds the un-retrained fraction the same way
+    * [[LshIndex.dispatchFresh]] bounds the un-probed fraction. Bucket
+    * layout is preserved, so the probe's zero-index-side-exchange law
+    * holds across appends.
+    *
+    * `epoch` is the idempotence key (manifest protocol): a committed
+    * epoch no-ops, a torn attempt retries invisibly.
     */
   def append(spark: SparkSession, batch: DataFrame, vecCol: String,
-      ref: Ref): Unit = {
-    import graft.functions.IvfAssign
+      ref: Ref, epoch: String = freshEpoch()): Unit = {
     require(exists(spark, ref), s"AnnIndex ${ref.name} not built")
-    val cents = centroidsOf(spark, ref)
-    catalogFor(spark, ref).append(ref.listsTable,
-      batch.select(col(ref.idCol).alias("n_id"), col(vecCol).alias("vn"))
-        .withColumn("list", IvfAssign.column(col("vn"), cents, 1).getItem(0))
-        .withColumn("nn", Similarity.norm(col("vn"))))
+    val cat = catalogFor(spark, ref)
+    if (!manifest(spark, ref).exists(_._1 == epoch)) {
+      val commit =
+        s"$epoch#${java.util.UUID.randomUUID().toString.substring(0, 8)}"
+      val cents = centroidsOf(spark, ref)
+      // pin: the assignment feeds both the data append and the manifest
+      // count; a nondeterministic batch must not disagree between them
+      val rows = assigned(
+        batch.select(col(ref.idCol), col(vecCol).alias("vn")), ref, cents)
+        .localCheckpoint()
+      val n = rows.count() // bounded: the batch is the bounded side
+      cat.append(ref.listsTable, rows.withColumn("commit_id", lit(commit)))
+      LshIndex.failpoint("ann_after_lists")
+      import spark.implicits._
+      cat.append(ref.manifestTable,
+        Seq((epoch, commit, n)).toDF("epoch", "commit_id", "n_vecs"))
+    }
+  }
+
+  /** Vectors the quantizer was trained on vs vectors appended since
+    * training (across compactions — the carry row). Bounded collect:
+    * the manifest. The pair feeds [[retrainFresh]].
+    */
+  def appendedState(spark: SparkSession, ref: Ref): (Long, Long) = {
+    val m = manifest(spark, ref)
+    (m.collectFirst { case (BuildEpoch, _, n) => n }.getOrElse(0L),
+      m.collect { case (e, _, n) if e != BuildEpoch && n > 0 => n }.sum)
+  }
+
+  /** RETRAIN-ON-APPEND SEMANTICS — [[LshIndex.dispatchFresh]]'s twin for
+    * the quantizer: the frozen centroids stay valid while the trained
+    * corpus still dominates the index — appended vecs ≤
+    * (retrainFactor − 1) × trained vecs (default 2.0: retrain when
+    * appends have doubled the corpus). The drift measurement behind the
+    * default is BENCH_ANNDRIFT.json: recall on the TRAINED distribution
+    * survives appends essentially untouched; it is the appended
+    * OUT-OF-DISTRIBUTION vectors whose own recall craters (they
+    * concentrate into whatever existing lists are least-wrong, so
+    * probes miss them), and retraining restores it. A typical batch is
+    * ~10⁻⁴ of a 100 TB corpus — retrains are rare compaction-time
+    * events, and [[build]] IS the retrain.
+    */
+  def retrainFresh(trainedVecs: Long, appendedVecs: Long,
+      retrainFactor: Double = 2.0): Boolean =
+    appendedVecs.toDouble <= (retrainFactor - 1.0) * trainedVecs.toDouble
+
+  /** Rewrite the lists table from its PERSISTED rows — manifested
+    * commits only, re-tagged `base` — restoring one-file-per-bucket
+    * sortedness and reclaiming torn-append garbage WITHOUT retraining
+    * (assignments are already materialized; nothing is re-assigned, the
+    * quantizer stays frozen). The manifest resets to the build row
+    * (trained size preserved) plus a carry row keeping the appended
+    * total, so [[retrainFresh]] accounting survives the fold — compact
+    * restores layout, only [[build]] resets drift.
+    */
+  def compact(spark: SparkSession, ref: Ref): Unit = {
+    val cat = catalogFor(spark, ref)
+    val m = manifest(spark, ref)
+    val commits = m.map(_._2).distinct
+    val trained = m.collectFirst { case (BuildEpoch, _, n) => n }.getOrElse(0L)
+    val carry = m.collect { case (e, _, n) if e != BuildEpoch && n > 0 => n }.sum
+    cat.write(ref.listsTable,
+      cat.read(ref.listsTable)
+        .filter(col("commit_id").isin(commits: _*)).drop("commit_id")
+        .withColumn("commit_id", lit(BaseCommit)))
+    import spark.implicits._
+    cat.write(ref.manifestTable,
+      (Seq((BuildEpoch, BaseCommit, trained)) ++
+        (if (carry > 0) Seq((CarryEpoch, BaseCommit, carry)) else Nil))
+        .toDF("epoch", "commit_id", "n_vecs"))
+  }
+
+  /** RETRAIN the quantizer from the index's own PERSISTED vectors —
+    * what [[retrainFresh]] going stale calls for, without re-reading the
+    * source corpus (the lists table already holds every vector): derive
+    * fresh centroids over all manifested rows, re-assign them under the
+    * new quantizer, swap-write all three tables. Law (Round15Spec):
+    * `retrain(append(build(corpus), batch)) ≡ build(corpus ∪ batch)` —
+    * exact, because [[Similarity.ivfCentroids]] is a deterministic
+    * function of the vector set (md5-ordered sample), which a k-means
+    * refinement would preserve in spirit (same inputs → same quantizer)
+    * if swapped in. Resets drift accounting: trained = all vectors,
+    * appended = 0. Torn-crash shape matches [[LshIndex.compact]]:
+    * every table rewrite is an atomic swap, `base` stays visible through
+    * the old manifest, re-running converges.
+    */
+  def retrain(spark: SparkSession, ref: Ref): Unit = {
+    val cat = catalogFor(spark, ref)
+    val commits = manifest(spark, ref).map(_._2).distinct
+    val all = cat.read(ref.listsTable)
+      .filter(col("commit_id").isin(commits: _*))
+      .select(col("n_id").alias(ref.idCol), col("vn"))
+      // pin: the centroid sample and the re-assignment must see the same
+      // rows, and the lists rewrite reads the table it replaces
+      .localCheckpoint()
+    val cents = Similarity.ivfCentroids(all, ref.idCol, "vn", ref.nLists)
+    import spark.implicits._
+    cat.write(ref.centroidsTable,
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("list", "centroid"))
+    cat.write(ref.listsTable,
+      assigned(all, ref, cents).withColumn("commit_id", lit(BaseCommit)))
+    val n = cat.read(ref.listsTable).count()
+    cat.write(ref.manifestTable,
+      Seq((BuildEpoch, BaseCommit, n)).toDF("epoch", "commit_id", "n_vecs"))
   }
 
   /** The persisted quantizer — `nLists` rows, bounded by construction
@@ -99,13 +250,16 @@ object AnnIndex {
 
   /** Cosine top-k of each query against the persisted index —
     * [[Similarity.ivfTopK]] semantics with the corpus-side work already
-    * on disk. Emits (q_id, n_id, sim, rnk), rnk ≤ k.
+    * on disk. Emits (q_id, n_id, sim, rnk), rnk ≤ k. Reads manifested
+    * commits only (a pushed IN predicate — zero index-side exchanges).
     */
   def probe(spark: SparkSession, queries: DataFrame, vecCol: String,
       ref: Ref, k: Int, nProbe: Int = 4): DataFrame = {
     import graft.functions.IvfAssign
     val cents = centroidsOf(spark, ref)
+    val commits = manifest(spark, ref).map(_._2).distinct
     val c = catalogFor(spark, ref).read(ref.listsTable)
+      .filter(col("commit_id").isin(commits: _*)).drop("commit_id")
     val q = queries.select(col(ref.idCol).alias("q_id"), col(vecCol).alias("vq"))
       .withColumn("list", explode(IvfAssign.column(col("vq"), cents, nProbe)))
       .withColumn("nq", Similarity.norm(col("vq")))

@@ -9,19 +9,53 @@ import graft.BucketedCatalog
   * promise ([[Dedup.ngramJaccardAgainst]], [[Dedup.minHashNearDupAgainst]]),
   * made concrete. At 100 TB the accumulated corpus must not be
   * re-shingled, re-signed, or re-shuffled per ingestion batch: [[build]]
-  * computes signatures ONCE and persists two warehouse tables —
+  * computes signatures ONCE and persists three warehouse tables —
   *
-  *   - `<name>_lshidx_buckets` (id, band, bucket), bucketed+sorted BY
-  *     (band, bucket): the candidate equi-join's exact key layout;
-  *   - `<name>_lshidx_sigs` (id, signature), bucketed BY id: the rescore
-  *     join's key layout
+  *   - `<name>_lshidx_buckets` (id, band, bucket, commit_id), bucketed+
+  *     sorted BY (band, bucket): the candidate equi-join's exact key
+  *     layout;
+  *   - `<name>_lshidx_sigs` (id, signature, commit_id), bucketed BY id:
+  *     the rescore join's key layout;
+  *   - `<name>_lshidx_manifest` (epoch, commit_id, n_docs): one tiny row
+  *     per COMMITTED batch — the index's transaction log (below)
   *
-  * — so [[probe]] reads both pre-partitioned on their join keys and the
-  * index side contributes ZERO exchanges to the per-batch plan (PlanSpec
-  * law); only the batch (bounded by contract) shuffles. The write goes
-  * through [[graft.BucketedCatalog]], inheriting its crash-safe two-rename
-  * swap, so rebuilding an index over a grown corpus is an atomic swap a
-  * concurrent prober never half-reads.
+  * — so [[probe]] reads both data tables pre-partitioned on their join
+  * keys and the index side contributes ZERO exchanges to the per-batch
+  * plan (PlanSpec law); only the batch (bounded by contract) shuffles.
+  * Build/compact writes go through [[graft.BucketedCatalog]]'s crash-safe
+  * two-rename swap, so rebuilding an index over a grown corpus is an
+  * atomic swap a concurrent prober never half-reads.
+  *
+  * == Crash-consistent, idempotent append (the manifest protocol) ==
+  *
+  * [[append]] commits the sigs and buckets tables as two separate Hadoop
+  * jobs — each commit is atomic per table, but a 100 TB ingestion loop
+  * restarts mid-batch as a matter of course, and a crash BETWEEN the two
+  * leaves docs signed but unbucketed (r14 verdict #1). The fix is a
+  * write-ahead-free variant of the epoch-manifest pattern (Delta/Iceberg
+  * commit logs, Hive ACID write-ids — the same doctrine as the
+  * reference's 2-pass MERGE fixpoint, `etl.js:28-29`, applied to the
+  * index):
+  *
+  *   1. every appended row carries a `commit_id` unique to this ATTEMPT
+  *      (`epoch#<nonce>`); the caller-supplied `epoch` names the LOGICAL
+  *      batch and is the idempotence key;
+  *   2. the one-row manifest entry (epoch, commit_id, n_docs) commits
+  *      LAST — a batch exists only once its manifest row does;
+  *   3. every reader ([[probe]], [[compact]], rescore joins) filters the
+  *      data tables to MANIFESTED commit_ids (a pushed-down `IN`
+  *      predicate over the tiny collected manifest — no join, so the
+  *      zero-exchange plan law is untouched);
+  *   4. a retry of an UNCOMMITTED epoch re-appends under a fresh
+  *      commit_id: the torn attempt's rows are invisible forever
+  *      (filtered at every read) and physically reclaimed by the next
+  *      [[compact]]; a retry of a COMMITTED epoch is a metadata-only
+  *      no-op.
+  *
+  * Round15Spec pins the laws: kill between the two table appends, retry
+  * the batch → visible index state ≡ the clean run's and probe output
+  * identical; re-running a committed append is a no-op; [[compact]]
+  * reclaims torn garbage to exact clean-build table equality.
   *
   * Signature family mirrors the ad-hoc operators: native xxhash64
   * ([[Dedup.minHashSignatures]]) is the scale default; `portable = true`
@@ -41,12 +75,47 @@ object LshIndex {
       k: Int, numHashes: Int, bands: Int, portable: Boolean) {
     def bucketsTable: String = s"${name}_lshidx_buckets"
     def sigsTable: String = s"${name}_lshidx_sigs"
+    def manifestTable: String = s"${name}_lshidx_manifest"
   }
+
+  /** The commit_id [[build]] and [[compact]] stamp on their full
+    * swap-written state. Constant by design: it makes a torn [[compact]]
+    * (new sigs swapped, old buckets still up) readable — the re-tagged
+    * rows stay visible through the OLD manifest, whose build row also
+    * carries `base`, so a mid-compact crash degrades to "compact again",
+    * never to missing docs.
+    */
+  private val BaseCommit = "base"
+  private val BuildEpoch = "__build__"
+  /** Carries the accumulated appended-doc count across a [[compact]]
+    * (which folds appended rows into `base`): dispatch staleness
+    * ([[dispatchFresh]]) is measured against the PROBED snapshot, and
+    * compaction changes the layout, not how much the corpus grew since
+    * that probe.
+    */
+  private val CarryEpoch = "__carry__"
+
+  /** TEST-ONLY crash injection: Round15Spec's kill-between-commits law
+    * throws from here at a named stage ("after_sigs", "after_buckets").
+    * Production never sets it.
+    */
+  private[graft] var failpoint: String => Unit = _ => ()
+
+  private def freshNonce(): String =
+    java.util.UUID.randomUUID().toString.substring(0, 8)
+
+  /** A fresh epoch for callers without a natural batch id (ad-hoc
+    * appends). Idempotent RETRY requires the caller to re-present the
+    * SAME epoch — streaming passes its micro-batch id
+    * ([[EventStream.dedupIngestSink]]), backfills a job-assigned one.
+    */
+  def freshEpoch(): String = s"adhoc_${java.util.UUID.randomUUID()}"
 
   private def catalogFor(spark: SparkSession, ref: Ref): BucketedCatalog =
     new BucketedCatalog(spark, ref.buckets, Map(
       ref.bucketsTable -> Seq("band", "bucket"),
       ref.sigsTable    -> Seq(ref.idCol)))
+      // manifest table has no bucketKeys entry → writes unbucketed
 
   private def sigsOf(df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int, portable: Boolean): DataFrame =
@@ -54,9 +123,47 @@ object LshIndex {
     else Dedup.minHashSignatures(df, idCol, textCol, k, numHashes)
 
   private def bucketsOf(sigs: DataFrame, idCol: String,
-      bands: Int, numHashes: Int, portable: Boolean): DataFrame =
-    if (portable) Dedup.portableBuckets(sigs, idCol, bands, numHashes)
-    else Dedup.lshBuckets(sigs, idCol, bands)
+      bands: Int, numHashes: Int, portable: Boolean): DataFrame = {
+    val s = sigs.select(col(idCol), col("signature"))
+    if (portable) Dedup.portableBuckets(s, idCol, bands, numHashes)
+    else Dedup.lshBuckets(s, idCol, bands)
+  }
+
+  // ------------------------------------------------------- manifest log
+
+  /** The committed manifest rows — BOUNDED collect: one row per batch
+    * appended since the last [[build]]/[[compact]] (plus the build and
+    * carry rows). A 100 TB loop that compacts periodically keeps this at
+    * compaction-cadence size; it is the same collect class as the meta
+    * row and the ANN centroid read.
+    */
+  private def manifest(spark: SparkSession,
+      ref: Ref): Seq[(String, String, Long)] = {
+    val cat = catalogFor(spark, ref)
+    require(cat.exists(ref.manifestTable),
+      s"LshIndex ${ref.name} has no manifest — built by a pre-manifest " +
+        "version; rebuild")
+    cat.read(ref.manifestTable).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+  }
+
+  private def manifestedCommits(m: Seq[(String, String, Long)]): Seq[String] =
+    m.map(_._2).distinct
+
+  /** Docs appended since build/compact folded the corpus into `base` —
+    * the staleness counter [[dispatchFresh]] consumes. Build's row
+    * carries -1 (its doc count is the corpus itself, not an append);
+    * compact's carry row preserves the pre-compaction total.
+    */
+  private def appendedSum(m: Seq[(String, String, Long)]): Long =
+    m.collect { case (e, _, n) if e != BuildEpoch && n > 0 => n }.sum
+
+  /** Restrict a data-table read to manifested commits and drop the tag.
+    * A pushed-down IN over a tiny collected list — never a join, so the
+    * index side of every probe plan stays exchange-free.
+    */
+  private def visible(df: DataFrame, commits: Seq[String]): DataFrame =
+    df.filter(col("commit_id").isin(commits: _*)).drop("commit_id")
 
   /** Build (or atomically rebuild) the index. Signatures compute ONCE:
     * the bucket table derives from the PERSISTED signature table, not a
@@ -69,17 +176,27 @@ object LshIndex {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val ref = Ref(name, idCol, buckets, k, numHashes, bands, portable)
     val cat = catalogFor(spark, ref)
+    import spark.implicits._
     cat.write(ref.sigsTable,
-      sigsOf(corpus, idCol, textCol, k, numHashes, portable))
+      sigsOf(corpus, idCol, textCol, k, numHashes, portable)
+        .withColumn("commit_id", lit(BaseCommit)))
     cat.write(ref.bucketsTable,
-      bucketsOf(cat.read(ref.sigsTable), idCol, bands, numHashes, portable))
+      bucketsOf(cat.read(ref.sigsTable), idCol, bands, numHashes, portable)
+        .withColumn("commit_id", lit(BaseCommit)))
+    cat.write(ref.manifestTable,
+      Seq((BuildEpoch, BaseCommit, -1L)).toDF("epoch", "commit_id", "n_docs"))
     ref
   }
 
-  /** Both index tables exist in this session's warehouse. */
+  /** All three index tables exist in this session's warehouse. (The
+    * manifest is load-bearing: an index without one predates the commit
+    * protocol and must rebuild — exists-guarded callers do exactly
+    * that.)
+    */
   def exists(spark: SparkSession, ref: Ref): Boolean = {
     val cat = catalogFor(spark, ref)
-    cat.exists(ref.sigsTable) && cat.exists(ref.bucketsTable)
+    cat.exists(ref.sigsTable) && cat.exists(ref.bucketsTable) &&
+      cat.exists(ref.manifestTable)
   }
 
   /** Incrementally index a new batch: sign and band ONLY the batch, then
@@ -87,16 +204,20 @@ object LshIndex {
     * is the gap between "persistent index" and an ingestion pipeline: a
     * 100 TB loop appends a bounded batch per cycle, and [[build]]'s
     * rebuild re-signs everything. The law (Round14Spec):
-    * `build(corpus ∪ batch) ≡ append(build(corpus), batch)` — exact
-    * table equality, because signatures are per-row functions with no
-    * trained component (contrast [[AnnIndex.append]], whose quantizer is
-    * frozen at build time by design). Appends preserve the bucket-key
-    * layout (probe stays corpus-exchange-free); they add file sets per
-    * bucket, so periodic [[build]] compaction restores the
-    * one-file-per-bucket sortedness (see [[graft.BucketedCatalog.append]]).
-    * If a dispatch row is persisted ([[saveDispatch]]), its
-    * `appended_docs` counter advances by the batch's signed-doc count so
-    * staleness is measurable ([[readDispatch]] / re-probe semantics).
+    * `build(corpus ∪ batch) ≡ append(build(corpus), batch)` on the data
+    * columns — signatures are per-row functions with no trained
+    * component (contrast [[AnnIndex.append]], whose quantizer is frozen
+    * at build time by design). Appends preserve the bucket-key layout
+    * (probe stays corpus-exchange-free); they add file sets per bucket,
+    * so periodic [[compact]] restores the one-file-per-bucket sortedness
+    * (see [[graft.BucketedCatalog.append]]) WITHOUT re-signing corpus
+    * text.
+    *
+    * `epoch` is the idempotence key (manifest protocol, object doc):
+    * re-presenting a committed epoch is a no-op; retrying an
+    * uncommitted one re-appends under a fresh commit_id and the torn
+    * attempt's rows stay invisible. The default fresh epoch gives the
+    * ad-hoc caller r14 semantics (every call appends).
     *
     * Visibility: the appending session self-invalidates its relation
     * cache (saveAsTable refreshes), but OTHER sessions that already
@@ -107,28 +228,86 @@ object LshIndex {
     * append (foreachBatch clones count as foreign to their parent).
     */
   def append(spark: SparkSession, batch: DataFrame, textCol: String,
-      ref: Ref): Unit =
+      ref: Ref, epoch: String = freshEpoch()): Unit =
     appendSigs(spark, ref,
-      sigsOf(batch, ref.idCol, textCol, ref.k, ref.numHashes, ref.portable))
+      sigsOf(batch, ref.idCol, textCol, ref.k, ref.numHashes, ref.portable),
+      epoch)
 
   /** [[append]] from ALREADY-COMPUTED signatures — the path
     * [[ingestBatch]] takes so a batch is signed exactly once for its
     * in-batch pairs, its index probe AND its append.
+    *
+    * The sigs frame is PINNED (`localCheckpoint`) before anything reads
+    * it: three consumers (sigs append, buckets append, manifest count)
+    * over a lazily re-evaluated nondeterministic batch (limit / sample /
+    * dropDuplicates) could otherwise each see different rows and commit
+    * sigs and buckets that disagree — the same reason [[ingestBatch]]
+    * pins its batch (r14 ADVICE).
     */
   private def appendSigs(spark: SparkSession, ref: Ref,
-      sigs: DataFrame): Unit = {
+      sigs: DataFrame, epoch: String): Unit = {
     require(exists(spark, ref), s"LshIndex ${ref.name} not built")
     val cat = catalogFor(spark, ref)
-    cat.append(ref.sigsTable, sigs)
+    val m = manifest(spark, ref)
+    if (m.exists(_._1 == epoch)) return // committed epoch → idempotent no-op
+    val commit = s"$epoch#${freshNonce()}"
+    val s = sigs.localCheckpoint()
+    val n = s.count() // bounded action: the batch is the bounded side
+    cat.append(ref.sigsTable, s.withColumn("commit_id", lit(commit)))
+    failpoint("after_sigs")
     cat.append(ref.bucketsTable,
-      bucketsOf(sigs, ref.idCol, ref.bands, ref.numHashes, ref.portable))
-    if (cat.exists(metaTable(ref))) {
-      // bounded action: the batch is the bounded side by contract
-      val n = sigs.count()
-      val m = cat.read(metaTable(ref))
-      cat.write(metaTable(ref),
-        m.withColumn("appended_docs", col("appended_docs") + lit(n)))
-    }
+      bucketsOf(s, ref.idCol, ref.bands, ref.numHashes, ref.portable)
+        .withColumn("commit_id", lit(commit)))
+    failpoint("after_buckets")
+    import spark.implicits._
+    // the batch exists only once this row commits (manifest protocol)
+    cat.append(ref.manifestTable,
+      Seq((epoch, commit, n)).toDF("epoch", "commit_id", "n_docs"))
+  }
+
+  /** Rewrite the index from its PERSISTED signatures — never re-signing
+    * corpus text, which is exactly the work the index exists to avoid:
+    *
+    *   - folds every manifested commit into one `base` layout, restoring
+    *     the one-file-per-bucket sortedness appends give up (each append
+    *     adds a file set per bucket; see [[BENCH_IDXAPPEND]] compaction
+    *     rows for the probe-latency degradation curve that sets the
+    *     trigger);
+    *   - physically reclaims torn-append garbage (rows whose commit
+    *     never manifested — the manifest protocol's invisible residue);
+    *   - resets the manifest to the build row plus a carry row
+    *     preserving the appended-docs total, so a persisted dispatch's
+    *     staleness accounting survives the fold.
+    *
+    * Laws (Round15Spec): `compact(build + appends) ≡ build(union)` as
+    * exact table equality (including the commit tags — everything is
+    * `base` after either), and compaction after a torn append restores
+    * clean-build equality. Each table rewrite rides the catalog's
+    * two-rename swap; a crash mid-compact leaves every doc visible
+    * (BaseCommit is in the old manifest too — see [[BaseCommit]]) and
+    * re-running compact converges.
+    *
+    * Trigger policy: compact when accumulated append file-sets degrade
+    * probe latency past budget (measured curve in BENCH_IDXAPPEND) or
+    * when [[dispatchFresh]] goes stale — both are rare,
+    * corpus-growth-paced events, never per-batch cost.
+    */
+  def compact(spark: SparkSession, ref: Ref): Unit = {
+    val cat = catalogFor(spark, ref)
+    val m = manifest(spark, ref)
+    val carry = appendedSum(m)
+    cat.write(ref.sigsTable,
+      visible(cat.read(ref.sigsTable), manifestedCommits(m))
+        .withColumn("commit_id", lit(BaseCommit)))
+    cat.write(ref.bucketsTable,
+      bucketsOf(cat.read(ref.sigsTable), ref.idCol, ref.bands,
+          ref.numHashes, ref.portable)
+        .withColumn("commit_id", lit(BaseCommit)))
+    import spark.implicits._
+    cat.write(ref.manifestTable,
+      (Seq((BuildEpoch, BaseCommit, -1L)) ++
+        (if (carry > 0) Seq((CarryEpoch, BaseCommit, carry)) else Nil))
+        .toDF("epoch", "commit_id", "n_docs"))
   }
 
   /** ONE cycle of the continuous-ingestion dedup loop — the body
@@ -140,17 +319,42 @@ object LshIndex {
     *   2. in-batch near-dups, same hash family/params as the index:
     *      drop every doc with a LOWER-id near-dup in its own batch;
     *   3. probe the index: drop every doc with a corpus near-dup;
-    *   4. [[append]] the admitted docs so the next cycle sees them.
+    *   4. [[append]] the admitted docs under this epoch so the next
+    *      cycle sees them.
     *
     * Returns the admitted rows. EAGER by construction: the admitted
     * frame is materialized (`localCheckpoint`) BEFORE the append,
     * because its probe plan reads the very tables the append mutates —
     * and eagerness is what makes two sequential calls compose (call 2's
     * probe must see call 1's appends).
+    *
+    * REPLAY (restart semantics, r14 verdict #7): if `epoch` is already
+    * manifested — the previous attempt crashed AFTER the append
+    * committed but before the caller consumed the admitted frame
+    * (foreachBatch redelivery is exactly this) — the admitted set is
+    * recovered from the index itself: the manifested commit's sig rows
+    * ARE the admitted ids. The replayed call re-emits the SAME admitted
+    * rows without touching the index — exactly-once admission,
+    * at-least-once delivery, idempotent re-run (Round15Spec restart
+    * law). Without the epoch key a replay would re-probe a corpus that
+    * now contains the batch's own rows and silently emit zero admits.
     */
   def ingestBatch(spark: SparkSession, batch: DataFrame, textCol: String,
-      ref: Ref, threshold: Double): DataFrame = {
+      ref: Ref, threshold: Double,
+      epoch: String = freshEpoch()): DataFrame = {
     val b = batch.dropDuplicates(ref.idCol).localCheckpoint()
+    val m = manifest(spark, ref)
+    val replayed = m.find(_._1 == epoch)
+    if (replayed.isDefined) {
+      // replay of a committed epoch: recover the admitted ids from the
+      // committed sig rows (pushed-down point filter on commit_id; the
+      // sigs side is bucketed on id, so only the bounded batch shuffles)
+      val cat = catalogFor(spark, ref)
+      return b.join(
+        cat.read(ref.sigsTable)
+          .filter(col("commit_id") === replayed.get._2).select(ref.idCol),
+        Seq(ref.idCol), "left_semi")
+    }
     // sign ONCE, in the INDEX's hash family: in-batch pairs, the index
     // probe and the append all derive from these signatures. Using a
     // different signature family for the in-batch rule (e.g. the
@@ -161,8 +365,8 @@ object LshIndex {
     // no checkpoint on sn: it is a pure function of b, and b IS pinned
     // (dropDuplicates picks an arbitrary row per id, so an unpinned b
     // could re-evaluate differently between the probe and the append);
-    // sn's three consumers may recompute the cheap signature lineage,
-    // each seeing identical rows
+    // sn's consumers may recompute the cheap signature lineage, each
+    // seeing identical rows (appendSigs re-pins its admitted slice)
     val sn = sigsOf(b, ref.idCol, textCol, ref.k, ref.numHashes,
       ref.portable)
     val bn = bucketsOf(sn, ref.idCol, ref.bands, ref.numHashes, ref.portable)
@@ -183,14 +387,16 @@ object LshIndex {
       .filter(expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v))")
         .cast("double") / size(col("sa")).cast("double") >= threshold)
       .select(col("b_id").alias(ref.idCol))
-    val vsCorpus = probeSigs(spark, ref, sn, bn, threshold)
+    val vsCorpus = probeSigs(spark, ref, sn, bn, threshold,
+        manifestedCommits(m))
       .select(col("new_id").alias(ref.idCol))
     val admitted = b.join(
         inBatchLosers.unionByName(vsCorpus).distinct(),
         Seq(ref.idCol), "left_anti")
       .localCheckpoint() // MUST materialize before the index mutates
     appendSigs(spark, ref,
-      sn.join(admitted.select(ref.idCol), Seq(ref.idCol), "left_semi"))
+      sn.join(admitted.select(ref.idCol), Seq(ref.idCol), "left_semi"),
+      epoch)
     admitted
   }
 
@@ -203,20 +409,24 @@ object LshIndex {
     * snapshot" doctrine ([[Dedup.nearDupAgainstAuto]]): the probe is
     * linear but not free, and its decision is a property of the corpus
     * snapshot the index is also a materialization of, so they share a
-    * lifecycle. `appended_docs` starts at 0 and advances on [[append]].
+    * lifecycle. The row stores the manifest's appended-docs total AT
+    * SAVE TIME; [[readDispatch]] reports growth since as the difference
+    * — so the append path never rewrites this row (one fewer commit in
+    * the ingestion loop, and no torn meta state to reason about).
     */
   def saveDispatch(spark: SparkSession, ref: Ref,
       d: Dedup.DupDispatch): Unit = {
     import spark.implicits._
     catalogFor(spark, ref).write(metaTable(ref),
       Seq((d.sampledDocs, d.instanceMass, d.usefulMass, d.wastedMass,
-        d.useSignature, 0L))
+        d.useSignature, appendedSum(manifest(spark, ref))))
         .toDF("sampled_docs", "instance_mass", "useful_mass",
-          "wasted_mass", "use_signature", "appended_docs"))
+          "wasted_mass", "use_signature", "appended_snapshot"))
   }
 
   /** The persisted dispatch, if any, plus the docs appended since it was
-    * probed. Bounded collect: one row.
+    * probed (manifest total minus the save-time snapshot). Bounded
+    * collect: one row + the manifest.
     */
   def readDispatch(spark: SparkSession,
       ref: Ref): Option[(Dedup.DupDispatch, Long)] = {
@@ -227,7 +437,8 @@ object LshIndex {
         r.getAs[Long]("sampled_docs"), r.getAs[Long]("instance_mass"),
         r.getAs[Double]("useful_mass"), r.getAs[Double]("wasted_mass"),
         r.getAs[Boolean]("use_signature")),
-        r.getAs[Long]("appended_docs"))
+        appendedSum(manifest(spark, ref)) -
+          r.getAs[Long]("appended_snapshot"))
     }
   }
 
@@ -291,19 +502,21 @@ object LshIndex {
       ref.portable)
     probeSigs(spark, ref, sn,
       bucketsOf(sn, ref.idCol, ref.bands, ref.numHashes, ref.portable),
-      threshold)
+      threshold, manifestedCommits(manifest(spark, ref)))
   }
 
-  /** [[probe]] from already-computed batch signatures/buckets (the
-    * [[ingestBatch]] path — one signing per batch, shared by in-batch
-    * pairs, probe and append).
+  /** [[probe]] from already-computed batch signatures/buckets and
+    * manifest (the [[ingestBatch]] path — one signing and one manifest
+    * read per batch, shared by in-batch pairs, probe and append). Data
+    * tables filter to manifested commits (object doc §3): a pushed IN
+    * predicate, zero index-side exchanges.
     */
   private def probeSigs(spark: SparkSession, ref: Ref, sn: DataFrame,
-      bn0: DataFrame, threshold: Double): DataFrame = {
+      bn0: DataFrame, threshold: Double, commits: Seq[String]): DataFrame = {
     val cat = catalogFor(spark, ref)
-    val idxB = cat.read(ref.bucketsTable)
+    val idxB = visible(cat.read(ref.bucketsTable), commits)
       .select(col(ref.idCol).alias("corpus_id"), col("band"), col("bucket"))
-    val idxS = cat.read(ref.sigsTable)
+    val idxS = visible(cat.read(ref.sigsTable), commits)
       .select(col(ref.idCol).alias("corpus_id"), col("signature").alias("sb"))
     val bn = bn0
       .select(col(ref.idCol).alias("new_id"), col("band"), col("bucket"))

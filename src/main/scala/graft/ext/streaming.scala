@@ -434,6 +434,26 @@ object EventStream {
     * and a lazy re-evaluation after the append would see the batch's
     * own rows in the index and drop everything as self-duplicate.
     *
+    * RESTART SEMANTICS (r15): the micro-batch id is passed to
+    * [[LshIndex.ingestBatch]] as its manifest EPOCH, so a foreachBatch
+    * redelivery — the checkpoint replays any batch that failed after
+    * `ingestBatch` appended but before `write` completed — takes the
+    * REPLAY path: the admitted ids are recovered from the committed
+    * manifest entry and the SAME admitted rows are re-handed to `write`,
+    * instead of re-probing an index that now contains the batch's own
+    * rows (which would silently emit zero admits). Admission is
+    * exactly-once; delivery to `write` is at-least-once — `write` should
+    * be idempotent per (epoch, doc id), the standard foreachBatch
+    * contract. A crash BEFORE the manifest committed replays as a fresh
+    * attempt whose torn rows stay invisible (manifest protocol,
+    * [[LshIndex]] object doc). Round15Spec pins the law with a real
+    * kill-and-restart over one checkpoint.
+    *
+    * `epochPrefix` namespaces this stream's batch ids in the index
+    * manifest; two streams may only share an index under distinct
+    * prefixes (and even then appends must serialize — one writer stream
+    * per index is the contract, same as r14).
+    *
     * Law (Round14Spec): draining docs through this sink leaves the
     * index holding exactly initialCorpus ∪ admitted, no admitted doc
     * has an LSH match against the corpus-at-its-admission-time, and a
@@ -441,12 +461,13 @@ object EventStream {
     */
   def dedupIngestSink(docs: DataFrame, textCol: String,
       ref: graft.ext.LshIndex.Ref, threshold: Double,
-      write: DataFrame => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+      write: DataFrame => Unit,
+      epochPrefix: String = "ingest"): DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         write(graft.ext.LshIndex.ingestBatch(batch.sparkSession, batch,
-          textCol, ref, threshold))
+          textCol, ref, threshold, epoch = s"${epochPrefix}_$batchId"))
       }
       .trigger(Trigger.AvailableNow())
 

@@ -206,7 +206,12 @@ final class BucketedCatalog(
     * (compaction) restores it. Commit is the standard Hadoop job-commit
     * protocol: a crash before job commit leaves only temporary
     * directories (table state unchanged); there is no
-    * half-visible-batch window.
+    * half-visible-batch window PER TABLE. Atomicity across a MULTI-table
+    * append (the index shape: sigs + buckets + manifest) is the caller's
+    * protocol — [[graft.ext.LshIndex]] commits a one-row manifest LAST
+    * and filters every read to manifested commit_ids, so a crash between
+    * table appends leaves only invisible rows that its `compact`
+    * reclaims (r14 ADVICE/verdict #1; see the LshIndex object doc).
     */
   def append(name: String, df: DataFrame): Unit = {
     require(!isTempName(name), s"append into temp relation $name unsupported")

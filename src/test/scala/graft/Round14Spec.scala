@@ -52,8 +52,11 @@ class Round14Spec extends AnyFunSuite {
         k = 3, numHashes = 32, bands = 8, portable = portable)
       ext.LshIndex.append(spark, corpusAppend, "text", inc)
 
+      // DATA columns only: the commit_id tag legitimately differs (the
+      // append's rows carry their epoch's commit, build's carry `base` —
+      // the r15 manifest protocol); the law is about the index CONTENT
       def tbl(ref: ext.LshIndex.Ref, t: String) =
-        spark.table(s"graft_$t").collect()
+        spark.table(s"graft_$t").drop("commit_id").collect()
           .map(_.toSeq.map {
             case s: Seq[_] => s.toList
             case x => x
@@ -268,12 +271,19 @@ class Round14Spec extends AnyFunSuite {
     assert(keyed(got) === keyed(want))
     assert(got.select("method").distinct().collect().map(_.getString(0)).toSet
       .subsetOf(Set("exact_join", "minhash_sig_index")))
-    // second call reuses the PERSISTED decision (no corpus re-probe):
-    // feed a corpus whose probe would crash if evaluated — a column that
-    // raises on shingling. If the persisted row is honored the call
-    // never touches corpus text unless the EXACT path runs; for the
-    // exact path a re-run over the true corpus must equal the first.
-    val again = ext.LshIndex.nearDupAgainstAuto(spark, probeBatch, corpusAll,
+    // second call reuses the PERSISTED decision (no corpus re-probe).
+    // On the signature path the corpus argument must never be touched —
+    // ACTUALLY prove it by poisoning the corpus text with a UDF that
+    // throws on evaluation (r14 ADVICE: asserting only output equality
+    // would also hold under a silent re-probe). On the exact path the
+    // corpus text IS the join input, so poison can't distinguish reuse —
+    // there a re-run over the true corpus must equal the first.
+    val poison = udf((_: String) =>
+      sys.error("corpus text evaluated — dispatch re-probed"): String)
+    val corpus2 =
+      if (d.useSignature) corpusAll.withColumn("text", poison(col("text")))
+      else corpusAll
+    val again = ext.LshIndex.nearDupAgainstAuto(spark, probeBatch, corpus2,
       "text", ref, threshold = 0.5)
     assert(keyed(again) === keyed(got))
   }

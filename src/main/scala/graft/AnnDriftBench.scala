@@ -116,9 +116,43 @@ object AnnDriftBench {
     val s3 = s""""after_RETRAIN":{"q_base":${recalls(c2, qBase)},""" +
       s""""q_shift":${recalls(c2, qShift)},"imbalance":${num(imbalance())}}"""
 
+    // SCATTER regime: the block-offset batch above CONCENTRATES (each
+    // cluster funnels into few lists — recall survives, list imbalance
+    // is the symptom). The other drift mode: one shared moderate offset
+    // (|offset| = avgNorm/2, spread over all dims) makes every appended
+    // vector's TRUE neighbors other appended vectors (the offset
+    // dominates pairwise cosine) while their list assignments stay
+    // driven by the decorrelated base structure — neighbors SCATTER
+    // across lists and recall craters until a retrain gives the offset
+    // direction its own centroids.
+    val perDim = String.format(java.util.Locale.ROOT, "%.6f",
+      Double.box(avgNorm.toDouble * 0.5 / 8.0)) // /sqrt(64 dims)
+    val scat = emb.filter(col("vec_id") < 500)
+      .selectExpr("vec_id + 30000000 AS vec_id",
+        s"transform(vd, x -> x + CAST($perDim AS DOUBLE)) AS vd")
+    val qScat = scat.limit(50).localCheckpoint()
+    val ref2 = ext.AnnIndex.build(spark, emb, "vec_id", "vd",
+      "anndrift_scatter", buckets = cpus.toInt, nLists = 32)
+    ext.AnnIndex.append(spark, scat, "vd", ref2, epoch = "scat")
+    val cS = emb.unionByName(scat)
+    def recalls2(queries: DataFrame): String = {
+      def r(nProbe: Int): Double = {
+        val approx = ext.AnnIndex.probe(spark, queries, "vd", ref2,
+          k = 10, nProbe = nProbe)
+        val exact = ext.Similarity.bruteForceTopK(cS, queries,
+          "vec_id", "vd", k = 10)
+        ext.Similarity.recallAtK(approx, exact, "q_id", "n_id")
+          .select(avg("recall")).head().getDouble(0)
+      }
+      s"""{"np1":${num(r(1))},"np4":${num(r(4))}}"""
+    }
+    val sc0 = s""""scatter_FROZEN":{"q_scatter":${recalls2(qScat)}}"""
+    ext.AnnIndex.retrain(spark, ref2)
+    val sc1 = s""""scatter_RETRAINED":{"q_scatter":${recalls2(qScat)}}"""
+
     println(s"""{"metric":"ann_drift","sf":"$dir","k":10,"n_lists":32,""" +
-      s""""note":"recall@10 of AnnIndex.probe vs bruteForceTopK over the same corpus, mean over 50 queries, at nProbe 1/4; imbalance = max/mean list size",""" +
-      s"$s0,$s1,$s2,$s3}")
+      s""""note":"recall@10 of AnnIndex.probe vs bruteForceTopK over the same corpus, mean over 50 queries, at nProbe 1/4; imbalance = max/mean list size; block-offset batch = CONCENTRATION regime (imbalance grows, recall survives), shared-offset batch = SCATTER regime (recall craters until retrain)",""" +
+      s"$s0,$s1,$s2,$s3,$sc0,$sc1}")
     spark.stop()
   }
 }

@@ -118,13 +118,19 @@ object AnnIndex {
     * different centroids over the grown corpus); it is
     * `lists(append(build(corpus), batch)) ≡ (corpus ∪ batch) assigned
     * under centroidsOf(ref)` (Round14Spec), which is exactly IVF
-    * ingestion semantics — FAISS's add-after-train. Recall drifts as the
-    * appended distribution diverges from the trained one — MEASURED in
-    * BENCH_ANNDRIFT.json ([[graft.AnnDriftBench]]): in-distribution
-    * appends cost ~nothing, a shifted cluster craters its own recall
-    * under the frozen quantizer while retraining restores it — so
-    * [[retrainFresh]] bounds the un-retrained fraction the same way
-    * [[LshIndex.dispatchFresh]] bounds the un-probed fraction. Bucket
+    * ingestion semantics — FAISS's add-after-train. The index drifts as
+    * the appended distribution diverges from the trained one — MEASURED
+    * in BENCH_ANNDRIFT.json ([[graft.AnnDriftBench]]), in two regimes:
+    * in-distribution appends cost nothing (recall@10 0.408 vs 0.406
+    * baseline); OOD mass that CONCENTRATES (tight offset clusters)
+    * keeps its recall (0.98+ — the whole cluster funnels into few
+    * lists) but skews list mass (max/mean 1.41 → 2.23: hot lists =
+    * probe-cost stragglers at scale); OOD mass that SCATTERS (a shared
+    * moderate offset, assignments still driven by the old structure)
+    * loses recall the quantizer can win back — 0.43 frozen → 0.63
+    * after [[retrain]] at nProbe 4. [[retrainFresh]] bounds the
+    * un-retrained fraction the same way [[LshIndex.dispatchFresh]]
+    * bounds the un-probed fraction, covering both regimes. Bucket
     * layout is preserved, so the probe's zero-index-side-exchange law
     * holds across appends.
     *
@@ -167,14 +173,15 @@ object AnnIndex {
     * the quantizer: the frozen centroids stay valid while the trained
     * corpus still dominates the index — appended vecs ≤
     * (retrainFactor − 1) × trained vecs (default 2.0: retrain when
-    * appends have doubled the corpus). The drift measurement behind the
-    * default is BENCH_ANNDRIFT.json: recall on the TRAINED distribution
-    * survives appends essentially untouched; it is the appended
-    * OUT-OF-DISTRIBUTION vectors whose own recall craters (they
-    * concentrate into whatever existing lists are least-wrong, so
-    * probes miss them), and retraining restores it. A typical batch is
+    * appends have doubled the corpus). The measurement behind the
+    * default is BENCH_ANNDRIFT.json (object doc): recall on the TRAINED
+    * distribution survives appends untouched; appended OOD mass costs
+    * either probe-time skew (concentration regime) or its own recall
+    * (scatter regime, 0.43 → 0.63 after retrain) — both grow with the
+    * appended FRACTION, which is what this bounds. A typical batch is
     * ~10⁻⁴ of a 100 TB corpus — retrains are rare compaction-time
-    * events, and [[build]] IS the retrain.
+    * events, via [[retrain]] (from the index's persisted vectors) or a
+    * full [[build]].
     */
   def retrainFresh(trainedVecs: Long, appendedVecs: Long,
       retrainFactor: Double = 2.0): Boolean =

@@ -14,11 +14,12 @@ import graft.BucketedCatalog
   *   - `<name>_annidx_lists` (n_id, vn, list, nn, commit_id) bucketed BY
   *     `list`: the probe's join key layout, assignment + norms
   *     precomputed;
-  *   - `<name>_annidx_centroids` (list, centroid): the quantizer itself,
-  *     k tiny rows — so a prober in ANY later session shares the
-  *     builder's centroids instead of re-deriving them from a corpus
-  *     that may have grown since (re-derived centroids would silently
-  *     disagree with the persisted assignments);
+  *   - `<name>_annidx_centroids` (list, centroid, train_id): the
+  *     quantizer itself, k tiny rows — so a prober in ANY later session
+  *     shares the builder's centroids instead of re-deriving them from a
+  *     corpus that may have grown since (re-derived centroids would
+  *     silently disagree with the persisted assignments); `train_id` is
+  *     the consistency handshake with the manifest ([[freshTrain]]);
   *   - `<name>_annidx_manifest` (epoch, commit_id, n_vecs): the commit
   *     log — same crash-consistent, idempotent append protocol as
   *     [[LshIndex]] (see its object doc §"manifest protocol"): appended
@@ -47,9 +48,35 @@ object AnnIndex {
     def manifestTable: String = s"${name}_annidx_manifest"
   }
 
-  private val BaseCommit = "base"
   private val BuildEpoch = "__build__"
   private val CarryEpoch = "__carry__"
+
+  /** The quantizer's identity. Unlike [[LshIndex]] (whose rows are pure
+    * per-row functions — any interleaving of its tables is data-correct,
+    * so visibility filtering alone gives crash consistency), the ANN
+    * index has a TRAINED component: lists rows are only meaningful
+    * under the quantizer that assigned them. [[retrain]] swaps both as
+    * separate jobs, so a crash between them leaves a quantizer that
+    * disagrees with the persisted assignments — and a probe over that
+    * state would be SILENTLY wrong. The handshake: every build/retrain
+    * mints a fresh train id, stamps it on the centroids table AND on
+    * the manifest's build row, and every reader requires the two to
+    * match — a torn retrain fails LOUD with a re-run instruction, never
+    * wrong-quietly. Round15Spec pins it (kill between the retrain's
+    * swaps → probe raises; re-running retrain converges).
+    */
+  private def freshTrain(): String =
+    s"train#${java.util.UUID.randomUUID().toString.substring(0, 8)}"
+
+  private def requireConsistent(train: String,
+      m: Seq[(String, String, Long)], ref: Ref): Unit = {
+    val manifested = m.collectFirst { case (BuildEpoch, c, _) => c }
+    require(manifested.contains(train),
+      s"AnnIndex ${ref.name}: quantizer $train does not match the " +
+        s"manifested train ${manifested.getOrElse("<none>")} — torn " +
+        "retrain (crash between its table swaps); re-run retrain(ref) " +
+        "to converge")
+  }
 
   /** A fresh epoch for callers without a natural batch id — idempotent
     * retry requires re-presenting the SAME epoch (see [[LshIndex]]).
@@ -87,16 +114,18 @@ object AnnIndex {
     val ref = Ref(name, idCol, buckets, nLists)
     val cents = Similarity.ivfCentroids(corpus, idCol, vecCol, nLists)
     val cat = catalogFor(spark, ref)
+    val train = freshTrain()
     import spark.implicits._
     cat.write(ref.centroidsTable,
-      cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("list", "centroid"))
+      cents.zipWithIndex.map { case (c, i) => (i, c, train) }
+        .toDF("list", "centroid", "train_id"))
     cat.write(ref.listsTable,
       assigned(corpus.select(col(idCol), col(vecCol).alias("vn")), ref, cents)
-        .withColumn("commit_id", lit(BaseCommit)))
+        .withColumn("commit_id", lit(train)))
     // metadata count over the just-written parquet (footer stats)
     val n = cat.read(ref.listsTable).count()
     cat.write(ref.manifestTable,
-      Seq((BuildEpoch, BaseCommit, n)).toDF("epoch", "commit_id", "n_vecs"))
+      Seq((BuildEpoch, train, n)).toDF("epoch", "commit_id", "n_vecs"))
     ref
   }
 
@@ -141,10 +170,12 @@ object AnnIndex {
       ref: Ref, epoch: String = freshEpoch()): Unit = {
     require(exists(spark, ref), s"AnnIndex ${ref.name} not built")
     val cat = catalogFor(spark, ref)
-    if (!manifest(spark, ref).exists(_._1 == epoch)) {
+    val m = manifest(spark, ref)
+    if (!m.exists(_._1 == epoch)) {
       val commit =
         s"$epoch#${java.util.UUID.randomUUID().toString.substring(0, 8)}"
-      val cents = centroidsOf(spark, ref)
+      val (cents, train) = quantizer(spark, ref)
+      requireConsistent(train, m, ref) // never assign under a torn quantizer
       // pin: the assignment feeds both the data append and the manifest
       // count; a nondeterministic batch must not disagree between them
       val rows = assigned(
@@ -188,72 +219,99 @@ object AnnIndex {
     appendedVecs.toDouble <= (retrainFactor - 1.0) * trainedVecs.toDouble
 
   /** Rewrite the lists table from its PERSISTED rows — manifested
-    * commits only, re-tagged `base` — restoring one-file-per-bucket
-    * sortedness and reclaiming torn-append garbage WITHOUT retraining
-    * (assignments are already materialized; nothing is re-assigned, the
-    * quantizer stays frozen). The manifest resets to the build row
-    * (trained size preserved) plus a carry row keeping the appended
-    * total, so [[retrainFresh]] accounting survives the fold — compact
-    * restores layout, only [[build]] resets drift.
+    * commits only, re-tagged with the CURRENT train id — restoring
+    * one-file-per-bucket sortedness and reclaiming torn-append garbage
+    * WITHOUT retraining (assignments are already materialized; nothing
+    * is re-assigned, the quantizer stays frozen). The manifest resets
+    * to the build row (trained size preserved) plus a carry row keeping
+    * the appended total, so [[retrainFresh]] accounting survives the
+    * fold — compact restores layout, only [[retrain]]/[[build]] resets
+    * drift. Requires a consistent quantizer (a torn retrain must be
+    * healed by re-running retrain first, not folded over).
     */
   def compact(spark: SparkSession, ref: Ref): Unit = {
     val cat = catalogFor(spark, ref)
     val m = manifest(spark, ref)
+    requireConsistent(quantizer(spark, ref)._2, m, ref)
     val commits = m.map(_._2).distinct
+    val train = m.collectFirst { case (BuildEpoch, c, _) => c }.get
     val trained = m.collectFirst { case (BuildEpoch, _, n) => n }.getOrElse(0L)
     val carry = m.collect { case (e, _, n) if e != BuildEpoch && n > 0 => n }.sum
     cat.write(ref.listsTable,
       cat.read(ref.listsTable)
         .filter(col("commit_id").isin(commits: _*)).drop("commit_id")
-        .withColumn("commit_id", lit(BaseCommit)))
+        .withColumn("commit_id", lit(train)))
     import spark.implicits._
     cat.write(ref.manifestTable,
-      (Seq((BuildEpoch, BaseCommit, trained)) ++
-        (if (carry > 0) Seq((CarryEpoch, BaseCommit, carry)) else Nil))
+      (Seq((BuildEpoch, train, trained)) ++
+        (if (carry > 0) Seq((CarryEpoch, train, carry)) else Nil))
         .toDF("epoch", "commit_id", "n_vecs"))
   }
 
   /** RETRAIN the quantizer from the index's own PERSISTED vectors —
     * what [[retrainFresh]] going stale calls for, without re-reading the
     * source corpus (the lists table already holds every vector): derive
-    * fresh centroids over all manifested rows, re-assign them under the
+    * fresh centroids over all visible rows, re-assign them under the
     * new quantizer, swap-write all three tables. Law (Round15Spec):
     * `retrain(append(build(corpus), batch)) ≡ build(corpus ∪ batch)` —
     * exact, because [[Similarity.ivfCentroids]] is a deterministic
     * function of the vector set (md5-ordered sample), which a k-means
     * refinement would preserve in spirit (same inputs → same quantizer)
     * if swapped in. Resets drift accounting: trained = all vectors,
-    * appended = 0. Torn-crash shape matches [[LshIndex.compact]]:
-    * every table rewrite is an atomic swap, `base` stays visible through
-    * the old manifest, re-running converges.
+    * appended = 0.
+    *
+    * Crash shape (the train-id handshake, [[freshTrain]] doc): the
+    * centroids swap FIRST, so from the first commit onward the index is
+    * either consistent or LOUDLY torn (probe/append raise on the
+    * train-id mismatch) — never silently mixing a new quantizer with
+    * old assignments. Recovery is re-running retrain: it reads the
+    * vector set through manifested commits ∪ the current quantizer's
+    * train id, which covers every torn interleaving (the vector SET is
+    * retrain-invariant — only tags and assignments change), and the
+    * deterministic centroid sample makes the re-run converge.
     */
   def retrain(spark: SparkSession, ref: Ref): Unit = {
     val cat = catalogFor(spark, ref)
-    val commits = manifest(spark, ref).map(_._2).distinct
+    val m = manifest(spark, ref)
+    // maintenance visibility: manifested commits PLUS the current train
+    // tag — in a torn state (crash after this function's lists swap) the
+    // full vector set lives under the not-yet-manifested new train tag
+    val visible = (m.map(_._2) :+ quantizer(spark, ref)._2).distinct
     val all = cat.read(ref.listsTable)
-      .filter(col("commit_id").isin(commits: _*))
+      .filter(col("commit_id").isin(visible: _*))
       .select(col("n_id").alias(ref.idCol), col("vn"))
       // pin: the centroid sample and the re-assignment must see the same
       // rows, and the lists rewrite reads the table it replaces
       .localCheckpoint()
     val cents = Similarity.ivfCentroids(all, ref.idCol, "vn", ref.nLists)
+    val train = freshTrain()
     import spark.implicits._
     cat.write(ref.centroidsTable,
-      cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("list", "centroid"))
+      cents.zipWithIndex.map { case (c, i) => (i, c, train) }
+        .toDF("list", "centroid", "train_id"))
+    LshIndex.failpoint("ann_retrain_after_centroids")
     cat.write(ref.listsTable,
-      assigned(all, ref, cents).withColumn("commit_id", lit(BaseCommit)))
+      assigned(all, ref, cents).withColumn("commit_id", lit(train)))
+    LshIndex.failpoint("ann_retrain_after_lists")
     val n = cat.read(ref.listsTable).count()
     cat.write(ref.manifestTable,
-      Seq((BuildEpoch, BaseCommit, n)).toDF("epoch", "commit_id", "n_vecs"))
+      Seq((BuildEpoch, train, n)).toDF("epoch", "commit_id", "n_vecs"))
   }
 
   /** The persisted quantizer — `nLists` rows, bounded by construction
     * (the same collect class as [[Similarity.ivfCentroids]]).
     */
   def centroidsOf(spark: SparkSession, ref: Ref): Seq[Seq[Double]] =
-    catalogFor(spark, ref).read(ref.centroidsTable)
+    quantizer(spark, ref)._1
+
+  /** Centroids + their train id (the handshake token — [[freshTrain]]). */
+  private def quantizer(spark: SparkSession,
+      ref: Ref): (Seq[Seq[Double]], String) = {
+    val rows = catalogFor(spark, ref).read(ref.centroidsTable)
       .orderBy("list").collect()
-      .map(_.getSeq[Double](1).toSeq).toSeq
+    (rows.map(_.getSeq[Double](1).toSeq).toSeq,
+      rows.headOption.map(_.getString(2)).getOrElse("<empty>"))
+  }
 
   /** Cosine top-k of each query against the persisted index —
     * [[Similarity.ivfTopK]] semantics with the corpus-side work already
@@ -263,8 +321,10 @@ object AnnIndex {
   def probe(spark: SparkSession, queries: DataFrame, vecCol: String,
       ref: Ref, k: Int, nProbe: Int = 4): DataFrame = {
     import graft.functions.IvfAssign
-    val cents = centroidsOf(spark, ref)
-    val commits = manifest(spark, ref).map(_._2).distinct
+    val (cents, train) = quantizer(spark, ref)
+    val m = manifest(spark, ref)
+    requireConsistent(train, m, ref) // a torn retrain fails loud, not wrong
+    val commits = m.map(_._2).distinct
     val c = catalogFor(spark, ref).read(ref.listsTable)
       .filter(col("commit_id").isin(commits: _*)).drop("commit_id")
     val q = queries.select(col(ref.idCol).alias("q_id"), col(vecCol).alias("vq"))

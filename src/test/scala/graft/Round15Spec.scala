@@ -256,7 +256,7 @@ class Round15Spec extends AnyFunSuite {
     }
     // torn rows are physically there but invisible to the probe
     assert(spark.table(s"graft_${torn.listsTable}")
-      .filter(col("commit_id") =!= "base").count() === 40)
+      .filter(col("commit_id").startsWith("a1#")).count() === 40)
     assert(ext.AnnIndex.probe(spark, vecs(4, offset = 300L), "embedding",
       torn, k = 8, nProbe = 4).filter(col("n_id") >= 160).count() === 0)
     // retry commits; a second retry is a no-op
@@ -266,13 +266,52 @@ class Round15Spec extends AnyFunSuite {
     assert(spark.table(s"graft_${torn.listsTable}").count() === n)
     assert(ext.AnnIndex.probe(spark, vecs(4, offset = 300L), "embedding",
       torn, k = 8, nProbe = 4).filter(col("n_id") >= 160).count() > 0)
-    // compact reclaims the torn garbage under the FROZEN quantizer
+    // compact reclaims the torn garbage under the FROZEN quantizer:
+    // everything folds to the ONE current train tag, 200 visible rows
     ext.AnnIndex.compact(spark, torn)
     val after = spark.table(s"graft_${torn.listsTable}")
-    assert(after.filter(col("commit_id") =!= "base").count() === 0)
+    assert(after.select("commit_id").distinct().count() === 1)
     assert(after.count() === 200)
     // NOT compared against `clean` row-for-row: clean retrained over the
     // union (different quantizer) — the frozen-append law is Round14Spec's
+  }
+
+  test("torn retrain fails LOUD (train-id handshake) and re-running retrain converges") {
+    val corpus = vecs(160)
+    val batch = vecs(40, offset = 160L)
+    val clean = ext.AnnIndex.build(spark, corpus.unionByName(batch),
+      "vec_id", "embedding", name = "r15trnclean", buckets = 4, nLists = 8)
+    for (stage <- Seq("ann_retrain_after_centroids", "ann_retrain_after_lists")) {
+      val torn = ext.AnnIndex.build(spark, corpus, "vec_id", "embedding",
+        name = s"r15trn_$stage", buckets = 4, nLists = 8)
+      ext.AnnIndex.append(spark, batch, "embedding", torn, epoch = "t1")
+      intercept[RuntimeException] {
+        withFailpoint(stage) { ext.AnnIndex.retrain(spark, torn) }
+      }
+      // the torn state is LOUD: quantizer and manifest disagree, so a
+      // probe (or append/compact) raises instead of silently mixing a
+      // new quantizer with old assignments
+      val err = intercept[IllegalArgumentException] {
+        ext.AnnIndex.probe(spark, vecs(4, offset = 300L), "embedding",
+          torn, k = 8, nProbe = 4)
+      }
+      assert(err.getMessage.contains("torn retrain"), err.getMessage)
+      assert(intercept[IllegalArgumentException] {
+        ext.AnnIndex.append(spark, vecs(4, offset = 400L), "embedding",
+          torn, epoch = "t2")
+      }.getMessage.contains("torn retrain"))
+      // recovery = re-run retrain: converges to the union build exactly
+      ext.AnnIndex.retrain(spark, torn)
+      assert(ext.AnnIndex.centroidsOf(spark, torn)
+        === ext.AnnIndex.centroidsOf(spark, clean))
+      def data(ref: ext.AnnIndex.Ref) =
+        spark.table(s"graft_${ref.listsTable}")
+          .select("n_id", "list", "nn").collect()
+          .map(r => (r.getLong(0), r.getInt(1),
+            math.round(r.getDouble(2) * 1e9))).toSet
+      assert(data(torn) === data(clean), stage)
+      assert(ext.AnnIndex.appendedState(spark, torn) === ((200L, 0L)))
+    }
   }
 
   test("retrain(append(build(c), b)) == build(c ∪ b): quantizer re-derived from PERSISTED vectors") {
@@ -284,10 +323,20 @@ class Round15Spec extends AnyFunSuite {
       name = "r15rtinc", buckets = 4, nLists = 8)
     ext.AnnIndex.append(spark, batch, "embedding", inc, epoch = "rt1")
     ext.AnnIndex.retrain(spark, inc)
-    // quantizer, lists and manifest all ≡ the union build's
+    // quantizer, lists and manifest all ≡ the union build's on the data
+    // columns (the train TAG is a fresh id per train by design — the
+    // torn-retrain handshake; its internal consistency is the next test)
     assert(ext.AnnIndex.centroidsOf(spark, inc)
       === ext.AnnIndex.centroidsOf(spark, clean))
-    assert(tbl(inc.listsTable) === tbl(clean.listsTable))
+    def dataCols(t: String) =
+      spark.table(s"graft_$t").drop("commit_id").collect()
+        .map(_.toSeq.map {
+          case s: Seq[_] => s.toList
+          case x => x
+        }.toString).toSeq.sorted
+    assert(dataCols(inc.listsTable) === dataCols(clean.listsTable))
+    assert(spark.table(s"graft_${inc.listsTable}")
+      .select("commit_id").distinct().count() === 1)
     assert(ext.AnnIndex.appendedState(spark, inc) === ((200L, 0L)),
       "retrain resets drift accounting: trained = all, appended = 0")
     val q = vecs(4, offset = 300L)

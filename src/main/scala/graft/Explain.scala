@@ -2,15 +2,18 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Plan-inspection utility: `runMain graft.Explain <query> [sfDir]` prints
-  * the formatted physical plan of a SparkEntry query (all queries when none
-  * named). Used to check pushdown (`PushedFilters`), pruning (`ReadSchema`),
-  * join strategy (broadcast vs SMJ), and whole-stage codegen spans.
+/** Plan-inspection utility: `runMain graft.Explain <q1>[,<q2>,…] [sfDir]
+  * [outDir]` prints the formatted physical plan of SparkEntry queries (all
+  * queries when none named). Used to check pushdown (`PushedFilters`),
+  * pruning (`ReadSchema`), join strategy (broadcast vs SMJ), and
+  * whole-stage codegen spans. With `outDir` set, each query's plan also
+  * lands in `<outDir>/<name>.txt` (the per-round `plans/` evidence files).
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.drop(1).headOption
       .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    val outDir = args.drop(2).headOption
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -19,10 +22,20 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names =
-      if (args.nonEmpty) Seq(args(0)) else SparkEntry.queries.keys.toSeq.sorted
+      if (args.nonEmpty) args(0).split(",").toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
       println(s"\n========== $name ==========")
-      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.explain("formatted")
+      outDir.foreach { d =>
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val p = java.nio.file.Paths.get(d)
+        java.nio.file.Files.createDirectories(p)
+        java.nio.file.Files.write(p.resolve(s"$name.txt"),
+          plan.getBytes("UTF-8"))
+      }
     }
     spark.stop()
   }

@@ -93,8 +93,12 @@ object AnnIndex {
     require(cat.exists(ref.manifestTable),
       s"AnnIndex ${ref.name} has no manifest — built by a pre-manifest " +
         "version; rebuild")
-    cat.read(ref.manifestTable).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // session-cached (MetaCache; see LshIndex.manifest) — build/append/
+    // compact/retrain invalidate, so torn-state detection reads fresh
+    MetaCache.cached(spark, ref.manifestTable) {
+      cat.read(ref.manifestTable).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    }
   }
 
   private def assigned(batch: DataFrame, ref: Ref,
@@ -116,16 +120,20 @@ object AnnIndex {
     val cat = catalogFor(spark, ref)
     val train = freshTrain()
     import spark.implicits._
+    MetaCache.invalidate(ref.centroidsTable)
     cat.write(ref.centroidsTable,
       cents.zipWithIndex.map { case (c, i) => (i, c, train) }
         .toDF("list", "centroid", "train_id"))
+    MetaCache.invalidate(ref.centroidsTable)
     cat.write(ref.listsTable,
       assigned(corpus.select(col(idCol), col(vecCol).alias("vn")), ref, cents)
         .withColumn("commit_id", lit(train)))
     // metadata count over the just-written parquet (footer stats)
     val n = cat.read(ref.listsTable).count()
+    MetaCache.invalidate(ref.manifestTable)
     cat.write(ref.manifestTable,
       Seq((BuildEpoch, train, n)).toDF("epoch", "commit_id", "n_vecs"))
+    MetaCache.invalidate(ref.manifestTable)
     ref
   }
 
@@ -185,8 +193,10 @@ object AnnIndex {
       cat.append(ref.listsTable, rows.withColumn("commit_id", lit(commit)))
       LshIndex.failpoint("ann_after_lists")
       import spark.implicits._
+      MetaCache.invalidate(ref.manifestTable)
       cat.append(ref.manifestTable,
         Seq((epoch, commit, n)).toDF("epoch", "commit_id", "n_vecs"))
+      MetaCache.invalidate(ref.manifestTable)
     }
   }
 
@@ -242,10 +252,12 @@ object AnnIndex {
         .filter(col("commit_id").isin(commits: _*)).drop("commit_id")
         .withColumn("commit_id", lit(train)))
     import spark.implicits._
+    MetaCache.invalidate(ref.manifestTable)
     cat.write(ref.manifestTable,
       (Seq((BuildEpoch, train, trained)) ++
         (if (carry > 0) Seq((CarryEpoch, train, carry)) else Nil))
         .toDF("epoch", "commit_id", "n_vecs"))
+    MetaCache.invalidate(ref.manifestTable)
   }
 
   /** RETRAIN the quantizer from the index's own PERSISTED vectors —
@@ -286,16 +298,23 @@ object AnnIndex {
     val cents = Similarity.ivfCentroids(all, ref.idCol, "vn", ref.nLists)
     val train = freshTrain()
     import spark.implicits._
+    // invalidate around EACH swap: a failpoint kill between them must
+    // leave later same-JVM readers seeing the torn state fresh (the
+    // train-id handshake's loud failure depends on it)
+    MetaCache.invalidate(ref.centroidsTable)
     cat.write(ref.centroidsTable,
       cents.zipWithIndex.map { case (c, i) => (i, c, train) }
         .toDF("list", "centroid", "train_id"))
+    MetaCache.invalidate(ref.centroidsTable)
     LshIndex.failpoint("ann_retrain_after_centroids")
     cat.write(ref.listsTable,
       assigned(all, ref, cents).withColumn("commit_id", lit(train)))
     LshIndex.failpoint("ann_retrain_after_lists")
     val n = cat.read(ref.listsTable).count()
+    MetaCache.invalidate(ref.manifestTable)
     cat.write(ref.manifestTable,
       Seq((BuildEpoch, train, n)).toDF("epoch", "commit_id", "n_vecs"))
+    MetaCache.invalidate(ref.manifestTable)
   }
 
   /** The persisted quantizer — `nLists` rows, bounded by construction
@@ -306,12 +325,16 @@ object AnnIndex {
 
   /** Centroids + their train id (the handshake token — [[freshTrain]]). */
   private def quantizer(spark: SparkSession,
-      ref: Ref): (Seq[Seq[Double]], String) = {
-    val rows = catalogFor(spark, ref).read(ref.centroidsTable)
-      .orderBy("list").collect()
-    (rows.map(_.getSeq[Double](1).toSeq).toSeq,
-      rows.headOption.map(_.getString(2)).getOrElse("<empty>"))
-  }
+      ref: Ref): (Seq[Seq[Double]], String) =
+    // session-cached (MetaCache): nLists tiny rows, re-collected on every
+    // probe/append; build/retrain invalidate IMMEDIATELY after each swap,
+    // so the train-id handshake still sees every torn interleaving fresh
+    MetaCache.cached(spark, ref.centroidsTable) {
+      val rows = catalogFor(spark, ref).read(ref.centroidsTable)
+        .orderBy("list").collect()
+      (rows.map(_.getSeq[Double](1).toSeq).toSeq,
+        rows.headOption.map(_.getString(2)).getOrElse("<empty>"))
+    }
 
   /** Cosine top-k of each query against the persisted index —
     * [[Similarity.ivfTopK]] semantics with the corpus-side work already

@@ -63,7 +63,14 @@ object Lm {
     val bg = train.select(explode(bigrams(textCol)).alias("b"))
       .select(col("b.w1"), col("b.w2"))
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).alias("c12"))
-    val cctx = bg.groupBy("w1").agg(count(lit(1)).alias("cctx"))
+    // cctx is exactly c12's marginal (c(w1·) = Σ_w2 c(w1,w2)), so derive
+    // it from the MODEL table, not from a second aggregate over the
+    // corpus-sized occurrence stream — the occurrence explode shuffles
+    // once instead of twice, and the marginal's input is model-bounded
+    // (distinct bigrams) at any corpus size. Values are identical by
+    // definition, so the merge law (model(a ∪ b) ≡ merge) is untouched.
+    // Same pattern as [[stupidBackoffXent]]'s triCtx/biCtx marginals.
+    val cctx = c12.groupBy("w1").agg(sum(col("c12")).alias("cctx"))
     val uni = train.select(explode(toks(textCol)).alias("w"))
       .groupBy("w").agg(count(lit(1)).alias("cw"))
     (c12, cctx, uni)

@@ -143,8 +143,13 @@ object LshIndex {
     require(cat.exists(ref.manifestTable),
       s"LshIndex ${ref.name} has no manifest — built by a pre-manifest " +
         "version; rebuild")
-    cat.read(ref.manifestTable).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // session-cached (MetaCache): an ingest/dispatch call collects the
+    // manifest 2–3×, each a driver job at the local floor; build/append/
+    // compact invalidate, so the cached rows are always the committed log
+    MetaCache.cached(spark, ref.manifestTable) {
+      cat.read(ref.manifestTable).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    }
   }
 
   private def manifestedCommits(m: Seq[(String, String, Long)]): Seq[String] =
@@ -183,8 +188,10 @@ object LshIndex {
     cat.write(ref.bucketsTable,
       bucketsOf(cat.read(ref.sigsTable), idCol, bands, numHashes, portable)
         .withColumn("commit_id", lit(BaseCommit)))
+    MetaCache.invalidate(ref.manifestTable)
     cat.write(ref.manifestTable,
       Seq((BuildEpoch, BaseCommit, -1L)).toDF("epoch", "commit_id", "n_docs"))
+    MetaCache.invalidate(ref.manifestTable)
     ref
   }
 
@@ -261,8 +268,10 @@ object LshIndex {
     failpoint("after_buckets")
     import spark.implicits._
     // the batch exists only once this row commits (manifest protocol)
+    MetaCache.invalidate(ref.manifestTable)
     cat.append(ref.manifestTable,
       Seq((epoch, commit, n)).toDF("epoch", "commit_id", "n_docs"))
+    MetaCache.invalidate(ref.manifestTable)
   }
 
   /** Rewrite the index from its PERSISTED signatures — never re-signing
@@ -304,10 +313,12 @@ object LshIndex {
           ref.numHashes, ref.portable)
         .withColumn("commit_id", lit(BaseCommit)))
     import spark.implicits._
+    MetaCache.invalidate(ref.manifestTable)
     cat.write(ref.manifestTable,
       (Seq((BuildEpoch, BaseCommit, -1L)) ++
         (if (carry > 0) Seq((CarryEpoch, BaseCommit, carry)) else Nil))
         .toDF("epoch", "commit_id", "n_docs"))
+    MetaCache.invalidate(ref.manifestTable)
   }
 
   /** ONE cycle of the continuous-ingestion dedup loop — the body
@@ -417,11 +428,13 @@ object LshIndex {
   def saveDispatch(spark: SparkSession, ref: Ref,
       d: Dedup.DupDispatch): Unit = {
     import spark.implicits._
+    MetaCache.invalidate(metaTable(ref))
     catalogFor(spark, ref).write(metaTable(ref),
       Seq((d.sampledDocs, d.instanceMass, d.usefulMass, d.wastedMass,
         d.useSignature, appendedSum(manifest(spark, ref))))
         .toDF("sampled_docs", "instance_mass", "useful_mass",
           "wasted_mass", "use_signature", "appended_snapshot"))
+    MetaCache.invalidate(metaTable(ref))
   }
 
   /** The persisted dispatch, if any, plus the docs appended since it was
@@ -432,13 +445,21 @@ object LshIndex {
       ref: Ref): Option[(Dedup.DupDispatch, Long)] = {
     val cat = catalogFor(spark, ref)
     if (!cat.exists(metaTable(ref))) None
-    else cat.read(metaTable(ref)).collect().headOption.map { r =>
-      (Dedup.DupDispatch(
-        r.getAs[Long]("sampled_docs"), r.getAs[Long]("instance_mass"),
-        r.getAs[Double]("useful_mass"), r.getAs[Double]("wasted_mass"),
-        r.getAs[Boolean]("use_signature")),
-        appendedSum(manifest(spark, ref)) -
-          r.getAs[Long]("appended_snapshot"))
+    else {
+      // session-cached like the manifest; the staleness delta below is
+      // NOT cached — it re-derives from the (invalidation-fresh) manifest
+      val row = MetaCache.cached(spark, metaTable(ref)) {
+        cat.read(metaTable(ref)).collect().headOption.map { r =>
+          (Dedup.DupDispatch(
+            r.getAs[Long]("sampled_docs"), r.getAs[Long]("instance_mass"),
+            r.getAs[Double]("useful_mass"), r.getAs[Double]("wasted_mass"),
+            r.getAs[Boolean]("use_signature")),
+            r.getAs[Long]("appended_snapshot"))
+        }
+      }
+      row.map { case (d, snap) =>
+        (d, appendedSum(manifest(spark, ref)) - snap)
+      }
     }
   }
 

@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Session-scoped cache for the index family's tiny metadata snapshots
+  * (LSH/ANN manifests, the persisted quantizer, the dispatch row).
+  *
+  * Why it exists (r15 verdict #2/#3): every probe/ingest call re-collects
+  * the manifest — a BOUNDED collect, but each collect is a driver job at
+  * the local job floor (~0.06–0.2 s), and a dispatcher call pays 2–3 of
+  * them before any real work. At 100 TB the same collects are per-BATCH
+  * fixed cost in the ingestion loop. The snapshots are pure functions of
+  * tiny warehouse tables that only the index modules mutate, so they are
+  * cached per (session, table) and re-read only after a mutation.
+  *
+  * Invalidation contract — what keeps this correct, not result-caching:
+  *
+  *   - entries are keyed by the LIVE SparkSession (weak keys: sessions
+  *     are not pinned); a fresh session always reads fresh, so
+  *     cross-session/warehouse reuse is impossible by construction;
+  *   - every mutation of a cached table ([[LshIndex]] build/append/
+  *     compact/saveDispatch, [[AnnIndex]] build/append/compact/retrain)
+  *     bumps a JVM-GLOBAL per-table-name version BEFORE AND AFTER the
+  *     write, so every session's entry for that table — including the
+  *     parent of a foreachBatch clone, which shares the catalog — goes
+  *     stale the moment the table changes, and a write that dies midway
+  *     (failpoint kills between the index's table commits) leaves no
+  *     entry claiming the pre-write state;
+  *   - only METADATA rides the cache (manifest rows, centroid arrays,
+  *     the one dispatch row) — never query results or data tables: every
+  *     probe still scans the parquet index tables, and the cached values
+  *     are exactly what the uncached code would re-collect unchanged.
+  *
+  * Foreign-JVM mutations remain the caller's refresh problem, unchanged
+  * from the uncached code (see [[LshIndex.append]]'s visibility note —
+  * Spark's own relation cache has the same staleness there).
+  */
+private[ext] object MetaCache {
+  private val versions =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  // WeakHashMap: entries die with their session; guarded by `lock`
+  private val entries =
+    new java.util.WeakHashMap[SparkSession, mutable.Map[String, (Long, Any)]]()
+  private val lock = new Object
+
+  /** Mark `table` changed: every cached snapshot of it is now stale. */
+  def invalidate(table: String): Unit =
+    versions.merge(table, 1L, (a, _) => a + 1L)
+
+  /** The cached snapshot of `table` for this session, re-reading via
+    * `readFresh` when absent or invalidated.
+    */
+  def cached[T](spark: SparkSession, table: String)(readFresh: => T): T = {
+    val v = versions.getOrDefault(table, 0L)
+    lock.synchronized {
+      entries.computeIfAbsent(spark, _ => mutable.Map.empty)
+        .get(table) match {
+        case Some((ver, x)) if ver == v => return x.asInstanceOf[T]
+        case _ => ()
+      }
+    }
+    val x = readFresh // collect OUTSIDE the lock
+    lock.synchronized {
+      entries.computeIfAbsent(spark, _ => mutable.Map.empty)
+        .update(table, (v, x))
+    }
+    x
+  }
+
+  /** TEST-ONLY: drop everything (simulates a fresh JVM). */
+  private[graft] def reset(): Unit = {
+    versions.clear()
+    lock.synchronized(entries.clear())
+  }
+}

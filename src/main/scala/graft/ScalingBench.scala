@@ -44,6 +44,20 @@ object ScalingBench {
     */
   val FlagRatioXl = 10.5
 
+  /** Rows whose superlinear growth at the sweep's fixtures is DOCUMENTED
+    * operator semantics, not an accidental blowup — kept out of
+    * `flagged` and reported under `waived` instead, so a real flag
+    * stands out (r15 verdict "What's wrong" #4: this row's ratio2 flag
+    * fired two rounds running and was triage-accepted both times).
+    * q_embed_neardup is the size-GATED exact all-pairs baseline: its
+    * gate (bruteForceLimit 100k) deliberately admits every sweep fixture
+    * (max 8k vectors at sf1) because exact recall at a 0.4 threshold has
+    * no cheap LSH regime, so its cost is quadratic BY CONTRACT there;
+    * the blocked twin q_embed_neardup_lsh IS the scale path and stays
+    * ratio-checked normally (3.26 ratio2 on 10× data, r15).
+    */
+  val DocumentedQuadratic = Set("q_embed_neardup")
+
   /** Dev knob (same as Bench): SPARK_GRAFT_ONLY=q_a,q_b re-measures a
     * subset under the identical fresh-JVM-per-point methodology — for
     * patching a single stale row after a targeted plan change without
@@ -215,7 +229,7 @@ object ScalingBench {
 
     def ratioFlags(ts: Map[String, Double], tl: Map[String, Double],
         tx: Option[Map[String, Double]]): Seq[String] =
-      names.filter { n =>
+      names.filterNot(DocumentedQuadratic).filter { n =>
         val (s, l) = (ts(n), tl(n))
         val r = if (s > 0 && l > 0) l / s else -1.0
         val r2 = tx.map(_(n)).map(xv => if (l > 0 && xv > 0) xv / l else -1.0)
@@ -277,8 +291,17 @@ object ScalingBench {
       }
     }
     val flagged = entries.collect {
-      case (n, _, _, r, _, r2) if r > FlagRatio || r2.exists(_ > FlagRatioXl) => n
+      case (n, _, _, r, _, r2)
+        if !DocumentedQuadratic(n) &&
+          (r > FlagRatio || r2.exists(_ > FlagRatioXl)) => n
     } ++ failed ++ cvFlags
+    // never a SILENT cap: a documented-quadratic row that crossed a flag
+    // line is reported under `waived`, with its ratios still in `queries`
+    val waived = entries.collect {
+      case (n, _, _, r, _, r2)
+        if DocumentedQuadratic(n) &&
+          (r > FlagRatio || r2.exists(_ > FlagRatioXl)) => n
+    }
     def n4(d: Double) = String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     def n2(d: Double) = String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     val qs = entries.map { case (n, s, l, r, x, r2) =>
@@ -298,7 +321,8 @@ object ScalingBench {
       s""""$pt":{$ops}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"scaling","sf_small":"$small","sf_large":"$large",$xlField""" +
-      s""""queries":$qs,"flagged":${arr(flagged)},"failed":${arr(failed)},""" +
+      s""""queries":$qs,"flagged":${arr(flagged)},"waived":${arr(waived)},""" +
+      s""""failed":${arr(failed)},""" +
       s""""remeasured":${arr(remeasured)},"convergence":$cvJson}""")
     if (failed.nonEmpty) sys.exit(1)
   }

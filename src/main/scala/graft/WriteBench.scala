@@ -40,6 +40,12 @@ object WriteBench {
     val reps = args.drop(2).headOption.map(_.toInt).getOrElse(3)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val rebalance = sys.env.get("SPARK_GRAFT_WRITEMODE").contains("rebalance")
+    // noop mode (guide §1.4): time the SAME full-result computation into
+    // the no-op sink — every column of every row computed, nothing
+    // encoded/committed — so a write-symmetric row decomposes into
+    // compute-vs-(encode+commit) seconds. Diagnostic lane only; the
+    // committed artifact mode stays `plain`.
+    val noop = sys.env.get("SPARK_GRAFT_WRITEMODE").contains("noop")
     val out = java.nio.file.Files.createTempDirectory("graft-writebench")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,7 +68,8 @@ object WriteBench {
       val df0 = SparkEntry.queries(name)(spark, sfDir)
       val df = if (rebalance) OptimizedWrite(df0) else df0
       val t0 = System.nanoTime()
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      if (noop) df.write.format("noop").mode("overwrite").save()
+      else df.write.mode("overwrite").parquet(s"$out/$name.parquet")
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache(); System.gc()
       dt
@@ -81,7 +88,7 @@ object WriteBench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     println(ts.map { case (n, t) => s""""$n":${num(t)}""" }
       .mkString("""{"metric":"write_bench","sf":"""" + sfDir +
-        s"""","mode":"${if (rebalance) "rebalance" else "plain"}",""" +
+        s"""","mode":"${if (noop) "noop" else if (rebalance) "rebalance" else "plain"}",""" +
         s""""write_floor_sec":${num(wf)},"queries":{""",
         ",", s"""},"sum":${num(ts.map(_._2).sum)}}"""))
     spark.stop()

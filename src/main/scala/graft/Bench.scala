@@ -288,6 +288,25 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // Round-over-round comparability (r16 verdict #5): the final line's
+    // 1500-char budget carries ~50 of 275 per-query times and the
+    // driver archives only the log tail, so most of the suite had no
+    // per-query history. Persist the FULL map as a guaranteed-parseable
+    // artifact file (committed like BENCH_SPREAD.json) and print its
+    // path; the final-line contract below is unchanged.
+    if (only.isEmpty) {
+      val fullRows = results.sortBy(_._1).map { case (k, v) =>
+        "\"" + k + "\":" + (if (v < 0) "-1" else num(v)) }.mkString(",")
+      val fullBody =
+        s"""{"queries":{$fullRows},"n":${results.length},"failed":$failed,""" +
+        s""""floor_sec":${num(floorSec)},"lane_factor":${num(laneFactor)},""" +
+        s""""metric":"total","value":${num(total)},"unit":"sec","sf":"$sfDir"}"""
+      scala.util.Try {
+        val w = new java.io.PrintWriter("BENCH_FULL.json", "UTF-8")
+        try w.println(fullBody) finally w.close()
+      }
+      println("[bench-full-file] BENCH_FULL.json")
+    }
     val headline = Set("q_merge_upsert", "q_direct_copy", "q_source_filter",
       "q_agg_grouping", "q_force_distinct", "q_distinct_count", "q_fk_lookup",
       "q_concat_columns", "q_pipeline_chain", "q_multi_pass", "q_tpch_q3",

@@ -124,16 +124,21 @@ object AnnIndex {
     cat.write(ref.centroidsTable,
       cents.zipWithIndex.map { case (c, i) => (i, c, train) }
         .toDF("list", "centroid", "train_id"))
-    MetaCache.invalidate(ref.centroidsTable)
+    // install the quantizer just written: the first probe/append no
+    // longer pays a centroid-collect job (MetaCache.put doc)
+    MetaCache.put(spark, ref.centroidsTable, (cents, train))
+    // n_vecs rides the lists write as an observed metric instead of a
+    // separate footer-count job (r17 commit cadence)
+    val obs = org.apache.spark.sql.Observation()
     cat.write(ref.listsTable,
       assigned(corpus.select(col(idCol), col(vecCol).alias("vn")), ref, cents)
-        .withColumn("commit_id", lit(train)))
-    // metadata count over the just-written parquet (footer stats)
-    val n = cat.read(ref.listsTable).count()
+        .withColumn("commit_id", lit(train))
+        .observe(obs, count(lit(1)).alias("n")))
+    val n = obs.get("n").asInstanceOf[Long]
     MetaCache.invalidate(ref.manifestTable)
     cat.write(ref.manifestTable,
       Seq((BuildEpoch, train, n)).toDF("epoch", "commit_id", "n_vecs"))
-    MetaCache.invalidate(ref.manifestTable)
+    MetaCache.put(spark, ref.manifestTable, Seq((BuildEpoch, train, n)))
     ref
   }
 
@@ -184,19 +189,24 @@ object AnnIndex {
         s"$epoch#${java.util.UUID.randomUUID().toString.substring(0, 8)}"
       val (cents, train) = quantizer(spark, ref)
       requireConsistent(train, m, ref) // never assign under a torn quantizer
-      // pin: the assignment feeds both the data append and the manifest
-      // count; a nondeterministic batch must not disagree between them
+      // n_vecs rides the lists append as an observed metric of the SAME
+      // job that writes the rows (r17): the count and the data agree by
+      // construction even over a nondeterministic batch, so the r15
+      // pin-then-count (a checkpoint job + a count job) is two jobs
+      // saved per batch with strictly stronger agreement
+      val obs = org.apache.spark.sql.Observation()
       val rows = assigned(
         batch.select(col(ref.idCol), col(vecCol).alias("vn")), ref, cents)
-        .localCheckpoint()
-      val n = rows.count() // bounded: the batch is the bounded side
-      cat.append(ref.listsTable, rows.withColumn("commit_id", lit(commit)))
+      cat.append(ref.listsTable,
+        rows.withColumn("commit_id", lit(commit))
+          .observe(obs, count(lit(1)).alias("n")))
+      val n = obs.get("n").asInstanceOf[Long]
       LshIndex.failpoint("ann_after_lists")
       import spark.implicits._
       MetaCache.invalidate(ref.manifestTable)
       cat.append(ref.manifestTable,
         Seq((epoch, commit, n)).toDF("epoch", "commit_id", "n_vecs"))
-      MetaCache.invalidate(ref.manifestTable)
+      MetaCache.put(spark, ref.manifestTable, m :+ ((epoch, commit, n)))
     }
   }
 
@@ -252,12 +262,12 @@ object AnnIndex {
         .filter(col("commit_id").isin(commits: _*)).drop("commit_id")
         .withColumn("commit_id", lit(train)))
     import spark.implicits._
+    val folded =
+      Seq((BuildEpoch, train, trained)) ++
+        (if (carry > 0) Seq((CarryEpoch, train, carry)) else Nil)
     MetaCache.invalidate(ref.manifestTable)
-    cat.write(ref.manifestTable,
-      (Seq((BuildEpoch, train, trained)) ++
-        (if (carry > 0) Seq((CarryEpoch, train, carry)) else Nil))
-        .toDF("epoch", "commit_id", "n_vecs"))
-    MetaCache.invalidate(ref.manifestTable)
+    cat.write(ref.manifestTable, folded.toDF("epoch", "commit_id", "n_vecs"))
+    MetaCache.put(spark, ref.manifestTable, folded)
   }
 
   /** RETRAIN the quantizer from the index's own PERSISTED vectors —
@@ -305,16 +315,23 @@ object AnnIndex {
     cat.write(ref.centroidsTable,
       cents.zipWithIndex.map { case (c, i) => (i, c, train) }
         .toDF("list", "centroid", "train_id"))
-    MetaCache.invalidate(ref.centroidsTable)
+    // put = bump + install (same freshness guarantee as the immediate
+    // re-invalidate: a torn later swap still reads this quantizer fresh
+    // and fails the train-id handshake loudly)
+    MetaCache.put(spark, ref.centroidsTable, (cents, train))
     LshIndex.failpoint("ann_retrain_after_centroids")
+    // n_vecs rides the lists swap as an observed metric (no footer-count
+    // job; r17 commit cadence)
+    val obs = org.apache.spark.sql.Observation()
     cat.write(ref.listsTable,
-      assigned(all, ref, cents).withColumn("commit_id", lit(train)))
+      assigned(all, ref, cents).withColumn("commit_id", lit(train))
+        .observe(obs, count(lit(1)).alias("n")))
     LshIndex.failpoint("ann_retrain_after_lists")
-    val n = cat.read(ref.listsTable).count()
+    val n = obs.get("n").asInstanceOf[Long]
     MetaCache.invalidate(ref.manifestTable)
     cat.write(ref.manifestTable,
       Seq((BuildEpoch, train, n)).toDF("epoch", "commit_id", "n_vecs"))
-    MetaCache.invalidate(ref.manifestTable)
+    MetaCache.put(spark, ref.manifestTable, Seq((BuildEpoch, train, n)))
   }
 
   /** The persisted quantizer — `nLists` rows, bounded by construction

@@ -556,15 +556,10 @@ object Dedup {
     def hashed(c: Column): Column = transform(c, s => xxhash64(s))
     val (a, b) = maxShingleDf match {
       case None =>
-        (newDf
-           .select(col(idCol), shingleArray(textCol, k).alias("__sh"))
-           .withColumn("na", size(col("__sh")).cast("long"))
-           .select(col(idCol).alias("new_id"), col("na"),
-             explode(hashed(col("__sh"))).alias("sh_a")),
-         corpus.select(col(idCol), shingleArray(textCol, k).alias("__sh"))
-           .withColumn("nb", size(col("__sh")).cast("long"))
-           .select(col(idCol).alias("corpus_id"), col("nb"),
-             explode(hashed(col("__sh"))).alias("sh_b")))
+        (explodedHashedShingles(newDf, idCol, textCol, k,
+           "new_id", "na", "sh_a"),
+         explodedHashedShingles(corpus, idCol, textCol, k,
+           "corpus_id", "nb", "sh_b"))
       case Some(cap) =>
         val cs0 = corpus.select(col(idCol),
           explode(hashed(shingleArray(textCol, k))).alias("shingle"))
@@ -593,6 +588,38 @@ object Dedup {
     // and a driver OOM waiting to happen at real corpus sizes; AQE cannot
     // rescue a statically-chosen BHJ because no shuffle ever runs to
     // re-measure). Build side = the batch (the bounded side by contract).
+    againstShingleJoin(a, b, threshold)
+  }
+
+  /** The (new-batch, corpus) exploded hashed-shingle relation
+    * [[ngramJaccardAgainst]]'s uncapped path joins on: one row per
+    * (doc, DISTINCT shingle) with the doc's total alongside —
+    * `(idAlias, nAlias = |shingle set|, shAlias = xxhash64(shingle))`.
+    * Factored out (r17) so [[graft.ext.LshIndex]] can persist the
+    * corpus side once (the shingle-set table) and build the identical
+    * batch side per call — same expression tree, value-identical keys.
+    * Docs with zero shingles produce no rows (explode of an empty
+    * array), matching the join semantics either way.
+    */
+  private[ext] def explodedHashedShingles(df: DataFrame, idCol: String,
+      textCol: String, k: Int,
+      idAlias: String, nAlias: String, shAlias: String): DataFrame =
+    df.select(col(idCol), shingleArray(textCol, k).alias("__sh"))
+      .withColumn(nAlias, size(col("__sh")).cast("long"))
+      .select(col(idCol).alias(idAlias), col(nAlias),
+        explode(transform(col("__sh"), s => xxhash64(s))).alias(shAlias))
+
+  /** [[ngramJaccardAgainst]]'s join/aggregate core over pre-built
+    * exploded-shingle relations `a = (new_id, na, sh_a)` /
+    * `b = (corpus_id, nb, sh_b)`: PPJoin length prune in the join
+    * condition, intersection by count, Jaccard threshold. The
+    * shuffle_hash hint (batch = build side) is load-bearing — see
+    * [[ngramJaccardAgainst]]'s docstring; when `b` comes from a table
+    * bucketed on its shingle-hash column, the corpus side additionally
+    * contributes ZERO exchanges (the r17 shingle-set table).
+    */
+  private[ext] def againstShingleJoin(a: DataFrame, b: DataFrame,
+      threshold: Double): DataFrame =
     a.hint("shuffle_hash").join(b, col("sh_a") === col("sh_b") &&
         col("nb") > col("na") * lit(threshold) - lit(1.0) &&
         col("na") > col("nb") * lit(threshold) - lit(1.0))
@@ -602,7 +629,6 @@ object Dedup {
         col("ic").cast("double") / (col("na") + col("nb") - col("ic")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("new_id", "corpus_id", "jaccard")
-  }
 
   // ------------------------------------------------------------ MinHash+LSH
 

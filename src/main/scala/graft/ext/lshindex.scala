@@ -113,9 +113,10 @@ object LshIndex {
 
   private def catalogFor(spark: SparkSession, ref: Ref): BucketedCatalog =
     new BucketedCatalog(spark, ref.buckets, Map(
-      ref.bucketsTable -> Seq("band", "bucket"),
-      ref.sigsTable    -> Seq(ref.idCol)))
-      // manifest table has no bucketKeys entry → writes unbucketed
+      ref.bucketsTable  -> Seq("band", "bucket"),
+      ref.sigsTable     -> Seq(ref.idCol),
+      shsetTable(ref)   -> Seq("sh"))) // the exact-join's equi-key layout
+      // manifest/shman tables have no bucketKeys entry → write unbucketed
 
   private def sigsOf(df: DataFrame, idCol: String, textCol: String,
       k: Int, numHashes: Int, portable: Boolean): DataFrame =
@@ -181,6 +182,13 @@ object LshIndex {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val ref = Ref(name, idCol, buckets, k, numHashes, bands, portable)
     val cat = catalogFor(spark, ref)
+    // a REBUILD reuses the `base` commit_id over a NEW corpus, so a
+    // leftover shingle-set's coverage rows would claim the new base —
+    // retire them first (the next exact-path call re-derives; see
+    // ensureShingleSet)
+    MetaCache.invalidate(shmanTable(ref))
+    cat.drop(shsetTable(ref)); cat.drop(shmanTable(ref))
+    MetaCache.invalidate(shmanTable(ref))
     import spark.implicits._
     cat.write(ref.sigsTable,
       sigsOf(corpus, idCol, textCol, k, numHashes, portable)
@@ -191,7 +199,10 @@ object LshIndex {
     MetaCache.invalidate(ref.manifestTable)
     cat.write(ref.manifestTable,
       Seq((BuildEpoch, BaseCommit, -1L)).toDF("epoch", "commit_id", "n_docs"))
-    MetaCache.invalidate(ref.manifestTable)
+    // install the snapshot just written: the first probe/ingest after a
+    // build no longer pays a manifest-collect job (MetaCache.put doc)
+    MetaCache.put(spark, ref.manifestTable,
+      Seq((BuildEpoch, BaseCommit, -1L)))
     ref
   }
 
@@ -245,33 +256,57 @@ object LshIndex {
     * in-batch pairs, its index probe AND its append.
     *
     * The sigs frame is PINNED (`localCheckpoint`) before anything reads
-    * it: three consumers (sigs append, buckets append, manifest count)
-    * over a lazily re-evaluated nondeterministic batch (limit / sample /
+    * it: its consumers (sigs append, buckets append) over a lazily
+    * re-evaluated nondeterministic batch (limit / sample /
     * dropDuplicates) could otherwise each see different rows and commit
     * sigs and buckets that disagree — the same reason [[ingestBatch]]
-    * pins its batch (r14 ADVICE).
+    * pins its batch (r14 ADVICE). [[ingestBatch]] passes
+    * `prePinned = true`: its sigs frame is a deterministic function of
+    * two frames it already pinned (the deduped batch and the admitted
+    * set), so every consumer provably sees identical rows without a
+    * third checkpoint job.
+    *
+    * COMMIT CADENCE (r17, guide §2.6): the sigs and buckets appends are
+    * independent jobs over the pinned frame — neither reads the other's
+    * table — so they run CONCURRENTLY; only the manifest row still
+    * commits strictly LAST (the protocol's only ordering requirement:
+    * ANY subset of data appends without the manifest row is invisible).
+    * The ingestion loop's per-batch commit barriers drop from three to
+    * two. `n_docs` rides the sigs append as an observed metric
+    * (`Dataset.observe`) instead of a separate count job.
     */
   private def appendSigs(spark: SparkSession, ref: Ref,
-      sigs: DataFrame, epoch: String): Unit = {
+      sigs: DataFrame, epoch: String, prePinned: Boolean = false): Unit = {
     require(exists(spark, ref), s"LshIndex ${ref.name} not built")
     val cat = catalogFor(spark, ref)
     val m = manifest(spark, ref)
     if (m.exists(_._1 == epoch)) return // committed epoch → idempotent no-op
     val commit = s"$epoch#${freshNonce()}"
-    val s = sigs.localCheckpoint()
-    val n = s.count() // bounded action: the batch is the bounded side
-    cat.append(ref.sigsTable, s.withColumn("commit_id", lit(commit)))
-    failpoint("after_sigs")
-    cat.append(ref.bucketsTable,
-      bucketsOf(s, ref.idCol, ref.bands, ref.numHashes, ref.portable)
-        .withColumn("commit_id", lit(commit)))
+    val s = if (prePinned) sigs else sigs.localCheckpoint()
+    val obs = org.apache.spark.sql.Observation()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val bucketsAppend = Future {
+      cat.append(ref.bucketsTable,
+        bucketsOf(s, ref.idCol, ref.bands, ref.numHashes, ref.portable)
+          .withColumn("commit_id", lit(commit)))
+    }
+    try {
+      cat.append(ref.sigsTable,
+        s.withColumn("commit_id", lit(commit))
+          .observe(obs, count(lit(1)).alias("n")))
+      failpoint("after_sigs")
+    } finally Await.ready(bucketsAppend, Duration.Inf) // never leak the job
+    Await.result(bucketsAppend, Duration.Inf) // rethrows a buckets failure
     failpoint("after_buckets")
+    val n = obs.get("n").asInstanceOf[Long]
     import spark.implicits._
     // the batch exists only once this row commits (manifest protocol)
     MetaCache.invalidate(ref.manifestTable)
     cat.append(ref.manifestTable,
       Seq((epoch, commit, n)).toDF("epoch", "commit_id", "n_docs"))
-    MetaCache.invalidate(ref.manifestTable)
+    MetaCache.put(spark, ref.manifestTable, m :+ ((epoch, commit, n)))
   }
 
   /** Rewrite the index from its PERSISTED signatures — never re-signing
@@ -305,20 +340,55 @@ object LshIndex {
     val cat = catalogFor(spark, ref)
     val m = manifest(spark, ref)
     val carry = appendedSum(m)
+    // shingle-set coverage is keyed by the commit ids the fold is about
+    // to retire — capture it BEFORE any rewrite (folded below, last)
+    val commits = manifestedCommits(m)
+    val shCovered = shmanRows(spark, ref)
     cat.write(ref.sigsTable,
-      visible(cat.read(ref.sigsTable), manifestedCommits(m))
+      visible(cat.read(ref.sigsTable), commits)
         .withColumn("commit_id", lit(BaseCommit)))
     cat.write(ref.bucketsTable,
       bucketsOf(cat.read(ref.sigsTable), ref.idCol, ref.bands,
           ref.numHashes, ref.portable)
         .withColumn("commit_id", lit(BaseCommit)))
     import spark.implicits._
+    val folded =
+      Seq((BuildEpoch, BaseCommit, -1L)) ++
+        (if (carry > 0) Seq((CarryEpoch, BaseCommit, carry)) else Nil)
     MetaCache.invalidate(ref.manifestTable)
-    cat.write(ref.manifestTable,
-      (Seq((BuildEpoch, BaseCommit, -1L)) ++
-        (if (carry > 0) Seq((CarryEpoch, BaseCommit, carry)) else Nil))
-        .toDF("epoch", "commit_id", "n_docs"))
-    MetaCache.invalidate(ref.manifestTable)
+    cat.write(ref.manifestTable, folded.toDF("epoch", "commit_id", "n_docs"))
+    MetaCache.put(spark, ref.manifestTable, folded)
+    // shingle-set fold, strictly AFTER the main manifest fold: a crash
+    // anywhere in this window leaves shman rows whose commit ids are no
+    // longer manifested → coverage reads empty → the next exact-path
+    // call re-derives from corpus text (correct, merely unamortized).
+    // Folding the OTHER order would be wrong: a fold that completes
+    // before the main manifest shrinks would double-count appended docs
+    // if a refresh ran in between.
+    if (cat.exists(shsetTable(ref))) {
+      if (commits.forall(shCovered.map(_._1).toSet)) {
+        // coverage complete → fold from the PERSISTED shingles (never
+        // re-shingling corpus text, same doctrine as the sigs fold)
+        val accepted = shCovered.collect {
+          case (c, a) if commits.contains(c) => a }.distinct
+        MetaCache.invalidate(shmanTable(ref))
+        cat.write(shsetTable(ref),
+          cat.read(shsetTable(ref))
+            .filter(col("attempt").isin(accepted: _*))
+            .withColumn("attempt", lit(BaseCommit)))
+        cat.write(shmanTable(ref),
+          Seq((BaseCommit, BaseCommit)).toDF("commit_id", "attempt"))
+        MetaCache.put(spark, shmanTable(ref),
+          Seq((BaseCommit, BaseCommit)))
+      } else {
+        // stale coverage (appends since the last refresh): the folded
+        // commits are gone from the manifest, so the rows are dead
+        // weight — retire the tables; next exact use re-derives
+        MetaCache.invalidate(shmanTable(ref))
+        cat.drop(shsetTable(ref)); cat.drop(shmanTable(ref))
+        MetaCache.invalidate(shmanTable(ref))
+      }
+    }
   }
 
   /** ONE cycle of the continuous-ingestion dedup loop — the body
@@ -405,9 +475,20 @@ object LshIndex {
         inBatchLosers.unionByName(vsCorpus).distinct(),
         Seq(ref.idCol), "left_anti")
       .localCheckpoint() // MUST materialize before the index mutates
+    // prePinned: sn is a deterministic function of the PINNED b, and the
+    // semi-join's other side is the pinned admitted frame — every
+    // appendSigs consumer provably sees identical rows, no third
+    // checkpoint job (appendSigs doc)
+    // prePinned: sn is a deterministic function of the PINNED b, and the
+    // semi-join's other side is the pinned admitted frame — every
+    // appendSigs consumer provably sees identical rows, no third
+    // checkpoint barrier (appendSigs doc; A/B'd vs pinning: 44 jobs/
+    // 6.06–6.32 s pinned vs 48 jobs/5.68–6.15 s unpinned in JobProbe —
+    // the two concurrent join-appends overlap their recompute, the
+    // checkpoint is a sequential barrier)
     appendSigs(spark, ref,
       sn.join(admitted.select(ref.idCol), Seq(ref.idCol), "left_semi"),
-      epoch)
+      epoch, prePinned = true)
     admitted
   }
 
@@ -428,13 +509,17 @@ object LshIndex {
   def saveDispatch(spark: SparkSession, ref: Ref,
       d: Dedup.DupDispatch): Unit = {
     import spark.implicits._
+    val snap = appendedSum(manifest(spark, ref))
     MetaCache.invalidate(metaTable(ref))
     catalogFor(spark, ref).write(metaTable(ref),
       Seq((d.sampledDocs, d.instanceMass, d.usefulMass, d.wastedMass,
-        d.useSignature, appendedSum(manifest(spark, ref))))
+        d.useSignature, snap))
         .toDF("sampled_docs", "instance_mass", "useful_mass",
           "wasted_mass", "use_signature", "appended_snapshot"))
-    MetaCache.invalidate(metaTable(ref))
+    // install the row just written: the dispatch read after a first-use
+    // probe no longer pays a collect job (MetaCache.put doc)
+    MetaCache.put(spark, metaTable(ref),
+      Some((d, snap)): Option[(Dedup.DupDispatch, Long)])
   }
 
   /** The persisted dispatch, if any, plus the docs appended since it was
@@ -474,6 +559,116 @@ object LshIndex {
       reprobeFactor: Double = 2.0): Boolean =
     appendedDocs.toDouble <= (reprobeFactor - 1.0) * d.sampledDocs.toDouble
 
+  // ------------------------------------------ persisted shingle set
+  //
+  // The dispatcher's EXACT path ([[Dedup.ngramJaccardAgainst]]) used to
+  // re-shingle the accumulated corpus text per batch — at 100 TB a full
+  // corpus pass (scan text, shingle, hash, explode) plus a corpus-sized
+  // exchange under the against-join, every cycle (r16 verdict #1: the
+  // whole residual of the sf1 dispatcher row). Guide §6 (persist the
+  // derived columnar form you keep re-deriving) + §3 (the join then
+  // builds on the bounded batch side): persist the exploded
+  // hashed-shingle relation ONCE beside the index tables, bucketed on
+  // the join key —
+  //
+  //   - `<name>_lshidx_shset` (id, n = |shingle set|, sh =
+  //     xxhash64(shingle), attempt), bucketed+sorted BY (sh): the
+  //     against-join's exact equi-key layout, so the corpus side
+  //     contributes ZERO exchanges and zero recompute per batch;
+  //   - `<name>_lshidx_shman` (commit_id, attempt): the coverage log —
+  //     which MANIFESTED commits' docs the shset rows cover, committed
+  //     strictly AFTER the data rows (the manifest-protocol doctrine).
+  //
+  // The table is derived LAZILY, at exact-path use — never by
+  // [[append]]/[[ingestBatch]] (the ingestion loop's commit cadence is
+  // its own budget, r16 verdict #2, and signature-path deployments never
+  // pay for shingles they don't join on). Crash-safe refresh: rows carry
+  // an ATTEMPT nonce; a retry of a torn refresh writes a fresh attempt
+  // and only shman-accepted attempts are ever read, so duplicated
+  // attempts cannot double-count an intersection. [[build]] retires a
+  // stale shset (a rebuild reuses `base` over a new corpus);
+  // [[compact]] folds a complete one from the persisted rows and drops
+  // an incomplete one. Single logical writer per index, as the rest of
+  // the family assumes.
+
+  private def shsetTable(ref: Ref): String = s"${ref.name}_lshidx_shset"
+  private def shmanTable(ref: Ref): String = s"${ref.name}_lshidx_shman"
+
+  /** Coverage log rows (commit_id, attempt) — bounded collect, cached
+    * like the manifest. Empty when the shset has never been derived.
+    */
+  private def shmanRows(spark: SparkSession,
+      ref: Ref): Seq[(String, String)] = {
+    val cat = catalogFor(spark, ref)
+    if (!cat.exists(shmanTable(ref))) Nil
+    else MetaCache.cached(spark, shmanTable(ref)) {
+      cat.read(shmanTable(ref)).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+    }
+  }
+
+  /** Extend the shingle-set table to cover every manifested commit —
+    * cost ∝ the UNCOVERED docs (the whole corpus exactly once, then only
+    * appended batches), never per probing batch. `corpus` must be the
+    * indexed corpus (the contract [[nearDupAgainstAuto]] already
+    * carries: the ref IS that corpus's index).
+    */
+  private def ensureShingleSet(spark: SparkSession, corpus: DataFrame,
+      textCol: String, ref: Ref, m: Seq[(String, String, Long)]): Unit = {
+    val cat = catalogFor(spark, ref)
+    val commits = manifestedCommits(m)
+    val coveredRows = shmanRows(spark, ref)
+    val covered = coveredRows.map(_._1).toSet
+    val uncovered = commits.filterNot(covered)
+    if (uncovered.isEmpty) return
+    val attempt = freshNonce()
+    // docs of the uncovered commits: restrict the corpus by the sig
+    // table's ids (a pushed IN over commit_id; the ids are the bounded
+    // appended slice) — except on first derivation, where uncovered IS
+    // every manifested commit and the corpus argument is exactly that
+    // set already (zero-shingle docs appear in neither: no sig row, and
+    // explode of an empty shingle array emits nothing)
+    val docs =
+      if (covered.isEmpty) corpus
+      else corpus.join(
+        cat.read(ref.sigsTable)
+          .filter(col("commit_id").isin(uncovered: _*))
+          .select(col(ref.idCol)),
+        Seq(ref.idCol), "left_semi")
+    val rows = Dedup.explodedHashedShingles(docs, ref.idCol, textCol,
+        ref.k, ref.idCol, "n", "sh")
+      .withColumn("attempt", lit(attempt))
+    if (cat.exists(shsetTable(ref))) cat.append(shsetTable(ref), rows)
+    else cat.write(shsetTable(ref), rows)
+    failpoint("after_shset")
+    // coverage rows commit LAST: a crash above leaves only rows no
+    // reader's accepted-attempt filter ever selects
+    import spark.implicits._
+    val manRows = uncovered.map(c => (c, attempt))
+    MetaCache.invalidate(shmanTable(ref))
+    if (cat.exists(shmanTable(ref)))
+      cat.append(shmanTable(ref), manRows.toDF("commit_id", "attempt"))
+    else cat.write(shmanTable(ref), manRows.toDF("commit_id", "attempt"))
+    // install the known post-commit log: prior rows + the rows just
+    // committed (MetaCache.put doc; single-writer contract)
+    MetaCache.put(spark, shmanTable(ref), coveredRows ++ manRows)
+  }
+
+  /** The corpus side of the exact against-join, read from the persisted
+    * shingle-set table: (corpus_id, nb, sh_b), filtered to the attempts
+    * accepted for manifested commits — a pushed IN predicate, zero
+    * exchanges (the table is bucketed on `sh`, the join's equi-key).
+    */
+  private def shingleRelation(spark: SparkSession, ref: Ref,
+      commits: Seq[String]): DataFrame = {
+    val accepted = shmanRows(spark, ref).collect {
+      case (c, a) if commits.contains(c) => a }.distinct
+    catalogFor(spark, ref).read(shsetTable(ref))
+      .filter(col("attempt").isin(accepted: _*))
+      .select(col(ref.idCol).alias("corpus_id"), col("n").alias("nb"),
+        col("sh").alias("sh_b"))
+  }
+
   /** The r12 cost dispatcher unified with the persistent index
     * ([[Dedup.nearDupAgainstAuto]]'s cross-session form): the dispatch
     * decision comes from the metadata row beside the index tables —
@@ -481,10 +676,12 @@ object LshIndex {
     * re-probed (and re-saved) only when [[dispatchFresh]] says appends
     * have outgrown the measured snapshot. The signature path probes the
     * INDEX (zero corpus-side work — [[probe]]); the exact path is
-    * [[Dedup.ngramJaccardAgainst]] over the corpus text (the index stores
-    * signatures, not text). Emits (new_id, corpus_id, score, method);
-    * DispatchProps pins output ≡ the session-memory dispatcher given the
-    * same decision.
+    * [[Dedup.ngramJaccardAgainst]]'s join over the PERSISTED shingle-set
+    * table (derived beside the index on first use — see the shingle-set
+    * section above; value-identical to re-shingling the corpus text, at
+    * zero corpus-side work per batch). Emits (new_id, corpus_id, score,
+    * method); DispatchProps pins output ≡ the session-memory dispatcher
+    * given the same decision.
     */
   def nearDupAgainstAuto(spark: SparkSession, newDf: DataFrame,
       corpus: DataFrame, textCol: String, ref: Ref, threshold: Double,
@@ -502,11 +699,17 @@ object LshIndex {
       probe(spark, newDf, textCol, ref, threshold)
         .withColumnRenamed("est_jaccard", "score")
         .withColumn("method", lit("minhash_sig_index"))
-    else
-      Dedup.ngramJaccardAgainst(newDf, corpus, ref.idCol, textCol,
-          ref.k, threshold)
+    else {
+      val m = manifest(spark, ref)
+      ensureShingleSet(spark, corpus, textCol, ref, m)
+      Dedup.againstShingleJoin(
+          Dedup.explodedHashedShingles(newDf, ref.idCol, textCol, ref.k,
+            "new_id", "na", "sh_a"),
+          shingleRelation(spark, ref, manifestedCommits(m)),
+          threshold)
         .withColumnRenamed("jaccard", "score")
         .withColumn("method", lit("exact_join"))
+    }
   }
 
   /** Near-dup the batch AGAINST the persisted index: batch signatures

@@ -48,6 +48,27 @@ private[ext] object MetaCache {
   def invalidate(table: String): Unit =
     versions.merge(table, 1L, (a, _) => a + 1L)
 
+  /** Install the KNOWN post-write snapshot for this session (r17): a
+    * writer that just committed `table` knows exactly what a fresh
+    * re-collect would return (append = old rows + the appended row;
+    * swap-write = the rows it wrote), so installing that value saves the
+    * next reader's collect — a driver job at the local floor, a per-BATCH
+    * fixed cost in the ingestion loop. Correctness is the same contract
+    * as [[invalidate]]: put itself BUMPS the version first, so an entry a
+    * concurrent reader cached mid-write can never be served afterwards,
+    * and a writer that dies before reaching put leaves only the bumped
+    * version (readers re-collect). Single logical writer per table, as
+    * the index family already assumes; foreign-JVM writers are unchanged
+    * (their mutations were never visible to this cache's versions).
+    */
+  def put[T](spark: SparkSession, table: String, value: T): Unit = {
+    val v = versions.merge(table, 1L, (a, _) => a + 1L)
+    lock.synchronized {
+      entries.computeIfAbsent(spark, _ => mutable.Map.empty)
+        .update(table, (v, value))
+    }
+  }
+
   /** The cached snapshot of `table` for this session, re-reading via
     * `readFresh` when absent or invalidated.
     */

@@ -222,6 +222,18 @@ final class BucketedCatalog(
         .sortBy(keys.head, keys.tail: _*)
     }.saveAsTable(qual(name))
   }
+
+  /** Drop a table (metadata + managed location) if present — the index
+    * family uses it to retire DERIVED side tables whose coverage a
+    * rebuild invalidates (e.g. [[graft.ext.LshIndex]]'s shingle-set
+    * table, r17). Also clears an unregistered orphan directory so a
+    * later write/rename of the same name cannot collide.
+    */
+  def drop(name: String): Unit = {
+    require(!isTempName(name), s"drop of temp relation $name unsupported")
+    spark.sql(s"DROP TABLE IF EXISTS ${qual(name)}")
+    clearOrphanLocation(qual(name))
+  }
 }
 
 /** Generic file-format catalog (csv/json/orc/...): `<dir>/<table>.<ext>`.

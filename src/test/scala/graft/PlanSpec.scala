@@ -545,4 +545,61 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("global windows are aggregate/limit-bounded — never a raw-corpus single-partition sort") {
+    // r16 verdict #4: ~11 Window.orderBy-without-partition sites each sit
+    // on an input bounded BY CONSTRUCTION (distinct scores, vocab, bins,
+    // range-partition carries, k centroids) — but nothing asserted it, so
+    // one regression would land a silent corpus-sized single-partition
+    // sort at 100 TB. The law: every logical Window with an EMPTY
+    // partitionSpec must have an Aggregate, a GlobalLimit, or a
+    // checkpoint cut (LogicalRDD — ksDrift's ≤ nBins pinned frame is the
+    // only such feeder) below it. A partition-less window directly over a
+    // scan/join lineage fails.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Window => LWindow}
+    import org.apache.spark.sql.execution.LogicalRDD
+    val docs = (0 until 60).map(i =>
+      (i.toLong, s"tok${i % 7} tok${i % 5} tok${i % 3} body$i",
+        s"g${i % 4}", (i % 10).toDouble, i % 2 == 0))
+      .toDF("id", "text", "grp", "score", "label")
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq((i % 3).toDouble, (i % 5).toDouble))).toDF("id", "vec")
+    val toks = (0 until 50).map(i =>
+      (i.toLong, (i % 7 + 1).toLong, s"g${i % 3}")).toDF("id", "n_tok", "grp")
+    val sites = Seq(
+      "Evals.rocAuc" ->
+        ext.Evals.rocAuc(docs, "score", col("label")),
+      "Lm.topVocab" ->
+        ext.Lm.topVocab(docs, "text", 5),
+      "TextOps.vocabCoverage" ->
+        ext.TextOps.vocabCoverage(docs, "text", 5),
+      "Stats.pareto2d" ->
+        ext.Stats.pareto2d(docs.select(col("score").alias("x"),
+          col("id").cast("double").alias("y")), "x", "y"),
+      "Stats.ucbScores" ->
+        ext.Stats.ucbScores(docs, "grp", "score"),
+      "Stats.ksDrift" ->
+        ext.Stats.ksDrift(docs, docs, "score", 1.0),
+      "Sampling.waterfillBudget" ->
+        ext.Sampling.waterfillBudget(toks, "grp", "n_tok", 20L, 2),
+      "Packing.packTokenSequences" ->
+        ext.Packing.packTokenSequences(toks, "id", "n_tok", 8L, 1, 4),
+      "Similarity.kmeansExact" ->
+        ext.Similarity.kmeansExact(vecs, "id", "vec", 2, 1))
+    sites.foreach { case (label, df) =>
+      val plan = df.queryExecution.optimizedPlan
+      val windows = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(windows.nonEmpty, s"$label: law is vacuous (no global window)")
+      windows.foreach { w =>
+        val bounded = w.child.collect {
+          case a: Aggregate => a: Any
+          case l: GlobalLimit => l: Any
+          case r: LogicalRDD => r: Any
+        }
+        assert(bounded.nonEmpty,
+          s"$label: global window over an UNBOUNDED input —\n$plan")
+      }
+    }
+  }
 }

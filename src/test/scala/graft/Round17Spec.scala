@@ -1,0 +1,189 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-17 pins (optimization round 2): the persisted shingle-set table
+  * beside the LSH index — [[ext.LshIndex.nearDupAgainstAuto]]'s exact
+  * path must read persisted hashed shingles (value-identical to
+  * re-shingling the corpus text) with crash-safe lazy derivation — and
+  * the reworked append cadence (concurrent data appends, observed
+  * counts, known-snapshot cache installs), whose protocol laws
+  * Round15Spec continues to pin unchanged.
+  */
+class Round17Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Round15Spec's fixture family: docs (2j, 2j+1) share 12 of 13 words
+  private def docs = (0 until 80).map { i =>
+    val cluster = i / 2
+    val words = (0 until 12).map(p => s"w${cluster}_$p") :+
+      (if (i % 2 == 0) "xx" else "yy")
+    (i.toLong, words.mkString(" "))
+  }.toDF("doc_id", "text")
+
+  private def batch        = docs.filter(col("doc_id") % 2 === 0)
+  private def corpusAll    = docs.filter(col("doc_id") % 2 === 1)
+  private def corpusBuild  = corpusAll.filter(col("doc_id") < 40)
+  private def corpusAppend = corpusAll.filter(col("doc_id") >= 40)
+
+  private def rows3(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.select("new_id", "corpus_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  /** The inline (re-shingling) reference the persisted path must equal. */
+  private def inline(corpus: org.apache.spark.sql.DataFrame) =
+    ext.Dedup.ngramJaccardAgainst(batch, corpus, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .withColumnRenamed("jaccard", "score")
+
+  /** Pin the dispatch to the EXACT path with a large probed snapshot so
+    * appends in these fixtures never trigger a re-probe.
+    */
+  private def forceExact(ref: ext.LshIndex.Ref): Unit =
+    ext.LshIndex.saveDispatch(spark, ref,
+      ext.Dedup.DupDispatch(sampledDocs = 1000L, instanceMass = 0L,
+        usefulMass = 0.0, wastedMass = 0.0, useSignature = false))
+
+  private def buildRef(name: String,
+      corpus: org.apache.spark.sql.DataFrame): ext.LshIndex.Ref =
+    ext.LshIndex.build(spark, corpus, "doc_id", "text", name, buckets = 4,
+      k = 3, numHashes = 32, bands = 8, portable = true)
+
+  private def auto(ref: ext.LshIndex.Ref,
+      corpus: org.apache.spark.sql.DataFrame) =
+    ext.LshIndex.nearDupAgainstAuto(spark, batch, corpus, "text", ref, 0.5)
+
+  private def withFailpoint[A](stage: String)(body: => A): A = {
+    ext.LshIndex.failpoint =
+      s => if (s == stage) sys.error(s"injected crash at $stage")
+    try body finally ext.LshIndex.failpoint = _ => ()
+  }
+
+  private def tableExists(t: String): Boolean =
+    spark.catalog.tableExists(s"graft_$t")
+
+  test("exact path reads the persisted shingle set; output ≡ the inline re-shingling join") {
+    val ref = buildRef("r17shset", corpusAll)
+    forceExact(ref)
+    val want = rows3(inline(corpusAll))
+    assert(want.nonEmpty, "fixture must produce near-dups")
+    // first call derives the table (one corpus pass), second reuses it
+    assert(rows3(auto(ref, corpusAll)) === want)
+    assert(tableExists(s"${ref.name}_lshidx_shset") &&
+      tableExists(s"${ref.name}_lshidx_shman"))
+    val shmanRows = spark.table(s"graft_${ref.name}_lshidx_shman").count()
+    assert(rows3(auto(ref, corpusAll)) === want)
+    assert(spark.table(s"graft_${ref.name}_lshidx_shman").count()
+      === shmanRows, "a covered call must not re-derive")
+  }
+
+  test("refresh covers appended commits incrementally; observed n_docs lands in the manifest") {
+    val ref = buildRef("r17shinc", corpusBuild)
+    forceExact(ref)
+    assert(rows3(auto(ref, corpusBuild)) === rows3(inline(corpusBuild)))
+    ext.LshIndex.append(spark, corpusAppend, "text", ref, epoch = "e1")
+    // observed count (rides the sigs append) must equal the appended rows
+    val mrow = spark.table(s"graft_${ref.manifestTable}")
+      .filter(col("epoch") === "e1").collect()
+    assert(mrow.length === 1 && mrow.head.getAs[Long]("n_docs") === 20L)
+    // the second exact call extends coverage by ONLY the appended slice
+    assert(rows3(auto(ref, corpusAll)) === rows3(inline(corpusAll)))
+    assert(spark.table(s"graft_${ref.name}_lshidx_shman").count() === 2)
+  }
+
+  test("torn shingle-set refresh: retry never double-counts (attempt-gated visibility)") {
+    val ref = buildRef("r17shtorn", corpusAll)
+    forceExact(ref)
+    val crashed = intercept[RuntimeException] {
+      withFailpoint("after_shset") { auto(ref, corpusAll).collect() }
+    }
+    assert(crashed.getMessage.contains("injected crash"))
+    // the torn attempt left PHYSICAL rows but no coverage entry
+    assert(tableExists(s"${ref.name}_lshidx_shset"))
+    assert(!tableExists(s"${ref.name}_lshidx_shman") ||
+      spark.table(s"graft_${ref.name}_lshidx_shman").count() === 0)
+    // retry re-derives under a fresh attempt; orphan rows stay invisible
+    // (a double-counted intersection would inflate every jaccard)
+    assert(rows3(auto(ref, corpusAll)) === rows3(inline(corpusAll)))
+  }
+
+  test("compact folds a COMPLETE shingle set from persisted rows; drops a stale one") {
+    // complete coverage → folded (no re-derivation on the next call)
+    val a = buildRef("r17shfoldA", corpusBuild)
+    forceExact(a)
+    auto(a, corpusBuild).collect()
+    ext.LshIndex.append(spark, corpusAppend, "text", a, epoch = "e1")
+    auto(a, corpusAll).collect() // extends coverage over e1
+    ext.LshIndex.compact(spark, a)
+    val shman = spark.table(s"graft_${a.name}_lshidx_shman").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(shman.toSeq === Seq(("base", "base")),
+      "complete coverage must fold to the base attempt")
+    assert(rows3(auto(a, corpusAll)) === rows3(inline(corpusAll)))
+    // stale coverage (appends after the last refresh) → dropped
+    val b = buildRef("r17shfoldB", corpusBuild)
+    forceExact(b)
+    auto(b, corpusBuild).collect()
+    ext.LshIndex.append(spark, corpusAppend, "text", b, epoch = "e1")
+    ext.LshIndex.compact(spark, b)
+    assert(!tableExists(s"${b.name}_lshidx_shset"),
+      "incomplete coverage must be retired at compact")
+    assert(rows3(auto(b, corpusAll)) === rows3(inline(corpusAll)))
+  }
+
+  test("rebuild retires the previous corpus's shingle set (base commit_id is reused)") {
+    val ref = buildRef("r17shrebuild", corpusBuild)
+    forceExact(ref)
+    auto(ref, corpusBuild).collect()
+    // rebuild the SAME name over a different corpus; a leftover shset
+    // claiming the reused `base` commit would silently miss the grown
+    // corpus's docs
+    buildRef("r17shrebuild", corpusAll)
+    assert(rows3(auto(ref, corpusAll)) === rows3(inline(corpusAll)))
+  }
+
+  test("exact-path plan: shingle-set side contributes ZERO exchanges and no corpus re-shingle") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ref = buildRef("r17shplan", corpusAll)
+      forceExact(ref)
+      auto(ref, corpusAll).collect() // derive the table
+      val plan = auto(ref, corpusAll).queryExecution.executedPlan
+      def isIndexScan(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        p match {
+          case f: FileSourceScanExec =>
+            f.tableIdentifier.exists(_.table.contains("lshidx"))
+          case _ => false
+        }
+      // the shingle table itself is never re-shuffled: it is bucketed on
+      // the join key (sh), so the batch is the only shuffled side
+      val offending = plan.collect {
+        case e: ShuffleExchangeExec
+          if e.collectLeaves().nonEmpty &&
+            e.collectLeaves().forall(isIndexScan) => e }
+      assert(offending.isEmpty,
+        s"shingle-set table re-shuffled in the exact-path plan:\n$plan")
+      // the corpus side comes from the table — exactly ONE explode
+      // (the batch side's); the inline path had two
+      val generates = plan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g }
+      assert(generates.length === 1,
+        s"expected only the batch-side explode, got:\n$plan")
+      // and the shset scan IS present with its attempt filter pushed
+      val shsetScans = plan.collectLeaves().collect {
+        case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table.contains("lshidx_shset")) => f }
+      assert(shsetScans.nonEmpty, s"shingle-set table not read:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+}
